@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Central SparkSession factory so every entry point (tests, Verify, Bench,
+  * driver) gets identical, scale-conscious settings.
+  *
+  * Notes:
+  *  - `spark.sql.shuffle.partitions` is sized to local cores (the driver
+  *    contract) — on a real cluster this would be set to ~2-3x total cores
+  *    or left to AQE coalescing, which is enabled here and does the right
+  *    thing at 100 TB (it merges tiny post-shuffle partitions and splits
+  *    skewed ones at runtime).
+  *  - `spark.sql.legacy.parquet.nanosAsLong` — the driver's `events` table
+  *    stores TIMESTAMP(NANOS) which Spark 4 otherwise rejects; reading it
+  *    as epoch-nanos Long is exact and we normalize to epoch millis
+  *    (the reference's native unit, see SURVEY.md §1.2 `ts`).
+  */
+object GraftSession {
+  def builder(master: String = "local[*]", shufflePartitions: String = "32"): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.filterPushdown", "true")
+      .config("spark.ui.enabled", "false")
+
+  def local(cpus: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {
+    val s = builder(s"local[$cpus]", math.max(cpus, 4).toString).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** Apply graft settings onto an externally-created session (driver owns it). */
+  def tune(spark: SparkSession): SparkSession = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark
+  }
+}

@@ -1,0 +1,66 @@
+package graft.model
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Canonical time-series data model.
+  *
+  * Mirrors the reference's long/narrow sample layout (SURVEY.md §1.1): one
+  * row per sample of one series, where a series is identified by a metric
+  * name plus a label map, and `series_id` is a stable 64-bit hash of the
+  * fully-qualified series (the analogue of the reference part-key hash,
+  * cf. /root/reference/core/.../binaryrecord2/RecordBuilder.scala shard-key
+  * hashing — re-expressed here as `xxhash64` over the canonicalized key).
+  *
+  * The driver's `events` parquet is the stand-in stream table
+  * (FIXTURES.md §B): metric = event_type, one label `user` = user_id,
+  * ts normalized to epoch millis (reference native unit), value as-is.
+  */
+object TsTables {
+
+  /** events with `ts_ms: Long` (epoch millis, exact integer division from
+    * the parquet TIMESTAMP(NANOS) read as Long — double math would lose
+    * precision above 2^53). */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts_ms", expr("ts div 1000000"))
+  }
+
+  /** Long/narrow canonical samples table from events. */
+  def eventsAsSamples(spark: SparkSession, dir: String): DataFrame = {
+    events(spark, dir).select(
+      col("event_type").as("metric"),
+      map(lit("user"), col("user_id").cast("string")).as("tags"),
+      col("ts_ms").as("ts"),
+      col("value"))
+      .withColumn("series_id", xxhash64(col("metric"), col("tags")("user")))
+  }
+
+  def lineitem(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/lineitem.parquet")
+  def orders(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/orders.parquet")
+  def customer(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/customer.parquet")
+  def supplier(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/supplier.parquet")
+  def part(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/part.parquet")
+  def nation(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/nation.parquet")
+  def region(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/region.parquet")
+  def documents(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+  def embeddings(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/embeddings.parquet")
+
+  /** Query grid constants shared by SparkEntry queries and their oracles:
+    * the events table spans exactly 2024-01-01T00:00Z .. 2024-01-31T00:00Z
+    * at every scale factor. */
+  val EventsStartMs: Long = 1704067200000L            // 2024-01-01T00:00:00Z
+  val EventsEndMs: Long   = EventsStartMs + 30L * 86400000L // 2024-01-31T00:00:00Z
+  val Hour: Long = 3600000L
+  val Day: Long = 86400000L
+}

@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import scala.collection.mutable.ArrayBuffer
+
+/** The periodic-samples operator: for every step `t` in [start, end] by
+  * `step`, evaluate a range function over each series' samples in the
+  * window (t - offset - window, t - offset].
+  *
+  * This is the Spark re-expression of the reference's PeriodicSamplesMapper
+  * + SlidingWindowIterator (SURVEY.md §2.3): one shuffle by series key, then
+  * a single ordered pass per series computing ALL steps with two advancing
+  * pointers — O(samples + steps) per series, no step-grid fan-out join, no
+  * per-window rescans. At 100 TB this scales horizontally with series
+  * cardinality: each series is independent, the shuffle is the only data
+  * movement, and map-side projection/filter push the scan down to just
+  * (series cols, ts, value) in the queried time range.
+  */
+object PeriodicSamples {
+
+  /** @param df         input samples (long/narrow)
+    * @param seriesCols  columns identifying one series (the group key)
+    * @param tsCol       epoch-millis Long column
+    * @param valueCol    Double column
+    * @param emitNaN     emit rows for empty/NaN windows (absent handling)
+    */
+  def apply(df: DataFrame,
+            seriesCols: Seq[String],
+            tsCol: String,
+            valueCol: String,
+            startMs: Long, endMs: Long, stepMs: Long, windowMs: Long,
+            fn: RangeFn,
+            offsetMs: Long = 0L,
+            stepCol: String = "step_ts",
+            outCol: String = "value",
+            emitNaN: Boolean = false,
+            tieCol: Option[String] = None): DataFrame = {
+    require(stepMs > 0 && windowMs > 0, "step and window must be positive")
+    val n = seriesCols.size
+    // Deterministic within-series order even when two samples share a
+    // millisecond: secondary sort on tieCol (e.g. event_id).
+    val tie = tieCol.map(col(_).cast(LongType)).getOrElse(lit(0L)).as("__tie")
+    // Push the time-range predicate and projection into the scan.
+    val prepared = df
+      .filter(col(tsCol).cast(LongType) > lit(startMs - offsetMs - windowMs) &&
+              col(tsCol).cast(LongType) <= lit(endMs - offsetMs) &&
+              col(valueCol).isNotNull)
+      .select(seriesCols.map(col) ++
+        Seq(col(tsCol).cast(LongType).as("__ts"), col(valueCol).cast(DoubleType).as("__v"), tie): _*)
+
+    val keySchema = StructType(seriesCols.map(c => prepared.schema(c)))
+    val outSchema = StructType(keySchema.fields ++ Seq(
+      StructField(stepCol, LongType, nullable = false),
+      StructField(outCol, DoubleType, nullable = false)))
+    val keyEnc = Encoders.row(keySchema)
+    val outEnc = Encoders.row(outSchema)
+
+    prepared
+      .groupByKey((r: Row) => Row.fromSeq((0 until n).map(r.get)))(keyEnc)
+      .flatMapGroups { (key: Row, rows: Iterator[Row]) =>
+        val tsBuf = new ArrayBuffer[Long](64)
+        val vBuf = new ArrayBuffer[Double](64)
+        val tieBuf = new ArrayBuffer[Long](64)
+        rows.foreach { r => tsBuf += r.getLong(n); vBuf += r.getDouble(n + 1); tieBuf += r.getLong(n + 2) }
+        val order = tsBuf.indices.sortBy(i => (tsBuf(i), tieBuf(i)))
+        val len = order.length
+        val ts = new Array[Long](len)
+        val vs = new Array[Double](len)
+        var i = 0
+        while (i < len) { ts(i) = tsBuf(order(i)); vs(i) = vBuf(order(i)); i += 1 }
+        if (fn.needsCounterCorrection) monotonize(vs)
+
+        val out = new ArrayBuffer[Row]
+        var lo = 0; var hi = 0
+        var t = startMs
+        while (t <= endMs) {
+          val wEnd = t - offsetMs
+          val wStart = wEnd - windowMs
+          while (lo < len && ts(lo) <= wStart) lo += 1
+          while (hi < len && ts(hi) <= wEnd) hi += 1
+          if (hi > lo) {
+            val v = fn.eval(ts, vs, lo, hi, wStart, wEnd)
+            if (!v.isNaN || emitNaN)
+              out += Row.fromSeq(key.toSeq ++ Seq[Any](t, v))
+          } else if (emitNaN) {
+            out += Row.fromSeq(key.toSeq ++ Seq[Any](t, Double.NaN))
+          }
+          t += stepMs
+        }
+        out.iterator
+      }(outEnc)
+  }
+
+  /** In-place counter-reset correction: every drop adds the previous value
+    * forward, making the series monotonic from the scan start (the
+    * reference's BufferableCounterCorrectionIterator semantics). */
+  def monotonize(vs: Array[Double]): Unit = {
+    var c = 0.0
+    var prevRaw = if (vs.length > 0) vs(0) else 0.0
+    var i = 1
+    while (i < vs.length) {
+      val raw = vs(i)
+      if (raw < prevRaw) c += prevRaw
+      vs(i) = raw + c
+      prevRaw = raw
+      i += 1
+    }
+  }
+}

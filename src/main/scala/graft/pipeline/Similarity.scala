@@ -1,0 +1,84 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (ARRAY<FLOAT>).
+  *
+  * Brute-force cosine top-k is the correctness baseline (and is exactly
+  * right when the query set is small: broadcast queries × corpus scan,
+  * no shuffle of the corpus). The scale path is LSH bucketing via random
+  * hyperplanes (deterministic seed): corpus is bucketed once, queries probe
+  * only their bucket — at 100 TB the corpus side stays partitioned and
+  * pruned by bucket id.
+  *
+  * Dot products use `zip_with` + `aggregate` (codegen'd higher-order
+  * functions) in strict index order, keeping results deterministic.
+  */
+object Similarity {
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k cosine neighbors for each query vector.
+    * Queries are broadcast; the corpus is scanned once. */
+  def bruteForceKnn(queries: DataFrame, corpus: DataFrame, k: Int,
+                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("qv")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).cast("array<double>").as("cv"))
+    val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rk"), round(col("sim"), 6).as("sim"))
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane p, dim i):
+    * a fixed hash mapped to [-1, 1). */
+  private def planeComponent(p: Int, i: Column): Column =
+    (pmod(xxhash64(lit(p), i), lit(1000000L)).cast("double") / 500000.0) - 1.0
+
+  /** LSH bucket id from `nPlanes` random-hyperplane signs. */
+  def lshBucket(vec: Column, nPlanes: Int): Column =
+    (0 until nPlanes).map { p =>
+      val proj = aggregate(zip_with(vec, sequence(lit(0), size(vec) - 1),
+        (x, i) => x * planeComponent(p, i)), lit(0.0), (acc, x) => acc + x)
+      when(proj > 0, lit(1L << p)).otherwise(0L)
+    }.reduce((a, b) => a.bitwiseOR(b))
+
+  /** Approximate top-k: probe only the query's LSH bucket. Recall is
+    * traded for a corpus-pruned scan; nPlanes tunes bucket granularity. */
+  def lshKnn(queries: DataFrame, corpus: DataFrame, k: Int, nPlanes: Int = 8,
+             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("qv"))
+      .withColumn("bucket", lshBucket(col("qv"), nPlanes)))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).cast("array<double>").as("cv"))
+      .withColumn("bucket", lshBucket(col("cv"), nPlanes))
+    val scored = q.join(c, Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rk"), round(col("sim"), 6).as("sim"))
+  }
+
+  /** Embedding near-duplicate pairs: cosine >= threshold among LSH-bucket
+    * candidates (the embedding-cosine dedup operator). */
+  def cosineDuplicates(corpus: DataFrame, threshold: Double, nPlanes: Int = 6,
+                       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("bucket", lshBucket(col("v"), nPlanes))
+    val a = c.as("a"); val b = c.as("b")
+    a.join(b, col("a.bucket") === col("b.bucket") && col(s"a.$idCol") < col(s"b.$idCol"))
+      .withColumn("sim", cosine(col("a.v"), col("b.v")))
+      .filter(col("sim") >= threshold)
+      .select(col(s"a.$idCol").as("id1"), col(s"b.$idCol").as("id2"), round(col("sim"), 6).as("sim"))
+  }
+}

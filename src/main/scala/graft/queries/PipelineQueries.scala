@@ -1,0 +1,146 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.TsTables
+import graft.pipeline._
+
+/** Training-data-pipeline operator coverage over `documents` and
+  * `embeddings`: dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard /
+  * embedding cosine), similarity search (brute force + LSH), and text
+  * analysis. DuckDB oracles where the operator is SQL-expressible with
+  * bit-identical hashes (md5) or pure arithmetic; hash-sketch operators
+  * (xxhash64-based MinHash/SimHash/LSH) get rows-only checks + ScalaTest
+  * specs instead.
+  */
+object PipelineQueries {
+
+  private val SW = TextAnalysis.Stopwords.map(s => s"'$s'").mkString(", ")
+
+  def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q60_dedup_exact" -> ((s, dir) =>
+      Dedup.exactGroups(TsTables.documents(s, dir))
+        .filter(col("n_dups") > 1)
+        .orderBy(col("fp"))),
+
+    "q61_token_count" -> ((s, dir) =>
+      TsTables.documents(s, dir).select(
+        col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        size(TextAnalysis.regexTokens(col("text"))).as("n_regex_tokens"))
+        .orderBy(col("doc_id"))),
+
+    "q62_quality_score" -> ((s, dir) =>
+      TsTables.documents(s, dir).select(
+        col("doc_id"),
+        round(TextAnalysis.qualityScore(col("text")), 6).as("quality"))
+        .orderBy(col("doc_id"))),
+
+    "q63_langid" -> ((s, dir) =>
+      TsTables.documents(s, dir).select(
+        col("doc_id"),
+        TextAnalysis.langId(col("text")).as("pred_lang"))
+        .orderBy(col("doc_id"))),
+
+    "q64_ngram_jaccard" -> ((s, dir) => {
+      val d = TsTables.documents(s, dir).select(
+        col("doc_id"), col("lang"), (col("n_chars") / 100).cast("long").as("len_bucket"),
+        array_distinct(TextAnalysis.tokens(lower(col("text")))).as("toks"))
+      val a = d.as("a"); val b = d.as("b")
+      a.join(b, col("a.lang") === col("b.lang") &&
+                col("a.len_bucket") === col("b.len_bucket") &&
+                col("a.doc_id") < col("b.doc_id"))
+        .withColumn("jaccard",
+          size(array_intersect(col("a.toks"), col("b.toks"))) /
+            size(array_union(col("a.toks"), col("b.toks"))).cast("double"))
+        .filter(col("jaccard") >= 0.8)
+        .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
+                round(col("jaccard"), 6).as("jaccard"))
+        .orderBy(col("id1"), col("id2"))
+    }),
+
+    "q65_knn_bruteforce" -> ((s, dir) => {
+      val e = TsTables.embeddings(s, dir)
+      Similarity.bruteForceKnn(e.filter(col("vec_id") < 10), e, 5)
+        .orderBy(col("query_id"), col("rk"))
+    }),
+
+    "q66_minhash_dups" -> ((s, dir) => // rows-only: xxhash sketches not SQL-portable
+      Dedup.minHashDuplicates(TsTables.documents(s, dir), threshold = 0.5)
+        .orderBy(col("id1"), col("id2"))),
+
+    "q67_simhash" -> ((s, dir) => // rows-only
+      Dedup.simHashDuplicates(TsTables.documents(s, dir), prefixBits = 8, maxDist = 12)
+        .orderBy(col("id1"), col("id2"))),
+
+    "q68_knn_lsh" -> ((s, dir) => { // rows-only (xxhash-derived planes)
+      val e = TsTables.embeddings(s, dir)
+      Similarity.lshKnn(e.filter(col("vec_id") < 10), e, 5, nPlanes = 4)
+        .orderBy(col("query_id"), col("rk"))
+    }),
+
+    "q69_cosine_dups" -> ((s, dir) => // rows-only (LSH bucketing)
+      Similarity.cosineDuplicates(TsTables.embeddings(s, dir), threshold = 0.9, nPlanes = 2)
+        .orderBy(col("id1"), col("id2")))
+  )
+
+  def oracles: Map[String, String] = Map(
+
+    "q60_dedup_exact" ->
+      """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+                count(*) AS n_dups, min(doc_id) AS keep_id
+         FROM documents GROUP BY 1 HAVING count(*) > 1 ORDER BY 1""",
+
+    "q61_token_count" ->
+      """SELECT doc_id,
+                len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+                len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_regex_tokens
+         FROM documents ORDER BY doc_id""",
+
+    "q62_quality_score" ->
+      s"""SELECT doc_id,
+          round(
+            length(regexp_replace(trim(text), '\\s+', '', 'g'))
+              / CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE)
+            + (len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x IN ($SW)))
+               / CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE)) * 2.0
+            - (len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]'))
+               / CAST(length(text) AS DOUBLE)) * 5.0, 6) AS quality
+          FROM documents ORDER BY doc_id""",
+
+    "q63_langid" ->
+      s"""SELECT doc_id,
+          CASE WHEN len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                                    x -> x IN ($SW))) >= 1
+               THEN 'en' ELSE 'und' END AS pred_lang
+          FROM documents ORDER BY doc_id""",
+
+    "q64_ngram_jaccard" ->
+      """WITH d AS (SELECT doc_id, lang, n_chars // 100 AS len_bucket,
+                           list_distinct(string_split_regex(trim(lower(text)), '\s+')) AS toks
+                    FROM documents)
+         SELECT a.doc_id AS id1, b.doc_id AS id2,
+                round(len(list_intersect(a.toks, b.toks))
+                      / CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE), 6) AS jaccard
+         FROM d a JOIN d b
+           ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
+         WHERE len(list_intersect(a.toks, b.toks))
+               / CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE) >= 0.8
+         ORDER BY 1,2""",
+
+    "q65_knn_bruteforce" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
+              c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+              scored AS (
+                SELECT q.query_id, c.neighbor_id,
+                       list_dot_product(q.qv, c.cv)
+                         / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.cv, c.cv))) AS sim
+                FROM q JOIN c ON q.query_id <> c.neighbor_id)
+         SELECT query_id, neighbor_id, rk, round(sim, 6) AS sim
+         FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                            ORDER BY sim DESC, neighbor_id ASC) AS rk
+               FROM scored)
+         WHERE rk <= 5 ORDER BY query_id, rk"""
+  )
+}

@@ -1,0 +1,162 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.model.TsTables
+
+/** Relational/core operator coverage over the driver's TPC-H-ish tables:
+  * scan + filter pushdown, hash aggregation, broadcast + shuffle joins,
+  * window top-k, distinct metadata shapes, exact quantiles. Every query
+  * has a DuckDB oracle with identical column names and rounding.
+  *
+  * Scale notes: all aggregations here are partial-aggregated map-side by
+  * Catalyst; the nation/region/supplier joins broadcast the small side;
+  * the topk window partitions by brand (bounded groups, no skew).
+  */
+object RelationalQueries {
+
+  def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary" -> ((s, dir) => {
+      TsTables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 3).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 3).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 3).as("sum_disc_price"),
+          round(avg(col("l_quantity")), 6).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    "q02_filter_pushdown_revenue" -> ((s, dir) => {
+      TsTables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+                col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+                col("l_discount").between(0.05, 0.07) &&
+                col("l_quantity") < 24)
+        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 3).as("revenue"))
+    }),
+
+    "q03_join_mktsegment" -> ((s, dir) => {
+      val o = TsTables.orders(s, dir)
+      val c = TsTables.customer(s, dir)
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(round(sum(col("o_totalprice")), 3).as("total_price"),
+             count(lit(1)).as("n_orders"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    "q04_multi_join_region" -> ((s, dir) => {
+      val su = TsTables.supplier(s, dir)
+      val n = TsTables.nation(s, dir)
+      val r = TsTables.region(s, dir)
+      su.join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(round(sum(col("s_acctbal")), 3).as("total_bal"),
+             count(lit(1)).as("n_suppliers"))
+        .orderBy(col("r_name"), col("n_name"))
+    }),
+
+    "q05_topk_parts_per_brand" -> ((s, dir) => {
+      val w = Window.partitionBy(col("p_brand"))
+        .orderBy(col("p_retailprice").desc, col("p_partkey").asc)
+      TsTables.part(s, dir)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("p_brand"), col("p_partkey"),
+                round(col("p_retailprice"), 3).as("p_retailprice"), col("rk"))
+        .orderBy(col("p_brand"), col("rk"))
+    }),
+
+    "q06_series_metadata" -> ((s, dir) => {
+      TsTables.events(s, dir)
+        .select(col("event_type"), col("user_id")).distinct()
+        .orderBy(col("event_type"), col("user_id"))
+    }),
+
+    "q07_label_values" -> ((s, dir) => {
+      TsTables.events(s, dir)
+        .select(col("event_type")).distinct().orderBy(col("event_type"))
+    }),
+
+    "q08_ts_cardinality" -> ((s, dir) => {
+      TsTables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("card"))
+        .orderBy(col("event_type"))
+    }),
+
+    "q09_count_values" -> ((s, dir) => {
+      TsTables.events(s, dir)
+        .groupBy(col("event_type"), round(col("value"), 0).cast("long").as("value_bucket"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("event_type"), col("value_bucket"))
+    }),
+
+    "q10_quantile_by_type" -> ((s, dir) => {
+      TsTables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(round(percentile(col("value"), lit(0.75)), 6).as("p75"),
+             round(percentile(col("value"), lit(0.5)), 6).as("p50"))
+        .orderBy(col("event_type"))
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+         round(sum(l_quantity),3) AS sum_qty,
+         round(sum(l_extendedprice),3) AS sum_base_price,
+         round(sum(l_extendedprice*(1-l_discount)),3) AS sum_disc_price,
+         round(avg(l_quantity),6) AS avg_qty,
+         count(*) AS count_order
+         FROM lineitem GROUP BY 1,2 ORDER BY 1,2""",
+
+    "q02_filter_pushdown_revenue" ->
+      """SELECT round(sum(l_extendedprice*l_discount),3) AS revenue
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+           AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""",
+
+    "q03_join_mktsegment" ->
+      """SELECT c_mktsegment, round(sum(o_totalprice),3) AS total_price, count(*) AS n_orders
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY 1 ORDER BY 1""",
+
+    "q04_multi_join_region" ->
+      """SELECT r_name, n_name, round(sum(s_acctbal),3) AS total_bal, count(*) AS n_suppliers
+         FROM supplier JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY 1,2 ORDER BY 1,2""",
+
+    "q05_topk_parts_per_brand" ->
+      """SELECT p_brand, p_partkey, round(p_retailprice,3) AS p_retailprice, rk
+         FROM (SELECT p_brand, p_partkey, p_retailprice,
+                      row_number() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey ASC) AS rk
+               FROM part)
+         WHERE rk <= 3 ORDER BY p_brand, rk""",
+
+    "q06_series_metadata" ->
+      "SELECT DISTINCT event_type, user_id FROM events ORDER BY 1,2",
+
+    "q07_label_values" ->
+      "SELECT DISTINCT event_type FROM events ORDER BY 1",
+
+    "q08_ts_cardinality" ->
+      """SELECT event_type, count(DISTINCT user_id) AS card
+         FROM events GROUP BY 1 ORDER BY 1""",
+
+    "q09_count_values" ->
+      """SELECT event_type, CAST(round(value,0) AS BIGINT) AS value_bucket, count(*) AS n
+         FROM events GROUP BY 1,2 ORDER BY 1,2""",
+
+    "q10_quantile_by_type" ->
+      """SELECT event_type,
+         round(quantile_cont(value, 0.75),6) AS p75,
+         round(quantile_cont(value, 0.5),6) AS p50
+         FROM events GROUP BY 1 ORDER BY 1"""
+  )
+}

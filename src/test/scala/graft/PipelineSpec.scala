@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+import graft.pipeline.{Dedup, Similarity, TextAnalysis}
+
+class PipelineSpec extends AnyFunSuite with Matchers {
+
+  lazy val spark: SparkSession = GraftSession.builder("local[4]", "4").getOrCreate()
+  import spark.implicits._
+
+  val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank today"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy dog near the river bend today"), // near dup
+    (4L, "completely different content about spark query engines and columnar storage"),
+    (5L, "another unrelated document talking about machine learning data pipelines")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup finds the identical pair and keeps the lowest id") {
+    val g = Dedup.exactGroups(docs).filter($"n_dups" > 1).collect()
+    g.length shouldEqual 1
+    g.head.getAs[Long]("n_dups") shouldEqual 2
+    g.head.getAs[Long]("keep_id") shouldEqual 1
+    Dedup.dropExactDuplicates(docs).count() shouldEqual 4
+  }
+
+  test("minhash LSH surfaces exact and near duplicates, not unrelated docs") {
+    val dups = Dedup.minHashDuplicates(docs, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    dups should contain((1L, 2L))
+    dups should contain((1L, 3L))
+    dups should not contain ((1L, 4L))
+    dups should not contain ((4L, 5L))
+  }
+
+  test("simhash distance: identical 0, near small, unrelated large") {
+    val s = Dedup.simHash(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    java.lang.Long.bitCount(s(1L) ^ s(2L)) shouldEqual 0
+    java.lang.Long.bitCount(s(1L) ^ s(3L)) should be < 16
+    java.lang.Long.bitCount(s(1L) ^ s(4L)) should be > 16
+  }
+
+  test("brute-force knn ranks by cosine with deterministic ties") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(-1.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val knn = Similarity.bruteForceKnn(vecs.filter($"vec_id" === 0), vecs, 3)
+      .collect().map(r => (r.getLong(1), r.getInt(2)))
+    knn.head shouldEqual ((1L, 1)) // most similar
+    knn.last._1 shouldEqual 3L     // opposite direction last
+  }
+
+  test("lsh knn returns a subset of brute-force candidates with same scoring") {
+    val vecs = (0L until 50L).map { i =>
+      (i, Array.tabulate(8)(d => math.sin(i * 31 + d).toFloat))
+    }.toDF("vec_id", "embedding")
+    val res = Similarity.lshKnn(vecs.filter($"vec_id" < 3), vecs, 5, nPlanes = 2)
+    res.count() should be > 0L
+    res.select(max($"sim")).head.getDouble(0) should be <= 1.000001
+  }
+
+  test("text analysis: tokens, quality, langid, fingerprint normalization") {
+    val d = Seq((1L, "  The  quick   brown fox  "), (2L, "the quick brown fox")).toDF("doc_id", "text")
+    val t = d.select($"doc_id", TextAnalysis.tokenCount($"text").as("n"),
+      TextAnalysis.langId($"text").as("lang"),
+      TextAnalysis.fingerprint($"text").as("fp")).collect()
+    t.map(_.getInt(1)).toSeq shouldEqual Seq(4, 4)
+    t.map(_.getString(2)).toSeq shouldEqual Seq(
+      "en", "en") // 'the' stopword present once lowercased
+    t(0).getString(3) shouldEqual t(1).getString(3) // whitespace+case normalized
+  }
+}
