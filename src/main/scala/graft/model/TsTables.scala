@@ -27,15 +27,27 @@ object TsTables {
       .withColumn("ts_ms", expr("ts div 1000000"))
   }
 
-  /** Long/narrow canonical samples table from events. */
+  /** Long/narrow canonical samples table from events; one series per
+    * (event_type, user). `__tie` = event_id keeps within-millisecond sample
+    * order deterministic. */
   def eventsAsSamples(spark: SparkSession, dir: String): DataFrame = {
     events(spark, dir).select(
       col("event_type").as("metric"),
       map(lit("user"), col("user_id").cast("string")).as("tags"),
       col("ts_ms").as("ts"),
-      col("value"))
+      col("value"),
+      col("event_id").as("__tie"))
       .withColumn("series_id", xxhash64(col("metric"), col("tags")("user")))
   }
+
+  /** Coarser mapping: one dense series per event_type (no user label). */
+  def eventsAsTypeSamples(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir).select(
+      col("event_type").as("metric"),
+      map().cast("map<string,string>").as("tags"),
+      col("ts_ms").as("ts"),
+      col("value"),
+      col("event_id").as("__tie"))
 
   def lineitem(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/lineitem.parquet")

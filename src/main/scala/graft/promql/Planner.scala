@@ -1,0 +1,414 @@
+package graft.promql
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.operators._
+
+/** PromQL planner: PromExpr → DataFrame transformations over the canonical
+  * samples table (metric STRING, tags MAP<STRING,STRING>, ts LONG ms,
+  * value DOUBLE [, __tie LONG]).
+  *
+  * This is the Spark analogue of the reference's SingleClusterPlanner
+  * `walkLogicalPlanTree` (SURVEY.md §3.1 step 4): each AST node maps to a
+  * declarative DataFrame op, Catalyst owns all physical planning (predicate
+  * pushdown to the parquet scan, partial aggregation, broadcast-vs-shuffle
+  * join choice via AQE). Vector identity is a deterministic sorted-entries
+  * JSON key (`__key`) because Spark cannot group/join on MapType directly.
+  *
+  * Result shape: (labels MAP<STRING,STRING>, __key STRING, step_ts LONG,
+  * value DOUBLE).
+  */
+object PromPlanner {
+
+  /** 5m default staleness lookback for instant selectors, as the reference
+    * (PeriodicSamplesMapper.scala:81-83). */
+  val DefaultLookbackMs: Long = 300000L
+
+  case class Ctx(spark: SparkSession, samples: DataFrame,
+                 startMs: Long, endMs: Long, stepMs: Long,
+                 lookbackMs: Long = DefaultLookbackMs)
+
+  def queryRange(ctx: Ctx, query: String): DataFrame =
+    planVector(ctx, Parser.parse(query))
+
+  // ----- helpers -----
+
+  private def sortedKey(labels: Column): Column =
+    to_json(array_sort(map_entries(labels)))
+
+  private def withKey(df: DataFrame): DataFrame =
+    df.withColumn("__key", sortedKey(col("labels")))
+
+  private def finish(df: DataFrame): DataFrame =
+    df.select(col("labels"), col("__key"), col("step_ts"), col("value"))
+
+  /** anchored regex, per Prometheus matcher semantics */
+  private def anchor(re: String): String = "^(?:" + re + ")$"
+
+  private def matcherPred(m: LabelMatcher): Column = {
+    val v = if (m.label == "__name__") col("metric") else col("tags")(m.label)
+    m.op match {
+      case MatchOp.Eq => if (m.value.isEmpty) v.isNull || v === "" else v === m.value
+      case MatchOp.Ne => if (m.value.isEmpty) v.isNotNull && v =!= "" else v.isNull || v =!= m.value
+      case MatchOp.Re => v.isNotNull && v.rlike(anchor(m.value))
+      case MatchOp.NotRe => v.isNull || !v.rlike(anchor(m.value))
+    }
+  }
+
+  /** Filter samples for a selector; labels = tags + __name__. */
+  private def selectorSamples(ctx: Ctx, sel: Selector): DataFrame = {
+    var df = ctx.samples
+    sel.metric.foreach(m => df = df.filter(col("metric") === m))
+    sel.matchers.foreach(m => df = df.filter(matcherPred(m)))
+    val labels = map_concat(
+      when(col("metric").isNotNull, map(lit("__name__"), col("metric")))
+        .otherwise(map().cast("map<string,string>")),
+      col("tags"))
+    val tie = if (df.columns.contains("__tie")) col("__tie") else lit(0L)
+    df.select(labels.as("labels"), col("ts"), col("value"), tie.as("__tie"))
+  }
+
+  /** Periodic evaluation of a range function over a matrix selector. */
+  private def periodic(ctx: Ctx, sel: Selector, fn: RangeFn, windowMs: Long): DataFrame = {
+    val src = withKey(selectorSamples(ctx, sel))
+    val out = PeriodicSamples(src, Seq("__key", "labels"), "ts", "value",
+      ctx.startMs, ctx.endMs, ctx.stepMs, windowMs, fn,
+      offsetMs = sel.offsetMs, tieCol = Some("__tie"))
+    finish(out)
+  }
+
+  private def dropName(df: DataFrame): DataFrame =
+    withKey(df.withColumn("labels",
+      map_filter(col("labels"), (k, _) => k =!= "__name__")))
+
+  // ----- vector planning -----
+
+  def planVector(ctx: Ctx, e: PromExpr): DataFrame = e match {
+
+    case sel: Selector =>
+      // instant selector: implicit last_over_time over the staleness window
+      periodic(ctx, sel, RangeFns.LastOverTime, sel.windowMs.getOrElse(ctx.lookbackMs))
+
+    case FuncCall(name, args) => planFunc(ctx, name, args)
+
+    case Agg(op, expr, param, by, without) =>
+      // by: keep exactly the listed labels (__name__ kept only if listed);
+      // without: drop listed + __name__; no clause: empty label set.
+      val in = planVector(ctx, expr)
+      val grouped = if (by.nonEmpty)
+        in.withColumn("labels", map_filter(col("labels"), (k, _) => k.isin(by: _*)))
+      else if (without.nonEmpty)
+        in.withColumn("labels",
+          map_filter(col("labels"), (k, _) => !k.isin(without :+ "__name__": _*)))
+      else in.withColumn("labels", map().cast("map<string,string>"))
+      val keyed = withKey(grouped)
+      op match {
+        case "topk" | "bottomk" =>
+          val k = constParam(param)
+          val ord = if (op == "topk") col("value").desc else col("value").asc
+          val w = Window.partitionBy(col("__gk"), col("step_ts")).orderBy(ord, col("__key").asc)
+          // rank WITHIN the group labels, but keep original series labels
+          val ranked = withKey(planVector(ctx, expr))
+            .withColumn("__gk", groupKeyExpr(by, without))
+            .withColumn("__rk", row_number().over(w))
+            .filter(col("__rk") <= k.toInt)
+          finish(ranked)
+        case "count_values" =>
+          val label = param match {
+            case Some(StringLit(s)) => s
+            case other => throw new IllegalArgumentException(s"count_values needs string, got $other")
+          }
+          val withLbl = keyed.withColumn("labels",
+            map_concat(col("labels"), map(lit(label), format_number(col("value"), 6))))
+          withKey(withLbl)
+            .groupBy(col("labels"), col("__key"), col("step_ts"))
+            .agg(count(lit(1)).cast("double").as("value"))
+        case "quantile" =>
+          val phi = constParam(param)
+          keyed.groupBy(col("labels"), col("__key"), col("step_ts"))
+            .agg(percentile(col("value"), lit(phi)).as("value"))
+        case simple =>
+          val aggCol = simple match {
+            case "sum" => sum(col("value"))
+            case "min" => min(col("value"))
+            case "max" => max(col("value"))
+            case "avg" => avg(col("value"))
+            case "count" => count(col("value")).cast("double")
+            case "group" => first(lit(1.0))
+            case "stddev" => coalesce(stddev_pop(col("value")), lit(0.0))
+            case "stdvar" => coalesce(var_pop(col("value")), lit(0.0))
+            case other => throw new IllegalArgumentException(s"unknown aggregation $other")
+          }
+          keyed.groupBy(col("labels"), col("__key"), col("step_ts"))
+            .agg(aggCol.as("value"))
+      }
+
+    case BinOp(op, lhs, rhs, bool, matching) => planBinOp(ctx, op, lhs, rhs, bool, matching)
+
+    case NumberLit(v) =>
+      scalarGrid(ctx).withColumn("value", lit(v))
+        .withColumn("labels", map().cast("map<string,string>"))
+        .transform(withKey).transform(finish)
+
+    case sq: Subquery =>
+      throw new IllegalArgumentException("subquery is only valid as a range-function argument")
+
+    case other => throw new IllegalArgumentException(s"cannot plan $other")
+  }
+
+  private def dropNameIf(df: DataFrame, cond: Boolean): DataFrame = if (cond) dropName(df) else df
+
+  private def groupKeyExpr(by: Seq[String], without: Seq[String]): Column = {
+    val filtered =
+      if (by.nonEmpty) map_filter(col("labels"), (k, _) => k.isin(by: _*))
+      else if (without.nonEmpty)
+        map_filter(col("labels"), (k, _) => !k.isin(without :+ "__name__": _*))
+      else map().cast("map<string,string>")
+    to_json(array_sort(map_entries(filtered)))
+  }
+
+  private def constParam(p: Option[PromExpr]): Double = p match {
+    case Some(NumberLit(v)) => v
+    case other => throw new IllegalArgumentException(s"expected numeric parameter, got $other")
+  }
+
+  private def scalarGrid(ctx: Ctx): DataFrame =
+    ctx.spark.range(ctx.startMs, ctx.endMs + 1, ctx.stepMs)
+      .select(col("id").as("step_ts"))
+
+  // ----- functions -----
+
+  private val rangeFnNames = Set("rate", "increase", "delta", "idelta", "irate", "resets",
+    "changes", "deriv", "sum_over_time", "avg_over_time", "count_over_time", "min_over_time",
+    "max_over_time", "stddev_over_time", "stdvar_over_time", "last_over_time", "timestamp",
+    "present_over_time", "absent_over_time", "mad_over_time", "z_score")
+
+  private def planFunc(ctx: Ctx, name: String, args: Seq[PromExpr]): DataFrame = name match {
+
+    case n if rangeFnNames.contains(n) =>
+      args.head match {
+        case sel: Selector if sel.windowMs.isDefined =>
+          if (n == "absent_over_time") absent(ctx, sel, sel.windowMs.get)
+          else dropNameIf(periodic(ctx, sel, RangeFns.byName(n), sel.windowMs.get),
+            n != "last_over_time" && n != "timestamp")
+        case Subquery(inner, range, step, off) =>
+          val innerCtx = subqueryCtx(ctx, range, step, off)
+          val innerDF = planVector(innerCtx, inner)
+            .withColumnRenamed("step_ts", "ts").withColumn("__tie", lit(0L))
+          val out = PeriodicSamples(innerDF, Seq("__key", "labels"), "ts", "value",
+            ctx.startMs, ctx.endMs, ctx.stepMs, range, RangeFns.byName(n),
+            offsetMs = off, tieCol = Some("__tie"))
+          finish(out)
+        case other => throw new IllegalArgumentException(s"$n needs a range selector, got $other")
+      }
+
+    case "quantile_over_time" =>
+      val phi = constParam(Some(args(0)))
+      matrixArg(ctx, args(1), RangeFns.QuantileOverTime(phi))
+
+    case "predict_linear" =>
+      val t = constParam(Some(args(1)))
+      matrixArg(ctx, args(0), RangeFns.PredictLinear(t))
+
+    case "holt_winters" =>
+      matrixArg(ctx, args(0),
+        RangeFns.HoltWinters(constParam(Some(args(1))), constParam(Some(args(2)))))
+
+    case "absent" =>
+      args.head match {
+        case sel: Selector => absent(ctx, sel, ctx.lookbackMs)
+        case other => throw new IllegalArgumentException(s"absent needs a selector, got $other")
+      }
+
+    case "scalar" =>
+      val v = planVector(ctx, args.head)
+      val grid = scalarGrid(ctx)
+      val one = v.groupBy(col("step_ts"))
+        .agg(count(lit(1)).as("n"), first(col("value")).as("v"))
+      grid.join(one, Seq("step_ts"), "left")
+        .withColumn("value", when(col("n") === 1, col("v")).otherwise(lit(Double.NaN)))
+        .withColumn("labels", map().cast("map<string,string>"))
+        .transform(withKey).transform(finish)
+
+    case "vector" =>
+      planVector(ctx, args.head) // scalars already carry empty labels
+
+    case "time" =>
+      scalarGrid(ctx).withColumn("value", col("step_ts") / 1000.0)
+        .withColumn("labels", map().cast("map<string,string>"))
+        .transform(withKey).transform(finish)
+
+    case "sort" | "sort_desc" =>
+      val v = planVector(ctx, args.head)
+      if (name == "sort") v.orderBy(col("value").asc) else v.orderBy(col("value").desc)
+
+    case "label_replace" =>
+      val Seq(vec, dstE, replE, srcE, regexE) = args
+      val (dst, repl, src, regex) = (str(dstE), str(replE), str(srcE), str(regexE))
+      val v = planVector(ctx, vec)
+      // full-anchored match; $1-style backrefs map to Java regex replacement
+      val srcVal = coalesce(col("labels")(src), lit(""))
+      val matched = srcVal.rlike(anchor(regex))
+      val newVal = regexp_replace(srcVal, anchor(regex), repl.replace("$", "\\$")
+        .replaceAll("\\\\\\$(\\d)", "\\$$1"))
+      val updated = when(matched,
+        map_concat(map_filter(col("labels"), (k, _) => k =!= dst),
+          when(newVal =!= "", map(lit(dst), newVal)).otherwise(map().cast("map<string,string>"))))
+        .otherwise(col("labels"))
+      withKey(v.withColumn("labels", updated)).transform(finish)
+
+    case "label_join" =>
+      val vec = args.head
+      val dst = str(args(1)); val sep = str(args(2))
+      val srcs = args.drop(3).map(str)
+      val v = planVector(ctx, vec)
+      val joined = concat_ws(sep, srcs.map(s => coalesce(col("labels")(s), lit(""))): _*)
+      withKey(v.withColumn("labels",
+        map_concat(map_filter(col("labels"), (k, _) => k =!= dst), map(lit(dst), joined))))
+        .transform(finish)
+
+    case instant =>
+      // scalar math over each sample
+      val paramArgs: Seq[Double] = instant match {
+        case "round" | "clamp_max" | "clamp_min" =>
+          args.drop(1).map(a => constParam(Some(a)))
+        case "clamp" => args.drop(1).map(a => constParam(Some(a)))
+        case _ => Nil
+      }
+      val v = planVector(ctx, args.head)
+      dropName(v.withColumn("value", InstantFns(instant, col("value"), paramArgs)))
+        .transform(finish)
+  }
+
+  private def matrixArg(ctx: Ctx, arg: PromExpr, fn: RangeFn): DataFrame = arg match {
+    case sel: Selector if sel.windowMs.isDefined =>
+      dropName(periodic(ctx, sel, fn, sel.windowMs.get))
+    case other => throw new IllegalArgumentException(s"expected range selector, got $other")
+  }
+
+  private def subqueryCtx(ctx: Ctx, range: Long, step: Option[Long], off: Long): Ctx = {
+    val st = step.getOrElse(ctx.stepMs)
+    // inner evaluation grid covers (start - range - offset, end - offset]
+    val innerEnd = ctx.endMs - off
+    val innerStart = {
+      val s0 = ctx.startMs - off - range
+      // align up to the step grid
+      val rem = java.lang.Math.floorMod(s0, st)
+      if (rem == 0) s0 else s0 + (st - rem)
+    }
+    ctx.copy(startMs = innerStart, endMs = innerEnd, stepMs = st)
+  }
+
+  private def absent(ctx: Ctx, sel: Selector, windowMs: Long): DataFrame = {
+    val present = periodic(ctx, sel, RangeFns.PresentOverTime, windowMs)
+    val grid = scalarGrid(ctx)
+    // synthesize labels from Equals matchers (reference AbsentFunctionMapper)
+    val eqLabels: Seq[(String, String)] =
+      sel.metric.map("__name__" -> _).toSeq ++
+        sel.matchers.filter(_.op == MatchOp.Eq).map(m => m.label -> m.value)
+    val labelMap =
+      if (eqLabels.isEmpty) map().cast("map<string,string>")
+      else map(eqLabels.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+    grid.join(present.select(col("step_ts")).distinct(), Seq("step_ts"), "left_anti")
+      .withColumn("value", lit(1.0))
+      .withColumn("labels", labelMap)
+      .transform(withKey).transform(finish)
+  }
+
+  private def str(e: PromExpr): String = e match {
+    case StringLit(s) => s
+    case other => throw new IllegalArgumentException(s"expected string, got $other")
+  }
+
+  // ----- binary ops -----
+
+  private def planBinOp(ctx: Ctx, op: String, lhs: PromExpr, rhs: PromExpr,
+                        bool: Boolean, matching: Option[VectorMatch]): DataFrame = {
+    val setOp = Set("and", "or", "unless").contains(op)
+    val cmp = Set("==", "!=", ">", ">=", "<", "<=").contains(op)
+
+    (lhs, rhs) match {
+      case (NumberLit(l), NumberLit(r)) =>
+        val v = BinaryOps.scalarOp(op, lit(l), lit(r))
+        scalarGrid(ctx).withColumn("value", v)
+          .withColumn("labels", map().cast("map<string,string>"))
+          .transform(withKey).transform(finish)
+
+      case (NumberLit(l), _) =>
+        val r = planVector(ctx, rhs)
+        val res = r.withColumn("__res", BinaryOps.scalarOp(op, lit(l), col("value")))
+        finishScalarVec(res, cmp, bool, keepValue = true)
+
+      case (_, NumberLit(rv)) =>
+        val l = planVector(ctx, lhs)
+        val res = l.withColumn("__res", BinaryOps.scalarOp(op, col("value"), lit(rv)))
+        finishScalarVec(res, cmp, bool, keepValue = true)
+
+      case _ =>
+        val l = planVector(ctx, lhs)
+        val r = planVector(ctx, rhs)
+        val joinKey = matchKeyCol(matching)
+        val lk = l.withColumn("__jk", joinKey)
+        val rk = r.withColumn("__jk", joinKey)
+        if (setOp) {
+          val rKeys = rk.select(col("__jk"), col("step_ts")).distinct()
+          op match {
+            case "and" => lk.join(rKeys, Seq("__jk", "step_ts"), "left_semi").drop("__jk")
+            case "unless" => lk.join(rKeys, Seq("__jk", "step_ts"), "left_anti").drop("__jk")
+            case "or" =>
+              val lKeys = lk.select(col("__jk"), col("step_ts")).distinct()
+              val rhsOnly = rk.join(lKeys, Seq("__jk", "step_ts"), "left_anti").drop("__jk")
+              lk.drop("__jk").unionByName(rhsOnly)
+          }
+        } else {
+          val grouping = matching.exists(m => m.groupLeft || m.groupRight)
+          val (one, many, flip) =
+            if (matching.exists(_.groupRight)) (lk, rk, true) else (rk, lk, false)
+          val oneSide = broadcast(one.select(col("__jk"), col("step_ts"),
+            col("value").as("__ov"), col("labels").as("__olabels")))
+          val joined = many.join(
+            if (grouping) oneSide else oneSide.drop("__olabels"),
+            Seq("__jk", "step_ts"), "inner")
+          val (lv, rv) =
+            if (flip) (col("__ov"), col("value")) else (col("value"), col("__ov"))
+          val res = joined.withColumn("__res", BinaryOps.scalarOp(op, lv, rv))
+          val incl = matching.map(_.include).getOrElse(Nil)
+          val withIncl =
+            if (incl.nonEmpty)
+              res.withColumn("labels", map_concat(
+                map_filter(col("labels"), (k, _) => !k.isin(incl: _*)),
+                map_filter(col("__olabels"), (k, _) => k.isin(incl: _*))))
+            else res
+          val cleaned = withIncl.drop("__ov", "__olabels", "__jk")
+          if (cmp && !bool) {
+            withKey(cleaned.filter(col("__res") === 1.0).drop("__res")).transform(finish)
+          } else {
+            val out = cleaned.withColumn("value", col("__res")).drop("__res")
+            dropName(out).transform(finish)
+          }
+        }
+    }
+  }
+
+  private def finishScalarVec(res: DataFrame, cmp: Boolean, bool: Boolean,
+                              keepValue: Boolean): DataFrame = {
+    if (cmp && !bool)
+      withKey(res.filter(col("__res") === 1.0).drop("__res")).transform(finish)
+    else
+      dropName(res.withColumn("value", col("__res")).drop("__res")).transform(finish)
+  }
+
+  /** join-key column from on/ignoring; default = all labels minus __name__ */
+  private def matchKeyCol(matching: Option[VectorMatch]): Column = {
+    val filtered = matching match {
+      case Some(VectorMatch(true, labels, _, _, _)) =>
+        map_filter(col("labels"), (k, _) => k.isin(labels: _*))
+      case Some(VectorMatch(false, labels, _, _, _)) =>
+        map_filter(col("labels"), (k, _) => !k.isin(labels :+ "__name__": _*))
+      case None =>
+        map_filter(col("labels"), (k, _) => k =!= "__name__")
+    }
+    to_json(array_sort(map_entries(filtered)))
+  }
+}

@@ -1,0 +1,175 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.TsTables
+import graft.promql.PromPlanner
+
+/** End-to-end PromQL coverage: every query here is a PromQL STRING going
+  * through lexer → parser → planner → kernel → Catalyst, checked against a
+  * DuckDB oracle. This is the engine's primary user surface (SURVEY.md
+  * §3.1: parse → logical plan → DataFrame materialization).
+  */
+object PromEngineQueries {
+
+  private val S = TsTables.EventsStartMs
+  private val E = TsTables.EventsEndMs
+  private val H6 = 6 * TsTables.Hour
+  private val D1 = TsTables.Day
+
+  private val EV =
+    "SELECT event_type, user_id, event_id, epoch_ns(ts)//1000000 AS ts_ms, value FROM events"
+
+  private def userCtx(s: SparkSession, dir: String, stepMs: Long) =
+    PromPlanner.Ctx(s, TsTables.eventsAsSamples(s, dir), S, E, stepMs)
+
+  private def typeCtx(s: SparkSession, dir: String, stepMs: Long) =
+    PromPlanner.Ctx(s, TsTables.eventsAsTypeSamples(s, dir), S, E, stepMs)
+
+  private def steps(stepMs: Long) =
+    s"SELECT unnest(generate_series($S, $E, $stepMs)) AS step_ts"
+
+  private def sums1d(metric: String) =
+    s"""SELECT s.step_ts, e.user_id, sum(e.value) AS value
+        FROM stps s JOIN ev e ON e.ts_ms > s.step_ts - $D1 AND e.ts_ms <= s.step_ts
+        WHERE e.event_type = '$metric' GROUP BY 1,2"""
+
+  def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q50_promql_sum_rate_6h" -> ((s, dir) =>
+      PromPlanner.queryRange(typeCtx(s, dir, H6), "sum(rate(purchase[6h]))")
+        .select(col("step_ts"), round(col("value"), 6).as("value"))
+        .orderBy("step_ts")),
+
+    "q51_promql_ratio_1d" -> ((s, dir) =>
+      PromPlanner.queryRange(userCtx(s, dir, D1),
+        "sum_over_time(purchase[1d]) / on(user) sum_over_time(view[1d])")
+        .select(col("labels")("user").as("user"), col("step_ts"),
+          round(col("value"), 6).as("value"))
+        .orderBy("step_ts", "user")),
+
+    "q52_promql_topk_1d" -> ((s, dir) =>
+      PromPlanner.queryRange(userCtx(s, dir, D1), "topk(2, sum_over_time(purchase[1d]))")
+        .select(col("labels")("user").as("user"), col("step_ts"),
+          round(col("value"), 6).as("value"))
+        .orderBy("step_ts", "user")),
+
+    "q53_promql_agg_by_name_1d" -> ((s, dir) =>
+      // last_over_time keeps __name__ (unlike sum_over_time, which drops it
+      // per Prometheus semantics), so by(__name__) groups per metric
+      PromPlanner.queryRange(userCtx(s, dir, D1),
+        """sum by (__name__) (last_over_time({__name__=~"purchase|view"}[1d]))""")
+        .select(col("labels")("__name__").as("name"), col("step_ts"),
+          round(col("value"), 6).as("value"))
+        .orderBy("step_ts", "name")),
+
+    "q54_promql_label_replace_1d" -> ((s, dir) =>
+      PromPlanner.queryRange(userCtx(s, dir, D1),
+        """label_replace(sum_over_time(purchase[1d]), "shard", "u$1", "user", "(.*)")""")
+        .select(col("labels")("user").as("user"), col("labels")("shard").as("shard"),
+          col("step_ts"), round(col("value"), 6).as("value"))
+        .orderBy("step_ts", "user")),
+
+    "q55_promql_math_1d" -> ((s, dir) =>
+      PromPlanner.queryRange(userCtx(s, dir, D1),
+        "clamp_max(sqrt(sum_over_time(purchase[1d])), 15) + sum_over_time(purchase[1d]) % 7")
+        .select(col("labels")("user").as("user"), col("step_ts"),
+          round(col("value"), 6).as("value"))
+        .orderBy("step_ts", "user")),
+
+    "q56_promql_unless_1d" -> ((s, dir) =>
+      PromPlanner.queryRange(userCtx(s, dir, D1),
+        "sum_over_time(purchase[1d]) unless on(user) sum_over_time(view[1d])")
+        .select(col("labels")("user").as("user"), col("step_ts"),
+          round(col("value"), 6).as("value"))
+        .orderBy("step_ts", "user")),
+
+    "q57_promql_absent_1d" -> ((s, dir) =>
+      PromPlanner.queryRange(userCtx(s, dir, D1),
+        """absent_over_time(purchase{user="nosuchuser"}[1d])""")
+        .select(col("labels")("user").as("user"), col("step_ts"), col("value"))
+        .orderBy("step_ts")),
+
+    "q58_promql_quantile_1d" -> ((s, dir) =>
+      PromPlanner.queryRange(userCtx(s, dir, D1),
+        "quantile(0.9, sum_over_time(purchase[1d]))")
+        .select(col("step_ts"), round(col("value"), 6).as("value"))
+        .orderBy("step_ts"))
+  )
+
+  def oracles: Map[String, String] = Map(
+
+    "q50_promql_sum_rate_6h" ->
+      PromQueries.extrapolatedSql(Seq("event_type"), H6, H6, isCounter = true, isRate = true,
+        where = Some("event_type = 'purchase'"),
+        selectCols = Some("step_ts, round(value,6) AS value")),
+
+    "q51_promql_ratio_1d" ->
+      s"""WITH ev AS ($EV), stps AS (${steps(D1)}),
+          p AS (${sums1d("purchase")}), v AS (${sums1d("view")})
+          SELECT CAST(p.user_id AS VARCHAR) AS "user", p.step_ts,
+                 round(p.value / v.value, 6) AS value
+          FROM p JOIN v ON p.step_ts = v.step_ts AND p.user_id = v.user_id
+          ORDER BY p.step_ts, "user"""",
+
+    "q52_promql_topk_1d" ->
+      s"""WITH ev AS ($EV), stps AS (${steps(D1)}),
+          sums AS (${sums1d("purchase")})
+          SELECT CAST(user_id AS VARCHAR) AS "user", step_ts, round(value,6) AS value
+          FROM (SELECT *, row_number() OVER (PARTITION BY step_ts
+                    ORDER BY value DESC, CAST(user_id AS VARCHAR) ASC) AS rk FROM sums)
+          WHERE rk <= 2 ORDER BY step_ts, "user"""",
+
+    "q53_promql_agg_by_name_1d" ->
+      s"""WITH ev AS ($EV), stps AS (${steps(D1)}),
+          lastv AS (SELECT step_ts, event_type, user_id, value FROM (
+                      SELECT s.step_ts, e.*, row_number() OVER (
+                        PARTITION BY s.step_ts, e.event_type, e.user_id
+                        ORDER BY e.ts_ms DESC, e.event_id DESC) AS rn
+                      FROM stps s JOIN ev e
+                      ON e.ts_ms > s.step_ts - $D1 AND e.ts_ms <= s.step_ts
+                      WHERE e.event_type IN ('purchase','view')) WHERE rn = 1)
+          SELECT event_type AS name, step_ts, round(sum(value),6) AS value
+          FROM lastv GROUP BY 1,2 ORDER BY step_ts, name""",
+
+    "q54_promql_label_replace_1d" ->
+      s"""WITH ev AS ($EV), stps AS (${steps(D1)}),
+          sums AS (${sums1d("purchase")})
+          SELECT CAST(user_id AS VARCHAR) AS "user",
+                 'u' || CAST(user_id AS VARCHAR) AS shard,
+                 step_ts, round(value,6) AS value
+          FROM sums ORDER BY step_ts, "user"""",
+
+    "q55_promql_math_1d" ->
+      s"""WITH ev AS ($EV), stps AS (${steps(D1)}),
+          sums AS (${sums1d("purchase")})
+          SELECT CAST(user_id AS VARCHAR) AS "user", step_ts,
+                 round(least(sqrt(value), 15.0) + fmod(value, 7), 6) AS value
+          FROM sums ORDER BY step_ts, "user"""",
+
+    "q56_promql_unless_1d" ->
+      s"""WITH ev AS ($EV), stps AS (${steps(D1)}),
+          p AS (${sums1d("purchase")}),
+          v AS (SELECT DISTINCT s.step_ts, e.user_id
+                FROM stps s JOIN ev e ON e.ts_ms > s.step_ts - $D1 AND e.ts_ms <= s.step_ts
+                WHERE e.event_type = 'view')
+          SELECT CAST(p.user_id AS VARCHAR) AS "user", p.step_ts, round(p.value,6) AS value
+          FROM p ANTI JOIN v ON p.step_ts = v.step_ts AND p.user_id = v.user_id
+          ORDER BY p.step_ts, "user"""",
+
+    "q57_promql_absent_1d" ->
+      s"""WITH ev AS ($EV), stps AS (${steps(D1)}),
+          present AS (SELECT DISTINCT s.step_ts
+                      FROM stps s JOIN ev e ON e.ts_ms > s.step_ts - $D1 AND e.ts_ms <= s.step_ts
+                      WHERE e.event_type = 'purchase' AND CAST(e.user_id AS VARCHAR) = 'nosuchuser')
+          SELECT 'nosuchuser' AS "user", s.step_ts, 1.0 AS value
+          FROM stps s ANTI JOIN present p ON s.step_ts = p.step_ts
+          ORDER BY s.step_ts""",
+
+    "q58_promql_quantile_1d" ->
+      s"""WITH ev AS ($EV), stps AS (${steps(D1)}),
+          sums AS (${sums1d("purchase")})
+          SELECT step_ts, round(quantile_cont(value, 0.9),6) AS value
+          FROM sums GROUP BY 1 ORDER BY 1"""
+  )
+}

@@ -72,10 +72,13 @@ object PromQueries {
   /** Prometheus extrapolated rate/increase/delta oracle — the exact formula
     * of RangeFns.extrapolated, with counter correction applied from the
     * scan start when isCounter. */
-  private def extrapolatedSql(seriesCols: Seq[String], stepMs: Long, windowMs: Long,
-                              isCounter: Boolean, isRate: Boolean,
-                              outerAgg: Option[String] = None): String = {
+  private[queries] def extrapolatedSql(seriesCols: Seq[String], stepMs: Long, windowMs: Long,
+                                       isCounter: Boolean, isRate: Boolean,
+                                       outerAgg: Option[String] = None,
+                                       where: Option[String] = None,
+                                       selectCols: Option[String] = None): String = {
     val sc = seriesCols.mkString(", ")
+    val evSql = s"SELECT * FROM ($EV)${where.map(w => s" WHERE $w").getOrElse("")}"
     val corrected =
       if (isCounter)
         s"""ev1 AS (SELECT *, lag(value) OVER (PARTITION BY $sc ORDER BY ts_ms, event_id) AS pv FROM ev0),
@@ -94,7 +97,7 @@ object PromQueries {
       else s"(t1 - (step_ts - $windowMs))/1000.0"
     val perSec = if (isRate) s" / $windowMs * 1000" else ""
     val base =
-      s"""WITH ev0 AS ($EV),
+      s"""WITH ev0 AS ($evSql),
           $corrected,
           stps AS (${steps(stepMs)}),
           win AS (SELECT s.step_ts, $sc, e.ts_ms, e.event_id, e.cval
@@ -119,7 +122,11 @@ object PromQueries {
                     FROM agg)"""
     outerAgg match {
       case None =>
-        s"$base SELECT step_ts, $sc, round(value,6) AS value FROM rates ORDER BY step_ts, $sc"
+        selectCols match {
+          case Some(sel) => s"$base SELECT $sel FROM rates ORDER BY step_ts"
+          case None =>
+            s"$base SELECT step_ts, $sc, round(value,6) AS value FROM rates ORDER BY step_ts, $sc"
+        }
       case Some(agg) =>
         s"$base SELECT step_ts, round($agg(value),6) AS value FROM rates GROUP BY step_ts ORDER BY step_ts"
     }

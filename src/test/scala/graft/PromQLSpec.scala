@@ -1,0 +1,170 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+import graft.promql._
+import graft.model.TsTables
+import graft.operators.{PeriodicSamples, RangeFns}
+
+class PromQLSpec extends AnyFunSuite with Matchers {
+
+  lazy val spark: SparkSession = GraftSession.builder("local[4]", "4").getOrCreate()
+  import spark.implicits._
+
+  // ---------- parser ----------
+
+  test("parses selector with matchers, range and offset") {
+    Parser.parse("""http_requests_total{job="api", status=~"5.."}[5m] offset 1h""") shouldEqual
+      Selector(Some("http_requests_total"),
+        Seq(LabelMatcher("job", MatchOp.Eq, "api"), LabelMatcher("status", MatchOp.Re, "5..")),
+        Some(300000L), 3600000L)
+  }
+
+  test("parses sum(rate(...)) by clause") {
+    Parser.parse("""sum(rate(m{a="b"}[5m])) by (job)""") shouldEqual
+      Agg("sum", FuncCall("rate", Seq(
+        Selector(Some("m"), Seq(LabelMatcher("a", MatchOp.Eq, "b")), Some(300000L)))),
+        None, Seq("job"), Nil)
+  }
+
+  test("precedence: or < and < comparison < add < mul < pow(right)") {
+    val e = Parser.parse("a + b * c ^ d ^ e")
+    e shouldEqual BinOp("+", Selector(Some("a"), Nil),
+      BinOp("*", Selector(Some("b"), Nil),
+        BinOp("^", Selector(Some("c"), Nil),
+          BinOp("^", Selector(Some("d"), Nil), Selector(Some("e"), Nil)))))
+  }
+
+  test("parses on/ignoring group_left and bool") {
+    Parser.parse("a / on(job) group_left(env) b") shouldEqual
+      BinOp("/", Selector(Some("a"), Nil), Selector(Some("b"), Nil), bool = false,
+        Some(VectorMatch(on = true, Seq("job"), groupLeft = true, include = Seq("env"))))
+    Parser.parse("a > bool 0") shouldEqual
+      BinOp(">", Selector(Some("a"), Nil), NumberLit(0), bool = true)
+  }
+
+  test("parses quantile param, durations with multiple units, subquery") {
+    Parser.parse("quantile(0.9, m)") shouldEqual
+      Agg("quantile", Selector(Some("m"), Nil), Some(NumberLit(0.9)), Nil, Nil)
+    Parser.parse("rate(m[1h30m])") shouldEqual
+      FuncCall("rate", Seq(Selector(Some("m"), Nil, Some(5400000L))))
+    Parser.parse("max_over_time(rate(m[5m])[1h:5m])") shouldEqual
+      FuncCall("max_over_time", Seq(Subquery(
+        FuncCall("rate", Seq(Selector(Some("m"), Nil, Some(300000L)))), 3600000L, Some(300000L))))
+  }
+
+  test("__name__ matcher hoists to metric") {
+    Parser.parse("""{__name__="m", x!="y"}""") shouldEqual
+      Selector(Some("m"), Seq(LabelMatcher("x", MatchOp.Ne, "y")))
+  }
+
+  // ---------- planner end-to-end ----------
+
+  private def samplesDF = Seq(
+    // metric, user, ts, value
+    ("purchase", "1", 1000L, 10.0), ("purchase", "1", 2000L, 20.0),
+    ("purchase", "1", 3000L, 40.0), ("purchase", "2", 2000L, 5.0),
+    ("view", "1", 2000L, 100.0), ("view", "2", 2500L, 7.0)
+  ).toDF("metric", "user", "ts", "value")
+    .select(col("metric"), map(lit("user"), col("user")).as("tags"), col("ts"), col("value"))
+
+  private def ctx(start: Long, end: Long, step: Long) =
+    PromPlanner.Ctx(spark, samplesDF, start, end, step, lookbackMs = 3000L)
+
+  test("instant selector = last_over_time over staleness window") {
+    val out = PromPlanner.queryRange(ctx(3000, 3000, 1000), """purchase{user="1"}""")
+      .select("step_ts", "value").as[(Long, Double)].collect()
+    out shouldEqual Array((3000L, 40.0))
+  }
+
+  test("sum(rate) composes kernel and aggregation") {
+    val out = PromPlanner.queryRange(ctx(3000, 3000, 1000), "sum(rate(purchase[3s]))")
+      .select("value").as[Double].collect()
+    out.length shouldEqual 1
+    // user=1: rate over (0,3000]: samples (1000,10),(2000,20),(3000,40)
+    val expected = RangeFns.extrapolated(0, 3000, 3, 1000, 10.0, 3000, 40.0,
+      isCounter = true, isRate = true)
+    out.head shouldEqual expected +- 1e-9 // user=2 has 1 sample -> no rate
+  }
+
+  test("binary op joins on matching labels minus __name__") {
+    val out = PromPlanner.queryRange(ctx(3000, 3000, 1000),
+      "sum_over_time(purchase[3s]) / sum_over_time(view[3s])")
+      .select(col("labels")("user"), col("value")).as[(String, Double)].collect().sortBy(_._1)
+    out shouldEqual Array(("1", 70.0 / 100.0), ("2", 5.0 / 7.0))
+  }
+
+  test("comparison filters; bool yields 0/1") {
+    PromPlanner.queryRange(ctx(3000, 3000, 1000), "sum_over_time(purchase[3s]) > 50")
+      .select(col("labels")("user")).as[String].collect() shouldEqual Array("1")
+    PromPlanner.queryRange(ctx(3000, 3000, 1000), "sum_over_time(purchase[3s]) > bool 50")
+      .select(col("labels")("user"), col("value")).as[(String, Double)].collect()
+      .sortBy(_._1) shouldEqual Array(("1", 1.0), ("2", 0.0))
+  }
+
+  test("and/unless/or set semantics at matching steps") {
+    val c = ctx(3000, 3000, 1000)
+    PromPlanner.queryRange(c, "sum_over_time(purchase[3s]) and sum_over_time(view[3s])")
+      .count() shouldEqual 2
+    PromPlanner.queryRange(c, """sum_over_time(purchase{user="1"}[3s]) unless sum_over_time(view[3s])""")
+      .count() shouldEqual 0
+    PromPlanner.queryRange(c, """sum_over_time(purchase{user="1"}[3s]) or sum_over_time(view[3s])""")
+      .count() shouldEqual 2 // purchase{1} plus view{2} (view{1} key collides with purchase{1} after name drop)
+  }
+
+  test("aggregation by/without and topk") {
+    val c = ctx(3000, 3000, 1000)
+    PromPlanner.queryRange(c, "sum(sum_over_time(purchase[3s])) by (user)")
+      .count() shouldEqual 2
+    PromPlanner.queryRange(c, "topk(1, sum_over_time(purchase[3s]))")
+      .select(col("labels")("user")).as[String].collect() shouldEqual Array("1")
+  }
+
+  test("label_replace and label_join rewrite label maps") {
+    val c = ctx(3000, 3000, 1000)
+    val lr = PromPlanner.queryRange(c,
+      """label_replace(sum_over_time(purchase[3s]), "shard", "u$1", "user", "(.*)")""")
+      .select(col("labels")("shard")).as[String].collect().sorted
+    lr shouldEqual Array("u1", "u2")
+    val lj = PromPlanner.queryRange(c,
+      """label_join(sum_over_time(purchase[3s]), "combo", "-", "user", "user")""")
+      .select(col("labels")("combo")).as[String].collect().sorted
+    lj shouldEqual Array("1-1", "2-2")
+  }
+
+  test("absent emits 1 when no series, nothing otherwise") {
+    val c = ctx(3000, 3000, 1000)
+    PromPlanner.queryRange(c, """absent(nosuch{job="x"})""")
+      .select(col("labels")("job"), col("value")).as[(String, Double)].collect() shouldEqual
+      Array(("x", 1.0))
+    PromPlanner.queryRange(c, "absent(purchase)").count() shouldEqual 0
+  }
+
+  test("scalar() and time() and instant math") {
+    val c = ctx(3000, 3000, 1000)
+    PromPlanner.queryRange(c, """scalar(sum(sum_over_time(purchase[3s]))) * 2""")
+      .select("value").as[Double].collect().head shouldEqual 150.0
+    PromPlanner.queryRange(c, "time()").select("value").as[Double].collect().head shouldEqual 3.0
+    PromPlanner.queryRange(c, "clamp_max(sqrt(sum_over_time(purchase[3s])), 5)")
+      .select("value").as[Double].collect().sorted shouldEqual
+      Array(math.sqrt(5.0), 5.0)
+  }
+
+  test("subquery: max_over_time of an inner rate series") {
+    val c = ctx(3000, 3000, 1000)
+    val out = PromPlanner.queryRange(c, "max_over_time(sum_over_time(purchase[1s])[3s:1s])")
+      .select(col("labels")("user"), col("value")).as[(String, Double)].collect().sortBy(_._1)
+    // inner per-1s sums for user1: 10,20,40 -> max 40; user2: 5 -> 5
+    out shouldEqual Array(("1", 40.0), ("2", 5.0))
+  }
+
+  test("runs against real events-as-samples data") {
+    val samples = TsTables.eventsAsSamples(spark, "/root/testdata/sf0.001")
+    val c = PromPlanner.Ctx(spark, samples,
+      TsTables.EventsStartMs, TsTables.EventsEndMs, 6 * TsTables.Hour)
+    val df = PromPlanner.queryRange(c, "sum(rate(purchase[6h]))")
+    df.count() should be > 0L
+  }
+}
