@@ -20,11 +20,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalQueries.defs ++ PromQueries.defs ++ PromEngineQueries.defs ++ PipelineQueries.defs
+    RelationalQueries.defs ++ PromQueries.defs ++ PromEngineQueries.defs ++
+      HistQueries.defs ++ PipelineQueries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ PromQueries.oracles ++ PromEngineQueries.oracles ++
-      PipelineQueries.oracles
+      HistQueries.oracles ++ PipelineQueries.oracles
 }

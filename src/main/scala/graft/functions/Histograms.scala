@@ -1,0 +1,102 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** First-class bucketed histograms (SURVEY.md §1.2 `hist`, §2.4):
+  * a histogram sample is (leBounds ARRAY<DOUBLE> ascending with +Inf last,
+  * values ARRAY<DOUBLE> cumulative counts, sum, count).
+  *
+  * All functions are pure Catalyst column expressions (higher-order array
+  * functions — codegen'd, no UDFs): quantile/fraction interpolate linearly
+  * within a bucket exactly like Prometheus' histogramQuantile (the
+  * reference delegates to the same algorithm,
+  * core/.../format/vectors/Histogram.scala:65-118).
+  */
+object Histograms {
+
+  val DefaultBounds: Seq[Double] = Seq(10, 50, 100, 200, Double.PositiveInfinity)
+
+  /** Build per-group cumulative histograms from raw values.
+    * Output: keyCols..., le ARRAY<DOUBLE>, values ARRAY<DOUBLE> (cumulative),
+    * sum, count. The aggregation is a single groupBy — partial-aggregated
+    * map-side, so the shuffle carries one bucket array per group. */
+  def fromValues(df: DataFrame, keyCols: Seq[String], valueCol: String,
+                 bounds: Seq[Double] = DefaultBounds): DataFrame = {
+    val v = col(valueCol)
+    val cum = bounds.map {
+      case b if b.isPosInfinity => count(lit(1)).cast("double")
+      case b => sum(when(v <= b, 1.0).otherwise(0.0))
+    }
+    df.groupBy(keyCols.map(col): _*)
+      .agg(array(cum: _*).as("values"),
+        sum(v).as("sum"), count(lit(1)).cast("double").as("count"))
+      .withColumn("le", array(bounds.map(lit): _*))
+  }
+
+  /** Prometheus histogram_quantile over one cumulative-bucket histogram.
+    * - rank = phi * total (total = last bucket's cumulative count)
+    * - first bucket with cum >= rank; +Inf bucket returns the previous
+    *   bound; first bucket interpolates from 0. */
+  def quantile(phi: Double, le: Column, values: Column): Column = {
+    val n = size(values)
+    val total = element_at(values, -1)
+    val rank = lit(phi) * total
+    // 1-based index of the target bucket
+    val idx = element_at(
+      filter(sequence(lit(1), n), i => element_at(values, i) >= rank),
+      1)
+    val lowerBound = when(idx === 1, lit(0.0)).otherwise(element_at(le, idx - 1))
+    val upperBound = element_at(le, idx)
+    val lowerCount = when(idx === 1, lit(0.0)).otherwise(element_at(values, idx - 1))
+    val upperCount = element_at(values, idx)
+    val interpolated = lowerBound +
+      (upperBound - lowerBound) * (rank - lowerCount) / (upperCount - lowerCount)
+    when(total <= 0 || idx.isNull, lit(Double.NaN))
+      .when(idx === n, element_at(le, n - 1)) // +Inf bucket
+      .otherwise(interpolated)
+  }
+
+  /** Fraction of observations in (lo, hi], interpolating within buckets. */
+  def fraction(lo: Double, hi: Double, le: Column, values: Column): Column = {
+    val total = element_at(values, -1)
+    (cumAt(hi, le, values) - cumAt(lo, le, values)) / total
+  }
+
+  /** Interpolated cumulative count at threshold x. */
+  private def cumAt(x: Double, le: Column, values: Column): Column = {
+    val n = size(values)
+    val idx = element_at(filter(sequence(lit(1), n), i => element_at(le, i) >= x), 1)
+    val lowerBound = when(idx === 1, lit(0.0)).otherwise(element_at(le, idx - 1))
+    val upperBound = element_at(le, idx)
+    val lowerCount = when(idx === 1, lit(0.0)).otherwise(element_at(values, idx - 1))
+    val upperCount = element_at(values, idx)
+    when(idx.isNull, element_at(values, -1)) // x above all bounds
+      .when(idx === n, lowerCount + (upperCount - lowerCount)) // inf bucket: no interp
+      .otherwise(lowerCount + (upperCount - lowerCount) *
+        (lit(x) - lowerBound) / (upperBound - lowerBound))
+  }
+
+  /** Bucket-wise sum of histograms across rows (the reference's
+    * HistSumRowAggregator): explode to (pos, bucketValue), sum per position,
+    * reassemble sorted. */
+  def sumBuckets(df: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val exploded = df.select(
+      keyCols.map(col) ++ Seq(col("le"), posexplode(col("values"))): _*)
+    exploded.groupBy((keyCols.map(col) :+ col("pos")): _*)
+      .agg(first(col("le")).as("le"), sum(col("col")).as("bv"))
+      .groupBy(keyCols.map(col): _*)
+      .agg(
+        first(col("le")).as("le"),
+        array_sort(collect_list(struct(col("pos"), col("bv"))))
+          .getField("bv").as("values"))
+  }
+
+  /** Explode one histogram row into per-`le` bucket series rows
+    * (hist_to_prom_vectors). */
+  def toPromVectors(df: DataFrame, keyCols: Seq[String]): DataFrame =
+    df.select(keyCols.map(col) :+ posexplode(arrays_zip(col("le"), col("values"))): _*)
+      .select(keyCols.map(col) ++ Seq(
+        col("col.le").cast("string").as("le"),
+        col("col.values").as("bucket_count")): _*)
+}

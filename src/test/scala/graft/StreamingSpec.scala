@@ -1,0 +1,82 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+import graft.streaming.Ingest
+import graft.streaming.Ingest.Sample
+
+class StreamingSpec extends AnyFunSuite with Matchers {
+
+  lazy val spark: SparkSession = GraftSession.builder("local[4]", "4").getOrCreate()
+  import spark.implicits._
+
+  test("streaming ingest drops out-of-order and duplicate samples per series") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[Sample]
+    val q = Ingest.dropOutOfOrder(ms.toDS())
+      .writeStream.format("memory").queryName("ooo_out")
+      .outputMode("append").start()
+    try {
+      ms.addData(Sample(1, "m", "u", 100, 1.0), Sample(1, "m", "u", 200, 2.0))
+      q.processAllAvailable()
+      ms.addData(
+        Sample(1, "m", "u", 150, 9.0),  // late -> dropped
+        Sample(1, "m", "u", 200, 9.0),  // duplicate ts -> dropped
+        Sample(1, "m", "u", 300, 3.0),  // ok
+        Sample(2, "m", "v", 50, 5.0))   // other series unaffected
+      q.processAllAvailable()
+      val got = spark.table("ooo_out").as[Sample].collect()
+        .map(s => (s.series_id, s.ts, s.value)).sorted.toSeq
+      got shouldEqual Seq((1L, 100L, 1.0), (1L, 200L, 2.0), (1L, 300L, 3.0), (2L, 50L, 5.0))
+    } finally q.stop()
+  }
+
+  test("downsample produces ds-gauge min/max/sum/count/avg per window") {
+    val samples = Seq(
+      (1L, "m", "u", 0L, 10.0), (1L, "m", "u", 60000L, 20.0),
+      (1L, "m", "u", 310000L, 30.0) // second 5m window
+    ).toDF("series_id", "metric", "user", "ts", "value")
+    val ds = Ingest.downsample(samples, "5 minutes")
+      .orderBy("ts").collect()
+    ds.length shouldEqual 2
+    ds(0).getAs[Double]("min") shouldEqual 10.0
+    ds(0).getAs[Double]("max") shouldEqual 20.0
+    ds(0).getAs[Double]("sum") shouldEqual 30.0
+    ds(0).getAs[Double]("count") shouldEqual 2.0
+    ds(0).getAs[Long]("ts") shouldEqual 300000L // window end
+    ds(1).getAs[Double]("avg") shouldEqual 30.0
+  }
+
+  test("routed read stitches downsample (cold) and raw (hot) at the boundary") {
+    val raw = Seq((1L, "m", "u", 100L, 1.0), (1L, "m", "u", 900L, 9.0))
+      .toDF("series_id", "metric", "user", "ts", "value")
+    val ds = Seq((1L, "m", "u", 500L, 0.0, 0.0, 0.0, 1.0, 42.0))
+      .toDF("series_id", "metric", "user", "ts", "min", "max", "sum", "count", "avg")
+    val out = Ingest.routedRead(raw, ds, boundaryMs = 500L)
+      .orderBy("ts").select("ts", "value").as[(Long, Double)].collect()
+    out shouldEqual Array((500L, 42.0), (900L, 9.0))
+  }
+
+  test("end-to-end file ingest: events parquet -> partitioned samples sink") {
+    val tmp = Files.createTempDirectory("graft_stream").toFile.getAbsolutePath
+    val src = s"$tmp/src"; val sink = s"$tmp/sink"; val chk = s"$tmp/chk"
+    Files.createDirectories(java.nio.file.Paths.get(src))
+    Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      java.nio.file.Paths.get(s"$src/events.parquet"))
+    val q = Ingest.startFileIngest(spark, src, sink, chk)
+    try q.processAllAvailable() finally q.stop()
+    val out = spark.read.parquet(sink)
+    out.count() should be > 0L
+    // no out-of-order within any series in the sink
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("series_id").orderBy("ts")
+    out.withColumn("prev", lag(col("ts"), 1).over(w))
+      .filter(col("prev").isNotNull && col("ts") <= col("prev"))
+      .count() shouldEqual 0L
+  }
+}
