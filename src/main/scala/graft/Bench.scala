@@ -1,20 +1,81 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.promql.PromPlanner
+
+/** Benchmark main (driver contract): one JSON line with per-query seconds.
+  *
+  * Two blocks:
+  *  - the full SparkEntry suite over SPARK_GRAFT_SF_DIR (one timed pass)
+  *  - the reference's QueryInMemoryBenchmark scenarios (BASELINE.md): 100
+  *    series x 720 samples @ 10s, 4 PromQL range queries over 55 min @
+  *    step 150s, plus the 8000-series hi-cardinality variant — 1 warmup +
+  *    3 timed iterations, median reported, names prefixed `base_`/`hic_`.
+  */
 object Bench {
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.builder(s"local[$cpus]", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    val suite = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+
+    val baseline = benchScenarios(spark, nSeries = 100, prefix = "base_") ++
+      benchScenarios(spark, nSeries = 8000, prefix = "hic_")
+
+    val all = suite ++ baseline
+    val qs = all.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val total = all.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  /** The 4 reference benchmark queries over synthetic gauge series
+    * (QueryInMemoryBenchmark.scala:29-135 shape). */
+  def benchScenarios(spark: SparkSession, nSeries: Int, prefix: String): Seq[(String, Double)] = {
+    val t0 = 1704067200000L
+    val nSamples = 720
+    val stepMs = 10000L
+    val series = spark.range(nSeries)
+    val samples = series.crossJoin(spark.range(nSamples).withColumnRenamed("id", "k"))
+      .select(
+        lit("heap_usage0").as("metric"),
+        map(lit("instance"), col("id").cast("string"),
+            lit("_ws_"), lit("demo"), lit("_ns_"), lit("App-2")).as("tags"),
+        (lit(t0) + col("k") * stepMs).as("ts"),
+        (sin(col("id") * 0.7 + col("k") * 0.05) * 100 + 500).as("value"),
+        (col("id") * 100000 + col("k")).as("__tie"))
+      .cache()
+    samples.count() // materialize outside timing
+
+    val end = t0 + nSamples * stepMs
+    val start = end - 55 * 60000L
+    val step = 150000L
+    val ctx = PromPlanner.Ctx(spark, samples, start, end, step)
+
+    val queries = Seq(
+      "raw_selector" -> """heap_usage0{_ws_="demo",_ns_="App-2"}""",
+      "sum_rate" -> """sum(rate(heap_usage0{_ws_="demo",_ns_="App-2"}[5m]))""",
+      "quantile" -> """quantile(0.75, heap_usage0{_ws_="demo",_ns_="App-2"})""",
+      "sum_over_time" -> """sum_over_time(heap_usage0{_ws_="demo",_ns_="App-2"}[5m])""")
+
+    val out = queries.map { case (name, q) =>
+      PromPlanner.queryRange(ctx, q).count() // warmup (plan + codegen)
+      val times = (1 to 3).map { _ =>
+        val s0 = System.nanoTime()
+        PromPlanner.queryRange(ctx, q).count()
+        (System.nanoTime() - s0) / 1e9
+      }.sorted
+      (prefix + name) -> times(1) // median
+    }
+    samples.unpersist()
+    out
   }
 }

@@ -65,12 +65,18 @@ object PeriodicSamples {
         val vBuf = new ArrayBuffer[Double](64)
         val tieBuf = new ArrayBuffer[Long](64)
         rows.foreach { r => tsBuf += r.getLong(n); vBuf += r.getDouble(n + 1); tieBuf += r.getLong(n + 2) }
-        val order = tsBuf.indices.sortBy(i => (tsBuf(i), tieBuf(i)))
-        val len = order.length
+        val len = tsBuf.length
+        val order = new Array[Integer](len)
+        var oi = 0
+        while (oi < len) { order(oi) = Integer.valueOf(oi); oi += 1 }
+        java.util.Arrays.sort(order, (a: Integer, b: Integer) => {
+          val c = java.lang.Long.compare(tsBuf(a), tsBuf(b))
+          if (c != 0) c else java.lang.Long.compare(tieBuf(a), tieBuf(b))
+        })
         val ts = new Array[Long](len)
         val vs = new Array[Double](len)
         var i = 0
-        while (i < len) { ts(i) = tsBuf(order(i)); vs(i) = vBuf(order(i)); i += 1 }
+        while (i < len) { val oidx = order(i).intValue; ts(i) = tsBuf(oidx); vs(i) = vBuf(oidx); i += 1 }
         if (fn.needsCounterCorrection) monotonize(vs)
 
         val out = new ArrayBuffer[Row]

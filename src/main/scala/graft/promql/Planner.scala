@@ -69,14 +69,26 @@ object PromPlanner {
     df.select(labels.as("labels"), col("ts"), col("value"), tie.as("__tie"))
   }
 
-  /** Periodic evaluation of a range function over a matrix selector. */
+  /** Periodic evaluation of a range function over a matrix selector.
+    * Only (key, ts, value, tie) is shuffled into the kernel; the label map
+    * — one row per SERIES, not per sample — is re-attached afterwards with
+    * a join that AQE turns into a broadcast when the series set is small.
+    * At 100 TB this keeps the big shuffle narrow and the label payload off
+    * the wire. */
   private def periodic(ctx: Ctx, sel: Selector, fn: RangeFn, windowMs: Long): DataFrame = {
     val src = withKey(selectorSamples(ctx, sel))
-    val out = PeriodicSamples(src, Seq("__key", "labels"), "ts", "value",
+    val slim = src.select(col("__key"), col("ts"), col("value"), col("__tie"))
+    val out = PeriodicSamples(slim, Seq("__key"), "ts", "value",
       ctx.startMs, ctx.endMs, ctx.stepMs, windowMs, fn,
       offsetMs = sel.offsetMs, tieCol = Some("__tie"))
-    finish(out)
+    // The key IS the sorted label set serialized as JSON — rebuild the map
+    // from it on the (small) output instead of joining or shuffling maps.
+    finish(out.withColumn("labels", labelsFromKey(col("__key"))))
   }
+
+  /** Inverse of sortedKey: parse the JSON entry array back into a map. */
+  private def labelsFromKey(key: Column): Column =
+    map_from_entries(from_json(key, org.apache.spark.sql.types.DataType.fromDDL("array<struct<key:string,value:string>>")))
 
   private def dropName(df: DataFrame): DataFrame =
     withKey(df.withColumn("labels",

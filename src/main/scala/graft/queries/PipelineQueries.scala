@@ -45,7 +45,7 @@ object PipelineQueries {
 
     "q64_ngram_jaccard" -> ((s, dir) => {
       val d = TsTables.documents(s, dir).select(
-        col("doc_id"), col("lang"), (col("n_chars") / 100).cast("long").as("len_bucket"),
+        col("doc_id"), col("lang"), (col("n_chars") / 50).cast("long").as("len_bucket"),
         array_distinct(TextAnalysis.tokens(lower(col("text")))).as("toks"))
       val a = d.as("a"); val b = d.as("b")
       a.join(b, col("a.lang") === col("b.lang") &&
@@ -81,7 +81,7 @@ object PipelineQueries {
     }),
 
     "q69_cosine_dups" -> ((s, dir) => // rows-only (LSH bucketing)
-      Similarity.cosineDuplicates(TsTables.embeddings(s, dir), threshold = 0.9, nPlanes = 2)
+      Similarity.cosineDuplicates(TsTables.embeddings(s, dir), threshold = 0.8, nPlanes = 10)
         .orderBy(col("id1"), col("id2")))
   )
 
@@ -117,7 +117,7 @@ object PipelineQueries {
           FROM documents ORDER BY doc_id""",
 
     "q64_ngram_jaccard" ->
-      """WITH d AS (SELECT doc_id, lang, n_chars // 100 AS len_bucket,
+      """WITH d AS (SELECT doc_id, lang, n_chars // 50 AS len_bucket,
                            list_distinct(string_split_regex(trim(lower(text)), '\s+')) AS toks
                     FROM documents)
          SELECT a.doc_id AS id1, b.doc_id AS id2,
