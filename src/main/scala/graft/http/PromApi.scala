@@ -1,0 +1,131 @@
+package graft.http
+
+import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.promql.PromPlanner
+import graft.operators.MetadataOps
+
+/** Prometheus-compatible HTTP API (SURVEY.md §3.1/§2.8), served by the JDK
+  * HttpServer (zero extra dependencies):
+  *
+  *   GET /api/v1/query_range?query=...&start=...&end=...&step=...
+  *   GET /api/v1/labels
+  *   GET /api/v1/label/{name}/values
+  *   GET /api/v1/series?start=...&end=...
+  *
+  * Responses follow the Prometheus JSON envelope
+  * {"status":"success","data":{"resultType":"matrix","result":[...]}}
+  * (shape mirrored from the reference's PromQueryResponse). The collect()
+  * happens only at this presentation boundary — result sets are already
+  * aggregated/stepped, never raw samples.
+  */
+class PromApi(spark: SparkSession, samples: DataFrame, port: Int = 0) {
+
+  private val server = HttpServer.create(new InetSocketAddress(port), 0)
+
+  def boundPort: Int = server.getAddress.getPort
+
+  def start(): PromApi = {
+    server.createContext("/api/v1/query_range", handler(queryRange))
+    server.createContext("/api/v1/labels", handler(_ => labels()))
+    server.createContext("/api/v1/label/", handler(labelValues))
+    server.createContext("/api/v1/series", handler(series))
+    server.setExecutor(null)
+    server.start()
+    this
+  }
+
+  def stop(): Unit = server.stop(0)
+
+  private def handler(f: Map[String, String] => String): HttpHandler = (ex: HttpExchange) => {
+    val resp =
+      try f(params(ex))
+      catch {
+        case e: Exception =>
+          s"""{"status":"error","errorType":"bad_data","error":${js(e.getMessage)}}"""
+      }
+    val bytes = resp.getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.add("Content-Type", "application/json")
+    ex.sendResponseHeaders(200, bytes.length)
+    ex.getResponseBody.write(bytes)
+    ex.close()
+  }
+
+  private def params(ex: HttpExchange): Map[String, String] = {
+    val q = Option(ex.getRequestURI.getRawQuery).getOrElse("")
+    val kv = q.split("&").filter(_.contains("=")).map { p =>
+      val Array(k, v) = p.split("=", 2)
+      k -> java.net.URLDecoder.decode(v, "UTF-8")
+    }.toMap
+    kv + ("__path" -> ex.getRequestURI.getPath)
+  }
+
+  /** seconds (float ok) → ms */
+  private def ms(s: String): Long = (s.toDouble * 1000).toLong
+
+  private def queryRange(p: Map[String, String]): String = {
+    val ctx = PromPlanner.Ctx(spark, samples, ms(p("start")), ms(p("end")), ms(p("step")))
+    val df = PromPlanner.queryRange(ctx, p("query"))
+    val rows = df.select(col("__key"), col("step_ts"), col("value"))
+      .collect().groupBy(_.getString(0)).toSeq.sortBy(_._1)
+    val result = rows.map { case (key, rs) =>
+      val metric = keyToJsonObject(key)
+      val values = rs.sortBy(_.getLong(1)).map { r =>
+        s"""[${r.getLong(1) / 1000.0},${js(fmt(r.getDouble(2)))}]"""
+      }.mkString(",")
+      s"""{"metric":$metric,"values":[$values]}"""
+    }.mkString(",")
+    s"""{"status":"success","data":{"resultType":"matrix","result":[$result]}}"""
+  }
+
+  private def labels(): String = {
+    val names = "__name__" +:
+      MetadataOps.labelNames(samples).collect().map(_.getString(0)).sorted.toSeq
+    s"""{"status":"success","data":[${names.map(js).mkString(",")}]}"""
+  }
+
+  private def labelValues(p: Map[String, String]): String = {
+    val label = p("__path").stripPrefix("/api/v1/label/").stripSuffix("/values")
+    val vals =
+      if (label == "__name__") samples.select(col("metric")).distinct()
+        .collect().map(_.getString(0)).sorted.toSeq
+      else MetadataOps.labelValues(samples, label)
+        .collect().map(_.getString(0)).sorted.toSeq
+    s"""{"status":"success","data":[${vals.map(js).mkString(",")}]}"""
+  }
+
+  private def series(p: Map[String, String]): String = {
+    val from = p.get("start").map(ms).getOrElse(Long.MinValue)
+    val to = p.get("end").map(ms).getOrElse(Long.MaxValue)
+    val rows = MetadataOps.series(samples, from, to).collect().map { r =>
+      val metric = r.getString(0)
+      val tags = r.getMap[String, String](1)
+      val entries = (("__name__" -> metric) +: tags.toSeq.sortBy(_._1))
+        .map { case (k, v) => s"${js(k)}:${js(v)}" }.mkString(",")
+      s"{$entries}"
+    }.sorted
+    s"""{"status":"success","data":[${rows.mkString(",")}]}"""
+  }
+
+  /** "[{"key":"a","value":"b"},...]" (our sorted key) → {"a":"b",...} */
+  private def keyToJsonObject(key: String): String = {
+    val entries = "\"key\":\"(.*?)\",\"value\":\"(.*?)\"".r
+      .findAllMatchIn(key).map(m => s"${js(m.group(1))}:${js(m.group(2))}").mkString(",")
+    s"{$entries}"
+  }
+
+  private def fmt(d: Double): String =
+    if (d == d.toLong.toDouble) d.toLong.toString else d.toString
+
+  private def js(s: String): String =
+    "\"" + Option(s).getOrElse("").flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+}

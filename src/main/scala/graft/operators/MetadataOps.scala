@@ -12,10 +12,15 @@ import org.apache.spark.sql.functions._
   */
 object MetadataOps {
 
-  /** Distinct series (metric + full label map) matching the given filter. */
+  /** Distinct series (metric + full label map) matching the given filter.
+    * MapType cannot feed a set operation, so dedupe on a serialized
+    * sorted-entries key. */
   def series(samples: DataFrame, fromMs: Long, toMs: Long): DataFrame =
     samples.filter(col("ts").between(fromMs, toMs))
-      .select(col("metric"), col("tags")).distinct()
+      .select(col("metric"), col("tags"))
+      .withColumn("__k", to_json(array_sort(map_entries(col("tags")))))
+      .dropDuplicates("metric", "__k")
+      .drop("__k")
 
   /** All label names present (tag keys + metric pseudo-label). */
   def labelNames(samples: DataFrame): DataFrame =

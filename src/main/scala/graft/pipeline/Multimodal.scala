@@ -1,0 +1,99 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal columns: image/audio/video as opaque BINARY with typed
+  * metadata, processed in partition-batched form (the Scala analogue of
+  * `mapInPandas` — one iterator pass per partition, batch-shaped, no
+  * per-row JVM boundary crossing).
+  *
+  * The container has no image/audio codecs, so the DECODE step is a
+  * clearly-marked deterministic STUB (content digest + shape-derived fake
+  * features); everything around it — schema, partitioning by modality,
+  * batch iteration, feature schema — is the real pipeline a decoder would
+  * drop into.
+  */
+object Multimodal {
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("kind", StringType, nullable = false),   // image | audio | video
+    StructField("bytes", BinaryType, nullable = false),
+    StructField("meta", StructType(Seq(
+      StructField("width", IntegerType), StructField("height", IntegerType),
+      StructField("sample_rate", IntegerType), StructField("n_frames", IntegerType))))))
+
+  /** Build a deterministic media table from the documents table (stand-in
+    * for reading real binary files): payload = utf8 text bytes, modality
+    * round-robins by doc_id, metadata derived from length. */
+  def synthesizeMedia(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("kind"),
+      encode(col("text"), "UTF-8").as("bytes"),
+      struct(
+        lit(64).as("width"), lit(64).as("height"),
+        lit(16000).as("sample_rate"),
+        (length(col("text")) % 100 + 1).cast("int").as("n_frames")).as("meta"))
+
+  private val featureSchema = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("kind", StringType, nullable = false),
+    StructField("n_bytes", IntegerType, nullable = false),
+    StructField("sig", StringType, nullable = false),
+    StructField("features", ArrayType(FloatType), nullable = false)))
+
+  /** Batch decode + featurize. Partition-batched mapPartitions keeps the
+    * (hypothetical) codec context alive across the whole batch, exactly
+    * like a Pandas-UDF batch; repartitioning by modality first lets each
+    * executor load one codec. */
+  def decodeFeatures(media: DataFrame, dim: Int = 8): DataFrame = {
+    val enc = Encoders.row(featureSchema)
+    media.repartition(col("kind"))
+      .select(col("doc_id"), col("kind"), col("bytes"))
+      .mapPartitions { rows =>
+        // real pipeline: codec = Codec.open(kind) once per batch here
+        val md = java.security.MessageDigest.getInstance("MD5")
+        rows.map { r =>
+          val bytes = r.getAs[Array[Byte]]("bytes")
+          // ---- STUB DECODE ----: digest + hash-derived fake features.
+          // A real decoder would emit pixel/audio tensors here.
+          md.reset()
+          val sig = md.digest(bytes).map("%02x".format(_)).mkString
+          val feats = Array.tabulate(dim)(i =>
+            ((java.lang.Long.parseLong(sig.substring(i * 2, i * 2 + 2), 16) / 255.0f) - 0.5f))
+          Row(r.getLong(0), r.getString(1), bytes.length, sig, feats)
+        }
+      }(enc)
+  }
+
+  /** "Resize": metadata rewrite + deterministic byte resampling (stub for
+    * a pixel resample; keeps output size = w*h so downstream batch shapes
+    * are honest). */
+  def resize(media: DataFrame, w: Int, h: Int): DataFrame = {
+    val resampled = udf((b: Array[Byte]) => {
+      val out = new Array[Byte](w * h)
+      var i = 0
+      while (i < out.length) { out(i) = if (b.isEmpty) 0 else b(i % b.length); i += 1 }
+      out
+    })
+    media.withColumn("bytes", resampled(col("bytes")))
+      .withColumn("meta", struct(
+        lit(w).as("width"), lit(h).as("height"),
+        col("meta.sample_rate").as("sample_rate"), col("meta.n_frames").as("n_frames")))
+  }
+
+  /** Frame sampling for video rows: every nth frame index becomes a row
+    * (frame bytes stubbed as slices of the payload). */
+  def sampleFrames(media: DataFrame, everyN: Int): DataFrame =
+    media.filter(col("kind") === "video")
+      .select(col("doc_id"),
+        explode(sequence(lit(0), col("meta.n_frames") - 1, lit(everyN))).as("frame_idx"),
+        col("bytes"))
+      .withColumn("frame_bytes",
+        expr("substring(bytes, frame_idx % greatest(octet_length(bytes), 1) + 1, 16)"))
+      .drop("bytes")
+}

@@ -82,7 +82,17 @@ object PipelineQueries {
 
     "q69_cosine_dups" -> ((s, dir) => // rows-only (LSH bucketing)
       Similarity.cosineDuplicates(TsTables.embeddings(s, dir), threshold = 0.8, nPlanes = 10)
-        .orderBy(col("id1"), col("id2")))
+        .orderBy(col("id1"), col("id2"))),
+
+    "q74_multimodal_decode" -> ((s, dir) =>
+      Multimodal.decodeFeatures(Multimodal.synthesizeMedia(TsTables.documents(s, dir)))
+        .select(col("doc_id"), col("kind"), col("n_bytes"), col("sig"))
+        .orderBy(col("doc_id"))),
+
+    "q75_frame_sampling" -> ((s, dir) => // rows-only (byte-slice stub)
+      Multimodal.sampleFrames(Multimodal.synthesizeMedia(TsTables.documents(s, dir)), everyN = 7)
+        .select(col("doc_id"), col("frame_idx"))
+        .orderBy(col("doc_id"), col("frame_idx")))
   )
 
   def oracles: Map[String, String] = Map(
@@ -128,6 +138,20 @@ object PipelineQueries {
          WHERE len(list_intersect(a.toks, b.toks))
                / CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE) >= 0.8
          ORDER BY 1,2""",
+
+    "q74_multimodal_decode" ->
+      """SELECT doc_id,
+                CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+                CAST(octet_length(CAST(text AS BLOB)) AS INT) AS n_bytes,
+                md5(text) AS sig
+         FROM documents ORDER BY doc_id""",
+
+    "q74_multimodal_decode" ->
+      """SELECT doc_id,
+                CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+                CAST(octet_length(CAST(text AS BLOB)) AS INT) AS n_bytes,
+                md5(text) AS sig
+         FROM documents ORDER BY doc_id""",
 
     "q65_knn_bruteforce" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),

@@ -1,0 +1,44 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+import graft.http.PromApi
+import graft.model.TsTables
+
+class PromApiSpec extends AnyFunSuite with Matchers {
+
+  lazy val spark: SparkSession = GraftSession.builder("local[4]", "4").getOrCreate()
+
+  private def get(port: Int, path: String): String = {
+    val client = HttpClient.newHttpClient()
+    client.send(
+      HttpRequest.newBuilder(URI.create(s"http://localhost:$port$path")).GET().build(),
+      HttpResponse.BodyHandlers.ofString()).body()
+  }
+
+  test("query_range, labels, label values and series over HTTP") {
+    val samples = TsTables.eventsAsSamples(spark, "/root/testdata/sf0.001")
+    val api = new PromApi(spark, samples).start()
+    try {
+      val port = api.boundPort
+      val qr = get(port, "/api/v1/query_range?query=" +
+        java.net.URLEncoder.encode("sum(sum_over_time(purchase[1d]))", "UTF-8") +
+        s"&start=${TsTables.EventsStartMs / 1000}&end=${TsTables.EventsEndMs / 1000}&step=86400")
+      qr should include(""""status":"success"""")
+      qr should include(""""resultType":"matrix"""")
+      qr should include(""""values":[[""")
+
+      get(port, "/api/v1/labels") should include(""""user"""")
+      get(port, "/api/v1/label/__name__/values") should include(""""purchase"""")
+      get(port, "/api/v1/series?start=1704067200&end=1704100000") should
+        include(""""__name__":""")
+
+      // malformed query -> error envelope, not a 500 stack trace
+      get(port, "/api/v1/query_range?query=sum(((&start=0&end=1&step=1") should
+        include(""""status":"error"""")
+    } finally api.stop()
+  }
+}
