@@ -92,6 +92,51 @@ object Histograms {
           .getField("bv").as("values"))
   }
 
+  /** Bucket-wise rate/increase over HISTOGRAM-typed samples
+    * (series..., ts, le, values): compose explode-to-bucket-series →
+    * periodic counter kernel per (series, le) → regroup into histograms —
+    * the reference's extrapolatedRateH (RateFunctions.scala:37-66)
+    * expressed as existing operators. */
+  def periodicBucketRate(df: DataFrame, seriesCols: Seq[String], tsCol: String,
+                         startMs: Long, endMs: Long, stepMs: Long, windowMs: Long,
+                         isRate: Boolean): DataFrame = {
+    import graft.operators.{PeriodicSamples, RangeFns}
+    val buckets = df.select(
+      seriesCols.map(col) ++ Seq(col(tsCol).as("__bts"), posexplode(col("values"))): _*)
+      .withColumnRenamed("col", "bucket_value")
+    val fn = if (isRate) RangeFns.Rate else RangeFns.Increase
+    val rated = PeriodicSamples(buckets, seriesCols :+ "pos", "__bts", "bucket_value",
+      startMs, endMs, stepMs, windowMs, fn)
+    rated.groupBy((seriesCols.map(col) :+ col("step_ts")): _*)
+      .agg(array_sort(collect_list(struct(col("pos"), col("value"))))
+        .getField("value").as("values"))
+  }
+
+  /** OTel base-2 exponential histogram support: bucket upper bound for
+    * index i at `scale` is 2^((i+1) / 2^scale); converting (scale, offset,
+    * counts) to an explicit-bounds cumulative histogram lets every
+    * function above apply unchanged (reference ExpHistogramVector). */
+  def expBucketBound(scale: Int, index: Int): Double =
+    math.pow(2.0, (index + 1).toDouble / (1 << scale))
+
+  /** Convert delta bucket counts of an exp histogram to the canonical
+    * (le, values cumulative) pair of arrays. */
+  def fromExponential(df: DataFrame, scale: Int, offsetCol: String,
+                      countsCol: String): DataFrame = {
+    val bounds = udf((offset: Int, n: Int) =>
+      Array.tabulate(n)(i => expBucketBound(scale, offset + i)) :+ Double.PositiveInfinity)
+    val cumulative = udf((counts: Seq[Double]) => {
+      val out = new Array[Double](counts.length + 1)
+      var acc = 0.0
+      var i = 0
+      while (i < counts.length) { acc += counts(i); out(i) = acc; i += 1 }
+      out(counts.length) = acc // +Inf bucket
+      out
+    })
+    df.withColumn("le", bounds(col(offsetCol), size(col(countsCol))))
+      .withColumn("values", cumulative(col(countsCol)))
+  }
+
   /** Explode one histogram row into per-`le` bucket series rows
     * (hist_to_prom_vectors). */
   def toPromVectors(df: DataFrame, keyCols: Seq[String]): DataFrame =

@@ -74,7 +74,7 @@ class PromApi(spark: SparkSession, samples: DataFrame, port: Int = 0) {
     val result = rows.map { case (key, rs) =>
       val metric = keyToJsonObject(key)
       val values = rs.sortBy(_.getLong(1)).map { r =>
-        s"""[${r.getLong(1) / 1000.0},${js(fmt(r.getDouble(2)))}]"""
+        s"""[${fmtTs(r.getLong(1))},${js(fmt(r.getDouble(2)))}]"""
       }.mkString(",")
       s"""{"metric":$metric,"values":[$values]}"""
     }.mkString(",")
@@ -116,6 +116,10 @@ class PromApi(spark: SparkSession, samples: DataFrame, port: Int = 0) {
       .findAllMatchIn(key).map(m => s"${js(m.group(1))}:${js(m.group(2))}").mkString(",")
     s"{$entries}"
   }
+
+  /** epoch-ms → decimal seconds, never scientific notation. */
+  private def fmtTs(ms: Long): String =
+    if (ms % 1000 == 0) (ms / 1000).toString else f"${ms / 1000.0}%.3f"
 
   private def fmt(d: Double): String =
     if (d == d.toLong.toDouble) d.toLong.toString else d.toString

@@ -138,6 +138,22 @@ object RangeFns {
     }
   }
 
+  /** FiloDB extension: emit the last sample iff it is a MAD outlier —
+    * outside median ± tolerance*MAD, with bounds 0=lower-only, 1=both,
+    * 2=upper-only (reference AggrOverTimeFunctions.scala:488-552). */
+  def LastIsMadOutlier(tolerance: Double, bounds: Int): RangeFn = simple { (_, vs, lo, hi) =>
+    val xs = java.util.Arrays.copyOfRange(vs, lo, hi).filterNot(_.isNaN).sorted
+    if (xs.isEmpty) Double.NaN
+    else {
+      val median = quantileSorted(xs, 0.5)
+      val mad = quantileSorted(xs.map(v => math.abs(v - median)).sorted, 0.5)
+      val last = vs(hi - 1)
+      val isOutlier = (last < median - tolerance * mad && bounds <= 1) ||
+        (last > median + tolerance * mad && bounds >= 1)
+      if (isOutlier) last else Double.NaN
+    }
+  }
+
   /** Number of value changes between consecutive samples. */
   val Changes: RangeFn = simple { (_, vs, lo, hi) =>
     var c = 0; var i = lo + 1

@@ -19,7 +19,8 @@ final case class LabelMatcher(label: String, op: MatchOp, value: String)
 /** Instant vector selector; `window` (set via [d]) turns it into a matrix
   * selector usable by range functions. */
 final case class Selector(metric: Option[String], matchers: Seq[LabelMatcher],
-                          windowMs: Option[Long] = None, offsetMs: Long = 0L)
+                          windowMs: Option[Long] = None, offsetMs: Long = 0L,
+                          atMs: Option[Long] = None)
   extends PromExpr
 
 final case class NumberLit(v: Double) extends PromExpr

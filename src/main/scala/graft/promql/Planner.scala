@@ -78,12 +78,22 @@ object PromPlanner {
   private def periodic(ctx: Ctx, sel: Selector, fn: RangeFn, windowMs: Long): DataFrame = {
     val src = withKey(selectorSamples(ctx, sel))
     val slim = src.select(col("__key"), col("ts"), col("value"), col("__tie"))
+    // @ modifier pins the evaluation time: compute the single pinned step,
+    // then replicate its value across the requested step grid.
+    val (evalStart, evalEnd) = sel.atMs match {
+      case Some(at) => (at, at)
+      case None => (ctx.startMs, ctx.endMs)
+    }
     val out = PeriodicSamples(slim, Seq("__key"), "ts", "value",
-      ctx.startMs, ctx.endMs, ctx.stepMs, windowMs, fn,
+      evalStart, evalEnd, ctx.stepMs, windowMs, fn,
       offsetMs = sel.offsetMs, tieCol = Some("__tie"))
     // The key IS the sorted label set serialized as JSON — rebuild the map
     // from it on the (small) output instead of joining or shuffling maps.
-    finish(out.withColumn("labels", labelsFromKey(col("__key"))))
+    val gridded = sel.atMs match {
+      case Some(_) => out.drop("step_ts").crossJoin(scalarGrid(ctx))
+      case None => out
+    }
+    finish(gridded.withColumn("labels", labelsFromKey(col("__key"))))
   }
 
   /** Inverse of sortedKey: parse the JSON entry array back into a map. */
@@ -226,6 +236,21 @@ object PromPlanner {
     case "holt_winters" =>
       matrixArg(ctx, args(0),
         RangeFns.HoltWinters(constParam(Some(args(1))), constParam(Some(args(2)))))
+
+    case "last_over_time_is_mad_outlier" =>
+      val tol = constParam(Some(args(1)))
+      val bounds = constParam(Some(args(2))).toInt
+      matrixArg(ctx, args(0), RangeFns.LastIsMadOutlier(tol, bounds))
+
+    case "limit" =>
+      // FiloDB ApplyLimitFunction: keep at most k series (deterministic:
+      // lowest __key first)
+      val k = constParam(Some(args(0))).toInt
+      val v = planVector(ctx, args(1))
+      val keys = v.select(col("__key")).distinct()
+        .withColumn("__rk", row_number().over(Window.orderBy(col("__key").asc)))
+        .filter(col("__rk") <= k).drop("__rk")
+      v.join(broadcast(keys), Seq("__key"), "left_semi")
 
     case "absent" =>
       args.head match {

@@ -79,4 +79,25 @@ class StreamingSpec extends AnyFunSuite with Matchers {
       .filter(col("prev").isNotNull && col("ts") <= col("prev"))
       .count() shouldEqual 0L
   }
+
+  test("downsample routing rewrites range functions to ds columns and merges across tiers") {
+    import graft.streaming.DownsampleRouting
+    import graft.operators.{PeriodicSamples, RangeFns}
+    // raw: one series, samples at 100..1000 (value = ts/100)
+    val raw = (1 to 10).map(i => (1L, i * 100L, i.toDouble))
+      .toDF("series_id", "ts", "value")
+    // downsample of the cold half (ts <= 500): one 500ms bucket
+    val ds = Seq((1L, 500L, 1.0, 5.0, 15.0, 5.0, 3.0))
+      .toDF("series_id", "ts", "min", "max", "sum", "count", "avg")
+    def runFn(fn: String): Double = {
+      val (routedDF, eff) = DownsampleRouting.routed(raw, ds, 500L, fn, Seq("series_id"))
+      PeriodicSamples(routedDF, Seq("series_id"), "ts", "value",
+        1000L, 1000L, 1000L, 1000L, RangeFns.byName(eff))
+        .head().getDouble(2)
+    }
+    runFn("min_over_time") shouldEqual 1.0   // cold min
+    runFn("max_over_time") shouldEqual 10.0  // hot max
+    runFn("sum_over_time") shouldEqual (15.0 + 6 + 7 + 8 + 9 + 10)
+    runFn("count_over_time") shouldEqual 10.0 // 5 cold (bucket count) + 5 hot
+  }
 }
