@@ -34,6 +34,9 @@ object PromPlanner {
 
   // ----- helpers -----
 
+  /** Deterministic series identity: sorted entries as a JSON array
+    * (to_json is codegen'd and measured faster than hand-rolled
+    * concat_ws/split codecs); invertible via labelsFromKey. */
   private def sortedKey(labels: Column): Column =
     to_json(array_sort(map_entries(labels)))
 
@@ -96,9 +99,10 @@ object PromPlanner {
     finish(gridded.withColumn("labels", labelsFromKey(col("__key"))))
   }
 
-  /** Inverse of sortedKey: parse the JSON entry array back into a map. */
+  /** Inverse of sortedKey: parse the JSON entry array back to a map. */
   private def labelsFromKey(key: Column): Column =
-    map_from_entries(from_json(key, org.apache.spark.sql.types.DataType.fromDDL("array<struct<key:string,value:string>>")))
+    map_from_entries(from_json(key,
+      org.apache.spark.sql.types.DataType.fromDDL("array<struct<key:string,value:string>>")))
 
   private def dropName(df: DataFrame): DataFrame =
     withKey(df.withColumn("labels",
