@@ -22,7 +22,8 @@ import graft.operators.MetadataOps
   * happens only at this presentation boundary — result sets are already
   * aggregated/stepped, never raw samples.
   */
-class PromApi(spark: SparkSession, samples: DataFrame, port: Int = 0) {
+class PromApi(spark: SparkSession, samples: DataFrame, port: Int = 0,
+              maxResultSeries: Int = 100000) {
 
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
 
@@ -30,6 +31,7 @@ class PromApi(spark: SparkSession, samples: DataFrame, port: Int = 0) {
 
   def start(): PromApi = {
     server.createContext("/api/v1/query_range", handler(queryRange))
+    server.createContext("/api/v1/query", handler(instantQuery))
     server.createContext("/api/v1/labels", handler(_ => labels()))
     server.createContext("/api/v1/label/", handler(labelValues))
     server.createContext("/api/v1/series", handler(series))
@@ -71,6 +73,7 @@ class PromApi(spark: SparkSession, samples: DataFrame, port: Int = 0) {
     val df = PromPlanner.queryRange(ctx, p("query"))
     val rows = df.select(col("__key"), col("step_ts"), col("value"))
       .collect().groupBy(_.getString(0)).toSeq.sortBy(_._1)
+    enforceSeriesLimit(rows.size)
     val result = rows.map { case (key, rs) =>
       val metric = keyToJsonObject(key)
       val values = rs.sortBy(_.getLong(1)).map { r =>
@@ -80,6 +83,26 @@ class PromApi(spark: SparkSession, samples: DataFrame, port: Int = 0) {
     }.mkString(",")
     s"""{"status":"success","data":{"resultType":"matrix","result":[$result]}}"""
   }
+
+  /** Instant query: evaluate at one timestamp, return a vector. */
+  private def instantQuery(p: Map[String, String]): String = {
+    val t = ms(p.getOrElse("time", (System.currentTimeMillis() / 1000).toString))
+    val ctx = PromPlanner.Ctx(spark, samples, t, t, 1000L)
+    val df = PromPlanner.queryRange(ctx, p("query"))
+    val rows = df.select(col("__key"), col("step_ts"), col("value")).collect()
+    enforceSeriesLimit(rows.length)
+    val result = rows.sortBy(_.getString(0)).map { r =>
+      s"""{"metric":${keyToJsonObject(r.getString(0))},"value":[${fmtTs(r.getLong(1))},${js(fmt(r.getDouble(2)))}]}"""
+    }.mkString(",")
+    s"""{"status":"success","data":{"resultType":"vector","result":[$result]}}"""
+  }
+
+  /** The reference enforces PerQueryLimits on result cardinality
+    * (QueryContext); same guard here at the presentation boundary. */
+  private def enforceSeriesLimit(n: Int): Unit =
+    if (n > maxResultSeries)
+      throw new IllegalStateException(
+        s"query result has $n series, exceeding the per-query limit of $maxResultSeries")
 
   private def labels(): String = {
     val names = "__name__" +:

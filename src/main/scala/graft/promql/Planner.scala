@@ -146,7 +146,8 @@ object PromPlanner {
             case other => throw new IllegalArgumentException(s"count_values needs string, got $other")
           }
           val withLbl = keyed.withColumn("labels",
-            map_concat(col("labels"), map(lit(label), format_number(col("value"), 6))))
+            map_concat(col("labels"),
+              map(lit(label), format_string("%.6f", col("value"))))) // no locale grouping
           withKey(withLbl)
             .groupBy(col("labels"), col("__key"), col("step_ts"))
             .agg(count(lit(1)).cast("double").as("value"))

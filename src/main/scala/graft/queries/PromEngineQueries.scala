@@ -90,6 +90,31 @@ object PromEngineQueries {
         .select(col("labels")("user").as("user"), col("step_ts"), col("value"))
         .orderBy("step_ts")),
 
+    "q13_promql_offset_1d" -> ((s, dir) =>
+      PromPlanner.queryRange(userCtx(s, dir, D1),
+        "sum_over_time(purchase[1d] offset 1d)")
+        .select(col("labels")("user").as("user"), col("step_ts"),
+          round(col("value"), 6).as("value"))
+        .orderBy("step_ts", "user")),
+
+    "q14_promql_regex_1d" -> ((s, dir) =>
+      PromPlanner.queryRange(userCtx(s, dir, D1),
+        """sum(sum_over_time(purchase{user=~"1.?"}[1d]))""")
+        .select(col("step_ts"), round(col("value"), 6).as("value"))
+        .orderBy("step_ts")),
+
+    "q15_promql_group_1d" -> ((s, dir) =>
+      PromPlanner.queryRange(userCtx(s, dir, D1),
+        "group by (user) (sum_over_time(purchase[1d]))")
+        .select(col("labels")("user").as("user"), col("step_ts"), col("value"))
+        .orderBy("step_ts", "user")),
+
+    "q16_promql_count_values_1d" -> ((s, dir) =>
+      PromPlanner.queryRange(userCtx(s, dir, D1),
+        """count_values("bucket", floor(sum_over_time(purchase[1d]) / 100))""")
+        .select(col("labels")("bucket").as("bucket"), col("step_ts"), col("value"))
+        .orderBy("step_ts", "bucket")),
+
     "q58_promql_quantile_1d" -> ((s, dir) =>
       PromPlanner.queryRange(userCtx(s, dir, D1),
         "quantile(0.9, sum_over_time(purchase[1d]))")
@@ -165,6 +190,39 @@ object PromEngineQueries {
           SELECT 'nosuchuser' AS "user", s.step_ts, 1.0 AS value
           FROM stps s ANTI JOIN present p ON s.step_ts = p.step_ts
           ORDER BY s.step_ts""",
+
+    "q13_promql_offset_1d" ->
+      s"""WITH ev AS ($EV), stps AS (${steps(D1)}),
+          sums AS (SELECT s.step_ts, e.user_id, sum(e.value) AS value
+                   FROM stps s JOIN ev e
+                   ON e.ts_ms > s.step_ts - ${2 * D1} AND e.ts_ms <= s.step_ts - $D1
+                   WHERE e.event_type = 'purchase' GROUP BY 1,2)
+          SELECT CAST(user_id AS VARCHAR) AS "user", step_ts, round(value,6) AS value
+          FROM sums ORDER BY step_ts, "user"""",
+
+    "q14_promql_regex_1d" ->
+      s"""WITH ev AS ($EV), stps AS (${steps(D1)})
+          SELECT s.step_ts, round(sum(e.value),6) AS value
+          FROM stps s JOIN ev e ON e.ts_ms > s.step_ts - $D1 AND e.ts_ms <= s.step_ts
+          WHERE e.event_type = 'purchase'
+            AND regexp_full_match(CAST(e.user_id AS VARCHAR), '1.?')
+          GROUP BY 1 ORDER BY 1""",
+
+    "q15_promql_group_1d" ->
+      s"""WITH ev AS ($EV), stps AS (${steps(D1)})
+          SELECT DISTINCT CAST(e.user_id AS VARCHAR) AS "user", s.step_ts, 1.0 AS value
+          FROM stps s JOIN ev e ON e.ts_ms > s.step_ts - $D1 AND e.ts_ms <= s.step_ts
+          WHERE e.event_type = 'purchase'
+          ORDER BY step_ts, "user"""",
+
+    "q16_promql_count_values_1d" ->
+      s"""WITH ev AS ($EV), stps AS (${steps(D1)}),
+          sums AS (SELECT s.step_ts, e.user_id, sum(e.value) AS value
+                   FROM stps s JOIN ev e ON e.ts_ms > s.step_ts - $D1 AND e.ts_ms <= s.step_ts
+                   WHERE e.event_type = 'purchase' GROUP BY 1,2)
+          SELECT printf('%.6f', floor(value / 100)) AS bucket, step_ts,
+                 CAST(count(*) AS DOUBLE) AS value
+          FROM sums GROUP BY 1,2 ORDER BY step_ts, bucket""",
 
     "q58_promql_quantile_1d" ->
       s"""WITH ev AS ($EV), stps AS (${steps(D1)}),

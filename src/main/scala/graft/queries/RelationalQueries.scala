@@ -96,6 +96,16 @@ object RelationalQueries {
         .orderBy(col("event_type"), col("value_bucket"))
     }),
 
+    "q11_calendar_fns" -> ((s, dir) => {
+      val secs = col("ts_ms") / 1000
+      TsTables.events(s, dir).select(col("event_id"),
+        graft.operators.InstantFns("month", secs).as("m"),
+        graft.operators.InstantFns("hour", secs).as("h"),
+        graft.operators.InstantFns("day_of_week", secs).as("dow"),
+        graft.operators.InstantFns("days_in_month", secs).as("dim"))
+        .orderBy(col("event_id"))
+    }),
+
     "q10_quantile_by_type" -> ((s, dir) => {
       TsTables.events(s, dir)
         .groupBy(col("event_type"))
@@ -152,6 +162,14 @@ object RelationalQueries {
     "q09_count_values" ->
       """SELECT event_type, CAST(round(value,0) AS BIGINT) AS value_bucket, count(*) AS n
          FROM events GROUP BY 1,2 ORDER BY 1,2""",
+
+    "q11_calendar_fns" ->
+      """SELECT event_id,
+                CAST(month(make_timestamp(epoch_ns(ts)//1000)) AS DOUBLE) AS m,
+                CAST(hour(make_timestamp(epoch_ns(ts)//1000)) AS DOUBLE) AS h,
+                CAST(dayofweek(make_timestamp(epoch_ns(ts)//1000)) AS DOUBLE) AS dow,
+                CAST(date_part('day', last_day(make_timestamp(epoch_ns(ts)//1000))) AS DOUBLE) AS dim
+         FROM events ORDER BY event_id""",
 
     "q10_quantile_by_type" ->
       """SELECT event_type,

@@ -39,6 +39,25 @@ class PromApiSpec extends AnyFunSuite with Matchers {
       // malformed query -> error envelope, not a 500 stack trace
       get(port, "/api/v1/query_range?query=sum(((&start=0&end=1&step=1") should
         include(""""status":"error"""")
+
+      // instant query returns a vector at one timestamp
+      val iq = get(port, "/api/v1/query?query=" +
+        java.net.URLEncoder.encode("sum(sum_over_time(purchase[1d]))", "UTF-8") +
+        s"&time=${(TsTables.EventsStartMs + 86400000L) / 1000}")
+      iq should include(""""resultType":"vector"""")
+      iq should include(""""value":[""")
+    } finally api.stop()
+  }
+
+  test("per-query series limit rejects oversized results") {
+    val samples = TsTables.eventsAsSamples(spark, "/root/testdata/sf0.001")
+    val api = new PromApi(spark, samples, maxResultSeries = 3).start()
+    try {
+      val resp = get(api.boundPort, "/api/v1/query_range?query=" +
+        java.net.URLEncoder.encode("sum_over_time(purchase[1d])", "UTF-8") +
+        s"&start=${TsTables.EventsStartMs / 1000}&end=${TsTables.EventsEndMs / 1000}&step=86400")
+      resp should include(""""status":"error"""")
+      resp should include("per-query limit")
     } finally api.stop()
   }
 }
