@@ -25,9 +25,15 @@ object PromPlanner {
     * (PeriodicSamplesMapper.scala:81-83). */
   val DefaultLookbackMs: Long = 300000L
 
+  /** Cold downsample tier (ds-gauge schema: metric, tags, ts, min, max,
+    * sum, count, avg): range functions that can be served from it are
+    * automatically rewritten and routed (LongTimeRangePlanner semantics). */
+  case class ColdTier(ds: DataFrame, boundaryMs: Long)
+
   case class Ctx(spark: SparkSession, samples: DataFrame,
                  startMs: Long, endMs: Long, stepMs: Long,
-                 lookbackMs: Long = DefaultLookbackMs)
+                 lookbackMs: Long = DefaultLookbackMs,
+                 cold: Option[ColdTier] = None)
 
   def queryRange(ctx: Ctx, query: String): DataFrame =
     planVector(ctx, Parser.parse(query))
@@ -60,8 +66,11 @@ object PromPlanner {
   }
 
   /** Filter samples for a selector; labels = tags + __name__. */
-  private def selectorSamples(ctx: Ctx, sel: Selector): DataFrame = {
-    var df = ctx.samples
+  private def selectorSamples(ctx: Ctx, sel: Selector): DataFrame =
+    selectorSamplesFrom(ctx.samples, sel)
+
+  private def selectorSamplesFrom(df0: DataFrame, sel: Selector): DataFrame = {
+    var df = df0
     sel.metric.foreach(m => df = df.filter(col("metric") === m))
     sel.matchers.foreach(m => df = df.filter(matcherPred(m)))
     val labels = map_concat(
@@ -78,8 +87,12 @@ object PromPlanner {
     * a join that AQE turns into a broadcast when the series set is small.
     * At 100 TB this keeps the big shuffle narrow and the label payload off
     * the wire. */
-  private def periodic(ctx: Ctx, sel: Selector, fn: RangeFn, windowMs: Long): DataFrame = {
-    val src = withKey(selectorSamples(ctx, sel))
+  private def periodic(ctx: Ctx, sel: Selector, fn: RangeFn, windowMs: Long): DataFrame =
+    periodicFrom(ctx, selectorSamples(ctx, sel), sel, fn, windowMs)
+
+  private def periodicFrom(ctx: Ctx, src0: DataFrame, sel: Selector,
+                           fn: RangeFn, windowMs: Long): DataFrame = {
+    val src = withKey(src0)
     val slim = src.select(col("__key"), col("ts"), col("value"), col("__tie"))
     // @ modifier pins the evaluation time: compute the single pinned step,
     // then replicate its value across the requested step grid.
@@ -217,8 +230,33 @@ object PromPlanner {
       args.head match {
         case sel: Selector if sel.windowMs.isDefined =>
           if (n == "absent_over_time") absent(ctx, sel, sel.windowMs.get)
-          else dropNameIf(periodic(ctx, sel, RangeFns.byName(n), sel.windowMs.get),
-            n != "last_over_time" && n != "timestamp")
+          else {
+            // Automatic raw/downsample routing: when a cold tier exists and
+            // the function is servable from ds-gauge columns, read the cold
+            // range from the rewritten column and only the hot tail raw.
+            val routed = ctx.cold
+              .filter(_ => graft.streaming.DownsampleRouting.Rewritable.contains(n))
+              .map { tier =>
+                val dsCol = n match {
+                  case "min_over_time" => "min"
+                  case "max_over_time" => "max"
+                  case "sum_over_time" => "sum"
+                  case "count_over_time" => "count"
+                }
+                val hot0 = selectorSamples(ctx, sel).filter(col("ts") > tier.boundaryMs)
+                val hot = if (n == "count_over_time")
+                  hot0.withColumn("value", lit(1.0)) else hot0
+                val cold = selectorSamplesFrom(
+                  tier.ds.withColumn("value", col(dsCol)), sel)
+                  .filter(col("ts") <= tier.boundaryMs)
+                val eff = if (n == "count_over_time") "sum_over_time" else n
+                (hot.unionByName(cold), eff)
+              }
+            val (src, effFn) = routed.getOrElse((selectorSamples(ctx, sel), n))
+            dropNameIf(
+              periodicFrom(ctx, src, sel, RangeFns.byName(effFn), sel.windowMs.get),
+              n != "last_over_time" && n != "timestamp")
+          }
         case Subquery(inner, range, step, off) =>
           val innerCtx = subqueryCtx(ctx, range, step, off)
           val innerDF = planVector(innerCtx, inner)

@@ -160,6 +160,28 @@ class PromQLSpec extends AnyFunSuite with Matchers {
     out shouldEqual Array(("1", 40.0), ("2", 5.0))
   }
 
+  test("cold-tier routing: PromQL answers match raw-only evaluation") {
+    import graft.promql.PromPlanner.ColdTier
+    // raw series: ts 1000..10000 step 1000, value = i
+    val raw = (1 to 10).map(i => ("m", Map("u" -> "1"), i * 1000L, i.toDouble))
+      .toDF("metric", "tags", "ts", "value")
+    // 5s downsample buckets of the cold half (ts <= 5000)
+    val ds = Seq(("m", Map("u" -> "1"), 5000L, 1.0, 5.0, 15.0, 5.0, 3.0))
+      .toDF("metric", "tags", "ts", "min", "max", "sum", "count", "avg")
+    val rawCtx = PromPlanner.Ctx(spark, raw, 10000L, 10000L, 1000L)
+    val routedCtx = rawCtx.copy(cold = Some(ColdTier(ds, 5000L)),
+      samples = raw.filter($"ts" > 5000L)) // raw tier lost its cold half
+    for (q <- Seq("sum_over_time(m[10s])", "min_over_time(m[10s])",
+                  "max_over_time(m[10s])", "count_over_time(m[10s])")) {
+      val expect = PromPlanner.queryRange(rawCtx, q).select("value").as[Double].head()
+      val got = PromPlanner.queryRange(routedCtx, q).select("value").as[Double].head()
+      withClue(q)(got shouldEqual expect +- 1e-9)
+    }
+    // non-servable fn still works from the (hot-only) raw tier
+    PromPlanner.queryRange(routedCtx, "avg_over_time(m[5s])")
+      .select("value").as[Double].head() shouldEqual 8.0 +- 1e-9
+  }
+
   test("runs against real events-as-samples data") {
     val samples = TsTables.eventsAsSamples(spark, "/root/testdata/sf0.001")
     val c = PromPlanner.Ctx(spark, samples,
