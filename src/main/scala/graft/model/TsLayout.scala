@@ -1,0 +1,43 @@
+package graft.model
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Physical layout of the canonical samples table at scale (SURVEY.md §1.1
+  * "Spark mapping", §4 predicate-pushdown row).
+  *
+  * Directory partitioning `metric=<m>/date=<d>` gives partition PRUNING for
+  * every query carrying a metric + time predicate — the Spark analogue of
+  * the reference's shard-key routing plus time-bucketed chunks. Within a
+  * partition, rows are repartitioned by series hash and sorted by
+  * (series_id, ts), so one parquet row-group holds contiguous runs of one
+  * series (delta-friendly encoding, and the window kernel's shuffle reads
+  * mostly co-located series).
+  *
+  * At 100 TB: date partitions bound scan width; `seriesBuckets` bounds file
+  * count per partition; nothing is driver-side.
+  */
+object TsLayout {
+
+  /** Write samples (metric, tags, ts ms, value, [series_id]) to the
+    * partitioned layout. */
+  def write(samples: DataFrame, path: String, seriesBuckets: Int = 8,
+            mode: SaveMode = SaveMode.Overwrite): Unit = {
+    val withCols = samples
+      .withColumn("series_id",
+        if (samples.columns.contains("series_id")) col("series_id")
+        else xxhash64(col("metric"), to_json(array_sort(map_entries(col("tags"))))))
+      .withColumn("date", to_date(timestamp_millis(col("ts"))))
+    withCols
+      .repartition(seriesBuckets, col("metric"), col("date"), pmod(col("series_id"), lit(seriesBuckets)))
+      .sortWithinPartitions(col("series_id"), col("ts"))
+      .write
+      .partitionBy("metric", "date")
+      .mode(mode)
+      .parquet(path)
+  }
+
+  /** Read the layout back; metric/time filters prune partitions. */
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+}

@@ -160,6 +160,33 @@ class PromQLSpec extends AnyFunSuite with Matchers {
     out shouldEqual Array(("1", 40.0), ("2", 5.0))
   }
 
+  test("group_left: many-to-one join copies labels from the one side") {
+    // many side: per-(user, page) hits; one side: per-user weight
+    val samples = Seq(
+      ("hits", Map("user" -> "1", "page" -> "a"), 1000L, 10.0),
+      ("hits", Map("user" -> "1", "page" -> "b"), 1000L, 20.0),
+      ("weight", Map("user" -> "1", "tier" -> "gold"), 1000L, 2.0)
+    ).toDF("metric", "tags", "ts", "value")
+    val c = PromPlanner.Ctx(spark, samples, 1000L, 1000L, 1000L, lookbackMs = 1000L)
+    val out = PromPlanner.queryRange(c,
+      """sum_over_time(hits[1s]) * on(user) group_left(tier) sum_over_time(weight[1s])""")
+      .select(col("labels")("page"), col("labels")("tier"), col("value"))
+      .as[(String, String, Double)].collect().sortBy(_._1)
+    out shouldEqual Array(("a", "gold", 20.0), ("b", "gold", 40.0))
+  }
+
+  test("window semantics golden cases (ported fixtures): tumbling sums drop nothing") {
+    // literal ts->value fixture in the style of the reference's
+    // WindowIteratorSpec: 90s of samples @10s, window=30s, step=30s
+    val samples = (0 until 9).map(i => ("s", Map.empty[String, String], 100000L + i * 10000L, (i + 1).toDouble))
+      .toDF("metric", "tags", "ts", "value")
+    val c = PromPlanner.Ctx(spark, samples, 130000L, 190000L, 30000L)
+    val out = PromPlanner.queryRange(c, "sum_over_time(s[30s])")
+      .select("step_ts", "value").as[(Long, Double)].collect().sorted
+    // windows (100000,130000]=v2+v3+v4, (130000,160000]=v5+v6+v7, (160000,190000]=v8+v9
+    out shouldEqual Array((130000L, 9.0), (160000L, 18.0), (190000L, 17.0))
+  }
+
   test("cold-tier routing: PromQL answers match raw-only evaluation") {
     import graft.promql.PromPlanner.ColdTier
     // raw series: ts 1000..10000 step 1000, value = i

