@@ -100,6 +100,73 @@ object PeriodicSamples {
       }(outEnc)
   }
 
+  /** Alternative physical shape: relational groupBy + collect_list, then
+    * one flatMap per aggregated series row. Unlike groupByKey (which runs
+    * a Scala key-closure per input row, forcing full-row deserialization),
+    * this keeps rows in Tungsten until ONE deserialization per series. */
+  def viaAggregate(df: DataFrame,
+                   seriesCols: Seq[String],
+                   tsCol: String,
+                   valueCol: String,
+                   startMs: Long, endMs: Long, stepMs: Long, windowMs: Long,
+                   fn: RangeFn,
+                   offsetMs: Long = 0L,
+                   stepCol: String = "step_ts",
+                   outCol: String = "value",
+                   tieCol: Option[String] = None): DataFrame = {
+    val n = seriesCols.size
+    val tie = tieCol.map(col(_).cast(LongType)).getOrElse(lit(0L)).as("__tie")
+    val prepared = df
+      .filter(col(tsCol).cast(LongType) > lit(startMs - offsetMs - windowMs) &&
+              col(tsCol).cast(LongType) <= lit(endMs - offsetMs) &&
+              col(valueCol).isNotNull)
+      .select(seriesCols.map(col) ++
+        Seq(col(tsCol).cast(LongType).as("__ts"), col(valueCol).cast(DoubleType).as("__v"), tie): _*)
+    val agged = prepared
+      .groupBy(seriesCols.map(col): _*)
+      .agg(collect_list(struct(col("__ts"), col("__tie"), col("__v"))).as("__samples"))
+    val keySchema = StructType(seriesCols.map(c => prepared.schema(c)))
+    val outSchema = StructType(keySchema.fields ++ Seq(
+      StructField(stepCol, LongType, nullable = false),
+      StructField(outCol, DoubleType, nullable = false)))
+    val outEnc = Encoders.row(outSchema)
+    agged.flatMap { row =>
+      val samples = row.getSeq[Row](n)
+      val len = samples.length
+      val order = new Array[Integer](len)
+      var i = 0
+      while (i < len) { order(i) = Integer.valueOf(i); i += 1 }
+      java.util.Arrays.sort(order, (a: Integer, b: Integer) => {
+        val c = java.lang.Long.compare(samples(a).getLong(0), samples(b).getLong(0))
+        if (c != 0) c else java.lang.Long.compare(samples(a).getLong(1), samples(b).getLong(1))
+      })
+      val ts = new Array[Long](len)
+      val vs = new Array[Double](len)
+      i = 0
+      while (i < len) {
+        val s = samples(order(i).intValue)
+        ts(i) = s.getLong(0); vs(i) = s.getDouble(2); i += 1
+      }
+      if (fn.needsCounterCorrection) monotonize(vs)
+      val keySeq = (0 until n).map(row.get)
+      val out = new ArrayBuffer[Row]
+      var lo = 0; var hi = 0
+      var t = startMs
+      while (t <= endMs) {
+        val wEnd = t - offsetMs
+        val wStart = wEnd - windowMs
+        while (lo < len && ts(lo) <= wStart) lo += 1
+        while (hi < len && ts(hi) <= wEnd) hi += 1
+        if (hi > lo) {
+          val v = fn.eval(ts, vs, lo, hi, wStart, wEnd)
+          if (!v.isNaN) out += Row.fromSeq(keySeq ++ Seq[Any](t, v))
+        }
+        t += stepMs
+      }
+      out.iterator
+    }(outEnc)
+  }
+
   /** In-place counter-reset correction: every drop adds the previous value
     * forward, making the series monotonic from the scan start (the
     * reference's BufferableCounterCorrectionIterator semantics). */

@@ -100,7 +100,7 @@ object PromPlanner {
       case Some(at) => (at, at)
       case None => (ctx.startMs, ctx.endMs)
     }
-    val out = PeriodicSamples(slim, Seq("__key"), "ts", "value",
+    val out = PeriodicSamples.viaAggregate(slim, Seq("__key"), "ts", "value",
       evalStart, evalEnd, ctx.stepMs, windowMs, fn,
       offsetMs = sel.offsetMs, tieCol = Some("__tie"))
     // The key IS the sorted label set serialized as JSON — rebuild the map
