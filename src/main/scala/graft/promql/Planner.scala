@@ -30,10 +30,16 @@ object PromPlanner {
     * automatically rewritten and routed (LongTimeRangePlanner semantics). */
   case class ColdTier(ds: DataFrame, boundaryMs: Long)
 
+  /** Pre-aggregated samples table (the reference's `preagg-*` schemas /
+    * hierarchical query experience): the same long samples layout but with
+    * series already summed across all labels NOT in `retainedLabels`. */
+  case class PreaggTable(samples: DataFrame, retainedLabels: Set[String])
+
   case class Ctx(spark: SparkSession, samples: DataFrame,
                  startMs: Long, endMs: Long, stepMs: Long,
                  lookbackMs: Long = DefaultLookbackMs,
-                 cold: Option[ColdTier] = None)
+                 cold: Option[ColdTier] = None,
+                 preagg: Seq[PreaggTable] = Nil)
 
   def queryRange(ctx: Ctx, query: String): DataFrame =
     planVector(ctx, Parser.parse(query))
@@ -132,9 +138,23 @@ object PromPlanner {
     case FuncCall(name, args) => planFunc(ctx, name, args)
 
     case Agg(op, expr, param, by, without) =>
+      // Pre-aggregation rewrite (reference AggLpOptimization /
+      // HierarchicalQueryExperience): `sum by (L) (sum_over_time(sel[w]))`
+      // reads a pre-aggregated table instead of raw when the table retains
+      // every label the query groups or filters on — sums of pre-summed
+      // series are identical, and the scan shrinks by the dropped-label
+      // cardinality.
+      val rewrittenCtx = (op, expr) match {
+        case ("sum", FuncCall("sum_over_time", Seq(sel: Selector)))
+            if by.nonEmpty && without.isEmpty && ctx.preagg.nonEmpty =>
+          val needed = by.toSet ++ sel.matchers.map(_.label).toSet - "__name__"
+          ctx.preagg.find(pa => needed.subsetOf(pa.retainedLabels))
+            .map(pa => ctx.copy(samples = pa.samples)).getOrElse(ctx)
+        case _ => ctx
+      }
       // by: keep exactly the listed labels (__name__ kept only if listed);
       // without: drop listed + __name__; no clause: empty label set.
-      val in = planVector(ctx, expr)
+      val in = planVector(rewrittenCtx, expr)
       val grouped = if (by.nonEmpty)
         in.withColumn("labels", map_filter(col("labels"), (k, _) => k.isin(by: _*)))
       else if (without.nonEmpty)

@@ -153,6 +153,11 @@ object PipelineQueries {
                 md5(text) AS sig
          FROM documents ORDER BY doc_id""",
 
+    "q75_frame_sampling" ->
+      """SELECT doc_id,
+                unnest(generate_series(0, (length(text) % 100 + 1) - 1, 7)) AS frame_idx
+         FROM documents WHERE doc_id % 3 = 2 ORDER BY 1, 2""",
+
     "q65_knn_bruteforce" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
               c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),

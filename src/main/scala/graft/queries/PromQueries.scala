@@ -431,6 +431,18 @@ object PromQueries {
             ON g.step_ts = p.step_ts AND g.event_type = p.event_type AND g.user_id = p.user_id
           ORDER BY 1,2,3""",
 
+    "q47_subquery_max_rate_3d" -> {
+      val innerRates = extrapolatedSql(Seq("event_type"), D1, D1,
+        isCounter = true, isRate = true,
+        selectCols = Some("step_ts, event_type, value"))
+      s"""WITH inner_rates AS ($innerRates),
+          stps2 AS (${steps(D1)})
+          SELECT s.step_ts, i.event_type, round(max(i.value),6) AS value
+          FROM stps2 s JOIN inner_rates i
+            ON i.step_ts > s.step_ts - ${3 * D1} AND i.step_ts <= s.step_ts
+          GROUP BY 1,2 ORDER BY 1,2"""
+    },
+
     "q39_predict_linear_1d" ->
       s"""${winSql(Seq("event_type"), D1, D1)},
           agg AS (SELECT step_ts, event_type, count(*) AS n,

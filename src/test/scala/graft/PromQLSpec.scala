@@ -209,6 +209,37 @@ class PromQLSpec extends AnyFunSuite with Matchers {
       .select("value").as[Double].head() shouldEqual 8.0 +- 1e-9
   }
 
+  test("preagg rewrite: sum by retained labels reads the pre-aggregated table") {
+    import graft.promql.PromPlanner.PreaggTable
+    val raw = Seq(
+      ("m", Map("job" -> "a", "inst" -> "1"), 1000L, 1.0),
+      ("m", Map("job" -> "a", "inst" -> "2"), 1000L, 2.0),
+      ("m", Map("job" -> "b", "inst" -> "1"), 1000L, 5.0)
+    ).toDF("metric", "tags", "ts", "value")
+    // pre-summed across inst, retaining {job}
+    val pa = Seq(
+      ("m", Map("job" -> "a"), 1000L, 3.0),
+      ("m", Map("job" -> "b"), 1000L, 5.0)
+    ).toDF("metric", "tags", "ts", "value")
+    val base = PromPlanner.Ctx(spark, raw, 1000L, 1000L, 1000L)
+    val withPa = base.copy(preagg = Seq(PreaggTable(pa, Set("job"))))
+    val q = """sum by (job) (sum_over_time(m[1s]))"""
+    // identical answers...
+    PromPlanner.queryRange(base, q).select(col("labels")("job"), col("value"))
+      .as[(String, Double)].collect().sortBy(_._1) shouldEqual
+      Array(("a", 3.0), ("b", 5.0))
+    PromPlanner.queryRange(withPa, q).select(col("labels")("job"), col("value"))
+      .as[(String, Double)].collect().sortBy(_._1) shouldEqual
+      Array(("a", 3.0), ("b", 5.0))
+    // ...and the preagg table is genuinely used: empty raw still answers
+    val emptyRaw = base.copy(samples = raw.filter(lit(false)),
+      preagg = Seq(PreaggTable(pa, Set("job"))))
+    PromPlanner.queryRange(emptyRaw, q).count() shouldEqual 2
+    // grouping by a dropped label does NOT rewrite (raw empty -> empty)
+    PromPlanner.queryRange(emptyRaw, """sum by (inst) (sum_over_time(m[1s]))""")
+      .count() shouldEqual 0
+  }
+
   test("runs against real events-as-samples data") {
     val samples = TsTables.eventsAsSamples(spark, "/root/testdata/sf0.001")
     val c = PromPlanner.Ctx(spark, samples,

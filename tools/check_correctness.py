@@ -16,10 +16,18 @@ TABLES = ["region","nation","customer","supplier","part","orders","lineitem",
           "events","documents","embeddings"]
 
 if "--skip-verify" not in sys.argv:
+    # wipe the outdir first: a compile failure must NEVER silently fall back
+    # to stale outputs from a previous run
+    import shutil
+    shutil.rmtree(outdir, ignore_errors=True)
     r = subprocess.run(["sbt","-batch",f"runMain graft.Verify {sfdir} {outdir}"],
                        cwd="/root/repo", capture_output=True, text=True, timeout=1800)
-    errs = [l for l in (r.stdout+r.stderr).splitlines() if "[verify]" in l or "[error]" in l]
-    print("\n".join(errs[:30]))
+    errs = [l for l in (r.stdout+r.stderr).splitlines() if "[verify]" in l or "error]" in l]
+    if r.returncode != 0:
+        print("VERIFY RUN FAILED (compile or runtime):")
+        print("\n".join(errs[-40:]))
+        sys.exit(2)
+    print("\n".join(l for l in errs if "[verify]" in l)[:3000])
 
 con = duckdb.connect()
 for t in TABLES:
