@@ -465,9 +465,32 @@ object PromPlanner {
           val grouping = matching.exists(m => m.groupLeft || m.groupRight)
           val (one, many, flip) =
             if (matching.exists(_.groupRight)) (lk, rk, true) else (rk, lk, false)
-          val oneSide = broadcast(one.select(col("__jk"), col("step_ts"),
+          // Cardinality guard (reference BinaryJoinExec:72-117): the "one"
+          // side must be unique per (join key, step); duplicates mean the
+          // match is many-to-many (or needs group_left/right) — error at
+          // runtime via raise_error, no extra action needed.
+          val dupW = Window.partitionBy(col("__jk"), col("step_ts"))
+          val oneChecked = one
+            .withColumn("__dup", count(lit(1)).over(dupW))
+            .withColumn("value",
+              when(col("__dup") > 1, raise_error(concat(
+                lit("found duplicate series for the match group on the "),
+                lit(if (grouping) "\"one\"" else "right"),
+                lit(" side of a vector binary operation; use group_left/group_right or on/ignoring"))))
+                .otherwise(col("value")))
+            .drop("__dup")
+          val oneSide = broadcast(oneChecked.select(col("__jk"), col("step_ts"),
             col("value").as("__ov"), col("labels").as("__olabels")))
-          val joined = many.join(
+          // without group_left/right the op is one-to-one: the many side
+          // must be unique per match group too
+          val manyChecked = if (grouping) many else many
+            .withColumn("__dup", count(lit(1)).over(dupW))
+            .withColumn("value",
+              when(col("__dup") > 1, raise_error(lit(
+                "multiple series match the same group in a one-to-one vector operation; use group_left/group_right")))
+                .otherwise(col("value")))
+            .drop("__dup")
+          val joined = manyChecked.join(
             if (grouping) oneSide else oneSide.drop("__olabels"),
             Seq("__jk", "step_ts"), "inner")
           val (lv, rv) =

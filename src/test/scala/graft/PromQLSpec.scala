@@ -209,6 +209,24 @@ class PromQLSpec extends AnyFunSuite with Matchers {
       .select("value").as[Double].head() shouldEqual 8.0 +- 1e-9
   }
 
+  test("cardinality guard: ambiguous one-to-one matches error; group_left allows them") {
+    val samples = Seq(
+      ("a", Map("job" -> "x", "i" -> "1"), 1000L, 1.0),
+      ("a", Map("job" -> "x", "i" -> "2"), 1000L, 2.0),
+      ("b", Map("job" -> "x"), 1000L, 10.0)
+    ).toDF("metric", "tags", "ts", "value")
+    val c = PromPlanner.Ctx(spark, samples, 1000L, 1000L, 1000L, lookbackMs = 1000L)
+    // two `a` series collapse onto job=x against one `b` series: one-to-one is ambiguous
+    val ex = intercept[Exception] {
+      PromPlanner.queryRange(c, "sum_over_time(a[1s]) / on(job) sum_over_time(b[1s])").collect()
+    }
+    ex.getMessage should include("group_left")
+    // with group_left it's a valid many-to-one
+    PromPlanner.queryRange(c,
+      "sum_over_time(a[1s]) / on(job) group_left sum_over_time(b[1s])")
+      .count() shouldEqual 2
+  }
+
   test("preagg rewrite: sum by retained labels reads the pre-aggregated table") {
     import graft.promql.PromPlanner.PreaggTable
     val raw = Seq(
