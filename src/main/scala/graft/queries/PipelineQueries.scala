@@ -50,7 +50,11 @@ object PipelineQueries {
       val a = d.as("a"); val b = d.as("b")
       a.join(b, col("a.lang") === col("b.lang") &&
                 col("a.len_bucket") === col("b.len_bucket") &&
-                col("a.doc_id") < col("b.doc_id"))
+                col("a.doc_id") < col("b.doc_id") &&
+                // implied by jaccard >= 0.8: |min|/|max| >= 0.8 — prunes
+                // pairs before the array intersection without changing results
+                size(col("a.toks")) * 5 >= size(col("b.toks")) * 4 &&
+                size(col("b.toks")) * 5 >= size(col("a.toks")) * 4)
         .withColumn("jaccard",
           size(array_intersect(col("a.toks"), col("b.toks"))) /
             size(array_union(col("a.toks"), col("b.toks"))).cast("double"))
@@ -67,7 +71,7 @@ object PipelineQueries {
     }),
 
     "q66_minhash_dups" -> ((s, dir) => // rows-only: xxhash sketches not SQL-portable
-      Dedup.minHashDuplicates(TsTables.documents(s, dir), threshold = 0.5)
+      Dedup.minHashDuplicates(TsTables.documents(s, dir), numHashes = 16, threshold = 0.5)
         .orderBy(col("id1"), col("id2"))),
 
     "q67_simhash" -> ((s, dir) => // rows-only

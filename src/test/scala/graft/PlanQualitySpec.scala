@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+import graft.model.TsTables
+import graft.promql.PromPlanner
+import graft.queries._
+
+/** Freezes physical-plan quality so regressions in pushdown/broadcast/
+  * shuffle shape fail loudly — the properties that matter at 100 TB, not
+  * just at test scale. */
+class PlanQualitySpec extends AnyFunSuite with Matchers {
+
+  lazy val spark: SparkSession = GraftSession.builder("local[4]", "4").getOrCreate()
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("selective filters reach the parquet scan") {
+    val p = plan(RelationalQueries.defs("q02_filter_pushdown_revenue")(spark, dir))
+    p should include("PushedFilters: [IsNotNull(l_shipdate)")
+    // column pruning: only needed columns in ReadSchema
+    p should include("ReadSchema: struct<l_quantity:double,l_extendedprice:double,l_discount:double,l_shipdate")
+  }
+
+  test("small dimension tables broadcast") {
+    val p = plan(RelationalQueries.defs("q04_multi_join_region")(spark, dir))
+    p should include("BroadcastHashJoin")
+    (p should not).include("SortMergeJoin")
+  }
+
+  test("PromQL kernel plans one exchange into MapPartitions, with time filter pushed") {
+    val samples = TsTables.eventsAsTypeSamples(spark, dir)
+    val ctx = PromPlanner.Ctx(spark, samples,
+      TsTables.EventsStartMs, TsTables.EventsEndMs, 6 * TsTables.Hour)
+    val df = PromPlanner.queryRange(ctx, "rate(purchase[6h])")
+    df.count() // finalize AQE so the executed plan is the real one
+    val p = plan(df)
+    // metric filter pushed to scan
+    p should include("EqualTo(event_type,purchase)")
+    // map-side combine before the shuffle, and exactly one shuffle total
+    p should include("partial_collect_list")
+    "Exchange hashpartitioning".r.findAllIn(p).length shouldEqual 1
+  }
+
+  test("aggregations are partially aggregated before the shuffle") {
+    val p = plan(RelationalQueries.defs("q01_pricing_summary")(spark, dir))
+    // partial_ functions upstream of the exchange = map-side combine
+    p should include("partial_sum")
+  }
+}
