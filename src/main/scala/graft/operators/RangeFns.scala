@@ -66,6 +66,22 @@ object RangeFns {
   val Increase: RangeFn = rateLike(isCounter = true, isRate = false)
   val Delta: RangeFn = rateLike(isCounter = false, isRate = false)
 
+  /** rate over DELTA-counter samples (reference RateOverDeltaFunction,
+    * `delta=true` schemas): each sample is already a per-interval delta,
+    * so rate = sum of samples / window seconds — no correction, no
+    * extrapolation. */
+  val RateOverDelta: RangeFn = new RangeFn {
+    def eval(ts: Array[Long], vs: Array[Double], lo: Int, hi: Int, wStart: Long, wEnd: Long): Double = {
+      var s = 0.0; var i = lo
+      while (i < hi) { if (!vs(i).isNaN) s += vs(i); i += 1 }
+      s / (wEnd - wStart) * 1000
+    }
+  }
+
+  /** increase over delta-counter samples = plain sum of the deltas.
+    * (def, not val: SumOverTime initializes later in this object) */
+  def IncreaseOverDelta: RangeFn = SumOverTime
+
   val SumOverTime: RangeFn = simple { (_, vs, lo, hi) =>
     var s = 0.0; var i = lo; while (i < hi) { if (!vs(i).isNaN) s += vs(i); i += 1 }; s
   }
@@ -257,6 +273,8 @@ object RangeFns {
   def byName(name: String, args: Seq[Double] = Nil): RangeFn =
     name.toLowerCase(Locale.ROOT) match {
       case "rate"               => Rate
+      case "rate_over_delta"    => RateOverDelta
+      case "increase_over_delta" => IncreaseOverDelta
       case "increase"           => Increase
       case "delta"              => Delta
       case "idelta"             => Idelta

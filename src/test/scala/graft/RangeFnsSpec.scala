@@ -114,6 +114,13 @@ class RangeFnsSpec extends AnyFunSuite with Matchers {
     RangeFns.ZScore.eval(ts, vs, 0, 3, 0, 0) shouldEqual (6.0 - mean) / sd +- eps
   }
 
+  test("delta-counter rate: sum of per-interval deltas per second") {
+    val ts = Array(1000L, 2000L, 3000L)
+    val vs = Array(5.0, 3.0, 2.0) // already deltas; drops are NOT resets
+    RangeFns.RateOverDelta.eval(ts, vs, 0, 3, 0L, 10000L) shouldEqual 10.0 / 10.0 +- 1e-9
+    RangeFns.IncreaseOverDelta.eval(ts, vs, 0, 3, 0L, 10000L) shouldEqual 10.0 +- 1e-9
+  }
+
   test("rate needs two samples and distinct timestamps") {
     RangeFns.Rate.eval(Array(1L), Array(1.0), 0, 1, 0, 10).isNaN shouldBe true
     RangeFns.Rate.eval(Array(5L, 5L), Array(1.0, 2.0), 0, 2, 0, 10).isNaN shouldBe true
