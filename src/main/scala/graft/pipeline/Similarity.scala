@@ -69,6 +69,49 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rk"), round(col("sim"), 6).as("sim"))
   }
 
+  /** IVF-style approximate kNN: cluster the corpus once with KMeans
+    * (deterministic seed), assign every vector to its nearest centroid,
+    * and probe only the `nprobe` centroids closest to each query. At scale
+    * the corpus stays partitioned by centroid id (partition pruning on the
+    * inverted lists); the centroid table is tiny and broadcast. */
+  def ivfKnn(queries: DataFrame, corpus: DataFrame, k: Int,
+             nCentroids: Int = 16, nprobe: Int = 4,
+             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    import org.apache.spark.ml.linalg.Vector
+
+    val c0 = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("cv"))
+    val km = new KMeans().setK(nCentroids).setSeed(42L)
+      .setFeaturesCol("features").setPredictionCol("centroid")
+    val model = km.fit(c0.withColumn("features", array_to_vector(col("cv"))))
+    val assigned = model.transform(c0.withColumn("features", array_to_vector(col("cv"))))
+      .select(col("neighbor_id"), col("cv"), col("centroid"))
+
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centroids = model.clusterCenters.zipWithIndex
+      .map { case (v: Vector, i: Int) => (i, v.toArray) }.toSeq
+      .toDF("centroid", "centroid_vec")
+
+    // nprobe nearest centroids per query (centroid table is tiny)
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
+    val wq = Window.partitionBy(col("query_id")).orderBy(col("cdist").asc)
+    val probes = q.crossJoin(broadcast(centroids))
+      .withColumn("cdist", -cosine(col("qv"), col("centroid_vec")))
+      .withColumn("crk", row_number().over(wq))
+      .filter(col("crk") <= nprobe)
+      .select(col("query_id"), col("qv"), col("centroid"))
+
+    val scored = probes.join(assigned, Seq("centroid"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rk"), round(col("sim"), 6).as("sim"))
+  }
+
   /** Embedding near-duplicate pairs: cosine >= threshold among LSH-bucket
     * candidates (the embedding-cosine dedup operator). */
   def cosineDuplicates(corpus: DataFrame, threshold: Double, nPlanes: Int = 6,

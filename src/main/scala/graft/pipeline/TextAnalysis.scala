@@ -52,4 +52,19 @@ object TextAnalysis {
     * whitespace) — the exact-dedup key. */
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** Winnowing fingerprints (rolling-hash document sketch): hash every
+    * k-shingle, slide a window of `w` consecutive hashes, keep each
+    * window's minimum, dedupe. Two documents sharing content share
+    * fingerprints regardless of position — the classic local fingerprint
+    * for plagiarism/near-dup detection. Pure array expressions. */
+  def winnowingFingerprints(text: Column, k: Int = 4, w: Int = 5): Column = {
+    val toks = tokens(lower(text))
+    val grams = transform(
+      sequence(lit(0), greatest(size(toks) - k, lit(0))),
+      i => xxhash64(concat_ws(" ", slice(toks, i + 1, lit(k)))))
+    array_distinct(transform(
+      sequence(lit(0), greatest(size(grams) - w, lit(0))),
+      i => array_min(slice(grams, i + 1, lit(w)))))
+  }
 }

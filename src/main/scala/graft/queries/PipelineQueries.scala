@@ -93,6 +93,28 @@ object PipelineQueries {
         .select(col("doc_id"), col("kind"), col("n_bytes"), col("sig"))
         .orderBy(col("doc_id"))),
 
+    "q76_ivf_knn" -> ((s, dir) => { // rows-only (KMeans-derived index)
+      val e = TsTables.embeddings(s, dir)
+      Similarity.ivfKnn(e.filter(col("vec_id") < 10), e, 5, nCentroids = 16, nprobe = 4)
+        .orderBy(col("query_id"), col("rk"))
+    }),
+
+    "q77_winnowing_candidates" -> ((s, dir) => { // rows-only (xxhash sketch)
+      val fps = TsTables.documents(s, dir)
+        .select(col("doc_id"),
+          explode(TextAnalysis.winnowingFingerprints(col("text"))).as("fp"))
+      // drop ubiquitous fingerprints (common phrases) before pairing
+      val rare = fps.groupBy(col("fp")).agg(count(lit(1)).as("n"))
+        .filter(col("n").between(2, 50)).select("fp")
+      val candidates = fps.join(rare, "fp")
+      val a = candidates.as("a"); val b = candidates.as("b")
+      a.join(b, col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+        .agg(count(lit(1)).as("shared_fps"))
+        .filter(col("shared_fps") >= 2)
+        .orderBy(col("id1"), col("id2"))
+    }),
+
     "q75_frame_sampling" -> ((s, dir) => // rows-only (byte-slice stub)
       Multimodal.sampleFrames(Multimodal.synthesizeMedia(TsTables.documents(s, dir)), everyN = 7)
         .select(col("doc_id"), col("frame_idx"))

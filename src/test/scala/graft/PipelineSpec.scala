@@ -65,6 +65,35 @@ class PipelineSpec extends AnyFunSuite with Matchers {
     res.select(max($"sim")).head.getDouble(0) should be <= 1.000001
   }
 
+  test("ivf knn: probed clusters contain the true nearest neighbors") {
+    val vecs = (0L until 200L).map { i =>
+      (i, Array.tabulate(8)(d => math.sin(i * 31 + d).toFloat))
+    }.toDF("vec_id", "embedding")
+    val queries = vecs.filter($"vec_id" < 3)
+    val brute = Similarity.bruteForceKnn(queries, vecs, 3)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfKnn(queries, vecs, 3, nCentroids = 4, nprobe = 4)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // probing every centroid == exact: sets must match
+    ivf shouldEqual brute
+    // with 1 probe it's a (possibly lossy) subset, never garbage
+    val ivf1 = Similarity.ivfKnn(queries, vecs, 3, nCentroids = 4, nprobe = 1)
+      .select("query_id").distinct().count()
+    ivf1 should be <= 3L
+  }
+
+  test("winnowing fingerprints overlap for shared content, disjoint otherwise") {
+    val d = Seq(
+      (1L, "one two three four five six seven eight nine ten eleven twelve"),
+      (2L, "zzz one two three four five six seven eight nine ten qqq extra"), // shares a run
+      (3L, "completely different words with nothing shared at all here now")
+    ).toDF("doc_id", "text")
+    val fp = d.select($"doc_id", TextAnalysis.winnowingFingerprints($"text").as("fps"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    (fp(1L) intersect fp(2L)) should not be empty
+    (fp(1L) intersect fp(3L)) shouldBe empty
+  }
+
   test("text analysis: tokens, quality, langid, fingerprint normalization") {
     val d = Seq((1L, "  The  quick   brown fox  "), (2L, "the quick brown fox")).toDF("doc_id", "text")
     val t = d.select($"doc_id", TextAnalysis.tokenCount($"text").as("n"),
