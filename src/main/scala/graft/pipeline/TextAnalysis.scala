@@ -57,14 +57,21 @@ object TextAnalysis {
     * k-shingle, slide a window of `w` consecutive hashes, keep each
     * window's minimum, dedupe. Two documents sharing content share
     * fingerprints regardless of position — the classic local fingerprint
-    * for plagiarism/near-dup detection. Pure array expressions. */
-  def winnowingFingerprints(text: Column, k: Int = 4, w: Int = 5): Column = {
-    val toks = tokens(lower(text))
-    val grams = transform(
+    * for plagiarism/near-dup detection.
+    *
+    * NOTE: compose via winnowingStage (materialized projections) — inlining
+    * the token split inside the nested lambdas makes Catalyst re-evaluate
+    * the split per array element (quadratic per document). */
+  def winnowingFingerprints(text: Column, k: Int = 4, w: Int = 5): Column =
+    fingerprintsFromGrams(gramsFromTokens(tokens(lower(text)), k), w)
+
+  def gramsFromTokens(toks: Column, k: Int): Column =
+    transform(
       sequence(lit(0), greatest(size(toks) - k, lit(0))),
       i => xxhash64(concat_ws(" ", slice(toks, i + 1, lit(k)))))
+
+  def fingerprintsFromGrams(grams: Column, w: Int): Column =
     array_distinct(transform(
       sequence(lit(0), greatest(size(grams) - w, lit(0))),
       i => array_min(slice(grams, i + 1, lit(w)))))
-  }
 }

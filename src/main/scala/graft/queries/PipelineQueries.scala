@@ -100,18 +100,24 @@ object PipelineQueries {
     }),
 
     "q77_winnowing_candidates" -> ((s, dir) => { // rows-only (xxhash sketch)
+      // long shingles (k=8) keep fingerprints selective even on the small
+      // synthetic vocabulary; rarity cap bounds bucket fan-out so the
+      // self-join stays linear in corpus size
       val fps = TsTables.documents(s, dir)
-        .select(col("doc_id"),
-          explode(TextAnalysis.winnowingFingerprints(col("text"))).as("fp"))
-      // drop ubiquitous fingerprints (common phrases) before pairing
+        .select(col("doc_id"), col("lang"),
+          TextAnalysis.tokens(lower(col("text"))).as("toks"))
+        .select(col("doc_id"), col("lang"),
+          TextAnalysis.gramsFromTokens(col("toks"), 8).as("grams"))
+        .select(col("doc_id"), col("lang"),
+          explode(TextAnalysis.fingerprintsFromGrams(col("grams"), 6)).as("fp"))
       val rare = fps.groupBy(col("fp")).agg(count(lit(1)).as("n"))
-        .filter(col("n").between(2, 50)).select("fp")
+        .filter(col("n").between(2, 8)).select("fp")
       val candidates = fps.join(rare, "fp")
       val a = candidates.as("a"); val b = candidates.as("b")
-      a.join(b, col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      a.join(b, col("a.fp") === col("b.fp") && col("a.lang") === col("b.lang") &&
+                col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
         .agg(count(lit(1)).as("shared_fps"))
-        .filter(col("shared_fps") >= 2)
         .orderBy(col("id1"), col("id2"))
     }),
 
