@@ -227,7 +227,7 @@ object PromQueries {
         "step_ts", "event_type", "user_id")
     }),
 
-    "q38_holt_winters_1d" -> ((s, dir) => // no SQL oracle: ordered recursion
+    "q38_holt_winters_1d" -> ((s, dir) => // oracle: recursive CTE
       ordered(r6(periodic(ev(s, dir), Seq("event_type"), D1, D1, RangeFns.HoltWinters(0.5, 0.3))),
         "step_ts", "event_type")),
 
@@ -442,6 +442,34 @@ object PromQueries {
             ON i.step_ts > s.step_ts - ${3 * D1} AND i.step_ts <= s.step_ts
           GROUP BY 1,2 ORDER BY 1,2"""
     },
+
+    "q38_holt_winters_1d" ->
+      s"""WITH RECURSIVE ev AS ($EV),
+          stps AS (${steps(D1)}),
+          win AS (SELECT s.step_ts, e.event_type, e.ts_ms, e.event_id, e.value
+                  FROM stps s JOIN ev e
+                  ON e.ts_ms > s.step_ts - $D1 AND e.ts_ms <= s.step_ts),
+          win2 AS (SELECT *,
+                     row_number() OVER (PARTITION BY step_ts, event_type
+                                        ORDER BY ts_ms, event_id) AS rn,
+                     count(*) OVER (PARTITION BY step_ts, event_type) AS n
+                   FROM win),
+          hw AS (
+            SELECT a.step_ts, a.event_type, 1 AS rn, a.n,
+                   a.value AS s, b.value - a.value AS b
+            FROM win2 a JOIN win2 b
+              ON a.step_ts = b.step_ts AND a.event_type = b.event_type
+             AND a.rn = 1 AND b.rn = 2
+            WHERE a.n >= 2
+            UNION ALL
+            SELECT w.step_ts, w.event_type, w.rn, h.n,
+                   0.5*w.value + 0.5*(h.s + h.b) AS s,
+                   0.3*((0.5*w.value + 0.5*(h.s + h.b)) - h.s) + 0.7*h.b AS b
+            FROM hw h JOIN win2 w
+              ON w.step_ts = h.step_ts AND w.event_type = h.event_type
+             AND w.rn = h.rn + 1)
+          SELECT step_ts, event_type, round(s, 6) AS value
+          FROM hw WHERE rn = n ORDER BY 1, 2""",
 
     "q39_predict_linear_1d" ->
       s"""${winSql(Seq("event_type"), D1, D1)},
