@@ -27,6 +27,9 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.filterPushdown", "true")
+      // PromQL arithmetic is IEEE-754: x/0 = +-Inf, 0/0 = NaN. Spark 4's
+      // default ANSI mode raises DIVIDE_BY_ZERO instead — turn it off.
+      .config("spark.sql.ansi.enabled", "false")
       .config("spark.ui.enabled", "false")
 
   def local(cpus: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {
@@ -39,6 +42,7 @@ object GraftSession {
   def tune(spark: SparkSession): SparkSession = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
     spark
   }
 }

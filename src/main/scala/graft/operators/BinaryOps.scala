@@ -20,8 +20,15 @@ object BinaryOps {
     case "+" => l + r
     case "-" => l - r
     case "*" => l * r
-    case "/" => l / r
-    case "%" => l % r                      // Scala fmod semantics, matches reference
+    case "/" =>
+      // IEEE-754 semantics (PromQL): x/0 = +-Inf, 0/0 = NaN. Spark's `/`
+      // returns NULL (legacy) or errors (ANSI) on zero divisors instead.
+      when(r =!= 0, l / r)
+        .when(l > 0, lit(Double.PositiveInfinity))
+        .when(l < 0, lit(Double.NegativeInfinity))
+        .otherwise(lit(Double.NaN))
+    case "%" =>
+      when(r =!= 0, l % r).otherwise(lit(Double.NaN)) // fmod(x, 0) = NaN
     case "^" => pow(l, r)
     case "==" => (l === r).cast("double")
     case "!=" => (l =!= r).cast("double")

@@ -315,6 +315,13 @@ object PromPlanner {
         .filter(col("__rk") <= k).drop("__rk")
       v.join(broadcast(keys), Seq("__key"), "left_semi")
 
+    case "or_vector" =>
+      // FiloDB extension (InstantFunction.scala:151-161): replace NaN
+      // sample values with a scalar default
+      val default = constParam(Some(args(1)))
+      val v = planVector(ctx, args.head)
+      v.withColumn("value", when(isnan(col("value")), lit(default)).otherwise(col("value")))
+
     case "absent" =>
       args.head match {
         case sel: Selector => absent(ctx, sel, ctx.lookbackMs)

@@ -1,0 +1,93 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+import graft.promql._
+
+/** Parser round-trips in the style of the reference's ParserSpec: PromQL
+  * strings → expected AST, covering shapes not exercised by planner specs. */
+class ParserGoldenSpec extends AnyFunSuite with Matchers {
+
+  private def sel(m: String) = Selector(Some(m), Nil)
+
+  test("matcher operator zoo") {
+    Parser.parse("""m{a="x", b!="y", c=~"z.*", d!~"w+", e=""}""") shouldEqual
+      Selector(Some("m"), Seq(
+        LabelMatcher("a", MatchOp.Eq, "x"), LabelMatcher("b", MatchOp.Ne, "y"),
+        LabelMatcher("c", MatchOp.Re, "z.*"), LabelMatcher("d", MatchOp.NotRe, "w+"),
+        LabelMatcher("e", MatchOp.Eq, "")))
+  }
+
+  test("recording-rule metric names with colons") {
+    Parser.parse("job:request_rate:sum5m") shouldEqual sel("job:request_rate:sum5m")
+  }
+
+  test("unary minus and parentheses") {
+    Parser.parse("-(a + b)") shouldEqual
+      BinOp("-", NumberLit(0), BinOp("+", sel("a"), sel("b")))
+  }
+
+  test("comparison precedence binds looser than arithmetic") {
+    Parser.parse("a + b > c * 2") shouldEqual
+      BinOp(">", BinOp("+", sel("a"), sel("b")),
+        BinOp("*", sel("c"), NumberLit(2)))
+  }
+
+  test("set-op chain is left-associative at its level") {
+    Parser.parse("a and b unless c") shouldEqual
+      BinOp("unless", BinOp("and", sel("a"), sel("b")), sel("c"))
+    Parser.parse("a or b and c") shouldEqual // and binds tighter than or
+      BinOp("or", sel("a"), BinOp("and", sel("b"), sel("c")))
+  }
+
+  test("aggregation clause before or after args") {
+    val expected = Agg("sum", sel("m"), None, Seq("job"), Nil)
+    Parser.parse("sum by (job) (m)") shouldEqual expected
+    Parser.parse("sum(m) by (job)") shouldEqual expected
+    Parser.parse("sum without (instance, pod) (m)") shouldEqual
+      Agg("sum", sel("m"), None, Nil, Seq("instance", "pod"))
+  }
+
+  test("count_values takes a string parameter") {
+    Parser.parse("""count_values("version", build_info)""") shouldEqual
+      Agg("count_values", sel("build_info"), Some(StringLit("version")), Nil, Nil)
+  }
+
+  test("nested function calls with scalar args") {
+    Parser.parse("clamp_max(round(m, 0.5), 10)") shouldEqual
+      FuncCall("clamp_max", Seq(FuncCall("round", Seq(sel("m"), NumberLit(0.5))), NumberLit(10)))
+    Parser.parse("holt_winters(m[10m], 0.5, 0.1)") shouldEqual
+      FuncCall("holt_winters", Seq(
+        Selector(Some("m"), Nil, Some(600000L)), NumberLit(0.5), NumberLit(0.1)))
+  }
+
+  test("ignoring + group_right with include list") {
+    Parser.parse("a * ignoring(x) group_right(y, z) b") shouldEqual
+      BinOp("*", sel("a"), sel("b"), bool = false,
+        Some(VectorMatch(on = false, Seq("x"), groupRight = true, include = Seq("y", "z"))))
+  }
+
+  test("durations: weeks, days, fractional-free compounds") {
+    Parser.parse("rate(m[1w])") shouldEqual
+      FuncCall("rate", Seq(Selector(Some("m"), Nil, Some(604800000L))))
+    Parser.parse("rate(m[2d12h])") shouldEqual
+      FuncCall("rate", Seq(Selector(Some("m"), Nil, Some(2L * 86400000L + 12L * 3600000L))))
+  }
+
+  test("subquery default step (empty step slot)") {
+    Parser.parse("min_over_time(m[1h:])") shouldEqual
+      FuncCall("min_over_time", Seq(Subquery(sel("m"), 3600000L, None)))
+  }
+
+  test("scientific-notation numbers") {
+    Parser.parse("m > 1e3") shouldEqual BinOp(">", sel("m"), NumberLit(1000.0))
+    Parser.parse("m * 2.5e-2") shouldEqual BinOp("*", sel("m"), NumberLit(0.025))
+  }
+
+  test("errors carry position context") {
+    val e1 = intercept[IllegalArgumentException](Parser.parse("sum("))
+    e1.getMessage should include("parse error")
+    intercept[IllegalArgumentException](Parser.parse("m[5x]"))
+    intercept[IllegalArgumentException](Parser.parse("""m{a=}"""))
+  }
+}

@@ -258,6 +258,16 @@ class PromQLSpec extends AnyFunSuite with Matchers {
       .count() shouldEqual 0
   }
 
+  test("or_vector replaces NaN values with the scalar default") {
+    val c = ctx(3000, 3000, 1000)
+    // z_score of a 1-sample window is NaN -> dropped; bool-compare makes a
+    // 0/1 vector we can turn NaN-free; simplest: divide by zero makes NaN
+    val out = PromPlanner.queryRange(c,
+      """or_vector(sum_over_time(purchase{user="1"}[3s]) * 0 / 0, 42)""")
+      .select("value").as[Double].collect()
+    out shouldEqual Array(42.0)
+  }
+
   test("runs against real events-as-samples data") {
     val samples = TsTables.eventsAsSamples(spark, "/root/testdata/sf0.001")
     val c = PromPlanner.Ctx(spark, samples,
