@@ -25,10 +25,15 @@ object Bench {
     // alphabetically-first suite query
     spark.read.parquet(s"$sfDir/region.parquet").count()
 
+    var failed = List.empty[String]
     val suite = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { fn(spark, sfDir).count(); true }
+               catch { case e: Throwable =>
+                 System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+                 failed ::= name; false }
+      // a failed run must never masquerade as a fast one
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
 
     val baseline = benchScenarios(spark, nSeries = 100, prefix = "base_") ++
@@ -36,8 +41,9 @@ object Bench {
 
     val all = suite ++ baseline
     val qs = all.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = all.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = all.collect { case (_, v) if v >= 0 => v }.sum
+    val errs = failed.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 

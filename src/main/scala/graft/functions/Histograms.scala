@@ -137,6 +137,18 @@ object Histograms {
       .withColumn("values", cumulative(col(countsCol)))
   }
 
+  /** Hist-typed SAMPLES (metric, tags, ts, le ARRAY, values ARRAY) →
+    * bucket-series samples with an `le` tag — the bridge that makes every
+    * bucket-series PromQL path (histogram_quantile over
+    * `sum by (le) (...)`) work over native-histogram storage, mirroring
+    * the reference's query-time hist→prom-vector conversion. */
+  def bucketSeriesSamples(df: DataFrame): DataFrame =
+    df.select(col("metric"), col("tags"), col("ts"),
+        posexplode(arrays_zip(col("le"), col("values"))))
+      .select(col("metric"),
+        map_concat(col("tags"), map(lit("le"), col("col.le").cast("string"))).as("tags"),
+        col("ts"), col("col.values").as("value"))
+
   /** Explode one histogram row into per-`le` bucket series rows
     * (hist_to_prom_vectors). */
   def toPromVectors(df: DataFrame, keyCols: Seq[String]): DataFrame =

@@ -71,9 +71,9 @@ class PromApi(spark: SparkSession, samples: DataFrame, port: Int = 0,
   private def queryRange(p: Map[String, String]): String = {
     val ctx = PromPlanner.Ctx(spark, samples, ms(p("start")), ms(p("end")), ms(p("step")))
     val df = PromPlanner.queryRange(ctx, p("query"))
+    enforceSeriesLimit(df)
     val rows = df.select(col("__key"), col("step_ts"), col("value"))
       .collect().groupBy(_.getString(0)).toSeq.sortBy(_._1)
-    enforceSeriesLimit(rows.size)
     val result = rows.map { case (key, rs) =>
       val metric = keyToJsonObject(key)
       val values = rs.sortBy(_.getLong(1)).map { r =>
@@ -89,8 +89,8 @@ class PromApi(spark: SparkSession, samples: DataFrame, port: Int = 0,
     val t = ms(p.getOrElse("time", (System.currentTimeMillis() / 1000).toString))
     val ctx = PromPlanner.Ctx(spark, samples, t, t, 1000L)
     val df = PromPlanner.queryRange(ctx, p("query"))
+    enforceSeriesLimit(df)
     val rows = df.select(col("__key"), col("step_ts"), col("value")).collect()
-    enforceSeriesLimit(rows.length)
     val result = rows.sortBy(_.getString(0)).map { r =>
       s"""{"metric":${keyToJsonObject(r.getString(0))},"value":[${fmtTs(r.getLong(1))},${js(fmt(r.getDouble(2)))}]}"""
     }.mkString(",")
@@ -98,11 +98,15 @@ class PromApi(spark: SparkSession, samples: DataFrame, port: Int = 0,
   }
 
   /** The reference enforces PerQueryLimits on result cardinality
-    * (QueryContext); same guard here at the presentation boundary. */
-  private def enforceSeriesLimit(n: Int): Unit =
+    * (QueryContext) DURING execution. Same here: count distinct series —
+    * capped at limit+1, executors do the counting — BEFORE collect(), so a
+    * runaway query fails without ever materializing on the driver. */
+  private def enforceSeriesLimit(df: DataFrame): Unit = {
+    val n = df.select(col("__key")).distinct().limit(maxResultSeries + 1).count()
     if (n > maxResultSeries)
       throw new IllegalStateException(
-        s"query result has $n series, exceeding the per-query limit of $maxResultSeries")
+        s"query result exceeds the per-query limit of $maxResultSeries series")
+  }
 
   private def labels(): String = {
     val names = "__name__" +:

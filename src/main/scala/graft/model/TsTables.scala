@@ -49,6 +49,26 @@ object TsTables {
       col("value"),
       col("event_id").as("__tie"))
 
+  /** Bucket-series samples (Prometheus `*_bucket` convention): each event
+    * contributes one indicator sample per `le` bound (1.0 if value <= le).
+    * `sum_over_time` over these per-le series yields exact cumulative
+    * bucket counts, so bucket-series histogram_quantile/fraction are
+    * oracle-checkable end to end. */
+  def eventsAsBucketSamples(spark: SparkSession, dir: String): DataFrame = {
+    val bounds = graft.functions.Histograms.DefaultBounds
+    events(spark, dir).select(
+      col("event_type").as("metric"),
+      col("ts_ms").as("ts"), col("value"), col("event_id"))
+      .select(col("metric"), col("ts"), col("event_id"),
+        explode(array(bounds.map(lit): _*)).as("le_bound"), col("value"))
+      .select(
+        col("metric"),
+        map(lit("le"), col("le_bound").cast("string")).as("tags"),
+        col("ts"),
+        when(col("value") <= col("le_bound"), 1.0).otherwise(0.0).as("value"),
+        col("event_id").as("__tie"))
+  }
+
   def lineitem(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/lineitem.parquet")
   def orders(spark: SparkSession, dir: String): DataFrame =

@@ -34,9 +34,16 @@ object InstantFns {
     case "minute"        => minute(epochTs(v)).cast("double")
     case "day_of_week"   => (dayofweek(epochTs(v)) - 1).cast("double") // 0=Sunday, Prom convention
     case "day_of_month"  => dayofmonth(epochTs(v)).cast("double")
+    case "day_of_year"   => dayofyear(epochTs(v)).cast("double")
     case "days_in_month" => dayofmonth(last_day(epochTs(v))).cast("double")
     case other => throw new IllegalArgumentException(s"unknown instant function: $other")
   }
+
+  /** Calendar functions that, called with NO argument, evaluate over the
+    * step grid as time scalars (the reference's ScalarTimeBasedPlan,
+    * query/.../LogicalPlan.scala:846-855). */
+  val TimeScalarFns: Set[String] = Set("hour", "minute", "month", "year",
+    "day_of_week", "day_of_month", "day_of_year", "days_in_month")
 
   private def epochTs(v: Column): Column = timestamp_seconds(v.cast("long"))
 }

@@ -16,6 +16,13 @@ object MatchOp {
 
 final case class LabelMatcher(label: String, op: MatchOp, value: String)
 
+/** Sentinels for `@ start()` / `@ end()` — resolved against the query
+  * range at plan time (the parser has no context). */
+object At {
+  val Start: Long = Long.MinValue
+  val End: Long = Long.MaxValue
+}
+
 /** Instant vector selector; `window` (set via [d]) turns it into a matrix
   * selector usable by range functions. */
 final case class Selector(metric: Option[String], matchers: Seq[LabelMatcher],

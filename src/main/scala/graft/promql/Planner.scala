@@ -102,7 +102,13 @@ object PromPlanner {
     val slim = src.select(col("__key"), col("ts"), col("value"), col("__tie"))
     // @ modifier pins the evaluation time: compute the single pinned step,
     // then replicate its value across the requested step grid.
-    val (evalStart, evalEnd) = sel.atMs match {
+    // @ start()/end() sentinels resolve against the query range here.
+    val atResolved = sel.atMs.map {
+      case At.Start => ctx.startMs
+      case At.End => ctx.endMs
+      case ms => ms
+    }
+    val (evalStart, evalEnd) = atResolved match {
       case Some(at) => (at, at)
       case None => (ctx.startMs, ctx.endMs)
     }
@@ -111,7 +117,7 @@ object PromPlanner {
       offsetMs = sel.offsetMs, tieCol = Some("__tie"))
     // The key IS the sorted label set serialized as JSON — rebuild the map
     // from it on the (small) output instead of joining or shuffling maps.
-    val gridded = sel.atMs match {
+    val gridded = atResolved match {
       case Some(_) => out.drop("step_ts").crossJoin(scalarGrid(ctx))
       case None => out
     }
@@ -211,8 +217,12 @@ object PromPlanner {
         .withColumn("labels", map().cast("map<string,string>"))
         .transform(withKey).transform(finish)
 
-    case sq: Subquery =>
-      throw new IllegalArgumentException("subquery is only valid as a range-function argument")
+    case Subquery(inner, range, step, off) =>
+      // Top-level subquery (reference TopLevelSubquery,
+      // LogicalPlan.scala:476-543): evaluate the inner expr on the
+      // subquery's own step-aligned grid covering [end-range, end] and
+      // return that matrix directly.
+      planVector(subqueryCtx(ctx, range, step, off), inner)
 
     case other => throw new IllegalArgumentException(s"cannot plan $other")
   }
@@ -310,9 +320,10 @@ object PromPlanner {
       // lowest __key first)
       val k = constParam(Some(args(0))).toInt
       val v = planVector(ctx, args(1))
-      val keys = v.select(col("__key")).distinct()
-        .withColumn("__rk", row_number().over(Window.orderBy(col("__key").asc)))
-        .filter(col("__rk") <= k).drop("__rk")
+      // distributed top-k (TakeOrderedAndProject): per-partition heads are
+      // merged on the driver — no single-task global Window even with
+      // millions of series. k keys are tiny, so the semi-join broadcasts.
+      val keys = v.select(col("__key")).distinct().orderBy(col("__key").asc).limit(k)
       v.join(broadcast(keys), Seq("__key"), "left_semi")
 
     case "or_vector" =>
@@ -321,6 +332,24 @@ object PromPlanner {
       val default = constParam(Some(args(1)))
       val v = planVector(ctx, args.head)
       v.withColumn("value", when(isnan(col("value")), lit(default)).otherwise(col("value")))
+
+    case "histogram_quantile" =>
+      val phi = constParam(Some(args(0)))
+      bucketHistogram(ctx, args(1))((le, values) =>
+        graft.functions.Histograms.quantile(phi, le, values))
+
+    case "histogram_fraction" =>
+      val lo = constParam(Some(args(0)))
+      val hi = constParam(Some(args(1)))
+      bucketHistogram(ctx, args(2))((le, values) =>
+        graft.functions.Histograms.fraction(lo, hi, le, values))
+
+    case "histogram_bucket" =>
+      // FiloDB extension: select the single bucket with the given upper
+      // bound from a bucket-series vector (le label).
+      val leWant = constParam(Some(args(0)))
+      val v = planVector(ctx, args(1))
+      v.filter(leNumeric(col("labels")("le")) === leWant)
 
     case "absent" =>
       args.head match {
@@ -343,6 +372,14 @@ object PromPlanner {
 
     case "time" =>
       scalarGrid(ctx).withColumn("value", col("step_ts") / 1000.0)
+        .withColumn("labels", map().cast("map<string,string>"))
+        .transform(withKey).transform(finish)
+
+    case n if InstantFns.TimeScalarFns.contains(n) && args.isEmpty =>
+      // 0-arg time scalars (reference ScalarTimeBasedPlan,
+      // LogicalPlan.scala:846-855): the calendar function of the evaluation
+      // timestamp itself, one value per step on the grid.
+      scalarGrid(ctx).withColumn("value", InstantFns(n, col("step_ts") / 1000.0))
         .withColumn("labels", map().cast("map<string,string>"))
         .transform(withKey).transform(finish)
 
@@ -386,6 +423,38 @@ object PromPlanner {
       val v = planVector(ctx, args.head)
       dropName(v.withColumn("value", InstantFns(instant, col("value"), paramArgs)))
         .transform(finish)
+  }
+
+  /** `le` label ("10.0", "+Inf", "Infinity") → numeric upper bound. */
+  private def leNumeric(le: Column): Column =
+    when(le.isin("+Inf", "Inf", "inf", "Infinity"), lit(Double.PositiveInfinity))
+      .otherwise(le.cast("double"))
+
+  /** Bucket-series histogram evaluation (reference
+    * HistogramQuantileMapper.scala:12-150): group the vector by labels
+    * minus `le`, sort buckets by upper bound, repair monotonicity (rate
+    * jitter can de-cumulate buckets), then apply `f(le[], values[])`.
+    * One groupBy on the already-periodic vector — the bucket arrays are a
+    * few entries per (series, step), never wide. */
+  private def bucketHistogram(ctx: Ctx, arg: PromExpr)
+                             (f: (Column, Column) => Column): DataFrame = {
+    val v = planVector(ctx, arg)
+    val leStr = col("labels")("le")
+    val stripped = v.filter(leStr.isNotNull)
+      .withColumn("__le", leNumeric(leStr))
+      .withColumn("labels",
+        map_filter(col("labels"), (k, _) => k =!= "le" && k =!= "__name__"))
+    val collected = withKey(stripped)
+      .groupBy(col("labels"), col("__key"), col("step_ts"))
+      .agg(array_sort(collect_list(struct(col("__le").as("le"), col("value").as("v"))))
+        .as("__b"))
+    // ensureMonotonic: running max over the cumulative counts
+    val mono = aggregate(col("__b"), array().cast("array<double>"),
+      (acc, x) => concat(acc,
+        array(greatest(x.getField("v"), coalesce(element_at(acc, -1), x.getField("v"))))))
+    finish(collected
+      .withColumn("value", f(col("__b").getField("le"), mono))
+      .drop("__b"))
   }
 
   private def matrixArg(ctx: Ctx, arg: PromExpr, fn: RangeFn): DataFrame = arg match {
@@ -452,6 +521,26 @@ object PromPlanner {
         val res = l.withColumn("__res", BinaryOps.scalarOp(op, col("value"), lit(rv)))
         finishScalarVec(res, cmp, bool, keepValue = true)
 
+      case _ if isScalarExpr(lhs) || isScalarExpr(rhs) =>
+        // ScalarOperationMapper path (reference
+        // RangeVectorTransformer.scala:200-279): a scalar-valued operand
+        // (scalar(expr), time(), hour(), scalar arithmetic) carries exactly
+        // one value per step — join on step_ts alone and apply elementwise,
+        // never on the label key (whose empty label set would match
+        // nothing).
+        if (setOp)
+          throw new IllegalArgumentException(s"set operator $op requires vector operands")
+        val scalarOnLeft = isScalarExpr(lhs)
+        val (vecE, scE) = if (scalarOnLeft) (rhs, lhs) else (lhs, rhs)
+        val v = planVector(ctx, vecE)
+        // one row per step: a legitimately tiny broadcast at any scale
+        val sc = broadcast(planVector(ctx, scE).select(col("step_ts"), col("value").as("__sv")))
+        val joined = v.join(sc, Seq("step_ts"), "inner")
+        val (lv, rv) =
+          if (scalarOnLeft) (col("__sv"), col("value")) else (col("value"), col("__sv"))
+        val res = joined.withColumn("__res", BinaryOps.scalarOp(op, lv, rv)).drop("__sv")
+        finishScalarVec(res, cmp, bool, keepValue = true)
+
       case _ =>
         val l = planVector(ctx, lhs)
         val r = planVector(ctx, rhs)
@@ -486,8 +575,11 @@ object PromPlanner {
                 lit(" side of a vector binary operation; use group_left/group_right or on/ignoring"))))
                 .otherwise(col("value")))
             .drop("__dup")
-          val oneSide = broadcast(oneChecked.select(col("__jk"), col("step_ts"),
-            col("value").as("__ov"), col("labels").as("__olabels")))
+          // No forced broadcast: the "one" side can be arbitrarily wide
+          // (millions of series × steps under group_left) — AQE picks
+          // broadcast vs shuffled-hash from the measured size at runtime.
+          val oneSide = oneChecked.select(col("__jk"), col("step_ts"),
+            col("value").as("__ov"), col("labels").as("__olabels"))
           // without group_left/right the op is one-to-one: the many side
           // must be unique per match group too
           val manyChecked = if (grouping) many else many
@@ -519,6 +611,19 @@ object PromPlanner {
           }
         }
     }
+  }
+
+  /** Scalar-typed expressions per PromQL / the reference's type system:
+    * number literals, scalar()/time(), 0-arg time functions
+    * (ScalarTimeBasedPlan), and arithmetic composed of scalars. */
+  private def isScalarExpr(e: PromExpr): Boolean = e match {
+    case NumberLit(_) => true
+    case FuncCall("scalar", _) => true
+    case FuncCall("time", Seq()) => true
+    case FuncCall(n, Seq()) if InstantFns.TimeScalarFns.contains(n) => true
+    case BinOp(o, l, r, _, _) if !Set("and", "or", "unless").contains(o) =>
+      isScalarExpr(l) && isScalarExpr(r)
+    case _ => false
   }
 
   private def finishScalarVec(res: DataFrame, cmp: Boolean, bool: Boolean,

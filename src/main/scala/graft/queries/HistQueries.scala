@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.model.TsTables
 import graft.functions.Histograms
+import graft.promql.PromPlanner
 
 /** Histogram operator coverage: build cumulative-bucket histograms from the
   * events stream per (event_type, day), then quantile / fraction /
@@ -42,9 +43,12 @@ object HistQueries {
         .orderBy("event_type", "day")),
 
     "q71_hist_sum_buckets" -> ((s, dir) =>
+      // exploded to (day, pos, bucket_value) so the compare harness can
+      // sort/hash scalar columns (ARRAY columns are unhashable there)
       Histograms.sumBuckets(histDF(s, dir), Seq("day"))
-        .select(col("day"), col("values"))
-        .orderBy("day")),
+        .select(col("day"), posexplode(col("values")))
+        .select(col("day"), col("pos"), col("col").as("bucket_value"))
+        .orderBy("day", "pos")),
 
     "q72_hist_fraction" -> ((s, dir) =>
       histDF(s, dir).select(col("event_type"), col("day"),
@@ -53,7 +57,43 @@ object HistQueries {
 
     "q73_hist_to_prom" -> ((s, dir) =>
       Histograms.toPromVectors(histDF(s, dir), Seq("event_type", "day"))
-        .orderBy("event_type", "day", "le"))
+        .orderBy("event_type", "day", "le")),
+
+    // PromQL-STRING histogram coverage: the planner's bucket-series path
+    // (reference HistogramQuantileMapper) reached from a query string.
+    "q59_promql_hist_quantile" -> ((s, dir) => {
+      val ctx = PromPlanner.Ctx(s, TsTables.eventsAsBucketSamples(s, dir),
+        TsTables.EventsStartMs, TsTables.EventsEndMs, TsTables.Day)
+      PromPlanner.queryRange(ctx,
+        "histogram_quantile(0.9, sum by (le) (sum_over_time(purchase[1d])))")
+        .select(col("step_ts"), round(col("value"), 6).as("q90"))
+        .orderBy("step_ts")
+    }),
+
+    "q79_promql_hist_fraction" -> ((s, dir) => {
+      val ctx = PromPlanner.Ctx(s, TsTables.eventsAsBucketSamples(s, dir),
+        TsTables.EventsStartMs, TsTables.EventsEndMs, TsTables.Day)
+      PromPlanner.queryRange(ctx,
+        "histogram_fraction(25, 150, sum by (le) (sum_over_time(purchase[1d])))")
+        .select(col("step_ts"), round(col("value"), 6).as("frac"))
+        .orderBy("step_ts")
+    }),
+
+    // Hist-typed STORAGE → bucket-series bridge → PromQL string: native
+    // histogram samples (le[], values[] per row) queried as
+    // histogram_quantile over an instant selector.
+    "q78_promql_hist_column" -> ((s, dir) => {
+      val hist = histDF(s, dir).select(
+        col("event_type").as("metric"),
+        map().cast("map<string,string>").as("tags"),
+        (lit(S) + (col("day") + 1) * D1).as("ts"),
+        col("le"), col("values"))
+      val samples = Histograms.bucketSeriesSamples(hist)
+      val ctx = PromPlanner.Ctx(s, samples, S + D1, TsTables.EventsEndMs, D1)
+      PromPlanner.queryRange(ctx, "histogram_quantile(0.9, purchase)")
+        .select(col("step_ts"), round(col("value"), 6).as("q90"))
+        .orderBy("step_ts")
+    })
   )
 
   def oracles: Map[String, String] = Map(
@@ -70,14 +110,19 @@ object HistQueries {
           FROM b ORDER BY 1,2""",
 
     "q71_hist_sum_buckets" ->
-      s"""WITH ev AS ($EV)
-          SELECT day, list_value(
-            sum(CASE WHEN value <= 10 THEN 1.0 ELSE 0 END),
-            sum(CASE WHEN value <= 50 THEN 1.0 ELSE 0 END),
-            sum(CASE WHEN value <= 100 THEN 1.0 ELSE 0 END),
-            sum(CASE WHEN value <= 200 THEN 1.0 ELSE 0 END),
-            CAST(count(*) AS DOUBLE)) AS "values"
-          FROM ev GROUP BY 1 ORDER BY 1""",
+      s"""WITH ev AS ($EV),
+          b AS (SELECT day,
+                  sum(CASE WHEN value <= 10 THEN 1.0 ELSE 0 END) AS c10,
+                  sum(CASE WHEN value <= 50 THEN 1.0 ELSE 0 END) AS c50,
+                  sum(CASE WHEN value <= 100 THEN 1.0 ELSE 0 END) AS c100,
+                  sum(CASE WHEN value <= 200 THEN 1.0 ELSE 0 END) AS c200,
+                  CAST(count(*) AS DOUBLE) AS ctot
+                FROM ev GROUP BY 1),
+          p(pos) AS (VALUES (0), (1), (2), (3), (4))
+          SELECT b.day, p.pos,
+                 CASE p.pos WHEN 0 THEN c10 WHEN 1 THEN c50 WHEN 2 THEN c100
+                            WHEN 3 THEN c200 ELSE ctot END AS bucket_value
+          FROM b CROSS JOIN p ORDER BY day, pos""",
 
     "q72_hist_fraction" ->
       s"""WITH ev AS ($EV), b AS ($BUCKETS)
@@ -92,6 +137,55 @@ object HistQueries {
           SELECT b.event_type, b.day, pos.le,
                  CASE pos.ord WHEN 1 THEN c10 WHEN 2 THEN c50 WHEN 3 THEN c100
                               WHEN 4 THEN c200 ELSE ctot END AS bucket_count
-          FROM b CROSS JOIN pos ORDER BY event_type, day, le"""
+          FROM b CROSS JOIN pos ORDER BY event_type, day, le""",
+
+    "q59_promql_hist_quantile" ->
+      s"""WITH ev AS (SELECT event_type, epoch_ns(ts)//1000000 AS ts_ms, value FROM events),
+          stps AS (SELECT unnest(generate_series($S, ${TsTables.EventsEndMs}, $D1)) AS step_ts),
+          b AS (SELECT s.step_ts,
+                  sum(CASE WHEN e.value <= 10 THEN 1.0 ELSE 0 END) AS c10,
+                  sum(CASE WHEN e.value <= 50 THEN 1.0 ELSE 0 END) AS c50,
+                  sum(CASE WHEN e.value <= 100 THEN 1.0 ELSE 0 END) AS c100,
+                  sum(CASE WHEN e.value <= 200 THEN 1.0 ELSE 0 END) AS c200,
+                  CAST(count(*) AS DOUBLE) AS ctot
+                FROM stps s JOIN ev e
+                  ON e.ts_ms > s.step_ts - $D1 AND e.ts_ms <= s.step_ts
+                WHERE e.event_type = 'purchase' GROUP BY 1)
+          SELECT step_ts,
+            round(CASE
+              WHEN c10 >= 0.9*ctot THEN 0.0 + (10.0 - 0.0) * (0.9*ctot - 0.0) / (c10 - 0.0)
+              WHEN c50 >= 0.9*ctot THEN 10.0 + (50.0 - 10.0) * (0.9*ctot - c10) / (c50 - c10)
+              WHEN c100 >= 0.9*ctot THEN 50.0 + (100.0 - 50.0) * (0.9*ctot - c50) / (c100 - c50)
+              WHEN c200 >= 0.9*ctot THEN 100.0 + (200.0 - 100.0) * (0.9*ctot - c100) / (c200 - c100)
+              ELSE 200.0 END, 6) AS q90
+          FROM b ORDER BY 1""",
+
+    "q79_promql_hist_fraction" ->
+      s"""WITH ev AS (SELECT event_type, epoch_ns(ts)//1000000 AS ts_ms, value FROM events),
+          stps AS (SELECT unnest(generate_series($S, ${TsTables.EventsEndMs}, $D1)) AS step_ts),
+          b AS (SELECT s.step_ts,
+                  sum(CASE WHEN e.value <= 10 THEN 1.0 ELSE 0 END) AS c10,
+                  sum(CASE WHEN e.value <= 50 THEN 1.0 ELSE 0 END) AS c50,
+                  sum(CASE WHEN e.value <= 100 THEN 1.0 ELSE 0 END) AS c100,
+                  sum(CASE WHEN e.value <= 200 THEN 1.0 ELSE 0 END) AS c200,
+                  CAST(count(*) AS DOUBLE) AS ctot
+                FROM stps s JOIN ev e
+                  ON e.ts_ms > s.step_ts - $D1 AND e.ts_ms <= s.step_ts
+                WHERE e.event_type = 'purchase' GROUP BY 1)
+          SELECT step_ts,
+            round(((c100 + (c200 - c100) * (150.0 - 100.0) / (200.0 - 100.0))
+                 - (c10 + (c50 - c10) * (25.0 - 10.0) / (50.0 - 10.0))) / ctot, 6) AS frac
+          FROM b ORDER BY 1""",
+
+    "q78_promql_hist_column" ->
+      s"""WITH ev AS ($EV), b AS ($BUCKETS)
+          SELECT $S + (day + 1) * $D1 AS step_ts,
+            round(CASE
+              WHEN c10 >= 0.9*ctot THEN 0.0 + (10.0 - 0.0) * (0.9*ctot - 0.0) / (c10 - 0.0)
+              WHEN c50 >= 0.9*ctot THEN 10.0 + (50.0 - 10.0) * (0.9*ctot - c10) / (c50 - c10)
+              WHEN c100 >= 0.9*ctot THEN 50.0 + (100.0 - 50.0) * (0.9*ctot - c50) / (c100 - c50)
+              WHEN c200 >= 0.9*ctot THEN 100.0 + (200.0 - 100.0) * (0.9*ctot - c100) / (c200 - c100)
+              ELSE 200.0 END, 6) AS q90
+          FROM b WHERE event_type = 'purchase' ORDER BY 1"""
   )
 }

@@ -178,13 +178,6 @@ object PipelineQueries {
                 md5(text) AS sig
          FROM documents ORDER BY doc_id""",
 
-    "q74_multimodal_decode" ->
-      """SELECT doc_id,
-                CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-                CAST(octet_length(CAST(text AS BLOB)) AS INT) AS n_bytes,
-                md5(text) AS sig
-         FROM documents ORDER BY doc_id""",
-
     "q75_frame_sampling" ->
       """SELECT doc_id,
                 unnest(generate_series(0, (length(text) % 100 + 1) - 1, 7)) AS frame_idx

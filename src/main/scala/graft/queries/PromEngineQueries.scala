@@ -119,7 +119,40 @@ object PromEngineQueries {
       PromPlanner.queryRange(userCtx(s, dir, D1),
         "quantile(0.9, sum_over_time(purchase[1d]))")
         .select(col("step_ts"), round(col("value"), 6).as("value"))
-        .orderBy("step_ts"))
+        .orderBy("step_ts")),
+
+    // vector ⊕ scalar(expr): the ScalarOperationMapper path — the scalar
+    // side joins on step_ts alone, never on the (empty) label key
+    "q17_promql_vec_div_scalar" -> ((s, dir) =>
+      PromPlanner.queryRange(userCtx(s, dir, D1),
+        "sum_over_time(purchase[1d]) / scalar(sum(sum_over_time(view[1d])))")
+        .select(col("labels")("user").as("user"), col("step_ts"),
+          round(col("value"), 6).as("value"))
+        .orderBy("step_ts", "user")),
+
+    // bare top-level subquery: evaluate the inner expr on the subquery grid
+    "q18_promql_toplevel_subquery" -> ((s, dir) => {
+      val instant = PromPlanner.Ctx(s, TsTables.eventsAsSamples(s, dir), E, E, D1)
+      PromPlanner.queryRange(instant, "sum_over_time(purchase[1d])[3d:1d]")
+        .select(col("labels")("user").as("user"), col("step_ts"),
+          round(col("value"), 6).as("value"))
+        .orderBy("step_ts", "user")
+    }),
+
+    // 0-arg time scalar on the step grid, composed into a binary op
+    "q19_promql_hour_scalar" -> ((s, dir) =>
+      PromPlanner.queryRange(typeCtx(s, dir, H6),
+        "sum_over_time(purchase[6h]) + hour() * 100")
+        .select(col("step_ts"), round(col("value"), 6).as("value"))
+        .orderBy("step_ts")),
+
+    // @ end(): evaluation pinned to the range end, replicated on the grid
+    "q12_promql_at_end" -> ((s, dir) =>
+      PromPlanner.queryRange(userCtx(s, dir, D1),
+        "sum_over_time(purchase[1d] @ end())")
+        .select(col("labels")("user").as("user"), col("step_ts"),
+          round(col("value"), 6).as("value"))
+        .orderBy("step_ts", "user"))
   )
 
   def oracles: Map[String, String] = Map(
@@ -228,6 +261,39 @@ object PromEngineQueries {
       s"""WITH ev AS ($EV), stps AS (${steps(D1)}),
           sums AS (${sums1d("purchase")})
           SELECT step_ts, round(quantile_cont(value, 0.9),6) AS value
-          FROM sums GROUP BY 1 ORDER BY 1"""
+          FROM sums GROUP BY 1 ORDER BY 1""",
+
+    "q17_promql_vec_div_scalar" ->
+      s"""WITH ev AS ($EV), stps AS (${steps(D1)}),
+          p AS (${sums1d("purchase")}),
+          t AS (SELECT step_ts, sum(value) AS tv FROM (${sums1d("view")}) GROUP BY 1)
+          SELECT CAST(p.user_id AS VARCHAR) AS "user", p.step_ts,
+                 round(p.value / COALESCE(t.tv, 'NaN'::DOUBLE), 6) AS value
+          FROM p LEFT JOIN t ON p.step_ts = t.step_ts
+          ORDER BY p.step_ts, "user"""",
+
+    "q18_promql_toplevel_subquery" ->
+      s"""WITH ev AS ($EV),
+          stps AS (SELECT unnest(generate_series(${E - 3 * D1}, $E, $D1)) AS step_ts),
+          sums AS (${sums1d("purchase")})
+          SELECT CAST(user_id AS VARCHAR) AS "user", step_ts, round(value,6) AS value
+          FROM sums ORDER BY step_ts, "user"""",
+
+    "q19_promql_hour_scalar" ->
+      s"""WITH ev AS ($EV), stps AS (${steps(H6)})
+          SELECT s.step_ts,
+                 round(sum(e.value) + ((s.step_ts // 1000) % 86400) // 3600 * 100, 6) AS value
+          FROM stps s JOIN ev e ON e.ts_ms > s.step_ts - $H6 AND e.ts_ms <= s.step_ts
+          WHERE e.event_type = 'purchase'
+          GROUP BY 1 ORDER BY 1""",
+
+    "q12_promql_at_end" ->
+      s"""WITH ev AS ($EV), stps AS (${steps(D1)}),
+          sums AS (SELECT user_id, sum(value) AS value FROM ev
+                   WHERE event_type = 'purchase'
+                     AND ts_ms > $E - $D1 AND ts_ms <= $E
+                   GROUP BY 1)
+          SELECT CAST(user_id AS VARCHAR) AS "user", s.step_ts, round(value,6) AS value
+          FROM sums CROSS JOIN stps s ORDER BY step_ts, "user""""
   )
 }

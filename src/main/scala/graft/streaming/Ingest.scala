@@ -23,6 +23,10 @@ object Ingest {
 
   case class Sample(series_id: Long, metric: String, user: String, ts: Long, value: Double)
 
+  /** Sample plus the event-time column the watermark is defined on. */
+  case class TimedSample(series_id: Long, metric: String, user: String,
+                         ts: Long, value: Double, et: java.sql.Timestamp)
+
   /** Normalize a raw events-shaped frame (streaming or batch) to samples. */
   def normalize(events: DataFrame): DataFrame =
     events.select(
@@ -34,18 +38,37 @@ object Ingest {
 
   /** Drop out-of-order / duplicate samples per series, keeping the
     * high-water mark in state — streaming-safe, mirrors reference
-    * ingest-time semantics (`outOfOrderDropped` counters). */
-  def dropOutOfOrder(samples: Dataset[Sample]): Dataset[Sample] = {
+    * ingest-time semantics (`outOfOrderDropped` counters).
+    *
+    * State is bounded: an event-time timeout tied to the watermark evicts
+    * the high-water mark of any series idle for `stateTtlMs` — without it,
+    * per-series state grows forever as series churn (the 100 TB killer).
+    * Late rows are still judged by the per-series mark, not the watermark,
+    * so drop semantics are unchanged. */
+  def dropOutOfOrder(samples: Dataset[Sample], stateTtlMs: Long = 3600000L,
+                     lateness: String = "10 minutes"): Dataset[Sample] = {
     import samples.sparkSession.implicits._
-    samples.groupByKey(_.series_id)
-      .flatMapGroupsWithState[Long, Sample](OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (_: Long, rows: Iterator[Sample], state: GroupState[Long]) =>
-          var hwm = state.getOption.getOrElse(Long.MinValue)
-          val out = rows.toSeq.sortBy(s => (s.ts, s.value)).iterator.flatMap { s =>
-            if (s.ts > hwm) { hwm = s.ts; Some(s) } else None
-          }.toVector
-          state.update(hwm)
-          out.iterator
+    val timed = samples.withColumn("et", timestamp_millis(col("ts")))
+      .withWatermark("et", lateness).as[TimedSample]
+    timed.groupByKey(_.series_id)
+      .flatMapGroupsWithState[Long, Sample](OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: Long, rows: Iterator[TimedSample], state: GroupState[Long]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var hwm = state.getOption.getOrElse(Long.MinValue)
+            val out = rows.toSeq.sortBy(s => (s.ts, s.value)).iterator.flatMap { s =>
+              if (s.ts > hwm) {
+                hwm = s.ts
+                Some(Sample(s.series_id, s.metric, s.user, s.ts, s.value))
+              } else None
+            }.toVector
+            state.update(hwm)
+            // evict once the watermark passes hwm + TTL (never set a
+            // timeout behind the current watermark — that's an error)
+            state.setTimeoutTimestamp(
+              math.max(hwm + stateTtlMs, state.getCurrentWatermarkMs() + 1))
+            out.iterator
+          }
       }
   }
 

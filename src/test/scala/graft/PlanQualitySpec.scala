@@ -50,4 +50,31 @@ class PlanQualitySpec extends AnyFunSuite with Matchers {
     // partial_ functions upstream of the exchange = map-side combine
     p should include("partial_sum")
   }
+
+  private def promCtx = PromPlanner.Ctx(spark, TsTables.eventsAsSamples(spark, dir),
+    TsTables.EventsStartMs, TsTables.EventsEndMs, TsTables.Day)
+
+  test("limit(k) plans a distributed top-k, not a single-task global window") {
+    val df = PromPlanner.queryRange(promCtx, "limit(3, sum_over_time(purchase[1d]))")
+    df.count() // finalize AQE
+    val p = plan(df)
+    p should include("TakeOrderedAndProject")
+    (p should not).include("Window")
+  }
+
+  test("vector binary join carries no forced broadcast hint (AQE decides)") {
+    val df = PromPlanner.queryRange(promCtx,
+      "sum_over_time(purchase[1d]) / sum_over_time(view[1d])")
+    // the analyzed plan would show ResolvedHint if the planner forced a
+    // broadcast of either join side; at scale both sides can be huge
+    (df.queryExecution.analyzed.toString should not).include("ResolvedHint")
+  }
+
+  test("scalar operand of a binary op joins on step_ts only (tiny broadcast)") {
+    val df = PromPlanner.queryRange(promCtx,
+      "sum_over_time(purchase[1d]) / scalar(sum(sum_over_time(view[1d])))")
+    df.count()
+    // the scalar side IS hinted (one row per step), and no label-key join
+    df.queryExecution.analyzed.toString should include("ResolvedHint")
+  }
 }

@@ -152,12 +152,74 @@ class PromQLSpec extends AnyFunSuite with Matchers {
       Array(math.sqrt(5.0), 5.0)
   }
 
+  test("vector op scalar(expr) applies per step, never joins on labels") {
+    val c = ctx(3000, 3000, 1000)
+    // scalar = sum of all views at step 3000 = 107
+    val div = PromPlanner.queryRange(c,
+      "sum_over_time(purchase[3s]) / scalar(sum(sum_over_time(view[3s])))")
+      .select(col("labels")("user"), col("value")).as[(String, Double)].collect().sortBy(_._1)
+    div shouldEqual Array(("1", 70.0 / 107.0), ("2", 5.0 / 107.0))
+    // scalar on the LEFT keeps operand order
+    val sub = PromPlanner.queryRange(c,
+      "scalar(sum(sum_over_time(view[3s]))) - sum_over_time(purchase[3s])")
+      .select(col("labels")("user"), col("value")).as[(String, Double)].collect().sortBy(_._1)
+    sub shouldEqual Array(("1", 37.0), ("2", 102.0))
+    // comparison against a scalar expr filters, keeping the vector value
+    PromPlanner.queryRange(c,
+      "sum_over_time(purchase[3s]) > scalar(sum(sum_over_time(view[3s])) / 2)")
+      .select(col("labels")("user"), col("value")).as[(String, Double)].collect() shouldEqual
+      Array(("1", 70.0))
+  }
+
+  test("0-arg time scalars evaluate the step timestamp on the grid") {
+    val c = ctx(3000, 3000, 1000)
+    PromPlanner.queryRange(c, "hour()").select("value").as[Double].collect() shouldEqual Array(0.0)
+    PromPlanner.queryRange(c, "month()").select("value").as[Double].collect() shouldEqual Array(1.0)
+    PromPlanner.queryRange(c, "day_of_year()").select("value").as[Double].collect() shouldEqual Array(1.0)
+    // composes as a scalar operand
+    PromPlanner.queryRange(c, "sum_over_time(purchase[3s]) + month() * 10")
+      .select(col("labels")("user"), col("value")).as[(String, Double)].collect()
+      .sortBy(_._1) shouldEqual Array(("1", 80.0), ("2", 15.0))
+  }
+
+  test("@ end() pins evaluation and replicates across the grid") {
+    val out = PromPlanner.queryRange(ctx(1000, 3000, 1000),
+      """sum_over_time(purchase{user="1"}[3s] @ end())""")
+      .select("step_ts", "value").as[(Long, Double)].collect().sorted
+    out shouldEqual Array((1000L, 70.0), (2000L, 70.0), (3000L, 70.0))
+  }
+
+  test("top-level subquery returns the inner matrix on the subquery grid") {
+    val out = PromPlanner.queryRange(ctx(3000, 3000, 1000), "sum_over_time(purchase[1s])[3s:1s]")
+      .select(col("labels")("user"), col("step_ts"), col("value"))
+      .as[(String, Long, Double)].collect().sortBy(t => (t._1, t._2))
+    out shouldEqual Array(
+      ("1", 1000L, 10.0), ("1", 2000L, 20.0), ("1", 3000L, 40.0), ("2", 2000L, 5.0))
+  }
+
   test("subquery: max_over_time of an inner rate series") {
     val c = ctx(3000, 3000, 1000)
     val out = PromPlanner.queryRange(c, "max_over_time(sum_over_time(purchase[1s])[3s:1s])")
       .select(col("labels")("user"), col("value")).as[(String, Double)].collect().sortBy(_._1)
     // inner per-1s sums for user1: 10,20,40 -> max 40; user2: 5 -> 5
     out shouldEqual Array(("1", 40.0), ("2", 5.0))
+  }
+
+  test("histogram_quantile/fraction/bucket over bucket series from a PromQL string") {
+    val samples = Seq(
+      ("lat_bucket", Map("le" -> "1.0"), 1000L, 5.0),
+      ("lat_bucket", Map("le" -> "2.0"), 1000L, 9.0),
+      ("lat_bucket", Map("le" -> "+Inf"), 1000L, 10.0)
+    ).toDF("metric", "tags", "ts", "value")
+    val c = PromPlanner.Ctx(spark, samples, 1000L, 1000L, 1000L, lookbackMs = 1000L)
+    // rank = 0.5*10 = 5 -> first bucket, interpolated from 0: exactly 1.0
+    PromPlanner.queryRange(c, "histogram_quantile(0.5, lat_bucket)")
+      .select("value").as[Double].collect() shouldEqual Array(1.0)
+    // fraction in (0, 1] = 5/10
+    PromPlanner.queryRange(c, "histogram_fraction(0, 1, lat_bucket)")
+      .select("value").as[Double].collect() shouldEqual Array(0.5)
+    PromPlanner.queryRange(c, "histogram_bucket(2, lat_bucket)")
+      .select("value").as[Double].collect() shouldEqual Array(9.0)
   }
 
   test("group_left: many-to-one join copies labels from the one side") {
