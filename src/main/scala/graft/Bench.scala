@@ -26,7 +26,10 @@ object Bench {
     spark.read.parquet(s"$sfDir/region.parquet").count()
 
     var failed = List.empty[String]
-    val suite = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // suite + the real-corpus sketch operators (correctness-gated on
+    // fixtures, but their scale shape is timed here every round)
+    val suite = (SparkEntry.queries ++ graft.queries.PipelineQueries.benchDefs)
+      .toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true }
                catch { case e: Throwable =>

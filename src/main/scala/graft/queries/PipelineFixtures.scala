@@ -1,0 +1,64 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic planted corpora for the hash-sketch pipeline operators.
+  *
+  * xxhash64-based sketches (MinHash/SimHash/LSH planes) and the KMeans IVF
+  * index are not reproducible in DuckDB SQL, so their correctness gate is
+  * golden-fixture: a corpus with PLANTED near-duplicates / neighbor
+  * structure, checked against the exact expected pair/neighbor sets as
+  * inline oracle tables. The real-corpus runs of the same operators stay on
+  * the bench path (PipelineQueries.benchDefs) so their scale behavior is
+  * still measured per round.
+  *
+  * Everything here is literal or integer-arithmetic-derived — no RNG, no
+  * time — so outputs are bit-stable across sessions and parallelism.
+  */
+object PipelineFixtures {
+
+  /** 12 docs: d0/d1/d2 a near-dup cluster (d2 exact copy of d0), d3/d4 a
+    * second cluster, d5-d9 unrelated, d10/d11 share one long verbatim
+    * passage (winnowing bait) inside different surroundings. */
+  private val docRows: Seq[(Int, String, String)] = Seq(
+    (0, "en", "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi omicron pi rho sigma tau upsilon"),
+    (1, "en", "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi omicron pi rho sigma tau phi"),
+    (2, "en", "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi omicron pi rho sigma tau upsilon"),
+    (3, "en", "one two three four five six seven eight nine ten eleven twelve thirteen fourteen fifteen sixteen seventeen eighteen"),
+    (4, "en", "one two three four five six seven eight nine ten eleven twelve thirteen fourteen fifteen sixteen nineteen twenty"),
+    (5, "en", "the quick brown fox jumps over a lazy dog near the riverbank at dawn every single morning"),
+    (6, "en", "sparkling galaxies rotate slowly around invisible centers while astronomers chart their spiral arms patiently"),
+    (7, "en", "fresh sourdough bread requires patient fermentation long kneading and a very hot stone oven floor"),
+    (8, "en", "mountain glaciers carve deep valleys over millennia leaving moraines and cold clear lakes behind them"),
+    (9, "en", "database engines trade write amplification against read latency using trees logs and clever caches"),
+    (10, "en", "intro words here then the shared secret passage hides twelve golden keys under the old stone bridge tonight and nothing else"),
+    (11, "en", "completely different opening before the shared secret passage hides twelve golden keys under the old stone bridge tonight closing words")
+  )
+
+  def docs(s: SparkSession): DataFrame = {
+    import s.implicits._
+    docRows.toDF("doc_id", "lang", "text")
+  }
+
+  /** 24 vectors in 8 dims, three well-separated direction clusters
+    * (i % 3), with small integer-derived per-vector perturbations; same-
+    * cluster cosines are high (planted near-dups), cross-cluster low. */
+  private val embRows: Seq[(Int, Array[Float])] = (0 until 24).map { i =>
+    val c = i % 3
+    val base = c match {
+      case 0 => Array(1.0, 0.0, 0.0, 0.0, 0.5, 0.0, 0.0, 0.0)
+      case 1 => Array(0.0, 1.0, 0.0, 0.0, 0.0, 0.5, 0.0, 0.0)
+      case _ => Array(0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 0.5, 0.0)
+    }
+    val v = Array.tabulate(8)(d => (base(d) + 0.02 * (((i / 3) * 7 + d) % 5)).toFloat)
+    (i, v)
+  }
+
+  def embs(s: SparkSession): DataFrame = {
+    import s.implicits._
+    // single partition keeps KMeans aggregation order (and thus the IVF
+    // index) identical under any session parallelism
+    embRows.toDF("vec_id", "embedding").repartition(1)
+  }
+}
