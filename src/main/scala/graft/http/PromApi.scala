@@ -32,9 +32,10 @@ class PromApi(spark: SparkSession, samples: DataFrame, port: Int = 0,
   def start(): PromApi = {
     server.createContext("/api/v1/query_range", handler(queryRange))
     server.createContext("/api/v1/query", handler(instantQuery))
-    server.createContext("/api/v1/labels", handler(_ => labels()))
+    server.createContext("/api/v1/labels", handler(labels))
     server.createContext("/api/v1/label/", handler(labelValues))
     server.createContext("/api/v1/series", handler(series))
+    server.createContext("/api/v1/label_cardinality", handler(labelCardinality))
     server.setExecutor(null)
     server.start()
     this
@@ -62,8 +63,15 @@ class PromApi(spark: SparkSession, samples: DataFrame, port: Int = 0,
       val Array(k, v) = p.split("=", 2)
       k -> java.net.URLDecoder.decode(v, "UTF-8")
     }.toMap
-    kv + ("__path" -> ex.getRequestURI.getPath)
+    kv + ("__path" -> ex.getRequestURI.getPath) + ("__raw" -> q)
   }
+
+  /** All `match[]` values (the params map keeps only the last duplicate). */
+  private def matchExprs(p: Map[String, String]): Seq[String] =
+    p.getOrElse("__raw", "").split("&").toSeq
+      .map(java.net.URLDecoder.decode(_, "UTF-8"))
+      .filter(_.startsWith("match[]="))
+      .map(_.stripPrefix("match[]="))
 
   /** seconds (float ok) → ms */
   private def ms(s: String): Long = (s.toDouble * 1000).toLong
@@ -108,26 +116,38 @@ class PromApi(spark: SparkSession, samples: DataFrame, port: Int = 0,
         s"query result exceeds the per-query limit of $maxResultSeries series")
   }
 
-  private def labels(): String = {
+  private def labels(p: Map[String, String]): String = {
     val names = "__name__" +:
-      MetadataOps.labelNames(samples).collect().map(_.getString(0)).sorted.toSeq
+      MetadataOps.labelNames(samples, matchExprs(p))
+        .collect().map(_.getString(0)).sorted.toSeq
     s"""{"status":"success","data":[${names.map(js).mkString(",")}]}"""
   }
 
   private def labelValues(p: Map[String, String]): String = {
     val label = p("__path").stripPrefix("/api/v1/label/").stripSuffix("/values")
+    val m = matchExprs(p)
     val vals =
-      if (label == "__name__") samples.select(col("metric")).distinct()
+      if (label == "__name__") samples.filter(MetadataOps.matchPred(m))
+        .select(col("metric")).distinct()
         .collect().map(_.getString(0)).sorted.toSeq
-      else MetadataOps.labelValues(samples, label)
+      else MetadataOps.labelValues(samples, label, m)
         .collect().map(_.getString(0)).sorted.toSeq
     s"""{"status":"success","data":[${vals.map(js).mkString(",")}]}"""
+  }
+
+  /** Per-label approximate distinct-value counts (HLL). */
+  private def labelCardinality(p: Map[String, String]): String = {
+    val labels = p.getOrElse("labels", "").split(",").filter(_.nonEmpty).toSeq
+    val row = MetadataOps.labelCardinality(samples, labels).collect().head
+    val entries = labels.zipWithIndex
+      .map { case (l, i) => s"${js(l)}:${row.getLong(i)}" }.mkString(",")
+    s"""{"status":"success","data":{$entries}}"""
   }
 
   private def series(p: Map[String, String]): String = {
     val from = p.get("start").map(ms).getOrElse(Long.MinValue)
     val to = p.get("end").map(ms).getOrElse(Long.MaxValue)
-    val rows = MetadataOps.series(samples, from, to).collect().map { r =>
+    val rows = MetadataOps.series(samples, from, to, matchExprs(p)).collect().map { r =>
       val metric = r.getString(0)
       val tags = r.getMap[String, String](1)
       val entries = (("__name__" -> metric) +: tags.toSeq.sortBy(_._1))

@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.promql.{LabelMatcher, MatchOp, Parser, Selector}
 
 /** Metadata queries — SURVEY.md §2.8: /api/v1/series, /labels,
   * /label/<l>/values, label + time-series cardinality. On the canonical
@@ -9,26 +10,61 @@ import org.apache.spark.sql.functions._
   * scan + distinct/approx-distinct; partition pruning on the metric/time
   * predicates keeps them cheap at scale, and HLL (`approx_count_distinct`)
   * replaces the reference's mergeable HLL sketches 1:1.
+  *
+  * `match[]` selector filters (reference PartKeysExec filters,
+  * MetadataExecPlan.scala:334-426) reuse the PromQL parser: each match[]
+  * string is a plain selector whose predicates push into the scan; several
+  * match[] sets OR together, per the Prometheus API.
   */
 object MetadataOps {
 
-  /** Distinct series (metric + full label map) matching the given filter.
-    * MapType cannot feed a set operation, so dedupe on a serialized
-    * sorted-entries key. */
-  def series(samples: DataFrame, fromMs: Long, toMs: Long): DataFrame =
+  /** Anchored matcher predicate on (metric, tags) — same semantics as the
+    * query planner's selector filters. */
+  def matcherPred(m: LabelMatcher): Column = {
+    val v = if (m.label == "__name__") col("metric") else col("tags")(m.label)
+    def anchor(re: String) = "^(?:" + re + ")$"
+    m.op match {
+      case MatchOp.Eq => if (m.value.isEmpty) v.isNull || v === "" else v === m.value
+      case MatchOp.Ne => if (m.value.isEmpty) v.isNotNull && v =!= "" else v.isNull || v =!= m.value
+      case MatchOp.Re => v.isNotNull && v.rlike(anchor(m.value))
+      case MatchOp.NotRe => v.isNull || !v.rlike(anchor(m.value))
+    }
+  }
+
+  /** OR-of-selectors predicate from `match[]` strings ("true" if none). */
+  def matchPred(matchExprs: Seq[String]): Column =
+    matchExprs.map { s =>
+      Parser.parse(s) match {
+        case sel: Selector =>
+          (sel.metric.map(col("metric") === _).toSeq ++ sel.matchers.map(matcherPred))
+            .reduceOption(_ && _).getOrElse(lit(true))
+        case other =>
+          throw new IllegalArgumentException(s"match[] must be a series selector, got $other")
+      }
+    }.reduceOption(_ || _).getOrElse(lit(true))
+
+  /** Distinct series (metric + full label map) in range, optionally
+    * filtered by match[] selectors. MapType cannot feed a set operation,
+    * so dedupe on a serialized sorted-entries key. */
+  def series(samples: DataFrame, fromMs: Long, toMs: Long,
+             matchExprs: Seq[String] = Nil): DataFrame =
     samples.filter(col("ts").between(fromMs, toMs))
+      .filter(matchPred(matchExprs))
       .select(col("metric"), col("tags"))
       .withColumn("__k", to_json(array_sort(map_entries(col("tags")))))
       .dropDuplicates("metric", "__k")
       .drop("__k")
 
   /** All label names present (tag keys + metric pseudo-label). */
-  def labelNames(samples: DataFrame): DataFrame =
-    samples.select(explode(map_keys(col("tags"))).as("label")).distinct()
+  def labelNames(samples: DataFrame, matchExprs: Seq[String] = Nil): DataFrame =
+    samples.filter(matchPred(matchExprs))
+      .select(explode(map_keys(col("tags"))).as("label")).distinct()
 
   /** Distinct values of one label. */
-  def labelValues(samples: DataFrame, label: String): DataFrame =
-    samples.select(col("tags")(label).as("value"))
+  def labelValues(samples: DataFrame, label: String,
+                  matchExprs: Seq[String] = Nil): DataFrame =
+    samples.filter(matchPred(matchExprs))
+      .select(col("tags")(label).as("value"))
       .filter(col("value").isNotNull).distinct()
 
   /** Approximate distinct-value count per label (HLL). */
@@ -41,4 +77,27 @@ object MetadataOps {
   def tsCardinality(samples: DataFrame): DataFrame =
     samples.groupBy(col("metric"))
       .agg(approx_count_distinct(col("series_id")).as("card"))
+
+  /** Hierarchical cardinality (reference TsCardinalities /
+    * MetadataExecPlan.scala:579-639): group by any label path — e.g.
+    * Seq("_ws_", "_ns_", "metric") for the reference's
+    * workspace/namespace/metric hierarchy — with active-vs-total counts,
+    * where active means "has a sample after activeAfterMs". One HLL
+    * aggregation, partial-merged map-side. */
+  def tsCardinalityBreakdown(samples: DataFrame, groupLabels: Seq[String],
+                             activeAfterMs: Long, exact: Boolean = false): DataFrame = {
+    val gcols = groupLabels.map {
+      case m @ ("metric" | "__name__") => col("metric").as(m)
+      case l => col("tags")(l).as(l)
+    }
+    // exact=true swaps the HLL for a true distinct count — used by the
+    // oracle gate; the scale path stays approximate like the reference's
+    // mergeable HLL sketches
+    val cd: Column => Column =
+      if (exact) c => count_distinct(c) else c => approx_count_distinct(c)
+    samples.groupBy(gcols: _*)
+      .agg(
+        cd(col("series_id")).as("total"),
+        cd(when(col("ts") > activeAfterMs, col("series_id"))).as("active"))
+  }
 }

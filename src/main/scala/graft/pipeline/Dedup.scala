@@ -49,16 +49,31 @@ object Dedup {
 
   /** LSH candidate pairs: split the signature into bands of `rowsPerBand`,
     * bucket-join docs sharing any band hash. Pair count is bounded by
-    * bucket sizes, never O(n²). */
+    * bucket sizes, never O(n²) — and `maxBucketSize` drops degenerate
+    * buckets (boilerplate-heavy corpora put thousands of docs behind one
+    * band hash, whose self-join would be quadratic at 100 TB). Members of
+    * a dropped bucket still pair through their other bands; truly
+    * identical docs are exact-dedup's job, not LSH's. */
   def lshCandidatePairs(sigs: DataFrame, idCol: String = "doc_id",
-                        rowsPerBand: Int = 4): DataFrame = {
+                        rowsPerBand: Int = 4, maxBucketSize: Int = 256): DataFrame = {
     val banded = sigs.select(col(idCol), posexplode(bandHashes(col("sig"), rowsPerBand)))
       .select(col(idCol), col("pos").as("band"), col("col").as("bh"))
-    val a = banded.as("a"); val b = banded.as("b")
+    val capped = capBuckets(banded, Seq("band", "bh"), maxBucketSize)
+    val a = capped.as("a"); val b = capped.as("b")
     a.join(b, col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
               col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("id1"), col(s"b.$idCol").as("id2"))
       .distinct()
+  }
+
+  /** Keep only rows whose bucket has at most `maxBucketSize` members —
+    * one partial-aggregated count + a semi-join, both on the bucket key. */
+  private[pipeline] def capBuckets(df: DataFrame, bucketCols: Seq[String],
+                                   maxBucketSize: Int): DataFrame = {
+    val ok = df.groupBy(bucketCols.map(col): _*)
+      .agg(count(lit(1)).as("__n")).filter(col("__n") <= maxBucketSize)
+      .select(bucketCols.map(col): _*)
+    df.join(ok, bucketCols, "left_semi")
   }
 
   private def bandHashes(sig: Column, rowsPerBand: Int): Column =
@@ -70,9 +85,9 @@ object Dedup {
     * pairs; then exact-verify with true shingle Jaccard >= threshold. */
   def minHashDuplicates(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
                         numHashes: Int = 32, shingleK: Int = 3, rowsPerBand: Int = 4,
-                        threshold: Double = 0.7): DataFrame = {
+                        threshold: Double = 0.7, maxBucketSize: Int = 256): DataFrame = {
     val sigs = minHashSignatures(docs, textCol, idCol, numHashes, shingleK)
-    val cands = lshCandidatePairs(sigs, idCol, rowsPerBand)
+    val cands = lshCandidatePairs(sigs, idCol, rowsPerBand, maxBucketSize)
     val withText = docs.select(col(idCol), shingles(col(textCol), shingleK).as("sh"))
     cands
       .join(withText.select(col(idCol).as("id1"), col("sh").as("sh1")), "id1")
@@ -101,9 +116,11 @@ object Dedup {
   /** Near-duplicate pairs by SimHash: same high-prefix bucket, Hamming
     * distance <= maxDist (bit_count of xor). */
   def simHashDuplicates(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
-                        prefixBits: Int = 16, maxDist: Int = 8): DataFrame = {
-    val s = simHash(docs, textCol, idCol)
+                        prefixBits: Int = 16, maxDist: Int = 8,
+                        maxBucketSize: Int = 1024): DataFrame = {
+    val s0 = simHash(docs, textCol, idCol)
       .withColumn("bucket", shiftright(col("simhash"), 64 - prefixBits))
+    val s = capBuckets(s0, Seq("bucket"), maxBucketSize)
     val a = s.as("a"); val b = s.as("b")
     a.join(b, col("a.bucket") === col("b.bucket") && col(s"a.$idCol") < col(s"b.$idCol"))
       .withColumn("dist", bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))))

@@ -115,9 +115,13 @@ object Similarity {
   /** Embedding near-duplicate pairs: cosine >= threshold among LSH-bucket
     * candidates (the embedding-cosine dedup operator). */
   def cosineDuplicates(corpus: DataFrame, threshold: Double, nPlanes: Int = 6,
-                       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val c = corpus.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
+                       idCol: String = "vec_id", vecCol: String = "embedding",
+                       maxBucketSize: Int = 4096): DataFrame = {
+    val c0 = corpus.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
       .withColumn("bucket", lshBucket(col("v"), nPlanes))
+    // degenerate-bucket cap: one near-constant embedding cluster would
+    // otherwise make this self-join quadratic (see Dedup.capBuckets)
+    val c = graft.pipeline.Dedup.capBuckets(c0, Seq("bucket"), maxBucketSize)
     val a = c.as("a"); val b = c.as("b")
     a.join(b, col("a.bucket") === col("b.bucket") && col(s"a.$idCol") < col(s"b.$idCol"))
       .withColumn("sim", cosine(col("a.v"), col("b.v")))

@@ -145,22 +145,18 @@ object PromPlanner {
 
     case Agg(op, expr, param, by, without) =>
       // Pre-aggregation rewrite (reference AggLpOptimization /
-      // HierarchicalQueryExperience): `sum by (L) (sum_over_time(sel[w]))`
-      // reads a pre-aggregated table instead of raw when the table retains
-      // every label the query groups or filters on — sums of pre-summed
-      // series are identical, and the scan shrinks by the dropped-label
-      // cardinality.
-      val rewrittenCtx = (op, expr) match {
-        case ("sum", FuncCall("sum_over_time", Seq(sel: Selector)))
-            if by.nonEmpty && without.isEmpty && ctx.preagg.nonEmpty =>
-          val needed = by.toSet ++ sel.matchers.map(_.label).toSet - "__name__"
-          ctx.preagg.find(pa => needed.subsetOf(pa.retainedLabels))
-            .map(pa => ctx.copy(samples = pa.samples)).getOrElse(ctx)
-        case _ => ctx
-      }
+      // HierarchicalQueryExperience): shapes like
+      // `sum by (L) (sum_over_time(sel[w]))` read a pre-aggregated table
+      // instead of raw when it retains every label the query groups or
+      // filters on — the scan shrinks by the dropped-label cardinality.
+      // Covered shapes: sum∘sum_over_time, min∘min_over_time,
+      // max∘max_over_time, sum∘count_over_time (reads the count column);
+      // avg decomposes as sum(sum_over_time)/sum(count_over_time), and
+      // both halves rewrite through these rules.
+      val (rewrittenCtx, rewrittenExpr) = preaggRewrite(ctx, op, expr, by, without)
       // by: keep exactly the listed labels (__name__ kept only if listed);
       // without: drop listed + __name__; no clause: empty label set.
-      val in = planVector(rewrittenCtx, expr)
+      val in = planVector(rewrittenCtx, rewrittenExpr)
       val grouped = if (by.nonEmpty)
         in.withColumn("labels", map_filter(col("labels"), (k, _) => k.isin(by: _*)))
       else if (without.nonEmpty)
@@ -229,6 +225,36 @@ object PromPlanner {
 
   private def dropNameIf(df: DataFrame, cond: Boolean): DataFrame = if (cond) dropName(df) else df
 
+  /** (agg op, range fn) → (preagg ds-gauge column, effective range fn). */
+  private val PreaggShapes: Map[(String, String), (String, String)] = Map(
+    ("sum", "sum_over_time") -> ("sum", "sum_over_time"),
+    ("min", "min_over_time") -> ("min", "min_over_time"),
+    ("max", "max_over_time") -> ("max", "max_over_time"),
+    // total raw-sample count = sum over the preagg buckets' count column
+    ("sum", "count_over_time") -> ("count", "sum_over_time"))
+
+  /** Route a rewritable agg∘range-fn shape to a pre-aggregated table. The
+    * preagg samples either carry ds-gauge columns (min/max/sum/count) or a
+    * legacy pre-summed `value` (sum shape only). */
+  private def preaggRewrite(ctx: Ctx, op: String, expr: PromExpr,
+                            by: Seq[String], without: Seq[String]): (Ctx, PromExpr) =
+    expr match {
+      case FuncCall(fn, Seq(sel: Selector)) if by.nonEmpty && without.isEmpty &&
+          ctx.preagg.nonEmpty && PreaggShapes.contains((op, fn)) =>
+        val needed = by.toSet ++ sel.matchers.map(_.label).toSet - "__name__"
+        val (dsCol, effFn) = PreaggShapes((op, fn))
+        ctx.preagg.find(pa => needed.subsetOf(pa.retainedLabels)).flatMap { pa =>
+          val cols = pa.samples.columns
+          if (cols.contains(dsCol))
+            Some((ctx.copy(samples = pa.samples.withColumn("value", col(dsCol))),
+              FuncCall(effFn, Seq(sel)): PromExpr))
+          else if (dsCol == "sum" && cols.contains("value"))
+            Some((ctx.copy(samples = pa.samples), expr)) // legacy pre-summed
+          else None
+        }.getOrElse((ctx, expr))
+      case _ => (ctx, expr)
+    }
+
   private def groupKeyExpr(by: Seq[String], without: Seq[String]): Column = {
     val filtered =
       if (by.nonEmpty) map_filter(col("labels"), (k, _) => k.isin(by: _*))
@@ -260,6 +286,25 @@ object PromPlanner {
       args.head match {
         case sel: Selector if sel.windowMs.isDefined =>
           if (n == "absent_over_time") absent(ctx, sel, sel.windowMs.get)
+          else if ((n == "rate" || n == "increase") &&
+                   ctx.samples.columns.contains("series_type")) {
+            // Schema-type dispatch (reference MultiSchemaPartitionsExec +
+            // the RangeFunction delta/cumulative toggler,
+            // RangeFunction.scala:352-360): cumulative-counter series use
+            // the extrapolating kernel, delta-counter series the sum-based
+            // one. series_type is a storage column, so each branch is a
+            // pruned scan, the Spark analogue of per-partition schemas.
+            val deltaFn =
+              if (n == "rate") RangeFns.RateOverDelta else RangeFns.IncreaseOverDelta
+            val w = sel.windowMs.get
+            val cum = periodicFrom(ctx,
+              selectorSamplesFrom(ctx.samples.filter(col("series_type") =!= "delta"), sel),
+              sel, RangeFns.byName(n), w)
+            val del = periodicFrom(ctx,
+              selectorSamplesFrom(ctx.samples.filter(col("series_type") === "delta"), sel),
+              sel, deltaFn, w)
+            dropName(cum.unionByName(del))
+          }
           else {
             // Automatic raw/downsample routing: when a cold tier exists and
             // the function is servable from ds-gauge columns, read the cold

@@ -146,6 +146,22 @@ object PromEngineQueries {
         .select(col("step_ts"), round(col("value"), 6).as("value"))
         .orderBy("step_ts")),
 
+    // schema-type dispatch: one query over mixed cumulative-counter and
+    // delta-counter series; the planner picks the kernel per series_type
+    "q82_promql_mixed_schema_rate" -> ((s, dir) => {
+      val samples = TsTables.events(s, dir).select(
+        col("event_type").as("metric"),
+        map(lit("type"), col("event_type")).as("tags"),
+        col("ts_ms").as("ts"), col("value"), col("event_id").as("__tie"))
+        .withColumn("series_type",
+          when(col("metric") === "view", "delta").otherwise("counter"))
+      val ctx = PromPlanner.Ctx(s, samples, S, E, H6)
+      PromPlanner.queryRange(ctx, """rate({__name__=~"purchase|view"}[6h])""")
+        .select(col("labels")("type").as("type"), col("step_ts"),
+          round(col("value"), 6).as("value"))
+        .orderBy("step_ts", "type")
+    }),
+
     // @ end(): evaluation pinned to the range end, replicated on the grid
     "q12_promql_at_end" -> ((s, dir) =>
       PromPlanner.queryRange(userCtx(s, dir, D1),
@@ -286,6 +302,22 @@ object PromEngineQueries {
           FROM stps s JOIN ev e ON e.ts_ms > s.step_ts - $H6 AND e.ts_ms <= s.step_ts
           WHERE e.event_type = 'purchase'
           GROUP BY 1 ORDER BY 1""",
+
+    "q82_promql_mixed_schema_rate" -> {
+      val counter = PromQueries.extrapolatedSql(Seq("event_type"), H6, H6,
+        isCounter = true, isRate = true,
+        where = Some("event_type = 'purchase'"),
+        selectCols = Some("'purchase' AS type, step_ts, round(value,6) AS value"))
+      s"""SELECT type, step_ts, value FROM (
+            ($counter)
+            UNION ALL
+            (WITH ev AS ($EV), stps AS (${steps(H6)})
+             SELECT 'view' AS type, s.step_ts,
+                    round(sum(e.value) / ${H6 / 1000}, 6) AS value
+             FROM stps s JOIN ev e ON e.ts_ms > s.step_ts - $H6 AND e.ts_ms <= s.step_ts
+             WHERE e.event_type = 'view' GROUP BY 2)
+          ) ORDER BY step_ts, type"""
+    },
 
     "q12_promql_at_end" ->
       s"""WITH ev AS ($EV), stps AS (${steps(D1)}),

@@ -112,7 +112,26 @@ object RelationalQueries {
         .agg(round(percentile(col("value"), lit(0.75)), 6).as("p75"),
              round(percentile(col("value"), lit(0.5)), 6).as("p50"))
         .orderBy(col("event_type"))
-    })
+    }),
+
+    // /api/v1/series with match[] selector filters (reference PartKeysExec
+    // label filtering) — two selectors OR together per the Prometheus API
+    "q80_series_match" -> ((s, dir) =>
+      graft.operators.MetadataOps.series(
+        TsTables.eventsAsSamples(s, dir),
+        TsTables.EventsStartMs, TsTables.EventsEndMs,
+        Seq("""purchase{user=~"1.*"}""", """view{user="7"}"""))
+        .select(col("metric"), col("tags")("user").as("user"))
+        .orderBy("metric", "user")),
+
+    // hierarchical ts-cardinality with active-vs-total counts (reference
+    // TsCardinalities); exact counts here so the oracle can verify the
+    // grouping/active semantics — the scale path is the HLL variant
+    "q81_ts_cardinality_breakdown" -> ((s, dir) =>
+      graft.operators.MetadataOps.tsCardinalityBreakdown(
+        TsTables.eventsAsSamples(s, dir), Seq("metric"),
+        TsTables.EventsEndMs - 7 * TsTables.Day, exact = true)
+        .orderBy("metric"))
   )
 
   def oracles: Map[String, String] = Map(
@@ -175,6 +194,20 @@ object RelationalQueries {
       """SELECT event_type,
          round(quantile_cont(value, 0.75),6) AS p75,
          round(quantile_cont(value, 0.5),6) AS p50
-         FROM events GROUP BY 1 ORDER BY 1"""
+         FROM events GROUP BY 1 ORDER BY 1""",
+
+    "q80_series_match" ->
+      """SELECT DISTINCT event_type AS metric, CAST(user_id AS VARCHAR) AS "user"
+         FROM events
+         WHERE (event_type = 'purchase' AND regexp_full_match(CAST(user_id AS VARCHAR), '1.*'))
+            OR (event_type = 'view' AND CAST(user_id AS VARCHAR) = '7')
+         ORDER BY 1, 2""",
+
+    "q81_ts_cardinality_breakdown" ->
+      s"""SELECT event_type AS metric,
+                 count(DISTINCT user_id) AS total,
+                 count(DISTINCT CASE WHEN epoch_ns(ts)//1000000 >
+                   ${TsTables.EventsEndMs - 7 * TsTables.Day} THEN user_id END) AS active
+          FROM events GROUP BY 1 ORDER BY 1"""
   )
 }

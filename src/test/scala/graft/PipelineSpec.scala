@@ -36,6 +36,35 @@ class PipelineSpec extends AnyFunSuite with Matchers {
     dups should not contain ((4L, 5L))
   }
 
+  test("LSH bucket cap drops degenerate buckets, leaves normal corpora alone") {
+    // 40 identical docs: every band bucket holds all 40 — the quadratic
+    // bucket the cap exists for
+    val degenerate = (0 until 40)
+      .map(i => (i.toLong, "same exact words repeated for everyone here in this corpus today yes"))
+      .toDF("doc_id", "text")
+    Dedup.minHashDuplicates(degenerate, threshold = 0.3, maxBucketSize = 10)
+      .count() shouldEqual 0L
+    Dedup.minHashDuplicates(degenerate, threshold = 0.3, maxBucketSize = 10000)
+      .count() shouldEqual (40L * 39 / 2)
+    // the normal fixture is untouched by the default cap
+    val dups = Dedup.minHashDuplicates(docs, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    dups should contain((1L, 2L))
+  }
+
+  test("hierarchical ts-cardinality splits active vs total per group") {
+    import graft.operators.MetadataOps
+    val samples = Seq(
+      ("m1", Map("_ws_" -> "w1"), 1L, 100L, 1.0),
+      ("m1", Map("_ws_" -> "w1"), 2L, 900L, 1.0), // active (ts > 500)
+      ("m2", Map("_ws_" -> "w1"), 3L, 100L, 1.0)  // total only
+    ).toDF("metric", "tags", "series_id", "ts", "value")
+    val out = MetadataOps.tsCardinalityBreakdown(samples, Seq("_ws_", "metric"), 500L)
+      .orderBy("metric").collect()
+    out.map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))) shouldEqual
+      Array(("w1", "m1", 2L, 1L), ("w1", "m2", 1L, 0L))
+  }
+
   test("simhash distance: identical 0, near small, unrelated large") {
     val s = Dedup.simHash(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     java.lang.Long.bitCount(s(1L) ^ s(2L)) shouldEqual 0

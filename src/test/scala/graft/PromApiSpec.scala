@@ -49,6 +49,26 @@ class PromApiSpec extends AnyFunSuite with Matchers {
     } finally api.stop()
   }
 
+  test("match[] filters metadata endpoints; label_cardinality reports HLL counts") {
+    val samples = TsTables.eventsAsSamples(spark, "/root/testdata/sf0.001")
+    val api = new PromApi(spark, samples).start()
+    try {
+      val port = api.boundPort
+      val m = java.net.URLEncoder.encode("""purchase{user="1"}""", "UTF-8")
+      val series = get(port, s"/api/v1/series?match[]=$m")
+      series should include(""""__name__":"purchase"""")
+      (series should not).include(""""__name__":"view"""")
+      series should include(""""user":"1"""")
+      (series should not).include(""""user":"2"""")
+      // match[] on label values: only the matching series' users remain
+      get(port, s"/api/v1/label/user/values?match[]=$m") shouldEqual
+        """{"status":"success","data":["1"]}"""
+      val card = get(port, "/api/v1/label_cardinality?labels=user")
+      card should include(""""status":"success"""")
+      card should include(""""user":""")
+    } finally api.stop()
+  }
+
   test("per-query series limit rejects oversized results") {
     val samples = TsTables.eventsAsSamples(spark, "/root/testdata/sf0.001")
     val api = new PromApi(spark, samples, maxResultSeries = 3).start()

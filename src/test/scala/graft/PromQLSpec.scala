@@ -320,6 +320,50 @@ class PromQLSpec extends AnyFunSuite with Matchers {
       .count() shouldEqual 0
   }
 
+  test("preagg rewrite covers min/max/count/avg shapes via ds-gauge columns") {
+    import graft.promql.PromPlanner.PreaggTable
+    val rawTemplate = Seq(("m", Map("job" -> "a", "inst" -> "1"), 1000L, 1.0))
+      .toDF("metric", "tags", "ts", "value")
+    // ds-gauge preagg retaining {job}: per-bucket min/max/sum/count
+    val pa = Seq(
+      ("m", Map("job" -> "a"), 1000L, 1.0, 5.0, 6.0, 2.0),
+      ("m", Map("job" -> "b"), 1000L, 2.0, 2.0, 2.0, 1.0)
+    ).toDF("metric", "tags", "ts", "min", "max", "sum", "count")
+    // raw is EMPTY: any non-empty answer must come from the preagg table
+    val c = PromPlanner.Ctx(spark, rawTemplate.filter(lit(false)), 1000L, 1000L, 1000L,
+      preagg = Seq(PreaggTable(pa, Set("job"))))
+    def run(q: String): Array[(String, Double)] =
+      PromPlanner.queryRange(c, q).select(col("labels")("job"), col("value"))
+        .as[(String, Double)].collect().sortBy(_._1)
+    run("min by (job) (min_over_time(m[1s]))") shouldEqual Array(("a", 1.0), ("b", 2.0))
+    run("max by (job) (max_over_time(m[1s]))") shouldEqual Array(("a", 5.0), ("b", 2.0))
+    run("sum by (job) (sum_over_time(m[1s]))") shouldEqual Array(("a", 6.0), ("b", 2.0))
+    run("sum by (job) (count_over_time(m[1s]))") shouldEqual Array(("a", 2.0), ("b", 1.0))
+    // group-level average decomposes into the sum and count shapes
+    run("sum by (job) (sum_over_time(m[1s])) / sum by (job) (count_over_time(m[1s]))")
+      .shouldEqual(Array(("a", 3.0), ("b", 2.0)))
+    // an unrewritable shape over empty raw stays empty (no silent misuse)
+    PromPlanner.queryRange(c, "avg by (job) (avg_over_time(m[1s]))").count() shouldEqual 0
+  }
+
+  test("series_type dispatch picks the delta kernel per series") {
+    val samples = Seq(
+      ("m", Map("s" -> "cum"), 1000L, 10.0, "counter"),
+      ("m", Map("s" -> "cum"), 2000L, 20.0, "counter"),
+      ("m", Map("s" -> "cum"), 3000L, 40.0, "counter"),
+      ("m", Map("s" -> "del"), 1000L, 10.0, "delta"),
+      ("m", Map("s" -> "del"), 2000L, 10.0, "delta"),
+      ("m", Map("s" -> "del"), 3000L, 20.0, "delta")
+    ).toDF("metric", "tags", "ts", "value", "series_type")
+    val c = PromPlanner.Ctx(spark, samples, 3000L, 3000L, 1000L)
+    val out = PromPlanner.queryRange(c, "rate(m[3s])")
+      .select(col("labels")("s"), col("value")).as[(String, Double)].collect().toMap
+    // cumulative: extrapolated counter rate; delta: sum/window
+    out("cum") shouldEqual RangeFns.extrapolated(0, 3000, 3, 1000, 10.0, 3000, 40.0,
+      isCounter = true, isRate = true) +- 1e-9
+    out("del") shouldEqual (40.0 / 3.0) +- 1e-9
+  }
+
   test("or_vector replaces NaN values with the scalar default") {
     val c = ctx(3000, 3000, 1000)
     // z_score of a 1-sample window is NaN -> dropped; bool-compare makes a
