@@ -26,5 +26,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g: the full bench (suite + cached 8000-series scenarios) needs
+  // headroom or the scenario cache thrashes and timings double
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // Spark whole-stage codegen emits hundreds of classes across the suite;
+  // the JDK default 240m code cache fills and silently disables the JIT,
+  // which doubles kernel times for everything compiled after that point
+  "-XX:ReservedCodeCacheSize=1g",
 )

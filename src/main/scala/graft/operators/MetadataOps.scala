@@ -67,6 +67,15 @@ object MetadataOps {
       .select(col("tags")(label).as("value"))
       .filter(col("value").isNotNull).distinct()
 
+  /** Chunk-level metadata introspection (reference RawChunkMeta): our
+    * "chunks" are the parquet files of the TsLayout partitioning, so this
+    * reports one row per (metric, file) with sample count and time bounds
+    * — the same shard-debugging surface, from file-level statistics. */
+  def chunkMeta(samples: DataFrame): DataFrame =
+    samples.groupBy(col("metric"), input_file_name().as("chunk"))
+      .agg(count(lit(1)).as("num_rows"),
+        min(col("ts")).as("start_ts"), max(col("ts")).as("end_ts"))
+
   /** Approximate distinct-value count per label (HLL). */
   def labelCardinality(samples: DataFrame, labels: Seq[String]): DataFrame = {
     val aggs = labels.map(l => approx_count_distinct(col("tags")(l)).as(l))

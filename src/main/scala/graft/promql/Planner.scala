@@ -305,6 +305,17 @@ object PromPlanner {
               sel, deltaFn, w)
             dropName(cum.unionByName(del))
           }
+          else if (n == "avg_over_time" && ctx.cold.isDefined) {
+            // avg over mixed tiers (reference downsample avg rewrite):
+            // ds-gauge has no mergeable avg, but sum and count both route,
+            // so avg = routed sum_over_time / routed count_over_time.
+            val s = planFunc(ctx, "sum_over_time", args)
+            val c = planFunc(ctx, "count_over_time", args)
+            finish(s
+              .join(c.select(col("__key"), col("step_ts"), col("value").as("__cnt")),
+                Seq("__key", "step_ts"))
+              .withColumn("value", col("value") / col("__cnt")).drop("__cnt"))
+          }
           else {
             // Automatic raw/downsample routing: when a cold tier exists and
             // the function is servable from ds-gauge columns, read the cold

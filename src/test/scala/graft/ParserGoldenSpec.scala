@@ -84,6 +84,34 @@ class ParserGoldenSpec extends AnyFunSuite with Matchers {
     Parser.parse("m * 2.5e-2") shouldEqual BinOp("*", sel("m"), NumberLit(0.025))
   }
 
+  test("@ modifier: numeric timestamp, start(), end()") {
+    Parser.parse("m @ 1609459200") shouldEqual
+      Selector(Some("m"), Nil, None, 0L, Some(1609459200000L))
+    Parser.parse("m @ start()") shouldEqual
+      Selector(Some("m"), Nil, None, 0L, Some(At.Start))
+    Parser.parse("rate(m[5m] @ end())") shouldEqual
+      FuncCall("rate", Seq(Selector(Some("m"), Nil, Some(300000L), 0L, Some(At.End))))
+  }
+
+  test("top-level subquery with step and offset") {
+    Parser.parse("rate(m[6h])[3d:6h] offset 1d") shouldEqual
+      Subquery(FuncCall("rate", Seq(Selector(Some("m"), Nil, Some(21600000L)))),
+        3L * 86400000L, Some(21600000L), 86400000L)
+  }
+
+  test("histogram functions parse as ordinary calls") {
+    Parser.parse("histogram_quantile(0.9, sum by (le) (rate(m_bucket[5m])))") shouldEqual
+      FuncCall("histogram_quantile", Seq(NumberLit(0.9),
+        Agg("sum", FuncCall("rate", Seq(Selector(Some("m_bucket"), Nil, Some(300000L)))),
+          None, Seq("le"), Nil)))
+  }
+
+  test("0-arg time functions") {
+    Parser.parse("hour()") shouldEqual FuncCall("hour", Nil)
+    Parser.parse("m - day_of_week()") shouldEqual
+      BinOp("-", sel("m"), FuncCall("day_of_week", Nil))
+  }
+
   test("errors carry position context") {
     val e1 = intercept[IllegalArgumentException](Parser.parse("sum("))
     e1.getMessage should include("parse error")

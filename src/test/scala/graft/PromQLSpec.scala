@@ -261,14 +261,23 @@ class PromQLSpec extends AnyFunSuite with Matchers {
     val routedCtx = rawCtx.copy(cold = Some(ColdTier(ds, 5000L)),
       samples = raw.filter($"ts" > 5000L)) // raw tier lost its cold half
     for (q <- Seq("sum_over_time(m[10s])", "min_over_time(m[10s])",
-                  "max_over_time(m[10s])", "count_over_time(m[10s])")) {
+                  "max_over_time(m[10s])", "count_over_time(m[10s])",
+                  "avg_over_time(m[10s])")) { // avg = routed sum / routed count
       val expect = PromPlanner.queryRange(rawCtx, q).select("value").as[Double].head()
       val got = PromPlanner.queryRange(routedCtx, q).select("value").as[Double].head()
       withClue(q)(got shouldEqual expect +- 1e-9)
     }
     // non-servable fn still works from the (hot-only) raw tier
-    PromPlanner.queryRange(routedCtx, "avg_over_time(m[5s])")
-      .select("value").as[Double].head() shouldEqual 8.0 +- 1e-9
+    PromPlanner.queryRange(routedCtx, "last_over_time(m[5s])")
+      .select("value").as[Double].head() shouldEqual 10.0 +- 1e-9
+  }
+
+  test("sort and sort_desc order the result by value") {
+    val c = ctx(3000, 3000, 1000)
+    PromPlanner.queryRange(c, "sort_desc(sum_over_time(purchase[3s]))")
+      .select(col("labels")("user")).as[String].collect() shouldEqual Array("1", "2")
+    PromPlanner.queryRange(c, "sort(sum_over_time(purchase[3s]))")
+      .select(col("labels")("user")).as[String].collect() shouldEqual Array("2", "1")
   }
 
   test("cardinality guard: ambiguous one-to-one matches error; group_left allows them") {

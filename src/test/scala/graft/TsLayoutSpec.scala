@@ -35,5 +35,14 @@ class TsLayoutSpec extends AnyFunSuite with Matchers {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(input_file_name()).orderBy(monotonically_increasing_id())
     TsLayout.read(spark, tmp).count() should be > 0L
+
+    // chunk metadata introspection (reference RawChunkMeta): one row per
+    // (metric, file) with sample counts and ts bounds
+    val meta = graft.operators.MetadataOps.chunkMeta(back).collect()
+    meta.length should be > 0
+    meta.foreach { r =>
+      r.getAs[Long]("num_rows") should be > 0L
+      r.getAs[Long]("end_ts") should be >= r.getAs[Long]("start_ts")
+    }
   }
 }
