@@ -57,6 +57,36 @@ object Histograms {
       .otherwise(interpolated)
   }
 
+  /** histogram_max_quantile / _even (max-min schemas): quantile whose
+    * target-bucket bounds are clamped to the observed min/max — the +Inf
+    * bucket interpolates toward the true max instead of pinning at the
+    * last finite bound (reference Histogram.quantile(q, min, max),
+    * core/.../format/vectors/Histogram.scala:65-108; clamp order matches:
+    * min against the original bounds, max against the min-adjusted start).
+    * `even` divides rank by count+1 (even-distribution mode). */
+  def maxMinQuantile(phi: Double, le: Column, values: Column,
+                     minObs: Column, maxObs: Column,
+                     even: Boolean = false): Column = {
+    val n = size(values)
+    val total = element_at(values, -1)
+    val rank = lit(phi) * total
+    val idx = element_at(
+      filter(sequence(lit(1), n), i => element_at(values, i) >= rank), 1)
+    val start0 = when(idx === 1, lit(0.0)).otherwise(element_at(le, idx - 1))
+    val end0 = element_at(le, idx)
+    val start1 = when(minObs.isNotNull && minObs > start0 && minObs <= end0, minObs)
+      .otherwise(start0)
+    val end1 = when(maxObs.isNotNull && maxObs > start1 && maxObs <= end0, maxObs)
+      .otherwise(end0)
+    val cprev = when(idx === 1, lit(0.0)).otherwise(element_at(values, idx - 1))
+    val count = element_at(values, idx) - cprev
+    val frac =
+      if (even) (rank - cprev) / (count + lit(1.0)) else (rank - cprev) / count
+    when(total <= 0 || idx.isNull, lit(Double.NaN))
+      .when(end1 === lit(Double.PositiveInfinity), element_at(le, n - 1))
+      .otherwise(start1 + (end1 - start1) * frac)
+  }
+
   /** Fraction of observations in (lo, hi], interpolating within buckets. */
   def fraction(lo: Double, hi: Double, le: Column, values: Column): Column = {
     val total = element_at(values, -1)

@@ -50,6 +50,7 @@ final case class BinOp(op: String, lhs: PromExpr, rhs: PromExpr,
                        bool: Boolean = false,
                        matching: Option[VectorMatch] = None) extends PromExpr
 
-/** expr[range:step] — subquery producing a matrix from an inner expr. */
+/** expr[range:step] — subquery producing a matrix from an inner expr;
+  * supports offset and the @ modifier like selectors. */
 final case class Subquery(expr: PromExpr, rangeMs: Long, stepMs: Option[Long],
-                          offsetMs: Long = 0L) extends PromExpr
+                          offsetMs: Long = 0L, atMs: Option[Long] = None) extends PromExpr

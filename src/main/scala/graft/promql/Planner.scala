@@ -103,11 +103,7 @@ object PromPlanner {
     // @ modifier pins the evaluation time: compute the single pinned step,
     // then replicate its value across the requested step grid.
     // @ start()/end() sentinels resolve against the query range here.
-    val atResolved = sel.atMs.map {
-      case At.Start => ctx.startMs
-      case At.End => ctx.endMs
-      case ms => ms
-    }
+    val atResolved = sel.atMs.map(resolveAt(ctx, _))
     val (evalStart, evalEnd) = atResolved match {
       case Some(at) => (at, at)
       case None => (ctx.startMs, ctx.endMs)
@@ -122,6 +118,13 @@ object PromPlanner {
       case None => out
     }
     finish(gridded.withColumn("labels", labelsFromKey(col("__key"))))
+  }
+
+  /** Resolve an @ timestamp (or the start()/end() sentinels). */
+  private def resolveAt(ctx: Ctx, at: Long): Long = at match {
+    case At.Start => ctx.startMs
+    case At.End => ctx.endMs
+    case ms => ms
   }
 
   /** Inverse of sortedKey: parse the JSON entry array back to a map. */
@@ -213,12 +216,14 @@ object PromPlanner {
         .withColumn("labels", map().cast("map<string,string>"))
         .transform(withKey).transform(finish)
 
-    case Subquery(inner, range, step, off) =>
+    case Subquery(inner, range, step, off, atMs) =>
       // Top-level subquery (reference TopLevelSubquery,
       // LogicalPlan.scala:476-543): evaluate the inner expr on the
       // subquery's own step-aligned grid covering [end-range, end] and
-      // return that matrix directly.
-      planVector(subqueryCtx(ctx, range, step, off), inner)
+      // return that matrix directly; @ pins the grid's end.
+      val base = atMs.map(a =>
+        ctx.copy(startMs = resolveAt(ctx, a), endMs = resolveAt(ctx, a))).getOrElse(ctx)
+      planVector(subqueryCtx(base, range, step, off), inner)
 
     case other => throw new IllegalArgumentException(s"cannot plan $other")
   }
@@ -343,14 +348,22 @@ object PromPlanner {
               periodicFrom(ctx, src, sel, RangeFns.byName(effFn), sel.windowMs.get),
               n != "last_over_time" && n != "timestamp")
           }
-        case Subquery(inner, range, step, off) =>
-          val innerCtx = subqueryCtx(ctx, range, step, off)
+        case Subquery(inner, range, step, off, atMs) =>
+          // @ on a subquery pins the outer evaluation time; the result is
+          // replicated across the step grid like a pinned selector
+          val atR = atMs.map(resolveAt(ctx, _))
+          val base = atR.map(a => ctx.copy(startMs = a, endMs = a)).getOrElse(ctx)
+          val innerCtx = subqueryCtx(base, range, step, off)
           val innerDF = planVector(innerCtx, inner)
             .withColumnRenamed("step_ts", "ts").withColumn("__tie", lit(0L))
           val out = PeriodicSamples(innerDF, Seq("__key", "labels"), "ts", "value",
-            ctx.startMs, ctx.endMs, ctx.stepMs, range, RangeFns.byName(n),
+            base.startMs, base.endMs, ctx.stepMs, range, RangeFns.byName(n),
             offsetMs = off, tieCol = Some("__tie"))
-          finish(out)
+          val gridded = atR match {
+            case Some(_) => out.drop("step_ts").crossJoin(scalarGrid(ctx))
+            case None => out
+          }
+          finish(gridded)
         case other => throw new IllegalArgumentException(s"$n needs a range selector, got $other")
       }
 

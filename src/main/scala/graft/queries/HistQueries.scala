@@ -59,6 +59,20 @@ object HistQueries {
       Histograms.toPromVectors(histDF(s, dir), Seq("event_type", "day"))
         .orderBy("event_type", "day", "le")),
 
+    // max-min histogram schema (reference histogram_max_quantile): bucket
+    // bounds clamped by observed min/max, +Inf bucket interpolates to max
+    "q83_hist_max_quantile" -> ((s, dir) => {
+      val ev = TsTables.events(s, dir)
+        .withColumn("day", ((col("ts_ms") - S) / D1).cast("long"))
+      val mm = ev.groupBy(col("event_type"), col("day"))
+        .agg(min(col("value")).as("vmin"), max(col("value")).as("vmax"))
+      histDF(s, dir).join(mm, Seq("event_type", "day"))
+        .select(col("event_type"), col("day"),
+          round(Histograms.maxMinQuantile(0.9, col("le"), col("values"),
+            col("vmin"), col("vmax")), 6).as("q90mm"))
+        .orderBy("event_type", "day")
+    }),
+
     // PromQL-STRING histogram coverage: the planner's bucket-series path
     // (reference HistogramQuantileMapper) reached from a query string.
     "q59_promql_hist_quantile" -> ((s, dir) => {
@@ -138,6 +152,42 @@ object HistQueries {
                  CASE pos.ord WHEN 1 THEN c10 WHEN 2 THEN c50 WHEN 3 THEN c100
                               WHEN 4 THEN c200 ELSE ctot END AS bucket_count
           FROM b CROSS JOIN pos ORDER BY event_type, day, le""",
+
+    "q83_hist_max_quantile" ->
+      s"""WITH ev AS ($EV),
+          b AS (SELECT event_type, day,
+                  sum(CASE WHEN value <= 10 THEN 1.0 ELSE 0 END) AS c10,
+                  sum(CASE WHEN value <= 50 THEN 1.0 ELSE 0 END) AS c50,
+                  sum(CASE WHEN value <= 100 THEN 1.0 ELSE 0 END) AS c100,
+                  sum(CASE WHEN value <= 200 THEN 1.0 ELSE 0 END) AS c200,
+                  CAST(count(*) AS DOUBLE) AS ctot,
+                  min(value) AS vmin, max(value) AS vmax
+                FROM ev GROUP BY 1,2),
+          q AS (SELECT *, 0.9*ctot AS r FROM b),
+          q2 AS (SELECT *,
+            CASE WHEN c10 >= r THEN 0.0 WHEN c50 >= r THEN 10.0
+                 WHEN c100 >= r THEN 50.0 WHEN c200 >= r THEN 100.0
+                 ELSE 200.0 END AS bstart,
+            CASE WHEN c10 >= r THEN 10.0 WHEN c50 >= r THEN 50.0
+                 WHEN c100 >= r THEN 100.0 WHEN c200 >= r THEN 200.0
+                 ELSE 'Infinity'::DOUBLE END AS bend,
+            CASE WHEN c10 >= r THEN 0.0 WHEN c50 >= r THEN c10
+                 WHEN c100 >= r THEN c50 WHEN c200 >= r THEN c100
+                 ELSE c200 END AS cprev,
+            CASE WHEN c10 >= r THEN c10 WHEN c50 >= r THEN c50
+                 WHEN c100 >= r THEN c100 WHEN c200 >= r THEN c200
+                 ELSE ctot END AS ccur
+            FROM q),
+          q3 AS (SELECT *,
+            CASE WHEN vmin > bstart AND vmin <= bend THEN vmin ELSE bstart END AS bstart2
+            FROM q2),
+          q4 AS (SELECT *,
+            CASE WHEN vmax > bstart2 AND vmax <= bend THEN vmax ELSE bend END AS bend2
+            FROM q3)
+          SELECT event_type, day,
+            round(CASE WHEN bend2 = 'Infinity'::DOUBLE THEN 200.0
+              ELSE bstart2 + (bend2 - bstart2) * (r - cprev) / (ccur - cprev) END, 6) AS q90mm
+          FROM q4 ORDER BY 1, 2""",
 
     "q59_promql_hist_quantile" ->
       s"""WITH ev AS (SELECT event_type, epoch_ns(ts)//1000000 AS ts_ms, value FROM events),

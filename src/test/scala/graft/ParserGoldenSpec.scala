@@ -99,6 +99,12 @@ class ParserGoldenSpec extends AnyFunSuite with Matchers {
         3L * 86400000L, Some(21600000L), 86400000L)
   }
 
+  test("@ on a subquery") {
+    Parser.parse("rate(m[5m])[1h:5m] @ end()") shouldEqual
+      Subquery(FuncCall("rate", Seq(Selector(Some("m"), Nil, Some(300000L)))),
+        3600000L, Some(300000L), 0L, Some(At.End))
+  }
+
   test("histogram functions parse as ordinary calls") {
     Parser.parse("histogram_quantile(0.9, sum by (le) (rate(m_bucket[5m])))") shouldEqual
       FuncCall("histogram_quantile", Seq(NumberLit(0.9),

@@ -197,6 +197,14 @@ class PromQLSpec extends AnyFunSuite with Matchers {
       ("1", 1000L, 10.0), ("1", 2000L, 20.0), ("1", 3000L, 40.0), ("2", 2000L, 5.0))
   }
 
+  test("@ on a subquery pins the outer evaluation") {
+    val out = PromPlanner.queryRange(ctx(1000, 3000, 1000),
+      """max_over_time(sum_over_time(purchase{user="1"}[1s])[3s:1s] @ end())""")
+      .select("step_ts", "value").as[(Long, Double)].collect().sorted
+    // pinned at 3000: inner sums 10,20,40 -> max 40, replicated on the grid
+    out shouldEqual Array((1000L, 40.0), (2000L, 40.0), (3000L, 40.0))
+  }
+
   test("subquery: max_over_time of an inner rate series") {
     val c = ctx(3000, 3000, 1000)
     val out = PromPlanner.queryRange(c, "max_over_time(sum_over_time(purchase[1s])[3s:1s])")
