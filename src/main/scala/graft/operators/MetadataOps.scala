@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import graft.promql.{LabelMatcher, MatchOp, Parser, Selector}
+import graft.promql.{LabelMatcher, Matchers, Parser, Selector}
 
 /** Metadata queries — SURVEY.md §2.8: /api/v1/series, /labels,
   * /label/<l>/values, label + time-series cardinality. On the canonical
@@ -18,18 +18,9 @@ import graft.promql.{LabelMatcher, MatchOp, Parser, Selector}
   */
 object MetadataOps {
 
-  /** Anchored matcher predicate on (metric, tags) — same semantics as the
-    * query planner's selector filters. */
-  def matcherPred(m: LabelMatcher): Column = {
-    val v = if (m.label == "__name__") col("metric") else col("tags")(m.label)
-    def anchor(re: String) = "^(?:" + re + ")$"
-    m.op match {
-      case MatchOp.Eq => if (m.value.isEmpty) v.isNull || v === "" else v === m.value
-      case MatchOp.Ne => if (m.value.isEmpty) v.isNotNull && v =!= "" else v.isNull || v =!= m.value
-      case MatchOp.Re => v.isNotNull && v.rlike(anchor(m.value))
-      case MatchOp.NotRe => v.isNull || !v.rlike(anchor(m.value))
-    }
-  }
+  /** Anchored matcher predicate on (metric, tags) — same semantics (and
+    * pushdown simplifications) as the query planner's selector filters. */
+  def matcherPred(m: LabelMatcher): Column = Matchers.pred(m)
 
   /** OR-of-selectors predicate from `match[]` strings ("true" if none). */
   def matchPred(matchExprs: Seq[String]): Column =

@@ -32,8 +32,11 @@ object PromPlanner {
 
   /** Pre-aggregated samples table (the reference's `preagg-*` schemas /
     * hierarchical query experience): the same long samples layout but with
-    * series already summed across all labels NOT in `retainedLabels`. */
-  case class PreaggTable(samples: DataFrame, retainedLabels: Set[String])
+    * series already summed across all labels NOT in `retainedLabels`.
+    * `suffix` names the table for explicit `metric:::suffix` routing (the
+    * reference's agg-rule suffix convention). */
+  case class PreaggTable(samples: DataFrame, retainedLabels: Set[String],
+                         suffix: Option[String] = None)
 
   case class Ctx(spark: SparkSession, samples: DataFrame,
                  startMs: Long, endMs: Long, stepMs: Long,
@@ -61,19 +64,30 @@ object PromPlanner {
   /** anchored regex, per Prometheus matcher semantics */
   private def anchor(re: String): String = "^(?:" + re + ")$"
 
-  private def matcherPred(m: LabelMatcher): Column = {
-    val v = if (m.label == "__name__") col("metric") else col("tags")(m.label)
-    m.op match {
-      case MatchOp.Eq => if (m.value.isEmpty) v.isNull || v === "" else v === m.value
-      case MatchOp.Ne => if (m.value.isEmpty) v.isNotNull && v =!= "" else v.isNull || v =!= m.value
-      case MatchOp.Re => v.isNotNull && v.rlike(anchor(m.value))
-      case MatchOp.NotRe => v.isNull || !v.rlike(anchor(m.value))
-    }
-  }
+  private def matcherPred(m: LabelMatcher): Column = Matchers.pred(m)
 
-  /** Filter samples for a selector; labels = tags + __name__. */
+  /** Filter samples for a selector; labels = tags + __name__.
+    *
+    * Metric-name routing conventions (reference HierarchicalQueryExperience
+    * + column selection): `m:::suffix` reads the registered preagg table
+    * with that suffix; an optional trailing `::col` picks its value column
+    * (e.g. `m:::agg::sum`); default column is `value`, else `sum`. */
   private def selectorSamples(ctx: Ctx, sel: Selector): DataFrame =
-    selectorSamplesFrom(ctx.samples, sel)
+    sel.metric match {
+      case Some(m) if m.contains(":::") =>
+        val Array(base, rest) = m.split(":::", 2)
+        val (suffix, colName) = rest.split("::", 2) match {
+          case Array(sfx, c) => (sfx, Some(c))
+          case Array(sfx) => (sfx, None)
+        }
+        val pa = ctx.preagg.find(_.suffix.contains(suffix)).getOrElse(
+          throw new IllegalArgumentException(s"no preagg table registered for suffix '$suffix'"))
+        val vcol = colName.getOrElse(if (pa.samples.columns.contains("value")) "value" else "sum")
+        require(pa.samples.columns.contains(vcol), s"preagg table '$suffix' has no column '$vcol'")
+        selectorSamplesFrom(pa.samples.withColumn("value", col(vcol)),
+          sel.copy(metric = Some(base)))
+      case _ => selectorSamplesFrom(ctx.samples, sel)
+    }
 
   private def selectorSamplesFrom(df0: DataFrame, sel: Selector): DataFrame = {
     var df = df0
@@ -443,6 +457,16 @@ object PromPlanner {
       scalarGrid(ctx).withColumn("value", col("step_ts") / 1000.0)
         .withColumn("labels", map().cast("map<string,string>"))
         .transform(withKey).transform(finish)
+
+    case "no_optimize" =>
+      // reference planner hint: disable the preagg rewrite and tier
+      // routing for the wrapped expression
+      planVector(ctx.copy(preagg = Nil, cold = None), args.head)
+
+    case "optimize_with_agg" =>
+      // hint requesting the preagg rewrite — ours is automatic, so this is
+      // the identity (kept for query compatibility)
+      planVector(ctx, args.head)
 
     case n if InstantFns.TimeScalarFns.contains(n) && args.isEmpty =>
       // 0-arg time scalars (reference ScalarTimeBasedPlan,

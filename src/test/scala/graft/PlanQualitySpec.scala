@@ -62,6 +62,16 @@ class PlanQualitySpec extends AnyFunSuite with Matchers {
     (p should not).include("Window")
   }
 
+  test("simple regex matchers reach the parquet scan as In / StartsWith") {
+    val df = PromPlanner.queryRange(promCtx,
+      """sum(sum_over_time({__name__=~"purchase|view"}[1d]))""")
+    df.count()
+    val p = plan(df)
+    // alternation-of-literals compiled to IN and pushed to the scan —
+    // a raw RLIKE would not push down at all
+    p should include("In(event_type, [purchase,view])")
+  }
+
   test("vector binary join carries no forced broadcast hint (AQE decides)") {
     val df = PromPlanner.queryRange(promCtx,
       "sum_over_time(purchase[1d]) / sum_over_time(view[1d])")

@@ -89,6 +89,22 @@ class PromQLSpec extends AnyFunSuite with Matchers {
     out.head shouldEqual expected +- 1e-9 // user=2 has 1 sample -> no rate
   }
 
+  test("regex matcher simplification preserves anchored-match semantics") {
+    val c = ctx(3000, 3000, 1000)
+    // alternation -> IN
+    PromPlanner.queryRange(c, """sum_over_time({__name__=~"purchase|view", user="1"}[3s])""")
+      .count() shouldEqual 2
+    // literal prefix -> startsWith (anchored: matches "1" but not "21")
+    PromPlanner.queryRange(c, """sum_over_time(purchase{user=~"1.*"}[3s])""")
+      .select(col("labels")("user")).as[String].collect() shouldEqual Array("1")
+    // negated alternation
+    PromPlanner.queryRange(c, """sum_over_time(purchase{user!~"1|3"}[3s])""")
+      .select(col("labels")("user")).as[String].collect() shouldEqual Array("2")
+    // non-simplifiable patterns still full-match
+    PromPlanner.queryRange(c, """sum_over_time(purchase{user=~"[12]"}[3s])""")
+      .count() shouldEqual 2
+  }
+
   test("binary op joins on matching labels minus __name__") {
     val out = PromPlanner.queryRange(ctx(3000, 3000, 1000),
       "sum_over_time(purchase[3s]) / sum_over_time(view[3s])")
@@ -361,6 +377,32 @@ class PromQLSpec extends AnyFunSuite with Matchers {
       .shouldEqual(Array(("a", 3.0), ("b", 2.0)))
     // an unrewritable shape over empty raw stays empty (no silent misuse)
     PromPlanner.queryRange(c, "avg by (job) (avg_over_time(m[1s]))").count() shouldEqual 0
+  }
+
+  test("metric:::suffix routes to the named preagg table; no_optimize disables rewrites") {
+    import graft.promql.PromPlanner.PreaggTable
+    val rawTemplate = Seq(("m", Map("job" -> "a"), 1000L, 99.0))
+      .toDF("metric", "tags", "ts", "value")
+    val pa = Seq(
+      ("m", Map("job" -> "a"), 1000L, 1.0, 5.0, 6.0, 2.0),
+      ("m", Map("job" -> "b"), 1000L, 2.0, 2.0, 2.0, 1.0)
+    ).toDF("metric", "tags", "ts", "min", "max", "sum", "count")
+    val c = PromPlanner.Ctx(spark, rawTemplate.filter(lit(false)), 1000L, 1000L, 1000L,
+      preagg = Seq(PreaggTable(pa, Set("job"), suffix = Some("agg"))))
+    // explicit suffix routing with column selection
+    PromPlanner.queryRange(c, """sum_over_time(m:::agg::sum{job="a"}[1s])""")
+      .select("value").as[Double].collect() shouldEqual Array(6.0)
+    // default column for a ds-gauge table is sum
+    PromPlanner.queryRange(c, "sum(sum_over_time(m:::agg[1s]))")
+      .select("value").as[Double].collect() shouldEqual Array(8.0)
+    intercept[Exception] {
+      PromPlanner.queryRange(c, "sum_over_time(m:::nosuch[1s])").collect()
+    }.getMessage should include("no preagg table")
+    // no_optimize turns the automatic rewrite off -> empty raw stays empty
+    PromPlanner.queryRange(c, "no_optimize(sum by (job) (sum_over_time(m[1s])))")
+      .count() shouldEqual 0
+    PromPlanner.queryRange(c, "sum by (job) (sum_over_time(m[1s]))")
+      .count() shouldEqual 2
   }
 
   test("series_type dispatch picks the delta kernel per series") {
