@@ -541,13 +541,20 @@ object PromPlanner {
       .groupBy(col("labels"), col("__key"), col("step_ts"))
       .agg(array_sort(collect_list(struct(col("__le").as("le"), col("value").as("v"))))
         .as("__b"))
-    // ensureMonotonic: running max over the cumulative counts
+    // ensureMonotonic: running max over the cumulative counts. Staged as
+    // its own projection: the interpolation below references the arrays
+    // many times, and Catalyst re-expands (not CSEs) nested higher-order
+    // expressions at every reference.
     val mono = aggregate(col("__b"), array().cast("array<double>"),
       (acc, x) => concat(acc,
         array(greatest(x.getField("v"), coalesce(element_at(acc, -1), x.getField("v"))))))
-    finish(collected
-      .withColumn("value", f(col("__b").getField("le"), mono))
-      .drop("__b"))
+    val staged = collected
+      .withColumn("__le_arr", col("__b").getField("le"))
+      .withColumn("__vals", mono)
+      .drop("__b")
+    finish(staged
+      .withColumn("value", f(col("__le_arr"), col("__vals")))
+      .drop("__le_arr", "__vals"))
   }
 
   private def matrixArg(ctx: Ctx, arg: PromExpr, fn: RangeFn): DataFrame = arg match {

@@ -89,6 +89,31 @@ object Ingest {
         unix_millis(col("w.end")).as("ts"),
         col("min"), col("max"), col("sum"), col("count"), col("avg"))
 
+  /** Histogram-typed downsample (the reference's max-min histogram ds
+    * schemas): tumbling windows over hist samples (series..., ts,
+    * le ARRAY, values ARRAY cumulative, plus optional raw min/max), bucket
+    * counts merged position-wise per window, min/max carried so
+    * histogram_max_quantile can clamp interpolation at query time. */
+  def downsampleHist(hist: DataFrame, resolution: String,
+                     seriesCols: Seq[String] = Seq("series_id")): DataFrame = {
+    val exploded = hist
+      .withColumn("tsc", timestamp_millis(col("ts")))
+      .select(seriesCols.map(col) ++ Seq(window(col("tsc"), resolution).as("w"),
+        col("le"), posexplode(col("values")),
+        col("min").as("vmin"), col("max").as("vmax")): _*)
+    exploded
+      .groupBy(seriesCols.map(col) ++ Seq(col("w"), col("pos")): _*)
+      .agg(first(col("le")).as("le"), sum(col("col")).as("bv"),
+        min(col("vmin")).as("vmin"), max(col("vmax")).as("vmax"))
+      .groupBy(seriesCols.map(col) :+ col("w"): _*)
+      .agg(first(col("le")).as("le"),
+        array_sort(collect_list(struct(col("pos"), col("bv"))))
+          .getField("bv").as("values"),
+        min(col("vmin")).as("min"), max(col("vmax")).as("max"))
+      .select(seriesCols.map(col) ++ Seq(unix_millis(col("w.end")).as("ts"),
+        col("le"), col("values"), col("min"), col("max")): _*)
+  }
+
   /** Raw/downsample query routing (LongTimeRangePlanner semantics): serve
     * (from, boundary] from the downsample table's avg column and
     * (boundary, to] from raw, stitched by union. */

@@ -118,6 +118,41 @@ class ParserGoldenSpec extends AnyFunSuite with Matchers {
       BinOp("-", sel("m"), FuncCall("day_of_week", Nil))
   }
 
+  test("shape zoo: real-world query forms parse (round-trip to a plan-able AST)") {
+    // shapes lifted from common dashboards + the reference ParserSpec's
+    // coverage areas (our own assertions, not a port)
+    val ok = Seq(
+      """sum(rate(http_requests_total{job="api"}[5m])) by (status)""",
+      """histogram_quantile(0.99, sum(rate(req_latency_bucket[5m])) by (le, job))""",
+      """1 - (node_memory_free / node_memory_total)""",
+      """sum(rate(errs[5m])) / sum(rate(reqs[5m])) > 0.01""",
+      """avg_over_time(up{job=~"a|b|c"}[1h:5m])""",
+      """max by (pod) (container_memory_usage) / on(pod) kube_pod_limits""",
+      """count(up == bool 1) by (cluster)""",
+      """(a + b) * (c - d) % e ^ 2""",
+      """rate(m{x!~"(?:foo|bar).*"}[10m] offset 1w)""",
+      """label_replace(up, "svc", "$1", "pod", "(.*)-[0-9a-f]+")""",
+      """clamp(quantile(0.5, m), 0, 100)""",
+      """absent(nonexistent{job="x"})""",
+      """topk(5, sum_over_time(m[1d])) and on(user) present_over_time(n[1d])""",
+      """-sum(m) + +avg(n)""",
+      """m @ 1700000000 offset 5m""",
+      """scalar(sum(m)) * vector(1)""",
+      """sum without (instance) (irate(m[30s]))""",
+      """hour() * 60 + minute()""",
+      """quantile_over_time(0.95, m{q="v"}[10m])""",
+      """predict_linear(m[1h], 3600)"""
+    )
+    ok.foreach { q =>
+      withClue(q)(noException should be thrownBy Parser.parse(q))
+    }
+    // and a few that must NOT parse
+    val bad = Seq("sum(", "m[", "m{a=}", "rate(m[5m]", "m offset", "m @ x", "1 +")
+    bad.foreach { q =>
+      withClue(q)(an[IllegalArgumentException] should be thrownBy Parser.parse(q))
+    }
+  }
+
   test("errors carry position context") {
     val e1 = intercept[IllegalArgumentException](Parser.parse("sum("))
     e1.getMessage should include("parse error")

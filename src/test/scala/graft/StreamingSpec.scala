@@ -51,6 +51,29 @@ class StreamingSpec extends AnyFunSuite with Matchers {
     ds(1).getAs[Double]("avg") shouldEqual 30.0
   }
 
+  test("histogram downsample merges buckets per window and keeps min/max") {
+    val le = Seq(10.0, 50.0, Double.PositiveInfinity)
+    val hist = Seq(
+      (1L, 100L, le, Seq(1.0, 2.0, 3.0), 4.0, 120.0),
+      (1L, 200L, le, Seq(2.0, 2.0, 4.0), 2.0, 90.0),   // same 5m window
+      (1L, 400000L, le, Seq(1.0, 1.0, 1.0), 7.0, 60.0) // next window
+    ).toDF("series_id", "ts", "le", "values", "min", "max")
+    val ds = Ingest.downsampleHist(hist, "5 minutes").orderBy("ts").collect()
+    ds.length shouldEqual 2
+    ds(0).getAs[Seq[Double]]("values") shouldEqual Seq(3.0, 4.0, 7.0)
+    ds(0).getAs[Double]("min") shouldEqual 2.0
+    ds(0).getAs[Double]("max") shouldEqual 120.0
+    ds(0).getAs[Long]("ts") shouldEqual 300000L
+    // max-min quantile over the downsampled histogram clamps at max
+    import graft.functions.Histograms
+    val q = Ingest.downsampleHist(hist, "5 minutes").filter(col("ts") === 300000L)
+      .select(Histograms.maxMinQuantile(0.99, col("le"), col("values"),
+        col("min"), col("max")).as("q"))
+      .head().getDouble(0)
+    q should be <= 120.0
+    q should be > 50.0
+  }
+
   test("routed read stitches downsample (cold) and raw (hot) at the boundary") {
     val raw = Seq((1L, "m", "u", 100L, 1.0), (1L, "m", "u", 900L, 9.0))
       .toDF("series_id", "metric", "user", "ts", "value")
