@@ -38,11 +38,21 @@ object Dedup {
   }
 
   /** MinHash signatures: numHashes per doc, hash_i = min over shingles of
-    * xxhash64(i, shingle). Returns (idCol, sig ARRAY<LONG>). */
+    * an i-th universal hash of the shingle. The shingle string is hashed
+    * ONCE (xxhash64 — the expensive per-row step at corpus scale) and the
+    * i-th permutation is a multiply-xorshift mix of that 64-bit base with
+    * per-i odd constants — standard universal-hashing practice, 16x less
+    * string hashing than hashing (i, shingle) per permutation.
+    * Returns (idCol, sig ARRAY<LONG>). */
   def minHashSignatures(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
                         numHashes: Int = 32, shingleK: Int = 3): DataFrame = {
     val sh = docs.select(col(idCol), explode(shingles(col(textCol), shingleK)).as("sh"))
-    val aggs = (0 until numHashes).map(i => min(xxhash64(lit(i), col("sh"))).as(s"h$i"))
+      .withColumn("__h", xxhash64(col("sh")))
+    def mix(i: Int): Column = {
+      val m = col("__h") * lit(0x9E3779B97F4A7C15L + 2L * i) // odd multiplier
+      m.bitwiseXOR(shiftrightunsigned(m, 29))
+    }
+    val aggs = (0 until numHashes).map(i => min(mix(i)).as(s"h$i"))
     sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
       .select(col(idCol), array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
   }
@@ -92,9 +102,10 @@ object Dedup {
     cands
       .join(withText.select(col(idCol).as("id1"), col("sh").as("sh1")), "id1")
       .join(withText.select(col(idCol).as("id2"), col("sh").as("sh2")), "id2")
-      .withColumn("jaccard",
-        size(array_intersect(col("sh1"), col("sh2"))) /
-          size(array_union(col("sh1"), col("sh2"))).cast("double"))
+      // |A∪B| = |A|+|B|-|A∩B| (shingles are distinct): one set op, not two
+      .withColumn("__i", size(array_intersect(col("sh1"), col("sh2"))))
+      .withColumn("jaccard", col("__i") /
+        (size(col("sh1")) + size(col("sh2")) - col("__i")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
   }

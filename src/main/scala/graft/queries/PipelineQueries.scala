@@ -55,9 +55,10 @@ object PipelineQueries {
                 // pairs before the array intersection without changing results
                 size(col("a.toks")) * 5 >= size(col("b.toks")) * 4 &&
                 size(col("b.toks")) * 5 >= size(col("a.toks")) * 4)
-        .withColumn("jaccard",
-          size(array_intersect(col("a.toks"), col("b.toks"))) /
-            size(array_union(col("a.toks"), col("b.toks"))).cast("double"))
+        // |A∪B| = |A|+|B|-|A∩B| (toks are distinct): one set op, not two
+        .withColumn("__i", size(array_intersect(col("a.toks"), col("b.toks"))))
+        .withColumn("jaccard", col("__i") /
+          (size(col("a.toks")) + size(col("b.toks")) - col("__i")).cast("double"))
         .filter(col("jaccard") >= 0.8)
         .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
                 round(col("jaccard"), 6).as("jaccard"))
