@@ -427,6 +427,27 @@ object PromPlanner {
       bucketHistogram(ctx, args(2))((le, values) =>
         graft.functions.Histograms.fraction(lo, hi, le, values))
 
+    case "histogram_max_quantile" =>
+      // max-min quantile over the bucket-series form — an extension of the
+      // reference's hist-column function: optional max (arg 3) and min
+      // (arg 4) VECTORS supply the observed bounds, joined on the same
+      // group labels and step.
+      val phi = constParam(Some(args(0)))
+      val hb = bucketCollect(ctx, args(1))
+      val mx = planVector(ctx, args(2))
+        .select(col("__key"), col("step_ts"), col("value").as("__mx"))
+      val withMx = hb.join(mx, Seq("__key", "step_ts"), "left")
+      val withMn =
+        if (args.length > 3)
+          withMx.join(planVector(ctx, args(3))
+            .select(col("__key"), col("step_ts"), col("value").as("__mn")),
+            Seq("__key", "step_ts"), "left")
+        else withMx.withColumn("__mn", lit(null).cast("double"))
+      finish(withMn
+        .withColumn("value", graft.functions.Histograms.maxMinQuantile(
+          phi, col("__le_arr"), col("__vals"), col("__mn"), col("__mx")))
+        .drop("__le_arr", "__vals", "__mx", "__mn"))
+
     case "histogram_bucket" =>
       // FiloDB extension: select the single bucket with the given upper
       // bound from a bucket-series vector (le label).
@@ -530,7 +551,17 @@ object PromPlanner {
     * One groupBy on the already-periodic vector — the bucket arrays are a
     * few entries per (series, step), never wide. */
   private def bucketHistogram(ctx: Ctx, arg: PromExpr)
-                             (f: (Column, Column) => Column): DataFrame = {
+                             (f: (Column, Column) => Column): DataFrame =
+    finish(bucketCollect(ctx, arg)
+      .withColumn("value", f(col("__le_arr"), col("__vals")))
+      .drop("__le_arr", "__vals"))
+
+  /** Collect a bucket-series vector into one row per (labels-minus-le,
+    * step) with staged `__le_arr`/`__vals` arrays (monotonicity repaired).
+    * The repair aggregate is its own projection: the interpolation
+    * expressions reference the arrays many times, and Catalyst re-expands
+    * (not CSEs) nested higher-order functions at every reference. */
+  private def bucketCollect(ctx: Ctx, arg: PromExpr): DataFrame = {
     val v = planVector(ctx, arg)
     val leStr = col("labels")("le")
     val stripped = v.filter(leStr.isNotNull)
@@ -541,20 +572,13 @@ object PromPlanner {
       .groupBy(col("labels"), col("__key"), col("step_ts"))
       .agg(array_sort(collect_list(struct(col("__le").as("le"), col("value").as("v"))))
         .as("__b"))
-    // ensureMonotonic: running max over the cumulative counts. Staged as
-    // its own projection: the interpolation below references the arrays
-    // many times, and Catalyst re-expands (not CSEs) nested higher-order
-    // expressions at every reference.
     val mono = aggregate(col("__b"), array().cast("array<double>"),
       (acc, x) => concat(acc,
         array(greatest(x.getField("v"), coalesce(element_at(acc, -1), x.getField("v"))))))
-    val staged = collected
+    collected
       .withColumn("__le_arr", col("__b").getField("le"))
       .withColumn("__vals", mono)
       .drop("__b")
-    finish(staged
-      .withColumn("value", f(col("__le_arr"), col("__vals")))
-      .drop("__le_arr", "__vals"))
   }
 
   private def matrixArg(ctx: Ctx, arg: PromExpr, fn: RangeFn): DataFrame = arg match {

@@ -162,6 +162,20 @@ object PromEngineQueries {
         .orderBy("step_ts", "type")
     }),
 
+    // or_vector (FiloDB extension): NaN sample values replaced by a scalar
+    "q85_promql_or_vector" -> ((s, dir) =>
+      PromPlanner.queryRange(userCtx(s, dir, D1),
+        "or_vector(sum_over_time(purchase[1d]) * 0 / 0, 42)")
+        .select(col("labels")("user").as("user"), col("step_ts"), col("value"))
+        .orderBy("step_ts", "user")),
+
+    "q86_promql_label_join" -> ((s, dir) =>
+      PromPlanner.queryRange(userCtx(s, dir, D1),
+        """label_join(sum_over_time(purchase[1d]), "combo", "-", "user", "user")""")
+        .select(col("labels")("combo").as("combo"), col("step_ts"),
+          round(col("value"), 6).as("value"))
+        .orderBy("step_ts", "combo")),
+
     // @ end(): evaluation pinned to the range end, replicated on the grid
     "q12_promql_at_end" -> ((s, dir) =>
       PromPlanner.queryRange(userCtx(s, dir, D1),
@@ -318,6 +332,19 @@ object PromEngineQueries {
              WHERE e.event_type = 'view' GROUP BY 2)
           ) ORDER BY step_ts, type"""
     },
+
+    "q85_promql_or_vector" ->
+      s"""WITH ev AS ($EV), stps AS (${steps(D1)}),
+          sums AS (${sums1d("purchase")})
+          SELECT CAST(user_id AS VARCHAR) AS "user", step_ts, 42.0 AS value
+          FROM sums ORDER BY step_ts, "user"""",
+
+    "q86_promql_label_join" ->
+      s"""WITH ev AS ($EV), stps AS (${steps(D1)}),
+          sums AS (${sums1d("purchase")})
+          SELECT CAST(user_id AS VARCHAR) || '-' || CAST(user_id AS VARCHAR) AS combo,
+                 step_ts, round(value,6) AS value
+          FROM sums ORDER BY step_ts, combo""",
 
     "q12_promql_at_end" ->
       s"""WITH ev AS ($EV), stps AS (${steps(D1)}),
