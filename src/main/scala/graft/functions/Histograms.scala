@@ -150,21 +150,22 @@ object Histograms {
     math.pow(2.0, (index + 1).toDouble / (1 << scale))
 
   /** Convert delta bucket counts of an exp histogram to the canonical
-    * (le, values cumulative) pair of arrays. */
+    * (le, values cumulative) pair of arrays — pure higher-order-function
+    * expressions (codegen'd), no UDFs. */
   def fromExponential(df: DataFrame, scale: Int, offsetCol: String,
                       countsCol: String): DataFrame = {
-    val bounds = udf((offset: Int, n: Int) =>
-      Array.tabulate(n)(i => expBucketBound(scale, offset + i)) :+ Double.PositiveInfinity)
-    val cumulative = udf((counts: Seq[Double]) => {
-      val out = new Array[Double](counts.length + 1)
-      var acc = 0.0
-      var i = 0
-      while (i < counts.length) { acc += counts(i); out(i) = acc; i += 1 }
-      out(counts.length) = acc // +Inf bucket
-      out
-    })
-    df.withColumn("le", bounds(col(offsetCol), size(col(countsCol))))
-      .withColumn("values", cumulative(col(countsCol)))
+    val n = size(col(countsCol))
+    val bounds = concat(
+      transform(sequence(lit(0), n - 1),
+        i => pow(lit(2.0), (col(offsetCol) + i + 1).cast("double") / (1 << scale))),
+      array(lit(Double.PositiveInfinity)))
+    // running sum; the +Inf bucket repeats the total
+    val cumulative = aggregate(col(countsCol), array().cast("array<double>"),
+      (acc, x) => concat(acc, array(coalesce(element_at(acc, -1), lit(0.0)) + x)))
+    df.withColumn("le", bounds)
+      .withColumn("__cum", cumulative)
+      .withColumn("values", concat(col("__cum"), array(coalesce(element_at(col("__cum"), -1), lit(0.0)))))
+      .drop("__cum")
   }
 
   /** Hist-typed SAMPLES (metric, tags, ts, le ARRAY, values ARRAY) →

@@ -294,6 +294,7 @@ object RangeFns {
       case "quantile_over_time" => QuantileOverTime(args.head)
       case "mad_over_time"      => MadOverTime
       case "last_over_time"     => LastOverTime
+      case "last"               => LastOverTime // reference alias (PlanEnums "last")
       case "timestamp"          => TimestampFn
       case "present_over_time"  => PresentOverTime
       case "z_score"            => ZScore

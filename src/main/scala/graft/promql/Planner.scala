@@ -296,8 +296,8 @@ object PromPlanner {
 
   private val rangeFnNames = Set("rate", "increase", "delta", "idelta", "irate", "resets",
     "changes", "deriv", "sum_over_time", "avg_over_time", "count_over_time", "min_over_time",
-    "max_over_time", "stddev_over_time", "stdvar_over_time", "last_over_time", "timestamp",
-    "present_over_time", "absent_over_time", "mad_over_time", "z_score")
+    "max_over_time", "stddev_over_time", "stdvar_over_time", "last_over_time", "last",
+    "timestamp", "present_over_time", "absent_over_time", "mad_over_time", "z_score")
 
   private def planFunc(ctx: Ctx, name: String, args: Seq[PromExpr]): DataFrame = name match {
 
@@ -360,7 +360,7 @@ object PromPlanner {
             val (src, effFn) = routed.getOrElse((selectorSamples(ctx, sel), n))
             dropNameIf(
               periodicFrom(ctx, src, sel, RangeFns.byName(effFn), sel.windowMs.get),
-              n != "last_over_time" && n != "timestamp")
+              n != "last_over_time" && n != "last" && n != "timestamp")
           }
         case Subquery(inner, range, step, off, atMs) =>
           // @ on a subquery pins the outer evaluation time; the result is
