@@ -76,9 +76,13 @@ object Ingest {
     * min/max/sum/count/avg per series per resolution —
     * filodb-defaults.conf:453-457, DownsamplerMain). Works for both batch
     * and streaming inputs; streaming callers add a watermark first. */
-  def downsample(samples: DataFrame, resolution: String): DataFrame =
-    samples
-      .withColumn("tsc", timestamp_millis(col("ts")))
+  def downsample(samples: DataFrame, resolution: String,
+                 lateness: Option[String] = None): DataFrame = {
+    val timed = samples.withColumn("tsc", timestamp_millis(col("ts")))
+    // streaming callers pass `lateness` to watermark the event-time column
+    // so append mode can finalize windows; batch callers omit it
+    val src = lateness.map(timed.withWatermark("tsc", _)).getOrElse(timed)
+    src
       .groupBy(col("series_id"), col("metric"), col("user"),
         window(col("tsc"), resolution).as("w"))
       .agg(
@@ -88,6 +92,7 @@ object Ingest {
       .select(col("series_id"), col("metric"), col("user"),
         unix_millis(col("w.end")).as("ts"),
         col("min"), col("max"), col("sum"), col("count"), col("avg"))
+  }
 
   /** Histogram-typed downsample (the reference's max-min histogram ds
     * schemas): tumbling windows over hist samples (series..., ts,

@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+import graft.operators.{PeriodicSamples, RangeFns}
+import graft.promql.Matchers.regexMatch
+
+/** Randomized equivalence checks (fixed seed, deterministic): the kernel
+  * against a naive per-window evaluation, and the simplified regex
+  * matchers against anchored rlike — the property-testing layer the
+  * reference covers with its iterator/regex unit suites. */
+class KernelPropertySpec extends AnyFunSuite with Matchers {
+
+  lazy val spark: SparkSession = GraftSession.builder("local[4]", "4").getOrCreate()
+  import spark.implicits._
+
+  test("window aggregates match naive evaluation on 20 random series") {
+    val rnd = new scala.util.Random(20260812)
+    val series: Seq[(Int, Seq[(Long, Double)])] = (0 until 20).map { sid =>
+      val n = 1 + rnd.nextInt(40)
+      sid -> Seq.fill(n)((rnd.nextInt(10000).toLong + 1, rnd.nextDouble() * 200 - 100))
+    }
+    val df = series.flatMap { case (sid, ss) => ss.map { case (t, v) => (sid, t, v) } }
+      .toDF("sid", "ts", "value")
+    val (start, end, step, w) = (1000L, 10000L, 1000L, 3000L)
+
+    def naive(fn: String, ss: Seq[(Long, Double)], t: Long): Option[Double] = {
+      val win = ss.filter(s => s._1 > t - w && s._1 <= t).map(_._2)
+      if (win.isEmpty) None
+      else Some(fn match {
+        case "sum" => win.sum
+        case "count" => win.size.toDouble
+        case "min" => win.min
+        case "max" => win.max
+        case "avg" => win.sum / win.size
+        case "stddev" =>
+          val m = win.sum / win.size
+          math.sqrt(win.map(x => (x - m) * (x - m)).sum / win.size)
+      })
+    }
+
+    for (fnName <- Seq("sum_over_time", "count_over_time", "min_over_time",
+                       "max_over_time", "avg_over_time", "stddev_over_time")) {
+      val out = PeriodicSamples(df, Seq("sid"), "ts", "value",
+        start, end, step, w, RangeFns.byName(fnName))
+        .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      val short = fnName.stripSuffix("_over_time")
+      series.foreach { case (sid, ss) =>
+        (start to end by step).foreach { t =>
+          naive(short, ss, t) match {
+            case Some(exp) =>
+              withClue(s"$fnName sid=$sid t=$t") {
+                out((sid, t)) shouldEqual exp +- math.max(1e-7, math.abs(exp) * 1e-9)
+              }
+            case None =>
+              withClue(s"$fnName sid=$sid t=$t empty window") {
+                out.contains((sid, t)) shouldBe false
+              }
+          }
+        }
+      }
+    }
+  }
+
+  test("simplified regex matchers are equivalent to anchored rlike") {
+    val values = Seq("purchase", "purchase2", "view", "1", "12", "21", "a|b",
+      "foo.bar", "fooXbar", "", "x", "prefix", "prefixtail")
+    val patterns = Seq(
+      "purchase", "purchase|view", "1|2|3", "1.*", "prefix.*", "p.*e",
+      "[pv].*", "foo\\.bar", "(foo|bar).*", "a|b", ".*", "x?", "")
+    val df = values.toDF("v")
+    patterns.foreach { p =>
+      val simplified = df.filter(regexMatch(col("v"), p)).as[String].collect().sorted
+      val reference = df.filter(col("v").rlike("^(?:" + p + ")$")).as[String].collect().sorted
+      withClue(s"pattern '$p'")(simplified shouldEqual reference)
+    }
+  }
+}

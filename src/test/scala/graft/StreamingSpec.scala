@@ -51,6 +51,28 @@ class StreamingSpec extends AnyFunSuite with Matchers {
     ds(1).getAs[Double]("avg") shouldEqual 30.0
   }
 
+  test("streaming downsample: watermark finalizes windows in append mode") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[Sample]
+    val q = Ingest.downsample(ms.toDF(), "5 minutes", lateness = Some("1 second"))
+      .writeStream.format("memory").queryName("ds_stream_out")
+      .outputMode("append").start()
+    try {
+      ms.addData(Sample(1, "m", "u", 0L, 10.0), Sample(1, "m", "u", 60000L, 20.0))
+      q.processAllAvailable()
+      // watermark has not passed the first window's end yet -> nothing final
+      spark.table("ds_stream_out").count() shouldEqual 0L
+      // an event far past the window end advances the watermark
+      ms.addData(Sample(1, "m", "u", 400000L, 5.0))
+      q.processAllAvailable()
+      val rows = spark.table("ds_stream_out").collect()
+      rows.length shouldEqual 1
+      rows.head.getAs[Long]("ts") shouldEqual 300000L
+      rows.head.getAs[Double]("sum") shouldEqual 30.0
+      rows.head.getAs[Double]("count") shouldEqual 2.0
+    } finally q.stop()
+  }
+
   test("histogram downsample merges buckets per window and keeps min/max") {
     val le = Seq(10.0, 50.0, Double.PositiveInfinity)
     val hist = Seq(
