@@ -162,6 +162,49 @@ object PromEngineQueries {
         .orderBy("step_ts", "type")
     }),
 
+    // cold-tier routing end to end: days <= boundary served from a 1d
+    // ds-gauge downsample (raw withheld), hot tail from raw — answers must
+    // equal evaluation over the full raw table
+    "q87_promql_tier_routed" -> ((s, dir) => {
+      import graft.streaming.Ingest
+      val samples = TsTables.eventsAsSamples(s, dir)
+      val boundary = S + 15 * D1
+      val flat = samples.select(col("series_id"), col("metric"),
+        col("tags")("user").as("user"), col("ts"), col("value"))
+      // (k*1d, (k+1)*1d] buckets, representative ts = bucket end
+      val ds = Ingest.downsample(flat, "1 day", bucketOffset = "1 millisecond")
+        .select(col("metric"), map(lit("user"), col("user")).as("tags"),
+          (col("ts") - 1).as("ts"),
+          col("min"), col("max"), col("sum"), col("count"), col("avg"))
+      val hot = samples.filter(col("ts") > boundary)
+      val ctx = PromPlanner.Ctx(s, hot, S, E, D1,
+        cold = Some(PromPlanner.ColdTier(ds, boundary)))
+      PromPlanner.queryRange(ctx, "sum_over_time(purchase[1d])")
+        .select(col("labels")("user").as("user"), col("step_ts"),
+          round(col("value"), 6).as("value"))
+        .orderBy("step_ts", "user")
+    }),
+
+    // same tiers, avg_over_time: exercises the routed sum/count division
+    "q88_promql_tier_routed_avg" -> ((s, dir) => {
+      import graft.streaming.Ingest
+      val samples = TsTables.eventsAsSamples(s, dir)
+      val boundary = S + 15 * D1
+      val flat = samples.select(col("series_id"), col("metric"),
+        col("tags")("user").as("user"), col("ts"), col("value"))
+      val ds = Ingest.downsample(flat, "1 day", bucketOffset = "1 millisecond")
+        .select(col("metric"), map(lit("user"), col("user")).as("tags"),
+          (col("ts") - 1).as("ts"),
+          col("min"), col("max"), col("sum"), col("count"), col("avg"))
+      val hot = samples.filter(col("ts") > boundary)
+      val ctx = PromPlanner.Ctx(s, hot, S, E, D1,
+        cold = Some(PromPlanner.ColdTier(ds, boundary)))
+      PromPlanner.queryRange(ctx, "avg_over_time(purchase[1d])")
+        .select(col("labels")("user").as("user"), col("step_ts"),
+          round(col("value"), 6).as("value"))
+        .orderBy("step_ts", "user")
+    }),
+
     // or_vector (FiloDB extension): NaN sample values replaced by a scalar
     "q85_promql_or_vector" -> ((s, dir) =>
       PromPlanner.queryRange(userCtx(s, dir, D1),
@@ -332,6 +375,21 @@ object PromEngineQueries {
              WHERE e.event_type = 'view' GROUP BY 2)
           ) ORDER BY step_ts, type"""
     },
+
+    "q87_promql_tier_routed" ->
+      s"""WITH ev AS ($EV), stps AS (${steps(D1)}),
+          sums AS (${sums1d("purchase")})
+          SELECT CAST(user_id AS VARCHAR) AS "user", step_ts, round(value,6) AS value
+          FROM sums ORDER BY step_ts, "user"""",
+
+    "q88_promql_tier_routed_avg" ->
+      s"""WITH ev AS ($EV), stps AS (${steps(D1)}),
+          avgs AS (SELECT s.step_ts, e.user_id, avg(e.value) AS value
+                   FROM stps s JOIN ev e
+                   ON e.ts_ms > s.step_ts - $D1 AND e.ts_ms <= s.step_ts
+                   WHERE e.event_type = 'purchase' GROUP BY 1,2)
+          SELECT CAST(user_id AS VARCHAR) AS "user", step_ts, round(value,6) AS value
+          FROM avgs ORDER BY step_ts, "user"""",
 
     "q85_promql_or_vector" ->
       s"""WITH ev AS ($EV), stps AS (${steps(D1)}),

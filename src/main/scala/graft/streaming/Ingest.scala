@@ -77,14 +77,18 @@ object Ingest {
     * filodb-defaults.conf:453-457, DownsamplerMain). Works for both batch
     * and streaming inputs; streaming callers add a watermark first. */
   def downsample(samples: DataFrame, resolution: String,
-                 lateness: Option[String] = None): DataFrame = {
+                 lateness: Option[String] = None,
+                 bucketOffset: String = "0 milliseconds"): DataFrame = {
     val timed = samples.withColumn("tsc", timestamp_millis(col("ts")))
     // streaming callers pass `lateness` to watermark the event-time column
-    // so append mode can finalize windows; batch callers omit it
+    // so append mode can finalize windows; batch callers omit it.
+    // bucketOffset="1 millisecond" shifts buckets to (k*res, (k+1)*res] —
+    // the reference's (start, end] downsample periods, which align exactly
+    // with Prometheus (t-w, t] query windows on ms-resolution timestamps.
     val src = lateness.map(timed.withWatermark("tsc", _)).getOrElse(timed)
     src
       .groupBy(col("series_id"), col("metric"), col("user"),
-        window(col("tsc"), resolution).as("w"))
+        window(col("tsc"), resolution, resolution, bucketOffset).as("w"))
       .agg(
         min(col("value")).as("min"), max(col("value")).as("max"),
         sum(col("value")).as("sum"), count(col("value")).cast("double").as("count"),
