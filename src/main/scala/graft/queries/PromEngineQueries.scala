@@ -205,6 +205,45 @@ object PromEngineQueries {
         .orderBy("step_ts", "user")
     }),
 
+    // preagg rewrite end to end: raw WITHHELD, answers must come from a
+    // pre-aggregated table retaining only the queried label (user parity)
+    "q89_promql_preagg_rewrite" -> ((s, dir) => {
+      val ev = TsTables.events(s, dir)
+      val pa = ev.groupBy(col("event_type"), (col("user_id") % 2).as("parity"), col("ts_ms"))
+        .agg(sum(col("value")).as("value"))
+        .select(col("event_type").as("metric"),
+          map(lit("parity"), col("parity").cast("string")).as("tags"),
+          col("ts_ms").as("ts"), col("value"))
+      val emptyRaw = TsTables.eventsAsSamples(s, dir).filter(lit(false))
+      val ctx = PromPlanner.Ctx(s, emptyRaw, S, E, D1,
+        preagg = Seq(PromPlanner.PreaggTable(pa, Set("parity"))))
+      PromPlanner.queryRange(ctx, "sum by (parity) (sum_over_time(purchase[1d]))")
+        .select(col("labels")("parity").as("parity"), col("step_ts"),
+          round(col("value"), 6).as("value"))
+        .orderBy("step_ts", "parity")
+    }),
+
+    // ds-gauge preagg count shape: sum of count_over_time reads the
+    // pre-aggregated count column (1h buckets aligned (k,k+1])
+    "q90_promql_preagg_count" -> ((s, dir) => {
+      val ev = TsTables.events(s, dir)
+      val hour = TsTables.Hour
+      val pa = ev.groupBy(col("event_type"), (col("user_id") % 2).as("parity"),
+          (ceil(col("ts_ms") / hour) * hour).cast("long").as("bts"))
+        .agg(min(col("value")).as("min"), max(col("value")).as("max"),
+          sum(col("value")).as("sum"), count(lit(1)).cast("double").as("count"))
+        .select(col("event_type").as("metric"),
+          map(lit("parity"), col("parity").cast("string")).as("tags"),
+          col("bts").as("ts"), col("min"), col("max"), col("sum"), col("count"))
+      val emptyRaw = TsTables.eventsAsSamples(s, dir).filter(lit(false))
+      val ctx = PromPlanner.Ctx(s, emptyRaw, S, E, D1,
+        preagg = Seq(PromPlanner.PreaggTable(pa, Set("parity"))))
+      PromPlanner.queryRange(ctx, "sum by (parity) (count_over_time(purchase[1d]))")
+        .select(col("labels")("parity").as("parity"), col("step_ts"),
+          col("value"))
+        .orderBy("step_ts", "parity")
+    }),
+
     // or_vector (FiloDB extension): NaN sample values replaced by a scalar
     "q85_promql_or_vector" -> ((s, dir) =>
       PromPlanner.queryRange(userCtx(s, dir, D1),
@@ -375,6 +414,25 @@ object PromEngineQueries {
              WHERE e.event_type = 'view' GROUP BY 2)
           ) ORDER BY step_ts, type"""
     },
+
+    "q89_promql_preagg_rewrite" ->
+      s"""WITH ev AS ($EV), stps AS (${steps(D1)}),
+          sums AS (SELECT s.step_ts, e.user_id % 2 AS parity, sum(e.value) AS value
+                   FROM stps s JOIN ev e
+                   ON e.ts_ms > s.step_ts - $D1 AND e.ts_ms <= s.step_ts
+                   WHERE e.event_type = 'purchase' GROUP BY 1,2)
+          SELECT CAST(parity AS VARCHAR) AS parity, step_ts, round(value,6) AS value
+          FROM sums ORDER BY step_ts, parity""",
+
+    "q90_promql_preagg_count" ->
+      s"""WITH ev AS ($EV), stps AS (${steps(D1)}),
+          cnts AS (SELECT s.step_ts, e.user_id % 2 AS parity,
+                     CAST(count(*) AS DOUBLE) AS value
+                   FROM stps s JOIN ev e
+                   ON e.ts_ms > s.step_ts - $D1 AND e.ts_ms <= s.step_ts
+                   WHERE e.event_type = 'purchase' GROUP BY 1,2)
+          SELECT CAST(parity AS VARCHAR) AS parity, step_ts, value
+          FROM cnts ORDER BY step_ts, parity""",
 
     "q87_promql_tier_routed" ->
       s"""WITH ev AS ($EV), stps AS (${steps(D1)}),
