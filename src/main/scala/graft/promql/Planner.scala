@@ -568,14 +568,18 @@ object PromPlanner {
       .withColumn("__le", leNumeric(leStr))
       .withColumn("labels",
         map_filter(col("labels"), (k, _) => k =!= "le" && k =!= "__name__"))
+    // only (__key, step, le, value) crosses the shuffle; the label map is
+    // rebuilt from the key on the (small) grouped output
     val collected = withKey(stripped)
-      .groupBy(col("labels"), col("__key"), col("step_ts"))
+      .select(col("__key"), col("step_ts"), col("__le"), col("value"))
+      .groupBy(col("__key"), col("step_ts"))
       .agg(array_sort(collect_list(struct(col("__le").as("le"), col("value").as("v"))))
         .as("__b"))
     val mono = aggregate(col("__b"), array().cast("array<double>"),
       (acc, x) => concat(acc,
         array(greatest(x.getField("v"), coalesce(element_at(acc, -1), x.getField("v"))))))
     collected
+      .withColumn("labels", labelsFromKey(col("__key")))
       .withColumn("__le_arr", col("__b").getField("le"))
       .withColumn("__vals", mono)
       .drop("__b")

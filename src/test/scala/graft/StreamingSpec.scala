@@ -51,6 +51,31 @@ class StreamingSpec extends AnyFunSuite with Matchers {
     ds(1).getAs[Double]("avg") shouldEqual 30.0
   }
 
+  test("ingest state TTL evicts idle series once the watermark passes") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[Sample]
+    val q = Ingest.dropOutOfOrder(ms.toDS(), stateTtlMs = 1000L, lateness = "1 second")
+      .writeStream.format("memory").queryName("ttl_out")
+      .outputMode("append").start()
+    try {
+      def stateRows: Long = q.lastProgress.stateOperators(0).numRowsTotal
+      ms.addData(Sample(1, "m", "u", 100000L, 1.0))
+      q.processAllAvailable()
+      stateRows shouldEqual 1L
+      // a second series far in the future advances the watermark past
+      // series 1's hwm + TTL; the trailing no-data micro-batch fires
+      // series 1's event-time timeout and evicts its state, while fresh
+      // series 2 survives — bounded state under series churn
+      ms.addData(Sample(2, "m", "v", 10000000L, 2.0))
+      q.processAllAvailable()
+      ms.addData(Sample(2, "m", "v", 10010000L, 3.0))
+      q.processAllAvailable()
+      stateRows shouldEqual 1L
+      // nothing was lost from the output on the way
+      spark.table("ttl_out").count() shouldEqual 3L
+    } finally q.stop()
+  }
+
   test("streaming downsample: watermark finalizes windows in append mode") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val ms = MemoryStream[Sample]
