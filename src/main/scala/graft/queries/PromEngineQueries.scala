@@ -205,6 +205,29 @@ object PromEngineQueries {
         .orderBy("step_ts", "user")
     }),
 
+    // many-to-one group_left arithmetic with an oracle: per-user purchase
+    // sums joined to per-parity view sums on the shared parity label
+    "q91_promql_group_left" -> ((s, dir) => {
+      val samples = TsTables.events(s, dir).select(
+        col("event_type").as("metric"),
+        map(lit("user"), col("user_id").cast("string"),
+            lit("parity"), (col("user_id") % 2).cast("string")).as("tags"),
+        col("ts_ms").as("ts"), col("value"), col("event_id").as("__tie"))
+      val ctx = PromPlanner.Ctx(s, samples, S, E, D1)
+      PromPlanner.queryRange(ctx,
+        "sum_over_time(purchase[1d]) * on(parity) group_left sum by (parity) (sum_over_time(view[1d]))")
+        .select(col("labels")("user").as("user"), col("step_ts"),
+          round(col("value"), 6).as("value"))
+        .orderBy("step_ts", "user")
+    }),
+
+    // vector-vector comparison with bool: 0/1 per matched pair
+    "q92_promql_bool_cmp" -> ((s, dir) =>
+      PromPlanner.queryRange(userCtx(s, dir, D1),
+        "sum_over_time(purchase[1d]) > bool on(user) sum_over_time(view[1d])")
+        .select(col("labels")("user").as("user"), col("step_ts"), col("value"))
+        .orderBy("step_ts", "user")),
+
     // preagg rewrite end to end: raw WITHHELD, answers must come from a
     // pre-aggregated table retaining only the queried label (user parity)
     "q89_promql_preagg_rewrite" -> ((s, dir) => {
@@ -414,6 +437,26 @@ object PromEngineQueries {
              WHERE e.event_type = 'view' GROUP BY 2)
           ) ORDER BY step_ts, type"""
     },
+
+    "q91_promql_group_left" ->
+      s"""WITH ev AS ($EV), stps AS (${steps(D1)}),
+          p AS (${sums1d("purchase")}),
+          v AS (SELECT s.step_ts, e.user_id % 2 AS parity, sum(e.value) AS value
+                FROM stps s JOIN ev e
+                ON e.ts_ms > s.step_ts - $D1 AND e.ts_ms <= s.step_ts
+                WHERE e.event_type = 'view' GROUP BY 1,2)
+          SELECT CAST(p.user_id AS VARCHAR) AS "user", p.step_ts,
+                 round(p.value * v.value, 6) AS value
+          FROM p JOIN v ON p.step_ts = v.step_ts AND p.user_id % 2 = v.parity
+          ORDER BY p.step_ts, "user"""",
+
+    "q92_promql_bool_cmp" ->
+      s"""WITH ev AS ($EV), stps AS (${steps(D1)}),
+          p AS (${sums1d("purchase")}), v AS (${sums1d("view")})
+          SELECT CAST(p.user_id AS VARCHAR) AS "user", p.step_ts,
+                 CASE WHEN p.value > v.value THEN 1.0 ELSE 0.0 END AS value
+          FROM p JOIN v ON p.step_ts = v.step_ts AND p.user_id = v.user_id
+          ORDER BY p.step_ts, "user"""",
 
     "q89_promql_preagg_rewrite" ->
       s"""WITH ev AS ($EV), stps AS (${steps(D1)}),
