@@ -116,9 +116,18 @@ class PromApi(spark: SparkSession, samples: DataFrame, port: Int = 0,
         s"query result exceeds the per-query limit of $maxResultSeries series")
   }
 
+  /** samples restricted to the optional start/end params (Prometheus
+    * allows a time range on every metadata endpoint). */
+  private def ranged(p: Map[String, String]) = {
+    val from = p.get("start").map(ms).getOrElse(Long.MinValue)
+    val to = p.get("end").map(ms).getOrElse(Long.MaxValue)
+    if (from == Long.MinValue && to == Long.MaxValue) samples
+    else samples.filter(col("ts").between(from, to))
+  }
+
   private def labels(p: Map[String, String]): String = {
     val names = "__name__" +:
-      MetadataOps.labelNames(samples, matchExprs(p))
+      MetadataOps.labelNames(ranged(p), matchExprs(p))
         .collect().map(_.getString(0)).sorted.toSeq
     s"""{"status":"success","data":[${names.map(js).mkString(",")}]}"""
   }
@@ -126,11 +135,12 @@ class PromApi(spark: SparkSession, samples: DataFrame, port: Int = 0,
   private def labelValues(p: Map[String, String]): String = {
     val label = p("__path").stripPrefix("/api/v1/label/").stripSuffix("/values")
     val m = matchExprs(p)
+    val src = ranged(p)
     val vals =
-      if (label == "__name__") samples.filter(MetadataOps.matchPred(m))
+      if (label == "__name__") src.filter(MetadataOps.matchPred(m))
         .select(col("metric")).distinct()
         .collect().map(_.getString(0)).sorted.toSeq
-      else MetadataOps.labelValues(samples, label, m)
+      else MetadataOps.labelValues(src, label, m)
         .collect().map(_.getString(0)).sorted.toSeq
     s"""{"status":"success","data":[${vals.map(js).mkString(",")}]}"""
   }

@@ -66,6 +66,9 @@ class PromApiSpec extends AnyFunSuite with Matchers {
       val card = get(port, "/api/v1/label_cardinality?labels=user")
       card should include(""""status":"success"""")
       card should include(""""user":""")
+      // time-ranged label values: a window before the data is empty
+      get(port, "/api/v1/label/user/values?start=0&end=1000") shouldEqual
+        """{"status":"success","data":[]}"""
     } finally api.stop()
   }
 
