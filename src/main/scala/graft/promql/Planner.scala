@@ -303,6 +303,11 @@ object PromPlanner {
 
     case n if rangeFnNames.contains(n) =>
       args.head match {
+        // timestamp/last take an INSTANT vector (reference
+        // InstantVectorParam): windowless selector evaluates over the
+        // staleness lookback like any instant selector
+        case sel: Selector if sel.windowMs.isEmpty && (n == "timestamp" || n == "last") =>
+          periodic(ctx, sel, RangeFns.byName(n), ctx.lookbackMs)
         case sel: Selector if sel.windowMs.isDefined =>
           if (n == "absent_over_time") absent(ctx, sel, sel.windowMs.get)
           else if ((n == "rate" || n == "increase") &&

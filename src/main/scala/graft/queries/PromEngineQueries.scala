@@ -205,6 +205,17 @@ object PromEngineQueries {
         .orderBy("step_ts", "user")
     }),
 
+    // timestamp() over an instant vector: seconds of each series' latest
+    // sample within the lookback at every step
+    "q93_promql_timestamp" -> ((s, dir) => {
+      val ctx = PromPlanner.Ctx(s, TsTables.eventsAsSamples(s, dir), S, E, D1,
+        lookbackMs = D1)
+      PromPlanner.queryRange(ctx, "timestamp(purchase)")
+        .select(col("labels")("user").as("user"), col("step_ts"),
+          round(col("value"), 6).as("value"))
+        .orderBy("step_ts", "user")
+    }),
+
     // many-to-one group_left arithmetic with an oracle: per-user purchase
     // sums joined to per-parity view sums on the shared parity label
     "q91_promql_group_left" -> ((s, dir) => {
@@ -437,6 +448,16 @@ object PromEngineQueries {
              WHERE e.event_type = 'view' GROUP BY 2)
           ) ORDER BY step_ts, type"""
     },
+
+    "q93_promql_timestamp" ->
+      s"""WITH ev AS ($EV), stps AS (${steps(D1)}),
+          lastts AS (SELECT s.step_ts, e.user_id, max(e.ts_ms) AS mts
+                     FROM stps s JOIN ev e
+                     ON e.ts_ms > s.step_ts - $D1 AND e.ts_ms <= s.step_ts
+                     WHERE e.event_type = 'purchase' GROUP BY 1,2)
+          SELECT CAST(user_id AS VARCHAR) AS "user", step_ts,
+                 round(mts / 1000.0, 6) AS value
+          FROM lastts ORDER BY step_ts, "user"""",
 
     "q91_promql_group_left" ->
       s"""WITH ev AS ($EV), stps AS (${steps(D1)}),
