@@ -205,6 +205,11 @@ object PromEngineQueries {
         .orderBy("step_ts", "user")
     }),
 
+    "q94_promql_present" -> ((s, dir) =>
+      PromPlanner.queryRange(userCtx(s, dir, D1), "present_over_time(purchase[1d])")
+        .select(col("labels")("user").as("user"), col("step_ts"), col("value"))
+        .orderBy("step_ts", "user")),
+
     // timestamp() over an instant vector: seconds of each series' latest
     // sample within the lookback at every step
     "q93_promql_timestamp" -> ((s, dir) => {
@@ -448,6 +453,14 @@ object PromEngineQueries {
              WHERE e.event_type = 'view' GROUP BY 2)
           ) ORDER BY step_ts, type"""
     },
+
+    "q94_promql_present" ->
+      s"""WITH ev AS ($EV), stps AS (${steps(D1)})
+          SELECT DISTINCT CAST(e.user_id AS VARCHAR) AS "user", s.step_ts, 1.0 AS value
+          FROM stps s JOIN ev e
+          ON e.ts_ms > s.step_ts - $D1 AND e.ts_ms <= s.step_ts
+          WHERE e.event_type = 'purchase'
+          ORDER BY step_ts, "user"""",
 
     "q93_promql_timestamp" ->
       s"""WITH ev AS ($EV), stps AS (${steps(D1)}),
