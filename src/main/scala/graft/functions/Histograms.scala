@@ -52,7 +52,9 @@ object Histograms {
     val upperCount = element_at(values, idx)
     val interpolated = lowerBound +
       (upperBound - lowerBound) * (rank - lowerCount) / (upperCount - lowerCount)
-    when(total <= 0 || idx.isNull, lit(Double.NaN))
+    // n < 2: a lone +Inf bucket has no finite bound to interpolate against
+    // (and element_at(le, 0) would throw) — Prometheus answers NaN.
+    when(n < 2 || total <= 0 || idx.isNull, lit(Double.NaN))
       .when(idx === n, element_at(le, n - 1)) // +Inf bucket
       .otherwise(interpolated)
   }
@@ -83,7 +85,11 @@ object Histograms {
     val frac =
       if (even) (rank - cprev) / (count + lit(1.0)) else (rank - cprev) / count
     when(total <= 0 || idx.isNull, lit(Double.NaN))
-      .when(end1 === lit(Double.PositiveInfinity), element_at(le, n - 1))
+      // +Inf target bucket with maxObs not clamping: fall back to the last
+      // finite bound; a single-bucket histogram has none (element_at(le, 0)
+      // throws), so answer maxObs if known else NaN.
+      .when(end1 === lit(Double.PositiveInfinity),
+        when(n > 1, element_at(le, n - 1)).otherwise(coalesce(maxObs, lit(Double.NaN))))
       .otherwise(start1 + (end1 - start1) * frac)
   }
 
@@ -155,9 +161,12 @@ object Histograms {
   def fromExponential(df: DataFrame, scale: Int, offsetCol: String,
                       countsCol: String): DataFrame = {
     val n = size(col(countsCol))
+    // empty counts: sequence(0, -1) would generate a DESCENDING [0, -1] and
+    // misalign le vs values — an empty histogram is just le=[+Inf], values=[0]
     val bounds = concat(
-      transform(sequence(lit(0), n - 1),
-        i => pow(lit(2.0), (col(offsetCol) + i + 1).cast("double") / (1 << scale))),
+      when(n > 0, transform(sequence(lit(0), n - 1),
+        i => pow(lit(2.0), (col(offsetCol) + i + 1).cast("double") / (1 << scale))))
+        .otherwise(array().cast("array<double>")),
       array(lit(Double.PositiveInfinity)))
     // running sum; the +Inf bucket repeats the total
     val cumulative = aggregate(col(countsCol), array().cast("array<double>"),

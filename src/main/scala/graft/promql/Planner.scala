@@ -198,8 +198,7 @@ object PromPlanner {
             case other => throw new IllegalArgumentException(s"count_values needs string, got $other")
           }
           val withLbl = keyed.withColumn("labels",
-            map_concat(col("labels"),
-              map(lit(label), format_string("%.6f", col("value"))))) // no locale grouping
+            map_concat(col("labels"), map(lit(label), canonicalValueStr(col("value")))))
           withKey(withLbl)
             .groupBy(col("labels"), col("__key"), col("step_ts"))
             .agg(count(lit(1)).cast("double").as("value"))
@@ -283,6 +282,14 @@ object PromPlanner {
     to_json(array_sort(map_entries(filtered)))
   }
 
+  /** Prometheus stamps count_values labels with the canonical shortest
+    * float string — "4", not "4.000000" (ref CountValuesRowAggregator
+    * stamps the raw value string). Integral magnitudes print as integers;
+    * everything else falls back to the double's string form. */
+  private def canonicalValueStr(v: Column): Column =
+    when(v === floor(v) && abs(v) < 1e15, v.cast("long").cast("string"))
+      .otherwise(v.cast("string"))
+
   private def constParam(p: Option[PromExpr]): Double = p match {
     case Some(NumberLit(v)) => v
     case other => throw new IllegalArgumentException(s"expected numeric parameter, got $other")
@@ -321,8 +328,12 @@ object PromPlanner {
             val deltaFn =
               if (n == "rate") RangeFns.RateOverDelta else RangeFns.IncreaseOverDelta
             val w = sel.windowMs.get
+            // null series_type = plain cumulative counter (legacy rows
+            // predate the column). IsNull-or-Ne stays parquet-pushable,
+            // unlike a coalesce, and keeps null rows out of neither branch.
             val cum = periodicFrom(ctx,
-              selectorSamplesFrom(ctx.samples.filter(col("series_type") =!= "delta"), sel),
+              selectorSamplesFrom(ctx.samples.filter(
+                col("series_type").isNull || col("series_type") =!= "delta"), sel),
               sel, RangeFns.byName(n), w)
             val del = periodicFrom(ctx,
               selectorSamplesFrom(ctx.samples.filter(col("series_type") === "delta"), sel),
@@ -367,6 +378,12 @@ object PromPlanner {
               periodicFrom(ctx, src, sel, RangeFns.byName(effFn), sel.windowMs.get),
               n != "last_over_time" && n != "last" && n != "timestamp")
           }
+        case _: Subquery if n == "absent_over_time" =>
+          // absent_over_time over a subquery matrix: 1.0 wherever
+          // present_over_time over the same subquery yields nothing;
+          // no labels (not selector-rooted).
+          val present = planFunc(ctx, "present_over_time", args)
+          absentOfSteps(ctx, present, map().cast("map<string,string>"))
         case Subquery(inner, range, step, off, atMs) =>
           // @ on a subquery pins the outer evaluation time; the result is
           // replicated across the step grid like a pinned selector
@@ -462,8 +479,15 @@ object PromPlanner {
 
     case "absent" =>
       args.head match {
-        case sel: Selector => absent(ctx, sel, ctx.lookbackMs)
-        case other => throw new IllegalArgumentException(s"absent needs a selector, got $other")
+        case sel: Selector if sel.windowMs.isEmpty => absent(ctx, sel, ctx.lookbackMs)
+        case other =>
+          // absent over an ARBITRARY vector expression (reference
+          // AbsentFunctionMapper, RangeVectorTransformer.scala:422-480,
+          // wraps any vector result): plan the child, anti-join the step
+          // grid against the steps it produced. Labels are synthesized only
+          // for a bare-selector argument (the case above) — Prometheus
+          // derives them from nothing else.
+          absentOfSteps(ctx, planVector(ctx, other), map().cast("map<string,string>"))
       }
 
     case "scalar" =>
@@ -503,8 +527,20 @@ object PromPlanner {
         .transform(withKey).transform(finish)
 
     case "sort" | "sort_desc" =>
+      // Series-level sort (reference RangeVectorTransformer.scala:302-337):
+      // SERIES are ordered by the value of their last sample; each series'
+      // rows stay time-ordered. A row-level orderBy(value) would interleave
+      // steps of different series in a range query. Presentation-layer op —
+      // the global sort runs on the final (small) result only.
       val v = planVector(ctx, args.head)
-      if (name == "sort") v.orderBy(col("value").asc) else v.orderBy(col("value").desc)
+      val lastVal = first(col("value")).over(
+        Window.partitionBy(col("__key")).orderBy(col("step_ts").desc))
+      // asc over the (possibly negated) key puts NaN-valued series last in
+      // BOTH directions, as Prometheus does
+      val sortKey = if (name == "sort") lastVal else -lastVal
+      v.withColumn("__sortv", sortKey)
+        .orderBy(col("__sortv").asc, col("__key").asc, col("step_ts").asc)
+        .drop("__sortv")
 
     case "label_replace" =>
       val Seq(vec, dstE, replE, srcE, regexE) = args
@@ -611,7 +647,6 @@ object PromPlanner {
 
   private def absent(ctx: Ctx, sel: Selector, windowMs: Long): DataFrame = {
     val present = periodic(ctx, sel, RangeFns.PresentOverTime, windowMs)
-    val grid = scalarGrid(ctx)
     // synthesize labels from Equals matchers (reference AbsentFunctionMapper)
     val eqLabels: Seq[(String, String)] =
       sel.metric.map("__name__" -> _).toSeq ++
@@ -619,11 +654,18 @@ object PromPlanner {
     val labelMap =
       if (eqLabels.isEmpty) map().cast("map<string,string>")
       else map(eqLabels.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
-    grid.join(present.select(col("step_ts")).distinct(), Seq("step_ts"), "left_anti")
+    absentOfSteps(ctx, present, labelMap)
+  }
+
+  /** 1.0 at every grid step where `child` produced NO rows — the shared
+    * tail of absent()/absent_over_time(). The child's distinct step set is
+    * tiny (≤ steps-per-query), so the anti-join broadcasts under AQE. */
+  private def absentOfSteps(ctx: Ctx, child: DataFrame, labelMap: Column): DataFrame =
+    scalarGrid(ctx)
+      .join(child.select(col("step_ts")).distinct(), Seq("step_ts"), "left_anti")
       .withColumn("value", lit(1.0))
       .withColumn("labels", labelMap)
       .transform(withKey).transform(finish)
-  }
 
   private def str(e: PromExpr): String = e match {
     case StringLit(s) => s
