@@ -159,13 +159,21 @@ object Histograms {
     * (le, values cumulative) pair of arrays — pure higher-order-function
     * expressions (codegen'd), no UDFs. */
   def fromExponential(df: DataFrame, scale: Int, offsetCol: String,
-                      countsCol: String): DataFrame = {
+                      countsCol: String): DataFrame =
+    fromExponentialCols(df, lit(scale), col(offsetCol), countsCol)
+
+  /** Same conversion with per-ROW scale/offset columns — the storage-path
+    * form, where each sample row carries its own (scale, offset, counts)
+    * triple (reference ExpHistogramVector stores them per chunk). pow()
+    * instead of a bit shift also admits OTel's negative scales. */
+  def fromExponentialCols(df: DataFrame, scaleCol: Column, offsetCol: Column,
+                          countsCol: String): DataFrame = {
     val n = size(col(countsCol))
     // empty counts: sequence(0, -1) would generate a DESCENDING [0, -1] and
     // misalign le vs values — an empty histogram is just le=[+Inf], values=[0]
     val bounds = concat(
       when(n > 0, transform(sequence(lit(0), n - 1),
-        i => pow(lit(2.0), (col(offsetCol) + i + 1).cast("double") / (1 << scale))))
+        i => pow(lit(2.0), (offsetCol + i + 1).cast("double") / pow(lit(2.0), scaleCol))))
         .otherwise(array().cast("array<double>")),
       array(lit(Double.PositiveInfinity)))
     // running sum; the +Inf bucket repeats the total

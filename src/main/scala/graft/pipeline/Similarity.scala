@@ -76,7 +76,8 @@ object Similarity {
     * inverted lists); the centroid table is tiny and broadcast. */
   def ivfKnn(queries: DataFrame, corpus: DataFrame, k: Int,
              nCentroids: Int = 16, nprobe: Int = 4,
-             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+             idCol: String = "vec_id", vecCol: String = "embedding",
+             fitSampleRows: Int = 65536): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     import org.apache.spark.ml.linalg.Vector
@@ -85,7 +86,18 @@ object Similarity {
       col(vecCol).cast("array<double>").as("cv"))
     val km = new KMeans().setK(nCentroids).setSeed(42L)
       .setFeaturesCol("features").setPredictionCol("centroid")
-    val model = km.fit(c0.withColumn("features", array_to_vector(col("cv"))))
+    // Centroid placement only needs a bounded sample: fitting on the full
+    // corpus would run every KMeans iteration over 100 TB just to place
+    // nCentroids points. limit() short-circuits the scan (a few input
+    // partitions feed the fit), so fit cost is O(fitSampleRows) regardless
+    // of corpus size; assignment/probing below still cover every row.
+    // Recall contract: centroids from a prefix sample can be mildly biased
+    // toward early partitions — raise fitSampleRows (or pre-shuffle the
+    // corpus) if the corpus is partition-ordered by content. Corpora at or
+    // below the cap (every test fixture) fit on exactly the full set, so
+    // results are unchanged there.
+    val model = km.fit(
+      c0.limit(fitSampleRows).withColumn("features", array_to_vector(col("cv"))))
     val assigned = model.transform(c0.withColumn("features", array_to_vector(col("cv"))))
       .select(col("neighbor_id"), col("cv"), col("centroid"))
 

@@ -237,10 +237,16 @@ object Parser {
           e = e match {
             case s: Selector => s.copy(atMs = Some(at))
             case sq: Subquery => sq.copy(atMs = Some(at))
-            // (expr) @ t — distribute the pin to every selector/subquery
-            // inside, per the reference grammar (PromQL.g4 allows modifiers
-            // on parenthesized expressions); inner @s are absolute and win.
-            case other => applyAt(other, at)
+            // (expr) @ t — an intentional EXTENSION beyond Prometheus and
+            // the reference grammar (PromQL.g4 restricts modifiers to
+            // selectors/subqueries): distribute the pin to every
+            // selector/subquery inside; inner @s are absolute and win.
+            // A literal-only subtree has nothing to pin — error, don't
+            // silently ignore.
+            case other =>
+              if (!hasVectorNode(other))
+                fail(s"@ modifier applies to selectors/subqueries (or expressions containing them), got $other")
+              applyAt(other, at)
           }
         case TId("offset") =>
           advance()
@@ -254,10 +260,14 @@ object Parser {
           e = e match {
             case s: Selector => s.copy(offsetMs = d)
             case sq: Subquery => sq.copy(offsetMs = d)
-            // (expr) offset d shifts the whole evaluation: add d to every
-            // selector/subquery directly inside (a subquery's own offset
-            // already shifts its entire inner evaluation — don't recurse in)
-            case other => applyOffset(other, d)
+            // (expr) offset d — same intentional extension as (expr) @ t:
+            // shift every selector/subquery directly inside (a subquery's
+            // own offset already shifts its entire inner evaluation — don't
+            // recurse in). Literal-only subtrees error.
+            case other =>
+              if (!hasVectorNode(other))
+                fail(s"offset applies to selectors/subqueries (or expressions containing them), got $other")
+              applyOffset(other, d)
           }
         case _ => done = true
       }
@@ -265,14 +275,26 @@ object Parser {
     }
 
     /** Distribute `(expr) offset d` into the tree. Recursion stops at
-      * Selector/Subquery nodes: their own offset shifts everything below. */
+      * Selector/Subquery nodes: their own offset shifts everything below.
+      * An @-pinned node evaluates at an ABSOLUTE time — the distributed
+      * offset (which shifts the outer evaluation time) must not move it,
+      * mirroring applyAt's "inner @ is absolute and wins" rule. */
     private def applyOffset(e: PromExpr, d: Long): PromExpr = e match {
-      case s: Selector => s.copy(offsetMs = s.offsetMs + d)
-      case sq: Subquery => sq.copy(offsetMs = sq.offsetMs + d)
+      case s: Selector => if (s.atMs.isDefined) s else s.copy(offsetMs = s.offsetMs + d)
+      case sq: Subquery => if (sq.atMs.isDefined) sq else sq.copy(offsetMs = sq.offsetMs + d)
       case FuncCall(n, args) => FuncCall(n, args.map(applyOffset(_, d)))
       case a: Agg => a.copy(expr = applyOffset(a.expr, d))
       case b: BinOp => b.copy(lhs = applyOffset(b.lhs, d), rhs = applyOffset(b.rhs, d))
       case other => other // literals
+    }
+
+    /** Does the subtree contain anything a time modifier can apply to? */
+    private def hasVectorNode(e: PromExpr): Boolean = e match {
+      case _: Selector | _: Subquery => true
+      case FuncCall(_, args) => args.exists(hasVectorNode)
+      case a: Agg => hasVectorNode(a.expr) || a.param.exists(hasVectorNode)
+      case b: BinOp => hasVectorNode(b.lhs) || hasVectorNode(b.rhs)
+      case _ => false
     }
 
     /** Distribute `(expr) @ t`: pin selectors/subqueries that aren't

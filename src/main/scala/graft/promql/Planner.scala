@@ -89,8 +89,39 @@ object PromPlanner {
       case _ => selectorSamplesFrom(ctx.samples, sel)
     }
 
+  /** OTel exponential-histogram storage rows (series_type =
+    * "otel_exp_histogram"; exp_scale, exp_offset, exp_counts columns) are
+    * bridged query-time into bucket-series samples with an `le` tag
+    * (Histograms.fromExponentialCols → bucketSeriesSamples), so every
+    * bucket-series PromQL path — histogram_quantile, histogram_fraction,
+    * sum by (le) — applies unchanged. Mirrors the reference querying
+    * otel-exp-delta-histogram schemas transparently (ExpHistogramVector,
+    * Schemas.scala:377-474). Plain rows pass through untouched; tables
+    * without the columns skip the branch entirely (driver-side check). */
+  private def bridgeExpHist(df: DataFrame): DataFrame = {
+    if (!df.columns.contains("exp_counts")) df
+    else {
+      val isExp =
+        if (df.columns.contains("series_type")) col("series_type") === "otel_exp_histogram"
+        else col("exp_counts").isNotNull
+      val keep = df.columns.filterNot(Set("exp_scale", "exp_offset", "exp_counts").contains)
+      val plain = df.filter(!coalesce(isExp, lit(false))).select(keep.map(col): _*)
+      val conv = graft.functions.Histograms.fromExponentialCols(
+        df.filter(coalesce(isExp, lit(false))),
+        col("exp_scale"), col("exp_offset"), "exp_counts")
+      val buckets = graft.functions.Histograms.bucketSeriesSamples(conv)
+      // restore passthrough columns the bucket-series shape lacks (e.g.
+      // __tie, series_type — bridged rows are plain gauges downstream)
+      val padded = keep.foldLeft(buckets) { (b, c) =>
+        if (b.columns.contains(c)) b
+        else b.withColumn(c, lit(null).cast(df.schema(c).dataType))
+      }
+      plain.unionByName(padded.select(keep.map(col): _*))
+    }
+  }
+
   private def selectorSamplesFrom(df0: DataFrame, sel: Selector): DataFrame = {
-    var df = df0
+    var df = bridgeExpHist(df0)
     sel.metric.foreach(m => df = df.filter(col("metric") === m))
     sel.matchers.foreach(m => df = df.filter(matcherPred(m)))
     val labels = map_concat(
@@ -282,13 +313,43 @@ object PromPlanner {
     to_json(array_sort(map_entries(filtered)))
   }
 
-  /** Prometheus stamps count_values labels with the canonical shortest
-    * float string — "4", not "4.000000" (ref CountValuesRowAggregator
-    * stamps the raw value string). Integral magnitudes print as integers;
-    * everything else falls back to the double's string form. */
+  /** Prometheus stamps count_values labels with Go's shortest-'f' float
+    * string (strconv.FormatFloat(v, 'f', -1, 64)): "4" not "4.000000",
+    * plain decimal at every magnitude (never exponent form), "-0" for
+    * negative zero, "NaN"/"+Inf"/"-Inf" for specials (ref
+    * CountValuesRowAggregator stamps the raw value string). */
   private def canonicalValueStr(v: Column): Column =
-    when(v === floor(v) && abs(v) < 1e15, v.cast("long").cast("string"))
-      .otherwise(v.cast("string"))
+    when(isnan(v), lit("NaN"))
+      .when(v === Double.PositiveInfinity, lit("+Inf"))
+      .when(v === Double.NegativeInfinity, lit("-Inf"))
+      .when((v === 0.0) && v.cast("string").startsWith("-"), lit("-0"))
+      .when(v === floor(v) && abs(v) < 1e15, v.cast("long").cast("string"))
+      // big integral doubles: %.0f prints the exact decimal expansion,
+      // same digits Go's 'f' produces (no exponent form)
+      .when(v === floor(v), format_string("%.0f", v))
+      .otherwise(plainDecimal(v.cast("string")))
+
+  /** Java's shortest double repr may use exponent form ("1.23E-7"); expand
+    * it to plain decimal by shifting the point — string surgery over the
+    * (sign, digits, exponent) triple, all codegen'd builtins. Non-exponent
+    * input passes through unchanged. */
+  private def plainDecimal(s: Column): Column = {
+    val mant = substring_index(s, "E", 1)
+    val e = substring_index(s, "E", -1).cast("int")
+    val sign = when(mant.startsWith("-"), lit("-")).otherwise(lit(""))
+    // Java's mantissa is d.ddd (one digit before the point, no trailing
+    // zeros except the lone ".0" — stripped so 1.0E-4 renders "0.0001")
+    val digits = regexp_replace(translate(mant, "-.", ""), "0+$", "")
+    val len = length(digits)
+    // doubles span ~1e-324..1e308, so 330 zeros cover any shift
+    def zeros(n: Column): Column = lit("0" * 330).substr(lit(1), n)
+    val expanded =
+      when(e >= len - 1, concat(digits, zeros(e - len + 1)))
+        .when(e >= 0, concat(digits.substr(lit(1), e + 1), lit("."),
+          digits.substr(e + 2, len)))
+        .otherwise(concat(lit("0."), zeros(-e - 1), digits))
+    when(s.contains("E"), concat(sign, expanded)).otherwise(s)
+  }
 
   private def constParam(p: Option[PromExpr]): Double = p match {
     case Some(NumberLit(v)) => v
@@ -480,6 +541,11 @@ object PromPlanner {
     case "absent" =>
       args.head match {
         case sel: Selector if sel.windowMs.isEmpty => absent(ctx, sel, ctx.lookbackMs)
+        case sel: Selector =>
+          // Prometheus type error — don't let the generic branch silently
+          // evaluate the matrix selector as last_over_time
+          throw new IllegalArgumentException(
+            "absent() expects an instant vector, got a range selector — use absent_over_time()")
         case other =>
           // absent over an ARBITRARY vector expression (reference
           // AbsentFunctionMapper, RangeVectorTransformer.scala:422-480,
@@ -528,16 +594,18 @@ object PromPlanner {
 
     case "sort" | "sort_desc" =>
       // Series-level sort (reference RangeVectorTransformer.scala:302-337):
-      // SERIES are ordered by the value of their last sample; each series'
-      // rows stay time-ordered. A row-level orderBy(value) would interleave
-      // steps of different series in a range query. Presentation-layer op —
-      // the global sort runs on the final (small) result only.
+      // SERIES are ordered by the value of their FIRST sample (the
+      // reference's SortFunctionMapper reads rv.rows().next()); each
+      // series' rows stay time-ordered. A row-level orderBy(value) would
+      // interleave steps of different series in a range query.
+      // Presentation-layer op — the global sort runs on the final (small)
+      // result only.
       val v = planVector(ctx, args.head)
-      val lastVal = first(col("value")).over(
-        Window.partitionBy(col("__key")).orderBy(col("step_ts").desc))
+      val firstVal = first(col("value")).over(
+        Window.partitionBy(col("__key")).orderBy(col("step_ts").asc))
       // asc over the (possibly negated) key puts NaN-valued series last in
       // BOTH directions, as Prometheus does
-      val sortKey = if (name == "sort") lastVal else -lastVal
+      val sortKey = if (name == "sort") firstVal else -firstVal
       v.withColumn("__sortv", sortKey)
         .orderBy(col("__sortv").asc, col("__key").asc, col("step_ts").asc)
         .drop("__sortv")

@@ -126,6 +126,39 @@ object HistQueries {
       PromPlanner.queryRange(ctx, "histogram_quantile(0.9, purchase)")
         .select(col("step_ts"), round(col("value"), 6).as("q90"))
         .orderBy("step_ts")
+    }),
+
+    // OTel exp-histogram STORAGE → PromQL string: sample rows carry
+    // (exp_scale, exp_offset, exp_counts) and series_type =
+    // "otel_exp_histogram"; the planner's selector bridge converts them to
+    // bucket-series samples query-time (Histograms.fromExponentialCols →
+    // bucketSeriesSamples), so histogram_quantile works untouched —
+    // the reference queries otel-exp-delta-histogram schemas the same way
+    // (ExpHistogramVector, Schemas.scala:377-474).
+    "q97_promql_exp_hist_quantile" -> ((s, dir) => {
+      val ev = TsTables.events(s, dir)
+        .withColumn("day", ((col("ts_ms") - S) / D1).cast("long"))
+      // scale 0, offset 0: bucket i covers (2^i, 2^(i+1)], le = 2,4,...,512
+      // (values never exceed 512 in this corpus; sub-2 values clamp into
+      // bucket 0 so every observation is counted)
+      val counts = ev.groupBy(col("event_type"), col("day"))
+        .agg(array((0 until 9).map { i =>
+          val lo = math.pow(2.0, i)
+          val hi = math.pow(2.0, i + 1)
+          if (i == 0) sum(when(col("value") <= hi, 1.0).otherwise(0.0))
+          else sum(when(col("value") > lo && col("value") <= hi, 1.0).otherwise(0.0))
+        }: _*).as("exp_counts"))
+      val samples = counts.select(
+        col("event_type").as("metric"),
+        map().cast("map<string,string>").as("tags"),
+        (lit(S) + (col("day") + 1) * D1).as("ts"),
+        lit(null).cast("double").as("value"),
+        lit(0).as("exp_scale"), lit(0).as("exp_offset"), col("exp_counts"),
+        lit("otel_exp_histogram").as("series_type"))
+      val ctx = PromPlanner.Ctx(s, samples, S + D1, TsTables.EventsEndMs, D1)
+      PromPlanner.queryRange(ctx, "histogram_quantile(0.9, purchase)")
+        .select(col("step_ts"), round(col("value"), 6).as("q90"))
+        .orderBy("step_ts")
     })
   )
 
@@ -294,6 +327,31 @@ object HistQueries {
               WHEN c100 >= 0.9*ctot THEN 50.0 + (100.0 - 50.0) * (0.9*ctot - c50) / (c100 - c50)
               WHEN c200 >= 0.9*ctot THEN 100.0 + (200.0 - 100.0) * (0.9*ctot - c100) / (c200 - c100)
               ELSE 200.0 END, 6) AS q90
-          FROM b WHERE event_type = 'purchase' ORDER BY 1"""
+          FROM b WHERE event_type = 'purchase' ORDER BY 1""",
+
+    "q97_promql_exp_hist_quantile" ->
+      s"""WITH ev AS ($EV), b AS (
+            SELECT event_type, day, $expCols
+            FROM ev WHERE event_type = 'purchase' GROUP BY 1, 2)
+          SELECT $S + (day + 1) * $D1 AS step_ts, round($expCase, 6) AS q90
+          FROM b ORDER BY 1"""
   )
+
+  /** Cumulative counts at the exp-histogram bounds 2^1..2^9 (scale 0,
+    * offset 0, sub-2 values clamped into the first bucket — cum at 2^j is
+    * simply count(v <= 2^j)). */
+  private def expCols: String =
+    (1 to 9).map(j => s"sum(CASE WHEN value <= ${1L << j}.0 THEN 1.0 ELSE 0 END) AS x$j")
+      .mkString(", ")
+
+  /** Prometheus bucket interpolation over those nine bounds (x9 = total). */
+  private def expCase: String = {
+    val branches = (1 to 9).map { j =>
+      val b = (1L << j).toDouble
+      val lo = if (j == 1) 0.0 else (1L << (j - 1)).toDouble
+      val cp = if (j == 1) "0.0" else s"x${j - 1}"
+      s"WHEN x$j >= 0.9*x9 THEN $lo + ($b - $lo) * (0.9*x9 - $cp) / (x$j - $cp)"
+    }.mkString(" ")
+    s"CASE $branches ELSE 512.0 END"
+  }
 }

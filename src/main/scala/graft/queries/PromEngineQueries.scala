@@ -90,6 +90,25 @@ object PromEngineQueries {
         .select(col("labels")("user").as("user"), col("step_ts"), col("value"))
         .orderBy("step_ts")),
 
+    // absent() over an ARBITRARY vector expression (reference
+    // AbsentFunctionMapper wraps any vector result): the standard alerting
+    // idiom absent(sum(...)) — 1.0 at steps where the child yields nothing,
+    // no synthesized labels. user 1's purchases are sparse at 30m windows,
+    // so both branches of the step-grid anti-join are exercised.
+    "q95_promql_absent_expr" -> ((s, dir) =>
+      PromPlanner.queryRange(userCtx(s, dir, H6),
+        """absent(sum(sum_over_time(purchase{user="1"}[30m])))""")
+        .select(col("step_ts"), col("value"))
+        .orderBy("step_ts")),
+
+    // absent_over_time over a SUBQUERY matrix: the outer 1d window scans
+    // the inner 6h-step evaluations of the wrapped expression
+    "q96_promql_absent_over_subquery" -> ((s, dir) =>
+      PromPlanner.queryRange(userCtx(s, dir, H6),
+        """absent_over_time((sum_over_time(purchase{user="1"}[30m]))[1d:])""")
+        .select(col("step_ts"), col("value"))
+        .orderBy("step_ts")),
+
     "q13_promql_offset_1d" -> ((s, dir) =>
       PromPlanner.queryRange(userCtx(s, dir, D1),
         "sum_over_time(purchase[1d] offset 1d)")
@@ -375,6 +394,28 @@ object PromEngineQueries {
           FROM stps s ANTI JOIN present p ON s.step_ts = p.step_ts
           ORDER BY s.step_ts""",
 
+    "q95_promql_absent_expr" ->
+      s"""WITH ev AS ($EV), stps AS (${steps(H6)}),
+          present AS (SELECT DISTINCT s.step_ts
+                      FROM stps s JOIN ev e
+                        ON e.ts_ms > s.step_ts - 1800000 AND e.ts_ms <= s.step_ts
+                      WHERE e.event_type = 'purchase' AND e.user_id = 1)
+          SELECT s.step_ts, 1.0 AS value
+          FROM stps s ANTI JOIN present p ON s.step_ts = p.step_ts
+          ORDER BY s.step_ts""",
+
+    "q96_promql_absent_over_subquery" ->
+      s"""WITH ev AS ($EV), stps AS (${steps(H6)}),
+          offs(k) AS (VALUES (0), (1), (2), (3)),
+          present AS (SELECT DISTINCT s.step_ts
+                      FROM stps s CROSS JOIN offs o JOIN ev e
+                        ON e.ts_ms > s.step_ts - o.k * $H6 - 1800000
+                       AND e.ts_ms <= s.step_ts - o.k * $H6
+                      WHERE e.event_type = 'purchase' AND e.user_id = 1)
+          SELECT s.step_ts, 1.0 AS value
+          FROM stps s ANTI JOIN present p ON s.step_ts = p.step_ts
+          ORDER BY s.step_ts""",
+
     "q13_promql_offset_1d" ->
       s"""WITH ev AS ($EV), stps AS (${steps(D1)}),
           sums AS (SELECT s.step_ts, e.user_id, sum(e.value) AS value
@@ -404,7 +445,7 @@ object PromEngineQueries {
           sums AS (SELECT s.step_ts, e.user_id, sum(e.value) AS value
                    FROM stps s JOIN ev e ON e.ts_ms > s.step_ts - $D1 AND e.ts_ms <= s.step_ts
                    WHERE e.event_type = 'purchase' GROUP BY 1,2)
-          SELECT printf('%.6f', floor(value / 100)) AS bucket, step_ts,
+          SELECT CAST(CAST(floor(value / 100) AS BIGINT) AS VARCHAR) AS bucket, step_ts,
                  CAST(count(*) AS DOUBLE) AS value
           FROM sums GROUP BY 1,2 ORDER BY step_ts, bucket""",
 

@@ -159,4 +159,89 @@ class ParserGoldenSpec extends AnyFunSuite with Matchers {
     intercept[IllegalArgumentException](Parser.parse("m[5x]"))
     intercept[IllegalArgumentException](Parser.parse("""m{a=}"""))
   }
+
+  test("^ is right-associative and binds tighter than unary minus chains") {
+    Parser.parse("2 ^ 3 ^ 2") shouldEqual
+      BinOp("^", NumberLit(2), BinOp("^", NumberLit(3), NumberLit(2)))
+    Parser.parse("a ^ b % c") shouldEqual
+      BinOp("%", BinOp("^", sel("a"), sel("b")), sel("c"))
+  }
+
+  test("negative offset looks into the future") {
+    Parser.parse("m offset -1h") shouldEqual
+      Selector(Some("m"), Nil, None, -3600000L)
+    Parser.parse("sum_over_time(m[5m] offset -30m)") shouldEqual
+      FuncCall("sum_over_time", Seq(Selector(Some("m"), Nil, Some(300000L), -1800000L)))
+  }
+
+  test("(expr) offset distributes but skips @-pinned nodes (inner @ is absolute)") {
+    Parser.parse("(m @ 100 + n) offset 1h") shouldEqual
+      BinOp("+",
+        Selector(Some("m"), Nil, None, 0L, Some(100000L)), // pinned: NOT shifted
+        Selector(Some("n"), Nil, None, 3600000L))
+    // a subquery's own offset shifts its whole inner evaluation — the
+    // distribution must not also recurse into its inner expression
+    Parser.parse("(rate(m[5m])[1h:5m] + n) offset 30m") shouldEqual
+      BinOp("+",
+        Subquery(FuncCall("rate", Seq(Selector(Some("m"), Nil, Some(300000L)))),
+          3600000L, Some(300000L), 1800000L),
+        Selector(Some("n"), Nil, None, 1800000L))
+  }
+
+  test("(expr) @ distributes; inner @ wins") {
+    Parser.parse("(m @ 50 + n) @ 100") shouldEqual
+      BinOp("+",
+        Selector(Some("m"), Nil, None, 0L, Some(50000L)),
+        Selector(Some("n"), Nil, None, 0L, Some(100000L)))
+  }
+
+  test("time modifiers on literal-only expressions error instead of silently no-op") {
+    an[IllegalArgumentException] should be thrownBy Parser.parse("2 @ 100")
+    an[IllegalArgumentException] should be thrownBy Parser.parse("(1 + 2) offset 1h")
+    an[IllegalArgumentException] should be thrownBy Parser.parse("(2 * 3) @ start()")
+  }
+
+  test("group_left without an include list") {
+    Parser.parse("a * on(job) group_left b") shouldEqual
+      BinOp("*", sel("a"), sel("b"), bool = false,
+        Some(VectorMatch(on = true, Seq("job"), groupLeft = true)))
+  }
+
+  test("keyword-adjacent identifiers parse as metric names") {
+    // 'on', 'bool', 'start' only have meaning in operator/modifier position
+    Parser.parse("on") shouldEqual sel("on")
+    Parser.parse("bool") shouldEqual sel("bool")
+    Parser.parse("start + end") shouldEqual BinOp("+", sel("start"), sel("end"))
+  }
+
+  test("duration literal zoo") {
+    Parser.parse("m[90s]") shouldEqual Selector(Some("m"), Nil, Some(90000L))
+    Parser.parse("m[1w2d]") shouldEqual
+      Selector(Some("m"), Nil, Some(604800000L + 2L * 86400000L))
+    Parser.parse("m[1h30m15s]") shouldEqual
+      Selector(Some("m"), Nil, Some(5415000L))
+    Parser.parse("m[500ms]") shouldEqual Selector(Some("m"), Nil, Some(500L))
+  }
+
+  test("string escapes in matcher values") {
+    Parser.parse("""m{a="x\"y"}""") shouldEqual
+      Selector(Some("m"), Seq(LabelMatcher("a", MatchOp.Eq, "x\"y")))
+    Parser.parse("""m{a="tab\there"}""") shouldEqual
+      Selector(Some("m"), Seq(LabelMatcher("a", MatchOp.Eq, "tab\there")))
+  }
+
+  test("chained subqueries postfix-compose") {
+    Parser.parse("max_over_time(rate(m[5m])[30m:][1h:10m])") shouldEqual
+      FuncCall("max_over_time", Seq(
+        Subquery(
+          Subquery(FuncCall("rate", Seq(Selector(Some("m"), Nil, Some(300000L)))),
+            1800000L, None),
+          3600000L, Some(600000L))))
+  }
+
+  test("single-quoted strings and empty matcher set") {
+    Parser.parse("m{a='x'}") shouldEqual
+      Selector(Some("m"), Seq(LabelMatcher("a", MatchOp.Eq, "x")))
+    Parser.parse("m{}") shouldEqual sel("m")
+  }
 }

@@ -440,4 +440,54 @@ class PromQLSpec extends AnyFunSuite with Matchers {
     val df = PromPlanner.queryRange(c, "sum(rate(purchase[6h]))")
     df.count() should be > 0L
   }
+
+  test("range-query sort orders SERIES by first-sample value, rows time-ordered within") {
+    // reference SortFunctionMapper reads rv.rows().next() — the FIRST
+    // sample — as each series' sort key
+    val samples = Seq(
+      ("m", Map("s" -> "a"), 1000L, 5.0), ("m", Map("s" -> "a"), 2000L, 100.0),
+      ("m", Map("s" -> "b"), 1000L, 10.0), ("m", Map("s" -> "b"), 2000L, 1.0)
+    ).toDF("metric", "tags", "ts", "value")
+    val c = PromPlanner.Ctx(spark, samples, 1000L, 2000L, 1000L, lookbackMs = 1000L)
+    val asc = PromPlanner.queryRange(c, "sort(sum_over_time(m[1s]))")
+      .select(col("labels")("s"), col("step_ts"), col("value"))
+      .as[(String, Long, Double)].collect()
+    asc shouldEqual Array(("a", 1000L, 5.0), ("a", 2000L, 100.0),
+      ("b", 1000L, 10.0), ("b", 2000L, 1.0))
+    val desc = PromPlanner.queryRange(c, "sort_desc(sum_over_time(m[1s]))")
+      .select(col("labels")("s")).as[String].collect()
+    desc shouldEqual Array("b", "b", "a", "a")
+  }
+
+  test("count_values stamps Prometheus-canonical (Go shortest-'f') value strings") {
+    val samples = Seq(
+      ("m", Map("i" -> "1"), 1000L, 4.0),
+      ("m", Map("i" -> "2"), 1000L, 1e21),
+      ("m", Map("i" -> "3"), 1000L, 1e-7),
+      ("m", Map("i" -> "4"), 1000L, -0.0),
+      ("m", Map("i" -> "5"), 1000L, 123.456)
+    ).toDF("metric", "tags", "ts", "value")
+    val c = PromPlanner.Ctx(spark, samples, 1000L, 1000L, 1000L, lookbackMs = 1000L)
+    val vs = PromPlanner.queryRange(c, """count_values("v", m)""")
+      .select(col("labels")("v")).as[String].collect().toSet
+    vs shouldEqual Set("4", "1000000000000000000000", "0.0000001", "-0", "123.456")
+  }
+
+  test("absent over a range selector is a type error, not absent_over_time") {
+    val ex = intercept[IllegalArgumentException] {
+      PromPlanner.queryRange(ctx(3000, 3000, 1000), "absent(purchase[3s])")
+    }
+    ex.getMessage should include("absent_over_time")
+  }
+
+  test("absent over an arbitrary expression: label-free rows only at empty steps") {
+    // purchase{user="1"} samples at 1000/2000/3000 — the 1s windows at
+    // those steps are populated, the one ending at 4000 is not
+    val out = PromPlanner.queryRange(ctx(1000, 4000, 1000),
+      """absent(sum(sum_over_time(purchase{user="1"}[1s])))""")
+      .select(col("step_ts"), col("value"),
+        org.apache.spark.sql.functions.size(col("labels")))
+      .as[(Long, Double, Int)].collect()
+    out shouldEqual Array((4000L, 1.0, 0))
+  }
 }
