@@ -51,7 +51,14 @@ object Bench {
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
 
-    val all = suite ++ baseline
+    // The same 100-series block again at the END (warm JIT, post-suite):
+    // base_ vs basepost_ separates JIT/profile-ordering effects from real
+    // kernel regressions — round-2 flagged base_ "regressing" ~1.5x when
+    // the block moved before the suite; if basepost_ sits at the old floor
+    // while base_ is higher, the gap is ordering, not a regression.
+    val basePost = benchScenarios(spark, nSeries = 100, prefix = "basepost_")
+
+    val all = suite ++ baseline ++ basePost
     val qs = all.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = all.collect { case (_, v) if v >= 0 => v }.sum
     val errs = failed.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")

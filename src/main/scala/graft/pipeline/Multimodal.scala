@@ -72,15 +72,18 @@ object Multimodal {
 
   /** "Resize": metadata rewrite + deterministic byte resampling (stub for
     * a pixel resample; keeps output size = w*h so downstream batch shapes
-    * are honest). */
+    * are honest). Pure expressions — cyclic tiling is "concat enough
+    * copies, slice to w*h", which stays inside codegen instead of crossing
+    * a per-row UDF boundary. */
   def resize(media: DataFrame, w: Int, h: Int): DataFrame = {
-    val resampled = udf((b: Array[Byte]) => {
-      val out = new Array[Byte](w * h)
-      var i = 0
-      while (i < out.length) { out(i) = if (b.isEmpty) 0 else b(i % b.length); i += 1 }
-      out
-    })
-    media.withColumn("bytes", resampled(col("bytes")))
+    val n = w * h
+    val len = octet_length(col("bytes"))
+    val reps = (lit(n) / greatest(len, lit(1))).cast("int") + 1
+    val tiled = aggregate(sequence(lit(1), reps),
+      lit(Array.emptyByteArray), (acc, _) => concat(acc, col("bytes")))
+    val resampled = when(len === 0, lit(new Array[Byte](n)))
+      .otherwise(substring(tiled, 1, n))
+    media.withColumn("bytes", resampled)
       .withColumn("meta", struct(
         lit(w).as("width"), lit(h).as("height"),
         col("meta.sample_rate").as("sample_rate"), col("meta.n_frames").as("n_frames")))

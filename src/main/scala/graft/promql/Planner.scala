@@ -510,11 +510,12 @@ object PromPlanner {
       bucketHistogram(ctx, args(2))((le, values) =>
         graft.functions.Histograms.fraction(lo, hi, le, values))
 
-    case "histogram_max_quantile" =>
+    case "histogram_max_quantile" | "histogram_max_quantile_even" =>
       // max-min quantile over the bucket-series form — an extension of the
       // reference's hist-column function: optional max (arg 3) and min
       // (arg 4) VECTORS supply the observed bounds, joined on the same
-      // group labels and step.
+      // group labels and step. The `_even` variant divides rank placement
+      // by count+1 (reference's even-distribution mode).
       val phi = constParam(Some(args(0)))
       val hb = bucketCollect(ctx, args(1))
       val mx = planVector(ctx, args(2))
@@ -528,7 +529,8 @@ object PromPlanner {
         else withMx.withColumn("__mn", lit(null).cast("double"))
       finish(withMn
         .withColumn("value", graft.functions.Histograms.maxMinQuantile(
-          phi, col("__le_arr"), col("__vals"), col("__mn"), col("__mx")))
+          phi, col("__le_arr"), col("__vals"), col("__mn"), col("__mx"),
+          even = name == "histogram_max_quantile_even"))
         .drop("__le_arr", "__vals", "__mx", "__mn"))
 
     case "histogram_bucket" =>

@@ -112,6 +112,25 @@ object HistQueries {
         .orderBy("step_ts")
     }),
 
+    // even-distribution mode (reference HistogramMaxQuantileEvenImpl:
+    // rank placement divides by count+1 within the target bucket)
+    "q98_promql_hist_max_quantile_even" -> ((s, dir) => {
+      val bucket = TsTables.eventsAsBucketSamples(s, dir)
+      val raw = TsTables.events(s, dir).select(
+        concat(col("event_type"), lit("_raw")).as("metric"),
+        map().cast("map<string,string>").as("tags"),
+        col("ts_ms").as("ts"), col("value"), col("event_id").as("__tie"))
+      val ctx = PromPlanner.Ctx(s, bucket.unionByName(raw),
+        TsTables.EventsStartMs, TsTables.EventsEndMs, D1)
+      PromPlanner.queryRange(ctx,
+        """histogram_max_quantile_even(0.9,
+             sum by (le) (sum_over_time(purchase[1d])),
+             max(max_over_time(purchase_raw[1d])),
+             min(min_over_time(purchase_raw[1d])))""")
+        .select(col("step_ts"), round(col("value"), 6).as("q90mm"))
+        .orderBy("step_ts")
+    }),
+
     // Hist-typed STORAGE → bucket-series bridge → PromQL string: native
     // histogram samples (le[], values[] per row) queried as
     // histogram_quantile over an instant selector.
@@ -278,6 +297,46 @@ object HistQueries {
           SELECT step_ts,
             round(CASE WHEN bend2 = 'Infinity'::DOUBLE THEN 200.0
               ELSE bstart2 + (bend2 - bstart2) * (r - cprev) / (ccur - cprev) END, 6) AS q90mm
+          FROM q4 ORDER BY 1""",
+
+    // identical pipeline; even-distribution rank placement: /(count + 1)
+    "q98_promql_hist_max_quantile_even" ->
+      s"""WITH ev AS (SELECT event_type, epoch_ns(ts)//1000000 AS ts_ms, value FROM events),
+          stps AS (SELECT unnest(generate_series($S, ${TsTables.EventsEndMs}, $D1)) AS step_ts),
+          b AS (SELECT s.step_ts,
+                  sum(CASE WHEN e.value <= 10 THEN 1.0 ELSE 0 END) AS c10,
+                  sum(CASE WHEN e.value <= 50 THEN 1.0 ELSE 0 END) AS c50,
+                  sum(CASE WHEN e.value <= 100 THEN 1.0 ELSE 0 END) AS c100,
+                  sum(CASE WHEN e.value <= 200 THEN 1.0 ELSE 0 END) AS c200,
+                  CAST(count(*) AS DOUBLE) AS ctot,
+                  min(e.value) AS vmin, max(e.value) AS vmax
+                FROM stps s JOIN ev e
+                  ON e.ts_ms > s.step_ts - $D1 AND e.ts_ms <= s.step_ts
+                WHERE e.event_type = 'purchase' GROUP BY 1),
+          q AS (SELECT *, 0.9*ctot AS r FROM b),
+          q2 AS (SELECT *,
+            CASE WHEN c10 >= r THEN 0.0 WHEN c50 >= r THEN 10.0
+                 WHEN c100 >= r THEN 50.0 WHEN c200 >= r THEN 100.0
+                 ELSE 200.0 END AS bstart,
+            CASE WHEN c10 >= r THEN 10.0 WHEN c50 >= r THEN 50.0
+                 WHEN c100 >= r THEN 100.0 WHEN c200 >= r THEN 200.0
+                 ELSE 'Infinity'::DOUBLE END AS bend,
+            CASE WHEN c10 >= r THEN 0.0 WHEN c50 >= r THEN c10
+                 WHEN c100 >= r THEN c50 WHEN c200 >= r THEN c100
+                 ELSE c200 END AS cprev,
+            CASE WHEN c10 >= r THEN c10 WHEN c50 >= r THEN c50
+                 WHEN c100 >= r THEN c100 WHEN c200 >= r THEN c200
+                 ELSE ctot END AS ccur
+            FROM q),
+          q3 AS (SELECT *,
+            CASE WHEN vmin > bstart AND vmin <= bend THEN vmin ELSE bstart END AS bstart2
+            FROM q2),
+          q4 AS (SELECT *,
+            CASE WHEN vmax > bstart2 AND vmax <= bend THEN vmax ELSE bend END AS bend2
+            FROM q3)
+          SELECT step_ts,
+            round(CASE WHEN bend2 = 'Infinity'::DOUBLE THEN 200.0
+              ELSE bstart2 + (bend2 - bstart2) * (r - cprev) / (ccur - cprev + 1.0) END, 6) AS q90mm
           FROM q4 ORDER BY 1""",
 
     "q59_promql_hist_quantile" ->

@@ -134,22 +134,57 @@ object Ingest {
     cold.unionByName(hot)
   }
 
-  /** Start a streaming ingest from a parquet directory source to a
-    * partitioned parquet sink (illustrates the full pipeline; Kafka would
-    * swap in via readStream.format("kafka")). */
-  def startFileIngest(spark: SparkSession, srcDir: String, sinkDir: String,
-                      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
-    import spark.implicits._
-    val schema = "event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING"
-    val raw = spark.readStream.schema(schema).parquet(srcDir)
-    val samples = normalize(raw).as[Sample]
-    val deduped = dropOutOfOrder(samples)
-    deduped.writeStream
+  /** The raw events schema every source produces (file rows directly;
+    * Kafka after JSON decode). */
+  val EventsSchema =
+    "event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING"
+
+  /** The source-agnostic ingest pipeline: normalize → per-series
+    * out-of-order/duplicate drop. Every source (file, Kafka, memory-stream
+    * tests) feeds an events-shaped frame through this exact chain — the
+    * seam the reference keeps between its Kafka consumer and its
+    * shard-ingest path. */
+  def pipeline(events: DataFrame): Dataset[Sample] = {
+    import events.sparkSession.implicits._
+    dropOutOfOrder(normalize(events).as[Sample])
+  }
+
+  /** Shared sink tail: append the deduped samples to a partitioned parquet
+    * layout (metric partition pruning for every query with a metric
+    * predicate). */
+  def startIngest(events: DataFrame, sinkDir: String,
+                  checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    pipeline(events).writeStream
       .outputMode(OutputMode.Append)
       .format("parquet")
       .option("path", sinkDir)
       .option("checkpointLocation", checkpointDir)
       .partitionBy("metric")
       .start()
+
+  /** Streaming ingest from a parquet directory source. */
+  def startFileIngest(spark: SparkSession, srcDir: String, sinkDir: String,
+                      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    startIngest(spark.readStream.schema(EventsSchema).parquet(srcDir),
+      sinkDir, checkpointDir)
+
+  /** Streaming ingest from Kafka: one JSON-encoded events row per record.
+    * Identical pipeline to the file source — only the source swaps. The
+    * container ships no broker (and no kafka connector jar), so this path
+    * is compile-checked here and exercised through `pipeline` with
+    * simulated out-of-order partitions in StreamingSpec; on a real cluster
+    * it needs only spark-sql-kafka on the classpath. */
+  def startKafkaIngest(spark: SparkSession, bootstrapServers: String, topic: String,
+                       sinkDir: String, checkpointDir: String,
+                       startingOffsets: String = "latest"): org.apache.spark.sql.streaming.StreamingQuery = {
+    val raw = spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("subscribe", topic)
+      .option("startingOffsets", startingOffsets)
+      .load()
+      .select(from_json(col("value").cast("string"),
+        org.apache.spark.sql.types.StructType.fromDDL(EventsSchema)).as("e"))
+      .select("e.*")
+    startIngest(raw, sinkDir, checkpointDir)
   }
 }

@@ -60,6 +60,26 @@ class HistogramSpec extends AnyFunSuite with Matchers {
     out.getAs[scala.collection.Seq[Double]]("values").toSeq shouldEqual Seq(1.0, 3.0, 6.0, 6.0)
   }
 
+  test("fromExponentialCols handles per-row scales, negative scale and offset") {
+    // rows with DIFFERENT (scale, offset): the storage-path form
+    val df = Seq(
+      (1, 1, -2, Seq(1.0, 1.0, 1.0)), // scale 1: bounds 2^((o+i+1)/2)
+      (2, -1, 1, Seq(2.0, 3.0))       // scale -1: bounds 2^((o+i+1)*2)
+    ).toDF("id", "scale", "offset", "counts")
+    val rows = Histograms.fromExponentialCols(df, col("scale"), col("offset"), "counts")
+      .orderBy("id").collect()
+    val le1 = rows(0).getAs[scala.collection.Seq[Double]]("le")
+    le1(0) shouldEqual math.pow(2.0, -1.0 / 2) +- 1e-12
+    le1(1) shouldEqual 1.0 +- 1e-12
+    le1(2) shouldEqual math.pow(2.0, 1.0 / 2) +- 1e-12
+    le1(3).isPosInfinity shouldBe true
+    rows(0).getAs[scala.collection.Seq[Double]]("values").toSeq shouldEqual Seq(1.0, 2.0, 3.0, 3.0)
+    val le2 = rows(1).getAs[scala.collection.Seq[Double]]("le")
+    le2(0) shouldEqual math.pow(2.0, 4.0) +- 1e-12  // (1+0+1)*2
+    le2(1) shouldEqual math.pow(2.0, 6.0) +- 1e-12
+    rows(1).getAs[scala.collection.Seq[Double]]("values").toSeq shouldEqual Seq(2.0, 5.0, 5.0)
+  }
+
   test("@ modifier pins evaluation; limit caps series count") {
     val samples = Seq(
       ("a", "1", 1000L, 10.0), ("a", "1", 2000L, 20.0),

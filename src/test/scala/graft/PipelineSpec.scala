@@ -123,6 +123,23 @@ class PipelineSpec extends AnyFunSuite with Matchers {
     (fp(1L) intersect fp(3L)) shouldBe empty
   }
 
+  test("multimodal resize tiles bytes cyclically to exactly w*h (pure expressions)") {
+    import graft.pipeline.Multimodal
+    val media = Multimodal.synthesizeMedia(docs)
+    val out = Multimodal.resize(media, 8, 4).collect()
+    out.foreach { r =>
+      val b = r.getAs[Array[Byte]]("bytes")
+      b.length shouldEqual 32
+      val meta = r.getAs[org.apache.spark.sql.Row]("meta")
+      (meta.getInt(0), meta.getInt(1)) shouldEqual ((8, 4))
+    }
+    // cyclic semantics: byte i equals source byte (i % srcLen)
+    val src = media.orderBy("doc_id").collect().head.getAs[Array[Byte]]("bytes")
+    val dst = Multimodal.resize(media, 8, 4).orderBy("doc_id").collect().head
+      .getAs[Array[Byte]]("bytes")
+    dst.zipWithIndex.foreach { case (byte, i) => byte shouldEqual src(i % src.length) }
+  }
+
   test("text analysis: tokens, quality, langid, fingerprint normalization") {
     val d = Seq((1L, "  The  quick   brown fox  "), (2L, "the quick brown fox")).toDF("doc_id", "text")
     val t = d.select($"doc_id", TextAnalysis.tokenCount($"text").as("n"),

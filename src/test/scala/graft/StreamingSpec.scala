@@ -35,6 +35,37 @@ class StreamingSpec extends AnyFunSuite with Matchers {
     } finally q.stop()
   }
 
+  test("shared ingest pipeline (file/Kafka seam) dedupes across out-of-order source partitions") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // events-SHAPED input, exactly what both startFileIngest and
+    // startKafkaIngest feed into Ingest.pipeline — batches simulate Kafka
+    // partitions delivering interleaved, out-of-order records (ts in nanos)
+    val ms = MemoryStream[(Long, Long, Long, String, Double, String)]
+    val events = ms.toDF.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val q = Ingest.pipeline(events)
+      .writeStream.format("memory").queryName("seam_out")
+      .outputMode("append").start()
+    try {
+      def ns(msec: Long) = msec * 1000000L
+      // partition A: user 1 purchases, in-batch disorder sorts out
+      ms.addData((1L, ns(2000), 1L, "purchase", 10.0, ""),
+        (2L, ns(1000), 1L, "purchase", 5.0, ""))
+      q.processAllAvailable()
+      // partition B arrives later with older + duplicate rows -> dropped;
+      // a second series is untouched by series-1 state
+      ms.addData((3L, ns(1500), 1L, "purchase", 99.0, ""),
+        (4L, ns(2000), 1L, "purchase", 99.0, ""),
+        (5L, ns(3000), 1L, "purchase", 20.0, ""),
+        (6L, ns(500), 2L, "view", 7.0, ""))
+      q.processAllAvailable()
+      val got = spark.table("seam_out").as[Sample].collect()
+        .map(s => (s.metric, s.user, s.ts, s.value)).sorted.toSeq
+      got shouldEqual Seq(
+        ("purchase", "1", 1000L, 5.0), ("purchase", "1", 2000L, 10.0),
+        ("purchase", "1", 3000L, 20.0), ("view", "2", 500L, 7.0))
+    } finally q.stop()
+  }
+
   test("downsample produces ds-gauge min/max/sum/count/avg per window") {
     val samples = Seq(
       (1L, "m", "u", 0L, 10.0), (1L, "m", "u", 60000L, 20.0),
