@@ -44,24 +44,13 @@ object PipelineQueries {
         .orderBy(col("doc_id"))),
 
     "q64_ngram_jaccard" -> ((s, dir) => {
+      // prefix-filtered exact all-pairs join (Dedup.jaccardPairs): same
+      // result set as the blocked pair join it replaced, candidates from
+      // an inverted index over rare-first token prefixes only
       val d = TsTables.documents(s, dir).select(
         col("doc_id"), col("lang"), (col("n_chars") / 50).cast("long").as("len_bucket"),
         array_distinct(TextAnalysis.tokens(lower(col("text")))).as("toks"))
-      val a = d.as("a"); val b = d.as("b")
-      a.join(b, col("a.lang") === col("b.lang") &&
-                col("a.len_bucket") === col("b.len_bucket") &&
-                col("a.doc_id") < col("b.doc_id") &&
-                // implied by jaccard >= 0.8: |min|/|max| >= 0.8 — prunes
-                // pairs before the array intersection without changing results
-                size(col("a.toks")) * 5 >= size(col("b.toks")) * 4 &&
-                size(col("b.toks")) * 5 >= size(col("a.toks")) * 4)
-        // |A∪B| = |A|+|B|-|A∩B| (toks are distinct): one set op, not two
-        .withColumn("__i", size(array_intersect(col("a.toks"), col("b.toks"))))
-        .withColumn("jaccard", col("__i") /
-          (size(col("a.toks")) + size(col("b.toks")) - col("__i")).cast("double"))
-        .filter(col("jaccard") >= 0.8)
-        .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
-                round(col("jaccard"), 6).as("jaccard"))
+      Dedup.jaccardPairs(d, 0.8, blockCols = Seq("lang", "len_bucket"))
         .orderBy(col("id1"), col("id2"))
     }),
 

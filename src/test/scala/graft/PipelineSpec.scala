@@ -123,6 +123,33 @@ class PipelineSpec extends AnyFunSuite with Matchers {
     (fp(1L) intersect fp(3L)) shouldBe empty
   }
 
+  test("prefix-filtered jaccard join matches the naive quadratic join exactly") {
+    val d = docs.select(col("doc_id"), lit("en").as("lang"),
+      array_distinct(graft.pipeline.TextAnalysis.tokens(lower(col("text")))).as("toks"))
+    // naive O(n^2) reference: every pair, exact jaccard
+    val asize = org.apache.spark.sql.functions.size _
+    val a = d.as("a"); val b = d.as("b")
+    def naive(t: Double) = a.join(b, col("a.doc_id") < col("b.doc_id"))
+      .withColumn("__i", asize(array_intersect(col("a.toks"), col("b.toks"))))
+      .withColumn("jaccard", col("__i") /
+        (asize(col("a.toks")) + asize(col("b.toks")) - col("__i")).cast("double"))
+      .filter(col("jaccard") >= t)
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
+        round(col("jaccard"), 6).as("jaccard"))
+    // several thresholds: prefix lengths change, result set must not
+    for (t <- Seq(0.5, 0.8, 0.95)) {
+      val expected = naive(t).collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted
+      val got = Dedup.jaccardPairs(d, t).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted
+      withClue(s"threshold $t")(got shouldEqual expected)
+    }
+    // block columns partition the pair space
+    val blocked = Dedup.jaccardPairs(
+      d.withColumn("lang", when(col("doc_id") <= 2, "en").otherwise("de")),
+      0.5, blockCols = Seq("lang")).collect().map(r => (r.getLong(0), r.getLong(1)))
+    blocked.foreach { case (i, j) => (i <= 2 && j <= 2 || i > 2 && j > 2) shouldBe true }
+  }
+
   test("multimodal resize tiles bytes cyclically to exactly w*h (pure expressions)") {
     import graft.pipeline.Multimodal
     val media = Multimodal.synthesizeMedia(docs)
