@@ -1,0 +1,95 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Connected components over near-duplicate candidate pairs.
+  *
+  * Pairwise dedup (MinHash/SimHash/cosine) yields EDGES; a real pipeline
+  * needs CLUSTERS — transitive closure — so that "keep one doc per
+  * duplicate set" survives chains (a~b, b~c but a!~c must still collapse
+  * to one representative).
+  *
+  * Algorithm: the alternating large-star/small-star of Kiveris et al.,
+  * "Connected Components in MapReduce and Beyond" (SoCC'14) — the
+  * published shuffle-only formulation that converges in O(log n) rounds
+  * with per-round cost linear in the edge count, no driver-side graph
+  * state (unlike label propagation, whose round count is the graph
+  * DIAMETER — a 1M-doc duplicate chain would need 1M rounds; this needs
+  * ~20). Each round is two self-describing DataFrame jobs: the only
+  * driver action is the fixed-point check on an aggregate signature.
+  *
+  * Edge orientation invariant: after any small-star round the edge set is
+  * (child -> parent) with parent < child; at the fixed point it is a star
+  * forest: every node points directly at its component's minimum id.
+  */
+object Components {
+
+  /** (id, component) for every node appearing in `edges`, where
+    * `component` = the smallest node id in the node's connected component.
+    * Input columns: (id1, id2); ids must be orderable (long/int/string). */
+  def connectedComponents(edges: DataFrame, id1: String = "id1", id2: String = "id2",
+                          maxIter: Int = 25): DataFrame = {
+    val spark = edges.sparkSession
+    val nodes = edges.select(col(id1).as("u"))
+      .union(edges.select(col(id2).as("u"))).distinct()
+
+    var e = edges.select(col(id1).as("u"), col(id2).as("v"))
+      .where(col("u") =!= col("v"))
+      .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+      .distinct()
+
+    var converged = false
+    var it = 0
+    var prevSig: (Long, Long) = (-1L, -1L)
+    while (!converged && it < maxIter) {
+      val ls = largeStar(e)
+      val ss = smallStar(ls).localCheckpoint(true) // truncate the O(log n)-deep lineage
+      // fixed point <=> the (count, order-independent hash) signature repeats;
+      // at the star forest both large-star and small-star are identity maps
+      val sigRow = ss.agg(count(lit(1)), sum(xxhash64(col("u"), col("v")))).head()
+      val sig = (sigRow.getLong(0), if (sigRow.isNullAt(1)) 0L else sigRow.getLong(1))
+      converged = sig == prevSig
+      prevSig = sig
+      e = ss
+      it += 1
+    }
+
+    nodes.join(e.select(col("u"), col("v").as("__comp")), Seq("u"), "left")
+      .select(col("u").as("id"), coalesce(col("__comp"), col("u")).as("component"))
+  }
+
+  /** Large-star: for every node u, connect every LARGER neighbor to the
+    * minimum of u's neighborhood (including u). Keeps (child > parent)
+    * edges only; strictly reduces the depth of tall trees. */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+    val mins = sym.groupBy("u").agg(min(col("v")).as("__mn"))
+    sym.join(mins, "u")
+      .where(col("v") > col("u"))
+      .select(col("v").as("u"), least(col("__mn"), col("u")).as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct()
+  }
+
+  /** Small-star: for every node u (edges oriented child->parent, v < u),
+    * connect u and all its smaller neighbors to the smallest of them. */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val oriented = e.select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+    val mins = oriented.groupBy("u").agg(min(col("v")).as("__mn"))
+    oriented.join(mins, "u")
+      .select(col("v").as("u"), col("__mn").as("v"))
+      .union(mins.select(col("u"), col("__mn").as("v")))
+      .where(col("u") =!= col("v"))
+      .distinct()
+  }
+
+  /** Cluster-aware dedup: keep exactly one representative (the minimum id)
+    * per connected component of `pairs`, plus every unpaired doc. */
+  def keepRepresentatives(docs: DataFrame, pairs: DataFrame, idCol: String = "doc_id",
+                          id1: String = "id1", id2: String = "id2"): DataFrame = {
+    val comp = connectedComponents(pairs, id1, id2)
+    val drop = comp.where(col("id") =!= col("component")).select(col("id").as(idCol))
+    docs.join(drop, Seq(idCol), "left_anti")
+  }
+}

@@ -1,0 +1,115 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Gopher-style document quality / repetition signals (Rae et al. 2021,
+  * "Scaling Language Models: ... Gopher", Appendix A1.1) — the standard
+  * pre-training corpus filter battery. Everything except the top-n-gram
+  * signal is a pure codegen'd expression (zero shuffle over a 100 TB
+  * scan); the top-n-gram fraction needs one per-(doc, gram) partial count
+  * + a per-doc top-1, both shuffling only (doc_id, gram, count) — never
+  * the text.
+  */
+object Quality {
+
+  /** Whitespace word count. */
+  def wordCount(text: Column): Column = size(TextAnalysis.tokens(text))
+
+  /** Mean characters per word (non-space chars / words). */
+  def meanWordLength(text: Column): Column =
+    length(regexp_replace(trim(text), "\\s+", "")) / wordCount(text).cast("double")
+
+  /** Fraction of words that are repeats of an earlier word in the doc:
+    * 1 - distinct/total. High values = degenerate/templated text. */
+  def duplicateWordFraction(text: Column): Column = {
+    val toks = TextAnalysis.tokens(lower(text))
+    lit(1.0) - size(array_distinct(toks)) / size(toks).cast("double")
+  }
+
+  /** Fraction of lines that duplicate an earlier line. Single-line docs
+    * score 0 by construction. */
+  def duplicateLineFraction(text: Column): Column = {
+    val lines = split(text, "\n")
+    lit(1.0) - size(array_distinct(lines)) / size(lines).cast("double")
+  }
+
+  /** Gopher symbol-to-word ratio: occurrences of '#' or ellipsis
+    * ("..." / U+2026) per word. */
+  def symbolToWordRatio(text: Column): Column =
+    (size(regexp_extract_all(text, lit("#|\\.\\.\\.|…"), lit(0))).cast("double")) /
+      wordCount(text).cast("double")
+
+  /** Fraction of words with at least one alphabetic character. */
+  def alphaWordFraction(text: Column): Column = {
+    val toks = TextAnalysis.tokens(text)
+    size(filter(toks, t => t.rlike("[A-Za-z]"))) / size(toks).cast("double")
+  }
+
+  /** Fraction of lines starting like a bullet / ending in an ellipsis. */
+  def bulletLineFraction(text: Column): Column = {
+    val lines = split(text, "\n")
+    size(filter(lines, l => trim(l).rlike("^[-*•]"))) / size(lines).cast("double")
+  }
+  def ellipsisLineFraction(text: Column): Column = {
+    val lines = split(text, "\n")
+    size(filter(lines, l => trim(l).rlike("(\\.\\.\\.|…)$"))) / size(lines).cast("double")
+  }
+
+  /** Fraction of non-space characters covered by the single most frequent
+    * word n-gram (ties broken by larger gram string — mirrored in the
+    * oracle). The Gopher "top n-gram character fraction" repetition
+    * signal. One row per doc: (idCol, topgram, top_ngram_frac). */
+  def topNgramCharFraction(docs: DataFrame, n: Int, textCol: String = "text",
+                           idCol: String = "doc_id"): DataFrame = {
+    val grams = docs.select(
+      col(idCol),
+      length(regexp_replace(trim(col(textCol)), "\\s+", "")).as("__nsc"),
+      explode(wordGrams(lower(col(textCol)), n)).as("gram"))
+    val counted = grams.groupBy(col(idCol), col("__nsc"), col("gram"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("cnt").desc, col("gram").desc)
+    counted.withColumn("__rk", row_number().over(w)).where(col("__rk") === 1)
+      .select(col(idCol), col("gram").as("topgram"),
+        round(col("cnt") * length(regexp_replace(col("gram"), " ", "")) /
+          col("__nsc").cast("double"), 6).as("top_ngram_frac"))
+  }
+
+  /** Word n-grams (space-joined, overlapping). */
+  def wordGrams(text: Column, n: Int): Column = {
+    val toks = TextAnalysis.tokens(text)
+    transform(
+      sequence(lit(0), greatest(size(toks) - n, lit(0))),
+      i => concat_ws(" ", slice(toks, i + 1, lit(n))))
+  }
+
+  /** The assembled Gopher filter: per-doc signals plus a pass/fail verdict
+    * under the published thresholds (adapted: word-count bounds scaled to
+    * the corpus under test via minWords/maxWords). */
+  def gopherSignals(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
+                    minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
+    val t = col(textCol)
+    val base = docs.select(
+      col(idCol),
+      wordCount(t).as("word_count"),
+      round(meanWordLength(t), 6).as("mean_word_len"),
+      round(duplicateWordFraction(t), 6).as("dup_word_frac"),
+      round(duplicateLineFraction(t), 6).as("dup_line_frac"),
+      round(symbolToWordRatio(t), 6).as("symbol_ratio"),
+      round(alphaWordFraction(t), 6).as("alpha_word_frac"))
+    val top2 = topNgramCharFraction(docs, 2, textCol, idCol)
+      .select(col(idCol), col("top_ngram_frac").as("top2_frac"))
+    val top3 = topNgramCharFraction(docs, 3, textCol, idCol)
+      .select(col(idCol), col("top_ngram_frac").as("top3_frac"))
+    base.join(top2, Seq(idCol)).join(top3, Seq(idCol))
+      .withColumn("gopher_pass",
+        col("word_count").between(minWords, maxWords) &&
+        col("mean_word_len").between(1.0, 10.0) &&
+        col("symbol_ratio") < 0.1 &&
+        col("dup_line_frac") < 0.3 &&
+        col("alpha_word_frac") > 0.8 &&
+        col("top2_frac") < 0.20 &&
+        col("top3_frac") < 0.18)
+  }
+}

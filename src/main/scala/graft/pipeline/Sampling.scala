@@ -1,0 +1,57 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling / splitting / sharding for training pipelines.
+  *
+  * Everything keys off md5 of the document id — not Spark-internal hashing
+  * — so the SAME document lands in the SAME split on any engine (the
+  * DuckDB oracle reproduces the assignment bit-for-bit), across reruns,
+  * repartitions, and cluster sizes. That stability is the point: a
+  * train/val split that moves when the cluster topology changes silently
+  * contaminates evaluation sets.
+  */
+object Sampling {
+
+  /** Uniform [0, 1) hash point for an id: first 4 hex digits of md5. */
+  def hashPoint(id: Column): Column =
+    conv(substring(md5(id.cast("string")), 1, 4), 16, 10).cast("double") / 65536.0
+
+  /** Stable split label from cumulative weight thresholds, e.g.
+    * Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1). */
+  def hashSplit(id: Column, splits: Seq[(String, Double)]): Column = {
+    require(splits.nonEmpty && math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"split weights must sum to 1: $splits")
+    val u = hashPoint(id)
+    val cum = splits.scanLeft(0.0)(_ + _._2).tail
+    splits.init.zip(cum.init).foldRight(lit(splits.last._1): Column) {
+      case (((name, _), hi), rest) => when(u < hi, lit(name)).otherwise(rest)
+    }
+  }
+
+  /** Deterministic Bernoulli sample: keep ids whose hash point < rate. */
+  def hashSample(df: DataFrame, rate: Double, idCol: String = "doc_id"): DataFrame =
+    df.where(hashPoint(col(idCol)) < rate)
+
+  /** Pack documents into token-budgeted shards for sequence-packed
+    * training. Docs are spread across `nBuckets` independent packing
+    * streams by id hash (buckets pack in parallel — the 100 TB path: one
+    * window per bucket, never a global sort), then greedily accumulated
+    * in id order until each shard reaches `budgetTokens`.
+    * Output: (idCol, bucket, shard, n_tokens) — shard is unique within
+    * bucket. */
+  def packIntoShards(docs: DataFrame, budgetTokens: Long, nBuckets: Int,
+                     tokenCol: String = "n_tokens", idCol: String = "doc_id"): DataFrame = {
+    val bucket = (conv(substring(md5(col(idCol).cast("string")), 1, 4), 16, 10)
+      .cast("int") % nBuckets).as("bucket")
+    val w = Window.partitionBy(col("bucket")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.select(col(idCol), bucket, col(tokenCol))
+      .withColumn("__cum", sum(col(tokenCol)).over(w))
+      .select(col(idCol), col("bucket"),
+        floor((col("__cum") - col(tokenCol)) / budgetTokens).as("shard"),
+        col(tokenCol))
+  }
+}

@@ -124,6 +124,37 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rk"), round(col("sim"), 6).as("sim"))
   }
 
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    * cluster embeddings with sample-fit KMeans, then WITHIN each cluster
+    * drop every doc that has a lower-id doc at cosine >= threshold — one
+    * representative survives per semantic duplicate set. Cross-cluster
+    * pairs are never compared (that's the scale contract: the pair join
+    * is bucketed by centroid, quadratic only within a cluster, and
+    * `maxClusterCompare` caps degenerate clusters).
+    * Returns the KEPT rows of `corpus` (all original columns). */
+  def semanticDedup(corpus: DataFrame, threshold: Double, nClusters: Int = 16,
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    fitSampleRows: Int = 65536, maxClusterCompare: Int = 4096): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+
+    val c0 = corpus.select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
+    val km = new KMeans().setK(nClusters).setSeed(42L)
+      .setFeaturesCol("features").setPredictionCol("__cluster")
+    val model = km.fit(
+      c0.limit(fitSampleRows).withColumn("features", array_to_vector(col("__v"))))
+    val assigned0 = model.transform(c0.withColumn("features", array_to_vector(col("__v"))))
+      .select(col(idCol), col("__v"), col("__cluster"))
+    val assigned = graft.pipeline.Dedup.capBuckets(assigned0, Seq("__cluster"), maxClusterCompare)
+    val a = assigned.as("a"); val b = assigned.as("b")
+    // a doc is dropped iff SOME lower-id doc in its cluster is >= threshold
+    val dropped = a.join(b, col("a.__cluster") === col("b.__cluster") &&
+        col(s"b.$idCol") < col(s"a.$idCol"))
+      .where(cosine(col("a.__v"), col("b.__v")) >= threshold)
+      .select(col(s"a.$idCol")).distinct()
+    corpus.join(dropped, Seq(idCol), "left_anti")
+  }
+
   /** Embedding near-duplicate pairs: cosine >= threshold among LSH-bucket
     * candidates (the embedding-cosine dedup operator). */
   def cosineDuplicates(corpus: DataFrame, threshold: Double, nPlanes: Int = 6,

@@ -1,0 +1,121 @@
+package graft.promql
+
+/** PromQL pretty-printer — the inverse of Parser, mirroring the
+  * reference's LogicalPlanParser (ref: coordinator/.../queryplanner/
+  * LogicalPlanParser.scala), which serializes a logical plan back to a
+  * query string so plans can be SHIPPED — federated to a remote cluster,
+  * logged, or cached by normalized text. Guarantee (spec-enforced):
+  * `parse(print(ast)) == ast` for every AST the parser can produce.
+  */
+object Printer {
+
+  def print(e: PromExpr): String = e match {
+    case Selector(metric, matchers, window, offset, at) =>
+      val base = metric match {
+        case Some(m) if matchers.isEmpty => m
+        case Some(m) => m + matchers.map(matcherStr).mkString("{", ", ", "}")
+        case None => matchers.map(matcherStr).mkString("{", ", ", "}")
+      }
+      base + window.map(w => s"[${dur(w)}]").getOrElse("") + modifiers(offset, at)
+
+    case NumberLit(v) => num(v)
+
+    case StringLit(s) => quote(s)
+
+    case FuncCall(name, args) => s"$name(${args.map(print).mkString(", ")})"
+
+    case Agg(op, expr, param, by, without) =>
+      val clause =
+        if (by.nonEmpty) s" by (${by.mkString(", ")}) "
+        else if (without.nonEmpty) s" without (${without.mkString(", ")}) "
+        else ""
+      val args = param.map(p => print(p) + ", ").getOrElse("") + print(expr)
+      s"$op$clause($args)"
+
+    case BinOp(op, lhs, rhs, bool, matching) =>
+      val boolStr = if (bool) " bool" else ""
+      val matchStr = matching.map { m =>
+        val kind = if (m.on) "on" else "ignoring"
+        val grp =
+          if (m.groupLeft) " group_left" + includeStr(m.include)
+          else if (m.groupRight) " group_right" + includeStr(m.include)
+          else ""
+        s" $kind(${m.labels.mkString(", ")})$grp"
+      }.getOrElse("")
+      s"${operand(lhs)} $op$boolStr$matchStr ${operand(rhs)}"
+
+    case Subquery(expr, range, step, offset, at) =>
+      val inner = expr match {
+        case _: BinOp => s"(${print(expr)})"
+        case _ => print(expr)
+      }
+      s"$inner[${dur(range)}:${step.map(dur).getOrElse("")}]" + modifiers(offset, at)
+  }
+
+  /** Parenthesize binary operands: parens group without creating AST nodes,
+    * so always-parenthesizing is round-trip-safe and sidesteps precedence
+    * bookkeeping (the reference printer does the same for binary joins). */
+  private def operand(e: PromExpr): String = e match {
+    case _: BinOp => s"(${print(e)})"
+    case _ => print(e)
+  }
+
+  private def includeStr(inc: Seq[String]): String =
+    if (inc.isEmpty) "" else s"(${inc.mkString(", ")})"
+
+  private def matcherStr(m: LabelMatcher): String = {
+    val op = m.op match {
+      case MatchOp.Eq => "="
+      case MatchOp.Ne => "!="
+      case MatchOp.Re => "=~"
+      case MatchOp.NotRe => "!~"
+    }
+    s"${m.label}$op${quote(m.value)}"
+  }
+
+  private def quote(s: String): String = {
+    val sb = new StringBuilder("\"")
+    s.foreach {
+      case '\\' => sb.append("\\\\")
+      case '"' => sb.append("\\\"")
+      case '\n' => sb.append("\\n")
+      case '\t' => sb.append("\\t")
+      case '\r' => sb.append("\\r")
+      case c => sb.append(c)
+    }
+    sb.append('"').toString
+  }
+
+  private def modifiers(offsetMs: Long, atMs: Option[Long]): String = {
+    val off =
+      if (offsetMs == 0L) ""
+      else if (offsetMs < 0L) s" offset -${dur(-offsetMs)}"
+      else s" offset ${dur(offsetMs)}"
+    val at = atMs match {
+      case Some(At.Start) => " @ start()"
+      case Some(At.End) => " @ end()"
+      case Some(ms) => s" @ ${num(ms / 1000.0)}"
+      case None => ""
+    }
+    off + at
+  }
+
+  /** Compact duration: greedy w/d/h/m/s/ms decomposition ("90m" stays
+    * "1h30m" — equal total ms, so the round-trip AST is identical). */
+  private def dur(ms: Long): String = {
+    require(ms >= 0, s"negative duration $ms handled by caller")
+    if (ms == 0) return "0s"
+    val units = Seq("w" -> 604800000L, "d" -> 86400000L, "h" -> 3600000L,
+      "m" -> 60000L, "s" -> 1000L, "ms" -> 1L)
+    val sb = new StringBuilder
+    var rest = ms
+    units.foreach { case (u, m) =>
+      if (rest >= m) { sb.append(rest / m).append(u); rest %= m }
+    }
+    sb.toString
+  }
+
+  private def num(v: Double): String =
+    if (v.isWhole && math.abs(v) < 1e15) v.toLong.toString
+    else v.toString.toLowerCase // keeps exponent forms lexable (1.0e21)
+}

@@ -61,4 +61,25 @@ object PipelineFixtures {
     // index) identical under any session parallelism
     embRows.toDF("vec_id", "embedding").repartition(1)
   }
+
+  /** Planted near-duplicate edge list for connected components: a CHAIN
+    * 100..110 (10 hops — forces multi-round convergence, the case a naive
+    * one-round min-join gets wrong), a triangle {0,1,2}, a star centered
+    * at 20, an isolated pair {50,51}, and a bridge 7-110 merging the chain
+    * into 7's pair {7,8}. Duplicate/reversed edges included on purpose. */
+  val edgeRows: Seq[(Long, Long)] =
+    (100L until 110L).map(i => (i, i + 1)) ++
+      Seq((0L, 1L), (1L, 2L), (2L, 0L),
+          (20L, 21L), (20L, 22L), (20L, 23L), (23L, 20L),
+          (50L, 51L),
+          (7L, 8L), (110L, 7L))
+
+  def edges(s: SparkSession): DataFrame = {
+    import s.implicits._
+    edgeRows.toDF("id1", "id2")
+  }
+
+  /** The edge fixture as an inline DuckDB VALUES relation. */
+  def edgeValuesSql: String =
+    edgeRows.map { case (a, b) => s"($a, $b)" }.mkString("(VALUES ", ", ", ") e(id1, id2)")
 }

@@ -101,7 +101,34 @@ object PipelineQueries {
     "q75_frame_sampling" -> ((s, dir) => // rows-only (byte-slice stub)
       Multimodal.sampleFrames(Multimodal.synthesizeMedia(TsTables.documents(s, dir)), everyN = 7)
         .select(col("doc_id"), col("frame_idx"))
-        .orderBy(col("doc_id"), col("frame_idx")))
+        .orderBy(col("doc_id"), col("frame_idx"))),
+
+    "q99_connected_components" -> ((s, _) =>
+      Components.connectedComponents(PipelineFixtures.edges(s))
+        .orderBy(col("id"))),
+
+    "q100_gopher_signals" -> ((s, dir) =>
+      Quality.gopherSignals(TsTables.documents(s, dir))
+        .orderBy(col("doc_id"))),
+
+    "q101_hash_split" -> ((s, dir) =>
+      TsTables.documents(s, dir).select(
+        col("doc_id"),
+        Sampling.hashSplit(col("doc_id"), Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+          .as("split"))
+        .orderBy(col("doc_id"))),
+
+    "q102_pack_shards" -> ((s, dir) =>
+      Sampling.packIntoShards(
+        TsTables.documents(s, dir)
+          .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n_tokens")),
+        budgetTokens = 2000L, nBuckets = 8)
+        .orderBy(col("doc_id"))),
+
+    "q103_semantic_dedup" -> ((s, _) =>
+      Similarity.semanticDedup(PipelineFixtures.embs(s), threshold = 0.95, nClusters = 3)
+        .select(col("vec_id"))
+        .orderBy(col("vec_id")))
   )
 
   /** Winnowing candidate pairs: long shingles (k=8) keep fingerprints
@@ -260,6 +287,94 @@ object PipelineQueries {
       """SELECT * FROM (VALUES
          (0, 1, 2), (0, 2, 2), (1, 2, 2), (3, 4, 3), (10, 11, 3)
          ) t(id1, id2, shared_fps) ORDER BY 1, 2""",
+
+    // transitive closure on the planted edge fixture: DuckDB computes the
+    // exact min-reachable-id per node with a recursive CTE — a true
+    // multi-hop value check of the large-star/small-star implementation
+    "q99_connected_components" ->
+      s"""WITH RECURSIVE sym AS (
+            SELECT id1 AS u, id2 AS v FROM ${PipelineFixtures.edgeValuesSql}
+            UNION
+            SELECT id2, id1 FROM ${PipelineFixtures.edgeValuesSql}),
+          reach(u, r) AS (
+            SELECT DISTINCT u, u FROM sym
+            UNION
+            SELECT s.u, reach.r FROM sym s JOIN reach ON s.v = reach.u)
+          SELECT u AS id, min(r) AS component FROM reach GROUP BY u ORDER BY id""",
+
+    "q100_gopher_signals" ->
+      s"""WITH base AS (
+            SELECT doc_id, text,
+                   string_split_regex(trim(text), '\\s+') AS toks,
+                   string_split_regex(trim(lower(text)), '\\s+') AS ltoks,
+                   string_split(text, chr(10)) AS lines,
+                   length(regexp_replace(trim(text), '\\s+', '', 'g')) AS nsc
+            FROM documents),
+          signals AS (
+            SELECT doc_id,
+                   len(toks) AS word_count,
+                   round(nsc / CAST(len(toks) AS DOUBLE), 6) AS mean_word_len,
+                   round(1.0 - len(list_distinct(ltoks)) / CAST(len(ltoks) AS DOUBLE), 6) AS dup_word_frac,
+                   round(1.0 - len(list_distinct(lines)) / CAST(len(lines) AS DOUBLE), 6) AS dup_line_frac,
+                   round(len(regexp_extract_all(text, '#|\\.\\.\\.|…')) / CAST(len(toks) AS DOUBLE), 6) AS symbol_ratio,
+                   round(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) / CAST(len(toks) AS DOUBLE), 6) AS alpha_word_frac
+            FROM base),
+          g2 AS (
+            SELECT doc_id, round(cnt * length(replace(gram, ' ', '')) / CAST(nsc AS DOUBLE), 6) AS top2_frac
+            FROM (SELECT doc_id, nsc, gram, count(*) AS cnt,
+                         row_number() OVER (PARTITION BY doc_id ORDER BY count(*) DESC, gram DESC) AS rk
+                  FROM (SELECT doc_id, nsc,
+                               unnest(list_transform(generate_series(1, greatest(len(ltoks) - 2, 0) + 1),
+                                      i -> array_to_string(list_slice(ltoks, i, i + 1), ' '))) AS gram
+                        FROM base)
+                  GROUP BY doc_id, nsc, gram)
+            WHERE rk = 1),
+          g3 AS (
+            SELECT doc_id, round(cnt * length(replace(gram, ' ', '')) / CAST(nsc AS DOUBLE), 6) AS top3_frac
+            FROM (SELECT doc_id, nsc, gram, count(*) AS cnt,
+                         row_number() OVER (PARTITION BY doc_id ORDER BY count(*) DESC, gram DESC) AS rk
+                  FROM (SELECT doc_id, nsc,
+                               unnest(list_transform(generate_series(1, greatest(len(ltoks) - 3, 0) + 1),
+                                      i -> array_to_string(list_slice(ltoks, i, i + 2), ' '))) AS gram
+                        FROM base)
+                  GROUP BY doc_id, nsc, gram)
+            WHERE rk = 1)
+          SELECT s.*, g2.top2_frac, g3.top3_frac,
+                 (s.word_count BETWEEN 50 AND 100000
+                  AND s.mean_word_len BETWEEN 1.0 AND 10.0
+                  AND s.symbol_ratio < 0.1
+                  AND s.dup_line_frac < 0.3
+                  AND s.alpha_word_frac > 0.8
+                  AND g2.top2_frac < 0.20
+                  AND g3.top3_frac < 0.18) AS gopher_pass
+          FROM signals s JOIN g2 USING (doc_id) JOIN g3 USING (doc_id)
+          ORDER BY doc_id""",
+
+    // golden-fixture oracle (KMeans clustering is not DuckDB-reproducible):
+    // the three planted direction clusters each keep their minimum id
+    "q103_semantic_dedup" ->
+      """SELECT * FROM (VALUES (0), (1), (2)) t(vec_id) ORDER BY 1""",
+
+    "q101_hash_split" ->
+      """SELECT doc_id,
+                CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val' ELSE 'test' END AS split
+         FROM (SELECT doc_id,
+                      ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::INT / 65536.0 AS u
+               FROM documents)
+         ORDER BY doc_id""",
+
+    "q102_pack_shards" ->
+      """WITH t AS (SELECT doc_id,
+                           ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::INT % 8 AS bucket,
+                           len(string_split_regex(trim(text), '\s+')) AS n_tokens
+                    FROM documents)
+         SELECT doc_id, bucket,
+                CAST(floor((sum(n_tokens) OVER w - n_tokens) / 2000.0) AS BIGINT) AS shard,
+                n_tokens
+         FROM t
+         WINDOW w AS (PARTITION BY bucket ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         ORDER BY doc_id""",
 
     "q65_knn_bruteforce" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),

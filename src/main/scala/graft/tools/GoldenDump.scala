@@ -46,6 +46,8 @@ object GoldenDump {
       .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
       .agg(count(lit(1)).as("shared_fps"))
       .orderBy("id1", "id2"))
+    dump("q103", Similarity.semanticDedup(embs, threshold = 0.95, nClusters = 3)
+      .select(col("vec_id")).orderBy("vec_id"))
     spark.stop()
   }
 }

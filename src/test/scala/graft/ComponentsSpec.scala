@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+import graft.pipeline.{Components, Quality, Sampling}
+import graft.queries.PipelineFixtures
+
+/** Connected components (large-star/small-star), Gopher quality signals,
+  * and deterministic sampling/packing. */
+class ComponentsSpec extends AnyFunSuite with Matchers {
+
+  lazy val spark: SparkSession = GraftSession.builder("local[4]", "4").getOrCreate()
+  import spark.implicits._
+
+  test("connected components collapse a 10-hop chain to one root") {
+    // path 0-1-2-...-10: diameter 10, but log-round convergence must find
+    // component 0 for every node
+    val edges = (0L until 10L).map(i => (i, i + 1)).toDF("id1", "id2")
+    val comp = Components.connectedComponents(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    comp.size shouldEqual 11
+    comp.values.toSet shouldEqual Set(0L)
+  }
+
+  test("fixture graph: chain+bridge, triangle, star, pair land in the right components") {
+    val comp = Components.connectedComponents(PipelineFixtures.edges(spark)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    // chain 100..110 bridged through 110-7 into {7,8} => min id 7
+    (100L to 110L).foreach(i => comp(i) shouldEqual 7L)
+    comp(8L) shouldEqual 7L
+    // triangle
+    Seq(0L, 1L, 2L).foreach(i => comp(i) shouldEqual 0L)
+    // star at 20
+    Seq(20L, 21L, 22L, 23L).foreach(i => comp(i) shouldEqual 20L)
+    // isolated pair
+    comp(50L) shouldEqual 50L
+    comp(51L) shouldEqual 50L
+  }
+
+  test("keepRepresentatives keeps one doc per duplicate cluster plus unpaired docs") {
+    val docs = (0L to 6L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val pairs = Seq((0L, 1L), (1L, 2L), (4L, 5L)).toDF("id1", "id2")
+    val kept = Components.keepRepresentatives(docs, pairs).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    kept shouldEqual Set(0L, 3L, 4L, 6L)
+  }
+
+  test("empty edge list yields no components and keeps every doc") {
+    val docs = (0L to 3L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val noPairs = spark.emptyDataset[(Long, Long)].toDF("id1", "id2")
+    Components.connectedComponents(noPairs).count() shouldEqual 0
+    Components.keepRepresentatives(docs, noPairs).count() shouldEqual 4
+  }
+
+  test("gopher signals flag repetitive and symbol-heavy docs") {
+    val docs = Seq(
+      (1L, (0 until 60).map(i => s"word$i").mkString(" ")),
+      (2L, "spam spam spam spam spam spam spam spam spam spam spam spam spam spam spam spam spam spam spam spam spam spam spam spam spam spam spam spam spam spam spam spam spam spam spam spam spam spam spam spam spam spam spam spam spam spam spam spam spam spam"),
+      (3L, ("# code ## sample ### heading ... more ... dots ... " * 5).trim)
+    ).toDF("doc_id", "text")
+    val s = Quality.gopherSignals(docs, minWords = 10).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    s(2L).getAs[Double]("dup_word_frac") should be > 0.9
+    s(2L).getAs[Double]("top2_frac") should be > 0.5
+    s(2L).getAs[Boolean]("gopher_pass") shouldEqual false
+    s(3L).getAs[Double]("symbol_ratio") should be > 0.1
+    s(3L).getAs[Boolean]("gopher_pass") shouldEqual false
+    s(1L).getAs[Boolean]("gopher_pass") shouldEqual true
+  }
+
+  test("duplicate line fraction sees repeated lines; single-line docs score 0") {
+    val docs = Seq(
+      (1L, "one line only"),
+      (2L, "same\nsame\nsame\ndifferent")
+    ).toDF("doc_id", "text")
+    val m = docs.select($"doc_id", Quality.duplicateLineFraction($"text").as("f"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    m(1L) shouldEqual 0.0
+    m(2L) shouldEqual 0.5
+  }
+
+  test("hash split is deterministic, complete, and approximately proportioned") {
+    val ids = (0L until 2000L).map(Tuple1(_)).toDF("doc_id")
+    val split = ids.select($"doc_id",
+      Sampling.hashSplit($"doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).as("s"))
+    val counts = split.groupBy("s").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    counts.values.sum shouldEqual 2000L
+    counts("train").toDouble shouldEqual 1600.0 +- 100.0
+    counts("val").toDouble shouldEqual 200.0 +- 60.0
+    // rerun under different partitioning: identical assignment
+    val again = ids.repartition(7).select($"doc_id",
+      Sampling.hashSplit($"doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).as("s"))
+    split.except(again).count() shouldEqual 0
+  }
+
+  test("packing fills shards to the token budget within each bucket") {
+    val docs = (0L until 100L).map(i => (i, 100 + (i % 7).toInt * 10)).toDF("doc_id", "n_tokens")
+    val packed = Sampling.packIntoShards(docs, budgetTokens = 500L, nBuckets = 4)
+    // every (bucket, shard) holds <= budget + one doc's overshoot
+    val per = packed.groupBy("bucket", "shard").agg(sum("n_tokens").as("tot"))
+      .collect().map(_.getAs[Long]("tot"))
+    all(per) should be <= 500L + 160L
+    // deterministic under repartition
+    val again = Sampling.packIntoShards(docs.repartition(5), budgetTokens = 500L, nBuckets = 4)
+    packed.except(again).count() shouldEqual 0
+  }
+
+  test("semantic dedup keeps one representative per planted direction cluster") {
+    import graft.pipeline.Similarity
+    val kept = Similarity.semanticDedup(PipelineFixtures.embs(spark), threshold = 0.95, nClusters = 3)
+      .select("vec_id").collect().map(_.getInt(0)).toSet
+    // every kept doc must include the three cluster minima; no two kept docs
+    // in the same direction cluster may be >= 0.95 cosine
+    kept should contain allOf (0, 1, 2)
+    kept.size should be < 24
+  }
+}
