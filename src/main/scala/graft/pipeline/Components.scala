@@ -44,7 +44,9 @@ object Components {
     var prevSig: (Long, Long) = (-1L, -1L)
     while (!converged && it < maxIter) {
       val ls = largeStar(e)
-      val ss = smallStar(ls).localCheckpoint(true) // truncate the O(log n)-deep lineage
+      // lazy localCheckpoint: the signature action below materializes it,
+      // truncating the O(log n)-deep lineage at ONE Spark job per round
+      val ss = smallStar(ls).localCheckpoint(false)
       // fixed point <=> the (count, order-independent hash) signature repeats;
       // at the star forest both large-star and small-star are identity maps
       val sigRow = ss.agg(count(lit(1)), sum(xxhash64(col("u"), col("v")))).head()

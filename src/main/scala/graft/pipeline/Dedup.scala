@@ -28,14 +28,22 @@ object Dedup {
     docs.join(keep, Seq(idCol), "left_semi")
   }
 
-  /** Word k-shingles of the normalized text. */
-  def shingles(text: Column, k: Int = 3): Column = {
-    val toks = TextAnalysis.tokens(lower(text))
+  /** Word k-shingles from an already-projected token array column. Tokens
+    * must be STAGED as their own projection first: inlining the split
+    * inside the transform/slice lambda makes Catalyst re-run the regex
+    * split per array element — O(words^2) per doc (the winnowing pitfall,
+    * see TextAnalysis.winnowingFingerprints). */
+  def shinglesFromToks(toks: Column, k: Int = 3): Column =
     // sliding window join of k consecutive tokens
     array_distinct(transform(
       sequence(lit(0), greatest(size(toks) - k, lit(0))),
       i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
-  }
+
+  /** (idCol, shingles) with the token stage materialized. */
+  private def withShingles(docs: DataFrame, textCol: String, idCol: String,
+                           k: Int, out: String): DataFrame =
+    docs.select(col(idCol), TextAnalysis.tokens(lower(col(textCol))).as("__toks"))
+      .select(col(idCol), shinglesFromToks(col("__toks"), k).as(out))
 
   /** MinHash signatures: numHashes per doc, hash_i = min over shingles of
     * an i-th universal hash of the shingle. The shingle string is hashed
@@ -46,7 +54,8 @@ object Dedup {
     * Returns (idCol, sig ARRAY<LONG>). */
   def minHashSignatures(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
                         numHashes: Int = 32, shingleK: Int = 3): DataFrame = {
-    val sh = docs.select(col(idCol), explode(shingles(col(textCol), shingleK)).as("sh"))
+    val sh = withShingles(docs, textCol, idCol, shingleK, "__sh")
+      .select(col(idCol), explode(col("__sh")).as("sh"))
       .withColumn("__h", xxhash64(col("sh")))
     def mix(i: Int): Column = {
       val m = col("__h") * lit(0x9E3779B97F4A7C15L + 2L * i) // odd multiplier
@@ -98,7 +107,7 @@ object Dedup {
                         threshold: Double = 0.7, maxBucketSize: Int = 256): DataFrame = {
     val sigs = minHashSignatures(docs, textCol, idCol, numHashes, shingleK)
     val cands = lshCandidatePairs(sigs, idCol, rowsPerBand, maxBucketSize)
-    val withText = docs.select(col(idCol), shingles(col(textCol), shingleK).as("sh"))
+    val withText = withShingles(docs, textCol, idCol, shingleK, "sh")
     cands
       .join(withText.select(col(idCol).as("id1"), col("sh").as("sh1")), "id1")
       .join(withText.select(col(idCol).as("id2"), col("sh").as("sh2")), "id2")

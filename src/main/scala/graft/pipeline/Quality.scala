@@ -63,10 +63,16 @@ object Quality {
     * signal. One row per doc: (idCol, topgram, top_ngram_frac). */
   def topNgramCharFraction(docs: DataFrame, n: Int, textCol: String = "text",
                            idCol: String = "doc_id"): DataFrame = {
+    // tokens are STAGED as a projection before the gram lambda — inlining
+    // the split inside transform/slice makes Catalyst re-run the regex
+    // split per array element (O(words^2) per doc; same pitfall as
+    // winnowing, see TextAnalysis.winnowingFingerprints)
     val grams = docs.select(
       col(idCol),
       length(regexp_replace(trim(col(textCol)), "\\s+", "")).as("__nsc"),
-      explode(wordGrams(lower(col(textCol)), n)).as("gram"))
+      TextAnalysis.tokens(lower(col(textCol))).as("__toks"))
+      .select(col(idCol), col("__nsc"),
+        explode(wordGramsFromToks(col("__toks"), n)).as("gram"))
     val counted = grams.groupBy(col(idCol), col("__nsc"), col("gram"))
       .agg(count(lit(1)).as("cnt"))
     val w = Window.partitionBy(col(idCol)).orderBy(col("cnt").desc, col("gram").desc)
@@ -76,13 +82,12 @@ object Quality {
           col("__nsc").cast("double"), 6).as("top_ngram_frac"))
   }
 
-  /** Word n-grams (space-joined, overlapping). */
-  def wordGrams(text: Column, n: Int): Column = {
-    val toks = TextAnalysis.tokens(text)
+  /** Word n-grams (space-joined, overlapping) from an already-projected
+    * token array column. */
+  def wordGramsFromToks(toks: Column, n: Int): Column =
     transform(
       sequence(lit(0), greatest(size(toks) - n, lit(0))),
       i => concat_ws(" ", slice(toks, i + 1, lit(n))))
-  }
 
   /** The assembled Gopher filter: per-doc signals plus a pass/fail verdict
     * under the published thresholds (adapted: word-count bounds scaled to

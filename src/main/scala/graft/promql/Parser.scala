@@ -60,9 +60,18 @@ object Parser {
           }
         } else out += TNum(numStr.toDouble)
       }
-      else if (c.isLetter || c == '_') { // ':' may continue but not start an identifier
+      else if (c.isLetter || c == '_' ||
+               (c == ':' && (peek(1).isLetter || peek(1) == '_' || peek(1) == ':'))) {
+        // recording-rule names may START with ':' and, once a ':' appears,
+        // may continue with '-'/'.' (ref grammar IDENTIFIER_EXTENDED:
+        // `foo:ba-r:a.b`); a plain `a-b` stays a subtraction
         val start = i
-        while (i < n && (q(i).isLetterOrDigit || q(i) == '_' || q(i) == ':')) i += 1
+        var seenColon = c == ':'
+        while (i < n && (q(i).isLetterOrDigit || q(i) == '_' || q(i) == ':' ||
+               ((q(i) == '-' || q(i) == '.') && seenColon))) {
+          if (q(i) == ':') seenColon = true
+          i += 1
+        }
         out += TId(q.substring(start, i))
       }
       else if (c == '"' || c == '\'') {
@@ -113,7 +122,27 @@ object Parser {
       e
     }
 
-    private def parseOr(): PromExpr = binLevel(Seq("or"), parseAndUnless _)
+    /** Keywords are case-insensitive, as in the reference grammar (PromQL.g4
+      * defines every keyword token from case-insensitive fragments). */
+    private def isKw(t: Tok, kw: String): Boolean = t match {
+      case TId(s) => s.equalsIgnoreCase(kw)
+      case _ => false
+    }
+
+    /** Lowest level: or-chains plus the `expr limit N` postfix (a FiloDB
+      * extension, ref PromQL.g4 `vectorExpression limit` #limitOperation) —
+      * sugar for the `limit(N, expr)` function form. */
+    private def parseOr(): PromExpr = {
+      var e = binLevel(Seq("or"), parseAndUnless _)
+      while (isKw(cur, "limit")) {
+        advance()
+        cur match {
+          case TNum(k) => advance(); e = FuncCall("limit", Seq(NumberLit(k), e))
+          case other => fail(s"limit expects a number of series, got $other")
+        }
+      }
+      e
+    }
     private def parseAndUnless(): PromExpr = binLevel(Seq("and", "unless"), parseCompare _)
     private def parseCompare(): PromExpr =
       binLevel(Seq("==", "!=", ">", "<", ">=", "<="), parseAddSub _)
@@ -130,6 +159,9 @@ object Parser {
       }
     }
 
+    private val ComparisonOps = Set("==", "!=", ">", "<", ">=", "<=")
+    private val SetOps = Set("and", "or", "unless")
+
     private def binLevel(ops: Seq[String], next: () => PromExpr): PromExpr = {
       var lhs = next()
       var done = false
@@ -137,39 +169,48 @@ object Parser {
         case TOp(o) if ops.contains(o) =>
           advance()
           val (bool, matching) = parseModifiers()
-          lhs = BinOp(o, lhs, next(), bool, matching)
-        case TId(o) if ops.contains(o) =>
+          lhs = mkBinOp(o, lhs, next(), bool, matching)
+        case TId(o) if ops.contains(o.toLowerCase) => // and/or/unless, any case
           advance()
           val (bool, matching) = parseModifiers()
-          lhs = BinOp(o, lhs, next(), bool, matching)
+          lhs = mkBinOp(o.toLowerCase, lhs, next(), bool, matching)
         case _ => done = true
       }
       lhs
     }
 
+    /** Structural guards the reference parser enforces (ParserSpec):
+      * `bool` only on comparisons; set operators never carry
+      * group_left/group_right (their result cardinality is inherent). */
+    private def mkBinOp(op: String, lhs: PromExpr, rhs: PromExpr,
+                        bool: Boolean, matching: Option[VectorMatch]): BinOp = {
+      if (bool && !ComparisonOps.contains(op))
+        fail(s"bool modifier only applies to comparison operators, not '$op'")
+      if (SetOps.contains(op) && matching.exists(m => m.groupLeft || m.groupRight))
+        fail(s"group_left/group_right are not allowed with set operator '$op'")
+      BinOp(op, lhs, rhs, bool, matching)
+    }
+
     /** [bool] [on(...)|ignoring(...)] [group_left|group_right [(...)]] */
     private def parseModifiers(): (Boolean, Option[VectorMatch]) = {
       var bool = false
-      cur match { case TId("bool") => bool = true; advance(); case _ => }
+      if (isKw(cur, "bool")) { bool = true; advance() }
       var matching: Option[VectorMatch] = None
-      cur match {
-        case TId(k @ ("on" | "ignoring")) =>
+      if (isKw(cur, "on") || isKw(cur, "ignoring")) {
+        val on = isKw(cur, "on")
+        advance()
+        val labels = parseLabelList()
+        var vm = VectorMatch(on = on, labels = labels)
+        if (isKw(cur, "group_left") || isKw(cur, "group_right")) {
+          val left = isKw(cur, "group_left")
           advance()
-          val labels = parseLabelList()
-          var vm = VectorMatch(on = k == "on", labels = labels)
-          cur match {
-            case TId(g @ ("group_left" | "group_right")) =>
-              advance()
-              val include = cur match {
-                case TOp("(") => parseLabelList()
-                case _ => Nil
-              }
-              vm = vm.copy(groupLeft = g == "group_left", groupRight = g == "group_right",
-                include = include)
-            case _ =>
+          val include = cur match {
+            case TOp("(") => parseLabelList()
+            case _ => Nil
           }
-          matching = Some(vm)
-        case _ =>
+          vm = vm.copy(groupLeft = left, groupRight = !left, include = include)
+        }
+        matching = Some(vm)
       }
       (bool, matching)
     }
@@ -193,7 +234,14 @@ object Parser {
     }
 
     private def parseUnary(): PromExpr = cur match {
-      case TOp("-") => advance(); BinOp("-", NumberLit(0), parseUnary())
+      case TOp("-") =>
+        advance()
+        parseUnary() match {
+          // fold literal negation so `-5`/`-Inf` are literals (Prometheus
+          // semantics, and what the printer round-trip needs)
+          case NumberLit(v) => NumberLit(-v)
+          case e => BinOp("-", NumberLit(0), e)
+        }
       case TOp("+") => advance(); parseUnary()
       case _ => parsePostfix(parsePrimary())
     }
@@ -209,6 +257,7 @@ object Parser {
             case TDur(ms) => advance(); ms
             case other => fail(s"expected duration in range, got $other")
           }
+          if (range <= 0L) fail(s"range duration must be positive, got ${range}ms")
           cur match {
             case TOp(":") => // subquery
               advance()
@@ -230,8 +279,8 @@ object Parser {
           advance()
           val at = cur match {
             case TNum(v) => advance(); (v * 1000).toLong
-            case TId("start") => advance(); expectOp("("); expectOp(")"); At.Start
-            case TId("end") => advance(); expectOp("("); expectOp(")"); At.End
+            case t if isKw(t, "start") => advance(); expectOp("("); expectOp(")"); At.Start
+            case t if isKw(t, "end") => advance(); expectOp("("); expectOp(")"); At.End
             case other => fail(s"expected unix-seconds timestamp, start() or end() after @, got $other")
           }
           e = e match {
@@ -248,7 +297,7 @@ object Parser {
                 fail(s"@ modifier applies to selectors/subqueries (or expressions containing them), got $other")
               applyAt(other, at)
           }
-        case TId("offset") =>
+        case t if isKw(t, "offset") =>
           advance()
           // negative offsets look into the future: `offset -1h`
           val neg = cur match { case TOp("-") => advance(); true; case _ => false }
@@ -314,6 +363,13 @@ object Parser {
       case TOp("(") =>
         advance(); val e = parseOr(); expectOp(")"); e
       case TOp("{") => parseSelector(None)
+      case TId(name) if name.equalsIgnoreCase("inf") || name.equalsIgnoreCase("nan") =>
+        // Inf/NaN literals, any case (ref ParserSpec); `inf{...}` is NOT a
+        // valid metric name
+        advance()
+        if (cur == TOp("{")) fail(s"'$name' is a number literal, not a metric name")
+        if (name.equalsIgnoreCase("inf")) NumberLit(Double.PositiveInfinity)
+        else NumberLit(Double.NaN)
       case TId(name) if AggOps.contains(name) => parseAgg()
       case TId(name) =>
         advance()
@@ -337,11 +393,10 @@ object Parser {
       val op = advance().asInstanceOf[TId].s
       var by: Seq[String] = Nil
       var without: Seq[String] = Nil
-      def clause(): Boolean = cur match {
-        case TId("by") => advance(); by = parseLabelList(); true
-        case TId("without") => advance(); without = parseLabelList(); true
-        case _ => false
-      }
+      def clause(): Boolean =
+        if (isKw(cur, "by")) { advance(); by = parseLabelList(); true }
+        else if (isKw(cur, "without")) { advance(); without = parseLabelList(); true }
+        else false
       clause() // modifier before args
       expectOp("(")
       val args = ArrayBuffer[PromExpr]()
@@ -383,6 +438,8 @@ object Parser {
         }
       }
       expectOp("}")
+      if (metric.isDefined && ms.exists(_.label == "__name__"))
+        fail(s"metric name '${metric.get}' and a __name__ matcher cannot both be given")
       val named = ms.find(_.label == "__name__") match {
         case Some(m) if m.op == MatchOp.Eq && metric.isEmpty =>
           (Some(m.value), ms.filterNot(_.label == "__name__"))

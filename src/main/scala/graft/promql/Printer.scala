@@ -116,6 +116,9 @@ object Printer {
   }
 
   private def num(v: Double): String =
-    if (v.isWhole && math.abs(v) < 1e15) v.toLong.toString
+    if (v.isNaN) "NaN"
+    else if (v == Double.PositiveInfinity) "Inf"
+    else if (v == Double.NegativeInfinity) "-Inf"
+    else if (v.isWhole && math.abs(v) < 1e15) v.toLong.toString
     else v.toString.toLowerCase // keeps exponent forms lexable (1.0e21)
 }

@@ -128,7 +128,17 @@ object PipelineQueries {
     "q103_semantic_dedup" -> ((s, _) =>
       Similarity.semanticDedup(PipelineFixtures.embs(s), threshold = 0.95, nClusters = 3)
         .select(col("vec_id"))
-        .orderBy(col("vec_id")))
+        .orderBy(col("vec_id"))),
+
+    // the full dedup pipeline composed end-to-end: candidate pairs from
+    // MinHash LSH -> exact Jaccard verify -> connected components ->
+    // one representative per duplicate CLUSTER (survives chains a~b~c)
+    "q104_dedup_pipeline" -> ((s, _) => {
+      val docs = PipelineFixtures.docs(s)
+      val pairs = Dedup.minHashDuplicates(docs, numHashes = 16, threshold = 0.5)
+      Components.keepRepresentatives(docs, pairs)
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    })
   )
 
   /** Winnowing candidate pairs: long shingles (k=8) keep fingerprints
@@ -174,7 +184,12 @@ object PipelineQueries {
       Similarity.ivfKnn(e.filter(col("vec_id") < 10), e, 5, nCentroids = 16, nprobe = 4)
     }),
     "corpus_winnowing" -> ((s, dir) =>
-      winnowingCandidates(TsTables.documents(s, dir)))
+      winnowingCandidates(TsTables.documents(s, dir))),
+    "corpus_dedup_pipeline" -> ((s, dir) => {
+      val docs = TsTables.documents(s, dir)
+      Components.keepRepresentatives(docs,
+        Dedup.minHashDuplicates(docs, numHashes = 16, threshold = 0.5))
+    })
   )
 
   def oracles: Map[String, String] = Map(
@@ -354,6 +369,13 @@ object PipelineQueries {
     // the three planted direction clusters each keep their minimum id
     "q103_semantic_dedup" ->
       """SELECT * FROM (VALUES (0), (1), (2)) t(vec_id) ORDER BY 1""",
+
+    // golden-fixture oracle: q66's verified pairs (0,1),(0,2),(1,2),(3,4)
+    // collapse to clusters {0,1,2} and {3,4}; the representatives 0 and 3
+    // survive along with every unpaired doc
+    "q104_dedup_pipeline" ->
+      """SELECT * FROM (VALUES (0), (3), (5), (6), (7), (8), (9), (10), (11))
+         t(doc_id) ORDER BY 1""",
 
     "q101_hash_split" ->
       """SELECT doc_id,

@@ -244,4 +244,90 @@ class ParserGoldenSpec extends AnyFunSuite with Matchers {
       Selector(Some("m"), Seq(LabelMatcher("a", MatchOp.Eq, "x")))
     Parser.parse("m{}") shouldEqual sel("m")
   }
+
+  test("limit postfix is sugar for the limit() function, binding loosest") {
+    Parser.parse("foo limit 1") shouldEqual
+      FuncCall("limit", Seq(NumberLit(1), sel("foo")))
+    Parser.parse("foo * bar limit 2") shouldEqual
+      FuncCall("limit", Seq(NumberLit(2), BinOp("*", sel("foo"), sel("bar"))))
+    Parser.parse("(foo * bar) limit 2") shouldEqual
+      FuncCall("limit", Seq(NumberLit(2), BinOp("*", sel("foo"), sel("bar"))))
+    Parser.parse("""test{a="b"}[5y] offset 3d limit 3""") shouldEqual
+      FuncCall("limit", Seq(NumberLit(3),
+        Selector(Some("test"), Seq(LabelMatcher("a", MatchOp.Eq, "b")),
+          Some(5L * 31536000000L), 3L * 86400000L)))
+    an[IllegalArgumentException] should be thrownBy Parser.parse("foo[5m] limit 1m")
+    // `limit` stays a valid metric name in operand position
+    Parser.parse("sum(limit)") shouldEqual Agg("sum", sel("limit"), None, Nil, Nil)
+  }
+
+  test("keywords are case-insensitive (reference grammar fragments)") {
+    Parser.parse("""test{a="b"}[5y] OFFSET 3d""") shouldEqual
+      Selector(Some("test"), Seq(LabelMatcher("a", MatchOp.Eq, "b")),
+        Some(5L * 31536000000L), 3L * 86400000L)
+    Parser.parse("""test[5y] OFFSET 3d LIMIT 3""") shouldEqual
+      Parser.parse("""test[5y] offset 3d limit 3""")
+    Parser.parse("a AND b") shouldEqual BinOp("and", sel("a"), sel("b"))
+    Parser.parse("sum BY (job) (m)") shouldEqual Agg("sum", sel("m"), None, Seq("job"), Nil)
+    Parser.parse("a + ON(x) b") shouldEqual
+      BinOp("+", sel("a"), sel("b"), bool = false, Some(VectorMatch(on = true, Seq("x"))))
+  }
+
+  test("Inf and NaN literals in any case; not valid metric names") {
+    Parser.parse("Inf") shouldEqual NumberLit(Double.PositiveInfinity)
+    Parser.parse("+inf") shouldEqual NumberLit(Double.PositiveInfinity)
+    Parser.parse("-Inf") shouldEqual NumberLit(Double.NegativeInfinity)
+    Parser.parse("INF + 1") shouldEqual
+      BinOp("+", NumberLit(Double.PositiveInfinity), NumberLit(1))
+    Parser.parse("metric < -Inf") shouldEqual
+      BinOp("<", sel("metric"), NumberLit(Double.NegativeInfinity))
+    assert(Parser.parse("NaN").asInstanceOf[NumberLit].v.isNaN)
+    assert(Parser.parse("nan").asInstanceOf[NumberLit].v.isNaN)
+    an[IllegalArgumentException] should be thrownBy Parser.parse("inf{}")
+    an[IllegalArgumentException] should be thrownBy Parser.parse("""Inf{job="api"}""")
+    // but Inf/NaN are fine as LABEL names
+    Parser.parse("foo{Inf='value'}") shouldEqual
+      Selector(Some("foo"), Seq(LabelMatcher("Inf", MatchOp.Eq, "value")))
+  }
+
+  test("unary minus folds numeric literals") {
+    Parser.parse("-5") shouldEqual NumberLit(-5)
+    Parser.parse("+5.5e-3") shouldEqual NumberLit(0.0055)
+    Parser.parse("-0755") shouldEqual NumberLit(-755)
+    Parser.parse("+1 + -2 * 1") shouldEqual
+      BinOp("+", NumberLit(1), BinOp("*", NumberLit(-2), NumberLit(1)))
+  }
+
+  test("recording-rule metric names: leading colon, dashes and dots after a colon") {
+    Parser.parse(""":node_memory_utilisation:{_ns="cloud"}""") shouldEqual
+      Selector(Some(":node_memory_utilisation:"), Seq(LabelMatcher("_ns", MatchOp.Eq, "cloud")))
+    Parser.parse("""foo:ba-r:a.b{a="bc"}""") shouldEqual
+      Selector(Some("foo:ba-r:a.b"), Seq(LabelMatcher("a", MatchOp.Eq, "bc")))
+    // no colon => '-' stays subtraction
+    Parser.parse("a-b") shouldEqual BinOp("-", sel("a"), sel("b"))
+  }
+
+  test("structural guards: bool off-comparison, set-op grouping, __name__ conflict, zero range") {
+    an[IllegalArgumentException] should be thrownBy Parser.parse("foo + bool bar")
+    an[IllegalArgumentException] should be thrownBy Parser.parse("foo and bool 10")
+    an[IllegalArgumentException] should be thrownBy
+      Parser.parse("foo and on(bar) group_left(baz) bar")
+    an[IllegalArgumentException] should be thrownBy
+      Parser.parse("foo unless on(bar) group_right bar")
+    an[IllegalArgumentException] should be thrownBy Parser.parse("""foo{__name__="bar"}""")
+    an[IllegalArgumentException] should be thrownBy Parser.parse("foo[0m]")
+    // still-legal neighbors of the guards
+    Parser.parse("foo == bool 1") shouldEqual
+      BinOp("==", sel("foo"), NumberLit(1), bool = true)
+    Parser.parse("foo and on() bar") shouldEqual
+      BinOp("and", sel("foo"), sel("bar"), bool = false, Some(VectorMatch(on = true, Nil)))
+  }
+
+  test("number literal zoo") {
+    Parser.parse(".5") shouldEqual NumberLit(0.5)
+    Parser.parse("5.") shouldEqual NumberLit(5.0)
+    Parser.parse("0755") shouldEqual NumberLit(755)
+    an[IllegalArgumentException] should be thrownBy Parser.parse("2.5.")
+    an[IllegalArgumentException] should be thrownBy Parser.parse(".")
+  }
 }

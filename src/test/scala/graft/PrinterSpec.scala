@@ -67,7 +67,15 @@ class PrinterSpec extends AnyFunSuite with Matchers {
     """m > 1e3""",
     """m * 2.5e-2""",
     """histogram_quantile(0.99, sum(rate(req_latency_bucket[5m])) by (le, job))""",
-    """histogram_fraction(0, 100, sum(rate(lat[5m])) by (le))"""
+    """histogram_fraction(0, 100, sum(rate(lat[5m])) by (le))""",
+    // round-4 parser breadth: limit postfix, Inf, extended metric names
+    """foo limit 1""",
+    """foo * bar limit 2""",
+    """metric < -Inf""",
+    """foo:ba-r:a.b{a="bc"}""",
+    """:node_memory_utilisation:{_ns="cloud"}""",
+    """-5 * m""",
+    """foo and on() bar"""
   )
 
   test("parse . print . parse is identity over the corpus") {

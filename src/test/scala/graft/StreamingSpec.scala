@@ -201,4 +201,28 @@ class StreamingSpec extends AnyFunSuite with Matchers {
     runFn("sum_over_time") shouldEqual (15.0 + 6 + 7 + 8 + 9 + 10)
     runFn("count_over_time") shouldEqual 10.0 // 5 cold (bucket count) + 5 hot
   }
+
+  test("streaming doc ingest: fingerprint dedup within watermark + quality gate") {
+    import graft.streaming.DocIngest
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val good = (0 until 30).map(i => s"tok$i").mkString(" ")
+    // (doc_id, text, lang, source, ingest_ts)
+    val ms = MemoryStream[(Long, String, String, String, Long)]
+    val q = DocIngest.docPipeline(ms.toDF()
+        .toDF("doc_id", "text", "lang", "source", "ingest_ts"))
+      .writeStream.format("memory").queryName("doc_out")
+      .outputMode("append").start()
+    try {
+      ms.addData(
+        (1L, good, "en", "a", 1000L),
+        (2L, good + " ", "en", "a", 2000L), // same fingerprint (trim) -> dropped
+        (3L, "too short", "en", "a", 3000L), // fails minWords gate
+        (4L, "spam " * 40 + "spam", "en", "b", 4000L)) // dup-word frac ~1 -> dropped
+      q.processAllAvailable()
+      ms.addData((5L, good, "en", "b", 60000L)) // dup again, later batch -> dropped
+      q.processAllAvailable()
+      val kept = spark.table("doc_out").select("doc_id").collect().map(_.getLong(0)).toSet
+      kept shouldEqual Set(1L)
+    } finally q.stop()
+  }
 }
