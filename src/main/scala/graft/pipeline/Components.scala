@@ -30,11 +30,16 @@ object Components {
     * Input columns: (id1, id2); ids must be orderable (long/int/string). */
   def connectedComponents(edges: DataFrame, id1: String = "id1", id2: String = "id2",
                           maxIter: Int = 25): DataFrame = {
-    val spark = edges.sparkSession
-    val nodes = edges.select(col(id1).as("u"))
-      .union(edges.select(col(id2).as("u"))).distinct()
+    // checkpoint the edge input once: it is typically an EXPENSIVE dedup
+    // candidate pipeline (MinHash LSH + verify), and it feeds both the
+    // iteration seed and the final node-labeling join — without the
+    // barrier it would re-execute end-to-end for each consumer
+    val edges0 = edges.select(col(id1).as("u"), col(id2).as("v"))
+      .localCheckpoint(false)
+    val nodes = edges0.select(col("u"))
+      .union(edges0.select(col("v").as("u"))).distinct()
 
-    var e = edges.select(col(id1).as("u"), col(id2).as("v"))
+    var e = edges0
       .where(col("u") =!= col("v"))
       .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
       .distinct()

@@ -51,19 +51,24 @@ object Dedup {
     * i-th permutation is a multiply-xorshift mix of that 64-bit base with
     * per-i odd constants — standard universal-hashing practice, 16x less
     * string hashing than hashing (i, shingle) per permutation.
+    *
+    * Formulated as pure per-row expressions — NO explode, NO aggregation:
+    * array_min over the mixed hash array per permutation. Zero shuffle for
+    * the whole signature stage (an explode + 16-min groupBy computes the
+    * same thing but re-evaluates the shingle array per exploded element —
+    * measured O(words^2) per doc — and shuffles 50x more rows).
     * Returns (idCol, sig ARRAY<LONG>). */
   def minHashSignatures(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
                         numHashes: Int = 32, shingleK: Int = 3): DataFrame = {
-    val sh = withShingles(docs, textCol, idCol, shingleK, "__sh")
-      .select(col(idCol), explode(col("__sh")).as("sh"))
-      .withColumn("__h", xxhash64(col("sh")))
-    def mix(i: Int): Column = {
-      val m = col("__h") * lit(0x9E3779B97F4A7C15L + 2L * i) // odd multiplier
+    val hashed = withShingles(docs, textCol, idCol, shingleK, "__sh")
+      .select(col(idCol), transform(col("__sh"), s => xxhash64(s)).as("__h"))
+    def mix(h: Column, i: Int): Column = {
+      val m = h * lit(0x9E3779B97F4A7C15L + 2L * i) // odd multiplier
       m.bitwiseXOR(shiftrightunsigned(m, 29))
     }
-    val aggs = (0 until numHashes).map(i => min(mix(i)).as(s"h$i"))
-    sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
-      .select(col(idCol), array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
+    hashed.select(col(idCol),
+      array((0 until numHashes).map(i =>
+        array_min(transform(col("__h"), h => mix(h, i)))): _*).as("sig"))
   }
 
   /** LSH candidate pairs: split the signature into bands of `rowsPerBand`,
@@ -75,7 +80,12 @@ object Dedup {
     * identical docs are exact-dedup's job, not LSH's. */
   def lshCandidatePairs(sigs: DataFrame, idCol: String = "doc_id",
                         rowsPerBand: Int = 4, maxBucketSize: Int = 256): DataFrame = {
-    val banded = sigs.select(col(idCol), posexplode(bandHashes(col("sig"), rowsPerBand)))
+    // repartition materializes the signature arrays at an exchange before
+    // the posexplode — without the barrier the generator re-evaluates the
+    // whole upstream signature expression per emitted band (sigs are
+    // id + numHashes longs: a tiny, data-independent shuffle)
+    val banded = sigs.repartition(col(idCol))
+      .select(col(idCol), posexplode(bandHashes(col("sig"), rowsPerBand)))
       .select(col(idCol), col("pos").as("band"), col("col").as("bh"))
     val capped = capBuckets(banded, Seq("band", "bh"), maxBucketSize)
     val a = capped.as("a"); val b = capped.as("b")
@@ -190,10 +200,22 @@ object Dedup {
   }
 
   /** 64-bit SimHash over whitespace tokens: bit j of the sketch is the
-    * sign of sum over tokens of (+1/-1 by bit j of xxhash64(token)). */
+    * sign of sum over tokens of (+1/-1 by bit j of xxhash64(token)).
+    *
+    * The token-hash array is shuffled by doc BEFORE the explode: the
+    * exchange materializes the array, so the explode's generator reads an
+    * attribute instead of re-evaluating the split per exploded element
+    * (measured O(words^2) per doc without the barrier), and the groupBy
+    * reuses the exchange's partitioning — the 64 codegen'd bit-sums cost
+    * no second shuffle. (A per-row filter()-per-bit formulation avoids the
+    * shuffle entirely but runs 64 interpreted lambdas per row — measured
+    * 9x slower than this plan.) */
   def simHash(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val tok = docs.select(col(idCol), explode(TextAnalysis.tokens(lower(col(textCol)))).as("t"))
-      .withColumn("h", xxhash64(col("t")))
+    val hashed = docs
+      .select(col(idCol), TextAnalysis.tokens(lower(col(textCol))).as("__toks"))
+      .select(col(idCol), transform(col("__toks"), t => xxhash64(t)).as("__h"))
+    val tok = hashed.repartition(col(idCol))
+      .select(col(idCol), explode(col("__h")).as("h"))
     val bitSums = (0 until 64).map { j =>
       sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$j")
     }

@@ -87,4 +87,38 @@ class PlanQualitySpec extends AnyFunSuite with Matchers {
     // the scalar side IS hinted (one row per step), and no label-key join
     df.queryExecution.analyzed.toString should include("ResolvedHint")
   }
+
+  test("MinHash signatures are pure per-row expressions — zero exchanges") {
+    val docs = TsTables.documents(spark, dir)
+    val p = plan(graft.pipeline.Dedup.minHashSignatures(docs, numHashes = 16))
+    (p should not).include("Exchange")
+    (p should not).include("Generate") // no explode either
+  }
+
+  test("hash split / sample / quality signals stream through the scan — zero exchanges") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val docs = TsTables.documents(spark, dir)
+    val split = docs.select(col("doc_id"),
+      graft.pipeline.Sampling.hashSplit(col("doc_id"), Seq("a" -> 0.5, "b" -> 0.5)).as("s"))
+    (plan(split) should not).include("Exchange")
+    val gate = graft.streaming.DocIngest.docPipeline(docs.withColumn("ingest_ts", lit(0L)))
+    // batch path: one exchange allowed for dropDuplicates, nothing else
+    "Exchange".r.findAllIn(plan(gate)).length should be <= 2
+  }
+
+  test("pair pipelines never plan a cartesian or nested-loop join") {
+    val docs = TsTables.documents(spark, dir)
+    import org.apache.spark.sql.functions.{array_distinct, col, lower}
+    val toks = docs.select(col("doc_id"), col("lang"),
+      (col("n_chars") / 50).cast("long").as("len_bucket"),
+      array_distinct(graft.pipeline.TextAnalysis.tokens(lower(col("text")))).as("toks"))
+    Seq(
+      plan(graft.pipeline.Dedup.jaccardPairs(toks, 0.8, blockCols = Seq("lang", "len_bucket"))),
+      plan(graft.pipeline.Dedup.minHashDuplicates(docs, numHashes = 16, threshold = 0.5)),
+      plan(graft.pipeline.Dedup.simHashDuplicates(docs))
+    ).foreach { p =>
+      (p should not).include("CartesianProduct")
+      (p should not).include("BroadcastNestedLoopJoin")
+    }
+  }
 }
