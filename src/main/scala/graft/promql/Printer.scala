@@ -47,6 +47,9 @@ object Printer {
     case Subquery(expr, range, step, offset, at) =>
       val inner = expr match {
         case _: BinOp => s"(${print(expr)})"
+        // a bare negative literal would re-lex with the unary minus OUTSIDE
+        // the subquery postfix: -363[1h:] parses as -(363[1h:])
+        case n: NumberLit if print(n).startsWith("-") => s"(${print(n)})"
         case _ => print(expr)
       }
       s"$inner[${dur(range)}:${step.map(dur).getOrElse("")}]" + modifiers(offset, at)
@@ -60,8 +63,10 @@ object Printer {
     case _ => print(e)
   }
 
-  private def includeStr(inc: Seq[String]): String =
-    if (inc.isEmpty) "" else s"(${inc.mkString(", ")})"
+  /** Always parenthesized, even when empty: a bare `group_left` followed
+    * by a parenthesized right operand would lex the operand's parens as
+    * the include list. */
+  private def includeStr(inc: Seq[String]): String = s"(${inc.mkString(", ")})"
 
   private def matcherStr(m: LabelMatcher): String = {
     val op = m.op match {

@@ -1,0 +1,133 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.promql._
+
+/** Property-based printer round-trip: for RANDOM ASTs drawn from the
+  * parser's image, parse(print(ast)) == ast. Catches escaping, duration,
+  * precedence, and modifier-printing bugs the hand-picked corpus misses. */
+class PrinterPropertySpec extends AnyFunSuite with Matchers {
+
+  private val ident: Gen[String] = for {
+    h <- Gen.alphaLowerChar
+    t <- Gen.listOfN(5, Gen.oneOf(Gen.alphaNumChar, Gen.const('_')))
+  } yield (h :: t).mkString match {
+    // avoid tokens with positional meaning and literal words
+    case s @ ("on" | "bool" | "and" | "or" | "unless" | "by" | "without" |
+              "offset" | "limit" | "inf" | "nan" | "ignoring" | "start" | "end") => s + "_x"
+    case s => s
+  }
+
+  private val strVal: Gen[String] =
+    Gen.listOfN(6, Gen.oneOf(Gen.alphaNumChar, Gen.oneOf('\\', '"', '\n', '\t', ' ', '|', '.', '*')))
+      .map(_.mkString)
+
+  private val matcher: Gen[LabelMatcher] = for {
+    l <- ident
+    op <- Gen.oneOf(MatchOp.Eq, MatchOp.Ne, MatchOp.Re, MatchOp.NotRe)
+    v <- strVal
+  } yield LabelMatcher(l, op, v)
+
+  private val durMs: Gen[Long] =
+    Gen.oneOf(Gen.choose(1L, 600L).map(_ * 1000L), Gen.choose(1L, 2000L))
+
+  private val atGen: Gen[Option[Long]] = Gen.frequency(
+    5 -> Gen.const(None),
+    1 -> Gen.const(Some(At.Start)), 1 -> Gen.const(Some(At.End)),
+    2 -> Gen.choose(0L, 2000000000L).map(s => Some(s * 1000L)))
+
+  private val offGen: Gen[Long] = Gen.frequency(
+    4 -> Gen.const(0L),
+    1 -> durMs, 1 -> durMs.map(-_))
+
+  private val selector: Gen[Selector] = for {
+    m <- ident
+    ms <- Gen.listOfN(2, matcher).flatMap(l => Gen.someOf(l)).map(_.toSeq)
+    w <- Gen.option(durMs)
+    off <- offGen
+    at <- atGen
+  } yield Selector(Some(m), ms, w, off, at)
+
+  private val numLit: Gen[NumberLit] = Gen.oneOf(
+    Gen.choose(-1000, 1000).map(n => NumberLit(n.toDouble)),
+    Gen.choose(-1e12, 1e12).map(NumberLit(_)),
+    Gen.oneOf(NumberLit(Double.PositiveInfinity), NumberLit(0.0), NumberLit(1e21), NumberLit(2.5e-7)))
+
+  private val cmpOps = Seq("==", "!=", ">", "<", ">=", "<=")
+  private val setOps = Seq("and", "or", "unless")
+  private val arithOps = Seq("+", "-", "*", "/", "%", "^")
+
+  private def vmatch(grouping: Boolean): Gen[Option[VectorMatch]] = Gen.frequency(
+    4 -> Gen.const(None),
+    1 -> (for {
+      on <- Gen.oneOf(true, false)
+      ls <- Gen.listOfN(2, ident).flatMap(Gen.someOf(_)).map(_.toSeq)
+      g <- if (grouping) Gen.oneOf(0, 1, 2) else Gen.const(0)
+      inc <- if (g != 0) Gen.listOfN(1, ident).flatMap(Gen.someOf(_)).map(_.toSeq)
+             else Gen.const(Nil)
+    } yield Some(VectorMatch(on, ls, groupLeft = g == 1, groupRight = g == 2, include = inc))))
+
+  private def expr(depth: Int): Gen[PromExpr] =
+    if (depth <= 0) Gen.oneOf(selector, numLit)
+    else Gen.frequency(
+      3 -> selector,
+      1 -> numLit,
+      2 -> (for { // range function over a matrix selector
+        fn <- Gen.oneOf("rate", "increase", "sum_over_time", "max_over_time")
+        s <- selector
+        w <- durMs
+      } yield FuncCall(fn, Seq(s.copy(windowMs = Some(w))))),
+      2 -> (for { // instant function
+        fn <- Gen.oneOf("abs", "ceil", "sgn", "sqrt")
+        e <- expr(depth - 1)
+      } yield FuncCall(fn, Seq(e))),
+      2 -> (for {
+        op <- Gen.oneOf("sum", "min", "max", "avg", "count", "stddev")
+        e <- expr(depth - 1)
+        by <- Gen.listOfN(2, ident).flatMap(Gen.someOf(_)).map(_.toSeq)
+        without <- if (by.isEmpty) Gen.listOfN(1, ident).flatMap(Gen.someOf(_)).map(_.toSeq)
+                   else Gen.const(Nil)
+      } yield Agg(op, e, None, by, without)),
+      1 -> (for {
+        k <- Gen.choose(1, 10)
+        e <- expr(depth - 1)
+      } yield Agg("topk", e, Some(NumberLit(k.toDouble)), Nil, Nil)),
+      1 -> (for {
+        l <- ident; e <- expr(depth - 1)
+      } yield Agg("count_values", e, Some(StringLit(l)), Nil, Nil)),
+      3 -> (for { // arithmetic/comparison binop
+        op <- Gen.oneOf(arithOps ++ cmpOps)
+        bool <- if (cmpOps.contains(op)) Gen.oneOf(true, false) else Gen.const(false)
+        l <- expr(depth - 1); r <- expr(depth - 1)
+        m <- vmatch(grouping = true)
+      } yield BinOp(op, l, r, bool, m)),
+      1 -> (for { // set op: no bool, no grouping
+        op <- Gen.oneOf(setOps)
+        l <- expr(depth - 1); r <- expr(depth - 1)
+        m <- vmatch(grouping = false)
+      } yield BinOp(op, l, r, bool = false, m)),
+      1 -> (for {
+        e <- expr(depth - 1)
+        r <- durMs
+        st <- Gen.option(durMs)
+        off <- offGen
+        at <- atGen
+      } yield Subquery(e, r, st, off, at)))
+
+  test("parse(print(ast)) == ast for 500 random ASTs (seeded)") {
+    val gen = Gen.choose(0, 3).flatMap(expr)
+    var seed = Seed(42L)
+    (1 to 500).foreach { i =>
+      val ast = gen.apply(Gen.Parameters.default, seed)
+        .getOrElse(fail(s"generator returned no value at case $i"))
+      seed = seed.next
+      val printed = Printer.print(ast)
+      withClue(s"case $i printed: $printed\n") {
+        Parser.parse(printed) shouldEqual ast
+      }
+    }
+  }
+}
