@@ -369,6 +369,23 @@ object PromPlanner {
 
   private def planFunc(ctx: Ctx, name: String, args: Seq[PromExpr]): DataFrame = name match {
 
+    // FiloDB debugging function (ref FiloFunctionId.ChunkMetaAll,
+    // prometheus/.../Functions.scala:139-140 -> RawChunkMeta): raw chunk
+    // metadata for a selector, one row per (metric, chunk) with sample
+    // count and time bounds. Our chunks are the parquet files of the
+    // TsLayout partitioning. NOTE: the output is a metadata frame
+    // (metric, chunk, num_rows, start_ts, end_ts), not a range vector —
+    // same shape departure the reference makes for this function.
+    case "_filodb_chunkmeta_all" =>
+      args match {
+        case Seq(sel: Selector) =>
+          graft.operators.MetadataOps.chunkMeta(
+            selectorSamples(ctx, sel)
+              .withColumn("metric", col("labels")("__name__")))
+        case other => throw new IllegalArgumentException(
+          s"_filodb_chunkmeta_all expects a selector, got $other")
+      }
+
     case n if rangeFnNames.contains(n) =>
       args.head match {
         // timestamp/last take an INSTANT vector (reference

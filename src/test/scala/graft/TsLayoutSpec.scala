@@ -44,5 +44,17 @@ class TsLayoutSpec extends AnyFunSuite with Matchers {
       r.getAs[Long]("num_rows") should be > 0L
       r.getAs[Long]("end_ts") should be >= r.getAs[Long]("start_ts")
     }
+
+    // ... and reachable from a PromQL string, selector filters applied
+    // (reference _filodb_chunkmeta_all -> RawChunkMeta)
+    val ctx = graft.promql.PromPlanner.Ctx(spark, back,
+      0L, Long.MaxValue / 2, 3600000L)
+    val viaQuery = graft.promql.PromPlanner.queryRange(ctx,
+      """_filodb_chunkmeta_all(purchase)""").collect()
+    viaQuery.length should be > 0
+    viaQuery.foreach { r =>
+      r.getAs[String]("metric") shouldEqual "purchase"
+      r.getAs[Long]("num_rows") should be > 0L
+    }
   }
 }
