@@ -75,7 +75,24 @@ class PrinterSpec extends AnyFunSuite with Matchers {
     """foo:ba-r:a.b{a="bc"}""",
     """:node_memory_utilisation:{_ns="cloud"}""",
     """-5 * m""",
-    """foo and on() bar"""
+    """foo and on() bar""",
+    // shapes from the reference's LogicalPlanParserSpec round-trip corpus
+    """http_requests_total::sum{job="app"}""",
+    """http_requests_total:::agg{job="app"}""",
+    """1 / (2 + foo)""",
+    """5.1 > bool 2.2""",
+    """scalar(node_filesystem_size_bytes) - scalar(node_filesystem_free_bytes)""",
+    """scalar(time()) - scalar(node_boot_time_seconds)""",
+    """absent(sum_over_time(http_requests_total{job="api"}[1h]))""",
+    """hist_to_prom_vectors(http_request_latency)""",
+    """last_over_time_is_mad_outlier(3.0, 1.0, sum(rate(http_requests_total{job="a"}[5m])[10m:1m]))""",
+    """ln(topk(1, http_requests_total{job="app"}))""",
+    """quantile_over_time(0.5, test{_ws_="demo"}[5m])""",
+    """max_over_time(avg_over_time(test{_ws_="demo"}[5m])[10m:1m])""",
+    """foo[300s:60s]""",
+    """count_values("freq", http_requests_total{job="app"})""",
+    """holt_winters(http_requests_total{job="app"}[5m], 0.1, 0.6)""",
+    """label_replace(http_requests_total{job="api"}, "dst", "$1-$2", "src", "(.*)-(.*)")"""
   )
 
   test("parse . print . parse is identity over the corpus") {
