@@ -64,6 +64,41 @@ class KernelPropertySpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("groupByKey and columnar viaAggregate shapes agree exactly on adversarial input") {
+    // unsorted arrival order, duplicate timestamps disambiguated by tie,
+    // counter resets — the two physical shapes (full-row groupByKey vs
+    // three aligned collect_lists + sortedness fast path) must be
+    // bit-identical for every range function family
+    val rnd = new scala.util.Random(424242)
+    val rows = (0 until 30).flatMap { sid =>
+      val n = 1 + rnd.nextInt(60)
+      (0 until n).map { i =>
+        val ts = (rnd.nextInt(50) * 200 + 100).toLong // collisions on purpose
+        (s"s$sid", ts, rnd.nextDouble() * 1000, i.toLong)
+      }
+    }
+    val df = rnd.shuffle(rows).toDF("skey", "ts", "value", "tie").repartition(7)
+    val (start, end, step, w) = (1000L, 10000L, 700L, 2500L)
+    for (fnName <- Seq("sum_over_time", "rate", "increase", "last_over_time",
+                       "irate", "deriv", "quantile_over_time:0.7")) {
+      val fn = fnName.split(":") match {
+        case Array(n, p) => RangeFns.byName(n, Seq(p.toDouble))
+        case Array(n) => RangeFns.byName(n)
+      }
+      val name = fnName.split(":").head
+      val a = PeriodicSamples(df, Seq("skey"), "ts", "value", start, end, step, w,
+        fn, tieCol = Some("tie"))
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      val b = PeriodicSamples.viaAggregate(df, Seq("skey"), "ts", "value", start, end, step, w,
+        fn, tieCol = Some("tie"))
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      withClue(s"$name: keys") { b.keySet shouldEqual a.keySet }
+      a.foreach { case (k, v) =>
+        withClue(s"$name at $k") { b(k) shouldEqual v }
+      }
+    }
+  }
+
   test("simplified regex matchers are equivalent to anchored rlike") {
     val values = Seq("purchase", "purchase2", "view", "1", "12", "21", "a|b",
       "foo.bar", "fooXbar", "", "x", "prefix", "prefixtail")
