@@ -84,7 +84,10 @@ object Similarity {
 
     val c0 = corpus.select(col(idCol).as("neighbor_id"),
       col(vecCol).cast("array<double>").as("cv"))
-    val km = new KMeans().setK(nCentroids).setSeed(42L)
+    // a coarse quantizer doesn't need tight convergence: 8 Lloyd rounds
+    // bound fit cost; well-separated fixtures converge earlier, so capped
+    // and uncapped fits agree there
+    val km = new KMeans().setK(nCentroids).setSeed(42L).setMaxIter(8)
       .setFeaturesCol("features").setPredictionCol("centroid")
     // Centroid placement only needs a bounded sample: fitting on the full
     // corpus would run every KMeans iteration over 100 TB just to place
@@ -139,7 +142,7 @@ object Similarity {
     import org.apache.spark.ml.functions.array_to_vector
 
     val c0 = corpus.select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
-    val km = new KMeans().setK(nClusters).setSeed(42L)
+    val km = new KMeans().setK(nClusters).setSeed(42L).setMaxIter(8)
       .setFeaturesCol("features").setPredictionCol("__cluster")
     val model = km.fit(
       c0.limit(fitSampleRows).withColumn("features", array_to_vector(col("__v"))))
