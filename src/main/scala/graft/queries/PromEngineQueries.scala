@@ -229,6 +229,15 @@ object PromEngineQueries {
         .select(col("labels")("user").as("user"), col("step_ts"), col("value"))
         .orderBy("step_ts", "user")),
 
+    // `expr limit N` postfix (FiloDB grammar) -> ApplyLimitFunction: at
+    // most N series survive, deterministically the lowest series keys
+    // (= lexicographically smallest user label here)
+    "q105_promql_limit_postfix" -> ((s, dir) =>
+      PromPlanner.queryRange(userCtx(s, dir, D1), "sum_over_time(purchase[1d]) limit 5")
+        .select(col("labels")("user").as("user"), col("step_ts"),
+          round(col("value"), 6).as("value"))
+        .orderBy("step_ts", "user")),
+
     // timestamp() over an instant vector: seconds of each series' latest
     // sample within the lookback at every step
     "q93_promql_timestamp" -> ((s, dir) => {
@@ -512,6 +521,18 @@ object PromEngineQueries {
           SELECT CAST(user_id AS VARCHAR) AS "user", step_ts,
                  round(mts / 1000.0, 6) AS value
           FROM lastts ORDER BY step_ts, "user"""",
+
+    // limit keeps the 5 lexicographically-smallest series keys; with a
+    // constant metric name the key order IS the user label's string order
+    "q105_promql_limit_postfix" ->
+      s"""WITH ev AS ($EV), stps AS (${steps(D1)}),
+          p AS (${sums1d("purchase")}),
+          keep AS (SELECT DISTINCT CAST(user_id AS VARCHAR) AS u FROM p
+                   ORDER BY u LIMIT 5)
+          SELECT CAST(p.user_id AS VARCHAR) AS "user", p.step_ts,
+                 round(p.value, 6) AS value
+          FROM p JOIN keep k ON CAST(p.user_id AS VARCHAR) = k.u
+          ORDER BY step_ts, "user"""",
 
     "q91_promql_group_left" ->
       s"""WITH ev AS ($EV), stps AS (${steps(D1)}),
