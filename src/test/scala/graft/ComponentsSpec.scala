@@ -108,6 +108,63 @@ class ComponentsSpec extends AnyFunSuite with Matchers {
     packed.except(again).count() shouldEqual 0
   }
 
+  test("connected components match union-find on random graphs") {
+    val rnd = new scala.util.Random(20260812L)
+    (1 to 5).foreach { trial =>
+      val nNodes = 10 + rnd.nextInt(50)
+      val nEdges = rnd.nextInt(2 * nNodes)
+      val es = Seq.fill(nEdges)((rnd.nextInt(nNodes).toLong, rnd.nextInt(nNodes).toLong))
+        .filter { case (a, b) => a != b }
+      whenever(es.nonEmpty) {
+        // brute-force union-find ground truth
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        es.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val nodes = es.flatMap(e => Seq(e._1, e._2)).distinct
+        // min-id per component (union-find roots are not min-canonical
+        // under arbitrary union order, so reduce explicitly)
+        val minOf = nodes.groupBy(find).map { case (_, ns) => ns.map(n => n -> ns.min) }
+          .flatten.toMap
+        val got = Components.connectedComponents(es.toDF("id1", "id2")).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toMap
+        withClue(s"trial $trial nodes=$nNodes edges=${es.size}") {
+          got shouldEqual nodes.map(n => n -> minOf(n)).toMap
+        }
+      }
+    }
+  }
+
+  def whenever(c: Boolean)(f: => Unit): Unit = if (c) f
+
+  test("prefix-filtered jaccardPairs equals the naive all-pairs join on random corpora") {
+    import graft.pipeline.Dedup
+    val rnd = new scala.util.Random(777L)
+    val vocab = (0 until 40).map(i => s"w$i")
+    val docs = (0 until 60).map { id =>
+      val n = 3 + rnd.nextInt(12)
+      (id.toLong, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).distinct)
+    }
+    val df = docs.toDF("doc_id", "toks")
+    val threshold = 0.5
+    val naive = (for {
+      (a, ta) <- docs; (b, tb) <- docs if a < b
+      inter = ta.toSet.intersect(tb.toSet).size
+      j = inter.toDouble / (ta.size + tb.size - inter)
+      if j >= threshold
+    } yield (a, b)).toSet
+    Seq(false, true).foreach { rareFirst =>
+      val got = Dedup.jaccardPairs(df, threshold, rareFirst = rareFirst).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      withClue(s"rareFirst=$rareFirst") { got shouldEqual naive }
+    }
+  }
+
   test("semantic dedup keeps one representative per planted direction cluster") {
     import graft.pipeline.Similarity
     val kept = Similarity.semanticDedup(PipelineFixtures.embs(spark), threshold = 0.95, nClusters = 3)
