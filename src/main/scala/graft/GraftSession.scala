@@ -21,6 +21,8 @@ object GraftSession {
     SparkSession.builder()
       .master(master)
       .appName("graft")
+      // native codegen'd functions (vector_dot) via the public extension API
+      .withExtensions(graft.functions.VectorExprs.install)
       .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")

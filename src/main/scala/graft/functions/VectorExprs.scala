@@ -1,0 +1,87 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.SparkSessionExtensions
+
+/** Native Catalyst kernel for embedding math (SURVEY.md §2.10 "custom
+  * kernels": prefer a codegen'd Expression over interpreted higher-order
+  * functions on the hot path). `zip_with` + `aggregate` evaluate an
+  * interpreted lambda per element with a closure allocation per call —
+  * fine for occasional use, but similarity search evaluates dot products
+  * per candidate PAIR. This expression compiles to a tight primitive loop
+  * inside whole-stage codegen, registered through the PUBLIC
+  * SparkSessionExtensions surface (GraftSession installs it).
+  *
+  * Contract: both arrays are same-length, null-free numeric vectors (the
+  * embedding-column invariant); summation is index-ascending, so results
+  * are bit-identical to the `aggregate(zip_with(...))` formulation it
+  * replaces.
+  */
+case class DotProduct(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vector_dot"
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType) = dt match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects two ARRAY<DOUBLE> arguments, got " +
+        s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |int n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double s = 0.0;
+         |for (int i = 0; i < n; i++) {
+         |  s += $a.getDouble(i) * $b.getDouble(i);
+         |}
+         |${ev.value} = s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object VectorExprs {
+
+  /** Install graft's native functions — passed to
+    * `SparkSession.builder.withExtensions` (the public extension point). */
+  def install(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction((
+      new FunctionIdentifier("vector_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "vector_dot"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, s"vector_dot expects 2 arguments, got ${children.size}")
+        DotProduct(children.head, children(1))
+      }))
+
+  /** Codegen'd dot product of two ARRAY<DOUBLE> columns (requires a
+    * GraftSession-built session, which registers `vector_dot`). */
+  def dot(a: Column, b: Column): Column = call_function("vector_dot", a, b)
+}

@@ -18,8 +18,10 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Codegen'd native kernel (graft.functions.DotProduct) — bit-identical
+    * to `aggregate(zip_with(...))` but a primitive loop in whole-stage
+    * codegen instead of an interpreted lambda per element. */
+  def dot(a: Column, b: Column): Column = graft.functions.VectorExprs.dot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
