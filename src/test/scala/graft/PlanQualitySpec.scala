@@ -106,6 +106,21 @@ class PlanQualitySpec extends AnyFunSuite with Matchers {
     "Exchange".r.findAllIn(plan(gate)).length should be <= 2
   }
 
+  test("vector_dot is a native expression: SQL-callable, codegen, no interpreted lambdas") {
+    val r = spark.sql("SELECT vector_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d").head()
+    r.getDouble(0) shouldEqual 11.0
+    import org.apache.spark.sql.functions.{array, col, lit}
+    val df = spark.range(4).select(
+      graft.pipeline.Similarity.cosine(
+        array(col("id").cast("double"), lit(1.0)),
+        array(lit(2.0), lit(3.0))).as("c"))
+    val p = plan(df)
+    p should include("vector_dot")
+    (p should not).include("lambdafunction")
+    // codegen stage marker: executedPlan renders whole-stage spans as *(n)
+    p should include("*(1)")
+  }
+
   test("pair pipelines never plan a cartesian or nested-loop join") {
     val docs = TsTables.documents(spark, dir)
     import org.apache.spark.sql.functions.{array_distinct, col, lower}
