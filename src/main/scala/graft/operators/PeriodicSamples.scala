@@ -66,17 +66,30 @@ object PeriodicSamples {
         val tieBuf = new ArrayBuffer[Long](64)
         rows.foreach { r => tsBuf += r.getLong(n); vBuf += r.getDouble(n + 1); tieBuf += r.getLong(n + 2) }
         val len = tsBuf.length
-        val order = new Array[Integer](len)
-        var oi = 0
-        while (oi < len) { order(oi) = Integer.valueOf(oi); oi += 1 }
-        java.util.Arrays.sort(order, (a: Integer, b: Integer) => {
-          val c = java.lang.Long.compare(tsBuf(a), tsBuf(b))
-          if (c != 0) c else java.lang.Long.compare(tieBuf(a), tieBuf(b))
-        })
-        val ts = new Array[Long](len)
-        val vs = new Array[Double](len)
+        var ts = new Array[Long](len)
+        var vs = new Array[Double](len)
         var i = 0
-        while (i < len) { val oidx = order(i).intValue; ts(i) = tsBuf(oidx); vs(i) = vBuf(oidx); i += 1 }
+        var isSorted = true
+        while (i < len) {
+          ts(i) = tsBuf(i); vs(i) = vBuf(i)
+          if (i > 0 && (ts(i) < ts(i - 1) ||
+              (ts(i) == ts(i - 1) && tieBuf(i) < tieBuf(i - 1)))) isSorted = false
+          i += 1
+        }
+        if (!isSorted) { // common path: shuffle delivers time-ordered samples
+          val order = new Array[Integer](len)
+          var oi = 0
+          while (oi < len) { order(oi) = Integer.valueOf(oi); oi += 1 }
+          java.util.Arrays.sort(order, (a: Integer, b: Integer) => {
+            val c = java.lang.Long.compare(tsBuf(a), tsBuf(b))
+            if (c != 0) c else java.lang.Long.compare(tieBuf(a), tieBuf(b))
+          })
+          val ts2 = new Array[Long](len)
+          val vs2 = new Array[Double](len)
+          i = 0
+          while (i < len) { val o = order(i).intValue; ts2(i) = tsBuf(o); vs2(i) = vBuf(o); i += 1 }
+          ts = ts2; vs = vs2
+        }
         if (fn.needsCounterCorrection) monotonize(vs)
 
         val out = new ArrayBuffer[Row]
