@@ -7,7 +7,10 @@ import graft.promql.PromPlanner
 /** Benchmark main (driver contract): one JSON line with per-query seconds.
   *
   * Two blocks:
-  *  - the full SparkEntry suite over SPARK_GRAFT_SF_DIR (one timed pass)
+  *  - the full SparkEntry suite over SPARK_GRAFT_SF_DIR — MIN of 3 timed
+  *    passes per query (the r4 driver artifact recorded 2-3.5x phantom
+  *    regressions on one-shot cold timings under neighbor contention; the
+  *    first pass doubles as warmup and the min absorbs it)
   *  - the reference's QueryInMemoryBenchmark scenarios (BASELINE.md): 100
   *    series x 720 samples @ 10s, 4 PromQL range queries over 55 min @
   *    step 150s, plus the 8000-series hi-cardinality variant — 1 warmup +
@@ -42,13 +45,23 @@ object Bench {
     // fixtures, but their scale shape is timed here every round)
     val suite = (SparkEntry.queries ++ graft.queries.PipelineQueries.benchDefs)
       .toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true }
-               catch { case e: Throwable =>
-                 System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-                 failed ::= name; false }
+      // min-of-3: one-shot cold timings produced phantom cross-round
+      // regressions under neighbor contention (r4 postmortem); pass 1 is
+      // the implicit warmup and the min is the least-interference estimate
+      var best = Double.MaxValue
+      var ok = true
+      var i = 0
+      while (ok && i < 3) {
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          failed ::= name; ok = false }
+        best = math.min(best, (System.nanoTime() - t0) / 1e9)
+        i += 1
+      }
       // a failed run must never masquerade as a fast one
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      name -> (if (ok) best else -1.0)
     }
 
     // The same 100-series block again at the END (warm JIT, post-suite):

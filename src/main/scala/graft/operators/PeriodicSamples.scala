@@ -41,8 +41,13 @@ object PeriodicSamples {
     require(stepMs > 0 && windowMs > 0, "step and window must be positive")
     val n = seriesCols.size
     // Deterministic within-series order even when two samples share a
-    // millisecond: secondary sort on tieCol (e.g. event_id).
-    val tie = tieCol.map(col(_).cast(LongType)).getOrElse(lit(0L)).as("__tie")
+    // millisecond: secondary sort on tieCol (e.g. event_id). Coalesced to
+    // 0: a null tie must not survive to the collection stage — the three
+    // parallel collect_lists in viaAggregate drop NULLs independently, so
+    // one null would silently misalign the (ts, tie, value) arrays (and
+    // NPE the groupByKey shape).
+    val tie = tieCol.map(c => coalesce(col(c).cast(LongType), lit(0L)))
+      .getOrElse(lit(0L)).as("__tie")
     // Push the time-range predicate and projection into the scan.
     val prepared = df
       .filter(col(tsCol).cast(LongType) > lit(startMs - offsetMs - windowMs) &&
@@ -137,11 +142,15 @@ object PeriodicSamples {
                    outCol: String = "value",
                    tieCol: Option[String] = None): DataFrame = {
     val n = seriesCols.size
-    val tie = tieCol.map(col(_).cast(LongType)).getOrElse(lit(0L)).as("__tie")
+    // null-proof tie (see apply): the three parallel collect_lists below
+    // drop NULLs independently, so any null ts/tie/value row would
+    // misalign the arrays and corrupt every downstream window
+    val tie = tieCol.map(c => coalesce(col(c).cast(LongType), lit(0L)))
+      .getOrElse(lit(0L)).as("__tie")
     val prepared = df
       .filter(col(tsCol).cast(LongType) > lit(startMs - offsetMs - windowMs) &&
               col(tsCol).cast(LongType) <= lit(endMs - offsetMs) &&
-              col(valueCol).isNotNull)
+              col(tsCol).isNotNull && col(valueCol).isNotNull)
       .select(seriesCols.map(col) ++
         Seq(col(tsCol).cast(LongType).as("__ts"), col(valueCol).cast(DoubleType).as("__v"), tie): _*)
     val agged = prepared

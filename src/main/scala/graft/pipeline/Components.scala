@@ -25,11 +25,22 @@ import org.apache.spark.sql.functions._
   */
 object Components {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** (id, component) for every node appearing in `edges`, where
     * `component` = the smallest node id in the node's connected component.
     * Input columns: (id1, id2); ids must be orderable (long/int/string). */
   def connectedComponents(edges: DataFrame, id1: String = "id1", id2: String = "id2",
-                          maxIter: Int = 25): DataFrame = {
+                          maxIter: Int = 25): DataFrame =
+    connectedComponentsWithStats(edges, id1, id2, maxIter)._1
+
+  /** As [[connectedComponents]], plus convergence telemetry: (labels,
+    * rounds run, converged?). Rounds-to-converge is the regression canary
+    * for corpus-shape drift — the star-forest fixed point is O(log n)
+    * rounds, so a round-count jump means the candidate graph changed
+    * shape, not just size. */
+  def connectedComponentsWithStats(edges: DataFrame, id1: String = "id1", id2: String = "id2",
+                                   maxIter: Int = 25): (DataFrame, Int, Boolean) = {
     // checkpoint the edge input once: it is typically an EXPENSIVE dedup
     // candidate pipeline (MinHash LSH + verify), and it feeds both the
     // iteration seed and the final node-labeling join — without the
@@ -61,9 +72,24 @@ object Components {
       e = ss
       it += 1
     }
-
-    nodes.join(e.select(col("u"), col("v").as("__comp")), Seq("u"), "left")
-      .select(col("u").as("id"), coalesce(col("__comp"), col("u")).as("component"))
+    // `converged` flags the signature REPEATING, i.e. the round after the
+    // fixed point was reached: rounds-to-converge = it - 1.
+    if (converged)
+      log.info(s"connectedComponents converged after ${it - 1} rounds (+1 confirm)")
+    else
+      log.warn(s"connectedComponents did NOT reach the star-forest fixed point " +
+        s"within maxIter=$maxIter rounds; labels below are min-aggregated and " +
+        s"may over-segment components")
+    // min-aggregate the labeling: at the fixed point each node has exactly
+    // one outgoing edge so this is a no-op, but on a maxIter bail-out a
+    // node can still hold several parents — without the min() the join
+    // would emit duplicate (id, component) rows with conflicting labels
+    val labels = nodes
+      .join(e.select(col("u"), col("v").as("__comp")), Seq("u"), "left")
+      .groupBy(col("u"))
+      .agg(min(coalesce(col("__comp"), col("u"))).as("component"))
+      .select(col("u").as("id"), col("component"))
+    (labels, it, converged)
   }
 
   /** Large-star: for every node u, connect every LARGER neighbor to the

@@ -134,8 +134,12 @@ object Similarity {
     * drop every doc that has a lower-id doc at cosine >= threshold — one
     * representative survives per semantic duplicate set. Cross-cluster
     * pairs are never compared (that's the scale contract: the pair join
-    * is bucketed by centroid, quadratic only within a cluster, and
-    * `maxClusterCompare` caps degenerate clusters).
+    * is bucketed by centroid and quadratic only within a cluster).
+    * Clusters larger than `maxClusterCompare` are deterministically
+    * SUB-SPLIT — hash of id into ceil(n/cap) sub-buckets — so every doc
+    * still participates in a bounded comparison set; recall inside an
+    * oversized cluster degrades gracefully instead of the whole cluster
+    * silently skipping dedup (the pre-r5 capBuckets behavior).
     * Returns the KEPT rows of `corpus` (all original columns). */
   def semanticDedup(corpus: DataFrame, threshold: Double, nClusters: Int = 16,
                     idCol: String = "vec_id", vecCol: String = "embedding",
@@ -150,10 +154,18 @@ object Similarity {
       c0.limit(fitSampleRows).withColumn("features", array_to_vector(col("__v"))))
     val assigned0 = model.transform(c0.withColumn("features", array_to_vector(col("__v"))))
       .select(col(idCol), col("__v"), col("__cluster"))
-    val assigned = graft.pipeline.Dedup.capBuckets(assigned0, Seq("__cluster"), maxClusterCompare)
+    // Sub-split oversized clusters instead of dropping them: the window
+    // count shares the pair join's __cluster partitioning, and the hash
+    // sub-bucket keeps every doc in a <=cap comparison set.
+    val wc = Window.partitionBy(col("__cluster"))
+    val assigned = assigned0
+      .withColumn("__nsub",
+        ceil(count(lit(1)).over(wc) / lit(maxClusterCompare.toDouble)).cast("long"))
+      .withColumn("__sub", pmod(xxhash64(col(idCol)), greatest(col("__nsub"), lit(1L))))
     val a = assigned.as("a"); val b = assigned.as("b")
-    // a doc is dropped iff SOME lower-id doc in its cluster is >= threshold
+    // a doc is dropped iff SOME lower-id doc in its sub-split is >= threshold
     val dropped = a.join(b, col("a.__cluster") === col("b.__cluster") &&
+        col("a.__sub") === col("b.__sub") &&
         col(s"b.$idCol") < col(s"a.$idCol"))
       .where(cosine(col("a.__v"), col("b.__v")) >= threshold)
       .select(col(s"a.$idCol")).distinct()

@@ -278,7 +278,10 @@ object Parser {
         case TOp("@") =>
           advance()
           val at = cur match {
-            case TNum(v) => advance(); (v * 1000).toLong
+            // round, don't truncate: "@ 1.234" lexes to a double a hair
+            // below 1.234, and toLong would drift 1234 -> 1233 -> 1232
+            // across print/parse round-trips
+            case TNum(v) => advance(); math.round(v * 1000)
             case t if isKw(t, "start") => advance(); expectOp("("); expectOp(")"); At.Start
             case t if isKw(t, "end") => advance(); expectOp("("); expectOp(")"); At.End
             case other => fail(s"expected unix-seconds timestamp, start() or end() after @, got $other")

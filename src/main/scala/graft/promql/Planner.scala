@@ -217,8 +217,10 @@ object PromPlanner {
           val k = constParam(param)
           val ord = if (op == "topk") col("value").desc else col("value").asc
           val w = Window.partitionBy(col("__gk"), col("step_ts")).orderBy(ord, col("__key").asc)
-          // rank WITHIN the group labels, but keep original series labels
-          val ranked = withKey(planVector(ctx, expr))
+          // rank WITHIN the group labels, but keep original series labels —
+          // reuse `in` (the preagg-rewritten plan) rather than replanning
+          // the child, which silently skipped the rewrite pre-r5
+          val ranked = withKey(in)
             .withColumn("__gk", groupKeyExpr(by, without))
             .withColumn("__rk", row_number().over(w))
             .filter(col("__rk") <= k.toInt)

@@ -99,10 +99,21 @@ object Printer {
     val at = atMs match {
       case Some(At.Start) => " @ start()"
       case Some(At.End) => " @ end()"
-      case Some(ms) => s" @ ${num(ms / 1000.0)}"
+      case Some(ms) => s" @ ${tsSeconds(ms)}"
       case None => ""
     }
     off + at
+  }
+
+  /** Exact decimal seconds for an @ timestamp: ms/1000.0 through a double
+    * would shave sub-ms FP error off fractional values, breaking the
+    * parse(print(ast)) == ast guarantee. Emit the ms remainder digitally. */
+  private def tsSeconds(ms: Long): String = {
+    val sign = if (ms < 0) "-" else ""
+    val a = math.abs(ms)
+    val frac = a % 1000
+    if (frac == 0L) s"$sign${a / 1000}"
+    else s"$sign${a / 1000}.${f"$frac%03d".reverse.dropWhile(_ == '0').reverse}"
   }
 
   /** Compact duration: greedy w/d/h/m/s/ms decomposition ("90m" stays

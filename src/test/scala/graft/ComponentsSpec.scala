@@ -165,6 +165,44 @@ class ComponentsSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("components convergence telemetry: planted graphs converge in logarithmic rounds") {
+    val chain = (0L until 10L).map(i => (i, i + 1)).toDF("id1", "id2")
+    val (labels, rounds, converged) = Components.connectedComponentsWithStats(chain)
+    converged shouldEqual true
+    // large-star/small-star halves depth per round: an 11-node path must
+    // land well under its diameter (regression canary for corpus drift)
+    rounds should be <= 7
+    labels.collect().map(_.getLong(1)).toSet shouldEqual Set(0L)
+    val (_, fixtureRounds, fixtureConverged) =
+      Components.connectedComponentsWithStats(PipelineFixtures.edges(spark))
+    fixtureConverged shouldEqual true
+    fixtureRounds should be <= 7
+  }
+
+  test("maxIter bail-out still yields exactly one label per node") {
+    val chain = (0L until 12L).map(i => (i, i + 1)).toDF("id1", "id2")
+    val (labels, _, converged) = Components.connectedComponentsWithStats(chain, maxIter = 1)
+    converged shouldEqual false
+    val rows = labels.collect().map(r => (r.getLong(0), r.getLong(1)))
+    // pre-r5: a node with several surviving parents produced duplicate
+    // conflicting (id, component) rows on bail-out
+    rows.map(_._1).distinct.length shouldEqual rows.length
+    rows.length shouldEqual 13
+  }
+
+  test("semantic dedup sub-splits oversized clusters instead of skipping them") {
+    import graft.pipeline.Similarity
+    // 40 near-identical embeddings: far beyond maxClusterCompare=8. The
+    // pre-r5 capBuckets dropped the whole cluster from comparison (all 40
+    // kept); sub-splitting must keep ~1 representative per sub-bucket.
+    val corpus = (0L until 40L)
+      .map(i => (i, Array(1.0, i.toDouble * 1e-6))).toDF("vec_id", "embedding")
+    val kept = Similarity.semanticDedup(corpus, threshold = 0.95, nClusters = 2,
+      maxClusterCompare = 8).select("vec_id").collect().map(_.getLong(0)).toSet
+    kept.size should be >= 1
+    kept.size should be <= 12 // <= ceil(40/8) per KMeans cluster, not 40
+  }
+
   test("semantic dedup keeps one representative per planted direction cluster") {
     import graft.pipeline.Similarity
     val kept = Similarity.semanticDedup(PipelineFixtures.embs(spark), threshold = 0.95, nClusters = 3)

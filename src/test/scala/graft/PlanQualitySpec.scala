@@ -119,6 +119,19 @@ class PlanQualitySpec extends AnyFunSuite with Matchers {
     (p should not).include("lambdafunction")
     // codegen stage marker: executedPlan renders whole-stage spans as *(n)
     p should include("*(1)")
+    // The plan string shows codegen even when the generated Java fails to
+    // COMPILE (runtime falls back to interpreted silently). With
+    // non-nullable children nullSafeCodeGen emits the kernel snippet
+    // without a scoping block, so the three DotProducts cosine builds
+    // must not redeclare locals — execute with fallback disabled so a
+    // compile failure surfaces as a test failure, not a silent slowdown.
+    val prevFallback = spark.conf.get("spark.sql.codegen.fallback")
+    try {
+      spark.conf.set("spark.sql.codegen.fallback", "false")
+      val got = df.collect().map(_.getDouble(0))
+      got should have length 4
+      got.foreach(c => assert(!c.isNaN))
+    } finally spark.conf.set("spark.sql.codegen.fallback", prevFallback)
   }
 
   test("pair pipelines never plan a cartesian or nested-loop join") {

@@ -37,7 +37,11 @@ class PrinterPropertySpec extends AnyFunSuite with Matchers {
   private val atGen: Gen[Option[Long]] = Gen.frequency(
     5 -> Gen.const(None),
     1 -> Gen.const(Some(At.Start)), 1 -> Gen.const(Some(At.End)),
-    2 -> Gen.choose(0L, 2000000000L).map(s => Some(s * 1000L)))
+    2 -> Gen.choose(0L, 2000000000L).map(s => Some(s * 1000L)),
+    // fractional-second timestamps: the r4 (v*1000).toLong parse drifted
+    // 1234 -> 1233 -> 1232 across round-trips and whole-second-only
+    // generation masked it
+    2 -> Gen.choose(0L, 2000000000000L).map(ms => Some(ms)))
 
   private val offGen: Gen[Long] = Gen.frequency(
     4 -> Gen.const(0L),
