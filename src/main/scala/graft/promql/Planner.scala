@@ -120,8 +120,35 @@ object PromPlanner {
     }
   }
 
+  /** Prometheus-histogram STORAGE rows (series_type = "prom_histogram";
+    * le ARRAY<DOUBLE>, values ARRAY<DOUBLE> cumulative bucket counts per
+    * sample) are bridged query-time into bucket-series samples with an
+    * `le` tag, exactly like [[bridgeExpHist]] — so `rate(hist_metric[w])`,
+    * `sum by (le)`, `histogram_quantile` all evaluate over native-hist
+    * storage straight from a PromQL string (the reference's hist-column
+    * rate, RateFunctions.scala:330-415, serves the same query shape over
+    * prom-histogram schemas). Each bucket becomes its own counter series,
+    * so the counter-correcting rate kernel applies per bucket unchanged. */
+  private def bridgeHistCols(df: DataFrame): DataFrame = {
+    if (!df.columns.contains("le") || !df.columns.contains("values")) df
+    else {
+      val isHist =
+        if (df.columns.contains("series_type")) col("series_type") === "prom_histogram"
+        else col("le").isNotNull && col("values").isNotNull
+      val keep = df.columns.filterNot(Set("le", "values").contains)
+      val plain = df.filter(!coalesce(isHist, lit(false))).select(keep.map(col): _*)
+      val buckets = graft.functions.Histograms.bucketSeriesSamples(
+        df.filter(coalesce(isHist, lit(false))))
+      val padded = keep.foldLeft(buckets) { (b, c) =>
+        if (b.columns.contains(c)) b
+        else b.withColumn(c, lit(null).cast(df.schema(c).dataType))
+      }
+      plain.unionByName(padded.select(keep.map(col): _*))
+    }
+  }
+
   private def selectorSamplesFrom(df0: DataFrame, sel: Selector): DataFrame = {
-    var df = bridgeExpHist(df0)
+    var df = bridgeHistCols(bridgeExpHist(df0))
     sel.metric.foreach(m => df = df.filter(col("metric") === m))
     sel.matchers.foreach(m => df = df.filter(matcherPred(m)))
     val labels = map_concat(

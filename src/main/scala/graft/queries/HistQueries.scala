@@ -178,6 +178,44 @@ object HistQueries {
       PromPlanner.queryRange(ctx, "histogram_quantile(0.9, purchase)")
         .select(col("step_ts"), round(col("value"), 6).as("q90"))
         .orderBy("step_ts")
+    }),
+
+    // rate() over native-hist STORAGE from a PromQL string: sample rows
+    // carry (le[], values[]) with CUMULATIVE-over-time bucket counts
+    // (true per-bucket counters) and series_type = "prom_histogram"; the
+    // planner's selector bridge explodes them into per-le counter series,
+    // so the counter-correcting rate kernel, sum by (le), and
+    // histogram_quantile compose untouched — the reference serves
+    // histogram_quantile(sum(rate(hist_metric[w]))) over prom-histogram
+    // schemas the same way (RateFunctions.scala:330-415 hist rate).
+    "q106_promql_hist_storage_rate" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = TsTables.events(s, dir)
+        .withColumn("day", ((col("ts_ms") - S) / D1).cast("long"))
+      val bounds = Seq(10.0, 50.0, 100.0, 200.0, Double.PositiveInfinity)
+      // per-(event_type, day) daily bucket counts -> running sum over days
+      // = one cumulative counter histogram sample per day
+      val daily = ev.groupBy(col("event_type"), col("day"))
+        .agg(array(bounds.map(b =>
+          sum(when(col("value") <= b, 1.0).otherwise(0.0))): _*).as("daily"))
+      val cum = daily.select(col("event_type"), col("day"), posexplode(col("daily")))
+        .withColumn("cumv", sum(col("col")).over(
+          Window.partitionBy(col("event_type"), col("pos")).orderBy(col("day"))))
+        .groupBy(col("event_type"), col("day"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("cumv"))))
+          .getField("cumv").as("values"))
+      val samples = cum.select(
+        col("event_type").as("metric"),
+        map().cast("map<string,string>").as("tags"),
+        (lit(S) + (col("day") + 1) * D1).as("ts"),
+        lit(null).cast("double").as("value"),
+        typedLit(bounds).as("le"), col("values"),
+        lit("prom_histogram").as("series_type"))
+      val ctx = PromPlanner.Ctx(s, samples, S + 2 * D1, TsTables.EventsEndMs, D1)
+      PromPlanner.queryRange(ctx,
+        "histogram_quantile(0.9, sum by (le) (rate(purchase[2d])))")
+        .select(col("step_ts"), round(col("value"), 6).as("q90"))
+        .orderBy("step_ts")
     })
   )
 
@@ -393,7 +431,52 @@ object HistQueries {
             SELECT event_type, day, $expCols
             FROM ev WHERE event_type = 'purchase' GROUP BY 1, 2)
           SELECT $S + (day + 1) * $D1 AS step_ts, round($expCase, 6) AS q90
-          FROM b ORDER BY 1"""
+          FROM b ORDER BY 1""",
+
+    // mirrors RangeFns.extrapolated exactly for the 2-samples-per-window
+    // layout (samples 1d apart, window 2d): sampledInterval = start gap =
+    // 86400 s, end gap = 0, n = 2 -> the only conditional left is the
+    // counter zero-point clamp; then the q70 quantile CASE over
+    // monotonicity-repaired per-bucket rates
+    "q106_promql_hist_storage_rate" ->
+      s"""WITH ev AS (SELECT (epoch_ns(ts)//1000000 - $S) // $D1 AS day, value
+                      FROM events WHERE event_type = 'purchase'),
+          bnds(pos, le) AS (VALUES (0, 10.0), (1, 50.0), (2, 100.0), (3, 200.0),
+                                   (4, 'infinity'::DOUBLE)),
+          daily AS (SELECT b.pos, e.day,
+                      sum(CASE WHEN e.value <= b.le THEN 1.0 ELSE 0 END) AS cnt
+                    FROM ev e CROSS JOIN bnds b GROUP BY 1, 2),
+          cum AS (SELECT pos, day, sum(cnt) OVER (PARTITION BY pos ORDER BY day) AS c
+                  FROM daily),
+          stps AS (SELECT unnest(generate_series(${S + 2 * D1}, ${TsTables.EventsEndMs}, $D1)) AS step_ts),
+          pair AS (SELECT s.step_ts, c2.pos, c1.c AS v1, c2.c AS v2
+                   FROM stps s
+                   JOIN cum c1 ON c1.day = (s.step_ts - $S) // $D1 - 2
+                   JOIN cum c2 ON c2.day = (s.step_ts - $S) // $D1 - 1 AND c2.pos = c1.pos),
+          rates AS (SELECT step_ts, pos,
+                      (v2 - v1) * ((86400.0 +
+                        CASE WHEN (v2 - v1) > 0 AND 86400.0 * (v1 / (v2 - v1)) < 86400.0
+                             THEN 86400.0 * (v1 / (v2 - v1)) ELSE 86400.0 END) / 86400.0)
+                        / ${2 * D1} * 1000 AS r
+                    FROM pair),
+          rep AS (SELECT step_ts, pos,
+                    max(r) OVER (PARTITION BY step_ts ORDER BY pos
+                                 ROWS UNBOUNDED PRECEDING) AS r
+                  FROM rates),
+          b AS (SELECT step_ts,
+                  max(CASE WHEN pos = 0 THEN r END) AS c10,
+                  max(CASE WHEN pos = 1 THEN r END) AS c50,
+                  max(CASE WHEN pos = 2 THEN r END) AS c100,
+                  max(CASE WHEN pos = 3 THEN r END) AS c200,
+                  max(CASE WHEN pos = 4 THEN r END) AS ctot
+                FROM rep GROUP BY 1)
+          SELECT step_ts, round(CASE
+              WHEN c10 >= 0.9*ctot THEN 0.0 + (10.0 - 0.0) * (0.9*ctot - 0.0) / (c10 - 0.0)
+              WHEN c50 >= 0.9*ctot THEN 10.0 + (50.0 - 10.0) * (0.9*ctot - c10) / (c50 - c10)
+              WHEN c100 >= 0.9*ctot THEN 50.0 + (100.0 - 50.0) * (0.9*ctot - c50) / (c100 - c50)
+              WHEN c200 >= 0.9*ctot THEN 100.0 + (200.0 - 100.0) * (0.9*ctot - c100) / (c200 - c100)
+              ELSE 200.0 END, 6) AS q90
+          FROM b ORDER BY step_ts"""
   )
 
   /** Cumulative counts at the exp-histogram bounds 2^1..2^9 (scale 0,
