@@ -90,16 +90,26 @@ class PromApi(spark: SparkSession, samples: DataFrame, port: Int = 0,
     s"""{"status":"success","data":{"resultType":"matrix","result":[$result]}}"""
   }
 
-  /** Instant query: evaluate at one timestamp, return a vector. */
+  /** Instant query: evaluate at one timestamp. Scalar-typed expressions
+    * (`scalar(x)`, `time()`, literals, scalar arithmetic) answer with
+    * Prometheus' resultType "scalar" — a bare [ts, value] pair — instead
+    * of a vector envelope (a Grafana-style consumer dispatches on this). */
   private def instantQuery(p: Map[String, String]): String = {
     val t = ms(p.getOrElse("time", (System.currentTimeMillis() / 1000).toString))
     val ctx = PromPlanner.Ctx(spark, samples, t, t, 1000L)
-    val df = PromPlanner.queryRange(ctx, p("query"))
+    val ast = graft.promql.Parser.parse(p("query"))
+    val df = PromPlanner.planVector(ctx, ast)
     val rows = collectLimited(df)
-    val result = rows.sortBy(_.getString(0)).map { r =>
-      s"""{"metric":${keyToJsonObject(r.getString(0))},"value":[${fmtTs(r.getLong(1))},${js(fmt(r.getDouble(2)))}]}"""
-    }.mkString(",")
-    s"""{"status":"success","data":{"resultType":"vector","result":[$result]}}"""
+    if (PromPlanner.isScalarTyped(ast)) {
+      // exactly one grid step (start == end): one value, NaN when empty
+      val v = rows.headOption.map(_.getDouble(2)).getOrElse(Double.NaN)
+      s"""{"status":"success","data":{"resultType":"scalar","result":[${fmtTs(t)},${js(fmt(v))}]}}"""
+    } else {
+      val result = rows.sortBy(_.getString(0)).map { r =>
+        s"""{"metric":${keyToJsonObject(r.getString(0))},"value":[${fmtTs(r.getLong(1))},${js(fmt(r.getDouble(2)))}]}"""
+      }.mkString(",")
+      s"""{"status":"success","data":{"resultType":"vector","result":[$result]}}"""
+    }
   }
 
   /** The reference enforces PerQueryLimits on result cardinality

@@ -1,0 +1,72 @@
+package graft.http
+
+import java.net.{URI, URLEncoder}
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StructType}
+import graft.promql.{Parser, Printer, PromPlanner}
+
+/** HTTP federation read (the reference's PromQlRemoteExec semantics,
+  * query/.../exec/PromQlRemoteExec.scala:1-288): evaluate a PromQL query on
+  * a REMOTE cluster through its `/api/v1/query_range` endpoint and expose
+  * the response as a DataFrame in the engine's canonical result shape
+  * (labels, __key, step_ts, value), so it unions with local results.
+  *
+  * The query string shipped to the remote is produced by the pretty-printer
+  * from the parsed AST — the plan→query shipping surface — exactly how the
+  * reference's partition/HA planners re-enter remote clusters. The fetched
+  * body is decoded by Spark's JSON reader (not hand-rolled parsing); remote
+  * responses are already aggregated/stepped result sets, never raw samples,
+  * so the driver-side fetch mirrors the reference's materialization there.
+  */
+object RemoteRead {
+
+  private val respSchema: StructType = DataType.fromDDL(
+    """status STRING, errorType STRING, error STRING,
+       data STRUCT<resultType: STRING,
+                   result: ARRAY<STRUCT<metric: MAP<STRING,STRING>,
+                                        values: ARRAY<ARRAY<STRING>>>>>"""
+  ).asInstanceOf[StructType]
+
+  /** One federated range read: GET the remote's query_range and decode to
+    * (labels, __key, step_ts, value). */
+  def queryRange(spark: SparkSession, baseUrl: String, query: String,
+                 startMs: Long, endMs: Long, stepMs: Long): DataFrame = {
+    // parse→print: ship the canonical rendering of the plan, not the raw
+    // user string (and fail fast on queries we couldn't re-enter remotely)
+    val shipped = Printer.print(Parser.parse(query))
+    val url = s"$baseUrl/api/v1/query_range?query=${URLEncoder.encode(shipped, "UTF-8")}" +
+      s"&start=${startMs / 1000.0}&end=${endMs / 1000.0}&step=${stepMs / 1000.0}"
+    val body = HttpClient.newHttpClient().send(
+      HttpRequest.newBuilder(URI.create(url)).GET().build(),
+      HttpResponse.BodyHandlers.ofString()).body()
+
+    import spark.implicits._
+    val parsed = spark.read.schema(respSchema).json(Seq(body).toDS())
+    val head = parsed.select(col("status"), col("error")).head()
+    if (head.getString(0) != "success")
+      throw new IllegalStateException(s"remote $baseUrl: ${head.getString(1)}")
+
+    parsed.select(explode(col("data.result")).as("r"))
+      .select(col("r.metric").as("labels"), explode(col("r.values")).as("v"))
+      .select(col("labels"),
+        (element_at(col("v"), 1).cast("double") * 1000).cast("long").as("step_ts"),
+        element_at(col("v"), 2).cast("double").as("value"))
+      .withColumn("__key", PromPlanner.seriesKey(col("labels")))
+      .select(col("labels"), col("__key"), col("step_ts"), col("value"))
+  }
+
+  /** Federated evaluation (reference MultiPartitionPlanner/DistConcat
+    * stitch): the query runs locally AND on every remote, results union by
+    * name. Correct when the series sets are partition-disjoint across
+    * clusters (the reference's partitioning contract); cross-cluster
+    * aggregation pushdown is the caller's concern, as there. */
+  def federatedQueryRange(ctx: PromPlanner.Ctx, query: String,
+                          remoteBaseUrls: Seq[String]): DataFrame = {
+    val local = PromPlanner.queryRange(ctx, query)
+    val remote = remoteBaseUrls.map(u =>
+      queryRange(ctx.spark, u, query, ctx.startMs, ctx.endMs, ctx.stepMs))
+    (local +: remote).reduce(_ unionByName _)
+  }
+}

@@ -47,6 +47,25 @@ object PromPlanner {
   def queryRange(ctx: Ctx, query: String): DataFrame =
     planVector(ctx, Parser.parse(query))
 
+  /** Static expression type: true when `e` evaluates to a SCALAR (one
+    * value per step, no labels) — Prometheus answers such instant queries
+    * with resultType "scalar" instead of "vector" (and its API layer
+    * type-checks on this). Mirrors the reference's ScalarPlan node typing. */
+  def isScalarTyped(e: PromExpr): Boolean = e match {
+    case NumberLit(_) => true
+    case FuncCall("scalar", _) => true
+    case FuncCall("time", args) if args.isEmpty => true
+    case FuncCall(n, args) if args.isEmpty && InstantFns.TimeScalarFns.contains(n) => true
+    case FuncCall("vector", _) => false
+    case BinOp(_, lhs, rhs, _, _) => isScalarTyped(lhs) && isScalarTyped(rhs)
+    case _ => false
+  }
+
+  /** Deterministic series key for a labels map — the engine's canonical
+    * vector identity, exposed for result-shape producers outside the
+    * planner (federation reads, custom sources). */
+  def seriesKey(labels: Column): Column = sortedKey(labels)
+
   // ----- helpers -----
 
   /** Deterministic series identity: sorted entries as a JSON array
@@ -97,17 +116,24 @@ object PromPlanner {
     * sum by (le) — applies unchanged. Mirrors the reference querying
     * otel-exp-delta-histogram schemas transparently (ExpHistogramVector,
     * Schemas.scala:377-474). Plain rows pass through untouched; tables
-    * without the columns skip the branch entirely (driver-side check). */
+    * without the columns skip the branch entirely (driver-side check).
+    *
+    * Both branch predicates are kept PARQUET-PUSHABLE (IsNull-or-Ne and
+    * EqualTo — a coalesce() would push nothing), so each branch is a
+    * pruned scan; partition exp-capable tables by `series_type` and the
+    * two scans touch disjoint files (PlanQualitySpec pins the pushdown). */
   private def bridgeExpHist(df: DataFrame): DataFrame = {
     if (!df.columns.contains("exp_counts")) df
     else {
-      val isExp =
-        if (df.columns.contains("series_type")) col("series_type") === "otel_exp_histogram"
-        else col("exp_counts").isNotNull
+      val (isPlain, isExp) =
+        if (df.columns.contains("series_type"))
+          (col("series_type").isNull || col("series_type") =!= "otel_exp_histogram",
+           col("series_type") === "otel_exp_histogram")
+        else (col("exp_counts").isNull, col("exp_counts").isNotNull)
       val keep = df.columns.filterNot(Set("exp_scale", "exp_offset", "exp_counts").contains)
-      val plain = df.filter(!coalesce(isExp, lit(false))).select(keep.map(col): _*)
+      val plain = df.filter(isPlain).select(keep.map(col): _*)
       val conv = graft.functions.Histograms.fromExponentialCols(
-        df.filter(coalesce(isExp, lit(false))),
+        df.filter(isExp),
         col("exp_scale"), col("exp_offset"), "exp_counts")
       val buckets = graft.functions.Histograms.bucketSeriesSamples(conv)
       // restore passthrough columns the bucket-series shape lacks (e.g.
@@ -132,13 +158,17 @@ object PromPlanner {
   private def bridgeHistCols(df: DataFrame): DataFrame = {
     if (!df.columns.contains("le") || !df.columns.contains("values")) df
     else {
-      val isHist =
-        if (df.columns.contains("series_type")) col("series_type") === "prom_histogram"
-        else col("le").isNotNull && col("values").isNotNull
+      // pushable branch predicates, as in bridgeExpHist
+      val (isPlain, isHist) =
+        if (df.columns.contains("series_type"))
+          (col("series_type").isNull || col("series_type") =!= "prom_histogram",
+           col("series_type") === "prom_histogram")
+        else (col("le").isNull || col("values").isNull,
+              col("le").isNotNull && col("values").isNotNull)
       val keep = df.columns.filterNot(Set("le", "values").contains)
-      val plain = df.filter(!coalesce(isHist, lit(false))).select(keep.map(col): _*)
+      val plain = df.filter(isPlain).select(keep.map(col): _*)
       val buckets = graft.functions.Histograms.bucketSeriesSamples(
-        df.filter(coalesce(isHist, lit(false))))
+        df.filter(isHist))
       val padded = keep.foldLeft(buckets) { (b, c) =>
         if (b.columns.contains(c)) b
         else b.withColumn(c, lit(null).cast(df.schema(c).dataType))

@@ -72,6 +72,62 @@ class PromApiSpec extends AnyFunSuite with Matchers {
     } finally api.stop()
   }
 
+  test("instant query answers resultType scalar for scalar-typed expressions") {
+    val samples = TsTables.eventsAsSamples(spark, "/root/testdata/sf0.001")
+    val api = new PromApi(spark, samples).start()
+    try {
+      val port = api.boundPort
+      val t = (TsTables.EventsStartMs + 86400000L) / 1000
+      def iq(q: String) = get(port,
+        s"/api/v1/query?query=${java.net.URLEncoder.encode(q, "UTF-8")}&time=$t")
+      // time(): the evaluation timestamp itself
+      iq("time()") shouldEqual
+        s"""{"status":"success","data":{"resultType":"scalar","result":[$t,"$t"]}}"""
+      // literals and scalar arithmetic
+      iq("41 + 1") shouldEqual
+        s"""{"status":"success","data":{"resultType":"scalar","result":[$t,"42"]}}"""
+      // scalar(v) of a one-series vector: that series' value
+      val sc = iq("scalar(sum(sum_over_time(purchase[1d])))")
+      sc should include(""""resultType":"scalar"""")
+      sc should include(s""""result":[$t,""")
+      (sc should not).include("NaN")
+      // vector(1) goes back to vector typing
+      iq("vector(1)") should include(""""resultType":"vector"""")
+    } finally api.stop()
+  }
+
+  test("HTTP federation read stitches a remote cluster into local evaluation") {
+    import org.apache.spark.sql.functions.col
+    import graft.http.RemoteRead
+    import graft.promql.PromPlanner
+    val all = TsTables.eventsAsSamples(spark, "/root/testdata/sf0.001")
+    // partition-disjoint clusters: users split by parity (the reference's
+    // federation contract — each series lives in exactly one cluster)
+    val even = all.filter(col("tags")("user").cast("long") % 2 === 0)
+    val odd = all.filter(col("tags")("user").cast("long") % 2 === 1)
+    val q = "sum by (user) (sum_over_time(purchase[1d]))"
+    val remote = new PromApi(spark, odd).start()
+    try {
+      val ctxLocal = PromPlanner.Ctx(spark, even,
+        TsTables.EventsStartMs, TsTables.EventsEndMs, 86400000L)
+      val got = RemoteRead.federatedQueryRange(ctxLocal, q,
+        Seq(s"http://localhost:${remote.boundPort}"))
+        .select("__key", "step_ts", "value").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      val ctxAll = PromPlanner.Ctx(spark, all,
+        TsTables.EventsStartMs, TsTables.EventsEndMs, 86400000L)
+      val expected = PromPlanner.queryRange(ctxAll, q)
+        .select("__key", "step_ts", "value").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      expected.nonEmpty shouldEqual true
+      got shouldEqual expected
+      // both halves contributed: local-only evaluation must NOT match
+      val localOnly = PromPlanner.queryRange(ctxLocal, q)
+        .select("__key").distinct().count()
+      localOnly should be < expected.map(_._1).size.toLong
+    } finally remote.stop()
+  }
+
   test("per-query series limit rejects oversized results") {
     val samples = TsTables.eventsAsSamples(spark, "/root/testdata/sf0.001")
     val api = new PromApi(spark, samples, maxResultSeries = 3).start()
