@@ -60,25 +60,45 @@ object Quality {
   /** Fraction of non-space characters covered by the single most frequent
     * word n-gram (ties broken by larger gram string — mirrored in the
     * oracle). The Gopher "top n-gram character fraction" repetition
-    * signal. One row per doc: (idCol, topgram, top_ngram_frac). */
+    * signal. One row per doc: (idCol, topgram, top_ngram_frac).
+    *
+    * HASH-FIRST counting: the per-(doc, gram) count shuffle carries only
+    * (doc_id, nsc, xxhash64(gram)) fixed-width longs — at corpus scale the
+    * n-word gram STRINGS per token position would dominate the shuffle
+    * payload. The winning gram's text is resolved afterwards in one
+    * narrow per-doc pass (re-derive grams map-side, keep those whose hash
+    * is a winner), where the original larger-gram-string tiebreak applies
+    * to just the few count-tied winners. 64-bit hashing makes a
+    * within-doc gram collision vanishingly unlikely (~2^-64 per pair). */
   def topNgramCharFraction(docs: DataFrame, n: Int, textCol: String = "text",
                            idCol: String = "doc_id"): DataFrame = {
     // tokens are STAGED as a projection before the gram lambda — inlining
     // the split inside transform/slice makes Catalyst re-run the regex
     // split per array element (O(words^2) per doc; same pitfall as
     // winnowing, see TextAnalysis.winnowingFingerprints)
-    val grams = docs.select(
+    val base = docs.select(
       col(idCol),
       length(regexp_replace(trim(col(textCol)), "\\s+", "")).as("__nsc"),
       TextAnalysis.tokens(lower(col(textCol))).as("__toks"))
+    val counted = base
       .select(col(idCol), col("__nsc"),
-        explode(wordGramsFromToks(col("__toks"), n)).as("gram"))
-    val counted = grams.groupBy(col(idCol), col("__nsc"), col("gram"))
+        explode(wordGramsFromToks(col("__toks"), n)).as("__g"))
+      .select(col(idCol), col("__nsc"), xxhash64(col("__g")).as("__h"))
+      .groupBy(col(idCol), col("__nsc"), col("__h"))
       .agg(count(lit(1)).as("cnt"))
-    val w = Window.partitionBy(col(idCol)).orderBy(col("cnt").desc, col("gram").desc)
-    counted.withColumn("__rk", row_number().over(w)).where(col("__rk") === 1)
-      .select(col(idCol), col("gram").as("topgram"),
-        round(col("cnt") * length(regexp_replace(col("gram"), " ", "")) /
+    // top count per doc + the (usually one) winner hashes at that count —
+    // window max reuses the count shuffle's partitioning, no extra join
+    val winners = counted
+      .withColumn("__mx", max(col("cnt")).over(Window.partitionBy(col(idCol))))
+      .where(col("cnt") === col("__mx"))
+      .groupBy(col(idCol))
+      .agg(max(col("cnt")).as("cnt"), collect_list(col("__h")).as("__whs"))
+    base.join(winners, Seq(idCol))
+      .withColumn("topgram",
+        array_max(filter(wordGramsFromToks(col("__toks"), n),
+          g => array_contains(col("__whs"), xxhash64(g)))))
+      .select(col(idCol), col("topgram"),
+        round(col("cnt") * length(regexp_replace(col("topgram"), " ", "")) /
           col("__nsc").cast("double"), 6).as("top_ngram_frac"))
   }
 

@@ -134,6 +134,38 @@ class PlanQualitySpec extends AnyFunSuite with Matchers {
     } finally spark.conf.set("spark.sql.codegen.fallback", prevFallback)
   }
 
+  test("exp-hist bridge: the plain branch's scan pushes the selector predicate AND prunes series_type") {
+    import org.apache.spark.sql.functions._
+    // parquet-backed samples WITH exp columns: the bridge splits every
+    // selector into plain + converted branches; both predicates must reach
+    // the parquet scan (a coalesce()-based split, as pre-r5, pushes
+    // nothing and every exp-capable table pays two FULL scans per selector)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_exphist").toString
+    TsTables.eventsAsSamples(spark, dir)
+      .withColumn("series_type", lit("gauge"))
+      .withColumn("exp_scale", lit(0)).withColumn("exp_offset", lit(0))
+      .withColumn("exp_counts", lit(null).cast("array<double>"))
+      .write.mode("overwrite").parquet(s"$tmp/samples")
+    val parq = spark.read.parquet(s"$tmp/samples")
+    val ctx = PromPlanner.Ctx(spark, parq,
+      TsTables.EventsStartMs, TsTables.EventsEndMs, TsTables.Day)
+    // default 100-char metadata rendering truncates the PushedFilters list
+    // mid-entry — widen so the assertions see the full pushed set
+    val prevLen = spark.conf.get("spark.sql.maxMetadataStringLength")
+    val p = try {
+      spark.conf.set("spark.sql.maxMetadataStringLength", "4000")
+      val df = PromPlanner.queryRange(ctx, "sum(sum_over_time(purchase[1d]))")
+      df.count()
+      plan(df)
+    } finally spark.conf.set("spark.sql.maxMetadataStringLength", prevLen)
+    // metric predicate pushed on both branches
+    "EqualTo\\(metric,purchase\\)".r.findAllIn(p).length should be >= 2
+    // plain branch prunes series_type at the scan...
+    p should include("Not(EqualTo(series_type,otel_exp_histogram))")
+    // ...and the converted branch scans only exp rows
+    p should include("EqualTo(series_type,otel_exp_histogram)")
+  }
+
   test("pair pipelines never plan a cartesian or nested-loop join") {
     val docs = TsTables.documents(spark, dir)
     import org.apache.spark.sql.functions.{array_distinct, col, lower}

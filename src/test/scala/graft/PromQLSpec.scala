@@ -353,6 +353,33 @@ class PromQLSpec extends AnyFunSuite with Matchers {
       .count() shouldEqual 0
   }
 
+  test("topk composes with the preagg rewrite (nested agg shape answers from the preagg table)") {
+    import graft.promql.PromPlanner.PreaggTable
+    val rawTemplate = Seq(("m", Map("job" -> "a", "inst" -> "1"), 1000L, 1.0))
+      .toDF("metric", "tags", "ts", "value")
+    val pa = Seq(
+      ("m", Map("job" -> "a"), 1000L, 3.0),
+      ("m", Map("job" -> "b"), 1000L, 5.0),
+      ("m", Map("job" -> "c"), 1000L, 1.0)
+    ).toDF("metric", "tags", "ts", "value")
+    // raw EMPTY: a non-empty topk answer must have read the preagg table.
+    // The sound shape is topk over a rewritable INNER aggregate — the r5
+    // topk branch reuses the rewritten child plan instead of replanning.
+    // (A direct topk(k, sum_over_time(sel)) rewrite would be UNSOUND:
+    // topk returns raw-series labels, preagg series are aggregates — the
+    // reference's AggLpOptimization likewise rewrites only Sum/Min/Max
+    // shapes, ref query/.../lpopt/AggLpOptimization.scala:140-193.)
+    val c = PromPlanner.Ctx(spark, rawTemplate.filter(lit(false)), 1000L, 1000L, 1000L,
+      preagg = Seq(PreaggTable(pa, Set("job"))))
+    val got = PromPlanner.queryRange(c, "topk(2, sum by (job) (sum_over_time(m[1s])))")
+      .select(col("labels")("job"), col("value"))
+      .as[(String, Double)].collect().sortBy(_._1)
+    got shouldEqual Array(("a", 3.0), ("b", 5.0))
+    val bot = PromPlanner.queryRange(c, "bottomk(1, sum by (job) (sum_over_time(m[1s])))")
+      .select(col("labels")("job"), col("value")).as[(String, Double)].collect()
+    bot shouldEqual Array(("c", 1.0))
+  }
+
   test("preagg rewrite covers min/max/count/avg shapes via ds-gauge columns") {
     import graft.promql.PromPlanner.PreaggTable
     val rawTemplate = Seq(("m", Map("job" -> "a", "inst" -> "1"), 1000L, 1.0))
