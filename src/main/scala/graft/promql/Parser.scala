@@ -222,6 +222,8 @@ object Parser {
       while (!done) {
         cur match {
           case TId(l) => out += l; advance()
+          // quoted label names (Prometheus 3 UTF-8 names): by ("a b")
+          case TStr(l) => out += l; advance()
           case other => fail(s"expected label name, got $other")
         }
         cur match {
@@ -236,13 +238,15 @@ object Parser {
     private def parseUnary(): PromExpr = cur match {
       case TOp("-") =>
         advance()
-        parseUnary() match {
+        // ^ binds TIGHTER than unary minus (Prometheus: -2^2 == -(2^2));
+        // parse the operand at the pow level, then negate
+        parsePow() match {
           // fold literal negation so `-5`/`-Inf` are literals (Prometheus
           // semantics, and what the printer round-trip needs)
           case NumberLit(v) => NumberLit(-v)
           case e => BinOp("-", NumberLit(0), e)
         }
-      case TOp("+") => advance(); parseUnary()
+      case TOp("+") => advance(); parsePow()
       case _ => parsePostfix(parsePrimary())
     }
 
@@ -413,13 +417,43 @@ object Parser {
       Agg(op, expr, param, by, without)
     }
 
+    private def isMatcherOp(t: Tok): Boolean = t match {
+      case TOp("=") | TOp("==") | TOp("!=") | TOp("=~") | TOp("!~") => true
+      case _ => false
+    }
+
     private def parseSelector(metric: Option[String]): PromExpr = {
       expectOp("{")
       val ms = ArrayBuffer[LabelMatcher]()
+      // Prometheus 3 UTF-8 names: a bare quoted string entry is the metric
+      // name ({"my.metric", a="b"} == {__name__="my.metric", a="b"}), and
+      // quoted strings followed by a matcher op are LABEL names.
+      var bare: Option[String] = None
       var done = cur == TOp("}")
       while (!done) {
+        cur match {
+          case TStr(name) if !isMatcherOp(toks(pos + 1)) =>
+            advance()
+            if (bare.isDefined || metric.isDefined)
+              fail("metric name set twice in selector")
+            bare = Some(name)
+            cur match {
+              case TOp(",") => advance(); done = cur == TOp("}")
+              case _ => done = true
+            }
+          case _ =>
+            done = parseOneMatcher(ms)
+        }
+      }
+      expectOp("}")
+      finishSelector(metric.orElse(bare), ms)
+    }
+
+    /** One `label op "value"` entry; returns true when the list ends. */
+    private def parseOneMatcher(ms: ArrayBuffer[LabelMatcher]): Boolean = {
         val label = cur match {
           case TId(l) => advance(); l
+          case TStr(l) => advance(); l // quoted label name (UTF-8 names)
           case other => fail(s"expected label, got $other")
         }
         val op = cur match {
@@ -436,11 +470,13 @@ object Parser {
         }
         ms += LabelMatcher(label, op, v)
         cur match {
-          case TOp(",") => advance()
-          case _ => done = true
+          case TOp(",") => advance(); cur == TOp("}")
+          case _ => true
         }
-      }
-      expectOp("}")
+    }
+
+    private def finishSelector(metric: Option[String],
+                               ms: ArrayBuffer[LabelMatcher]): PromExpr = {
       if (metric.isDefined && ms.exists(_.label == "__name__"))
         fail(s"metric name '${metric.get}' and a __name__ matcher cannot both be given")
       val named = ms.find(_.label == "__name__") match {

@@ -11,9 +11,15 @@ object Printer {
 
   def print(e: PromExpr): String = e match {
     case Selector(metric, matchers, window, offset, at) =>
+      // UTF-8 metric names (dots, spaces, keyword collisions like `sum`)
+      // can't stand bare — print them as the quoted in-braces form
+      // ({"my.metric", a="b"}), which the parser reads back as the metric
       val base = metric match {
-        case Some(m) if matchers.isEmpty => m
-        case Some(m) => m + matchers.map(matcherStr).mkString("{", ", ", "}")
+        case Some(m) if safeMetric(m) && matchers.isEmpty => m
+        case Some(m) if safeMetric(m) =>
+          m + matchers.map(matcherStr).mkString("{", ", ", "}")
+        case Some(m) =>
+          (quote(m) +: matchers.map(matcherStr)).mkString("{", ", ", "}")
         case None => matchers.map(matcherStr).mkString("{", ", ", "}")
       }
       base + window.map(w => s"[${dur(w)}]").getOrElse("") + modifiers(offset, at)
@@ -26,8 +32,8 @@ object Printer {
 
     case Agg(op, expr, param, by, without) =>
       val clause =
-        if (by.nonEmpty) s" by (${by.mkString(", ")}) "
-        else if (without.nonEmpty) s" without (${without.mkString(", ")}) "
+        if (by.nonEmpty) s" by (${by.map(ident).mkString(", ")}) "
+        else if (without.nonEmpty) s" without (${without.map(ident).mkString(", ")}) "
         else ""
       val args = param.map(p => print(p) + ", ").getOrElse("") + print(expr)
       s"$op$clause($args)"
@@ -40,7 +46,7 @@ object Printer {
           if (m.groupLeft) " group_left" + includeStr(m.include)
           else if (m.groupRight) " group_right" + includeStr(m.include)
           else ""
-        s" $kind(${m.labels.mkString(", ")})$grp"
+        s" $kind(${m.labels.map(ident).mkString(", ")})$grp"
       }.getOrElse("")
       s"${operand(lhs)} $op$boolStr$matchStr ${operand(rhs)}"
 
@@ -75,8 +81,24 @@ object Printer {
       case MatchOp.Re => "=~"
       case MatchOp.NotRe => "!~"
     }
-    s"${m.label}$op${quote(m.value)}"
+    s"${ident(m.label)}$op${quote(m.value)}"
   }
+
+  /** A name is bare-safe iff the lexer reads it back as exactly itself;
+    * otherwise print the quoted form (UTF-8 label names). */
+  private def ident(l: String): String = if (lexesAsId(l)) l else quote(l)
+
+  private def lexesAsId(s: String): Boolean =
+    try Parser.lex(s) match {
+      case Vector(Parser.TId(id), Parser.TEnd) => id == s
+      case _ => false
+    } catch { case _: Exception => false }
+
+  /** Metric names additionally collide with literal/keyword call forms
+    * (`inf`, `nan`, aggregation operators). */
+  private def safeMetric(m: String): Boolean =
+    lexesAsId(m) && !m.equalsIgnoreCase("inf") && !m.equalsIgnoreCase("nan") &&
+      !Parser.AggOps.contains(m)
 
   private def quote(s: String): String = {
     val sb = new StringBuilder("\"")

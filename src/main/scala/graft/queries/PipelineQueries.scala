@@ -152,6 +152,7 @@ object PipelineQueries {
         TextAnalysis.tokens(lower(col("text"))).as("toks"))
       .select(col("doc_id"), col("lang"),
         TextAnalysis.gramsFromTokens(col("toks"), 8).as("grams"))
+      .repartition(col("doc_id"))
       .select(col("doc_id"), col("lang"),
         explode(TextAnalysis.fingerprintsFromGrams(col("grams"), 6)).as("fp"))
     val rare = fps.groupBy(col("fp")).agg(count(lit(1)).as("n"))

@@ -330,4 +330,121 @@ class ParserGoldenSpec extends AnyFunSuite with Matchers {
     an[IllegalArgumentException] should be thrownBy Parser.parse("2.5.")
     an[IllegalArgumentException] should be thrownBy Parser.parse(".")
   }
+
+  // ----- tranche 3 (round 5): quoted/UTF-8 names, ^ vs unary, duration
+  // corner forms, keyword-as-label-name — coverage areas from the
+  // reference's ParserSpec (our own assertions, not a port) -----
+
+  test("quoted label names in matchers (UTF-8 names)") {
+    Parser.parse("""m{"label with spaces"="v"}""") shouldEqual
+      Selector(Some("m"), Seq(LabelMatcher("label with spaces", MatchOp.Eq, "v")))
+    Parser.parse("""m{"http.status"=~"5.."}""") shouldEqual
+      Selector(Some("m"), Seq(LabelMatcher("http.status", MatchOp.Re, "5..")))
+    Parser.parse("""m{"läbel"!="x"}""") shouldEqual
+      Selector(Some("m"), Seq(LabelMatcher("läbel", MatchOp.Ne, "x")))
+  }
+
+  test("quoted metric name inside braces (UTF-8 names)") {
+    Parser.parse("""{"my.metric"}""") shouldEqual sel("my.metric")
+    Parser.parse("""{"my.metric", job="api"}""") shouldEqual
+      Selector(Some("my.metric"), Seq(LabelMatcher("job", MatchOp.Eq, "api")))
+    Parser.parse("""rate({"http.requests.total", code="500"}[5m])""") shouldEqual
+      FuncCall("rate", Seq(Selector(Some("http.requests.total"),
+        Seq(LabelMatcher("code", MatchOp.Eq, "500")), Some(300000L))))
+    // metric set twice -> error, as Prometheus
+    an[IllegalArgumentException] should be thrownBy Parser.parse("""foo{"bar"}""")
+    an[IllegalArgumentException] should be thrownBy Parser.parse("""{"a", "b"}""")
+  }
+
+  test("quoted label names in by/on clauses") {
+    Parser.parse("""sum by ("a b") (m)""") shouldEqual
+      Agg("sum", sel("m"), None, Seq("a b"), Nil)
+    Parser.parse("""x * on("the label") y""") shouldEqual
+      BinOp("*", sel("x"), sel("y"), bool = false,
+        Some(VectorMatch(on = true, Seq("the label"))))
+  }
+
+  test("quoted/UTF-8 names round-trip through the printer") {
+    Seq(
+      """{"my.metric", job="api"}[5m]""",
+      """m{"label with spaces"!~"a.*"}""",
+      """sum by ("a b") (rate({"dot.ted"}[5m]))""",
+      """{"sum"}""" // a metric literally named like an agg keyword
+    ).foreach { q =>
+      val ast = Parser.parse(q)
+      withClue(s"$q -> ${Printer.print(ast)}")(
+        Parser.parse(Printer.print(ast)) shouldEqual ast)
+    }
+  }
+
+  test("^ binds tighter than unary minus (Prometheus: -2^2 == -(2^2))") {
+    Parser.parse("-2^2") shouldEqual
+      BinOp("-", NumberLit(0), BinOp("^", NumberLit(2), NumberLit(2)))
+    Parser.parse("2^-3") shouldEqual BinOp("^", NumberLit(2), NumberLit(-3))
+    Parser.parse("-m^2") shouldEqual
+      BinOp("-", NumberLit(0), BinOp("^", sel("m"), NumberLit(2)))
+    // right-assoc chain under unary: -2^3^2 = -(2^(3^2))
+    Parser.parse("-2^3^2") shouldEqual
+      BinOp("-", NumberLit(0),
+        BinOp("^", NumberLit(2), BinOp("^", NumberLit(3), NumberLit(2))))
+    // unary still binds tighter than * (unchanged)
+    Parser.parse("-2 * 3") shouldEqual
+      BinOp("*", NumberLit(-2), NumberLit(3))
+  }
+
+  test("multi-unit durations with zero components") {
+    Parser.parse("""foo{label="bar"}[3d0h25m0s] offset 0d12h15m30s""") shouldEqual
+      Selector(Some("foo"), Seq(LabelMatcher("label", MatchOp.Eq, "bar")),
+        Some(3L * 86400000L + 25L * 60000L),
+        12L * 3600000L + 15L * 60000L + 30000L)
+    Parser.parse("m[1m30s] offset 2h15m") shouldEqual
+      Selector(Some("m"), Nil, Some(90000L), 2L * 3600000L + 15L * 60000L)
+  }
+
+  test("compact @ (no space) with multi-unit offset, reference ParserSpec forms") {
+    Parser.parse("""foo{label="bar"}[3d2h25m10s] @600 offset 2d12h15m30s""") shouldEqual
+      Selector(Some("foo"), Seq(LabelMatcher("label", MatchOp.Eq, "bar")),
+        Some(3L * 86400000L + 2L * 3600000L + 25L * 60000L + 10000L),
+        2L * 86400000L + 12L * 3600000L + 15L * 60000L + 30000L,
+        Some(600000L))
+    Parser.parse("""foo[3d0h25m0s] offset 0d12h15m30s @start()""") shouldEqual
+      Selector(Some("foo"), Nil, Some(3L * 86400000L + 25L * 60000L),
+        12L * 3600000L + 15L * 60000L + 30000L, Some(At.Start))
+  }
+
+  test("subquery with multi-unit window AND step") {
+    Parser.parse("""foo[3d2h25m10s:1d4h30m4s] offset 2d12h15m30s""") shouldEqual
+      Subquery(sel("foo"),
+        3L * 86400000L + 2L * 3600000L + 25L * 60000L + 10000L,
+        Some(86400000L + 4L * 3600000L + 30L * 60000L + 4000L),
+        2L * 86400000L + 12L * 3600000L + 15L * 60000L + 30000L)
+  }
+
+  test("fractional-second @ round-trips exactly") {
+    Parser.parse("m @ 1.234") shouldEqual
+      Selector(Some("m"), Nil, None, 0L, Some(1234L))
+    val ast = Selector(Some("m"), Nil, None, 0L, Some(1700000000001L))
+    Parser.parse(Printer.print(ast)) shouldEqual ast
+  }
+
+  test("keywords as label names in matchers") {
+    Parser.parse("""m{on="x", and="y", bool="z", offset="w", limit="q", by="b"}""") shouldEqual
+      Selector(Some("m"), Seq(
+        LabelMatcher("on", MatchOp.Eq, "x"), LabelMatcher("and", MatchOp.Eq, "y"),
+        LabelMatcher("bool", MatchOp.Eq, "z"), LabelMatcher("offset", MatchOp.Eq, "w"),
+        LabelMatcher("limit", MatchOp.Eq, "q"), LabelMatcher("by", MatchOp.Eq, "b")))
+    Parser.parse("sum by (by, without) (m)") shouldEqual
+      Agg("sum", sel("m"), None, Seq("by", "without"), Nil)
+  }
+
+  test("trailing comma in a matcher list is legal") {
+    Parser.parse("""m{a="b",}""") shouldEqual
+      Selector(Some("m"), Seq(LabelMatcher("a", MatchOp.Eq, "b")))
+  }
+
+  test("__name__ via quoted label name still routes to the metric slot") {
+    Parser.parse("""{"__name__"="up"}""") shouldEqual sel("up")
+    an[IllegalArgumentException] should be thrownBy
+      Parser.parse("""up{"__name__"="x"}""")
+  }
 }
