@@ -1,0 +1,52 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination: flag corpus documents that share verbatim
+  * token n-grams with an evaluation/benchmark set (the GPT-3 appendix-C /
+  * PaLM "13-gram overlap" procedure, scaled to this corpus' short docs).
+  *
+  * Scale shape: the benchmark side is SMALL by construction (eval sets are
+  * thousands of items, not billions) — its distinct grams are broadcast,
+  * so the 100 TB corpus side never shuffles its grams for the probe; only
+  * the (rare) matched rows reach the per-doc count aggregation. The corpus
+  * gram expansion is a pure map-side projection (staged tokens, see
+  * Dedup.shinglesFromToks for the inlining pitfall).
+  */
+object Decontam {
+
+  /** Distinct n-gram strings per row: (idCol, gram). */
+  private def grams(df: DataFrame, n: Int, textCol: String, idCol: String,
+                    outId: String): DataFrame =
+    df.select(col(idCol).as(outId), TextAnalysis.tokens(lower(col(textCol))).as("__toks"))
+      .where(size(col("__toks")) >= n)
+      .select(col(outId),
+        explode(array_distinct(Quality.wordGramsFromToks(col("__toks"), n))).as("gram"))
+
+  /** Per-corpus-doc contamination report against `benchmarks`:
+    * (idCol, n_hit_grams = distinct corpus grams that appear in any
+    * benchmark item, n_benchmarks = distinct benchmark items hit).
+    * Clean documents are absent from the result. */
+  def flagContaminated(corpus: DataFrame, benchmarks: DataFrame, n: Int = 8,
+                       textCol: String = "text", idCol: String = "doc_id",
+                       benchTextCol: String = "text", benchIdCol: String = "bench_id"): DataFrame = {
+    val corpusGrams = grams(corpus, n, textCol, idCol, idCol)
+    val benchGrams = grams(benchmarks, n, benchTextCol, benchIdCol, "__bench_id")
+    corpusGrams
+      .join(broadcast(benchGrams), "gram")
+      .groupBy(col(idCol))
+      .agg(countDistinct(col("gram")).as("n_hit_grams"),
+           countDistinct(col("__bench_id")).as("n_benchmarks"))
+  }
+
+  /** Decontaminated corpus: drop every document flagged against the
+    * benchmark set (left_anti on the flag set). */
+  def removeContaminated(corpus: DataFrame, benchmarks: DataFrame, n: Int = 8,
+                         textCol: String = "text", idCol: String = "doc_id",
+                         benchTextCol: String = "text", benchIdCol: String = "bench_id"): DataFrame =
+    corpus.join(
+      flagContaminated(corpus, benchmarks, n, textCol, idCol, benchTextCol, benchIdCol)
+        .select(col(idCol)),
+      Seq(idCol), "left_anti")
+}

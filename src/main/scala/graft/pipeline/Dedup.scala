@@ -239,4 +239,60 @@ object Dedup {
       .filter(col("dist") <= maxDist)
       .select(col(s"a.$idCol").as("id1"), col(s"b.$idCol").as("id2"), col("dist"))
   }
+
+  /** Exact duplicate-SPAN removal across the corpus (Lee et al. 2021,
+    * "Deduplicating Training Data Makes Language Models Better" — the
+    * ExactSubstr procedure at fixed token-window granularity instead of
+    * suffix arrays): every w-token window whose (normalized) text occurs
+    * more than once corpus-wide is removed everywhere EXCEPT its canonical
+    * first occurrence (min (doc_id, pos) over all occurrences), and each
+    * doc's surviving tokens are re-joined into clean text.
+    *
+    * Scale shape: the occurrence-count shuffle carries xxhash64 longs per
+    * window, never the w-token strings (the hash-first contract — see
+    * Quality.topNgramCharFraction); covered positions return per doc as
+    * ONE array of window starts in a narrow join (expanded to token
+    * positions map-side after the groupBy), and the final token filter is
+    * a pure map-side expression over the staged token array. 64-bit
+    * hashing makes a within-corpus window collision ~2^-64 per pair.
+    *
+    * Output: (idCol, clean_text, removed_frac) — one row per input doc,
+    * removed_frac = removed tokens / total tokens. Text is compared and
+    * rebuilt lowercase (dedup normalization). */
+  def removeDuplicateSpans(docs: DataFrame, w: Int = 8, textCol: String = "text",
+                           idCol: String = "doc_id"): DataFrame = {
+    val base = docs
+      .select(col(idCol), TextAnalysis.tokens(lower(col(textCol))).as("__toks"))
+    // windows exist only where the doc has >= w tokens; pos is 0-based
+    val wins = base
+      .where(size(col("__toks")) >= w)
+      .select(col(idCol),
+        posexplode(TextAnalysis.gramsFromTokens(col("__toks"), w)).as(Seq("__pos", "__h")))
+    val dupStats = wins
+      .groupBy(col("__h"))
+      .agg(countDistinct(col(idCol)).as("__nd"),
+           min(struct(col(idCol), col("__pos"))).as("__canon"))
+      .where(col("__nd") >= 2)
+    val cov = wins.join(dupStats, "__h")
+      .where(!(col(idCol) === col("__canon").getField(idCol) &&
+               col("__pos") === col("__canon").getField("__pos")))
+      .groupBy(col(idCol))
+      .agg(collect_set(col("__pos")).as("__ps"))
+      .select(col(idCol),
+        array_distinct(flatten(transform(col("__ps"), p => sequence(p, p + w - 1))))
+          .as("__cov"))
+    base.join(cov, Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("__cov").isNull, concat_ws(" ", col("__toks")))
+          .otherwise(concat_ws(" ",
+            filter(
+              transform(sequence(lit(0), size(col("__toks")) - 1),
+                i => when(array_contains(col("__cov"), i), lit(null))
+                  .otherwise(element_at(col("__toks"), i + 1))),
+              x => x.isNotNull)))
+          .as("clean_text"),
+        when(col("__cov").isNull, lit(0.0))
+          .otherwise(round(size(col("__cov")) / size(col("__toks")).cast("double"), 6))
+          .as("removed_frac"))
+  }
 }

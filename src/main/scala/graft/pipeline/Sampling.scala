@@ -54,4 +54,31 @@ object Sampling {
         floor((col("__cum") - col(tokenCol)) / budgetTokens).as("shard"),
         col(tokenCol))
   }
+
+  /** Temperature-weighted domain sampling — the multilingual/data-mixing
+    * standard (mT5, Xue et al. 2021: p_s ∝ |s|^alpha): draw ~targetRows
+    * docs with per-domain keep rate
+    *   r_s = min(1, targetRows * n_s^alpha / (sum_t n_t^alpha) / n_s),
+    * each doc kept iff its md5 hash point < r_s. alpha < 1 flattens the
+    * domain distribution (upsamples small domains relative to their share);
+    * alpha = 1 is proportional sampling. Deterministic across engines,
+    * reruns, and topologies (same md5-keyed points as hashSplit).
+    *
+    * Scale shape: domain stats are a tiny aggregate (one row per domain)
+    * broadcast back to the corpus scan — the corpus itself never shuffles;
+    * the keep decision is a map-side expression.
+    * Output: kept (idCol, domainCol) rows. */
+  def temperatureSample(docs: DataFrame, alpha: Double, targetRows: Long,
+                        domainCol: String = "source", idCol: String = "doc_id"): DataFrame = {
+    val stats = docs.groupBy(col(domainCol)).agg(count(lit(1)).as("__n"))
+      .withColumn("__w", pow(col("__n").cast("double"), alpha))
+    val z = stats.agg(sum(col("__w")).as("__z"))
+    val rates = stats.crossJoin(broadcast(z))
+      .select(col(domainCol),
+        least(lit(1.0), lit(targetRows.toDouble) * col("__w") / col("__z") / col("__n"))
+          .as("__rate"))
+    docs.join(broadcast(rates), domainCol)
+      .where(hashPoint(col(idCol)) < col("__rate"))
+      .select(col(idCol), col(domainCol))
+  }
 }

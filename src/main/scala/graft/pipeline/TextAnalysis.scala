@@ -74,4 +74,29 @@ object TextAnalysis {
     array_distinct(transform(
       sequence(lit(0), greatest(size(grams) - w, lit(0))),
       i => array_min(slice(grams, i + 1, lit(w)))))
+
+  /** PII detection/redaction patterns. Restricted to the RE2-compatible
+    * regex subset (no lookaround, no backrefs) so the DuckDB oracle can
+    * apply the IDENTICAL pattern strings — and so the operator stays
+    * portable to RE2-based scan engines. \b is the ASCII word boundary,
+    * supported by both Java regex and RE2. */
+  val EmailRe: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re: String = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val PhoneRe: String = "\\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\\b"
+
+  /** Count of PII matches of one pattern in the original text. */
+  def piiCount(text: Column, re: String): Column =
+    size(regexp_extract_all(text, lit(re), lit(0)))
+
+  /** Text with emails, IPv4 addresses, and phone numbers replaced by
+    * typed placeholder tokens. Replacement order (email -> ip -> phone) is
+    * fixed and mirrored in the oracle; counts are taken on the ORIGINAL
+    * text so earlier replacements cannot mask later counts. Pure
+    * codegen'd expressions — zero shuffle over a corpus scan. */
+  def piiRedact(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
 }

@@ -82,4 +82,18 @@ object PipelineFixtures {
   /** The edge fixture as an inline DuckDB VALUES relation. */
   def edgeValuesSql: String =
     edgeRows.map { case (a, b) => s"($a, $b)" }.mkString("(VALUES ", ", ", ") e(id1, id2)")
+
+  /** Planted PII rows (unioned with the real corpus in q109 so the
+    * redaction operator has non-trivial matches; mirrored verbatim as
+    * VALUES in the oracle). doc_ids start at 1e6 to stay clear of any
+    * scale factor's id range. */
+  val piiRows: Seq[(Long, String)] = Seq(
+    (1000000L, "contact alice.smith+test@example.com or bob@sub.domain.org for details"),
+    (1000001L, "server 192.168.1.100 and 10.0.0.1 up; call 555-867-5309 or 555.123.4567 now"),
+    (1000002L, "no personal information in this row just plain words"))
+
+  def piiDocs(s: SparkSession): DataFrame = {
+    import s.implicits._
+    piiRows.toDF("doc_id", "text")
+  }
 }

@@ -138,7 +138,39 @@ object PipelineQueries {
       val pairs = Dedup.minHashDuplicates(docs, numHashes = 16, threshold = 0.5)
       Components.keepRepresentatives(docs, pairs)
         .select(col("doc_id")).orderBy(col("doc_id"))
-    })
+    }),
+
+    // ---- round 5: decontamination / span dedup / PII / domain mixing ----
+
+    // benchmark set = every 10th doc (a deterministic held-out slice);
+    // flag the rest of the corpus for verbatim 8-gram overlap with it
+    "q107_decontam_ngrams" -> ((s, dir) => {
+      val docs = TsTables.documents(s, dir)
+      Decontam.flagContaminated(
+        docs.where(col("doc_id") % 10 =!= 0),
+        docs.where(col("doc_id") % 10 === 0).withColumnRenamed("doc_id", "bench_id"),
+        n = 8)
+        .orderBy(col("doc_id"))
+    }),
+
+    "q108_dup_span_removal" -> ((s, dir) =>
+      Dedup.removeDuplicateSpans(TsTables.documents(s, dir), w = 8)
+        .orderBy(col("doc_id"))),
+
+    "q109_pii_redaction" -> ((s, dir) => {
+      val docs = TsTables.documents(s, dir).select(col("doc_id"), col("text"))
+        .unionByName(PipelineFixtures.piiDocs(s))
+      docs.select(col("doc_id"),
+        TextAnalysis.piiCount(col("text"), TextAnalysis.EmailRe).as("n_emails"),
+        TextAnalysis.piiCount(col("text"), TextAnalysis.Ipv4Re).as("n_ipv4"),
+        TextAnalysis.piiCount(col("text"), TextAnalysis.PhoneRe).as("n_phones"),
+        TextAnalysis.piiRedact(col("text")).as("redacted_text"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q110_temperature_sample" -> ((s, dir) =>
+      Sampling.temperatureSample(TsTables.documents(s, dir), alpha = 0.5, targetRows = 200)
+        .orderBy(col("doc_id")))
   )
 
   /** Winnowing candidate pairs: long shingles (k=8) keep fingerprints
@@ -411,6 +443,69 @@ object PipelineQueries {
          FROM (SELECT *, row_number() OVER (PARTITION BY query_id
                                             ORDER BY sim DESC, neighbor_id ASC) AS rk
                FROM scored)
-         WHERE rk <= 5 ORDER BY query_id, rk"""
+         WHERE rk <= 5 ORDER BY query_id, rk""",
+
+    "q107_decontam_ngrams" ->
+      """WITH base AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+                       FROM documents),
+              wins AS (SELECT doc_id, array_to_string(toks[i:i+7], ' ') AS gram
+                       FROM base, UNNEST(generate_series(1, greatest(len(toks)-7, 0))) AS t(i)),
+              bench AS (SELECT DISTINCT gram, doc_id AS bench_id FROM wins WHERE doc_id % 10 = 0)
+         SELECT w.doc_id, count(distinct w.gram) AS n_hit_grams,
+                count(distinct b.bench_id) AS n_benchmarks
+         FROM (SELECT DISTINCT doc_id, gram FROM wins WHERE doc_id % 10 <> 0) w
+         JOIN bench b USING (gram)
+         GROUP BY w.doc_id ORDER BY doc_id""",
+
+    "q108_dup_span_removal" ->
+      """WITH base AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+                       FROM documents),
+              wins AS (SELECT doc_id, i-1 AS pos, array_to_string(toks[i:i+7], ' ') AS gram
+                       FROM base, UNNEST(generate_series(1, greatest(len(toks)-7, 0))) AS t(i)),
+              marked AS (SELECT doc_id, pos,
+                                row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rk,
+                                count(distinct doc_id) OVER (PARTITION BY gram) AS nd
+                         FROM wins),
+              cov AS (SELECT DISTINCT doc_id, pos + d AS cp
+                      FROM marked, UNNEST(generate_series(0, 7)) AS g(d)
+                      WHERE nd >= 2 AND rk > 1),
+              toks AS (SELECT doc_id, i-1 AS pos, toks[i] AS tok
+                       FROM base, UNNEST(generate_series(1, len(toks))) AS t(i)),
+              kept AS (SELECT t.doc_id, string_agg(t.tok, ' ' ORDER BY t.pos) AS clean_text
+                       FROM toks t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.cp
+                       WHERE c.doc_id IS NULL GROUP BY t.doc_id),
+              covstats AS (SELECT doc_id, count(*) AS ncov FROM cov GROUP BY doc_id)
+         SELECT b.doc_id, coalesce(k.clean_text, '') AS clean_text,
+                round(coalesce(c.ncov, 0) / CAST(len(b.toks) AS DOUBLE), 6) AS removed_frac
+         FROM base b LEFT JOIN kept k USING (doc_id) LEFT JOIN covstats c USING (doc_id)
+         ORDER BY doc_id""",
+
+    "q109_pii_redaction" ->
+      """WITH all_docs AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT * FROM (VALUES
+             (1000000, 'contact alice.smith+test@example.com or bob@sub.domain.org for details'),
+             (1000001, 'server 192.168.1.100 and 10.0.0.1 up; call 555-867-5309 or 555.123.4567 now'),
+             (1000002, 'no personal information in this row just plain words')) v(doc_id, text))
+         SELECT doc_id,
+                len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+                len(regexp_extract_all(text, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS n_ipv4,
+                len(regexp_extract_all(text, '\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b')) AS n_phones,
+                regexp_replace(regexp_replace(regexp_replace(text,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                  '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+                  '\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b', '<PHONE>', 'g') AS redacted_text
+         FROM all_docs ORDER BY doc_id""",
+
+    "q110_temperature_sample" ->
+      """WITH stats AS (SELECT source, count(*) AS n, pow(CAST(count(*) AS DOUBLE), 0.5) AS w
+                        FROM documents GROUP BY source),
+              rates AS (SELECT source, least(1.0, 200.0 * w / (SELECT sum(w) FROM stats) / n) AS rate
+                        FROM stats)
+         SELECT d.doc_id, d.source
+         FROM documents d JOIN rates r USING (source)
+         WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 4))::INT / 65536.0 < r.rate
+         ORDER BY d.doc_id"""
   )
 }

@@ -177,4 +177,67 @@ class PipelineSpec extends AnyFunSuite with Matchers {
       "en", "en") // 'the' stopword present once lowercased
     t(0).getString(3) shouldEqual t(1).getString(3) // whitespace+case normalized
   }
+
+  test("decontamination flags corpus docs overlapping the benchmark set") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "totally unrelated words about nothing benchmarky at all"),
+      (3L, "prefix gamma delta epsilon zeta suffix words here")).toDF("doc_id", "text")
+    val bench = Seq((100L, "gamma delta epsilon zeta")).toDF("bench_id", "text")
+    val flagged = pipeline.Decontam.flagContaminated(corpus, bench, n = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    flagged.map(_._1).toSeq shouldEqual Seq(1L, 3L)
+    flagged.foreach { case (_, nGrams, nBench) =>
+      nGrams shouldEqual 1L; nBench shouldEqual 1L
+    }
+    pipeline.Decontam.removeContaminated(corpus, bench, n = 4)
+      .select("doc_id").as[Long].collect().toSeq shouldEqual Seq(2L)
+  }
+
+  test("duplicate span removal keeps only the canonical first occurrence") {
+    val d = Seq(
+      (1L, "intro one two three four five outro"),
+      (2L, "other opening one two three four five and more trailing words here"),
+      (3L, "one two three four five one two three four five")).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicateSpans(d, w = 5)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .sortBy(_._1)
+    // canonical occurrence is doc 1's (lowest (doc_id, pos)) — untouched
+    out(0) shouldEqual ((1L, "intro one two three four five outro", 0.0))
+    out(1)._2 shouldEqual "other opening and more trailing words here"
+    out(1)._3 shouldEqual (5.0 / 12.0 +- 1e-6)
+    // every occurrence in doc 3 is non-canonical: fully removed
+    out(2) shouldEqual ((3L, "", 1.0))
+  }
+
+  test("pii redaction replaces emails/ips/phones, counts from original text") {
+    val d = Seq(
+      (1L, "mail a.b+x@c-corp.io from 10.0.0.7 phone 555-123-4567 done"),
+      (2L, "nothing sensitive here")).toDF("doc_id", "text")
+    val out = d.select($"doc_id",
+      TextAnalysis.piiCount($"text", TextAnalysis.EmailRe).as("e"),
+      TextAnalysis.piiCount($"text", TextAnalysis.Ipv4Re).as("i"),
+      TextAnalysis.piiCount($"text", TextAnalysis.PhoneRe).as("p"),
+      TextAnalysis.piiRedact($"text").as("t")).orderBy($"doc_id").collect()
+    (out(0).getInt(1), out(0).getInt(2), out(0).getInt(3)) shouldEqual ((1, 1, 1))
+    out(0).getString(4) shouldEqual "mail <EMAIL> from <IP> phone <PHONE> done"
+    out(1).getString(4) shouldEqual "nothing sensitive here"
+  }
+
+  test("temperature sampling upsamples small domains, deterministic under repartition") {
+    val rows = (0 until 400).map(i => (i.toLong, "big")) ++
+      (1000 until 1025).map(i => (i.toLong, "small"))
+    val df = rows.toDF("doc_id", "source")
+    // alpha=0.5: w_big=20, w_small=5, z=25 -> r_big=0.2, r_small=0.8
+    val kept = pipeline.Sampling.temperatureSample(df, alpha = 0.5, targetRows = 100)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val keptBig = kept.count(_._2 == "big") / 400.0
+    val keptSmall = kept.count(_._2 == "small") / 25.0
+    keptSmall should be > keptBig // alpha < 1 flattens toward small domains
+    keptSmall shouldEqual 0.8 +- 0.2
+    keptBig shouldEqual 0.2 +- 0.1
+    val again = pipeline.Sampling.temperatureSample(df.repartition(7), alpha = 0.5, targetRows = 100)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    again.toSet shouldEqual kept.toSet
+  }
 }
