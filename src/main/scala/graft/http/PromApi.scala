@@ -36,6 +36,7 @@ class PromApi(spark: SparkSession, samples: DataFrame, port: Int = 0,
     server.createContext("/api/v1/label/", handler(labelValues))
     server.createContext("/api/v1/series", handler(series))
     server.createContext("/api/v1/label_cardinality", handler(labelCardinality))
+    server.createContext("/api/v1/format_query", handler(formatQuery))
     server.setExecutor(null)
     server.start()
     this
@@ -110,6 +111,17 @@ class PromApi(spark: SparkSession, samples: DataFrame, port: Int = 0,
       }.mkString(",")
       s"""{"status":"success","data":{"resultType":"vector","result":[$result]}}"""
     }
+  }
+
+  /** Prometheus `/api/v1/format_query`: parse the query and return its
+    * canonical printed form (our Printer's single-line normalization —
+    * Prometheus prettifies multi-line; the contract is "a formatted,
+    * parse-equivalent string", which Printer guarantees by its
+    * parse∘print==id property suite). Invalid queries get the standard
+    * error envelope. */
+  private def formatQuery(p: Map[String, String]): String = {
+    val printed = graft.promql.Printer.print(graft.promql.Parser.parse(p("query")))
+    s"""{"status":"success","data":${js(printed)}}"""
   }
 
   /** The reference enforces PerQueryLimits on result cardinality

@@ -91,7 +91,12 @@ object PromPlanner {
     * + column selection): `m:::suffix` reads the registered preagg table
     * with that suffix; an optional trailing `::col` picks its value column
     * (e.g. `m:::agg::sum`); default column is `value`, else `sum`. */
-  private def selectorSamples(ctx: Ctx, sel: Selector): DataFrame =
+  /** Metric-name routing resolved to (base table, rewritten selector) —
+    * shared by the plain selector path AND the rate/increase schema-type
+    * dispatch (which filters the base table by series_type before the
+    * selector applies; routing through only one of the two silently broke
+    * `rate(m::sum[w])`). */
+  private def routedBase(ctx: Ctx, sel: Selector): (DataFrame, Selector) =
     sel.metric match {
       case Some(m) if m.contains(":::") =>
         val Array(base, rest) = m.split(":::", 2)
@@ -103,10 +108,31 @@ object PromPlanner {
           throw new IllegalArgumentException(s"no preagg table registered for suffix '$suffix'"))
         val vcol = colName.getOrElse(if (pa.samples.columns.contains("value")) "value" else "sum")
         require(pa.samples.columns.contains(vcol), s"preagg table '$suffix' has no column '$vcol'")
-        selectorSamplesFrom(pa.samples.withColumn("value", col(vcol)),
-          sel.copy(metric = Some(base)))
-      case _ => selectorSamplesFrom(ctx.samples, sel)
+        (pa.samples.withColumn("value", col(vcol)), sel.copy(metric = Some(base)))
+      case Some(m) if m.contains("::") =>
+        // FiloDB data-column selection on the MAIN table (`m::sum`,
+        // `m::count`, `m::min` — prometheus/ast/Vectors.scala column
+        // selector): read the named column as the value series. Histogram
+        // bridge columns are dropped so the picked column is served as a
+        // plain (counter-corrected downstream) series even on hist-typed
+        // storage — `rate(hist_metric::sum[w])` is the reference's
+        // histogram sum-column rate. Rows without the column are not part
+        // of the selected series.
+        val Array(base, vcol) = m.split("::", 2)
+        require(ctx.samples.columns.contains(vcol),
+          s"samples table has no column '$vcol' for selector '$m'")
+        val picked = ctx.samples
+          .where(col(vcol).isNotNull)
+          .withColumn("value", col(vcol).cast("double"))
+          .drop("le", "values", "exp_scale", "exp_offset", "exp_counts")
+        (picked, sel.copy(metric = Some(base)))
+      case _ => (ctx.samples, sel)
     }
+
+  private def selectorSamples(ctx: Ctx, sel: Selector): DataFrame = {
+    val (df, s2) = routedBase(ctx, sel)
+    selectorSamplesFrom(df, s2)
+  }
 
   /** OTel exponential-histogram storage rows (series_type =
     * "otel_exp_histogram"; exp_scale, exp_offset, exp_counts columns) are
@@ -454,8 +480,10 @@ object PromPlanner {
           periodic(ctx, sel, RangeFns.byName(n), ctx.lookbackMs)
         case sel: Selector if sel.windowMs.isDefined =>
           if (n == "absent_over_time") absent(ctx, sel, sel.windowMs.get)
-          else if ((n == "rate" || n == "increase") &&
-                   ctx.samples.columns.contains("series_type")) {
+          else if ((n == "rate" || n == "increase") && {
+                     val (b, _) = routedBase(ctx, sel)
+                     b.columns.contains("series_type")
+                   }) {
             // Schema-type dispatch (reference MultiSchemaPartitionsExec +
             // the RangeFunction delta/cumulative toggler,
             // RangeFunction.scala:352-360): cumulative-counter series use
@@ -465,16 +493,17 @@ object PromPlanner {
             val deltaFn =
               if (n == "rate") RangeFns.RateOverDelta else RangeFns.IncreaseOverDelta
             val w = sel.windowMs.get
+            val (baseDf, sel2) = routedBase(ctx, sel)
             // null series_type = plain cumulative counter (legacy rows
             // predate the column). IsNull-or-Ne stays parquet-pushable,
             // unlike a coalesce, and keeps null rows out of neither branch.
             val cum = periodicFrom(ctx,
-              selectorSamplesFrom(ctx.samples.filter(
-                col("series_type").isNull || col("series_type") =!= "delta"), sel),
-              sel, RangeFns.byName(n), w)
+              selectorSamplesFrom(baseDf.filter(
+                col("series_type").isNull || col("series_type") =!= "delta"), sel2),
+              sel2, RangeFns.byName(n), w)
             val del = periodicFrom(ctx,
-              selectorSamplesFrom(ctx.samples.filter(col("series_type") === "delta"), sel),
-              sel, deltaFn, w)
+              selectorSamplesFrom(baseDf.filter(col("series_type") === "delta"), sel2),
+              sel2, deltaFn, w)
             dropName(cum.unionByName(del))
           }
           else if (n == "avg_over_time" && ctx.cold.isDefined) {

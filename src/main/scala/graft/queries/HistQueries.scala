@@ -216,6 +216,33 @@ object HistQueries {
         "histogram_quantile(0.9, sum by (le) (rate(purchase[2d])))")
         .select(col("step_ts"), round(col("value"), 6).as("q90"))
         .orderBy("step_ts")
+    }),
+
+    // FiloDB data-column selection `m::col` (prometheus/ast/Vectors.scala
+    // column selector): the prom-histogram schema also carries cumulative
+    // `sum`/`count` columns, and rate(purchase::sum[2d]) serves the sum
+    // column as a plain counter series with the same extrapolating kernel
+    // — the reference's histogram sum-column rate path.
+    "q111_promql_hist_col_select" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = TsTables.events(s, dir)
+        .withColumn("day", ((col("ts_ms") - S) / D1).cast("long"))
+      val daily = ev.groupBy(col("event_type"), col("day"))
+        .agg(sum(col("value")).as("dsum"), count(lit(1)).cast("double").as("dcnt"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      val cum = daily.select(col("event_type"), col("day"),
+        sum(col("dsum")).over(w).as("sum"), sum(col("dcnt")).over(w).as("count"))
+      val samples = cum.select(
+        col("event_type").as("metric"),
+        map().cast("map<string,string>").as("tags"),
+        (lit(S) + (col("day") + 1) * D1).as("ts"),
+        lit(null).cast("double").as("value"),
+        col("sum"), col("count"),
+        lit("prom_histogram").as("series_type"))
+      val ctx = PromPlanner.Ctx(s, samples, S + 2 * D1, TsTables.EventsEndMs, D1)
+      PromPlanner.queryRange(ctx, "rate(purchase::sum[2d])")
+        .select(col("step_ts"), round(col("value"), 6).as("rate_sum"))
+        .orderBy("step_ts")
     })
   )
 
@@ -476,7 +503,26 @@ object HistQueries {
               WHEN c100 >= 0.9*ctot THEN 50.0 + (100.0 - 50.0) * (0.9*ctot - c50) / (c100 - c50)
               WHEN c200 >= 0.9*ctot THEN 100.0 + (200.0 - 100.0) * (0.9*ctot - c100) / (c200 - c100)
               ELSE 200.0 END, 6) AS q90
-          FROM b ORDER BY step_ts"""
+          FROM b ORDER BY step_ts""",
+
+    // same 2-samples-per-window extrapolated-rate mirror as q106, applied
+    // to the cumulative SUM column instead of per-bucket counts
+    "q111_promql_hist_col_select" ->
+      s"""WITH ev AS (SELECT (epoch_ns(ts)//1000000 - $S) // $D1 AS day, value
+                      FROM events WHERE event_type = 'purchase'),
+          cum AS (SELECT day, sum(sum(value)) OVER (ORDER BY day) AS c
+                  FROM ev GROUP BY day),
+          stps AS (SELECT unnest(generate_series(${S + 2 * D1}, ${TsTables.EventsEndMs}, $D1)) AS step_ts),
+          pair AS (SELECT s.step_ts, c1.c AS v1, c2.c AS v2
+                   FROM stps s
+                   JOIN cum c1 ON c1.day = (s.step_ts - $S) // $D1 - 2
+                   JOIN cum c2 ON c2.day = (s.step_ts - $S) // $D1 - 1)
+          SELECT step_ts,
+                 round((v2 - v1) * ((86400.0 +
+                     CASE WHEN (v2 - v1) > 0 AND 86400.0 * (v1 / (v2 - v1)) < 86400.0
+                          THEN 86400.0 * (v1 / (v2 - v1)) ELSE 86400.0 END) / 86400.0)
+                   / ${2 * D1} * 1000, 6) AS rate_sum
+          FROM pair ORDER BY step_ts"""
   )
 
   /** Cumulative counts at the exp-histogram bounds 2^1..2^9 (scale 0,

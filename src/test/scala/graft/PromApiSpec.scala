@@ -96,6 +96,21 @@ class PromApiSpec extends AnyFunSuite with Matchers {
     } finally api.stop()
   }
 
+  test("format_query returns the canonical printed form; errors on bad input") {
+    val samples = TsTables.eventsAsSamples(spark, "/root/testdata/sf0.001")
+    val api = new PromApi(spark, samples).start()
+    try {
+      val port = api.boundPort
+      def fq(q: String) = get(port,
+        s"/api/v1/format_query?query=${java.net.URLEncoder.encode(q, "UTF-8")}")
+      fq("sum  (rate( purchase[5m] ))   by(user)") shouldEqual
+        """{"status":"success","data":"sum by (user) (rate(purchase[5m]))"}"""
+      fq("1+2*3") shouldEqual
+        """{"status":"success","data":"1 + (2 * 3)"}"""
+      fq("sum(") should include(""""status":"error"""")
+    } finally api.stop()
+  }
+
   test("HTTP federation read stitches a remote cluster into local evaluation") {
     import org.apache.spark.sql.functions.col
     import graft.http.RemoteRead

@@ -517,4 +517,32 @@ class PromQLSpec extends AnyFunSuite with Matchers {
       .as[(Long, Double, Int)].collect()
     out shouldEqual Array((4000L, 1.0, 0))
   }
+
+  test("m::col selects a data column of the main table (FiloDB column selector)") {
+    // hist-schema storage: value is null, cumulative sum/count columns
+    // carry the histogram's sum and count series
+    val hist = Seq(
+      ("lat", 1000L, 100.0, 2.0), ("lat", 2000L, 250.0, 5.0), ("lat", 3000L, 400.0, 9.0))
+      .toDF("metric", "ts", "sum", "count")
+      .select(col("metric"), map().cast("map<string,string>").as("tags"), col("ts"),
+        lit(null).cast("double").as("value"), col("sum"), col("count"),
+        lit("prom_histogram").as("series_type"))
+    val c = PromPlanner.Ctx(spark, hist, 3000L, 3000L, 1000L, lookbackMs = 3000L)
+    // increase over the count column, window (0, 3000]: delta 9-2=7 over
+    // 2000ms sampled; start-gap extrapolation is clamped at the counter
+    // zero point (2000*(2/7)ms), so increase = 7 + 2 = 9 exactly
+    val out = PromPlanner.queryRange(c, "increase(lat::count[3s])")
+      .select("step_ts", "value").as[(Long, Double)].collect()
+    out.length shouldEqual 1
+    out.head._2 shouldEqual 9.0 +- 1e-9
+    // instant selector on ::sum reads the sum column directly
+    val last = PromPlanner.queryRange(c, "lat::sum")
+      .select("value").as[Double].collect()
+    last shouldEqual Array(400.0)
+    // unknown column is a planning error
+    val ex = intercept[IllegalArgumentException] {
+      PromPlanner.queryRange(c, "lat::nope")
+    }
+    ex.getMessage should include("no column")
+  }
 }
