@@ -172,6 +172,82 @@ object Similarity {
     corpus.join(dropped, Seq(idCol), "left_anti")
   }
 
+  /** Product-quantization codebooks (Jégou et al. 2011, "Product
+    * Quantization for Nearest Neighbor Search"): ksub centroids per
+    * subspace, fit on a bounded sample (same contract as ivfKnn's coarse
+    * quantizer). Returned driver-side — the codebooks are tiny
+    * (m * ksub * dim/m doubles) and are embedded as LITERALS in the
+    * encode/query expressions, so at corpus scale both encoding and ADC
+    * scoring are pure map-side codegen'd projections. */
+  def fitPqCodebooks(corpus: DataFrame, m: Int, ksub: Int,
+                     vecCol: String = "embedding",
+                     fitSampleRows: Int = 65536): Seq[Array[Array[Double]]] = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val dim = corpus.select(size(col(vecCol))).head.getInt(0)
+    require(dim % m == 0, s"m=$m must divide embedding dim=$dim")
+    val dsub = dim / m
+    val sample = corpus.select(col(vecCol).cast("array<double>").as("__v"))
+      .limit(fitSampleRows).cache()
+    try (0 until m).map { j =>
+      val sub = sample.select(
+        array_to_vector(slice(col("__v"), j * dsub + 1, dsub)).as("features"))
+      new KMeans().setK(ksub).setSeed(42L + j).setMaxIter(8)
+        .setFeaturesCol("features").setPredictionCol("__code")
+        .fit(sub).clusterCenters.map(_.toArray).toArray[Array[Double]]
+    } finally sample.unpersist()
+  }
+
+  private def l2sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (s, x) => s + x)
+
+  /** PQ-encode the corpus: each vector becomes m small codes (nearest
+    * centroid per subspace, first-min tiebreak) — the 4-bytes-per-float
+    * embedding column compresses to m bytes per row, the representation
+    * that makes billion-scale ANN memory-resident. Pure map-side
+    * expressions against literal codebooks; zero shuffle.
+    * Output: (neighbor_id, codes ARRAY<INT>). */
+  def pqEncode(corpus: DataFrame, codebooks: Seq[Array[Array[Double]]],
+               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val dsub = codebooks.head.head.length
+    val codes = codebooks.zipWithIndex.map { case (cb, j) =>
+      val centers = typedLit(cb.map(_.toSeq).toSeq)
+      val dists = transform(centers, c => l2sq(slice(col("__v"), j * dsub + 1, dsub), c))
+      (array_position(dists, array_min(dists)) - 1).cast("int")
+    }
+    corpus.select(col(idCol).as("neighbor_id"), col(vecCol).cast("array<double>").as("__v"))
+      .select(col("neighbor_id"), array(codes: _*).as("codes"))
+  }
+
+  /** Approximate top-k by PQ asymmetric distance computation (ADC): each
+    * query precomputes one ksub-entry L2 distance table per subspace (on
+    * the tiny broadcast query side), and every corpus row is scored by m
+    * TABLE LOOKUPS — no per-row vector math touches the corpus. Ranking
+    * ascends approximate squared L2; recall follows quantization error
+    * (raise m/ksub to tighten). */
+  def pqKnn(queries: DataFrame, corpus: DataFrame, k: Int,
+            m: Int = 4, ksub: Int = 16,
+            idCol: String = "vec_id", vecCol: String = "embedding",
+            fitSampleRows: Int = 65536): DataFrame = {
+    val cbs = fitPqCodebooks(corpus, m, ksub, vecCol, fitSampleRows)
+    val dsub = cbs.head.head.length
+    val encoded = pqEncode(corpus, cbs, idCol, vecCol)
+    val dtCols = cbs.zipWithIndex.map { case (cb, j) =>
+      val centers = typedLit(cb.map(_.toSeq).toSeq)
+      transform(centers, c => l2sq(slice(col("qv"), j * dsub + 1, dsub), c)).as(s"__dt$j")
+    }
+    val q = broadcast(
+      queries.select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
+        .select(col("query_id") +: col("qv").as("qv") +: dtCols: _*))
+    val adist = (0 until m).map(j =>
+      element_at(col(s"__dt$j"), element_at(col("codes"), j + 1) + 1)).reduce(_ + _)
+    val scored = q.join(encoded, col("query_id") =!= col("neighbor_id"))
+      .withColumn("adist", adist)
+    val w = Window.partitionBy(col("query_id")).orderBy(col("adist").asc, col("neighbor_id").asc)
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rk"), round(col("adist"), 6).as("adist"))
+  }
+
   /** Embedding near-duplicate pairs: cosine >= threshold among LSH-bucket
     * candidates (the embedding-cosine dedup operator). */
   def cosineDuplicates(corpus: DataFrame, threshold: Double, nPlanes: Int = 6,

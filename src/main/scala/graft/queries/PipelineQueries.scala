@@ -170,7 +170,16 @@ object PipelineQueries {
 
     "q110_temperature_sample" -> ((s, dir) =>
       Sampling.temperatureSample(TsTables.documents(s, dir), alpha = 0.5, targetRows = 200)
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+
+    // PQ-ADC approximate kNN on the planted fixture (seeded sub-space
+    // KMeans + single-partition fixture = bit-stable output; expected rows
+    // pinned as the inline oracle, like the other sketch operators)
+    "q112_pq_knn" -> ((s, _) => {
+      val e = PipelineFixtures.embs(s)
+      Similarity.pqKnn(e.filter(col("vec_id") < 3), e, k = 5, m = 4, ksub = 4)
+        .orderBy(col("query_id"), col("rk"))
+    })
   )
 
   /** Winnowing candidate pairs: long shingles (k=8) keep fingerprints
@@ -222,6 +231,19 @@ object PipelineQueries {
       val docs = TsTables.documents(s, dir)
       Components.keepRepresentatives(docs,
         Dedup.minHashDuplicates(docs, numHashes = 16, threshold = 0.5))
+    }),
+    "corpus_span_dedup" -> ((s, dir) =>
+      Dedup.removeDuplicateSpans(TsTables.documents(s, dir), w = 8)),
+    "corpus_pq_knn" -> ((s, dir) => {
+      val e = TsTables.embeddings(s, dir)
+      Similarity.pqKnn(e.filter(col("vec_id") < 10), e, k = 5, m = 4, ksub = 16)
+    }),
+    "corpus_decontam" -> ((s, dir) => {
+      val docs = TsTables.documents(s, dir)
+      Decontam.flagContaminated(
+        docs.where(col("doc_id") % 10 =!= 0),
+        docs.where(col("doc_id") % 10 === 0).withColumnRenamed("doc_id", "bench_id"),
+        n = 8)
     })
   )
 
@@ -506,6 +528,20 @@ object PipelineQueries {
          SELECT d.doc_id, d.source
          FROM documents d JOIN rates r USING (source)
          WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 4))::INT / 65536.0 < r.rate
-         ORDER BY d.doc_id"""
+         ORDER BY d.doc_id""",
+
+    // planted-fixture golden (seeded sub-space KMeans, single-partition
+    // fixture): expected ADC top-k pinned inline, every neighbor verified
+    // same-cluster as its query (i % 3) — the PipelineSpec recall property
+    "q112_pq_knn" ->
+      """SELECT query_id, neighbor_id, rk, CAST(adist AS DOUBLE) AS adist FROM (VALUES
+           (0, 3, 1, 0.005394), (0, 6, 2, 0.005394), (0, 9, 3, 0.005394),
+           (0, 12, 4, 0.005394), (0, 15, 5, 0.005394),
+           (1, 4, 1, 0.004369), (1, 10, 2, 0.004369), (1, 16, 3, 0.004369),
+           (1, 19, 4, 0.004369), (1, 7, 5, 0.008991),
+           (2, 17, 1, 0.002114), (2, 8, 2, 0.008469), (2, 23, 3, 0.008469),
+           (2, 11, 4, 0.009158), (2, 14, 5, 0.013469))
+         v(query_id, neighbor_id, rk, adist)
+         ORDER BY query_id, rk"""
   )
 }

@@ -224,6 +224,20 @@ class PipelineSpec extends AnyFunSuite with Matchers {
     out(1).getString(4) shouldEqual "nothing sensitive here"
   }
 
+  test("pq knn: ADC top-k stays in the planted cluster; codes are m small ints") {
+    val e = graft.queries.PipelineFixtures.embs(spark)
+    val out = Similarity.pqKnn(e.filter(col("vec_id") < 3), e, k = 5, m = 4, ksub = 4)
+      .collect()
+    out.length shouldEqual 15
+    out.foreach { r => // planted clusters are i % 3: ADC must not cross them
+      (r.getAs[Int]("neighbor_id") % 3) shouldEqual (r.getAs[Int]("query_id") % 3)
+    }
+    val enc = Similarity.pqEncode(e, Similarity.fitPqCodebooks(e, m = 4, ksub = 4))
+    enc.select(org.apache.spark.sql.functions.size(col("codes")))
+      .distinct().as[Int].collect() shouldEqual Array(4)
+    enc.count() shouldEqual 24
+  }
+
   test("temperature sampling upsamples small domains, deterministic under repartition") {
     val rows = (0 until 400).map(i => (i.toLong, "big")) ++
       (1000 until 1025).map(i => (i.toLong, "small"))

@@ -181,4 +181,28 @@ class PlanQualitySpec extends AnyFunSuite with Matchers {
       (p should not).include("BroadcastNestedLoopJoin")
     }
   }
+
+  test("decontamination probes the corpus against a BROADCAST benchmark gram set") {
+    import org.apache.spark.sql.functions.col
+    val docs = TsTables.documents(spark, dir)
+    val df = graft.pipeline.Decontam.flagContaminated(
+      docs.where(col("doc_id") % 10 =!= 0),
+      docs.where(col("doc_id") % 10 === 0).withColumnRenamed("doc_id", "bench_id"),
+      n = 8)
+    val p = plan(df)
+    // the 100 TB corpus side must never shuffle its grams for the probe
+    p should include("BroadcastHashJoin")
+    (p should not).include("SortMergeJoin")
+    (p should not).include("CartesianProduct")
+  }
+
+  test("duplicate-span removal shuffles window hashes, not gram strings") {
+    val df = graft.pipeline.Dedup.removeDuplicateSpans(TsTables.documents(spark, dir), w = 8)
+    df.count() // finalize AQE
+    val p = plan(df)
+    (p should not).include("CartesianProduct")
+    (p should not).include("BroadcastNestedLoopJoin")
+    // the occurrence-count aggregation groups by the xxhash64 window hash
+    p should include("xxhash64")
+  }
 }
