@@ -28,6 +28,23 @@ object Dedup {
     docs.join(keep, Seq(idCol), "left_semi")
   }
 
+  /** Incremental-ingest dedup: drop rows of `newDocs` whose normalized
+    * fingerprint already exists in the historical corpus. The corpus side
+    * reduces to DISTINCT md5 keys before the anti-join — at 100 TB that is
+    * the fingerprint index, not the text; store it as its own table and
+    * this is one semi-structured anti-join per ingest batch (the batch
+    * analogue of DocIngest's dropDuplicatesWithinWatermark state). Also
+    * dedupes WITHIN the new batch (lowest id wins), so appending the
+    * result keeps the corpus exact-duplicate-free. */
+  def dropAgainstCorpus(newDocs: DataFrame, corpus: DataFrame,
+                        textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val seen = corpus.select(TextAnalysis.fingerprint(col(textCol)).as("__fp")).distinct()
+    dropExactDuplicates(newDocs, textCol, idCol)
+      .withColumn("__fp", TextAnalysis.fingerprint(col(textCol)))
+      .join(seen, Seq("__fp"), "left_anti")
+      .drop("__fp")
+  }
+
   /** Word k-shingles from an already-projected token array column. Tokens
     * must be STAGED as their own projection first: inlining the split
     * inside the transform/slice lambda makes Catalyst re-run the regex

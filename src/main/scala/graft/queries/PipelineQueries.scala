@@ -179,6 +179,19 @@ object PipelineQueries {
       val e = PipelineFixtures.embs(s)
       Similarity.pqKnn(e.filter(col("vec_id") < 3), e, k = 5, m = 4, ksub = 4)
         .orderBy(col("query_id"), col("rk"))
+    }),
+
+    // incremental-ingest dedup: corpus = first 250 docs; the "new batch"
+    // is the rest plus three replayed (re-id'd) corpus docs, which must be
+    // dropped by fingerprint while genuinely-new docs survive
+    "q113_incremental_dedup" -> ((s, dir) => {
+      val docs = TsTables.documents(s, dir).select(col("doc_id"), col("text"))
+      val corpus = docs.where(col("doc_id") < 250)
+      val replayed = corpus.where(col("doc_id") < 3)
+        .select((col("doc_id") + 2000000).as("doc_id"), col("text"))
+      val batch = docs.where(col("doc_id") >= 250).unionByName(replayed)
+      Dedup.dropAgainstCorpus(batch, corpus)
+        .select(col("doc_id")).orderBy(col("doc_id"))
     })
   )
 
@@ -542,6 +555,19 @@ object PipelineQueries {
            (2, 17, 1, 0.002114), (2, 8, 2, 0.008469), (2, 23, 3, 0.008469),
            (2, 11, 4, 0.009158), (2, 14, 5, 0.013469))
          v(query_id, neighbor_id, rk, adist)
-         ORDER BY query_id, rk"""
+         ORDER BY query_id, rk""",
+
+    "q113_incremental_dedup" ->
+      """WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id < 250),
+              batch AS (SELECT doc_id, text FROM documents WHERE doc_id >= 250
+                        UNION ALL
+                        SELECT doc_id + 2000000, text FROM documents WHERE doc_id < 3),
+              fp AS (SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS f
+                     FROM batch),
+              keepb AS (SELECT f, min(doc_id) AS doc_id FROM fp GROUP BY f),
+              seen AS (SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS f
+                       FROM corpus)
+         SELECT k.doc_id FROM keepb k LEFT JOIN seen s USING (f)
+         WHERE s.f IS NULL ORDER BY doc_id"""
   )
 }

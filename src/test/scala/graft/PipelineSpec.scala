@@ -224,6 +224,17 @@ class PipelineSpec extends AnyFunSuite with Matchers {
     out(1).getString(4) shouldEqual "nothing sensitive here"
   }
 
+  test("incremental dedup drops batch rows already in the corpus and intra-batch dups") {
+    val corpus = Seq((1L, "existing doc about spark"), (2L, "another existing doc")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "a genuinely new document"),
+      (11L, "  Existing   doc about SPARK "), // normalized dup of corpus 1
+      (12L, "a genuinely new document"),      // intra-batch dup of 10
+      (13L, "second new document")).toDF("doc_id", "text")
+    Dedup.dropAgainstCorpus(batch, corpus)
+      .select("doc_id").as[Long].collect().sorted shouldEqual Array(10L, 13L)
+  }
+
   test("pq knn: ADC top-k stays in the planted cluster; codes are m small ints") {
     val e = graft.queries.PipelineFixtures.embs(spark)
     val out = Similarity.pqKnn(e.filter(col("vec_id") < 3), e, k = 5, m = 4, ksub = 4)
