@@ -109,6 +109,37 @@ object Quality {
       sequence(lit(0), greatest(size(toks) - n, lit(0))),
       i => concat_ws(" ", slice(toks, i + 1, lit(n))))
 
+  /** C4-style page filters (Raffel et al. 2020, "Exploring the Limits of
+    * Transfer Learning...", §2.2 — the C4 cleaning heuristics): terminal-
+    * punctuation line fraction, short-line (<5 words) fraction, sentence
+    * count, lorem-ipsum / curly-brace / policy-boilerplate markers, and
+    * the combined keep verdict. Pure codegen'd expressions — zero shuffle
+    * over a corpus scan; mirrored in full by the DuckDB oracle. */
+  def c4Signals(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
+                minSentences: Int = 3): DataFrame = {
+    val t = col(textCol)
+    val lt = lower(t)
+    val lines = split(t, "\n")
+    val nLines = size(lines).cast("double")
+    val termFrac = size(filter(lines, l => trim(l).rlike("[.!?]$"))) / nLines
+    val shortFrac = size(filter(lines, l => size(split(trim(l), "\\s+")) < 5)) / nLines
+    val nSentences = size(regexp_extract_all(t, lit("[.!?]"), lit(0)))
+    val hasLorem = lt.contains("lorem ipsum")
+    val hasBrace = t.contains("{")
+    val hasPolicy = lt.contains("privacy policy") || lt.contains("terms of use") ||
+      lt.contains("cookie policy")
+    docs.select(
+      col(idCol),
+      size(lines).as("n_lines"),
+      round(termFrac, 6).as("term_punct_line_frac"),
+      round(shortFrac, 6).as("short_line_frac"),
+      nSentences.as("n_sentences"),
+      hasLorem.as("has_lorem"),
+      hasBrace.as("has_brace"),
+      hasPolicy.as("has_policy"),
+      (!hasLorem && !hasBrace && !hasPolicy && nSentences >= minSentences).as("c4_pass"))
+  }
+
   /** The assembled Gopher filter: per-doc signals plus a pass/fail verdict
     * under the published thresholds (adapted: word-count bounds scaled to
     * the corpus under test via minWords/maxWords). */

@@ -96,4 +96,27 @@ object PipelineFixtures {
     import s.implicits._
     piiRows.toDF("doc_id", "text")
   }
+
+  /** Planted multi-line pages for the C4 filter battery (q114): exercises
+    * terminal-punctuation/short-line fractions, code/boilerplate markers,
+    * and the policy-page phrases the real single-line corpus can't. */
+  val c4Rows: Seq[(Long, String)] = Seq(
+    (1100000L, "This is a proper sentence. And another follows it!\nShort line\nWe value your privacy policy compliance."),
+    (1100001L, "function foo() { return 42; }\nlorem ipsum dolor sit amet consetetur."),
+    (1100002L, "Clean page with sentences. It has three of them. Yes it truly does."),
+    (1100003L, "no punctuation here at all\njust fragments"))
+
+  def c4Docs(s: SparkSession): DataFrame = {
+    import s.implicits._
+    c4Rows.toDF("doc_id", "text")
+  }
+
+  /** The same rows as an inline DuckDB relation (newlines emitted as
+    * chr(10) concatenations so the SQL stays single-line). Generated from
+    * c4Rows so the two sides cannot drift. */
+  def c4ValuesSql: String =
+    c4Rows.map { case (id, t) =>
+      val parts = t.split("\n", -1).map(p => "'" + p.replace("'", "''") + "'")
+      s"($id, ${parts.mkString(" || chr(10) || ")})"
+    }.mkString("(VALUES ", ", ", ") c4v(doc_id, text)")
 }

@@ -192,6 +192,12 @@ object PipelineQueries {
       val batch = docs.where(col("doc_id") >= 250).unionByName(replayed)
       Dedup.dropAgainstCorpus(batch, corpus)
         .select(col("doc_id")).orderBy(col("doc_id"))
+    }),
+
+    "q114_c4_signals" -> ((s, dir) => {
+      val docs = TsTables.documents(s, dir).select(col("doc_id"), col("text"))
+        .unionByName(PipelineFixtures.c4Docs(s))
+      Quality.c4Signals(docs).orderBy(col("doc_id"))
     })
   )
 
@@ -568,6 +574,30 @@ object PipelineQueries {
               seen AS (SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS f
                        FROM corpus)
          SELECT k.doc_id FROM keepb k LEFT JOIN seen s USING (f)
-         WHERE s.f IS NULL ORDER BY doc_id"""
+         WHERE s.f IS NULL ORDER BY doc_id""",
+
+    "q114_c4_signals" ->
+      s"""WITH all_docs AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT * FROM ${PipelineFixtures.c4ValuesSql}),
+          base AS (SELECT doc_id, text, lower(text) AS lt,
+                          string_split(text, chr(10)) AS lines,
+                          len(regexp_extract_all(text, '[.!?]')) AS n_sentences,
+                          contains(lower(text), 'lorem ipsum') AS has_lorem,
+                          contains(text, '{') AS has_brace,
+                          (contains(lower(text), 'privacy policy') OR
+                           contains(lower(text), 'terms of use') OR
+                           contains(lower(text), 'cookie policy')) AS has_policy
+                   FROM all_docs)
+          SELECT doc_id, len(lines) AS n_lines,
+                 round(len(list_filter(lines, l -> regexp_matches(trim(l), '[.!?]$$')))
+                   / CAST(len(lines) AS DOUBLE), 6) AS term_punct_line_frac,
+                 round(len(list_filter(lines, l -> len(string_split_regex(trim(l), '\\s+')) < 5))
+                   / CAST(len(lines) AS DOUBLE), 6) AS short_line_frac,
+                 n_sentences, has_lorem, has_brace, has_policy,
+                 (NOT has_lorem AND NOT has_brace AND NOT has_policy
+                  AND n_sentences >= 3) AS c4_pass
+          FROM base ORDER BY doc_id"""
   )
 }

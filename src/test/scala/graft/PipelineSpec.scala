@@ -224,6 +224,41 @@ class PipelineSpec extends AnyFunSuite with Matchers {
     out(1).getString(4) shouldEqual "nothing sensitive here"
   }
 
+  test("duplicate span removal matches a brute-force reference on random corpora") {
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("a", "b", "c", "d", "e")
+    val w = 3
+    for (_ <- 1 to 3) {
+      val corpus = (0 until 12).map { i =>
+        val len = 3 + rnd.nextInt(12)
+        (i.toLong, Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      // brute-force reference: all window occurrences, duplicated =
+      // appears in >=2 distinct docs, covered = non-canonical occurrences
+      val toks = corpus.map { case (id, t) => id -> t.split("\\s+").toSeq }.toMap
+      val occ = scala.collection.mutable.Map[Seq[String], List[(Long, Int)]]()
+      for ((id, ts) <- toks.toSeq.sortBy(_._1); p <- 0 to ts.length - w)
+        occ.updateWith(ts.slice(p, p + w))(o => Some(o.getOrElse(Nil) :+ (id, p)))
+      val expected = toks.map { case (id, ts) =>
+        val covered = scala.collection.mutable.Set[Int]()
+        for ((_, os) <- occ if os.map(_._1).distinct.size >= 2) {
+          val canon = os.min
+          for ((oid, op) <- os if oid == id && (oid, op) != canon; k <- op until op + w)
+            covered += k
+        }
+        id -> ((ts.indices.filterNot(covered).map(ts).mkString(" "),
+                covered.size.toDouble / ts.length))
+      }
+      val got = Dedup.removeDuplicateSpans(corpus.toDF("doc_id", "text"), w = w)
+        .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getDouble(2)))).toMap
+      got.keySet shouldEqual expected.keySet
+      for ((id, (txt, frac)) <- expected) {
+        got(id)._1 shouldEqual txt
+        got(id)._2 shouldEqual (frac +- 1e-6)
+      }
+    }
+  }
+
   test("incremental dedup drops batch rows already in the corpus and intra-batch dups") {
     val corpus = Seq((1L, "existing doc about spark"), (2L, "another existing doc")).toDF("doc_id", "text")
     val batch = Seq(
@@ -247,6 +282,19 @@ class PipelineSpec extends AnyFunSuite with Matchers {
     enc.select(org.apache.spark.sql.functions.size(col("codes")))
       .distinct().as[Int].collect() shouldEqual Array(4)
     enc.count() shouldEqual 24
+  }
+
+  test("c4 filters: verdicts on planted pages") {
+    val out = pipeline.Quality.c4Signals(graft.queries.PipelineFixtures.c4Docs(spark))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    out(1100000L).getAs[Boolean]("has_policy") shouldBe true
+    out(1100000L).getAs[Boolean]("c4_pass") shouldBe false
+    out(1100001L).getAs[Boolean]("has_lorem") shouldBe true
+    out(1100001L).getAs[Boolean]("has_brace") shouldBe true
+    out(1100002L).getAs[Boolean]("c4_pass") shouldBe true
+    out(1100002L).getAs[Int]("n_sentences") shouldBe 3
+    out(1100003L).getAs[Int]("n_sentences") shouldBe 0
+    out(1100003L).getAs[Boolean]("c4_pass") shouldBe false
   }
 
   test("temperature sampling upsamples small domains, deterministic under repartition") {
