@@ -103,6 +103,31 @@ object Parser {
   val AggOps: Set[String] = Set("sum", "min", "max", "avg", "count", "group", "stddev",
     "stdvar", "topk", "bottomk", "quantile", "count_values")
 
+  /** The closed function set (FiloDB has no UDF surface — PlanEnums.scala
+    * is a closed enum; same contract here). Kept in sync with
+    * PromPlanner.planFunc / InstantFns by the full query suite. */
+  val KnownFunctions: Set[String] = Set(
+    // range functions
+    "rate", "increase", "delta", "idelta", "irate", "resets", "changes", "deriv",
+    "predict_linear", "holt_winters", "sum_over_time", "avg_over_time",
+    "count_over_time", "min_over_time", "max_over_time", "stddev_over_time",
+    "stdvar_over_time", "quantile_over_time", "mad_over_time", "last_over_time",
+    "last", "timestamp", "present_over_time", "absent_over_time", "z_score",
+    "last_over_time_is_mad_outlier",
+    // instant functions
+    "abs", "ceil", "floor", "exp", "ln", "log2", "log10", "sqrt", "sgn", "round",
+    "clamp", "clamp_max", "clamp_min",
+    "month", "year", "hour", "minute", "day_of_week", "day_of_month",
+    "day_of_year", "days_in_month",
+    // histogram functions
+    "histogram_quantile", "histogram_fraction", "histogram_bucket",
+    "histogram_max_quantile", "histogram_max_quantile_even",
+    "hist_to_prom_vectors",
+    // scalar / misc
+    "absent", "vector", "scalar", "time", "sort", "sort_desc", "limit",
+    "label_replace", "label_join", "or_vector", "no_optimize",
+    "optimize_with_agg", "_filodb_chunkmeta_all")
+
   def parse(query: String): PromExpr = new P(lex(query)).parseAll()
 
   private class P(toks: Vector[Tok]) {
@@ -274,6 +299,13 @@ object Parser {
             case TOp("]") =>
               advance()
               e = e match {
+                // modifiers must FOLLOW the range (Prometheus: "no offset
+                // modifiers allowed before range selector"); a second
+                // range on a range selector is likewise an error
+                case s: Selector if s.offsetMs != 0 || s.atMs.isDefined =>
+                  fail("offset/@ modifiers must come after the range selector")
+                case s: Selector if s.windowMs.isDefined =>
+                  fail("range selector already has a range")
                 case s: Selector => s.copy(windowMs = Some(range))
                 case other => fail(s"range [] applies to selectors, got $other")
               }
@@ -382,6 +414,9 @@ object Parser {
         advance()
         cur match {
           case TOp("(") => // function call
+            // unknown names are a PARSE error, as in the reference's
+            // grammar (ParserSpec: non_existent_function_far_bar() fails)
+            if (!Parser.KnownFunctions(name)) fail(s"unknown function '$name'")
             advance()
             val args = ArrayBuffer[PromExpr]()
             if (cur != TOp(")")) {
@@ -477,6 +512,8 @@ object Parser {
 
     private def finishSelector(metric: Option[String],
                                ms: ArrayBuffer[LabelMatcher]): PromExpr = {
+      if (metric.isEmpty && ms.isEmpty)
+        fail("vector selector must contain at least one matcher")
       if (metric.isDefined && ms.exists(_.label == "__name__"))
         fail(s"metric name '${metric.get}' and a __name__ matcher cannot both be given")
       val named = ms.find(_.label == "__name__") match {

@@ -447,4 +447,81 @@ class ParserGoldenSpec extends AnyFunSuite with Matchers {
     an[IllegalArgumentException] should be thrownBy
       Parser.parse("""up{"__name__"="x"}""")
   }
+
+  // ----- tranche 4 (round 5, late): postfix aggregation clauses, literal-
+  // ish label names, column-selector names, malformed-input zoo — further
+  // ParserSpec coverage areas (our own assertions, not a port) -----
+
+  test("by/without clause may follow the aggregate's argument list") {
+    Parser.parse("sum (m) without (foo)") shouldEqual
+      Agg("sum", sel("m"), None, Nil, Seq("foo"))
+    Parser.parse("group by(foo)(m)") shouldEqual
+      Agg("group", sel("m"), None, Seq("foo"), Nil)
+    Parser.parse("sum by ()(m)") shouldEqual Agg("sum", sel("m"), None, Nil, Nil)
+  }
+
+  test("keywords are legal inside a without() label list") {
+    Parser.parse("sum without(and, by, avg, count)(m)") shouldEqual
+      Agg("sum", sel("m"), None, Nil, Seq("and", "by", "avg", "count"))
+  }
+
+  test("Inf/NaN are legal label NAMES in matchers") {
+    Parser.parse("""foo{NaN="bc", inf="test"}""") shouldEqual
+      Selector(Some("foo"), Seq(
+        LabelMatcher("NaN", MatchOp.Eq, "bc"), LabelMatcher("inf", MatchOp.Eq, "test")))
+  }
+
+  test("bool immediately followed by a parenthesized operand") {
+    Parser.parse("4 == bool(2)") shouldEqual
+      BinOp("==", NumberLit(4), NumberLit(2), bool = true)
+  }
+
+  test("leading and trailing colons in recording-rule names") {
+    Parser.parse(""":node_memory_utilisation:{_ns="x"}""") shouldEqual
+      Selector(Some(":node_memory_utilisation:"),
+        Seq(LabelMatcher("_ns", MatchOp.Eq, "x")))
+  }
+
+  test("column-selector metric names keep their ::col suffix") {
+    Parser.parse("""rate(m::sum{a="b"}[5m])""") shouldEqual
+      FuncCall("rate", Seq(Selector(Some("m::sum"),
+        Seq(LabelMatcher("a", MatchOp.Eq, "b")), Some(300000L))))
+  }
+
+  test("errors: malformed ranges, offsets and selector bodies") {
+    an[IllegalArgumentException] should be thrownBy Parser.parse("foo[5mm]")
+    an[IllegalArgumentException] should be thrownBy Parser.parse("foo[1]")
+    an[IllegalArgumentException] should be thrownBy Parser.parse("foo[]")
+    an[IllegalArgumentException] should be thrownBy Parser.parse("""foo["5m"]""")
+    an[IllegalArgumentException] should be thrownBy Parser.parse("some_metric[5m] offset 1")
+    an[IllegalArgumentException] should be thrownBy Parser.parse("some_metric offset 1m[5m]")
+    an[IllegalArgumentException] should be thrownBy Parser.parse("""some_metric{a=b}""")
+    an[IllegalArgumentException] should be thrownBy Parser.parse("""foo{a>="b"}""")
+    an[IllegalArgumentException] should be thrownBy Parser.parse("foo{1}")
+    an[IllegalArgumentException] should be thrownBy Parser.parse("{}")
+  }
+
+  test("range on a parenthesized expression needs a subquery step") {
+    an[IllegalArgumentException] should be thrownBy Parser.parse("(foo + bar)[5m]")
+    Parser.parse("(foo + bar)[5m:1m]") shouldEqual
+      Subquery(BinOp("+", sel("foo"), sel("bar")), 300000L, Some(60000L))
+  }
+
+  test("errors: empty input, comments, operator soup, backtick strings") {
+    an[IllegalArgumentException] should be thrownBy Parser.parse("")
+    an[IllegalArgumentException] should be thrownBy Parser.parse("# just a comment")
+    an[IllegalArgumentException] should be thrownBy Parser.parse("-=")
+    an[IllegalArgumentException] should be thrownBy Parser.parse("++-++-+-+-<")
+    an[IllegalArgumentException] should be thrownBy Parser.parse("e-+=/(0)")
+    an[IllegalArgumentException] should be thrownBy
+      Parser.parse("label_replace(a, `b`, `cff`, `d`, `.*`)")
+  }
+
+  test("non-existent function name is a parse error (closed function set)") {
+    an[IllegalArgumentException] should be thrownBy
+      Parser.parse("non_existent_function_far_bar(m)")
+    an[IllegalArgumentException] should be thrownBy Parser.parse("rrate(m[5m])")
+    // known functions still parse
+    Parser.parse("sgn(m)") shouldEqual FuncCall("sgn", Seq(sel("m")))
+  }
 }
