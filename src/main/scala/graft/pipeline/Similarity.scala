@@ -27,15 +27,24 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Pair-scoring form with PRE-COMPUTED norms: norm(v) is O(d) and pair
+    * joins evaluate the similarity once per PAIR — precomputing the norm
+    * as a per-row column drops that O(d) to a multiply. Bit-identical to
+    * cosine() (same ops, evaluated earlier). */
+  private def cosinePre(a: Column, an: Column, b: Column, bn: Column): Column =
+    dot(a, b) / (an * bn)
+
   /** Exact top-k cosine neighbors for each query vector.
     * Queries are broadcast; the corpus is scanned once. */
   def bruteForceKnn(queries: DataFrame, corpus: DataFrame, k: Int,
                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val q = broadcast(queries.select(col(idCol).as("query_id"),
-      col(vecCol).cast("array<double>").as("qv")))
+      col(vecCol).cast("array<double>").as("qv"))
+      .withColumn("__qn", norm(col("qv"))))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).cast("array<double>").as("cv"))
+      .withColumn("__cn", norm(col("cv")))
     val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
-      .withColumn("sim", cosine(col("qv"), col("cv")))
+      .withColumn("sim", cosinePre(col("qv"), col("__qn"), col("cv"), col("__cn")))
     val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id").asc)
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rk"), round(col("sim"), 6).as("sim"))
@@ -60,12 +69,14 @@ object Similarity {
              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val q = broadcast(queries.select(col(idCol).as("query_id"),
       col(vecCol).cast("array<double>").as("qv"))
-      .withColumn("bucket", lshBucket(col("qv"), nPlanes)))
+      .withColumn("bucket", lshBucket(col("qv"), nPlanes))
+      .withColumn("__qn", norm(col("qv"))))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).cast("array<double>").as("cv"))
       .withColumn("bucket", lshBucket(col("cv"), nPlanes))
+      .withColumn("__cn", norm(col("cv")))
     val scored = q.join(c, Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("sim", cosine(col("qv"), col("cv")))
+      .withColumn("sim", cosinePre(col("qv"), col("__qn"), col("cv"), col("__cn")))
     val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id").asc)
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rk"), round(col("sim"), 6).as("sim"))
@@ -105,6 +116,7 @@ object Similarity {
       c0.limit(fitSampleRows).withColumn("features", array_to_vector(col("cv"))))
     val assigned = model.transform(c0.withColumn("features", array_to_vector(col("cv"))))
       .select(col("neighbor_id"), col("cv"), col("centroid"))
+      .withColumn("__cn", norm(col("cv")))
 
     val spark = corpus.sparkSession
     import spark.implicits._
@@ -114,16 +126,17 @@ object Similarity {
 
     // nprobe nearest centroids per query (centroid table is tiny)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
+      .withColumn("__qn", norm(col("qv")))
     val wq = Window.partitionBy(col("query_id")).orderBy(col("cdist").asc)
     val probes = q.crossJoin(broadcast(centroids))
       .withColumn("cdist", -cosine(col("qv"), col("centroid_vec")))
       .withColumn("crk", row_number().over(wq))
       .filter(col("crk") <= nprobe)
-      .select(col("query_id"), col("qv"), col("centroid"))
+      .select(col("query_id"), col("qv"), col("__qn"), col("centroid"))
 
     val scored = probes.join(assigned, Seq("centroid"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("sim", cosine(col("qv"), col("cv")))
+      .withColumn("sim", cosinePre(col("qv"), col("__qn"), col("cv"), col("__cn")))
     val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id").asc)
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rk"), round(col("sim"), 6).as("sim"))
@@ -162,12 +175,13 @@ object Similarity {
       .withColumn("__nsub",
         ceil(count(lit(1)).over(wc) / lit(maxClusterCompare.toDouble)).cast("long"))
       .withColumn("__sub", pmod(xxhash64(col(idCol)), greatest(col("__nsub"), lit(1L))))
-    val a = assigned.as("a"); val b = assigned.as("b")
+    val a = assigned.withColumn("__n", norm(col("__v"))).as("a")
+    val b = assigned.withColumn("__n", norm(col("__v"))).as("b")
     // a doc is dropped iff SOME lower-id doc in its sub-split is >= threshold
     val dropped = a.join(b, col("a.__cluster") === col("b.__cluster") &&
         col("a.__sub") === col("b.__sub") &&
         col(s"b.$idCol") < col(s"a.$idCol"))
-      .where(cosine(col("a.__v"), col("b.__v")) >= threshold)
+      .where(cosinePre(col("a.__v"), col("a.__n"), col("b.__v"), col("b.__n")) >= threshold)
       .select(col(s"a.$idCol")).distinct()
     corpus.join(dropped, Seq(idCol), "left_anti")
   }
@@ -189,13 +203,23 @@ object Similarity {
     val dsub = dim / m
     val sample = corpus.select(col(vecCol).cast("array<double>").as("__v"))
       .limit(fitSampleRows).cache()
-    try (0 until m).map { j =>
-      val sub = sample.select(
-        array_to_vector(slice(col("__v"), j * dsub + 1, dsub)).as("features"))
-      new KMeans().setK(ksub).setSeed(42L + j).setMaxIter(8)
-        .setFeaturesCol("features").setPredictionCol("__code")
-        .fit(sub).clusterCenters.map(_.toArray).toArray[Array[Double]]
-    } finally sample.unpersist()
+    // the m sub-space fits are independent seeded jobs — run them
+    // CONCURRENTLY on the shared scheduler (results are indexed by j, so
+    // completion order cannot affect the codebooks)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fits = (0 until m).map { j =>
+      Future {
+        val sub = sample.select(
+          array_to_vector(slice(col("__v"), j * dsub + 1, dsub)).as("features"))
+        new KMeans().setK(ksub).setSeed(42L + j).setMaxIter(8)
+          .setFeaturesCol("features").setPredictionCol("__code")
+          .fit(sub).clusterCenters.map(_.toArray).toArray[Array[Double]]
+      }
+    }
+    try Await.result(Future.sequence(fits), Duration.Inf)
+    finally sample.unpersist()
   }
 
   private def l2sq(a: Column, b: Column): Column =
@@ -258,9 +282,10 @@ object Similarity {
     // degenerate-bucket cap: one near-constant embedding cluster would
     // otherwise make this self-join quadratic (see Dedup.capBuckets)
     val c = graft.pipeline.Dedup.capBuckets(c0, Seq("bucket"), maxBucketSize)
+      .withColumn("__n", norm(col("v")))
     val a = c.as("a"); val b = c.as("b")
     a.join(b, col("a.bucket") === col("b.bucket") && col(s"a.$idCol") < col(s"b.$idCol"))
-      .withColumn("sim", cosine(col("a.v"), col("b.v")))
+      .withColumn("sim", cosinePre(col("a.v"), col("a.__n"), col("b.v"), col("b.__n")))
       .filter(col("sim") >= threshold)
       .select(col(s"a.$idCol").as("id1"), col(s"b.$idCol").as("id2"), round(col("sim"), 6).as("sim"))
   }

@@ -742,6 +742,13 @@ object PromPlanner {
         map_concat(map_filter(col("labels"), (k, _) => k =!= dst), map(lit(dst), joined))))
         .transform(finish)
 
+    case "hist_to_prom_vectors" =>
+      // the storage bridges (bridgeHistCols / bridgeExpHist) already
+      // explode hist-typed rows into per-`le` bucket series at the
+      // selector, so the conversion the reference's HistToPromSeriesMapper
+      // performs is the identity here — plan the argument directly
+      planVector(ctx, args.head)
+
     case instant =>
       // scalar math over each sample
       val paramArgs: Seq[Double] = instant match {
