@@ -109,6 +109,35 @@ object Quality {
       sequence(lit(0), greatest(size(toks) - n, lit(0))),
       i => concat_ws(" ", slice(toks, i + 1, lit(n))))
 
+  /** Unigram self-perplexity: mean negative log-likelihood of each doc's
+    * tokens under the unigram distribution of the corpus itself — the
+    * CCNet-style LM quality signal with the corpus as its own language
+    * model (no external model exists in this container; the plumbing and
+    * the signal's shape are identical with a real LM's vocabulary table).
+    * Outlier docs (rare-token soup) score high, template-y docs low.
+    *
+    * Scale shape: the term-frequency table is built by ONE hash-first
+    * count (the per-token shuffle carries (doc_id, xxhash64(token))
+    * longs, never token strings) and joined back on the same hash; the
+    * per-doc aggregation reuses that shuffle's key space. mean_nll =
+    * ln(N) - mean(ln tf) — tf >= 1 for every scored token by
+    * construction, so no smoothing term is needed.
+    * Output: (idCol, n_tokens, mean_nll). */
+  def unigramLogLoss(docs: DataFrame, textCol: String = "text",
+                     idCol: String = "doc_id"): DataFrame = {
+    val toks = docs
+      .select(col(idCol), explode(TextAnalysis.tokens(lower(col(textCol)))).as("__t"))
+      .select(col(idCol), xxhash64(col("__t")).as("__h"))
+    val tf = toks.groupBy(col("__h")).agg(count(lit(1)).as("__tf"))
+    val n = tf.agg(sum(col("__tf")).as("__n"))
+    toks.join(tf, "__h")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), avg(log(col("__tf"))).as("__mlt"))
+      .crossJoin(broadcast(n))
+      .select(col(idCol), col("n_tokens"),
+        round(log(col("__n")) - col("__mlt"), 6).as("mean_nll"))
+  }
+
   /** C4-style page filters (Raffel et al. 2020, "Exploring the Limits of
     * Transfer Learning...", §2.2 — the C4 cleaning heuristics): terminal-
     * punctuation line fraction, short-line (<5 words) fraction, sentence

@@ -75,6 +75,29 @@ object TextAnalysis {
       sequence(lit(0), greatest(size(grams) - w, lit(0))),
       i => array_min(slice(grams, i + 1, lit(w)))))
 
+  /** Overlapping fixed-size token chunks — the retrieval/embedding
+    * chunking operator (every RAG pipeline's first step). Chunk i covers
+    * tokens [i*(size-overlap), i*(size-overlap)+size); the last chunk may
+    * be short; docs shorter than `size` yield one chunk. Pure map-side
+    * expressions over staged tokens — zero shuffle, the corpus streams.
+    * Output: (idCol, chunk_idx, chunk_text, n_tokens). */
+  def chunkDocuments(docs: DataFrame, chunkTokens: Int = 64, overlapTokens: Int = 16,
+                     textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(overlapTokens < chunkTokens, "overlap must be smaller than the chunk size")
+    val step = chunkTokens - overlapTokens
+    val base = docs.select(col(idCol), tokens(col(textCol)).as("__toks"))
+    // number of chunks: 1 + floor(max(len - size, 0) / step), then one
+    // more if a tail remains past the last full window
+    val len = size(col("__toks"))
+    val nChunks = (greatest(len - overlapTokens - 1, lit(0)) / step).cast("int") + 1
+    base.select(col(idCol),
+        posexplode(transform(sequence(lit(0), nChunks - 1),
+          i => slice(col("__toks"), i * step + 1, lit(chunkTokens)))))
+      .select(col(idCol), col("pos").as("chunk_idx"),
+        concat_ws(" ", col("col")).as("chunk_text"),
+        size(col("col")).as("n_tokens"))
+  }
+
   /** PII detection/redaction patterns. Restricted to the RE2-compatible
     * regex subset (no lookaround, no backrefs) so the DuckDB oracle can
     * apply the IDENTICAL pattern strings — and so the operator stays

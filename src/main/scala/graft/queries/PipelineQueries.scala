@@ -198,7 +198,15 @@ object PipelineQueries {
       val docs = TsTables.documents(s, dir).select(col("doc_id"), col("text"))
         .unionByName(PipelineFixtures.c4Docs(s))
       Quality.c4Signals(docs).orderBy(col("doc_id"))
-    })
+    }),
+
+    "q115_unigram_logloss" -> ((s, dir) =>
+      Quality.unigramLogLoss(TsTables.documents(s, dir)).orderBy(col("doc_id"))),
+
+    "q116_chunking" -> ((s, dir) =>
+      TextAnalysis.chunkDocuments(TsTables.documents(s, dir),
+        chunkTokens = 32, overlapTokens = 8)
+        .orderBy(col("doc_id"), col("chunk_idx")))
   )
 
   /** Winnowing candidate pairs: long shingles (k=8) keep fingerprints
@@ -598,6 +606,28 @@ object PipelineQueries {
                  n_sentences, has_lorem, has_brace, has_policy,
                  (NOT has_lorem AND NOT has_brace AND NOT has_policy
                   AND n_sentences >= 3) AS c4_pass
-          FROM base ORDER BY doc_id"""
+          FROM base ORDER BY doc_id""",
+
+    "q115_unigram_logloss" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+                       FROM documents),
+              tf AS (SELECT t, count(*) AS c FROM toks GROUP BY t),
+              n AS (SELECT sum(c) AS tot FROM tf)
+         SELECT doc_id, count(*) AS n_tokens,
+                round(ln((SELECT tot FROM n)) - avg(ln(c)), 6) AS mean_nll
+         FROM toks JOIN tf USING (t)
+         GROUP BY doc_id ORDER BY doc_id""",
+
+    "q116_chunking" ->
+      """WITH base AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+                       FROM documents),
+              idx AS (SELECT doc_id, toks,
+                             unnest(generate_series(0,
+                               CAST(floor(greatest(len(toks) - 8 - 1, 0) / 24.0) AS INT))) AS i
+                      FROM base)
+         SELECT doc_id, i AS chunk_idx,
+                array_to_string(toks[i*24+1 : i*24+32], ' ') AS chunk_text,
+                len(toks[i*24+1 : i*24+32]) AS n_tokens
+         FROM idx ORDER BY doc_id, chunk_idx"""
   )
 }

@@ -284,6 +284,31 @@ class PipelineSpec extends AnyFunSuite with Matchers {
     enc.count() shouldEqual 24
   }
 
+  test("chunking: overlapping windows cover every token; short docs yield one chunk") {
+    val d = Seq((1L, (1 to 70).map("t" + _).mkString(" ")), (2L, "a b c"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.chunkDocuments(d, chunkTokens = 32, overlapTokens = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3)))
+      .sortBy(c => (c._1, c._2))
+    val doc1 = out.filter(_._1 == 1L)
+    doc1.map(_._2).toSeq shouldEqual Seq(0, 1, 2) // starts 0, 24, 48
+    doc1.map(_._4).toSeq shouldEqual Seq(32, 32, 22)
+    doc1(1)._3 should startWith("t25 ")
+    doc1(2)._3 should endWith(" t70") // every token covered
+    out.filter(_._1 == 2L).toSeq shouldEqual Seq((2L, 0, "a b c", 3))
+  }
+
+  test("unigram log loss: rare-token docs score higher under the corpus LM") {
+    val d = Seq((1L, "x x x x"), (2L, "x x x rare")).toDF("doc_id", "text")
+    val out = pipeline.Quality.unigramLogLoss(d)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    out(1L)._1 shouldEqual 4
+    // tf(x)=7, tf(rare)=1, N=8: doc1 = ln8 - ln7; doc2 = ln8 - (3 ln7)/4
+    out(1L)._2 shouldEqual (math.log(8) - math.log(7)) +- 1e-6
+    out(2L)._2 shouldEqual (math.log(8) - 3 * math.log(7) / 4) +- 1e-6
+    out(2L)._2 should be > out(1L)._2
+  }
+
   test("c4 filters: verdicts on planted pages") {
     val out = pipeline.Quality.c4Signals(graft.queries.PipelineFixtures.c4Docs(spark))
       .collect().map(r => r.getLong(0) -> r).toMap
