@@ -58,13 +58,20 @@ class PromApi(spark: SparkSession, samples: DataFrame, port: Int = 0,
     ex.close()
   }
 
+  /** Query-string AND form-urlencoded POST body params (the Prometheus
+    * API accepts both on every endpoint; Grafana POSTs long queries). */
   private def params(ex: HttpExchange): Map[String, String] = {
     val q = Option(ex.getRequestURI.getRawQuery).getOrElse("")
-    val kv = q.split("&").filter(_.contains("=")).map { p =>
+    val body =
+      if (ex.getRequestMethod == "POST")
+        new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8).trim
+      else ""
+    val raw = Seq(q, body).filter(_.nonEmpty).mkString("&")
+    val kv = raw.split("&").filter(_.contains("=")).map { p =>
       val Array(k, v) = p.split("=", 2)
       k -> java.net.URLDecoder.decode(v, "UTF-8")
     }.toMap
-    kv + ("__path" -> ex.getRequestURI.getPath) + ("__raw" -> q)
+    kv + ("__path" -> ex.getRequestURI.getPath) + ("__raw" -> raw)
   }
 
   /** All `match[]` values (the params map keeps only the last duplicate). */
@@ -74,11 +81,18 @@ class PromApi(spark: SparkSession, samples: DataFrame, port: Int = 0,
       .filter(_.startsWith("match[]="))
       .map(_.stripPrefix("match[]="))
 
-  /** seconds (float ok) → ms */
-  private def ms(s: String): Long = (s.toDouble * 1000).toLong
+  /** Prometheus time parameter: unix seconds (float) or RFC3339. */
+  private def ms(s: String): Long =
+    if (s.contains("T")) java.time.OffsetDateTime.parse(s).toInstant.toEpochMilli
+    else math.round(s.toDouble * 1000)
+
+  /** Prometheus step parameter: float seconds or a duration string. */
+  private def stepMs(s: String): Long =
+    if (s.nonEmpty && s.last.isLetter) graft.promql.Parser.parseDuration(s)
+    else math.round(s.toDouble * 1000)
 
   private def queryRange(p: Map[String, String]): String = {
-    val ctx = PromPlanner.Ctx(spark, samples, ms(p("start")), ms(p("end")), ms(p("step")))
+    val ctx = PromPlanner.Ctx(spark, samples, ms(p("start")), ms(p("end")), stepMs(p("step")))
     val df = PromPlanner.queryRange(ctx, p("query"))
     val rows = collectLimited(df).groupBy(_.getString(0)).toSeq.sortBy(_._1)
     val result = rows.map { case (key, rs) =>

@@ -130,6 +130,13 @@ object Parser {
 
   def parse(query: String): PromExpr = new P(lex(query)).parseAll()
 
+  /** Parse a standalone Prometheus duration string ("5m", "90s", "1h30m"),
+    * as accepted by the HTTP API's `step` parameter. */
+  def parseDuration(s: String): Long = lex(s) match {
+    case Vector(TDur(ms), TEnd) => ms
+    case _ => throw new IllegalArgumentException(s"not a duration: '$s'")
+  }
+
   private class P(toks: Vector[Tok]) {
     private var pos = 0
     private def cur: Tok = toks(pos)

@@ -96,6 +96,29 @@ class PromApiSpec extends AnyFunSuite with Matchers {
     } finally api.stop()
   }
 
+  test("POST form bodies, RFC3339 times and duration steps match the GET form") {
+    val samples = TsTables.eventsAsSamples(spark, "/root/testdata/sf0.001")
+    val api = new PromApi(spark, samples).start()
+    try {
+      val port = api.boundPort
+      val enc = java.net.URLEncoder.encode("sum(sum_over_time(purchase[1d]))", "UTF-8")
+      val viaGet = get(port, s"/api/v1/query_range?query=$enc" +
+        s"&start=${TsTables.EventsStartMs / 1000}&end=${TsTables.EventsEndMs / 1000}&step=86400")
+      // POST with a form body, RFC3339 start/end, and a "1d" duration step
+      val startIso = java.time.Instant.ofEpochMilli(TsTables.EventsStartMs).toString
+      val endIso = java.time.Instant.ofEpochMilli(TsTables.EventsEndMs).toString
+      val client = HttpClient.newHttpClient()
+      val viaPost = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://localhost:$port/api/v1/query_range"))
+          .header("Content-Type", "application/x-www-form-urlencoded")
+          .POST(HttpRequest.BodyPublishers.ofString(
+            s"query=$enc&start=$startIso&end=$endIso&step=1d"))
+          .build(),
+        HttpResponse.BodyHandlers.ofString()).body()
+      viaPost shouldEqual viaGet
+    } finally api.stop()
+  }
+
   test("format_query returns the canonical printed form; errors on bad input") {
     val samples = TsTables.eventsAsSamples(spark, "/root/testdata/sf0.001")
     val api = new PromApi(spark, samples).start()
