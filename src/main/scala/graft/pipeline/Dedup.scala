@@ -285,11 +285,14 @@ object Dedup {
       .where(size(col("__toks")) >= w)
       .select(col(idCol),
         posexplode(TextAnalysis.gramsFromTokens(col("__toks"), w)).as(Seq("__pos", "__h")))
+    // duplicated = occurs more than once CORPUS-WIDE, including repeats
+    // within one document (boilerplate/spam is the archetypal ExactSubstr
+    // target and usually repeats inside a single page)
     val dupStats = wins
       .groupBy(col("__h"))
-      .agg(countDistinct(col(idCol)).as("__nd"),
+      .agg(count(lit(1)).as("__nocc"),
            min(struct(col(idCol), col("__pos"))).as("__canon"))
-      .where(col("__nd") >= 2)
+      .where(col("__nocc") >= 2)
     val cov = wins.join(dupStats, "__h")
       .where(!(col(idCol) === col("__canon").getField(idCol) &&
                col("__pos") === col("__canon").getField("__pos")))

@@ -286,6 +286,10 @@ object Parser {
     private def parsePostfix(e0: PromExpr): PromExpr = {
       var e = e0
       var done = false
+      // Prometheus rejects offset/@ BEFORE the range regardless of value
+      // ("no offset modifiers allowed before range selector") — a value
+      // check (offsetMs != 0) would let `offset 0s [5m]` slip through
+      var modifierSeen = false
       while (!done) cur match {
         case TOp("[") =>
           advance()
@@ -306,10 +310,9 @@ object Parser {
             case TOp("]") =>
               advance()
               e = e match {
-                // modifiers must FOLLOW the range (Prometheus: "no offset
-                // modifiers allowed before range selector"); a second
-                // range on a range selector is likewise an error
-                case s: Selector if s.offsetMs != 0 || s.atMs.isDefined =>
+                // modifiers must FOLLOW the range; a second range on a
+                // range selector is likewise an error
+                case _ if modifierSeen =>
                   fail("offset/@ modifiers must come after the range selector")
                 case s: Selector if s.windowMs.isDefined =>
                   fail("range selector already has a range")
@@ -320,6 +323,7 @@ object Parser {
           }
         case TOp("@") =>
           advance()
+          modifierSeen = true
           val at = cur match {
             // round, don't truncate: "@ 1.234" lexes to a double a hair
             // below 1.234, and toLong would drift 1234 -> 1233 -> 1232
@@ -345,6 +349,7 @@ object Parser {
           }
         case t if isKw(t, "offset") =>
           advance()
+          modifierSeen = true
           // negative offsets look into the future: `offset -1h`
           val neg = cur match { case TOp("-") => advance(); true; case _ => false }
           val d0 = cur match {

@@ -479,11 +479,10 @@ object PromPlanner {
         case sel: Selector if sel.windowMs.isEmpty && (n == "timestamp" || n == "last") =>
           periodic(ctx, sel, RangeFns.byName(n), ctx.lookbackMs)
         case sel: Selector if sel.windowMs.isDefined =>
+          lazy val routedRI = routedBase(ctx, sel) // shared by guard + branch
           if (n == "absent_over_time") absent(ctx, sel, sel.windowMs.get)
-          else if ((n == "rate" || n == "increase") && {
-                     val (b, _) = routedBase(ctx, sel)
-                     b.columns.contains("series_type")
-                   }) {
+          else if ((n == "rate" || n == "increase") &&
+                   routedRI._1.columns.contains("series_type")) {
             // Schema-type dispatch (reference MultiSchemaPartitionsExec +
             // the RangeFunction delta/cumulative toggler,
             // RangeFunction.scala:352-360): cumulative-counter series use
@@ -493,7 +492,7 @@ object PromPlanner {
             val deltaFn =
               if (n == "rate") RangeFns.RateOverDelta else RangeFns.IncreaseOverDelta
             val w = sel.windowMs.get
-            val (baseDf, sel2) = routedBase(ctx, sel)
+            val (baseDf, sel2) = routedRI
             // null series_type = plain cumulative counter (legacy rows
             // predate the column). IsNull-or-Ne stays parquet-pushable,
             // unlike a coalesce, and keeps null rows out of neither branch.
@@ -521,8 +520,14 @@ object PromPlanner {
             // Automatic raw/downsample routing: when a cold tier exists and
             // the function is servable from ds-gauge columns, read the cold
             // range from the rewritten column and only the hot tail raw.
+            // Routed metric names (m:::suffix, m::col) are excluded: the ds
+            // tier downsamples the plain VALUE series only, and the routed
+            // table carries its column for its full range — without this
+            // guard the cold branch's metric filter would match nothing and
+            // silently drop the whole cold range.
             val routed = ctx.cold
-              .filter(_ => graft.streaming.DownsampleRouting.Rewritable.contains(n))
+              .filter(_ => graft.streaming.DownsampleRouting.Rewritable.contains(n) &&
+                           !sel.metric.exists(_.contains("::")))
               .map { tier =>
                 val dsCol = n match {
                   case "min_over_time" => "min"

@@ -513,11 +513,11 @@ object PipelineQueries {
                        FROM base, UNNEST(generate_series(1, greatest(len(toks)-7, 0))) AS t(i)),
               marked AS (SELECT doc_id, pos,
                                 row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rk,
-                                count(distinct doc_id) OVER (PARTITION BY gram) AS nd
+                                count(*) OVER (PARTITION BY gram) AS nocc
                          FROM wins),
               cov AS (SELECT DISTINCT doc_id, pos + d AS cp
                       FROM marked, UNNEST(generate_series(0, 7)) AS g(d)
-                      WHERE nd >= 2 AND rk > 1),
+                      WHERE nocc >= 2 AND rk > 1),
               toks AS (SELECT doc_id, i-1 AS pos, toks[i] AS tok
                        FROM base, UNNEST(generate_series(1, len(toks))) AS t(i)),
               kept AS (SELECT t.doc_id, string_agg(t.tok, ' ' ORDER BY t.pos) AS clean_text

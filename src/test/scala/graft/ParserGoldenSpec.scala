@@ -495,6 +495,11 @@ class ParserGoldenSpec extends AnyFunSuite with Matchers {
     an[IllegalArgumentException] should be thrownBy Parser.parse("""foo["5m"]""")
     an[IllegalArgumentException] should be thrownBy Parser.parse("some_metric[5m] offset 1")
     an[IllegalArgumentException] should be thrownBy Parser.parse("some_metric offset 1m[5m]")
+    // ... regardless of the offset's VALUE (Prometheus rejects the form)
+    an[IllegalArgumentException] should be thrownBy Parser.parse("some_metric offset 0s[5m]")
+    // subquery after a modifier stays legal, as in the reference grammar
+    Parser.parse("some_metric offset 1m[5m:1m]") shouldEqual
+      Subquery(Selector(Some("some_metric"), Nil, None, 60000L), 300000L, Some(60000L))
     an[IllegalArgumentException] should be thrownBy Parser.parse("""some_metric{a=b}""")
     an[IllegalArgumentException] should be thrownBy Parser.parse("""foo{a>="b"}""")
     an[IllegalArgumentException] should be thrownBy Parser.parse("foo{1}")

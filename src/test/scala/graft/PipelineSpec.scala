@@ -234,14 +234,15 @@ class PipelineSpec extends AnyFunSuite with Matchers {
         (i.toLong, Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
       }
       // brute-force reference: all window occurrences, duplicated =
-      // appears in >=2 distinct docs, covered = non-canonical occurrences
+      // >=2 occurrences corpus-wide (within-doc repeats count), covered =
+      // non-canonical occurrences
       val toks = corpus.map { case (id, t) => id -> t.split("\\s+").toSeq }.toMap
       val occ = scala.collection.mutable.Map[Seq[String], List[(Long, Int)]]()
       for ((id, ts) <- toks.toSeq.sortBy(_._1); p <- 0 to ts.length - w)
         occ.updateWith(ts.slice(p, p + w))(o => Some(o.getOrElse(Nil) :+ (id, p)))
       val expected = toks.map { case (id, ts) =>
         val covered = scala.collection.mutable.Set[Int]()
-        for ((_, os) <- occ if os.map(_._1).distinct.size >= 2) {
+        for ((_, os) <- occ if os.size >= 2) {
           val canon = os.min
           for ((oid, op) <- os if oid == id && (oid, op) != canon; k <- op until op + w)
             covered += k

@@ -296,6 +296,23 @@ class PromQLSpec extends AnyFunSuite with Matchers {
       .select("value").as[Double].head() shouldEqual 10.0 +- 1e-9
   }
 
+  test("cold-tier routing never applies to routed metric names (m::col)") {
+    import graft.promql.PromPlanner.ColdTier
+    // samples table carries an extra cumulative 'aux' column for its FULL
+    // range; the ds tier downsamples only the plain value series
+    val hist = (1 to 10).map(i => ("m", Map.empty[String, String], i * 1000L, i.toDouble, i * 10.0))
+      .toDF("metric", "tags", "ts", "value", "aux")
+    val ds = Seq(("m", Map.empty[String, String], 5000L, 1.0, 5.0, 15.0, 5.0))
+      .toDF("metric", "tags", "ts", "min", "max", "sum", "count")
+    val c = PromPlanner.Ctx(spark, hist, 10000L, 10000L, 1000L,
+      cold = Some(ColdTier(ds, 5000L)))
+    // sum_over_time over the aux COLUMN must read the routed table's full
+    // range (10+20+...+100 = 550), not lose the cold half to a ds-tier
+    // filter that matches nothing
+    PromPlanner.queryRange(c, "sum_over_time(m::aux[10s])")
+      .select("value").as[Double].head() shouldEqual 550.0 +- 1e-9
+  }
+
   test("sort and sort_desc order the result by value") {
     val c = ctx(3000, 3000, 1000)
     PromPlanner.queryRange(c, "sort_desc(sum_over_time(purchase[3s]))")
