@@ -206,7 +206,30 @@ object PipelineQueries {
     "q116_chunking" -> ((s, dir) =>
       TextAnalysis.chunkDocuments(TsTables.documents(s, dir),
         chunkTokens = 32, overlapTokens = 8)
-        .orderBy(col("doc_id"), col("chunk_idx")))
+        .orderBy(col("doc_id"), col("chunk_idx"))),
+
+    // the curation dashboard: per-source corpus health report composing
+    // token counting, language ID, Gopher verdicts and dedup pressure in
+    // ONE pass shape (each signal is a zero-shuffle expression; the only
+    // aggregation is the final per-source rollup)
+    "q117_corpus_report" -> ((s, dir) => {
+      val docs = TsTables.documents(s, dir)
+      val signals = Quality.gopherSignals(docs)
+        .select(col("doc_id"), col("gopher_pass"))
+      docs.select(col("doc_id"), col("source"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+          TextAnalysis.langId(col("text")).as("lang"),
+          TextAnalysis.fingerprint(col("text")).as("fp"))
+        .join(signals, "doc_id")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"),
+          round(avg(col("n_tokens")), 6).as("mean_tokens"),
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"),
+          sum(when(col("gopher_pass"), 1L).otherwise(0L)).as("n_gopher_pass"),
+          countDistinct(col("fp")).as("n_unique_fps"))
+        .orderBy(col("source"))
+    })
   )
 
   /** Winnowing candidate pairs: long shingles (k=8) keep fingerprints
@@ -399,7 +422,28 @@ object PipelineQueries {
             SELECT s.u, reach.r FROM sym s JOIN reach ON s.v = reach.u)
           SELECT u AS id, min(r) AS component FROM reach GROUP BY u ORDER BY id""",
 
-    "q100_gopher_signals" ->
+    "q100_gopher_signals" -> GopherSql,
+
+    "q117_corpus_report" ->
+      s"""WITH gopher AS ($GopherSql),
+              d AS (SELECT doc_id, source,
+                           len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+                           CASE WHEN len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                                                     x -> x IN ($SW))) >= 1
+                                THEN 'en' ELSE 'und' END AS lang,
+                           md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+                    FROM documents)
+         SELECT d.source, count(*) AS n_docs, sum(d.n_tokens) AS total_tokens,
+                round(avg(d.n_tokens), 6) AS mean_tokens,
+                sum(CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END) AS n_en,
+                sum(CASE WHEN g.gopher_pass THEN 1 ELSE 0 END) AS n_gopher_pass,
+                count(distinct d.fp) AS n_unique_fps
+         FROM d JOIN gopher g USING (doc_id)
+         GROUP BY d.source ORDER BY d.source"""
+  ) ++ oraclesTail
+
+  /** The full q100 Gopher mirror, shared with q117's per-source rollup. */
+  private lazy val GopherSql: String =
       s"""WITH base AS (
             SELECT doc_id, text,
                    string_split_regex(trim(text), '\\s+') AS toks,
@@ -445,7 +489,9 @@ object PipelineQueries {
                   AND g2.top2_frac < 0.20
                   AND g3.top3_frac < 0.18) AS gopher_pass
           FROM signals s JOIN g2 USING (doc_id) JOIN g3 USING (doc_id)
-          ORDER BY doc_id""",
+          ORDER BY doc_id"""
+
+  private lazy val oraclesTail: Map[String, String] = Map(
 
     // golden-fixture oracle (KMeans clustering is not DuckDB-reproducible):
     // the three planted direction clusters each keep their minimum id

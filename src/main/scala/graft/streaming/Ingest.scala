@@ -78,7 +78,8 @@ object Ingest {
     * and streaming inputs; streaming callers add a watermark first. */
   def downsample(samples: DataFrame, resolution: String,
                  lateness: Option[String] = None,
-                 bucketOffset: String = "0 milliseconds"): DataFrame = {
+                 bucketOffset: String = "0 milliseconds",
+                 seriesCols: Seq[String] = Seq("series_id", "metric", "user")): DataFrame = {
     val timed = samples.withColumn("tsc", timestamp_millis(col("ts")))
     // streaming callers pass `lateness` to watermark the event-time column
     // so append mode can finalize windows; batch callers omit it.
@@ -87,15 +88,14 @@ object Ingest {
     // with Prometheus (t-w, t] query windows on ms-resolution timestamps.
     val src = lateness.map(timed.withWatermark("tsc", _)).getOrElse(timed)
     src
-      .groupBy(col("series_id"), col("metric"), col("user"),
-        window(col("tsc"), resolution, resolution, bucketOffset).as("w"))
+      .groupBy(seriesCols.map(col) :+
+        window(col("tsc"), resolution, resolution, bucketOffset).as("w"): _*)
       .agg(
         min(col("value")).as("min"), max(col("value")).as("max"),
         sum(col("value")).as("sum"), count(col("value")).cast("double").as("count"),
         avg(col("value")).as("avg"))
-      .select(col("series_id"), col("metric"), col("user"),
-        unix_millis(col("w.end")).as("ts"),
-        col("min"), col("max"), col("sum"), col("count"), col("avg"))
+      .select(seriesCols.map(col) ++ Seq(unix_millis(col("w.end")).as("ts"),
+        col("min"), col("max"), col("sum"), col("count"), col("avg")): _*)
   }
 
   /** Histogram-typed downsample (the reference's max-min histogram ds
