@@ -311,8 +311,14 @@ object Parser {
               advance()
               e = e match {
                 // modifiers must FOLLOW the range; a second range on a
-                // range selector is likewise an error
+                // range selector is likewise an error. Both guards are
+                // needed: the flag catches a zero-valued `offset 0s`
+                // in THIS postfix chain, the value check catches a
+                // modifier applied inside parentheses — `(foo offset 1m)
+                // [5m]` unwraps to a bare Selector in a fresh chain
                 case _ if modifierSeen =>
+                  fail("offset/@ modifiers must come after the range selector")
+                case s: Selector if s.offsetMs != 0 || s.atMs.isDefined =>
                   fail("offset/@ modifiers must come after the range selector")
                 case s: Selector if s.windowMs.isDefined =>
                   fail("range selector already has a range")

@@ -524,10 +524,12 @@ object PromPlanner {
             // tier downsamples the plain VALUE series only, and the routed
             // table carries its column for its full range — without this
             // guard the cold branch's metric filter would match nothing and
-            // silently drop the whole cold range.
+            // silently drop the whole cold range. "Is routed" is asked of
+            // routedBase itself (did it rewrite the metric?), not re-derived
+            // from the naming convention here.
             val routed = ctx.cold
               .filter(_ => graft.streaming.DownsampleRouting.Rewritable.contains(n) &&
-                           !sel.metric.exists(_.contains("::")))
+                           routedRI._2.metric == sel.metric)
               .map { tier =>
                 val dsCol = n match {
                   case "min_over_time" => "min"

@@ -497,6 +497,9 @@ class ParserGoldenSpec extends AnyFunSuite with Matchers {
     an[IllegalArgumentException] should be thrownBy Parser.parse("some_metric offset 1m[5m]")
     // ... regardless of the offset's VALUE (Prometheus rejects the form)
     an[IllegalArgumentException] should be thrownBy Parser.parse("some_metric offset 0s[5m]")
+    // ... and across parentheses (parens unwrap to a bare Selector)
+    an[IllegalArgumentException] should be thrownBy Parser.parse("(foo offset 1m)[5m]")
+    an[IllegalArgumentException] should be thrownBy Parser.parse("(foo @ 100)[5m]")
     // subquery after a modifier stays legal, as in the reference grammar
     Parser.parse("some_metric offset 1m[5m:1m]") shouldEqual
       Subquery(Selector(Some("some_metric"), Nil, None, 60000L), 300000L, Some(60000L))

@@ -205,4 +205,24 @@ class PlanQualitySpec extends AnyFunSuite with Matchers {
     // the occurrence-count aggregation groups by the xxhash64 window hash
     p should include("xxhash64")
   }
+
+  test("temperature sampling broadcasts domain rates; the corpus never shuffles") {
+    val df = graft.pipeline.Sampling.temperatureSample(
+      TsTables.documents(spark, dir), alpha = 0.5, targetRows = 50)
+    df.count()
+    val p = plan(df)
+    p should include("BroadcastHashJoin")
+    (p should not).include("SortMergeJoin")
+  }
+
+  test("chunking and unigram scoring keep their promised shuffle shapes") {
+    // chunking: pure map-side projection, zero exchanges
+    val chunks = graft.pipeline.TextAnalysis.chunkDocuments(
+      TsTables.documents(spark, dir), chunkTokens = 32, overlapTokens = 8)
+    (plan(chunks) should not).include("Exchange")
+    // unigram TF: the token shuffle carries xxhash64 longs
+    val nll = graft.pipeline.Quality.unigramLogLoss(TsTables.documents(spark, dir))
+    nll.count()
+    plan(nll) should include("xxhash64")
+  }
 }

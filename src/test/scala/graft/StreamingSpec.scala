@@ -82,23 +82,32 @@ class StreamingSpec extends AnyFunSuite with Matchers {
     ds(1).getAs[Double]("avg") shouldEqual 30.0
   }
 
-  test("batch downsample job writes one ds-gauge table per resolution") {
+  test("batch downsample job writes planner-ready ds tables per resolution") {
     val tmp = Files.createTempDirectory("graft_dsjob").toFile.getAbsolutePath
-    // series columns auto-detected (here metric+tags-ish 'host'), buckets
-    // are the reference's (k*res, (k+1)*res] periods
-    Seq(("m", "h1", 1L, 1.0), ("m", "h1", 60000L, 3.0), ("m", "h1", 300000L, 5.0),
-        ("m", "h1", 300001L, 7.0), ("m", "h2", 1L, 9.0))
-      .toDF("metric", "host", "ts", "value")
+    // canonical samples shape incl. a MAP tags column (grouped via sorted
+    // entries); buckets are (k*res, (k+1)*res] with bucket-END ts — the
+    // convention the cold-tier planner's ts <= boundary filter expects
+    Seq(("m", Map("u" -> "1"), 1L, 1.0), ("m", Map("u" -> "1"), 60000L, 3.0),
+        ("m", Map("u" -> "1"), 300000L, 5.0), ("m", Map("u" -> "1"), 300001L, 7.0),
+        ("m", Map("u" -> "2"), 1L, 9.0))
+      .toDF("metric", "tags", "ts", "value")
       .write.parquet(s"$tmp/raw")
     graft.tools.DownsampleJob.run(spark, s"$tmp/raw", s"$tmp/out",
       Seq("5 minutes", "1 hour"))
     val ds5 = spark.read.parquet(s"$tmp/out/ds_5_minutes")
-      .orderBy("host", "ts").collect()
-    // (0, 300000]: h1 gets 1,3,5 (300000 is IN the first bucket); h2 gets 9
-    ds5.map(r => (r.getAs[String]("host"), r.getAs[Long]("ts"),
-        r.getAs[Double]("sum"), r.getAs[Double]("count"))).toSeq shouldEqual Seq(
-      ("h1", 300001L, 9.0, 3.0), ("h1", 600001L, 7.0, 1.0), ("h2", 300001L, 9.0, 1.0))
+    // (0, 300000]: u=1 gets 1,3,5 (300000 is IN the first bucket); u=2 gets 9
+    ds5.select(col("tags")("u"), col("ts"), col("sum"), col("count"))
+      .as[(String, Long, Double, Double)].collect().sortBy(r => (r._1, r._2))
+      .toSeq shouldEqual Seq(
+        ("1", 300000L, 9.0, 3.0), ("1", 600000L, 7.0, 1.0), ("2", 300000L, 9.0, 1.0))
     spark.read.parquet(s"$tmp/out/ds_1_hour").count() shouldEqual 2
+    // and the planner's cold tier reads the output directly
+    val raw = spark.read.parquet(s"$tmp/raw")
+    val c = graft.promql.PromPlanner.Ctx(spark, raw.filter($"ts" > 300000L),
+      600000L, 600000L, 1000L,
+      cold = Some(graft.promql.PromPlanner.ColdTier(ds5, 300000L)))
+    graft.promql.PromPlanner.queryRange(c, """sum_over_time(m{u="1"}[10m])""")
+      .select("value").as[Double].head() shouldEqual 16.0 +- 1e-9
   }
 
   test("ingest state TTL evicts idle series once the watermark passes") {
