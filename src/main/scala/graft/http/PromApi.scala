@@ -37,6 +37,7 @@ class PromApi(spark: SparkSession, samples: DataFrame, port: Int = 0,
     server.createContext("/api/v1/series", handler(series))
     server.createContext("/api/v1/label_cardinality", handler(labelCardinality))
     server.createContext("/api/v1/format_query", handler(formatQuery))
+    server.createContext("/api/v1/status/buildinfo", handler(buildInfo))
     server.setExecutor(null)
     server.start()
     this
@@ -137,6 +138,11 @@ class PromApi(spark: SparkSession, samples: DataFrame, port: Int = 0,
     val printed = graft.promql.Printer.print(graft.promql.Parser.parse(p("query")))
     s"""{"status":"success","data":${js(printed)}}"""
   }
+
+  /** `/api/v1/status/buildinfo` — Grafana health-checks this on datasource
+    * setup; shape per the Prometheus API (our engine name/version). */
+  private def buildInfo(p: Map[String, String]): String =
+    s"""{"status":"success","data":{"application":"graft","version":"0.5.0","features":{}}}"""
 
   /** The reference enforces PerQueryLimits on result cardinality
     * (QueryContext) DURING execution. Same here: count distinct series —

@@ -277,7 +277,8 @@ object Dedup {
     * removed_frac = removed tokens / total tokens. Text is compared and
     * rebuilt lowercase (dedup normalization). */
   def removeDuplicateSpans(docs: DataFrame, w: Int = 8, textCol: String = "text",
-                           idCol: String = "doc_id"): DataFrame = {
+                           idCol: String = "doc_id",
+                           minOccurrences: Int = 2): DataFrame = {
     val base = docs
       .select(col(idCol), TextAnalysis.tokens(lower(col(textCol))).as("__toks"))
     // windows exist only where the doc has >= w tokens; pos is 0-based
@@ -285,14 +286,15 @@ object Dedup {
       .where(size(col("__toks")) >= w)
       .select(col(idCol),
         posexplode(TextAnalysis.gramsFromTokens(col("__toks"), w)).as(Seq("__pos", "__h")))
-    // duplicated = occurs more than once CORPUS-WIDE, including repeats
+    // duplicated = occurs >= minOccurrences CORPUS-WIDE, including repeats
     // within one document (boilerplate/spam is the archetypal ExactSubstr
-    // target and usually repeats inside a single page)
+    // target and usually repeats inside a single page). Raise
+    // minOccurrences for a C4-style "only very common spans" policy.
     val dupStats = wins
       .groupBy(col("__h"))
       .agg(count(lit(1)).as("__nocc"),
            min(struct(col(idCol), col("__pos"))).as("__canon"))
-      .where(col("__nocc") >= 2)
+      .where(col("__nocc") >= minOccurrences)
     val cov = wins.join(dupStats, "__h")
       .where(!(col(idCol) === col("__canon").getField(idCol) &&
                col("__pos") === col("__canon").getField("__pos")))

@@ -131,6 +131,8 @@ class PromApiSpec extends AnyFunSuite with Matchers {
       fq("1+2*3") shouldEqual
         """{"status":"success","data":"1 + (2 * 3)"}"""
       fq("sum(") should include(""""status":"error"""")
+      get(port, "/api/v1/status/buildinfo") should
+        include(""""application":"graft"""")
     } finally api.stop()
   }
 
