@@ -71,4 +71,31 @@ class PeriodicSamplesSpec extends AnyFunSuite with Matchers {
     PeriodicSamples(df, Seq("series"), "ts", "value", start, end, step, window, fn, offsetMs = offset)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq.sorted
   }
+
+  test("NaN samples are skipped by the *_over_time family (FiloDB NaN discipline)") {
+    // the reference's AggrOverTimeFunctions NaN-skip: NaN marks a dead
+    // sample slot, not a value — sum/count/avg/min/max ignore it
+    val s = Seq(("a", 100L, 1.0), ("a", 200L, Double.NaN), ("a", 300L, 4.0))
+    run(s, 300, 300, 100, 300, RangeFns.SumOverTime) shouldEqual Seq(("a", 300L, 5.0))
+    run(s, 300, 300, 100, 300, RangeFns.CountOverTime) shouldEqual Seq(("a", 300L, 2.0))
+    run(s, 300, 300, 100, 300, RangeFns.AvgOverTime) shouldEqual Seq(("a", 300L, 2.5))
+    run(s, 300, 300, 100, 300, RangeFns.MinOverTime) shouldEqual Seq(("a", 300L, 1.0))
+    run(s, 300, 300, 100, 300, RangeFns.MaxOverTime) shouldEqual Seq(("a", 300L, 4.0))
+  }
+
+  test("per-step windows slide over the same samples with literal contents") {
+    val s = Seq(("a", 100L, 1.0), ("a", 200L, 2.0), ("a", 300L, 3.0),
+                ("a", 400L, 4.0), ("a", 500L, 5.0))
+    // window 200 at steps 300/400/500: (100,300]=2+3, (200,400]=3+4, (300,500]=4+5
+    run(s, 300, 500, 100, 200, RangeFns.SumOverTime) shouldEqual
+      Seq(("a", 300L, 5.0), ("a", 400L, 7.0), ("a", 500L, 9.0))
+  }
+
+  test("staleness-style lookback: last_over_time sees nothing past the window") {
+    val s = Seq(("a", 100L, 1.0))
+    // lookback 150 at step 300: window (150, 300] is empty -> no row
+    run(s, 300, 300, 100, 150, RangeFns.LastOverTime) shouldEqual Seq.empty
+    // lookback 250 reaches the sample
+    run(s, 300, 300, 100, 250, RangeFns.LastOverTime) shouldEqual Seq(("a", 300L, 1.0))
+  }
 }
