@@ -208,6 +208,22 @@ object PipelineQueries {
         chunkTokens = 32, overlapTokens = 8)
         .orderBy(col("doc_id"), col("chunk_idx"))),
 
+    // the whole curation pass end to end: Gopher quality gate -> language
+    // filter -> duplicate-span removal over the SURVIVORS -> deterministic
+    // split. Every stage is the already-verified operator; the composition
+    // is what a real corpus run executes as one job.
+    "q118_curation_pipeline" -> ((s, dir) => {
+      val docs = TsTables.documents(s, dir)
+      val gate = Quality.gopherSignals(docs).select(col("doc_id"), col("gopher_pass"))
+      val kept = docs.join(gate, "doc_id")
+        .where(col("gopher_pass") && TextAnalysis.langId(col("text")) === "en")
+        .select(col("doc_id"), col("text"))
+      Dedup.removeDuplicateSpans(kept, w = 8)
+        .select(col("doc_id"), col("clean_text"),
+          Sampling.hashSplit(col("doc_id"), Seq("train" -> 0.9, "val" -> 0.1)).as("split"))
+        .orderBy(col("doc_id"))
+    }),
+
     // the curation dashboard: per-source corpus health report composing
     // token counting, language ID, Gopher verdicts and dedup pressure in
     // ONE pass shape (each signal is a zero-shuffle expression; the only
@@ -439,8 +455,49 @@ object PipelineQueries {
                 sum(CASE WHEN g.gopher_pass THEN 1 ELSE 0 END) AS n_gopher_pass,
                 count(distinct d.fp) AS n_unique_fps
          FROM d JOIN gopher g USING (doc_id)
-         GROUP BY d.source ORDER BY d.source"""
+         GROUP BY d.source ORDER BY d.source""",
+
+    "q118_curation_pipeline" ->
+      s"""WITH gopher AS ($GopherSql),
+              curated AS (SELECT d.doc_id, d.text
+                          FROM documents d JOIN gopher g USING (doc_id)
+                          WHERE g.gopher_pass
+                            AND len(list_filter(string_split_regex(trim(lower(d.text)), '\\s+'),
+                                                x -> x IN ($SW))) >= 1),
+              ${spanRemovalCtes("curated")}
+         SELECT doc_id, clean_text,
+                CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::INT / 65536.0 < 0.9
+                     THEN 'train' ELSE 'val' END AS split
+         FROM span_cleaned ORDER BY doc_id"""
   ) ++ oraclesTail
+
+  /** The q108 duplicate-span-removal construction as reusable CTEs over an
+    * arbitrary (doc_id, text) relation; exposes `span_cleaned(doc_id,
+    * clean_text, removed_frac)`. Shared by q108 and the q118 pipeline so
+    * the mirrors cannot drift. */
+  private def spanRemovalCtes(src: String): String =
+    s"""span_base AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+                      FROM $src),
+        span_wins AS (SELECT doc_id, i-1 AS pos, array_to_string(toks[i:i+7], ' ') AS gram
+                      FROM span_base, UNNEST(generate_series(1, greatest(len(toks)-7, 0))) AS t(i)),
+        span_marked AS (SELECT doc_id, pos,
+                               row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rk,
+                               count(*) OVER (PARTITION BY gram) AS nocc
+                        FROM span_wins),
+        span_cov AS (SELECT DISTINCT doc_id, pos + d AS cp
+                     FROM span_marked, UNNEST(generate_series(0, 7)) AS g(d)
+                     WHERE nocc >= 2 AND rk > 1),
+        span_toks AS (SELECT doc_id, i-1 AS pos, toks[i] AS tok
+                      FROM span_base, UNNEST(generate_series(1, len(toks))) AS t(i)),
+        span_kept AS (SELECT t.doc_id, string_agg(t.tok, ' ' ORDER BY t.pos) AS clean_text
+                      FROM span_toks t LEFT JOIN span_cov c
+                        ON t.doc_id = c.doc_id AND t.pos = c.cp
+                      WHERE c.doc_id IS NULL GROUP BY t.doc_id),
+        span_covstats AS (SELECT doc_id, count(*) AS ncov FROM span_cov GROUP BY doc_id),
+        span_cleaned AS (SELECT b.doc_id, coalesce(k.clean_text, '') AS clean_text,
+                                round(coalesce(c.ncov, 0) / CAST(len(b.toks) AS DOUBLE), 6) AS removed_frac
+                         FROM span_base b LEFT JOIN span_kept k USING (doc_id)
+                              LEFT JOIN span_covstats c USING (doc_id))"""
 
   /** The full q100 Gopher mirror, shared with q117's per-source rollup. */
   private lazy val GopherSql: String =
@@ -553,26 +610,8 @@ object PipelineQueries {
          GROUP BY w.doc_id ORDER BY doc_id""",
 
     "q108_dup_span_removal" ->
-      """WITH base AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
-                       FROM documents),
-              wins AS (SELECT doc_id, i-1 AS pos, array_to_string(toks[i:i+7], ' ') AS gram
-                       FROM base, UNNEST(generate_series(1, greatest(len(toks)-7, 0))) AS t(i)),
-              marked AS (SELECT doc_id, pos,
-                                row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rk,
-                                count(*) OVER (PARTITION BY gram) AS nocc
-                         FROM wins),
-              cov AS (SELECT DISTINCT doc_id, pos + d AS cp
-                      FROM marked, UNNEST(generate_series(0, 7)) AS g(d)
-                      WHERE nocc >= 2 AND rk > 1),
-              toks AS (SELECT doc_id, i-1 AS pos, toks[i] AS tok
-                       FROM base, UNNEST(generate_series(1, len(toks))) AS t(i)),
-              kept AS (SELECT t.doc_id, string_agg(t.tok, ' ' ORDER BY t.pos) AS clean_text
-                       FROM toks t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.cp
-                       WHERE c.doc_id IS NULL GROUP BY t.doc_id),
-              covstats AS (SELECT doc_id, count(*) AS ncov FROM cov GROUP BY doc_id)
-         SELECT b.doc_id, coalesce(k.clean_text, '') AS clean_text,
-                round(coalesce(c.ncov, 0) / CAST(len(b.toks) AS DOUBLE), 6) AS removed_frac
-         FROM base b LEFT JOIN kept k USING (doc_id) LEFT JOIN covstats c USING (doc_id)
+      s"""WITH ${spanRemovalCtes("documents")}
+         SELECT doc_id, clean_text, removed_frac FROM span_cleaned
          ORDER BY doc_id""",
 
     "q109_pii_redaction" ->
