@@ -17,6 +17,9 @@ import org.apache.spark.sql.SparkSession
   *    (the reference's native unit, see SURVEY.md §1.2 `ts`).
   */
 object GraftSession {
+  /** Engine version — single source for the API's buildinfo and build.sbt. */
+  val Version = "0.5.0"
+
   def builder(master: String = "local[*]", shufflePartitions: String = "32"): SparkSession.Builder =
     SparkSession.builder()
       .master(master)

@@ -142,7 +142,7 @@ class PromApi(spark: SparkSession, samples: DataFrame, port: Int = 0,
   /** `/api/v1/status/buildinfo` — Grafana health-checks this on datasource
     * setup; shape per the Prometheus API (our engine name/version). */
   private def buildInfo(p: Map[String, String]): String =
-    s"""{"status":"success","data":{"application":"graft","version":"0.5.0","features":{}}}"""
+    s"""{"status":"success","data":{"application":"graft","version":"${graft.GraftSession.Version}","features":{}}}"""
 
   /** The reference enforces PerQueryLimits on result cardinality
     * (QueryContext) DURING execution. Same here: count distinct series —

@@ -261,9 +261,10 @@ object Dedup {
     * "Deduplicating Training Data Makes Language Models Better" — the
     * ExactSubstr procedure at fixed token-window granularity instead of
     * suffix arrays): every w-token window whose (normalized) text occurs
-    * more than once corpus-wide is removed everywhere EXCEPT its canonical
-    * first occurrence (min (doc_id, pos) over all occurrences), and each
-    * doc's surviving tokens are re-joined into clean text.
+    * at least `minOccurrences` times corpus-wide (within-doc repeats
+    * count) is removed everywhere EXCEPT its canonical first occurrence
+    * (min (doc_id, pos) over all occurrences), and each doc's surviving
+    * tokens are re-joined into clean text.
     *
     * Scale shape: the occurrence-count shuffle carries xxhash64 longs per
     * window, never the w-token strings (the hash-first contract — see

@@ -338,10 +338,7 @@ object PipelineQueries {
           FROM documents ORDER BY doc_id""",
 
     "q63_langid" ->
-      s"""SELECT doc_id,
-          CASE WHEN len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
-                                    x -> x IN ($SW))) >= 1
-               THEN 'en' ELSE 'und' END AS pred_lang
+      s"""SELECT doc_id, ${langIdSql("text")} AS pred_lang
           FROM documents ORDER BY doc_id""",
 
     "q64_ngram_jaccard" ->
@@ -444,9 +441,7 @@ object PipelineQueries {
       s"""WITH gopher AS ($GopherSql),
               d AS (SELECT doc_id, source,
                            len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
-                           CASE WHEN len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
-                                                     x -> x IN ($SW))) >= 1
-                                THEN 'en' ELSE 'und' END AS lang,
+                           ${langIdSql("text")} AS lang,
                            md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
                     FROM documents)
          SELECT d.source, count(*) AS n_docs, sum(d.n_tokens) AS total_tokens,
@@ -461,21 +456,28 @@ object PipelineQueries {
       s"""WITH gopher AS ($GopherSql),
               curated AS (SELECT d.doc_id, d.text
                           FROM documents d JOIN gopher g USING (doc_id)
-                          WHERE g.gopher_pass
-                            AND len(list_filter(string_split_regex(trim(lower(d.text)), '\\s+'),
-                                                x -> x IN ($SW))) >= 1),
+                          WHERE g.gopher_pass AND ${langIdSql("d.text")} = 'en'),
               ${spanRemovalCtes("curated")}
          SELECT doc_id, clean_text,
-                CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::INT / 65536.0 < 0.9
+                CASE WHEN ${hashPointSql("doc_id")} < 0.9
                      THEN 'train' ELSE 'val' END AS split
          FROM span_cleaned ORDER BY doc_id"""
   ) ++ oraclesTail
+
+  /** langId / hash-point SQL mirrors of TextAnalysis.langId and
+    * Sampling.hashPoint, shared by every oracle that uses them. */
+  private def langIdSql(c: String): String =
+    s"""CASE WHEN len(list_filter(string_split_regex(trim(lower($c)), '\\s+'),
+                                  x -> x IN ($SW))) >= 1
+             THEN 'en' ELSE 'und' END"""
+  private def hashPointSql(c: String): String =
+    s"('0x' || substr(md5($c::VARCHAR), 1, 4))::INT / 65536.0"
 
   /** The q108 duplicate-span-removal construction as reusable CTEs over an
     * arbitrary (doc_id, text) relation; exposes `span_cleaned(doc_id,
     * clean_text, removed_frac)`. Shared by q108 and the q118 pipeline so
     * the mirrors cannot drift. */
-  private def spanRemovalCtes(src: String): String =
+  private def spanRemovalCtes(src: String, minOccurrences: Int = 2): String =
     s"""span_base AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
                       FROM $src),
         span_wins AS (SELECT doc_id, i-1 AS pos, array_to_string(toks[i:i+7], ' ') AS gram
@@ -486,7 +488,7 @@ object PipelineQueries {
                         FROM span_wins),
         span_cov AS (SELECT DISTINCT doc_id, pos + d AS cp
                      FROM span_marked, UNNEST(generate_series(0, 7)) AS g(d)
-                     WHERE nocc >= 2 AND rk > 1),
+                     WHERE nocc >= $minOccurrences AND rk > 1),
         span_toks AS (SELECT doc_id, i-1 AS pos, toks[i] AS tok
                       FROM span_base, UNNEST(generate_series(1, len(toks))) AS t(i)),
         span_kept AS (SELECT t.doc_id, string_agg(t.tok, ' ' ORDER BY t.pos) AS clean_text
@@ -563,10 +565,9 @@ object PipelineQueries {
          t(doc_id) ORDER BY 1""",
 
     "q101_hash_split" ->
-      """SELECT doc_id,
+      s"""SELECT doc_id,
                 CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val' ELSE 'test' END AS split
-         FROM (SELECT doc_id,
-                      ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::INT / 65536.0 AS u
+         FROM (SELECT doc_id, ${hashPointSql("doc_id")} AS u
                FROM documents)
          ORDER BY doc_id""",
 
@@ -633,13 +634,13 @@ object PipelineQueries {
          FROM all_docs ORDER BY doc_id""",
 
     "q110_temperature_sample" ->
-      """WITH stats AS (SELECT source, count(*) AS n, pow(CAST(count(*) AS DOUBLE), 0.5) AS w
+      s"""WITH stats AS (SELECT source, count(*) AS n, pow(CAST(count(*) AS DOUBLE), 0.5) AS w
                         FROM documents GROUP BY source),
               rates AS (SELECT source, least(1.0, 200.0 * w / (SELECT sum(w) FROM stats) / n) AS rate
                         FROM stats)
          SELECT d.doc_id, d.source
          FROM documents d JOIN rates r USING (source)
-         WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 4))::INT / 65536.0 < r.rate
+         WHERE ${hashPointSql("d.doc_id")} < r.rate
          ORDER BY d.doc_id""",
 
     // planted-fixture golden (seeded sub-space KMeans, single-partition

@@ -260,6 +260,20 @@ class PipelineSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("span dedup minOccurrences raises the removal threshold") {
+    val d = Seq(
+      (1L, "a b c d e tail"),
+      (2L, "head a b c d e")).toDF("doc_id", "text") // span occurs twice
+    // threshold 3: two occurrences stay untouched
+    Dedup.removeDuplicateSpans(d, w = 5, minOccurrences = 3)
+      .collect().map(_.getDouble(2)).sum shouldEqual 0.0
+    // default threshold 2: doc 2's occurrence is non-canonical and removed
+    val def2 = Dedup.removeDuplicateSpans(d, w = 5)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    def2(1L) shouldEqual "a b c d e tail"
+    def2(2L) shouldEqual "head"
+  }
+
   test("incremental dedup drops batch rows already in the corpus and intra-batch dups") {
     val corpus = Seq((1L, "existing doc about spark"), (2L, "another existing doc")).toDF("doc_id", "text")
     val batch = Seq(
