@@ -100,4 +100,29 @@ object MetadataOps {
         cd(col("series_id")).as("total"),
         cd(when(col("ts") > activeAfterMs, col("series_id"))).as("active"))
   }
+
+  /** Top-k cardinality hotspots (reference GetTopkCardinality,
+    * coordinator QueryCommands.scala:35-41 / TopkCardinalityResult): the
+    * k groups with the MOST series under a label-path prefix — the "which
+    * namespace is blowing up my index" operator. `prefix` fixes leading
+    * levels of `groupLabels` to literal values (the reference's
+    * shardKeyPrefix); `depth` keeps that many levels as the grouping.
+    * Ranking is by total cardinality desc with the group path as the
+    * deterministic tiebreak; `activeAfterMs` supplies the active count
+    * alongside (addInactive analogue). orderBy+limit plans as a
+    * distributed top-k over the already-tiny aggregate. */
+  def topkCardinality(samples: DataFrame, groupLabels: Seq[String], prefix: Seq[String],
+                      depth: Int, k: Int, activeAfterMs: Long,
+                      exact: Boolean = false): DataFrame = {
+    require(prefix.length <= groupLabels.length && depth >= 1 && depth <= groupLabels.length,
+      s"prefix $prefix / depth $depth out of range for labels $groupLabels")
+    val pre = groupLabels.zip(prefix).map {
+      case (m @ ("metric" | "__name__"), v) => col("metric") === v
+      case (l, v) => col("tags")(l) === v
+    }.reduceOption(_ && _).getOrElse(lit(true))
+    val grouped = tsCardinalityBreakdown(
+      samples.filter(pre), groupLabels.take(depth), activeAfterMs, exact)
+    val path = groupLabels.take(depth).map(col)
+    grouped.orderBy(col("total").desc +: path.map(_.asc): _*).limit(k)
+  }
 }

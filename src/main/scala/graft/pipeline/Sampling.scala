@@ -55,6 +55,27 @@ object Sampling {
         col(tokenCol))
   }
 
+  /** Cap the number of documents kept per group (host/source/domain) —
+    * the CommonCrawl-style guard against a single host dominating the
+    * corpus. Selection inside a group is by md5 hash point (id as the
+    * tiebreak), NOT arrival order, so the kept set is deterministic
+    * across engines, reruns, and topologies, and is an unbiased sample
+    * of the group rather than its first-crawled prefix.
+    *
+    * Scale shape: one window per group key — the same single shuffle a
+    * groupBy would cost; no global sort, no driver state. Skewed hosts
+    * are exactly the rows AQE's skew handling splits.
+    * Output: the kept rows of `docs` (all original columns). */
+  def capPerGroup(docs: DataFrame, maxPerGroup: Int,
+                  groupCol: String = "source", idCol: String = "doc_id"): DataFrame = {
+    require(maxPerGroup > 0, s"maxPerGroup must be positive: $maxPerGroup")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(hashPoint(col(idCol)).asc, col(idCol).asc)
+    docs.withColumn("__rk", row_number().over(w))
+      .where(col("__rk") <= maxPerGroup)
+      .drop("__rk")
+  }
+
   /** Temperature-weighted domain sampling — the multilingual/data-mixing
     * standard (mT5, Xue et al. 2021: p_s ∝ |s|^alpha): draw ~targetRows
     * docs with per-domain keep rate

@@ -104,16 +104,18 @@ object Similarity {
       .setFeaturesCol("features").setPredictionCol("centroid")
     // Centroid placement only needs a bounded sample: fitting on the full
     // corpus would run every KMeans iteration over 100 TB just to place
-    // nCentroids points. limit() short-circuits the scan (a few input
-    // partitions feed the fit), so fit cost is O(fitSampleRows) regardless
-    // of corpus size; assignment/probing below still cover every row.
-    // Recall contract: centroids from a prefix sample can be mildly biased
-    // toward early partitions — raise fitSampleRows (or pre-shuffle the
-    // corpus) if the corpus is partition-ordered by content. Corpora at or
-    // below the cap (every test fixture) fit on exactly the full set, so
-    // results are unchanged there.
+    // nCentroids points. orderBy(id).limit(n) plans as a distributed
+    // top-k (TakeOrderedAndProject — per-partition heads, no full sort),
+    // so fit cost is O(fitSampleRows) regardless of corpus size, and the
+    // sample — hence the centroids and every downstream result — is
+    // DETERMINISTIC across partition counts and topologies (a bare
+    // limit() takes whichever partitions answer first; round-5 advice).
+    // Recall contract: lowest-id rows can be mildly biased if ids
+    // correlate with content — raise fitSampleRows if so. Corpora at or
+    // below the cap (every test fixture) fit on exactly the full set.
     val model = km.fit(
-      c0.limit(fitSampleRows).withColumn("features", array_to_vector(col("cv"))))
+      c0.orderBy(col("neighbor_id")).limit(fitSampleRows)
+        .withColumn("features", array_to_vector(col("cv"))))
     val assigned = model.transform(c0.withColumn("features", array_to_vector(col("cv"))))
       .select(col("neighbor_id"), col("cv"), col("centroid"))
       .withColumn("__cn", norm(col("cv")))
@@ -163,8 +165,10 @@ object Similarity {
     val c0 = corpus.select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
     val km = new KMeans().setK(nClusters).setSeed(42L).setMaxIter(8)
       .setFeaturesCol("features").setPredictionCol("__cluster")
+    // deterministic fit sample (distributed top-k by id) — see ivfKnn
     val model = km.fit(
-      c0.limit(fitSampleRows).withColumn("features", array_to_vector(col("__v"))))
+      c0.orderBy(col(idCol)).limit(fitSampleRows)
+        .withColumn("features", array_to_vector(col("__v"))))
     val assigned0 = model.transform(c0.withColumn("features", array_to_vector(col("__v"))))
       .select(col(idCol), col("__v"), col("__cluster"))
     // Sub-split oversized clusters instead of dropping them: the window
@@ -195,14 +199,17 @@ object Similarity {
     * scoring are pure map-side codegen'd projections. */
   def fitPqCodebooks(corpus: DataFrame, m: Int, ksub: Int,
                      vecCol: String = "embedding",
-                     fitSampleRows: Int = 65536): Seq[Array[Array[Double]]] = {
+                     fitSampleRows: Int = 65536,
+                     idCol: String = "vec_id"): Seq[Array[Array[Double]]] = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val dim = corpus.select(size(col(vecCol))).head.getInt(0)
     require(dim % m == 0, s"m=$m must divide embedding dim=$dim")
     val dsub = dim / m
-    val sample = corpus.select(col(vecCol).cast("array<double>").as("__v"))
-      .limit(fitSampleRows).cache()
+    // deterministic fit sample (distributed top-k by id, not a bare
+    // limit whose rows depend on partition race order) — see ivfKnn
+    val sample = corpus.orderBy(col(idCol)).limit(fitSampleRows)
+      .select(col(vecCol).cast("array<double>").as("__v")).cache()
     // the m sub-space fits are independent seeded jobs — run them
     // CONCURRENTLY on the shared scheduler (results are indexed by j, so
     // completion order cannot affect the codebooks)
@@ -253,7 +260,7 @@ object Similarity {
             m: Int = 4, ksub: Int = 16,
             idCol: String = "vec_id", vecCol: String = "embedding",
             fitSampleRows: Int = 65536): DataFrame = {
-    val cbs = fitPqCodebooks(corpus, m, ksub, vecCol, fitSampleRows)
+    val cbs = fitPqCodebooks(corpus, m, ksub, vecCol, fitSampleRows, idCol)
     val dsub = cbs.head.head.length
     val encoded = pqEncode(corpus, cbs, idCol, vecCol)
     val dtCols = cbs.zipWithIndex.map { case (cb, j) =>

@@ -53,6 +53,25 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(trim(text)), "\\s+", " "))
 
+  /** Corpus vocabulary: the top `vocabSize` regex tokens by document
+    * frequency-weighted count with a minimum-count floor — the seed
+    * vocabulary a tokenizer-training run starts from (WordPiece/BPE both
+    * begin with exactly this corpus-wide count table). Ties break on the
+    * token string ascending so the vocabulary is deterministic.
+    *
+    * Scale shape: tokens shuffle once for the count (partial aggregation
+    * map-side — the wide explode never crosses the network un-combined),
+    * then a distributed top-k (orderBy+limit plans as
+    * TakeOrderedAndProject: per-partition heaps, no global sort).
+    * Output: (token, n) with rank implied by (n desc, token asc). */
+  def buildVocab(docs: DataFrame, vocabSize: Int, minCount: Long = 2L,
+                 textCol: String = "text"): DataFrame =
+    docs.select(explode(regexTokens(col(textCol))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .where(col("n") >= minCount)
+      .orderBy(col("n").desc, col("token").asc)
+      .limit(vocabSize)
+
   /** Winnowing fingerprints (rolling-hash document sketch): hash every
     * k-shingle, slide a window of `w` consecutive hashes, keep each
     * window's minimum, dedupe. Two documents sharing content share

@@ -131,7 +131,15 @@ object RelationalQueries {
       graft.operators.MetadataOps.tsCardinalityBreakdown(
         TsTables.eventsAsSamples(s, dir), Seq("metric"),
         TsTables.EventsEndMs - 7 * TsTables.Day, exact = true)
-        .orderBy("metric"))
+        .orderBy("metric")),
+
+    // top-k cardinality hotspots (reference GetTopkCardinality): the k
+    // label-path groups owning the most series; exact counts for the
+    // oracle, HLL on the scale path like q81
+    "q119_topk_cardinality" -> ((s, dir) =>
+      graft.operators.MetadataOps.topkCardinality(
+        TsTables.eventsAsSamples(s, dir), Seq("metric", "user"), prefix = Nil,
+        depth = 1, k = 3, TsTables.EventsEndMs - 7 * TsTables.Day, exact = true))
   )
 
   def oracles: Map[String, String] = Map(
@@ -208,6 +216,14 @@ object RelationalQueries {
                  count(DISTINCT user_id) AS total,
                  count(DISTINCT CASE WHEN epoch_ns(ts)//1000000 >
                    ${TsTables.EventsEndMs - 7 * TsTables.Day} THEN user_id END) AS active
-          FROM events GROUP BY 1 ORDER BY 1"""
+          FROM events GROUP BY 1 ORDER BY 1""",
+
+    "q119_topk_cardinality" ->
+      s"""SELECT event_type AS metric,
+                 count(DISTINCT user_id) AS total,
+                 count(DISTINCT CASE WHEN epoch_ns(ts)//1000000 >
+                   ${TsTables.EventsEndMs - 7 * TsTables.Day} THEN user_id END) AS active
+          FROM events GROUP BY 1
+          ORDER BY total DESC, metric ASC LIMIT 3"""
   )
 }
