@@ -53,7 +53,7 @@ object Bench {
     "corpus_minhash_dups", "corpus_simhash", "corpus_knn_lsh",
     "corpus_cosine_dups", "corpus_ivf_knn", "corpus_winnowing",
     "corpus_dedup_pipeline", "corpus_span_dedup", "corpus_pq_knn",
-    "corpus_decontam")
+    "corpus_decontam", "corpus_bpe_train")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -60,17 +60,23 @@ class PromApi(spark: SparkSession, samples: DataFrame, port: Int = 0,
   }
 
   /** Query-string AND form-urlencoded POST body params (the Prometheus
-    * API accepts both on every endpoint; Grafana POSTs long queries). */
+    * API accepts both on every endpoint; Grafana POSTs long queries).
+    * The body is merged ONLY when Content-Type says it is a form — a JSON
+    * or other body must not be mangled into bogus params — and keys are
+    * URL-decoded like values (`match%5B%5D` is a valid encoding of
+    * `match[]`). */
   private def params(ex: HttpExchange): Map[String, String] = {
     val q = Option(ex.getRequestURI.getRawQuery).getOrElse("")
+    val ctype = Option(ex.getRequestHeaders.getFirst("Content-Type")).getOrElse("")
     val body =
-      if (ex.getRequestMethod == "POST")
+      if (ex.getRequestMethod == "POST" &&
+          ctype.toLowerCase.startsWith("application/x-www-form-urlencoded"))
         new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8).trim
       else ""
     val raw = Seq(q, body).filter(_.nonEmpty).mkString("&")
     val kv = raw.split("&").filter(_.contains("=")).map { p =>
       val Array(k, v) = p.split("=", 2)
-      k -> java.net.URLDecoder.decode(v, "UTF-8")
+      java.net.URLDecoder.decode(k, "UTF-8") -> java.net.URLDecoder.decode(v, "UTF-8")
     }.toMap
     kv + ("__path" -> ex.getRequestURI.getPath) + ("__raw" -> raw)
   }
@@ -95,6 +101,7 @@ class PromApi(spark: SparkSession, samples: DataFrame, port: Int = 0,
   private def queryRange(p: Map[String, String]): String = {
     val ctx = PromPlanner.Ctx(spark, samples, ms(p("start")), ms(p("end")), stepMs(p("step")))
     val df = PromPlanner.queryRange(ctx, p("query"))
+    if (p.get("explainOnly").contains("true")) return explainResponse(p("query"), df)
     val rows = collectLimited(df).groupBy(_.getString(0)).toSeq.sortBy(_._1)
     val result = rows.map { case (key, rs) =>
       val metric = keyToJsonObject(key)
@@ -115,6 +122,7 @@ class PromApi(spark: SparkSession, samples: DataFrame, port: Int = 0,
     val ctx = PromPlanner.Ctx(spark, samples, t, t, 1000L)
     val ast = graft.promql.Parser.parse(p("query"))
     val df = PromPlanner.planVector(ctx, ast)
+    if (p.get("explainOnly").contains("true")) return explainResponse(p("query"), df)
     val rows = collectLimited(df)
     if (PromPlanner.isScalarTyped(ast)) {
       // exactly one grid step (start == end): one value, NaN when empty
@@ -126,6 +134,19 @@ class PromApi(spark: SparkSession, samples: DataFrame, port: Int = 0,
       }.mkString(",")
       s"""{"status":"success","data":{"resultType":"vector","result":[$result]}}"""
     }
+  }
+
+  /** `explainOnly=true` on query/query_range (reference ExplainPlan2Query
+    * → ExplainPlanResponse, query/PromQueryResponse.scala:16-18): the plan
+    * is returned instead of being executed, as `debugInfo` lines — the
+    * canonical printed query first (our logical form), then Spark's
+    * formatted physical plan (the engine's ExecPlan analogue). */
+  private def explainResponse(query: String, df: DataFrame): String = {
+    val canonical = "query: " + graft.promql.Printer.print(graft.promql.Parser.parse(query))
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.SimpleMode)
+    val lines = canonical +: plan.split('\n').toSeq.filter(_.nonEmpty)
+    s"""{"status":"success","debugInfo":[${lines.map(js).mkString(",")}]}"""
   }
 
   /** Prometheus `/api/v1/format_query`: parse the query and return its

@@ -1,0 +1,105 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding tokenizer TRAINING and application (Sennrich et al.
+  * 2016, "Neural Machine Translation of Rare Words with Subword Units") —
+  * the layer above `TextAnalysis.buildVocab` a real training-data stack
+  * needs: corpora are tokenized with a LEARNED subword vocabulary, and the
+  * learning pass is itself a corpus-scale job.
+  *
+  * Scale shape (the published algorithm's own structure): BPE trains on
+  * the WORD-FREQUENCY table, not the corpus — one corpus pass builds
+  * (word, n), whose size is vocabulary-bounded (~millions of rows at 100
+  * TB, invariant in corpus size after that). Each merge round is then two
+  * jobs over that small table: an adjacent-pair count (one shuffle of
+  * (pair, weight) rows) and a best-pair lookup (the only driver action —
+  * ONE row per round, like Components' fixed-point signature). The merge
+  * rewrite is a map-side higher-order `aggregate` fold, no shuffle.
+  * Lineage is truncated every few rounds (localCheckpoint) so round N
+  * does not replay rounds 1..N-1.
+  */
+object Bpe {
+
+  val EndOfWord = "</w>" // word-boundary sentinel symbol
+
+  /** (word, n) frequency table: lowercased whitespace words. The single
+    * corpus-scale pass; everything downstream is vocabulary-bounded. */
+  def wordCounts(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(explode(TextAnalysis.tokens(lower(col(textCol)))).as("word"))
+      .where(length(col("word")) > 0)
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+
+  /** A word as its initial symbol sequence: characters + end marker. */
+  private def initialSymbols(word: Column): Column =
+    concat(split(word, ""), array(lit(EndOfWord)))
+
+  /** Greedy left-to-right merge of adjacent (a, b) pairs in a symbol
+    * array — one fold, overlap-safe ("aaa" + merge (a,a) -> ["aa","a"],
+    * the published tie behavior). */
+  private def mergePair(syms: Column, a: String, b: String): Column =
+    aggregate(syms, array().cast("array<string>"), (acc, x) =>
+      when(size(acc) > 0 && element_at(acc, -1) === a && x === b,
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+        .otherwise(concat(acc, array(x))))
+
+  /** Learn `nMerges` merges. Returns them in rank order as
+    * (rank, left, right, pairCount); ties break on (left, right) asc so
+    * the learned tokenizer is deterministic across engines and runs. */
+  def train(docs: DataFrame, nMerges: Int, textCol: String = "text"): Seq[(Int, String, String, Long)] = {
+    require(nMerges >= 1, s"nMerges must be positive: $nMerges")
+    var words = wordCounts(docs, textCol)
+      .select(initialSymbols(col("word")).as("syms"), col("n"))
+      .localCheckpoint(false) // barrier: never re-run the corpus pass
+    val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+    var rank = 0
+    var done = false
+    while (rank < nMerges && !done) {
+      // adjacent pairs of every word, weighted by word count; zip of the
+      // two shifted slices is safely EMPTY for fully-merged single-symbol
+      // words (sequence(1, size-1) would yield the descending [1,0] there
+      // and fault on element_at index 0)
+      val best = words
+        .select(col("n"),
+          slice(col("syms"), lit(1), size(col("syms")) - 1).as("l"),
+          slice(col("syms"), lit(2), size(col("syms")) - 1).as("r"))
+        .select(col("n"), explode(arrays_zip(col("l"), col("r"))).as("p"))
+        .groupBy(col("p.l").as("a"), col("p.r").as("b"))
+        .agg(sum(col("n")).as("cnt"))
+        .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
+        .limit(1).collect()
+      if (best.isEmpty) done = true
+      else {
+        val (a, b, cnt) = (best.head.getString(0), best.head.getString(1), best.head.getLong(2))
+        if (cnt < 2) done = true // nothing left worth merging
+        else {
+          merges += ((rank, a, b, cnt))
+          words = words.select(mergePair(col("syms"), a, b).as("syms"), col("n"))
+          // truncate lineage so round N doesn't replay all prior rewrites
+          if ((rank + 1) % 5 == 0) words = words.localCheckpoint(false)
+          rank += 1
+        }
+      }
+    }
+    merges.toSeq
+  }
+
+  /** A small fixed merge list for oracle-checked APPLICATION queries (the
+    * cross-engine mirror needs a literal list; training is checked against
+    * its own golden). Any sequence is valid to apply — later merges simply
+    * never fire if their symbols don't exist yet. */
+  val DemoMerges: Seq[(String, String)] = Seq(
+    ("t", "h"), ("e", "r"), ("i", "n"), ("th", "e"), ("a", "n"),
+    ("o", "n"), ("the", EndOfWord), ("er", EndOfWord))
+
+  /** Apply learned merges to a word column: the word's subword tokens.
+    * Pure fold of codegen'd array rewrites in rank order — no shuffle, no
+    * UDF; the merge list is a plan literal (broadcast-free: it ships
+    * inside the serialized expressions, the reference pattern for small
+    * learned state like PQ codebooks). */
+  def encodeWord(word: Column, merges: Seq[(String, String)]): Column =
+    merges.foldLeft(initialSymbols(lower(word))) {
+      case (syms, (a, b)) => mergePair(syms, a, b)
+    }
+}

@@ -139,6 +139,15 @@ object Parser {
 
   private class P(toks: Vector[Tok]) {
     private var pos = 0
+    // AST nodes that had an offset/@ clause WRITTEN on them, even if
+    // zero-valued. Prometheus rejects modifier-then-range regardless of the
+    // offset's value; a value check (offsetMs != 0) let `(foo offset 0s)
+    // [5m]` slip through the fresh postfix chain after the parens. Identity
+    // tracking keeps this structural fact out of the AST (equality, golden
+    // specs and the printer are unaffected).
+    private val modWritten =
+      java.util.Collections.newSetFromMap(new java.util.IdentityHashMap[PromExpr, java.lang.Boolean]())
+    private def markMod(e: PromExpr): PromExpr = { modWritten.add(e); e }
     private def cur: Tok = toks(pos)
     private def advance(): Tok = { val t = cur; pos += 1; t }
     private def expectOp(s: String): Unit = cur match {
@@ -211,15 +220,47 @@ object Parser {
       lhs
     }
 
+    /** Static operand type at parse time, mirroring Prometheus' checker
+      * (and PromPlanner.isScalarTyped): scalar = one value per step. */
+    private def scalarTyped(e: PromExpr): Boolean = e match {
+      case NumberLit(_) => true
+      case FuncCall("scalar", _) => true
+      case FuncCall("time", Seq()) => true
+      case FuncCall(n, Seq())
+        if graft.operators.InstantFns.TimeScalarFns.contains(n) => true
+      case BinOp(_, l, r, _, _) => scalarTyped(l) && scalarTyped(r)
+      case _ => false
+    }
+
+    /** Matrix-typed operand (range selector / subquery): legal only as a
+      * range-function argument, never as a binary operand. */
+    private def matrixTyped(e: PromExpr): Boolean = e match {
+      case s: Selector => s.windowMs.isDefined
+      case _: Subquery => true
+      case _ => false
+    }
+
     /** Structural guards the reference parser enforces (ParserSpec):
       * `bool` only on comparisons; set operators never carry
-      * group_left/group_right (their result cardinality is inherent). */
+      * group_left/group_right (their result cardinality is inherent);
+      * set ops and vector matching need vectors on both sides;
+      * scalar-scalar comparisons require `bool`; matrix operands are
+      * never legal in a binary expression. */
     private def mkBinOp(op: String, lhs: PromExpr, rhs: PromExpr,
                         bool: Boolean, matching: Option[VectorMatch]): BinOp = {
       if (bool && !ComparisonOps.contains(op))
         fail(s"bool modifier only applies to comparison operators, not '$op'")
       if (SetOps.contains(op) && matching.exists(m => m.groupLeft || m.groupRight))
         fail(s"group_left/group_right are not allowed with set operator '$op'")
+      if (matrixTyped(lhs) || matrixTyped(rhs))
+        fail(s"binary expression '$op' must contain only scalar and instant vector types")
+      val (ls, rs) = (scalarTyped(lhs), scalarTyped(rhs))
+      if (SetOps.contains(op) && (ls || rs))
+        fail(s"set operator '$op' not allowed in binary scalar expression")
+      if (ComparisonOps.contains(op) && ls && rs && !bool)
+        fail("comparisons between scalars must use BOOL modifier")
+      if (matching.isDefined && (ls || rs))
+        fail("vector matching only allowed between instant vectors")
       BinOp(op, lhs, rhs, bool, matching)
     }
 
@@ -276,6 +317,8 @@ object Parser {
           // fold literal negation so `-5`/`-Inf` are literals (Prometheus
           // semantics, and what the printer round-trip needs)
           case NumberLit(v) => NumberLit(-v)
+          case e if matrixTyped(e) => // Prometheus: `-test[5m]` is a parse error
+            fail("unary expression only allowed on scalars or instant vectors")
           case e => BinOp("-", NumberLit(0), e)
         }
       case TOp("+") => advance(); parsePow()
@@ -311,14 +354,14 @@ object Parser {
               advance()
               e = e match {
                 // modifiers must FOLLOW the range; a second range on a
-                // range selector is likewise an error. Both guards are
-                // needed: the flag catches a zero-valued `offset 0s`
-                // in THIS postfix chain, the value check catches a
-                // modifier applied inside parentheses — `(foo offset 1m)
-                // [5m]` unwraps to a bare Selector in a fresh chain
+                // range selector is likewise an error. The flag catches a
+                // modifier in THIS postfix chain, the modWritten identity
+                // set catches one applied inside parentheses — `(foo
+                // offset 0s)[5m]` unwraps to a bare Selector in a fresh
+                // chain, rejected regardless of the offset's value
                 case _ if modifierSeen =>
                   fail("offset/@ modifiers must come after the range selector")
-                case s: Selector if s.offsetMs != 0 || s.atMs.isDefined =>
+                case s: Selector if modWritten.contains(s) =>
                   fail("offset/@ modifiers must come after the range selector")
                 case s: Selector if s.windowMs.isDefined =>
                   fail("range selector already has a range")
@@ -340,8 +383,8 @@ object Parser {
             case other => fail(s"expected unix-seconds timestamp, start() or end() after @, got $other")
           }
           e = e match {
-            case s: Selector => s.copy(atMs = Some(at))
-            case sq: Subquery => sq.copy(atMs = Some(at))
+            case s: Selector => markMod(s.copy(atMs = Some(at)))
+            case sq: Subquery => markMod(sq.copy(atMs = Some(at)))
             // (expr) @ t — an intentional EXTENSION beyond Prometheus and
             // the reference grammar (PromQL.g4 restricts modifiers to
             // selectors/subqueries): distribute the pin to every
@@ -364,8 +407,8 @@ object Parser {
           }
           val d = if (neg) -d0 else d0
           e = e match {
-            case s: Selector => s.copy(offsetMs = d)
-            case sq: Subquery => sq.copy(offsetMs = d)
+            case s: Selector => markMod(s.copy(offsetMs = d))
+            case sq: Subquery => markMod(sq.copy(offsetMs = d))
             // (expr) offset d — same intentional extension as (expr) @ t:
             // shift every selector/subquery directly inside (a subquery's
             // own offset already shifts its entire inner evaluation — don't
@@ -386,8 +429,8 @@ object Parser {
       * offset (which shifts the outer evaluation time) must not move it,
       * mirroring applyAt's "inner @ is absolute and wins" rule. */
     private def applyOffset(e: PromExpr, d: Long): PromExpr = e match {
-      case s: Selector => if (s.atMs.isDefined) s else s.copy(offsetMs = s.offsetMs + d)
-      case sq: Subquery => if (sq.atMs.isDefined) sq else sq.copy(offsetMs = sq.offsetMs + d)
+      case s: Selector => if (s.atMs.isDefined) markMod(s) else markMod(s.copy(offsetMs = s.offsetMs + d))
+      case sq: Subquery => if (sq.atMs.isDefined) markMod(sq) else markMod(sq.copy(offsetMs = sq.offsetMs + d))
       case FuncCall(n, args) => FuncCall(n, args.map(applyOffset(_, d)))
       case a: Agg => a.copy(expr = applyOffset(a.expr, d))
       case b: BinOp => b.copy(lhs = applyOffset(b.lhs, d), rhs = applyOffset(b.rhs, d))
@@ -406,8 +449,8 @@ object Parser {
     /** Distribute `(expr) @ t`: pin selectors/subqueries that aren't
       * already pinned (an inner @ is absolute and takes precedence). */
     private def applyAt(e: PromExpr, at: Long): PromExpr = e match {
-      case s: Selector => if (s.atMs.isDefined) s else s.copy(atMs = Some(at))
-      case sq: Subquery => if (sq.atMs.isDefined) sq else sq.copy(atMs = Some(at))
+      case s: Selector => if (s.atMs.isDefined) markMod(s) else markMod(s.copy(atMs = Some(at)))
+      case sq: Subquery => if (sq.atMs.isDefined) markMod(sq) else markMod(sq.copy(atMs = Some(at)))
       case FuncCall(n, args) => FuncCall(n, args.map(applyAt(_, at)))
       case a: Agg => a.copy(expr = applyAt(a.expr, at))
       case b: BinOp => b.copy(lhs = applyAt(b.lhs, at), rhs = applyAt(b.rhs, at))

@@ -240,12 +240,45 @@ object PipelineQueries {
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_tokens")).as("total_tokens"),
-          round(avg(col("n_tokens")), 6).as("mean_tokens"),
           sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"),
           sum(when(col("gopher_pass"), 1L).otherwise(0L)).as("n_gopher_pass"),
           countDistinct(col("fp")).as("n_unique_fps"))
+        .withColumn("mean_tokens", expr(meanStrSql("total_tokens", "n_docs", "div")))
         .orderBy(col("source"))
-    })
+    }),
+
+    // per-source document cap (CommonCrawl-style host-domination guard):
+    // kept set selected by hash point inside each group, deterministic
+    // across engines/topologies and unbiased vs arrival order
+    "q120_cap_per_group" -> ((s, dir) =>
+      Sampling.capPerGroup(TsTables.documents(s, dir), maxPerGroup = 20)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))),
+
+    // corpus seed vocabulary: top regex tokens by corpus-wide count with a
+    // min-count floor — the count table a WordPiece/BPE train starts from
+    "q121_build_vocab" -> ((s, dir) =>
+      TextAnalysis.buildVocab(TsTables.documents(s, dir), vocabSize = 200, minCount = 2)),
+
+    // BPE tokenizer training on the planted corpus (golden-fixture gate
+    // like the sketch operators: the iterative merge learning is not
+    // DuckDB-expressible; PipelineSpec proves the distributed trainer
+    // equals a brute-force reference on a different corpus)
+    "q122_bpe_merges" -> ((s, _) => {
+      import s.implicits._
+      Bpe.train(PipelineFixtures.docs(s), nMerges = 10)
+        .toDF("rank", "left", "right", "cnt").orderBy(col("rank"))
+    }),
+
+    // BPE application with a literal merge list — full DuckDB mirror (the
+    // greedy fold == left-to-right string replace, so both engines run
+    // the same algorithm)
+    "q123_bpe_encode" -> ((s, dir) =>
+      TsTables.documents(s, dir).select(col("doc_id"),
+        element_at(TextAnalysis.tokens(lower(col("text"))), 1).as("word"))
+        .select(col("doc_id"), col("word"),
+          concat_ws(" ", Bpe.encodeWord(col("word"), Bpe.DemoMerges)).as("subwords"))
+        .orderBy(col("doc_id")))
   )
 
   /** Winnowing candidate pairs: long shingles (k=8) keep fingerprints
@@ -310,6 +343,11 @@ object PipelineQueries {
         docs.where(col("doc_id") % 10 =!= 0),
         docs.where(col("doc_id") % 10 === 0).withColumnRenamed("doc_id", "bench_id"),
         n = 8)
+    }),
+    "corpus_bpe_train" -> ((s, dir) => {
+      import s.implicits._
+      Bpe.train(TsTables.documents(s, dir), nMerges = 5)
+        .toDF("rank", "left", "right", "cnt")
     })
   )
 
@@ -443,14 +481,17 @@ object PipelineQueries {
                            len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
                            ${langIdSql("text")} AS lang,
                            md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
-                    FROM documents)
-         SELECT d.source, count(*) AS n_docs, sum(d.n_tokens) AS total_tokens,
-                round(avg(d.n_tokens), 6) AS mean_tokens,
-                sum(CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END) AS n_en,
-                sum(CASE WHEN g.gopher_pass THEN 1 ELSE 0 END) AS n_gopher_pass,
-                count(distinct d.fp) AS n_unique_fps
-         FROM d JOIN gopher g USING (doc_id)
-         GROUP BY d.source ORDER BY d.source""",
+                    FROM documents),
+              agg AS (SELECT d.source, count(*) AS n_docs, sum(d.n_tokens) AS total_tokens,
+                             sum(CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END) AS n_en,
+                             sum(CASE WHEN g.gopher_pass THEN 1 ELSE 0 END) AS n_gopher_pass,
+                             count(distinct d.fp) AS n_unique_fps
+                      FROM d JOIN gopher g USING (doc_id)
+                      GROUP BY d.source)
+         SELECT source, n_docs, total_tokens,
+                ${meanStrSql("total_tokens", "n_docs", "//")} AS mean_tokens,
+                n_en, n_gopher_pass, n_unique_fps
+         FROM agg ORDER BY source""",
 
     "q118_curation_pipeline" ->
       s"""WITH gopher AS ($GopherSql),
@@ -461,8 +502,53 @@ object PipelineQueries {
          SELECT doc_id, clean_text,
                 CASE WHEN ${hashPointSql("doc_id")} < 0.9
                      THEN 'train' ELSE 'val' END AS split
-         FROM span_cleaned ORDER BY doc_id"""
+         FROM span_cleaned ORDER BY doc_id""",
+
+    "q120_cap_per_group" ->
+      s"""WITH r AS (SELECT doc_id, source,
+                            row_number() OVER (PARTITION BY source
+                              ORDER BY ${hashPointSql("doc_id")} ASC, doc_id ASC) AS rk
+                     FROM documents)
+         SELECT doc_id, source FROM r WHERE rk <= 20 ORDER BY doc_id""",
+
+    "q121_build_vocab" ->
+      """WITH toks AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS token
+                       FROM documents)
+         SELECT token, count(*) AS n FROM toks
+         GROUP BY token HAVING count(*) >= 2
+         ORDER BY n DESC, token ASC LIMIT 200""",
+
+    // the greedy adjacent-pair fold == left-to-right literal string
+    // replace on a sep-joined symbol string, so DuckDB runs the SAME
+    // algorithm; the replace chain is generated from Bpe.DemoMerges so
+    // the mirrors cannot drift
+    "q123_bpe_encode" -> {
+      val init = "array_to_string(regexp_extract_all(w, '.'), chr(1)) || chr(1) || '</w>'"
+      val chain = graft.pipeline.Bpe.DemoMerges.foldLeft(init) { case (acc, (a, b)) =>
+        s"replace($acc, '$a' || chr(1) || '$b', '${a + b}')"
+      }
+      s"""WITH w0 AS (SELECT doc_id,
+                             string_split_regex(trim(lower(text)), '\\s+')[1] AS w
+                      FROM documents)
+         SELECT doc_id, w AS word,
+                array_to_string(string_split($chain, chr(1)), ' ') AS subwords
+         FROM w0 ORDER BY doc_id"""
+    }
   ) ++ oraclesTail
+
+  /** Exact half-up mean to 6 dp as a STRING via integer arithmetic only.
+    * `round(avg(x), 6)` on doubles differed between Spark and DuckDB at the
+    * last ULP near a .5 boundary (round-5 gate red on q117); integer
+    * quotient/remainder math is bit-identical in both engines. `idiv` is
+    * the engine's integer-divide spelling ("div" Spark, "//" DuckDB).
+    * Overflow-safe at corpus scale: the *1e6 happens on the remainder
+    * (< cnt), never on the full sum. */
+  private def meanStrSql(tot: String, cnt: String, idiv: String): String = {
+    val q = s"(($tot) $idiv ($cnt))"
+    val frac = s"(((($tot) % ($cnt)) * 1000000 + ($cnt) $idiv 2) $idiv ($cnt))"
+    s"""concat(cast($q + (case when $frac >= 1000000 then 1 else 0 end) as string),
+               '.', lpad(cast(($frac) % 1000000 as string), 6, '0'))"""
+  }
 
   /** langId / hash-point SQL mirrors of TextAnalysis.langId and
     * Sampling.hashPoint, shared by every oracle that uses them. */
@@ -556,6 +642,17 @@ object PipelineQueries {
     // the three planted direction clusters each keep their minimum id
     "q103_semantic_dedup" ->
       """SELECT * FROM (VALUES (0), (1), (2)) t(vec_id) ORDER BY 1""",
+
+    // golden-fixture oracle: BPE merges learned on the planted corpus,
+    // frozen from a verified run (PipelineSpec proves the distributed
+    // trainer == brute-force reference; GoldenDump regenerates)
+    "q122_bpe_merges" ->
+      """SELECT * FROM (VALUES
+         (0, 'a', '</w>', 36), (1, 'e', '</w>', 36), (2, 'n', '</w>', 34),
+         (3, 'e', 'n</w>', 21), (4, 's', '</w>', 20), (5, 'i', 'n', 18),
+         (6, 't', 'a</w>', 18), (7, 't', 'h', 17), (8, 'e', 'r', 14),
+         (9, 'd', '</w>', 13)
+         ) t(rank, "left", "right", cnt) ORDER BY rank""",
 
     // golden-fixture oracle: q66's verified pairs (0,1),(0,2),(1,2),(3,4)
     // collapse to clusters {0,1,2} and {3,4}; the representatives 0 and 3

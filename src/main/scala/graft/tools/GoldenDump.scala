@@ -48,6 +48,9 @@ object GoldenDump {
       .orderBy("id1", "id2"))
     dump("q103", Similarity.semanticDedup(embs, threshold = 0.95, nClusters = 3)
       .select(col("vec_id")).orderBy("vec_id"))
+    import spark.implicits._
+    dump("q122", graft.pipeline.Bpe.train(docs, nMerges = 10)
+      .toDF("rank", "left", "right", "cnt"))
     spark.stop()
   }
 }

@@ -180,11 +180,14 @@ class ParserGoldenSpec extends AnyFunSuite with Matchers {
         Selector(Some("m"), Nil, None, 0L, Some(100000L)), // pinned: NOT shifted
         Selector(Some("n"), Nil, None, 3600000L))
     // a subquery's own offset shifts its whole inner evaluation — the
-    // distribution must not also recurse into its inner expression
-    Parser.parse("(rate(m[5m])[1h:5m] + n) offset 30m") shouldEqual
+    // distribution must not also recurse into its inner expression (the
+    // subquery sits under a range fn: bare matrix binop operands are a
+    // type error, as in Prometheus)
+    Parser.parse("(max_over_time(rate(m[5m])[1h:5m]) + n) offset 30m") shouldEqual
       BinOp("+",
-        Subquery(FuncCall("rate", Seq(Selector(Some("m"), Nil, Some(300000L)))),
-          3600000L, Some(300000L), 1800000L),
+        FuncCall("max_over_time", Seq(
+          Subquery(FuncCall("rate", Seq(Selector(Some("m"), Nil, Some(300000L)))),
+            3600000L, Some(300000L), 1800000L))),
         Selector(Some("n"), Nil, None, 1800000L))
   }
 
@@ -497,8 +500,12 @@ class ParserGoldenSpec extends AnyFunSuite with Matchers {
     an[IllegalArgumentException] should be thrownBy Parser.parse("some_metric offset 1m[5m]")
     // ... regardless of the offset's VALUE (Prometheus rejects the form)
     an[IllegalArgumentException] should be thrownBy Parser.parse("some_metric offset 0s[5m]")
-    // ... and across parentheses (parens unwrap to a bare Selector)
+    // ... and across parentheses (parens unwrap to a bare Selector),
+    // including zero-valued modifiers — the guard is structural, not
+    // value-based (round-5 advice)
     an[IllegalArgumentException] should be thrownBy Parser.parse("(foo offset 1m)[5m]")
+    an[IllegalArgumentException] should be thrownBy Parser.parse("(foo offset 0s)[5m]")
+    an[IllegalArgumentException] should be thrownBy Parser.parse("((foo offset 0s))[5m]")
     an[IllegalArgumentException] should be thrownBy Parser.parse("(foo @ 100)[5m]")
     // subquery after a modifier stays legal, as in the reference grammar
     Parser.parse("some_metric offset 1m[5m:1m]") shouldEqual
@@ -531,5 +538,46 @@ class ParserGoldenSpec extends AnyFunSuite with Matchers {
     an[IllegalArgumentException] should be thrownBy Parser.parse("rrate(m[5m])")
     // known functions still parse
     Parser.parse("sgn(m)") shouldEqual FuncCall("sgn", Seq(sel("m")))
+  }
+
+  // tranche 5: the reference ParserSpec's binary-expression TYPE errors —
+  // Prometheus rejects these at parse, not at evaluation
+  test("set operators require vectors on both sides") {
+    an[IllegalArgumentException] should be thrownBy Parser.parse("foo and 1")
+    an[IllegalArgumentException] should be thrownBy Parser.parse("1 and foo")
+    an[IllegalArgumentException] should be thrownBy Parser.parse("foo or 1")
+    an[IllegalArgumentException] should be thrownBy Parser.parse("1 unless foo")
+    an[IllegalArgumentException] should be thrownBy Parser.parse("1 and 1")
+    an[IllegalArgumentException] should be thrownBy Parser.parse("1 or on(bar) foo")
+    an[IllegalArgumentException] should be thrownBy Parser.parse("foo and scalar(bar)")
+    // vector() restores vector type, so these stay legal
+    Parser.parse("foo or vector(0)") shouldEqual
+      BinOp("or", sel("foo"), FuncCall("vector", Seq(NumberLit(0))))
+  }
+
+  test("scalar-scalar comparisons require the bool modifier") {
+    an[IllegalArgumentException] should be thrownBy Parser.parse("1 == 1")
+    an[IllegalArgumentException] should be thrownBy Parser.parse("time() > 100")
+    an[IllegalArgumentException] should be thrownBy
+      Parser.parse("scalar(foo) > scalar(bar)")
+    Parser.parse("1 == bool 1") shouldEqual
+      BinOp("==", NumberLit(1), NumberLit(1), bool = true)
+    Parser.parse("1 < bool 2 - 1 * 2") shouldEqual
+      BinOp("<", NumberLit(1),
+        BinOp("-", NumberLit(2), BinOp("*", NumberLit(1), NumberLit(2))), bool = true)
+    // vector-scalar comparisons never need bool
+    Parser.parse("foo > 2") shouldEqual BinOp(">", sel("foo"), NumberLit(2))
+  }
+
+  test("vector matching requires vectors; matrix operands are never binop legal") {
+    an[IllegalArgumentException] should be thrownBy Parser.parse("foo == on(bar) 10")
+    an[IllegalArgumentException] should be thrownBy Parser.parse("foo + on(x) 2")
+    an[IllegalArgumentException] should be thrownBy Parser.parse("foo + bar[5m]")
+    an[IllegalArgumentException] should be thrownBy Parser.parse("bar[5m] / foo")
+    an[IllegalArgumentException] should be thrownBy Parser.parse("foo + bar[5m:1m]")
+    an[IllegalArgumentException] should be thrownBy Parser.parse("-test[5m]")
+    // range inside a function argument is of course fine
+    Parser.parse("foo / rate(bar[5m])") shouldEqual
+      BinOp("/", sel("foo"), FuncCall("rate", Seq(sel("bar").copy(windowMs = Some(300000L)))))
   }
 }

@@ -353,4 +353,107 @@ class PipelineSpec extends AnyFunSuite with Matchers {
       .collect().map(r => (r.getLong(0), r.getString(1)))
     again.toSet shouldEqual kept.toSet
   }
+
+  test("per-group cap keeps at most N per group, deterministic under repartition") {
+    val rows = (0 until 50).map(i => (i.toLong, "big", s"text $i")) ++
+      (100 until 103).map(i => (i.toLong, "small", s"text $i"))
+    val df = rows.toDF("doc_id", "source", "text")
+    val kept = pipeline.Sampling.capPerGroup(df, maxPerGroup = 10)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    kept.count(_._2 == "big") shouldEqual 10   // capped
+    kept.count(_._2 == "small") shouldEqual 3  // under cap: untouched
+    // hash-point selection, not arrival-order prefix: the kept big-group
+    // ids are NOT simply 0..9
+    kept.filter(_._2 == "big").map(_._1).sorted should not equal (0L until 10L).toArray
+    val again = pipeline.Sampling.capPerGroup(df.repartition(7), maxPerGroup = 10)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    again.toSet shouldEqual kept.toSet
+  }
+
+  test("vocabulary build: df-weighted counts, min-count floor, deterministic order") {
+    val corpus = Seq(
+      (1L, "alpha alpha beta gamma!"),
+      (2L, "alpha beta delta"),
+      (3L, "epsilon")
+    ).toDF("doc_id", "text")
+    val v = TextAnalysis.buildVocab(corpus, vocabSize = 3, minCount = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // alpha 3, beta 2; gamma/delta/epsilon/'!' fall under the floor;
+    // vocabSize truncates after the (n desc, token asc) order
+    v shouldEqual Array(("alpha", 3L), ("beta", 2L))
+    val all = TextAnalysis.buildVocab(corpus, vocabSize = 10, minCount = 1)
+      .collect().map(_.getString(0))
+    all.take(2) shouldEqual Array("alpha", "beta")
+    all should contain("!") // punctuation is its own token
+  }
+
+  test("bpe train matches a brute-force reference; encode applies merges in rank order") {
+    import graft.pipeline.Bpe
+    val corpus = Seq(
+      (1L, "low low low low low lower lower newest newest"),
+      (2L, "newest newest newest newest widest widest widest"),
+      (3L, "low lower newest widest")
+    ).toDF("doc_id", "text")
+
+    // brute-force reference: same algorithm, plain Scala on the driver
+    def bruteTrain(words: Map[String, Long], nMerges: Int): Seq[(Int, String, String, Long)] = {
+      var syms = words.map { case (w, n) => (w.map(_.toString).toVector :+ Bpe.EndOfWord, n) }
+      val out = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+      var rank = 0
+      while (rank < nMerges) {
+        val counts = scala.collection.mutable.Map[(String, String), Long]()
+        for ((s, n) <- syms; i <- 0 until s.length - 1)
+          counts((s(i), s(i + 1))) = counts.getOrElse((s(i), s(i + 1)), 0L) + n
+        if (counts.isEmpty || counts.values.max < 2) rank = nMerges
+        else {
+          val ((a, b), c) = counts.toSeq.minBy { case ((x, y), n) => (-n, x, y) }
+          out += ((rank, a, b, c))
+          syms = syms.map { case (s, n) =>
+            val merged = s.foldLeft(Vector.empty[String]) { (acc, x) =>
+              if (acc.nonEmpty && acc.last == a && x == b) acc.init :+ (a + b)
+              else acc :+ x
+            }
+            (merged, n)
+          }
+          rank += 1
+        }
+      }
+      out.toSeq
+    }
+    val wordMap = corpus.flatMap(_.getString(1).split("\\s+")).groupBy("value").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expected = bruteTrain(wordMap, 8)
+    val learned = Bpe.train(corpus, 8)
+    learned shouldEqual expected
+    learned.length shouldEqual 8
+
+    // encode applies the learned merges deterministically, in rank order
+    val enc = corpus.select(col("doc_id"),
+      Bpe.encodeWord(lit("lowest"), learned.map(m => (m._2, m._3))).as("toks"))
+      .head.getSeq[String](1)
+    enc.mkString(" ") should include("low") // learned subword survives in a NEW word
+    enc.last should endWith(Bpe.EndOfWord)
+    // determinism under repartitioning (the corpus pass is a groupBy;
+    // round tie-breaks are total-ordered)
+    Bpe.train(corpus.repartition(5), 8) shouldEqual learned
+  }
+
+  test("topk cardinality: ranks groups by series count under a label-path prefix") {
+    import graft.operators.MetadataOps
+    val samples = Seq(
+      ("m1", Map("_ws_" -> "w1"), 1L, 900L, 1.0),
+      ("m1", Map("_ws_" -> "w1"), 2L, 100L, 1.0),
+      ("m1", Map("_ws_" -> "w1"), 3L, 900L, 1.0),
+      ("m2", Map("_ws_" -> "w1"), 4L, 900L, 1.0),
+      ("m3", Map("_ws_" -> "w2"), 5L, 900L, 1.0), // other workspace: excluded by prefix
+      ("m3", Map("_ws_" -> "w2"), 6L, 900L, 1.0)
+    ).toDF("metric", "tags", "series_id", "ts", "value")
+    // prefix pins _ws_=w1; depth 2 groups by (_ws_, metric); m1 owns 3 series
+    val top = MetadataOps.topkCardinality(samples, Seq("_ws_", "metric"),
+      prefix = Seq("w1"), depth = 2, k = 1, activeAfterMs = 500L, exact = true).collect()
+    top.map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))) shouldEqual
+      Array(("w1", "m1", 3L, 2L))
+    an[IllegalArgumentException] should be thrownBy
+      MetadataOps.topkCardinality(samples, Seq("metric"), Nil, depth = 2, k = 1, 0L)
+  }
 }

@@ -64,6 +64,26 @@ class PrinterPropertySpec extends AnyFunSuite with Matchers {
   private val setOps = Seq("and", "or", "unless")
   private val arithOps = Seq("+", "-", "*", "/", "%", "^")
 
+  /** Static types, mirroring the parser's binop guards (Parser.mkBinOp):
+    * the generator must only build ASTs whose printed form re-parses. */
+  private def scalarT(e: PromExpr): Boolean = e match {
+    case NumberLit(_) => true
+    case FuncCall("scalar", _) => true
+    case FuncCall("time", Seq()) => true
+    case BinOp(_, l, r, _, _) => scalarT(l) && scalarT(r)
+    case _ => false
+  }
+  private def matrixT(e: PromExpr): Boolean = e match {
+    case s: Selector => s.windowMs.isDefined
+    case _: Subquery => true
+    case _ => false
+  }
+  /** Matrix operand → wrap in a range fn (legal); scalar → swap for alt. */
+  private def debox(e: PromExpr): PromExpr =
+    if (matrixT(e)) FuncCall("sum_over_time", Seq(e)) else e
+  private def vecOr(e: PromExpr, alt: PromExpr): PromExpr =
+    if (scalarT(e)) alt else e
+
   private def vmatch(grouping: Boolean): Gen[Option[VectorMatch]] = Gen.frequency(
     4 -> Gen.const(None),
     1 -> (for {
@@ -102,17 +122,29 @@ class PrinterPropertySpec extends AnyFunSuite with Matchers {
       1 -> (for {
         l <- ident; e <- expr(depth - 1)
       } yield Agg("count_values", e, Some(StringLit(l)), Nil, Nil)),
-      3 -> (for { // arithmetic/comparison binop
+      3 -> (for { // arithmetic/comparison binop — typed like the parser's
+        // guards: no matrix operands, bool forced on scalar-scalar
+        // comparisons, matching only between vectors
         op <- Gen.oneOf(arithOps ++ cmpOps)
-        bool <- if (cmpOps.contains(op)) Gen.oneOf(true, false) else Gen.const(false)
-        l <- expr(depth - 1); r <- expr(depth - 1)
-        m <- vmatch(grouping = true)
+        l0 <- expr(depth - 1); r0 <- expr(depth - 1)
+        l = debox(l0); r = debox(r0)
+        bothScalar = scalarT(l) && scalarT(r)
+        bool <- if (!cmpOps.contains(op)) Gen.const(false)
+                else if (bothScalar) Gen.const(true)
+                else Gen.oneOf(true, false)
+        m <- if (scalarT(l) || scalarT(r)) Gen.const(None)
+             else vmatch(grouping = true)
       } yield BinOp(op, l, r, bool, m)),
-      1 -> (for { // set op: no bool, no grouping
+      1 -> (for { // set op: no bool, no grouping, vectors both sides
         op <- Gen.oneOf(setOps)
-        l <- expr(depth - 1); r <- expr(depth - 1)
+        l0 <- expr(depth - 1); r0 <- expr(depth - 1)
+        // fallback operands must be INSTANT selectors (a windowed one
+        // would reintroduce the matrix-operand type error)
+        sl <- selector.map(_.copy(windowMs = None))
+        sr <- selector.map(_.copy(windowMs = None))
         m <- vmatch(grouping = false)
-      } yield BinOp(op, l, r, bool = false, m)),
+      } yield BinOp(op, vecOr(debox(l0), sl), vecOr(debox(r0), sr),
+                    bool = false, m)),
       1 -> (for {
         e <- expr(depth - 1)
         r <- durMs

@@ -116,6 +116,41 @@ class PromApiSpec extends AnyFunSuite with Matchers {
           .build(),
         HttpResponse.BodyHandlers.ofString()).body()
       viaPost shouldEqual viaGet
+      // a NON-form body (JSON) is ignored, not mangled into bogus params:
+      // the same query via query-string with a JSON body still answers
+      val viaJsonBody = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://localhost:$port/api/v1/query_range" +
+            s"?query=$enc&start=${TsTables.EventsStartMs / 1000}" +
+            s"&end=${TsTables.EventsEndMs / 1000}&step=86400"))
+          .header("Content-Type", "application/json")
+          .POST(HttpRequest.BodyPublishers.ofString("""{"ignored":"payload"}"""))
+          .build(),
+        HttpResponse.BodyHandlers.ofString()).body()
+      viaJsonBody shouldEqual viaGet
+      // percent-encoded parameter KEYS decode: match%5B%5D == match[]
+      get(port, s"/api/v1/series?match%5B%5D=${java.net.URLEncoder.encode("purchase", "UTF-8")}") shouldEqual
+        get(port, s"/api/v1/series?match[]=${java.net.URLEncoder.encode("purchase", "UTF-8")}")
+    } finally api.stop()
+  }
+
+  test("explainOnly returns the plan as debugInfo lines without executing") {
+    val samples = TsTables.eventsAsSamples(spark, "/root/testdata/sf0.001")
+    val api = new PromApi(spark, samples).start()
+    try {
+      val port = api.boundPort
+      val enc = java.net.URLEncoder.encode("sum(rate(purchase[1d]))", "UTF-8")
+      val resp = get(port, s"/api/v1/query_range?query=$enc" +
+        s"&start=${TsTables.EventsStartMs / 1000}&end=${TsTables.EventsEndMs / 1000}" +
+        "&step=86400&explainOnly=true")
+      resp should include(""""status":"success"""")
+      resp should include(""""debugInfo":[""")
+      resp should include("query: sum(rate(purchase[1d]))") // canonical print first
+      resp should include("Physical Plan")                  // Spark plan follows
+      resp should not include """"resultType""""            // not an executed result
+      // instant query path too
+      val inst = get(port, s"/api/v1/query?query=$enc" +
+        s"&time=${TsTables.EventsEndMs / 1000}&explainOnly=true")
+      inst should include(""""debugInfo":[""")
     } finally api.stop()
   }
 
