@@ -18,13 +18,23 @@ import org.apache.spark.sql.functions._
   */
 object TsTables {
 
-  /** events with `ts_ms: Long` (epoch millis, exact integer division from
-    * the parquet TIMESTAMP(NANOS) read as Long — double math would lose
-    * precision above 2^53). */
+  /** Epoch-millis from whatever physical type the driver wrote `ts` as:
+    * TIMESTAMP(NANOS) surfaces as Long under `nanosAsLong` (integer
+    * division — double math would lose precision above 2^53),
+    * TIMESTAMP(MICROS)/MILLIS as (NTZ) timestamps (`unix_millis`, exact;
+    * session tz is pinned UTC so the NTZ cast is identity). The oracle's
+    * `epoch_ns(ts)//1000000` is precision-agnostic the same way. */
+  def tsMillis(df: DataFrame, tsCol: String = "ts"): org.apache.spark.sql.Column =
+    df.schema(tsCol).dataType match {
+      case org.apache.spark.sql.types.LongType => expr(s"$tsCol div 1000000")
+      case _ => unix_millis(col(tsCol).cast("timestamp"))
+    }
+
+  /** events with `ts_ms: Long` (epoch millis, exact). */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts_ms", expr("ts div 1000000"))
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    raw.withColumn("ts_ms", tsMillis(raw))
   }
 
   /** Long/narrow canonical samples table from events; one series per

@@ -27,12 +27,14 @@ object Ingest {
   case class TimedSample(series_id: Long, metric: String, user: String,
                          ts: Long, value: Double, et: java.sql.Timestamp)
 
-  /** Normalize a raw events-shaped frame (streaming or batch) to samples. */
+  /** Normalize a raw events-shaped frame (streaming or batch) to samples.
+    * `ts` adapts per source physical type (nanos-as-long vs timestamp),
+    * same contract as [[graft.model.TsTables.tsMillis]]. */
   def normalize(events: DataFrame): DataFrame =
     events.select(
       col("event_type").as("metric"),
       col("user_id").cast("string").as("user"),
-      expr("ts div 1000000").as("ts"),
+      graft.model.TsTables.tsMillis(events).as("ts"),
       col("value"))
       .withColumn("series_id", xxhash64(col("metric"), col("user")))
 
@@ -137,7 +139,7 @@ object Ingest {
   /** The raw events schema every source produces (file rows directly;
     * Kafka after JSON decode). */
   val EventsSchema =
-    "event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING"
+    "event_id LONG, ts TIMESTAMP_NTZ, user_id LONG, event_type STRING, value DOUBLE, props STRING"
 
   /** The source-agnostic ingest pipeline: normalize → per-series
     * out-of-order/duplicate drop. Every source (file, Kafka, memory-stream
