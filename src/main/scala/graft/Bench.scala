@@ -50,6 +50,7 @@ object Bench {
     "q100_gopher_signals", "q104_dedup_pipeline", "q106_promql_hist_storage_rate",
     "q107_decontam_ngrams", "q108_dup_span_removal", "q112_pq_knn",
     "q115_unigram_logloss", "q117_corpus_report", "q118_curation_pipeline",
+    "q124_bigram_logloss", "q125_session_stats",
     "corpus_minhash_dups", "corpus_simhash", "corpus_knn_lsh",
     "corpus_cosine_dups", "corpus_ivf_knn", "corpus_winnowing",
     "corpus_dedup_pipeline", "corpus_span_dedup", "corpus_pq_knn",

@@ -138,6 +138,46 @@ object Quality {
         round(log(col("__n")) - col("__mlt"), 6).as("mean_nll"))
   }
 
+  /** Bigram-LM self-perplexity (the CCNet/Wenzek et al. 2020 quality
+    * signal one order up from [[unigramLogLoss]]): score each document by
+    * the mean negative log-likelihood of its token transitions under an
+    * add-k-smoothed bigram model trained on the corpus itself,
+    * p(b|a) = (C(ab)+k) / (C(a)+k·V).
+    *
+    * Scale shape: bigrams are built MAP-SIDE as one zip_with over the
+    * token array (no positional self-join); the per-bigram stream then
+    * shuffles (doc_id, xxhash64(prefix), xxhash64(bigram)) fixed-width
+    * longs only. C(ab) is one hash groupBy; C(a) derives from it by a
+    * second aggregation over the already-vocabulary-bounded count table
+    * (never a second pass over the corpus), and the two count tables
+    * pre-join so the big stream is joined ONCE. V rides in as a 1-row
+    * broadcast. Docs with <2 tokens have no transitions and drop out —
+    * same inner-join semantics in the oracle.
+    * Output: (idCol, n_bigrams, mean_nll). */
+  def bigramLogLoss(docs: DataFrame, k: Double = 0.5, textCol: String = "text",
+                    idCol: String = "doc_id"): DataFrame = {
+    val sep = "\u0001" // non-whitespace: keeps ("ab","c") distinct from ("a","bc")
+    val toks = TextAnalysis.tokens(lower(col(textCol)))
+    val n = size(toks)
+    val pairs = docs.select(col(idCol),
+      explode(zip_with(slice(toks, lit(1), greatest(n - 1, lit(0))),
+                       slice(toks, lit(2), greatest(n - 1, lit(0))),
+        (a, b) => struct(xxhash64(a).as("__ha"),
+                         xxhash64(concat(a, lit(sep), b)).as("__hb")))).as("__p"))
+      .select(col(idCol), col("__p.__ha").as("__ha"), col("__p.__hb").as("__hb"))
+    val cab = pairs.groupBy(col("__ha"), col("__hb")).agg(count(lit(1)).as("__cab"))
+    val ca = cab.groupBy(col("__ha")).agg(sum(col("__cab")).as("__ca"))
+    val counts = cab.join(ca, "__ha")
+    val v = docs.select(explode(TextAnalysis.tokens(lower(col(textCol)))).as("__t"))
+      .agg(count_distinct(xxhash64(col("__t"))).cast("double").as("__v"))
+    pairs.join(counts, Seq("__ha", "__hb"))
+      .crossJoin(broadcast(v))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(log(col("__ca") + lit(k) * col("__v")) - log(col("__cab") + lit(k))), 6)
+          .as("mean_nll"))
+  }
+
   /** C4-style page filters (Raffel et al. 2020, "Exploring the Limits of
     * Transfer Learning...", §2.2 — the C4 cleaning heuristics): terminal-
     * punctuation line fraction, short-line (<5 words) fraction, sentence

@@ -203,6 +203,11 @@ object PipelineQueries {
     "q115_unigram_logloss" -> ((s, dir) =>
       Quality.unigramLogLoss(TsTables.documents(s, dir)).orderBy(col("doc_id"))),
 
+    // bigram-LM self-perplexity (CCNet signal one order up from q115):
+    // add-k-smoothed transition NLL, corpus as its own LM
+    "q124_bigram_logloss" -> ((s, dir) =>
+      Quality.bigramLogLoss(TsTables.documents(s, dir)).orderBy(col("doc_id"))),
+
     "q116_chunking" -> ((s, dir) =>
       TextAnalysis.chunkDocuments(TsTables.documents(s, dir),
         chunkTokens = 32, overlapTokens = 8)
@@ -799,6 +804,23 @@ object PipelineQueries {
          SELECT doc_id, count(*) AS n_tokens,
                 round(ln((SELECT tot FROM n)) - avg(ln(c)), 6) AS mean_nll
          FROM toks JOIN tf USING (t)
+         GROUP BY doc_id ORDER BY doc_id""",
+
+    // same hash-first trick as q115's mirror: DuckDB counts on the token
+    // STRINGS (grouping by xxhash64(token) and by the token itself give
+    // identical count tables absent a 64-bit collision)
+    "q124_bigram_logloss" ->
+      """WITH toks AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+                       FROM documents),
+              bi AS (SELECT doc_id, t[i] AS a, t[i+1] AS b
+                     FROM toks, UNNEST(generate_series(1, len(t)-1)) AS g(i)),
+              cab AS (SELECT a, b, count(*) AS cab FROM bi GROUP BY a, b),
+              ca AS (SELECT a, sum(cab) AS ca FROM cab GROUP BY a),
+              v AS (SELECT count(DISTINCT x) AS v
+                    FROM (SELECT unnest(t) AS x FROM toks))
+         SELECT doc_id, count(*) AS n_bigrams,
+                round(avg(ln(ca + 0.5 * (SELECT v FROM v)) - ln(cab + 0.5)), 6) AS mean_nll
+         FROM bi JOIN cab USING (a, b) JOIN ca USING (a)
          GROUP BY doc_id ORDER BY doc_id""",
 
     "q116_chunking" ->

@@ -139,7 +139,25 @@ object RelationalQueries {
     "q119_topk_cardinality" -> ((s, dir) =>
       graft.operators.MetadataOps.topkCardinality(
         TsTables.eventsAsSamples(s, dir), Seq("metric", "user"), prefix = Nil,
-        depth = 1, k = 3, TsTables.EventsEndMs - 7 * TsTables.Day, exact = true))
+        depth = 1, k = 3, TsTables.EventsEndMs - 7 * TsTables.Day, exact = true)),
+
+    // gap-based sessionization (6 h inactivity): one shuffle on user_id,
+    // session boundaries + rollup both inside that partitioning
+    "q125_session_stats" -> ((s, dir) =>
+      graft.operators.Sessionize.sessionStats(
+        TsTables.events(s, dir)
+          .select(col("user_id"), col("event_id"), col("ts_ms"), col("value")),
+        gapMs = 6L * 3600 * 1000)
+        .orderBy(col("user_id"), col("session_idx"))),
+
+    // ordered conversion funnel view -> click -> purchase: earliest step-1
+    // time, then earliest later step-2, then earliest later step-3
+    "q126_funnel" -> ((s, dir) =>
+      graft.operators.Sessionize.funnel(
+        TsTables.events(s, dir)
+          .select(col("user_id"), col("event_type"), col("ts_ms")),
+        Seq("view", "click", "purchase"))
+        .orderBy(col("user_id")))
   )
 
   def oracles: Map[String, String] = Map(
@@ -224,6 +242,42 @@ object RelationalQueries {
                  count(DISTINCT CASE WHEN epoch_ns(ts)//1000000 >
                    ${TsTables.EventsEndMs - 7 * TsTables.Day} THEN user_id END) AS active
           FROM events GROUP BY 1
-          ORDER BY total DESC, metric ASC LIMIT 3"""
+          ORDER BY total DESC, metric ASC LIMIT 3""",
+
+    "q125_session_stats" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ns(ts)//1000000 AS ts_ms, value
+                    FROM events),
+              lagd AS (SELECT *, lag(ts_ms) OVER
+                         (PARTITION BY user_id ORDER BY ts_ms, event_id) AS prev
+                       FROM e),
+              flg AS (SELECT *, CASE WHEN prev IS NULL OR ts_ms - prev > 21600000
+                                     THEN 1 ELSE 0 END AS nw
+                      FROM lagd),
+              sess AS (SELECT *, sum(nw) OVER
+                         (PARTITION BY user_id ORDER BY ts_ms, event_id
+                          ROWS UNBOUNDED PRECEDING) AS session_idx
+                       FROM flg)
+         SELECT user_id, session_idx, count(*) AS n_events,
+                min(ts_ms) AS start_ms, max(ts_ms) AS end_ms,
+                max(ts_ms) - min(ts_ms) AS duration_ms,
+                round(sum(value), 6) AS sum_value
+         FROM sess GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q126_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_ns(ts)//1000000 AS ts_ms
+                    FROM events),
+              s1 AS (SELECT user_id, min(ts_ms) AS step1_ms
+                     FROM e WHERE event_type = 'view' GROUP BY 1),
+              s2 AS (SELECT e.user_id, min(ts_ms) AS step2_ms
+                     FROM e JOIN s1 USING (user_id)
+                     WHERE event_type = 'click' AND ts_ms > step1_ms GROUP BY 1),
+              s3 AS (SELECT e.user_id, min(ts_ms) AS step3_ms
+                     FROM e JOIN s2 USING (user_id)
+                     WHERE event_type = 'purchase' AND ts_ms > step2_ms GROUP BY 1)
+         SELECT s1.user_id, step1_ms, step2_ms, step3_ms,
+                1 + CASE WHEN step2_ms IS NULL THEN 0 ELSE 1 END
+                  + CASE WHEN step3_ms IS NULL THEN 0 ELSE 1 END AS steps_completed
+         FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+         ORDER BY s1.user_id"""
   )
 }

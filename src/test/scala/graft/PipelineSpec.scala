@@ -324,6 +324,24 @@ class PipelineSpec extends AnyFunSuite with Matchers {
     out(2L)._2 should be > out(1L)._2
   }
 
+  test("bigram log loss matches a hand-computed add-k model; repartition-stable") {
+    val d = Seq((1L, "a b a c"), (2L, "a b"), (3L, "z")).toDF("doc_id", "text")
+    val out = pipeline.Quality.bigramLogLoss(d, k = 0.5)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // C(ab)=2 C(ba)=1 C(ac)=1; prefixes C(a)=3 C(b)=1; V=4 tokens {a,b,c,z}
+    def nll(cab: Long, ca: Long) =
+      math.log(ca + 0.5 * 4) - math.log(cab + 0.5)
+    out(1L)._1 shouldEqual 3
+    out(1L)._2 shouldEqual (nll(2, 3) + nll(1, 1) + nll(1, 3)) / 3 +- 1e-6
+    out(2L)._1 shouldEqual 1
+    out(2L)._2 shouldEqual nll(2, 3) +- 1e-6
+    // 1-token doc has no transitions -> absent
+    out.contains(3L) shouldEqual false
+    val again = pipeline.Quality.bigramLogLoss(d.repartition(5), k = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    out.map { case (k2, v) => k2 -> v._2 } shouldEqual again
+  }
+
   test("c4 filters: verdicts on planted pages") {
     val out = pipeline.Quality.c4Signals(graft.queries.PipelineFixtures.c4Docs(spark))
       .collect().map(r => r.getLong(0) -> r).toMap

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+import graft.operators.Sessionize
+
+class SessionizeSpec extends AnyFunSuite with Matchers {
+
+  lazy val spark: SparkSession = GraftSession.builder("local[4]", "4").getOrCreate()
+  import spark.implicits._
+
+  // (user_id, event_id, ts_ms, event_type, value); gap = 100 ms
+  val events = Seq(
+    (1L, 10L, 1000L, "view", 1.0),
+    (1L, 11L, 1050L, "click", 2.0),     // same session (gap 50)
+    (1L, 12L, 1200L, "purchase", 3.0),  // new session (gap 150)
+    (1L, 13L, 1250L, "view", 4.0),
+    (2L, 20L, 5000L, "view", 5.0),      // single-event user
+    (3L, 30L, 9000L, "click", 6.0),     // no view -> not in funnel
+    (3L, 31L, 9001L, "purchase", 7.0)
+  ).toDF("user_id", "event_id", "ts_ms", "event_type", "value")
+
+  test("sessionize splits on gaps > gapMs and numbers sessions per user") {
+    val s = Sessionize.sessionize(events, gapMs = 100)
+      .select("user_id", "event_id", "session_idx")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    s((1L, 10L)) shouldEqual 1
+    s((1L, 11L)) shouldEqual 1
+    s((1L, 12L)) shouldEqual 2
+    s((1L, 13L)) shouldEqual 2
+    s((2L, 20L)) shouldEqual 1
+    s((3L, 30L)) shouldEqual 1
+    s((3L, 31L)) shouldEqual 1
+  }
+
+  test("sessionStats rolls up bounds, counts and sums per session") {
+    val s = Sessionize.sessionStats(events, gapMs = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getDouble(6)))).toMap
+    s((1L, 1L)) shouldEqual ((2L, 1000L, 1050L, 50L, 3.0))
+    s((1L, 2L)) shouldEqual ((2L, 1200L, 1250L, 50L, 7.0))
+    s((2L, 1L)) shouldEqual ((1L, 5000L, 5000L, 0L, 5.0))
+    s((3L, 1L)) shouldEqual ((2L, 9000L, 9001L, 1L, 13.0))
+  }
+
+  test("sessionize is deterministic under repartitioning") {
+    val a = Sessionize.sessionStats(events, gapMs = 100).collect().toSet
+    val b = Sessionize.sessionStats(events.repartition(7), gapMs = 100).collect().toSet
+    a shouldEqual b
+  }
+
+  test("funnel chains strictly-later steps and counts completion depth") {
+    val f = Sessionize.funnel(events, Seq("view", "click", "purchase"))
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.get(1)), Option(r.get(2)), Option(r.get(3)), r.getInt(4)))).toMap
+    // user 1: view@1000 -> click@1050 -> purchase@1200
+    f(1L) shouldEqual ((Some(1000L), Some(1050L), Some(1200L), 3))
+    // user 2: view only
+    f(2L) shouldEqual ((Some(5000L), None, None, 1))
+    // user 3 never did step 1 -> absent entirely
+    f.contains(3L) shouldEqual false
+  }
+
+  test("funnel requires steps to be strictly after the previous step") {
+    // click BEFORE the first view must not count
+    val ev = Seq(
+      (9L, 1L, 100L, "click", 0.0),
+      (9L, 2L, 200L, "view", 0.0)
+    ).toDF("user_id", "event_id", "ts_ms", "event_type", "value")
+    val f = Sessionize.funnel(ev, Seq("view", "click"))
+      .collect().map(r => r.getLong(0) -> r.getInt(3)).toMap
+    f(9L) shouldEqual 1
+  }
+}
