@@ -146,31 +146,45 @@ object Quality {
     *
     * Scale shape: bigrams are built MAP-SIDE as one zip_with over the
     * token array (no positional self-join); the per-bigram stream then
-    * shuffles (doc_id, xxhash64(prefix), xxhash64(bigram)) fixed-width
-    * longs only. C(ab) is one hash groupBy; C(a) derives from it by a
-    * second aggregation over the already-vocabulary-bounded count table
-    * (never a second pass over the corpus), and the two count tables
-    * pre-join so the big stream is joined ONCE. V rides in as a 1-row
-    * broadcast. Docs with <2 tokens have no transitions and drop out —
-    * same inner-join semantics in the oracle.
+    * shuffles (doc_id, xxhash64(prefix), xxhash64(suffix)) fixed-width
+    * longs only. EVERYTHING model-side derives from the single C(ab)
+    * aggregation: C(a) by re-aggregating the vocabulary-bounded count
+    * table, and V as the distinct tokens PARTICIPATING IN TRANSITIONS
+    * (first or second position) — so the corpus is scanned exactly twice
+    * (the transition stream for counting and for scoring; identical
+    * exchange subtrees reuse), never once more for a vocab pass.
+    * Tokens of 1-token docs are outside V by that definition, consistent
+    * with those docs being unscoreable. The count tables pre-join so the
+    * big stream is joined ONCE; V rides in as a 1-row broadcast. Docs
+    * with <2 tokens have no transitions and drop out — same inner-join
+    * semantics in the oracle.
     * Output: (idCol, n_bigrams, mean_nll). */
   def bigramLogLoss(docs: DataFrame, k: Double = 0.5, textCol: String = "text",
                     idCol: String = "doc_id"): DataFrame = {
-    val sep = "\u0001" // non-whitespace: keeps ("ab","c") distinct from ("a","bc")
-    val toks = TextAnalysis.tokens(lower(col(textCol)))
-    val n = size(toks)
-    val pairs = docs.select(col(idCol),
-      explode(zip_with(slice(toks, lit(1), greatest(n - 1, lit(0))),
-                       slice(toks, lit(2), greatest(n - 1, lit(0))),
-        (a, b) => struct(xxhash64(a).as("__ha"),
-                         xxhash64(concat(a, lit(sep), b)).as("__hb")))).as("__p"))
-      .select(col(idCol), col("__p.__ha").as("__ha"), col("__p.__hb").as("__hb"))
-    val cab = pairs.groupBy(col("__ha"), col("__hb")).agg(count(lit(1)).as("__cab"))
+    // arrays_zip, NOT zip_with: a lambda's NamedLambdaVariable ids defeat
+    // plan canonicalization, so the counting and scoring subtrees would
+    // never hash-equal and ReuseExchange could not collapse their scans
+    val staged = docs.select(col(idCol),
+      TextAnalysis.tokens(lower(col(textCol))).as("__toks"))
+    val n = size(col("__toks"))
+    val pairs = staged.select(col(idCol),
+        explode(arrays_zip(
+          slice(col("__toks"), lit(1), greatest(n - 1, lit(0))).as("__pre"),
+          slice(col("__toks"), lit(2), greatest(n - 1, lit(0))).as("__suf"))).as("__p"))
+      .select(col(idCol),
+        xxhash64(col("__p.__pre")).as("__ha"), xxhash64(col("__p.__suf")).as("__hs"))
+    // materialize the count table (vocabulary-bounded — tiny next to the
+    // corpus): Spark re-derives a DataFrame subtree per REFERENCE, and
+    // exchange reuse does not reliably collapse the three model-side
+    // consumers (prefix sums, vocab, scoring join) — without this the
+    // corpus is scanned and tokenized 4x instead of 2x
+    val cab = pairs.groupBy(col("__ha"), col("__hs")).agg(count(lit(1)).as("__cab"))
+      .localCheckpoint()
     val ca = cab.groupBy(col("__ha")).agg(sum(col("__cab")).as("__ca"))
     val counts = cab.join(ca, "__ha")
-    val v = docs.select(explode(TextAnalysis.tokens(lower(col(textCol)))).as("__t"))
-      .agg(count_distinct(xxhash64(col("__t"))).cast("double").as("__v"))
-    pairs.join(counts, Seq("__ha", "__hb"))
+    val v = cab.select(explode(array(col("__ha"), col("__hs"))).as("__t"))
+      .agg(count_distinct(col("__t")).cast("double").as("__v"))
+    pairs.join(counts, Seq("__ha", "__hs"))
       .crossJoin(broadcast(v))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_bigrams"),

@@ -817,7 +817,7 @@ object PipelineQueries {
               cab AS (SELECT a, b, count(*) AS cab FROM bi GROUP BY a, b),
               ca AS (SELECT a, sum(cab) AS ca FROM cab GROUP BY a),
               v AS (SELECT count(DISTINCT x) AS v
-                    FROM (SELECT unnest(t) AS x FROM toks))
+                    FROM (SELECT a AS x FROM bi UNION SELECT b FROM bi))
          SELECT doc_id, count(*) AS n_bigrams,
                 round(avg(ln(ca + 0.5 * (SELECT v FROM v)) - ln(cab + 0.5)), 6) AS mean_nll
          FROM bi JOIN cab USING (a, b) JOIN ca USING (a)

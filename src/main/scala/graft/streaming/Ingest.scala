@@ -100,6 +100,32 @@ object Ingest {
         col("min"), col("max"), col("sum"), col("count"), col("avg")): _*)
   }
 
+  /** Gap-session aggregation over the samples stream — the streaming
+    * twin of [[graft.operators.Sessionize.sessionStats]], built on
+    * Spark's native `session_window` (merging event-time windows that
+    * extend `gap` past each event). Works for batch and streaming inputs;
+    * streaming callers pass `lateness` so append mode can finalize a
+    * session once the watermark passes its close. State is inherently
+    * bounded: a session's state lives only until watermark > end.
+    *
+    * Session end is exclusive at last-event + gap (Spark semantics), so
+    * `end_ms - gap` is the last event time; `n_events`/`sum_value` match
+    * the batch operator on the same (keyed) rows. */
+  def sessionStats(samples: DataFrame, gap: String,
+                   lateness: Option[String] = None,
+                   keyCols: Seq[String] = Seq("user")): DataFrame = {
+    val timed = samples.withColumn("et", timestamp_millis(col("ts")))
+    val src = lateness.map(timed.withWatermark("et", _)).getOrElse(timed)
+    src
+      .groupBy(keyCols.map(col) :+ session_window(col("et"), gap).as("w"): _*)
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("start_ms"), max(col("ts")).as("end_ms"),
+        (max(col("ts")) - min(col("ts"))).as("duration_ms"),
+        round(sum(col("value")), 6).as("sum_value"))
+      .select(keyCols.map(col) ++ Seq(col("n_events"), col("start_ms"),
+        col("end_ms"), col("duration_ms"), col("sum_value")): _*)
+  }
+
   /** Histogram-typed downsample (the reference's max-min histogram ds
     * schemas): tumbling windows over hist samples (series..., ts,
     * le ARRAY, values ARRAY cumulative, plus optional raw min/max), bucket

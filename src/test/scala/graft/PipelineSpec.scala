@@ -328,9 +328,10 @@ class PipelineSpec extends AnyFunSuite with Matchers {
     val d = Seq((1L, "a b a c"), (2L, "a b"), (3L, "z")).toDF("doc_id", "text")
     val out = pipeline.Quality.bigramLogLoss(d, k = 0.5)
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
-    // C(ab)=2 C(ba)=1 C(ac)=1; prefixes C(a)=3 C(b)=1; V=4 tokens {a,b,c,z}
+    // C(ab)=2 C(ba)=1 C(ac)=1; prefixes C(a)=3 C(b)=1; V=3 transition
+    // tokens {a,b,c} — "z" only ever appears in an unscoreable 1-token doc
     def nll(cab: Long, ca: Long) =
-      math.log(ca + 0.5 * 4) - math.log(cab + 0.5)
+      math.log(ca + 0.5 * 3) - math.log(cab + 0.5)
     out(1L)._1 shouldEqual 3
     out(1L)._2 shouldEqual (nll(2, 3) + nll(1, 1) + nll(1, 3)) / 3 +- 1e-6
     out(2L)._1 shouldEqual 1

@@ -225,4 +225,32 @@ class PlanQualitySpec extends AnyFunSuite with Matchers {
     nll.count()
     plan(nll) should include("xxhash64")
   }
+
+  test("bigram LM shuffles hashed longs only; bigrams build map-side") {
+    val nll = graft.pipeline.Quality.bigramLogLoss(TsTables.documents(spark, dir))
+    nll.count()
+    val p = plan(nll)
+    p should include("xxhash64")
+    // the transition stream must never carry token/bigram STRINGS through
+    // an exchange: every post-zip_with projection is (__ha, __hb) longs
+    (p should not).include("CartesianProduct")
+    // prefix counts derive from the bigram count table, not a second
+    // corpus scan: exactly two scans of documents (pairs + vocab V)
+    "FileScan parquet".r.findAllIn(p).size should be <= 2
+  }
+
+  test("sessionization reuses one user_id exchange for window and rollup") {
+    val ev = TsTables.events(spark, dir)
+      .select(org.apache.spark.sql.functions.col("user_id"),
+        org.apache.spark.sql.functions.col("event_id"),
+        org.apache.spark.sql.functions.col("ts_ms"),
+        org.apache.spark.sql.functions.col("value"))
+    val df = graft.operators.Sessionize.sessionStats(ev, gapMs = 3600000L)
+    df.count()
+    val p = plan(df)
+    // one shuffle on user_id feeds the lag/sum window; the session rollup
+    // groups by (user_id, session_idx) — a superset key Catalyst serves
+    // from the same partitioning, so no second full exchange of the rows
+    "Exchange hashpartitioning".r.findAllIn(p).size shouldEqual 1
+  }
 }

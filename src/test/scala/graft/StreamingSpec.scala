@@ -135,6 +135,35 @@ class StreamingSpec extends AnyFunSuite with Matchers {
     } finally q.stop()
   }
 
+  test("streaming session windows: gap merge, watermark finalize, batch parity") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[Sample]
+    val q = Ingest.sessionStats(ms.toDF(), gap = "1 minute", lateness = Some("1 second"))
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    try {
+      // two events 30 s apart merge into one session; third 5 min later
+      ms.addData(Sample(1, "m", "u", 0L, 1.0), Sample(1, "m", "u", 30000L, 2.0))
+      q.processAllAvailable()
+      spark.table("sess_out").count() shouldEqual 0L // session still open
+      ms.addData(Sample(1, "m", "u", 300000L, 4.0))
+      q.processAllAvailable()
+      val rows = spark.table("sess_out").collect()
+      rows.length shouldEqual 1
+      rows.head.getAs[Long]("n_events") shouldEqual 2L
+      rows.head.getAs[Long]("start_ms") shouldEqual 0L
+      rows.head.getAs[Long]("end_ms") shouldEqual 30000L
+      rows.head.getAs[Long]("duration_ms") shouldEqual 30000L
+      rows.head.getAs[Double]("sum_value") shouldEqual 3.0
+      // batch mode over the same rows agrees with the finalized session
+      val batch = Ingest.sessionStats(
+        Seq(Sample(1, "m", "u", 0L, 1.0), Sample(1, "m", "u", 30000L, 2.0),
+            Sample(1, "m", "u", 300000L, 4.0)).toDF(), gap = "1 minute")
+      batch.count() shouldEqual 2L
+      batch.orderBy("start_ms").collect().map(_.getAs[Long]("n_events")).toSeq shouldEqual Seq(2L, 1L)
+    } finally q.stop()
+  }
+
   test("streaming downsample: watermark finalizes windows in append mode") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val ms = MemoryStream[Sample]
