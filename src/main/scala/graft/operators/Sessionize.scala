@@ -7,9 +7,10 @@ import org.apache.spark.sql.functions._
 /** Event sessionization + ordered-funnel analysis over the events stream
   * shape (`user_id`, `ts_ms`, `event_type`, `value`, `event_id`).
   *
-  * Both operators shuffle ONCE on `user_id` and stay there: session
-  * assignment is a running sum over a per-user window, the funnel is a
-  * per-user conditional min chain. No global sort, no driver state — the
+  * Everything here is `user_id`-keyed and stays there: sessionization is
+  * a running sum over a per-user window behind ONE exchange; the funnel
+  * is a per-user conditional min chain (k-1 aggregation rounds for k
+  * steps, each on the same key). No global sort, no driver state — the
   * per-user group is the unit of parallelism, so the shape holds at any
   * corpus size (users are the high-cardinality axis; the per-user event
   * list is bounded by retention, the classic sessionization contract).

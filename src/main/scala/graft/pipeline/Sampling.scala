@@ -102,4 +102,39 @@ object Sampling {
       .where(hashPoint(col(idCol)) < col("__rate"))
       .select(col(idCol), col(domainCol))
   }
+
+  /** Assemble a training mix from EXPLICIT source weights and a total
+    * token budget (The Pile / DoReMi-style "data recipe" step after
+    * curation): each in-mix source s gets keep rate
+    * r_s = min(1, budget·w_s / tokens_s); docs keep via the md5 hash
+    * point, so the mix is deterministic across engines, topologies and
+    * reruns, and a re-run with a bigger budget only ADDS documents
+    * (hash-point keeps nest). Sources absent from `weights` drop out;
+    * sources smaller than their target are fully kept — upsampling via
+    * repeated epochs is a trainer concern, not a corpus transform.
+    *
+    * Scale shape: per-source token totals are one aggregate row per
+    * source, joined back as a broadcast; the corpus never shuffles and
+    * the keep decision is a map-side expression.
+    * Output: kept (idCol, sourceCol, rate rounded to 6dp). */
+  def mixSources(docs: DataFrame, weights: Map[String, Double], budgetTokens: Long,
+                 sourceCol: String = "source", textCol: String = "text",
+                 idCol: String = "doc_id"): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      s"mix weights must be positive: $weights")
+    val wsum = weights.values.sum
+    val wmap = map(weights.toSeq.sortBy(_._1)
+      .flatMap { case (s, w) => Seq(lit(s), lit(w / wsum)) }: _*)
+    val rates = docs
+      .select(col(sourceCol), TextAnalysis.tokenCount(col(textCol)).as("__nt"))
+      .groupBy(col(sourceCol)).agg(sum(col("__nt")).as("__ns"))
+      .withColumn("__w", element_at(wmap, col(sourceCol)))
+      .where(col("__w").isNotNull)
+      .select(col(sourceCol),
+        least(lit(1.0), lit(budgetTokens.toDouble) * col("__w") / col("__ns"))
+          .as("__rate"))
+    docs.join(broadcast(rates), sourceCol)
+      .where(hashPoint(col(idCol)) < col("__rate"))
+      .select(col(idCol), col(sourceCol), round(col("__rate"), 6).as("rate"))
+  }
 }

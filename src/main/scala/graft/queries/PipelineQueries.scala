@@ -17,6 +17,12 @@ object PipelineQueries {
 
   private val SW = TextAnalysis.Stopwords.map(s => s"'$s'").mkString(", ")
 
+  /** q127 training-mix recipe — single source of truth for BOTH engines
+    * (the oracle SQL embeds these as literals). Budget sized so src0 is
+    * rate-capped at 1.0 at sf0.01 while the rest downsample. */
+  private val MixWeights = Seq("src0" -> 4.0, "src1" -> 2.0, "src2" -> 1.0, "src3" -> 1.0)
+  private val MixBudget = 3000L
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "q60_dedup_exact" -> ((s, dir) =>
@@ -264,6 +270,13 @@ object PipelineQueries {
     // min-count floor — the count table a WordPiece/BPE train starts from
     "q121_build_vocab" -> ((s, dir) =>
       TextAnalysis.buildVocab(TsTables.documents(s, dir), vocabSize = 200, minCount = 2)),
+
+    // training-mix assembly: explicit source weights + token budget ->
+    // per-source keep rates, md5-deterministic keeps (The Pile recipe
+    // step; src0 capped at rate 1.0 at sf0.01, others downsampled)
+    "q127_mix_sources" -> ((s, dir) =>
+      Sampling.mixSources(TsTables.documents(s, dir), MixWeights.toMap, MixBudget)
+        .orderBy(col("doc_id"))),
 
     // BPE tokenizer training on the planted corpus (golden-fixture gate
     // like the sketch operators: the iterative merge learning is not
@@ -522,6 +535,25 @@ object PipelineQueries {
          SELECT token, count(*) AS n FROM toks
          GROUP BY token HAVING count(*) >= 2
          ORDER BY n DESC, token ASC LIMIT 200""",
+
+    // weights/budget literals generated from the SAME Scala values as the
+    // Spark side, so the recipe cannot drift between engines
+    "q127_mix_sources" -> {
+      val wsum = MixWeights.map(_._2).sum
+      // CAST to DOUBLE: DuckDB parses long decimal literals as DECIMAL,
+      // whose arithmetic overflows (non-dyadic weights render 17 digits)
+      // and diverges from Spark's double math at rate boundaries
+      val vals = MixWeights.map { case (s, w) =>
+        s"('$s', CAST(${w / wsum} AS DOUBLE))" }.mkString(", ")
+      s"""WITH n AS (SELECT source, sum(len(string_split_regex(trim(text), '\\s+'))) AS ns
+                     FROM documents GROUP BY 1),
+              w AS (SELECT * FROM (VALUES $vals) AS t(source, wt)),
+              r AS (SELECT n.source, least(1.0, CAST(${MixBudget.toDouble} AS DOUBLE) * wt / ns) AS rate
+                    FROM n JOIN w USING (source))
+         SELECT d.doc_id, d.source, round(rate, 6) AS rate
+         FROM documents d JOIN r USING (source)
+         WHERE ${hashPointSql("d.doc_id")} < rate
+         ORDER BY d.doc_id""" },
 
     // the greedy adjacent-pair fold == left-to-right literal string
     // replace on a sep-joined symbol string, so DuckDB runs the SAME

@@ -108,9 +108,10 @@ object Ingest {
     * session once the watermark passes its close. State is inherently
     * bounded: a session's state lives only until watermark > end.
     *
-    * Session end is exclusive at last-event + gap (Spark semantics), so
-    * `end_ms - gap` is the last event time; `n_events`/`sum_value` match
-    * the batch operator on the same (keyed) rows. */
+    * Spark's session_window bound extends gap past the last event, but
+    * the OUTPUT here reports observed event times: `start_ms`/`end_ms`
+    * are min/max(ts) within the session, so `n_events`/`start/end/
+    * duration/sum_value` match the batch operator on the same rows. */
   def sessionStats(samples: DataFrame, gap: String,
                    lateness: Option[String] = None,
                    keyCols: Seq[String] = Seq("user")): DataFrame = {

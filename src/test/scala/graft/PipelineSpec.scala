@@ -373,6 +373,31 @@ class PipelineSpec extends AnyFunSuite with Matchers {
     again.toSet shouldEqual kept.toSet
   }
 
+  test("mix sources: weighted rates, cap at 1, budget keeps nest, off-mix drops") {
+    val d = Seq.tabulate(40)(i =>
+      (i.toLong, Seq.fill(5)("w").mkString(" "), if (i < 20) "a" else "b")) ++
+      Seq((99L, "w w", "c"))
+    val df = d.toDF("doc_id", "text", "source")
+    // tokens: a=100, b=100; weights a:3 b:1 -> budget 200: a target 150
+    // (capped at rate 1.0 -> all 20 docs), b target 50 -> rate 0.5
+    val out = pipeline.Sampling.mixSources(df, Map("a" -> 3.0, "b" -> 1.0), 200L)
+      .collect()
+    out.count(_.getString(1) == "a") shouldEqual 20
+    val bKept = out.filter(_.getString(1) == "b")
+    bKept.foreach(_.getDouble(2) shouldEqual 0.5 +- 1e-9)
+    bKept.length should (be > 0 and be < 20)
+    // source c not in the recipe -> absent entirely
+    out.exists(_.getString(1) == "c") shouldEqual false
+    // a bigger budget only ADDS docs (hash-point keeps nest)
+    val more = pipeline.Sampling.mixSources(df, Map("a" -> 3.0, "b" -> 1.0), 300L)
+      .collect().map(_.getLong(0)).toSet
+    out.map(_.getLong(0)).toSet.subsetOf(more) shouldEqual true
+    // deterministic under repartitioning
+    val again = pipeline.Sampling.mixSources(df.repartition(7), Map("a" -> 3.0, "b" -> 1.0), 200L)
+      .collect().map(_.getLong(0)).toSet
+    again shouldEqual out.map(_.getLong(0)).toSet
+  }
+
   test("per-group cap keeps at most N per group, deterministic under repartition") {
     val rows = (0 until 50).map(i => (i.toLong, "big", s"text $i")) ++
       (100 until 103).map(i => (i.toLong, "small", s"text $i"))

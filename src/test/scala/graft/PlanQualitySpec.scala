@@ -234,8 +234,11 @@ class PlanQualitySpec extends AnyFunSuite with Matchers {
     // the transition stream must never carry token/bigram STRINGS through
     // an exchange: every post-zip_with projection is (__ha, __hb) longs
     (p should not).include("CartesianProduct")
-    // prefix counts derive from the bigram count table, not a second
-    // corpus scan: exactly two scans of documents (pairs + vocab V)
+    // prefix counts AND vocab derive from the localCheckpointed bigram
+    // count table (their subtrees read the checkpointed RDD, no corpus
+    // scan); the final plan's only parquet scan is the scoring pass over
+    // the transition stream — the count-table build pass is the second,
+    // inside the checkpoint job
     "FileScan parquet".r.findAllIn(p).size should be <= 2
   }
 
