@@ -5,20 +5,30 @@ import graft.model.TsTables
 import graft.promql.PromPlanner
 
 /** Command-line query entry point — the analogue of the reference's
-  * `filo-cli --promql '…'` surface (SURVEY.md §3.2): parse → plan →
+  * `filo-cli` surface (SURVEY.md §3.2): `--promql` parse → plan →
   * execute one PromQL string against the events-as-samples table and
-  * print the result series.
+  * print the result series; the metadata subcommands mirror filo-cli's
+  * `labels` / `labelvalues` / `timeseriesMetadata` modes over the same
+  * MetadataOps the HTTP API serves.
   *
   * Usage:
   *   runMain graft.Cli <promql> [sfDir] [startSec] [endSec] [stepSec]
+  *   runMain graft.Cli --labels [sfDir]
+  *   runMain graft.Cli --labelvalues <label> [sfDir]
+  *   runMain graft.Cli --series <matchExpr> [sfDir]
   * Defaults: sfDir=/root/testdata/sf0.001, range = the events span, step 6h.
   */
 object Cli {
   def main(args: Array[String]): Unit = {
     if (args.isEmpty) {
-      System.err.println("usage: graft.Cli <promql> [sfDir] [startSec] [endSec] [stepSec]")
+      System.err.println(
+        """usage: graft.Cli <promql> [sfDir] [startSec] [endSec] [stepSec]
+          |       graft.Cli --labels [sfDir]
+          |       graft.Cli --labelvalues <label> [sfDir]
+          |       graft.Cli --series <matchExpr> [sfDir]""".stripMargin)
       sys.exit(2)
     }
+    if (args(0).startsWith("--")) { metadataMain(args); return }
     val query = args(0)
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.001"
     val start = if (args.length > 2) args(2).toLong * 1000 else TsTables.EventsStartMs
@@ -40,5 +50,37 @@ object Cli {
     if (rows.length > 200) println(s"... (${rows.length - 200} more rows)")
     println(f"-- ${rows.length} rows in $elapsed%.2f s")
     spark.stop()
+  }
+
+  /** `--labels` / `--labelvalues <l>` / `--series <match>` (filo-cli's
+    * metadata modes), served by the same operators as the HTTP API. */
+  private def metadataMain(args: Array[String]): Unit = {
+    import graft.operators.MetadataOps
+    def sfDirAt(i: Int) = if (args.length > i) args(i) else "/root/testdata/sf0.001"
+    val spark = GraftSession.local(Integer.parseInt(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")))
+    try args(0) match {
+      case "--labels" =>
+        val samples = TsTables.eventsAsSamples(spark, sfDirAt(1))
+        (MetadataOps.labelNames(samples).collect().map(_.getString(0)).toSeq :+ "__name__")
+          .sorted.foreach(println)
+      case "--labelvalues" =>
+        require(args.length > 1, "--labelvalues needs a label name")
+        val samples = TsTables.eventsAsSamples(spark, sfDirAt(2))
+        if (args(1) == "__name__")
+          samples.select(col("metric")).distinct().collect()
+            .map(_.getString(0)).sorted.foreach(println)
+        else
+          MetadataOps.labelValues(samples, args(1)).collect()
+            .map(_.getString(0)).sorted.foreach(println)
+      case "--series" =>
+        require(args.length > 1, "--series needs a match[] selector expression")
+        val samples = TsTables.eventsAsSamples(spark, sfDirAt(2))
+        MetadataOps.series(samples, Long.MinValue, Long.MaxValue, Seq(args(1)))
+          .orderBy(col("metric")).collect().take(200)
+          .foreach(r => println(s"${r.getString(0)}${r.getMap[String, String](1).toSeq.sorted
+            .map { case (k, v) => s"""$k="$v"""" }.mkString("{", ",", "}")}"))
+      case other =>
+        System.err.println(s"unknown subcommand: $other"); sys.exit(2)
+    } finally spark.stop()
   }
 }

@@ -89,6 +89,24 @@ object Multimodal {
         col("meta.sample_rate").as("sample_rate"), col("meta.n_frames").as("n_frames")))
   }
 
+  /** Exact media dedup groups by content digest, per modality (the
+    * LAION-style first dedup pass over billions of binary payloads):
+    * survivors = lowest doc_id per (kind, md5). The BINARY never crosses
+    * a shuffle — only (doc_id, kind, 32-hex digest); at 100 TB of media
+    * that is the difference between shuffling terabytes and gigabytes. */
+  def exactDupGroups(media: DataFrame): DataFrame =
+    media.select(col("doc_id"), col("kind"), md5(col("bytes")).as("sig"))
+      .groupBy(col("kind"), col("sig"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** Keep one row per distinct (kind, content digest) — the lowest id.
+    * A doc sits in exactly one digest group, so semi-joining on
+    * doc_id == keep_id is exact; the join side is one row per DISTINCT
+    * payload (AQE broadcasts it when small, sort-merges when not). */
+  def dropExactDuplicates(media: DataFrame): DataFrame =
+    media.join(exactDupGroups(media).select(col("keep_id").as("doc_id")),
+      Seq("doc_id"), "leftsemi")
+
   /** Frame sampling for video rows: every nth frame index becomes a row
     * (frame bytes stubbed as slices of the payload). */
   def sampleFrames(media: DataFrame, everyN: Int): DataFrame =

@@ -271,6 +271,13 @@ object PipelineQueries {
     "q121_build_vocab" -> ((s, dir) =>
       TextAnalysis.buildVocab(TsTables.documents(s, dir), vocabSize = 200, minCount = 2)),
 
+    // exact media dedup by content digest per modality: the binary never
+    // shuffles, only (doc_id, kind, digest)
+    "q128_media_dedup" -> ((s, dir) =>
+      Multimodal.exactDupGroups(
+        Multimodal.synthesizeMedia(TsTables.documents(s, dir)))
+        .orderBy(col("kind"), col("sig"))),
+
     // training-mix assembly: explicit source weights + token budget ->
     // per-source keep rates, md5-deterministic keeps (The Pile recipe
     // step; src0 capped at rate 1.0 at sf0.01, others downsampled)
@@ -535,6 +542,17 @@ object PipelineQueries {
          SELECT token, count(*) AS n FROM toks
          GROUP BY token HAVING count(*) >= 2
          ORDER BY n DESC, token ASC LIMIT 200""",
+
+    // md5(text) over VARCHAR hashes its UTF-8 bytes — identical to the
+    // Spark side's md5(encode(text,'UTF-8')); modality mirrors the
+    // synthesizeMedia round-robin
+    "q128_media_dedup" ->
+      """WITH m AS (SELECT doc_id,
+                           (['image','audio','video'])[(doc_id % 3) + 1] AS kind,
+                           md5(text) AS sig
+                    FROM documents)
+         SELECT kind, sig, min(doc_id) AS keep_id, count(*) AS n_dups
+         FROM m GROUP BY kind, sig ORDER BY kind, sig""",
 
     // weights/budget literals generated from the SAME Scala values as the
     // Spark side, so the recipe cannot drift between engines

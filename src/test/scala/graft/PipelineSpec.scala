@@ -373,6 +373,22 @@ class PipelineSpec extends AnyFunSuite with Matchers {
     again.toSet shouldEqual kept.toSet
   }
 
+  test("media exact dedup groups by (kind, digest); survivors keep lowest id") {
+    val media = Seq(
+      (1L, "image", "same-bytes".getBytes("UTF-8")),
+      (2L, "image", "same-bytes".getBytes("UTF-8")),  // dup of 1
+      (3L, "audio", "same-bytes".getBytes("UTF-8")),  // same bytes, other modality
+      (4L, "image", "other-bytes".getBytes("UTF-8"))
+    ).toDF("doc_id", "kind", "bytes")
+    val g = pipeline.Multimodal.exactDupGroups(media)
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getLong(3)))
+    g.length shouldEqual 3
+    g should contain(("image", 1L, 2L))   // keep_id=1, n_dups=2
+    g should contain(("audio", 3L, 1L))
+    pipeline.Multimodal.dropExactDuplicates(media)
+      .select("doc_id").collect().map(_.getLong(0)).sorted shouldEqual Seq(1L, 3L, 4L)
+  }
+
   test("mix sources: weighted rates, cap at 1, budget keeps nest, off-mix drops") {
     val d = Seq.tabulate(40)(i =>
       (i.toLong, Seq.fill(5)("w").mkString(" "), if (i < 20) "a" else "b")) ++

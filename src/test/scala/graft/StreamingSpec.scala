@@ -6,7 +6,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.matchers.should.Matchers
-import graft.streaming.Ingest
+import graft.streaming.{FunnelStream, Ingest}
 import graft.streaming.Ingest.Sample
 
 class StreamingSpec extends AnyFunSuite with Matchers {
@@ -132,6 +132,38 @@ class StreamingSpec extends AnyFunSuite with Matchers {
       stateRows shouldEqual 1L
       // nothing was lost from the output on the way
       spark.table("ttl_out").count() shouldEqual 3L
+    } finally q.stop()
+  }
+
+  test("streaming funnel: stages emit once as reached; stale stragglers ignored") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, Long, String)]
+    val q = FunnelStream.track(
+        ms.toDF.toDF("user_id", "ts", "event_type"),
+        Seq("view", "click", "purchase"), lateness = "1 second")
+      .writeStream.format("memory").queryName("funnel_out")
+      .outputMode("append").start()
+    try {
+      ms.addData((1L, 100L, "view"), (1L, 200L, "click"), (1L, 150L, "purchase"))
+      q.processAllAvailable()
+      // purchase@150 is not strictly after click@200 -> only stages 1,2
+      val r1 = spark.table("funnel_out").collect()
+        .map(r => (r.getInt(1), r.getLong(3))).sorted
+      r1 shouldEqual Seq((1, 100L), (2, 200L))
+      // next batch completes the chain; straggler view@50 must not re-emit
+      ms.addData((1L, 50L, "view"), (1L, 300L, "purchase"))
+      q.processAllAvailable()
+      val r2 = spark.table("funnel_out").collect()
+        .map(r => (r.getInt(1), r.getLong(3))).sorted
+      r2 shouldEqual Seq((1, 100L), (2, 200L), (3, 300L))
+      // matches the batch operator over the same accumulated events
+      val batch = graft.operators.Sessionize.funnel(
+        Seq((1L, 100L, "view"), (1L, 200L, "click"), (1L, 150L, "purchase"),
+            (1L, 50L, "view"), (1L, 300L, "purchase"))
+          .toDF("user_id", "ts_ms", "event_type"),
+        Seq("view", "click", "purchase")).collect()
+      batch.length shouldEqual 1
+      batch.head.getInt(4) shouldEqual 3
     } finally q.stop()
   }
 
