@@ -40,4 +40,25 @@ object TsLayout {
   /** Read the layout back; metric/time filters prune partitions. */
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** Bucketed-table variant: persist samples as a managed table bucketed
+    * (and sorted) by `series_id`, so joins and aggregations keyed on
+    * series_id between same-bucketed tables plan with ZERO exchange —
+    * Spark treats the bucket files as pre-shuffled input. This is the
+    * co-located-join layout for recurring series-keyed jobs at 100 TB
+    * (raw × downsample reconciliation, series-level backfills): the
+    * shuffle is paid once at write, never per query. TsLayoutSpec pins
+    * the no-exchange join plan. */
+  def writeBucketed(samples: DataFrame, table: String, nBuckets: Int = 32,
+                    mode: SaveMode = SaveMode.Overwrite): Unit =
+    samples
+      .withColumn("series_id",
+        if (samples.columns.contains("series_id")) col("series_id")
+        else xxhash64(col("metric"), to_json(array_sort(map_entries(col("tags"))))))
+      .write
+      .bucketBy(nBuckets, "series_id")
+      .sortBy("series_id", "ts")
+      .mode(mode)
+      .format("parquet")
+      .saveAsTable(table)
 }

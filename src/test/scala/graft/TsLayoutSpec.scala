@@ -57,4 +57,29 @@ class TsLayoutSpec extends AnyFunSuite with Matchers {
       r.getAs[Long]("num_rows") should be > 0L
     }
   }
+
+  test("bucketed layout: series_id joins and rollups plan with zero exchange") {
+    import org.apache.spark.sql.functions.{avg, col, max => fmax}
+    val samples = graft.model.TsTables.eventsAsSamples(spark, "/root/testdata/sf0.001")
+      .select("series_id", "metric", "ts", "value")
+    graft.model.TsLayout.writeBucketed(samples, "bucketed_a", nBuckets = 4)
+    graft.model.TsLayout.writeBucketed(samples, "bucketed_b", nBuckets = 4)
+    try {
+      val a = spark.table("bucketed_a")
+      val b = spark.table("bucketed_b").groupBy("series_id").agg(fmax("ts").as("last_ts"))
+      // join + per-series rollup between same-bucketed tables: the bucket
+      // files ARE the shuffle output — no exchange anywhere in the plan
+      val joined = a.join(b, "series_id").where(col("ts") === col("last_ts"))
+      joined.count() should be > 0L
+      val p = joined.queryExecution.executedPlan.toString
+      (p should not).include("Exchange hashpartitioning")
+      // per-series aggregation alone also rides the bucketing
+      val agg = a.groupBy("series_id").agg(avg("value"))
+      agg.count() should be > 0L
+      (agg.queryExecution.executedPlan.toString should not).include("Exchange hashpartitioning")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS bucketed_a")
+      spark.sql("DROP TABLE IF EXISTS bucketed_b")
+    }
+  }
 }
