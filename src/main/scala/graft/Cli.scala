@@ -60,23 +60,18 @@ object Cli {
     val spark = GraftSession.local(Integer.parseInt(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")))
     try args(0) match {
       case "--labels" =>
-        val samples = TsTables.eventsAsSamples(spark, sfDirAt(1))
-        (MetadataOps.labelNames(samples).collect().map(_.getString(0)).toSeq :+ "__name__")
-          .sorted.foreach(println)
+        MetadataOps.labelNamesList(TsTables.eventsAsSamples(spark, sfDirAt(1)))
+          .foreach(println)
       case "--labelvalues" =>
         require(args.length > 1, "--labelvalues needs a label name")
-        val samples = TsTables.eventsAsSamples(spark, sfDirAt(2))
-        if (args(1) == "__name__")
-          samples.select(col("metric")).distinct().collect()
-            .map(_.getString(0)).sorted.foreach(println)
-        else
-          MetadataOps.labelValues(samples, args(1)).collect()
-            .map(_.getString(0)).sorted.foreach(println)
+        MetadataOps.labelValues(TsTables.eventsAsSamples(spark, sfDirAt(2)), args(1))
+          .collect().map(_.getString(0)).sorted.foreach(println)
       case "--series" =>
         require(args.length > 1, "--series needs a match[] selector expression")
         val samples = TsTables.eventsAsSamples(spark, sfDirAt(2))
+        // limit INSIDE the plan: distributed top-k, never a full collect
         MetadataOps.series(samples, Long.MinValue, Long.MaxValue, Seq(args(1)))
-          .orderBy(col("metric")).collect().take(200)
+          .orderBy(col("metric")).limit(200).collect()
           .foreach(r => println(s"${r.getString(0)}${r.getMap[String, String](1).toSeq.sorted
             .map { case (k, v) => s"""$k="$v"""" }.mkString("{", ",", "}")}"))
       case other =>

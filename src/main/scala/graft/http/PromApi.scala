@@ -196,22 +196,14 @@ class PromApi(spark: SparkSession, samples: DataFrame, port: Int = 0,
   }
 
   private def labels(p: Map[String, String]): String = {
-    val names = "__name__" +:
-      MetadataOps.labelNames(ranged(p), matchExprs(p))
-        .collect().map(_.getString(0)).sorted.toSeq
+    val names = MetadataOps.labelNamesList(ranged(p), matchExprs(p))
     s"""{"status":"success","data":[${names.map(js).mkString(",")}]}"""
   }
 
   private def labelValues(p: Map[String, String]): String = {
     val label = p("__path").stripPrefix("/api/v1/label/").stripSuffix("/values")
-    val m = matchExprs(p)
-    val src = ranged(p)
-    val vals =
-      if (label == "__name__") src.filter(MetadataOps.matchPred(m))
-        .select(col("metric")).distinct()
-        .collect().map(_.getString(0)).sorted.toSeq
-      else MetadataOps.labelValues(src, label, m)
-        .collect().map(_.getString(0)).sorted.toSeq
+    val vals = MetadataOps.labelValues(ranged(p), label, matchExprs(p))
+      .collect().map(_.getString(0)).sorted.toSeq
     s"""{"status":"success","data":[${vals.map(js).mkString(",")}]}"""
   }
 

@@ -19,14 +19,19 @@ import org.apache.spark.sql.functions._
   */
 object TsLayout {
 
+  /** Canonical series identity — ONE formula for every layout, so the
+    * partitioned and bucketed layouts can never compute different ids
+    * for the same series (their reconciliation joins depend on it). */
+  private def withSeriesId(samples: DataFrame): DataFrame =
+    samples.withColumn("series_id",
+      if (samples.columns.contains("series_id")) col("series_id")
+      else xxhash64(col("metric"), to_json(array_sort(map_entries(col("tags"))))))
+
   /** Write samples (metric, tags, ts ms, value, [series_id]) to the
     * partitioned layout. */
   def write(samples: DataFrame, path: String, seriesBuckets: Int = 8,
             mode: SaveMode = SaveMode.Overwrite): Unit = {
-    val withCols = samples
-      .withColumn("series_id",
-        if (samples.columns.contains("series_id")) col("series_id")
-        else xxhash64(col("metric"), to_json(array_sort(map_entries(col("tags"))))))
+    val withCols = withSeriesId(samples)
       .withColumn("date", to_date(timestamp_millis(col("ts"))))
     withCols
       .repartition(seriesBuckets, col("metric"), col("date"), pmod(col("series_id"), lit(seriesBuckets)))
@@ -51,10 +56,12 @@ object TsLayout {
     * the no-exchange join plan. */
   def writeBucketed(samples: DataFrame, table: String, nBuckets: Int = 32,
                     mode: SaveMode = SaveMode.Overwrite): Unit =
-    samples
-      .withColumn("series_id",
-        if (samples.columns.contains("series_id")) col("series_id")
-        else xxhash64(col("metric"), to_json(array_sort(map_entries(col("tags"))))))
+    withSeriesId(samples)
+      // pre-shuffle to nBuckets tasks on the SAME hash bucketBy uses
+      // (murmur3 % n): each task then writes exactly one bucket file —
+      // without this, every input task writes up to nBuckets files
+      // (P×n small-files explosion, fragmenting every bucketed scan)
+      .repartition(nBuckets, col("series_id"))
       .write
       .bucketBy(nBuckets, "series_id")
       .sortBy("series_id", "ts")

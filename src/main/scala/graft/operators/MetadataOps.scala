@@ -51,12 +51,24 @@ object MetadataOps {
     samples.filter(matchPred(matchExprs))
       .select(explode(map_keys(col("tags"))).as("label")).distinct()
 
-  /** Distinct values of one label. */
+  /** Distinct values of one label; `__name__` answers metric names (the
+    * Prometheus pseudo-label — handled HERE so the HTTP API and the CLI
+    * cannot drift). */
   def labelValues(samples: DataFrame, label: String,
                   matchExprs: Seq[String] = Nil): DataFrame =
-    samples.filter(matchPred(matchExprs))
-      .select(col("tags")(label).as("value"))
-      .filter(col("value").isNotNull).distinct()
+    if (label == "__name__")
+      samples.filter(matchPred(matchExprs))
+        .select(col("metric").as("value")).distinct()
+    else
+      samples.filter(matchPred(matchExprs))
+        .select(col("tags")(label).as("value"))
+        .filter(col("value").isNotNull).distinct()
+
+  /** Sorted label names including the `__name__` pseudo-label — the
+    * driver-side list every metadata surface prints. */
+  def labelNamesList(samples: DataFrame, matchExprs: Seq[String] = Nil): Seq[String] =
+    "__name__" +: labelNames(samples, matchExprs)
+      .collect().map(_.getString(0)).sorted.toSeq
 
   /** Chunk-level metadata introspection (reference RawChunkMeta): our
     * "chunks" are the parquet files of the TsLayout partitioning, so this

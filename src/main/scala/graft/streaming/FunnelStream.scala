@@ -37,24 +37,28 @@ object FunnelStream {
         timestamp_millis(col("ts")).as("et"))
       .withWatermark("et", lateness).as[FEvent]
     timed.groupByKey(_.user_id)
-      .flatMapGroupsWithState[(Int, Long), StageHit](OutputMode.Append,
+      .flatMapGroupsWithState[(Int, Long, Long), StageHit](OutputMode.Append,
         GroupStateTimeout.EventTimeTimeout) {
-        // state = (stage reached, ts of that stage's hit)
-        (uid: Long, rows: Iterator[FEvent], state: GroupState[(Int, Long)]) =>
+        // state = (stage reached, ts of that stage's hit, max event ts
+        // EVER seen) — the third field keeps the eviction deadline
+        // monotone: computing it from only the current batch would let a
+        // straggler-only batch move the deadline BACKWARDS, evicting
+        // active state early and re-emitting stages after re-entry
+        (uid: Long, rows: Iterator[FEvent], state: GroupState[(Int, Long, Long)]) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
-            var st = state.getOption.getOrElse((0, Long.MinValue))
+            var (stage, lastMs, seenMax) =
+              state.getOption.getOrElse((0, Long.MinValue, Long.MinValue))
             val hits = Vector.newBuilder[StageHit]
-            var seenMax = Long.MinValue
             rows.toSeq.sortBy(e => (e.ts, e.event_type)).foreach { e =>
               seenMax = math.max(seenMax, e.ts)
-              if (st._1 < steps.length && e.event_type == steps(st._1) &&
-                  (st._1 == 0 || e.ts > st._2)) {
-                st = (st._1 + 1, e.ts)
-                hits += StageHit(uid, st._1, e.event_type, e.ts)
+              if (stage < steps.length && e.event_type == steps(stage) &&
+                  (stage == 0 || e.ts > lastMs)) {
+                stage += 1; lastMs = e.ts
+                hits += StageHit(uid, stage, e.event_type, e.ts)
               }
             }
-            state.update(st)
+            state.update((stage, lastMs, seenMax))
             state.setTimeoutTimestamp(math.max(
               seenMax + idleTtlMs, state.getCurrentWatermarkMs() + 1))
             hits.result().iterator

@@ -167,6 +167,35 @@ class StreamingSpec extends AnyFunSuite with Matchers {
     } finally q.stop()
   }
 
+  test("streaming funnel: straggler batches never move the eviction deadline backwards") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, Long, String)]
+    val q = FunnelStream.track(
+        ms.toDF.toDF("user_id", "ts", "event_type"),
+        Seq("view", "click"), lateness = "1 second", idleTtlMs = 1000L)
+      .writeStream.format("memory").queryName("funnel_ttl_out")
+      .outputMode("append").start()
+    try {
+      ms.addData((1L, 100000L, "view")) // stage 1; correct deadline 101000
+      q.processAllAvailable()
+      // straggler: recomputing the deadline from THIS batch alone would
+      // pull it back to 99000+1000=100000
+      ms.addData((1L, 99000L, "view"))
+      q.processAllAvailable()
+      // advance the watermark to 100500: past the WRONG deadline only
+      ms.addData((2L, 101500L, "view"))
+      q.processAllAvailable()
+      q.processAllAvailable() // trailing no-data batch fires any due timeout
+      // user 1 must still hold stage-1 state -> click completes the chain
+      ms.addData((1L, 100800L, "click"))
+      q.processAllAvailable()
+      val rows = spark.table("funnel_ttl_out").collect()
+        .map(r => (r.getLong(0), r.getInt(1)))
+      rows.count(_ == ((1L, 1))) shouldEqual 1
+      rows should contain((1L, 2))
+    } finally q.stop()
+  }
+
   test("streaming session windows: gap merge, watermark finalize, batch parity") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val ms = MemoryStream[Sample]
