@@ -49,21 +49,46 @@ object Sessionize {
     * Each stage is one filtered aggregation joined back on `user_id` —
     * k-1 shuffles for a k-step funnel, all on the same key so AQE/exchange
     * reuse co-locates them; nothing is ever collected. */
-  def funnel(events: DataFrame, steps: Seq[String]): DataFrame = {
+  def funnel(events: DataFrame, steps: Seq[String],
+             withinMs: Option[Long] = None): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
     val first = events.filter(col("event_type") === steps.head)
       .groupBy(col("user_id")).agg(min(col("ts_ms")).as("step1_ms"))
     val chained = steps.tail.zipWithIndex.foldLeft(first) { case (acc, (step, i)) =>
       val prevCol = s"step${i + 1}_ms"
       val thisCol = s"step${i + 2}_ms"
+      // conversion window: every later step must land within `withinMs`
+      // of the FIRST-TOUCH step-1 time (first-touch attribution — the
+      // earliest step-1 is the anchor even if a later one would convert)
+      val deadline = withinMs.map(w => col("ts_ms") <= col("step1_ms") + w)
+        .getOrElse(lit(true))
+      val anchorCols =
+        if (prevCol == "step1_ms") Seq(col("user_id"), col(prevCol))
+        else Seq(col("user_id"), col(prevCol), col("step1_ms"))
       val nxt = events.filter(col("event_type") === step)
-        .join(acc.select(col("user_id"), col(prevCol)), "user_id")
-        .where(col("ts_ms") > col(prevCol))
+        .join(acc.select(anchorCols: _*), "user_id")
+        .where(col("ts_ms") > col(prevCol) && deadline)
         .groupBy(col("user_id")).agg(min(col("ts_ms")).as(thisCol))
       acc.join(nxt.select(col("user_id"), col(thisCol)), Seq("user_id"), "left")
     }
     val stepCols: Seq[Column] = steps.indices.map(i => col(s"step${i + 1}_ms"))
     chained.withColumn("steps_completed",
       stepCols.map(c => when(c.isNotNull, 1).otherwise(0)).reduce(_ + _))
+  }
+
+  /** Cohort retention: users bucketed by first-activity period since
+    * `originMs` (the cohort), distinct-counted per (cohort, periods since
+    * their own first activity). Two user-keyed aggregations + one
+    * broadcast-sized rollup — the events stream shuffles once to find
+    * first-touch and once for the distinct count; nothing user-enumerable
+    * ever reaches the driver. */
+  def cohortRetention(events: DataFrame, periodMs: Long, originMs: Long): DataFrame = {
+    val first = events.groupBy(col("user_id")).agg(min(col("ts_ms")).as("__first"))
+    events.select(col("user_id"), col("ts_ms")).join(first, "user_id")
+      .select(col("user_id"),
+        expr(s"(__first - ${originMs}L) div ${periodMs}L").as("cohort"),
+        expr(s"(ts_ms - __first) div ${periodMs}L").as("period"))
+      .groupBy(col("cohort"), col("period"))
+      .agg(count_distinct(col("user_id")).as("n_users"))
   }
 }

@@ -157,7 +157,14 @@ object RelationalQueries {
         TsTables.events(s, dir)
           .select(col("user_id"), col("event_type"), col("ts_ms")),
         Seq("view", "click", "purchase"))
-        .orderBy(col("user_id")))
+        .orderBy(col("user_id"))),
+
+    // weekly cohort retention triangle over the events stream
+    "q129_cohort_retention" -> ((s, dir) =>
+      graft.operators.Sessionize.cohortRetention(
+        TsTables.events(s, dir).select(col("user_id"), col("ts_ms")),
+        periodMs = 7 * TsTables.Day, originMs = TsTables.EventsStartMs)
+        .orderBy(col("cohort"), col("period")))
   )
 
   def oracles: Map[String, String] = Map(
@@ -278,6 +285,16 @@ object RelationalQueries {
                 1 + CASE WHEN step2_ms IS NULL THEN 0 ELSE 1 END
                   + CASE WHEN step3_ms IS NULL THEN 0 ELSE 1 END AS steps_completed
          FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
-         ORDER BY s1.user_id"""
+         ORDER BY s1.user_id""",
+
+    "q129_cohort_retention" ->
+      s"""WITH e AS (SELECT user_id, epoch_ns(ts)//1000000 AS ts_ms FROM events),
+              f AS (SELECT user_id, min(ts_ms) AS first_ms FROM e GROUP BY 1),
+              j AS (SELECT e.user_id,
+                           (f.first_ms - ${TsTables.EventsStartMs}) // ${7 * TsTables.Day} AS cohort,
+                           (e.ts_ms - f.first_ms) // ${7 * TsTables.Day} AS period
+                    FROM e JOIN f USING (user_id))
+         SELECT cohort, period, count(DISTINCT user_id) AS n_users
+         FROM j GROUP BY 1, 2 ORDER BY 1, 2"""
   )
 }

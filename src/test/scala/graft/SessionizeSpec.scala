@@ -62,6 +62,37 @@ class SessionizeSpec extends AnyFunSuite with Matchers {
     f.contains(3L) shouldEqual false
   }
 
+  test("funnel conversion window bounds later steps to first-touch + within") {
+    val ev = Seq(
+      (1L, 1L, 1000L, "view", 0.0),
+      (1L, 2L, 1100L, "click", 0.0),    // within 200 of first view
+      (2L, 3L, 1000L, "view", 0.0),
+      (2L, 4L, 2000L, "click", 0.0),    // outside the 200ms window
+      (2L, 5L, 1500L, "view", 0.0)      // later view would qualify, but
+                                        // first-touch anchors at 1000
+    ).toDF("user_id", "event_id", "ts_ms", "event_type", "value")
+    val f = Sessionize.funnel(ev, Seq("view", "click"), withinMs = Some(200L))
+      .collect().map(r => r.getLong(0) -> r.getInt(3)).toMap
+    f(1L) shouldEqual 2
+    f(2L) shouldEqual 1
+    // no window: user 2 converts
+    val open = Sessionize.funnel(ev, Seq("view", "click"))
+      .collect().map(r => r.getLong(0) -> r.getInt(3)).toMap
+    open(2L) shouldEqual 2
+  }
+
+  test("cohort retention counts distinct users per (cohort, period)") {
+    // period 1000ms, origin 0: user 1 first at 500 (cohort 0), active in
+    // periods 0 and 2; user 2 first at 1500 (cohort 1), active period 0
+    val ev = Seq(
+      (1L, 500L), (1L, 700L), (1L, 2600L),
+      (2L, 1500L)
+    ).toDF("user_id", "ts_ms")
+    val r = Sessionize.cohortRetention(ev, periodMs = 1000L, originMs = 0L)
+      .collect().map(x => (x.getLong(0), x.getLong(1)) -> x.getLong(2)).toMap
+    r shouldEqual Map((0L, 0L) -> 1L, (0L, 2L) -> 1L, (1L, 0L) -> 1L)
+  }
+
   test("funnel requires steps to be strictly after the previous step") {
     // click BEFORE the first view must not count
     val ev = Seq(
