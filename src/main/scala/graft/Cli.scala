@@ -19,6 +19,8 @@ import graft.promql.PromPlanner
   * Defaults: sfDir=/root/testdata/sf0.001, range = the events span, step 6h.
   */
 object Cli {
+  private val DefaultSfDir = "/root/testdata/sf0.001"
+
   def main(args: Array[String]): Unit = {
     if (args.isEmpty) {
       System.err.println(
@@ -30,7 +32,7 @@ object Cli {
     }
     if (args(0).startsWith("--")) { metadataMain(args); return }
     val query = args(0)
-    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.001"
+    val sfDir = if (args.length > 1) args(1) else DefaultSfDir
     val start = if (args.length > 2) args(2).toLong * 1000 else TsTables.EventsStartMs
     val end = if (args.length > 3) args(3).toLong * 1000 else TsTables.EventsEndMs
     val step = if (args.length > 4) args(4).toLong * 1000 else 6 * TsTables.Hour
@@ -56,7 +58,7 @@ object Cli {
     * metadata modes), served by the same operators as the HTTP API. */
   private def metadataMain(args: Array[String]): Unit = {
     import graft.operators.MetadataOps
-    def sfDirAt(i: Int) = if (args.length > i) args(i) else "/root/testdata/sf0.001"
+    def sfDirAt(i: Int) = if (args.length > i) args(i) else DefaultSfDir
     val spark = GraftSession.local(Integer.parseInt(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")))
     try args(0) match {
       case "--labels" =>

@@ -30,16 +30,24 @@ object Sessionize {
       sum(isNew).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
   }
 
+  /** The session rollup aggregate list — ONE definition shared with the
+    * streaming session_window twin (Ingest.sessionStats), so the two
+    * surfaces cannot drift. `tsCol` differs per shape (ts_ms batch, ts
+    * samples). */
+  private[graft] def sessionAggs(tsCol: String): Seq[Column] = Seq(
+    count(lit(1)).as("n_events"),
+    min(col(tsCol)).as("start_ms"),
+    max(col(tsCol)).as("end_ms"),
+    (max(col(tsCol)) - min(col(tsCol))).as("duration_ms"),
+    round(sum(col("value")), 6).as("sum_value"))
+
   /** Per-session rollup: bounds, duration, event count, value sum. */
-  def sessionStats(events: DataFrame, gapMs: Long): DataFrame =
+  def sessionStats(events: DataFrame, gapMs: Long): DataFrame = {
+    val aggs = sessionAggs("ts_ms")
     sessionize(events, gapMs)
       .groupBy(col("user_id"), col("session_idx"))
-      .agg(
-        count(lit(1)).as("n_events"),
-        min(col("ts_ms")).as("start_ms"),
-        max(col("ts_ms")).as("end_ms"),
-        (max(col("ts_ms")) - min(col("ts_ms"))).as("duration_ms"),
-        round(sum(col("value")), 6).as("sum_value"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
 
   /** Ordered funnel: for `steps` = Seq(a, b, c, ...) find, per user, the
     * earliest occurrence of `a`, then the earliest `b` STRICTLY after it,
@@ -62,9 +70,7 @@ object Sessionize {
       // earliest step-1 is the anchor even if a later one would convert)
       val deadline = withinMs.map(w => col("ts_ms") <= col("step1_ms") + w)
         .getOrElse(lit(true))
-      val anchorCols =
-        if (prevCol == "step1_ms") Seq(col("user_id"), col(prevCol))
-        else Seq(col("user_id"), col(prevCol), col("step1_ms"))
+      val anchorCols = Seq("user_id", prevCol, "step1_ms").distinct.map(col)
       val nxt = events.filter(col("event_type") === step)
         .join(acc.select(anchorCols: _*), "user_id")
         .where(col("ts_ms") > col(prevCol) && deadline)

@@ -117,12 +117,10 @@ object Ingest {
                    keyCols: Seq[String] = Seq("user")): DataFrame = {
     val timed = samples.withColumn("et", timestamp_millis(col("ts")))
     val src = lateness.map(timed.withWatermark("et", _)).getOrElse(timed)
+    val aggs = graft.operators.Sessionize.sessionAggs("ts")
     src
       .groupBy(keyCols.map(col) :+ session_window(col("et"), gap).as("w"): _*)
-      .agg(count(lit(1)).as("n_events"),
-        min(col("ts")).as("start_ms"), max(col("ts")).as("end_ms"),
-        (max(col("ts")) - min(col("ts"))).as("duration_ms"),
-        round(sum(col("value")), 6).as("sum_value"))
+      .agg(aggs.head, aggs.tail: _*)
       .select(keyCols.map(col) ++ Seq(col("n_events"), col("start_ms"),
         col("end_ms"), col("duration_ms"), col("sum_value")): _*)
   }
