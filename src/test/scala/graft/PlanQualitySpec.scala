@@ -242,6 +242,27 @@ class PlanQualitySpec extends AnyFunSuite with Matchers {
     "FileScan parquet".r.findAllIn(p).size should be <= 2
   }
 
+  test("mix assembly broadcasts the per-source rates; the corpus side never shuffles") {
+    val df = graft.pipeline.Sampling.mixSources(
+      TsTables.documents(spark, dir), Map("src0" -> 2.0, "src1" -> 1.0), 1000L)
+    df.count()
+    val p = plan(df)
+    p should include("BroadcastHashJoin")
+    (p should not).include("SortMergeJoin")
+  }
+
+  test("cohort retention: user-keyed joins only, never a cartesian") {
+    val df = graft.operators.Sessionize.cohortRetention(
+      TsTables.events(spark, dir).select(
+        org.apache.spark.sql.functions.col("user_id"),
+        org.apache.spark.sql.functions.col("ts_ms")),
+      periodMs = 7 * TsTables.Day, originMs = TsTables.EventsStartMs)
+    df.count()
+    val p = plan(df)
+    (p should not).include("CartesianProduct")
+    (p should not).include("BroadcastNestedLoopJoin")
+  }
+
   test("sessionization reuses one user_id exchange for window and rollup") {
     val ev = TsTables.events(spark, dir)
       .select(org.apache.spark.sql.functions.col("user_id"),
