@@ -82,6 +82,25 @@ object Sessionize {
       stepCols.map(c => when(c.isNotNull, 1).otherwise(0)).reduce(_ + _))
   }
 
+  /** Aggregate funnel report: users reaching each stage + conversion
+    * fraction vs the previous stage — the dashboard rollup over
+    * [[funnel]]'s per-user rows (one extra reduce over k columns). */
+  def funnelReport(events: DataFrame, steps: Seq[String],
+                   withinMs: Option[Long] = None): DataFrame = {
+    val f = funnel(events, steps, withinMs)
+    val counts = steps.indices.map(i =>
+      sum(when(col(s"step${i + 1}_ms").isNotNull, 1L).otherwise(0L)).as(s"__n${i + 1}"))
+    val wide = f.agg(counts.head, counts.tail: _*)
+    val rows = steps.zipWithIndex.map { case (step, i) =>
+      struct(lit(i + 1).as("stage"), lit(step).as("step"),
+        col(s"__n${i + 1}").as("n_users"),
+        round(col(s"__n${i + 1}") /
+          greatest(col(s"__n${math.max(i, 1)}"), lit(1L)).cast("double"), 6)
+          .as("conv_from_prev"))
+    }
+    wide.select(explode(array(rows: _*)).as("r")).select(col("r.*"))
+  }
+
   /** Cohort retention: users bucketed by first-activity period since
     * `originMs` (the cohort), distinct-counted per (cohort, periods since
     * their own first activity). Two user-keyed aggregations + one

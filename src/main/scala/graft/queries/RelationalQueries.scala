@@ -164,7 +164,16 @@ object RelationalQueries {
       graft.operators.Sessionize.cohortRetention(
         TsTables.events(s, dir).select(col("user_id"), col("ts_ms")),
         periodMs = 7 * TsTables.Day, originMs = TsTables.EventsStartMs)
-        .orderBy(col("cohort"), col("period")))
+        .orderBy(col("cohort"), col("period"))),
+
+    // the dashboard funnel rollup: users per stage + stage-over-stage
+    // conversion
+    "q130_funnel_report" -> ((s, dir) =>
+      graft.operators.Sessionize.funnelReport(
+        TsTables.events(s, dir)
+          .select(col("user_id"), col("event_type"), col("ts_ms")),
+        Seq("view", "click", "purchase"))
+        .orderBy(col("stage")))
   )
 
   def oracles: Map[String, String] = Map(
@@ -295,6 +304,28 @@ object RelationalQueries {
                            (e.ts_ms - f.first_ms) // ${7 * TsTables.Day} AS period
                     FROM e JOIN f USING (user_id))
          SELECT cohort, period, count(DISTINCT user_id) AS n_users
-         FROM j GROUP BY 1, 2 ORDER BY 1, 2"""
+         FROM j GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q130_funnel_report" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_ns(ts)//1000000 AS ts_ms
+                    FROM events),
+              s1 AS (SELECT user_id, min(ts_ms) AS step1_ms
+                     FROM e WHERE event_type = 'view' GROUP BY 1),
+              s2 AS (SELECT e.user_id, min(ts_ms) AS step2_ms
+                     FROM e JOIN s1 USING (user_id)
+                     WHERE event_type = 'click' AND ts_ms > step1_ms GROUP BY 1),
+              s3 AS (SELECT e.user_id, min(ts_ms) AS step3_ms
+                     FROM e JOIN s2 USING (user_id)
+                     WHERE event_type = 'purchase' AND ts_ms > step2_ms GROUP BY 1),
+              c AS (SELECT (SELECT count(*) FROM s1) AS n1,
+                           (SELECT count(*) FROM s2) AS n2,
+                           (SELECT count(*) FROM s3) AS n3)
+         SELECT 1 AS stage, 'view' AS step, n1 AS n_users,
+                round(n1 / CAST(greatest(n1, 1) AS DOUBLE), 6) AS conv_from_prev FROM c
+         UNION ALL
+         SELECT 2, 'click', n2, round(n2 / CAST(greatest(n1, 1) AS DOUBLE), 6) FROM c
+         UNION ALL
+         SELECT 3, 'purchase', n3, round(n3 / CAST(greatest(n2, 1) AS DOUBLE), 6) FROM c
+         ORDER BY stage"""
   )
 }

@@ -93,6 +93,16 @@ class SessionizeSpec extends AnyFunSuite with Matchers {
     r shouldEqual Map((0L, 0L) -> 1L, (0L, 2L) -> 1L, (1L, 0L) -> 1L)
   }
 
+  test("funnel report rolls stage counts and conversion fractions") {
+    val r = Sessionize.funnelReport(events, Seq("view", "click", "purchase"))
+      .orderBy("stage").collect()
+      .map(x => (x.getInt(0), x.getString(1), x.getLong(2), x.getDouble(3)))
+    // users 1,2 did 'view' first; only user 1 clicked then purchased
+    r(0) shouldEqual ((1, "view", 2L, 1.0))
+    r(1) shouldEqual ((2, "click", 1L, 0.5))
+    r(2) shouldEqual ((3, "purchase", 1L, 1.0))
+  }
+
   test("funnel requires steps to be strictly after the previous step") {
     // click BEFORE the first view must not count
     val ev = Seq(
