@@ -318,4 +318,54 @@ object Dedup {
           .otherwise(round(size(col("__cov")) / size(col("__toks")).cast("double"), 6))
           .as("removed_frac"))
   }
+
+  /** CCNet-style corpus-level LINE deduplication (Wenzek et al. 2020): drop
+    * every non-canonical occurrence of a line whose normalized form
+    * (trim + lowercase) appears >= minOccurrences times corpus-wide,
+    * including repeats inside one document. The canonical occurrence — the
+    * (doc, position)-least — keeps its copy, so boilerplate (cookie
+    * banners, "subscribe…" footers) survives exactly once in the corpus.
+    * Complements [[removeDuplicateSpans]]: lines are the unit crawls
+    * actually repeat at; spans catch verbatim passages that cross line
+    * structure.
+    *
+    * Scale shape (the hash-first contract, see Quality.topNgramCharFraction):
+    * occurrences shuffle (idCol, pos, xxhash64(norm_line)) — fixed-width
+    * longs, never line text; the duplicate-stats aggregate and the removal
+    * join reuse that key space; text is rebuilt map-side from the staged
+    * line array. Blank lines are neither dedup keys nor output.
+    *
+    * Output: (idCol, clean_text, removed_line_frac) — one row per input
+    * doc; the fraction is over the doc's non-blank lines. */
+  def removeDuplicateLines(docs: DataFrame, textCol: String = "text",
+                           idCol: String = "doc_id",
+                           minOccurrences: Int = 2): DataFrame = {
+    val base = docs.select(col(idCol), split(col(textCol), "\n").as("__lines"))
+    val occ = base
+      .select(col(idCol), posexplode(col("__lines")).as(Seq("__pos", "__line")))
+      .where(trim(col("__line")) =!= "")
+      .select(col(idCol), col("__pos"), xxhash64(trim(lower(col("__line")))).as("__h"))
+    val dupStats = occ
+      .groupBy(col("__h"))
+      .agg(count(lit(1)).as("__nocc"),
+           min(struct(col(idCol), col("__pos"))).as("__canon"))
+      .where(col("__nocc") >= minOccurrences)
+    val rm = occ.join(dupStats, "__h")
+      .where(!(col(idCol) === col("__canon").getField(idCol) &&
+               col("__pos") === col("__canon").getField("__pos")))
+      .groupBy(col(idCol))
+      .agg(collect_set(col("__pos")).as("__rm"))
+    base.join(rm, Seq(idCol), "left")
+      .select(col(idCol),
+        concat_ws("\n",
+          filter(
+            transform(sequence(lit(0), size(col("__lines")) - 1),
+              i => when((col("__rm").isNotNull && array_contains(col("__rm"), i)) ||
+                        trim(element_at(col("__lines"), i + 1)) === "", lit(null))
+                .otherwise(element_at(col("__lines"), i + 1))),
+            x => x.isNotNull)).as("clean_text"),
+        round(when(col("__rm").isNull, lit(0)).otherwise(size(col("__rm"))) /
+            greatest(size(filter(col("__lines"), l => trim(l) =!= "")), lit(1)).cast("double"),
+          6).as("removed_line_frac"))
+  }
 }

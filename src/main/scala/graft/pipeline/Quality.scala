@@ -251,4 +251,44 @@ object Quality {
         col("top2_frac") < 0.20 &&
         col("top3_frac") < 0.18)
   }
+
+  /** Per-source distribution drift: Jensen–Shannon divergence (natural
+    * log) between each source's unigram distribution and the REST of the
+    * corpus — the corpus-governance signal for "did src7's crawl change /
+    * is this feed an outlier". 0 = identical distributions, ln 2 ≈ 0.693 =
+    * disjoint vocabularies.
+    *
+    * Scale shape: ONE (source, xxhash64(token)) count aggregation is the
+    * only shuffle over corpus-sized data (fixed-width keys, map-side
+    * partial counts); corpus-wide token totals re-aggregate that
+    * (sources × vocab)-bounded table, per-source totals ride back as a
+    * broadcast. Tokens absent from a source contribute `q·ln 2` to its
+    * divergence; that whole tail telescopes to `ln2 · (1 − Σ_{t∈source}
+    * q_t)`, so no source×vocab expansion is ever materialized.
+    *
+    * Output: (source, n_tokens, jsd) — jsd rounded to 6 dp. */
+  def sourceDivergence(docs: DataFrame, textCol: String = "text",
+                       srcCol: String = "source"): DataFrame = {
+    val counts = docs
+      .select(col(srcCol).as("source"),
+        explode(TextAnalysis.tokens(lower(col(textCol)))).as("__t"))
+      .select(col("source"), xxhash64(col("__t")).as("__h"))
+      .groupBy(col("source"), col("__h"))
+      .agg(count(lit(1)).as("__c"))
+    val tot = counts.groupBy(col("__h")).agg(sum(col("__c")).as("__ct"))
+    val srcTot = counts.groupBy(col("source")).agg(sum(col("__c")).as("__n"))
+    val grand = srcTot.agg(sum(col("__n")).as("__g"))
+    val p = col("__c") / col("__n").cast("double")
+    val q = (col("__ct") - col("__c")) / (col("__g") - col("__n")).cast("double")
+    val inRow = p * log(lit(2.0) * p / (p + q)) +
+      when(q > 0, q * log(lit(2.0) * q / (p + q))).otherwise(lit(0.0))
+    counts.join(tot, "__h")
+      .join(broadcast(srcTot), "source")
+      .crossJoin(broadcast(grand))
+      .groupBy(col("source"), col("__n"))
+      .agg(sum(inRow).as("__srow"), sum(q).as("__qcov"))
+      .select(col("source"), col("__n").as("n_tokens"),
+        round(lit(0.5) * col("__srow") +
+          lit(0.5 * math.log(2.0)) * (lit(1.0) - col("__qcov")), 6).as("jsd"))
+  }
 }

@@ -115,8 +115,32 @@ object PipelineFixtures {
     * chr(10) concatenations so the SQL stays single-line). Generated from
     * c4Rows so the two sides cannot drift. */
   def c4ValuesSql: String =
-    c4Rows.map { case (id, t) =>
-      val parts = t.split("\n", -1).map(p => "'" + p.replace("'", "''") + "'")
-      s"($id, ${parts.mkString(" || chr(10) || ")})"
-    }.mkString("(VALUES ", ", ", ") c4v(doc_id, text)")
+    c4Rows.map { case (id, t) => s"($id, ${textLiteralSql(t)})" }
+      .mkString("(VALUES ", ", ", ") c4v(doc_id, text)")
+
+  /** Planted multi-line pages for corpus-level line dedup (q131): a
+    * boilerplate footer shared by three docs (with case + surrounding-
+    * whitespace variants so normalization is exercised), a line repeated
+    * WITHIN one doc, blank lines, and unique content. The real corpus
+    * (single-line docs) rides along underneath in the query. */
+  val lineRows: Seq[(Long, String)] = Seq(
+    (1200000L, "Unique opening thoughts on glaciers.\n\nSubscribe to our newsletter today!\nMore unique glacier content here."),
+    (1200001L, "Different page about sourdough baking.\n  subscribe to our newsletter today!  \nCrumb structure depends on hydration."),
+    (1200002L, "SUBSCRIBE TO OUR NEWSLETTER TODAY!\nA third page with its own words.\nRepeated local line of text.\nRepeated local line of text."),
+    (1200003L, "Entirely original page with no shared lines.\n\nNothing here repeats anywhere."))
+
+  def lineDocs(s: SparkSession): DataFrame = {
+    import s.implicits._
+    lineRows.toDF("doc_id", "text")
+  }
+
+  /** The line-dedup rows as an inline DuckDB relation. */
+  def lineValuesSql: String =
+    lineRows.map { case (id, t) => s"($id, ${textLiteralSql(t)})" }
+      .mkString("(VALUES ", ", ", ") lv(doc_id, text)")
+
+  /** A text value as a single-line DuckDB expression (newlines → chr(10)). */
+  private def textLiteralSql(t: String): String =
+    t.split("\n", -1).map(p => "'" + p.replace("'", "''") + "'")
+      .mkString(" || chr(10) || ")
 }

@@ -303,8 +303,34 @@ object PipelineQueries {
         element_at(TextAnalysis.tokens(lower(col("text"))), 1).as("word"))
         .select(col("doc_id"), col("word"),
           concat_ws(" ", Bpe.encodeWord(col("word"), Bpe.DemoMerges)).as("subwords"))
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+
+    // CCNet corpus-level line dedup (planted multi-line pages atop the
+    // single-line corpus): boilerplate lines survive exactly once —
+    // canonical (doc, pos)-least occurrence keeps its copy
+    "q131_line_dedup" -> ((s, dir) => {
+      val docs = TsTables.documents(s, dir).select(col("doc_id"), col("text"))
+        .unionByName(PipelineFixtures.lineDocs(s))
+      Dedup.removeDuplicateLines(docs).orderBy(col("doc_id"))
+    }),
+
+    // BM25 keyword search: fixed query terms, stats-broadcast scoring,
+    // distributed top-k; ordering uses the rounded score in both engines
+    "q132_bm25_search" -> ((s, dir) =>
+      Search.bm25TopK(TsTables.documents(s, dir), Bm25Terms, k = 25, k1 = Bm25K1, b = Bm25B)
+        .orderBy(col("score").desc, col("doc_id"))),
+
+    // per-source Jensen–Shannon drift vs the rest of the corpus
+    "q133_source_divergence" -> ((s, dir) =>
+      Quality.sourceDivergence(TsTables.documents(s, dir)).orderBy(col("source")))
   )
+
+  /** q132 search query + BM25 constants — single source of truth for both
+    * engines (SQL literals are emitted from these via Double.toString, so
+    * e.g. k1+1 is the SAME double in both, not a re-parsed "2.2"). */
+  private val Bm25Terms = Seq("spark", "vector", "customer")
+  private val Bm25K1 = 1.2
+  private val Bm25B = 0.75
 
   /** Winnowing candidate pairs: long shingles (k=8) keep fingerprints
     * selective; the rarity cap bounds bucket fan-out so the self-join
@@ -883,6 +909,81 @@ object PipelineQueries {
          SELECT doc_id, i AS chunk_idx,
                 array_to_string(toks[i*24+1 : i*24+32], ' ') AS chunk_text,
                 len(toks[i*24+1 : i*24+32]) AS n_tokens
-         FROM idx ORDER BY doc_id, chunk_idx"""
+         FROM idx ORDER BY doc_id, chunk_idx""",
+
+    // line strings as dedup keys in the mirror vs xxhash64(line) in Spark
+    // — identical absent a 64-bit collision (the q108/q115 convention)
+    "q131_line_dedup" ->
+      s"""WITH all_docs AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT * FROM ${PipelineFixtures.lineValuesSql}),
+          base AS (SELECT doc_id, string_split(text, chr(10)) AS lines FROM all_docs),
+          occ AS (SELECT doc_id, i-1 AS pos, trim(lower(lines[i])) AS key
+                  FROM base, UNNEST(generate_series(1, len(lines))) AS t(i)
+                  WHERE trim(lines[i]) <> ''),
+          marked AS (SELECT doc_id, pos,
+                            row_number() OVER (PARTITION BY key ORDER BY doc_id, pos) AS rk,
+                            count(*) OVER (PARTITION BY key) AS nocc
+                     FROM occ),
+          rm AS (SELECT doc_id, pos FROM marked WHERE nocc >= 2 AND rk > 1),
+          pos_lines AS (SELECT doc_id, i-1 AS pos, lines[i] AS line
+                        FROM base, UNNEST(generate_series(1, len(lines))) AS t(i)),
+          kept AS (SELECT p.doc_id, string_agg(p.line, chr(10) ORDER BY p.pos) AS clean_text
+                   FROM pos_lines p LEFT JOIN rm r ON p.doc_id = r.doc_id AND p.pos = r.pos
+                   WHERE r.doc_id IS NULL AND trim(p.line) <> ''
+                   GROUP BY p.doc_id),
+          nb AS (SELECT doc_id, count(*) AS nlines FROM occ GROUP BY doc_id),
+          rmc AS (SELECT doc_id, count(*) AS nrm FROM rm GROUP BY doc_id)
+         SELECT b.doc_id, coalesce(k.clean_text, '') AS clean_text,
+                round(coalesce(c.nrm, 0) / CAST(greatest(coalesce(n.nlines, 0), 1) AS DOUBLE), 6)
+                  AS removed_line_frac
+         FROM base b LEFT JOIN kept k USING (doc_id)
+              LEFT JOIN nb n USING (doc_id) LEFT JOIN rmc c USING (doc_id)
+         ORDER BY doc_id""",
+
+    "q132_bm25_search" -> bm25OracleSql,
+
+    "q133_source_divergence" ->
+      """WITH toks AS (SELECT source, unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+                       FROM documents),
+              counts AS (SELECT source, t, count(*) AS c FROM toks GROUP BY source, t),
+              tot AS (SELECT t, sum(c) AS ct FROM counts GROUP BY t),
+              srct AS (SELECT source, sum(c) AS n FROM counts GROUP BY source),
+              g AS (SELECT sum(n) AS gg FROM srct),
+              terms AS (SELECT c.source, s.n,
+                               c.c / CAST(s.n AS DOUBLE) AS p,
+                               (t.ct - c.c) / CAST((SELECT gg FROM g) - s.n AS DOUBLE) AS q
+                        FROM counts c JOIN tot t USING (t) JOIN srct s USING (source))
+         SELECT source, CAST(n AS BIGINT) AS n_tokens,
+                round(0.5 * sum(p * ln(2.0 * p / (p + q)) +
+                                CASE WHEN q > 0 THEN q * ln(2.0 * q / (p + q)) ELSE 0.0 END)
+                      + 0.5 * ln(2.0) * (1.0 - sum(q)), 6) AS jsd
+         FROM terms GROUP BY source, n ORDER BY source"""
   )
+
+  /** The BM25 mirror, generated from the SAME Scala constants the Spark
+    * side runs with (terms, k1, b) — Double.toString literals round-trip
+    * bit-exactly through DuckDB's CAST(... AS DOUBLE). */
+  private lazy val bm25OracleSql: String = {
+    def d(v: Double) = s"CAST(${v.toString} AS DOUBLE)"
+    val tfCols = Bm25Terms.zipWithIndex.map { case (t, i) =>
+      s"CAST(len(list_filter(toks, x -> x = '$t')) AS DOUBLE) AS tf$i"
+    }.mkString(", ")
+    val dfCols = Bm25Terms.indices.map(i =>
+      s"sum(CASE WHEN tf$i > 0 THEN 1.0 ELSE 0.0 END) AS df$i").mkString(", ")
+    val denomTail = s"${d(Bm25K1)} * (${d(1.0 - Bm25B)} + ${d(Bm25B)} * dl / avgdl)"
+    val scoreTerms = Bm25Terms.indices.map(i =>
+      s"ln(1.0 + (n - df$i + 0.5) / (df$i + 0.5)) * tf$i * ${d(Bm25K1 + 1.0)} / (tf$i + $denomTail)")
+      .mkString(" + ")
+    val anyTf = Bm25Terms.indices.map(i => s"tf$i").mkString(" + ")
+    s"""WITH pre AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+                     FROM documents),
+            tf AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl, $tfCols FROM pre),
+            stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl, $dfCols FROM tf)
+       SELECT doc_id, round($scoreTerms, 6) AS score
+       FROM tf, stats
+       WHERE $anyTf > 0
+       ORDER BY score DESC, doc_id LIMIT 25"""
+  }
 }

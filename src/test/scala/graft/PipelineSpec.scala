@@ -516,4 +516,67 @@ class PipelineSpec extends AnyFunSuite with Matchers {
     an[IllegalArgumentException] should be thrownBy
       MetadataOps.topkCardinality(samples, Seq("metric"), Nil, depth = 2, k = 1, 0L)
   }
+
+  test("line dedup: canonical copy survives, case/pad variants and in-doc repeats removed") {
+    val pages = Seq(
+      (1L, "Unique alpha line.\n\nShared Footer Here!\nMore alpha."),
+      (2L, "Beta content only.\n  shared footer here!  \nBeta closing."),
+      (3L, "SHARED FOOTER HERE!\nGamma words.\nEcho line.\nEcho line."),
+      (4L, "Totally unique page.\n\nNothing repeated.")
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicateLines(pages).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2))).toMap
+    // doc 1 holds the (doc, pos)-least footer occurrence: keeps it, loses
+    // only the blank line (not counted); docs 2/3 lose their copies
+    out(1L)._1 shouldEqual "Unique alpha line.\nShared Footer Here!\nMore alpha."
+    out(1L)._2 shouldEqual 0.0
+    out(2L)._1 shouldEqual "Beta content only.\nBeta closing."
+    out(2L)._2 shouldEqual math.rint(1.0 / 3.0 * 1e6) / 1e6 +- 1e-9
+    // doc 3: footer removed AND the second in-doc "Echo line." removed
+    out(3L)._1 shouldEqual "Gamma words.\nEcho line."
+    out(3L)._2 shouldEqual 0.5
+    out(4L)._1 shouldEqual "Totally unique page.\nNothing repeated."
+    out(4L)._2 shouldEqual 0.0
+    // repartition-stable (canonical pick is a total order, not arrival order)
+    Dedup.removeDuplicateLines(pages.repartition(7)).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2))).toMap shouldEqual out
+  }
+
+  test("bm25: tf raises score, rarer term outranks common at equal tf, hand-check") {
+    import graft.pipeline.Search
+    val corpus = Seq(
+      (1L, "apple banana banana banana"),
+      (2L, "apple banana cherry date"),
+      (3L, "apple date date fig"),
+      (4L, "grape melon kiwi lime")
+    ).toDF("doc_id", "text")
+    // 'banana' (df 2) vs 'fig' (df 1): doc3 matches only the rarer term
+    val r = Search.bm25TopK(corpus, Seq("banana", "fig"), k = 10)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    r.keySet shouldEqual Set(1L, 2L, 3L)          // doc4 matches nothing
+    r(1L) should be > r(2L)                        // more banana tf wins
+    r(3L) should be > r(2L)                        // rare term beats common
+    // hand-computed: doc2 'banana' tf=1, dl=4, avgdl=4, df=2, N=4
+    val idf = math.log(1.0 + (4.0 - 2.0 + 0.5) / (2.0 + 0.5))
+    val expect = idf * 1.0 * 2.2 / (1.0 + 1.2 * (0.25 + 0.75 * 4.0 / 4.0))
+    r(2L) shouldEqual math.rint(expect * 1e6) / 1e6 +- 1e-9
+  }
+
+  test("source divergence: identical sources ~0, disjoint vocabularies = ln 2") {
+    val mirrored = Seq(
+      ("a", "one two three four"), ("a", "five six one two"),
+      ("b", "one two three four"), ("b", "five six one two")
+    ).toDF("source", "text")
+    val m = graft.pipeline.Quality.sourceDivergence(mirrored).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    m("a") shouldEqual 0.0
+    m("b") shouldEqual 0.0
+    val disjoint = Seq(
+      ("a", "aa bb cc"), ("b", "dd ee ff")
+    ).toDF("source", "text")
+    val d = graft.pipeline.Quality.sourceDivergence(disjoint).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    d("a") shouldEqual math.rint(math.log(2.0) * 1e6) / 1e6 +- 1e-9
+    d("b") shouldEqual d("a")
+  }
 }

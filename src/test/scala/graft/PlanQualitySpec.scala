@@ -277,4 +277,35 @@ class PlanQualitySpec extends AnyFunSuite with Matchers {
     // from the same partitioning, so no second full exchange of the rows
     "Exchange hashpartitioning".r.findAllIn(p).size shouldEqual 1
   }
+
+  test("line dedup shuffles line hashes, not line strings") {
+    val df = graft.pipeline.Dedup.removeDuplicateLines(TsTables.documents(spark, dir))
+    df.count()
+    val p = plan(df)
+    p should include("xxhash64")
+    (p should not).include("CartesianProduct")
+    (p should not).include("BroadcastNestedLoopJoin")
+  }
+
+  test("bm25: stats ride back as a broadcast; the ranked result is a distributed top-k") {
+    val df = graft.pipeline.Search.bm25TopK(
+      TsTables.documents(spark, dir), Seq("spark", "vector"), k = 10)
+    df.count()
+    val p = plan(df)
+    p should include("TakeOrderedAndProject")
+    // the 1-row stats frame joins back broadcast-nested-loop (no key);
+    // the corpus itself never hash-shuffles
+    p should include("BroadcastNestedLoopJoin")
+    (p should not).include("Exchange hashpartitioning")
+    (p should not).include("SortMergeJoin")
+  }
+
+  test("source divergence: one corpus-sized shuffle, hashed tokens, small sides broadcast") {
+    val df = graft.pipeline.Quality.sourceDivergence(TsTables.documents(spark, dir))
+    df.count()
+    val p = plan(df)
+    p should include("xxhash64")
+    (p should not).include("SortMergeJoin")
+    (p should not).include("CartesianProduct")
+  }
 }
