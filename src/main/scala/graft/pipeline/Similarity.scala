@@ -239,15 +239,17 @@ object Similarity {
     * expressions against literal codebooks; zero shuffle.
     * Output: (neighbor_id, codes ARRAY<INT>). */
   def pqEncode(corpus: DataFrame, codebooks: Seq[Array[Array[Double]]],
-               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+               idCol: String = "vec_id", vecCol: String = "embedding",
+               carryCols: Seq[String] = Nil): DataFrame = {
     val dsub = codebooks.head.head.length
     val codes = codebooks.zipWithIndex.map { case (cb, j) =>
       val centers = typedLit(cb.map(_.toSeq).toSeq)
       val dists = transform(centers, c => l2sq(slice(col("__v"), j * dsub + 1, dsub), c))
       (array_position(dists, array_min(dists)) - 1).cast("int")
     }
-    corpus.select(col(idCol).as("neighbor_id"), col(vecCol).cast("array<double>").as("__v"))
-      .select(col("neighbor_id"), array(codes: _*).as("codes"))
+    corpus.select(col(idCol).as("neighbor_id") +: carryCols.map(col) :+
+        col(vecCol).cast("array<double>").as("__v"): _*)
+      .select(col("neighbor_id") +: carryCols.map(col) :+ array(codes: _*).as("codes"): _*)
   }
 
   /** Approximate top-k by PQ asymmetric distance computation (ADC): each
@@ -273,6 +275,85 @@ object Similarity {
     val adist = (0 until m).map(j =>
       element_at(col(s"__dt$j"), element_at(col("codes"), j + 1) + 1)).reduce(_ + _)
     val scored = q.join(encoded, col("query_id") =!= col("neighbor_id"))
+      .withColumn("adist", adist)
+    val w = Window.partitionBy(col("query_id")).orderBy(col("adist").asc, col("neighbor_id").asc)
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rk"), round(col("adist"), 6).as("adist"))
+  }
+
+  /** IVF-PQ approximate kNN (Jégou et al. 2011 §V; the FAISS IVFPQ
+    * index): the coarse quantizer routes every corpus vector to an
+    * inverted list, PQ encodes the RESIDUAL (vector − its centroid), and
+    * each query probes only its `nprobe` nearest lists, scoring rows by
+    * ADC table lookups on the per-(query, list) residual q − c.
+    *
+    * Scale shape: the corpus is touched by (a) one assignment pass and
+    * (b) one map-side encode against literal codebooks — thereafter the
+    * search-side representation is (centroid, m small codes) per row,
+    * m bytes instead of 4·dim. The probe side (queries × nprobe rows,
+    * each carrying m distance tables of ksub doubles) broadcasts; the
+    * only join is probe × encoded-corpus on the centroid id, i.e. the
+    * inverted-list prune. Ranking ascends approximate squared L2.
+    * Coarse ranking uses true L2 distance to the centroids (FAISS
+    * convention), unlike [[ivfKnn]]'s cosine probe. */
+  def ivfPqKnn(queries: DataFrame, corpus: DataFrame, k: Int,
+               nCentroids: Int = 16, nprobe: Int = 4, m: Int = 4, ksub: Int = 16,
+               idCol: String = "vec_id", vecCol: String = "embedding",
+               fitSampleRows: Int = 65536): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    import org.apache.spark.ml.linalg.Vector
+
+    val c0 = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("cv"))
+    val km = new KMeans().setK(nCentroids).setSeed(42L).setMaxIter(8)
+      .setFeaturesCol("features").setPredictionCol("centroid")
+    // deterministic bounded fit sample (distributed top-k by id) — the
+    // ivfKnn contract
+    val model = km.fit(
+      c0.orderBy(col("neighbor_id")).limit(fitSampleRows)
+        .withColumn("features", array_to_vector(col("cv"))))
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centroids = broadcast(model.clusterCenters.zipWithIndex
+      .map { case (v: Vector, i: Int) => (i, v.toArray.toSeq) }.toSeq
+      .toDF("centroid", "centroid_vec"))
+
+    // assign + residual-encode the corpus (map-side after the tiny
+    // centroid broadcast join)
+    val assigned = model.transform(c0.withColumn("features", array_to_vector(col("cv"))))
+      .select(col("neighbor_id"), col("cv"), col("centroid"))
+      .join(centroids, "centroid")
+      .select(col("neighbor_id"), col("centroid"),
+        zip_with(col("cv"), col("centroid_vec"), (x, c) => x - c).as("rv"))
+    val cbs = fitPqCodebooks(
+      assigned.select(col("neighbor_id").as(idCol), col("rv").as(vecCol)),
+      m, ksub, vecCol, fitSampleRows, idCol)
+    val dsub = cbs.head.head.length
+    val encoded = pqEncode(
+      assigned.select(col("neighbor_id").as(idCol), col("rv").as(vecCol),
+        col("centroid")), cbs, idCol, vecCol, carryCols = Seq("centroid"))
+
+    // probe side: nprobe nearest lists by TRUE L2, then per-probe residual
+    // distance tables — all on the broadcastable query frame
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
+    val wq = Window.partitionBy(col("query_id")).orderBy(col("cdist").asc, col("centroid").asc)
+    val dtCols = cbs.zipWithIndex.map { case (cb, j) =>
+      val centers = typedLit(cb.map(_.toSeq).toSeq)
+      transform(centers, c => l2sq(slice(col("qr"), j * dsub + 1, dsub), c)).as(s"__dt$j")
+    }
+    val probes = broadcast(
+      q.crossJoin(centroids)
+        .withColumn("cdist", l2sq(col("qv"), col("centroid_vec")))
+        .withColumn("crk", row_number().over(wq))
+        .filter(col("crk") <= nprobe)
+        .withColumn("qr", zip_with(col("qv"), col("centroid_vec"), (x, c) => x - c))
+        .select(col("query_id") +: col("centroid") +: dtCols: _*))
+
+    val adist = (0 until m).map(j =>
+      element_at(col(s"__dt$j"), element_at(col("codes"), j + 1) + 1)).reduce(_ + _)
+    val scored = probes.join(encoded, Seq("centroid"))
+      .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("adist", adist)
     val w = Window.partitionBy(col("query_id")).orderBy(col("adist").asc, col("neighbor_id").asc)
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)

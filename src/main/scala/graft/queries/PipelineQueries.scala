@@ -322,7 +322,17 @@ object PipelineQueries {
 
     // per-source Jensen–Shannon drift vs the rest of the corpus
     "q133_source_divergence" -> ((s, dir) =>
-      Quality.sourceDivergence(TsTables.documents(s, dir)).orderBy(col("source")))
+      Quality.sourceDivergence(TsTables.documents(s, dir)).orderBy(col("source"))),
+
+    // IVF-PQ (residual-encoded inverted lists + ADC) on the planted
+    // fixture — seeded KMeans + single-partition fixture = bit-stable;
+    // expected top-k pinned inline like q112
+    "q134_ivfpq_knn" -> ((s, _) => {
+      val e = PipelineFixtures.embs(s)
+      Similarity.ivfPqKnn(e.filter(col("vec_id") < 3), e, k = 5,
+        nCentroids = 3, nprobe = 2, m = 4, ksub = 4)
+        .orderBy(col("query_id"), col("rk"))
+    })
   )
 
   /** q132 search query + BM25 constants — single source of truth for both
@@ -943,6 +953,21 @@ object PipelineQueries {
          ORDER BY doc_id""",
 
     "q132_bm25_search" -> bm25OracleSql,
+
+    // planted-fixture golden (seeded coarse + sub-space KMeans fits,
+    // single-partition fixture = bit-stable, same contract as q112);
+    // every neighbor is same-cluster as its query (i % 3) and the
+    // rank-1 hit is the query's nearest planted perturbation
+    "q134_ivfpq_knn" ->
+      """SELECT query_id, neighbor_id, rk, CAST(adist AS DOUBLE) AS adist FROM (VALUES
+           (0, 15, 1, 0.000089), (0, 9, 2, 0.009911), (0, 3, 3, 0.015644),
+           (0, 18, 4, 0.015644), (0, 6, 5, 0.015822),
+           (1, 16, 1, 0.000089), (1, 10, 2, 0.009911), (1, 4, 3, 0.015644),
+           (1, 19, 4, 0.015644), (1, 7, 5, 0.015822),
+           (2, 17, 1, 0.000089), (2, 11, 2, 0.009911), (2, 5, 3, 0.015644),
+           (2, 20, 4, 0.015644), (2, 8, 5, 0.015822))
+         v(query_id, neighbor_id, rk, adist)
+         ORDER BY query_id, rk""",
 
     "q133_source_divergence" ->
       """WITH toks AS (SELECT source, unnest(string_split_regex(trim(lower(text)), '\s+')) AS t

@@ -562,6 +562,21 @@ class PipelineSpec extends AnyFunSuite with Matchers {
     r(2L) shouldEqual math.rint(expect * 1e6) / 1e6 +- 1e-9
   }
 
+  test("ivfpq knn: neighbors stay in the query's planted cluster, adist ascends") {
+    val e = graft.queries.PipelineFixtures.embs(spark)
+    val out = Similarity.ivfPqKnn(e.filter($"vec_id".between(3, 5)), e, k = 4,
+      nCentroids = 3, nprobe = 2, m = 4, ksub = 4).collect()
+    out.length shouldEqual 12
+    out.foreach { r =>
+      val (q, n) = (r.getAs[Int]("query_id"), r.getAs[Int]("neighbor_id"))
+      n % 3 shouldEqual q % 3 // inverted-list probe keeps the planted cluster
+    }
+    out.groupBy(_.getAs[Int]("query_id")).values.foreach { rows =>
+      val byRank = rows.sortBy(_.getAs[Int]("rk")).map(_.getAs[Double]("adist"))
+      byRank shouldEqual byRank.sorted
+    }
+  }
+
   test("source divergence: identical sources ~0, disjoint vocabularies = ln 2") {
     val mirrored = Seq(
       ("a", "one two three four"), ("a", "five six one two"),

@@ -82,4 +82,40 @@ class TsLayoutSpec extends AnyFunSuite with Matchers {
       spark.sql("DROP TABLE IF EXISTS bucketed_b")
     }
   }
+
+  test("corpus fingerprint index: anti-join reads the index pre-shuffled; append closes the loop") {
+    import spark.implicits._
+    import graft.pipeline.{CorpusLayout, Dedup}
+    val corpus = Seq(
+      (1L, "alpha beta gamma"), (2L, "delta epsilon zeta"), (3L, "eta theta iota"))
+      .toDF("doc_id", "text")
+    // batch: one replayed corpus doc (normalized variant), one intra-batch
+    // dup pair, one genuinely new doc
+    val batch = Seq(
+      (10L, "  ALPHA   beta GAMMA "), // fp-dup of corpus doc 1 → dropped
+      (11L, "brand new content"), (12L, "brand new content"), // intra-batch dup → 11 kept
+      (13L, "another fresh page"))
+      .toDF("doc_id", "text")
+    CorpusLayout.writeFingerprintIndex(corpus, "fp_index", nBuckets = 4)
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // force the join shape a 100 TB index takes (never broadcastable)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val out = CorpusLayout.dropAgainstIndex(spark, batch, "fp_index")
+      out.select("doc_id").as[Long].collect().sorted shouldEqual Array(11L, 13L)
+      val p = out.queryExecution.executedPlan.toString
+      // the index side is consumed via its bucket files — the scan appears
+      // with bucket selection, not behind an exchange
+      p should include("SelectedBucketsCount")
+      // parity with the scan-everything operator
+      Dedup.dropAgainstCorpus(batch, corpus)
+        .select("doc_id").as[Long].collect().sorted shouldEqual Array(11L, 13L)
+      // fold survivors in; the same batch then dedups to nothing
+      CorpusLayout.appendToIndex(out, "fp_index", nBuckets = 4)
+      CorpusLayout.dropAgainstIndex(spark, batch, "fp_index").count() shouldEqual 0L
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+      spark.sql("DROP TABLE IF EXISTS fp_index")
+    }
+  }
 }
