@@ -283,7 +283,8 @@ object RangeFns {
       case "changes"            => Changes
       case "deriv"              => Deriv
       case "predict_linear"     => PredictLinear(args.head)
-      case "holt_winters"       => HoltWinters(args(0), args(1))
+      case "holt_winters" | "double_exponential_smoothing" =>
+        HoltWinters(args(0), args(1))
       case "sum_over_time"      => SumOverTime
       case "avg_over_time"      => AvgOverTime
       case "count_over_time"    => CountOverTime

@@ -252,6 +252,37 @@ object Quality {
         col("top3_frac") < 0.18)
   }
 
+  /** Mean NLL under a REFERENCE unigram LM — the actual CCNet filter shape
+    * (Wenzek et al. 2020 score documents by perplexity under a TRUSTED
+    * domain's LM, e.g. Wikipedia, not the corpus's own; [[unigramLogLoss]]
+    * is the self-LM variant). Laplace smoothing over the reference
+    * vocabulary plus one OOV bucket: p(t) = (C_ref(t)+1) / (N_ref+V_ref+1),
+    * so out-of-vocabulary tokens score the maximum ln(N+V+1) penalty.
+    *
+    * Scale shape: the reference reduces to a (xxhash64(token), count)
+    * table once (hash-first — token strings never shuffle); the scored
+    * stream left-joins it on the hash and re-uses that key space for the
+    * per-doc rollup; (N, V) ride in as a 1-row broadcast.
+    * Output: (idCol, n_tokens, mean_nll). */
+  def crossLogLoss(docs: DataFrame, reference: DataFrame,
+                   textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    def toks(df: DataFrame, cols: Column*) = df
+      .select(cols :+ explode(TextAnalysis.tokens(lower(col(textCol)))).as("__t"): _*)
+    val refTf = toks(reference)
+      .select(xxhash64(col("__t")).as("__h"))
+      .groupBy(col("__h")).agg(count(lit(1)).as("__tf"))
+    val refStats = refTf.agg((sum(col("__tf")) + count(lit(1)) + 1L).as("__nv"))
+    toks(docs, col(idCol))
+      .select(col(idCol), xxhash64(col("__t")).as("__h"))
+      .join(refTf, Seq("__h"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        avg(log(coalesce(col("__tf"), lit(0L)) + lit(1L))).as("__mlt"))
+      .crossJoin(broadcast(refStats))
+      .select(col(idCol), col("n_tokens"),
+        round(log(col("__nv")) - col("__mlt"), 6).as("mean_nll"))
+  }
+
   /** Per-source distribution drift: Jensen–Shannon divergence (natural
     * log) between each source's unigram distribution and the REST of the
     * corpus — the corpus-governance signal for "did src7's crawl change /

@@ -109,7 +109,8 @@ object Parser {
   val KnownFunctions: Set[String] = Set(
     // range functions
     "rate", "increase", "delta", "idelta", "irate", "resets", "changes", "deriv",
-    "predict_linear", "holt_winters", "sum_over_time", "avg_over_time",
+    "predict_linear", "holt_winters", "double_exponential_smoothing",
+    "sum_over_time", "avg_over_time",
     "count_over_time", "min_over_time", "max_over_time", "stddev_over_time",
     "stdvar_over_time", "quantile_over_time", "mad_over_time", "last_over_time",
     "last", "timestamp", "present_over_time", "absent_over_time", "z_score",

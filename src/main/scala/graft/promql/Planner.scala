@@ -584,7 +584,8 @@ object PromPlanner {
       val t = constParam(Some(args(1)))
       matrixArg(ctx, args(0), RangeFns.PredictLinear(t))
 
-    case "holt_winters" =>
+    // double_exponential_smoothing is Prometheus 3's name for the same fn
+    case "holt_winters" | "double_exponential_smoothing" =>
       matrixArg(ctx, args(0),
         RangeFns.HoltWinters(constParam(Some(args(1))), constParam(Some(args(2)))))
 

@@ -324,6 +324,14 @@ object PipelineQueries {
     "q133_source_divergence" -> ((s, dir) =>
       Quality.sourceDivergence(TsTables.documents(s, dir)).orderBy(col("source"))),
 
+    // CCNet reference-LM scoring: src0 is the "trusted domain"; every doc
+    // is scored under ITS unigram LM (OOV pays the max Laplace penalty)
+    "q135_cross_logloss" -> ((s, dir) => {
+      val docs = TsTables.documents(s, dir)
+      Quality.crossLogLoss(docs, docs.where(col("source") === "src0"))
+        .orderBy(col("doc_id"))
+    }),
+
     // IVF-PQ (residual-encoded inverted lists + ADC) on the planted
     // fixture — seeded KMeans + single-partition fixture = bit-stable;
     // expected top-k pinned inline like q112
@@ -409,6 +417,11 @@ object PipelineQueries {
       import s.implicits._
       Bpe.train(TsTables.documents(s, dir), nMerges = 5)
         .toDF("rank", "left", "right", "cnt")
+    }),
+    "corpus_ivfpq_knn" -> ((s, dir) => {
+      val e = TsTables.embeddings(s, dir)
+      Similarity.ivfPqKnn(e.filter(col("vec_id") < 10), e, k = 5,
+        nCentroids = 16, nprobe = 4, m = 4, ksub = 16)
     })
   )
 
@@ -953,6 +966,18 @@ object PipelineQueries {
          ORDER BY doc_id""",
 
     "q132_bm25_search" -> bm25OracleSql,
+
+    "q135_cross_logloss" ->
+      """WITH ref AS (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+                      FROM documents WHERE source = 'src0'),
+              tf AS (SELECT t, count(*) AS c FROM ref GROUP BY t),
+              nv AS (SELECT sum(c) + count(*) + 1 AS nv FROM tf),
+              toks AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+                       FROM documents)
+         SELECT doc_id, count(*) AS n_tokens,
+                round(ln((SELECT nv FROM nv)) - avg(ln(coalesce(f.c, 0) + 1)), 6) AS mean_nll
+         FROM toks k LEFT JOIN tf f USING (t)
+         GROUP BY doc_id ORDER BY doc_id""",
 
     // planted-fixture golden (seeded coarse + sub-space KMeans fits,
     // single-partition fixture = bit-stable, same contract as q112);

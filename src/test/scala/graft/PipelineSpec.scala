@@ -577,6 +577,17 @@ class PipelineSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("cross log loss: hand-computed Laplace NLL; OOV pays the max penalty") {
+    val ref = Seq((100L, "apple banana apple cherry")).toDF("doc_id", "text")
+    val scored = Seq((1L, "apple apple"), (2L, "zebra quokka")).toDF("doc_id", "text")
+    val m = graft.pipeline.Quality.crossLogLoss(scored, ref).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // ref: apple=2 banana=1 cherry=1 → N=4, V=3, nv=8
+    m(1L) shouldEqual math.rint((math.log(8) - math.log(3)) * 1e6) / 1e6 +- 1e-9
+    m(2L) shouldEqual math.rint(math.log(8) * 1e6) / 1e6 +- 1e-9
+    m(2L) should be > m(1L)
+  }
+
   test("source divergence: identical sources ~0, disjoint vocabularies = ln 2") {
     val mirrored = Seq(
       ("a", "one two three four"), ("a", "five six one two"),

@@ -562,4 +562,16 @@ class PromQLSpec extends AnyFunSuite with Matchers {
     }
     ex.getMessage should include("no column")
   }
+
+  test("double_exponential_smoothing is an exact alias for holt_winters (Prometheus 3 rename)") {
+    val c = ctx(3000, 3000, 1000)
+    val viaAlias = PromPlanner.queryRange(c,
+      """double_exponential_smoothing(purchase{user="1"}[3s], 0.5, 0.1)""")
+      .select("step_ts", "value").as[(Long, Double)].collect()
+    val viaOld = PromPlanner.queryRange(c,
+      """holt_winters(purchase{user="1"}[3s], 0.5, 0.1)""")
+      .select("step_ts", "value").as[(Long, Double)].collect()
+    viaAlias shouldEqual viaOld
+    viaAlias.length should be > 0
+  }
 }
