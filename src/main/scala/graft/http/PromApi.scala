@@ -98,8 +98,13 @@ class PromApi(spark: SparkSession, samples: DataFrame, port: Int = 0,
     if (s.nonEmpty && s.last.isLetter) graft.promql.Parser.parseDuration(s)
     else math.round(s.toDouble * 1000)
 
+  /** Per-query staleness override (Prometheus `lookback_delta`). */
+  private def lookback(p: Map[String, String]): Long =
+    p.get("lookback_delta").map(stepMs).getOrElse(PromPlanner.DefaultLookbackMs)
+
   private def queryRange(p: Map[String, String]): String = {
-    val ctx = PromPlanner.Ctx(spark, samples, ms(p("start")), ms(p("end")), stepMs(p("step")))
+    val ctx = PromPlanner.Ctx(spark, samples, ms(p("start")), ms(p("end")), stepMs(p("step")),
+      lookbackMs = lookback(p))
     val df = PromPlanner.queryRange(ctx, p("query"))
     if (p.get("explainOnly").contains("true")) return explainResponse(p("query"), df)
     val rows = collectLimited(df).groupBy(_.getString(0)).toSeq.sortBy(_._1)
@@ -119,7 +124,7 @@ class PromApi(spark: SparkSession, samples: DataFrame, port: Int = 0,
     * of a vector envelope (a Grafana-style consumer dispatches on this). */
   private def instantQuery(p: Map[String, String]): String = {
     val t = ms(p.getOrElse("time", (System.currentTimeMillis() / 1000).toString))
-    val ctx = PromPlanner.Ctx(spark, samples, t, t, 1000L)
+    val ctx = PromPlanner.Ctx(spark, samples, t, t, 1000L, lookbackMs = lookback(p))
     val ast = graft.promql.Parser.parse(p("query"))
     val df = PromPlanner.planVector(ctx, ast)
     if (p.get("explainOnly").contains("true")) return explainResponse(p("query"), df)

@@ -41,6 +41,32 @@ object Sessionize {
     (max(col(tsCol)) - min(col(tsCol))).as("duration_ms"),
     round(sum(col("value")), 6).as("sum_value"))
 
+  /** Top-k event-type PATHS: n-grams of consecutive event types inside a
+    * session, counted corpus-wide — the "how do users actually move
+    * through the product" discovery operator that funnels are then built
+    * from. The per-session type sequence is assembled inside the same
+    * user_id exchange sessionize already pays (array_sort on
+    * (ts_ms, event_id, type) structs makes collect_list order-independent
+    * and tie-stable); n-gram expansion is map-side; the count groups by
+    * short path strings and the ranking is a distributed top-k with a
+    * path-string tiebreak so results are engine-stable.
+    * Output: (path "a>b>c", n_occurrences). */
+  def topPaths(events: DataFrame, gapMs: Long, n: Int = 3, k: Int = 20): DataFrame = {
+    require(n >= 2, s"a path needs at least 2 steps, got n=$n")
+    val seqs = sessionize(events, gapMs)
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(array_sort(
+        collect_list(struct(col("ts_ms"), col("event_id"), col("event_type")))).as("__evs"))
+      .select(transform(col("__evs"), e => e.getField("event_type")).as("__types"))
+      .where(size(col("__types")) >= n)
+    seqs
+      .select(explode(transform(sequence(lit(0), size(col("__types")) - n),
+        i => concat_ws(">", slice(col("__types"), i + 1, lit(n))))).as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("path").asc)
+      .limit(k)
+  }
+
   /** Per-session rollup: bounds, duration, event count, value sum. */
   def sessionStats(events: DataFrame, gapMs: Long): DataFrame = {
     val aggs = sessionAggs("ts_ms")

@@ -173,7 +173,16 @@ object RelationalQueries {
         TsTables.events(s, dir)
           .select(col("user_id"), col("event_type"), col("ts_ms")),
         Seq("view", "click", "purchase"))
-        .orderBy(col("stage")))
+        .orderBy(col("stage"))),
+
+    // path discovery: most common 3-step event-type sequences inside
+    // 6 h sessions (the operator funnels are designed FROM)
+    "q136_top_paths" -> ((s, dir) =>
+      graft.operators.Sessionize.topPaths(
+        TsTables.events(s, dir)
+          .select(col("user_id"), col("event_id"), col("event_type"), col("ts_ms")),
+        gapMs = 6L * 3600 * 1000, n = 3, k = 20)
+        .orderBy(col("n_occurrences").desc, col("path")))
   )
 
   def oracles: Map[String, String] = Map(
@@ -326,6 +335,28 @@ object RelationalQueries {
          SELECT 2, 'click', n2, round(n2 / CAST(greatest(n1, 1) AS DOUBLE), 6) FROM c
          UNION ALL
          SELECT 3, 'purchase', n3, round(n3 / CAST(greatest(n2, 1) AS DOUBLE), 6) FROM c
-         ORDER BY stage"""
+         ORDER BY stage""",
+
+    "q136_top_paths" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_ns(ts)//1000000 AS ts_ms
+                    FROM events),
+              lagd AS (SELECT *, lag(ts_ms) OVER
+                         (PARTITION BY user_id ORDER BY ts_ms, event_id) AS prev
+                       FROM e),
+              flg AS (SELECT *, CASE WHEN prev IS NULL OR ts_ms - prev > 21600000
+                                     THEN 1 ELSE 0 END AS nw
+                      FROM lagd),
+              sess AS (SELECT *, sum(nw) OVER
+                         (PARTITION BY user_id ORDER BY ts_ms, event_id
+                          ROWS UNBOUNDED PRECEDING) AS session_idx
+                       FROM flg),
+              seq AS (SELECT user_id, session_idx,
+                             list(event_type ORDER BY ts_ms, event_id) AS types
+                      FROM sess GROUP BY 1, 2),
+              grams AS (SELECT array_to_string(types[i:i+2], '>') AS path
+                        FROM seq, UNNEST(generate_series(1, len(types) - 2)) AS g(i)
+                        WHERE len(types) >= 3)
+         SELECT path, count(*) AS n_occurrences FROM grams GROUP BY path
+         ORDER BY n_occurrences DESC, path LIMIT 20"""
   )
 }

@@ -244,4 +244,20 @@ class PromApiSpec extends AnyFunSuite with Matchers {
       reads.value.longValue should be > 0L
     } finally api.stop()
   }
+
+  test("lookback_delta narrows instant-selector staleness per query") {
+    val samples = TsTables.eventsAsSamples(spark, "/root/testdata/sf0.001")
+    val api = new PromApi(spark, samples).start()
+    try {
+      val port = api.boundPort
+      val q = java.net.URLEncoder.encode("purchase", "UTF-8")
+      // one step, 1h past the last sample: default 5m lookback finds
+      // nothing; lookback_delta=2h reaches back to it
+      val t = (TsTables.EventsEndMs + 3600000L) / 1000
+      val narrow = get(port, s"/api/v1/query?query=$q&time=$t")
+      narrow should include(""""result":[]""")
+      val wide = get(port, s"/api/v1/query?query=$q&time=$t&lookback_delta=2h")
+      wide should include(""""__name__":"purchase"""")
+    } finally api.stop()
+  }
 }

@@ -113,4 +113,29 @@ class SessionizeSpec extends AnyFunSuite with Matchers {
       .collect().map(r => r.getLong(0) -> r.getInt(3)).toMap
     f(9L) shouldEqual 1
   }
+
+  test("topPaths counts in-session n-grams only, ties tiebreak on path") {
+    val ev = Seq(
+      // user 1 session: view>click>purchase (one 3-gram)
+      (1L, 1L, 1000L, "view", 0.0), (1L, 2L, 1010L, "click", 0.0),
+      (1L, 3L, 1020L, "purchase", 0.0),
+      // user 2 same path, then a SESSION BREAK — the cross-session pair
+      // must produce no gram
+      (2L, 4L, 2000L, "view", 0.0), (2L, 5L, 2010L, "click", 0.0),
+      (2L, 6L, 2020L, "purchase", 0.0),
+      (2L, 7L, 9000L, "view", 0.0), (2L, 8L, 9010L, "view", 0.0),
+      // user 3: 4 events -> two 3-grams
+      (3L, 9L, 3000L, "click", 0.0), (3L, 10L, 3010L, "view", 0.0),
+      (3L, 11L, 3020L, "click", 0.0), (3L, 12L, 3030L, "purchase", 0.0)
+    ).toDF("user_id", "event_id", "ts_ms", "event_type", "value")
+    val paths = Sessionize.topPaths(ev, gapMs = 100, n = 3, k = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    paths.head shouldEqual ("view>click>purchase" -> 3L)
+    paths.toMap.apply("click>view>click") shouldEqual 1L
+    // user 2's second session (2 events) contributes nothing
+    paths.map(_._2).sum shouldEqual 4L
+    // deterministic under repartitioning (array_sort, not arrival order)
+    Sessionize.topPaths(ev.repartition(5), gapMs = 100, n = 3, k = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)) shouldEqual paths
+  }
 }
