@@ -102,4 +102,54 @@ object Bpe {
     merges.foldLeft(initialSymbols(lower(word))) {
       case (syms, (a, b)) => mergePair(syms, a, b)
     }
+
+  val EndOfDoc = "</d>" // document-boundary sentinel token
+
+  /** Whole-document subword stream: every (non-empty) whitespace token
+    * becomes its merge-fold subwords, flattened in order, closed by the
+    * document sentinel. Pure map-side expressions — the per-token merge
+    * fold rides inside one transform over the staged token array. */
+  def encodeDoc(text: Column, merges: Seq[(String, String)]): Column =
+    concat(
+      flatten(transform(
+        filter(TextAnalysis.tokens(lower(text)), w => length(w) > 0),
+        w => encodeWord(w, merges))),
+      array(lit(EndOfDoc)))
+
+  /** The LLM pretraining data-prep step end to end: BPE-encode every doc,
+    * concatenate the subword streams (document sentinels included) in a
+    * deterministic order, and cut fixed `seqLen`-token training sequences
+    * that CROSS document boundaries (the GPT packing convention; the last
+    * sequence per bucket may run short).
+    *
+    * Scale shape: docs land in `nBuckets` md5-derived buckets (stable
+    * across engines/topologies — the Sampling.hashPoint contract); the
+    * running token offset is a window sum per bucket ordered by id, so
+    * parallelism equals nBuckets — size nBuckets to the cluster width,
+    * exactly like [[Sampling.packIntoShards]]. Sequence reassembly then
+    * shuffles (bucket, seq_idx, pos, token) once.
+    * Output: (bucket, seq_idx, n_tokens, seq_text). */
+  def packSequences(docs: DataFrame, merges: Seq[(String, String)],
+                    seqLen: Int, nBuckets: Int,
+                    textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val enc = docs
+      .select(col(idCol), encodeDoc(col(textCol), merges).as("__toks"))
+      .withColumn("__bucket",
+        floor(graft.pipeline.Sampling.hashPoint(col(idCol)) * nBuckets).cast("int"))
+      .withColumn("__n", size(col("__toks")).cast("long"))
+    val w = Window.partitionBy(col("__bucket")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val positioned = enc
+      .withColumn("__off", coalesce(sum(col("__n")).over(w), lit(0L)))
+      .select(col("__bucket").as("bucket"), col("__off"),
+        posexplode(col("__toks")).as(Seq("__pos", "__tok")))
+      .withColumn("__gpos", col("__off") + col("__pos"))
+    positioned
+      .groupBy(col("bucket"), floor(col("__gpos") / seqLen).cast("long").as("seq_idx"))
+      .agg(count(lit(1)).as("n_tokens"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct((col("__gpos") % seqLen).as("p"), col("__tok").as("t")))),
+          e => e.getField("t"))).as("seq_text"))
+  }
 }

@@ -324,6 +324,14 @@ object PipelineQueries {
     "q133_source_divergence" -> ((s, dir) =>
       Quality.sourceDivergence(TsTables.documents(s, dir)).orderBy(col("source"))),
 
+    // the pretraining data-prep step end to end: BPE-encode every doc,
+    // concatenate subword streams per md5 bucket, cut 32-token sequences
+    // crossing doc boundaries (GPT packing)
+    "q137_tokenize_pack" -> ((s, dir) =>
+      Bpe.packSequences(TsTables.documents(s, dir), Bpe.DemoMerges,
+        seqLen = 32, nBuckets = 8)
+        .orderBy(col("bucket"), col("seq_idx"))),
+
     // CCNet reference-LM scoring: src0 is the "trusted domain"; every doc
     // is scored under ITS unigram LM (OOV pays the max Laplace penalty)
     "q135_cross_logloss" -> ((s, dir) => {
@@ -967,6 +975,8 @@ object PipelineQueries {
 
     "q132_bm25_search" -> bm25OracleSql,
 
+    "q137_tokenize_pack" -> tokenizePackOracleSql,
+
     "q135_cross_logloss" ->
       """WITH ref AS (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
                       FROM documents WHERE source = 'src0'),
@@ -1011,6 +1021,37 @@ object PipelineQueries {
                       + 0.5 * ln(2.0) * (1.0 - sum(q)), 6) AS jsd
          FROM terms GROUP BY source, n ORDER BY source"""
   )
+
+  /** The tokenize-and-pack mirror: per-word BPE via the q123 replace
+    * chain (greedy fold == left-to-right replace), md5 bucket via the
+    * hashPoint mirror, running offsets + fixed cuts as window math. The
+    * merge chain is generated from the SAME DemoMerges list Spark folds. */
+  private lazy val tokenizePackOracleSql: String = {
+    val init = "array_to_string(regexp_extract_all(w, '.'), chr(1)) || chr(1) || '</w>'"
+    val chain = graft.pipeline.Bpe.DemoMerges.foldLeft(init) { case (acc, (a, b)) =>
+      s"replace($acc, '$a' || chr(1) || '$b', '${a + b}')"
+    }
+    s"""WITH enc AS (
+          SELECT doc_id,
+                 CAST(floor(${hashPointSql("doc_id")} * 8) AS INT) AS bucket,
+                 flatten(list_transform(
+                   list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                               x -> len(x) > 0),
+                   w -> string_split($chain, chr(1)))) || ['</d>'] AS etoks
+          FROM documents),
+        offd AS (
+          SELECT doc_id, bucket, etoks,
+                 sum(len(etoks)) OVER (PARTITION BY bucket ORDER BY doc_id
+                                       ROWS UNBOUNDED PRECEDING) - len(etoks) AS off
+          FROM enc),
+        pos AS (
+          SELECT bucket, off + i - 1 AS gpos, etoks[i] AS tok
+          FROM offd, UNNEST(generate_series(1, len(etoks))) AS g(i))
+       SELECT bucket, gpos // 32 AS seq_idx, count(*) AS n_tokens,
+              string_agg(tok, ' ' ORDER BY gpos % 32) AS seq_text
+       FROM pos GROUP BY bucket, gpos // 32
+       ORDER BY bucket, seq_idx"""
+  }
 
   /** The BM25 mirror, generated from the SAME Scala constants the Spark
     * side runs with (terms, k1, b) — Double.toString literals round-trip

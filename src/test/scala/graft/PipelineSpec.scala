@@ -577,6 +577,30 @@ class PipelineSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("packSequences: exact seqLen cuts across doc boundaries, nothing lost, repartition-stable") {
+    import graft.pipeline.Bpe
+    val pages = Seq((1L, "aa bb cc dd"), (2L, "ee ff"), (3L, "gg hh ii"),
+      (4L, "jj kk ll mm nn")).toDF("doc_id", "text")
+    val out = Bpe.packSequences(pages, Bpe.DemoMerges, seqLen = 5, nBuckets = 2).collect()
+    // every non-final sequence in a bucket is exactly seqLen tokens
+    out.groupBy(_.getAs[Int]("bucket")).values.foreach { rows =>
+      rows.sortBy(_.getAs[Long]("seq_idx")).dropRight(1)
+        .foreach(_.getAs[Long]("n_tokens") shouldEqual 5L)
+    }
+    // no token lost or invented: totals match the per-doc encodings
+    val total = out.map(_.getAs[Long]("n_tokens")).sum
+    val encLens = pages.select(
+        org.apache.spark.sql.functions.size(Bpe.encodeDoc(col("text"), Bpe.DemoMerges)))
+      .collect().map(_.getInt(0)).sum
+    total shouldEqual (encLens.toLong: java.lang.Long)
+    // full-length sequences always contain word boundaries (a short tail
+    // can legitimately be a lone </d> sentinel)
+    out.filter(_.getAs[Long]("n_tokens") == 5L)
+      .map(_.getAs[String]("seq_text")).foreach(_ should include(Bpe.EndOfWord))
+    Bpe.packSequences(pages.repartition(3), Bpe.DemoMerges, 5, 2)
+      .collect().toSet shouldEqual out.toSet
+  }
+
   test("cross log loss: hand-computed Laplace NLL; OOV pays the max penalty") {
     val ref = Seq((100L, "apple banana apple cherry")).toDF("doc_id", "text")
     val scored = Seq((1L, "apple apple"), (2L, "zebra quokka")).toDF("doc_id", "text")
