@@ -102,7 +102,18 @@ class PromApi(spark: SparkSession, samples: DataFrame, port: Int = 0,
   private def lookback(p: Map[String, String]): Long =
     p.get("lookback_delta").map(stepMs).getOrElse(PromPlanner.DefaultLookbackMs)
 
+  /** Prometheus `stats` parameter: any non-empty value adds a
+    * data.stats.timings/samples block (evaluation wall time + result
+    * cardinality — the two members a dashboard actually reads). */
+  private def statsJson(p: Map[String, String], t0: Long, nSeries: Int, nSamples: Long): String =
+    if (p.get("stats").forall(_.isEmpty)) ""
+    else {
+      val sec = (System.nanoTime() - t0) / 1e9
+      f""","stats":{"timings":{"evalTotalTime":$sec%.6f},"samples":{"resultSeries":$nSeries,"resultSamples":$nSamples}}"""
+    }
+
   private def queryRange(p: Map[String, String]): String = {
+    val t0 = System.nanoTime()
     val ctx = PromPlanner.Ctx(spark, samples, ms(p("start")), ms(p("end")), stepMs(p("step")),
       lookbackMs = lookback(p))
     val df = PromPlanner.queryRange(ctx, p("query"))
@@ -115,7 +126,8 @@ class PromApi(spark: SparkSession, samples: DataFrame, port: Int = 0,
       }.mkString(",")
       s"""{"metric":$metric,"values":[$values]}"""
     }.mkString(",")
-    s"""{"status":"success","data":{"resultType":"matrix","result":[$result]}}"""
+    val stats = statsJson(p, t0, rows.size, rows.iterator.map(_._2.size.toLong).sum)
+    s"""{"status":"success","data":{"resultType":"matrix","result":[$result]$stats}}"""
   }
 
   /** Instant query: evaluate at one timestamp. Scalar-typed expressions
@@ -123,6 +135,7 @@ class PromApi(spark: SparkSession, samples: DataFrame, port: Int = 0,
     * Prometheus' resultType "scalar" — a bare [ts, value] pair — instead
     * of a vector envelope (a Grafana-style consumer dispatches on this). */
   private def instantQuery(p: Map[String, String]): String = {
+    val t0 = System.nanoTime()
     val t = ms(p.getOrElse("time", (System.currentTimeMillis() / 1000).toString))
     val ctx = PromPlanner.Ctx(spark, samples, t, t, 1000L, lookbackMs = lookback(p))
     val ast = graft.promql.Parser.parse(p("query"))
@@ -132,12 +145,14 @@ class PromApi(spark: SparkSession, samples: DataFrame, port: Int = 0,
     if (PromPlanner.isScalarTyped(ast)) {
       // exactly one grid step (start == end): one value, NaN when empty
       val v = rows.headOption.map(_.getDouble(2)).getOrElse(Double.NaN)
-      s"""{"status":"success","data":{"resultType":"scalar","result":[${fmtTs(t)},${js(fmt(v))}]}}"""
+      val stats = statsJson(p, t0, 1, 1L)
+      s"""{"status":"success","data":{"resultType":"scalar","result":[${fmtTs(t)},${js(fmt(v))}]$stats}}"""
     } else {
       val result = rows.sortBy(_.getString(0)).map { r =>
         s"""{"metric":${keyToJsonObject(r.getString(0))},"value":[${fmtTs(r.getLong(1))},${js(fmt(r.getDouble(2)))}]}"""
       }.mkString(",")
-      s"""{"status":"success","data":{"resultType":"vector","result":[$result]}}"""
+      val stats = statsJson(p, t0, rows.size, rows.size.toLong)
+      s"""{"status":"success","data":{"resultType":"vector","result":[$result]$stats}}"""
     }
   }
 

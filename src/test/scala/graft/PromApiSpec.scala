@@ -245,6 +245,23 @@ class PromApiSpec extends AnyFunSuite with Matchers {
     } finally api.stop()
   }
 
+  test("stats parameter adds timings + result cardinality; absent by default") {
+    val samples = TsTables.eventsAsSamples(spark, "/root/testdata/sf0.001")
+    val api = new PromApi(spark, samples).start()
+    try {
+      val port = api.boundPort
+      val q = java.net.URLEncoder.encode("sum(sum_over_time(purchase[1d]))", "UTF-8")
+      val base = s"/api/v1/query_range?query=$q&start=${TsTables.EventsStartMs / 1000}" +
+        s"&end=${TsTables.EventsEndMs / 1000}&step=86400"
+      (get(port, base) should not).include(""""stats"""")
+      val withStats = get(port, base + "&stats=all")
+      withStats should include(""""evalTotalTime":""")
+      withStats should include(""""resultSeries":1""")
+      get(port, s"/api/v1/query?query=$q&time=${TsTables.EventsEndMs / 1000}&stats=all") should
+        include(""""stats":{"timings"""")
+    } finally api.stop()
+  }
+
   test("lookback_delta narrows instant-selector staleness per query") {
     val samples = TsTables.eventsAsSamples(spark, "/root/testdata/sf0.001")
     val api = new PromApi(spark, samples).start()
