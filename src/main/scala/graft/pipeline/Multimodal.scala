@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -106,6 +106,48 @@ object Multimodal {
   def dropExactDuplicates(media: DataFrame): DataFrame =
     media.join(exactDupGroups(media).select(col("keep_id").as("doc_id")),
       Seq("doc_id"), "leftsemi")
+
+  /** Perceptual hash (dHash: 8×8 horizontal gradients over a 9×8
+    * nearest-neighbor downsample of the image — Krawetz's difference
+    * hash). STUB pixel source: the payload BYTES stand in for decoded
+    * luminance (a real decoder swaps in the pixel plane; the resampling,
+    * gradient and 64-bit packing below are the published algorithm,
+    * unchanged). Pure codegen'd expressions; byte k of the 72-cell grid
+    * samples position floor(k·len/72) so the WHOLE payload contributes. */
+  def dHash(bytes: Column): Column = {
+    val len = octet_length(bytes)
+    def px(k: Int): Column =
+      when(len === 0, lit(0L)).otherwise(
+        conv(hex(substring(bytes, ((lit(k) * len).cast("double") / 72).cast("int") + 1, lit(1))),
+          16, 10).cast("long"))
+    val cells = Array.tabulate(8, 9)((r, c) => px(r * 9 + c))
+    (0 until 8).flatMap { r =>
+      (0 until 8).map { c =>
+        when(cells(r)(c) > cells(r)(c + 1), lit(1L << (r * 8 + c))).otherwise(lit(0L))
+      }
+    }.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Perceptual near-duplicate pairs per modality: small Hamming distance
+    * between dHashes among same-prefix-bucket candidates (the SimHash
+    * banding pattern — linear shuffles of (doc_id, kind, 64-bit hash)
+    * only, the BINARY never moves; capBuckets bounds degenerate buckets).
+    * Same recall caveat as SimHash: a flip inside the prefix bits hides a
+    * pair — lower prefixBits for recall, raise for pruning. */
+  def perceptualDuplicates(media: DataFrame, maxDist: Int = 6, prefixBits: Int = 12,
+                           maxBucketSize: Int = 4096): DataFrame = {
+    val mask = (1L << prefixBits) - 1
+    val h = media.select(col("doc_id"), col("kind"), dHash(col("bytes")).as("ph"))
+      .withColumn("__bucket", shiftright(col("ph"), 64 - prefixBits).bitwiseAND(lit(mask)))
+    val b = graft.pipeline.Dedup.capBuckets(h, Seq("kind", "__bucket"), maxBucketSize)
+    val a = b.as("a"); val bb = b.as("b")
+    a.join(bb, col("a.kind") === col("b.kind") && col("a.__bucket") === col("b.__bucket") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .withColumn("dist", bit_count(col("a.ph").bitwiseXOR(col("b.ph"))))
+      .filter(col("dist") <= maxDist)
+      .select(col("a.kind").as("kind"), col("a.doc_id").as("id1"),
+        col("b.doc_id").as("id2"), col("dist"))
+  }
 
   /** Frame sampling for video rows: every nth frame index becomes a row
     * (frame bytes stubbed as slices of the payload). */

@@ -139,6 +139,25 @@ object PipelineFixtures {
     lineRows.map { case (id, t) => s"($id, ${textLiteralSql(t)})" }
       .mkString("(VALUES ", ", ", ") lv(doc_id, text)")
 
+  /** Planted perceptual near-duplicates for media dHash (q138): ASCII,
+    * EQUAL length, ids ≡ 2 mod 3 (all land in the `video` modality), with
+    * single-character / single-word edits early in the payload so the
+    * trailing-bytes prefix bucket stays shared. */
+  val phashRows: Seq[(Long, String)] = Seq(
+    (1300002L, "the solar observatory logged a quiet morning with calm winds today"),
+    (1300005L, "the solar observatory logged a quiet evening with calm winds today"),
+    (1300008L, "the solar observatory jogged a quiet morning with calm winds today"),
+    (1300011L, "completely different payload about glacier carving and moraine lakes"))
+
+  def phashDocs(s: SparkSession): DataFrame = {
+    import s.implicits._
+    phashRows.toDF("doc_id", "text")
+  }
+
+  def phashValuesSql: String =
+    phashRows.map { case (id, t) => s"($id, ${textLiteralSql(t)})" }
+      .mkString("(VALUES ", ", ", ") phv(doc_id, text)")
+
   /** A text value as a single-line DuckDB expression (newlines → chr(10)). */
   private def textLiteralSql(t: String): String =
     t.split("\n", -1).map(p => "'" + p.replace("'", "''") + "'")

@@ -324,6 +324,17 @@ object PipelineQueries {
     "q133_source_divergence" -> ((s, dir) =>
       Quality.sourceDivergence(TsTables.documents(s, dir)).orderBy(col("source"))),
 
+    // media perceptual near-dup: dHash over the stubbed pixel source,
+    // banded Hamming join per modality — FULL cross-engine mirror (the
+    // hash is pure arithmetic over payload bytes in both engines)
+    "q138_perceptual_dups" -> ((s, dir) => {
+      val docs = TsTables.documents(s, dir).select(col("doc_id"), col("text"))
+        .unionByName(PipelineFixtures.phashDocs(s))
+      Multimodal.perceptualDuplicates(Multimodal.synthesizeMedia(docs),
+        maxDist = 16, prefixBits = 8)
+        .orderBy(col("kind"), col("id1"), col("id2"))
+    }),
+
     // the pretraining data-prep step end to end: BPE-encode every doc,
     // concatenate subword streams per md5 bucket, cut 32-token sequences
     // crossing doc boundaries (GPT packing)
@@ -977,6 +988,8 @@ object PipelineQueries {
 
     "q137_tokenize_pack" -> tokenizePackOracleSql,
 
+    "q138_perceptual_dups" -> perceptualOracleSql,
+
     "q135_cross_logloss" ->
       """WITH ref AS (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
                       FROM documents WHERE source = 'src0'),
@@ -1051,6 +1064,42 @@ object PipelineQueries {
               string_agg(tok, ' ' ORDER BY gpos % 32) AS seq_text
        FROM pos GROUP BY bucket, gpos // 32
        ORDER BY bucket, seq_idx"""
+  }
+
+  /** The dHash mirror: 72 sampled "pixels" as one computed-column CTE,
+    * 64 gradient bits OR-ed into a BIGINT, trailing-8-bit bucket, capped
+    * Hamming self-join — generated so the bit layout cannot drift from
+    * Multimodal.dHash. Payloads are ASCII here, so char ops mirror the
+    * byte ops exactly. */
+  private lazy val perceptualOracleSql: String = {
+    def px(k: Int) =
+      s"(CASE WHEN len = 0 THEN 0 ELSE ord(substring(text, (($k * len) // 72) + 1, 1)) END)"
+    val pxCols = (0 until 72).map(k => s"${px(k)} AS p$k").mkString(", ")
+    val phExpr = (0 until 8).flatMap(r => (0 until 8).map { c =>
+      val bit = 1L << (r * 8 + c)
+      s"(CASE WHEN p${r * 9 + c} > p${r * 9 + c + 1} THEN CAST($bit AS BIGINT) ELSE 0 END)"
+    }).mkString(" | ")
+    s"""WITH all_docs AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT * FROM ${PipelineFixtures.phashValuesSql}),
+        base AS (SELECT doc_id,
+                        CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                             ELSE 'video' END AS kind,
+                        length(text) AS len, text
+                 FROM all_docs),
+        pxs AS (SELECT doc_id, kind, $pxCols FROM base),
+        phs AS (SELECT doc_id, kind, $phExpr AS ph FROM pxs),
+        bkt AS (SELECT doc_id, kind, ph, (ph >> 56) & 255 AS bucket FROM phs),
+        capped AS (SELECT * FROM
+                     (SELECT *, count(*) OVER (PARTITION BY kind, bucket) AS bs FROM bkt)
+                   WHERE bs <= 4096)
+       SELECT a.kind, a.doc_id AS id1, b.doc_id AS id2,
+              CAST(bit_count(xor(a.ph, b.ph)) AS INT) AS dist
+       FROM capped a JOIN capped b
+         ON a.kind = b.kind AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+       WHERE bit_count(xor(a.ph, b.ph)) <= 16
+       ORDER BY a.kind, id1, id2"""
   }
 
   /** The BM25 mirror, generated from the SAME Scala constants the Spark

@@ -601,6 +601,22 @@ class PipelineSpec extends AnyFunSuite with Matchers {
       .collect().toSet shouldEqual out.toSet
   }
 
+  test("dHash: identical payloads at distance 0, one-char edits nearby") {
+    import graft.pipeline.Multimodal
+    val pages = Seq( // ids ≡ 0 mod 3 → all 'image'
+      (3L, "aaaa bbbb cccc dddd eeee ffff gggg hhhh iiii jjjj"),
+      (6L, "aaaa bbbb cccc dddd eeee ffff gggg hhhh iiii jjjj"),
+      (9L, "aaaa bbbb cccc dxdd eeee ffff gggg hhhh iiii jjjj")
+    ).toDF("doc_id", "text")
+    val pairs = Multimodal.perceptualDuplicates(
+      Multimodal.synthesizeMedia(pages), maxDist = 64, prefixBits = 4)
+      .collect().map(r => (r.getLong(1), r.getLong(2)) -> r.getInt(3)).toMap
+    pairs((3L, 6L)) shouldEqual 0
+    pairs((3L, 9L)) should be > 0
+    pairs((3L, 9L)) should be <= 8 // one byte touches at most a few gradient cells
+    pairs((6L, 9L)) shouldEqual pairs((3L, 9L))
+  }
+
   test("cross log loss: hand-computed Laplace NLL; OOV pays the max penalty") {
     val ref = Seq((100L, "apple banana apple cherry")).toDF("doc_id", "text")
     val scored = Seq((1L, "apple apple"), (2L, "zebra quokka")).toDF("doc_id", "text")
