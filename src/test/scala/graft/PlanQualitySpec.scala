@@ -300,6 +300,27 @@ class PlanQualitySpec extends AnyFunSuite with Matchers {
     (p should not).include("SortMergeJoin")
   }
 
+  test("tokenize-and-pack: ONE bucket exchange; reassembly rides the window partitioning") {
+    val df = graft.pipeline.Bpe.packSequences(TsTables.documents(spark, dir),
+      graft.pipeline.Bpe.DemoMerges, seqLen = 32, nBuckets = 4)
+    df.count()
+    val p = plan(df)
+    "Exchange hashpartitioning".r.findAllIn(p).size shouldEqual 1
+    (p should not).include("Exchange rangepartitioning")
+  }
+
+  test("perceptual dedup: banded hash join, no cartesian, payload bytes stay out of shuffles") {
+    val media = graft.pipeline.Multimodal.synthesizeMedia(TsTables.documents(spark, dir))
+    val df = graft.pipeline.Multimodal.perceptualDuplicates(media, maxDist = 16, prefixBits = 8)
+    df.count()
+    val p = plan(df)
+    (p should not).include("CartesianProduct")
+    (p should not).include("BroadcastNestedLoopJoin")
+    // every exchange input is the projected (doc_id, kind, ph/bucket) shape
+    (p.linesIterator.filter(_.contains("Exchange hashpartitioning")).mkString should not)
+      .include("bytes")
+  }
+
   test("source divergence: one corpus-sized shuffle, hashed tokens, small sides broadcast") {
     val df = graft.pipeline.Quality.sourceDivergence(TsTables.documents(spark, dir))
     df.count()
