@@ -51,10 +51,12 @@ object Bench {
     "q107_decontam_ngrams", "q108_dup_span_removal", "q112_pq_knn",
     "q115_unigram_logloss", "q117_corpus_report", "q118_curation_pipeline",
     "q124_bigram_logloss", "q125_session_stats",
+    "q131_line_dedup", "q132_bm25_search", "q133_source_divergence",
+    "q135_cross_logloss", "q137_tokenize_pack", "q138_perceptual_dups",
     "corpus_minhash_dups", "corpus_simhash", "corpus_knn_lsh",
     "corpus_cosine_dups", "corpus_ivf_knn", "corpus_winnowing",
     "corpus_dedup_pipeline", "corpus_span_dedup", "corpus_pq_knn",
-    "corpus_decontam", "corpus_bpe_train")
+    "corpus_decontam", "corpus_bpe_train", "corpus_ivfpq_knn")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

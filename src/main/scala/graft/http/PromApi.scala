@@ -38,6 +38,7 @@ class PromApi(spark: SparkSession, samples: DataFrame, port: Int = 0,
     server.createContext("/api/v1/label_cardinality", handler(labelCardinality))
     server.createContext("/api/v1/format_query", handler(formatQuery))
     server.createContext("/api/v1/status/buildinfo", handler(buildInfo))
+    server.createContext("/__health", handler(health))
     server.setExecutor(null)
     server.start()
     this
@@ -184,6 +185,15 @@ class PromApi(spark: SparkSession, samples: DataFrame, port: Int = 0,
     * setup; shape per the Prometheus API (our engine name/version). */
   private def buildInfo(p: Map[String, String]): String =
     s"""{"status":"success","data":{"application":"graft","version":"${graft.GraftSession.Version}","features":{}}}"""
+
+  /** `/__health` (reference HealthRoute: 200 + per-shard statuses when
+    * every shard is healthy). Our "shards" are the Spark runtime: healthy
+    * = the session is live and the samples table resolves; partitions
+    * stand in for shard count. */
+  private def health(p: Map[String, String]): String = {
+    val nParts = samples.rdd.getNumPartitions
+    s"""{"status":"healthy","spark":"${spark.version}","partitions":$nParts}"""
+  }
 
   /** The reference enforces PerQueryLimits on result cardinality
     * (QueryContext) DURING execution. Same here: count distinct series —

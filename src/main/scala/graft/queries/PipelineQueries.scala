@@ -324,6 +324,23 @@ object PipelineQueries {
     "q133_source_divergence" -> ((s, dir) =>
       Quality.sourceDivergence(TsTables.documents(s, dir)).orderBy(col("source"))),
 
+    // curation v2: Gopher gate + language filter + reference-LM
+    // perplexity threshold (on the ROUNDED oracle-checked nll, so the
+    // cut is engine-stable), then tokenize-and-pack — raw corpus to
+    // training sequences in one job
+    "q139_curation_v2" -> ((s, dir) => {
+      val docs = TsTables.documents(s, dir)
+      val gate = Quality.gopherSignals(docs).select(col("doc_id"), col("gopher_pass"))
+      val nll = Quality.crossLogLoss(docs, docs.where(col("source") === "src0"))
+        .select(col("doc_id"), col("mean_nll"))
+      val kept = docs.join(gate, "doc_id").join(nll, "doc_id")
+        .where(col("gopher_pass") && TextAnalysis.langId(col("text")) === "en" &&
+               col("mean_nll") < 3.43)
+        .select(col("doc_id"), col("text"))
+      Bpe.packSequences(kept, Bpe.DemoMerges, seqLen = 32, nBuckets = 4)
+        .orderBy(col("bucket"), col("seq_idx"))
+    }),
+
     // media perceptual near-dup: dHash over the stubbed pixel source,
     // banded Hamming join per modality — FULL cross-engine mirror (the
     // hash is pure arithmetic over payload bytes in both engines)
@@ -990,17 +1007,17 @@ object PipelineQueries {
 
     "q138_perceptual_dups" -> perceptualOracleSql,
 
-    "q135_cross_logloss" ->
-      """WITH ref AS (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
-                      FROM documents WHERE source = 'src0'),
-              tf AS (SELECT t, count(*) AS c FROM ref GROUP BY t),
-              nv AS (SELECT sum(c) + count(*) + 1 AS nv FROM tf),
-              toks AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
-                       FROM documents)
-         SELECT doc_id, count(*) AS n_tokens,
-                round(ln((SELECT nv FROM nv)) - avg(ln(coalesce(f.c, 0) + 1)), 6) AS mean_nll
-         FROM toks k LEFT JOIN tf f USING (t)
-         GROUP BY doc_id ORDER BY doc_id""",
+    "q135_cross_logloss" -> (crossLmSql + " ORDER BY doc_id"),
+
+    "q139_curation_v2" ->
+      s"""WITH gopher AS ($GopherSql),
+              xl AS ($crossLmSql),
+              kept AS (SELECT d.doc_id, d.text
+                       FROM documents d JOIN gopher g USING (doc_id)
+                            JOIN xl USING (doc_id)
+                       WHERE g.gopher_pass AND ${langIdSql("d.text")} = 'en'
+                         AND xl.mean_nll < 3.43)
+         ${packSelectSql("kept", 4)} ORDER BY bucket, seq_idx""",
 
     // planted-fixture golden (seeded coarse + sub-space KMeans fits,
     // single-partition fixture = bit-stable, same contract as q112);
@@ -1038,20 +1055,23 @@ object PipelineQueries {
   /** The tokenize-and-pack mirror: per-word BPE via the q123 replace
     * chain (greedy fold == left-to-right replace), md5 bucket via the
     * hashPoint mirror, running offsets + fixed cuts as window math. The
-    * merge chain is generated from the SAME DemoMerges list Spark folds. */
-  private lazy val tokenizePackOracleSql: String = {
+    * merge chain is generated from the SAME DemoMerges list Spark folds.
+    * Parameterized over the (doc_id, text) source relation so pipeline
+    * compositions (q139) reuse the exact same construction. */
+  private def packSelectSql(src: String, nBuckets: Int): String = {
     val init = "array_to_string(regexp_extract_all(w, '.'), chr(1)) || chr(1) || '</w>'"
     val chain = graft.pipeline.Bpe.DemoMerges.foldLeft(init) { case (acc, (a, b)) =>
       s"replace($acc, '$a' || chr(1) || '$b', '${a + b}')"
     }
-    s"""WITH enc AS (
+    s"""SELECT bucket, seq_idx, n_tokens, seq_text FROM (
+        WITH enc AS (
           SELECT doc_id,
-                 CAST(floor(${hashPointSql("doc_id")} * 8) AS INT) AS bucket,
+                 CAST(floor(${hashPointSql("doc_id")} * $nBuckets) AS INT) AS bucket,
                  flatten(list_transform(
                    list_filter(string_split_regex(trim(lower(text)), '\\s+'),
                                x -> len(x) > 0),
                    w -> string_split($chain, chr(1)))) || ['</d>'] AS etoks
-          FROM documents),
+          FROM $src),
         offd AS (
           SELECT doc_id, bucket, etoks,
                  sum(len(etoks)) OVER (PARTITION BY bucket ORDER BY doc_id
@@ -1062,9 +1082,25 @@ object PipelineQueries {
           FROM offd, UNNEST(generate_series(1, len(etoks))) AS g(i))
        SELECT bucket, gpos // 32 AS seq_idx, count(*) AS n_tokens,
               string_agg(tok, ' ' ORDER BY gpos % 32) AS seq_text
-       FROM pos GROUP BY bucket, gpos // 32
-       ORDER BY bucket, seq_idx"""
+       FROM pos GROUP BY bucket, gpos // 32)"""
   }
+
+  private lazy val tokenizePackOracleSql: String =
+    packSelectSql("documents", 8) + " ORDER BY bucket, seq_idx"
+
+  /** The q135 reference-LM NLL as a reusable SELECT (src0 = trusted
+    * domain), shared by q135 and the q139 composition. */
+  private lazy val crossLmSql: String =
+    """WITH ref AS (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+                    FROM documents WHERE source = 'src0'),
+            tf AS (SELECT t, count(*) AS c FROM ref GROUP BY t),
+            nv AS (SELECT sum(c) + count(*) + 1 AS nv FROM tf),
+            toks AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+                     FROM documents)
+       SELECT doc_id, count(*) AS n_tokens,
+              round(ln((SELECT nv FROM nv)) - avg(ln(coalesce(f.c, 0) + 1)), 6) AS mean_nll
+       FROM toks k LEFT JOIN tf f USING (t)
+       GROUP BY doc_id"""
 
   /** The dHash mirror: 72 sampled "pixels" as one computed-column CTE,
     * 64 gradient bits OR-ed into a BIGINT, trailing-8-bit bucket, capped

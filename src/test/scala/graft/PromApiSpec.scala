@@ -168,6 +168,9 @@ class PromApiSpec extends AnyFunSuite with Matchers {
       fq("sum(") should include(""""status":"error"""")
       get(port, "/api/v1/status/buildinfo") should
         include(""""application":"graft"""")
+      val h = get(port, "/__health")
+      h should include(""""status":"healthy"""")
+      h should include(""""partitions":""")
     } finally api.stop()
   }
 
