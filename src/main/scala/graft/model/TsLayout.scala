@@ -68,4 +68,15 @@ object TsLayout {
       .mode(mode)
       .format("parquet")
       .saveAsTable(table)
+
+  /** Persist the part-key index (MetadataOps.buildSeriesIndex) partitioned
+    * by metric: every metadata probe that names a metric — match[]
+    * selectors, label_values under a selector — prunes to that metric's
+    * directory; the table is series-cardinality-sized, so even the
+    * unpruned scan is tiny next to the samples. Refresh per ingest window
+    * (the reference rebuilds its Lucene index on the same cadence). */
+  def writeSeriesIndex(samples: DataFrame, path: String,
+                       mode: SaveMode = SaveMode.Overwrite): Unit =
+    graft.operators.MetadataOps.buildSeriesIndex(withSeriesId(samples))
+      .write.partitionBy("metric").mode(mode).parquet(path)
 }

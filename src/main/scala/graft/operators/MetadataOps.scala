@@ -70,6 +70,35 @@ object MetadataOps {
     "__name__" +: labelNames(samples, matchExprs)
       .collect().map(_.getString(0)).sorted.toSeq
 
+  /** Part-key index (the Spark answer to the reference's Lucene/Tantivy
+    * part-key index, core/.../memstore/PartKeyLuceneIndex.scala): ONE row
+    * per series — (series_id, metric, tags, start_ts, end_ts) — built by
+    * a single aggregation over the samples. Metadata queries answered
+    * from this index touch series-cardinality-sized data (millions of
+    * rows at 100 TB) instead of sample-scale scans; persist it with
+    * [[graft.model.TsLayout.writeSeriesIndex]] and refresh per ingest
+    * window. The tag map round-trips through its sorted-entries JSON so
+    * the groupBy key is well-defined (MapType can't feed one). */
+  def buildSeriesIndex(samples: DataFrame): DataFrame =
+    samples
+      .withColumn("__k", to_json(array_sort(map_entries(col("tags")))))
+      .groupBy(col("series_id"), col("metric"), col("__k"))
+      .agg(min(col("ts")).as("start_ts"), max(col("ts")).as("end_ts"))
+      .withColumn("tags", map_from_entries(from_json(col("__k"),
+        org.apache.spark.sql.types.DataType.fromDDL("array<struct<key:string,value:string>>"))))
+      .select(col("series_id"), col("metric"), col("tags"),
+        col("start_ts"), col("end_ts"))
+
+  /** `series` answered from the index: the range predicate becomes an
+    * interval overlap on the per-series time bounds. labelNames /
+    * labelValues / cardinality need no variant — they only read
+    * (metric, tags) and accept the index frame as-is. */
+  def seriesFromIndex(index: DataFrame, fromMs: Long, toMs: Long,
+                      matchExprs: Seq[String] = Nil): DataFrame =
+    index.filter(col("start_ts") <= toMs && col("end_ts") >= fromMs)
+      .filter(matchPred(matchExprs))
+      .select(col("metric"), col("tags"))
+
   /** Chunk-level metadata introspection (reference RawChunkMeta): our
     * "chunks" are the parquet files of the TsLayout partitioning, so this
     * reports one row per (metric, file) with sample count and time bounds

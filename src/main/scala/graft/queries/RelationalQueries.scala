@@ -175,6 +175,18 @@ object RelationalQueries {
         Seq("view", "click", "purchase"))
         .orderBy(col("stage"))),
 
+    // series metadata answered from the PART-KEY INDEX (one row per
+    // series) instead of a sample-scale scan — with a match[] selector
+    // pushed against the index
+    "q140_series_indexed" -> ((s, dir) => {
+      val idx = graft.operators.MetadataOps.buildSeriesIndex(
+        TsTables.eventsAsSamples(s, dir))
+      graft.operators.MetadataOps.seriesFromIndex(
+          idx, Long.MinValue / 2, Long.MaxValue / 2, Seq("""purchase{user=~"1.*"}"""))
+        .select(col("metric").as("event_type"), col("tags")("user").as("user_id"))
+        .orderBy(col("event_type"), col("user_id"))
+    }),
+
     // path discovery: most common 3-step event-type sequences inside
     // 6 h sessions (the operator funnels are designed FROM)
     "q136_top_paths" -> ((s, dir) =>
@@ -336,6 +348,13 @@ object RelationalQueries {
          UNION ALL
          SELECT 3, 'purchase', n3, round(n3 / CAST(greatest(n2, 1) AS DOUBLE), 6) FROM c
          ORDER BY stage""",
+
+    "q140_series_indexed" ->
+      """SELECT DISTINCT event_type, CAST(user_id AS VARCHAR) AS user_id
+         FROM events
+         WHERE event_type = 'purchase'
+           AND regexp_full_match(CAST(user_id AS VARCHAR), '1.*')
+         ORDER BY 1, 2""",
 
     "q136_top_paths" ->
       """WITH e AS (SELECT user_id, event_id, event_type, epoch_ns(ts)//1000000 AS ts_ms

@@ -83,6 +83,36 @@ class TsLayoutSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("series index: one row per series, equals the scan path, prunes by metric") {
+    import graft.operators.MetadataOps
+    val samples = TsTables.eventsAsSamples(spark, "/root/testdata/sf0.001")
+    val idx = MetadataOps.buildSeriesIndex(samples)
+    idx.count() shouldEqual samples.select("series_id").distinct().count()
+    // identical answers to the sample-scan metadata path
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("metric"), col("tags")("user")).collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+    key(MetadataOps.seriesFromIndex(idx, Long.MinValue / 2, Long.MaxValue / 2)) shouldEqual
+      key(MetadataOps.series(samples, Long.MinValue / 2, Long.MaxValue / 2))
+    // labelValues/labelNames accept the index frame unchanged
+    MetadataOps.labelValues(idx, "user").collect().map(_.getString(0)).toSet shouldEqual
+      MetadataOps.labelValues(samples, "user").collect().map(_.getString(0)).toSet
+    // interval-overlap range semantics: bounds come from the samples
+    val b = idx.orderBy("series_id").select("start_ts", "end_ts").head
+    b.getLong(0) should be <= b.getLong(1)
+    // persisted layout: metric partition dirs prune match[] probes
+    val tmp = Files.createTempDirectory("graft_sidx").toFile.getAbsolutePath
+    TsLayout.writeSeriesIndex(samples, tmp)
+    val back = spark.read.parquet(tmp)
+    back.count() shouldEqual idx.count()
+    val probe = MetadataOps.seriesFromIndex(back, Long.MinValue / 2, Long.MaxValue / 2,
+      Seq("""purchase{user="1"}"""))
+    probe.count() shouldEqual 1L
+    val p = probe.queryExecution.executedPlan.toString
+    p should include("PartitionFilters")
+    p should include("purchase")
+  }
+
   test("corpus fingerprint index: anti-join reads the index pre-shuffled; append closes the loop") {
     import spark.implicits._
     import graft.pipeline.{CorpusLayout, Dedup}
