@@ -69,6 +69,33 @@ object TsLayout {
       .format("parquet")
       .saveAsTable(table)
 
+  /** Retention enforcement (the reference's time-bucket TTL, applied as
+    * partition-level file operations): drop every `date=` partition
+    * strictly older than `cutoff` across all metrics. Driver work is
+    * O(#partition dirs) listings + deletes — no data is scanned or
+    * rewritten, which is what makes retention viable at 100 TB (dropping
+    * a day is a directory unlink, not a compaction). Returns the dropped
+    * partition paths. */
+  def dropOlderThan(spark: SparkSession, path: String,
+                    cutoff: java.time.LocalDate): Seq[String] = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Nil
+    val dropped = for {
+      metricDir <- fs.listStatus(root).toSeq if metricDir.isDirectory &&
+        metricDir.getPath.getName.startsWith("metric=")
+      dateDir <- fs.listStatus(metricDir.getPath).toSeq if dateDir.isDirectory &&
+        dateDir.getPath.getName.startsWith("date=")
+      d = java.time.LocalDate.parse(dateDir.getPath.getName.stripPrefix("date="))
+      if d.isBefore(cutoff)
+    } yield {
+      fs.delete(dateDir.getPath, true)
+      dateDir.getPath.toString
+    }
+    dropped
+  }
+
   /** Persist the part-key index (MetadataOps.buildSeriesIndex) partitioned
     * by metric: every metadata probe that names a metric — match[]
     * selectors, label_values under a selector — prunes to that metric's

@@ -55,17 +55,24 @@ object Sessionize {
     require(n >= 2, s"a path needs at least 2 steps, got n=$n")
     val seqs = sessionize(events, gapMs)
       .groupBy(col("user_id"), col("session_idx"))
-      .agg(array_sort(
-        collect_list(struct(col("ts_ms"), col("event_id"), col("event_type")))).as("__evs"))
+      .agg(typeSeqAgg.as("__evs"))
       .select(transform(col("__evs"), e => e.getField("event_type")).as("__types"))
       .where(size(col("__types")) >= n)
     seqs
-      .select(explode(transform(sequence(lit(0), size(col("__types")) - n),
-        i => concat_ws(">", slice(col("__types"), i + 1, lit(n))))).as("path"))
+      .select(explode(pathGrams(col("__types"), n)).as("path"))
       .groupBy(col("path")).agg(count(lit(1)).as("n_occurrences"))
       .orderBy(col("n_occurrences").desc, col("path").asc)
       .limit(k)
   }
+
+  /** Order-independent per-session event collection and the n-gram
+    * expansion — ONE definition shared with the streaming twin
+    * (Ingest.sessionPathGrams) so the two surfaces cannot drift. */
+  private[graft] def typeSeqAgg: Column =
+    array_sort(collect_list(struct(col("ts_ms"), col("event_id"), col("event_type"))))
+  private[graft] def pathGrams(types: Column, n: Int): Column =
+    transform(sequence(lit(0), size(types) - n),
+      i => concat_ws(">", slice(types, i + 1, lit(n))))
 
   /** Per-session rollup: bounds, duration, event count, value sum. */
   def sessionStats(events: DataFrame, gapMs: Long): DataFrame = {

@@ -23,6 +23,9 @@ object Ingest {
 
   case class Sample(series_id: Long, metric: String, user: String, ts: Long, value: Double)
 
+  /** Event-stream row shape for sessionPathGrams. */
+  case class Ev(user_id: Long, event_id: Long, event_type: String, ts_ms: Long)
+
   /** Sample plus the event-time column the watermark is defined on. */
   case class TimedSample(series_id: Long, metric: String, user: String,
                          ts: Long, value: Double, et: java.sql.Timestamp)
@@ -123,6 +126,27 @@ object Ingest {
       .agg(aggs.head, aggs.tail: _*)
       .select(keyCols.map(col) ++ Seq(col("n_events"), col("start_ms"),
         col("end_ms"), col("duration_ms"), col("sum_value")): _*)
+  }
+
+  /** Streaming twin of Sessionize.topPaths' GRAM EMISSION: each session
+    * that the watermark closes appends its in-session event-type n-grams
+    * exactly once. The global top-k stays a batch rollup over the emitted
+    * gram stream — chained stateful aggregations are not append-legal,
+    * the same ingest/query split the engine draws everywhere else.
+    * Input shape: (user_id, event_id, event_type, ts_ms). */
+  def sessionPathGrams(events: DataFrame, gap: String, n: Int = 3,
+                       lateness: Option[String] = None): DataFrame = {
+    require(n >= 2, s"a path needs at least 2 steps, got n=$n")
+    val timed = events.withColumn("et", timestamp_millis(col("ts_ms")))
+    val src = lateness.map(timed.withWatermark("et", _)).getOrElse(timed)
+    src
+      .groupBy(col("user_id"), session_window(col("et"), gap).as("w"))
+      .agg(graft.operators.Sessionize.typeSeqAgg.as("__evs"))
+      .select(col("user_id"),
+        transform(col("__evs"), e => e.getField("event_type")).as("__types"))
+      .where(size(col("__types")) >= n)
+      .select(col("user_id"),
+        explode(graft.operators.Sessionize.pathGrams(col("__types"), n)).as("path"))
   }
 
   /** Histogram-typed downsample (the reference's max-min histogram ds

@@ -225,6 +225,36 @@ class StreamingSpec extends AnyFunSuite with Matchers {
     } finally q.stop()
   }
 
+  test("streaming path grams: closed sessions emit n-grams once, batch parity") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.streaming.Ingest.Ev
+    val ms = MemoryStream[Ev]
+    val q = Ingest.sessionPathGrams(ms.toDF(), gap = "1 minute", n = 3,
+      lateness = Some("1 second"))
+      .writeStream.format("memory").queryName("grams_out")
+      .outputMode("append").start()
+    try {
+      ms.addData(Ev(1, 1, "view", 0L), Ev(1, 2, "click", 10000L),
+        Ev(1, 3, "purchase", 20000L))
+      q.processAllAvailable()
+      spark.table("grams_out").count() shouldEqual 0L // session still open
+      ms.addData(Ev(1, 4, "view", 600000L)) // advances watermark, closes it
+      q.processAllAvailable()
+      val grams = spark.table("grams_out").collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      grams shouldEqual Array((1L, "view>click>purchase"))
+      // batch parity: the same rows through the batch operator yield the
+      // same single 3-gram
+      val batch = graft.operators.Sessionize.topPaths(
+        Seq((1L, 1L, 0L, "view", 0.0), (1L, 2L, 10000L, "click", 0.0),
+            (1L, 3L, 20000L, "purchase", 0.0), (1L, 4L, 600000L, "view", 0.0))
+          .toDF("user_id", "event_id", "ts_ms", "event_type", "value"),
+        gapMs = 60000L, n = 3, k = 10).collect()
+      batch.map(r => (r.getString(0), r.getLong(1))) shouldEqual
+        Array(("view>click>purchase", 1L))
+    } finally q.stop()
+  }
+
   test("streaming downsample: watermark finalizes windows in append mode") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val ms = MemoryStream[Sample]

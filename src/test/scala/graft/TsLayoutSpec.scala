@@ -83,6 +83,25 @@ class TsLayoutSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("retention: dropOlderThan unlinks old date partitions, newer data survives") {
+    val tmp = Files.createTempDirectory("graft_ttl").toFile.getAbsolutePath
+    val samples = TsTables.eventsAsSamples(spark, "/root/testdata/sf0.001")
+    TsLayout.write(samples, tmp)
+    val allDates = TsLayout.read(spark, tmp).select("date").distinct()
+      .collect().map(_.getDate(0).toLocalDate).sorted(Ordering.fromLessThan[java.time.LocalDate](_ isBefore _))
+    allDates.length should be > 2
+    val cutoff = allDates(allDates.length / 2)
+    val dropped = TsLayout.dropOlderThan(spark, tmp, cutoff)
+    dropped should not be empty
+    dropped.foreach(_ should include("date="))
+    val remaining = TsLayout.read(spark, tmp).select("date").distinct()
+      .collect().map(_.getDate(0).toLocalDate)
+    remaining.foreach(d => d.isBefore(cutoff) shouldBe false)
+    remaining.toSet shouldEqual allDates.filterNot(_.isBefore(cutoff)).toSet
+    // idempotent: a second pass drops nothing
+    TsLayout.dropOlderThan(spark, tmp, cutoff) shouldBe empty
+  }
+
   test("series index: one row per series, equals the scan path, prunes by metric") {
     import graft.operators.MetadataOps
     val samples = TsTables.eventsAsSamples(spark, "/root/testdata/sf0.001")
