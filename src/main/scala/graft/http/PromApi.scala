@@ -23,7 +23,8 @@ import graft.operators.MetadataOps
   * aggregated/stepped, never raw samples.
   */
 class PromApi(spark: SparkSession, samples: DataFrame, port: Int = 0,
-              maxResultSeries: Int = 100000) {
+              maxResultSeries: Int = 100000,
+              seriesIndex: Option[DataFrame] = None) {
 
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
 
@@ -225,14 +226,27 @@ class PromApi(spark: SparkSession, samples: DataFrame, port: Int = 0,
     else samples.filter(col("ts").between(from, to))
   }
 
+  /** Metadata source: the part-key index when the API was built with one
+    * (MetadataOps.buildSeriesIndex / TsLayout.writeSeriesIndex) — probes
+    * then touch series-cardinality data, the reference's Lucene-index
+    * read path — else the time-ranged samples scan. The range predicate
+    * becomes an interval overlap on the index's per-series bounds. */
+  private def metaFrame(p: Map[String, String]): DataFrame = seriesIndex match {
+    case Some(idx) =>
+      val from = p.get("start").map(ms).getOrElse(Long.MinValue)
+      val to = p.get("end").map(ms).getOrElse(Long.MaxValue)
+      idx.filter(col("start_ts") <= to && col("end_ts") >= from)
+    case None => ranged(p)
+  }
+
   private def labels(p: Map[String, String]): String = {
-    val names = MetadataOps.labelNamesList(ranged(p), matchExprs(p))
+    val names = MetadataOps.labelNamesList(metaFrame(p), matchExprs(p))
     s"""{"status":"success","data":[${names.map(js).mkString(",")}]}"""
   }
 
   private def labelValues(p: Map[String, String]): String = {
     val label = p("__path").stripPrefix("/api/v1/label/").stripSuffix("/values")
-    val vals = MetadataOps.labelValues(ranged(p), label, matchExprs(p))
+    val vals = MetadataOps.labelValues(metaFrame(p), label, matchExprs(p))
       .collect().map(_.getString(0)).sorted.toSeq
     s"""{"status":"success","data":[${vals.map(js).mkString(",")}]}"""
   }
@@ -249,7 +263,11 @@ class PromApi(spark: SparkSession, samples: DataFrame, port: Int = 0,
   private def series(p: Map[String, String]): String = {
     val from = p.get("start").map(ms).getOrElse(Long.MinValue)
     val to = p.get("end").map(ms).getOrElse(Long.MaxValue)
-    val rows = MetadataOps.series(samples, from, to, matchExprs(p)).collect().map { r =>
+    val found = seriesIndex match {
+      case Some(idx) => MetadataOps.seriesFromIndex(idx, from, to, matchExprs(p))
+      case None => MetadataOps.series(samples, from, to, matchExprs(p))
+    }
+    val rows = found.collect().map { r =>
       val metric = r.getString(0)
       val tags = r.getMap[String, String](1)
       val entries = (("__name__" -> metric) +: tags.toSeq.sortBy(_._1))

@@ -134,6 +134,35 @@ object Sessionize {
     wide.select(explode(array(rows: _*)).as("r")).select(col("r.*"))
   }
 
+  /** Step-transition latency report: for each consecutive funnel step
+    * pair, the converting users' median / p75 / max time-to-convert (the
+    * "where does the funnel stall" dashboard next to funnelReport's
+    * counts). One reduce over the per-user funnel frame. Percentiles are
+    * the exact interpolated definition both engines share; 0.5 and 0.75
+    * have exact binary fractions, so on integer-ms gaps the interpolation
+    * is bit-exact cross-engine (0.9 would not be). */
+  def funnelTimings(events: DataFrame, steps: Seq[String],
+                    withinMs: Option[Long] = None): DataFrame = {
+    require(steps.length >= 2, "funnel timings need at least 2 steps")
+    val f = funnel(events, steps, withinMs)
+    val aggs = (1 until steps.length).flatMap { i =>
+      val dt = s"CAST(step${i + 1}_ms - step${i}_ms AS DOUBLE)"
+      Seq(expr(s"count($dt)").as(s"__n$i"),
+        expr(s"percentile($dt, 0.5)").as(s"__p50_$i"),
+        expr(s"percentile($dt, 0.75)").as(s"__p75_$i"),
+        expr(s"max($dt)").as(s"__max$i"))
+    }
+    val wide = f.agg(aggs.head, aggs.tail: _*)
+    val rows = (1 until steps.length).map { i =>
+      struct(lit(i).as("stage"),
+        lit(s"${steps(i - 1)}>${steps(i)}").as("transition"),
+        col(s"__n$i").as("n_converted"),
+        col(s"__p50_$i").as("p50_ms"), col(s"__p75_$i").as("p75_ms"),
+        col(s"__max$i").as("max_ms"))
+    }
+    wide.select(explode(array(rows: _*)).as("r")).select(col("r.*"))
+  }
+
   /** Cohort retention: users bucketed by first-activity period since
     * `originMs` (the cohort), distinct-counted per (cohort, periods since
     * their own first activity). Two user-keyed aggregations + one

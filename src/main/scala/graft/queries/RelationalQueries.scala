@@ -175,6 +175,15 @@ object RelationalQueries {
         Seq("view", "click", "purchase"))
         .orderBy(col("stage"))),
 
+    // where the funnel stalls: per-transition time-to-convert
+    // median/p75/max (0.5/0.75 interpolate bit-exactly on ms gaps)
+    "q141_funnel_timings" -> ((s, dir) =>
+      graft.operators.Sessionize.funnelTimings(
+        TsTables.events(s, dir)
+          .select(col("user_id"), col("event_type"), col("ts_ms")),
+        Seq("view", "click", "purchase"))
+        .orderBy(col("stage"))),
+
     // series metadata answered from the PART-KEY INDEX (one row per
     // series) instead of a sample-scale scan — with a match[] selector
     // pushed against the index
@@ -347,6 +356,31 @@ object RelationalQueries {
          SELECT 2, 'click', n2, round(n2 / CAST(greatest(n1, 1) AS DOUBLE), 6) FROM c
          UNION ALL
          SELECT 3, 'purchase', n3, round(n3 / CAST(greatest(n2, 1) AS DOUBLE), 6) FROM c
+         ORDER BY stage""",
+
+    "q141_funnel_timings" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_ns(ts)//1000000 AS ts_ms
+                    FROM events),
+              s1 AS (SELECT user_id, min(ts_ms) AS step1_ms
+                     FROM e WHERE event_type = 'view' GROUP BY 1),
+              s2 AS (SELECT e.user_id, min(ts_ms) AS step2_ms
+                     FROM e JOIN s1 USING (user_id)
+                     WHERE event_type = 'click' AND ts_ms > step1_ms GROUP BY 1),
+              s3 AS (SELECT e.user_id, min(ts_ms) AS step3_ms
+                     FROM e JOIN s2 USING (user_id)
+                     WHERE event_type = 'purchase' AND ts_ms > step2_ms GROUP BY 1),
+              d1 AS (SELECT CAST(step2_ms - step1_ms AS DOUBLE) AS dt
+                     FROM s2 JOIN s1 USING (user_id)),
+              d2 AS (SELECT CAST(step3_ms - step2_ms AS DOUBLE) AS dt
+                     FROM s3 JOIN s2 USING (user_id))
+         SELECT 1 AS stage, 'view>click' AS transition, count(*) AS n_converted,
+                quantile_cont(dt, 0.5) AS p50_ms, quantile_cont(dt, 0.75) AS p75_ms,
+                max(dt) AS max_ms
+         FROM d1
+         UNION ALL
+         SELECT 2, 'click>purchase', count(*), quantile_cont(dt, 0.5),
+                quantile_cont(dt, 0.75), max(dt)
+         FROM d2
          ORDER BY stage""",
 
     "q140_series_indexed" ->

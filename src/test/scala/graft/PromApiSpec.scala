@@ -265,6 +265,20 @@ class PromApiSpec extends AnyFunSuite with Matchers {
     } finally api.stop()
   }
 
+  test("index-backed metadata answers match the sample-scan path byte for byte") {
+    val samples = TsTables.eventsAsSamples(spark, "/root/testdata/sf0.001")
+    val idx = graft.operators.MetadataOps.buildSeriesIndex(samples)
+    val scanApi = new PromApi(spark, samples).start()
+    val idxApi = new PromApi(spark, samples, seriesIndex = Some(idx)).start()
+    try {
+      val m = java.net.URLEncoder.encode("""purchase{user=~"1.*"}""", "UTF-8")
+      for (path <- Seq("/api/v1/labels", "/api/v1/label/user/values",
+          "/api/v1/label/__name__/values", s"/api/v1/series?match[]=$m",
+          "/api/v1/series?start=1704067200&end=1704100000"))
+        get(idxApi.boundPort, path) shouldEqual get(scanApi.boundPort, path)
+    } finally { scanApi.stop(); idxApi.stop() }
+  }
+
   test("lookback_delta narrows instant-selector staleness per query") {
     val samples = TsTables.eventsAsSamples(spark, "/root/testdata/sf0.001")
     val api = new PromApi(spark, samples).start()
