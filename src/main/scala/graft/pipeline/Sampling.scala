@@ -137,4 +137,38 @@ object Sampling {
       .where(hashPoint(col(idCol)) < col("__rate"))
       .select(col(idCol), col(sourceCol), round(col("__rate"), 6).as("rate"))
   }
+
+  /** Training-mix assembly WITH upsampling: like [[mixSources]] but a
+    * source whose weighted token share exceeds its corpus size repeats —
+    * every doc appears floor(rate) times and the fractional remainder is
+    * an md5-decided extra copy, so a rate of 2.3 means "2 epochs plus a
+    * deterministic 30% third epoch" (the Wikipedia-×-N convention real
+    * mixes use; mixSources' cap at 1 only ever downsamples). Output has
+    * one row per (doc, epoch); epochs number from 1 so downstream
+    * sequence packing can key on (idCol, epoch). The epoch expansion is a
+    * map-side sequence explode — the corpus never shuffles. */
+  def mixSourcesEpochs(docs: DataFrame, weights: Map[String, Double], budgetTokens: Long,
+                       maxEpochs: Int = 16, sourceCol: String = "source",
+                       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      s"mix weights must be positive: $weights")
+    val wsum = weights.values.sum
+    val wmap = map(weights.toSeq.sortBy(_._1)
+      .flatMap { case (s, w) => Seq(lit(s), lit(w / wsum)) }: _*)
+    val rates = docs
+      .select(col(sourceCol), TextAnalysis.tokenCount(col(textCol)).as("__nt"))
+      .groupBy(col(sourceCol)).agg(sum(col("__nt")).as("__ns"))
+      .withColumn("__w", element_at(wmap, col(sourceCol)))
+      .where(col("__w").isNotNull)
+      .select(col(sourceCol),
+        least(lit(maxEpochs.toDouble),
+          lit(budgetTokens.toDouble) * col("__w") / col("__ns")).as("__rate"))
+    val whole = floor(col("__rate")).cast("int")
+    val frac = col("__rate") - floor(col("__rate"))
+    docs.join(broadcast(rates), sourceCol)
+      .withColumn("__n", whole + when(hashPoint(col(idCol)) < frac, 1).otherwise(0))
+      .where(col("__n") > 0)
+      .select(col(idCol), col(sourceCol), round(col("__rate"), 6).as("rate"),
+        explode(sequence(lit(1), col("__n"))).as("epoch"))
+  }
 }

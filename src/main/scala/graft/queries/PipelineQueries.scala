@@ -324,6 +324,13 @@ object PipelineQueries {
     "q133_source_divergence" -> ((s, dir) =>
       Quality.sourceDivergence(TsTables.documents(s, dir)).orderBy(col("source"))),
 
+    // epoch-mix: upsampling sources whose weighted share exceeds their
+    // size (floor(rate) epochs + md5-decided fractional extra)
+    "q142_mix_epochs" -> ((s, dir) =>
+      Sampling.mixSourcesEpochs(TsTables.documents(s, dir),
+        EpochWeights.toMap, EpochBudget)
+        .orderBy(col("doc_id"), col("epoch"))),
+
     // curation v2: Gopher gate + language filter + reference-LM
     // perplexity threshold (on the ROUNDED oracle-checked nll, so the
     // cut is engine-stable), then tokenize-and-pack — raw corpus to
@@ -378,6 +385,11 @@ object PipelineQueries {
         .orderBy(col("query_id"), col("rk"))
     })
   )
+
+  /** q142 epoch-mix recipe: src0's weighted share is ~4× its corpus size
+    * (multi-epoch), src1 hovers near 1, src2 downsamples. */
+  private val EpochWeights = Seq("src0" -> 8.0, "src1" -> 2.0, "src2" -> 1.0)
+  private val EpochBudget = 6000L
 
   /** q132 search query + BM25 constants — single source of truth for both
     * engines (SQL literals are emitted from these via Double.toString, so
@@ -657,6 +669,26 @@ object PipelineQueries {
          FROM documents d JOIN r USING (source)
          WHERE ${hashPointSql("d.doc_id")} < rate
          ORDER BY d.doc_id""" },
+
+    "q142_mix_epochs" -> {
+      val wsum = EpochWeights.map(_._2).sum
+      val vals = EpochWeights.map { case (s, w) =>
+        s"('$s', CAST(${w / wsum} AS DOUBLE))" }.mkString(", ")
+      s"""WITH n AS (SELECT source, sum(len(string_split_regex(trim(text), '\\s+'))) AS ns
+                     FROM documents GROUP BY 1),
+              w AS (SELECT * FROM (VALUES $vals) AS t(source, wt)),
+              r AS (SELECT n.source,
+                           least(16.0, CAST(${EpochBudget.toDouble} AS DOUBLE) * wt / ns) AS rate
+                    FROM n JOIN w USING (source)),
+              d AS (SELECT d.doc_id, d.source, rate,
+                           CAST(floor(rate) AS INT) +
+                             CASE WHEN ${hashPointSql("d.doc_id")} < rate - floor(rate)
+                                  THEN 1 ELSE 0 END AS nrep
+                    FROM documents d JOIN r USING (source))
+         SELECT doc_id, source, round(rate, 6) AS rate, CAST(e AS INT) AS epoch
+         FROM d, UNNEST(generate_series(1, nrep)) AS g(e)
+         WHERE nrep > 0
+         ORDER BY doc_id, epoch""" },
 
     // the greedy adjacent-pair fold == left-to-right literal string
     // replace on a sep-joined symbol string, so DuckDB runs the SAME

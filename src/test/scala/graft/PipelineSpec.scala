@@ -601,6 +601,31 @@ class PipelineSpec extends AnyFunSuite with Matchers {
       .collect().toSet shouldEqual out.toSet
   }
 
+  test("epoch mix: floor(rate) epochs plus fractional extra; downsampling still works") {
+    import graft.pipeline.Sampling
+    val pages = (0L until 40L)
+      .map(i => (i, if (i < 20) "a" else "b", "w1 w2 w3 w4 w5"))
+      .toDF("doc_id", "source", "text")
+    // a: 100 tokens, share 270 -> rate 2.7; b: share 30 -> rate 0.3
+    val out = Sampling.mixSourcesEpochs(pages, Map("a" -> 9.0, "b" -> 1.0), 300L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(3)))
+    val aCounts = out.filter(_._2 == "a").groupBy(_._1).values.map(_.length).toSeq
+    aCounts should not be empty
+    aCounts.foreach(n => n should (be(2) or be(3)))     // 2 epochs + ~70% a third
+    aCounts should contain(3)
+    val bCounts = out.filter(_._2 == "b").groupBy(_._1).values.map(_.length).toSeq
+    bCounts.foreach(_ shouldEqual 1)                     // rate < 1 never repeats
+    bCounts.length should be < 20                        // and drops most docs
+    // epochs number 1..n per doc
+    out.groupBy(r => (r._1, r._2)).values.foreach { rows =>
+      rows.map(_._3).sorted shouldEqual (1 to rows.length)
+    }
+    // md5-deterministic under repartitioning
+    Sampling.mixSourcesEpochs(pages.repartition(7), Map("a" -> 9.0, "b" -> 1.0), 300L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(3)))
+      .toSet shouldEqual out.toSet
+  }
+
   test("dHash: identical payloads at distance 0, one-char edits nearby") {
     import graft.pipeline.Multimodal
     val pages = Seq( // ids ≡ 0 mod 3 → all 'image'
