@@ -27,7 +27,8 @@ object Cli {
         """usage: graft.Cli <promql> [sfDir] [startSec] [endSec] [stepSec]
           |       graft.Cli --labels [sfDir]
           |       graft.Cli --labelvalues <label> [sfDir]
-          |       graft.Cli --series <matchExpr> [sfDir]""".stripMargin)
+          |       graft.Cli --series <matchExpr> [sfDir]
+          |       graft.Cli --cardinality [sfDir]""".stripMargin)
       sys.exit(2)
     }
     if (args(0).startsWith("--")) { metadataMain(args); return }
@@ -76,6 +77,15 @@ object Cli {
           .orderBy(col("metric")).limit(200).collect()
           .foreach(r => println(s"${r.getString(0)}${r.getMap[String, String](1).toSeq.sorted
             .map { case (k, v) => s"""$k="$v"""" }.mkString("{", ",", "}")}"))
+      case "--cardinality" =>
+        // filo-cli tsCardinality admin mode: per-metric series counts
+        // (exact here; the HTTP surface serves the HLL variant)
+        MetadataOps.tsCardinalityBreakdown(
+            TsTables.eventsAsSamples(spark, sfDirAt(1)), Seq("metric"),
+            activeAfterMs = TsTables.EventsEndMs - TsTables.Day, exact = true)
+          .orderBy(col("total").desc, col("metric"))
+          .collect()
+          .foreach(r => println(f"${r.getString(0)}%-30s total=${r.getLong(1)}%8d active=${r.getLong(2)}%8d"))
       case other =>
         System.err.println(s"unknown subcommand: $other"); sys.exit(2)
     } finally spark.stop()

@@ -96,6 +96,36 @@ object TsLayout {
     dropped
   }
 
+  /** Small-file compaction for ONE (metric, date) partition — the
+    * reference's chunk compaction as a partition-scoped rewrite: read the
+    * partition's files, restore the (series_id, ts) clustering at the
+    * target file count, write beside the live directory (dot-prefixed, so
+    * readers never list it) and swap with two renames. Scoped to one
+    * partition so the job is restartable and the blast radius of a crash
+    * is that partition's swap window; pair with [[dropOlderThan]] on the
+    * same maintenance cadence. Returns the file count before → after. */
+  def compactPartition(spark: SparkSession, path: String, metric: String,
+                       date: String, nFiles: Int = 1): (Int, Int) = {
+    import org.apache.hadoop.fs.Path
+    val dir = new Path(s"$path/metric=$metric/date=$date")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(dir), s"no partition at $dir")
+    def dataFiles(p: Path) = fs.listStatus(p).count(s => s.isFile &&
+      !s.getPath.getName.startsWith(".") && !s.getPath.getName.startsWith("_"))
+    val before = dataFiles(dir)
+    val tmp = new Path(dir.getParent, s".compact-date=$date")
+    spark.read.parquet(dir.toString)
+      .repartition(nFiles, col("series_id"))
+      .sortWithinPartitions(col("series_id"), col("ts"))
+      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    val bak = new Path(dir.getParent, s".old-date=$date")
+    if (fs.exists(bak)) fs.delete(bak, true)
+    fs.rename(dir, bak)
+    fs.rename(tmp, dir)
+    fs.delete(bak, true)
+    (before, dataFiles(dir))
+  }
+
   /** Persist the part-key index (MetadataOps.buildSeriesIndex) partitioned
     * by metric: every metadata probe that names a metric — match[]
     * selectors, label_values under a selector — prunes to that metric's

@@ -102,6 +102,25 @@ class TsLayoutSpec extends AnyFunSuite with Matchers {
     TsLayout.dropOlderThan(spark, tmp, cutoff) shouldBe empty
   }
 
+  test("compaction: one partition's files merge, data and sibling partitions untouched") {
+    val tmp = Files.createTempDirectory("graft_compact").toFile.getAbsolutePath
+    val samples = TsTables.eventsAsSamples(spark, "/root/testdata/sf0.001")
+    TsLayout.write(samples, tmp, seriesBuckets = 4) // several files per partition
+    val before = TsLayout.read(spark, tmp)
+    val beforeTotal = before.count()
+    val d = before.filter(col("metric") === "purchase")
+      .select(col("date")).distinct().head.getDate(0).toString
+    val beforeRows = before.filter(col("metric") === "purchase" && col("date") === lit(d).cast("date"))
+      .select("series_id", "ts", "value").collect().toSet
+    val (nBefore, nAfter) = TsLayout.compactPartition(spark, tmp, "purchase", d, nFiles = 1)
+    nBefore should be > 1
+    nAfter shouldEqual 1
+    val after = TsLayout.read(spark, tmp)
+    after.count() shouldEqual beforeTotal
+    after.filter(col("metric") === "purchase" && col("date") === lit(d).cast("date"))
+      .select("series_id", "ts", "value").collect().toSet shouldEqual beforeRows
+  }
+
   test("series index: one row per series, equals the scan path, prunes by metric") {
     import graft.operators.MetadataOps
     val samples = TsTables.eventsAsSamples(spark, "/root/testdata/sf0.001")
