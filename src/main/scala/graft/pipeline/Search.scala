@@ -55,4 +55,50 @@ object Search {
       .orderBy(col("score").desc, col(idCol).asc)
       .limit(k)
   }
+
+  /** Batch BM25 — the standing-service shape: a whole TABLE of queries
+    * `(query_id, terms ARRAY<STRING>)` ranked at once through an inverted
+    * index. The corpus becomes a postings table (term-hash, doc, tf) in
+    * one pass; per-term document frequencies re-aggregate those postings;
+    * the (tiny) exploded query-term stream joins postings on the hash, and
+    * per-(query, doc) scores top-k within each query. Token strings never
+    * cross a shuffle (the hash-first contract) and the corpus is scanned
+    * once regardless of query count — the shape that serves a million
+    * queries against 100 TB.
+    * Scores are identical to [[bm25TopK]] (same formula and rounding);
+    * ties break on ascending doc id within a query. */
+  def bm25TopKBatch(docs: DataFrame, queries: DataFrame, k: Int,
+                    k1: Double = 1.2, b: Double = 0.75,
+                    textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs
+      .select(col(idCol), TextAnalysis.tokens(lower(col(textCol))).as("__toks"))
+      .select(col(idCol), size(col("__toks")).cast("double").as("__dl"),
+        explode(col("__toks")).as("__t"))
+      .select(col(idCol), col("__dl"), xxhash64(col("__t")).as("__h"))
+    val postings = toks.groupBy(col(idCol), col("__dl"), col("__h"))
+      .agg(count(lit(1)).cast("double").as("__tf"))
+    val dfreq = postings.groupBy(col("__h")).agg(count(lit(1)).cast("double").as("__df"))
+    // N and avgdl re-aggregate the postings' (doc, dl) pairs — no second
+    // corpus scan (every doc has >= 1 posting: empty text still tokenizes
+    // to one empty token, same as bm25TopK's convention)
+    val stats = postings.select(col(idCol), col("__dl")).distinct()
+      .agg(count(lit(1)).cast("double").as("__n"), avg(col("__dl")).as("__avgdl"))
+    val qterms = queries
+      .select(col("query_id"), explode(array_distinct(col("terms"))).as("__t"))
+      .select(col("query_id"), xxhash64(lower(col("__t"))).as("__h"))
+    val scored = qterms
+      .join(postings, "__h")
+      .join(broadcast(dfreq.join(qterms.select(col("__h")).distinct(), "__h")), "__h")
+      .crossJoin(broadcast(stats))
+      .withColumn("__s",
+        log(lit(1.0) + (col("__n") - col("__df") + lit(0.5)) / (col("__df") + lit(0.5))) *
+          col("__tf") * lit(k1 + 1.0) /
+          (col("__tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("__dl") / col("__avgdl"))))
+      .groupBy(col("query_id"), col(idCol))
+      .agg(round(sum(col("__s")), 6).as("score"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col(idCol).asc)
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("query_id"), col(idCol), col("rk"), col("score"))
+  }
 }

@@ -324,6 +324,17 @@ object PipelineQueries {
     "q133_source_divergence" -> ((s, dir) =>
       Quality.sourceDivergence(TsTables.documents(s, dir)).orderBy(col("source"))),
 
+    // batch BM25 through the inverted index (the standing-service shape):
+    // a query TABLE ranked in one corpus pass; q2's term matches nothing
+    "q143_bm25_batch" -> ((s, dir) => {
+      import s.implicits._
+      val qs = Bm25BatchQueries.map { case (id, ts) => (id, ts) }
+        .toDF("query_id", "terms")
+      Search.bm25TopKBatch(TsTables.documents(s, dir), qs, k = 10,
+        k1 = Bm25K1, b = Bm25B)
+        .orderBy(col("query_id"), col("rk"))
+    }),
+
     // epoch-mix: upsampling sources whose weighted share exceeds their
     // size (floor(rate) epochs + md5-decided fractional extra)
     "q142_mix_epochs" -> ((s, dir) =>
@@ -397,6 +408,11 @@ object PipelineQueries {
   private val Bm25Terms = Seq("spark", "vector", "customer")
   private val Bm25K1 = 1.2
   private val Bm25B = 0.75
+
+  /** q143 batch query set (query 2's term matches nothing). */
+  private val Bm25BatchQueries: Seq[(Long, Seq[String])] = Seq(
+    (0L, Seq("spark", "vector")), (1L, Seq("customer", "window")),
+    (2L, Seq("zebra")))
 
   /** Winnowing candidate pairs: long shingles (k=8) keep fingerprints
     * selective; the rarity cap bounds bucket fan-out so the self-join
@@ -1035,6 +1051,8 @@ object PipelineQueries {
 
     "q132_bm25_search" -> bm25OracleSql,
 
+    "q143_bm25_batch" -> bm25BatchOracleSql,
+
     "q137_tokenize_pack" -> tokenizePackOracleSql,
 
     "q138_perceptual_dups" -> perceptualOracleSql,
@@ -1133,6 +1151,35 @@ object PipelineQueries {
               round(ln((SELECT nv FROM nv)) - avg(ln(coalesce(f.c, 0) + 1)), 6) AS mean_nll
        FROM toks k LEFT JOIN tf f USING (t)
        GROUP BY doc_id"""
+
+  /** The batch-BM25 mirror: postings on token STRINGS (identical to the
+    * Spark side's hashed postings absent a 64-bit collision), same
+    * constants-from-Scala-doubles contract as bm25OracleSql. */
+  private lazy val bm25BatchOracleSql: String = {
+    def d(v: Double) = s"CAST(${v.toString} AS DOUBLE)"
+    val qvals = Bm25BatchQueries
+      .flatMap { case (id, ts) => ts.map(t => s"($id, '$t')") }.mkString(", ")
+    s"""WITH pre AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+                     FROM documents),
+            post AS (SELECT doc_id, t, CAST(count(*) AS DOUBLE) AS tf
+                     FROM pre, UNNEST(toks) AS u(t) GROUP BY 1, 2),
+            dls AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl FROM pre),
+            dfq AS (SELECT t, CAST(count(*) AS DOUBLE) AS df FROM post GROUP BY t),
+            stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dls),
+            q AS (SELECT * FROM (VALUES $qvals) AS v(query_id, t)),
+            sc AS (SELECT q.query_id, p.doc_id,
+                          ln(1.0 + (n - df + 0.5) / (df + 0.5)) * tf * ${d(Bm25K1 + 1.0)} /
+                            (tf + ${d(Bm25K1)} * (${d(1.0 - Bm25B)} + ${d(Bm25B)} * dl / avgdl)) AS s
+                   FROM q JOIN post p USING (t) JOIN dfq USING (t)
+                        JOIN dls USING (doc_id), stats),
+            agg AS (SELECT query_id, doc_id, round(sum(s), 6) AS score
+                    FROM sc GROUP BY 1, 2),
+            rk AS (SELECT *, row_number() OVER
+                     (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rk
+                   FROM agg)
+       SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, CAST(rk AS INT) AS rk, score
+       FROM rk WHERE rk <= 10 ORDER BY query_id, rk"""
+  }
 
   /** The dHash mirror: 72 sampled "pixels" as one computed-column CTE,
     * 64 gradient bits OR-ed into a BIGINT, trailing-8-bit bucket, capped

@@ -601,6 +601,21 @@ class PipelineSpec extends AnyFunSuite with Matchers {
       .collect().toSet shouldEqual out.toSet
   }
 
+  test("batch bm25 equals the single-query scorer on identical terms") {
+    import graft.pipeline.Search
+    val corpus = Seq(
+      (1L, "apple banana banana banana"), (2L, "apple banana cherry date"),
+      (3L, "apple date date fig"), (4L, "grape melon kiwi lime")
+    ).toDF("doc_id", "text")
+    val single = Search.bm25TopK(corpus, Seq("banana", "fig"), 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val batch = Search.bm25TopKBatch(corpus,
+      Seq((7L, Seq("banana", "fig"))).toDF("query_id", "terms"), 10)
+      .collect()
+    batch.map(_.getLong(0)).toSet shouldEqual Set(7L)
+    batch.map(r => r.getLong(1) -> r.getDouble(3)).toMap shouldEqual single
+  }
+
   test("epoch mix: floor(rate) epochs plus fractional extra; downsampling still works") {
     import graft.pipeline.Sampling
     val pages = (0L until 40L)
