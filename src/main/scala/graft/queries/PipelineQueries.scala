@@ -486,6 +486,18 @@ object PipelineQueries {
       val e = TsTables.embeddings(s, dir)
       Similarity.ivfPqKnn(e.filter(col("vec_id") < 10), e, k = 5,
         nCentroids = 16, nprobe = 4, m = 4, ksub = 16)
+    }),
+    "corpus_bm25_batch" -> ((s, dir) => {
+      import s.implicits._
+      // 60 two-term queries over the corpus vocabulary — the query-table
+      // fan-in the inverted-index shape exists for
+      val words = Seq("spark", "table", "query", "vector", "stream", "batch",
+        "window", "merge", "filter", "group", "order", "scan")
+      val qs = (for { (a, i) <- words.zipWithIndex; b <- words.drop(i + 1).take(5) }
+        yield (a, b)).zipWithIndex
+        .map { case ((a, b), i) => (i.toLong, Seq(a, b)) }
+        .toDF("query_id", "terms")
+      Search.bm25TopKBatch(TsTables.documents(s, dir), qs, k = 10)
     })
   )
 

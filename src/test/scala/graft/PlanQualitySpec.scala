@@ -321,6 +321,19 @@ class PlanQualitySpec extends AnyFunSuite with Matchers {
       .include("bytes")
   }
 
+  test("batch bm25: postings joins stay hashed, no cartesian, df side broadcast") {
+    val spark2 = spark
+    import spark2.implicits._
+    val qs = Seq((0L, Seq("spark", "vector")), (1L, Seq("customer", "window")))
+      .toDF("query_id", "terms")
+    val df = graft.pipeline.Search.bm25TopKBatch(TsTables.documents(spark, dir), qs, k = 10)
+    df.count()
+    val p = plan(df)
+    (p should not).include("CartesianProduct")
+    p should include("xxhash64")
+    p should include("BroadcastHashJoin")
+  }
+
   test("source divergence: one corpus-sized shuffle, hashed tokens, small sides broadcast") {
     val df = graft.pipeline.Quality.sourceDivergence(TsTables.documents(spark, dir))
     df.count()
