@@ -69,4 +69,47 @@ object RemoteRead {
       queryRange(ctx.spark, u, query, ctx.startMs, ctx.endMs, ctx.stepMs))
     (local +: remote).reduce(_ unionByName _)
   }
+
+  /** Cross-partition AGGREGATE pushdown (reference MultiPartitionPlanner's
+    * reduce step): a top-level aggregation whose grouping drops the
+    * partitioning key is NOT union-safe — every cluster returns its own
+    * partial per group, and the partials must be re-reduced. The whole
+    * aggregate ships to each cluster (so raw series never cross the
+    * wire), then the union re-reduces by (series key, step):
+    * sum/min/max/group re-apply themselves, count partials merge as SUM,
+    * and avg rewrites to a federated sum / federated count join before
+    * shipping. Non-mergeable aggregates (quantile, stddev, topk,
+    * count_values) error — shipping them would silently return partials,
+    * exactly the bug the reference planner exists to prevent. */
+  def federatedAggQueryRange(ctx: PromPlanner.Ctx, query: String,
+                             remoteBaseUrls: Seq[String]): DataFrame = {
+    import graft.promql._
+    val Mergeable = Set("sum", "min", "max", "count", "group")
+    Parser.parse(query) match {
+      case a @ Agg(op, _, None, _, _) if Mergeable(op) =>
+        val parts = federatedQueryRange(ctx, Printer.print(a), remoteBaseUrls)
+        val reduce = op match {
+          case "sum" => sum(col("value"))
+          case "min" => min(col("value"))
+          case "max" => max(col("value"))
+          case "count" => sum(col("value")) // partial counts merge additively
+          case "group" => min(col("value")) // always 1
+        }
+        parts.groupBy(col("__key"), col("step_ts"))
+          .agg(first(col("labels")).as("labels"), reduce.as("value"))
+          .select(col("labels"), col("__key"), col("step_ts"), col("value"))
+      case a @ Agg("avg", _, None, _, _) =>
+        val sums = federatedAggQueryRange(ctx, Printer.print(a.copy(op = "sum")), remoteBaseUrls)
+          .withColumnRenamed("value", "__s")
+        val counts = federatedAggQueryRange(ctx, Printer.print(a.copy(op = "count")), remoteBaseUrls)
+          .select(col("__key"), col("step_ts"), col("value").as("__c"))
+        sums.join(counts, Seq("__key", "step_ts"))
+          .select(col("labels"), col("__key"), col("step_ts"),
+            (col("__s") / col("__c")).as("value"))
+      case other =>
+        throw new IllegalArgumentException(
+          s"not a federation-mergeable aggregate: $other — " +
+            "use federatedQueryRange when output series are partition-disjoint")
+    }
+  }
 }

@@ -206,6 +206,48 @@ class PromApiSpec extends AnyFunSuite with Matchers {
     } finally remote.stop()
   }
 
+  test("federated aggregate pushdown re-reduces cross-partition partials") {
+    import org.apache.spark.sql.functions.col
+    import graft.http.RemoteRead
+    import graft.promql.PromPlanner
+    val all = TsTables.eventsAsSamples(spark, "/root/testdata/sf0.001")
+    val even = all.filter(col("tags")("user").cast("long") % 2 === 0)
+    val odd = all.filter(col("tags")("user").cast("long") % 2 === 1)
+    val remote = new PromApi(spark, odd).start()
+    try {
+      val ctxLocal = PromPlanner.Ctx(spark, even,
+        TsTables.EventsStartMs, TsTables.EventsEndMs, 86400000L)
+      val ctxAll = PromPlanner.Ctx(spark, all,
+        TsTables.EventsStartMs, TsTables.EventsEndMs, 86400000L)
+      val urls = Seq(s"http://localhost:${remote.boundPort}")
+      // GLOBAL aggregation: the union path would return two rows per step
+      // (one partial per cluster); the agg path must match the single-
+      // table evaluation (values serialized at the wire's 6 sig figs)
+      for (q <- Seq("sum(sum_over_time(purchase[1d]))",
+                    "max(sum_over_time(purchase[1d]))",
+                    "count(sum_over_time(purchase[1d]))",
+                    "avg(sum_over_time(purchase[1d]))")) {
+        val got = RemoteRead.federatedAggQueryRange(ctxLocal, q, urls)
+          .select("step_ts", "value").collect()
+          .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+        val expect = PromPlanner.queryRange(ctxAll, q)
+          .select("step_ts", "value").collect()
+          .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+        got.keySet shouldEqual expect.keySet
+        got.foreach { case (ts, v) =>
+          math.abs(v - expect(ts)) should be <= math.abs(expect(ts)) * 1e-5 + 1e-9
+        }
+        // the naive union really does return per-cluster partials for a
+        // global agg (approximately double: a step can be single-sided)
+        RemoteRead.federatedQueryRange(ctxLocal, q, urls).count() should
+          be > expect.size.toLong
+      }
+      an[IllegalArgumentException] should be thrownBy
+        RemoteRead.federatedAggQueryRange(ctxLocal,
+          "quantile(0.9, sum_over_time(purchase[1d]))", urls)
+    } finally remote.stop()
+  }
+
   test("per-query series limit rejects oversized results") {
     val samples = TsTables.eventsAsSamples(spark, "/root/testdata/sf0.001")
     val api = new PromApi(spark, samples, maxResultSeries = 3).start()
