@@ -116,9 +116,12 @@ object Multimodal {
     * samples position floor(k·len/72) so the WHOLE payload contributes. */
   def dHash(bytes: Column): Column = {
     val len = octet_length(bytes)
+    // k * len as LONG: an int product overflows for payloads > ~30 MB
+    // (k up to 71 × a 4-byte length)
     def px(k: Int): Column =
       when(len === 0, lit(0L)).otherwise(
-        conv(hex(substring(bytes, ((lit(k) * len).cast("double") / 72).cast("int") + 1, lit(1))),
+        conv(hex(substring(bytes,
+          ((lit(k.toLong) * len.cast("long")).cast("double") / 72).cast("int") + 1, lit(1))),
           16, 10).cast("long"))
     val cells = Array.tabulate(8, 9)((r, c) => px(r * 9 + c))
     (0 until 8).flatMap { r =>
