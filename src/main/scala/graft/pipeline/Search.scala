@@ -76,8 +76,14 @@ object Search {
       .select(col(idCol), size(col("__toks")).cast("double").as("__dl"),
         explode(col("__toks")).as("__t"))
       .select(col(idCol), col("__dl"), xxhash64(col("__t")).as("__h"))
+    // the postings table IS the search index — localCheckpoint it so its
+    // three consumers (df table, corpus stats, scoring join) read the
+    // materialized result instead of re-deriving the corpus scan+tokenize
+    // each (3 scans measured without it); a standing service persists
+    // this table instead
     val postings = toks.groupBy(col(idCol), col("__dl"), col("__h"))
       .agg(count(lit(1)).cast("double").as("__tf"))
+      .localCheckpoint(false)
     val dfreq = postings.groupBy(col("__h")).agg(count(lit(1)).cast("double").as("__df"))
     // N and avgdl re-aggregate the postings' (doc, dl) pairs — no second
     // corpus scan (every doc has >= 1 posting: empty text still tokenizes

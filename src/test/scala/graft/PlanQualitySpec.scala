@@ -332,6 +332,10 @@ class PlanQualitySpec extends AnyFunSuite with Matchers {
     (p should not).include("CartesianProduct")
     p should include("xxhash64")
     p should include("BroadcastHashJoin")
+    // all three postings consumers read the checkpointed index — the
+    // corpus scan happens once, inside the checkpoint job (3 re-derived
+    // scans measured before the checkpoint)
+    "FileScan parquet".r.findAllIn(p).size should be <= 1
   }
 
   test("source divergence: one corpus-sized shuffle, hashed tokens, small sides broadcast") {
