@@ -341,10 +341,15 @@ object Dedup {
                            idCol: String = "doc_id",
                            minOccurrences: Int = 2): DataFrame = {
     val base = docs.select(col(idCol), split(col(textCol), "\n").as("__lines"))
+    // line-hash occurrences (fixed-width rows, no text): checkpointed so
+    // the duplicate-stats aggregate and the removal join share one pass —
+    // the corpus then scans exactly twice (hash pass + text rebuild),
+    // the operator's honest minimum
     val occ = base
       .select(col(idCol), posexplode(col("__lines")).as(Seq("__pos", "__line")))
       .where(trim(col("__line")) =!= "")
       .select(col(idCol), col("__pos"), xxhash64(trim(lower(col("__line")))).as("__h"))
+      .localCheckpoint(false)
     val dupStats = occ
       .groupBy(col("__h"))
       .agg(count(lit(1)).as("__nocc"),

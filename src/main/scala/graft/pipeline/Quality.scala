@@ -268,9 +268,12 @@ object Quality {
                    textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     def toks(df: DataFrame, cols: Column*) = df
       .select(cols :+ explode(TextAnalysis.tokens(lower(col(textCol)))).as("__t"): _*)
+    // vocabulary-bounded; checkpointed so the stats aggregate and the
+    // scoring join share one reference pass (3 scans measured without)
     val refTf = toks(reference)
       .select(xxhash64(col("__t")).as("__h"))
       .groupBy(col("__h")).agg(count(lit(1)).as("__tf"))
+      .localCheckpoint(false)
     val refStats = refTf.agg((sum(col("__tf")) + count(lit(1)) + 1L).as("__nv"))
     toks(docs, col(idCol))
       .select(col(idCol), xxhash64(col("__t")).as("__h"))
@@ -300,12 +303,17 @@ object Quality {
     * Output: (source, n_tokens, jsd) — jsd rounded to 6 dp. */
   def sourceDivergence(docs: DataFrame, textCol: String = "text",
                        srcCol: String = "source"): DataFrame = {
+    // the (source, token) count table is (sources × vocab)-bounded:
+    // localCheckpoint it so its four consumers (corpus totals, source
+    // totals, grand total, the scoring join) don't each re-derive the
+    // corpus scan (4 scans measured without it)
     val counts = docs
       .select(col(srcCol).as("source"),
         explode(TextAnalysis.tokens(lower(col(textCol)))).as("__t"))
       .select(col("source"), xxhash64(col("__t")).as("__h"))
       .groupBy(col("source"), col("__h"))
       .agg(count(lit(1)).as("__c"))
+      .localCheckpoint(false)
     val tot = counts.groupBy(col("__h")).agg(sum(col("__c")).as("__ct"))
     val srcTot = counts.groupBy(col("source")).agg(sum(col("__c")).as("__n"))
     val grand = srcTot.agg(sum(col("__n")).as("__g"))

@@ -278,13 +278,16 @@ class PlanQualitySpec extends AnyFunSuite with Matchers {
     "Exchange hashpartitioning".r.findAllIn(p).size shouldEqual 1
   }
 
-  test("line dedup shuffles line hashes, not line strings") {
+  test("line dedup: hash occurrences checkpoint once, text scans once for the rebuild") {
     val df = graft.pipeline.Dedup.removeDuplicateLines(TsTables.documents(spark, dir))
     df.count()
     val p = plan(df)
-    p should include("xxhash64")
     (p should not).include("CartesianProduct")
     (p should not).include("BroadcastNestedLoopJoin")
+    // the xxhash64 occurrence stream lives in the checkpoint job; the
+    // final plan reads it as an existing RDD plus ONE text-rebuild scan
+    p should include("ExistingRDD")
+    "FileScan parquet".r.findAllIn(p).size should be <= 1
   }
 
   test("bm25: stats ride back as a broadcast; the ranked result is a distributed top-k") {
@@ -338,12 +341,15 @@ class PlanQualitySpec extends AnyFunSuite with Matchers {
     "FileScan parquet".r.findAllIn(p).size should be <= 1
   }
 
-  test("source divergence: one corpus-sized shuffle, hashed tokens, small sides broadcast") {
+  test("source divergence: count table checkpoints once; consumers never rescan the corpus") {
     val df = graft.pipeline.Quality.sourceDivergence(TsTables.documents(spark, dir))
     df.count()
     val p = plan(df)
-    p should include("xxhash64")
     (p should not).include("SortMergeJoin")
     (p should not).include("CartesianProduct")
+    // every consumer reads the checkpointed (source, hash) count table —
+    // zero parquet scans remain in the final plan (was 4 re-derivations)
+    p should include("ExistingRDD")
+    "FileScan parquet".r.findAllIn(p).size shouldEqual 0
   }
 }
