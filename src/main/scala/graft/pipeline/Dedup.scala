@@ -132,7 +132,11 @@ object Dedup {
   def minHashDuplicates(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
                         numHashes: Int = 32, shingleK: Int = 3, rowsPerBand: Int = 4,
                         threshold: Double = 0.7, maxBucketSize: Int = 256): DataFrame = {
+    // signatures are (id + numHashes longs): checkpointed so the band
+    // join's bucket-cap count and semi-join don't each re-derive the
+    // shingle+hash computation from the corpus (6 scans measured without)
     val sigs = minHashSignatures(docs, textCol, idCol, numHashes, shingleK)
+      .localCheckpoint(false)
     val cands = lshCandidatePairs(sigs, idCol, rowsPerBand, maxBucketSize)
     val withText = withShingles(docs, textCol, idCol, shingleK, "sh")
     cands
@@ -283,10 +287,14 @@ object Dedup {
     val base = docs
       .select(col(idCol), TextAnalysis.tokens(lower(col(textCol))).as("__toks"))
     // windows exist only where the doc has >= w tokens; pos is 0-based
+    // fixed-width (id, pos, hash) rows, checkpointed so the duplicate
+    // stats and the coverage join share one derivation (the corpus then
+    // scans twice: window pass + text rebuild)
     val wins = base
       .where(size(col("__toks")) >= w)
       .select(col(idCol),
         posexplode(TextAnalysis.gramsFromTokens(col("__toks"), w)).as(Seq("__pos", "__h")))
+      .localCheckpoint(false)
     // duplicated = occurs >= minOccurrences CORPUS-WIDE, including repeats
     // within one document (boilerplate/spam is the archetypal ExactSubstr
     // target and usually repeats inside a single page). Raise

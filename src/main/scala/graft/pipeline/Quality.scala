@@ -225,23 +225,59 @@ object Quality {
 
   /** The assembled Gopher filter: per-doc signals plus a pass/fail verdict
     * under the published thresholds (adapted: word-count bounds scaled to
-    * the corpus under test via minWords/maxWords). */
+    * the corpus under test via minWords/maxWords).
+    *
+    * Two corpus passes total: BOTH top-n-gram counts (n = 2 and 3) share
+    * one exploded (doc, n, gram-hash) count + one (doc, n)-windowed
+    * winner pick, and every text-derived signal is computed on the same
+    * rebuild pass that resolves the winning gram strings. (The naive
+    * composition — a signals scan plus two independent topNgram calls —
+    * measured FIVE corpus scans and two gram shuffles.) Values are
+    * bit-identical to per-n [[topNgramCharFraction]] calls: same counts,
+    * same count-then-larger-gram tiebreak, per n independently. */
   def gopherSignals(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
                     minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
-    val t = col(textCol)
+    val ns = Seq(2, 3)
     val base = docs.select(
-      col(idCol),
-      wordCount(t).as("word_count"),
-      round(meanWordLength(t), 6).as("mean_word_len"),
-      round(duplicateWordFraction(t), 6).as("dup_word_frac"),
-      round(duplicateLineFraction(t), 6).as("dup_line_frac"),
-      round(symbolToWordRatio(t), 6).as("symbol_ratio"),
-      round(alphaWordFraction(t), 6).as("alpha_word_frac"))
-    val top2 = topNgramCharFraction(docs, 2, textCol, idCol)
-      .select(col(idCol), col("top_ngram_frac").as("top2_frac"))
-    val top3 = topNgramCharFraction(docs, 3, textCol, idCol)
-      .select(col(idCol), col("top_ngram_frac").as("top3_frac"))
-    base.join(top2, Seq(idCol)).join(top3, Seq(idCol))
+      col(idCol), col(textCol).as("__text"),
+      length(regexp_replace(trim(col(textCol)), "\\s+", "")).as("__nsc"),
+      TextAnalysis.tokens(lower(col(textCol))).as("__ltoks"))
+    val counted = base
+      .select(col(idCol), col("__nsc"),
+        explode(flatten(array(ns.map(n =>
+          transform(wordGramsFromToks(col("__ltoks"), n),
+            g => struct(lit(n).as("n"), xxhash64(g).as("h")))): _*))).as("__g"))
+      .select(col(idCol), col("__nsc"), col("__g.n").as("__n"), col("__g.h").as("__h"))
+      .groupBy(col(idCol), col("__nsc"), col("__n"), col("__h"))
+      .agg(count(lit(1)).as("cnt"))
+    val winners = counted
+      .withColumn("__mx",
+        max(col("cnt")).over(Window.partitionBy(col(idCol), col("__n"))))
+      .where(col("cnt") === col("__mx"))
+      .groupBy(col(idCol), col("__n"))
+      .agg(max(col("cnt")).as("cnt"), collect_list(col("__h")).as("__whs"))
+      .groupBy(col(idCol))
+      .agg(map_from_entries(collect_list(struct(col("__n"),
+        struct(col("cnt").as("cnt"), col("__whs").as("whs"))))).as("__wmap"))
+    val t = col("__text")
+    def fracFor(n: Int): Column = {
+      val entry = col("__wmap")(n)
+      val topg = array_max(filter(wordGramsFromToks(col("__ltoks"), n),
+        g => array_contains(entry.getField("whs"), xxhash64(g))))
+      round(entry.getField("cnt") * length(regexp_replace(topg, " ", "")) /
+        col("__nsc").cast("double"), 6)
+    }
+    base.join(winners, Seq(idCol))
+      .select(
+        col(idCol),
+        wordCount(t).as("word_count"),
+        round(meanWordLength(t), 6).as("mean_word_len"),
+        round(duplicateWordFraction(t), 6).as("dup_word_frac"),
+        round(duplicateLineFraction(t), 6).as("dup_line_frac"),
+        round(symbolToWordRatio(t), 6).as("symbol_ratio"),
+        round(alphaWordFraction(t), 6).as("alpha_word_frac"),
+        fracFor(2).as("top2_frac"),
+        fracFor(3).as("top3_frac"))
       .withColumn("gopher_pass",
         col("word_count").between(minWords, maxWords) &&
         col("mean_word_len").between(1.0, 10.0) &&

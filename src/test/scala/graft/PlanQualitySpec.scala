@@ -202,8 +202,11 @@ class PlanQualitySpec extends AnyFunSuite with Matchers {
     val p = plan(df)
     (p should not).include("CartesianProduct")
     (p should not).include("BroadcastNestedLoopJoin")
-    // the occurrence-count aggregation groups by the xxhash64 window hash
-    p should include("xxhash64")
+    // the xxhash64 window-hash stream is checkpointed (its two consumers
+    // would otherwise each re-derive the corpus scan); the final plan
+    // reads it as an existing RDD plus the one text-rebuild scan
+    p should include("ExistingRDD")
+    "FileScan parquet".r.findAllIn(p).size should be <= 1
   }
 
   test("temperature sampling broadcasts domain rates; the corpus never shuffles") {
