@@ -80,7 +80,7 @@ object VectorExprs {
 
   /** Install graft's native functions — passed to
     * `SparkSession.builder.withExtensions` (the public extension point). */
-  def install(ext: SparkSessionExtensions): Unit =
+  def install(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       new FunctionIdentifier("vector_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "vector_dot"),
@@ -88,6 +88,14 @@ object VectorExprs {
         require(children.size == 2, s"vector_dot expects 2 arguments, got ${children.size}")
         DotProduct(children.head, children(1))
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("bpe_encode_doc"),
+      new ExpressionInfo(classOf[BpeEncodeDoc].getName, "bpe_encode_doc"),
+      (children: Seq[Expression]) => {
+        require(children.size == 3, s"bpe_encode_doc expects 3 arguments, got ${children.size}")
+        BpeEncodeDoc(children.head, children(1), children(2))
+      }))
+  }
 
   /** Codegen'd dot product of two ARRAY<DOUBLE> columns (requires a
     * GraftSession-built session, which registers `vector_dot`). */

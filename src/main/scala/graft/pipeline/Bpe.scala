@@ -116,6 +116,16 @@ object Bpe {
         w => encodeWord(w, merges))),
       array(lit(EndOfDoc)))
 
+  /** Native-kernel twin of [[encodeDoc]] ([[graft.functions.BpeEncodeDoc]],
+    * registered by GraftSession): bit-identical output (PipelineSpec
+    * property), one codegen'd pass per doc instead of one interpreted
+    * `aggregate` fold PER MERGE — the only shape that stays plannable and
+    * fast once the merge table is a learned vocabulary (10k+ entries ship
+    * as two array literals, cost independent of table size). */
+  def encodeDocNative(text: Column, merges: Seq[(String, String)]): Column =
+    call_function("bpe_encode_doc", text,
+      lit(merges.map(_._1).toArray), lit(merges.map(_._2).toArray))
+
   /** The LLM pretraining data-prep step end to end: BPE-encode every doc,
     * concatenate the subword streams (document sentinels included) in a
     * deterministic order, and cut fixed `seqLen`-token training sequences
@@ -134,7 +144,7 @@ object Bpe {
                     textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val enc = docs
-      .select(col(idCol), encodeDoc(col(textCol), merges).as("__toks"))
+      .select(col(idCol), encodeDocNative(col(textCol), merges).as("__toks"))
       .withColumn("__bucket",
         floor(graft.pipeline.Sampling.hashPoint(col(idCol)) * nBuckets).cast("int"))
       .withColumn("__n", size(col("__toks")).cast("long"))

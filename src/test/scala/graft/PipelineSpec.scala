@@ -601,6 +601,42 @@ class PipelineSpec extends AnyFunSuite with Matchers {
       .collect().toSet shouldEqual out.toSet
   }
 
+  test("native bpe_encode_doc is bit-identical to the declarative merge fold") {
+    import graft.pipeline.Bpe
+    // randomized: texts over a small alphabet so merges actually fire,
+    // merge tables mixing char pairs, learned-style composites and the
+    // word sentinel; pairs deduped (the codec's documented precondition)
+    val rnd = new scala.util.Random(20260814)
+    val symbols = Seq("a", "b", "c", "d", "ab", "bc", "cd", "abc", Bpe.EndOfWord)
+    val cases = (1 to 25).map { _ =>
+      val text = (1 to (1 + rnd.nextInt(6))).map { _ =>
+        (1 to (1 + rnd.nextInt(8))).map(_ => "abcd".charAt(rnd.nextInt(4))).mkString
+      }.mkString(" ")
+      val merges = Seq.fill(2 + rnd.nextInt(8)) {
+        (symbols(rnd.nextInt(symbols.length)), symbols(rnd.nextInt(symbols.length)))
+      }.distinct
+      (text, merges)
+    } ++ Seq(
+      ("", Bpe.DemoMerges),                       // empty doc -> lone </d>
+      ("   ", Bpe.DemoMerges),                    // whitespace-only
+      ("The THEORY of ther", Bpe.DemoMerges),     // case fold + chained merges
+      ("aaa aaaa a", Seq(("a", "a"), ("aa", "aa"))), // overlap-safety ladder
+      ("x\ty\nz", Bpe.DemoMerges))                // non-space whitespace
+    cases.foreach { case (text, merges) =>
+      val both = Seq(Tuple1(text)).toDF("text").select(
+        Bpe.encodeDoc(col("text"), merges).as("fold"),
+        Bpe.encodeDocNative(col("text"), merges).as("native")).head
+      withClue(s"text='$text' merges=$merges: ") {
+        both.getSeq[String](1) shouldEqual both.getSeq[String](0)
+      }
+    }
+    // and over a real corpus slice in one distributed pass
+    val docs = graft.model.TsTables.documents(spark, "/root/testdata/sf0.001")
+    docs.select(Bpe.encodeDoc(col("text"), Bpe.DemoMerges).as("fold"),
+        Bpe.encodeDocNative(col("text"), Bpe.DemoMerges).as("native"))
+      .where(!(col("fold") <=> col("native"))).count() shouldEqual 0L
+  }
+
   test("batch bm25 equals the single-query scorer on identical terms") {
     import graft.pipeline.Search
     val corpus = Seq(
