@@ -53,6 +53,7 @@ object Bench {
     "q124_bigram_logloss", "q125_session_stats",
     "q131_line_dedup", "q132_bm25_search", "q133_source_divergence",
     "q135_cross_logloss", "q137_tokenize_pack", "q138_perceptual_dups",
+    "q144_dsir_select", "q145_sq8_knn",
     "corpus_minhash_dups", "corpus_simhash", "corpus_knn_lsh",
     "corpus_cosine_dups", "corpus_ivf_knn", "corpus_winnowing",
     "corpus_dedup_pipeline", "corpus_span_dedup", "corpus_pq_knn",

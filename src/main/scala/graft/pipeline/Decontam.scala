@@ -49,4 +49,41 @@ object Decontam {
       flagContaminated(corpus, benchmarks, n, textCol, idCol, benchTextCol, benchIdCol)
         .select(col(idCol)),
       Seq(idCol), "left_anti")
+
+  /** Contamination-safe train/eval split: assign every doc its
+    * md5-deterministic [[Sampling.hashSplit]] label, then QUARANTINE any
+    * train doc sharing a verbatim token n-gram with ANY doc of the eval
+    * splits (the decontamination step a real pretrain/eval split needs —
+    * without it, eval examples leak into training through near-copies the
+    * split hash distributed across both sides).
+    *
+    * Scale shape: unlike [[flagContaminated]] (whose benchmark side is
+    * small and broadcast), the eval side here is a FRACTION OF THE CORPUS
+    * — so the gram probe is a hash-first shuffle join: both sides shuffle
+    * xxhash64(gram) longs, never gram strings (collision odds ~n²/2⁶⁴;
+    * the oracle joins the strings themselves). Quarantined docs stay in
+    * the output, relabeled, so the caller sees what decontamination cost.
+    * Output: (idCol, split) with split ∈ splits' labels + "quarantined". */
+  def contaminationSafeSplit(docs: DataFrame,
+                             splits: Seq[(String, Double)],
+                             trainSplit: String = "train", n: Int = 8,
+                             textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(splits.exists(_._1 == trainSplit), s"splits must include '$trainSplit': $splits")
+    val labeled = docs.select(col(idCol), col(textCol),
+      Sampling.hashSplit(col(idCol), splits).as("split"))
+    def hashedGrams(df: DataFrame): DataFrame =
+      df.select(col(idCol), TextAnalysis.tokens(lower(col(textCol))).as("__toks"))
+        .where(size(col("__toks")) >= n)
+        .select(col(idCol),
+          explode(array_distinct(Quality.wordGramsFromToks(col("__toks"), n))).as("__g"))
+        .select(col(idCol), xxhash64(col("__g")).as("__h"))
+    val trainGrams = hashedGrams(labeled.where(col("split") === trainSplit))
+    val evalGrams = hashedGrams(labeled.where(col("split") =!= trainSplit))
+      .select(col("__h")).distinct()
+    val hit = trainGrams.join(evalGrams, "__h")
+      .select(col(idCol)).distinct().withColumn("__hit", lit(true))
+    labeled.join(hit, Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("__hit").isNotNull, lit("quarantined")).otherwise(col("split")).as("split"))
+  }
 }

@@ -171,4 +171,83 @@ object Sampling {
       .select(col(idCol), col(sourceCol), round(col("__rate"), 6).as("rate"),
         explode(sequence(lit(1), col("__n"))).as("epoch"))
   }
+
+  /** Hashed-feature bucket for a gram: the md5 hash point scaled to
+    * `nBuckets` (same determinism contract as [[hashPoint]]). */
+  def featureBucket(gram: Column, nBuckets: Int): Column =
+    floor(hashPoint(gram) * nBuckets).cast("int")
+
+  /** Per-doc hashed n-gram features: unigrams plus space-joined bigrams
+    * (the DSIR feature space — Xie et al. 2023 §3.1). */
+  def hashedGrams(text: Column): Column = {
+    val toks = filter(TextAnalysis.tokens(lower(text)), t => length(t) > 0)
+    val bigrams = when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    concat(toks, bigrams)
+  }
+
+  /** DSIR data selection (Xie et al., NeurIPS 2023: "Data Selection for
+    * Language Models via Importance Resampling"): rank raw-corpus docs by
+    * their importance weight under hashed-n-gram bucket unigram models of
+    * a TARGET domain vs the raw corpus, and keep the top `keep`:
+    *
+    *   log w(x) = sum over features f of [ln p_target(b(f)) - ln p_raw(b(f))]
+    *
+    * with add-1-smoothed bucket probabilities over `nBuckets` buckets.
+    * (The paper resamples with Gumbel noise to avoid near-duplicate bias;
+    * the engine's contract is the deterministic top-k by weight, the same
+    * determinism trade the other md5-keyed Sampling operators make.)
+    *
+    * Engine-stability: the per-bucket log-ratios are rounded ONCE (on the
+    * driver) to integer micro-nats, so the per-doc score is an exact
+    * integer sum — order-independent and bit-identical across engines
+    * (the q117 lesson: never hash-compare a float accumulated in
+    * engine-specific order).
+    *
+    * Scale shape: both bucket-count tables are fixed-width (<= nBuckets
+    * rows) aggregates; the log-ratio table comes back as ONE array
+    * literal, so scoring is a pure map-side expression over the raw
+    * corpus — zero shuffle — and selection is one distributed top-k.
+    * Output: (idCol, n_feats, logw_micro, keep). */
+  def dsirSelect(raw: DataFrame, target: DataFrame, keep: Int,
+                 nBuckets: Int = 1024, textCol: String = "text",
+                 idCol: String = "doc_id"): DataFrame = {
+    require(keep >= 1 && nBuckets >= 2, s"bad keep=$keep / nBuckets=$nBuckets")
+    def bucketCounts(df: DataFrame): Array[Long] = {
+      val rows = df
+        .select(explode(hashedGrams(col(textCol))).as("__g"))
+        .select(featureBucket(col("__g"), nBuckets).as("__b"))
+        .groupBy(col("__b")).agg(count(lit(1)).as("__n"))
+        .collect()
+      val arr = Array.fill(nBuckets)(0L)
+      rows.foreach(r => arr(r.getInt(0)) = r.getLong(1))
+      arr
+    }
+    val tc = bucketCounts(target)
+    val rc = bucketCounts(raw)
+    val tn = tc.sum.toDouble + nBuckets
+    val rn = rc.sum.toDouble + nBuckets
+    // integer micro-nat log-ratio per bucket, rounded exactly once
+    val ratio = Array.tabulate(nBuckets) { b =>
+      math.round((math.log((tc(b) + 1) / tn) - math.log((rc(b) + 1) / rn)) * 1e6)
+    }
+    val scored = raw.select(col(idCol), hashedGrams(col(textCol)).as("__gs"))
+      .select(col(idCol), size(col("__gs")).as("n_feats"),
+        aggregate(col("__gs"), lit(0L),
+          (acc, g) => acc + element_at(lit(ratio), featureBucket(g, nBuckets) + 1))
+          .as("logw_micro"))
+    // global top-k WITHOUT a global sort: (negated-weight, id) struct
+    // ordering makes limit(keep) a distributed TakeOrdered; the k-th key
+    // broadcasts back as the keep threshold
+    def key(df: DataFrame) =
+      struct((-col("logw_micro")).as("nw"), col(idCol).as("i"))
+    val thr = scored.select(key(scored).as("__s"))
+      .orderBy(col("__s")).limit(keep)
+      .agg(max(col("__s")).as("__thr"))
+    scored.crossJoin(broadcast(thr))
+      .withColumn("keep", key(scored) <= col("__thr"))
+      .drop("__thr")
+  }
 }

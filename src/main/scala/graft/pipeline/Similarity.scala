@@ -377,4 +377,71 @@ object Similarity {
       .filter(col("sim") >= threshold)
       .select(col(s"a.$idCol").as("id1"), col(s"b.$idCol").as("id2"), round(col("sim"), 6).as("sim"))
   }
+
+  /** Scalar-quantized (SQ8) kNN with exact rerank — the FAISS
+    * IndexScalarQuantizer shape, the simplest compressed-corpus ANN: each
+    * dimension is linearly quantized to a 0..255 code against per-dim
+    * corpus [min, max] bounds, queries score ASYMMETRICALLY (full-precision
+    * query x dequantized corpus cosine), the top `k * overfetch`
+    * candidates per query are then reranked by exact cosine on the
+    * original vectors and the top k kept.
+    *
+    * Scale shape: the bound fit is one fixed-width aggregate (dim rows);
+    * bounds embed as two array literals so ENCODING IS MAP-SIDE (at rest
+    * the corpus stores dim bytes per row instead of dim floats — the
+    * point of SQ8); candidate generation is the same broadcast-queries x
+    * corpus scan as [[bruteForceKnn]] but over codes; only the tiny
+    * candidate set (queries x k x overfetch rows) joins back to the
+    * full-precision corpus for rerank.
+    *
+    * Exactness contract for the oracle: dequantization and both cosines
+    * are plain IEEE arithmetic evaluated in index order — no
+    * transcendentals, no engine-ordered accumulation — so scores are
+    * bit-identical cross-engine. */
+  def sq8Knn(queries: DataFrame, corpus: DataFrame, k: Int, overfetch: Int = 4,
+             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1 && overfetch >= 1, s"bad k=$k / overfetch=$overfetch")
+    val c0 = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("cv"))
+    // per-dimension [min, max] over the corpus: posexplode -> dim rows
+    val stats = c0.select(posexplode(col("cv")).as(Seq("__d", "__x")))
+      .groupBy(col("__d")).agg(min(col("__x")).as("mn"), max(col("__x")).as("mx"))
+      .collect().map(r => r.getInt(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val dim = stats.size
+    val mn = Array.tabulate(dim)(i => stats(i)._1)
+    val span = Array.tabulate(dim) { i =>
+      val s = stats(i)._2 - stats(i)._1
+      if (s > 0) s else 1.0 // constant dim: all codes 0, dequant = mn
+    }
+    // code_i = round((x_i - mn_i) / span_i * 255); dequant = mn + c/255*span
+    val codes = transform(sequence(lit(0), lit(dim - 1)), i =>
+      round((element_at(col("cv"), i + 1) - element_at(lit(mn), i + 1))
+        / element_at(lit(span), i + 1) * 255).cast("int"))
+    val dequant = transform(sequence(lit(0), lit(dim - 1)), i =>
+      element_at(lit(mn), i + 1) +
+        element_at(col("__codes"), i + 1).cast("double") / 255.0
+          * element_at(lit(span), i + 1))
+    val encoded = c0.withColumn("__codes", codes)
+      .select(col("neighbor_id"), dequant.as("dv"))
+      .withColumn("__dn", norm(col("dv")))
+
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("qv"))
+      .withColumn("__qn", norm(col("qv"))))
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("asim").desc, col("neighbor_id").asc)
+    val cands = q.join(encoded, col("query_id") =!= col("neighbor_id"))
+      .withColumn("asim", cosinePre(col("qv"), col("__qn"), col("dv"), col("__dn")))
+      .withColumn("crk", row_number().over(wq)).filter(col("crk") <= k * overfetch)
+      .select(col("query_id"), col("qv"), col("__qn"), col("neighbor_id"),
+        round(col("asim"), 6).as("asim"))
+
+    // exact rerank: only the candidate set rejoins the full-precision corpus
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id").asc)
+    cands.join(c0.withColumn("__cn", norm(col("cv"))), "neighbor_id")
+      .withColumn("sim", cosinePre(col("qv"), col("__qn"), col("cv"), col("__cn")))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rk"),
+        round(col("sim"), 6).as("sim"), col("asim"))
+  }
 }

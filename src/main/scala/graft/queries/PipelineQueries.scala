@@ -394,8 +394,38 @@ object PipelineQueries {
       Similarity.ivfPqKnn(e.filter(col("vec_id") < 3), e, k = 5,
         nCentroids = 3, nprobe = 2, m = 4, ksub = 4)
         .orderBy(col("query_id"), col("rk"))
-    })
+    }),
+
+    // DSIR importance selection: src0 is the target domain, the whole
+    // corpus is raw; integer micro-nat weights (full DuckDB mirror of the
+    // hashed-bucket LMs, the log-ratio table and the top-k threshold)
+    "q144_dsir_select" -> ((s, dir) => {
+      val docs = TsTables.documents(s, dir)
+      Sampling.dsirSelect(docs, docs.where(col("source") === "src0"),
+        keep = DsirKeep, nBuckets = DsirBuckets)
+        .orderBy(col("doc_id"))
+    }),
+
+    // SQ8 scalar-quantized ANN with exact rerank — full DuckDB mirror
+    // (linear quantization and both cosines are order-pinned IEEE
+    // arithmetic; candidate sets are provably identical cross-engine)
+    "q145_sq8_knn" -> ((s, dir) => {
+      val e = TsTables.embeddings(s, dir)
+      Similarity.sq8Knn(e.filter(col("vec_id") < 10), e, k = 5, overfetch = 4)
+        .orderBy(col("query_id"), col("rk"))
+    }),
+
+    // contamination-safe split: md5 split labels, then train docs sharing
+    // an 8-gram with any eval-split doc are relabeled 'quarantined'
+    "q146_safe_split" -> ((s, dir) =>
+      Decontam.contaminationSafeSplit(TsTables.documents(s, dir),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), n = 8)
+        .orderBy(col("doc_id")))
   )
+
+  /** q144 DSIR constants, shared with the oracle SQL. */
+  private val DsirKeep = 120
+  private val DsirBuckets = 256
 
   /** q142 epoch-mix recipe: src0's weighted share is ~4× its corpus size
     * (multi-epoch), src1 hovers near 1, src2 downsamples. */
@@ -837,6 +867,110 @@ object PipelineQueries {
           ORDER BY doc_id"""
 
   private lazy val oraclesTail: Map[String, String] = Map(
+
+    // split labels + gram-overlap quarantine; the oracle joins gram
+    // STRINGS where the operator joins xxhash64(gram) (the repo's
+    // hash-first convention — q115 precedent)
+    "q146_safe_split" ->
+      s"""WITH lab AS (
+            SELECT doc_id, CASE WHEN u < 0.8 THEN 'train'
+                                WHEN u < 0.9 THEN 'val' ELSE 'test' END AS split
+            FROM (SELECT doc_id, ${hashPointSql("doc_id")} AS u FROM documents)),
+          base AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+                   FROM documents),
+          wins AS (SELECT b.doc_id, array_to_string(toks[i:i+7], ' ') AS gram
+                   FROM base b, UNNEST(generate_series(1, greatest(len(toks)-7, 0))) AS t(i)),
+          tg AS (SELECT DISTINCT w.doc_id, gram
+                 FROM wins w JOIN lab USING (doc_id) WHERE lab.split = 'train'),
+          eg AS (SELECT DISTINCT gram
+                 FROM wins w JOIN lab USING (doc_id) WHERE lab.split <> 'train'),
+          hit AS (SELECT DISTINCT doc_id FROM tg JOIN eg USING (gram))
+          SELECT l.doc_id,
+                 CASE WHEN l.doc_id IN (SELECT doc_id FROM hit)
+                      THEN 'quarantined' ELSE l.split END AS split
+          FROM lab l ORDER BY doc_id""",
+
+    // full mirror of the DSIR hashed-bucket LMs: same md5 bucket, add-1
+    // smoothing, micro-nat integer rounding and top-k threshold
+    "q144_dsir_select" ->
+      s"""WITH base AS (
+            SELECT doc_id, source,
+                   list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                               t -> len(t) > 0) AS toks
+            FROM documents),
+          feats AS (
+            SELECT doc_id, source,
+                   toks || CASE WHEN len(toks) >= 2
+                                THEN list_transform(generate_series(1, len(toks) - 1),
+                                                    i -> toks[i] || ' ' || toks[i + 1])
+                                ELSE []::VARCHAR[] END AS gs
+            FROM base),
+          bg AS (
+            SELECT doc_id, source,
+                   CAST(floor((('0x' || substr(md5(g), 1, 4))::INT / 65536.0)
+                              * $DsirBuckets) AS INT) AS b
+            FROM (SELECT doc_id, source, unnest(gs) AS g FROM feats)),
+          t AS (SELECT b, count(*) AS n FROM bg WHERE source = 'src0' GROUP BY b),
+          r AS (SELECT b, count(*) AS n FROM bg GROUP BY b),
+          tot AS (SELECT (SELECT sum(n) FROM t) + $DsirBuckets.0 AS tn,
+                         (SELECT sum(n) FROM r) + $DsirBuckets.0 AS rn),
+          ratio AS (
+            SELECT bs.b,
+                   CAST(round((ln((coalesce(t.n, 0) + 1) / tot.tn)
+                             - ln((coalesce(r.n, 0) + 1) / tot.rn)) * 1e6) AS BIGINT) AS rr
+            FROM (SELECT unnest(generate_series(0, ${DsirBuckets - 1})) AS b) bs
+            LEFT JOIN t ON t.b = bs.b LEFT JOIN r ON r.b = bs.b CROSS JOIN tot),
+          score AS (
+            SELECT bg.doc_id, sum(ratio.rr) AS lw
+            FROM bg JOIN ratio ON ratio.b = bg.b GROUP BY bg.doc_id),
+          final AS (
+            SELECT f.doc_id, len(f.gs) AS n_feats, coalesce(s.lw, 0) AS logw_micro
+            FROM feats f LEFT JOIN score s ON s.doc_id = f.doc_id)
+          SELECT doc_id, n_feats, logw_micro,
+                 row_number() OVER (ORDER BY logw_micro DESC, doc_id ASC) <= $DsirKeep AS keep
+          FROM final ORDER BY doc_id""",
+
+    // full mirror of SQ8: per-dim bounds, linear quantize/dequant in the
+    // operator's exact op order, asymmetric candidate cosine, exact rerank
+    "q145_sq8_knn" ->
+      """WITH c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+              q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                    FROM embeddings WHERE vec_id < 10),
+              dim AS (SELECT max(len(cv)) AS d FROM c),
+              dims AS (
+                SELECT i, min(cv[i]) AS mn,
+                       CASE WHEN max(cv[i]) - min(cv[i]) > 0
+                            THEN max(cv[i]) - min(cv[i]) ELSE 1.0 END AS span
+                FROM c CROSS JOIN (SELECT unnest(generate_series(1, (SELECT d FROM dim))) AS i)
+                GROUP BY i),
+              bounds AS (SELECT list(mn ORDER BY i) AS mnl, list(span ORDER BY i) AS spanl
+                         FROM dims),
+              enc AS (
+                SELECT neighbor_id,
+                       list_transform(generate_series(1, d),
+                         i -> mnl[i] + round((cv[i] - mnl[i]) / spanl[i] * 255) / 255.0
+                                       * spanl[i]) AS dv
+                FROM c CROSS JOIN bounds CROSS JOIN dim),
+              cand AS (
+                SELECT query_id, neighbor_id, asim, qv,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY asim DESC, neighbor_id ASC) AS crk
+                FROM (SELECT q.query_id, e.neighbor_id, q.qv,
+                             list_dot_product(q.qv, e.dv)
+                               / (sqrt(list_dot_product(q.qv, q.qv))
+                                  * sqrt(list_dot_product(e.dv, e.dv))) AS asim
+                      FROM q JOIN enc e ON q.query_id <> e.neighbor_id)),
+              rer AS (
+                SELECT query_id, neighbor_id, asim,
+                       list_dot_product(qv, c.cv)
+                         / (sqrt(list_dot_product(qv, qv))
+                            * sqrt(list_dot_product(c.cv, c.cv))) AS sim
+                FROM cand JOIN c USING (neighbor_id) WHERE crk <= 20)
+          SELECT query_id, neighbor_id, rk, round(sim, 6) AS sim, round(asim, 6) AS asim
+          FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                             ORDER BY sim DESC, neighbor_id ASC) AS rk
+                FROM rer)
+          WHERE rk <= 5 ORDER BY query_id, rk""",
 
     // golden-fixture oracle (KMeans clustering is not DuckDB-reproducible):
     // the three planted direction clusters each keep their minimum id

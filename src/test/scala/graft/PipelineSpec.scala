@@ -601,6 +601,74 @@ class PipelineSpec extends AnyFunSuite with Matchers {
       .collect().toSet shouldEqual out.toSet
   }
 
+  test("contamination-safe split quarantines train docs sharing grams with eval docs") {
+    import graft.pipeline.{Decontam, Sampling}
+    // find ids landing on each side of the hash split, then plant overlap
+    val probe = spark.range(0, 200).toDF("doc_id")
+      .withColumn("split", Sampling.hashSplit(col("doc_id"),
+        Seq("train" -> 0.5, "test" -> 0.5)))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val trainIds = probe.filter(_._2 == "train").keys.toSeq.sorted
+    val testIds = probe.filter(_._2 == "test").keys.toSeq.sorted
+    val leak = "alpha beta gamma delta epsilon zeta eta theta"   // 8 tokens
+    val docs = Seq(
+      (trainIds(0), s"prefix words here $leak suffix closing words"), // leaks
+      (trainIds(1), "entirely clean training document with its own words"),
+      (testIds(0), s"eval question contains $leak verbatim"),
+      (testIds(1), "independent eval content nothing shared")
+    ).toDF("doc_id", "text")
+    val out = Decontam.contaminationSafeSplit(docs,
+        Seq("train" -> 0.5, "test" -> 0.5), n = 8)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    out(trainIds(0)) shouldEqual "quarantined"
+    out(trainIds(1)) shouldEqual "train"
+    out(testIds(0)) shouldEqual "test"     // eval side never quarantines
+    out(testIds(1)) shouldEqual "test"
+  }
+
+  test("dsir: target-like docs outrank dissimilar ones; repartition-stable") {
+    import graft.pipeline.Sampling
+    val raw = Seq(
+      (1L, "quantum physics entangled qubits decohere rapidly"),
+      (2L, "quantum qubits physics decohere entangled states"),
+      (3L, "cheap pills buy now discount offer click here"),
+      (4L, "discount offer buy cheap pills now free"),
+      (5L, "quantum entangled physics qubits superposition")
+    ).toDF("doc_id", "text")
+    val target = Seq(
+      (100L, "quantum physics qubits entangled superposition decohere"),
+      (101L, "entangled qubits quantum superposition physics")
+    ).toDF("doc_id", "text")
+    val out = Sampling.dsirSelect(raw, target, keep = 3, nBuckets = 64).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getBoolean(3))).toMap
+    // physics docs carry positive target-vs-raw weight; spam negative
+    Set(1L, 2L, 5L).foreach { id => out(id)._2 shouldBe true }
+    Set(3L, 4L).foreach { id =>
+      out(id)._2 shouldBe false
+      out(id)._1 should be < out(1L)._1
+    }
+    Sampling.dsirSelect(raw.repartition(7), target.repartition(3), 3, 64)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getBoolean(3))).toMap shouldEqual out
+  }
+
+  test("sq8 knn: exact rerank reproduces brute-force top-k on separated clusters") {
+    val e = graft.queries.PipelineFixtures.embs(spark)
+    val q = e.filter($"vec_id" < 3)
+    val sq = Similarity.sq8Knn(q, e, k = 4, overfetch = 4).collect()
+    val bf = Similarity.bruteForceKnn(q, e, k = 4).collect()
+    // with generous overfetch the quantized candidate set covers the true
+    // top-k, so the reranked result equals exact brute force
+    sq.map(r => (r.getAs[Int]("query_id"), r.getAs[Int]("neighbor_id"),
+        r.getAs[Int]("rk"), r.getAs[Double]("sim"))).sorted shouldEqual
+      bf.map(r => (r.getAs[Int]("query_id"), r.getAs[Int]("neighbor_id"),
+        r.getAs[Int]("rk"), r.getAs[Double]("sim"))).sorted
+    // approximate scores track the exact ones (SQ8 error bound is small
+    // relative to the planted clusters' separation)
+    sq.foreach { r =>
+      math.abs(r.getAs[Double]("asim") - r.getAs[Double]("sim")) should be < 0.05
+    }
+  }
+
   test("native bpe_encode_doc is bit-identical to the declarative merge fold") {
     import graft.pipeline.Bpe
     // randomized: texts over a small alphabet so merges actually fire,

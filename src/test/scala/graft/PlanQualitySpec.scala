@@ -315,6 +315,37 @@ class PlanQualitySpec extends AnyFunSuite with Matchers {
     (p should not).include("Exchange rangepartitioning")
   }
 
+  test("dsir: scoring is map-side (broadcast threshold, no corpus hash shuffle)") {
+    val docs = TsTables.documents(spark, dir)
+    val df = graft.pipeline.Sampling.dsirSelect(
+      docs, docs.filter(org.apache.spark.sql.functions.col("source") === "src0"),
+      keep = 20, nBuckets = 64)
+    df.count()
+    val p = plan(df)
+    // the log-ratio table is an array literal and the k-th key broadcasts:
+    // the corpus is never hash-shuffled for scoring, and the threshold
+    // pass is a distributed TakeOrdered, not a global sort
+    p should include("TakeOrderedAndProject")
+    p should include("BroadcastNestedLoopJoin")
+    (p should not).include("Exchange hashpartitioning")
+    (p should not).include("Exchange rangepartitioning")
+  }
+
+  test("sq8 knn: partial per-partition top-k precedes the query_id exchange") {
+    val e = TsTables.embeddings(spark, dir)
+    val df = graft.pipeline.Similarity.sq8Knn(
+      e.filter(org.apache.spark.sql.functions.col("vec_id") < 3), e, k = 4)
+    df.count()
+    val p = plan(df)
+    // queries broadcast against the encoded corpus; WindowGroupLimit
+    // trims candidates per partition BEFORE the per-query exchange, so
+    // the shuffle carries at most (partitions x queries x k x overfetch)
+    // rows, not the full scored corpus
+    p should include("WindowGroupLimit")
+    (p should not).include("CartesianProduct")
+    (p should not).include("SortMergeJoin")
+  }
+
   test("perceptual dedup: banded hash join, no cartesian, payload bytes stay out of shuffles") {
     val media = graft.pipeline.Multimodal.synthesizeMedia(TsTables.documents(spark, dir))
     val df = graft.pipeline.Multimodal.perceptualDuplicates(media, maxDist = 16, prefixBits = 8)
