@@ -178,13 +178,18 @@ object Sampling {
     floor(hashPoint(gram) * nBuckets).cast("int")
 
   /** Per-doc hashed n-gram features: unigrams plus space-joined bigrams
-    * (the DSIR feature space — Xie et al. 2023 §3.1). */
+    * (the DSIR feature space — Xie et al. 2023 §3.1). Bigrams come from a
+    * zip of shifted slices, NOT `element_at(toks, i)` inside the lambda —
+    * a lambda that references the un-staged token EXPRESSION re-derives
+    * the whole tokenize chain per array element, turning the projection
+    * O(len²) per doc (measured 10 s vs 0.3 s at sf0.1; same pitfall
+    * bigramLogLoss documents). */
   def hashedGrams(text: Column): Column = {
     val toks = filter(TextAnalysis.tokens(lower(text)), t => length(t) > 0)
-    val bigrams = when(size(toks) >= 2,
-      transform(sequence(lit(1), size(toks) - 1),
-        i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1))))
-      .otherwise(array().cast("array<string>"))
+    val n1 = greatest(size(toks) - 1, lit(0))
+    val bigrams = transform(
+      arrays_zip(slice(toks, lit(1), n1).as("a"), slice(toks, lit(2), n1).as("b")),
+      p => concat(p.getField("a"), lit(" "), p.getField("b")))
     concat(toks, bigrams)
   }
 
@@ -238,6 +243,9 @@ object Sampling {
         aggregate(col("__gs"), lit(0L),
           (acc, g) => acc + element_at(lit(ratio), featureBucket(g, nBuckets) + 1))
           .as("logw_micro"))
+      // three narrow columns per doc: materialize so the threshold pass
+      // and the final projection don't each re-run the md5 gram scoring
+      .localCheckpoint(false)
     // global top-k WITHOUT a global sort: (negated-weight, id) struct
     // ordering makes limit(keep) a distributed TakeOrdered; the k-th key
     // broadcasts back as the keep threshold

@@ -413,15 +413,21 @@ object Similarity {
       val s = stats(i)._2 - stats(i)._1
       if (s > 0) s else 1.0 // constant dim: all codes 0, dequant = mn
     }
-    // code_i = round((x_i - mn_i) / span_i * 255); dequant = mn + c/255*span
-    val codes = transform(sequence(lit(0), lit(dim - 1)), i =>
-      round((element_at(col("cv"), i + 1) - element_at(lit(mn), i + 1))
-        / element_at(lit(span), i + 1) * 255).cast("int"))
-    val dequant = transform(sequence(lit(0), lit(dim - 1)), i =>
-      element_at(lit(mn), i + 1) +
-        element_at(col("__codes"), i + 1).cast("double") / 255.0
-          * element_at(lit(span), i + 1))
-    val encoded = c0.withColumn("__codes", codes)
+    // code_i = round((x_i - mn_i) / span_i * 255); dequant = mn + c/255*span.
+    // Quantize and dequantize FUSED in one lambda over column references
+    // only: a separate intermediate codes column gets inlined back into
+    // the dequant lambda by CollapseProject (it appears once), and
+    // element_at(<transform-expr>, i) inside a lambda re-evaluates the
+    // whole inner transform per element — O(dim²) per row, measured 9.6 s
+    // vs 0.5 s at sf0.1. (At rest a real deployment persists the int
+    // codes — that projection is the same lambda minus the dequant tail.)
+    val dequant = transform(sequence(lit(0), lit(dim - 1)), i => {
+      val m = element_at(lit(mn), i + 1)
+      val s = element_at(lit(span), i + 1)
+      m + round((element_at(col("cv"), i + 1) - m) / s * 255)
+        .cast("int").cast("double") / 255.0 * s
+    })
+    val encoded = c0
       .select(col("neighbor_id"), dequant.as("dv"))
       .withColumn("__dn", norm(col("dv")))
 

@@ -129,6 +129,52 @@ object Parser {
     "label_replace", "label_join", "or_vector", "no_optimize",
     "optimize_with_agg", "_filodb_chunkmeta_all")
 
+  /** Parse-time argument signatures (Prometheus checks arity and operand
+    * types at parse; the reference ParserSpec's function-error battery —
+    * `sum_over_time(foo)`, `avg_over_time(m[5m], hello)`, `topk(m)` … —
+    * all reject before planning). Each entry is (types, minArgs) with
+    * types.length = maxArgs. Type letters:
+    *   'm' range vector (range selector / subquery)
+    *   's' scalar-typed expression
+    *   'S' string literal
+    *   'v' instant vector — scalars allowed too (the reference grammar
+    *       accepts `floor(1)`; its scalar args plan as constant vectors)
+    *   'e' vector or range vector (timestamp/last accept both here)
+    * label_join's trailing string list is variadic and special-cased. */
+  val FunctionSigs: Map[String, (String, Int)] = {
+    val m1 = Seq("rate", "increase", "delta", "idelta", "irate", "resets",
+      "changes", "deriv", "z_score", "sum_over_time", "avg_over_time",
+      "count_over_time", "min_over_time", "max_over_time", "stddev_over_time",
+      "stdvar_over_time", "last_over_time", "present_over_time",
+      "absent_over_time", "mad_over_time").map(_ -> ("m", 1))
+    val v1 = Seq("abs", "ceil", "floor", "exp", "ln", "log2", "log10", "sqrt",
+      "sgn", "sort", "sort_desc", "scalar", "hist_to_prom_vectors",
+      "no_optimize", "optimize_with_agg").map(_ -> ("v", 1))
+    val cal = Seq("month", "year", "hour", "minute", "day_of_week",
+      "day_of_month", "day_of_year", "days_in_month").map(_ -> ("v", 0))
+    (m1 ++ v1 ++ cal ++ Seq(
+      "predict_linear" -> ("ms", 2),
+      "holt_winters" -> ("mss", 3),
+      "double_exponential_smoothing" -> ("mss", 3),
+      "quantile_over_time" -> ("sm", 2),
+      "last_over_time_is_mad_outlier" -> ("ssm", 3),
+      "last" -> ("e", 1), "timestamp" -> ("e", 1),
+      "round" -> ("vs", 1),
+      "clamp" -> ("vss", 3), "clamp_max" -> ("vs", 2), "clamp_min" -> ("vs", 2),
+      "histogram_quantile" -> ("sv", 2),
+      "histogram_fraction" -> ("ssv", 3),
+      "histogram_bucket" -> ("sv", 2),
+      "histogram_max_quantile" -> ("svvv", 3),
+      "histogram_max_quantile_even" -> ("svvv", 3),
+      "absent" -> ("e", 1),
+      "vector" -> ("s", 1),
+      "time" -> ("", 0),
+      "limit" -> ("sv", 2),
+      "label_replace" -> ("vSSSS", 5),
+      "or_vector" -> ("vs", 2),
+      "_filodb_chunkmeta_all" -> ("e", 1))).toMap
+  }
+
   def parse(query: String): PromExpr = new P(lex(query)).parseAll()
 
   /** Parse a standalone Prometheus duration string ("5m", "90s", "1h30m"),
@@ -283,6 +329,11 @@ object Parser {
             case _ => Nil
           }
           vm = vm.copy(groupLeft = left, groupRight = !left, include = include)
+          // a label cannot be both a join key and a carried-over extra
+          // (ref ParserSpec: on(instance) group_left(job,instance) fails)
+          val dup = vm.include.intersect(vm.labels)
+          if (vm.on && dup.nonEmpty)
+            fail(s"label '${dup.head}' must not occur in ON and GROUP clause at once")
         }
         matching = Some(vm)
       }
@@ -318,7 +369,8 @@ object Parser {
           // fold literal negation so `-5`/`-Inf` are literals (Prometheus
           // semantics, and what the printer round-trip needs)
           case NumberLit(v) => NumberLit(-v)
-          case e if matrixTyped(e) => // Prometheus: `-test[5m]` is a parse error
+          case e if matrixTyped(e) || e.isInstanceOf[StringLit] =>
+            // Prometheus: `-test[5m]` and `-"string"` are parse errors
             fail("unary expression only allowed on scalars or instant vectors")
           case e => BinOp("-", NumberLit(0), e)
         }
@@ -486,6 +538,7 @@ object Parser {
               while (cur == TOp(",")) { advance(); args += parseOr() }
             }
             expectOp(")")
+            checkFunctionArgs(name, args.toSeq)
             FuncCall(name, args.toSeq)
           case TOp("{") => parseSelector(Some(name))
           case _ => Selector(Some(name), Nil)
@@ -493,14 +546,60 @@ object Parser {
       case other => fail(s"unexpected token $other")
     }
 
+    /** Function arity + operand types, enforced at parse like the
+      * reference grammar (ParserSpec's function-error battery). */
+    private def checkFunctionArgs(name: String, args: Seq[PromExpr]): Unit = {
+      def typeName(e: PromExpr): String =
+        if (matrixTyped(e)) "range vector"
+        else if (e.isInstanceOf[StringLit]) "string"
+        else if (scalarTyped(e)) "scalar"
+        else "instant vector"
+      def check(t: Char, e: PromExpr, i: Int): Unit = {
+        val ok = t match {
+          case 'm' => matrixTyped(e)
+          case 's' => scalarTyped(e)
+          case 'S' => e.isInstanceOf[StringLit]
+          case 'v' => !matrixTyped(e) && !e.isInstanceOf[StringLit]
+          case 'e' => !e.isInstanceOf[StringLit]
+        }
+        if (!ok) {
+          val want = t match {
+            case 'm' => "range vector"; case 's' => "scalar"
+            case 'S' => "string"; case 'v' => "instant vector"
+            case 'e' => "instant or range vector"
+          }
+          fail(s"$name: argument ${i + 1} must be a $want, got ${typeName(e)}")
+        }
+      }
+      if (name == "label_join") { // variadic trailing source labels
+        if (args.size < 3) fail(s"label_join expects at least 3 arguments, got ${args.size}")
+        check('v', args.head, 0)
+        args.tail.zipWithIndex.foreach { case (a, i) => check('S', a, i + 1) }
+      } else Parser.FunctionSigs.get(name).foreach { case (types, minArgs) =>
+        if (args.size < minArgs || args.size > types.length)
+          fail(s"$name expects " +
+            (if (minArgs == types.length) s"$minArgs argument(s)"
+             else s"$minArgs to ${types.length} arguments") +
+            s", got ${args.size}")
+        args.zipWithIndex.foreach { case (a, i) => check(types(i), a, i) }
+      }
+    }
+
+    private val ParamAggs = Set("topk", "bottomk", "quantile", "count_values")
+
     private def parseAgg(): PromExpr = {
       val op = advance().asInstanceOf[TId].s
       var by: Seq[String] = Nil
       var without: Seq[String] = Nil
+      var clauseSeen = false
       def clause(): Boolean =
-        if (isKw(cur, "by")) { advance(); by = parseLabelList(); true }
-        else if (isKw(cur, "without")) { advance(); without = parseLabelList(); true }
-        else false
+        if (isKw(cur, "by")) {
+          if (clauseSeen) fail(s"only one by/without clause allowed on $op")
+          clauseSeen = true; advance(); by = parseLabelList(); true
+        } else if (isKw(cur, "without")) {
+          if (clauseSeen) fail(s"only one by/without clause allowed on $op")
+          clauseSeen = true; advance(); without = parseLabelList(); true
+        } else false
       clause() // modifier before args
       expectOp("(")
       val args = ArrayBuffer[PromExpr]()
@@ -508,9 +607,23 @@ object Parser {
       while (cur == TOp(",")) { advance(); args += parseOr() }
       expectOp(")")
       clause() // or after args
+      // arity + parameter type, enforced at parse (ref ParserSpec:
+      // `topk(some_metric)` and `sum(a, b)` are parse errors)
+      if (ParamAggs(op)) {
+        if (args.size != 2)
+          fail(s"$op expects (parameter, vector), got ${args.size} argument(s)")
+        if (op == "count_values") {
+          if (!args(0).isInstanceOf[StringLit])
+            fail("count_values expects a string label name parameter")
+        } else if (!scalarTyped(args(0)))
+          fail(s"$op parameter must be a scalar")
+      } else if (args.size != 1)
+        fail(s"$op expects a single argument, got ${args.size}")
       val (param, expr) =
         if (args.size == 2) (Some(args(0)), args(1))
         else (None, args(0))
+      if (matrixTyped(expr) || expr.isInstanceOf[StringLit])
+        fail(s"$op expects an instant vector argument")
       Agg(op, expr, param, by, without)
     }
 
@@ -549,6 +662,9 @@ object Parser {
     /** One `label op "value"` entry; returns true when the list ends. */
     private def parseOneMatcher(ms: ArrayBuffer[LabelMatcher]): Boolean = {
         val label = cur match {
+          // colons are legal in METRIC names (recording rules), never in
+          // unquoted label names (ref ParserSpec: some_metric{a:b="b"})
+          case TId(l) if l.contains(':') => fail(s"invalid label name '$l'")
           case TId(l) => advance(); l
           case TStr(l) => advance(); l // quoted label name (UTF-8 names)
           case other => fail(s"expected label, got $other")

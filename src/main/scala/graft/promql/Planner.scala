@@ -590,9 +590,11 @@ object PromPlanner {
         RangeFns.HoltWinters(constParam(Some(args(1))), constParam(Some(args(2)))))
 
     case "last_over_time_is_mad_outlier" =>
-      val tol = constParam(Some(args(1)))
-      val bounds = constParam(Some(args(2))).toInt
-      matrixArg(ctx, args(0), RangeFns.LastIsMadOutlier(tol, bounds))
+      // reference order: (tolerance, bounds, range-vector) — scalars FIRST
+      // (LogicalPlanParserSpec.scala:72; AggrOverTimeFunctions.scala:489)
+      val tol = constParam(Some(args(0)))
+      val bounds = constParam(Some(args(1))).toInt
+      matrixArg(ctx, args(2), RangeFns.LastIsMadOutlier(tol, bounds))
 
     case "limit" =>
       // FiloDB ApplyLimitFunction: keep at most k series (deterministic:

@@ -580,4 +580,68 @@ class ParserGoldenSpec extends AnyFunSuite with Matchers {
     Parser.parse("foo / rate(bar[5m])") shouldEqual
       BinOp("/", sel("foo"), FuncCall("rate", Seq(sel("bar").copy(windowMs = Some(300000L)))))
   }
+
+  // ---- tranche 6: function arity + argument types at parse (reference
+  // ParserSpec's function-error battery) ----
+
+  test("range functions require a range-vector argument") {
+    an[IllegalArgumentException] should be thrownBy Parser.parse("sum_over_time(foo)")
+    an[IllegalArgumentException] should be thrownBy Parser.parse("avg_over_time(some_metric)")
+    an[IllegalArgumentException] should be thrownBy Parser.parse("rate(foo)")
+    an[IllegalArgumentException] should be thrownBy Parser.parse("changes(abcd, some_metric[5m])")
+    an[IllegalArgumentException] should be thrownBy Parser.parse("quantile_over_time(foo[5m])")
+    Parser.parse("quantile_over_time(0.5, foo[5m])") // (scalar, matrix)
+    Parser.parse("rate(foo[5m:1m])")                 // subquery is a matrix
+  }
+
+  test("function arity is checked at parse") {
+    an[IllegalArgumentException] should be thrownBy Parser.parse("avg_over_time(some_metric[5m], hello)")
+    an[IllegalArgumentException] should be thrownBy Parser.parse("round()")
+    an[IllegalArgumentException] should be thrownBy Parser.parse("clamp_max(foo)")
+    an[IllegalArgumentException] should be thrownBy Parser.parse("histogram_quantile(0.9)")
+    an[IllegalArgumentException] should be thrownBy Parser.parse("""label_replace(a, "b", "c", "d")""")
+    an[IllegalArgumentException] should be thrownBy Parser.parse("predict_linear(foo[5m])")
+    an[IllegalArgumentException] should be thrownBy Parser.parse("holt_winters(foo[5m], 0.5)")
+    an[IllegalArgumentException] should be thrownBy Parser.parse("vector()")
+    an[IllegalArgumentException] should be thrownBy Parser.parse("scalar()")
+    an[IllegalArgumentException] should be thrownBy Parser.parse("time(foo)")
+    an[IllegalArgumentException] should be thrownBy Parser.parse("absent()")
+    Parser.parse("round(foo)")             // optional scalar arg
+    Parser.parse("round(foo, 5)")
+    Parser.parse("month()")                // calendar fns allow zero args
+    Parser.parse("""label_join(a, "dst", "-", "src1", "src2")""")
+  }
+
+  test("parameterized aggregates require their parameter") {
+    an[IllegalArgumentException] should be thrownBy Parser.parse("topk(some_metric)")
+    an[IllegalArgumentException] should be thrownBy Parser.parse("quantile(some_metric)")
+    an[IllegalArgumentException] should be thrownBy Parser.parse("count_values(some_metric)")
+    an[IllegalArgumentException] should be thrownBy Parser.parse("""count_values(5, m)""")
+    an[IllegalArgumentException] should be thrownBy Parser.parse("sum(a, b)")
+    an[IllegalArgumentException] should be thrownBy Parser.parse("sum(foo[5m])") // matrix agg arg
+    an[IllegalArgumentException] should be thrownBy
+      Parser.parse("sum (some_metric) without (test) by (test)") // double clause
+    Parser.parse("""count_values("label", m)""")
+    Parser.parse("topk(5, m)")
+  }
+
+  test("reference arg order for last_over_time_is_mad_outlier: scalars first") {
+    // LogicalPlanParserSpec.scala:72 form
+    Parser.parse("""last_over_time_is_mad_outlier(3.0, 1.0, sum(rate(m[5m]))[1d:5m])""")
+    an[IllegalArgumentException] should be thrownBy
+      Parser.parse("""last_over_time_is_mad_outlier(sum(rate(m[5m]))[1d:5m], 3.0, 1.0)""")
+  }
+
+  test("structural matcher/grouping rejections from the reference battery") {
+    // colons are metric-name-only
+    an[IllegalArgumentException] should be thrownBy Parser.parse("""some_metric{a:b="b"}""")
+    // a label cannot be an on() key and a group include at once
+    an[IllegalArgumentException] should be thrownBy Parser.parse(
+      """http_requests{g="p"} + on(instance) group_left(job,instance) cpu_count{t="s"}""")
+    // ignoring() has no such restriction
+    Parser.parse(
+      """http_requests{g="p"} + ignoring(instance) group_left(job) cpu_count{t="s"}""")
+    // unary minus on a string literal
+    an[IllegalArgumentException] should be thrownBy Parser.parse("""-"string"""")
+  }
 }

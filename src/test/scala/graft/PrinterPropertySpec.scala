@@ -92,7 +92,10 @@ class PrinterPropertySpec extends AnyFunSuite with Matchers {
       g <- if (grouping) Gen.oneOf(0, 1, 2) else Gen.const(0)
       inc <- if (g != 0) Gen.listOfN(1, ident).flatMap(Gen.someOf(_)).map(_.toSeq)
              else Gen.const(Nil)
-    } yield Some(VectorMatch(on, ls, groupLeft = g == 1, groupRight = g == 2, include = inc))))
+      // on() join keys and group_left/right include labels must be
+      // disjoint (the parser now rejects the overlap, like Prometheus)
+      inc2 = if (on) inc.filterNot(ls.contains) else inc
+    } yield Some(VectorMatch(on, ls, groupLeft = g == 1, groupRight = g == 2, include = inc2))))
 
   private def expr(depth: Int): Gen[PromExpr] =
     if (depth <= 0) Gen.oneOf(selector, numLit)
@@ -107,21 +110,21 @@ class PrinterPropertySpec extends AnyFunSuite with Matchers {
       2 -> (for { // instant function
         fn <- Gen.oneOf("abs", "ceil", "sgn", "sqrt")
         e <- expr(depth - 1)
-      } yield FuncCall(fn, Seq(e))),
+      } yield FuncCall(fn, Seq(debox(e)))),
       2 -> (for {
         op <- Gen.oneOf("sum", "min", "max", "avg", "count", "stddev")
         e <- expr(depth - 1)
         by <- Gen.listOfN(2, ident).flatMap(Gen.someOf(_)).map(_.toSeq)
         without <- if (by.isEmpty) Gen.listOfN(1, ident).flatMap(Gen.someOf(_)).map(_.toSeq)
                    else Gen.const(Nil)
-      } yield Agg(op, e, None, by, without)),
+      } yield Agg(op, debox(e), None, by, without)),
       1 -> (for {
         k <- Gen.choose(1, 10)
         e <- expr(depth - 1)
-      } yield Agg("topk", e, Some(NumberLit(k.toDouble)), Nil, Nil)),
+      } yield Agg("topk", debox(e), Some(NumberLit(k.toDouble)), Nil, Nil)),
       1 -> (for {
         l <- ident; e <- expr(depth - 1)
-      } yield Agg("count_values", e, Some(StringLit(l)), Nil, Nil)),
+      } yield Agg("count_values", debox(e), Some(StringLit(l)), Nil, Nil)),
       3 -> (for { // arithmetic/comparison binop — typed like the parser's
         // guards: no matrix operands, bool forced on scalar-scalar
         // comparisons, matching only between vectors

@@ -85,7 +85,9 @@ class PrinterSpec extends AnyFunSuite with Matchers {
     """scalar(time()) - scalar(node_boot_time_seconds)""",
     """absent(sum_over_time(http_requests_total{job="api"}[1h]))""",
     """hist_to_prom_vectors(http_request_latency)""",
-    """last_over_time_is_mad_outlier(3.0, 1.0, sum(rate(http_requests_total{job="a"}[5m])[10m:1m]))""",
+    // reference arg order (LogicalPlanParserSpec.scala:72): scalars first,
+    // subquery over the AGGREGATED vector last
+    """last_over_time_is_mad_outlier(3.0, 1.0, sum(rate(http_requests_total{job="a"}[5m]))[10m:1m])""",
     """ln(topk(1, http_requests_total{job="app"}))""",
     """quantile_over_time(0.5, test{_ws_="demo"}[5m])""",
     """max_over_time(avg_over_time(test{_ws_="demo"}[5m])[10m:1m])""",
