@@ -53,11 +53,13 @@ object Bench {
     "q124_bigram_logloss", "q125_session_stats",
     "q131_line_dedup", "q132_bm25_search", "q133_source_divergence",
     "q135_cross_logloss", "q137_tokenize_pack", "q138_perceptual_dups",
-    "q144_dsir_select", "q145_sq8_knn",
+    "q144_dsir_select", "q145_sq8_knn", "q146_safe_split",
+    "q147_perplexity_strata",
     "corpus_minhash_dups", "corpus_simhash", "corpus_knn_lsh",
     "corpus_cosine_dups", "corpus_ivf_knn", "corpus_winnowing",
     "corpus_dedup_pipeline", "corpus_span_dedup", "corpus_pq_knn",
-    "corpus_decontam", "corpus_bpe_train", "corpus_ivfpq_knn")
+    "corpus_decontam", "corpus_bpe_train", "corpus_ivfpq_knn",
+    "corpus_tokenize_learned")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -172,6 +172,41 @@ object Sampling {
         explode(sequence(lit(1), col("__n"))).as("epoch"))
   }
 
+  /** DCLM/FineWeb-style quality-stratified sampling: bin rows into
+    * `keepRates.length` quantile strata of `scoreCol` (ascending — bin 1
+    * holds the best/lowest scores for an NLL-style signal) and keep each
+    * stratum at its own md5-deterministic rate. The usual ntile() build
+    * of this is a GLOBAL sort through one partition; here the stratum
+    * boundaries come from a deterministic bounded sample
+    * (orderBy(id).limit — distributed top-k, same contract as the
+    * IVF/PQ fits) whose k-1 threshold keys embed as literals, so binning
+    * AND the keep decision are pure map-side expressions over the
+    * corpus. Ties split by id so the binning is a total order.
+    * Score contract: pass an ENGINE-STABLE score (e.g. crossLogLoss's
+    * rounded mean_nll) — thresholds are compared exactly.
+    * Output: input columns + (bin, keep_rate, keep). */
+  def stratifiedSampleByScore(scored: DataFrame, scoreCol: String,
+                              keepRates: Seq[Double], fitSampleRows: Int = 65536,
+                              idCol: String = "doc_id"): DataFrame = {
+    val k = keepRates.length
+    require(k >= 1 && keepRates.forall(r => r >= 0 && r <= 1),
+      s"keep rates must be in [0,1]: $keepRates")
+    val sample = scored.select(col(scoreCol), col(idCol))
+      .orderBy(col(idCol)).limit(fitSampleRows)
+      .collect().map(r => (r.getDouble(0), r.getLong(1))).sorted
+    require(sample.length >= k,
+      s"need at least $k scored rows to place ${k - 1} thresholds, got ${sample.length}")
+    // threshold j = the floor(j*m/k)-th smallest (score, id) of the sample
+    val thr = (1 until k).map(j => sample((j.toLong * sample.length / k).toInt))
+    val bin = thr.foldLeft(lit(1)) { case (acc, (ts, ti)) =>
+      acc + when(col(scoreCol) > ts ||
+                 (col(scoreCol) === ts && col(idCol) >= ti), 1).otherwise(0)
+    }
+    scored.withColumn("bin", bin)
+      .withColumn("keep_rate", element_at(lit(keepRates.toArray), col("bin")))
+      .withColumn("keep", hashPoint(col(idCol)) < col("keep_rate"))
+  }
+
   /** Hashed-feature bucket for a gram: the md5 hash point scaled to
     * `nBuckets` (same determinism contract as [[hashPoint]]). */
   def featureBucket(gram: Column, nBuckets: Int): Column =

@@ -420,8 +420,21 @@ object PipelineQueries {
     "q146_safe_split" -> ((s, dir) =>
       Decontam.contaminationSafeSplit(TsTables.documents(s, dir),
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), n = 8)
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+
+    // perplexity-stratified sampling (DCLM/FineWeb shape): reference-LM
+    // NLL quantile strata from sampled thresholds, per-stratum md5 keeps
+    "q147_perplexity_strata" -> ((s, dir) => {
+      val docs = TsTables.documents(s, dir)
+      val nll = Quality.crossLogLoss(docs, docs.where(col("source") === "src0"))
+        .select(col("doc_id"), col("mean_nll"))
+      Sampling.stratifiedSampleByScore(nll, "mean_nll", StrataRates)
+        .orderBy(col("doc_id"))
+    })
   )
+
+  /** q147 per-stratum keep rates (bin 1 = lowest NLL = cleanest). */
+  private val StrataRates = Seq(1.0, 0.7, 0.45, 0.2, 0.05)
 
   /** q144 DSIR constants, shared with the oracle SQL. */
   private val DsirKeep = 120
@@ -516,6 +529,14 @@ object PipelineQueries {
       val e = TsTables.embeddings(s, dir)
       Similarity.ivfPqKnn(e.filter(col("vec_id") < 10), e, k = 5,
         nCentroids = 16, nprobe = 4, m = 4, ksub = 16)
+    }),
+    "corpus_tokenize_learned" -> ((s, dir) => {
+      // end-to-end with a LEARNED merge table (not DemoMerges): train on
+      // the corpus, then native-encode + pack — the shape the codegen'd
+      // bpe_encode_doc kernel exists for (cost independent of table size)
+      val docs = TsTables.documents(s, dir)
+      val merges = Bpe.train(docs, nMerges = 32).map(m => (m._2, m._3))
+      Bpe.packSequences(docs, merges, seqLen = 128, nBuckets = 8)
     }),
     "corpus_bm25_batch" -> ((s, dir) => {
       import s.implicits._
@@ -867,6 +888,34 @@ object PipelineQueries {
           ORDER BY doc_id"""
 
   private lazy val oraclesTail: Map[String, String] = Map(
+
+    // shared crossLM mirror feeding the same sampled-threshold binning:
+    // thresholds are the floor(j*m/5)-th smallest (rounded nll, doc_id)
+    // keys, bins count thresholds <= the row's key, keeps are md5 points
+    // against CAST-to-DOUBLE rate literals emitted from the Scala seq
+    "q147_perplexity_strata" -> {
+      def d(v: Double) = s"CAST(${v.toString} AS DOUBLE)"
+      val rateCase = s"CASE bin ${StrataRates.zipWithIndex
+        .map { case (r, i) => s"WHEN ${i + 1} THEN ${d(r)}" }.mkString(" ")} END"
+      s"""WITH xl AS ($crossLmSql),
+            nll AS (SELECT doc_id, mean_nll FROM xl),
+            sample AS (SELECT doc_id, mean_nll FROM nll ORDER BY doc_id LIMIT 65536),
+            ranked AS (SELECT mean_nll AS s, doc_id AS i,
+                              row_number() OVER (ORDER BY mean_nll ASC, doc_id ASC) - 1 AS rn,
+                              count(*) OVER () AS m
+                       FROM sample),
+            thr AS (SELECT s, i FROM ranked
+                    WHERE rn IN ((1*m)//5, (2*m)//5, (3*m)//5, (4*m)//5)),
+            binned AS (SELECT n.doc_id, n.mean_nll,
+                              1 + (SELECT count(*) FROM thr t
+                                   WHERE n.mean_nll > t.s
+                                      OR (n.mean_nll = t.s AND n.doc_id >= t.i)) AS bin
+                       FROM nll n)
+          SELECT doc_id, mean_nll, CAST(bin AS INT) AS bin,
+                 $rateCase AS keep_rate,
+                 ${hashPointSql("doc_id")} < $rateCase AS keep
+          FROM binned ORDER BY doc_id"""
+    },
 
     // split labels + gram-overlap quarantine; the oracle joins gram
     // STRINGS where the operator joins xxhash64(gram) (the repo's

@@ -626,6 +626,25 @@ class PipelineSpec extends AnyFunSuite with Matchers {
     out(testIds(1)) shouldEqual "test"
   }
 
+  test("stratified sample: quantile bins balance, rates gate keeps, repartition-stable") {
+    import graft.pipeline.Sampling
+    val scored = spark.range(0, 100).toDF("doc_id")
+      .withColumn("score", col("doc_id").cast("double") / 10.0)
+    val out = Sampling.stratifiedSampleByScore(scored, "score",
+      Seq(1.0, 0.5, 0.0, 1.0)).collect()
+      .map(r => (r.getLong(0), r.getInt(2), r.getBoolean(4)))
+    // ascending score = ascending id here, so bins are contiguous quartiles
+    out.filter(_._2 == 1).map(_._1).sorted shouldEqual (0L until 25L)
+    out.filter(_._2 == 4).map(_._1).sorted shouldEqual (75L until 100L)
+    out.filter(_._2 == 1).foreach(_._3 shouldBe true)   // rate 1.0 keeps all
+    out.filter(_._2 == 3).foreach(_._3 shouldBe false)  // rate 0.0 drops all
+    val b2 = out.filter(_._2 == 2)
+    b2.count(_._3) should (be > 5 and be < 20)          // rate 0.5, md5-decided
+    Sampling.stratifiedSampleByScore(scored.repartition(7), "score",
+      Seq(1.0, 0.5, 0.0, 1.0)).collect()
+      .map(r => (r.getLong(0), r.getInt(2), r.getBoolean(4))).sorted shouldEqual out.sorted
+  }
+
   test("dsir: target-like docs outrank dissimilar ones; repartition-stable") {
     import graft.pipeline.Sampling
     val raw = Seq(
