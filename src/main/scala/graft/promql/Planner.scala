@@ -496,12 +496,18 @@ object PromPlanner {
             // null series_type = plain cumulative counter (legacy rows
             // predate the column). IsNull-or-Ne stays parquet-pushable,
             // unlike a coalesce, and keeps null rows out of neither branch.
+            // OTel exp-histograms are DELTA temporality by schema
+            // (reference otel-exp-delta-histogram, Schemas.scala:377-474):
+            // their bridged per-le bucket series are per-interval counts,
+            // so they route to the delta kernel, not the extrapolating one.
+            val isDelta =
+              col("series_type") === "delta" || col("series_type") === "otel_exp_histogram"
             val cum = periodicFrom(ctx,
               selectorSamplesFrom(baseDf.filter(
-                col("series_type").isNull || col("series_type") =!= "delta"), sel2),
+                col("series_type").isNull || !isDelta), sel2),
               sel2, RangeFns.byName(n), w)
             val del = periodicFrom(ctx,
-              selectorSamplesFrom(baseDf.filter(col("series_type") === "delta"), sel2),
+              selectorSamplesFrom(baseDf.filter(isDelta), sel2),
               sel2, deltaFn, w)
             dropName(cum.unionByName(del))
           }

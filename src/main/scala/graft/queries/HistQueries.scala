@@ -218,6 +218,35 @@ object HistQueries {
         .orderBy("step_ts")
     }),
 
+    // rate() over OTel exp-histogram DELTA storage: the same rows as q97
+    // (per-interval exp_counts, delta temporality by schema like the
+    // reference's otel-exp-delta-histogram), but windowed — the planner
+    // routes bridged exp buckets to the DELTA rate kernel (sum of
+    // per-interval counts / window), then sum by (le) + quantile compose.
+    "q148_promql_exp_hist_rate" -> ((s, dir) => {
+      val ev = TsTables.events(s, dir)
+        .withColumn("day", ((col("ts_ms") - S) / D1).cast("long"))
+      val counts = ev.groupBy(col("event_type"), col("day"))
+        .agg(array((0 until 9).map { i =>
+          val lo = math.pow(2.0, i)
+          val hi = math.pow(2.0, i + 1)
+          if (i == 0) sum(when(col("value") <= hi, 1.0).otherwise(0.0))
+          else sum(when(col("value") > lo && col("value") <= hi, 1.0).otherwise(0.0))
+        }: _*).as("exp_counts"))
+      val samples = counts.select(
+        col("event_type").as("metric"),
+        map().cast("map<string,string>").as("tags"),
+        (lit(S) + (col("day") + 1) * D1).as("ts"),
+        lit(null).cast("double").as("value"),
+        lit(0).as("exp_scale"), lit(0).as("exp_offset"), col("exp_counts"),
+        lit("otel_exp_histogram").as("series_type"))
+      val ctx = PromPlanner.Ctx(s, samples, S + 2 * D1, TsTables.EventsEndMs, D1)
+      PromPlanner.queryRange(ctx,
+        "histogram_quantile(0.9, sum by (le) (rate(purchase[2d])))")
+        .select(col("step_ts"), round(col("value"), 6).as("q90"))
+        .orderBy("step_ts")
+    }),
+
     // FiloDB data-column selection `m::col` (prometheus/ast/Vectors.scala
     // column selector): the prom-histogram schema also carries cumulative
     // `sum`/`count` columns, and rate(purchase::sum[2d]) serves the sum
@@ -504,6 +533,22 @@ object HistQueries {
               WHEN c200 >= 0.9*ctot THEN 100.0 + (200.0 - 100.0) * (0.9*ctot - c100) / (c200 - c100)
               ELSE 200.0 END, 6) AS q90
           FROM b ORDER BY step_ts""",
+
+    // delta-rate mirror: per-day exp-bucket counts are PER-INTERVAL
+    // deltas, so rate = (sum of the window's two samples) / window-sec per
+    // le bound, then the q97 interpolation CASE over the rate ladder
+    "q148_promql_exp_hist_rate" ->
+      s"""WITH ev AS (SELECT (epoch_ns(ts)//1000000 - $S) // $D1 AS day, value
+                      FROM events WHERE event_type = 'purchase'),
+          daily AS (SELECT day, $expCols FROM ev GROUP BY day),
+          stps AS (SELECT unnest(generate_series(${S + 2 * D1}, ${TsTables.EventsEndMs}, $D1)) AS step_ts),
+          b AS (SELECT s.step_ts,
+                  ${(1 to 9).map(j =>
+                    s"(d1.x$j + d2.x$j) / ${2 * D1}.0 * 1000 AS x$j").mkString(", ")}
+                FROM stps s
+                JOIN daily d1 ON d1.day = (s.step_ts - $S) // $D1 - 2
+                JOIN daily d2 ON d2.day = (s.step_ts - $S) // $D1 - 1)
+          SELECT step_ts, round($expCase, 6) AS q90 FROM b ORDER BY step_ts""",
 
     // same 2-samples-per-window extrapolated-rate mirror as q106, applied
     // to the cumulative SUM column instead of per-bucket counts
