@@ -89,6 +89,21 @@ object MetadataOps {
       .select(col("series_id"), col("metric"), col("tags"),
         col("start_ts"), col("end_ts"))
 
+  /** Merge-on-read combine for APPEND-ONLY series-index deltas (the
+    * streaming ingest writes one [[buildSeriesIndex]] frame per
+    * microbatch): same series rows fold by widening their time bounds.
+    * LSM shape — readers fold the delta directory; a periodic compaction
+    * can rewrite it to one folded segment with this same function. */
+  def mergeSeriesIndex(deltas: DataFrame): DataFrame =
+    deltas
+      .withColumn("__k", to_json(array_sort(map_entries(col("tags")))))
+      .groupBy(col("series_id"), col("metric"), col("__k"))
+      .agg(min(col("start_ts")).as("start_ts"), max(col("end_ts")).as("end_ts"))
+      .withColumn("tags", map_from_entries(from_json(col("__k"),
+        org.apache.spark.sql.types.DataType.fromDDL("array<struct<key:string,value:string>>"))))
+      .select(col("series_id"), col("metric"), col("tags"),
+        col("start_ts"), col("end_ts"))
+
   /** `series` answered from the index: the range predicate becomes an
     * interval overlap on the per-series time bounds. labelNames /
     * labelValues / cardinality need no variant — they only read

@@ -213,6 +213,32 @@ object Ingest {
       .partitionBy("metric")
       .start()
 
+  /** Ingest with PART-KEY INDEX maintenance (the reference updates its
+    * Lucene part-key index as shards ingest): each microbatch appends its
+    * deduped samples AND a series-index DELTA — one row per series seen
+    * in the batch with the batch's time bounds. Deltas are append-only;
+    * readers fold them with [[graft.operators.MetadataOps.mergeSeriesIndex]]
+    * (merge-on-read, LSM shape — a periodic compaction can rewrite the
+    * directory to one folded segment with the same function). Metadata
+    * queries then touch series-cardinality data without scanning samples,
+    * exactly like the batch `TsLayout.writeSeriesIndex` path. */
+  def startIngestWithIndex(events: DataFrame, sinkDir: String, indexDir: String,
+                           checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    pipeline(events).writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Sample], _: Long) =>
+        val df = batch.toDF().persist()
+        df.write.mode("append").partitionBy("metric").parquet(sinkDir)
+        graft.operators.MetadataOps.buildSeriesIndex(
+            df.select(col("metric"), map(lit("user"), col("user")).as("tags"),
+              col("ts"), col("series_id")))
+          .write.mode("append").partitionBy("metric").parquet(indexDir)
+        df.unpersist()
+        ()
+      }
+      .start()
+
   /** Streaming ingest from a parquet directory source. */
   def startFileIngest(spark: SparkSession, srcDir: String, sinkDir: String,
                       checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =

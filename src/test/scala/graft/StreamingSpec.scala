@@ -35,6 +35,39 @@ class StreamingSpec extends AnyFunSuite with Matchers {
     } finally q.stop()
   }
 
+  test("ingest maintains an append-only series index; merge-on-read equals batch build") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.functions.{col, lit, map}
+    val ms = MemoryStream[(Long, Long, Long, String, Double, String)]
+    val events = ms.toDF.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = java.nio.file.Files.createTempDirectory("ingest_idx").toString
+    val q = Ingest.startIngestWithIndex(events, s"$dir/sink", s"$dir/index", s"$dir/ckpt")
+    try {
+      ms.addData((1L, 1000000000L, 7L, "view", 1.0, ""), (2L, 2000000000L, 7L, "view", 2.0, ""))
+      q.processAllAvailable()
+      ms.addData((3L, 3000000000L, 7L, "view", 3.0, ""), (4L, 1500000000L, 8L, "click", 4.0, ""))
+      q.processAllAvailable()
+      // two batches -> the (view, 7) series has TWO delta rows on disk
+      val deltas = spark.read.parquet(s"$dir/index")
+      deltas.filter(col("metric") === "view").count() shouldEqual 2L
+      // merge-on-read folds them to one row per series with widened bounds
+      val merged = graft.operators.MetadataOps.mergeSeriesIndex(deltas)
+        .collect().map(r => (r.getAs[String]("metric"),
+          r.getAs[Map[String, String]]("tags")("user"),
+          r.getAs[Long]("start_ts"), r.getAs[Long]("end_ts"))).toSet
+      merged shouldEqual Set(("view", "7", 1000L, 3000L), ("click", "8", 1500L, 1500L))
+      // and equals the batch index built over everything the sink holds
+      val batchBuilt = graft.operators.MetadataOps.buildSeriesIndex(
+          spark.read.parquet(s"$dir/sink")
+            .select(col("metric"), map(lit("user"), col("user")).as("tags"),
+              col("ts"), col("series_id")))
+        .collect().map(r => (r.getAs[String]("metric"),
+          r.getAs[Map[String, String]]("tags")("user"),
+          r.getAs[Long]("start_ts"), r.getAs[Long]("end_ts"))).toSet
+      batchBuilt shouldEqual merged
+    } finally q.stop()
+  }
+
   test("shared ingest pipeline (file/Kafka seam) dedupes across out-of-order source partitions") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     // events-SHAPED input, exactly what both startFileIngest and
