@@ -95,14 +95,12 @@ object MetadataOps {
     * LSM shape — readers fold the delta directory; a periodic compaction
     * can rewrite it to one folded segment with this same function. */
   def mergeSeriesIndex(deltas: DataFrame): DataFrame =
-    deltas
-      .withColumn("__k", to_json(array_sort(map_entries(col("tags")))))
-      .groupBy(col("series_id"), col("metric"), col("__k"))
-      .agg(min(col("start_ts")).as("start_ts"), max(col("end_ts")).as("end_ts"))
-      .withColumn("tags", map_from_entries(from_json(col("__k"),
-        org.apache.spark.sql.types.DataType.fromDDL("array<struct<key:string,value:string>>"))))
-      .select(col("series_id"), col("metric"), col("tags"),
-        col("start_ts"), col("end_ts"))
+    // a delta row is just "this series was seen at both bound timestamps":
+    // exploding the bounds back to ts rows makes the fold literally
+    // buildSeriesIndex again (min/max widen identically) — one grouping
+    // implementation, nothing to keep in sync
+    buildSeriesIndex(deltas.select(col("series_id"), col("metric"), col("tags"),
+      explode(array(col("start_ts"), col("end_ts"))).as("ts")))
 
   /** `series` answered from the index: the range predicate becomes an
     * interval overlap on the per-series time bounds. labelNames /

@@ -143,8 +143,15 @@ object Bpe {
                     seqLen: Int, nBuckets: Int,
                     textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // native kernel when the session registers it (GraftSession does);
+    // the declarative fold — bit-identical, just slower — keeps the
+    // operator working on a plain SparkSession
+    val encode =
+      if (docs.sparkSession.catalog.functionExists("bpe_encode_doc"))
+        encodeDocNative(col(textCol), merges)
+      else encodeDoc(col(textCol), merges)
     val enc = docs
-      .select(col(idCol), encodeDocNative(col(textCol), merges).as("__toks"))
+      .select(col(idCol), encode.as("__toks"))
       .withColumn("__bucket",
         floor(graft.pipeline.Sampling.hashPoint(col(idCol)) * nBuckets).cast("int"))
       .withColumn("__n", size(col("__toks")).cast("long"))

@@ -71,12 +71,11 @@ object Decontam {
     require(splits.exists(_._1 == trainSplit), s"splits must include '$trainSplit': $splits")
     val labeled = docs.select(col(idCol), col(textCol),
       Sampling.hashSplit(col(idCol), splits).as("split"))
+    // the shared gram expansion, hashed (one more projection on top of
+    // the same helper flagContaminated uses — no second copy to drift)
     def hashedGrams(df: DataFrame): DataFrame =
-      df.select(col(idCol), TextAnalysis.tokens(lower(col(textCol))).as("__toks"))
-        .where(size(col("__toks")) >= n)
-        .select(col(idCol),
-          explode(array_distinct(Quality.wordGramsFromToks(col("__toks"), n))).as("__g"))
-        .select(col(idCol), xxhash64(col("__g")).as("__h"))
+      grams(df, n, textCol, idCol, idCol)
+        .select(col(idCol), xxhash64(col("gram")).as("__h"))
     val trainGrams = hashedGrams(labeled.where(col("split") === trainSplit))
     val evalGrams = hashedGrams(labeled.where(col("split") =!= trainSplit))
       .select(col("__h")).distinct()

@@ -227,13 +227,22 @@ object Ingest {
     pipeline(events).writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: Dataset[Sample], _: Long) =>
+      .foreachBatch { (batch: Dataset[Sample], batchId: Long) =>
+        // foreachBatch is AT-LEAST-ONCE (no FileStreamSink commit log):
+        // a crash between a write and the checkpoint commit replays the
+        // batch. Both writes are therefore keyed by batchId and OVERWRITE
+        // their own directory — a replay rewrites the same files instead
+        // of appending duplicates (the standard foreachBatch idempotence
+        // recipe). Readers load the parent dir; batch_id rides along as a
+        // partition column and is ignored by every consumer.
         val df = batch.toDF().persist()
-        df.write.mode("append").partitionBy("metric").parquet(sinkDir)
+        df.write.mode("overwrite").partitionBy("metric")
+          .parquet(s"$sinkDir/batch_id=$batchId")
         graft.operators.MetadataOps.buildSeriesIndex(
             df.select(col("metric"), map(lit("user"), col("user")).as("tags"),
               col("ts"), col("series_id")))
-          .write.mode("append").partitionBy("metric").parquet(indexDir)
+          .write.mode("overwrite").partitionBy("metric")
+          .parquet(s"$indexDir/batch_id=$batchId")
         df.unpersist()
         ()
       }
