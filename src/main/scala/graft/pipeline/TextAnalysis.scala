@@ -48,6 +48,35 @@ object TextAnalysis {
     when(enHits >= 1, lit("en")).otherwise(lit("und"))
   }
 
+  /** Per-language stopword marker sets for [[langIdMulti]] (CLD/fastText's
+    * coarse first tier is exactly high-frequency function words; no
+    * accents so the ASCII tokenizer applies uniformly). Code-ascending
+    * order is load-bearing: the argmax keeps the EARLIEST code on ties. */
+  val LangStopwords: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "eine",
+      "zu", "mit", "von", "den", "dem", "sich", "auch"),
+    "en" -> Stopwords,
+    "es" -> Seq("el", "los", "las", "es", "una", "del", "por", "con",
+      "para", "como", "pero", "mas", "este", "esta", "ser"),
+    "fr" -> Seq("le", "les", "et", "est", "pas", "une", "des", "dans",
+      "pour", "qui", "sur", "ne", "ce", "vous", "nous"))
+
+  /** Multi-language ID: argmax of per-language stopword hit counts,
+    * "und" when nothing matches; ties keep the lexicographically first
+    * code (deterministic, mirrored in the oracle's >= chain). One more
+    * tier than [[langId]]'s en/und gate — langId stays as the curation
+    * pipelines' pinned semantics. Pure zero-shuffle expressions. */
+  def langIdMulti(text: Column): Column = {
+    val toks = tokens(lower(text))
+    val hits = LangStopwords.map { case (code, sw) =>
+      code -> size(filter(toks, t => t.isin(sw: _*)))
+    }
+    hits.foldLeft((lit(0), lit("und"))) {
+      case ((bh, bc), (code, h)) =>
+        (when(h > bh, h).otherwise(bh), when(h > bh, lit(code)).otherwise(bc))
+    }._2
+  }
+
   /** Document fingerprint: md5 of the normalized text (lowercase, collapsed
     * whitespace) — the exact-dedup key. */
   def fingerprint(text: Column): Column =

@@ -422,6 +422,17 @@ object PipelineQueries {
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), n = 8)
         .orderBy(col("doc_id"))),
 
+    // multi-language ID: per-language stopword argmax over the corpus +
+    // planted de/fr/es/tie rows; zero-shuffle expressions, full mirror
+    "q149_langid_multi" -> ((s, dir) => {
+      import s.implicits._
+      val planted = LangPlanted.toDF("doc_id", "text")
+      TsTables.documents(s, dir).select(col("doc_id"), col("text"))
+        .unionByName(planted)
+        .select(col("doc_id"), TextAnalysis.langIdMulti(col("text")).as("lang"))
+        .orderBy(col("doc_id"))
+    }),
+
     // perplexity-stratified sampling (DCLM/FineWeb shape): reference-LM
     // NLL quantile strata from sampled thresholds, per-stratum md5 keeps
     "q147_perplexity_strata" -> ((s, dir) => {
@@ -435,6 +446,17 @@ object PipelineQueries {
 
   /** q147 per-stratum keep rates (bin 1 = lowest NLL = cleanest). */
   private val StrataRates = Seq(1.0, 0.7, 0.45, 0.2, 0.05)
+
+  /** q149 planted non-English rows (single source for query + oracle;
+    * ids far above any corpus doc_id). The last two pin the tie rules:
+    * en outscoring fr, and a de/en tie keeping the earliest code. */
+  private val LangPlanted: Seq[(Long, String)] = Seq(
+    (2000000L, "der hund ist nicht mit der katze und auch nicht allein"),
+    (2000001L, "le chat est dans la maison et vous ne savez pas"),
+    (2000002L, "el perro es una mascota para este lugar pero no"),
+    (2000003L, "completely wordless gibberish zzz qqq"),
+    (2000004L, "des une est the and of in to"),
+    (2000005L, "und der the a xyz"))
 
   /** q144 DSIR constants, shared with the oracle SQL. */
   private val DsirKeep = 120
@@ -888,6 +910,33 @@ object PipelineQueries {
           ORDER BY doc_id"""
 
   private lazy val oraclesTail: Map[String, String] = Map(
+
+    // per-language hit counts from the SAME stopword lists, argmax with
+    // the >= chain = the fold's earliest-code-on-ties rule
+    "q149_langid_multi" -> {
+      def hits(code: String) = {
+        val sw = graft.pipeline.TextAnalysis.LangStopwords.toMap
+          .apply(code).map(s => s"'$s'").mkString(", ")
+        s"len(list_filter(toks, x -> x IN ($sw)))"
+      }
+      val planted = LangPlanted
+        .map { case (id, t) => s"($id, '${t.replace("'", "''")}')" }.mkString(", ")
+      s"""WITH all_docs AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL SELECT * FROM (VALUES $planted) v(doc_id, text)),
+          base AS (SELECT doc_id,
+                          string_split_regex(trim(lower(text)), '\\s+') AS toks
+                   FROM all_docs),
+          h AS (SELECT doc_id, ${hits("de")} AS hde, ${hits("en")} AS hen,
+                       ${hits("es")} AS hes, ${hits("fr")} AS hfr
+                FROM base)
+          SELECT doc_id,
+                 CASE WHEN greatest(hde, hen, hes, hfr) < 1 THEN 'und'
+                      WHEN hde >= hen AND hde >= hes AND hde >= hfr THEN 'de'
+                      WHEN hen >= hes AND hen >= hfr THEN 'en'
+                      WHEN hes >= hfr THEN 'es' ELSE 'fr' END AS lang
+          FROM h ORDER BY doc_id"""
+    },
 
     // shared crossLM mirror feeding the same sampled-threshold binning:
     // thresholds are the floor(j*m/5)-th smallest (rounded nll, doc_id)

@@ -601,6 +601,22 @@ class PipelineSpec extends AnyFunSuite with Matchers {
       .collect().toSet shouldEqual out.toSet
   }
 
+  test("multi-language id: stopword argmax, und floor, earliest-code ties") {
+    import graft.pipeline.TextAnalysis
+    val cases = Seq(
+      (1L, "der hund ist nicht mit der katze", "de"),
+      (2L, "le chat est dans la maison et vous ne savez pas", "fr"),
+      (3L, "el perro es una mascota para este lugar pero no", "es"),
+      (4L, "the quick brown fox is on a wall", "en"),
+      (5L, "zzz qqq xyzzy", "und"),
+      (6L, "des une est the and of in to", "en"), // 3 fr vs 5 en
+      (7L, "und der the a xyz", "de"))            // 2-2 tie -> earliest code
+    val out = cases.map(c => (c._1, c._2)).toDF("doc_id", "text")
+      .select(col("doc_id"), TextAnalysis.langIdMulti(col("text")).as("lang"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    cases.foreach { case (id, _, want) => out(id) shouldEqual want }
+  }
+
   test("contamination-safe split quarantines train docs sharing grams with eval docs") {
     import graft.pipeline.{Decontam, Sampling}
     // find ids landing on each side of the hash split, then plant overlap
