@@ -433,6 +433,24 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // curation v3: contamination-safe split -> DSIR selection on the
+    // train survivors -> tokenize-and-pack; raw corpus to decontaminated,
+    // domain-targeted training sequences in one composed job
+    "q150_curation_v3" -> ((s, dir) => {
+      val docs = TsTables.documents(s, dir)
+      val lab = Decontam.contaminationSafeSplit(docs,
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), n = 8)
+      val train = docs.join(
+        lab.where(col("split") === "train").select(col("doc_id")), "doc_id")
+      val sel = Sampling.dsirSelect(train, train.where(col("source") === "src0"),
+        keep = V3Keep, nBuckets = DsirBuckets)
+      val kept = train
+        .join(sel.where(col("keep")).select(col("doc_id")), "doc_id")
+        .select(col("doc_id"), col("text"))
+      Bpe.packSequences(kept, Bpe.DemoMerges, seqLen = 32, nBuckets = 4)
+        .orderBy(col("bucket"), col("seq_idx"))
+    }),
+
     // perplexity-stratified sampling (DCLM/FineWeb shape): reference-LM
     // NLL quantile strata from sampled thresholds, per-stratum md5 keeps
     "q147_perplexity_strata" -> ((s, dir) => {
@@ -461,6 +479,9 @@ object PipelineQueries {
   /** q144 DSIR constants, shared with the oracle SQL. */
   private val DsirKeep = 120
   private val DsirBuckets = 256
+
+  /** q150 DSIR keep over the ~400-doc decontaminated train split. */
+  private val V3Keep = 180
 
   /** q142 epoch-mix recipe: src0's weighted share is ~4× its corpus size
     * (multi-epoch), src1 hovers near 1, src2 downsamples. */
@@ -938,6 +959,18 @@ object PipelineQueries {
           FROM h ORDER BY doc_id"""
     },
 
+    // safe-split + DSIR + tokenize-pack composed end to end; every stage
+    // reuses the single-operator mirror helper, so the composition
+    // cannot drift from q146/q144/q137
+    "q150_curation_v3" ->
+      s"""WITH ${safeSplitCtes("documents", "ss")},
+              train AS (SELECT d.doc_id, d.source, d.text
+                        FROM documents d JOIN ss_final USING (doc_id)
+                        WHERE ss_final.split = 'train'),
+              ${dsirCtes("train", V3Keep, DsirBuckets, "dz")},
+              kept AS (SELECT t.doc_id, t.text FROM train t JOIN dz_keep USING (doc_id))
+          ${packSelectSql("kept", 4)} ORDER BY bucket, seq_idx""",
+
     // shared crossLM mirror feeding the same sampled-threshold binning:
     // thresholds are the floor(j*m/5)-th smallest (rounded nll, doc_id)
     // keys, bins count thresholds <= the row's key, keeps are md5 points
@@ -970,63 +1003,15 @@ object PipelineQueries {
     // STRINGS where the operator joins xxhash64(gram) (the repo's
     // hash-first convention — q115 precedent)
     "q146_safe_split" ->
-      s"""WITH lab AS (
-            SELECT doc_id, CASE WHEN u < 0.8 THEN 'train'
-                                WHEN u < 0.9 THEN 'val' ELSE 'test' END AS split
-            FROM (SELECT doc_id, ${hashPointSql("doc_id")} AS u FROM documents)),
-          base AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
-                   FROM documents),
-          wins AS (SELECT b.doc_id, array_to_string(toks[i:i+7], ' ') AS gram
-                   FROM base b, UNNEST(generate_series(1, greatest(len(toks)-7, 0))) AS t(i)),
-          tg AS (SELECT DISTINCT w.doc_id, gram
-                 FROM wins w JOIN lab USING (doc_id) WHERE lab.split = 'train'),
-          eg AS (SELECT DISTINCT gram
-                 FROM wins w JOIN lab USING (doc_id) WHERE lab.split <> 'train'),
-          hit AS (SELECT DISTINCT doc_id FROM tg JOIN eg USING (gram))
-          SELECT l.doc_id,
-                 CASE WHEN l.doc_id IN (SELECT doc_id FROM hit)
-                      THEN 'quarantined' ELSE l.split END AS split
-          FROM lab l ORDER BY doc_id""",
+      s"""WITH ${safeSplitCtes("documents", "ss")}
+          SELECT doc_id, split FROM ss_final ORDER BY doc_id""",
 
     // full mirror of the DSIR hashed-bucket LMs: same md5 bucket, add-1
     // smoothing, micro-nat integer rounding and top-k threshold
     "q144_dsir_select" ->
-      s"""WITH base AS (
-            SELECT doc_id, source,
-                   list_filter(string_split_regex(trim(lower(text)), '\\s+'),
-                               t -> len(t) > 0) AS toks
-            FROM documents),
-          feats AS (
-            SELECT doc_id, source,
-                   toks || CASE WHEN len(toks) >= 2
-                                THEN list_transform(generate_series(1, len(toks) - 1),
-                                                    i -> toks[i] || ' ' || toks[i + 1])
-                                ELSE []::VARCHAR[] END AS gs
-            FROM base),
-          bg AS (
-            SELECT doc_id, source,
-                   CAST(floor((('0x' || substr(md5(g), 1, 4))::INT / 65536.0)
-                              * $DsirBuckets) AS INT) AS b
-            FROM (SELECT doc_id, source, unnest(gs) AS g FROM feats)),
-          t AS (SELECT b, count(*) AS n FROM bg WHERE source = 'src0' GROUP BY b),
-          r AS (SELECT b, count(*) AS n FROM bg GROUP BY b),
-          tot AS (SELECT (SELECT sum(n) FROM t) + $DsirBuckets.0 AS tn,
-                         (SELECT sum(n) FROM r) + $DsirBuckets.0 AS rn),
-          ratio AS (
-            SELECT bs.b,
-                   CAST(round((ln((coalesce(t.n, 0) + 1) / tot.tn)
-                             - ln((coalesce(r.n, 0) + 1) / tot.rn)) * 1e6) AS BIGINT) AS rr
-            FROM (SELECT unnest(generate_series(0, ${DsirBuckets - 1})) AS b) bs
-            LEFT JOIN t ON t.b = bs.b LEFT JOIN r ON r.b = bs.b CROSS JOIN tot),
-          score AS (
-            SELECT bg.doc_id, sum(ratio.rr) AS lw
-            FROM bg JOIN ratio ON ratio.b = bg.b GROUP BY bg.doc_id),
-          final AS (
-            SELECT f.doc_id, len(f.gs) AS n_feats, coalesce(s.lw, 0) AS logw_micro
-            FROM feats f LEFT JOIN score s ON s.doc_id = f.doc_id)
-          SELECT doc_id, n_feats, logw_micro,
-                 row_number() OVER (ORDER BY logw_micro DESC, doc_id ASC) <= $DsirKeep AS keep
-          FROM final ORDER BY doc_id""",
+      s"""WITH ${dsirCtes("documents", DsirKeep, DsirBuckets, "dz")}
+          SELECT doc_id, n_feats, logw_micro, rn <= $DsirKeep AS keep
+          FROM dz_ranked ORDER BY doc_id""",
 
     // full mirror of SQ8: per-dim bounds, linear quantize/dequant in the
     // operator's exact op order, asymmetric candidate cosine, exact rerank
@@ -1352,6 +1337,75 @@ object PipelineQueries {
     * merge chain is generated from the SAME DemoMerges list Spark folds.
     * Parameterized over the (doc_id, text) source relation so pipeline
     * compositions (q139) reuse the exact same construction. */
+  /** The q146 contamination-safe-split construction as reusable CTEs over
+    * an arbitrary (doc_id, text) relation; exposes
+    * `${p}_final(doc_id, split)` with split ∈ train/val/test/quarantined.
+    * Shared by q146 and the q150 pipeline so the mirrors cannot drift. */
+  private def safeSplitCtes(src: String, p: String): String =
+    s"""${p}_lab AS (
+          SELECT doc_id, CASE WHEN u < 0.8 THEN 'train'
+                              WHEN u < 0.9 THEN 'val' ELSE 'test' END AS split
+          FROM (SELECT doc_id, ${hashPointSql("doc_id")} AS u FROM $src)),
+        ${p}_base AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+                      FROM $src),
+        ${p}_wins AS (SELECT b.doc_id, array_to_string(toks[i:i+7], ' ') AS gram
+                      FROM ${p}_base b,
+                           UNNEST(generate_series(1, greatest(len(toks)-7, 0))) AS t(i)),
+        ${p}_tg AS (SELECT DISTINCT w.doc_id, gram
+                    FROM ${p}_wins w JOIN ${p}_lab USING (doc_id)
+                    WHERE ${p}_lab.split = 'train'),
+        ${p}_eg AS (SELECT DISTINCT gram
+                    FROM ${p}_wins w JOIN ${p}_lab USING (doc_id)
+                    WHERE ${p}_lab.split <> 'train'),
+        ${p}_hit AS (SELECT DISTINCT doc_id FROM ${p}_tg JOIN ${p}_eg USING (gram)),
+        ${p}_final AS (
+          SELECT l.doc_id,
+                 CASE WHEN l.doc_id IN (SELECT doc_id FROM ${p}_hit)
+                      THEN 'quarantined' ELSE l.split END AS split
+          FROM ${p}_lab l)"""
+
+  /** The q144 DSIR construction as reusable CTEs over an arbitrary
+    * (doc_id, source, text) relation (target = rows with source='src0');
+    * exposes `${p}_ranked(doc_id, n_feats, logw_micro, rn)` and
+    * `${p}_keep(doc_id)` (the top-`keep`). Shared by q144 and q150. */
+  private def dsirCtes(src: String, keep: Int, nBuckets: Int, p: String): String =
+    s"""${p}_base AS (
+          SELECT doc_id, source,
+                 list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                             t -> len(t) > 0) AS toks
+          FROM $src),
+        ${p}_feats AS (
+          SELECT doc_id, source,
+                 toks || CASE WHEN len(toks) >= 2
+                              THEN list_transform(generate_series(1, len(toks) - 1),
+                                                  i -> toks[i] || ' ' || toks[i + 1])
+                              ELSE []::VARCHAR[] END AS gs
+          FROM ${p}_base),
+        ${p}_bg AS (
+          SELECT doc_id, source,
+                 CAST(floor((('0x' || substr(md5(g), 1, 4))::INT / 65536.0)
+                            * $nBuckets) AS INT) AS b
+          FROM (SELECT doc_id, source, unnest(gs) AS g FROM ${p}_feats)),
+        ${p}_t AS (SELECT b, count(*) AS n FROM ${p}_bg WHERE source = 'src0' GROUP BY b),
+        ${p}_r AS (SELECT b, count(*) AS n FROM ${p}_bg GROUP BY b),
+        ${p}_tot AS (SELECT (SELECT sum(n) FROM ${p}_t) + $nBuckets.0 AS tn,
+                            (SELECT sum(n) FROM ${p}_r) + $nBuckets.0 AS rn),
+        ${p}_ratio AS (
+          SELECT bs.b,
+                 CAST(round((ln((coalesce(t.n, 0) + 1) / tot.tn)
+                           - ln((coalesce(r.n, 0) + 1) / tot.rn)) * 1e6) AS BIGINT) AS rr
+          FROM (SELECT unnest(generate_series(0, ${nBuckets - 1})) AS b) bs
+          LEFT JOIN ${p}_t t ON t.b = bs.b LEFT JOIN ${p}_r r ON r.b = bs.b
+          CROSS JOIN ${p}_tot tot),
+        ${p}_score AS (
+          SELECT bg.doc_id, sum(ratio.rr) AS lw
+          FROM ${p}_bg bg JOIN ${p}_ratio ratio ON ratio.b = bg.b GROUP BY bg.doc_id),
+        ${p}_ranked AS (
+          SELECT f.doc_id, len(f.gs) AS n_feats, coalesce(s.lw, 0) AS logw_micro,
+                 row_number() OVER (ORDER BY coalesce(s.lw, 0) DESC, f.doc_id ASC) AS rn
+          FROM ${p}_feats f LEFT JOIN ${p}_score s ON s.doc_id = f.doc_id),
+        ${p}_keep AS (SELECT doc_id FROM ${p}_ranked WHERE rn <= $keep)"""
+
   private def packSelectSql(src: String, nBuckets: Int): String = {
     val init = "array_to_string(regexp_extract_all(w, '.'), chr(1)) || chr(1) || '</w>'"
     val chain = graft.pipeline.Bpe.DemoMerges.foldLeft(init) { case (acc, (a, b)) =>
