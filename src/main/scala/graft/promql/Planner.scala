@@ -830,8 +830,14 @@ object PromPlanner {
     case other => throw new IllegalArgumentException(s"expected range selector, got $other")
   }
 
+  /** A subquery with no step uses the engine's default evaluation
+    * interval, 1 minute — reference SubqueryUtils.scala:26-32 (and
+    * Prometheus's default_evaluation_interval) — NOT the outer query
+    * step. */
+  private val DefaultSubqueryStepMs = 60000L
+
   private def subqueryCtx(ctx: Ctx, range: Long, step: Option[Long], off: Long): Ctx = {
-    val st = step.getOrElse(ctx.stepMs)
+    val st = step.getOrElse(DefaultSubqueryStepMs)
     // inner evaluation grid covers (start - range - offset, end - offset]
     val innerEnd = ctx.endMs - off
     val innerStart = {

@@ -413,13 +413,18 @@ object PromEngineQueries {
           FROM stps s ANTI JOIN present p ON s.step_ts = p.step_ts
           ORDER BY s.step_ts""",
 
+    // bare-step subquery = 1-minute default evaluation interval
+    // (reference SubqueryUtils): an inner sample exists at any absolute
+    // minute t with an event in (t-30m, t]; for event e those t form
+    // [ceil_min(e.ts), e.ts+30m) — present at step T iff that interval
+    // intersects the window's minute grid (T-1d, T]
     "q96_promql_absent_over_subquery" ->
       s"""WITH ev AS ($EV), stps AS (${steps(H6)}),
-          offs(k) AS (VALUES (0), (1), (2), (3)),
           present AS (SELECT DISTINCT s.step_ts
-                      FROM stps s CROSS JOIN offs o JOIN ev e
-                        ON e.ts_ms > s.step_ts - o.k * $H6 - 1800000
-                       AND e.ts_ms <= s.step_ts - o.k * $H6
+                      FROM stps s JOIN ev e
+                        ON greatest(CAST(ceil(e.ts_ms / 60000.0) AS BIGINT) * 60000,
+                                    s.step_ts - 86400000 + 60000)
+                           <= least(s.step_ts, ((e.ts_ms + 1799999) // 60000) * 60000)
                       WHERE e.event_type = 'purchase' AND e.user_id = 1)
           SELECT s.step_ts, 1.0 AS value
           FROM stps s ANTI JOIN present p ON s.step_ts = p.step_ts
