@@ -107,4 +107,30 @@ object Search {
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
       .select(col("query_id"), col(idCol), col("rk"), col("score"))
   }
+
+  /** Hard-negative mining for retrieval training (DPR, Karpukhin et al.
+    * 2020 §4.2: the strongest training negatives are BM25's top-ranked
+    * NON-answers): for each (query, positive) pair, the `nNeg` top
+    * BM25 docs that are not the positive, re-ranked 1..nNeg.
+    *
+    * Scale shape: rides [[bm25TopKBatch]]'s single-corpus-pass postings
+    * index with k = nNeg+1 (at most one positive can be displaced); the
+    * positive table is query-cardinality and broadcasts; re-ranking
+    * reuses the per-query window partitioning.
+    * `queries`: (query_id, terms, positive_doc_id).
+    * Output: (query_id, neg_doc_id, neg_rk, score). */
+  def hardNegatives(docs: DataFrame, queries: DataFrame, nNeg: Int,
+                    k1: Double = 1.2, b: Double = 0.75,
+                    textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ranked = bm25TopKBatch(docs,
+      queries.select(col("query_id"), col("terms")), nNeg + 1, k1, b, textCol, idCol)
+    val w = Window.partitionBy(col("query_id")).orderBy(col("rk").asc)
+    ranked
+      .join(broadcast(queries.select(col("query_id"), col("positive_doc_id"))), "query_id")
+      .where(col(idCol) =!= col("positive_doc_id"))
+      .withColumn("neg_rk", row_number().over(w))
+      .where(col("neg_rk") <= nNeg)
+      .select(col("query_id"), col(idCol).as("neg_doc_id"), col("neg_rk"), col("score"))
+  }
 }

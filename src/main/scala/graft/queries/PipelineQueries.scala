@@ -335,6 +335,16 @@ object PipelineQueries {
         .orderBy(col("query_id"), col("rk"))
     }),
 
+    // DPR-style hard-negative mining: top BM25 non-positives per
+    // (query, positive) pair, through the batch postings index
+    "q151_hard_negatives" -> ((s, dir) => {
+      import s.implicits._
+      val qs = HardNegQueries.toDF("query_id", "terms", "positive_doc_id")
+      Search.hardNegatives(TsTables.documents(s, dir), qs, nNeg = HardNegN,
+        k1 = Bm25K1, b = Bm25B)
+        .orderBy(col("query_id"), col("neg_rk"))
+    }),
+
     // epoch-mix: upsampling sources whose weighted share exceeds their
     // size (floor(rate) epochs + md5-decided fractional extra)
     "q142_mix_epochs" -> ((s, dir) =>
@@ -499,6 +509,15 @@ object PipelineQueries {
   private val Bm25BatchQueries: Seq[(Long, Seq[String])] = Seq(
     (0L, Seq("spark", "vector")), (1L, Seq("customer", "window")),
     (2L, Seq("zebra")))
+
+  /** q151 (query, positive) pairs: positives chosen so both cases occur
+    * at sf0.01 — a positive inside BM25's top ranks (exclusion fires)
+    * and one far outside (pure truncation). */
+  private val HardNegQueries: Seq[(Long, Seq[String], Long)] = Seq(
+    (0L, Seq("spark", "vector"), 3L),
+    (1L, Seq("customer", "window"), 490L),
+    (2L, Seq("table", "query"), 7L))
+  private val HardNegN = 8
 
   /** Winnowing candidate pairs: long shingles (k=8) keep fingerprints
     * selective; the rarity cap bounds bucket fan-out so the self-join
@@ -1281,6 +1300,7 @@ object PipelineQueries {
     "q132_bm25_search" -> bm25OracleSql,
 
     "q143_bm25_batch" -> bm25BatchOracleSql,
+    "q151_hard_negatives" -> hardNegOracleSql,
 
     "q137_tokenize_pack" -> tokenizePackOracleSql,
 
@@ -1453,30 +1473,54 @@ object PipelineQueries {
   /** The batch-BM25 mirror: postings on token STRINGS (identical to the
     * Spark side's hashed postings absent a 64-bit collision), same
     * constants-from-Scala-doubles contract as bm25OracleSql. */
-  private lazy val bm25BatchOracleSql: String = {
+  /** The batch-BM25 ranking as reusable CTEs (postings on token STRINGS,
+    * same constants-from-Scala-doubles contract as bm25OracleSql);
+    * exposes `rk(query_id, doc_id, score, rk)`. Shared by q143 and the
+    * q151 hard-negative miner. */
+  private def bm25BatchCtes(qvals: String): String = {
     def d(v: Double) = s"CAST(${v.toString} AS DOUBLE)"
-    val qvals = Bm25BatchQueries
-      .flatMap { case (id, ts) => ts.map(t => s"($id, '$t')") }.mkString(", ")
-    s"""WITH pre AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
-                     FROM documents),
-            post AS (SELECT doc_id, t, CAST(count(*) AS DOUBLE) AS tf
-                     FROM pre, UNNEST(toks) AS u(t) GROUP BY 1, 2),
-            dls AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl FROM pre),
-            dfq AS (SELECT t, CAST(count(*) AS DOUBLE) AS df FROM post GROUP BY t),
-            stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dls),
-            q AS (SELECT * FROM (VALUES $qvals) AS v(query_id, t)),
-            sc AS (SELECT q.query_id, p.doc_id,
-                          ln(1.0 + (n - df + 0.5) / (df + 0.5)) * tf * ${d(Bm25K1 + 1.0)} /
-                            (tf + ${d(Bm25K1)} * (${d(1.0 - Bm25B)} + ${d(Bm25B)} * dl / avgdl)) AS s
-                   FROM q JOIN post p USING (t) JOIN dfq USING (t)
-                        JOIN dls USING (doc_id), stats),
-            agg AS (SELECT query_id, doc_id, round(sum(s), 6) AS score
-                    FROM sc GROUP BY 1, 2),
-            rk AS (SELECT *, row_number() OVER
-                     (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rk
-                   FROM agg)
+    s"""pre AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+                FROM documents),
+       post AS (SELECT doc_id, t, CAST(count(*) AS DOUBLE) AS tf
+                FROM pre, UNNEST(toks) AS u(t) GROUP BY 1, 2),
+       dls AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl FROM pre),
+       dfq AS (SELECT t, CAST(count(*) AS DOUBLE) AS df FROM post GROUP BY t),
+       stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dls),
+       q AS (SELECT * FROM (VALUES $qvals) AS v(query_id, t)),
+       sc AS (SELECT q.query_id, p.doc_id,
+                     ln(1.0 + (n - df + 0.5) / (df + 0.5)) * tf * ${d(Bm25K1 + 1.0)} /
+                       (tf + ${d(Bm25K1)} * (${d(1.0 - Bm25B)} + ${d(Bm25B)} * dl / avgdl)) AS s
+              FROM q JOIN post p USING (t) JOIN dfq USING (t)
+                   JOIN dls USING (doc_id), stats),
+       agg AS (SELECT query_id, doc_id, round(sum(s), 6) AS score
+               FROM sc GROUP BY 1, 2),
+       rk AS (SELECT *, row_number() OVER
+                (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rk
+              FROM agg)"""
+  }
+
+  private def qvalsSql(qs: Seq[(Long, Seq[String])]): String =
+    qs.flatMap { case (id, ts) => ts.map(t => s"($id, '$t')") }.mkString(", ")
+
+  private lazy val bm25BatchOracleSql: String =
+    s"""WITH ${bm25BatchCtes(qvalsSql(Bm25BatchQueries))}
        SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, CAST(rk AS INT) AS rk, score
        FROM rk WHERE rk <= 10 ORDER BY query_id, rk"""
+
+  /** q151: the shared batch ranking, positives excluded, renumbered.
+    * WHERE runs before the window, so neg_rk numbers exactly the
+    * surviving top-(nNeg+1) rows — the operator's semantics. */
+  private lazy val hardNegOracleSql: String = {
+    val posVals = HardNegQueries.map { case (id, _, p) => s"($id, $p)" }.mkString(", ")
+    s"""WITH ${bm25BatchCtes(qvalsSql(HardNegQueries.map(q => (q._1, q._2))))},
+        pos AS (SELECT * FROM (VALUES $posVals) AS p(query_id, positive_doc_id)),
+        neg AS (SELECT r.query_id, r.doc_id, r.score,
+                       row_number() OVER (PARTITION BY r.query_id ORDER BY r.rk ASC) AS neg_rk
+                FROM rk r JOIN pos USING (query_id)
+                WHERE r.rk <= ${HardNegN + 1} AND r.doc_id <> pos.positive_doc_id)
+        SELECT CAST(query_id AS BIGINT) AS query_id, doc_id AS neg_doc_id,
+               CAST(neg_rk AS INT) AS neg_rk, score
+        FROM neg WHERE neg_rk <= $HardNegN ORDER BY query_id, neg_rk"""
   }
 
   /** The dHash mirror: 72 sampled "pixels" as one computed-column CTE,

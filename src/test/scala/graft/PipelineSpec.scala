@@ -601,6 +601,27 @@ class PipelineSpec extends AnyFunSuite with Matchers {
       .collect().toSet shouldEqual out.toSet
   }
 
+  test("hard negatives: positive excluded from ranks, ranks renumber, count holds") {
+    import graft.pipeline.Search
+    val corpus = Seq(
+      (1L, "apple banana banana banana"),   // top doc for 'banana'
+      (2L, "apple banana cherry date"),
+      (3L, "banana date fig"),
+      (4L, "grape melon kiwi lime")
+    ).toDF("doc_id", "text")
+    val qs = Seq((0L, Seq("banana"), 1L),   // positive IS the top hit
+                 (1L, Seq("banana"), 4L))   // positive not ranked at all
+      .toDF("query_id", "terms", "positive_doc_id")
+    val out = Search.hardNegatives(corpus, qs, nNeg = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // q0: doc 1 excluded; 2 and 3 renumber to 1, 2
+    out.filter(_._1 == 0L).map(x => (x._2, x._3)).sorted shouldEqual Seq((2L, 2), (3L, 1))
+    // q1: nothing excluded; the plain top-2 stand (doc 3 outranks doc 2:
+    // same tf, shorter document)
+    out.filter(_._1 == 1L).map(x => (x._2, x._3)).sorted shouldEqual Seq((1L, 1), (3L, 2))
+    out.foreach { case (_, neg, _) => neg should not equal 4L }
+  }
+
   test("multi-language id: stopword argmax, und floor, earliest-code ties") {
     import graft.pipeline.TextAnalysis
     val cases = Seq(
