@@ -123,12 +123,21 @@ object Search {
                     k1: Double = 1.2, b: Double = 0.75,
                     textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // positives FOLD TO ONE ROW PER QUERY before anything joins: a query
+    // listed with several positives would otherwise duplicate its terms
+    // into the scorer (doubling tf contributions) and cross-product the
+    // ranked rows. The per-query positive SET sizes the rank headroom —
+    // p positives can displace at most p ranks.
+    val pos = queries.groupBy(col("query_id"))
+      .agg(first(col("terms")).as("terms"),
+        collect_set(col("positive_doc_id")).as("__pos"))
+    val maxP = pos.agg(max(size(col("__pos")))).head.getInt(0)
     val ranked = bm25TopKBatch(docs,
-      queries.select(col("query_id"), col("terms")), nNeg + 1, k1, b, textCol, idCol)
+      pos.select(col("query_id"), col("terms")), nNeg + maxP, k1, b, textCol, idCol)
     val w = Window.partitionBy(col("query_id")).orderBy(col("rk").asc)
     ranked
-      .join(broadcast(queries.select(col("query_id"), col("positive_doc_id"))), "query_id")
-      .where(col(idCol) =!= col("positive_doc_id"))
+      .join(broadcast(pos.select(col("query_id"), col("__pos"))), "query_id")
+      .where(!array_contains(col("__pos"), col(idCol)))
       .withColumn("neg_rk", row_number().over(w))
       .where(col("neg_rk") <= nNeg)
       .select(col("query_id"), col(idCol).as("neg_doc_id"), col("neg_rk"), col("score"))

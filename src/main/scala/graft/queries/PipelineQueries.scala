@@ -450,8 +450,12 @@ object PipelineQueries {
       val docs = TsTables.documents(s, dir)
       val lab = Decontam.contaminationSafeSplit(docs,
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), n = 8)
+      // checkpoint the survivors: dsirSelect fires three actions on its
+      // input and packSequences a fourth — each would re-derive the
+      // split's 8-gram quarantine self-join from scratch otherwise
       val train = docs.join(
-        lab.where(col("split") === "train").select(col("doc_id")), "doc_id")
+          lab.where(col("split") === "train").select(col("doc_id")), "doc_id")
+        .localCheckpoint(false)
       val sel = Sampling.dsirSelect(train, train.where(col("source") === "src0"),
         keep = V3Keep, nBuckets = DsirBuckets)
       val kept = train

@@ -102,7 +102,8 @@ object PromEngineQueries {
         .orderBy("step_ts")),
 
     // absent_over_time over a SUBQUERY matrix: the outer 1d window scans
-    // the inner 6h-step evaluations of the wrapped expression
+    // the wrapped expression's inner evaluations at the bare-step
+    // default, the 1-minute evaluation interval (reference SubqueryUtils)
     "q96_promql_absent_over_subquery" -> ((s, dir) =>
       PromPlanner.queryRange(userCtx(s, dir, H6),
         """absent_over_time((sum_over_time(purchase{user="1"}[30m]))[1d:])""")

@@ -620,6 +620,12 @@ class PipelineSpec extends AnyFunSuite with Matchers {
     // same tf, shorter document)
     out.filter(_._1 == 1L).map(x => (x._2, x._3)).sorted shouldEqual Seq((1L, 1), (3L, 2))
     out.foreach { case (_, neg, _) => neg should not equal 4L }
+    // MULTIPLE positives per query fold to a set: both excluded, no score
+    // double-count from duplicated terms, headroom grows to nNeg + |pos|
+    val multi = Seq((0L, Seq("banana"), 1L), (0L, Seq("banana"), 3L))
+      .toDF("query_id", "terms", "positive_doc_id")
+    Search.hardNegatives(corpus, multi, nNeg = 2).collect()
+      .map(r => (r.getLong(1), r.getInt(2))).sorted shouldEqual Seq((2L, 1))
   }
 
   test("multi-language id: stopword argmax, und floor, earliest-code ties") {
