@@ -140,7 +140,8 @@ class PromApi(spark: SparkSession, samples: DataFrame, port: Int = 0,
     val t0 = System.nanoTime()
     val t = ms(p.getOrElse("time", (System.currentTimeMillis() / 1000).toString))
     val ctx = PromPlanner.Ctx(spark, samples, t, t, 1000L, lookbackMs = lookback(p))
-    val ast = graft.promql.Parser.parse(p("query"))
+    val ast = PromPlanner.resolveStepDurations(
+      graft.promql.Parser.parse(p("query")), ctx.stepMs)
     val df = PromPlanner.planVector(ctx, ast)
     if (p.get("explainOnly").contains("true")) return explainResponse(p("query"), df)
     val rows = collectLimited(df)

@@ -24,10 +24,15 @@ object At {
 }
 
 /** Instant vector selector; `window` (set via [d]) turns it into a matrix
-  * selector usable by range functions. */
+  * selector usable by range functions. `windowSteps`/`offsetSteps` carry
+  * FiloDB's interval-multiple "Ni" notation (N x the query step —
+  * reference TimeUnits.scala IntervalMultiple); the planner resolves them
+  * to ms against the query context before planning. */
 final case class Selector(metric: Option[String], matchers: Seq[LabelMatcher],
                           windowMs: Option[Long] = None, offsetMs: Long = 0L,
-                          atMs: Option[Long] = None)
+                          atMs: Option[Long] = None,
+                          windowSteps: Option[Long] = None,
+                          offsetSteps: Long = 0L)
   extends PromExpr
 
 final case class NumberLit(v: Double) extends PromExpr
@@ -53,4 +58,7 @@ final case class BinOp(op: String, lhs: PromExpr, rhs: PromExpr,
 /** expr[range:step] — subquery producing a matrix from an inner expr;
   * supports offset and the @ modifier like selectors. */
 final case class Subquery(expr: PromExpr, rangeMs: Long, stepMs: Option[Long],
-                          offsetMs: Long = 0L, atMs: Option[Long] = None) extends PromExpr
+                          offsetMs: Long = 0L, atMs: Option[Long] = None,
+                          rangeSteps: Option[Long] = None,
+                          stepSteps: Option[Long] = None,
+                          offsetSteps: Long = 0L) extends PromExpr

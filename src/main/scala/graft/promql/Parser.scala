@@ -17,6 +17,10 @@ object Parser {
   case class TId(s: String) extends Tok
   case class TNum(v: Double) extends Tok
   case class TDur(ms: Long) extends Tok
+  /** FiloDB interval-multiple duration: `Ni` = N x the query step
+    * (reference TimeUnits.scala IntervalMultiple); never mixes with
+    * absolute units. */
+  case class TDurSteps(n: Long) extends Tok
   case class TStr(s: String) extends Tok
   case class TOp(s: String) extends Tok   // operators and punctuation
   case object TEnd extends Tok
@@ -48,15 +52,27 @@ object Parser {
             while (j < n && q(j).isLetter) j += 1
             val unit = q.substring(us, j)
             unitMs.get(unit) match {
-              case Some(m) => total += numPart.toLong * m
-              case None => ok = false
+              case Some(m) =>
+                total += numPart.toLong * m
+                val ns = j
+                while (j < n && q(j).isDigit) j += 1
+                if (j > ns) numPart = q.substring(ns, j)
+                else { ok = false; i = j; out += TDur(total) }
+              case None if unit == "i" =>
+                // FiloDB interval-multiple: whole-token only, never mixed
+                // with absolute units (ref AntlrParser.scala:451)
+                if (total > 0L || (j < n && q(j).isDigit))
+                  throw new IllegalArgumentException(
+                    s"interval-multiple 'i' cannot mix with other duration units in: $q")
+                out += TDurSteps(numPart.toLong)
+                i = j
+                ok = false
+              case None if unit.isEmpty =>
+                out += TNum(numStr.toDouble)
+                ok = false
+              case None =>
+                throw new IllegalArgumentException(s"bad duration unit '$unit' at $us in: $q")
             }
-            if (ok) {
-              val ns = j
-              while (j < n && q(j).isDigit) j += 1
-              if (j > ns) numPart = q.substring(ns, j) else { ok = false; i = j; out += TDur(total); }
-            } else if (unit.isEmpty) { out += TNum(numStr.toDouble) }
-            else throw new IllegalArgumentException(s"bad duration unit '$unit' at $us in: $q")
           }
         } else out += TNum(numStr.toDouble)
       }
@@ -282,7 +298,7 @@ object Parser {
     /** Matrix-typed operand (range selector / subquery): legal only as a
       * range-function argument, never as a binary operand. */
     private def matrixTyped(e: PromExpr): Boolean = e match {
-      case s: Selector => s.windowMs.isDefined
+      case s: Selector => s.windowMs.isDefined || s.windowSteps.isDefined
       case _: Subquery => true
       case _ => false
     }
@@ -352,7 +368,9 @@ object Parser {
           case other => fail(s"expected label name, got $other")
         }
         cur match {
-          case TOp(",") => advance()
+          // trailing comma before ')' is legal in every grouping list
+          // (ref ParserSpec: `sum without(a, b,)(m)`, `on(x,) group_left`)
+          case TOp(",") => advance(); done = cur == TOp(")")
           case _ => done = true
         }
       }
@@ -389,20 +407,28 @@ object Parser {
       while (!done) cur match {
         case TOp("[") =>
           advance()
-          val range = cur match {
-            case TDur(ms) => advance(); ms
+          // (ms duration, step-multiple) — exactly one is set; `Ni` is
+          // FiloDB's interval-multiple notation, resolved at plan time
+          val (rangeMs, rangeSteps) = cur match {
+            case TDur(ms) => advance(); (ms, None)
+            case TDurSteps(k) => advance(); (0L, Some(k))
             case other => fail(s"expected duration in range, got $other")
           }
-          if (range <= 0L) fail(s"range duration must be positive, got ${range}ms")
+          if (rangeSteps.isEmpty && rangeMs <= 0L)
+            fail(s"range duration must be positive, got ${rangeMs}ms")
+          if (rangeSteps.exists(_ <= 0L))
+            fail(s"range duration must be positive, got ${rangeSteps.get}i")
           cur match {
             case TOp(":") => // subquery
               advance()
-              val step = cur match {
-                case TDur(ms) => advance(); Some(ms)
-                case _ => None
+              val (step, stepSteps) = cur match {
+                case TDur(ms) => advance(); (Some(ms), None)
+                case TDurSteps(k) => advance(); (None, Some(k))
+                case _ => (None, None)
               }
               expectOp("]")
-              e = Subquery(e, range, step)
+              e = Subquery(e, rangeMs, step,
+                rangeSteps = rangeSteps, stepSteps = stepSteps)
             case TOp("]") =>
               advance()
               e = e match {
@@ -416,9 +442,11 @@ object Parser {
                   fail("offset/@ modifiers must come after the range selector")
                 case s: Selector if modWritten.contains(s) =>
                   fail("offset/@ modifiers must come after the range selector")
-                case s: Selector if s.windowMs.isDefined =>
+                case s: Selector if s.windowMs.isDefined || s.windowSteps.isDefined =>
                   fail("range selector already has a range")
-                case s: Selector => s.copy(windowMs = Some(range))
+                case s: Selector if rangeSteps.isDefined =>
+                  s.copy(windowSteps = rangeSteps)
+                case s: Selector => s.copy(windowMs = Some(rangeMs))
                 case other => fail(s"range [] applies to selectors, got $other")
               }
             case other => fail(s"expected ':' or ']' got $other")
@@ -454,14 +482,20 @@ object Parser {
           modifierSeen = true
           // negative offsets look into the future: `offset -1h`
           val neg = cur match { case TOp("-") => advance(); true; case _ => false }
-          val d0 = cur match {
-            case TDur(ms) => advance(); ms
+          val (d0, st0) = cur match {
+            case TDur(ms) => advance(); (ms, 0L)
+            case TDurSteps(k) => advance(); (0L, k) // `offset 2i` = 2 steps
             case other => fail(s"expected duration after offset, got $other")
           }
           val d = if (neg) -d0 else d0
+          val ds = if (neg) -st0 else st0
           e = e match {
-            case s: Selector => markMod(s.copy(offsetMs = d))
-            case sq: Subquery => markMod(sq.copy(offsetMs = d))
+            case s: Selector => markMod(s.copy(offsetMs = d, offsetSteps = ds))
+            case sq: Subquery => markMod(sq.copy(offsetMs = d, offsetSteps = ds))
+            case other if ds != 0L =>
+              // distributing a step-unit offset into (expr) needs the
+              // resolved step; keep the extension ms-only
+              fail("step-unit offsets apply directly to selectors/subqueries")
             // (expr) offset d — same intentional extension as (expr) @ t:
             // shift every selector/subquery directly inside (a subquery's
             // own offset already shifts its entire inner evaluation — don't

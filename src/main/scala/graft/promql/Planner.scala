@@ -45,7 +45,31 @@ object PromPlanner {
                  preagg: Seq[PreaggTable] = Nil)
 
   def queryRange(ctx: Ctx, query: String): DataFrame =
-    planVector(ctx, Parser.parse(query))
+    planVector(ctx, resolveStepDurations(Parser.parse(query), ctx.stepMs))
+
+  /** Resolve FiloDB's interval-multiple `Ni` durations (N × the query
+    * step — reference TimeUnits.scala IntervalMultiple, set per-plan in
+    * Functions.scala:205-220 from the evaluation's step) into absolute
+    * ms, so the planner proper only ever sees ms. Applied once at the
+    * query entry; everything resolves against the top-level step. */
+  def resolveStepDurations(e: PromExpr, stepMs: Long): PromExpr = e match {
+    case s: Selector =>
+      s.copy(windowMs = s.windowMs.orElse(s.windowSteps.map(_ * stepMs)),
+        offsetMs = s.offsetMs + s.offsetSteps * stepMs,
+        windowSteps = None, offsetSteps = 0L)
+    case sq: Subquery =>
+      sq.copy(expr = resolveStepDurations(sq.expr, stepMs),
+        rangeMs = sq.rangeSteps.map(_ * stepMs).getOrElse(sq.rangeMs),
+        stepMs = sq.stepMs.orElse(sq.stepSteps.map(_ * stepMs)),
+        offsetMs = sq.offsetMs + sq.offsetSteps * stepMs,
+        rangeSteps = None, stepSteps = None, offsetSteps = 0L)
+    case FuncCall(n, args) => FuncCall(n, args.map(resolveStepDurations(_, stepMs)))
+    case a: Agg => a.copy(expr = resolveStepDurations(a.expr, stepMs),
+      param = a.param.map(resolveStepDurations(_, stepMs)))
+    case b: BinOp => b.copy(lhs = resolveStepDurations(b.lhs, stepMs),
+      rhs = resolveStepDurations(b.rhs, stepMs))
+    case other => other
+  }
 
   /** Static expression type: true when `e` evaluates to a SCALAR (one
     * value per step, no labels) — Prometheus answers such instant queries
@@ -345,7 +369,7 @@ object PromPlanner {
         .withColumn("labels", map().cast("map<string,string>"))
         .transform(withKey).transform(finish)
 
-    case Subquery(inner, range, step, off, atMs) =>
+    case Subquery(inner, range, step, off, atMs, _, _, _) =>
       // Top-level subquery (reference TopLevelSubquery,
       // LogicalPlan.scala:476-543): evaluate the inner expr on the
       // subquery's own step-aligned grid covering [end-range, end] and
@@ -563,7 +587,7 @@ object PromPlanner {
           // no labels (not selector-rooted).
           val present = planFunc(ctx, "present_over_time", args)
           absentOfSteps(ctx, present, map().cast("map<string,string>"))
-        case Subquery(inner, range, step, off, atMs) =>
+        case Subquery(inner, range, step, off, atMs, _, _, _) =>
           // @ on a subquery pins the outer evaluation time; the result is
           // replicated across the step grid like a pinned selector
           val atR = atMs.map(resolveAt(ctx, _))

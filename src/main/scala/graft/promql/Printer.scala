@@ -10,7 +10,7 @@ package graft.promql
 object Printer {
 
   def print(e: PromExpr): String = e match {
-    case Selector(metric, matchers, window, offset, at) =>
+    case Selector(metric, matchers, window, offset, at, windowSteps, offsetSteps) =>
       // UTF-8 metric names (dots, spaces, keyword collisions like `sum`)
       // can't stand bare — print them as the quoted in-braces form
       // ({"my.metric", a="b"}), which the parser reads back as the metric
@@ -22,7 +22,9 @@ object Printer {
           (quote(m) +: matchers.map(matcherStr)).mkString("{", ", ", "}")
         case None => matchers.map(matcherStr).mkString("{", ", ", "}")
       }
-      base + window.map(w => s"[${dur(w)}]").getOrElse("") + modifiers(offset, at)
+      base + window.map(w => s"[${dur(w)}]")
+        .orElse(windowSteps.map(k => s"[${k}i]")).getOrElse("") +
+        modifiers(offset, offsetSteps, at)
 
     case NumberLit(v) => num(v)
 
@@ -50,7 +52,7 @@ object Printer {
       }.getOrElse("")
       s"${operand(lhs)} $op$boolStr$matchStr ${operand(rhs)}"
 
-    case Subquery(expr, range, step, offset, at) =>
+    case Subquery(expr, range, step, offset, at, rangeSteps, stepSteps, offsetSteps) =>
       val inner = expr match {
         case _: BinOp => s"(${print(expr)})"
         // a bare negative literal would re-lex with the unary minus OUTSIDE
@@ -58,7 +60,9 @@ object Printer {
         case n: NumberLit if print(n).startsWith("-") => s"(${print(n)})"
         case _ => print(expr)
       }
-      s"$inner[${dur(range)}:${step.map(dur).getOrElse("")}]" + modifiers(offset, at)
+      val rangeStr = rangeSteps.map(k => s"${k}i").getOrElse(dur(range))
+      val stepStr = stepSteps.map(k => s"${k}i").orElse(step.map(dur)).getOrElse("")
+      s"$inner[$rangeStr:$stepStr]" + modifiers(offset, offsetSteps, at)
   }
 
   /** Parenthesize binary operands: parens group without creating AST nodes,
@@ -113,9 +117,11 @@ object Printer {
     sb.append('"').toString
   }
 
-  private def modifiers(offsetMs: Long, atMs: Option[Long]): String = {
+  private def modifiers(offsetMs: Long, offsetSteps: Long, atMs: Option[Long]): String = {
     val off =
-      if (offsetMs == 0L) ""
+      if (offsetSteps < 0L) s" offset -${-offsetSteps}i"
+      else if (offsetSteps > 0L) s" offset ${offsetSteps}i"
+      else if (offsetMs == 0L) ""
       else if (offsetMs < 0L) s" offset -${dur(-offsetMs)}"
       else s" offset ${dur(offsetMs)}"
     val at = atMs match {

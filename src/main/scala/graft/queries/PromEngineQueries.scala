@@ -117,6 +117,16 @@ object PromEngineQueries {
           round(col("value"), 6).as("value"))
         .orderBy("step_ts", "user")),
 
+    // FiloDB interval-multiple notation: [2i] = 2 x step, offset 1i = 1 x
+    // step (reference TimeUnits.scala IntervalMultiple) — at step 1d this
+    // is exactly [2d] offset 1d, which the mirror evaluates absolutely
+    "q152_promql_interval_multiple" -> ((s, dir) =>
+      PromPlanner.queryRange(userCtx(s, dir, D1),
+        "sum_over_time(purchase[2i] offset 1i)")
+        .select(col("labels")("user").as("user"), col("step_ts"),
+          round(col("value"), 6).as("value"))
+        .orderBy("step_ts", "user")),
+
     "q14_promql_regex_1d" -> ((s, dir) =>
       PromPlanner.queryRange(userCtx(s, dir, D1),
         """sum(sum_over_time(purchase{user=~"1.?"}[1d]))""")
@@ -436,6 +446,15 @@ object PromEngineQueries {
           sums AS (SELECT s.step_ts, e.user_id, sum(e.value) AS value
                    FROM stps s JOIN ev e
                    ON e.ts_ms > s.step_ts - ${2 * D1} AND e.ts_ms <= s.step_ts - $D1
+                   WHERE e.event_type = 'purchase' GROUP BY 1,2)
+          SELECT CAST(user_id AS VARCHAR) AS "user", step_ts, round(value,6) AS value
+          FROM sums ORDER BY step_ts, "user"""",
+
+    "q152_promql_interval_multiple" ->
+      s"""WITH ev AS ($EV), stps AS (${steps(D1)}),
+          sums AS (SELECT s.step_ts, e.user_id, sum(e.value) AS value
+                   FROM stps s JOIN ev e
+                   ON e.ts_ms > s.step_ts - ${3 * D1} AND e.ts_ms <= s.step_ts - $D1
                    WHERE e.event_type = 'purchase' GROUP BY 1,2)
           SELECT CAST(user_id AS VARCHAR) AS "user", step_ts, round(value,6) AS value
           FROM sums ORDER BY step_ts, "user"""",

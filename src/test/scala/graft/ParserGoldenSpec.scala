@@ -632,6 +632,41 @@ class ParserGoldenSpec extends AnyFunSuite with Matchers {
       Parser.parse("""last_over_time_is_mad_outlier(sum(rate(m[5m]))[1d:5m], 3.0, 1.0)""")
   }
 
+  test("interval-multiple durations: [Ni] windows, Ni offsets, no unit mixing") {
+    Parser.parse("foo[5i]") shouldEqual sel("foo").copy(windowSteps = Some(5L))
+    Parser.parse("rate(foo[5i])") shouldEqual
+      FuncCall("rate", Seq(sel("foo").copy(windowSteps = Some(5L))))
+    Parser.parse("foo offset 2i") shouldEqual sel("foo").copy(offsetSteps = 2L)
+    Parser.parse("foo offset -2i") shouldEqual sel("foo").copy(offsetSteps = -2L)
+    Parser.parse("sum(rate(m[2i]))[10i:1i]") shouldEqual
+      Subquery(Agg("sum", FuncCall("rate",
+        Seq(sel("m").copy(windowSteps = Some(2L)))), None, Nil, Nil),
+        0L, None, rangeSteps = Some(10L), stepSteps = Some(1L))
+    // mixing with absolute units is an error (reference AntlrParser:451)
+    an[IllegalArgumentException] should be thrownBy Parser.parse("foo[1i5m]")
+    an[IllegalArgumentException] should be thrownBy Parser.parse("foo[5m1i]")
+    an[IllegalArgumentException] should be thrownBy Parser.parse("foo[0i]")
+    an[IllegalArgumentException] should be thrownBy
+      Parser.parse("some_metric[5m] offset 5m2i")
+  }
+
+  test("trailing commas in grouping/matching label lists are legal") {
+    Parser.parse("sum without(a, b,)(m)") shouldEqual
+      Agg("sum", sel("m"), None, Nil, Seq("a", "b"))
+    Parser.parse("sum by(and, by, avg, count, alert, annotations, )(m)") shouldEqual
+      Agg("sum", sel("m"), None,
+        Seq("and", "by", "avg", "count", "alert", "annotations"), Nil)
+    Parser.parse("foo and ignoring(test,blub,) bar") shouldEqual
+      BinOp("and", sel("foo"), sel("bar"),
+        matching = Some(VectorMatch(on = false, Seq("test", "blub"))))
+    Parser.parse("foo / on(test,blub, ) group_left(bar) bar") shouldEqual
+      BinOp("/", sel("foo"), sel("bar"),
+        matching = Some(VectorMatch(on = true, Seq("test", "blub"),
+          groupLeft = true, include = Seq("bar"))))
+    // empty-after-comma still needs at least the closing paren next
+    an[IllegalArgumentException] should be thrownBy Parser.parse("sum by(a,,b)(m)")
+  }
+
   test("structural matcher/grouping rejections from the reference battery") {
     // colons are metric-name-only
     an[IllegalArgumentException] should be thrownBy Parser.parse("""some_metric{a:b="b"}""")

@@ -60,6 +60,9 @@ class PrinterSpec extends AnyFunSuite with Matchers {
     // subqueries
     """avg_over_time(up{job=~"a|b|c"}[1h:5m])""",
     """min_over_time(m[1h:])""",
+    """rate(foo[5i]) + rate(bar{job="a"}[4i])""",
+    """sum_over_time(purchase[2i] offset 1i)""",
+    """max_over_time(sum(rate(m[2i]))[10i:1i])""",
     """rate(m[6h])[3d:6h] offset 1d""",
     """rate(m[5m])[1h:5m] @ end()""",
     """max_over_time(rate(m[5m])[30m:][1h:10m])""",
