@@ -146,6 +146,29 @@ object TextAnalysis {
         size(col("col")).as("n_tokens"))
   }
 
+  /** RAG-index hygiene: chunks whose normalized text appears more than
+    * once corpus-wide (chunk-granular exact dedup — retrieval indexes
+    * dedupe at the CHUNK level, not the document level, or near-copies
+    * crowd every top-k). One row per duplicated fingerprint with the
+    * canonical (lowest doc, lowest idx) occurrence to keep.
+    *
+    * Scale shape: one md5-fingerprint groupBy (fixed-width keys — chunk
+    * text never shuffles); the canonical pick is a min(struct) inside
+    * the same aggregation, no window. Output: (fp, n_dups, n_docs,
+    * keep_doc_id, keep_chunk_idx). */
+  def chunkDedupReport(docs: DataFrame, chunkTokens: Int = 64, overlapTokens: Int = 16,
+                       textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    chunkDocuments(docs, chunkTokens, overlapTokens, textCol, idCol)
+      .select(md5(lower(col("chunk_text"))).as("fp"), col(idCol), col("chunk_idx"))
+      .groupBy(col("fp"))
+      .agg(count(lit(1)).as("n_dups"),
+        countDistinct(col(idCol)).as("n_docs"),
+        min(struct(col(idCol), col("chunk_idx"))).as("__keep"))
+      .where(col("n_dups") > 1)
+      .select(col("fp"), col("n_dups"), col("n_docs"),
+        col(s"__keep.$idCol").as("keep_doc_id"),
+        col("__keep.chunk_idx").as("keep_chunk_idx"))
+
   /** PII detection/redaction patterns. Restricted to the RE2-compatible
     * regex subset (no lookaround, no backrefs) so the DuckDB oracle can
     * apply the IDENTICAL pattern strings — and so the operator stays

@@ -432,6 +432,13 @@ object PipelineQueries {
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), n = 8)
         .orderBy(col("doc_id"))),
 
+    // chunk-level exact dedup for RAG indexes: duplicated 32-token
+    // chunks (q116's chunker) with their canonical keep occurrence
+    "q153_chunk_dedup" -> ((s, dir) =>
+      TextAnalysis.chunkDedupReport(TsTables.documents(s, dir),
+        chunkTokens = 32, overlapTokens = 8)
+        .orderBy(col("fp"))),
+
     // multi-language ID: per-language stopword argmax over the corpus +
     // planted de/fr/es/tie rows; zero-shuffle expressions, full mirror
     "q149_langid_multi" -> ((s, dir) => {
@@ -954,6 +961,25 @@ object PipelineQueries {
           ORDER BY doc_id"""
 
   private lazy val oraclesTail: Map[String, String] = Map(
+
+    // the q116 chunk CTE + md5 fingerprint grouping; canonical keep is
+    // the (doc, idx)-least occurrence in both engines
+    "q153_chunk_dedup" ->
+      """WITH base AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+                       FROM documents),
+              idx AS (SELECT doc_id, toks,
+                             unnest(generate_series(0,
+                               CAST(floor(greatest(len(toks) - 8 - 1, 0) / 24.0) AS INT))) AS i
+                      FROM base),
+              ch AS (SELECT doc_id, i AS chunk_idx,
+                            md5(lower(array_to_string(toks[i*24+1 : i*24+32], ' '))) AS fp
+                     FROM idx),
+              agg AS (SELECT fp, count(*) AS n_dups, count(DISTINCT doc_id) AS n_docs,
+                             min({'d': doc_id, 'c': chunk_idx}) AS keep
+                      FROM ch GROUP BY fp HAVING count(*) > 1)
+         SELECT fp, n_dups, n_docs, keep.d AS keep_doc_id,
+                keep.c AS keep_chunk_idx
+         FROM agg ORDER BY fp""",
 
     // per-language hit counts from the SAME stopword lists, argmax with
     // the >= chain = the fold's earliest-code-on-ties rule
