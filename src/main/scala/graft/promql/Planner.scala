@@ -47,6 +47,44 @@ object PromPlanner {
   def queryRange(ctx: Ctx, query: String): DataFrame =
     planVector(ctx, resolveStepDurations(Parser.parse(query), ctx.stepMs))
 
+  /** Multi-resolution downsample store: the reference keeps several
+    * downsample resolutions and answers each query from the COARSEST one
+    * that still resolves the query's smallest window (reference
+    * DownsampledTimeSeriesShard.chooseDownsampleResolution — a finer
+    * tier than needed wastes scan width; a coarser one cannot fill the
+    * window). Windowless instant selectors size against the staleness
+    * lookback. Falls back to the finest tier when nothing fits. */
+  def chooseDownsampleResolution(resolutions: Seq[Long], minWindowMs: Long): Long = {
+    require(resolutions.nonEmpty, "no downsample resolutions registered")
+    val sorted = resolutions.sorted
+    sorted.reverse.find(_ <= minWindowMs).getOrElse(sorted.head)
+  }
+
+  /** Wire `ctx` with the downsample tier [[chooseDownsampleResolution]]
+    * picks for `query` (tiers = (resolutionMs, ds-gauge frame)). */
+  def withDownsampleTiers(ctx: Ctx, tiers: Seq[(Long, DataFrame)],
+                          boundaryMs: Long, query: String): Ctx = {
+    val ast = resolveStepDurations(Parser.parse(query), ctx.stepMs)
+    val minWin = minSelectorWindowMs(ast).getOrElse(ctx.lookbackMs)
+    val res = chooseDownsampleResolution(tiers.map(_._1), minWin)
+    ctx.copy(cold = Some(ColdTier(tiers.find(_._1 == res).get._2, boundaryMs)))
+  }
+
+  /** Smallest selector window in the expression (windowless selectors
+    * count as the staleness lookback at plan time — handled by caller). */
+  private def minSelectorWindowMs(e: PromExpr): Option[Long] = {
+    def walk(e: PromExpr): Seq[Long] = e match {
+      case s: Selector => s.windowMs.toSeq
+      case sq: Subquery => Seq(sq.rangeMs) ++ walk(sq.expr)
+      case FuncCall(_, args) => args.flatMap(walk)
+      case a: Agg => walk(a.expr) ++ a.param.toSeq.flatMap(walk)
+      case b: BinOp => walk(b.lhs) ++ walk(b.rhs)
+      case _ => Nil
+    }
+    val ws = walk(e)
+    if (ws.isEmpty) None else Some(ws.min)
+  }
+
   /** Resolve FiloDB's interval-multiple `Ni` durations (N × the query
     * step — reference TimeUnits.scala IntervalMultiple, set per-plan in
     * Functions.scala:205-220 from the evaluation's step) into absolute

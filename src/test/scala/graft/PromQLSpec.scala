@@ -563,6 +563,27 @@ class PromQLSpec extends AnyFunSuite with Matchers {
     ex.getMessage should include("no column")
   }
 
+  test("downsample resolution selection: coarsest tier that fits the smallest window") {
+    import PromPlanner.chooseDownsampleResolution
+    val res = Seq(60000L, 300000L, 3600000L) // 1m, 5m, 1h
+    chooseDownsampleResolution(res, 86400000L) shouldEqual 3600000L // 1d window -> 1h tier
+    chooseDownsampleResolution(res, 600000L) shouldEqual 300000L    // 10m -> 5m
+    chooseDownsampleResolution(res, 300000L) shouldEqual 300000L    // exact fit
+    chooseDownsampleResolution(res, 120000L) shouldEqual 60000L     // 2m -> 1m
+    chooseDownsampleResolution(res, 30000L) shouldEqual 60000L      // nothing fits -> finest
+    // ctx wiring picks by the query's SMALLEST window (the binding
+    // constraint — every window must fill), windowless -> lookback
+    val c = ctx(3000, 9000, 3000)
+    val t1m = spark.range(1).toDF(); val t1h = spark.range(2).toDF()
+    val tiers = Seq(60000L -> t1m, 3600000L -> t1h)
+    PromPlanner.withDownsampleTiers(c, tiers, 0L,
+      "sum_over_time(m[2h]) + rate(m[90m])").cold.get.ds shouldBe theSameInstanceAs(t1h)
+    PromPlanner.withDownsampleTiers(c, tiers, 0L,
+      "sum_over_time(m[2h]) + rate(m[30m])").cold.get.ds shouldBe theSameInstanceAs(t1m)
+    PromPlanner.withDownsampleTiers(c, tiers, 0L, "m").cold.get.ds shouldBe
+      theSameInstanceAs(t1m) // 5m lookback -> nothing fits -> finest
+  }
+
   test("double_exponential_smoothing is an exact alias for holt_winters (Prometheus 3 rename)") {
     val c = ctx(3000, 3000, 1000)
     val viaAlias = PromPlanner.queryRange(c,
