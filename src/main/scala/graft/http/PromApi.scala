@@ -140,8 +140,13 @@ class PromApi(spark: SparkSession, samples: DataFrame, port: Int = 0,
     val t0 = System.nanoTime()
     val t = ms(p.getOrElse("time", (System.currentTimeMillis() / 1000).toString))
     val ctx = PromPlanner.Ctx(spark, samples, t, t, 1000L, lookbackMs = lookback(p))
-    val ast = PromPlanner.resolveStepDurations(
-      graft.promql.Parser.parse(p("query")), ctx.stepMs)
+    val ast0 = graft.promql.Parser.parse(p("query"))
+    // an instant query has no step for `Ni` to multiply — resolving
+    // against the internal placeholder would silently mean "N seconds"
+    if (PromPlanner.hasStepDurations(ast0))
+      throw new IllegalArgumentException(
+        "interval-multiple (Ni) durations require a range query with a step")
+    val ast = PromPlanner.resolveStepDurations(ast0, ctx.stepMs)
     val df = PromPlanner.planVector(ctx, ast)
     if (p.get("explainOnly").contains("true")) return explainResponse(p("query"), df)
     val rows = collectLimited(df)

@@ -46,6 +46,7 @@ object Parser {
           var total = 0L
           var numPart = numStr
           var ok = true
+          var sawAbsUnit = false // any ms-unit segment, even zero-valued
           var j = i
           while (ok) {
             val us = j
@@ -54,14 +55,16 @@ object Parser {
             unitMs.get(unit) match {
               case Some(m) =>
                 total += numPart.toLong * m
+                sawAbsUnit = true
                 val ns = j
                 while (j < n && q(j).isDigit) j += 1
                 if (j > ns) numPart = q.substring(ns, j)
                 else { ok = false; i = j; out += TDur(total) }
               case None if unit == "i" =>
                 // FiloDB interval-multiple: whole-token only, never mixed
-                // with absolute units (ref AntlrParser.scala:451)
-                if (total > 0L || (j < n && q(j).isDigit))
+                // with absolute units (ref AntlrParser.scala:451) — flag,
+                // not total, so a zero segment like `0m1i` still rejects
+                if (sawAbsUnit || (j < n && q(j).isDigit))
                   throw new IllegalArgumentException(
                     s"interval-multiple 'i' cannot mix with other duration units in: $q")
                 out += TDurSteps(numPart.toLong)
@@ -404,6 +407,7 @@ object Parser {
       // ("no offset modifiers allowed before range selector") — a value
       // check (offsetMs != 0) would let `offset 0s [5m]` slip through
       var modifierSeen = false
+      var offsetSeen = false // Prometheus: at most one offset per chain
       while (!done) cur match {
         case TOp("[") =>
           advance()
@@ -426,9 +430,14 @@ object Parser {
                 case TDurSteps(k) => advance(); (None, Some(k))
                 case _ => (None, None)
               }
+              if (step.exists(_ <= 0L) || stepSteps.exists(_ <= 0L))
+                fail("subquery step must be positive")
               expectOp("]")
               e = Subquery(e, rangeMs, step,
                 rangeSteps = rangeSteps, stepSteps = stepSteps)
+              // the subquery is a NEW node: a following offset belongs to
+              // it, not to the inner selector whose offset already closed
+              offsetSeen = false
             case TOp("]") =>
               advance()
               e = e match {
@@ -489,9 +498,21 @@ object Parser {
           }
           val d = if (neg) -d0 else d0
           val ds = if (neg) -st0 else st0
+          // Prometheus rejects a second offset on the same selector; the
+          // value check also catches the cross-paren form `(foo offset
+          // 1h) offset 2i`, which would otherwise silently clobber
+          def oneOffset(prevMs: Long, prevSteps: Long): Unit = {
+            if (offsetSeen || prevMs != 0L || prevSteps != 0L)
+              fail("duplicate offset modifier")
+            offsetSeen = true
+          }
           e = e match {
-            case s: Selector => markMod(s.copy(offsetMs = d, offsetSteps = ds))
-            case sq: Subquery => markMod(sq.copy(offsetMs = d, offsetSteps = ds))
+            case s: Selector =>
+              oneOffset(s.offsetMs, s.offsetSteps)
+              markMod(s.copy(offsetMs = d, offsetSteps = ds))
+            case sq: Subquery =>
+              oneOffset(sq.offsetMs, sq.offsetSteps)
+              markMod(sq.copy(offsetMs = d, offsetSteps = ds))
             case other if ds != 0L =>
               // distributing a step-unit offset into (expr) needs the
               // resolved step; keep the extension ms-only
@@ -503,6 +524,8 @@ object Parser {
             case other =>
               if (!hasVectorNode(other))
                 fail(s"offset applies to selectors/subqueries (or expressions containing them), got $other")
+              if (offsetSeen) fail("duplicate offset modifier")
+              offsetSeen = true
               applyOffset(other, d)
           }
         case _ => done = true

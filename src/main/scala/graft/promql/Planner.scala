@@ -61,20 +61,30 @@ object PromPlanner {
   }
 
   /** Wire `ctx` with the downsample tier [[chooseDownsampleResolution]]
-    * picks for `query` (tiers = (resolutionMs, ds-gauge frame)). */
+    * picks for `query` (tiers = (resolutionMs, ds-gauge frame)). Parses
+    * once here; prefer the AST overload when the caller already holds
+    * the parsed expression (it will be parsed again by queryRange —
+    * use planVector on the same AST to avoid the second parse). */
   def withDownsampleTiers(ctx: Ctx, tiers: Seq[(Long, DataFrame)],
-                          boundaryMs: Long, query: String): Ctx = {
-    val ast = resolveStepDurations(Parser.parse(query), ctx.stepMs)
-    val minWin = minSelectorWindowMs(ast).getOrElse(ctx.lookbackMs)
+                          boundaryMs: Long, query: String): Ctx =
+    withDownsampleTiers(ctx, tiers, boundaryMs,
+      resolveStepDurations(Parser.parse(query), ctx.stepMs))
+
+  def withDownsampleTiers(ctx: Ctx, tiers: Seq[(Long, DataFrame)],
+                          boundaryMs: Long, ast: PromExpr): Ctx = {
+    val minWin = minSelectorWindowMs(ast, ctx.lookbackMs).getOrElse(ctx.lookbackMs)
     val res = chooseDownsampleResolution(tiers.map(_._1), minWin)
     ctx.copy(cold = Some(ColdTier(tiers.find(_._1 == res).get._2, boundaryMs)))
   }
 
-  /** Smallest selector window in the expression (windowless selectors
-    * count as the staleness lookback at plan time — handled by caller). */
-  private def minSelectorWindowMs(e: PromExpr): Option[Long] = {
+  /** Smallest window any selector in the expression must fill. A
+    * WINDOWLESS instant selector still constrains the choice — it reads
+    * through the staleness lookback, so it contributes `lookbackMs`
+    * (a mixed query like `sum_over_time(m[2h]) + m` must not route to a
+    * tier coarser than the bare selector can see). */
+  private def minSelectorWindowMs(e: PromExpr, lookbackMs: Long): Option[Long] = {
     def walk(e: PromExpr): Seq[Long] = e match {
-      case s: Selector => s.windowMs.toSeq
+      case s: Selector => Seq(s.windowMs.getOrElse(lookbackMs))
       case sq: Subquery => Seq(sq.rangeMs) ++ walk(sq.expr)
       case FuncCall(_, args) => args.flatMap(walk)
       case a: Agg => walk(a.expr) ++ a.param.toSeq.flatMap(walk)
@@ -83,6 +93,18 @@ object PromPlanner {
     }
     val ws = walk(e)
     if (ws.isEmpty) None else Some(ws.min)
+  }
+
+  /** Does the expression still carry unresolved interval-multiple (`Ni`)
+    * durations? (True only BEFORE resolveStepDurations.) */
+  def hasStepDurations(e: PromExpr): Boolean = e match {
+    case s: Selector => s.windowSteps.isDefined || s.offsetSteps != 0L
+    case sq: Subquery => sq.rangeSteps.isDefined || sq.stepSteps.isDefined ||
+      sq.offsetSteps != 0L || hasStepDurations(sq.expr)
+    case FuncCall(_, args) => args.exists(hasStepDurations)
+    case a: Agg => hasStepDurations(a.expr) || a.param.exists(hasStepDurations)
+    case b: BinOp => hasStepDurations(b.lhs) || hasStepDurations(b.rhs)
+    case _ => false
   }
 
   /** Resolve FiloDB's interval-multiple `Ni` durations (N × the query

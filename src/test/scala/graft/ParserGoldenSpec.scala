@@ -648,6 +648,14 @@ class ParserGoldenSpec extends AnyFunSuite with Matchers {
     an[IllegalArgumentException] should be thrownBy Parser.parse("foo[0i]")
     an[IllegalArgumentException] should be thrownBy
       Parser.parse("some_metric[5m] offset 5m2i")
+    // a ZERO absolute segment must not launder the mix, and 0i steps are
+    // as illegal as 0s ones
+    an[IllegalArgumentException] should be thrownBy Parser.parse("foo[0m1i]")
+    an[IllegalArgumentException] should be thrownBy Parser.parse("max_over_time(m[10i:0i])")
+    an[IllegalArgumentException] should be thrownBy Parser.parse("max_over_time(m[10m:0s])")
+    // duplicate offsets never silently last-win (cross-unit included)
+    an[IllegalArgumentException] should be thrownBy Parser.parse("foo offset 1h offset 2i")
+    an[IllegalArgumentException] should be thrownBy Parser.parse("(foo offset 1h) offset 2i")
   }
 
   test("trailing commas in grouping/matching label lists are legal") {

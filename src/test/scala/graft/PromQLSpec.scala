@@ -582,6 +582,10 @@ class PromQLSpec extends AnyFunSuite with Matchers {
       "sum_over_time(m[2h]) + rate(m[30m])").cold.get.ds shouldBe theSameInstanceAs(t1m)
     PromPlanner.withDownsampleTiers(c, tiers, 0L, "m").cold.get.ds shouldBe
       theSameInstanceAs(t1m) // 5m lookback -> nothing fits -> finest
+    // a WINDOWLESS selector in a mixed query still constrains the choice
+    // (it reads through the 5m lookback, which a 1h tier cannot fill)
+    PromPlanner.withDownsampleTiers(c, tiers, 0L,
+      "sum_over_time(m[2h]) + m").cold.get.ds shouldBe theSameInstanceAs(t1m)
   }
 
   test("double_exponential_smoothing is an exact alias for holt_winters (Prometheus 3 rename)") {
