@@ -35,7 +35,16 @@ final case class Selector(metric: Option[String], matchers: Seq[LabelMatcher],
                           offsetSteps: Long = 0L)
   extends PromExpr
 
-final case class NumberLit(v: Double) extends PromExpr
+final case class NumberLit(v: Double) extends PromExpr {
+  // bit-level equality: the default Double == makes NumberLit(NaN)
+  // unequal to ITSELF, so any AST containing NaN fails every identity
+  // check (found round-tripping the reference corpus's vector(NaN))
+  override def equals(o: Any): Boolean = o match {
+    case NumberLit(w) => java.lang.Double.compare(v, w) == 0
+    case _ => false
+  }
+  override def hashCode: Int = java.lang.Double.hashCode(v)
+}
 final case class StringLit(v: String) extends PromExpr
 
 /** fn(args...) — range functions take a matrix Selector/Subquery argument,

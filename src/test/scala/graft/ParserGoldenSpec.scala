@@ -675,6 +675,12 @@ class ParserGoldenSpec extends AnyFunSuite with Matchers {
     an[IllegalArgumentException] should be thrownBy Parser.parse("sum by(a,,b)(m)")
   }
 
+  test("NaN-carrying ASTs are equal to themselves (bit-level NumberLit equality)") {
+    val a = Parser.parse("vector(NaN)")
+    a shouldEqual Parser.parse(Printer.print(a))
+    Parser.parse("m > NaN") shouldEqual Parser.parse("m > NaN")
+  }
+
   test("structural matcher/grouping rejections from the reference battery") {
     // colons are metric-name-only
     an[IllegalArgumentException] should be thrownBy Parser.parse("""some_metric{a:b="b"}""")
