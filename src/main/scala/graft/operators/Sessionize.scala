@@ -39,7 +39,11 @@ object Sessionize {
     min(col(tsCol)).as("start_ms"),
     max(col(tsCol)).as("end_ms"),
     (max(col(tsCol)) - min(col(tsCol))).as("duration_ms"),
-    round(sum(col("value")), 6).as("sum_value"))
+    // integer micro-units, rounded per row BEFORE the sum: integer
+    // addition is associative, so the rollup is bit-identical across
+    // engines and partition orders (a double sum is not — driver-gate
+    // convention, see PipelineQueries.meanStrSql / Sampling.dsirSelect)
+    sum(round(col("value") * 1e6).cast("long")).as("sum_value_micro"))
 
   /** Top-k event-type PATHS: n-grams of consecutive event types inside a
     * session, counted corpus-wide — the "how do users actually move

@@ -756,9 +756,10 @@ object PipelineQueries {
                            ${langIdSql("text")} AS lang,
                            md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
                     FROM documents),
-              agg AS (SELECT d.source, count(*) AS n_docs, sum(d.n_tokens) AS total_tokens,
-                             sum(CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END) AS n_en,
-                             sum(CASE WHEN g.gopher_pass THEN 1 ELSE 0 END) AS n_gopher_pass,
+              agg AS (SELECT d.source, count(*) AS n_docs,
+                             CAST(sum(d.n_tokens) AS BIGINT) AS total_tokens,
+                             CAST(sum(CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+                             CAST(sum(CASE WHEN g.gopher_pass THEN 1 ELSE 0 END) AS BIGINT) AS n_gopher_pass,
                              count(distinct d.fp) AS n_unique_fps
                       FROM d JOIN gopher g USING (doc_id)
                       GROUP BY d.source)
@@ -1448,10 +1449,11 @@ object PipelineQueries {
           LEFT JOIN ${p}_t t ON t.b = bs.b LEFT JOIN ${p}_r r ON r.b = bs.b
           CROSS JOIN ${p}_tot tot),
         ${p}_score AS (
-          SELECT bg.doc_id, sum(ratio.rr) AS lw
+          SELECT bg.doc_id, CAST(sum(ratio.rr) AS BIGINT) AS lw
           FROM ${p}_bg bg JOIN ${p}_ratio ratio ON ratio.b = bg.b GROUP BY bg.doc_id),
         ${p}_ranked AS (
-          SELECT f.doc_id, len(f.gs) AS n_feats, coalesce(s.lw, 0) AS logw_micro,
+          SELECT f.doc_id, CAST(len(f.gs) AS INT) AS n_feats,
+                 CAST(coalesce(s.lw, 0) AS BIGINT) AS logw_micro,
                  row_number() OVER (ORDER BY coalesce(s.lw, 0) DESC, f.doc_id ASC) AS rn
           FROM ${p}_feats f LEFT JOIN ${p}_score s ON s.doc_id = f.doc_id),
         ${p}_keep AS (SELECT doc_id FROM ${p}_ranked WHERE rn <= $keep)"""
@@ -1472,8 +1474,9 @@ object PipelineQueries {
           FROM $src),
         offd AS (
           SELECT doc_id, bucket, etoks,
-                 sum(len(etoks)) OVER (PARTITION BY bucket ORDER BY doc_id
-                                       ROWS UNBOUNDED PRECEDING) - len(etoks) AS off
+                 CAST(sum(len(etoks)) OVER (PARTITION BY bucket ORDER BY doc_id
+                                            ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   - len(etoks) AS off
           FROM enc),
         pos AS (
           SELECT bucket, off + i - 1 AS gpos, etoks[i] AS tok

@@ -299,14 +299,15 @@ object RelationalQueries {
               flg AS (SELECT *, CASE WHEN prev IS NULL OR ts_ms - prev > 21600000
                                      THEN 1 ELSE 0 END AS nw
                       FROM lagd),
-              sess AS (SELECT *, sum(nw) OVER
+              sess AS (SELECT *, CAST(sum(nw) OVER
                          (PARTITION BY user_id ORDER BY ts_ms, event_id
-                          ROWS UNBOUNDED PRECEDING) AS session_idx
+                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
                        FROM flg)
          SELECT user_id, session_idx, count(*) AS n_events,
                 min(ts_ms) AS start_ms, max(ts_ms) AS end_ms,
                 max(ts_ms) - min(ts_ms) AS duration_ms,
-                round(sum(value), 6) AS sum_value
+                CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT)
+                  AS sum_value_micro
          FROM sess GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "q126_funnel" ->

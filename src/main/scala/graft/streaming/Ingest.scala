@@ -114,7 +114,7 @@ object Ingest {
     * Spark's session_window bound extends gap past the last event, but
     * the OUTPUT here reports observed event times: `start_ms`/`end_ms`
     * are min/max(ts) within the session, so `n_events`/`start/end/
-    * duration/sum_value` match the batch operator on the same rows. */
+    * duration/sum_value_micro` match the batch operator on the same rows. */
   def sessionStats(samples: DataFrame, gap: String,
                    lateness: Option[String] = None,
                    keyCols: Seq[String] = Seq("user")): DataFrame = {
@@ -125,7 +125,7 @@ object Ingest {
       .groupBy(keyCols.map(col) :+ session_window(col("et"), gap).as("w"): _*)
       .agg(aggs.head, aggs.tail: _*)
       .select(keyCols.map(col) ++ Seq(col("n_events"), col("start_ms"),
-        col("end_ms"), col("duration_ms"), col("sum_value")): _*)
+        col("end_ms"), col("duration_ms"), col("sum_value_micro")): _*)
   }
 
   /** Streaming twin of Sessionize.topPaths' GRAM EMISSION: each session

@@ -37,11 +37,11 @@ class SessionizeSpec extends AnyFunSuite with Matchers {
   test("sessionStats rolls up bounds, counts and sums per session") {
     val s = Sessionize.sessionStats(events, gapMs = 100)
       .collect().map(r => (r.getLong(0), r.getLong(1)) ->
-        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getDouble(6)))).toMap
-    s((1L, 1L)) shouldEqual ((2L, 1000L, 1050L, 50L, 3.0))
-    s((1L, 2L)) shouldEqual ((2L, 1200L, 1250L, 50L, 7.0))
-    s((2L, 1L)) shouldEqual ((1L, 5000L, 5000L, 0L, 5.0))
-    s((3L, 1L)) shouldEqual ((2L, 9000L, 9001L, 1L, 13.0))
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    s((1L, 1L)) shouldEqual ((2L, 1000L, 1050L, 50L, 3000000L))
+    s((1L, 2L)) shouldEqual ((2L, 1200L, 1250L, 50L, 7000000L))
+    s((2L, 1L)) shouldEqual ((1L, 5000L, 5000L, 0L, 5000000L))
+    s((3L, 1L)) shouldEqual ((2L, 9000L, 9001L, 1L, 13000000L))
   }
 
   test("sessionize is deterministic under repartitioning") {

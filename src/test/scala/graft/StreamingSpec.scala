@@ -248,7 +248,7 @@ class StreamingSpec extends AnyFunSuite with Matchers {
       rows.head.getAs[Long]("start_ms") shouldEqual 0L
       rows.head.getAs[Long]("end_ms") shouldEqual 30000L
       rows.head.getAs[Long]("duration_ms") shouldEqual 30000L
-      rows.head.getAs[Double]("sum_value") shouldEqual 3.0
+      rows.head.getAs[Long]("sum_value_micro") shouldEqual 3000000L
       // batch mode over the same rows agrees with the finalized session
       val batch = Ingest.sessionStats(
         Seq(Sample(1, "m", "u", 0L, 1.0), Sample(1, "m", "u", 30000L, 2.0),

@@ -38,26 +38,43 @@ names = sorted(os.listdir(outdir))
 results = {}
 
 def canon(rows, colnames):
-    """sort columns by name, then rows; normalize floats."""
+    """sort columns by name, then rows. Floats compare EXACT (bit-level):
+    the driver's hasher does, and 9-dp rounding hid a real last-ULP red
+    in round 5 (q117). Only NaN is normalized (NaN != NaN)."""
     idx = sorted(range(len(colnames)), key=lambda i: colnames[i])
     out = []
     for row in rows:
         vals = []
         for i in idx:
             v = row[i]
-            if isinstance(v, float):
-                if math.isnan(v): v = "NaN"
-                else: v = round(v, 9)
+            if isinstance(v, float) and math.isnan(v):
+                v = "NaN"
             vals.append(v)
         out.append(tuple(vals))
     out.sort(key=lambda t: tuple(str(x) for x in t))
     return [colnames[i] for i in idx], out
+
+def widened_cols(sql):
+    """Column types the driver's hasher renders differently from Spark's:
+    DuckDB types integer sum()/window-sum() as HUGEINT (int128), which
+    Arrow/pandas maps to double — bit-identical VALUES then hash differently
+    (the proven round-6 failure mode: exactly the 6 uncast-HUGEINT oracles
+    failed). Every such column must be CAST(... AS BIGINT) in the oracle."""
+    try:
+        desc = con.execute(f"DESCRIBE {sql}").fetchall()
+    except Exception:
+        return []
+    return [(c, t) for c, t, *_ in desc if "HUGEINT" in str(t).upper()]
 
 for name in sorted(oracle.keys()):
     pdir = os.path.join(outdir, name)
     if not os.path.isdir(pdir):
         results[name] = "MISSING-SPARK-OUTPUT"; continue
     try:
+        huge = widened_cols(oracle[name])
+        if huge:
+            results[name] = f"HUGEINT-ORACLE-COLS {huge} (driver hasher renders int128 != int64; CAST AS BIGINT)"
+            continue
         tbl = pq.read_table(pdir)
         scols, srows = canon([list(r.values()) for r in tbl.to_pylist()], tbl.column_names)
         cur = con.execute(oracle[name])
