@@ -150,6 +150,19 @@ object RelationalQueries {
         gapMs = 6L * 3600 * 1000)
         .orderBy(col("user_id"), col("session_idx"))),
 
+    // cardinality quota admission (reference CardinalityTracker trie):
+    // per-prefix children quotas over the metric→series shard key, with a
+    // per-metric override; deterministic child-key admission order
+    "q154_series_quota" -> ((s, dir) => {
+      val samples = TsTables.eventsAsSamples(s, dir)
+      val cfg = graft.operators.Quota.QuotaConfig(Seq("metric", "user"),
+        Seq(4L, 100L), Seq(Seq("click") -> 120L))
+      graft.operators.Quota.admit(samples.limit(0), samples, cfg)
+        .select(col("__k0").as("metric"), col("__k1").as("user"),
+          col("admitted"), col("reject_depth"), col("quota"))
+        .orderBy(col("metric"), col("user"))
+    }),
+
     // ordered conversion funnel view -> click -> purchase: earliest step-1
     // time, then earliest later step-2, then earliest later step-3
     "q126_funnel" -> ((s, dir) =>
@@ -309,6 +322,26 @@ object RelationalQueries {
                 CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT)
                   AS sum_value_micro
          FROM sess GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // trie admission mirror: depth-1 ranks metrics (root quota 4), depth-2
+    // ranks each admitted metric's users (quota 100, click overridden to
+    // 120); ranks order by the STRING child key exactly like the operator
+    "q154_series_quota" ->
+      """WITH s AS (SELECT DISTINCT event_type AS metric,
+                           CAST(user_id AS VARCHAR) AS usr FROM events),
+              mets AS (SELECT metric, row_number() OVER (ORDER BY metric) AS mrn
+                       FROM (SELECT DISTINCT metric FROM s)),
+              j AS (SELECT s.metric, usr, mrn,
+                           row_number() OVER (PARTITION BY s.metric ORDER BY usr) AS rn,
+                           CASE WHEN s.metric = 'click' THEN 120 ELSE 100 END AS mq
+                    FROM s JOIN mets ON mets.metric = s.metric)
+         SELECT metric, usr AS "user",
+                CASE WHEN mrn > 4 THEN FALSE WHEN rn > mq THEN FALSE
+                     ELSE TRUE END AS admitted,
+                CASE WHEN mrn > 4 THEN 1 WHEN rn > mq THEN 2 END AS reject_depth,
+                CASE WHEN mrn > 4 THEN CAST(4 AS BIGINT)
+                     WHEN rn > mq THEN CAST(mq AS BIGINT) END AS quota
+         FROM j ORDER BY metric, usr""",
 
     "q126_funnel" ->
       """WITH e AS (SELECT user_id, event_type, epoch_ns(ts)//1000000 AS ts_ms

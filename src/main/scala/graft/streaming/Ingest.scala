@@ -248,6 +248,57 @@ object Ingest {
       }
       .start()
 
+  /** Ingest with cardinality QUOTA enforcement (reference
+    * CardinalityTracker + QuotaExceededProtocol, core/.../memstore/
+    * ratelimit/): each microbatch admits genuinely-NEW series against
+    * per-prefix children quotas computed from the maintained series-index
+    * deltas, then (a) writes only admitted series' samples + index delta
+    * (same idempotent batchId-keyed overwrite as startIngestWithIndex)
+    * and (b) appends every rejection to `rejectDir` — the QuotaReached
+    * signal, one row per rejected series with the breached depth and the
+    * quota applied, queryable as the over-quota counter. Existing series
+    * are never evicted; admission within a batch is deterministic
+    * (child-key order), so a foreachBatch replay reproduces the same
+    * decisions and the overwrite stays idempotent. Per batch this costs
+    * shard-key-depth joins on index-scale data — never sample-scale. */
+  def startIngestWithQuota(events: DataFrame, sinkDir: String, indexDir: String,
+                           rejectDir: String, checkpointDir: String,
+                           cfg: graft.operators.Quota.QuotaConfig)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    pipeline(events).writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Sample], batchId: Long) =>
+        val spark = batch.sparkSession
+        val df = batch.toDF().persist()
+        // admission only needs the distinct key set, so the raw delta
+        // rows serve as "existing" — no fold required (merge-on-read
+        // stays the reader-side concern)
+        val existing = scala.util.Try(spark.read.parquet(indexDir))
+          .getOrElse(df.limit(0)) // batch 0: nothing ingested yet
+        val verdicts = graft.operators.Quota.admit(existing, df, cfg).persist()
+        val kCols = cfg.shardKey.indices.map(i => s"__k$i")
+        val rejected = verdicts.filter(!col("admitted"))
+        rejected
+          .select(kCols.map(col) :+ col("reject_depth") :+ col("quota"): _*)
+          .write.mode("overwrite")
+          .parquet(s"$rejectDir/batch_id=$batchId")
+        val admitted = graft.operators.Quota.withShardKey(df, cfg)
+          .join(rejected.select(kCols.map(col): _*), kCols.toSeq, "left_anti")
+          .drop(kCols: _*)
+        admitted.write.mode("overwrite").partitionBy("metric")
+          .parquet(s"$sinkDir/batch_id=$batchId")
+        graft.operators.MetadataOps.buildSeriesIndex(
+            admitted.select(col("metric"),
+              map(lit("user"), col("user")).as("tags"),
+              col("ts"), col("series_id")))
+          .write.mode("overwrite").partitionBy("metric")
+          .parquet(s"$indexDir/batch_id=$batchId")
+        verdicts.unpersist(); df.unpersist()
+        ()
+      }
+      .start()
+
   /** Streaming ingest from a parquet directory source. */
   def startFileIngest(spark: SparkSession, srcDir: String, sinkDir: String,
                       checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =

@@ -68,6 +68,42 @@ class StreamingSpec extends AnyFunSuite with Matchers {
     } finally q.stop()
   }
 
+  test("quota ingest rejects over-quota NEW series, keeps existing, logs the breach") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val ms = MemoryStream[(Long, Long, Long, String, Double, String)]
+    val events = ms.toDF.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = java.nio.file.Files.createTempDirectory("ingest_quota").toString
+    val cfg = graft.operators.Quota.QuotaConfig(Seq("metric", "user"), Seq(10L, 1L))
+    val q = Ingest.startIngestWithQuota(events, s"$dir/sink", s"$dir/index",
+      s"$dir/rejects", s"$dir/ckpt", cfg)
+    try {
+      ms.addData((1L, 1000000000L, 7L, "view", 1.0, ""))
+      q.processAllAvailable()
+      // user 8's view series breaches view's quota of 1 (user 7 holds it);
+      // user 7 keeps flowing; click is a NEW metric with headroom
+      ms.addData((2L, 2000000000L, 8L, "view", 2.0, ""),
+        (3L, 3000000000L, 7L, "view", 3.0, ""),
+        (4L, 2500000000L, 8L, "click", 4.0, ""))
+      q.processAllAvailable()
+      val sunk = spark.read.parquet(s"$dir/sink")
+        .select("metric", "user", "ts").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      sunk shouldEqual Set(("view", "7", 1000L), ("view", "7", 3000L), ("click", "8", 2500L))
+      // the breach is visible: one reject row naming depth + quota
+      val rej = spark.read.parquet(s"$dir/rejects").collect()
+      rej.length shouldEqual 1
+      rej.head.getAs[String]("__k0") shouldEqual "view"
+      rej.head.getAs[String]("__k1") shouldEqual "8"
+      rej.head.getAs[Int]("reject_depth") shouldEqual 2
+      rej.head.getAs[Long]("quota") shouldEqual 1L
+      // the index never learns the rejected series
+      spark.read.parquet(s"$dir/index")
+        .filter(col("tags")("user") === "8" && col("metric") === "view")
+        .count() shouldEqual 0L
+    } finally q.stop()
+  }
+
   test("shared ingest pipeline (file/Kafka seam) dedupes across out-of-order source partitions") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     // events-SHAPED input, exactly what both startFileIngest and
