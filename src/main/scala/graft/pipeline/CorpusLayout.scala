@@ -56,4 +56,122 @@ object CorpusLayout {
   def appendToIndex(survivors: DataFrame, table: String, nBuckets: Int = 32,
                     textCol: String = "text", idCol: String = "doc_id"): Unit =
     writeFingerprintIndex(survivors, table, nBuckets, textCol, idCol, SaveMode.Append)
+
+  // ===== Incremental NEAR-dup (MinHash/LSH) index ======================
+  //
+  // The standing-service version of Dedup.minHashDuplicates: the corpus's
+  // LSH band buckets persist as TWO co-bucketed managed tables so a
+  // per-batch near-dup probe plans with ZERO corpus-side exchange —
+  //   <table>_bands (band, bh, doc_id)  bucketed by bh:  the probe's
+  //     (band, bh) join reads bucket files pre-shuffled (HashPartitioning
+  //     on bh satisfies the join's clustering — bh is a subset of the
+  //     join keys);
+  //   <table>_sigs  (doc_id, sig)       bucketed by doc_id: candidate
+  //     verification re-reads only matched corpus signatures, again
+  //     without moving the corpus side.
+  // Verification is the MinHash ESTIMATOR (fraction of agreeing signature
+  // positions >= threshold): unlike the batch operator, the index keeps
+  // signatures, not shingle sets, so the standing service trades q66's
+  // exact-Jaccard confirm for O(numHashes) per candidate — the standard
+  // accuracy/state tradeoff for an online near-dup service (estimator
+  // stderr ~= 1/sqrt(numHashes) ~ 0.18 at 32 hashes; raise numHashes to
+  // tighten). The shuffle over corpus-scale data is paid exactly once per
+  // document, at its own batch's append.
+
+  private def bandTable(table: String) = s"${table}_bands"
+  private def sigTable(table: String) = s"${table}_sigs"
+
+  private def sigsOf(docs: DataFrame, textCol: String, idCol: String,
+                     numHashes: Int, shingleK: Int): DataFrame =
+    Dedup.minHashSignatures(docs, textCol, idCol, numHashes, shingleK)
+
+  private def bandsOf(sigs: DataFrame, idCol: String, rowsPerBand: Int): DataFrame =
+    sigs.select(col(idCol).as("doc_id"),
+        posexplode(Dedup.bandHashes(col("sig"), rowsPerBand)))
+      .select(col("pos").as("band"), col("col").as("bh"), col("doc_id"))
+
+  /** Build (or append to) the near-dup index from a batch of documents.
+    * Degenerate band buckets (> maxBucketSize members WITHIN this write)
+    * are capped at write time — boilerplate-heavy corpora put thousands
+    * of docs behind one band hash and every probe would fan out against
+    * all of them; capped members still index through their other bands. */
+  def writeNearDupIndex(docs: DataFrame, table: String, nBuckets: Int = 32,
+                        textCol: String = "text", idCol: String = "doc_id",
+                        numHashes: Int = 32, shingleK: Int = 3, rowsPerBand: Int = 4,
+                        maxBucketSize: Int = 256,
+                        mode: SaveMode = SaveMode.Overwrite): Unit = {
+    // the sig stage is id + numHashes longs: checkpoint so the band
+    // explode and the sig table don't each re-derive shingle hashing
+    val sigs = sigsOf(docs, textCol, idCol, numHashes, shingleK).localCheckpoint(false)
+    Dedup.capBuckets(bandsOf(sigs, idCol, rowsPerBand), Seq("band", "bh"), maxBucketSize)
+      .repartition(nBuckets, col("bh"))
+      .write.bucketBy(nBuckets, "bh").sortBy("bh")
+      .mode(mode).format("parquet").saveAsTable(bandTable(table))
+    sigs.select(col(idCol).as("doc_id"), col("sig"))
+      .repartition(nBuckets, col("doc_id"))
+      .write.bucketBy(nBuckets, "doc_id").sortBy("doc_id")
+      .mode(mode).format("parquet").saveAsTable(sigTable(table))
+  }
+
+  /** Near-duplicate matches of a NEW batch against the indexed corpus:
+    * (doc_id, corpus_id, est_jaccard) for every batch doc whose estimated
+    * Jaccard vs an indexed doc reaches `threshold`. The batch side is
+    * tiny (signatures + band rows); both corpus joins are exchange-free
+    * on the bucketed tables. `maxCandidatesPerDoc` bounds probe fan-out
+    * against degenerate overlap by RANKING (keep the lowest corpus ids),
+    * not by dropping — a doc with hundreds of matches is boilerplate,
+    * precisely the doc that must stay flagged. */
+  def nearDupsAgainstIndex(spark: SparkSession, newDocs: DataFrame, table: String,
+                           textCol: String = "text", idCol: String = "doc_id",
+                           numHashes: Int = 32, shingleK: Int = 3, rowsPerBand: Int = 4,
+                           threshold: Double = 0.7,
+                           maxCandidatesPerDoc: Int = 64): DataFrame = {
+    val sigs = sigsOf(newDocs, textCol, idCol, numHashes, shingleK).localCheckpoint(false)
+    val probe = bandsOf(sigs, idCol, rowsPerBand)
+      .withColumnRenamed("doc_id", "__new_id")
+    val cands = probe.join(spark.table(bandTable(table)), Seq("band", "bh"))
+      .select(col("__new_id"), col("doc_id").as("corpus_id")).distinct()
+    val capped = cands
+      .withColumn("__rn", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("__new_id"))
+          .orderBy(col("corpus_id").asc)))
+      .filter(col("__rn") <= maxCandidatesPerDoc).drop("__rn")
+    val est = capped
+      .join(spark.table(sigTable(table)).select(col("doc_id").as("corpus_id"),
+        col("sig").as("__csig")), Seq("corpus_id"))
+      .join(sigs.select(col(idCol).as("__new_id"), col("sig").as("__nsig")), Seq("__new_id"))
+      .withColumn("est_jaccard",
+        aggregate(zip_with(col("__nsig"), col("__csig"), (a, b) => (a === b).cast("int")),
+          lit(0), (acc, x) => acc + x).cast("double") / lit(numHashes))
+      .filter(col("est_jaccard") >= threshold)
+    est.select(col("__new_id").as(idCol), col("corpus_id"),
+      round(col("est_jaccard"), 6).as("est_jaccard"))
+  }
+
+  /** Incremental-ingest near-dedup: drop batch docs matching the index,
+    * then dedupe near-dups WITHIN the batch (q66 semantics, lowest id
+    * wins). Returns the survivors — feed them to
+    * [[appendToNearDupIndex]]. */
+  def dropNearDupsAgainstIndex(spark: SparkSession, newDocs: DataFrame, table: String,
+                               textCol: String = "text", idCol: String = "doc_id",
+                               numHashes: Int = 32, shingleK: Int = 3, rowsPerBand: Int = 4,
+                               threshold: Double = 0.7): DataFrame = {
+    val vsCorpus = nearDupsAgainstIndex(spark, newDocs, table, textCol, idCol,
+      numHashes, shingleK, rowsPerBand, threshold)
+      .select(col(idCol)).distinct()
+    val inBatch = Dedup.minHashDuplicates(newDocs, textCol, idCol, numHashes,
+      shingleK, rowsPerBand, threshold)
+      .select(col("id2").as(idCol)).distinct() // keep the lower id
+    newDocs.join(vsCorpus, Seq(idCol), "left_anti")
+      .join(inBatch, Seq(idCol), "left_anti")
+  }
+
+  /** Fold a batch's survivors into the standing index (co-bucketed
+    * append; Spark verifies the bucket spec matches). */
+  def appendToNearDupIndex(survivors: DataFrame, table: String, nBuckets: Int = 32,
+                           textCol: String = "text", idCol: String = "doc_id",
+                           numHashes: Int = 32, shingleK: Int = 3, rowsPerBand: Int = 4,
+                           maxBucketSize: Int = 256): Unit =
+    writeNearDupIndex(survivors, table, nBuckets, textCol, idCol, numHashes,
+      shingleK, rowsPerBand, maxBucketSize, SaveMode.Append)
 }

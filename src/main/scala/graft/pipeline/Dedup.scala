@@ -122,7 +122,7 @@ object Dedup {
     df.join(ok, bucketCols, "left_semi")
   }
 
-  private def bandHashes(sig: Column, rowsPerBand: Int): Column =
+  private[pipeline] def bandHashes(sig: Column, rowsPerBand: Int): Column =
     transform(
       sequence(lit(0), (size(sig) / rowsPerBand).cast("int") - 1),
       b => xxhash64(concat_ws(",", slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)))))
@@ -286,32 +286,7 @@ object Dedup {
                            minOccurrences: Int = 2): DataFrame = {
     val base = docs
       .select(col(idCol), TextAnalysis.tokens(lower(col(textCol))).as("__toks"))
-    // windows exist only where the doc has >= w tokens; pos is 0-based
-    // fixed-width (id, pos, hash) rows, checkpointed so the duplicate
-    // stats and the coverage join share one derivation (the corpus then
-    // scans twice: window pass + text rebuild)
-    val wins = base
-      .where(size(col("__toks")) >= w)
-      .select(col(idCol),
-        posexplode(TextAnalysis.gramsFromTokens(col("__toks"), w)).as(Seq("__pos", "__h")))
-      .localCheckpoint(false)
-    // duplicated = occurs >= minOccurrences CORPUS-WIDE, including repeats
-    // within one document (boilerplate/spam is the archetypal ExactSubstr
-    // target and usually repeats inside a single page). Raise
-    // minOccurrences for a C4-style "only very common spans" policy.
-    val dupStats = wins
-      .groupBy(col("__h"))
-      .agg(count(lit(1)).as("__nocc"),
-           min(struct(col(idCol), col("__pos"))).as("__canon"))
-      .where(col("__nocc") >= minOccurrences)
-    val cov = wins.join(dupStats, "__h")
-      .where(!(col(idCol) === col("__canon").getField(idCol) &&
-               col("__pos") === col("__canon").getField("__pos")))
-      .groupBy(col(idCol))
-      .agg(collect_set(col("__pos")).as("__ps"))
-      .select(col(idCol),
-        array_distinct(flatten(transform(col("__ps"), p => sequence(p, p + w - 1))))
-          .as("__cov"))
+    val cov = spanCoverage(base, w, idCol, minOccurrences)
     base.join(cov, Seq(idCol), "left")
       .select(col(idCol),
         when(col("__cov").isNull, concat_ws(" ", col("__toks")))
@@ -325,6 +300,80 @@ object Dedup {
         when(col("__cov").isNull, lit(0.0))
           .otherwise(round(size(col("__cov")) / size(col("__toks")).cast("double"), 6))
           .as("removed_frac"))
+  }
+
+  /** Duplicated-token coverage per doc: the sorted distinct positions
+    * covered by NON-CANONICAL duplicated w-windows (canonical = the
+    * (doc, pos)-least occurrence of each window hash, which keeps its
+    * copy). Shared by [[removeDuplicateSpans]] (rebuilds text minus the
+    * covered positions) and [[duplicateSpanReport]] (merges them into
+    * maximal spans). Input must carry (idCol, __toks).
+    *
+    * Windows exist only where the doc has >= w tokens; pos is 0-based
+    * fixed-width (id, pos, hash) rows, checkpointed so the duplicate
+    * stats and the coverage join share one derivation (the corpus then
+    * scans twice: window pass + text rebuild). Duplicated = occurs >=
+    * minOccurrences CORPUS-WIDE, including repeats within one document
+    * (boilerplate/spam is the archetypal ExactSubstr target and usually
+    * repeats inside a single page). Raise minOccurrences for a C4-style
+    * "only very common spans" policy. */
+  private def spanCoverage(base: DataFrame, w: Int, idCol: String,
+                           minOccurrences: Int): DataFrame = {
+    val wins = base
+      .where(size(col("__toks")) >= w)
+      .select(col(idCol),
+        posexplode(TextAnalysis.gramsFromTokens(col("__toks"), w)).as(Seq("__pos", "__h")))
+      .localCheckpoint(false)
+    val dupStats = wins
+      .groupBy(col("__h"))
+      .agg(count(lit(1)).as("__nocc"),
+           min(struct(col(idCol), col("__pos"))).as("__canon"))
+      .where(col("__nocc") >= minOccurrences)
+    wins.join(dupStats, "__h")
+      .where(!(col(idCol) === col("__canon").getField(idCol) &&
+               col("__pos") === col("__canon").getField("__pos")))
+      .groupBy(col(idCol))
+      .agg(collect_set(col("__pos")).as("__ps"))
+      .select(col(idCol),
+        array_distinct(flatten(transform(col("__ps"), p => sequence(p, p + w - 1))))
+          .as("__cov"))
+  }
+
+  /** ARBITRARY-LENGTH duplicated spans (Lee et al. 2022 "Deduplicating
+    * Training Data Makes Language Models Better", the ExactSubstr unit):
+    * one row per MAXIMAL duplicated passage — (idCol, span_start,
+    * span_len) — instead of [[removeDuplicateSpans]]'s implicit w-token
+    * granularity. A passage of L >= w duplicated tokens seeds L-w+1
+    * overlapping duplicated windows whose union covers all L positions,
+    * so merging contiguous covered positions recovers the full passage
+    * as ONE span of length L — the suffix-array result for spans >= w,
+    * from hash-only shuffles (Lee et al.'s own Bloom-filter variant makes
+    * the same >= w approximation).
+    *
+    * Scale shape: the coverage derivation is [[spanCoverage]] (two
+    * corpus scans, fixed-width hash rows); the contiguous-run merge is a
+    * single map-side fold over each doc's sorted coverage array — no
+    * additional shuffle, no per-span explode until the final output. */
+  def duplicateSpanReport(docs: DataFrame, w: Int = 8, textCol: String = "text",
+                          idCol: String = "doc_id",
+                          minOccurrences: Int = 2): DataFrame = {
+    val base = docs
+      .select(col(idCol), TextAnalysis.tokens(lower(col(textCol))).as("__toks"))
+    val s = array_sort(col("__cov"))
+    // fold positions into maximal runs: extend the last (start, len) when
+    // the next position is adjacent, else open a new run
+    val runs = aggregate(s, typedLit(Seq.empty[(Int, Int)]),
+      (acc, p) => {
+        val last = element_at(acc, -1)
+        when(size(acc) > 0 && last.getField("_1") + last.getField("_2") === p,
+          concat(slice(acc, lit(1), size(acc) - 1),
+            array(struct(last.getField("_1").as("_1"),
+              (last.getField("_2") + lit(1)).as("_2")))))
+          .otherwise(concat(acc, array(struct(p.as("_1"), lit(1).as("_2")))))
+      })
+    spanCoverage(base, w, idCol, minOccurrences)
+      .select(col(idCol), explode(runs).as("__run"))
+      .select(col(idCol), col("__run._1").as("span_start"), col("__run._2").as("span_len"))
   }
 
   /** CCNet-style corpus-level LINE deduplication (Wenzek et al. 2020): drop

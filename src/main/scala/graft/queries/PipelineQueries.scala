@@ -163,6 +163,13 @@ object PipelineQueries {
       Dedup.removeDuplicateSpans(TsTables.documents(s, dir), w = 8)
         .orderBy(col("doc_id"))),
 
+    // arbitrary-length ExactSubstr spans (Lee et al.): maximal merged
+    // duplicated passages — a duplicate longer than w reports as ONE
+    // (start, len) span, not w-window fragments
+    "q155_dup_span_report" -> ((s, dir) =>
+      Dedup.duplicateSpanReport(TsTables.documents(s, dir), w = 8)
+        .orderBy(col("doc_id"), col("span_start"))),
+
     "q109_pii_redaction" -> ((s, dir) => {
       val docs = TsTables.documents(s, dir).select(col("doc_id"), col("text"))
         .unionByName(PipelineFixtures.piiDocs(s))
@@ -1178,6 +1185,17 @@ object PipelineQueries {
       s"""WITH ${spanRemovalCtes("documents")}
          SELECT doc_id, clean_text, removed_frac FROM span_cleaned
          ORDER BY doc_id""",
+
+    // gaps-and-islands over the same span_cov coverage the q108 mirror
+    // derives: contiguous covered positions merge into maximal spans
+    "q155_dup_span_report" ->
+      s"""WITH ${spanRemovalCtes("documents")},
+              isl AS (SELECT doc_id, cp,
+                             cp - row_number() OVER (PARTITION BY doc_id ORDER BY cp) AS grp
+                      FROM span_cov)
+         SELECT doc_id, CAST(min(cp) AS INT) AS span_start,
+                CAST(count(*) AS INT) AS span_len
+         FROM isl GROUP BY doc_id, grp ORDER BY doc_id, span_start""",
 
     "q109_pii_redaction" ->
       """WITH all_docs AS (

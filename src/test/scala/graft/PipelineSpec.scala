@@ -601,6 +601,63 @@ class PipelineSpec extends AnyFunSuite with Matchers {
       .collect().toSet shouldEqual out.toSet
   }
 
+  test("duplicateSpanReport equals brute force on random corpora; a long duplicate is ONE span") {
+    import graft.pipeline.Dedup
+    val w = 4
+    val rnd = new scala.util.Random(42)
+    val ab = Vector("aa", "bb", "cc", "dd", "ee")
+    def randToks(n: Int) = Vector.fill(n)(ab(rnd.nextInt(ab.size)))
+    // 20-token passage planted verbatim into docs 6 and 7 — five times w,
+    // and REQUIRED to surface as one maximal span, not w-sized fragments
+    val planted = randToks(20)
+    val docs: Seq[(Long, Vector[String])] =
+      (0L to 5L).map(i => i -> randToks(30 + rnd.nextInt(30))) ++
+        Seq(6L -> (randToks(11) ++ planted ++ randToks(7)),
+            7L -> (randToks(5) ++ planted ++ randToks(13)))
+    val df = docs.map { case (id, ts) => (id, ts.mkString(" ")) }.toDF("doc_id", "text")
+    val got = Dedup.duplicateSpanReport(df, w = w)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+
+    // brute force: string grams, >=2 occurrences corpus-wide, canonical
+    // (doc,pos)-least kept, coverage islands merged
+    val occ = for { (id, toks) <- docs; if toks.length >= w
+                    p <- 0 to toks.length - w }
+      yield (toks.slice(p, p + w).mkString(" "), id, p)
+    val cov = collection.mutable.Map.empty[Long, collection.mutable.SortedSet[Int]]
+    occ.groupBy(_._1).values.filter(_.size >= 2).foreach { os =>
+      val canon = os.map(o => (o._2, o._3)).min
+      for ((_, id, p) <- os if (id, p) != canon; i <- p until p + w)
+        cov.getOrElseUpdate(id, collection.mutable.SortedSet.empty[Int]) += i
+    }
+    val expected = cov.flatMap { case (id, ps) =>
+      ps.foldLeft(List.empty[(Int, Int)]) {
+        case ((s, l) :: rest, p) if s + l == p => (s, l + 1) :: rest
+        case (acc, p) => (p, 1) :: acc
+      }.map { case (s, l) => (id, s, l) }
+    }.toSet
+    got shouldEqual expected
+    // the planted duplicate in doc 7 (non-canonical copy) is ONE span
+    // of AT LEAST the planted length (adjacent accidental dups may extend it)
+    val doc7 = got.filter(_._1 == 7L)
+    doc7.exists { case (_, s, l) => s <= 5 && s + l >= 5 + planted.length } shouldBe true
+  }
+
+  test("packSequences with a REPEATED merge pair falls back to the fold (codec can't rank it)") {
+    import graft.pipeline.Bpe
+    val pages = Seq((1L, "aa ab aa"), (2L, "ba ab")).toDF("doc_id", "text")
+    // (a,b) twice: legal for the declarative fold — the second application
+    // merges adjacencies the middle merge created — but BpeCodec rejects it
+    val dupMerges = Seq("a" -> "b", "ab" -> Bpe.EndOfWord, "a" -> "b")
+    val out = Bpe.packSequences(pages, dupMerges, seqLen = 4, nBuckets = 1).collect()
+    out should not be empty // and, above all, no runtime codec failure
+    // parity with the explicit fold on the same table
+    val total = out.map(_.getAs[Long]("n_tokens")).sum
+    val encLens = pages.select(
+        org.apache.spark.sql.functions.size(Bpe.encodeDoc(col("text"), dupMerges)))
+      .collect().map(_.getInt(0)).sum
+    total shouldEqual (encLens.toLong: java.lang.Long)
+  }
+
   test("hard negatives: positive excluded from ranks, ranks renumber, count holds") {
     import graft.pipeline.Search
     val corpus = Seq(

@@ -186,4 +186,46 @@ class TsLayoutSpec extends AnyFunSuite with Matchers {
       spark.sql("DROP TABLE IF EXISTS fp_index")
     }
   }
+
+  test("near-dup index: banded probe reads buckets pre-shuffled; append closes the loop") {
+    import spark.implicits._
+    import graft.pipeline.CorpusLayout
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the quiet river bank today"),
+      (2L, "completely different content about spark catalyst optimizer rules and physical plans"),
+      (3L, "yet another unrelated document describing minhash banding and locality sensitive hashing"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      // near-dup of corpus doc 1 (one-word tail change) → flagged + dropped
+      (10L, "the quick brown fox jumps over the lazy dog near the quiet river bank tonight"),
+      // intra-batch identical pair → 11 kept, 12 dropped
+      (11L, "fresh unique material on bucketed managed tables and exchange free probe joins"),
+      (12L, "fresh unique material on bucketed managed tables and exchange free probe joins"),
+      (13L, "entirely new prose with no resemblance to anything indexed so far whatsoever"))
+      .toDF("doc_id", "text")
+    CorpusLayout.writeNearDupIndex(corpus, "ndx", nBuckets = 4)
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // force the join shape a 100 TB index takes (never broadcastable)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val dups = CorpusLayout.nearDupsAgainstIndex(spark, batch, "ndx", threshold = 0.5)
+      val matches = dups.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      matches shouldEqual Set((10L, 1L))
+      dups.filter($"est_jaccard" >= 0.5 && $"est_jaccard" <= 1.0).count() shouldEqual 1L
+      // both corpus-side tables are consumed via their bucket files
+      val p = dups.queryExecution.executedPlan.toString
+      p should include("SelectedBucketsCount")
+      val survivors = CorpusLayout.dropNearDupsAgainstIndex(
+        spark, batch, "ndx", threshold = 0.5)
+      survivors.select("doc_id").as[Long].collect().sorted shouldEqual Array(11L, 13L)
+      // fold survivors in; the same batch then near-dedups to nothing
+      CorpusLayout.appendToNearDupIndex(survivors, "ndx", nBuckets = 4)
+      CorpusLayout.dropNearDupsAgainstIndex(spark, batch, "ndx", threshold = 0.5)
+        .count() shouldEqual 0L
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+      spark.sql("DROP TABLE IF EXISTS ndx_bands")
+      spark.sql("DROP TABLE IF EXISTS ndx_sigs")
+    }
+  }
 }
