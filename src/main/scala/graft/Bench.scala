@@ -100,8 +100,12 @@ object Bench {
         var ok = true
         var i = 0
         // pass 1 always; passes 2-3 (min absorbs contention noise) only
-        // while under budget and only for short queries
-        while (ok && i < 3 && (i == 0 || (best < 5.0 && elapsed < budgetSec))) {
+        // while under budget and only for short queries. Sub-10s entries
+        // get a SECOND pass before the sub-5s rule kicks in: the heaviest
+        // corpus entries (IVF/PQ fits, dedup pipeline) otherwise record
+        // cold-fit single-pass times and cross-round deltas carry no signal
+        while (ok && i < 3 && (i == 0 ||
+            (elapsed < budgetSec && (best < 5.0 || (i == 1 && best < 10.0))))) {
           val t0 = System.nanoTime()
           try { fn(spark, sfDir).count() }
           catch { case e: Throwable =>
@@ -143,12 +147,21 @@ object Bench {
     def fmt(v: Double): String = if (v < 0) v.toInt.toString else f"$v%.3f"
     val bySuite = suite.toMap
     val picked = scen ++ headline.flatMap(n => bySuite.get(n).map(n -> _))
+    // contention self-diagnosis: median hic_ / median base_ — ~2.5x on a
+    // quiet box, ~7x inside a host-vCPU-overcommit window (BENCH.md); a
+    // degraded artifact window is machine-visible without a re-run
+    val scenMap = scen.toMap
+    def med(prefix: String): Double = {
+      val vs = scenMap.collect { case (k, v) if k.startsWith(prefix) && v > 0 => v }.toSeq.sorted
+      if (vs.isEmpty) 0.0 else (vs((vs.size - 1) / 2) + vs(vs.size / 2)) / 2
+    }
+    val ratio = if (med("base_") > 0) med("hic_") / med("base_") else -1.0
     def render(entries: Seq[(String, Double)]): String = {
       val qs = entries.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
       val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
       val skips = skipped.map("\"" + _ + "\"").mkString("[", ",", "]")
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
-        s""""suite_n":${suite.size},"errors":$errs,"skipped":$skips,""" +
+        s""""suite_n":${suite.size},"ratio":${fmt(ratio)},"errors":$errs,"skipped":$skips,""" +
         s""""detail":"bench_detail.json","sf":"$sfDir"}"""
     }
     var entries = picked

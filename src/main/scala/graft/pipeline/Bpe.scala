@@ -145,9 +145,14 @@ object Bpe {
     import org.apache.spark.sql.expressions.Window
     // native kernel when the session registers it (GraftSession does);
     // the declarative fold — bit-identical, just slower — keeps the
-    // operator working on a plain SparkSession
+    // operator working on a plain SparkSession. A merge table with a
+    // REPEATED pair is legal for the fold (the second application can
+    // merge adjacencies created in between) but inexpressible in the
+    // codec's one-rank-per-pair map (BpeCodec rejects it) — route such
+    // tables to the fold instead of failing at runtime
     val encode =
-      if (docs.sparkSession.catalog.functionExists("bpe_encode_doc"))
+      if (docs.sparkSession.catalog.functionExists("bpe_encode_doc")
+          && merges.distinct.length == merges.length)
         encodeDocNative(col(textCol), merges)
       else encodeDoc(col(textCol), merges)
     val enc = docs

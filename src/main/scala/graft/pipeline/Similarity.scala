@@ -343,7 +343,7 @@ object Similarity {
       transform(centers, c => l2sq(slice(col("qr"), j * dsub + 1, dsub), c)).as(s"__dt$j")
     }
     val probes = broadcast(
-      q.crossJoin(centroids)
+      q.crossJoin(broadcast(centroids)) // centroids are k' rows — never shuffle the query side against them
         .withColumn("cdist", l2sq(col("qv"), col("centroid_vec")))
         .withColumn("crk", row_number().over(wq))
         .filter(col("crk") <= nprobe)

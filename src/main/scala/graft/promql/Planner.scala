@@ -48,12 +48,13 @@ object PromPlanner {
     planVector(ctx, resolveStepDurations(Parser.parse(query), ctx.stepMs))
 
   /** Multi-resolution downsample store: the reference keeps several
-    * downsample resolutions and answers each query from the COARSEST one
-    * that still resolves the query's smallest window (reference
-    * DownsampledTimeSeriesShard.chooseDownsampleResolution — a finer
-    * tier than needed wastes scan width; a coarser one cannot fill the
-    * window). Windowless instant selectors size against the staleness
-    * lookback. Falls back to the finest tier when nothing fits. */
+    * downsample resolutions (DownsampledTimeSeriesShard); ITS
+    * chooseDownsampleResolution picks by downsample retention TTL vs the
+    * query start time. THIS engine's policy instead picks the COARSEST
+    * tier that still resolves the query's smallest window — a finer tier
+    * than needed wastes scan width; a coarser one cannot fill the window.
+    * Windowless instant selectors size against the staleness lookback.
+    * Falls back to the finest tier when nothing fits. */
   def chooseDownsampleResolution(resolutions: Seq[Long], minWindowMs: Long): Long = {
     require(resolutions.nonEmpty, "no downsample resolutions registered")
     val sorted = resolutions.sorted
@@ -351,6 +352,15 @@ object PromPlanner {
   // ----- vector planning -----
 
   def planVector(ctx: Ctx, e: PromExpr): DataFrame = e match {
+
+    // entry guard: an AST still carrying unresolved `Ni` interval-multiple
+    // durations would otherwise plan silently wrong (a Selector with
+    // windowSteps but windowMs=None plans as a windowless instant selector;
+    // a Subquery with rangeSteps plans rangeMs=0). Callers holding a
+    // pre-parsed AST (the documented withDownsampleTiers AST path) skip
+    // queryRange's resolve — so resolve here against the query step.
+    case _ if hasStepDurations(e) =>
+      planVector(ctx, resolveStepDurations(e, ctx.stepMs))
 
     case sel: Selector =>
       // instant selector: implicit last_over_time over the staleness window

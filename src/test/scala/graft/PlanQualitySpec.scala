@@ -346,6 +346,21 @@ class PlanQualitySpec extends AnyFunSuite with Matchers {
     (p should not).include("SortMergeJoin")
   }
 
+  test("ivf-pq knn: probe table broadcasts, no cartesian against the encoded corpus") {
+    val e = TsTables.embeddings(spark, dir)
+    val df = graft.pipeline.Similarity.ivfPqKnn(
+      e.filter(org.apache.spark.sql.functions.col("vec_id") < 3), e, k = 4,
+      nCentroids = 4, nprobe = 2, m = 4, ksub = 4)
+    df.count()
+    val p = plan(df)
+    // queries x centroids is an explicit broadcast (tiny side), and the
+    // probe/distance-table frame broadcasts against the encoded corpus —
+    // ADC scoring is map-side, nothing corpus-scale shuffles for it
+    p should include("BroadcastExchange")
+    (p should not).include("CartesianProduct")
+    (p should not).include("SortMergeJoin")
+  }
+
   test("perceptual dedup: banded hash join, no cartesian, payload bytes stay out of shuffles") {
     val media = graft.pipeline.Multimodal.synthesizeMedia(TsTables.documents(spark, dir))
     val df = graft.pipeline.Multimodal.perceptualDuplicates(media, maxDist = 16, prefixBits = 8)

@@ -588,6 +588,20 @@ class PromQLSpec extends AnyFunSuite with Matchers {
       "sum_over_time(m[2h]) + m").cold.get.ds shouldBe theSameInstanceAs(t1m)
   }
 
+  test("planVector resolves unresolved Ni durations at entry (pre-parsed AST path)") {
+    // the documented withDownsampleTiers AST path hands planVector an AST
+    // that never went through queryRange's resolveStepDurations — a [3i]
+    // selector must not plan as a windowless instant selector
+    val c = ctx(3000, 9000, 3000)
+    val viaGuard = PromPlanner.planVector(c,
+        graft.promql.Parser.parse("sum_over_time(purchase[3i])"))
+      .select("step_ts", "value").as[(Long, Double)].collect().sorted
+    val viaQuery = PromPlanner.queryRange(c, "sum_over_time(purchase[3i])")
+      .select("step_ts", "value").as[(Long, Double)].collect().sorted
+    viaGuard shouldEqual viaQuery
+    viaGuard should not be empty
+  }
+
   test("double_exponential_smoothing is an exact alias for holt_winters (Prometheus 3 rename)") {
     val c = ctx(3000, 3000, 1000)
     val viaAlias = PromPlanner.queryRange(c,
