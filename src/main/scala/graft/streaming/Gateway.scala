@@ -202,4 +202,122 @@ object Gateway {
   def influxRejectStats(lines: DataFrame, defaultTsMs: Long): DataFrame =
     influxDecode(lines, defaultTsMs).filter(col("err").isNotNull)
       .groupBy(col("err")).agg(count(lit(1)).as("n_lines"))
+
+  // ===== Prometheus text exposition format =============================
+  //
+  // The other public wire format a metrics gateway must speak
+  // (https://prometheus.io/docs/instrumenting/exposition_formats/): one
+  // SCRAPE PAYLOAD (multi-line body, one per target) decodes to sample
+  // rows. Unlike Influx (independent lines), `# TYPE` metadata lines bind
+  // a kind to every subsequent series of that metric family within the
+  // payload — so the distributed unit is the payload, not the line, and
+  // the decode is one flatMap per scrape body.
+
+  private val NameRe = """[a-zA-Z_:][a-zA-Z0-9_:]*""".r
+  private val SampleRe =
+    ("""^(""" + NameRe.regex + """)(?:\{(.*)\})?\s+(\S+)(?:\s+(-?\d+))?\s*$""").r
+
+  /** Parse one label set body `k="v",k2="v2"` (escapes: \\ \" \n). */
+  private def parseLabels(body: String): Option[Map[String, String]] = {
+    val out = Map.newBuilder[String, String]
+    var i = 0
+    val n = body.length
+    def skipWs(): Unit = while (i < n && body.charAt(i) == ' ') i += 1
+    while ({ skipWs(); i < n }) {
+      val ks = i
+      while (i < n && body.charAt(i) != '=') i += 1
+      if (i >= n) return None
+      val k = body.substring(ks, i).trim
+      if (k.isEmpty || NameRe.unapplySeq(k).isEmpty) return None
+      i += 1 // '='
+      skipWs()
+      if (i >= n || body.charAt(i) != '"') return None
+      i += 1
+      val v = new StringBuilder
+      var closed = false
+      while (i < n && !closed) {
+        body.charAt(i) match {
+          case '\\' if i + 1 < n =>
+            body.charAt(i + 1) match {
+              case 'n' => v.append('\n')
+              case c => v.append(c) // \" and \\ (and anything else verbatim)
+            }
+            i += 2
+          case '"' => closed = true; i += 1
+          case c => v.append(c); i += 1
+        }
+      }
+      if (!closed) return None
+      out += k -> v.result()
+      skipWs()
+      if (i < n) {
+        if (body.charAt(i) != ',') return None
+        i += 1
+      }
+    }
+    Some(out.result())
+  }
+
+  private def parsePromValue(s: String): Option[Double] = s match {
+    case "NaN" => Some(Double.NaN)
+    case "+Inf" | "Inf" => Some(Double.PositiveInfinity)
+    case "-Inf" => Some(Double.NegativeInfinity)
+    case v => try Some(v.toDouble) catch { case _: NumberFormatException => None }
+  }
+
+  /** Family base name for TYPE association: histogram/summary series carry
+    * the family's kind through their _bucket/_sum/_count suffixes. */
+  private def familyOf(metric: String, types: collection.Map[String, String]): Option[String] =
+    if (types.contains(metric)) Some(metric)
+    else Seq("_bucket", "_sum", "_count", "_total")
+      .collectFirst { case suf if metric.endsWith(suf) &&
+        types.contains(metric.dropRight(suf.length)) => metric.dropRight(suf.length) }
+
+  /** Decode ONE scrape payload to sample rows (err=null) and/or reject
+    * rows (one per malformed line; the rest of the payload still
+    * decodes). `kind` = the family's `# TYPE` (counter/gauge/histogram/
+    * summary), "untyped" when absent. Timestamps are already ms in this
+    * format; a missing timestamp takes `defaultTsMs` (deterministic — the
+    * scrape time is the caller's to inject). */
+  def parsePromText(payload: String, defaultTsMs: Long): Seq[Decoded] = {
+    val types = collection.mutable.Map.empty[String, String]
+    val out = Seq.newBuilder[Decoded]
+    payload.split("\n", -1).foreach { raw =>
+      val line = raw.trim
+      if (line.isEmpty) ()
+      else if (line.startsWith("#")) {
+        val parts = line.split("\\s+", 4)
+        if (parts.length >= 4 && parts(1) == "TYPE") types(parts(2)) = parts(3)
+        // HELP and plain comments carry no samples
+      } else line match {
+        case SampleRe(name, labelBody, value, tsStr) =>
+          (Option(labelBody).map(parseLabels).getOrElse(Some(Map.empty[String, String])),
+            parsePromValue(value)) match {
+            case (Some(tags), Some(v)) =>
+              val kind = familyOf(name, types).map(types).getOrElse("untyped")
+              val ts = Option(tsStr).map(_.toLong).getOrElse(defaultTsMs)
+              out += Decoded(name, tags, ts, v, kind, null, null)
+            case (None, _) => out += Decoded(null, null, 0L, 0.0, null, raw, "malformed labels")
+            case (_, None) => out += Decoded(null, null, 0L, 0.0, null, raw, "malformed value")
+          }
+        case _ => out += Decoded(null, null, 0L, 0.0, null, raw, "malformed line")
+      }
+    }
+    out.result()
+  }
+
+  /** Decode a frame of scrape payloads (column `body`). */
+  def promTextDecode(payloads: DataFrame, defaultTsMs: Long): Dataset[Decoded] = {
+    import payloads.sparkSession.implicits._
+    payloads.select(col("body").cast("string")).as[String]
+      .flatMap(parsePromText(_, defaultTsMs))
+  }
+
+  /** Good samples in the canonical shape (see [[influxSamples]]). */
+  def promTextSamples(payloads: DataFrame, defaultTsMs: Long): DataFrame =
+    promTextDecode(payloads, defaultTsMs).filter(col("err").isNull)
+      .withColumn("series_id",
+        xxhash64(col("metric"), to_json(array_sort(map_entries(col("tags"))))))
+      .select(col("series_id"), col("metric"), col("tags"), col("ts"),
+        col("value"), col("kind"))
 }

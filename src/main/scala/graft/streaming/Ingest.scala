@@ -264,8 +264,23 @@ object Ingest {
   def startIngestWithQuota(events: DataFrame, sinkDir: String, indexDir: String,
                            rejectDir: String, checkpointDir: String,
                            cfg: graft.operators.Quota.QuotaConfig)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import events.sparkSession.implicits._
+    startSamplesIngestWithQuota(normalize(events).as[Sample], sinkDir, indexDir,
+      rejectDir, checkpointDir, cfg)
+  }
+
+  /** [[startIngestWithQuota]] for an already-samples-shaped stream — the
+    * entry the GATEWAY decoders feed (Gateway.influxSamples /
+    * promTextSamples normalized to the Sample shape): wire decode →
+    * out-of-order drop → quota admission → sink + index + breach log,
+    * the reference's full GatewayServer→shard-ingest chain. */
+  def startSamplesIngestWithQuota(samples: Dataset[Sample], sinkDir: String,
+                                  indexDir: String, rejectDir: String,
+                                  checkpointDir: String,
+                                  cfg: graft.operators.Quota.QuotaConfig)
       : org.apache.spark.sql.streaming.StreamingQuery =
-    pipeline(events).writeStream
+    dropOutOfOrder(samples).writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[Sample], batchId: Long) =>

@@ -88,6 +88,103 @@ class GatewaySpec extends AnyFunSuite with Matchers {
     st shouldEqual Map("no fields" -> 2L)
   }
 
+  test("prom text exposition: TYPE binds kinds, escapes, NaN/Inf, optional ms timestamps") {
+    val payload =
+      """# HELP http_requests_total The total number of HTTP requests.
+        |# TYPE http_requests_total counter
+        |http_requests_total{method="post",code="200"} 1027 1395066363000
+        |http_requests_total{method="post",code="400"} 3 1395066363000
+        |
+        |msdos_file_access_time_seconds{path="C:\\DIR\\FILE.TXT",error="Cannot find file:\n\"FILE.TXT\""} 1.458255915e9
+        |metric_without_timestamp_and_labels 12.47
+        |something_weird{problem="division by zero"} +Inf -3982045
+        |# TYPE http_request_duration_seconds histogram
+        |http_request_duration_seconds_bucket{le="0.05"} 24054
+        |http_request_duration_seconds_bucket{le="+Inf"} 144320
+        |http_request_duration_seconds_sum 53423
+        |http_request_duration_seconds_count 144320
+        |""".stripMargin
+    val r = Gateway.parsePromText(payload, defaultTsMs = 99L)
+    r.filter(_.err != null) shouldBe empty
+    val byMetric = r.groupBy(_.metric)
+    val reqs = byMetric("http_requests_total")
+    reqs.map(_.kind).distinct shouldEqual Seq("counter")
+    reqs.find(_.tags("code") == "200").get.value shouldEqual 1027.0
+    reqs.head.ts shouldEqual 1395066363000L // already ms in this format
+    val msdos = byMetric("msdos_file_access_time_seconds").head
+    msdos.tags("path") shouldEqual "C:\\DIR\\FILE.TXT"
+    msdos.tags("error") shouldEqual "Cannot find file:\n\"FILE.TXT\""
+    msdos.value shouldEqual 1.458255915e9
+    byMetric("metric_without_timestamp_and_labels").head.ts shouldEqual 99L
+    byMetric("something_weird").head.value.isPosInfinity shouldBe true
+    byMetric("something_weird").head.ts shouldEqual -3982045L
+    // histogram family kind rides through the suffixed series
+    byMetric("http_request_duration_seconds_bucket").map(_.kind).distinct shouldEqual Seq("histogram")
+    byMetric("http_request_duration_seconds_sum").head.kind shouldEqual "histogram"
+    byMetric("http_request_duration_seconds_count").head.value shouldEqual 144320.0
+  }
+
+  test("prom text exposition: malformed lines reject individually, payload continues") {
+    val r = Gateway.parsePromText(
+      "ok_metric 1\n{no=\"name\"} 2\nbad value\nok2 3", 0L)
+    val good = r.filter(_.err == null).map(_.metric)
+    good shouldEqual Seq("ok_metric", "ok2")
+    r.filter(_.err != null).map(_.err) shouldEqual Seq("malformed line", "malformed value")
+  }
+
+  test("prom text streaming decode matches batch; samples land in canonical shape") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[String]
+    val q = Gateway.promTextSamples(ms.toDF.toDF("body"), defaultTsMs = 7L)
+      .writeStream.format("memory").queryName("promtext_out")
+      .outputMode("append").start()
+    try {
+      ms.addData("# TYPE cpu gauge\ncpu{core=\"0\"} 0.5 1000\ncpu{core=\"1\"} 0.75 1000")
+      q.processAllAvailable()
+      val got = spark.table("promtext_out")
+        .select("metric", "ts", "value", "kind").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getString(3))).toSet
+      got shouldEqual Set(("cpu", 1000L, 0.5, "gauge"), ("cpu", 1000L, 0.75, "gauge"))
+    } finally q.stop()
+  }
+
+  test("wire lines → quota ingest → PromQL: the full gateway-to-query chain") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.streaming.Ingest
+    import graft.streaming.Ingest.Sample
+    import spark.implicits._
+    val ms = MemoryStream[String]
+    // gateway decode normalized to the ingest Sample shape (user tag)
+    val samples = Gateway.influxSamples(ms.toDF.toDF("line"), defaultTsMs = 0L)
+      .select(col("series_id"), col("metric"), col("tags")("user").as("user"),
+        col("ts"), col("value")).as[Sample]
+    val dir = java.nio.file.Files.createTempDirectory("gw_e2e").toString
+    val cfg = graft.operators.Quota.QuotaConfig(Seq("metric", "user"), Seq(10L, 1L))
+    val q = Ingest.startSamplesIngestWithQuota(samples, s"$dir/sink", s"$dir/index",
+      s"$dir/rejects", s"$dir/ckpt", cfg)
+    try {
+      ms.addData(
+        "requests,user=1 counter=5 1000000000",  // ns → 1000 ms
+        "requests,user=1 counter=9 2000000000",
+        "requests,user=1 counter=9 2000000000",  // exact dup → dropped pre-quota
+        "requests,user=2 counter=7 1500000000")  // 2nd series breaches quota 1
+      q.processAllAvailable()
+      val sunk = spark.read.parquet(s"$dir/sink")
+      sunk.count() shouldEqual 2L // user 1 only, deduped
+      // the breach is logged
+      spark.read.parquet(s"$dir/rejects").count() shouldEqual 1L
+      // and the surviving series answers PromQL over the sink
+      val promSamples = sunk.select(col("metric"),
+        map(lit("user"), col("user")).as("tags"), col("ts"), col("value"))
+      val ctx = graft.promql.PromPlanner.Ctx(spark, promSamples, 2000L, 2000L, 1000L)
+      // [2s] window (0,2000] holds both points; idelta = last - prev = 4
+      val got = graft.promql.PromPlanner.queryRange(ctx, """idelta(requests{user="1"}[2s])""")
+        .select("value").as[Double].collect()
+      got.length shouldEqual 1
+      got.head shouldEqual 4.0 // counter 5 → 9
+    } finally q.stop()
+  }
+
   test("streaming decode matches batch on the same lines (gateway seam)") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val ms = MemoryStream[String]
