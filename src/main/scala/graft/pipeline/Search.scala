@@ -108,6 +108,98 @@ object Search {
       .select(col("query_id"), col(idCol), col("rk"), col("score"))
   }
 
+  /** Dense retrieval ranks: per query, the `k` highest-cosine docs.
+    * Queries (query_id, qvecCol) broadcast against the corpus; similarity
+    * rounds to 6 dp BEFORE ranking (the repo's cross-engine rank-stability
+    * convention) with ascending-id ties. Unlike Similarity.bruteForceKnn
+    * this does NOT exclude id equality — query ids and doc ids are
+    * different namespaces in retrieval.
+    * Output: (query_id, idCol, rk, sim). */
+  def denseTopK(docs: DataFrame, queries: DataFrame, k: Int,
+                idCol: String = "doc_id", vecCol: String = "embedding",
+                qvecCol: String = "qvec"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = broadcast(queries.select(col("query_id"),
+      col(qvecCol).cast("array<double>").as("__qv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col(idCol).asc)
+    q.crossJoin(docs.select(col(idCol), col(vecCol).cast("array<double>").as("__cv")))
+      .withColumn("sim", round(Similarity.cosine(col("__qv"), col("__cv")), 6))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("query_id"), col(idCol), col("rk"), col("sim"))
+  }
+
+  /** HYBRID retrieval: reciprocal-rank fusion (Cormack, Clarke & Büttner,
+    * SIGIR 2009) of the sparse BM25 ranking and the dense cosine ranking —
+    * the RAG-stack default that beats either retriever alone without score
+    * calibration. Each retriever contributes 1/(rrfK + rank) for its top
+    * `depth` docs; a doc ranked by only one side scores that side alone.
+    *
+    * Determinism contract: contributions are INTEGER MICRO-UNITS
+    * (round(1e6/(rrfK+rank)) as long) so the fused score is an exact
+    * integer sum — identical across engines, partition orders and the
+    * driver's exact hasher (the q117/HUGEINT lesson applied at design
+    * time). Ties break ascending id.
+    *
+    * Scale shape: BM25 side = [[bm25TopKBatch]] (one corpus pass, postings
+    * index, hash-only shuffles); dense side = [[denseTopK]] (broadcast
+    * queries, per-partition window-limit before the per-query exchange);
+    * fusion joins two (queries x depth)-sized frames — nothing corpus-sized
+    * moves after the two retriever passes.
+    * `queries`: (query_id, terms ARRAY<STRING>, qvec ARRAY).
+    * Output: (query_id, idCol, rk, rrf_micro). */
+  def hybridTopK(docs: DataFrame, queries: DataFrame, k: Int,
+                 depth: Int = 60, rrfK: Int = 60,
+                 k1: Double = 1.2, b: Double = 0.75,
+                 textCol: String = "text", idCol: String = "doc_id",
+                 vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def contrib(rank: org.apache.spark.sql.Column) =
+      coalesce(round(lit(1e6) / (lit(rrfK) + rank)).cast("long"), lit(0L))
+    val sparse = bm25TopKBatch(docs, queries.select(col("query_id"), col("terms")),
+        depth, k1, b, textCol, idCol)
+      .select(col("query_id"), col(idCol), col("rk").as("__rs"))
+    val dense = denseTopK(docs, queries.select(col("query_id"), col("qvec")),
+        depth, idCol, vecCol)
+      .select(col("query_id"), col(idCol), col("rk").as("__rd"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf_micro").desc, col(idCol).asc)
+    sparse.join(dense, Seq("query_id", idCol), "full_outer")
+      .withColumn("rrf_micro", contrib(col("__rs")) + contrib(col("__rd")))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("query_id"), col(idCol), col("rk"), col("rrf_micro"))
+  }
+
+  /** Retrieval evaluation: per query, recall@k and reciprocal rank
+    * against a relevance-judgment table — the harness that closes the
+    * loop on every retriever here (BM25 / dense / hybrid / ANN variants
+    * all emit the (query_id, id, rk) shape this consumes). Metrics are
+    * integer micro-units (round once per query) per the determinism
+    * contract. Queries with judgments but no ranked hits score 0, not
+    * null; macro averages are the caller's one extra aggregate.
+    *
+    * `ranked`: (query_id, idCol, rk); `truth`: one row per
+    * (query_id, relevant idCol). Both frames are query-scale — every
+    * join here is tiny regardless of corpus size.
+    * Output: (query_id, n_relevant, hits_at_k, recall_micro, rr_micro). */
+  def retrievalEval(ranked: DataFrame, truth: DataFrame, k: Int,
+                    idCol: String = "doc_id"): DataFrame = {
+    val rel = truth.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_relevant"))
+    val hits = ranked.filter(col("rk") <= k)
+      .join(truth, Seq("query_id", idCol))
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("hits_at_k"), min(col("rk")).as("__first"))
+    rel.join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        col("n_relevant"),
+        coalesce(col("hits_at_k"), lit(0L)).as("hits_at_k"),
+        round(lit(1e6) * coalesce(col("hits_at_k"), lit(0L)) / col("n_relevant"))
+          .cast("long").as("recall_micro"),
+        coalesce(round(lit(1e6) / col("__first")).cast("long"), lit(0L))
+          .as("rr_micro"))
+  }
+
   /** Hard-negative mining for retrieval training (DPR, Karpukhin et al.
     * 2020 §4.2: the strongest training negatives are BM25's top-ranked
     * NON-answers): for each (query, positive) pair, the `nNeg` top

@@ -342,6 +342,33 @@ object PipelineQueries {
         .orderBy(col("query_id"), col("rk"))
     }),
 
+    // hybrid retrieval: RRF fusion of batch BM25 and dense cosine ranks,
+    // integer micro-unit contributions (exact cross-engine sums)
+    "q156_hybrid_search" -> ((s, dir) => {
+      import s.implicits._
+      val docs = TsTables.documents(s, dir)
+        .join(TsTables.embeddings(s, dir).withColumnRenamed("vec_id", "doc_id"),
+          "doc_id")
+      val qs = Bm25BatchQueries.take(2).toDF("query_id", "terms")
+        .join(TsTables.embeddings(s, dir).filter(col("vec_id") < 2)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qvec")),
+          "query_id")
+      Search.hybridTopK(docs, qs, k = 10, depth = HybridDepth, rrfK = HybridRrfK,
+        k1 = Bm25K1, b = Bm25B)
+        .orderBy(col("query_id"), col("rk"))
+    }),
+
+    // retrieval eval harness: recall@k + reciprocal rank of the batch
+    // BM25 ranking against the q151 positives as relevance judgments
+    "q157_retrieval_eval" -> ((s, dir) => {
+      import s.implicits._
+      val qs = HardNegQueries.map(q => (q._1, q._2)).toDF("query_id", "terms")
+      val truth = HardNegQueries.map(q => (q._1, q._3)).toDF("query_id", "doc_id")
+      val ranked = Search.bm25TopKBatch(TsTables.documents(s, dir), qs, k = 10,
+        k1 = Bm25K1, b = Bm25B)
+      Search.retrievalEval(ranked, truth, k = 10).orderBy(col("query_id"))
+    }),
+
     // DPR-style hard-negative mining: top BM25 non-positives per
     // (query, positive) pair, through the batch postings index
     "q151_hard_negatives" -> ((s, dir) => {
@@ -527,6 +554,11 @@ object PipelineQueries {
   private val Bm25BatchQueries: Seq[(Long, Seq[String])] = Seq(
     (0L, Seq("spark", "vector")), (1L, Seq("customer", "window")),
     (2L, Seq("zebra")))
+
+  /** q156 hybrid retrieval: the first two batch queries fuse with dense
+    * ranks whose query vectors are embeddings 0/1. */
+  private val HybridDepth = 60
+  private val HybridRrfK = 60
 
   /** q151 (query, positive) pairs: positives chosen so both cases occur
     * at sf0.01 — a positive inside BM25's top ranks (exclusion fires)
@@ -1349,6 +1381,10 @@ object PipelineQueries {
     "q132_bm25_search" -> bm25OracleSql,
 
     "q143_bm25_batch" -> bm25BatchOracleSql,
+
+    "q156_hybrid_search" -> hybridOracleSql,
+
+    "q157_retrieval_eval" -> retrievalEvalOracleSql,
     "q151_hard_negatives" -> hardNegOracleSql,
 
     "q137_tokenize_pack" -> tokenizePackOracleSql,
@@ -1557,6 +1593,61 @@ object PipelineQueries {
     s"""WITH ${bm25BatchCtes(qvalsSql(Bm25BatchQueries))}
        SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, CAST(rk AS INT) AS rk, score
        FROM rk WHERE rk <= 10 ORDER BY query_id, rk"""
+
+  /** q156: sparse ranks from the shared batch-BM25 CTEs, dense ranks via
+    * the q65 cosine construct (6-dp-rounded sim BEFORE ranking, id ties),
+    * RRF contributions as integer micro-units so the fused score is an
+    * exact integer sum on both engines. */
+  private lazy val hybridOracleSql: String = {
+    def contrib(r: String) =
+      s"coalesce(CAST(round(1e6 / ($HybridRrfK + $r)) AS BIGINT), 0)"
+    s"""WITH ${bm25BatchCtes(qvalsSql(Bm25BatchQueries.take(2)))},
+        sparse AS (SELECT query_id, doc_id, rk AS rs FROM rk WHERE rk <= $HybridDepth),
+        qv AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS v
+               FROM embeddings WHERE vec_id < 2),
+        cv AS (SELECT vec_id AS doc_id, embedding::DOUBLE[] AS v FROM embeddings),
+        dsc AS (SELECT q.query_id, c.doc_id,
+                       round(list_dot_product(q.v, c.v)
+                         / (sqrt(list_dot_product(q.v, q.v))
+                            * sqrt(list_dot_product(c.v, c.v))), 6) AS sim
+                FROM qv q, cv c),
+        dense AS (SELECT query_id, doc_id, rd FROM
+                    (SELECT *, row_number() OVER (PARTITION BY query_id
+                       ORDER BY sim DESC, doc_id ASC) AS rd FROM dsc)
+                  WHERE rd <= $HybridDepth),
+        fused AS (SELECT coalesce(s.query_id, d.query_id) AS query_id,
+                         coalesce(s.doc_id, d.doc_id) AS doc_id,
+                         CAST(${contrib("s.rs")} + ${contrib("d.rd")} AS BIGINT) AS rrf_micro
+                  FROM sparse s FULL OUTER JOIN dense d
+                       ON s.query_id = d.query_id AND s.doc_id = d.doc_id)
+       SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+              CAST(rk AS INT) AS rk, rrf_micro
+       FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+               ORDER BY rrf_micro DESC, doc_id ASC) AS rk FROM fused)
+       WHERE rk <= 10 ORDER BY query_id, rk"""
+  }
+
+  /** q157: the shared batch ranking evaluated against the q151 positives;
+    * recall@k and RR round once per query to integer micro-units. */
+  private lazy val retrievalEvalOracleSql: String = {
+    val truthVals = HardNegQueries.map { case (id, _, p) => s"($id, $p)" }.mkString(", ")
+    s"""WITH ${bm25BatchCtes(qvalsSql(HardNegQueries.map(q => (q._1, q._2))))},
+        truth AS (SELECT * FROM (VALUES $truthVals) AS t(query_id, doc_id)),
+        rel AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_relevant
+                FROM truth GROUP BY 1),
+        hit AS (SELECT r.query_id, CAST(count(*) AS BIGINT) AS hits_at_k,
+                       min(r.rk) AS first_rk
+                FROM rk r JOIN truth t ON t.query_id = r.query_id
+                                      AND t.doc_id = r.doc_id
+                WHERE r.rk <= 10 GROUP BY 1)
+       SELECT CAST(rel.query_id AS BIGINT) AS query_id, n_relevant,
+              coalesce(hits_at_k, 0) AS hits_at_k,
+              CAST(round(1e6 * coalesce(hits_at_k, 0) / n_relevant) AS BIGINT)
+                AS recall_micro,
+              coalesce(CAST(round(1e6 / first_rk) AS BIGINT), 0) AS rr_micro
+       FROM rel LEFT JOIN hit ON hit.query_id = rel.query_id
+       ORDER BY query_id"""
+  }
 
   /** q151: the shared batch ranking, positives excluded, renumbered.
     * WHERE runs before the window, so neg_rk numbers exactly the

@@ -658,6 +658,33 @@ class PipelineSpec extends AnyFunSuite with Matchers {
     total shouldEqual (encLens.toLong: java.lang.Long)
   }
 
+  test("hybrid RRF: both-retriever docs outrank single-side, contributions sum exactly") {
+    import graft.pipeline.Search
+    // doc 1: strong BM25 + identical vector to the query (rank 1 both
+    // sides); doc 2: BM25-only (orthogonal vector); doc 3: dense-only
+    // (no term overlap); doc 4: matches neither ranking signal strongly
+    val docs = Seq(
+      (1L, "apple banana apple", Seq(1.0f, 0.0f)),
+      (2L, "apple apple apple apple", Seq(0.0f, 1.0f)),
+      (3L, "cherry date", Seq(0.9f, 0.1f)),
+      (4L, "elderberry fig", Seq(0.0f, -1.0f)))
+      .toDF("doc_id", "text", "embedding")
+    val qs = Seq((7L, Seq("apple"), Seq(1.0f, 0.0f)))
+      .toDF("query_id", "terms", "qvec")
+    val out = Search.hybridTopK(docs, qs, k = 4, depth = 3, rrfK = 60)
+      .collect().map(r => (r.getLong(1), r.getInt(2), r.getLong(3)))
+      .sortBy(_._2)
+    // sparse ranks: 2 (tf 4), 1 (tf 2) — docs 3,4 unranked
+    // dense ranks:  1 (sim 1), 3 (sim ~.99), 2 (sim 0) — depth 3 ranks 4 too? no: top-3 of 4 = 1,3,2
+    def c(r: Int) = math.round(1e6 / (60.0 + r))
+    val scores = out.map(o => o._1 -> o._3).toMap
+    scores(1L) shouldEqual c(2) + c(1) // both retrievers
+    scores(2L) shouldEqual c(1) + c(3) // BM25 rank 1, dense rank 3
+    scores(3L) shouldEqual c(2)        // dense only
+    out.head._1 shouldEqual 1L         // fusion puts the both-sides doc first
+    out.map(_._1) should not contain 4L // ranked by neither side's top-3
+  }
+
   test("hard negatives: positive excluded from ranks, ranks renumber, count holds") {
     import graft.pipeline.Search
     val corpus = Seq(
