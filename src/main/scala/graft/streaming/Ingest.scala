@@ -314,6 +314,61 @@ object Ingest {
       }
       .start()
 
+  /** Streaming DOCUMENT ingest with near-dedup against the standing
+    * MinHash index ([[graft.pipeline.CorpusLayout]]): each microbatch
+    * drops docs that near-match the indexed corpus (and near-dups within
+    * the batch, lowest id kept), writes the survivors, and folds them
+    * into the index — the continuous version of the q66 curation step.
+    *
+    * Idempotence: foreachBatch is at-least-once, and a managed-table
+    * APPEND cannot be made idempotent by overwrite the way the
+    * batchId-keyed parquet sink can — so a `_processed/batch_id=N`
+    * marker directory (created only after BOTH writes succeed) makes a
+    * replayed batch a no-op instead of a double index append. Decisions
+    * are deterministic (hash signatures, id-ordered keeps), so a replay
+    * that does run recomputes identical survivors. */
+  def startDocIngestWithNearDedup(docs: DataFrame, table: String, sinkDir: String,
+                                  checkpointDir: String, nBuckets: Int = 32,
+                                  threshold: Double = 0.7, numHashes: Int = 32,
+                                  shingleK: Int = 3, rowsPerBand: Int = 4)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import graft.pipeline.{CorpusLayout, Dedup}
+        val spark = batch.sparkSession
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          spark.sparkContext.hadoopConfiguration)
+        val marker = new org.apache.hadoop.fs.Path(
+          s"$sinkDir/_processed/batch_id=$batchId")
+        if (!fs.exists(marker)) {
+          val indexed = spark.catalog.tableExists(s"${table}_bands")
+          val survivors = (if (indexed)
+            CorpusLayout.dropNearDupsAgainstIndex(spark, batch, table,
+              numHashes = numHashes, shingleK = shingleK,
+              rowsPerBand = rowsPerBand, threshold = threshold)
+          else // first batch: no corpus yet, in-batch near-dedup only
+            batch.join(
+              Dedup.minHashDuplicates(batch, numHashes = numHashes,
+                  shingleK = shingleK, rowsPerBand = rowsPerBand,
+                  threshold = threshold)
+                .select(col("id2").as("doc_id")).distinct(),
+              Seq("doc_id"), "left_anti")).persist()
+          survivors.write.mode("overwrite").parquet(s"$sinkDir/batch_id=$batchId")
+          if (indexed)
+            CorpusLayout.appendToNearDupIndex(survivors, table, nBuckets,
+              numHashes = numHashes, shingleK = shingleK, rowsPerBand = rowsPerBand)
+          else
+            CorpusLayout.writeNearDupIndex(survivors, table, nBuckets,
+              numHashes = numHashes, shingleK = shingleK, rowsPerBand = rowsPerBand)
+          survivors.unpersist()
+          fs.mkdirs(marker) // commit point: replays of this batch no-op
+        }
+        ()
+      }
+      .start()
+
   /** Streaming ingest from a parquet directory source. */
   def startFileIngest(spark: SparkSession, srcDir: String, sinkDir: String,
                       checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =

@@ -104,6 +104,40 @@ class StreamingSpec extends AnyFunSuite with Matchers {
     } finally q.stop()
   }
 
+  test("doc ingest near-dedups against the standing index across batches; replays no-op") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val a = "the quick brown fox jumps over the lazy dog near the quiet river bank today"
+    val b = "completely different content describing catalyst optimizer rules and whole stage codegen output"
+    val c = "yet another unrelated document about banded minhash joins and bucketed managed tables"
+    val ms = MemoryStream[(Long, String)]
+    val dir = java.nio.file.Files.createTempDirectory("doc_ingest").toString
+    val q = Ingest.startDocIngestWithNearDedup(
+      ms.toDF.toDF("doc_id", "text"), "stream_ndx", s"$dir/sink", s"$dir/ckpt",
+      nBuckets = 4, threshold = 0.5)
+    try {
+      ms.addData((1L, a), (2L, a), (3L, b)) // 2 is an in-batch dup of 1
+      q.processAllAvailable()
+      spark.read.parquet(s"$dir/sink").select("doc_id")
+        .collect().map(_.getLong(0)).sorted shouldEqual Array(1L, 3L)
+      // batch 2: near-dup of an INDEXED doc (one-word change) + fresh doc
+      ms.addData((10L, a.replace("today", "tonight")), (11L, c))
+      q.processAllAvailable()
+      spark.read.parquet(s"$dir/sink").select("doc_id")
+        .collect().map(_.getLong(0)).sorted shouldEqual Array(1L, 3L, 11L)
+      // the index folded the survivors: re-offering doc c matches it
+      graft.pipeline.CorpusLayout.nearDupsAgainstIndex(
+          spark, Seq((99L, c)).toDF("doc_id", "text"), "stream_ndx", threshold = 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1))) shouldEqual Array((99L, 11L))
+      // processed markers make replays no-ops
+      spark.read.parquet(s"$dir/sink").count() shouldEqual 3L
+    } finally {
+      q.stop()
+      spark.sql("DROP TABLE IF EXISTS stream_ndx_bands")
+      spark.sql("DROP TABLE IF EXISTS stream_ndx_sigs")
+    }
+  }
+
   test("shared ingest pipeline (file/Kafka seam) dedupes across out-of-order source partitions") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     // events-SHAPED input, exactly what both startFileIngest and
