@@ -51,8 +51,10 @@ object Quota {
     require(shardKey.nonEmpty && defaultChildrenQuota.length == shardKey.length,
       s"need one children-quota per shard-key depth: $shardKey vs $defaultChildrenQuota")
     require(defaultChildrenQuota.forall(_ > 0), "quotas must be positive")
-    require(overrides.forall(o => o._1.nonEmpty && o._1.length <= shardKey.length),
-      "override prefixes must be non-empty and within the shard-key depth")
+    require(overrides.forall(o => o._1.nonEmpty && o._1.length < shardKey.length),
+      "an override prefix names a PARENT node (its children get the quota), " +
+        "so its length must be 1..shardKey.length-1 — a full-length prefix " +
+        "names a leaf, which has no children to bound")
   }
 
   /** Resolve a shard-key label against either shape: a flat column of

@@ -125,10 +125,12 @@ object Gateway {
     }
   }
 
-  /** ns → ms by dropping the last 6 digits (reference parseUnixTime). */
+  /** ns → ms by dropping the last 6 digits (reference parseUnixTime).
+    * More than 19 digits overflows Long — a reject, not a task failure. */
   private def parseTsMs(s: String): Option[Long] =
     if (s.nonEmpty && s.forall(_.isDigit))
-      Some(if (s.length <= 6) 0L else s.dropRight(6).toLong)
+      if (s.length <= 6) Some(0L)
+      else scala.util.Try(s.dropRight(6).toLong).toOption
     else None
 
   private def reject(line: String, why: String) =
@@ -295,8 +297,14 @@ object Gateway {
             parsePromValue(value)) match {
             case (Some(tags), Some(v)) =>
               val kind = familyOf(name, types).map(types).getOrElse("untyped")
-              val ts = Option(tsStr).map(_.toLong).getOrElse(defaultTsMs)
-              out += Decoded(name, tags, ts, v, kind, null, null)
+              // an overflowing timestamp is a reject, not a task failure
+              Option(tsStr).map(t => scala.util.Try(t.toLong).toOption) match {
+                case Some(None) =>
+                  out += Decoded(null, null, 0L, 0.0, null, raw, "malformed timestamp")
+                case ts =>
+                  out += Decoded(name, tags, ts.flatten.getOrElse(defaultTsMs),
+                    v, kind, null, null)
+              }
             case (None, _) => out += Decoded(null, null, 0L, 0.0, null, raw, "malformed labels")
             case (_, None) => out += Decoded(null, null, 0L, 0.0, null, raw, "malformed value")
           }

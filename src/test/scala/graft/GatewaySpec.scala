@@ -126,10 +126,14 @@ class GatewaySpec extends AnyFunSuite with Matchers {
 
   test("prom text exposition: malformed lines reject individually, payload continues") {
     val r = Gateway.parsePromText(
-      "ok_metric 1\n{no=\"name\"} 2\nbad value\nok2 3", 0L)
+      "ok_metric 1\n{no=\"name\"} 2\nbad value\nm 1 99999999999999999999999\nok2 3", 0L)
     val good = r.filter(_.err == null).map(_.metric)
     good shouldEqual Seq("ok_metric", "ok2")
-    r.filter(_.err != null).map(_.err) shouldEqual Seq("malformed line", "malformed value")
+    r.filter(_.err != null).map(_.err) shouldEqual
+      Seq("malformed line", "malformed value", "malformed timestamp")
+    // influx side: an overflowing ns timestamp rejects instead of crashing
+    Gateway.parseInflux("m f=1 99999999999999999999999999", 0L)
+      .head.err shouldEqual "malformed timestamp"
   }
 
   test("prom text streaming decode matches batch; samples land in canonical shape") {
