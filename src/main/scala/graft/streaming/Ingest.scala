@@ -314,6 +314,40 @@ object Ingest {
       }
       .start()
 
+  /** Streaming corpus-quality monitor — the LIVE twin of the q117 batch
+    * corpus report: per (source, tumbling window), doc/token counts,
+    * language mix and a row-rule Gopher pass rate. Only per-ROW
+    * zero-shuffle signals feed the windowed aggregate: the repetition
+    * (top-n-gram) Gopher terms need a per-doc aggregation of their own,
+    * and append-mode streaming cannot chain stateful aggregations — those
+    * stay the batch report's job, the same ingest-time-counters vs
+    * batch-jobs split the reference makes. Input: (source, text, ts ms);
+    * works on batch and streaming frames alike. */
+  def docQualityStats(docs: DataFrame, windowLen: String,
+                      lateness: Option[String] = None,
+                      minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
+    import graft.pipeline.{Quality, TextAnalysis}
+    val t = col("text")
+    val rowPass = Quality.wordCount(t).between(minWords, maxWords) &&
+      Quality.meanWordLength(t).between(1.0, 10.0) &&
+      Quality.symbolToWordRatio(t) < 0.1 &&
+      Quality.duplicateLineFraction(t) < 0.3 &&
+      Quality.alphaWordFraction(t) > 0.8
+    val timed = docs.withColumn("et", timestamp_millis(col("ts")))
+    val src = lateness.map(timed.withWatermark("et", _)).getOrElse(timed)
+    src
+      .withColumn("__pass", rowPass)
+      .withColumn("__en", TextAnalysis.langId(t) === "en")
+      .withColumn("__ntok", TextAnalysis.tokenCount(t).cast("long"))
+      .groupBy(col("source"), window(col("et"), windowLen).as("w"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__ntok")).as("total_tokens"),
+        sum(when(col("__en"), 1L).otherwise(0L)).as("n_en"),
+        sum(when(col("__pass"), 1L).otherwise(0L)).as("n_rowrule_pass"))
+      .select(col("source"), unix_millis(col("w.end")).as("window_end_ms"),
+        col("n_docs"), col("total_tokens"), col("n_en"), col("n_rowrule_pass"))
+  }
+
   /** Streaming DOCUMENT ingest with near-dedup against the standing
     * MinHash index ([[graft.pipeline.CorpusLayout]]): each microbatch
     * drops docs that near-match the indexed corpus (and near-dups within

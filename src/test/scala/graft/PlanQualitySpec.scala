@@ -346,6 +346,45 @@ class PlanQualitySpec extends AnyFunSuite with Matchers {
     (p should not).include("SortMergeJoin")
   }
 
+  test("quota admission: keyed joins on index-scale frames, never a cartesian") {
+    val samples = TsTables.eventsAsSamples(spark, dir)
+    val cfg = graft.operators.Quota.QuotaConfig(Seq("metric", "user"), Seq(10L, 100L))
+    val df = graft.operators.Quota.admit(samples.limit(0), samples, cfg)
+    df.count()
+    val p = plan(df)
+    (p should not).include("CartesianProduct")
+    (p should not).include("BroadcastNestedLoopJoin")
+  }
+
+  test("gateway decode: pure map-side, zero exchanges") {
+    val spark2 = spark
+    import spark2.implicits._
+    val lines = Seq("m,user=1 v=1 1000000000", "m,user=2 v=2 2000000000")
+      .toDF("line")
+    val df = graft.streaming.Gateway.influxSamples(lines, defaultTsMs = 0L)
+    df.count()
+    val p = plan(df)
+    (p should not).include("Exchange")
+  }
+
+  test("hybrid RRF: window-limited dense candidates, no cartesian, fusion joins stay tiny") {
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = TsTables.documents(spark, dir)
+      .join(TsTables.embeddings(spark, dir).withColumnRenamed("vec_id", "doc_id"), "doc_id")
+    val qs = Seq((0L, Seq("spark", "vector"))).toDF("query_id", "terms")
+      .join(TsTables.embeddings(spark, dir)
+        .filter(org.apache.spark.sql.functions.col("vec_id") === 0)
+        .select(org.apache.spark.sql.functions.col("vec_id").as("query_id"),
+          org.apache.spark.sql.functions.col("embedding").as("qvec")), "query_id")
+    val df = graft.pipeline.Search.hybridTopK(docs, qs, k = 5, depth = 10)
+    df.count()
+    val p = plan(df)
+    (p should not).include("CartesianProduct")
+    // dense side trims per-partition candidates BEFORE its per-query exchange
+    p should include("WindowGroupLimit")
+  }
+
   test("ivf-pq knn: probe table broadcasts, no cartesian against the encoded corpus") {
     val e = TsTables.embeddings(spark, dir)
     val df = graft.pipeline.Similarity.ivfPqKnn(

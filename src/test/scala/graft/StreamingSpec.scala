@@ -104,6 +104,36 @@ class StreamingSpec extends AnyFunSuite with Matchers {
     } finally q.stop()
   }
 
+  test("doc quality monitor: windowed per-source counts finalize under the watermark") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // 60 words with real English stopwords: passes every row rule, langId=en
+    val good = ("the quick brown fox and the lazy dog are in the park with some friends " +
+      "because they like to be there when it is warm and the weather stays fine ") * 2
+    val bad = "!!! ??? *** " * 20 // symbol soup, fails the row rules
+    val ms = MemoryStream[(Long, String, String, Long)]
+    val docs = ms.toDF.toDF("doc_id", "source", "text", "ts")
+    val q = Ingest.docQualityStats(docs, "1 minute", lateness = Some("1 second"))
+      .writeStream.format("memory").queryName("quality_out")
+      .outputMode("append").start()
+    try {
+      ms.addData((1L, "web", good, 1000L), (2L, "web", bad, 2000L),
+        (3L, "books", good, 3000L))
+      q.processAllAvailable()
+      ms.addData((4L, "web", good, 120000L)) // watermark passes window 1
+      q.processAllAvailable()
+      val rows = spark.table("quality_out").collect()
+        .map(r => (r.getString(0), r.getLong(2), r.getLong(4), r.getLong(5))).toSet
+      // web: 2 docs, 1 English (the symbol soup is not), 1 row-rule pass
+      rows shouldEqual Set(("web", 2L, 1L, 1L), ("books", 1L, 1L, 1L))
+      // batch mode over the same rows agrees
+      val batch = Ingest.docQualityStats(
+        Seq((1L, "web", good, 1000L), (2L, "web", bad, 2000L), (3L, "books", good, 3000L))
+          .toDF("doc_id", "source", "text", "ts"), "1 minute")
+        .collect().map(r => (r.getString(0), r.getLong(2), r.getLong(4), r.getLong(5))).toSet
+      batch shouldEqual rows
+    } finally q.stop()
+  }
+
   test("doc ingest near-dedups against the standing index across batches; replays no-op") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import org.apache.spark.sql.functions.col
