@@ -70,6 +70,50 @@ object RemoteRead {
     (local +: remote).reduce(_ unionByName _)
   }
 
+  /** Shard-key federation ROUTING (reference ShardKeyRegexPlanner +
+    * PartitionLocationProvider, coordinator/.../queryplanner/
+    * ShardKeyRegexPlanner.scala): each remote cluster owns a shard-key
+    * label assignment (e.g. `_ws_`/`_ns_` values); a query fans out ONLY
+    * to clusters whose assignment satisfies the query's selector matchers
+    * — `{_ws_="demo",_ns_=~"App-1|App-2"}` reaches those two namespaces'
+    * clusters, not every partition. Matching reuses the SAME predicate
+    * compiler as the scan path (Matchers.pred over a tiny assignments
+    * frame), so routing can never drift from filter semantics. Matchers
+    * on labels that are not shard-key labels (no target assigns them)
+    * never exclude a cluster — any cluster may hold such series, exactly
+    * the reference's non-shard-key-filter rule. A query is routed to the
+    * UNION of its selectors' matches; a selector unconstrained on shard
+    * keys matches everything. */
+  def matchingTargets(spark: SparkSession, query: String,
+                      targets: Seq[(String, Map[String, String])]): Seq[String] = {
+    import graft.promql._
+    def selectorsOf(e: PromExpr): Seq[Selector] = e match {
+      case s: Selector => Seq(s)
+      case sq: Subquery => selectorsOf(sq.expr)
+      case FuncCall(_, args) => args.flatMap(selectorsOf)
+      case a: Agg => selectorsOf(a.expr) ++ a.param.toSeq.flatMap(selectorsOf)
+      case b: BinOp => selectorsOf(b.lhs) ++ selectorsOf(b.rhs)
+      case _ => Nil
+    }
+    val shardLabels = targets.flatMap(_._2.keySet).toSet
+    val sels = selectorsOf(Parser.parse(query))
+    if (sels.isEmpty) return targets.map(_._1)
+    import spark.implicits._
+    val assign = targets.toDF("url", "tags")
+    sels.flatMap { sel =>
+      val applicable = sel.matchers.filter(m => shardLabels(m.label))
+      if (applicable.isEmpty) targets.map(_._1)
+      else assign.filter(applicable.map(Matchers.pred).reduce(_ && _))
+        .select("url").as[String].collect().toSeq
+    }.distinct
+  }
+
+  /** [[federatedQueryRange]] with shard-key routing: only the clusters
+    * [[matchingTargets]] selects are queried (plus the local dataset). */
+  def federatedRoutedQueryRange(ctx: PromPlanner.Ctx, query: String,
+                                targets: Seq[(String, Map[String, String])]): DataFrame =
+    federatedQueryRange(ctx, query, matchingTargets(ctx.spark, query, targets))
+
   /** Cross-partition AGGREGATE pushdown (reference MultiPartitionPlanner's
     * reduce step): a top-level aggregation whose grouping drops the
     * partitioning key is NOT union-safe — every cluster returns its own

@@ -206,6 +206,63 @@ class PromApiSpec extends AnyFunSuite with Matchers {
     } finally remote.stop()
   }
 
+  test("shard-key routing fans out only to clusters whose assignment matches") {
+    import graft.http.RemoteRead
+    val targets = Seq(
+      "http://a" -> Map("_ws_" -> "demo", "_ns_" -> "App-0"),
+      "http://b" -> Map("_ws_" -> "demo", "_ns_" -> "App-1"),
+      "http://c" -> Map("_ws_" -> "demo", "_ns_" -> "App-2"),
+      "http://d" -> Map("_ws_" -> "prod", "_ns_" -> "App-1"))
+    def route(q: String) = RemoteRead.matchingTargets(spark, q, targets).sorted
+    route("""sum(rate(m{_ws_="demo",_ns_=~"App-1|App-2"}[5m]))""") shouldEqual
+      Seq("http://b", "http://c")
+    route("""m{_ns_="App-1"}""") shouldEqual Seq("http://b", "http://d")
+    // matchers on non-shard-key labels never exclude a cluster
+    route("""m{user="7"}""") shouldEqual Seq("http://a", "http://b", "http://c", "http://d")
+    route("""m{_ns_!~"App-.*1"}""") shouldEqual Seq("http://a", "http://c")
+    // union across a binop's selectors
+    route("""m{_ns_="App-0"} + on(x) m{_ns_="App-2"}""") shouldEqual
+      Seq("http://a", "http://c")
+    // no selectors at all -> every cluster
+    route("vector(1)") shouldEqual Seq("http://a", "http://b", "http://c", "http://d")
+  }
+
+  test("routed federation queries only the matching remote, results still stitch") {
+    import org.apache.spark.sql.functions.col
+    import graft.http.RemoteRead
+    import graft.promql.PromPlanner
+    val all = TsTables.eventsAsSamples(spark, "/root/testdata/sf0.001")
+      .withColumn("tags", org.apache.spark.sql.functions.map_concat(col("tags"),
+        org.apache.spark.sql.functions.map(
+          org.apache.spark.sql.functions.lit("_ns_"),
+          org.apache.spark.sql.functions.concat(
+            org.apache.spark.sql.functions.lit("App-"),
+            col("tags")("user").cast("long") % 2))))
+    val even = all.filter(col("tags")("_ns_") === "App-0")
+    val odd = all.filter(col("tags")("_ns_") === "App-1")
+    val remote = new PromApi(spark, odd).start()
+    try {
+      // local holds App-0; the only remote owns App-1 — a query filtered
+      // to App-1 routes to it (and an unroutable URL proves selectivity:
+      // were it contacted, the query would fail)
+      val targets = Seq(
+        s"http://localhost:${remote.boundPort}" -> Map("_ns_" -> "App-1"),
+        "http://localhost:1" -> Map("_ns_" -> "App-9"))
+      val ctx = PromPlanner.Ctx(spark, even,
+        TsTables.EventsStartMs, TsTables.EventsEndMs, 86400000L)
+      val q = """sum by (user) (sum_over_time(purchase{_ns_="App-1"}[1d]))"""
+      val got = RemoteRead.federatedRoutedQueryRange(ctx, q, targets)
+        .select("__key", "step_ts", "value").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      val expected = PromPlanner.queryRange(
+          PromPlanner.Ctx(spark, all, TsTables.EventsStartMs, TsTables.EventsEndMs, 86400000L), q)
+        .select("__key", "step_ts", "value").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      expected.nonEmpty shouldEqual true
+      got shouldEqual expected
+    } finally remote.stop()
+  }
+
   test("federated aggregate pushdown re-reduces cross-partition partials") {
     import org.apache.spark.sql.functions.col
     import graft.http.RemoteRead

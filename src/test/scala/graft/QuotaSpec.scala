@@ -70,6 +70,48 @@ class QuotaSpec extends AnyFunSuite with Matchers {
     a(("m", "d"))._1 shouldBe false
   }
 
+  test("admit equals a brute-force trie walk on random corpora (seeded)") {
+    val rnd = new scala.util.Random(7)
+    val cfg3 = QuotaConfig(Seq("metric", "user"), Seq(3L, 2L),
+      overrides = Seq(Seq("m1") -> 4L))
+    def randKeys(n: Int): Seq[(String, String)] =
+      Seq.fill(n)((s"m${rnd.nextInt(5)}", s"u${rnd.nextInt(8)}")).distinct
+    def brute(existing: Seq[(String, String)], incoming: Seq[(String, String)])
+        : Map[(String, String), Option[Int]] = {
+      val exSet = existing.toSet
+      val newKeys = incoming.distinct.filterNot(exSet)
+      // depth 1: new metrics ranked among themselves vs root headroom
+      val exMetrics = existing.map(_._1).distinct.toSet
+      val newMetrics = newKeys.map(_._1).distinct.filterNot(exMetrics).sorted
+      val mHeadroom = math.max(cfg3.defaultChildrenQuota(0) - exMetrics.size, 0L)
+      val rejM = newMetrics.drop(mHeadroom.toInt).toSet
+      // depth 2: per surviving metric, new users ranked vs that metric's quota
+      val d2 = newKeys.filterNot(k => rejM(k._1)).groupBy(_._1).flatMap {
+        case (m, ks) =>
+          val q = cfg3.overrides.collectFirst { case (Seq(`m`), v) => v }
+            .getOrElse(cfg3.defaultChildrenQuota(1))
+          val exU = existing.filter(_._1 == m).map(_._2).distinct.size
+          val head = math.max(q - exU, 0L).toInt
+          ks.map(_._2).distinct.sorted.zipWithIndex.map { case (u, i) =>
+            (m, u) -> (if (i < head) None else Some(2))
+          }
+      }
+      incoming.distinct.map { k =>
+        k -> (if (exSet(k)) None
+              else if (rejM(k._1)) Some(1)
+              else d2(k))
+      }.toMap
+    }
+    (1 to 5).foreach { _ =>
+      val ex = randKeys(rnd.nextInt(10))
+      val in = randKeys(6 + rnd.nextInt(12))
+      val got = Quota.admit(samples(ex: _*), samples(in: _*), cfg3)
+        .collect().map(r => (r.getString(0), r.getString(1)) ->
+          Option(r.get(3)).map(_.toString.toInt)).toMap
+      got shouldEqual brute(ex, in)
+    }
+  }
+
   test("quotaState reports children counts, quotas and headroom per prefix") {
     val ex = samples("m" -> "a", "m" -> "b", "n" -> "a")
     val st = Quota.quotaState(ex, cfg.copy(overrides = Seq(Seq("m") -> 5L)))
