@@ -70,6 +70,29 @@ object RemoteRead {
     (local +: remote).reduce(_ unionByName _)
   }
 
+  /** HA replica failover (reference HighAvailabilityPlanner,
+    * coordinator/.../queryplanner/HighAvailabilityPlanner.scala): the same
+    * dataset is ingested by redundant replicas; a query tries them in
+    * preference order and the first healthy response wins — connect
+    * failures and error envelopes fall through to the next. The reference
+    * additionally stitches AROUND known per-replica downtime windows
+    * (querying the healthy replica only for the affected subrange); this
+    * engine keeps whole-range failover and leaves subrange stitching to
+    * [[federatedQueryRange]] over explicitly time-filtered contexts. */
+  def haQueryRange(spark: SparkSession, replicaBaseUrls: Seq[String], query: String,
+                   startMs: Long, endMs: Long, stepMs: Long): DataFrame = {
+    require(replicaBaseUrls.nonEmpty, "need at least one replica")
+    val errs = Seq.newBuilder[String]
+    for (u <- replicaBaseUrls) { // first success short-circuits
+      scala.util.Try(queryRange(spark, u, query, startMs, endMs, stepMs)) match {
+        case scala.util.Success(df) => return df
+        case scala.util.Failure(e) => errs += s"$u: ${e.getMessage}"
+      }
+    }
+    throw new IllegalStateException(
+      s"all replicas failed — ${errs.result().mkString("; ")}")
+  }
+
   /** Shard-key federation ROUTING (reference ShardKeyRegexPlanner +
     * PartitionLocationProvider, coordinator/.../queryplanner/
     * ShardKeyRegexPlanner.scala): each remote cluster owns a shard-key

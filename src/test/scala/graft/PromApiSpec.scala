@@ -263,6 +263,35 @@ class PromApiSpec extends AnyFunSuite with Matchers {
     } finally remote.stop()
   }
 
+  test("HA failover: first healthy replica answers; all-down raises with reasons") {
+    import graft.http.RemoteRead
+    val all = TsTables.eventsAsSamples(spark, "/root/testdata/sf0.001")
+    val remote = new PromApi(spark, all).start()
+    try {
+      val q = "sum by (user) (sum_over_time(purchase[1d]))"
+      // replica 1 is down (unroutable port) -> replica 2 serves the query
+      val got = RemoteRead.haQueryRange(spark,
+          Seq("http://localhost:1", s"http://localhost:${remote.boundPort}"),
+          q, TsTables.EventsStartMs, TsTables.EventsEndMs, 86400000L)
+        .select("__key", "step_ts", "value").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      val expected = graft.promql.PromPlanner.queryRange(
+          graft.promql.PromPlanner.Ctx(spark, all,
+            TsTables.EventsStartMs, TsTables.EventsEndMs, 86400000L), q)
+        .select("__key", "step_ts", "value").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      expected.nonEmpty shouldEqual true
+      got shouldEqual expected
+      val ex = intercept[IllegalStateException] {
+        RemoteRead.haQueryRange(spark, Seq("http://localhost:1", "http://localhost:2"),
+          q, 0L, 1L, 1L)
+      }
+      ex.getMessage should include("all replicas failed")
+      ex.getMessage should include("localhost:1")
+      ex.getMessage should include("localhost:2")
+    } finally remote.stop()
+  }
+
   test("federated aggregate pushdown re-reduces cross-partition partials") {
     import org.apache.spark.sql.functions.col
     import graft.http.RemoteRead
