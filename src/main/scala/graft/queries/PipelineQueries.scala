@@ -358,6 +358,43 @@ object PipelineQueries {
         .orderBy(col("query_id"), col("rk"))
     }),
 
+    // tokenizer fertility report: tokens-per-word and chars-per-token per
+    // source under the Demo BPE table — the standard tokenizer-eval
+    // signals, exact integer-mean strings (the q117 convention)
+    "q158_tokenizer_fertility" -> ((s, dir) => {
+      val docs = TsTables.documents(s, dir)
+      docs.select(col("source"),
+          size(filter(graft.pipeline.TextAnalysis.tokens(lower(col("text"))),
+            w => length(w) > 0)).cast("long").as("__w"),
+          length(regexp_replace(trim(col("text")), "\\s+", "")).cast("long").as("__c"),
+          (size(graft.pipeline.Bpe.encodeDoc(col("text"),
+            graft.pipeline.Bpe.DemoMerges)) - 1).cast("long").as("__t"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("__w")).as("total_words"),
+          sum(col("__c")).as("total_chars"), sum(col("__t")).as("total_tokens"))
+        .withColumn("fertility", expr(meanStrSql("total_tokens", "total_words", "div")))
+        .withColumn("chars_per_token", expr(meanStrSql("total_chars", "total_tokens", "div")))
+        .orderBy(col("source"))
+    }),
+
+    // embedding-column health validation: dim drift, NaNs, zero vectors,
+    // mean norm — the data-contract check before any ANN/dedup consumes
+    // the column (norm mean = per-row micro rounding, exact integer sum)
+    "q159_embedding_health" -> ((s, dir) => {
+      val e = TsTables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      e.select(size(col("v")).as("__dim"),
+          exists(col("v"), x => isnan(x)).as("__nan"),
+          aggregate(col("v"), lit(0.0), (a, x) => a + x * x).as("__sq"))
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(when(col("__dim") =!= EmbeddingDim, 1L).otherwise(0L)).as("n_dim_mismatch"),
+          sum(when(col("__nan"), 1L).otherwise(0L)).as("n_nan"),
+          sum(when(!col("__nan") && col("__sq") === 0.0, 1L).otherwise(0L)).as("n_zero"),
+          sum(when(!col("__nan"), round(sqrt(col("__sq")) * 1e6).cast("long"))
+            .otherwise(0L)).as("norm_micro_sum"))
+        .withColumn("norm_mean", expr(meanStrSql("norm_micro_sum", "n_vecs * 1000000", "div")))
+    }),
+
     // retrieval eval harness: recall@k + reciprocal rank of the batch
     // BM25 ranking against the q151 positives as relevance judgments
     "q157_retrieval_eval" -> ((s, dir) => {
@@ -559,6 +596,9 @@ object PipelineQueries {
     * ranks whose query vectors are embeddings 0/1. */
   private val HybridDepth = 60
   private val HybridRrfK = 60
+
+  /** q159: the embeddings table's contract dimension. */
+  private val EmbeddingDim = 64
 
   /** q151 (query, positive) pairs: positives chosen so both cases occur
     * at sf0.01 — a positive inside BM25's top ranks (exclusion fires)
@@ -1385,6 +1425,45 @@ object PipelineQueries {
     "q156_hybrid_search" -> hybridOracleSql,
 
     "q157_retrieval_eval" -> retrievalEvalOracleSql,
+
+    // lambda var must stay `w` (bpeEncChainSql's init references it), so
+    // the per-doc count columns take nw/nc/nt names
+    "q158_tokenizer_fertility" ->
+      s"""WITH d AS (SELECT source,
+                CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                                     x -> len(x) > 0)) AS BIGINT) AS nw,
+                CAST(length(regexp_replace(trim(text), '\\s+', '', 'g')) AS BIGINT) AS nc,
+                CAST(len(flatten(list_transform(
+                    list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                                x -> len(x) > 0),
+                    w -> string_split($bpeEncChainSql, chr(1))))) AS BIGINT) AS nt
+              FROM documents),
+           agg AS (SELECT source, count(*) AS n_docs,
+                          CAST(sum(nw) AS BIGINT) AS total_words,
+                          CAST(sum(nc) AS BIGINT) AS total_chars,
+                          CAST(sum(nt) AS BIGINT) AS total_tokens
+                   FROM d GROUP BY source)
+         SELECT source, n_docs, total_words, total_chars, total_tokens,
+                ${meanStrSql("total_tokens", "total_words", "//")} AS fertility,
+                ${meanStrSql("total_chars", "total_tokens", "//")} AS chars_per_token
+         FROM agg ORDER BY source""",
+
+    "q159_embedding_health" ->
+      s"""WITH s AS (SELECT len(embedding) AS dim,
+                            len(list_filter(embedding::DOUBLE[], x -> isnan(x))) > 0 AS has_nan,
+                            list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS sq
+                     FROM embeddings),
+              agg AS (SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+                             CAST(sum(CASE WHEN dim <> $EmbeddingDim THEN 1 ELSE 0 END) AS BIGINT) AS n_dim_mismatch,
+                             CAST(sum(CASE WHEN has_nan THEN 1 ELSE 0 END) AS BIGINT) AS n_nan,
+                             CAST(sum(CASE WHEN NOT has_nan AND sq = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+                             CAST(sum(CASE WHEN NOT has_nan
+                                           THEN CAST(round(sqrt(sq) * 1e6) AS BIGINT)
+                                           ELSE 0 END) AS BIGINT) AS norm_micro_sum
+                      FROM s)
+         SELECT n_vecs, n_dim_mismatch, n_nan, n_zero, norm_micro_sum,
+                ${meanStrSql("norm_micro_sum", "n_vecs * 1000000", "//")} AS norm_mean
+         FROM agg""",
     "q151_hard_negatives" -> hardNegOracleSql,
 
     "q137_tokenize_pack" -> tokenizePackOracleSql,
@@ -1512,11 +1591,17 @@ object PipelineQueries {
           FROM ${p}_feats f LEFT JOIN ${p}_score s ON s.doc_id = f.doc_id),
         ${p}_keep AS (SELECT doc_id FROM ${p}_ranked WHERE rn <= $keep)"""
 
-  private def packSelectSql(src: String, nBuckets: Int): String = {
+  /** The DemoMerges BPE word-encode as a DuckDB replace chain over chr(1)
+    * joints — shared by the pack mirror and the fertility report. */
+  private lazy val bpeEncChainSql: String = {
     val init = "array_to_string(regexp_extract_all(w, '.'), chr(1)) || chr(1) || '</w>'"
-    val chain = graft.pipeline.Bpe.DemoMerges.foldLeft(init) { case (acc, (a, b)) =>
+    graft.pipeline.Bpe.DemoMerges.foldLeft(init) { case (acc, (a, b)) =>
       s"replace($acc, '$a' || chr(1) || '$b', '${a + b}')"
     }
+  }
+
+  private def packSelectSql(src: String, nBuckets: Int): String = {
+    val chain = bpeEncChainSql
     s"""SELECT bucket, seq_idx, n_tokens, seq_text FROM (
         WITH enc AS (
           SELECT doc_id,
