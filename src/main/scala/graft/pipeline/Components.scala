@@ -92,6 +92,41 @@ object Components {
     (labels, it, converged)
   }
 
+  /** INCREMENTAL connected components: fold a batch of new edges into an
+    * existing (id, component) assignment without recomputing the corpus.
+    * Only components TOUCHED by the batch recompute: assignments whose
+    * component contains an endpoint of a new edge re-enter the star-forest
+    * iteration as (id → component) edges alongside the new edges (a
+    * component's label is by construction its minimum member, so those
+    * edges reproduce its connectivity exactly); every untouched
+    * assignment passes through unchanged. A batch endpoint unknown to the
+    * assignment is a brand-new node and simply rides the new edges.
+    *
+    * Scale shape: two semi-joins restrict the recompute seed to
+    * touched-component rows (batch-proportional for the typical
+    * few-collisions batch — the standing near-dup service shape), and the
+    * log-round iteration runs over that seed, not the corpus. The merged
+    * result keeps the invariant `component = min member id`, so repeated
+    * folds compose. Labels for nodes in NO edge ever (singletons) are the
+    * caller's to add, as with [[connectedComponents]]. */
+  def incrementalComponents(assign: DataFrame, newEdges: DataFrame,
+                            id1: String = "id1", id2: String = "id2",
+                            idCol: String = "id", compCol: String = "component",
+                            maxIter: Int = 25): DataFrame = {
+    val ends = newEdges.select(col(id1).as(idCol))
+      .union(newEdges.select(col(id2).as(idCol))).distinct()
+    val touchedComps = assign.join(ends, Seq(idCol), "left_semi")
+      .select(col(compCol)).distinct()
+    val touched = assign.join(touchedComps, Seq(compCol), "left_semi")
+    val seed = touched.select(col(idCol).as(id1), col(compCol).as(id2))
+      .unionByName(newEdges.select(col(id1), col(id2)))
+    val recomputed = connectedComponents(seed, id1, id2, maxIter)
+      .toDF(idCol, compCol)
+    assign.join(touchedComps, Seq(compCol), "left_anti")
+      .select(col(idCol), col(compCol))
+      .unionByName(recomputed)
+  }
+
   /** Large-star: for every node u, connect every LARGER neighbor to the
     * minimum of u's neighborhood (including u). Keeps (child > parent)
     * edges only; strictly reduces the depth of tall trees. */

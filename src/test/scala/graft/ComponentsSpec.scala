@@ -39,6 +39,37 @@ class ComponentsSpec extends AnyFunSuite with Matchers {
     comp(51L) shouldEqual 50L
   }
 
+  test("incrementalComponents: batch edges merge touched comps, equal full recompute") {
+    import graft.pipeline.Components
+    // existing corpus: {0,1,2} and {10,11}; assignment from a full run
+    val edges1 = Seq((0L, 1L), (1L, 2L), (10L, 11L)).toDF("id1", "id2")
+    val assign = Components.connectedComponents(edges1)
+    // batch: bridge the two comps via a NEW node 20, plus a fresh pair
+    val edges2 = Seq((2L, 20L), (20L, 10L), (30L, 31L)).toDF("id1", "id2")
+    val inc = Components.incrementalComponents(assign, edges2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    Seq(0L, 1L, 2L, 10L, 11L, 20L).map(inc) shouldEqual Seq.fill(6)(0L)
+    inc(30L) shouldEqual 30L // fresh pair forms its own component
+    inc(31L) shouldEqual 30L
+  }
+
+  test("incrementalComponents equals full recompute on random graphs (seeded)") {
+    import graft.pipeline.Components
+    val rnd = new scala.util.Random(11)
+    (1 to 4).foreach { _ =>
+      val e1 = Seq.fill(25)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+        .filter(p => p._1 != p._2).toDF("id1", "id2")
+      val e2 = Seq.fill(10)((15L + rnd.nextInt(25), 15L + rnd.nextInt(25)))
+        .filter(p => p._1 != p._2).toDF("id1", "id2")
+      val assign = Components.connectedComponents(e1)
+      val inc = Components.incrementalComponents(assign, e2)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val full = Components.connectedComponents(e1.unionByName(e2))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      inc shouldEqual full
+    }
+  }
+
   test("keepRepresentatives keeps one doc per duplicate cluster plus unpaired docs") {
     val docs = (0L to 6L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
     val pairs = Seq((0L, 1L), (1L, 2L), (4L, 5L)).toDF("id1", "id2")
