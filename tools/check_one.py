@@ -27,15 +27,16 @@ for t in TABLES:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
 
 def canon(rows, colnames):
+    # EXACT float compare + HUGEINT guard, matching check_correctness.py
+    # (the driver's hasher is bit-exact; 9-dp rounding hid a real red)
     idx = sorted(range(len(colnames)), key=lambda i: colnames[i])
     out = []
     for row in rows:
         vals = []
         for i in idx:
             v = row[i]
-            if isinstance(v, float):
-                if math.isnan(v): v = "NaN"
-                else: v = round(v, 9)
+            if isinstance(v, float) and math.isnan(v):
+                v = "NaN"
             vals.append(v)
         out.append(tuple(vals))
     out.sort(key=lambda t: tuple(str(x) for x in t))
@@ -44,7 +45,13 @@ def canon(rows, colnames):
 t = pq.read_table(os.path.join(outdir, name))
 scols, srows = canon([list(r) for r in zip(*[c.to_pylist() for c in t.columns])]
                      if t.num_columns else [], t.column_names)
-res = con.execute(open(os.path.join(outdir, f"{name}.sql")).read())
+sql = open(os.path.join(outdir, f"{name}.sql")).read()
+huge = [(c, ty) for c, ty, *_ in con.execute(f"DESCRIBE {sql}").fetchall()
+        if "HUGEINT" in str(ty).upper()]
+if huge:
+    print(f"HUGEINT ORACLE COLUMNS {huge}: driver hasher renders int128 != int64 — CAST AS BIGINT")
+    sys.exit(1)
+res = con.execute(sql)
 ocols, orows = canon(res.fetchall(), [d[0] for d in res.description])
 
 print(f"spark rows={len(srows)} cols={scols}")
