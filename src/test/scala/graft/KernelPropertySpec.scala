@@ -64,6 +64,75 @@ class KernelPropertySpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("order-sensitive window functions match naive evaluation on random series") {
+    val rnd = new scala.util.Random(20260814)
+    // unique, shuffled timestamps per series: the ordered-window functions
+    // must see ts-sorted samples regardless of arrival order
+    val series: Seq[(Int, Seq[(Long, Double)])] = (0 until 15).map { sid =>
+      val ts = rnd.shuffle((1 to 99).map(_ * 100L).toList).take(1 + rnd.nextInt(40))
+      sid -> ts.map(t => (t, math.rint(rnd.nextDouble() * 100) / 10))
+    }
+    val df = rnd.shuffle(
+        series.flatMap { case (sid, ss) => ss.map { case (t, v) => (sid, t, v) } })
+      .toDF("sid", "ts", "value").repartition(5)
+    val (start, end, step, w) = (1000L, 10000L, 900L, 2800L)
+
+    def naive(fn: String, ss: Seq[(Long, Double)], t: Long): Option[Double] = {
+      val win = ss.filter(s => s._1 > t - w && s._1 <= t).sortBy(_._1).map(_._2)
+      if (win.isEmpty) None
+      else Some(fn match {
+        case "resets" => win.sliding(2).count { case Seq(a, b) => b < a; case _ => false }.toDouble
+        case "changes" => win.sliding(2).count { case Seq(a, b) => b != a; case _ => false }.toDouble
+        case "idelta" =>
+          if (win.size < 2) Double.NaN else win.last - win(win.size - 2)
+        case "quantile" =>
+          val xs = win.sorted
+          val rank = 0.7 * (xs.size - 1)
+          val lo = math.floor(rank).toInt
+          val hi = math.min(lo + 1, xs.size - 1)
+          xs(lo) + (rank - lo) * (xs(hi) - xs(lo))
+        case "z_score" =>
+          val m = win.sum / win.size
+          val sd = math.sqrt(win.map(x => (x - m) * (x - m)).sum / win.size)
+          (win.last - m) / sd
+      })
+    }
+
+    for (fnName <- Seq("resets", "changes", "idelta", "quantile_over_time:0.7", "z_score")) {
+      val fn = fnName.split(":") match {
+        case Array(n, p) => RangeFns.byName(n, Seq(p.toDouble))
+        case Array(n) => RangeFns.byName(n)
+      }
+      val short = fnName match {
+        case "quantile_over_time:0.7" => "quantile"
+        case other => other
+      }
+      val out = PeriodicSamples(df, Seq("sid"), "ts", "value",
+        start, end, step, w, fn)
+        .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      series.foreach { case (sid, ss) =>
+        (start to end by step).foreach { t =>
+          naive(short, ss, t) match {
+            case Some(exp) if exp.isInfinite => // z_score with sd=0, last != mean
+              withClue(s"$fnName sid=$sid t=$t") { out((sid, t)) shouldEqual exp }
+            case Some(exp) if !exp.isNaN =>
+              withClue(s"$fnName sid=$sid t=$t") {
+                out((sid, t)) shouldEqual exp +- math.max(1e-9, math.abs(exp) * 1e-12)
+              }
+            case Some(_) => // NaN result (e.g. idelta on 1 sample, sd=0):
+              // kernel may emit NaN or elide; only require no wrong number
+              out.get((sid, t)).foreach(v => assert(v.isNaN,
+                s"$fnName sid=$sid t=$t: expected NaN-ish, got $v"))
+            case None =>
+              withClue(s"$fnName sid=$sid t=$t empty window") {
+                out.contains((sid, t)) shouldBe false
+              }
+          }
+        }
+      }
+    }
+  }
+
   test("groupByKey and columnar viaAggregate shapes agree exactly on adversarial input") {
     // unsorted arrival order, duplicate timestamps disambiguated by tie,
     // counter resets — the two physical shapes (full-row groupByKey vs
