@@ -638,6 +638,18 @@ object PipelineQueries {
     * so their shuffle/scale shape stays measured even though correctness
     * is gated on the planted fixtures above. */
   def benchDefs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // corpus-scale hybrid retrieval: 3 fused queries over the full
+    // documents+embeddings join — tracks the retrieval stack's cost
+    "corpus_hybrid_search" -> ((s, dir) => {
+      import s.implicits._
+      val docs = TsTables.documents(s, dir)
+        .join(TsTables.embeddings(s, dir).withColumnRenamed("vec_id", "doc_id"), "doc_id")
+      val qs = Seq((0L, Seq("spark", "vector")), (1L, Seq("customer", "window")),
+          (2L, Seq("table", "query"))).toDF("query_id", "terms")
+        .join(TsTables.embeddings(s, dir).filter(col("vec_id") < 3)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qvec")), "query_id")
+      Search.hybridTopK(docs, qs, k = 10)
+    }),
     "corpus_minhash_dups" -> ((s, dir) =>
       Dedup.minHashDuplicates(TsTables.documents(s, dir), numHashes = 16, threshold = 0.5)),
     "corpus_simhash" -> ((s, dir) =>
