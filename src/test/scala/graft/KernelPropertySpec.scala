@@ -95,16 +95,28 @@ class KernelPropertySpec extends AnyFunSuite with Matchers {
           val m = win.sum / win.size
           val sd = math.sqrt(win.map(x => (x - m) * (x - m)).sum / win.size)
           (win.last - m) / sd
+        case "mad" =>
+          def q50(xs: Seq[Double]) = {
+            val s = xs.sorted
+            val rank = 0.5 * (s.size - 1)
+            val lo = math.floor(rank).toInt
+            val hi = math.min(lo + 1, s.size - 1)
+            s(lo) + (rank - lo) * (s(hi) - s(lo))
+          }
+          val med = q50(win)
+          q50(win.map(v => math.abs(v - med)))
       })
     }
 
-    for (fnName <- Seq("resets", "changes", "idelta", "quantile_over_time:0.7", "z_score")) {
+    for (fnName <- Seq("resets", "changes", "idelta", "quantile_over_time:0.7",
+                       "z_score", "mad_over_time")) {
       val fn = fnName.split(":") match {
         case Array(n, p) => RangeFns.byName(n, Seq(p.toDouble))
         case Array(n) => RangeFns.byName(n)
       }
       val short = fnName match {
         case "quantile_over_time:0.7" => "quantile"
+        case "mad_over_time" => "mad"
         case other => other
       }
       val out = PeriodicSamples(df, Seq("sid"), "ts", "value",
