@@ -37,6 +37,7 @@ class PromApi(spark: SparkSession, samples: DataFrame, port: Int = 0,
     server.createContext("/api/v1/label/", handler(labelValues))
     server.createContext("/api/v1/series", handler(series))
     server.createContext("/api/v1/label_cardinality", handler(labelCardinality))
+    server.createContext("/api/v1/tscardinality", handler(tsCardinality))
     server.createContext("/api/v1/format_query", handler(formatQuery))
     server.createContext("/api/v1/status/buildinfo", handler(buildInfo))
     server.createContext("/__health", handler(health))
@@ -255,6 +256,34 @@ class PromApi(spark: SparkSession, samples: DataFrame, port: Int = 0,
     val vals = MetadataOps.labelValues(metaFrame(p), label, matchExprs(p))
       .collect().map(_.getString(0)).sorted.toSeq
     s"""{"status":"success","data":[${vals.map(js).mkString(",")}]}"""
+  }
+
+  /** Hierarchical time-series cardinality over a label path (reference
+    * TsCardinalities API surface): per group, total vs active series
+    * counts; `topk=N` switches to the hotspot ranking
+    * (MetadataOps.topkCardinality) with optional `prefix`/`depth`.
+    * `exact=true` swaps HLL for exact distinct (test/oracle use). */
+  private def tsCardinality(p: Map[String, String]): String = {
+    val groups = p.getOrElse("groupLabels", "metric").split(",").filter(_.nonEmpty).toSeq
+    val activeAfter = p.get("activeAfterMs").map(_.toLong).getOrElse(0L)
+    val exact = p.get("exact").contains("true")
+    val df = p.get("topk") match {
+      case Some(k) => MetadataOps.topkCardinality(samples, groups,
+        p.getOrElse("prefix", "").split(",").filter(_.nonEmpty).toSeq,
+        depth = p.get("depth").map(_.toInt).getOrElse(groups.length),
+        k.toInt, activeAfter, exact)
+      case None =>
+        val d = MetadataOps.tsCardinalityBreakdown(samples, groups, activeAfter, exact)
+        d.orderBy(d.columns.dropRight(2).map(org.apache.spark.sql.functions.col): _*)
+    }
+    val gcols = df.columns.dropRight(2) // group path, then total, active
+    val rows = df.collect().map { r =>
+      val group = gcols.zipWithIndex.map { case (g, i) =>
+        s"${js(g)}:${Option(r.get(i)).map(v => js(v.toString)).getOrElse("null")}"
+      }.mkString(",")
+      s"""{"group":{$group},"total":${r.getLong(gcols.length)},"active":${r.getLong(gcols.length + 1)}}"""
+    }
+    s"""{"status":"success","data":[${rows.mkString(",")}]}"""
   }
 
   /** Per-label approximate distinct-value counts (HLL). */

@@ -72,6 +72,26 @@ class PromApiSpec extends AnyFunSuite with Matchers {
     } finally api.stop()
   }
 
+  test("tscardinality endpoint: breakdown per group and top-k hotspot form") {
+    val samples = TsTables.eventsAsSamples(spark, "/root/testdata/sf0.001")
+    val api = new PromApi(spark, samples).start()
+    try {
+      val port = api.boundPort
+      val body = get(port, "/api/v1/tscardinality?groupLabels=metric&exact=true")
+      body should include(""""status":"success"""")
+      body should include(""""group":{"metric":"purchase"}""")
+      body should include(""""total":""")
+      body should include(""""active":""")
+      // top-k hotspots: ranked, limited
+      val top = get(port, "/api/v1/tscardinality?groupLabels=metric&topk=2&exact=true")
+      top.split("\"group\"").length - 1 shouldEqual 2
+      // active window in the future -> active 0, totals unchanged
+      val inactive = get(port,
+        s"/api/v1/tscardinality?groupLabels=metric&exact=true&activeAfterMs=${Long.MaxValue / 2}")
+      inactive should include(""""active":0""")
+    } finally api.stop()
+  }
+
   test("instant query answers resultType scalar for scalar-typed expressions") {
     val samples = TsTables.eventsAsSamples(spark, "/root/testdata/sf0.001")
     val api = new PromApi(spark, samples).start()
