@@ -103,9 +103,12 @@ object CorpusLayout {
     // the sig stage is id + numHashes longs: checkpoint so the band
     // explode and the sig table don't each re-derive shingle hashing
     val sigs = sigsOf(docs, textCol, idCol, numHashes, shingleK).localCheckpoint(false)
+    // bucket spec == the probe's exact join keys (band, bh): a bucketed
+    // scan only replaces the exchange when the keys match the spec — a
+    // key SUPERSET makes the planner disable it and shuffle the corpus
     Dedup.capBuckets(bandsOf(sigs, idCol, rowsPerBand), Seq("band", "bh"), maxBucketSize)
-      .repartition(nBuckets, col("bh"))
-      .write.bucketBy(nBuckets, "bh").sortBy("bh")
+      .repartition(nBuckets, col("band"), col("bh"))
+      .write.bucketBy(nBuckets, "band", "bh").sortBy("band", "bh")
       .mode(mode).format("parquet").saveAsTable(bandTable(table))
     sigs.select(col(idCol).as("doc_id"), col("sig"))
       .repartition(nBuckets, col("doc_id"))
@@ -172,6 +175,54 @@ object CorpusLayout {
                            textCol: String = "text", idCol: String = "doc_id",
                            numHashes: Int = 32, shingleK: Int = 3, rowsPerBand: Int = 4,
                            maxBucketSize: Int = 256): Unit =
-    writeNearDupIndex(survivors, table, nBuckets, textCol, idCol, numHashes,
-      shingleK, rowsPerBand, maxBucketSize, SaveMode.Append)
+    writeNearDupIndex(survivors, table, nBuckets, shingleK = shingleK,
+      numHashes = numHashes, rowsPerBand = rowsPerBand,
+      maxBucketSize = maxBucketSize, textCol = textCol, idCol = idCol,
+      mode = SaveMode.Append)
+
+  // ===== Incremental PERCEPTUAL (dHash) media index =====================
+  //
+  // The media twin of the near-dup index: each indexed item keeps
+  // (kind, prefix bucket, 64-bit dHash, doc_id) in ONE managed table
+  // bucketed by the prefix bucket; a batch probe computes its dHashes
+  // map-side (payload bytes never leave the batch scan) and joins the
+  // index on (kind, bucket) exchange-free, then Hamming-filters. Recall
+  // follows the batch operator's prefix-bucket contract (Multimodal.
+  // perceptualDuplicates): a near-dup pair must agree on the top
+  // prefixBits — lower prefixBits for recall, raise for pruning.
+
+  private def perceptualRows(media: DataFrame, prefixBits: Int): DataFrame = {
+    val mask = (1L << prefixBits) - 1
+    media.select(col("doc_id"), col("kind"),
+        Multimodal.dHash(col("bytes")).as("ph"))
+      .withColumn("pb",
+        shiftright(col("ph"), 64 - prefixBits).bitwiseAND(lit(mask)))
+  }
+
+  def writePerceptualIndex(media: DataFrame, table: String, nBuckets: Int = 32,
+                           prefixBits: Int = 12,
+                           mode: SaveMode = SaveMode.Overwrite): Unit =
+    // bucket spec == the probe's exact join keys (see writeNearDupIndex)
+    perceptualRows(media, prefixBits)
+      .repartition(nBuckets, col("kind"), col("pb"))
+      .write.bucketBy(nBuckets, "kind", "pb").sortBy("kind", "pb")
+      .mode(mode).format("parquet").saveAsTable(s"${table}_phash")
+
+  /** Perceptual matches of a NEW media batch against the indexed corpus:
+    * (doc_id, corpus_id, kind, dist) for Hamming distance <= maxDist
+    * within the shared prefix bucket. `prefixBits` must match the index
+    * build. */
+  def perceptualDupsAgainstIndex(spark: SparkSession, newMedia: DataFrame, table: String,
+                                 maxDist: Int = 6, prefixBits: Int = 12): DataFrame =
+    perceptualRows(newMedia, prefixBits)
+      .withColumnRenamed("doc_id", "__new_id").withColumnRenamed("ph", "__nph")
+      .join(spark.table(s"${table}_phash"), Seq("kind", "pb"))
+      .withColumn("dist", bit_count(col("__nph").bitwiseXOR(col("ph"))))
+      .filter(col("dist") <= maxDist)
+      .select(col("__new_id").as("doc_id"), col("doc_id").as("corpus_id"),
+        col("kind"), col("dist"))
+
+  def appendToPerceptualIndex(media: DataFrame, table: String, nBuckets: Int = 32,
+                              prefixBits: Int = 12): Unit =
+    writePerceptualIndex(media, table, nBuckets, prefixBits, SaveMode.Append)
 }

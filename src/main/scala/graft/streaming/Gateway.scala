@@ -291,7 +291,24 @@ object Gateway {
         val parts = line.split("\\s+", 4)
         if (parts.length >= 4 && parts(1) == "TYPE") types(parts(2)) = parts(3)
         // HELP and plain comments carry no samples
-      } else line match {
+      } else {
+        // OpenMetrics exemplars ride sample lines after " # " — metadata
+        // for tracing backends, not samples; strip at the first UNQUOTED
+        // '#' (a '#' inside a quoted label value is data)
+        val noExemplar = {
+          var i = 0; var inQ = false; var cut = -1
+          while (i < line.length && cut < 0) {
+            line.charAt(i) match {
+              case '\\' if inQ && i + 1 < line.length => i += 1
+              case '"' => inQ = !inQ
+              case '#' if !inQ && i > 0 && line.charAt(i - 1) == ' ' => cut = i - 1
+              case _ =>
+            }
+            i += 1
+          }
+          if (cut >= 0) line.substring(0, cut) else line
+        }
+        noExemplar match {
         case SampleRe(name, labelBody, value, tsStr) =>
           (Option(labelBody).map(parseLabels).getOrElse(Some(Map.empty[String, String])),
             parsePromValue(value)) match {
@@ -309,6 +326,7 @@ object Gateway {
             case (_, None) => out += Decoded(null, null, 0L, 0.0, null, raw, "malformed value")
           }
         case _ => out += Decoded(null, null, 0L, 0.0, null, raw, "malformed line")
+        }
       }
     }
     out.result()

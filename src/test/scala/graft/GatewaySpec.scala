@@ -124,6 +124,17 @@ class GatewaySpec extends AnyFunSuite with Matchers {
     byMetric("http_request_duration_seconds_count").head.value shouldEqual 144320.0
   }
 
+  test("prom text exposition: OpenMetrics exemplar suffixes strip off sample lines") {
+    val r = Gateway.parsePromText(
+      "lat_bucket{le=\"0.1\"} 7 # {trace_id=\"abc\"} 0.09 1520879607\n" +
+        "weird{note=\"a # b\"} 3 1000", 0L)
+    r.filter(_.err != null) shouldBe empty
+    r.find(_.metric == "lat_bucket").get.value shouldEqual 7.0
+    // a '#' INSIDE a quoted label value is data, not an exemplar
+    r.find(_.metric == "weird").get.tags("note") shouldEqual "a # b"
+    r.find(_.metric == "weird").get.ts shouldEqual 1000L
+  }
+
   test("prom text exposition: malformed lines reject individually, payload continues") {
     val r = Gateway.parsePromText(
       "ok_metric 1\n{no=\"name\"} 2\nbad value\nm 1 99999999999999999999999\nok2 3", 0L)

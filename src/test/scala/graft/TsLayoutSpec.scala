@@ -212,9 +212,13 @@ class TsLayoutSpec extends AnyFunSuite with Matchers {
       val matches = dups.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       matches shouldEqual Set((10L, 1L))
       dups.filter($"est_jaccard" >= 0.5 && $"est_jaccard" <= 1.0).count() shouldEqual 1L
-      // both corpus-side tables are consumed via their bucket files
+      // both corpus-side tables are consumed via their bucket files —
+      // and the planner must not have fallen back to a shuffled scan
+      // (it does exactly that when join keys are a SUPERSET of the
+      // bucket spec, which is why the tables bucket by the full key)
       val p = dups.queryExecution.executedPlan.toString
       p should include("SelectedBucketsCount")
+      (p should not).include("disabled by query planner")
       val survivors = CorpusLayout.dropNearDupsAgainstIndex(
         spark, batch, "ndx", threshold = 0.5)
       survivors.select("doc_id").as[Long].collect().sorted shouldEqual Array(11L, 13L)
@@ -226,6 +230,43 @@ class TsLayoutSpec extends AnyFunSuite with Matchers {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
       spark.sql("DROP TABLE IF EXISTS ndx_bands")
       spark.sql("DROP TABLE IF EXISTS ndx_sigs")
+    }
+  }
+
+  test("perceptual index: map-side dHash probe reads buckets pre-shuffled") {
+    import spark.implicits._
+    import graft.pipeline.{CorpusLayout, Multimodal}
+    // doc_id % 3 fixes the kind, so same-kind pairs need ids 3 apart
+    val corpus = Multimodal.synthesizeMedia(Seq(
+      (1L, "the quick brown fox jumps over the lazy dog by the river"),
+      (2L, "completely different content about catalyst optimizer internals"),
+      (3L, "yet another unrelated clip transcript mentioning banded joins"))
+      .toDF("doc_id", "text"))
+    CorpusLayout.writePerceptualIndex(corpus, "pdx", nBuckets = 4, prefixBits = 8)
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val batch = Multimodal.synthesizeMedia(Seq(
+        // identical payload to corpus doc 1, same kind (10 % 3 == 1 % 3)
+        (10L, "the quick brown fox jumps over the lazy dog by the river"),
+        (13L, "fresh footage with no resemblance to anything indexed here"))
+        .toDF("doc_id", "text"))
+      val dups = CorpusLayout.perceptualDupsAgainstIndex(spark, batch, "pdx",
+        maxDist = 6, prefixBits = 8)
+      val matches = dups.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+      matches shouldEqual Set((10L, 1L, 0))
+      val p = dups.queryExecution.executedPlan.toString
+      p should include("SelectedBucketsCount")
+      // fold the fresh item in; re-offering it then matches itself
+      CorpusLayout.appendToPerceptualIndex(
+        batch.filter($"doc_id" === 13L), "pdx", nBuckets = 4, prefixBits = 8)
+      CorpusLayout.perceptualDupsAgainstIndex(spark, batch.filter($"doc_id" === 13L),
+          "pdx", maxDist = 6, prefixBits = 8)
+        .collect().map(_.getLong(1)).toSeq shouldEqual Seq(13L)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+      spark.sql("DROP TABLE IF EXISTS pdx_phash")
     }
   }
 }
