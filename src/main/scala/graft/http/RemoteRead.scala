@@ -93,6 +93,38 @@ object RemoteRead {
       s"all replicas failed — ${errs.result().mkString("; ")}")
   }
 
+  /** The reference HighAvailabilityPlanner's FULL behavior: given each
+    * replica's known DOWNTIME windows (its FailureProvider), split the
+    * query range at step boundaries so every step evaluates on the first
+    * replica that was healthy then, one remote call per contiguous
+    * (replica, subrange) run, results unioned. A step all replicas were
+    * down for is simply absent, like the reference's empty partial
+    * results. Splits stay ON the step grid (subrange starts are
+    * start + k*step) so every replica evaluates the same aligned steps.
+    * `replicas`: (baseUrl, downtime windows [fromMs, toMs] inclusive). */
+  def haStitchedQueryRange(spark: SparkSession,
+                           replicas: Seq[(String, Seq[(Long, Long)])], query: String,
+                           startMs: Long, endMs: Long, stepMs: Long): DataFrame = {
+    require(replicas.nonEmpty, "need at least one replica")
+    def healthyAt(r: Seq[(Long, Long)], t: Long): Boolean =
+      !r.exists { case (a, b) => t >= a && t <= b }
+    val steps = (startMs to endMs by stepMs)
+    val choice: Seq[(Long, Option[Int])] = steps.map { t =>
+      t -> replicas.indices.find(i => healthyAt(replicas(i)._2, t))
+    }
+    // contiguous runs of the same replica choice -> one remote call each
+    val runs = choice.foldLeft(List.empty[(Option[Int], Long, Long)]) {
+      case ((r, s, e) :: rest, (t, c)) if c == r => (r, s, t) :: rest
+      case (acc, (t, c)) => (c, t, t) :: acc
+    }.reverse
+    val parts = runs.collect { case (Some(i), s, e) =>
+      queryRange(spark, replicas(i)._1, query, s, e, stepMs)
+    }
+    require(parts.nonEmpty,
+      s"no replica healthy anywhere in [$startMs, $endMs] — ${replicas.map(_._1)}")
+    parts.reduce(_ unionByName _)
+  }
+
   /** Shard-key federation ROUTING (reference ShardKeyRegexPlanner +
     * PartitionLocationProvider, coordinator/.../queryplanner/
     * ShardKeyRegexPlanner.scala): each remote cluster owns a shard-key

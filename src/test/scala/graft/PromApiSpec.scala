@@ -312,6 +312,41 @@ class PromApiSpec extends AnyFunSuite with Matchers {
     } finally remote.stop()
   }
 
+  test("HA stitching splits the range around a replica's downtime window") {
+    import graft.http.RemoteRead
+    import graft.promql.PromPlanner
+    val all = TsTables.eventsAsSamples(spark, "/root/testdata/sf0.001")
+    val (s0, e0) = (TsTables.EventsStartMs, TsTables.EventsEndMs)
+    val mid = s0 + (e0 - s0) / 2
+    // replica A was DOWN (unqueryable) for the first half but its data is
+    // complete; replica B only ever ingested the first half — so a correct
+    // stitch MUST route first-half steps to B and second-half steps to A,
+    // and any mis-route loses data and fails the equality below
+    val a = new PromApi(spark, all).start()
+    val b = new PromApi(spark,
+      all.filter(org.apache.spark.sql.functions.col("ts") <= mid)).start()
+    try {
+      val q = "sum by (user) (sum_over_time(purchase[1d]))"
+      val stitched = RemoteRead.haStitchedQueryRange(spark,
+          Seq(s"http://localhost:${a.boundPort}" -> Seq((s0, mid)),
+            s"http://localhost:${b.boundPort}" -> Nil),
+          q, s0, e0, 86400000L)
+        .select("__key", "step_ts", "value").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      val direct = PromPlanner.queryRange(
+          PromPlanner.Ctx(spark, all, s0, e0, 86400000L), q)
+        .select("__key", "step_ts", "value").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      direct.nonEmpty shouldEqual true
+      stitched shouldEqual direct
+      // all replicas down everywhere -> explicit failure
+      intercept[IllegalArgumentException] {
+        RemoteRead.haStitchedQueryRange(spark,
+          Seq(s"http://localhost:${b.boundPort}" -> Seq((s0, e0))), q, s0, e0, 86400000L)
+      }
+    } finally { a.stop(); b.stop() }
+  }
+
   test("federated aggregate pushdown re-reduces cross-partition partials") {
     import org.apache.spark.sql.functions.col
     import graft.http.RemoteRead
