@@ -358,6 +358,33 @@ object PipelineQueries {
         .orderBy(col("query_id"), col("rk"))
     }),
 
+    // the STANDING perceptual index probe under the oracle gate: corpus =
+    // doc_id < 400 indexed as a bucketed managed table, batch = the rest
+    // probed against it (the spec-only path until now)
+    "q160_perceptual_index_probe" -> ((s, dir) => {
+      import graft.pipeline.{CorpusLayout, Multimodal}
+      // corpus = docs below 400 + one planted original; batch = the rest
+      // + its two planted near-dup variants (guaranteed cross-split hits)
+      val all = TsTables.documents(s, dir).select(col("doc_id"), col("text"))
+        .unionByName(PipelineFixtures.phashDocs(s))
+      val inCorpus = col("doc_id") < 400 ||
+        col("doc_id").isin(1300002L, 1300011L)
+      // a PREVIOUS session's table directory survives the (in-memory)
+      // catalog — drop the entry and delete the orphaned location, or
+      // the create fails with locationAlreadyExists
+      s.sql("DROP TABLE IF EXISTS q160_pdx_phash")
+      val wh = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"), "q160_pdx_phash")
+      wh.getFileSystem(s.sparkContext.hadoopConfiguration).delete(wh, true)
+      CorpusLayout.writePerceptualIndex(
+        Multimodal.synthesizeMedia(all.filter(inCorpus)),
+        "q160_pdx", nBuckets = 8, prefixBits = 8)
+      CorpusLayout.perceptualDupsAgainstIndex(
+          s, Multimodal.synthesizeMedia(all.filter(!inCorpus)), "q160_pdx",
+          maxDist = 16, prefixBits = 8)
+        .orderBy(col("doc_id"), col("corpus_id"))
+    }),
+
     // tokenizer fertility report: tokens-per-word and chars-per-token per
     // source under the Demo BPE table — the standard tokenizer-eval
     // signals, exact integer-mean strings (the q117 convention)
@@ -1482,6 +1509,22 @@ object PipelineQueries {
 
     "q138_perceptual_dups" -> perceptualOracleSql,
 
+    // same dHash CTEs, corpus/batch split mirroring the Spark predicate
+    "q160_perceptual_index_probe" ->
+      s"""WITH all_docs AS (SELECT doc_id, text FROM documents
+                            UNION ALL
+                            SELECT * FROM ${PipelineFixtures.phashValuesSql}),
+          $phashCtes
+         SELECT b.doc_id, c.doc_id AS corpus_id, b.kind,
+                CAST(bit_count(xor(b.ph, c.ph)) AS INT) AS dist
+         FROM (SELECT * FROM bkt
+               WHERE NOT (doc_id < 400 OR doc_id IN (1300002, 1300011))) b
+              JOIN (SELECT * FROM bkt
+                    WHERE doc_id < 400 OR doc_id IN (1300002, 1300011)) c
+                ON b.kind = c.kind AND b.bucket = c.bucket
+         WHERE bit_count(xor(b.ph, c.ph)) <= 16
+         ORDER BY b.doc_id, corpus_id""",
+
     "q135_cross_logloss" -> (crossLmSql + " ORDER BY doc_id"),
 
     "q139_curation_v2" ->
@@ -1768,6 +1811,22 @@ object PipelineQueries {
     * Multimodal.dHash. Payloads are ASCII here, so char ops mirror the
     * byte ops exactly. */
   private lazy val perceptualOracleSql: String = {
+    s"""WITH all_docs AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT * FROM ${PipelineFixtures.phashValuesSql}),
+        $phashCtes
+       SELECT a.kind, a.doc_id AS id1, b.doc_id AS id2,
+              CAST(bit_count(xor(a.ph, b.ph)) AS INT) AS dist
+       FROM capped a JOIN capped b
+         ON a.kind = b.kind AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+       WHERE bit_count(xor(a.ph, b.ph)) <= 16
+       ORDER BY a.kind, id1, id2"""
+  }
+
+  /** The dHash/bucket CTE chain over an `all_docs(doc_id, text)` CTE —
+    * shared by the q138 pair mirror and the q160 index-probe mirror. */
+  private lazy val phashCtes: String = {
     def px(k: Int) =
       s"(CASE WHEN len = 0 THEN 0 ELSE ord(substring(text, (($k * len) // 72) + 1, 1)) END)"
     val pxCols = (0 until 72).map(k => s"${px(k)} AS p$k").mkString(", ")
@@ -1775,11 +1834,7 @@ object PipelineQueries {
       val bit = 1L << (r * 8 + c)
       s"(CASE WHEN p${r * 9 + c} > p${r * 9 + c + 1} THEN CAST($bit AS BIGINT) ELSE 0 END)"
     }).mkString(" | ")
-    s"""WITH all_docs AS (
-          SELECT doc_id, text FROM documents
-          UNION ALL
-          SELECT * FROM ${PipelineFixtures.phashValuesSql}),
-        base AS (SELECT doc_id,
+    s"""base AS (SELECT doc_id,
                         CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
                              ELSE 'video' END AS kind,
                         length(text) AS len, text
@@ -1789,13 +1844,7 @@ object PipelineQueries {
         bkt AS (SELECT doc_id, kind, ph, (ph >> 56) & 255 AS bucket FROM phs),
         capped AS (SELECT * FROM
                      (SELECT *, count(*) OVER (PARTITION BY kind, bucket) AS bs FROM bkt)
-                   WHERE bs <= 4096)
-       SELECT a.kind, a.doc_id AS id1, b.doc_id AS id2,
-              CAST(bit_count(xor(a.ph, b.ph)) AS INT) AS dist
-       FROM capped a JOIN capped b
-         ON a.kind = b.kind AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-       WHERE bit_count(xor(a.ph, b.ph)) <= 16
-       ORDER BY a.kind, id1, id2"""
+                   WHERE bs <= 4096)"""
   }
 
   /** The BM25 mirror, generated from the SAME Scala constants the Spark
