@@ -104,6 +104,35 @@ class StreamingSpec extends AnyFunSuite with Matchers {
     } finally q.stop()
   }
 
+  test("index compaction folds the delta directory to one segment, bounds preserved") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val ms = MemoryStream[(Long, Long, Long, String, Double, String)]
+    val events = ms.toDF.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = java.nio.file.Files.createTempDirectory("ingest_compact").toString
+    val q = Ingest.startIngestWithIndex(events, s"$dir/sink", s"$dir/index", s"$dir/ckpt")
+    try {
+      ms.addData((1L, 1000000000L, 7L, "view", 1.0, ""))
+      q.processAllAvailable()
+      ms.addData((2L, 3000000000L, 7L, "view", 2.0, ""), (3L, 2000000000L, 8L, "click", 3.0, ""))
+      q.processAllAvailable()
+    } finally q.stop()
+    def fold(d: String) = graft.operators.MetadataOps
+      .mergeSeriesIndex(spark.read.parquet(d))
+      .collect().map(r => (r.getAs[String]("metric"),
+        r.getAs[Map[String, String]]("tags")("user"),
+        r.getAs[Long]("start_ts"), r.getAs[Long]("end_ts"))).toSet
+    val before = fold(s"$dir/index")
+    spark.read.parquet(s"$dir/index").count() shouldEqual 3L // 2 view deltas + 1 click
+    graft.tools.CompactIndexJob.run(spark, s"$dir/index")
+    // one folded row per series now, reads unchanged through the fold
+    spark.read.parquet(s"$dir/index").count() shouldEqual 2L
+    spark.read.parquet(s"$dir/index").select("batch_id").distinct()
+      .collect().map(_.getInt(0)).toSeq shouldEqual Seq(-1)
+    fold(s"$dir/index") shouldEqual before
+    before.find(_._1 == "view").get shouldEqual (("view", "7", 1000L, 3000L))
+  }
+
   test("doc quality monitor: windowed per-source counts finalize under the watermark") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     // 60 words with real English stopwords: passes every row rule, langId=en
