@@ -14,6 +14,27 @@ import org.apache.spark.sql.functions._
   */
 object Quality {
 
+  /** Key-skew pre-flight: the k heaviest values of a prospective
+    * shuffle/join key with each one's share of all rows — the check a
+    * 100 TB pipeline runs BEFORE keying a shuffle on a column (a single
+    * hot key serializes the stage; the mitigation — salting, AQE skew
+    * join, per-group caps — depends on seeing the offenders first).
+    *
+    * One partial-aggregated count per key, totals as a 1-row broadcast,
+    * ranking as a distributed top-k; shares are exact integer micro
+    * fractions (n * 1e6 integer-divided by total — engine-identical).
+    * Output: (key STRING, n, share_micro), heaviest first, ties by key. */
+  def keySkewReport(df: DataFrame, keyCol: String, k: Int = 20): DataFrame = {
+    val counts = df.select(col(keyCol).cast("string").as("key"))
+      .groupBy(col("key")).agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum(col("n")).as("__total"))
+    counts.crossJoin(broadcast(total))
+      .withColumn("share_micro", expr("n * 1000000 div __total"))
+      .select(col("key"), col("n"), col("share_micro"))
+      .orderBy(col("n").desc, col("key").asc)
+      .limit(k)
+  }
+
   /** Whitespace word count. */
   def wordCount(text: Column): Column = size(TextAnalysis.tokens(text))
 

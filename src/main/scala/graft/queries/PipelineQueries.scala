@@ -385,6 +385,11 @@ object PipelineQueries {
         .orderBy(col("doc_id"), col("corpus_id"))
     }),
 
+    // shuffle-key skew pre-flight: heaviest user_ids by event count with
+    // exact integer micro shares — run before keying anything on user_id
+    "q161_key_skew" -> ((s, dir) =>
+      Quality.keySkewReport(TsTables.events(s, dir), "user_id", k = 15)),
+
     // tokenizer fertility report: tokens-per-word and chars-per-token per
     // source under the Demo BPE table — the standard tokenizer-eval
     // signals, exact integer-mean strings (the q117 convention)
@@ -1464,6 +1469,13 @@ object PipelineQueries {
     "q156_hybrid_search" -> hybridOracleSql,
 
     "q157_retrieval_eval" -> retrievalEvalOracleSql,
+
+    "q161_key_skew" ->
+      """WITH c AS (SELECT CAST(user_id AS VARCHAR) AS key, count(*) AS n
+                    FROM events GROUP BY 1),
+              t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c)
+         SELECT key, n, CAST(n * 1000000 // total AS BIGINT) AS share_micro
+         FROM c, t ORDER BY n DESC, key ASC LIMIT 15""",
 
     // lambda var must stay `w` (bpeEncChainSql's init references it), so
     // the per-doc count columns take nw/nc/nt names
