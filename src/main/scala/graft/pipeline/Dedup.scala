@@ -376,6 +376,48 @@ object Dedup {
       .select(col(idCol), col("__run._1").as("span_start"), col("__run._2").as("span_len"))
   }
 
+  /** Directional CONTAINMENT detection (Broder's containment coefficient
+    * over winnowing fingerprint sets): |fp(A) ∩ fp(B)| / |fp(A)| >=
+    * threshold flags A as (near-)contained in B — quotes, scraped
+    * aggregates, boilerplate-wrapped copies: the case symmetric Jaccard
+    * misses (a short doc embedded in a long one has low Jaccard but
+    * containment ~1). A verbatim embedded copy scores exactly 1.0: every
+    * interior winnowing window of the copy exists identically in the
+    * container.
+    *
+    * Scale shape: fingerprints shuffle as (doc, fp) longs (winnowing
+    * projections materialized per the quadratic-re-evaluation pitfall);
+    * per-doc sketch sizes are a doc-cardinality aggregate; candidate
+    * pairs form through the shared-fp inverted index with degenerate-fp
+    * capping (a fingerprint shared by hundreds of docs is boilerplate —
+    * capped members still pair through their other fps). Scores are
+    * exact integer micro fractions.
+    * Output: (contained_id, container_id, shared_fps, containment_micro),
+    * ORDERED pairs (A-in-B and B-in-A are different rows). */
+  def containmentPairs(docs: DataFrame, threshold: Double = 0.8,
+                       shingleK: Int = 4, winnowW: Int = 5,
+                       maxBucketSize: Int = 256,
+                       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val fps = docs
+      .select(col(idCol), TextAnalysis.tokens(lower(col(textCol))).as("__toks"))
+      .select(col(idCol), TextAnalysis.gramsFromTokens(col("__toks"), shingleK).as("__g"))
+      .repartition(col(idCol))
+      .select(col(idCol),
+        explode(TextAnalysis.fingerprintsFromGrams(col("__g"), winnowW)).as("fp"))
+      .localCheckpoint(false)
+    val sizes = fps.groupBy(col(idCol)).agg(count(lit(1)).as("__sz"))
+    val capped = capBuckets(fps, Seq("fp"), maxBucketSize)
+    val a = capped.as("a"); val b = capped.as("b")
+    a.join(b, col("a.fp") === col("b.fp") && col(s"a.$idCol") =!= col(s"b.$idCol"))
+      .groupBy(col(s"a.$idCol").as("contained_id"), col(s"b.$idCol").as("container_id"))
+      .agg(count(lit(1)).as("shared_fps"))
+      .join(sizes.select(col(idCol).as("contained_id"), col("__sz")), "contained_id")
+      .withColumn("containment_micro", expr("shared_fps * 1000000 div __sz"))
+      .filter(col("containment_micro") >= math.round(threshold * 1e6))
+      .select(col("contained_id"), col("container_id"),
+        col("shared_fps"), col("containment_micro"))
+  }
+
   /** CCNet-style corpus-level LINE deduplication (Wenzek et al. 2020): drop
     * every non-canonical occurrence of a line whose normalized form
     * (trim + lowercase) appears >= minOccurrences times corpus-wide,

@@ -41,6 +41,22 @@ object PipelineFixtures {
     docRows.toDF("doc_id", "lang", "text")
   }
 
+  /** Containment fixture (q162): doc 1 verbatim-embedded inside doc 2,
+    * doc 3 unrelated — only (1 in 2) reaches the threshold. */
+  val containRows: Seq[(Long, String)] = Seq(
+    (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"),
+    (2L, "intro words before the quote begins alpha beta gamma delta epsilon " +
+      "zeta eta theta iota kappa lambda mu nu xi omicron pi rho sigma tau " +
+      "upsilon and several closing remarks after the embedded passage ends here"),
+    (3L, "wholly unrelated content discussing bucketed parquet layouts and " +
+      "exchange free joins across standing index tables with deterministic admission"))
+
+  def containDocs(s: SparkSession): DataFrame = {
+    import s.implicits._
+    containRows.toDF("doc_id", "text")
+  }
+
   /** 24 vectors in 8 dims, three well-separated direction clusters
     * (i % 3), with small integer-derived per-vector perturbations; same-
     * cluster cosines are high (planted near-dups), cross-cluster low. */

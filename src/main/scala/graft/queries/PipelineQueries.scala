@@ -385,6 +385,12 @@ object PipelineQueries {
         .orderBy(col("doc_id"), col("corpus_id"))
     }),
 
+    // directional containment (Broder coefficient over winnowing
+    // sketches): the planted verbatim-embedded doc scores exactly 1.0
+    "q162_containment" -> ((s, _) =>
+      Dedup.containmentPairs(PipelineFixtures.containDocs(s), threshold = 0.8)
+        .orderBy(col("contained_id"), col("container_id"))),
+
     // shuffle-key skew pre-flight: heaviest user_ids by event count with
     // exact integer micro shares — run before keying anything on user_id
     "q161_key_skew" -> ((s, dir) =>
@@ -1469,6 +1475,15 @@ object PipelineQueries {
     "q156_hybrid_search" -> hybridOracleSql,
 
     "q157_retrieval_eval" -> retrievalEvalOracleSql,
+
+    // planted-fixture golden (xxhash winnowing sketches are not DuckDB-
+    // reproducible, q77 contract): the embedded copy shares all 7 of its
+    // fingerprints with its container — containment exactly 1.0
+    "q162_containment" ->
+      """SELECT * FROM (VALUES
+           (CAST(1 AS BIGINT), CAST(2 AS BIGINT), CAST(7 AS BIGINT), CAST(1000000 AS BIGINT)))
+         t(contained_id, container_id, shared_fps, containment_micro)
+         ORDER BY contained_id, container_id""",
 
     "q161_key_skew" ->
       """WITH c AS (SELECT CAST(user_id AS VARCHAR) AS key, count(*) AS n
