@@ -123,7 +123,16 @@ object CorpusLayout {
     * on the bucketed tables. `maxCandidatesPerDoc` bounds probe fan-out
     * against degenerate overlap by RANKING (keep the lowest corpus ids),
     * not by dropping — a doc with hundreds of matches is boilerplate,
-    * precisely the doc that must stay flagged. */
+    * precisely the doc that must stay flagged.
+    *
+    * Ids share ONE namespace with the index (the standing-corpus
+    * contract `dropNearDupsAgainstIndex` already relies on), so
+    * self-pairs (corpus_id == probe id) are excluded: probing a batch
+    * whose docs are already indexed — an at-least-once replay, or a
+    * re-scoring pass over indexed docs — reports only GENUINE neighbors
+    * instead of every doc trivially matching itself. The sig-table read
+    * dedupes by doc_id (exchange-free on the doc_id bucketing), so a
+    * crash-window double append cannot duplicate match rows. */
   def nearDupsAgainstIndex(spark: SparkSession, newDocs: DataFrame, table: String,
                            textCol: String = "text", idCol: String = "doc_id",
                            numHashes: Int = 32, shingleK: Int = 3, rowsPerBand: Int = 4,
@@ -133,6 +142,7 @@ object CorpusLayout {
     val probe = bandsOf(sigs, idCol, rowsPerBand)
       .withColumnRenamed("doc_id", "__new_id")
     val cands = probe.join(spark.table(bandTable(table)), Seq("band", "bh"))
+      .filter(col("__new_id") =!= col("doc_id"))
       .select(col("__new_id"), col("doc_id").as("corpus_id")).distinct()
     val capped = cands
       .withColumn("__rn", org.apache.spark.sql.functions.row_number().over(
@@ -140,8 +150,8 @@ object CorpusLayout {
           .orderBy(col("corpus_id").asc)))
       .filter(col("__rn") <= maxCandidatesPerDoc).drop("__rn")
     val est = capped
-      .join(spark.table(sigTable(table)).select(col("doc_id").as("corpus_id"),
-        col("sig").as("__csig")), Seq("corpus_id"))
+      .join(spark.table(sigTable(table)).dropDuplicates("doc_id")
+        .select(col("doc_id").as("corpus_id"), col("sig").as("__csig")), Seq("corpus_id"))
       .join(sigs.select(col(idCol).as("__new_id"), col("sig").as("__nsig")), Seq("__new_id"))
       .withColumn("est_jaccard",
         aggregate(zip_with(col("__nsig"), col("__csig"), (a, b) => (a === b).cast("int")),
@@ -211,12 +221,16 @@ object CorpusLayout {
   /** Perceptual matches of a NEW media batch against the indexed corpus:
     * (doc_id, corpus_id, kind, dist) for Hamming distance <= maxDist
     * within the shared prefix bucket. `prefixBits` must match the index
-    * build. */
+    * build. Self-pairs are excluded and the index read dedupes full rows
+    * (exchange-free: the grouping keys are a superset of the (kind, pb)
+    * bucketing) — the same replay-safety contract as
+    * [[nearDupsAgainstIndex]]. */
   def perceptualDupsAgainstIndex(spark: SparkSession, newMedia: DataFrame, table: String,
                                  maxDist: Int = 6, prefixBits: Int = 12): DataFrame =
     perceptualRows(newMedia, prefixBits)
       .withColumnRenamed("doc_id", "__new_id").withColumnRenamed("ph", "__nph")
-      .join(spark.table(s"${table}_phash"), Seq("kind", "pb"))
+      .join(spark.table(s"${table}_phash").dropDuplicates(), Seq("kind", "pb"))
+      .filter(col("__new_id") =!= col("doc_id"))
       .withColumn("dist", bit_count(col("__nph").bitwiseXOR(col("ph"))))
       .filter(col("dist") <= maxDist)
       .select(col("__new_id").as("doc_id"), col("doc_id").as("corpus_id"),

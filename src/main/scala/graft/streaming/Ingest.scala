@@ -356,11 +356,17 @@ object Ingest {
     *
     * Idempotence: foreachBatch is at-least-once, and a managed-table
     * APPEND cannot be made idempotent by overwrite the way the
-    * batchId-keyed parquet sink can — so a `_processed/batch_id=N`
-    * marker directory (created only after BOTH writes succeed) makes a
-    * replayed batch a no-op instead of a double index append. Decisions
-    * are deterministic (hash signatures, id-ordered keeps), so a replay
-    * that does run recomputes identical survivors. */
+    * batchId-keyed parquet sink can — so the batch commits through TWO
+    * staged markers (see [[processDocBatch]]): `_staged/batch_id=N`
+    * after the sink write, `_processed/batch_id=N` after the index fold.
+    * A replay in the window between them re-reads the ALREADY-WRITTEN
+    * survivors from the sink instead of recomputing — recomputation
+    * there would see the batch's own rows in the index (every doc
+    * matching itself or an estimator-passing sibling) and overwrite the
+    * good sink output with a smaller survivor set. The only residual
+    * window (crash between index append and `_processed`) double-appends
+    * identical index rows, which the probe reads are hardened against
+    * (distinct candidates + sig dedup in CorpusLayout). */
   def startDocIngestWithNearDedup(docs: DataFrame, table: String, sinkDir: String,
                                   checkpointDir: String, nBuckets: Int = 32,
                                   threshold: Double = 0.7, numHashes: Int = 32,
@@ -370,38 +376,61 @@ object Ingest {
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        import graft.pipeline.{CorpusLayout, Dedup}
-        val spark = batch.sparkSession
-        val fs = org.apache.hadoop.fs.FileSystem.get(
-          spark.sparkContext.hadoopConfiguration)
-        val marker = new org.apache.hadoop.fs.Path(
-          s"$sinkDir/_processed/batch_id=$batchId")
-        if (!fs.exists(marker)) {
-          val indexed = spark.catalog.tableExists(s"${table}_bands")
-          val survivors = (if (indexed)
-            CorpusLayout.dropNearDupsAgainstIndex(spark, batch, table,
-              numHashes = numHashes, shingleK = shingleK,
-              rowsPerBand = rowsPerBand, threshold = threshold)
-          else // first batch: no corpus yet, in-batch near-dedup only
-            batch.join(
-              Dedup.minHashDuplicates(batch, numHashes = numHashes,
-                  shingleK = shingleK, rowsPerBand = rowsPerBand,
-                  threshold = threshold)
-                .select(col("id2").as("doc_id")).distinct(),
-              Seq("doc_id"), "left_anti")).persist()
-          survivors.write.mode("overwrite").parquet(s"$sinkDir/batch_id=$batchId")
-          if (indexed)
-            CorpusLayout.appendToNearDupIndex(survivors, table, nBuckets,
-              numHashes = numHashes, shingleK = shingleK, rowsPerBand = rowsPerBand)
-          else
-            CorpusLayout.writeNearDupIndex(survivors, table, nBuckets,
-              numHashes = numHashes, shingleK = shingleK, rowsPerBand = rowsPerBand)
-          survivors.unpersist()
-          fs.mkdirs(marker) // commit point: replays of this batch no-op
-        }
-        ()
+        processDocBatch(batch, batchId, table, sinkDir, nBuckets,
+          threshold, numHashes, shingleK, rowsPerBand)
       }
       .start()
+
+  /** One near-dedup ingest microbatch — the `foreachBatch` body of
+    * [[startDocIngestWithNearDedup]], factored out so crash-window
+    * replays are testable deterministically (StreamingSpec kills between
+    * the two markers and replays). Safe to call directly for batch
+    * backfill with the same idempotence contract. */
+  def processDocBatch(batch: DataFrame, batchId: Long, table: String, sinkDir: String,
+                      nBuckets: Int = 32, threshold: Double = 0.7, numHashes: Int = 32,
+                      shingleK: Int = 3, rowsPerBand: Int = 4): Unit = {
+    import graft.pipeline.{CorpusLayout, Dedup}
+    val spark = batch.sparkSession
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val processed = new org.apache.hadoop.fs.Path(
+      s"$sinkDir/_processed/batch_id=$batchId")
+    val staged = new org.apache.hadoop.fs.Path(
+      s"$sinkDir/_staged/batch_id=$batchId")
+    if (fs.exists(processed)) return
+    val indexed = spark.catalog.tableExists(s"${table}_bands")
+    val survivors = if (fs.exists(staged))
+      // replay after the sink write committed: the sink is authoritative
+      // (recomputing against an index that may already hold this batch's
+      // rows would NOT reproduce the original survivor set)
+      spark.read.parquet(s"$sinkDir/batch_id=$batchId")
+    else {
+      val computed = (if (indexed)
+        CorpusLayout.dropNearDupsAgainstIndex(spark, batch, table,
+          numHashes = numHashes, shingleK = shingleK,
+          rowsPerBand = rowsPerBand, threshold = threshold)
+      else // first batch: no corpus yet, in-batch near-dedup only
+        batch.join(
+          Dedup.minHashDuplicates(batch, numHashes = numHashes,
+              shingleK = shingleK, rowsPerBand = rowsPerBand,
+              threshold = threshold)
+            .select(col("id2").as("doc_id")).distinct(),
+          Seq("doc_id"), "left_anti")).persist()
+      computed.write.mode("overwrite").parquet(s"$sinkDir/batch_id=$batchId")
+      fs.mkdirs(staged) // sink committed: replays past here never recompute
+      computed.unpersist()
+      // fold from the committed files, not the live plan: identical rows,
+      // and the fold cannot observe a recomputation drift by construction
+      spark.read.parquet(s"$sinkDir/batch_id=$batchId")
+    }
+    if (indexed)
+      CorpusLayout.appendToNearDupIndex(survivors, table, nBuckets,
+        numHashes = numHashes, shingleK = shingleK, rowsPerBand = rowsPerBand)
+    else
+      CorpusLayout.writeNearDupIndex(survivors, table, nBuckets,
+        numHashes = numHashes, shingleK = shingleK, rowsPerBand = rowsPerBand)
+    fs.mkdirs(processed) // commit point: replays of this batch no-op
+  }
 
   /** Streaming ingest from a parquet directory source. */
   def startFileIngest(spark: SparkSession, srcDir: String, sinkDir: String,

@@ -197,6 +197,56 @@ class StreamingSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("near-dedup ingest crash windows converge: replay between the two markers " +
+       "neither destroys sink output nor duplicates probe matches") {
+    import org.apache.spark.sql.functions.col
+    import graft.pipeline.CorpusLayout
+    val a = "the quick brown fox jumps over the lazy dog near the quiet river bank today"
+    val c = "yet another unrelated document about banded minhash joins and bucketed managed tables"
+    val dir = java.nio.file.Files.createTempDirectory("doc_crash").toString
+    val table = "crash_ndx"
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    def path(s: String) = new org.apache.hadoop.fs.Path(s)
+    try {
+      Ingest.processDocBatch(Seq((1L, a), (3L, c.replace("banded", "salted")))
+        .toDF("doc_id", "text"), 0L, table, s"$dir/sink", nBuckets = 4, threshold = 0.5)
+
+      // ---- window A: crash AFTER the sink write + _staged marker, BEFORE
+      // the index fold. Stage batch 1 by hand exactly as processDocBatch
+      // would, then let the replay finish the fold.
+      val batch2 = Seq((10L, a.replace("today", "tonight")), (11L, c)).toDF("doc_id", "text")
+      val survivors = CorpusLayout.dropNearDupsAgainstIndex(
+        spark, batch2, table, threshold = 0.5)
+      survivors.write.mode("overwrite").parquet(s"$dir/sink/batch_id=1")
+      fs.mkdirs(path(s"$dir/sink/_staged/batch_id=1"))
+      Ingest.processDocBatch(batch2, 1L, table, s"$dir/sink", nBuckets = 4, threshold = 0.5)
+      // 10 near-matched indexed doc 1 and was dropped; 11 survived + folded
+      spark.read.parquet(s"$dir/sink").select("doc_id")
+        .collect().map(_.getLong(0)).sorted shouldEqual Array(1L, 3L, 11L)
+      val probe = () => CorpusLayout.nearDupsAgainstIndex(
+          spark, Seq((99L, c)).toDF("doc_id", "text"), table, threshold = 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      probe() shouldEqual Seq((99L, 11L))
+
+      // ---- window B: crash AFTER the index fold, BEFORE _processed.
+      // The replay must NOT recompute (the index now holds batch 2's own
+      // rows — a recompute would drop every doc as its own near-dup and
+      // overwrite the good sink), and the double index append must not
+      // duplicate probe matches.
+      fs.delete(path(s"$dir/sink/_processed/batch_id=1"), true)
+      Ingest.processDocBatch(batch2, 1L, table, s"$dir/sink", nBuckets = 4, threshold = 0.5)
+      spark.read.parquet(s"$dir/sink").select("doc_id")
+        .collect().map(_.getLong(0)).sorted shouldEqual Array(1L, 3L, 11L)
+      probe() shouldEqual Seq((99L, 11L)) // exactly once, despite the double fold
+      // a third replay with both markers present is a pure no-op
+      Ingest.processDocBatch(batch2, 1L, table, s"$dir/sink", nBuckets = 4, threshold = 0.5)
+      probe() shouldEqual Seq((99L, 11L))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS crash_ndx_bands")
+      spark.sql("DROP TABLE IF EXISTS crash_ndx_sigs")
+    }
+  }
+
   test("shared ingest pipeline (file/Kafka seam) dedupes across out-of-order source partitions") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     // events-SHAPED input, exactly what both startFileIngest and
