@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.call_function
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType}
 import org.apache.spark.sql.SparkSessionExtensions
 
 /** Native Catalyst kernel for embedding math (SURVEY.md §2.10 "custom
@@ -76,6 +76,63 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Positionwise agreement count of two ARRAY<BIGINT> columns — the MinHash
+  * signature estimator's inner loop (est_jaccard = agreeing positions /
+  * numHashes). The standing near-dup index evaluates this once per
+  * (probe doc, candidate) PAIR on the per-batch hot path, where the
+  * `aggregate(zip_with(...))` formulation pays an interpreted lambda and a
+  * closure allocation per element; this compiles to a tight primitive loop
+  * inside whole-stage codegen (the [[DotProduct]] pattern). Bit-identical
+  * to the lambda it replaces: same min-length bound, same index-ascending
+  * comparison over null-free signature arrays. */
+case class ArrayAgreeCount(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "vector_agree"
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType) = dt match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects two ARRAY<BIGINT> arguments, got " +
+        s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var c = 0
+    var i = 0
+    while (i < n) { if (x.getLong(i) == y.getLong(i)) c += 1; i += 1 }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      // freshName per instance — see DotProduct's scoping note
+      val n = ctx.freshName("n")
+      val c = ctx.freshName("c")
+      val i = ctx.freshName("i")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $c = 0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.getLong($i) == $b.getLong($i)) $c++;
+         |}
+         |${ev.value} = $c;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExprs {
 
   /** Install graft's native functions — passed to
@@ -89,6 +146,13 @@ object VectorExprs {
         DotProduct(children.head, children(1))
       }))
     ext.injectFunction((
+      new FunctionIdentifier("vector_agree"),
+      new ExpressionInfo(classOf[ArrayAgreeCount].getName, "vector_agree"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, s"vector_agree expects 2 arguments, got ${children.size}")
+        ArrayAgreeCount(children.head, children(1))
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("bpe_encode_doc"),
       new ExpressionInfo(classOf[BpeEncodeDoc].getName, "bpe_encode_doc"),
       (children: Seq[Expression]) => {
@@ -100,4 +164,8 @@ object VectorExprs {
   /** Codegen'd dot product of two ARRAY<DOUBLE> columns (requires a
     * GraftSession-built session, which registers `vector_dot`). */
   def dot(a: Column, b: Column): Column = call_function("vector_dot", a, b)
+
+  /** Codegen'd positionwise agreement count of two ARRAY<BIGINT> columns
+    * (requires a GraftSession-built session). */
+  def agreeCount(a: Column, b: Column): Column = call_function("vector_agree", a, b)
 }

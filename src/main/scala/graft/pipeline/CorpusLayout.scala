@@ -153,9 +153,12 @@ object CorpusLayout {
       .join(spark.table(sigTable(table)).dropDuplicates("doc_id")
         .select(col("doc_id").as("corpus_id"), col("sig").as("__csig")), Seq("corpus_id"))
       .join(sigs.select(col(idCol).as("__new_id"), col("sig").as("__nsig")), Seq("__new_id"))
+      // native codegen'd agreement count (graft.functions.ArrayAgreeCount)
+      // — the per-candidate hot path of the standing service; bit-identical
+      // to the aggregate(zip_with(...)) lambda it replaced
       .withColumn("est_jaccard",
-        aggregate(zip_with(col("__nsig"), col("__csig"), (a, b) => (a === b).cast("int")),
-          lit(0), (acc, x) => acc + x).cast("double") / lit(numHashes))
+        graft.functions.VectorExprs.agreeCount(col("__nsig"), col("__csig"))
+          .cast("double") / lit(numHashes))
       .filter(col("est_jaccard") >= threshold)
     est.select(col("__new_id").as(idCol), col("corpus_id"),
       round(col("est_jaccard"), 6).as("est_jaccard"))

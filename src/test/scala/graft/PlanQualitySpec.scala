@@ -134,6 +134,51 @@ class PlanQualitySpec extends AnyFunSuite with Matchers {
     } finally spark.conf.set("spark.sql.codegen.fallback", prevFallback)
   }
 
+  test("vector_agree is native: SQL-callable, codegen-compiled, and the standing " +
+       "near-dup probe plans no interpreted lambda in its estimator stage") {
+    import org.apache.spark.sql.functions.{array, col, lit}
+    val r = spark.sql(
+      "SELECT vector_agree(array(1L, 2L, 3L), array(1L, 9L, 3L)) AS c").head()
+    r.getInt(0) shouldEqual 2
+    // codegen compiles (fallback disabled surfaces a generated-Java error)
+    val df = spark.range(4).select(graft.functions.VectorExprs.agreeCount(
+      array(col("id"), lit(7L)), array(lit(0L), lit(7L))).as("c"))
+    val prevFallback = spark.conf.get("spark.sql.codegen.fallback")
+    try {
+      spark.conf.set("spark.sql.codegen.fallback", "false")
+      df.collect().map(_.getInt(0)).toSeq shouldEqual Seq(2, 1, 1, 1)
+    } finally spark.conf.set("spark.sql.codegen.fallback", prevFallback)
+    // the per-batch hot path of the standing service: estimator stage is
+    // the native expression, not aggregate(zip_with(...))
+    import spark.implicits._
+    import graft.pipeline.CorpusLayout
+    val corpus = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    // a previous session's orphaned table dirs survive the in-memory
+    // catalog — clear both (the q160 locationAlreadyExists trap)
+    for (t <- Seq("pq_ndx_bands", "pq_ndx_sigs")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val wh = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), t)
+      wh.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(wh, true)
+    }
+    CorpusLayout.writeNearDupIndex(corpus, "pq_ndx", nBuckets = 2)
+    try {
+      val probe = CorpusLayout.nearDupsAgainstIndex(spark,
+        Seq((10L, "alpha beta gamma delta epsilon zeta eta iota")).toDF("doc_id", "text"),
+        "pq_ndx", threshold = 0.1)
+      probe.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq shouldEqual Seq((10L, 1L))
+      val p = plan(probe)
+      // the per-PAIR estimator is the native expression; the per-doc
+      // signature derivation may keep its map-side transform() lambdas
+      p should include("vector_agree")
+      (p should not).include("zip_with")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS pq_ndx_bands")
+      spark.sql("DROP TABLE IF EXISTS pq_ndx_sigs")
+    }
+  }
+
   test("exp-hist bridge: the plain branch's scan pushes the selector predicate AND prunes series_type") {
     import org.apache.spark.sql.functions._
     // parquet-backed samples WITH exp columns: the bridge splits every

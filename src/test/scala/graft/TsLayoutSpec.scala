@@ -222,9 +222,18 @@ class TsLayoutSpec extends AnyFunSuite with Matchers {
       val survivors = CorpusLayout.dropNearDupsAgainstIndex(
         spark, batch, "ndx", threshold = 0.5)
       survivors.select("doc_id").as[Long].collect().sorted shouldEqual Array(11L, 13L)
-      // fold survivors in; the same batch then near-dedups to nothing
+      // fold survivors in. Re-offering the SAME batch recomputes the SAME
+      // survivors (self-pairs excluded — the at-least-once replay
+      // contract: a doc must not near-match its own indexed copy)...
       CorpusLayout.appendToNearDupIndex(survivors, "ndx", nBuckets = 4)
       CorpusLayout.dropNearDupsAgainstIndex(spark, batch, "ndx", threshold = 0.5)
+        .select("doc_id").as[Long].collect().sorted shouldEqual Array(11L, 13L)
+      // ...while the same CONTENT under fresh ids near-dedups to nothing
+      val reoffer = Seq(
+        (21L, "fresh unique material on bucketed managed tables and exchange free probe joins"),
+        (23L, "entirely new prose with no resemblance to anything indexed so far whatsoever"))
+        .toDF("doc_id", "text")
+      CorpusLayout.dropNearDupsAgainstIndex(spark, reoffer, "ndx", threshold = 0.5)
         .count() shouldEqual 0L
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
@@ -258,12 +267,19 @@ class TsLayoutSpec extends AnyFunSuite with Matchers {
       matches shouldEqual Set((10L, 1L, 0))
       val p = dups.queryExecution.executedPlan.toString
       p should include("SelectedBucketsCount")
-      // fold the fresh item in; re-offering it then matches itself
+      // fold the fresh item in; the same PAYLOAD under a new id then
+      // matches it (13 ≡ 97 mod 3 keeps the modality aligned), while
+      // re-offering the identical row is self-excluded (replay contract)
       CorpusLayout.appendToPerceptualIndex(
         batch.filter($"doc_id" === 13L), "pdx", nBuckets = 4, prefixBits = 8)
-      CorpusLayout.perceptualDupsAgainstIndex(spark, batch.filter($"doc_id" === 13L),
+      val reoffer = Multimodal.synthesizeMedia(Seq(
+        (97L, "fresh footage with no resemblance to anything indexed here"))
+        .toDF("doc_id", "text"))
+      CorpusLayout.perceptualDupsAgainstIndex(spark, reoffer,
           "pdx", maxDist = 6, prefixBits = 8)
         .collect().map(_.getLong(1)).toSeq shouldEqual Seq(13L)
+      CorpusLayout.perceptualDupsAgainstIndex(spark, batch.filter($"doc_id" === 13L),
+          "pdx", maxDist = 6, prefixBits = 8).count() shouldEqual 0L
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
       spark.sql("DROP TABLE IF EXISTS pdx_phash")
