@@ -153,6 +153,20 @@ object VectorExprs {
         ArrayAgreeCount(children.head, children(1))
       }))
     ext.injectFunction((
+      new FunctionIdentifier("image_dhash"),
+      new ExpressionInfo(classOf[ImageDHash].getName, "image_dhash"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, s"image_dhash expects 1 argument, got ${children.size}")
+        ImageDHash(children.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("image_resize"),
+      new ExpressionInfo(classOf[ImageResize].getName, "image_resize"),
+      (children: Seq[Expression]) => {
+        require(children.size == 3, s"image_resize expects 3 arguments, got ${children.size}")
+        ImageResize(children.head, children(1), children(2))
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("bpe_encode_doc"),
       new ExpressionInfo(classOf[BpeEncodeDoc].getName, "bpe_encode_doc"),
       (children: Seq[Expression]) => {

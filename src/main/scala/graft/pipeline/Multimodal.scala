@@ -9,11 +9,18 @@ import org.apache.spark.sql.types._
   * `mapInPandas` — one iterator pass per partition, batch-shaped, no
   * per-row JVM boundary crossing).
   *
-  * The container has no image/audio codecs, so the DECODE step is a
-  * clearly-marked deterministic STUB (content digest + shape-derived fake
-  * features); everything around it — schema, partitioning by modality,
-  * batch iteration, feature schema — is the real pipeline a decoder would
-  * drop into.
+  * IMAGE decode is REAL: the in-JDK `javax.imageio` registry (java.desktop
+  * module — PNG/JPEG/GIF/BMP) decodes actual pixels, so `dHash` /
+  * `perceptualDuplicates` / `decodeFeatures` / `resize` operate on
+  * luminance planes for encoded images — a JPEG re-encode of the same
+  * picture IS found as a near-duplicate, the case byte digests cannot
+  * catch (see [[graft.functions.ImageOps]]). AUDIO/VIDEO decode remains a
+  * clearly-marked deterministic STUB (no codecs in the JDK): content
+  * digest + byte-sampling stand in for the sample/frame planes, with the
+  * Spark-side plumbing (schema, modality partitioning, batch iteration)
+  * identical to what a real codec would drop into. Non-image payloads
+  * take a byte-sampling fallback bit-identical to the pre-decode stub, so
+  * synthetic-fixture oracles are unchanged.
   */
 object Multimodal {
 
@@ -44,50 +51,49 @@ object Multimodal {
     StructField("kind", StringType, nullable = false),
     StructField("n_bytes", IntegerType, nullable = false),
     StructField("sig", StringType, nullable = false),
+    StructField("decoded", BooleanType, nullable = false),
     StructField("features", ArrayType(FloatType), nullable = false)))
 
   /** Batch decode + featurize. Partition-batched mapPartitions keeps the
-    * (hypothetical) codec context alive across the whole batch, exactly
-    * like a Pandas-UDF batch; repartitioning by modality first lets each
-    * executor load one codec. */
+    * codec context alive across the whole batch, exactly like a
+    * Pandas-UDF batch; repartitioning by modality first lets each
+    * executor load one codec. Real encoded images (javax.imageio) emit
+    * block-mean luminance features with decoded=true; other payloads
+    * (audio/video STUB + synthetic fixtures) emit the digest-derived
+    * stand-in features with decoded=false. `sig` is always the payload
+    * md5 (content identity is byte identity for exact dedup either way). */
   def decodeFeatures(media: DataFrame, dim: Int = 8): DataFrame = {
     val enc = Encoders.row(featureSchema)
     media.repartition(col("kind"))
       .select(col("doc_id"), col("kind"), col("bytes"))
       .mapPartitions { rows =>
-        // real pipeline: codec = Codec.open(kind) once per batch here
         val md = java.security.MessageDigest.getInstance("MD5")
         rows.map { r =>
           val bytes = r.getAs[Array[Byte]]("bytes")
-          // ---- STUB DECODE ----: digest + hash-derived fake features.
-          // A real decoder would emit pixel/audio tensors here.
           md.reset()
           val sig = md.digest(bytes).map("%02x".format(_)).mkString
-          val feats = Array.tabulate(dim)(i =>
+          val real = graft.functions.ImageOps.features(bytes, dim)
+          // ---- STUB DECODE (audio/video/non-image) ----: digest-derived
+          // fake features; a real audio/video codec would emit tensors here.
+          val feats = if (real != null) real else Array.tabulate(dim)(i =>
             ((java.lang.Long.parseLong(sig.substring(i * 2, i * 2 + 2), 16) / 255.0f) - 0.5f))
-          Row(r.getLong(0), r.getString(1), bytes.length, sig, feats)
+          Row(r.getLong(0), r.getString(1), bytes.length, sig, real != null, feats)
         }
       }(enc)
   }
 
-  /** "Resize": metadata rewrite + deterministic byte resampling (stub for
-    * a pixel resample; keeps output size = w*h so downstream batch shapes
-    * are honest). Pure expressions — cyclic tiling is "concat enough
-    * copies, slice to w*h", which stays inside codegen instead of crossing
-    * a per-row UDF boundary. */
-  def resize(media: DataFrame, w: Int, h: Int): DataFrame = {
-    val n = w * h
-    val len = octet_length(col("bytes"))
-    val reps = (lit(n) / greatest(len, lit(1))).cast("int") + 1
-    val tiled = aggregate(sequence(lit(1), reps),
-      lit(Array.emptyByteArray), (acc, _) => concat(acc, col("bytes")))
-    val resampled = when(len === 0, lit(new Array[Byte](n)))
-      .otherwise(substring(tiled, 1, n))
-    media.withColumn("bytes", resampled)
+  /** Resize: real images nearest-neighbor-resample their decoded pixels
+    * to w x h and re-encode as PNG; non-image payloads keep the honest
+    * deterministic stand-in (cyclic byte tiling to exactly w*h bytes).
+    * One native codegen'd expression per row
+    * ([[graft.functions.ImageResize]]) — no per-row UDF boundary, no
+    * interpreted lambda. */
+  def resize(media: DataFrame, w: Int, h: Int): DataFrame =
+    media.withColumn("bytes",
+        call_function("image_resize", col("bytes"), lit(w), lit(h)))
       .withColumn("meta", struct(
         lit(w).as("width"), lit(h).as("height"),
         col("meta.sample_rate").as("sample_rate"), col("meta.n_frames").as("n_frames")))
-  }
 
   /** Exact media dedup groups by content digest, per modality (the
     * LAION-style first dedup pass over billions of binary payloads):
@@ -109,27 +115,16 @@ object Multimodal {
 
   /** Perceptual hash (dHash: 8×8 horizontal gradients over a 9×8
     * nearest-neighbor downsample of the image — Krawetz's difference
-    * hash). STUB pixel source: the payload BYTES stand in for decoded
-    * luminance (a real decoder swaps in the pixel plane; the resampling,
-    * gradient and 64-bit packing below are the published algorithm,
-    * unchanged). Pure codegen'd expressions; byte k of the 72-cell grid
-    * samples position floor(k·len/72) so the WHOLE payload contributes. */
-  def dHash(bytes: Column): Column = {
-    val len = octet_length(bytes)
-    // k * len as LONG: an int product overflows for payloads > ~30 MB
-    // (k up to 71 × a 4-byte length)
-    def px(k: Int): Column =
-      when(len === 0, lit(0L)).otherwise(
-        conv(hex(substring(bytes,
-          ((lit(k.toLong) * len.cast("long")).cast("double") / 72).cast("int") + 1, lit(1))),
-          16, 10).cast("long"))
-    val cells = Array.tabulate(8, 9)((r, c) => px(r * 9 + c))
-    (0 until 8).flatMap { r =>
-      (0 until 8).map { c =>
-        when(cells(r)(c) > cells(r)(c + 1), lit(1L << (r * 8 + c))).otherwise(lit(0L))
-      }
-    }.reduce((a, b) => a.bitwiseOR(b))
-  }
+    * hash). Real encoded images (PNG/JPEG/GIF/BMP via the in-JDK
+    * javax.imageio) hash their decoded LUMINANCE plane, so re-encodes and
+    * small edits of the same picture land at small Hamming distance — the
+    * case byte digests structurally miss. Non-image payloads take the
+    * byte-sampling fallback (cell k samples position floor(k·len/72)),
+    * bit-identical to the pre-decode stub, keeping synthetic-fixture
+    * oracles unchanged. One native codegen'd expression
+    * ([[graft.functions.ImageDHash]]) — one decode per row, inside the
+    * whole-stage span. */
+  def dHash(bytes: Column): Column = call_function("image_dhash", bytes)
 
   /** Perceptual near-duplicate pairs per modality: small Hamming distance
     * between dHashes among same-prefix-bucket candidates (the SimHash

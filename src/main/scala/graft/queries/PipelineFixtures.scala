@@ -178,4 +178,41 @@ object PipelineFixtures {
   private def textLiteralSql(t: String): String =
     t.split("\n", -1).map(p => "'" + p.replace("'", "''") + "'")
       .mkString(" || chr(10) || ")
+
+  /** REAL encoded images for the pixel-decode perceptual gate (q166),
+    * rendered deterministically in-process (no files, no RNG): a 90x80
+    * block pattern whose adjacent 10x10 blocks always differ by >= 50
+    * luminance — every dHash gradient is decisive, so the hash survives
+    * JPEG quantization. Docs 0/3/6 are the SAME picture as PNG, JPEG
+    * re-encode and 2px-crop PNG (three byte-distinct payloads, three
+    * distinct digests); doc 9 is the gradient-inverted picture. Expected
+    * by construction: exactly the {0,3,6} pairs match perceptually. */
+  def imageRows: Seq[(Long, String, Array[Byte])] = {
+    def render(invert: Boolean): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(
+        90, 80, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 80; x <- 0 until 90) {
+        val v0 = (((x / 10) * 37 + (y / 10) * 11) % 5) * 50
+        val v = if (invert) 200 - v0 else v0
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      img
+    }
+    def enc(img: java.awt.image.BufferedImage, fmt: String): Array[Byte] = {
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, baos)
+      baos.toByteArray
+    }
+    val full = render(invert = false)
+    Seq(
+      (0L, "image", enc(full, "png")),
+      (3L, "image", enc(full, "jpg")),
+      (6L, "image", enc(full.getSubimage(2, 2, 88, 78), "png")),
+      (9L, "image", enc(render(invert = true), "png")))
+  }
+
+  def imageMedia(s: SparkSession): DataFrame = {
+    import s.implicits._
+    imageRows.toDF("doc_id", "kind", "bytes")
+  }
 }

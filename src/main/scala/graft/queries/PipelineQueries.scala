@@ -396,6 +396,17 @@ object PipelineQueries {
     "q161_key_skew" -> ((s, dir) =>
       Quality.keySkewReport(TsTables.events(s, dir), "user_id", k = 15)),
 
+    // REAL pixel decode under the oracle gate: deterministically rendered
+    // PNG / JPEG-re-encode / 2px-crop of one picture (three byte-distinct
+    // payloads) must pair perceptually; the inverted picture must not —
+    // the case exact digest dedup structurally cannot catch (dist omitted:
+    // its exact value tracks the JDK's JPEG quantization tables)
+    "q166_perceptual_real_images" -> ((s, _) =>
+      Multimodal.perceptualDuplicates(PipelineFixtures.imageMedia(s),
+          maxDist = 6, prefixBits = 12)
+        .select(col("kind"), col("id1"), col("id2"))
+        .orderBy(col("id1"), col("id2"))),
+
     // tokenizer fertility report: tokens-per-word and chars-per-token per
     // source under the Demo BPE table — the standard tokenizer-eval
     // signals, exact integer-mean strings (the q117 convention)
@@ -1484,6 +1495,15 @@ object PipelineQueries {
            (CAST(1 AS BIGINT), CAST(2 AS BIGINT), CAST(7 AS BIGINT), CAST(1000000 AS BIGINT)))
          t(contained_id, container_id, shared_fps, containment_micro)
          ORDER BY contained_id, container_id""",
+
+    // golden by construction (see PipelineFixtures.imageRows): the three
+    // encodings of one picture pair, the inverted picture stays out
+    "q166_perceptual_real_images" ->
+      """SELECT * FROM (VALUES
+           ('image', CAST(0 AS BIGINT), CAST(3 AS BIGINT)),
+           ('image', CAST(0 AS BIGINT), CAST(6 AS BIGINT)),
+           ('image', CAST(3 AS BIGINT), CAST(6 AS BIGINT)))
+         t(kind, id1, id2) ORDER BY id1, id2""",
 
     "q161_key_skew" ->
       """WITH c AS (SELECT CAST(user_id AS VARCHAR) AS key, count(*) AS n
