@@ -147,24 +147,45 @@ object Search {
     * fusion joins two (queries x depth)-sized frames — nothing corpus-sized
     * moves after the two retriever passes.
     * `queries`: (query_id, terms ARRAY<STRING>, qvec ARRAY).
-    * Output: (query_id, idCol, rk, rrf_micro). */
+    * Output: (query_id, idCol, rk, rrf_micro).
+    *
+    * This convenience form runs BRUTE-FORCE dense ranking; at corpus
+    * scale, rank each side independently (ANN for dense) and fuse with
+    * [[rrfFuse]] — any `(query_id, idCol, rk)` frame plugs in. */
   def hybridTopK(docs: DataFrame, queries: DataFrame, k: Int,
                  depth: Int = 60, rrfK: Int = 60,
                  k1: Double = 1.2, b: Double = 0.75,
                  textCol: String = "text", idCol: String = "doc_id",
                  vecCol: String = "embedding"): DataFrame = {
+    val sparse = bm25TopKBatch(docs, queries.select(col("query_id"), col("terms")),
+        depth, k1, b, textCol, idCol)
+      .select(col("query_id"), col(idCol), col("rk"))
+    val dense = denseTopK(docs, queries.select(col("query_id"), col("qvec")),
+        depth, idCol, vecCol)
+      .select(col("query_id"), col(idCol), col("rk"))
+    rrfFuse(sparse, dense, k, rrfK, idCol)
+  }
+
+  /** RRF fusion of two PRE-RANKED frames — the pluggable-retriever form of
+    * [[hybridTopK]]: either side is any `(query_id, idCol, rk)` frame
+    * (the shape every retriever here emits — [[bm25TopKBatch]],
+    * [[denseTopK]], and all of Similarity's ANN variants: brute / LSH /
+    * IVF / PQ / IVF-PQ / SQ8), so at corpus scale the dense leg can be
+    * served by a compressed-index ANN instead of the brute-force scan.
+    * Fusion joins two (queries x depth)-sized frames — nothing
+    * corpus-sized moves, no vector math runs (PlanQualitySpec pins the
+    * ANN-backed hybrid to exactly that shape). Identical scores and
+    * tie-breaks to the inline fusion this replaces. */
+  def rrfFuse(sparse: DataFrame, dense: DataFrame, k: Int, rrfK: Int = 60,
+              idCol: String = "doc_id"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     def contrib(rank: org.apache.spark.sql.Column) =
       coalesce(round(lit(1e6) / (lit(rrfK) + rank)).cast("long"), lit(0L))
-    val sparse = bm25TopKBatch(docs, queries.select(col("query_id"), col("terms")),
-        depth, k1, b, textCol, idCol)
-      .select(col("query_id"), col(idCol), col("rk").as("__rs"))
-    val dense = denseTopK(docs, queries.select(col("query_id"), col("qvec")),
-        depth, idCol, vecCol)
-      .select(col("query_id"), col(idCol), col("rk").as("__rd"))
+    val s = sparse.select(col("query_id"), col(idCol), col("rk").as("__rs"))
+    val d = dense.select(col("query_id"), col(idCol), col("rk").as("__rd"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("rrf_micro").desc, col(idCol).asc)
-    sparse.join(dense, Seq("query_id", idCol), "full_outer")
+    s.join(d, Seq("query_id", idCol), "full_outer")
       .withColumn("rrf_micro", contrib(col("__rs")) + contrib(col("__rd")))
       .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
       .select(col("query_id"), col(idCol), col("rk"), col("rrf_micro"))

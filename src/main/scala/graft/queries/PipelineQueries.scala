@@ -396,6 +396,26 @@ object PipelineQueries {
     "q161_key_skew" -> ((s, dir) =>
       Quality.keySkewReport(TsTables.events(s, dir), "user_id", k = 15)),
 
+    // hybrid retrieval with a compressed-index ANN dense leg through the
+    // pluggable fusion surface: BM25 ranks over documents, SQ8 ranks over
+    // embeddings (two independent retrievers — no corpus intersection
+    // required), RRF-fused as pre-ranked frames. The scale shape the
+    // brute-force hybridTopK cannot take; full DuckDB mirror (SQ8 is
+    // order-pinned IEEE arithmetic, q145 contract)
+    "q163_hybrid_ann" -> ((s, dir) => {
+      import s.implicits._
+      val qs = Bm25BatchQueries.take(2).toDF("query_id", "terms")
+      val sparse = Search.bm25TopKBatch(TsTables.documents(s, dir), qs,
+          k = HybridDepth, k1 = Bm25K1, b = Bm25B)
+        .select(col("query_id"), col("doc_id"), col("rk"))
+      val e = TsTables.embeddings(s, dir)
+      val dense = Similarity.sq8Knn(e.filter(col("vec_id") < 2), e,
+          k = HybridDepth, overfetch = 4)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rk"))
+      Search.rrfFuse(sparse, dense, k = 10, rrfK = HybridRrfK)
+        .orderBy(col("query_id"), col("rk"))
+    }),
+
     // REAL pixel decode under the oracle gate: deterministically rendered
     // PNG / JPEG-re-encode / 2px-crop of one picture (three byte-distinct
     // payloads) must pair perceptually; the inverted picture must not —
@@ -1205,45 +1225,11 @@ object PipelineQueries {
 
     // full mirror of SQ8: per-dim bounds, linear quantize/dequant in the
     // operator's exact op order, asymmetric candidate cosine, exact rerank
+    // (CTEs shared with the q163 ANN-backed hybrid)
     "q145_sq8_knn" ->
-      """WITH c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
-              q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
-                    FROM embeddings WHERE vec_id < 10),
-              dim AS (SELECT max(len(cv)) AS d FROM c),
-              dims AS (
-                SELECT i, min(cv[i]) AS mn,
-                       CASE WHEN max(cv[i]) - min(cv[i]) > 0
-                            THEN max(cv[i]) - min(cv[i]) ELSE 1.0 END AS span
-                FROM c CROSS JOIN (SELECT unnest(generate_series(1, (SELECT d FROM dim))) AS i)
-                GROUP BY i),
-              bounds AS (SELECT list(mn ORDER BY i) AS mnl, list(span ORDER BY i) AS spanl
-                         FROM dims),
-              enc AS (
-                SELECT neighbor_id,
-                       list_transform(generate_series(1, d),
-                         i -> mnl[i] + round((cv[i] - mnl[i]) / spanl[i] * 255) / 255.0
-                                       * spanl[i]) AS dv
-                FROM c CROSS JOIN bounds CROSS JOIN dim),
-              cand AS (
-                SELECT query_id, neighbor_id, asim, qv,
-                       row_number() OVER (PARTITION BY query_id
-                                          ORDER BY asim DESC, neighbor_id ASC) AS crk
-                FROM (SELECT q.query_id, e.neighbor_id, q.qv,
-                             list_dot_product(q.qv, e.dv)
-                               / (sqrt(list_dot_product(q.qv, q.qv))
-                                  * sqrt(list_dot_product(e.dv, e.dv))) AS asim
-                      FROM q JOIN enc e ON q.query_id <> e.neighbor_id)),
-              rer AS (
-                SELECT query_id, neighbor_id, asim,
-                       list_dot_product(qv, c.cv)
-                         / (sqrt(list_dot_product(qv, qv))
-                            * sqrt(list_dot_product(c.cv, c.cv))) AS sim
-                FROM cand JOIN c USING (neighbor_id) WHERE crk <= 20)
+      s"""WITH ${sq8Ctes("vec_id < 10", k = 5, overfetch = 4)}
           SELECT query_id, neighbor_id, rk, round(sim, 6) AS sim, round(asim, 6) AS asim
-          FROM (SELECT *, row_number() OVER (PARTITION BY query_id
-                                             ORDER BY sim DESC, neighbor_id ASC) AS rk
-                FROM rer)
-          WHERE rk <= 5 ORDER BY query_id, rk""",
+          FROM sq8_rk WHERE rk <= 5 ORDER BY query_id, rk""",
 
     // golden-fixture oracle (KMeans clustering is not DuckDB-reproducible):
     // the three planted direction clusters each keep their minimum id
@@ -1484,6 +1470,8 @@ object PipelineQueries {
     "q143_bm25_batch" -> bm25BatchOracleSql,
 
     "q156_hybrid_search" -> hybridOracleSql,
+
+    "q163_hybrid_ann" -> hybridAnnOracleSql,
 
     "q157_retrieval_eval" -> retrievalEvalOracleSql,
 
@@ -1751,10 +1739,10 @@ object PipelineQueries {
     * same constants-from-Scala-doubles contract as bm25OracleSql);
     * exposes `rk(query_id, doc_id, score, rk)`. Shared by q143 and the
     * q151 hard-negative miner. */
-  private def bm25BatchCtes(qvals: String): String = {
+  private def bm25BatchCtes(qvals: String, src: String = "documents"): String = {
     def d(v: Double) = s"CAST(${v.toString} AS DOUBLE)"
     s"""pre AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
-                FROM documents),
+                FROM $src),
        post AS (SELECT doc_id, t, CAST(count(*) AS DOUBLE) AS tf
                 FROM pre, UNNEST(toks) AS u(t) GROUP BY 1, 2),
        dls AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl FROM pre),
@@ -1776,6 +1764,55 @@ object PipelineQueries {
   private def qvalsSql(qs: Seq[(Long, Seq[String])]): String =
     qs.flatMap { case (id, ts) => ts.map(t => s"($id, '$t')") }.mkString(", ")
 
+  /** The SQ8 ranking as reusable CTEs (q145's mirror, parameterized):
+    * per-dim [min, max] bounds over the embeddings corpus, linear
+    * quantize/dequant in the operator's exact op order, asymmetric
+    * candidate cosine with `k * overfetch` candidates, exact-cosine
+    * rerank. Exposes `sq8_rk(query_id, neighbor_id, sim, asim, rk)` —
+    * consumers filter `rk <= k` themselves; sim/asim stay UNROUNDED
+    * (ranking happened on the raw doubles — consumers round at their
+    * final select, like the Spark side). Shared by q145 and the q163
+    * ANN-backed hybrid. */
+  private def sq8Ctes(queryPred: String, k: Int, overfetch: Int): String =
+    s"""sq8_c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+       sq8_q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                 FROM embeddings WHERE $queryPred),
+       sq8_dim AS (SELECT max(len(cv)) AS d FROM sq8_c),
+       sq8_dims AS (
+         SELECT i, min(cv[i]) AS mn,
+                CASE WHEN max(cv[i]) - min(cv[i]) > 0
+                     THEN max(cv[i]) - min(cv[i]) ELSE 1.0 END AS span
+         FROM sq8_c CROSS JOIN (SELECT unnest(generate_series(1, (SELECT d FROM sq8_dim))) AS i)
+         GROUP BY i),
+       sq8_bounds AS (SELECT list(mn ORDER BY i) AS mnl, list(span ORDER BY i) AS spanl
+                      FROM sq8_dims),
+       sq8_enc AS (
+         SELECT neighbor_id,
+                list_transform(generate_series(1, d),
+                  i -> mnl[i] + round((cv[i] - mnl[i]) / spanl[i] * 255) / 255.0
+                                * spanl[i]) AS dv
+         FROM sq8_c CROSS JOIN sq8_bounds CROSS JOIN sq8_dim),
+       sq8_cand AS (
+         SELECT query_id, neighbor_id, asim, qv,
+                row_number() OVER (PARTITION BY query_id
+                                   ORDER BY asim DESC, neighbor_id ASC) AS crk
+         FROM (SELECT q.query_id, e.neighbor_id, q.qv,
+                      list_dot_product(q.qv, e.dv)
+                        / (sqrt(list_dot_product(q.qv, q.qv))
+                           * sqrt(list_dot_product(e.dv, e.dv))) AS asim
+               FROM sq8_q q JOIN sq8_enc e ON q.query_id <> e.neighbor_id)),
+       sq8_rer AS (
+         SELECT query_id, neighbor_id, asim,
+                list_dot_product(qv, c.cv)
+                  / (sqrt(list_dot_product(qv, qv))
+                     * sqrt(list_dot_product(c.cv, c.cv))) AS sim
+         FROM sq8_cand JOIN sq8_c c USING (neighbor_id) WHERE crk <= ${k * overfetch}),
+       sq8_rk AS (
+         SELECT query_id, neighbor_id, sim, asim,
+                row_number() OVER (PARTITION BY query_id
+                                   ORDER BY sim DESC, neighbor_id ASC) AS rk
+         FROM sq8_rer)"""
+
   private lazy val bm25BatchOracleSql: String =
     s"""WITH ${bm25BatchCtes(qvalsSql(Bm25BatchQueries))}
        SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, CAST(rk AS INT) AS rk, score
@@ -1784,15 +1821,21 @@ object PipelineQueries {
   /** q156: sparse ranks from the shared batch-BM25 CTEs, dense ranks via
     * the q65 cosine construct (6-dp-rounded sim BEFORE ranking, id ties),
     * RRF contributions as integer micro-units so the fused score is an
-    * exact integer sum on both engines. */
+    * exact integer sum on both engines. BOTH retriever corpora mirror the
+    * Spark side's documents⋈embeddings frame explicitly (BM25 stats and
+    * dense ranks over the intersection) — the gate holds by construction
+    * even if the generator ever stops keeping the two tables 1:1. */
   private lazy val hybridOracleSql: String = {
     def contrib(r: String) =
       s"coalesce(CAST(round(1e6 / ($HybridRrfK + $r)) AS BIGINT), 0)"
-    s"""WITH ${bm25BatchCtes(qvalsSql(Bm25BatchQueries.take(2)))},
+    val docsWithEmb =
+      "(SELECT d.doc_id, d.text FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id)"
+    s"""WITH ${bm25BatchCtes(qvalsSql(Bm25BatchQueries.take(2)), docsWithEmb)},
         sparse AS (SELECT query_id, doc_id, rk AS rs FROM rk WHERE rk <= $HybridDepth),
         qv AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS v
                FROM embeddings WHERE vec_id < 2),
-        cv AS (SELECT vec_id AS doc_id, embedding::DOUBLE[] AS v FROM embeddings),
+        cv AS (SELECT e.vec_id AS doc_id, e.embedding::DOUBLE[] AS v
+               FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id),
         dsc AS (SELECT q.query_id, c.doc_id,
                        round(list_dot_product(q.v, c.v)
                          / (sqrt(list_dot_product(q.v, q.v))
@@ -1802,6 +1845,29 @@ object PipelineQueries {
                     (SELECT *, row_number() OVER (PARTITION BY query_id
                        ORDER BY sim DESC, doc_id ASC) AS rd FROM dsc)
                   WHERE rd <= $HybridDepth),
+        fused AS (SELECT coalesce(s.query_id, d.query_id) AS query_id,
+                         coalesce(s.doc_id, d.doc_id) AS doc_id,
+                         CAST(${contrib("s.rs")} + ${contrib("d.rd")} AS BIGINT) AS rrf_micro
+                  FROM sparse s FULL OUTER JOIN dense d
+                       ON s.query_id = d.query_id AND s.doc_id = d.doc_id)
+       SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+              CAST(rk AS INT) AS rk, rrf_micro
+       FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+               ORDER BY rrf_micro DESC, doc_id ASC) AS rk FROM fused)
+       WHERE rk <= 10 ORDER BY query_id, rk"""
+  }
+
+  /** q163: the ANN-backed hybrid — BM25 ranks over all documents, SQ8
+    * ranks over all embeddings (two independent retrievers, no corpus
+    * intersection), fused with the same integer-micro RRF as q156. */
+  private lazy val hybridAnnOracleSql: String = {
+    def contrib(r: String) =
+      s"coalesce(CAST(round(1e6 / ($HybridRrfK + $r)) AS BIGINT), 0)"
+    s"""WITH ${bm25BatchCtes(qvalsSql(Bm25BatchQueries.take(2)))},
+        ${sq8Ctes("vec_id < 2", k = HybridDepth, overfetch = 4)},
+        sparse AS (SELECT query_id, doc_id, rk AS rs FROM rk WHERE rk <= $HybridDepth),
+        dense AS (SELECT query_id, neighbor_id AS doc_id, rk AS rd
+                  FROM sq8_rk WHERE rk <= $HybridDepth),
         fused AS (SELECT coalesce(s.query_id, d.query_id) AS query_id,
                          coalesce(s.doc_id, d.doc_id) AS doc_id,
                          CAST(${contrib("s.rs")} + ${contrib("d.rd")} AS BIGINT) AS rrf_micro

@@ -430,6 +430,29 @@ class PlanQualitySpec extends AnyFunSuite with Matchers {
     p should include("WindowGroupLimit")
   }
 
+  test("ANN-backed hybrid (rrfFuse): no corpus-wide cosine scan, no cartesian — " +
+       "the dense leg rides the compressed index, fusion is rank-only") {
+    val spark2 = spark
+    import spark2.implicits._
+    import org.apache.spark.sql.functions.col
+    val qs = Seq((0L, Seq("spark", "vector"))).toDF("query_id", "terms")
+    val sparse = graft.pipeline.Search.bm25TopKBatch(
+        TsTables.documents(spark, dir), qs, k = 10)
+      .select(col("query_id"), col("doc_id"), col("rk"))
+    val e = TsTables.embeddings(spark, dir)
+    val dense = graft.pipeline.Similarity.ivfPqKnn(
+        e.filter(col("vec_id") === 0), e, k = 10, nCentroids = 4, nprobe = 2,
+        m = 4, ksub = 4)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rk"))
+    val df = graft.pipeline.Search.rrfFuse(sparse, dense, k = 5)
+    df.count()
+    val p = plan(df)
+    // brute-force hybridTopK's marker: full-precision cosine (vector_dot)
+    // over every corpus row — absent when the ANN leg serves dense
+    (p should not).include("vector_dot")
+    (p should not).include("CartesianProduct")
+  }
+
   test("ivf-pq knn: probe table broadcasts, no cartesian against the encoded corpus") {
     val e = TsTables.embeddings(spark, dir)
     val df = graft.pipeline.Similarity.ivfPqKnn(
