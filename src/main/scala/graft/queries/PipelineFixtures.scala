@@ -99,6 +99,21 @@ object PipelineFixtures {
   def edgeValuesSql: String =
     edgeRows.map { case (a, b) => s"($a, $b)" }.mkString("(VALUES ", ", ", ") e(id1, id2)")
 
+  /** Incremental batch on top of [[edgeRows]] (q164): an edge MERGING two
+    * existing components (star 20-23 with triangle 0-2), a brand-new pair,
+    * a redundant edge inside the chain component (must be a no-op), and a
+    * bridge attaching a brand-new node to the chain. */
+  val newEdgeRows: Seq[(Long, Long)] =
+    Seq((21L, 2L), (300L, 301L), (105L, 107L), (108L, 400L))
+
+  def newEdges(s: SparkSession): DataFrame = {
+    import s.implicits._
+    newEdgeRows.toDF("id1", "id2")
+  }
+
+  def newEdgeValuesSql: String =
+    newEdgeRows.map { case (a, b) => s"($a, $b)" }.mkString("(VALUES ", ", ", ") n(id1, id2)")
+
   /** Planted PII rows (unioned with the real corpus in q109 so the
     * redaction operator has non-trivial matches; mirrored verbatim as
     * VALUES in the oracle). doc_ids start at 1e6 to stay clear of any

@@ -113,6 +113,16 @@ object PipelineQueries {
       Components.connectedComponents(PipelineFixtures.edges(s))
         .orderBy(col("id"))),
 
+    // INCREMENTAL components under the oracle gate: fold a batch of new
+    // edges (component merge + new nodes + redundant intra-component
+    // edge) into the q99 assignment; DuckDB recomputes the closure over
+    // the COMBINED edge set — the fold must equal the full recompute
+    "q164_incremental_components" -> ((s, _) =>
+      Components.incrementalComponents(
+          Components.connectedComponents(PipelineFixtures.edges(s)),
+          PipelineFixtures.newEdges(s))
+        .orderBy(col("id"))),
+
     "q100_gopher_signals" -> ((s, dir) =>
       Quality.gopherSignals(TsTables.documents(s, dir))
         .orderBy(col("doc_id"))),
@@ -901,6 +911,23 @@ object PipelineQueries {
             SELECT id1 AS u, id2 AS v FROM ${PipelineFixtures.edgeValuesSql}
             UNION
             SELECT id2, id1 FROM ${PipelineFixtures.edgeValuesSql}),
+          reach(u, r) AS (
+            SELECT DISTINCT u, u FROM sym
+            UNION
+            SELECT s.u, reach.r FROM sym s JOIN reach ON s.v = reach.u)
+          SELECT u AS id, min(r) AS component FROM reach GROUP BY u ORDER BY id""",
+
+    // transitive closure over base ∪ batch edges: the incremental fold
+    // must land exactly on the full recompute's min-reachable-id labels
+    "q164_incremental_components" ->
+      s"""WITH RECURSIVE alledges AS (
+            SELECT id1, id2 FROM ${PipelineFixtures.edgeValuesSql}
+            UNION ALL
+            SELECT id1, id2 FROM ${PipelineFixtures.newEdgeValuesSql}),
+          sym AS (
+            SELECT id1 AS u, id2 AS v FROM alledges
+            UNION
+            SELECT id2, id1 FROM alledges),
           reach(u, r) AS (
             SELECT DISTINCT u, u FROM sym
             UNION

@@ -163,6 +163,17 @@ object RelationalQueries {
         .orderBy(col("metric"), col("user"))
     }),
 
+    // the operational quota surface (reference QuotaSource / cardinality
+    // endpoints): per parent prefix at every depth, children count,
+    // applicable quota (override-aware) and remaining headroom
+    "q165_quota_state" -> ((s, dir) => {
+      val samples = TsTables.eventsAsSamples(s, dir)
+      val cfg = graft.operators.Quota.QuotaConfig(Seq("metric", "user"),
+        Seq(4L, 100L), Seq(Seq("click") -> 120L))
+      graft.operators.Quota.quotaState(samples, cfg)
+        .orderBy(col("depth"), col("prefix"))
+    }),
+
     // ordered conversion funnel view -> click -> purchase: earliest step-1
     // time, then earliest later step-2, then earliest later step-3
     "q126_funnel" -> ((s, dir) =>
@@ -342,6 +353,25 @@ object RelationalQueries {
                 CASE WHEN mrn > 4 THEN CAST(4 AS BIGINT)
                      WHEN rn > mq THEN CAST(mq AS BIGINT) END AS quota
          FROM j ORDER BY metric, usr""",
+
+    // quota-state mirror: distinct shard-key tuples, per-depth child
+    // counts, override-aware quotas, clamped headroom
+    "q165_quota_state" ->
+      """WITH s AS (SELECT DISTINCT event_type AS metric,
+                           CAST(user_id AS VARCHAR) AS usr FROM events),
+              d1 AS (SELECT CAST(1 AS INT) AS depth, '' AS prefix,
+                            CAST(count(DISTINCT metric) AS BIGINT) AS n_children,
+                            CAST(4 AS BIGINT) AS quota
+                     FROM s),
+              d2 AS (SELECT CAST(2 AS INT) AS depth, metric AS prefix,
+                            CAST(count(DISTINCT usr) AS BIGINT) AS n_children,
+                            CAST(CASE WHEN metric = 'click' THEN 120 ELSE 100 END
+                                 AS BIGINT) AS quota
+                     FROM s GROUP BY metric)
+         SELECT depth, prefix, n_children, quota,
+                greatest(quota - n_children, CAST(0 AS BIGINT)) AS headroom
+         FROM (SELECT * FROM d1 UNION ALL SELECT * FROM d2)
+         ORDER BY depth, prefix""",
 
     "q126_funnel" ->
       """WITH e AS (SELECT user_id, event_type, epoch_ns(ts)//1000000 AS ts_ms
