@@ -101,13 +101,22 @@ object RemoteRead {
     * down for is simply absent, like the reference's empty partial
     * results. Splits stay ON the step grid (subrange starts are
     * start + k*step) so every replica evaluates the same aligned steps.
+    *
+    * Health is window-aware: each downtime window is EXTENDED forward by
+    * the query's maximum selector reach (window/lookback + offsets,
+    * subqueries compounding — [[PromPlanner.maxSelectorReachMs]]), so a
+    * step just after an outage — whose range function would read samples
+    * from inside it and silently return a partial window — falls through
+    * to a replica that was healthy across the whole read interval.
     * `replicas`: (baseUrl, downtime windows [fromMs, toMs] inclusive). */
   def haStitchedQueryRange(spark: SparkSession,
                            replicas: Seq[(String, Seq[(Long, Long)])], query: String,
-                           startMs: Long, endMs: Long, stepMs: Long): DataFrame = {
+                           startMs: Long, endMs: Long, stepMs: Long,
+                           lookbackMs: Long = PromPlanner.DefaultLookbackMs): DataFrame = {
     require(replicas.nonEmpty, "need at least one replica")
+    val reach = PromPlanner.maxSelectorReachMs(Parser.parse(query), lookbackMs)
     def healthyAt(r: Seq[(Long, Long)], t: Long): Boolean =
-      !r.exists { case (a, b) => t >= a && t <= b }
+      !r.exists { case (a, b) => t >= a && t <= b + reach }
     val steps = (startMs to endMs by stepMs)
     val choice: Seq[(Long, Option[Int])] = steps.map { t =>
       t -> replicas.indices.find(i => healthyAt(replicas(i)._2, t))

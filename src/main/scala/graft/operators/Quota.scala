@@ -108,9 +108,11 @@ object Quota {
       val withQuota = {
         val ranked = newCh.withColumn("__rn", row_number().over(win))
         val counted =
-          if (d == 1) // root has no parent columns to join on
-            ranked.withColumn("__n_ex",
-              lit(exCh.count())) // index-scale count, computed once
+          if (d == 1) // root has no parent columns to join on: the global
+            // child count rides the plan as a 1-row broadcast instead of
+            // a separate driver-side count() job per batch
+            ranked.crossJoin(broadcast(
+              exCh.agg(count(lit(1)).as("__n_ex"))))
           else ranked.join(exCnt, pc, "left")
             .withColumn("__n_ex", coalesce(col("__n_ex"), lit(0L)))
         if (ovr.isEmpty || pc.isEmpty)

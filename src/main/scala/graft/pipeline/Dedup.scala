@@ -405,8 +405,13 @@ object Dedup {
       .select(col(idCol),
         explode(TextAnalysis.fingerprintsFromGrams(col("__g"), winnowW)).as("fp"))
       .localCheckpoint(false)
-    val sizes = fps.groupBy(col(idCol)).agg(count(lit(1)).as("__sz"))
     val capped = capBuckets(fps, Seq("fp"), maxBucketSize)
+    // denominator over the CAPPED sketch, not the raw one: shared_fps can
+    // only count capped fingerprints, so a boilerplate-heavy doc (most of
+    // its fps in degenerate buckets) is scored over its effective sketch
+    // instead of being silently under-scored to the point of missing the
+    // threshold entirely — numerator and denominator see the same set
+    val sizes = capped.groupBy(col(idCol)).agg(count(lit(1)).as("__sz"))
     val a = capped.as("a"); val b = capped.as("b")
     a.join(b, col("a.fp") === col("b.fp") && col(s"a.$idCol") =!= col(s"b.$idCol"))
       .groupBy(col(s"a.$idCol").as("contained_id"), col(s"b.$idCol").as("container_id"))

@@ -96,6 +96,28 @@ object PromPlanner {
     if (ws.isEmpty) None else Some(ws.min)
   }
 
+  /** Furthest any selector in the expression reads BEHIND its evaluation
+    * instant: window (or the staleness lookback for windowless selectors)
+    * plus offset, with subqueries compounding range + offset + their
+    * inner expression's reach. The HA stitcher uses this to extend
+    * replica downtime windows — a step just AFTER a replica's outage
+    * still reads samples from INSIDE it, so per-step health must look
+    * this far back. `@`-pinned selectors read at an absolute instant and
+    * contribute like unpinned ones here (a conservative over-extension). */
+  def maxSelectorReachMs(e: PromExpr, lookbackMs: Long): Long = e match {
+    case s: Selector => s.windowMs.getOrElse(lookbackMs) + s.offsetMs
+    case sq: Subquery => sq.rangeMs + sq.offsetMs + maxSelectorReachMs(sq.expr, lookbackMs)
+    case FuncCall(_, args) =>
+      (0L +: args.map(maxSelectorReachMs(_, lookbackMs))).max
+    case a: Agg =>
+      (maxSelectorReachMs(a.expr, lookbackMs) +:
+        a.param.toSeq.map(maxSelectorReachMs(_, lookbackMs))).max
+    case b: BinOp =>
+      math.max(maxSelectorReachMs(b.lhs, lookbackMs),
+        maxSelectorReachMs(b.rhs, lookbackMs))
+    case _ => 0L
+  }
+
   /** Does the expression still carry unresolved interval-multiple (`Ni`)
     * durations? (True only BEFORE resolveStepDurations.) */
   def hasStepDurations(e: PromExpr): Boolean = e match {

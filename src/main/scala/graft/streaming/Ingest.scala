@@ -77,6 +77,89 @@ object Ingest {
       }
   }
 
+  /** The CANONICAL sample shape with an arbitrary tag map — what the
+    * Gateway wire decoders emit (influx/prom-text tags are open-ended;
+    * the narrow [[Sample]] shape only represents the metric/user key). */
+  case class CanonicalSample(series_id: Long, metric: String,
+                             tags: Map[String, String], ts: Long, value: Double)
+
+  case class TimedCanonical(series_id: Long, metric: String,
+                                    tags: Map[String, String], ts: Long,
+                                    value: Double, et: java.sql.Timestamp)
+
+  /** [[dropOutOfOrder]] over canonical (series_id, metric, tags, ts,
+    * value) rows — same per-series high-water-mark + TTL-evicted state,
+    * tags carried through untouched. */
+  def dropOutOfOrderCanonical(samples: DataFrame, stateTtlMs: Long = 3600000L,
+                              lateness: String = "10 minutes"): Dataset[CanonicalSample] = {
+    import samples.sparkSession.implicits._
+    val timed = samples
+      .select(col("series_id"), col("metric"), col("tags"), col("ts"), col("value"))
+      .withColumn("et", timestamp_millis(col("ts")))
+      .withWatermark("et", lateness).as[TimedCanonical]
+    timed.groupByKey(_.series_id)
+      .flatMapGroupsWithState[Long, CanonicalSample](OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (_: Long, rows: Iterator[TimedCanonical], state: GroupState[Long]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var hwm = state.getOption.getOrElse(Long.MinValue)
+            val out = rows.toSeq.sortBy(s => (s.ts, s.value)).iterator.flatMap { s =>
+              if (s.ts > hwm) {
+                hwm = s.ts
+                Some(CanonicalSample(s.series_id, s.metric, s.tags, s.ts, s.value))
+              } else None
+            }.toVector
+            state.update(hwm)
+            state.setTimeoutTimestamp(
+              math.max(hwm + stateTtlMs, state.getCurrentWatermarkMs() + 1))
+            out.iterator
+          }
+      }
+  }
+
+  /** [[startIngestWithQuota]] for CANONICAL (series_id, metric, tags, ts,
+    * value) streams — the entry the Gateway decoders feed DIRECTLY:
+    * arbitrary tag maps survive end-to-end (sink, index, quota), and
+    * shard-key labels beyond metric resolve through `tags(label)`
+    * (Quota.keyExpr), so multi-level keys like ws → ns → metric work as
+    * the Quota scaladoc advertises. The narrow [[Sample]] entry
+    * ([[startSamplesIngestWithQuota]]) remains for metric/user-keyed
+    * events streams. */
+  def startCanonicalIngestWithQuota(samples: DataFrame, sinkDir: String,
+                                    indexDir: String, rejectDir: String,
+                                    checkpointDir: String,
+                                    cfg: graft.operators.Quota.QuotaConfig)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    dropOutOfOrderCanonical(samples).writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[CanonicalSample], batchId: Long) =>
+        val spark = batch.sparkSession
+        val df = batch.toDF().persist()
+        val existing = scala.util.Try(spark.read.parquet(indexDir))
+          .getOrElse(df.limit(0))
+        val verdicts = graft.operators.Quota.admit(existing, df, cfg).persist()
+        val kCols = cfg.shardKey.indices.map(i => s"__k$i")
+        val rejected = verdicts.filter(!col("admitted"))
+        rejected
+          .select(kCols.map(col) :+ col("reject_depth") :+ col("quota"): _*)
+          .write.mode("overwrite")
+          .parquet(s"$rejectDir/batch_id=$batchId")
+        val admitted = graft.operators.Quota.withShardKey(df, cfg)
+          .join(rejected.select(kCols.map(col): _*), kCols.toSeq, "left_anti")
+          .drop(kCols: _*)
+        admitted.write.mode("overwrite").partitionBy("metric")
+          .parquet(s"$sinkDir/batch_id=$batchId")
+        graft.operators.MetadataOps.buildSeriesIndex(
+            admitted.select(col("metric"), col("tags"), col("ts"), col("series_id")))
+          .write.mode("overwrite").partitionBy("metric")
+          .parquet(s"$indexDir/batch_id=$batchId")
+        verdicts.unpersist(); df.unpersist()
+        ()
+      }
+      .start()
+
   /** 5m/1h-style tumbling downsample (the reference's ds-gauge schema:
     * min/max/sum/count/avg per series per resolution —
     * filodb-defaults.conf:453-457, DownsamplerMain). Works for both batch
@@ -270,11 +353,12 @@ object Ingest {
       rejectDir, checkpointDir, cfg)
   }
 
-  /** [[startIngestWithQuota]] for an already-samples-shaped stream — the
-    * entry the GATEWAY decoders feed (Gateway.influxSamples /
-    * promTextSamples normalized to the Sample shape): wire decode →
-    * out-of-order drop → quota admission → sink + index + breach log,
-    * the reference's full GatewayServer→shard-ingest chain. */
+  /** [[startIngestWithQuota]] for an already-samples-shaped stream.
+    * NARROW-shape entry: the [[Sample]] row carries exactly one `user`
+    * tag, so only the metric/user shard key is representable here —
+    * gateway streams with arbitrary tag maps (and multi-level shard keys
+    * like ws → ns) go through [[startCanonicalIngestWithQuota]], which
+    * preserves the tags end-to-end. */
   def startSamplesIngestWithQuota(samples: Dataset[Sample], sinkDir: String,
                                   indexDir: String, rejectDir: String,
                                   checkpointDir: String,

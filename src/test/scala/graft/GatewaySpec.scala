@@ -200,6 +200,42 @@ class GatewaySpec extends AnyFunSuite with Matchers {
     } finally q.stop()
   }
 
+  test("canonical quota ingest preserves arbitrary tag maps and enforces a " +
+       "multi-level ws→ns shard key") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.streaming.Ingest
+    import spark.implicits._
+    val ms = MemoryStream[String]
+    // gateway decode feeds the canonical entry DIRECTLY — no narrowing to
+    // the single-user Sample shape, tags survive end-to-end
+    val samples = Gateway.influxSamples(ms.toDF.toDF("line"), defaultTsMs = 0L)
+    val dir = java.nio.file.Files.createTempDirectory("gw_canon").toString
+    // ws → ns → metric: at most 2 namespaces per workspace
+    val cfg = graft.operators.Quota.QuotaConfig(
+      Seq("ws", "ns", "metric"), Seq(10L, 2L, 10L))
+    val q = Ingest.startCanonicalIngestWithQuota(samples, s"$dir/sink",
+      s"$dir/index", s"$dir/rejects", s"$dir/ckpt", cfg)
+    try {
+      ms.addData(
+        "lat,ws=prod,ns=api value=1 1000000000",
+        "lat,ws=prod,ns=web value=2 2000000000",
+        "lat,ws=prod,ns=batch value=3 3000000000") // 3 namespaces, quota 2
+      q.processAllAvailable()
+      val sunk = spark.read.parquet(s"$dir/sink")
+      // admission ranks children by KEY (deterministic, not arrival):
+      // api and batch win the two slots, web is rejected; tag maps intact
+      sunk.count() shouldEqual 2L
+      sunk.select(col("tags")("ns")).as[String].collect().sorted shouldEqual
+        Array("api", "batch")
+      val rej = spark.read.parquet(s"$dir/rejects").collect()
+      rej.length shouldEqual 1
+      rej.head.getAs[Int]("reject_depth") shouldEqual 2 // the ns depth
+      // the index kept the full tag map too
+      spark.read.parquet(s"$dir/index").select(col("tags")("ws")).as[String]
+        .collect().toSet shouldEqual Set("prod")
+    } finally q.stop()
+  }
+
   test("streaming decode matches batch on the same lines (gateway seam)") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val ms = MemoryStream[String]

@@ -318,13 +318,17 @@ class PromApiSpec extends AnyFunSuite with Matchers {
     val all = TsTables.eventsAsSamples(spark, "/root/testdata/sf0.001")
     val (s0, e0) = (TsTables.EventsStartMs, TsTables.EventsEndMs)
     val mid = s0 + (e0 - s0) / 2
-    // replica A was DOWN (unqueryable) for the first half but its data is
-    // complete; replica B only ever ingested the first half — so a correct
-    // stitch MUST route first-half steps to B and second-half steps to A,
-    // and any mis-route loses data and fails the equality below
-    val a = new PromApi(spark, all).start()
-    val b = new PromApi(spark,
-      all.filter(org.apache.spark.sql.functions.col("ts") <= mid)).start()
+    // replica A was DOWN for the first half — the samples from that
+    // window are MISSING on it (the reference FailureProvider semantics);
+    // replica B is complete. A correct stitch must route to B not only
+    // the steps INSIDE A's outage but also every step whose range window
+    // still READS INTO it: sum_over_time(..[1d]) at a step up to 1d after
+    // the outage would silently return a partial window on A. The
+    // equality below fails on any such mis-route (this was a real bug:
+    // health used to be evaluated at the step instant only).
+    val a = new PromApi(spark,
+      all.filter(org.apache.spark.sql.functions.col("ts") > mid)).start()
+    val b = new PromApi(spark, all).start()
     try {
       val q = "sum by (user) (sum_over_time(purchase[1d]))"
       val stitched = RemoteRead.haStitchedQueryRange(spark,
