@@ -69,7 +69,15 @@ object PeriodicSamples {
         val tsBuf = new ArrayBuffer[Long](64)
         val vBuf = new ArrayBuffer[Double](64)
         val tieBuf = new ArrayBuffer[Long](64)
-        rows.foreach { r => tsBuf += r.getLong(n); vBuf += r.getDouble(n + 1); tieBuf += r.getLong(n + 2) }
+        // NaN = no data (reference chunk semantics): dropped BEFORE
+        // windowing, so counter correction spans the gap and a window's
+        // first/last sample never lands on a NaN
+        rows.foreach { r =>
+          val v = r.getDouble(n + 1)
+          if (!java.lang.Double.isNaN(v)) {
+            tsBuf += r.getLong(n); vBuf += v; tieBuf += r.getLong(n + 2)
+          }
+        }
         val len = tsBuf.length
         var ts = new Array[Long](len)
         var vs = new Array[Double](len)
@@ -167,17 +175,29 @@ object PeriodicSamples {
       val tsS = row.getSeq[Long](n)
       val tieS = row.getSeq[Long](n + 1)
       val vS = row.getSeq[Double](n + 2)
-      val len = tsS.length
-      var ts = new Array[Long](len)
-      var vs = new Array[Double](len)
-      val tieA = new Array[Long](len)
+      val rawLen = tsS.length
+      var ts = new Array[Long](rawLen)
+      var vs = new Array[Double](rawLen)
+      val tieA = new Array[Long](rawLen)
       var i = 0
+      var m = 0
       var isSorted = true
-      while (i < len) {
-        ts(i) = tsS(i); vs(i) = vS(i); tieA(i) = tieS(i)
-        if (i > 0 && (ts(i) < ts(i - 1) || (ts(i) == ts(i - 1) && tieA(i) < tieA(i - 1))))
-          isSorted = false
+      while (i < rawLen) {
+        val v = vS(i)
+        // NaN = no data (reference chunk semantics) — see the groupByKey
+        // shape above; both shapes must agree bit-for-bit
+        if (!java.lang.Double.isNaN(v)) {
+          ts(m) = tsS(i); vs(m) = v; tieA(m) = tieS(i)
+          if (m > 0 && (ts(m) < ts(m - 1) || (ts(m) == ts(m - 1) && tieA(m) < tieA(m - 1))))
+            isSorted = false
+          m += 1
+        }
         i += 1
+      }
+      val len = m
+      if (len != rawLen) {
+        ts = java.util.Arrays.copyOf(ts, len)
+        vs = java.util.Arrays.copyOf(vs, len)
       }
       if (!isSorted) {
         val order = new Array[Integer](len)

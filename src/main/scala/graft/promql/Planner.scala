@@ -61,6 +61,42 @@ object PromPlanner {
     sorted.reverse.find(_ <= minWindowMs).getOrElse(sorted.head)
   }
 
+  /** REFERENCE-PARITY tier choice (core/src/main/scala/filodb.core/
+    * downsample/DownsampledTimeSeriesShard.scala:504-516): each tier
+    * retains data for its TTL; pick the FINEST resolution whose retention
+    * window still covers the earliest instant the query reads
+    * (`queryEarliestMs > nowMs - ttl`, the reference's exact predicate
+    * over ascending TTLs), falling back to the coarsest when the query
+    * starts before every retention. Selectable beside the window-fit
+    * policy above — window-fit optimizes scan width when all tiers hold
+    * the range; retention parity matches the reference's tiered-TTL
+    * store, where older time simply does not EXIST at finer resolutions.
+    * `tiers`: (resolutionMs, retentionTtlMs), any order; retention must
+    * not shrink as resolution coarsens. */
+  def chooseDownsampleResolutionByRetention(tiers: Seq[(Long, Long)],
+                                            queryEarliestMs: Long,
+                                            nowMs: Long): Long = {
+    require(tiers.nonEmpty, "no downsample tiers registered")
+    val sorted = tiers.sortBy(_._1)
+    sorted.find { case (_, ttlMs) => queryEarliestMs > nowMs - ttlMs }
+      .map(_._1).getOrElse(sorted.last._1)
+  }
+
+  /** Wire `ctx` with the tier the RETENTION policy picks for `query` —
+    * the reference-parity sibling of [[withDownsampleTiers]]. The
+    * earliest read instant is the query start minus its maximum selector
+    * reach (the chunk-scan start the reference's predicate sees).
+    * `tiers`: (resolutionMs, retentionTtlMs, ds-gauge frame). */
+  def withDownsampleTiersByRetention(ctx: Ctx, tiers: Seq[(Long, Long, DataFrame)],
+                                     boundaryMs: Long, query: String,
+                                     nowMs: Long): Ctx = {
+    val ast = resolveStepDurations(Parser.parse(query), ctx.stepMs)
+    val earliest = ctx.startMs - maxSelectorReachMs(ast, ctx.lookbackMs)
+    val res = chooseDownsampleResolutionByRetention(
+      tiers.map(t => (t._1, t._2)), earliest, nowMs)
+    ctx.copy(cold = Some(ColdTier(tiers.find(_._1 == res).get._3, boundaryMs)))
+  }
+
   /** Wire `ctx` with the downsample tier [[chooseDownsampleResolution]]
     * picks for `query` (tiers = (resolutionMs, ds-gauge frame)). Parses
     * once here; prefer the AST overload when the caller already holds

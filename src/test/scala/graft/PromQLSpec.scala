@@ -588,6 +588,39 @@ class PromQLSpec extends AnyFunSuite with Matchers {
       "sum_over_time(m[2h]) + m").cold.get.ds shouldBe theSameInstanceAs(t1m)
   }
 
+  test("retention-parity tier selection (reference DownsampledTimeSeriesShard " +
+       "policy) beside the window-fit policy") {
+    import PromPlanner.{chooseDownsampleResolution, chooseDownsampleResolutionByRetention}
+    val now = 1000L * 86400 * 100 // day 100
+    val day = 86400000L
+    // (resolution, retention): 1m kept 3d, 5m kept 30d, 1h kept 90d
+    val tiers = Seq((60000L, 3 * day), (300000L, 30 * day), (3600000L, 90 * day))
+    def pick(startAgoDays: Long) =
+      chooseDownsampleResolutionByRetention(tiers, now - startAgoDays * day, now)
+    // the FINEST tier whose retention still covers the query start — the
+    // reference's indexWhere(start > now - ttl) over ascending TTLs
+    pick(1) shouldEqual 60000L    // 1d ago: 1m tier still holds it
+    pick(3) shouldEqual 300000L   // exactly 3d ago: 1m retention boundary excluded
+    pick(10) shouldEqual 300000L  // 10d ago: 5m
+    pick(40) shouldEqual 3600000L // 40d ago: only 1h remains
+    pick(200) shouldEqual 3600000L // before every retention -> coarsest (ref -1 branch)
+    // CONTRAST with window-fit on the same shapes: a 1d-window query
+    // starting 1d ago routes 1h under window-fit (coarsest that fills the
+    // window) but 1m under retention parity (fine data still exists)
+    chooseDownsampleResolution(tiers.map(_._1), day) shouldEqual 3600000L
+    pick(1) shouldEqual 60000L
+    // ctx wiring: earliest read = start - max selector reach, so a query
+    // whose WINDOW reaches past a fine tier's retention rolls to coarser
+    val t5m = spark.range(1).toDF(); val t1h = spark.range(2).toDF()
+    val dfTiers = Seq((300000L, 30 * day, t5m), (3600000L, 90 * day, t1h))
+    val c = ctx(3000, 9000, 3000).copy(
+      startMs = now - 20 * day, endMs = now, stepMs = day)
+    PromPlanner.withDownsampleTiersByRetention(c, dfTiers, 0L,
+      "sum_over_time(m[1h])", now).cold.get.ds shouldBe theSameInstanceAs(t5m)
+    PromPlanner.withDownsampleTiersByRetention(c, dfTiers, 0L,
+      "sum_over_time(m[15d])", now).cold.get.ds shouldBe theSameInstanceAs(t1h)
+  }
+
   test("planVector resolves unresolved Ni durations at entry (pre-parsed AST path)") {
     // the documented withDownsampleTiers AST path hands planVector an AST
     // that never went through queryRange's resolveStepDurations — a [3i]

@@ -125,4 +125,133 @@ class RangeFnsSpec extends AnyFunSuite with Matchers {
     RangeFns.Rate.eval(Array(1L), Array(1.0), 0, 1, 0, 10).isNaN shouldBe true
     RangeFns.Rate.eval(Array(5L, 5L), Array(1.0, 2.0), 0, 2, 0, 10).isNaN shouldBe true
   }
+
+  // ===== Reference literal battery =====================================
+  // The remaining hand-computed cases of the reference's rate-math matrix
+  // (ref: query/src/test/scala/filodb/query/exec/rangefn/
+  // RateFunctionsSpec.scala — fixtures and expected doubles transcribed;
+  // evaluation through OUR kernel). Window bounds are the reference's
+  // exact choices; its tolerance (1e-7) kept.
+
+  test("reference battery: rate with a drop in the middle of each chunk " +
+       "accumulates both corrections") {
+    val chunk1 = Seq(
+      8072000L -> 4419.00, 8082100L -> 4511.00, 8092196L -> 4614.00,
+      8102215L -> 4724.00, 8112223L -> 4909.00, 8122388L -> 948.00,
+      8132570L -> 1000.00, 8142822L -> 1095.00, 8152858L -> 1102.00,
+      8162999L -> 1201.00)
+    val chunk2 = Seq(
+      8173000L -> 1325.00, 8183000L -> 1511.00, 8193000L -> 214.00,
+      8203000L -> 324.00, 8213000L -> 409.00)
+    val (ts, vs) = arrays(chunk1 ++ chunk2)
+    PeriodicSamples.monotonize(vs)
+    val corrections = 4909.0 + 1511.0 // the value before each drop
+    val expected = (409.0 + corrections - 4419.0) / (8213000L - 8072000L) * 1000
+    RangeFns.Rate.eval(ts, vs, 0, ts.length, 8071950L, 8213070L) shouldEqual expected +- eps
+  }
+
+  test("reference battery: flat counter samples rate to exactly 0") {
+    val flat = counter.map { case (t, _) => t -> counter.head._2 }
+    val (ts, vs) = arrays(flat)
+    PeriodicSamples.monotonize(vs)
+    RangeFns.Rate.eval(ts, vs, 0, ts.length, 8071950L, 8163070L) shouldEqual 0.0
+  }
+
+  test("reference battery: increase is the extrapolated (non-per-second) delta") {
+    val (ts, vs) = arrays(counter)
+    val expected = (5201.0 - 4419.0) / (8162999L - 8072000L) * (8163070L - 8071950L)
+    RangeFns.Increase.eval(ts, vs, 0, ts.length, 8071950L, 8163070L) shouldEqual expected +- eps
+  }
+
+  test("reference battery: resets = 4 on the gauge fixture, 1 after sliding past " +
+       "the first five samples, 0 on a monotone counter") {
+    val (ts, vs) = arrays(gauge)
+    RangeFns.Resets.eval(ts, vs, 0, ts.length, 8071950L, 8163070L) shouldEqual 4.0
+    // the reference slides the window past the first 5 samples: of the 4
+    // resets, 3 sat in the evicted prefix -> 1 remains
+    RangeFns.Resets.eval(ts, vs, 5, ts.length, 8071950L, 8163070L) shouldEqual 1.0
+    val mono = Seq(
+      8072000L -> 1419.00, 8082100L -> 2511.00, 8092196L -> 3614.00,
+      8102215L -> 4724.00, 8112223L -> 5909.00, 8122388L -> 6948.00,
+      8132570L -> 7000.00, 8142822L -> 8095.00, 8152858L -> 9102.00,
+      8163000L -> 9201.00)
+    val (ts2, vs2) = arrays(mono)
+    RangeFns.Resets.eval(ts2, vs2, 0, ts2.length, 8071950L, 8163070L) shouldEqual 0.0
+  }
+
+  test("reference battery: deriv over each 3-sample window lands on the " +
+       "reference's literal slopes") {
+    val flats = Seq(
+      8072000L -> 4419.00, 8082100L -> 4419.00, 8092196L -> 4419.00,
+      8102215L -> 4724.00, 8112223L -> 4724.00, 8122388L -> 4724.00,
+      8132570L -> 5000.00, 8142822L -> 5000.00, 8152858L -> 5000.00,
+      8163000L -> 5201.00)
+    val expected = Seq(
+      0.00, 15.143392157475684, 15.232227023719313, 0.0,
+      13.568427882659712, 13.4914241262328, 0.0, 9.978695375995517)
+    val (ts, vs) = arrays(flats)
+    for (i <- expected.indices) {
+      val got = RangeFns.Deriv.eval(ts, vs, i, i + 3, ts(i), ts(i + 2))
+      withClue(s"window $i")(got shouldEqual expected(i) +- eps)
+    }
+  }
+
+  test("reference battery: delta-histogram rate_over_delta divides the bucket " +
+       "sums by the window seconds") {
+    // delta histogram samples (4 buckets); expected sums [45, 70, 95, 120]
+    val samples = Seq(
+      8072000L -> Array(10.0, 15.0, 20.0, 25.0),
+      8082100L -> Array(20.0, 30.0, 40.0, 50.0),
+      8092196L -> Array(15.0, 25.0, 35.0, 45.0))
+    val ts = samples.map(_._1).toArray
+    val (wStart, wEnd) = (8071950L, 8092250L)
+    val expectedSum = Array(45.0, 70.0, 95.0, 120.0)
+    for (b <- 0 until 4) {
+      val vs = samples.map(_._2(b)).toArray
+      RangeFns.RateOverDelta.eval(ts, vs, 0, 3, wStart, wEnd) shouldEqual
+        (expectedSum(b) / ((wEnd - wStart) / 1000.0)) +- eps
+    }
+  }
+
+  test("reference battery end-to-end: rate/increase/irate/resets through PromQL " +
+       "land on the literal expectations, incl. a NaN row inside the window") {
+    val spark = GraftSession.builder("local[4]", "4").getOrCreate()
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit, map}
+    import graft.promql.PromPlanner
+    def ctxFor(rows: Seq[(Long, Double)], atMs: Long) = PromPlanner.Ctx(
+      spark,
+      rows.toDF("ts", "value")
+        .select(lit("m").as("metric"), map(lit("user"), lit("1")).as("tags"),
+          col("ts"), col("value")),
+      atMs, atMs, 1000L)
+    def one(rows: Seq[(Long, Double)], q: String, atMs: Long): Array[Double] =
+      PromPlanner.queryRange(ctxFor(rows, atMs), q).select("value").as[Double].collect()
+    // rate, window (8071950, 8163070]
+    val r = one(counter, "rate(m[91120ms])", 8163070L)
+    r.length shouldEqual 1
+    r.head shouldEqual ((5201.0 - 4419.0) / (8162999L - 8072000L) * 1000) +- eps
+    // increase over the same window
+    val inc = one(counter, "increase(m[91120ms])", 8163070L)
+    inc.length shouldEqual 1
+    inc.head shouldEqual
+      ((5201.0 - 4419.0) / (8162999L - 8072000L) * (8163070L - 8071950L)) +- eps
+    // a NaN sample at a chunk boundary is skipped; the post-reset chunk
+    // still counter-corrects (ref "should be able to handle NAN at the
+    // beginning"): window (8071950, 8213070]
+    val withNan = counter ++ Seq(8173000L -> Double.NaN, 8183000L -> 511.00,
+      8193000L -> 614.00, 8203000L -> 724.00, 8213000L -> 909.00)
+    val gotNan = one(withNan, "rate(m[141120ms])", 8213070L)
+    gotNan.length shouldEqual 1
+    gotNan.head shouldEqual
+      ((909.0 + 5201.0 - 4419.0) / (8213000L - 8072000L) * 1000) +- eps
+    // irate and resets literals
+    one(counter, "irate(m[91120ms])", 8163070L).head shouldEqual
+      ((5201.0 - 5102.0) / (8162999L - 8152858L) * 1000) +- eps
+    one(gauge, "resets(m[91120ms])", 8163070L) shouldEqual Array(4.0)
+    // single-sample window: rate emits NO row (the reference's NaN)
+    one(counter.take(1), "rate(m[91120ms])", 8163070L) shouldBe empty
+    // empty window: resets emits no row either
+    one(gauge, "resets(m[1s])", 8300000L) shouldBe empty
+  }
 }
