@@ -100,12 +100,15 @@ object Bench {
         var ok = true
         var i = 0
         // pass 1 always; passes 2-3 (min absorbs contention noise) only
-        // while under budget and only for short queries. Sub-10s entries
+        // while under budget and only for short queries. Sub-30s entries
         // get a SECOND pass before the sub-5s rule kicks in: the heaviest
         // corpus entries (IVF/PQ fits, dedup pipeline) otherwise record
-        // cold-fit single-pass times and cross-round deltas carry no signal
+        // cold-fit single-pass times and cross-round deltas carry no
+        // signal (was 10 s — at the sf1 scale-rehearsal a cold first pass
+        // crossed it and recorded 18 s where the warm min is 3 s, a 6x
+        // artifact distortion from the rule itself)
         while (ok && i < 3 && (i == 0 ||
-            (elapsed < budgetSec && (best < 5.0 || (i == 1 && best < 10.0))))) {
+            (elapsed < budgetSec && (best < 5.0 || (i == 1 && best < 30.0))))) {
           val t0 = System.nanoTime()
           try { fn(spark, sfDir).count() }
           catch { case e: Throwable =>
