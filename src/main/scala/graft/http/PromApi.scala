@@ -39,6 +39,7 @@ class PromApi(spark: SparkSession, samples: DataFrame, port: Int = 0,
     server.createContext("/api/v1/label_cardinality", handler(labelCardinality))
     server.createContext("/api/v1/tscardinality", handler(tsCardinality))
     server.createContext("/api/v1/format_query", handler(formatQuery))
+    server.createContext("/api/v1/read", remoteReadHandler)
     server.createContext("/api/v1/status/buildinfo", handler(buildInfo))
     server.createContext("/__health", handler(health))
     server.setExecutor(null)
@@ -201,6 +202,73 @@ class PromApi(spark: SparkSession, samples: DataFrame, port: Int = 0,
   private def health(p: Map[String, String]): String = {
     val nParts = samples.rdd.getNumPartitions
     s"""{"status":"healthy","spark":"${spark.version}","partitions":$nParts}"""
+  }
+
+  /** Prometheus REMOTE READ (`/api/v1/read`, reference
+    * PrometheusApiRoute.scala:130): snappy-compressed protobuf
+    * ReadRequest in, snappy-compressed ReadResponse of RAW samples out —
+    * the wire a Prometheus `remote_read` stanza speaks. Protobuf framing
+    * via [[ProtoWire]] (no library resolves here); snappy is the BLOCK
+    * format (snappy-java `Snappy.compress`), as the Prometheus spec
+    * requires — not the framed stream format. Like the reference (which
+    * marks the route "intended only for functional testing"), this is a
+    * presentation surface: results collect at the driver, bounded by the
+    * same per-query row guard as the JSON endpoints. */
+  private def remoteReadHandler: com.sun.net.httpserver.HttpHandler = (ex: HttpExchange) => {
+    try {
+      val body = org.xerial.snappy.Snappy.uncompress(ex.getRequestBody.readAllBytes())
+      val req = ProtoWire.decodeReadRequest(body)
+      val resp = ProtoWire.encodeReadResponse(req.queries.map(answerRemoteRead))
+      val out = org.xerial.snappy.Snappy.compress(resp)
+      ex.getResponseHeaders.add("Content-Type", "application/x-protobuf")
+      ex.getResponseHeaders.add("Content-Encoding", "snappy")
+      ex.sendResponseHeaders(200, out.length)
+      ex.getResponseBody.write(out)
+    } catch {
+      case e: Exception =>
+        val msg = s"""{"status":"error","errorType":"bad_data","error":${js(e.getMessage)}}"""
+          .getBytes(StandardCharsets.UTF_8)
+        ex.getResponseHeaders.add("Content-Type", "application/json")
+        ex.sendResponseHeaders(400, msg.length)
+        ex.getResponseBody.write(msg)
+    } finally ex.close()
+  }
+
+  /** One remote-read query: matcher + time-range filter over the samples
+    * frame (predicates push to the scan), grouped into per-series sample
+    * lists. Labels are __name__ + tags, name-sorted; samples ts-ascending
+    * (both per the Prometheus remote-read contract). */
+  private def answerRemoteRead(q: ProtoWire.PQuery): Seq[ProtoWire.PSeries] = {
+    import graft.promql.{LabelMatcher, MatchOp}
+    val ops = Map(0 -> MatchOp.Eq, 1 -> MatchOp.Ne, 2 -> MatchOp.Re, 3 -> MatchOp.NotRe)
+    var df = samples.filter(col("ts").between(q.startMs, q.endMs))
+    q.matchers.foreach { m =>
+      val op = ops.getOrElse(m.typ,
+        throw new IllegalArgumentException(s"unknown matcher type ${m.typ}"))
+      df = df.filter(graft.promql.Matchers.pred(LabelMatcher(m.name, op, m.value)))
+    }
+    val slim = df.select(col("metric"), col("tags"), col("ts").cast("long"), col("value"))
+    slim.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // MAP columns don't support set ops — count distinct on the sorted
+      // entries key projection instead
+      val n = slim
+        .select(col("metric"), to_json(array_sort(map_entries(col("tags")))))
+        .distinct().limit(maxResultSeries + 1).count()
+      if (n > maxResultSeries)
+        throw new IllegalStateException(
+          s"remote read exceeds the per-query limit of $maxResultSeries series")
+      slim.collect()
+        .groupBy(r => (r.getString(0), r.getMap[String, String](1).toSeq.sortBy(_._1)))
+        .toSeq
+        .map { case ((metric, tags), rows) =>
+          ProtoWire.PSeries(
+            (("__name__" -> metric) +: tags).sortBy(_._1),
+            rows.map(r => ProtoWire.PSample(r.getDouble(3), r.getLong(2)))
+              .sortBy(_.ts).toSeq)
+        }
+        .sortBy(_.labels.mkString)
+    } finally slim.unpersist(false)
   }
 
   /** The reference enforces PerQueryLimits on result cardinality

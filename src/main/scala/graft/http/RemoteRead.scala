@@ -57,6 +57,55 @@ object RemoteRead {
       .select(col("labels"), col("__key"), col("step_ts"), col("value"))
   }
 
+  /** Prometheus REMOTE-READ client: POST a snappy-compressed protobuf
+    * ReadRequest for a PromQL SELECTOR (instant-vector syntax — metric +
+    * matchers; windows/offsets are meaningless for a raw-sample fetch and
+    * rejected) and decode the ReadResponse back into the engine's
+    * CANONICAL samples shape (metric, tags, ts, value) — so a remote
+    * cluster's raw series can seed a local [[PromPlanner.Ctx]] and be
+    * re-evaluated locally (the complement of [[queryRange]]'s
+    * ship-the-query federation: this ships the DATA). Wire format per
+    * [[ProtoWire]]; the route is a functional-testing surface in the
+    * reference too, so result sets are presentation-bounded. */
+  def remoteRead(spark: SparkSession, baseUrl: String, selector: String,
+                 startMs: Long, endMs: Long): DataFrame = {
+    import graft.promql.{MatchOp, Selector}
+    val sel = Parser.parse(selector) match {
+      case s: Selector if s.windowMs.isEmpty && s.offsetMs == 0L && s.atMs.isEmpty => s
+      case _: Selector => throw new IllegalArgumentException(
+        "remote read takes a plain instant selector (no window/offset/@)")
+      case _ => throw new IllegalArgumentException(
+        s"remote read needs a selector, got: $selector")
+    }
+    val typOf = Map[MatchOp, Int](MatchOp.Eq -> 0, MatchOp.Ne -> 1,
+      MatchOp.Re -> 2, MatchOp.NotRe -> 3)
+    val matchers =
+      sel.metric.map(m => ProtoWire.PMatcher(0, "__name__", m)).toSeq ++
+        sel.matchers.map(m => ProtoWire.PMatcher(typOf(m.op), m.label, m.value))
+    val reqBytes = org.xerial.snappy.Snappy.compress(
+      ProtoWire.encodeReadRequest(ProtoWire.PReadRequest(
+        Seq(ProtoWire.PQuery(startMs, endMs, matchers)))))
+    val httpResp = HttpClient.newHttpClient().send(
+      HttpRequest.newBuilder(URI.create(s"$baseUrl/api/v1/read"))
+        .header("Content-Type", "application/x-protobuf")
+        .header("Content-Encoding", "snappy")
+        .POST(HttpRequest.BodyPublishers.ofByteArray(reqBytes)).build(),
+      HttpResponse.BodyHandlers.ofByteArray())
+    if (httpResp.statusCode() != 200)
+      throw new IllegalStateException(
+        s"remote $baseUrl: HTTP ${httpResp.statusCode()} " +
+          new String(httpResp.body(), java.nio.charset.StandardCharsets.UTF_8))
+    val results = ProtoWire.decodeReadResponse(
+      org.xerial.snappy.Snappy.uncompress(httpResp.body()))
+    val rows = results.headOption.getOrElse(Nil).flatMap { s =>
+      val metric = s.labels.collectFirst { case ("__name__", v) => v }.getOrElse("")
+      val tags = s.labels.filter(_._1 != "__name__").toMap
+      s.samples.map(p => (metric, tags, p.ts, p.value))
+    }
+    import spark.implicits._
+    rows.toDF("metric", "tags", "ts", "value")
+  }
+
   /** Federated evaluation (reference MultiPartitionPlanner/DistConcat
     * stitch): the query runs locally AND on every remote, results union by
     * name. Correct when the series sets are partition-disjoint across

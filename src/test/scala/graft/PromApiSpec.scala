@@ -351,6 +351,84 @@ class PromApiSpec extends AnyFunSuite with Matchers {
     } finally { a.stop(); b.stop() }
   }
 
+  test("remote-read protobuf codec: golden bytes + roundtrip") {
+    import graft.http.ProtoWire
+    import ProtoWire._
+    // golden: hand-assembled wire bytes for
+    // ReadRequest{Query{start=1000,end=2000,matchers=[EQ __name__ "up"]}}
+    // (proto3 wire format: varint keys, length-delimited messages; EQ=0
+    // elided as a default). Pins OUR encoder to the PUBLIC format, not to
+    // itself.
+    val golden: Array[Byte] = Array(
+      0x0A, 22, // ReadRequest.queries[0], len 22
+      0x08, 0xE8, 0x07, // start_timestamp_ms = 1000
+      0x10, 0xD0, 0x0F, // end_timestamp_ms = 2000
+      0x1A, 14, // matchers[0], len 14
+      0x12, 8, '_', '_', 'n', 'a', 'm', 'e', '_', '_', // name
+      0x1A, 2, 'u', 'p' // value
+    ).map(_.toByte)
+    val req = PReadRequest(Seq(PQuery(1000L, 2000L,
+      Seq(PMatcher(0, "__name__", "up")))))
+    encodeReadRequest(req) shouldEqual golden
+    decodeReadRequest(golden) shouldEqual req
+    // roundtrip with every matcher type, multiple queries, large varints
+    val req2 = PReadRequest(Seq(
+      PQuery(1755170000000L, 1755173600000L, Seq(
+        PMatcher(0, "__name__", "purchase"), PMatcher(1, "user", "2"),
+        PMatcher(2, "user", "1|3"), PMatcher(3, "env", "dev.*"))),
+      PQuery(0L, 1L, Nil)))
+    decodeReadRequest(encodeReadRequest(req2)) shouldEqual req2
+    // response roundtrip: labels, doubles (incl 0.0 — always written)
+    val resp = Seq(Seq(
+      PSeries(Seq("__name__" -> "m", "user" -> "1"),
+        Seq(PSample(0.0, 1000L), PSample(-2.5, 2000L), PSample(1e300, 3000L))),
+      PSeries(Seq("__name__" -> "m"), Nil)))
+    decodeReadResponse(encodeReadResponse(resp)) shouldEqual resp
+  }
+
+  test("remote read end-to-end: raw samples fetched over the protobuf+snappy " +
+       "wire equal the direct scan, and re-evaluate identically") {
+    import graft.http.RemoteRead
+    import graft.promql.PromPlanner
+    import org.apache.spark.sql.functions.col
+    val all = TsTables.eventsAsSamples(spark, "/root/testdata/sf0.001")
+    val api = new PromApi(spark, all).start()
+    try {
+      val (s0, e0) = (TsTables.EventsStartMs, TsTables.EventsEndMs)
+      val fetched = RemoteRead.remoteRead(spark,
+        s"http://localhost:${api.boundPort}", """purchase{user=~"1|2"}""", s0, e0)
+      val got = fetched.collect()
+        .map(r => (r.getString(0), r.getMap[String, String](1)("user"),
+          r.getLong(2), r.getDouble(3))).toSet
+      val direct = all
+        .filter(col("metric") === "purchase" && col("tags")("user").isin("1", "2") &&
+          col("ts").between(s0, e0))
+        .select(col("metric"), col("tags")("user"), col("ts").cast("long"), col("value"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      direct.nonEmpty shouldEqual true
+      got shouldEqual direct
+      // ship-the-data federation: a query over the FETCHED raw samples
+      // equals the same query over the local table
+      val q = "sum by (user) (sum_over_time(purchase[1d]))"
+      val viaRemote = PromPlanner.queryRange(
+          PromPlanner.Ctx(spark, fetched, s0, e0, 86400000L), q)
+        .select("__key", "step_ts", "value").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      val local = PromPlanner.queryRange(
+          PromPlanner.Ctx(spark,
+            all.filter(col("tags")("user").isin("1", "2")), s0, e0, 86400000L), q)
+        .select("__key", "step_ts", "value").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      viaRemote shouldEqual local
+      // a non-selector expression is rejected client-side
+      intercept[IllegalArgumentException] {
+        RemoteRead.remoteRead(spark, s"http://localhost:${api.boundPort}",
+          "rate(purchase[5m])", s0, e0)
+      }
+    } finally api.stop()
+  }
+
   test("federated aggregate pushdown re-reduces cross-partition partials") {
     import org.apache.spark.sql.functions.col
     import graft.http.RemoteRead
