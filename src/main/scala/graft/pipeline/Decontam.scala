@@ -40,6 +40,45 @@ object Decontam {
            countDistinct(col("__bench_id")).as("n_benchmarks"))
   }
 
+  /** [[flagContaminated]] with a BLOOM-FILTER prefilter — the two-phase
+    * shape for a LARGE benchmark side (a full eval-suite union is
+    * millions of grams: its broadcast hash table costs ~16+ bytes/gram,
+    * while a 1%-FPP Bloom costs ~10 BITS/gram, a ~13x smaller broadcast).
+    * Phase 1 fits one Bloom over the benchmark gram hashes
+    * (`df.stat.bloomFilter` — Spark's public sketch; one pass over the
+    * small side) and drops ~99% of the corpus gram stream map-side
+    * against the broadcast bits. Phase 2 exact-confirms survivors with
+    * the same broadcast join as [[flagContaminated]] — Bloom false
+    * positives die there and Bloom has no false negatives, so results
+    * are EXACTLY flagContaminated's (the q167 gate runs both engines on
+    * that contract). The probe is a per-partition pass over hashed grams
+    * (one primitive mightContainLong per gram) — row-at-a-time, but so
+    * cheap the scan dominates; everything downstream of the prefilter is
+    * back in codegen. */
+  def flagContaminatedBloom(corpus: DataFrame, benchmarks: DataFrame, n: Int = 8,
+                            textCol: String = "text", idCol: String = "doc_id",
+                            benchTextCol: String = "text", benchIdCol: String = "bench_id",
+                            fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val benchGrams = grams(benchmarks, n, benchTextCol, benchIdCol, "__bench_id")
+    val benchHashes = benchGrams.select(xxhash64(col("gram")).as("__h"))
+    val nBench = math.max(benchHashes.count(), 1L)
+    val bf = benchHashes.stat.bloomFilter("__h", nBench, fpp)
+    val bcast = corpus.sparkSession.sparkContext.broadcast(bf)
+    val corpusGrams = grams(corpus, n, textCol, idCol, idCol)
+      .select(col(idCol), col("gram"), xxhash64(col("gram")).as("__h"))
+    val rowEnc = Encoders.row(corpusGrams.schema)
+    val survivors = corpusGrams.mapPartitions { rows =>
+      val filter = bcast.value
+      rows.filter(r => filter.mightContainLong(r.getLong(2)))
+    }(rowEnc)
+    survivors
+      .join(broadcast(benchGrams), "gram") // exact confirm: FPs die here
+      .groupBy(col(idCol))
+      .agg(countDistinct(col("gram")).as("n_hit_grams"),
+           countDistinct(col("__bench_id")).as("n_benchmarks"))
+  }
+
   /** Decontaminated corpus: drop every document flagged against the
     * benchmark set (left_anti on the flag set). */
   def removeContaminated(corpus: DataFrame, benchmarks: DataFrame, n: Int = 8,

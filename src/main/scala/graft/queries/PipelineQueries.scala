@@ -169,6 +169,19 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // the Bloom-prefiltered two-phase decontam: exact-result contract
+    // (Bloom has no false negatives; false positives die in the confirm
+    // join), so the oracle is the same exact mirror as q107 — the gate
+    // proves the scale path changes NOTHING about the answer
+    "q167_decontam_bloom" -> ((s, dir) => {
+      val docs = TsTables.documents(s, dir)
+      Decontam.flagContaminatedBloom(
+        docs.where(col("doc_id") % 10 =!= 0),
+        docs.where(col("doc_id") % 10 === 0).withColumnRenamed("doc_id", "bench_id"),
+        n = 8)
+        .orderBy(col("doc_id"))
+    }),
+
     "q108_dup_span_removal" -> ((s, dir) =>
       Dedup.removeDuplicateSpans(TsTables.documents(s, dir), w = 8)
         .orderBy(col("doc_id"))),
@@ -1315,17 +1328,10 @@ object PipelineQueries {
                FROM scored)
          WHERE rk <= 5 ORDER BY query_id, rk""",
 
-    "q107_decontam_ngrams" ->
-      """WITH base AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
-                       FROM documents),
-              wins AS (SELECT doc_id, array_to_string(toks[i:i+7], ' ') AS gram
-                       FROM base, UNNEST(generate_series(1, greatest(len(toks)-7, 0))) AS t(i)),
-              bench AS (SELECT DISTINCT gram, doc_id AS bench_id FROM wins WHERE doc_id % 10 = 0)
-         SELECT w.doc_id, count(distinct w.gram) AS n_hit_grams,
-                count(distinct b.bench_id) AS n_benchmarks
-         FROM (SELECT DISTINCT doc_id, gram FROM wins WHERE doc_id % 10 <> 0) w
-         JOIN bench b USING (gram)
-         GROUP BY w.doc_id ORDER BY doc_id""",
+    "q107_decontam_ngrams" -> decontamOracleSql,
+
+    // exact-result contract of the Bloom prefilter: same mirror as q107
+    "q167_decontam_bloom" -> decontamOracleSql,
 
     "q108_dup_span_removal" ->
       s"""WITH ${spanRemovalCtes("documents")}
@@ -1790,6 +1796,21 @@ object PipelineQueries {
 
   private def qvalsSql(qs: Seq[(Long, Seq[String])]): String =
     qs.flatMap { case (id, ts) => ts.map(t => s"($id, '$t')") }.mkString(", ")
+
+  /** q107/q167 shared mirror: exact 8-gram overlap counts against the
+    * doc_id % 10 == 0 benchmark split (the Bloom variant's exact-result
+    * contract makes the two gates one SQL). */
+  private val decontamOracleSql: String =
+    """WITH base AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+                     FROM documents),
+            wins AS (SELECT doc_id, array_to_string(toks[i:i+7], ' ') AS gram
+                     FROM base, UNNEST(generate_series(1, greatest(len(toks)-7, 0))) AS t(i)),
+            bench AS (SELECT DISTINCT gram, doc_id AS bench_id FROM wins WHERE doc_id % 10 = 0)
+       SELECT w.doc_id, count(distinct w.gram) AS n_hit_grams,
+              count(distinct b.bench_id) AS n_benchmarks
+       FROM (SELECT DISTINCT doc_id, gram FROM wins WHERE doc_id % 10 <> 0) w
+       JOIN bench b USING (gram)
+       GROUP BY w.doc_id ORDER BY doc_id"""
 
   /** The SQ8 ranking as reusable CTEs (q145's mirror, parameterized):
     * per-dim [min, max] bounds over the embeddings corpus, linear

@@ -2,22 +2,24 @@ package graft.tools
 
 import graft.GraftSession
 
-/** Dev helper: time one named suite/bench query a few times. */
+/** Dev helper: time named suite/bench queries a few times each (all
+  * names share one session, so cross-entry JIT warmup mirrors Bench). */
 object TimeOne {
   def main(args: Array[String]): Unit = {
-    val name = args(0)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.builder(s"local[$cpus]", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val all = graft.SparkEntry.queries ++ graft.queries.PipelineQueries.benchDefs
-    val fn = all(name)
-    val times = (1 to 3).map { _ =>
-      val t0 = System.nanoTime()
-      fn(spark, sfDir).count()
-      (System.nanoTime() - t0) / 1e9
+    for (name <- args) {
+      val fn = all(name)
+      val times = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"TIMED $name min=${times.min}%.2f all=${times.map(t => f"$t%.2f").mkString(",")}")
     }
-    println(f"TIMED $name min=${times.min}%.2f all=${times.map(t => f"$t%.2f").mkString(",")}")
     spark.stop()
   }
 }

@@ -194,6 +194,25 @@ class PipelineSpec extends AnyFunSuite with Matchers {
       .select("doc_id").as[Long].collect().toSeq shouldEqual Seq(2L)
   }
 
+  test("bloom-prefiltered decontamination equals the exact path, even at high FPP") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "totally unrelated words about nothing benchmarky at all here"),
+      (3L, "prefix gamma delta epsilon zeta eta theta iota suffix words")).toDF("doc_id", "text")
+    val bench = Seq((100L, "gamma delta epsilon zeta eta theta iota kappa")).toDF("bench_id", "text")
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    val exact = norm(pipeline.Decontam.flagContaminated(corpus, bench, n = 4))
+    exact.nonEmpty shouldBe true
+    // fpp 0.5 floods the confirm join with Bloom false positives — the
+    // exact-result contract must hold anyway
+    for (fpp <- Seq(0.01, 0.5)) {
+      withClue(s"fpp $fpp") {
+        norm(pipeline.Decontam.flagContaminatedBloom(corpus, bench, n = 4, fpp = fpp)) shouldEqual exact
+      }
+    }
+  }
+
   test("duplicate span removal keeps only the canonical first occurrence") {
     val d = Seq(
       (1L, "intro one two three four five outro"),
