@@ -213,6 +213,56 @@ class RangeFnsSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("reference battery: irate over prom-histogram STORAGE lands on the " +
+       "per-bucket instant rates (IRateFunctionH literals)") {
+    // ref RateFunctionsSpec "IRateFunctionH should work with compatible
+    // histogram buckets": GeometricBuckets(2,2,4), counters per bucket;
+    // expected = (last - prev) / dt per bucket. Our engine stores native
+    // hist columns and bridges them to per-le counter series at query
+    // time, so plain irate() answers the same shape.
+    val spark = GraftSession.builder("local[4]", "4").getOrCreate()
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit, map, typedLit}
+    import graft.promql.PromPlanner
+    val hist = Seq(
+      (8072000L, Seq(100.0, 120.0, 140.0, 160.0)),
+      (8082100L, Seq(150.0, 180.0, 210.0, 240.0)),
+      (8092196L, Seq(200.0, 240.0, 280.0, 320.0)),
+      (8102215L, Seq(250.0, 300.0, 350.0, 400.0)))
+      .toDF("ts", "values")
+      .select(lit("h").as("metric"), map(lit("job"), lit("a")).as("tags"),
+        col("ts"), lit(Double.NaN).as("value"),
+        typedLit(Seq(2.0, 4.0, 8.0, 16.0)).as("le"), col("values"))
+    val at = 8103070L
+    val ctx = PromPlanner.Ctx(spark, hist, at, at, 1000L)
+    val got = PromPlanner.queryRange(ctx, "irate(h[31120ms])")
+      .select(org.apache.spark.sql.functions.col("labels")("le"), col("value"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val dt = (8102215L - 8092196L) / 1000.0
+    val expected = Map("2.0" -> 50.0 / dt, "4.0" -> 60.0 / dt,
+      "8.0" -> 70.0 / dt, "16.0" -> 80.0 / dt)
+    got.keySet shouldEqual expected.keySet
+    for ((k, v) <- expected) got(k) shouldEqual v +- eps
+    // the reference's counter-reset case: last sample drops -> rate is
+    // last/dt per bucket
+    val reset = Seq(
+      (8072000L, Seq(100.0, 120.0, 140.0, 160.0)),
+      (8082100L, Seq(200.0, 240.0, 280.0, 320.0)),
+      (8092196L, Seq(50.0, 60.0, 70.0, 80.0)))
+      .toDF("ts", "values")
+      .select(lit("h").as("metric"), map(lit("job"), lit("a")).as("tags"),
+        col("ts"), lit(Double.NaN).as("value"),
+        typedLit(Seq(2.0, 4.0, 8.0, 16.0)).as("le"), col("values"))
+    val at2 = 8093070L
+    val got2 = PromPlanner.queryRange(
+        PromPlanner.Ctx(spark, reset, at2, at2, 1000L), "irate(h[21120ms])")
+      .select(org.apache.spark.sql.functions.col("labels")("le"), col("value"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val dt2 = (8092196L - 8082100L) / 1000.0
+    for ((k, base) <- Map("2.0" -> 50.0, "4.0" -> 60.0, "8.0" -> 70.0, "16.0" -> 80.0))
+      got2(k) shouldEqual (base / dt2) +- eps
+  }
+
   test("reference battery end-to-end: rate/increase/irate/resets through PromQL " +
        "land on the literal expectations, incl. a NaN row inside the window") {
     val spark = GraftSession.builder("local[4]", "4").getOrCreate()
