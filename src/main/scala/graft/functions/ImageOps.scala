@@ -150,7 +150,8 @@ object ImageOps {
     }
   }
 
-  /** `dim` block-mean luminances of a decoded image scaled to [-0.5, 0.5],
+  /** `dim` block-mean luminances of a decoded image scaled to [-0.5, 0.5]
+    * (feature i = the TRUE mean over the i-th full-height vertical strip),
     * or null when the payload is not decodable (the caller falls back to
     * its digest-derived features). */
   def features(b: Array[Byte], dim: Int): Array[Float] = {
@@ -158,9 +159,19 @@ object ImageOps {
     if (img == null) null
     else {
       val sw = img.getWidth
-      val sy = img.getHeight / 2
-      Array.tabulate(dim)(i =>
-        lum(img.getRGB((i.toLong * sw / dim).toInt, sy)) / 255.0f - 0.5f)
+      val sh = img.getHeight
+      Array.tabulate(dim) { i =>
+        val x0 = (i.toLong * sw / dim).toInt
+        val x1 = math.max(((i + 1).toLong * sw / dim).toInt, x0 + 1)
+        var sum = 0L
+        var y = 0
+        while (y < sh) {
+          var x = x0
+          while (x < x1) { sum += lum(img.getRGB(x, y)); x += 1 }
+          y += 1
+        }
+        (sum.toDouble / ((x1 - x0).toLong * sh) / 255.0 - 0.5).toFloat
+      }
     }
   }
 }

@@ -76,6 +76,9 @@ object ProtoWire {
       var shift = 0; var v = 0L
       var b = 0
       do {
+        if (pos >= end)
+          throw new IllegalArgumentException(
+            s"malformed protobuf: varint overruns enclosing bound (end=$end)")
         b = buf(pos) & 0xFF; pos += 1
         v |= (b & 0x7FL) << shift; shift += 7
       } while ((b & 0x80) != 0)
@@ -87,29 +90,39 @@ object ProtoWire {
       ((k >>> 3).toInt, (k & 7).toInt)
     }
     def readDouble(): Double = {
+      bounded(8)
       var bits = 0L; var i = 0
       while (i < 8) { bits |= (buf(pos + i) & 0xFFL) << (8 * i); i += 1 }
       pos += 8
       java.lang.Double.longBitsToDouble(bits)
     }
+    /** a corrupt length prefix must fail loudly, not silently consume
+      * sibling bytes as message content */
+    private def bounded(len: Long): Int = {
+      if (len < 0 || pos + len > end)
+        throw new IllegalArgumentException(
+          s"malformed protobuf: length $len overruns enclosing bound " +
+            s"(pos=$pos, end=$end)")
+      len.toInt
+    }
     /** length-delimited payload as a sub-reader */
     def readMessage(): Reader = {
-      val len = readVarint().toInt
+      val len = bounded(readVarint())
       val r = new Reader(buf, pos, pos + len)
       pos += len
       r
     }
     def readString(): String = {
-      val len = readVarint().toInt
+      val len = bounded(readVarint())
       val s = new String(buf, pos, len, StandardCharsets.UTF_8)
       pos += len
       s
     }
     def skip(wire: Int): Unit = wire match {
       case 0 => readVarint()
-      case 1 => pos += 8
-      case 2 => pos += readVarint().toInt
-      case 5 => pos += 4
+      case 1 => pos = pos + bounded(8)
+      case 2 => pos = pos + bounded(readVarint())
+      case 5 => pos = pos + bounded(4)
       case w => throw new IllegalArgumentException(s"unsupported wire type $w")
     }
   }

@@ -163,9 +163,13 @@ object RemoteRead {
                            startMs: Long, endMs: Long, stepMs: Long,
                            lookbackMs: Long = PromPlanner.DefaultLookbackMs): DataFrame = {
     require(replicas.nonEmpty, "need at least one replica")
-    val reach = PromPlanner.maxSelectorReachMs(Parser.parse(query), lookbackMs)
+    // reach computed on the RESOLVED ast — an unresolved Ni window has no
+    // ms value and would silently contribute only the lookback
+    val ast = PromPlanner.resolveStepDurations(Parser.parse(query), stepMs)
+    val reach = PromPlanner.maxSelectorReachMs(ast, lookbackMs)
+    val fwd = PromPlanner.maxSelectorForwardMs(ast)
     def healthyAt(r: Seq[(Long, Long)], t: Long): Boolean =
-      !r.exists { case (a, b) => t >= a && t <= b + reach }
+      !r.exists { case (a, b) => t >= a - fwd && t <= b + reach }
     val steps = (startMs to endMs by stepMs)
     val choice: Seq[(Long, Option[Int])] = steps.map { t =>
       t -> replicas.indices.find(i => healthyAt(replicas(i)._2, t))

@@ -60,7 +60,10 @@ object Decontam {
                             benchTextCol: String = "text", benchIdCol: String = "bench_id",
                             fpp: Double = 0.01): DataFrame = {
     import org.apache.spark.sql.Encoders
+    // three consumers (count, bloom fit, confirm join) — checkpoint the
+    // small side once instead of re-deriving the gram expansion per use
     val benchGrams = grams(benchmarks, n, benchTextCol, benchIdCol, "__bench_id")
+      .localCheckpoint(false)
     val benchHashes = benchGrams.select(xxhash64(col("gram")).as("__h"))
     val nBench = math.max(benchHashes.count(), 1L)
     val bf = benchHashes.stat.bloomFilter("__h", nBench, fpp)

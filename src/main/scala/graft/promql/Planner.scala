@@ -138,11 +138,20 @@ object PromPlanner {
     * inner expression's reach. The HA stitcher uses this to extend
     * replica downtime windows — a step just AFTER a replica's outage
     * still reads samples from INSIDE it, so per-step health must look
-    * this far back. `@`-pinned selectors read at an absolute instant and
-    * contribute like unpinned ones here (a conservative over-extension). */
+    * this far back. Clamped at 0 per selector: a NEGATIVE offset (a
+    * Prometheus opt-in that reads FORWARD) must never SHRINK another
+    * selector's extension — its forward extent is
+    * [[maxSelectorForwardMs]]'s job. `@`-pinned selectors read at an
+    * absolute instant and contribute like unpinned ones here (a
+    * conservative over-extension). Callers must pass a RESOLVED AST
+    * (resolveStepDurations) — unresolved `Ni` windows carry no ms value
+    * and would silently contribute only the lookback. */
   def maxSelectorReachMs(e: PromExpr, lookbackMs: Long): Long = e match {
-    case s: Selector => s.windowMs.getOrElse(lookbackMs) + s.offsetMs
-    case sq: Subquery => sq.rangeMs + sq.offsetMs + maxSelectorReachMs(sq.expr, lookbackMs)
+    case s: Selector =>
+      math.max(0L, s.windowMs.getOrElse(lookbackMs) + s.offsetMs)
+    case sq: Subquery =>
+      math.max(0L,
+        sq.rangeMs + sq.offsetMs + maxSelectorReachMs(sq.expr, lookbackMs))
     case FuncCall(_, args) =>
       (0L +: args.map(maxSelectorReachMs(_, lookbackMs))).max
     case a: Agg =>
@@ -151,6 +160,22 @@ object PromPlanner {
     case b: BinOp =>
       math.max(maxSelectorReachMs(b.lhs, lookbackMs),
         maxSelectorReachMs(b.rhs, lookbackMs))
+    case _ => 0L
+  }
+
+  /** Furthest any selector reads AHEAD of its evaluation instant —
+    * non-zero only with negative offsets. The HA stitcher extends
+    * downtime windows BACKWARD by this: a step just BEFORE an outage
+    * whose negative-offset selector reads into it must route away. */
+  def maxSelectorForwardMs(e: PromExpr): Long = e match {
+    case s: Selector => math.max(0L, -s.offsetMs)
+    case sq: Subquery =>
+      math.max(0L, -sq.offsetMs) + maxSelectorForwardMs(sq.expr)
+    case FuncCall(_, args) => (0L +: args.map(maxSelectorForwardMs)).max
+    case a: Agg =>
+      (maxSelectorForwardMs(a.expr) +: a.param.toSeq.map(maxSelectorForwardMs)).max
+    case b: BinOp =>
+      math.max(maxSelectorForwardMs(b.lhs), maxSelectorForwardMs(b.rhs))
     case _ => 0L
   }
 

@@ -123,9 +123,16 @@ object Ingest {
     * arbitrary tag maps survive end-to-end (sink, index, quota), and
     * shard-key labels beyond metric resolve through `tags(label)`
     * (Quota.keyExpr), so multi-level keys like ws → ns → metric work as
-    * the Quota scaladoc advertises. The narrow [[Sample]] entry
-    * ([[startSamplesIngestWithQuota]]) remains for metric/user-keyed
-    * events streams. */
+    * the Quota scaladoc advertises.
+    *
+    * Samples MISSING a shard-key label (null key value — possible here
+    * because gateway tag maps are open-ended, unlike the fixed-shape
+    * [[Sample]] row) are rejected up front with reject_depth = 0: a
+    * null-keyed tuple can never equality-join the admission cascade, so
+    * letting it through would bypass enforcement AND burn a quota slot
+    * for a real child (nulls sort first in the admission window). The
+    * narrow [[Sample]] entry ([[startSamplesIngestWithQuota]]) remains
+    * for metric/user-keyed events streams. */
   def startCanonicalIngestWithQuota(samples: DataFrame, sinkDir: String,
                                     indexDir: String, rejectDir: String,
                                     checkpointDir: String,
@@ -136,14 +143,24 @@ object Ingest {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[CanonicalSample], batchId: Long) =>
         val spark = batch.sparkSession
-        val df = batch.toDF().persist()
+        val df0 = batch.toDF()
+        val missingKey = cfg.shardKey
+          .map(l => graft.operators.Quota.keyExpr(df0, l).isNull).reduce(_ || _)
+        val df = df0.filter(!missingKey).persist()
+        val kCols = cfg.shardKey.indices.map(i => s"__k$i")
+        // reject_depth = 0: shard key incomplete (no depth ever admitted it)
+        val missingRejects = graft.operators.Quota
+          .withShardKey(df0.filter(missingKey), cfg)
+          .select(kCols.map(col): _*).distinct()
+          .withColumn("reject_depth", lit(0))
+          .withColumn("quota", lit(null).cast("long"))
         val existing = scala.util.Try(spark.read.parquet(indexDir))
           .getOrElse(df.limit(0))
         val verdicts = graft.operators.Quota.admit(existing, df, cfg).persist()
-        val kCols = cfg.shardKey.indices.map(i => s"__k$i")
         val rejected = verdicts.filter(!col("admitted"))
         rejected
           .select(kCols.map(col) :+ col("reject_depth") :+ col("quota"): _*)
+          .unionByName(missingRejects)
           .write.mode("overwrite")
           .parquet(s"$rejectDir/batch_id=$batchId")
         val admitted = graft.operators.Quota.withShardKey(df, cfg)
@@ -358,45 +375,19 @@ object Ingest {
     * tag, so only the metric/user shard key is representable here —
     * gateway streams with arbitrary tag maps (and multi-level shard keys
     * like ws → ns) go through [[startCanonicalIngestWithQuota]], which
-    * preserves the tags end-to-end. */
+    * this ADAPTS to (tags = map("user", user)); there is exactly ONE
+    * implementation of the drop semantics and the per-batch quota/sink/
+    * index commit protocol. Sink and index rows carry the canonical
+    * `tags` map. */
   def startSamplesIngestWithQuota(samples: Dataset[Sample], sinkDir: String,
                                   indexDir: String, rejectDir: String,
                                   checkpointDir: String,
                                   cfg: graft.operators.Quota.QuotaConfig)
       : org.apache.spark.sql.streaming.StreamingQuery =
-    dropOutOfOrder(samples).writeStream
-      .outputMode(OutputMode.Append)
-      .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: Dataset[Sample], batchId: Long) =>
-        val spark = batch.sparkSession
-        val df = batch.toDF().persist()
-        // admission only needs the distinct key set, so the raw delta
-        // rows serve as "existing" — no fold required (merge-on-read
-        // stays the reader-side concern)
-        val existing = scala.util.Try(spark.read.parquet(indexDir))
-          .getOrElse(df.limit(0)) // batch 0: nothing ingested yet
-        val verdicts = graft.operators.Quota.admit(existing, df, cfg).persist()
-        val kCols = cfg.shardKey.indices.map(i => s"__k$i")
-        val rejected = verdicts.filter(!col("admitted"))
-        rejected
-          .select(kCols.map(col) :+ col("reject_depth") :+ col("quota"): _*)
-          .write.mode("overwrite")
-          .parquet(s"$rejectDir/batch_id=$batchId")
-        val admitted = graft.operators.Quota.withShardKey(df, cfg)
-          .join(rejected.select(kCols.map(col): _*), kCols.toSeq, "left_anti")
-          .drop(kCols: _*)
-        admitted.write.mode("overwrite").partitionBy("metric")
-          .parquet(s"$sinkDir/batch_id=$batchId")
-        graft.operators.MetadataOps.buildSeriesIndex(
-            admitted.select(col("metric"),
-              map(lit("user"), col("user")).as("tags"),
-              col("ts"), col("series_id")))
-          .write.mode("overwrite").partitionBy("metric")
-          .parquet(s"$indexDir/batch_id=$batchId")
-        verdicts.unpersist(); df.unpersist()
-        ()
-      }
-      .start()
+    startCanonicalIngestWithQuota(
+      samples.toDF().select(col("series_id"), col("metric"),
+        map(lit("user"), col("user")).as("tags"), col("ts"), col("value")),
+      sinkDir, indexDir, rejectDir, checkpointDir, cfg)
 
   /** Streaming corpus-quality monitor — the LIVE twin of the q117 batch
     * corpus report: per (source, tumbling window), doc/token counts,

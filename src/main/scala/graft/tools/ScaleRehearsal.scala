@@ -13,8 +13,9 @@ import graft.GraftSession
   * Amplification is deterministic and SHAPE-PRESERVING, not row
   * duplication: each copy k gets disjoint id ranges, and content is
   * re-keyed so cross-copy similarity structure does NOT explode —
-  *   - documents: every word of copy k > 0 gets a `k` suffix, so copy-k
-  *     shingle/fingerprint vocabularies are disjoint from the base:
+  *   - documents: every word of copy k > 0 gets a separator + `k` suffix
+  *     (the separator is a control char no token contains), so copy
+  *     shingle/fingerprint vocabularies are PROVABLY disjoint:
   *     within-copy dup/near-dup structure mirrors the base corpus
   *     (output grows ~linearly), no artificial cross-copy pairs whose
   *     quadratic pair lists would distort the timings;
@@ -41,10 +42,14 @@ object ScaleRehearsal {
       df.repartition(parts).write.mode("overwrite").parquet(s"$dst/$t.parquet")
 
     write(amplify(read("documents"), factor) { (d, k) =>
+      // a \\u0001 separator cannot appear in whitespace-split tokens, so
+      // copy vocabularies are disjoint even when base words end in digits
+      // (plain "word"+k would collide: copy 1 of "item1" == copy 11 of
+      // "item" at factors > 10)
       d.select(
         (col("doc_id") + lit(k * Stride)).as("doc_id"),
         concat_ws(" ",
-          transform(split(col("text"), " "), w => concat(w, lit(k.toString)))).as("text"),
+          transform(split(col("text"), " "), w => concat(w, lit("\u0001" + k)))).as("text"),
         col("lang"), col("source"), col("n_chars"))
         .withColumn("n_chars", length(col("text")))
     }, "documents")

@@ -188,9 +188,9 @@ class GatewaySpec extends AnyFunSuite with Matchers {
       sunk.count() shouldEqual 2L // user 1 only, deduped
       // the breach is logged
       spark.read.parquet(s"$dir/rejects").count() shouldEqual 1L
-      // and the surviving series answers PromQL over the sink
-      val promSamples = sunk.select(col("metric"),
-        map(lit("user"), col("user")).as("tags"), col("ts"), col("value"))
+      // and the surviving series answers PromQL over the sink (canonical
+      // shape: the tags map is already there)
+      val promSamples = sunk.select(col("metric"), col("tags"), col("ts"), col("value"))
       val ctx = graft.promql.PromPlanner.Ctx(spark, promSamples, 2000L, 2000L, 1000L)
       // [2s] window (0,2000] holds both points; idelta = last - prev = 4
       val got = graft.promql.PromPlanner.queryRange(ctx, """idelta(requests{user="1"}[2s])""")
@@ -233,6 +233,33 @@ class GatewaySpec extends AnyFunSuite with Matchers {
       // the index kept the full tag map too
       spark.read.parquet(s"$dir/index").select(col("tags")("ws")).as[String]
         .collect().toSet shouldEqual Set("prod")
+    } finally q.stop()
+  }
+
+  test("canonical quota ingest rejects samples missing a shard-key label " +
+       "(depth 0) instead of bypassing enforcement") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.streaming.Ingest
+    import spark.implicits._
+    val ms = MemoryStream[String]
+    val samples = Gateway.influxSamples(ms.toDF.toDF("line"), defaultTsMs = 0L)
+    val dir = java.nio.file.Files.createTempDirectory("gw_nullkey").toString
+    val cfg = graft.operators.Quota.QuotaConfig(Seq("ws", "metric"), Seq(10L, 1L))
+    val q = Ingest.startCanonicalIngestWithQuota(samples, s"$dir/sink",
+      s"$dir/index", s"$dir/rejects", s"$dir/ckpt", cfg)
+    try {
+      ms.addData(
+        "lat,ws=prod value=1 1000000000",
+        "lat value=2 2000000000") // NO ws tag: shard key incomplete
+      q.processAllAvailable()
+      // the keyless sample is rejected at depth 0 and never sinks —
+      // previously it bypassed the cascade (null never equality-joins)
+      // AND was always admitted
+      spark.read.parquet(s"$dir/sink").count() shouldEqual 1L
+      val rej = spark.read.parquet(s"$dir/rejects").collect()
+      rej.length shouldEqual 1
+      rej.head.getAs[Int]("reject_depth") shouldEqual 0
+      assert(rej.head.isNullAt(rej.head.fieldIndex("__k0")))
     } finally q.stop()
   }
 

@@ -384,6 +384,14 @@ class PromApiSpec extends AnyFunSuite with Matchers {
         Seq(PSample(0.0, 1000L), PSample(-2.5, 2000L), PSample(1e300, 3000L))),
       PSeries(Seq("__name__" -> "m"), Nil)))
     decodeReadResponse(encodeReadResponse(resp)) shouldEqual resp
+    // a corrupt nested length must FAIL, not silently consume sibling
+    // bytes as message content: bump the matcher length past its Query
+    val corrupt = golden.clone()
+    corrupt(9) = 40.toByte // matchers[0] len 14 -> 40 (overruns the Query)
+    intercept[IllegalArgumentException](decodeReadRequest(corrupt))
+    // truncated buffer: varint/length checks fire instead of mis-parsing
+    intercept[IllegalArgumentException](
+      decodeReadRequest(golden.dropRight(3)))
   }
 
   test("remote read end-to-end: raw samples fetched over the protobuf+snappy " +

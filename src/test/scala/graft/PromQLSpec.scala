@@ -621,6 +621,28 @@ class PromQLSpec extends AnyFunSuite with Matchers {
       "sum_over_time(m[15d])", now).cold.get.ds shouldBe theSameInstanceAs(t1h)
   }
 
+  test("HA reach: Ni windows resolve against the step; negative offsets never " +
+       "shrink backward reach and surface as forward reach") {
+    import PromPlanner.{maxSelectorReachMs, maxSelectorForwardMs, resolveStepDurations}
+    val lb = 300000L
+    // Ni windows carry no ms value until resolved — the stitcher resolves
+    // first (an unresolved [10i] would contribute only the lookback)
+    val ast = resolveStepDurations(
+      graft.promql.Parser.parse("sum(rate(m[10i]))"), 60000L)
+    maxSelectorReachMs(ast, lb) shouldEqual 600000L
+    // negative offset: backward reach clamps at >= 0 per selector...
+    val neg = graft.promql.Parser.parse("m offset -10m")
+    maxSelectorReachMs(neg, lb) shouldEqual 0L // max(0, 5m - 10m)
+    maxSelectorForwardMs(neg) shouldEqual 600000L
+    // ...and can never SHRINK a sibling selector's extension
+    val mixed = graft.promql.Parser.parse("rate(m[1h]) + (n offset -10m)")
+    maxSelectorReachMs(mixed, lb) shouldEqual 3600000L
+    maxSelectorForwardMs(mixed) shouldEqual 600000L
+    // subqueries compound on both sides
+    maxSelectorForwardMs(graft.promql.Parser.parse(
+      "max_over_time((m offset -5m)[30m:1m] offset -10m)")) shouldEqual 900000L
+  }
+
   test("planVector resolves unresolved Ni durations at entry (pre-parsed AST path)") {
     // the documented withDownsampleTiers AST path hands planVector an AST
     // that never went through queryRange's resolveStepDurations — a [3i]

@@ -86,8 +86,10 @@ class StreamingSpec extends AnyFunSuite with Matchers {
         (3L, 3000000000L, 7L, "view", 3.0, ""),
         (4L, 2500000000L, 8L, "click", 4.0, ""))
       q.processAllAvailable()
+      // the narrow entry adapts to the canonical path: sink rows carry
+      // the tags map
       val sunk = spark.read.parquet(s"$dir/sink")
-        .select("metric", "user", "ts").collect()
+        .select(col("metric"), col("tags")("user"), col("ts")).collect()
         .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
       sunk shouldEqual Set(("view", "7", 1000L), ("view", "7", 3000L), ("click", "8", 2500L))
       // the breach is visible: one reject row naming depth + quota
@@ -195,6 +197,37 @@ class StreamingSpec extends AnyFunSuite with Matchers {
       spark.sql("DROP TABLE IF EXISTS stream_ndx_bands")
       spark.sql("DROP TABLE IF EXISTS stream_ndx_sigs")
     }
+  }
+
+  test("narrow and canonical out-of-order drops agree sample-for-sample " +
+       "(the two stateful implementations must never diverge)") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.functions.{col, lit, map}
+    val data = Seq(
+      Sample(1, "m", "u", 100, 1.0), Sample(1, "m", "u", 200, 2.0),
+      Sample(1, "m", "u", 150, 9.0), // late -> dropped
+      Sample(1, "m", "u", 200, 9.0), // dup ts -> dropped
+      Sample(1, "m", "u", 300, 3.0), Sample(2, "m", "v", 50, 5.0))
+    val msA = MemoryStream[Sample]
+    val qA = Ingest.dropOutOfOrder(msA.toDS())
+      .writeStream.format("memory").queryName("par_a").outputMode("append").start()
+    val msB = MemoryStream[Sample]
+    val qB = Ingest.dropOutOfOrderCanonical(
+        msB.toDS().toDF().select(col("series_id"), col("metric"),
+          map(lit("user"), col("user")).as("tags"), col("ts"), col("value")))
+      .writeStream.format("memory").queryName("par_b").outputMode("append").start()
+    try {
+      msA.addData(data.take(2)); msB.addData(data.take(2))
+      qA.processAllAvailable(); qB.processAllAvailable()
+      msA.addData(data.drop(2)); msB.addData(data.drop(2))
+      qA.processAllAvailable(); qB.processAllAvailable()
+      val a = spark.table("par_a").as[Sample].collect()
+        .map(s => (s.series_id, s.ts, s.value)).sorted.toSeq
+      val b = spark.table("par_b").collect()
+        .map(r => (r.getLong(0), r.getLong(3), r.getDouble(4))).sorted.toSeq
+      a shouldEqual b
+      a.nonEmpty shouldEqual true
+    } finally { qA.stop(); qB.stop() }
   }
 
   test("near-dedup ingest crash windows converge: replay between the two markers " +
