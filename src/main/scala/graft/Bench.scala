@@ -55,6 +55,8 @@ object Bench {
     "q135_cross_logloss", "q137_tokenize_pack", "q138_perceptual_dups",
     "q144_dsir_select", "q145_sq8_knn", "q146_safe_split",
     "q147_perplexity_strata", "q149_langid_multi", "q150_curation_v3", "q151_hard_negatives", "q152_promql_interval_multiple", "q153_chunk_dedup",
+    "q163_hybrid_ann", "q164_incremental_components", "q165_quota_state",
+    "q166_perceptual_real_images", "q167_decontam_bloom",
     "corpus_minhash_dups", "corpus_simhash", "corpus_knn_lsh",
     "corpus_cosine_dups", "corpus_ivf_knn", "corpus_winnowing",
     "corpus_dedup_pipeline", "corpus_span_dedup", "corpus_pq_knn",
