@@ -92,6 +92,39 @@ object Decontam {
         .select(col(idCol)),
       Seq(idCol), "left_anti")
 
+  /** SEMANTIC contamination against a benchmark's EMBEDDINGS: corpus
+    * docs whose embedding cosine against any benchmark item reaches
+    * `threshold` — the leak n-gram overlap structurally misses
+    * (paraphrases, translations, templated rewordings of eval items;
+    * the same motivation as SemDeDup's semantic near-dups, pointed at
+    * decontamination). Complements [[flagContaminated]]: run both, union
+    * the flags.
+    *
+    * Scale shape: eval sets are small by construction, so the benchmark
+    * embeddings BROADCAST and the corpus side is one map-side scan —
+    * no corpus shuffle at any size (the q65 brute-force contract, which
+    * is exactly right when one side is query-scale). Cosines evaluate
+    * through the codegen'd vector_dot kernel and round once to integer
+    * micro-units (the exact-hash determinism contract).
+    * `corpus`: (idCol, vecCol); `bench`: (benchIdCol, vecCol).
+    * Output: (idCol, benchIdCol, sim_micro), one row per flagged pair. */
+  def semanticContamination(corpus: DataFrame, bench: DataFrame,
+                            threshold: Double,
+                            idCol: String = "vec_id", vecCol: String = "embedding",
+                            benchIdCol: String = "bench_id"): DataFrame = {
+    val c = corpus.select(col(idCol), col(vecCol).cast("array<double>").as("__cv"))
+      .withColumn("__cn", Similarity.norm(col("__cv")))
+    val b = broadcast(bench
+      .select(col(benchIdCol), col(vecCol).cast("array<double>").as("__bv"))
+      .withColumn("__bn", Similarity.norm(col("__bv"))))
+    c.crossJoin(b)
+      .withColumn("sim_micro",
+        round(Similarity.dot(col("__cv"), col("__bv")) / (col("__cn") * col("__bn")) * 1e6)
+          .cast("long"))
+      .filter(col("sim_micro") >= math.round(threshold * 1e6))
+      .select(col(idCol), col(benchIdCol), col("sim_micro"))
+  }
+
   /** Contamination-safe train/eval split: assign every doc its
     * md5-deterministic [[Sampling.hashSplit]] label, then QUARANTINE any
     * train doc sharing a verbatim token n-gram with ANY doc of the eval

@@ -182,6 +182,22 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // semantic decontamination: embedding cosine vs a benchmark split —
+    // the leak n-grams miss. The benchmark = the vec_id % 10 == 0 split
+    // PLUS verbatim copies of corpus vectors 1 and 11 under 1e6+ ids
+    // (planted contamination: cosine exactly 1.0 with their originals),
+    // so the 0.8 gate provably fires on real pairs at every sf
+    "q168_semantic_decontam" -> ((s, dir) => {
+      val e = TsTables.embeddings(s, dir)
+      val bench = e.where(col("vec_id") % 10 === 0)
+        .select(col("vec_id").as("bench_id"), col("embedding"))
+        .unionByName(e.where(col("vec_id").isin(1L, 11L))
+          .select((col("vec_id") + 1000000L).as("bench_id"), col("embedding")))
+      Decontam.semanticContamination(
+        e.where(col("vec_id") % 10 =!= 0), bench, threshold = 0.8)
+        .orderBy(col("vec_id"), col("bench_id"))
+    }),
+
     "q108_dup_span_removal" -> ((s, dir) =>
       Dedup.removeDuplicateSpans(TsTables.documents(s, dir), w = 8)
         .orderBy(col("doc_id"))),
@@ -1332,6 +1348,26 @@ object PipelineQueries {
 
     // exact-result contract of the Bloom prefilter: same mirror as q107
     "q167_decontam_bloom" -> decontamOracleSql,
+
+    // order-pinned IEEE cosine (list_dot_product evaluates index-ascending
+    // like vector_dot), rounded ONCE to integer micro-units
+    "q168_semantic_decontam" ->
+      """WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+                    WHERE vec_id % 10 <> 0),
+              b AS (SELECT vec_id AS bench_id, embedding::DOUBLE[] AS v FROM embeddings
+                    WHERE vec_id % 10 = 0
+                    UNION ALL
+                    SELECT vec_id + 1000000, embedding::DOUBLE[] FROM embeddings
+                    WHERE vec_id IN (1, 11))
+         SELECT c.vec_id, b.bench_id,
+                CAST(round(list_dot_product(c.v, b.v)
+                  / (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(b.v, b.v)))
+                  * 1e6) AS BIGINT) AS sim_micro
+         FROM c, b
+         WHERE round(list_dot_product(c.v, b.v)
+                 / (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(b.v, b.v)))
+                 * 1e6) >= 800000
+         ORDER BY c.vec_id, b.bench_id""",
 
     "q108_dup_span_removal" ->
       s"""WITH ${spanRemovalCtes("documents")}
