@@ -120,9 +120,16 @@ object ProtoWire {
     }
     def skip(wire: Int): Unit = wire match {
       case 0 => readVarint()
-      case 1 => pos = pos + bounded(8)
-      case 2 => pos = pos + bounded(readVarint())
-      case 5 => pos = pos + bounded(4)
+      case 1 => pos += bounded(8)
+      case 2 =>
+        // two statements, NOT `pos = pos + bounded(readVarint())`: Scala
+        // evaluates the receiver `pos` BEFORE readVarint() advances it,
+        // which would under-skip by the length-varint's own byte count
+        // and mis-parse payload bytes as field keys (a real Prometheus
+        // ReadRequest always carries the unknown `hints` field here)
+        val len = bounded(readVarint())
+        pos += len
+      case 5 => pos += bounded(4)
       case w => throw new IllegalArgumentException(s"unsupported wire type $w")
     }
   }

@@ -168,8 +168,13 @@ object RemoteRead {
     val ast = PromPlanner.resolveStepDurations(Parser.parse(query), stepMs)
     val reach = PromPlanner.maxSelectorReachMs(ast, lookbackMs)
     val fwd = PromPlanner.maxSelectorForwardMs(ast)
+    // @-pinned reads are ABSOLUTE (every step reads the same interval) —
+    // a replica whose downtime intersects one is unhealthy at ALL steps
+    val atIv = PromPlanner.atReadIntervalsMs(ast, lookbackMs, startMs, endMs)
+    def atHit(r: Seq[(Long, Long)]): Boolean =
+      r.exists { case (a, b) => atIv.exists { case (s0, e0) => s0 <= b && e0 >= a } }
     def healthyAt(r: Seq[(Long, Long)], t: Long): Boolean =
-      !r.exists { case (a, b) => t >= a - fwd && t <= b + reach }
+      !atHit(r) && !r.exists { case (a, b) => t >= a - fwd && t <= b + reach }
     val steps = (startMs to endMs by stepMs)
     val choice: Seq[(Long, Option[Int])] = steps.map { t =>
       t -> replicas.indices.find(i => healthyAt(replicas(i)._2, t))

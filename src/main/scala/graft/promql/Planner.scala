@@ -179,6 +179,42 @@ object PromPlanner {
     case _ => 0L
   }
 
+  /** ABSOLUTE read intervals of @-pinned selectors/subqueries — their
+    * reads ignore the evaluation instant entirely, so no per-step reach
+    * extension can cover them. Each is [at - offset - window, at - offset]
+    * (an @-subquery additionally spans its inner expression's reach on
+    * both sides). The HA stitcher marks a replica unhealthy for EVERY
+    * step when one of its downtime windows intersects any of these:
+    * every step reads the same absolute interval. */
+  def atReadIntervalsMs(e: PromExpr, lookbackMs: Long,
+                        rangeStartMs: Long, rangeEndMs: Long): Seq[(Long, Long)] = {
+    // @start()/@end() carry Long.Min/MaxValue sentinels — resolve against
+    // the query range before doing interval arithmetic on them
+    def resolve(at: Long): Long =
+      if (at == At.Start) rangeStartMs else if (at == At.End) rangeEndMs else at
+    def walk(e: PromExpr): Seq[(Long, Long)] = e match {
+      case s: Selector =>
+        s.atMs.toSeq.map { at =>
+          val end = resolve(at) - s.offsetMs
+          (end - s.windowMs.getOrElse(lookbackMs), end)
+        }
+      case sq: Subquery =>
+        val inner = walk(sq.expr)
+        sq.atMs match {
+          case Some(at) =>
+            val end = resolve(at) - sq.offsetMs
+            ((end - sq.rangeMs - maxSelectorReachMs(sq.expr, lookbackMs),
+              end + maxSelectorForwardMs(sq.expr))) +: inner
+          case None => inner
+        }
+      case FuncCall(_, args) => args.flatMap(walk)
+      case a: Agg => walk(a.expr) ++ a.param.toSeq.flatMap(walk)
+      case b: BinOp => walk(b.lhs) ++ walk(b.rhs)
+      case _ => Nil
+    }
+    walk(e)
+  }
+
   /** Does the expression still carry unresolved interval-multiple (`Ni`)
     * durations? (True only BEFORE resolveStepDurations.) */
   def hasStepDurations(e: PromExpr): Boolean = e match {

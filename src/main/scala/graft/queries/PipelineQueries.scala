@@ -182,14 +182,17 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
-    // semantic decontamination: embedding cosine vs a benchmark split —
-    // the leak n-grams miss. The benchmark = the vec_id % 10 == 0 split
-    // PLUS verbatim copies of corpus vectors 1 and 11 under 1e6+ ids
-    // (planted contamination: cosine exactly 1.0 with their originals),
-    // so the 0.8 gate provably fires on real pairs at every sf
+    // semantic decontamination: embedding cosine vs a benchmark set —
+    // the leak n-grams miss. The benchmark = a FIXED-SIZE id slice
+    // (vec_id % 10 == 0, vec_id < 500 — eval sets don't grow with the
+    // corpus, and an unbounded split would make this the one suite entry
+    // with a quadratic cost curve) PLUS verbatim copies of corpus
+    // vectors 1 and 11 under 1e6+ ids (planted contamination: cosine
+    // exactly 1.0 with their originals), so the 0.8 gate provably fires
+    // on real pairs at every sf
     "q168_semantic_decontam" -> ((s, dir) => {
       val e = TsTables.embeddings(s, dir)
-      val bench = e.where(col("vec_id") % 10 === 0)
+      val bench = e.where(col("vec_id") % 10 === 0 && col("vec_id") < 500)
         .select(col("vec_id").as("bench_id"), col("embedding"))
         .unionByName(e.where(col("vec_id").isin(1L, 11L))
           .select((col("vec_id") + 1000000L).as("bench_id"), col("embedding")))
@@ -1355,7 +1358,7 @@ object PipelineQueries {
       """WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
                     WHERE vec_id % 10 <> 0),
               b AS (SELECT vec_id AS bench_id, embedding::DOUBLE[] AS v FROM embeddings
-                    WHERE vec_id % 10 = 0
+                    WHERE vec_id % 10 = 0 AND vec_id < 500
                     UNION ALL
                     SELECT vec_id + 1000000, embedding::DOUBLE[] FROM embeddings
                     WHERE vec_id IN (1, 11))

@@ -392,6 +392,20 @@ class PromApiSpec extends AnyFunSuite with Matchers {
     // truncated buffer: varint/length checks fire instead of mis-parsing
     intercept[IllegalArgumentException](
       decodeReadRequest(golden.dropRight(3)))
+    // unknown length-delimited fields skip CLEANLY (a real Prometheus
+    // Query always carries hints = field 4 wire 2): same decode as golden.
+    // This pins the skip's position arithmetic — `pos += readVarint()`
+    // evaluates the receiver BEFORE the varint read and under-skips.
+    val withHints: Array[Byte] = Array(
+      0x0A, 27, // ReadRequest.queries[0], len 22 + 5
+      0x08, 0xE8, 0x07,
+      0x10, 0xD0, 0x0F,
+      0x1A, 14,
+      0x12, 8, '_', '_', 'n', 'a', 'm', 'e', '_', '_',
+      0x1A, 2, 'u', 'p',
+      0x22, 3, 0x08, 0x01, 0x10 // hints (field 4, wire 2), 3 opaque bytes
+    ).map(_.toByte)
+    decodeReadRequest(withHints) shouldEqual req
   }
 
   test("remote read end-to-end: raw samples fetched over the protobuf+snappy " +

@@ -641,6 +641,21 @@ class PromQLSpec extends AnyFunSuite with Matchers {
     // subqueries compound on both sides
     maxSelectorForwardMs(graft.promql.Parser.parse(
       "max_over_time((m offset -5m)[30m:1m] offset -10m)")) shouldEqual 900000L
+    // @-pinned reads are ABSOLUTE intervals, not per-step reach
+    import PromPlanner.atReadIntervalsMs
+    atReadIntervalsMs(graft.promql.Parser.parse("last_over_time(m[5m] @ 1500)"),
+      lb, 0L, 9999999L) shouldEqual Seq((1200000L, 1500000L))
+    atReadIntervalsMs(graft.promql.Parser.parse("m @ 1500 offset 1m"),
+      lb, 0L, 0L) shouldEqual Seq((1140000L, 1440000L))
+    // @start()/@end() sentinels resolve against the query range
+    atReadIntervalsMs(graft.promql.Parser.parse("m @ start()"),
+      lb, 7000000L, 8000000L) shouldEqual Seq((6700000L, 7000000L))
+    atReadIntervalsMs(graft.promql.Parser.parse("m @ end()"),
+      lb, 7000000L, 8000000L) shouldEqual Seq((7700000L, 8000000L))
+    // an @-subquery spans its range plus the inner reach
+    atReadIntervalsMs(graft.promql.Parser.parse(
+      "max_over_time(rate(m[5m])[30m:1m] @ 3600)"),
+      lb, 0L, 0L) shouldEqual Seq((3600000L - 1800000L - 300000L, 3600000L))
   }
 
   test("planVector resolves unresolved Ni durations at entry (pre-parsed AST path)") {
