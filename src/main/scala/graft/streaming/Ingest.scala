@@ -507,6 +507,68 @@ object Ingest {
     fs.mkdirs(processed) // commit point: replays of this batch no-op
   }
 
+  /** Streaming MEDIA ingest with PERCEPTUAL dedup against the standing
+    * dHash index ([[graft.pipeline.CorpusLayout]] `*_phash`): each
+    * microbatch drops items whose decoded-pixel dHash lands within
+    * `maxDist` of an indexed item (or of a lower-id item in the same
+    * batch), writes the survivors, and folds them into the index — the
+    * media twin of [[startDocIngestWithNearDedup]], and the streaming
+    * form of the LAION-style re-encode dedup: a JPEG re-upload of an
+    * already-ingested PNG is dropped ON ARRIVAL. Same two-marker
+    * idempotence protocol as [[processDocBatch]]. Input: (doc_id, kind,
+    * bytes) + any carry-along columns. */
+  def startMediaIngestWithPerceptualDedup(media: DataFrame, table: String,
+                                          sinkDir: String, checkpointDir: String,
+                                          nBuckets: Int = 32, maxDist: Int = 6,
+                                          prefixBits: Int = 12)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    media.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processMediaBatch(batch, batchId, table, sinkDir, nBuckets, maxDist, prefixBits)
+      }
+      .start()
+
+  /** One perceptual-dedup media microbatch — the `foreachBatch` body of
+    * [[startMediaIngestWithPerceptualDedup]], factored out like
+    * [[processDocBatch]] so crash-window replays are testable. */
+  def processMediaBatch(batch: DataFrame, batchId: Long, table: String, sinkDir: String,
+                        nBuckets: Int = 32, maxDist: Int = 6, prefixBits: Int = 12): Unit = {
+    import graft.pipeline.{CorpusLayout, Multimodal}
+    val spark = batch.sparkSession
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val processed = new org.apache.hadoop.fs.Path(
+      s"$sinkDir/_processed/batch_id=$batchId")
+    val staged = new org.apache.hadoop.fs.Path(
+      s"$sinkDir/_staged/batch_id=$batchId")
+    if (fs.exists(processed)) return
+    val indexed = spark.catalog.tableExists(s"${table}_phash")
+    val survivors = if (fs.exists(staged))
+      spark.read.parquet(s"$sinkDir/batch_id=$batchId") // sink is authoritative
+    else {
+      val inBatch = Multimodal.perceptualDuplicates(batch, maxDist, prefixBits)
+        .select(col("id2").as("doc_id")).distinct() // keep the lower id
+      var computed = batch.join(inBatch, Seq("doc_id"), "left_anti")
+      if (indexed)
+        computed = computed.join(
+          CorpusLayout.perceptualDupsAgainstIndex(spark, batch, table, maxDist, prefixBits)
+            .select(col("doc_id")).distinct(),
+          Seq("doc_id"), "left_anti")
+      computed.persist()
+      computed.write.mode("overwrite").parquet(s"$sinkDir/batch_id=$batchId")
+      fs.mkdirs(staged)
+      computed.unpersist()
+      spark.read.parquet(s"$sinkDir/batch_id=$batchId")
+    }
+    if (indexed)
+      CorpusLayout.appendToPerceptualIndex(survivors, table, nBuckets, prefixBits)
+    else
+      CorpusLayout.writePerceptualIndex(survivors, table, nBuckets, prefixBits)
+    fs.mkdirs(processed)
+  }
+
   /** Streaming ingest from a parquet directory source. */
   def startFileIngest(spark: SparkSession, srcDir: String, sinkDir: String,
                       checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =

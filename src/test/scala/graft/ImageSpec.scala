@@ -113,6 +113,63 @@ class ImageSpec extends AnyFunSuite with Matchers {
     tiled.zipWithIndex.foreach { case (b, i) => b shouldEqual "abcde".getBytes("UTF-8")(i % 5) }
   }
 
+  test("streaming media ingest drops a JPEG re-upload of an indexed PNG on arrival; " +
+       "crash-window replay converges") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.Ingest
+    // a third, genuinely different picture for the batch-2 survivor
+    val freshPng = {
+      val img = new BufferedImage(90, 80, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 80; x <- 0 until 90) {
+        val v = (((x / 10) * 11 + (y / 10) * 37) % 5) * 50
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      enc(img, "png")
+    }
+    val ms = MemoryStream[(Long, String, Array[Byte])]
+    val dir = java.nio.file.Files.createTempDirectory("media_ingest").toString
+    val table = "media_pdx"
+    spark.sql(s"DROP TABLE IF EXISTS ${table}_phash")
+    val wh = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), s"${table}_phash")
+    wh.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(wh, true)
+    val q = Ingest.startMediaIngestWithPerceptualDedup(
+      ms.toDF.toDF("doc_id", "kind", "bytes"), table, s"$dir/sink", s"$dir/ckpt",
+      nBuckets = 4, maxDist = 6, prefixBits = 12)
+    try {
+      ms.addData((1L, "image", png), (2L, "image", otherPng))
+      q.processAllAvailable()
+      spark.read.parquet(s"$dir/sink").select("doc_id")
+        .collect().map(_.getLong(0)).sorted shouldEqual Array(1L, 2L)
+      // batch 2: a JPEG re-encode and a 2px crop of the INDEXED picture
+      // (different bytes, different digests) are dropped on arrival;
+      // the genuinely new picture survives and folds into the index
+      ms.addData((10L, "image", jpeg), (11L, "image", cropPng), (12L, "image", freshPng))
+      q.processAllAvailable()
+      spark.read.parquet(s"$dir/sink").select("doc_id")
+        .collect().map(_.getLong(0)).sorted shouldEqual Array(1L, 2L, 12L)
+      // crash-window replay (processed marker lost after the index fold):
+      // sink unchanged, no duplicate index rows observable via the probe
+      val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/sink/_processed/batch_id=1"), true)
+      import spark.implicits._
+      Ingest.processMediaBatch(
+        Seq((10L, "image", jpeg), (11L, "image", cropPng), (12L, "image", freshPng))
+          .toDF("doc_id", "kind", "bytes"),
+        1L, table, s"$dir/sink", nBuckets = 4, maxDist = 6, prefixBits = 12)
+      spark.read.parquet(s"$dir/sink").select("doc_id")
+        .collect().map(_.getLong(0)).sorted shouldEqual Array(1L, 2L, 12L)
+      graft.pipeline.CorpusLayout.perceptualDupsAgainstIndex(
+          spark, Seq((99L, "image", freshPng)).toDF("doc_id", "kind", "bytes"),
+          table, maxDist = 6, prefixBits = 12)
+        .collect().map(_.getLong(1)).toSeq shouldEqual Seq(12L) // exactly once
+    } finally {
+      q.stop()
+      spark.sql(s"DROP TABLE IF EXISTS ${table}_phash")
+    }
+  }
+
   test("decodeFeatures: real images emit luminance features (decoded=true), others the digest stub") {
     val media = Seq((0L, "image", png), (2L, "audio", "some audio bytes".getBytes("UTF-8")))
       .toDF("doc_id", "kind", "bytes")
