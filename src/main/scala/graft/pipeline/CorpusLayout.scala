@@ -230,7 +230,14 @@ object CorpusLayout {
     * [[nearDupsAgainstIndex]]. */
   def perceptualDupsAgainstIndex(spark: SparkSession, newMedia: DataFrame, table: String,
                                  maxDist: Int = 6, prefixBits: Int = 12): DataFrame =
-    perceptualRows(newMedia, prefixBits)
+    probePerceptualRows(spark, perceptualRows(newMedia, prefixBits), table, maxDist)
+
+  /** The index probe over an ALREADY-HASHED (doc_id, kind, ph, pb) frame —
+    * callers that also need in-batch pairs hash once and reuse (pixel
+    * decode is the expensive step for media, unlike text shingling). */
+  private def probePerceptualRows(spark: SparkSession, rows: DataFrame, table: String,
+                                  maxDist: Int): DataFrame =
+    rows
       .withColumnRenamed("doc_id", "__new_id").withColumnRenamed("ph", "__nph")
       .join(spark.table(s"${table}_phash").dropDuplicates(), Seq("kind", "pb"))
       .filter(col("__new_id") =!= col("doc_id"))
@@ -238,6 +245,31 @@ object CorpusLayout {
       .filter(col("dist") <= maxDist)
       .select(col("__new_id").as("doc_id"), col("doc_id").as("corpus_id"),
         col("kind"), col("dist"))
+
+  /** Survivors of a media batch after perceptual dedup against BOTH the
+    * standing index (when `table` exists) and lower-id batch siblings —
+    * the media twin of [[dropNearDupsAgainstIndex]]. Each item's dHash
+    * (one pixel decode) is computed ONCE into a small (doc_id, kind, ph,
+    * pb) frame that serves both the in-batch pair join and the index
+    * probe; the payload bytes are scanned once and never shuffle. */
+  def dropPerceptualDupsAgainstIndex(spark: SparkSession, newMedia: DataFrame, table: String,
+                                     maxDist: Int = 6, prefixBits: Int = 12,
+                                     maxBucketSize: Int = 4096): DataFrame = {
+    val rows = perceptualRows(newMedia, prefixBits).localCheckpoint(false)
+    val capped = Dedup.capBuckets(rows, Seq("kind", "pb"), maxBucketSize)
+    val a = capped.as("a"); val b = capped.as("b")
+    val inBatch = a.join(b, col("a.kind") === col("b.kind") &&
+        col("a.pb") === col("b.pb") && col("a.doc_id") < col("b.doc_id"))
+      .filter(bit_count(col("a.ph").bitwiseXOR(col("b.ph"))) <= maxDist)
+      .select(col("b.doc_id").as("doc_id")).distinct() // keep the lower id
+    val dropIds =
+      if (spark.catalog.tableExists(s"${table}_phash"))
+        inBatch.unionByName(
+          probePerceptualRows(spark, rows, table, maxDist)
+            .select(col("doc_id")).distinct())
+      else inBatch
+    newMedia.join(dropIds.distinct(), Seq("doc_id"), "left_anti")
+  }
 
   def appendToPerceptualIndex(media: DataFrame, table: String, nBuckets: Int = 32,
                               prefixBits: Int = 12): Unit =

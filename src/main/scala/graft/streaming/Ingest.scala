@@ -461,18 +461,23 @@ object Ingest {
     * replays are testable deterministically (StreamingSpec kills between
     * the two markers and replays). Safe to call directly for batch
     * backfill with the same idempotence contract. */
-  def processDocBatch(batch: DataFrame, batchId: Long, table: String, sinkDir: String,
+  def processDocBatch(batch0: DataFrame, batchId: Long, table: String, sinkDir: String,
                       nBuckets: Int = 32, threshold: Double = 0.7, numHashes: Int = 32,
                       shingleK: Int = 3, rowsPerBand: Int = 4): Unit = {
     import graft.pipeline.{CorpusLayout, Dedup}
-    val spark = batch.sparkSession
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
+    val spark = batch0.sparkSession
+    // the SINK's filesystem, not the default one — markers must live
+    // beside the data they guard on any scheme
+    val fs = new org.apache.hadoop.fs.Path(sinkDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val processed = new org.apache.hadoop.fs.Path(
       s"$sinkDir/_processed/batch_id=$batchId")
     val staged = new org.apache.hadoop.fs.Path(
       s"$sinkDir/_staged/batch_id=$batchId")
     if (fs.exists(processed)) return
+    // at-least-once sources can repeat a row WITHIN a batch; equal ids
+    // never pair (the join wants id1 < id2), so dedupe up front
+    val batch = batch0.dropDuplicates("doc_id")
     val indexed = spark.catalog.tableExists(s"${table}_bands")
     val survivors = if (fs.exists(staged))
       // replay after the sink write committed: the sink is authoritative
@@ -480,20 +485,20 @@ object Ingest {
       // rows would NOT reproduce the original survivor set)
       spark.read.parquet(s"$sinkDir/batch_id=$batchId")
     else {
-      val computed = (if (indexed)
-        CorpusLayout.dropNearDupsAgainstIndex(spark, batch, table,
-          numHashes = numHashes, shingleK = shingleK,
-          rowsPerBand = rowsPerBand, threshold = threshold)
-      else // first batch: no corpus yet, in-batch near-dedup only
-        batch.join(
-          Dedup.minHashDuplicates(batch, numHashes = numHashes,
-              shingleK = shingleK, rowsPerBand = rowsPerBand,
-              threshold = threshold)
-            .select(col("id2").as("doc_id")).distinct(),
-          Seq("doc_id"), "left_anti")).persist()
+      val computed =
+        if (indexed)
+          CorpusLayout.dropNearDupsAgainstIndex(spark, batch, table,
+            numHashes = numHashes, shingleK = shingleK,
+            rowsPerBand = rowsPerBand, threshold = threshold)
+        else // first batch: no corpus yet, in-batch near-dedup only
+          batch.join(
+            Dedup.minHashDuplicates(batch, numHashes = numHashes,
+                shingleK = shingleK, rowsPerBand = rowsPerBand,
+                threshold = threshold)
+              .select(col("id2").as("doc_id")).distinct(),
+            Seq("doc_id"), "left_anti")
       computed.write.mode("overwrite").parquet(s"$sinkDir/batch_id=$batchId")
       fs.mkdirs(staged) // sink committed: replays past here never recompute
-      computed.unpersist()
       // fold from the committed files, not the live plan: identical rows,
       // and the fold cannot observe a recomputation drift by construction
       spark.read.parquet(s"$sinkDir/batch_id=$batchId")
@@ -533,33 +538,32 @@ object Ingest {
   /** One perceptual-dedup media microbatch — the `foreachBatch` body of
     * [[startMediaIngestWithPerceptualDedup]], factored out like
     * [[processDocBatch]] so crash-window replays are testable. */
-  def processMediaBatch(batch: DataFrame, batchId: Long, table: String, sinkDir: String,
+  def processMediaBatch(batch0: DataFrame, batchId: Long, table: String, sinkDir: String,
                         nBuckets: Int = 32, maxDist: Int = 6, prefixBits: Int = 12): Unit = {
-    import graft.pipeline.{CorpusLayout, Multimodal}
-    val spark = batch.sparkSession
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
+    import graft.pipeline.CorpusLayout
+    val spark = batch0.sparkSession
+    // the SINK's filesystem, not the default one — markers must live
+    // beside the data they guard on any scheme
+    val fs = new org.apache.hadoop.fs.Path(sinkDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val processed = new org.apache.hadoop.fs.Path(
       s"$sinkDir/_processed/batch_id=$batchId")
     val staged = new org.apache.hadoop.fs.Path(
       s"$sinkDir/_staged/batch_id=$batchId")
     if (fs.exists(processed)) return
+    // at-least-once sources can repeat a row WITHIN a batch; equal ids
+    // never pair (the join wants a < b), so dedupe up front
+    val batch = batch0.dropDuplicates("doc_id")
     val indexed = spark.catalog.tableExists(s"${table}_phash")
     val survivors = if (fs.exists(staged))
       spark.read.parquet(s"$sinkDir/batch_id=$batchId") // sink is authoritative
     else {
-      val inBatch = Multimodal.perceptualDuplicates(batch, maxDist, prefixBits)
-        .select(col("id2").as("doc_id")).distinct() // keep the lower id
-      var computed = batch.join(inBatch, Seq("doc_id"), "left_anti")
-      if (indexed)
-        computed = computed.join(
-          CorpusLayout.perceptualDupsAgainstIndex(spark, batch, table, maxDist, prefixBits)
-            .select(col("doc_id")).distinct(),
-          Seq("doc_id"), "left_anti")
-      computed.persist()
-      computed.write.mode("overwrite").parquet(s"$sinkDir/batch_id=$batchId")
+      // one pixel decode per item: the in-batch pairs and the index
+      // probe both derive from a single hashed frame
+      CorpusLayout.dropPerceptualDupsAgainstIndex(
+          spark, batch, table, maxDist, prefixBits)
+        .write.mode("overwrite").parquet(s"$sinkDir/batch_id=$batchId")
       fs.mkdirs(staged)
-      computed.unpersist()
       spark.read.parquet(s"$sinkDir/batch_id=$batchId")
     }
     if (indexed)
