@@ -24,9 +24,24 @@ import graft.operators.MetadataOps
   */
 class PromApi(spark: SparkSession, samples: DataFrame, port: Int = 0,
               maxResultSeries: Int = 100000,
-              seriesIndex: Option[DataFrame] = None) {
+              seriesIndex: Option[DataFrame] = None,
+              writeSink: Option[PromApi.WriteSink] = None) {
 
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
+
+  /** Next remote-write batch id: starts past any batch directory already
+    * in the sink, so a restarted server never overwrites an earlier
+    * POST's batch (each POST is its own idempotently-keyed batch). */
+  private lazy val writeBatchId = new java.util.concurrent.atomic.AtomicLong(
+    writeSink.map { ws =>
+      val dir = new org.apache.hadoop.fs.Path(ws.sinkDir)
+      val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(dir)) 0L
+      else fs.listStatus(dir).map(_.getPath.getName)
+        .collect { case n if n.startsWith("batch_id=") =>
+          n.stripPrefix("batch_id=").toLong }
+        .foldLeft(-1L)(math.max) + 1L
+    }.getOrElse(0L))
 
   def boundPort: Int = server.getAddress.getPort
 
@@ -40,6 +55,7 @@ class PromApi(spark: SparkSession, samples: DataFrame, port: Int = 0,
     server.createContext("/api/v1/tscardinality", handler(tsCardinality))
     server.createContext("/api/v1/format_query", handler(formatQuery))
     server.createContext("/api/v1/read", remoteReadHandler)
+    writeSink.foreach(_ => server.createContext("/api/v1/write", remoteWriteHandler))
     server.createContext("/api/v1/status/buildinfo", handler(buildInfo))
     server.createContext("/__health", handler(health))
     server.setExecutor(null)
@@ -122,7 +138,7 @@ class PromApi(spark: SparkSession, samples: DataFrame, port: Int = 0,
       lookbackMs = lookback(p))
     val df = PromPlanner.queryRange(ctx, p("query"))
     if (p.get("explainOnly").contains("true")) return explainResponse(p("query"), df)
-    val rows = collectLimited(df).groupBy(_.getString(0)).toSeq.sortBy(_._1)
+    val rows = collectLimited(df, seriesCap(p)).groupBy(_.getString(0)).toSeq.sortBy(_._1)
     val result = rows.map { case (key, rs) =>
       val metric = keyToJsonObject(key)
       val values = rs.sortBy(_.getLong(1)).map { r =>
@@ -151,7 +167,7 @@ class PromApi(spark: SparkSession, samples: DataFrame, port: Int = 0,
     val ast = PromPlanner.resolveStepDurations(ast0, ctx.stepMs)
     val df = PromPlanner.planVector(ctx, ast)
     if (p.get("explainOnly").contains("true")) return explainResponse(p("query"), df)
-    val rows = collectLimited(df)
+    val rows = collectLimited(df, seriesCap(p))
     if (PromPlanner.isScalarTyped(ast)) {
       // exactly one grid step (start == end): one value, NaN when empty
       val v = rows.headOption.map(_.getDouble(2)).getOrElse(Double.NaN)
@@ -234,6 +250,41 @@ class PromApi(spark: SparkSession, samples: DataFrame, port: Int = 0,
     } finally ex.close()
   }
 
+  /** Prometheus REMOTE WRITE (`/api/v1/write`): snappy-compressed protobuf
+    * WriteRequest in (the wire every real Prometheus `remote_write` stanza
+    * pushes through), 204 out. Decoded series become canonical (metric,
+    * tags, ts, value) rows and commit through the standard ingest chain —
+    * out-of-order/duplicate drop against the series index's persisted
+    * high-water marks, cardinality quota admission, partitioned sink +
+    * index delta ([[graft.streaming.Ingest.remoteWriteBatch]]) — so
+    * remote-written data is immediately queryable by every endpoint above
+    * when the API serves from the sink directory. Sample payloads only
+    * (exemplars/histograms/metadata skip as unknown fields, per proto3). */
+  private def remoteWriteHandler: com.sun.net.httpserver.HttpHandler = (ex: HttpExchange) => {
+    try {
+      val ws = writeSink.get
+      val body = org.xerial.snappy.Snappy.uncompress(ex.getRequestBody.readAllBytes())
+      val series = ProtoWire.decodeWriteRequest(body)
+      val rows = series.flatMap { s =>
+        val metric = s.labels.collectFirst { case ("__name__", v) => v }.getOrElse("")
+        val tags = s.labels.filter(_._1 != "__name__").toMap
+        s.samples.map(p => (metric, tags, p.ts, p.value))
+      }
+      import spark.implicits._
+      graft.streaming.Ingest.remoteWriteBatch(
+        rows.toDF("metric", "tags", "ts", "value"),
+        writeBatchId.getAndIncrement(), ws.sinkDir, ws.indexDir, ws.rejectDir, ws.cfg)
+      ex.sendResponseHeaders(204, -1)
+    } catch {
+      case e: Exception =>
+        val msg = s"""{"status":"error","errorType":"bad_data","error":${js(e.getMessage)}}"""
+          .getBytes(StandardCharsets.UTF_8)
+        ex.getResponseHeaders.add("Content-Type", "application/json")
+        ex.sendResponseHeaders(400, msg.length)
+        ex.getResponseBody.write(msg)
+    } finally ex.close()
+  }
+
   /** One remote-read query: matcher + time-range filter over the samples
     * frame (predicates push to the scan), grouped into per-series sample
     * lists. Labels are __name__ + tags, name-sorted; samples ts-ascending
@@ -280,17 +331,28 @@ class PromApi(spark: SparkSession, samples: DataFrame, port: Int = 0,
     * executes ONCE: the guard's count populates the cache, the collect
     * reads it (the round-2 judge flagged the guard re-executing the whole
     * plan from the scan — 2× cluster work per endpoint hit). */
-  private def collectLimited(df: DataFrame): Array[org.apache.spark.sql.Row] = {
+  private def collectLimited(df: DataFrame,
+                             cap: Int): Array[org.apache.spark.sql.Row] = {
     val slim = df.select(col("__key"), col("step_ts"), col("value"))
     slim.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val n = slim.select(col("__key")).distinct().limit(maxResultSeries + 1).count()
-      if (n > maxResultSeries)
+      val n = slim.select(col("__key")).distinct().limit(cap + 1).count()
+      if (n > cap)
         throw new IllegalStateException(
-          s"query result exceeds the per-query limit of $maxResultSeries series")
+          s"query result exceeds the per-query limit of $cap series")
       slim.collect()
     } finally slim.unpersist(false)
   }
+
+  /** Effective series cap for one request: the server's `maxResultSeries`,
+    * tightened by an optional per-request `limit` param — a federation
+    * CLIENT bounds what a shipped query may return (errors, never
+    * truncates; a remote peer cannot loosen the server's own cap). */
+  private def seriesCap(p: Map[String, String]): Int =
+    p.get("limit").map(_.toInt) match {
+      case Some(l) if l > 0 => math.min(l, maxResultSeries)
+      case _ => maxResultSeries
+    }
 
   /** samples restricted to the optional start/end params (Prometheus
     * allows a time range on every metadata endpoint). */
@@ -402,4 +464,13 @@ class PromApi(spark: SparkSession, samples: DataFrame, port: Int = 0,
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+}
+
+object PromApi {
+  /** Where `/api/v1/write` commits: the sink/index/reject directory triple
+    * plus the quota config of the canonical ingest chain (the same triple
+    * `Ingest.startCanonicalIngestWithQuota` maintains — point a read API's
+    * `samples` at `sinkDir` to query what arrives). */
+  case class WriteSink(sinkDir: String, indexDir: String, rejectDir: String,
+                       cfg: graft.operators.Quota.QuotaConfig)
 }

@@ -20,6 +20,7 @@ import java.nio.charset.StandardCharsets
   *   LabelMatcher { enum Type { EQ=0 NEQ=1 RE=2 NRE=3 } type = 1;
   *                  string name = 2; string value = 3; }
   *   ReadResponse { repeated QueryResult results = 1; }
+  *   WriteRequest { repeated TimeSeries timeseries = 1; }
   *   QueryResult  { repeated TimeSeries timeseries = 1; }
   *   TimeSeries   { repeated Label labels = 1; repeated Sample samples = 2; }
   *   Label        { string name = 1; string value = 2; }
@@ -188,28 +189,81 @@ object ProtoWire {
     PReadRequest(queries.result())
   }
 
+  /** TimeSeries { repeated Label labels = 1; repeated Sample samples = 2; }
+    * — the one message shape ReadResponse (inside QueryResult) and
+    * WriteRequest both carry. */
+  private def writeSeries(parent: Writer, field: Int, s: PSeries): Unit = {
+    val tw = new Writer
+    s.labels.foreach { case (n, v) =>
+      val lw = new Writer
+      lw.string(1, n); lw.string(2, v)
+      tw.message(1, lw)
+    }
+    s.samples.foreach { smp =>
+      val sw = new Writer
+      sw.double(1, smp.value); sw.int64(2, smp.ts)
+      tw.message(2, sw)
+    }
+    parent.message(field, tw)
+  }
+
+  private def readSeries(tr: Reader): PSeries = {
+    val labels = Seq.newBuilder[(String, String)]
+    val samples = Seq.newBuilder[PSample]
+    while (tr.hasNext) tr.readKey() match {
+      case (1, 2) =>
+        val lr = tr.readMessage()
+        var n = ""; var v = ""
+        while (lr.hasNext) lr.readKey() match {
+          case (1, 2) => n = lr.readString()
+          case (2, 2) => v = lr.readString()
+          case (_, wt) => lr.skip(wt)
+        }
+        labels += (n -> v)
+      case (2, 2) =>
+        val sr = tr.readMessage()
+        var value = 0.0; var ts = 0L
+        while (sr.hasNext) sr.readKey() match {
+          case (1, 1) => value = sr.readDouble()
+          case (2, 0) => ts = sr.readVarint()
+          case (_, wt) => sr.skip(wt)
+        }
+        samples += PSample(value, ts)
+      case (_, wt) => tr.skip(wt)
+    }
+    PSeries(labels.result(), samples.result())
+  }
+
   /** One QueryResult per request query, in order. */
   def encodeReadResponse(results: Seq[Seq[PSeries]]): Array[Byte] = {
     val w = new Writer
     results.foreach { series =>
       val rw = new Writer
-      series.foreach { s =>
-        val tw = new Writer
-        s.labels.foreach { case (n, v) =>
-          val lw = new Writer
-          lw.string(1, n); lw.string(2, v)
-          tw.message(1, lw)
-        }
-        s.samples.foreach { smp =>
-          val sw = new Writer
-          sw.double(1, smp.value); sw.int64(2, smp.ts)
-          tw.message(2, sw)
-        }
-        rw.message(1, tw)
-      }
+      series.foreach(writeSeries(rw, 1, _))
       w.message(1, rw)
     }
     w.toBytes
+  }
+
+  /** Prometheus remote-WRITE request (prompb/remote.proto):
+    *   WriteRequest { repeated TimeSeries timeseries = 1; }
+    * — the wire every real Prometheus `remote_write` stanza pushes
+    * through; same frozen public schema family as the read pair (unknown
+    * fields — metadata, exemplars, histograms — skip per proto3 rules). */
+  def encodeWriteRequest(series: Seq[PSeries]): Array[Byte] = {
+    val w = new Writer
+    series.foreach(writeSeries(w, 1, _))
+    w.toBytes
+  }
+
+  def decodeWriteRequest(b: Array[Byte]): Seq[PSeries] = {
+    val r = new Reader(b, 0, b.length)
+    val series = Seq.newBuilder[PSeries]
+    while (r.hasNext) r.readKey() match {
+      case (1, 2) => series += readSeries(r.readMessage())
+      case (_, wt) => r.skip(wt)
+    }
+    series.result()
   }
 
   def decodeReadResponse(b: Array[Byte]): Seq[Seq[PSeries]] = {
@@ -220,32 +274,7 @@ object ProtoWire {
         val qr = r.readMessage()
         val series = Seq.newBuilder[PSeries]
         while (qr.hasNext) qr.readKey() match {
-          case (1, 2) =>
-            val tr = qr.readMessage()
-            val labels = Seq.newBuilder[(String, String)]
-            val samples = Seq.newBuilder[PSample]
-            while (tr.hasNext) tr.readKey() match {
-              case (1, 2) =>
-                val lr = tr.readMessage()
-                var n = ""; var v = ""
-                while (lr.hasNext) lr.readKey() match {
-                  case (1, 2) => n = lr.readString()
-                  case (2, 2) => v = lr.readString()
-                  case (_, wt) => lr.skip(wt)
-                }
-                labels += (n -> v)
-              case (2, 2) =>
-                val sr = tr.readMessage()
-                var value = 0.0; var ts = 0L
-                while (sr.hasNext) sr.readKey() match {
-                  case (1, 1) => value = sr.readDouble()
-                  case (2, 0) => ts = sr.readVarint()
-                  case (_, wt) => sr.skip(wt)
-                }
-                samples += PSample(value, ts)
-              case (_, wt) => tr.skip(wt)
-            }
-            series += PSeries(labels.result(), samples.result())
+          case (1, 2) => series += readSeries(qr.readMessage())
           case (_, wt) => qr.skip(wt)
         }
         results += series.result()

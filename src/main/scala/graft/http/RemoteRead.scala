@@ -30,14 +30,19 @@ object RemoteRead {
   ).asInstanceOf[StructType]
 
   /** One federated range read: GET the remote's query_range and decode to
-    * (labels, __key, step_ts, value). */
+    * (labels, __key, step_ts, value). `seriesLimit` rides along as the
+    * API's `limit` param, making the remote ERROR (never truncate) past
+    * the cap — the client-side bound on what a shipped query may
+    * materialize on this driver. */
   def queryRange(spark: SparkSession, baseUrl: String, query: String,
-                 startMs: Long, endMs: Long, stepMs: Long): DataFrame = {
+                 startMs: Long, endMs: Long, stepMs: Long,
+                 seriesLimit: Option[Int] = None): DataFrame = {
     // parse→print: ship the canonical rendering of the plan, not the raw
     // user string (and fail fast on queries we couldn't re-enter remotely)
     val shipped = Printer.print(Parser.parse(query))
     val url = s"$baseUrl/api/v1/query_range?query=${URLEncoder.encode(shipped, "UTF-8")}" +
-      s"&start=${startMs / 1000.0}&end=${endMs / 1000.0}&step=${stepMs / 1000.0}"
+      s"&start=${startMs / 1000.0}&end=${endMs / 1000.0}&step=${stepMs / 1000.0}" +
+      seriesLimit.map(l => s"&limit=$l").getOrElse("")
     val body = HttpClient.newHttpClient().send(
       HttpRequest.newBuilder(URI.create(url)).GET().build(),
       HttpResponse.BodyHandlers.ofString()).body()
@@ -66,10 +71,19 @@ object RemoteRead {
     * re-evaluated locally (the complement of [[queryRange]]'s
     * ship-the-query federation: this ships the DATA). Wire format per
     * [[ProtoWire]]; the route is a functional-testing surface in the
-    * reference too, so result sets are presentation-bounded. */
+    * reference too, so result sets are presentation-bounded — and
+    * BOUNDED HERE by construction: the range fetches in `chunkMs` time
+    * windows (one POST each, so no single response materializes a wide
+    * range at once) under a hard `maxSamples` cap that ERRORS — never
+    * truncates — the moment the decoded total crosses it. A federated
+    * raw-selector fetch over an unbounded range fails fast instead of
+    * exhausting the driver. */
   def remoteRead(spark: SparkSession, baseUrl: String, selector: String,
-                 startMs: Long, endMs: Long): DataFrame = {
+                 startMs: Long, endMs: Long,
+                 chunkMs: Long = 6L * 3600 * 1000,
+                 maxSamples: Long = 10000000L): DataFrame = {
     import graft.promql.{MatchOp, Selector}
+    require(chunkMs > 0, "chunkMs must be positive")
     val sel = Parser.parse(selector) match {
       case s: Selector if s.windowMs.isEmpty && s.offsetMs == 0L && s.atMs.isEmpty => s
       case _: Selector => throw new IllegalArgumentException(
@@ -82,28 +96,84 @@ object RemoteRead {
     val matchers =
       sel.metric.map(m => ProtoWire.PMatcher(0, "__name__", m)).toSeq ++
         sel.matchers.map(m => ProtoWire.PMatcher(typOf(m.op), m.label, m.value))
-    val reqBytes = org.xerial.snappy.Snappy.compress(
-      ProtoWire.encodeReadRequest(ProtoWire.PReadRequest(
-        Seq(ProtoWire.PQuery(startMs, endMs, matchers)))))
-    val httpResp = HttpClient.newHttpClient().send(
-      HttpRequest.newBuilder(URI.create(s"$baseUrl/api/v1/read"))
-        .header("Content-Type", "application/x-protobuf")
-        .header("Content-Encoding", "snappy")
-        .POST(HttpRequest.BodyPublishers.ofByteArray(reqBytes)).build(),
-      HttpResponse.BodyHandlers.ofByteArray())
-    if (httpResp.statusCode() != 200)
-      throw new IllegalStateException(
-        s"remote $baseUrl: HTTP ${httpResp.statusCode()} " +
-          new String(httpResp.body(), java.nio.charset.StandardCharsets.UTF_8))
-    val results = ProtoWire.decodeReadResponse(
-      org.xerial.snappy.Snappy.uncompress(httpResp.body()))
-    val rows = results.headOption.getOrElse(Nil).flatMap { s =>
-      val metric = s.labels.collectFirst { case ("__name__", v) => v }.getOrElse("")
-      val tags = s.labels.filter(_._1 != "__name__").toMap
-      s.samples.map(p => (metric, tags, p.ts, p.value))
+    val client = HttpClient.newHttpClient()
+    val rows = Seq.newBuilder[(String, Map[String, String], Long, Double)]
+    var total = 0L
+    // inclusive-bound windows [s, s + chunkMs - 1]; the server's range
+    // filter is inclusive both ends, so adjacent chunks never overlap
+    var s = startMs
+    while (s <= endMs) {
+      val e = math.min(s + chunkMs - 1, endMs)
+      val reqBytes = org.xerial.snappy.Snappy.compress(
+        ProtoWire.encodeReadRequest(ProtoWire.PReadRequest(
+          Seq(ProtoWire.PQuery(s, e, matchers)))))
+      val httpResp = client.send(
+        HttpRequest.newBuilder(URI.create(s"$baseUrl/api/v1/read"))
+          .header("Content-Type", "application/x-protobuf")
+          .header("Content-Encoding", "snappy")
+          .POST(HttpRequest.BodyPublishers.ofByteArray(reqBytes)).build(),
+        HttpResponse.BodyHandlers.ofByteArray())
+      if (httpResp.statusCode() != 200)
+        throw new IllegalStateException(
+          s"remote $baseUrl: HTTP ${httpResp.statusCode()} " +
+            new String(httpResp.body(), java.nio.charset.StandardCharsets.UTF_8))
+      val results = ProtoWire.decodeReadResponse(
+        org.xerial.snappy.Snappy.uncompress(httpResp.body()))
+      results.headOption.getOrElse(Nil).foreach { ser =>
+        val metric = ser.labels.collectFirst { case ("__name__", v) => v }.getOrElse("")
+        val tags = ser.labels.filter(_._1 != "__name__").toMap
+        total += ser.samples.length
+        if (total > maxSamples)
+          throw new IllegalStateException(
+            s"remote read exceeds the $maxSamples-sample cap at window " +
+              s"[$s, $e] — narrow the selector or range, or raise maxSamples")
+        ser.samples.foreach(p => rows += ((metric, tags, p.ts, p.value)))
+      }
+      s = e + 1
     }
     import spark.implicits._
-    rows.toDF("metric", "tags", "ts", "value")
+    rows.result().toDF("metric", "tags", "ts", "value")
+  }
+
+  /** Prometheus remote-WRITE client: POST canonical (metric, tags, ts,
+    * value) rows to a cluster's `/api/v1/write` as one snappy-compressed
+    * protobuf WriteRequest — the push half of the federation story
+    * (cluster A replicates into cluster B over the standard Prometheus
+    * wire). The frame collects at the driver: remote-write payloads are
+    * batch-sized by contract (a scrape interval's worth), and
+    * `maxSamples` fails loudly — never truncates — if a caller points a
+    * corpus-scale frame at it. Returns the number of samples shipped. */
+  def remoteWrite(df: DataFrame, baseUrl: String, maxSamples: Long = 1000000L): Long = {
+    val slim = df.select(col("metric"), col("tags"),
+      col("ts").cast("long"), col("value").cast("double"))
+    val rows = slim.limit((maxSamples + 1).min(Int.MaxValue).toInt).collect()
+    if (rows.length > maxSamples)
+      throw new IllegalStateException(
+        s"remote write exceeds the per-request cap of $maxSamples samples — " +
+          "chunk the frame (remote-write is a batch wire, not a bulk loader)")
+    val series = rows
+      .groupBy(r => (r.getString(0), r.getMap[String, String](1).toSeq.sortBy(_._1)))
+      .toSeq
+      .map { case ((metric, tags), rs) =>
+        ProtoWire.PSeries(
+          (("__name__" -> metric) +: tags).sortBy(_._1),
+          rs.map(r => ProtoWire.PSample(r.getDouble(3), r.getLong(2)))
+            .sortBy(_.ts).toSeq)
+      }
+      .sortBy(_.labels.mkString)
+    val body = org.xerial.snappy.Snappy.compress(
+      ProtoWire.encodeWriteRequest(series))
+    val resp = HttpClient.newHttpClient().send(
+      HttpRequest.newBuilder(URI.create(s"$baseUrl/api/v1/write"))
+        .header("Content-Type", "application/x-protobuf")
+        .header("Content-Encoding", "snappy")
+        .POST(HttpRequest.BodyPublishers.ofByteArray(body)).build(),
+      HttpResponse.BodyHandlers.ofByteArray())
+    if (resp.statusCode() / 100 != 2)
+      throw new IllegalStateException(
+        s"remote $baseUrl: HTTP ${resp.statusCode()} " +
+          new String(resp.body(), java.nio.charset.StandardCharsets.UTF_8))
+    rows.length.toLong
   }
 
   /** Federated evaluation (reference MultiPartitionPlanner/DistConcat
@@ -145,8 +215,9 @@ object RemoteRead {
   /** The reference HighAvailabilityPlanner's FULL behavior: given each
     * replica's known DOWNTIME windows (its FailureProvider), split the
     * query range at step boundaries so every step evaluates on the first
-    * replica that was healthy then, one remote call per contiguous
-    * (replica, subrange) run, results unioned. A step all replicas were
+    * replica that was healthy then, ONE remote call per replica (covering
+    * all its runs, filtered back to them), results unioned. A step all
+    * replicas were
     * down for is simply absent, like the reference's empty partial
     * results. Splits stay ON the step grid (subrange starts are
     * start + k*step) so every replica evaluates the same aligned steps.
@@ -179,13 +250,26 @@ object RemoteRead {
     val choice: Seq[(Long, Option[Int])] = steps.map { t =>
       t -> replicas.indices.find(i => healthyAt(replicas(i)._2, t))
     }
-    // contiguous runs of the same replica choice -> one remote call each
+    // contiguous runs of the same replica choice; then ONE remote call per
+    // REPLICA over the span of its runs, filtered back to the run steps.
+    // Sound because evaluation is per-step (every subrange start stays on
+    // the original step grid, and a step's value depends only on the query
+    // and its own read interval, not on the requested range's bounds) —
+    // under adversarial alternating downtime the old one-call-per-run
+    // degenerated toward one serialized fetch per step.
     val runs = choice.foldLeft(List.empty[(Option[Int], Long, Long)]) {
       case ((r, s, e) :: rest, (t, c)) if c == r => (r, s, t) :: rest
       case (acc, (t, c)) => (c, t, t) :: acc
     }.reverse
-    val parts = runs.collect { case (Some(i), s, e) =>
-      queryRange(spark, replicas(i)._1, query, s, e, stepMs)
+    val byReplica = runs.collect { case (Some(i), s, e) => (i, s, e) }
+      .groupBy(_._1).toSeq.sortBy(_._1)
+    val parts = byReplica.map { case (i, rs) =>
+      val spanStart = rs.map(_._2).min
+      val spanEnd = rs.map(_._3).max
+      val keep = rs.map { case (_, s, e) => col("step_ts").between(s, e) }
+        .reduce(_ || _)
+      queryRange(spark, replicas(i)._1, query, spanStart, spanEnd, stepMs)
+        .filter(keep)
     }
     require(parts.nonEmpty,
       s"no replica healthy anywhere in [$startMs, $endMs] — ${replicas.map(_._1)}")

@@ -113,18 +113,35 @@ object Components {
                             id1: String = "id1", id2: String = "id2",
                             idCol: String = "id", compCol: String = "component",
                             maxIter: Int = 25): DataFrame = {
-    val ends = newEdges.select(col(id1).as(idCol))
-      .union(newEdges.select(col(id2).as(idCol))).distinct()
+    // fast path: the common COLLISION-FREE batch (the standing near-dup
+    // service's steady state finds no new pairs) — no edges means no
+    // touched components and no new nodes; skip the star-forest loop's
+    // ~10 fixed-overhead jobs entirely and return the assignment as-is.
+    // checkpoint first: `newEdges` is typically an expensive probe
+    // pipeline, and the emptiness test plus the seed union below would
+    // each re-derive it
+    val edges0 = newEdges.select(col(id1), col(id2)).localCheckpoint(false)
+    if (edges0.isEmpty) return assign.select(col(idCol), col(compCol))
+    val ends = edges0.select(col(id1).as(idCol))
+      .union(edges0.select(col(id2).as(idCol))).distinct()
     val touchedComps = assign.join(ends, Seq(idCol), "left_semi")
-      .select(col(compCol)).distinct()
-    val touched = assign.join(touchedComps, Seq(compCol), "left_semi")
-    val seed = touched.select(col(idCol).as(id1), col(compCol).as(id2))
-      .unionByName(newEdges.select(col(id1), col(id2)))
+      .select(col(compCol)).distinct().localCheckpoint(false)
+    // second fast path: every batch endpoint is NEW (no touched standing
+    // components) — the recompute seed is just the batch's own edges, so
+    // skip the two corpus-side joins and pass the assignment through
+    val anyTouched = !touchedComps.isEmpty
+    val seed =
+      if (anyTouched)
+        assign.join(touchedComps, Seq(compCol), "left_semi")
+          .select(col(idCol).as(id1), col(compCol).as(id2))
+          .unionByName(edges0)
+      else edges0
     val recomputed = connectedComponents(seed, id1, id2, maxIter)
       .toDF(idCol, compCol)
-    assign.join(touchedComps, Seq(compCol), "left_anti")
-      .select(col(idCol), col(compCol))
-      .unionByName(recomputed)
+    val untouched =
+      if (anyTouched) assign.join(touchedComps, Seq(compCol), "left_anti")
+      else assign
+    untouched.select(col(idCol), col(compCol)).unionByName(recomputed)
   }
 
   /** Large-star: for every node u, connect every LARGER neighbor to the

@@ -142,40 +142,93 @@ object Ingest {
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[CanonicalSample], batchId: Long) =>
-        val spark = batch.sparkSession
-        val df0 = batch.toDF()
-        val missingKey = cfg.shardKey
-          .map(l => graft.operators.Quota.keyExpr(df0, l).isNull).reduce(_ || _)
-        val df = df0.filter(!missingKey).persist()
-        val kCols = cfg.shardKey.indices.map(i => s"__k$i")
-        // reject_depth = 0: shard key incomplete (no depth ever admitted it)
-        val missingRejects = graft.operators.Quota
-          .withShardKey(df0.filter(missingKey), cfg)
-          .select(kCols.map(col): _*).distinct()
-          .withColumn("reject_depth", lit(0))
-          .withColumn("quota", lit(null).cast("long"))
-        val existing = scala.util.Try(spark.read.parquet(indexDir))
-          .getOrElse(df.limit(0))
-        val verdicts = graft.operators.Quota.admit(existing, df, cfg).persist()
-        val rejected = verdicts.filter(!col("admitted"))
-        rejected
-          .select(kCols.map(col) :+ col("reject_depth") :+ col("quota"): _*)
-          .unionByName(missingRejects)
-          .write.mode("overwrite")
-          .parquet(s"$rejectDir/batch_id=$batchId")
-        val admitted = graft.operators.Quota.withShardKey(df, cfg)
-          .join(rejected.select(kCols.map(col): _*), kCols.toSeq, "left_anti")
-          .drop(kCols: _*)
-        admitted.write.mode("overwrite").partitionBy("metric")
-          .parquet(s"$sinkDir/batch_id=$batchId")
-        graft.operators.MetadataOps.buildSeriesIndex(
-            admitted.select(col("metric"), col("tags"), col("ts"), col("series_id")))
-          .write.mode("overwrite").partitionBy("metric")
-          .parquet(s"$indexDir/batch_id=$batchId")
-        verdicts.unpersist(); df.unpersist()
-        ()
+        processCanonicalBatch(batch.toDF(), batchId, sinkDir, indexDir,
+          rejectDir, cfg)
       }
       .start()
+
+  /** One quota/sink/index microbatch over ALREADY-DEDUPED canonical rows —
+    * the `foreachBatch` body of [[startCanonicalIngestWithQuota]], factored
+    * out so the HTTP remote-write path ([[remoteWriteBatch]]) commits
+    * through the exact same protocol. BatchId-keyed overwrites keep a
+    * replay idempotent (the startIngestWithIndex contract). */
+  def processCanonicalBatch(df0: DataFrame, batchId: Long, sinkDir: String,
+                            indexDir: String, rejectDir: String,
+                            cfg: graft.operators.Quota.QuotaConfig): Unit = {
+    val spark = df0.sparkSession
+    val missingKey = cfg.shardKey
+      .map(l => graft.operators.Quota.keyExpr(df0, l).isNull).reduce(_ || _)
+    val df = df0.filter(!missingKey).persist()
+    val kCols = cfg.shardKey.indices.map(i => s"__k$i")
+    // reject_depth = 0: shard key incomplete (no depth ever admitted it)
+    val missingRejects = graft.operators.Quota
+      .withShardKey(df0.filter(missingKey), cfg)
+      .select(kCols.map(col): _*).distinct()
+      .withColumn("reject_depth", lit(0))
+      .withColumn("quota", lit(null).cast("long"))
+    val existing = scala.util.Try(spark.read.parquet(indexDir))
+      .getOrElse(df.limit(0))
+    val verdicts = graft.operators.Quota.admit(existing, df, cfg).persist()
+    val rejected = verdicts.filter(!col("admitted"))
+    rejected
+      .select(kCols.map(col) :+ col("reject_depth") :+ col("quota"): _*)
+      .unionByName(missingRejects)
+      .write.mode("overwrite")
+      .parquet(s"$rejectDir/batch_id=$batchId")
+    val admitted = graft.operators.Quota.withShardKey(df, cfg)
+      .join(rejected.select(kCols.map(col): _*), kCols.toSeq, "left_anti")
+      .drop(kCols: _*)
+    admitted.write.mode("overwrite").partitionBy("metric")
+      .parquet(s"$sinkDir/batch_id=$batchId")
+    graft.operators.MetadataOps.buildSeriesIndex(
+        admitted.select(col("metric"), col("tags"), col("ts"), col("series_id")))
+      .write.mode("overwrite").partitionBy("metric")
+      .parquet(s"$indexDir/batch_id=$batchId")
+    verdicts.unpersist(); df.unpersist()
+    ()
+  }
+
+  /** The canonical series identity every wire decoder uses (Gateway
+    * influx/prom-text, remote-write): hash of metric + the name-sorted tag
+    * entries, so the same series gets the same id on every path. */
+  def canonicalSeriesId(metric: org.apache.spark.sql.Column,
+                        tags: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    xxhash64(metric, to_json(array_sort(map_entries(tags))))
+
+  /** One HTTP remote-write batch (`/api/v1/write`, reference gateway
+    * ingest semantics): canonical (metric, tags, ts, value) rows →
+    * out-of-order/duplicate drop → the standard quota/sink/index commit
+    * ([[processCanonicalBatch]]).
+    *
+    * The streaming path's per-series high-water mark lives in stream
+    * state; an HTTP batch recovers the SAME semantics from data at rest:
+    *  - in-batch: samples sort by (ts, value) per series and must strictly
+    *    advance ts — equal-ts duplicates keep the min value, exactly what
+    *    the stateful drop admits when a batch carries them together;
+    *  - cross-batch: the series index's `end_ts` IS the persisted
+    *    high-water mark — samples at or below it drop, so a re-POST of
+    *    already-written data is a no-op and regressing writers cannot
+    *    interleave stale points under queries. The join is index-scale
+    *    (one row per series), never sample-scale. */
+  def remoteWriteBatch(canonical: DataFrame, batchId: Long, sinkDir: String,
+                       indexDir: String, rejectDir: String,
+                       cfg: graft.operators.Quota.QuotaConfig): Unit = {
+    val spark = canonical.sparkSession
+    val withId = canonical.withColumn("series_id",
+      canonicalSeriesId(col("metric"), col("tags")))
+    val inBatch = withId
+      .groupBy(col("series_id"), col("metric"), col("tags"), col("ts"))
+      .agg(min(col("value")).as("value"))
+    val hwm = scala.util.Try(
+        spark.read.parquet(indexDir)
+          .groupBy(col("series_id")).agg(max(col("end_ts")).as("__hwm")))
+      .getOrElse(inBatch.select(col("series_id"), col("ts").as("__hwm")).limit(0))
+    val fresh = inBatch.join(hwm, Seq("series_id"), "left")
+      .filter(col("__hwm").isNull || col("ts") > col("__hwm"))
+      .drop("__hwm")
+      .select(col("series_id"), col("metric"), col("tags"), col("ts"), col("value"))
+    processCanonicalBatch(fresh, batchId, sinkDir, indexDir, rejectDir, cfg)
+  }
 
   /** 5m/1h-style tumbling downsample (the reference's ds-gauge schema:
     * min/max/sum/count/avg per series per resolution —

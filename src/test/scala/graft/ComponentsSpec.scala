@@ -53,6 +53,39 @@ class ComponentsSpec extends AnyFunSuite with Matchers {
     inc(31L) shouldEqual 30L
   }
 
+  test("incrementalComponents fast paths: empty batch returns the assignment " +
+       "without iterating; all-new-node batches skip the corpus joins") {
+    import graft.pipeline.Components
+    // materialized standing assignment (in production it is read from
+    // disk; the checkpoint keeps the plan-shape assertion below about the
+    // INCREMENTAL path, not the original full run's lineage)
+    val assign = Components.connectedComponents(
+      Seq((0L, 1L), (1L, 2L), (10L, 11L)).toDF("id1", "id2")).localCheckpoint()
+    // collision-free batch (the standing service's steady state): the
+    // result is the assignment itself — and the returned PLAN proves the
+    // star-forest loop never ran (the recompute path always unions the
+    // untouched assignment with recomputed labels; the fast path has no
+    // Union anywhere)
+    val out = Components.incrementalComponents(assign,
+      spark.emptyDataFrame.select(lit(0L).as("id1"), lit(0L).as("id2")).limit(0))
+    out.queryExecution.analyzed.collect {
+      case u: org.apache.spark.sql.catalyst.plans.logical.Union => u
+    } shouldBe empty
+    out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap shouldEqual
+      assign.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // batch touching NO standing component: new nodes only — standing
+    // assignment passes through, the new component appears
+    val inc = Components.incrementalComponents(assign,
+        Seq((40L, 41L)).toDF("id1", "id2"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    inc(0L) shouldEqual 0L
+    inc(2L) shouldEqual 0L
+    inc(10L) shouldEqual 10L
+    inc(40L) shouldEqual 40L
+    inc(41L) shouldEqual 40L
+    inc.size shouldEqual 7
+  }
+
   test("incrementalComponents equals full recompute on random graphs (seeded)") {
     import graft.pipeline.Components
     val rnd = new scala.util.Random(11)

@@ -566,6 +566,239 @@ class PromApiSpec extends AnyFunSuite with Matchers {
     } finally { scanApi.stop(); idxApi.stop() }
   }
 
+  test("remote write end-to-end: a WriteRequest POST ingests through the " +
+       "quota/sink/index chain and answers PromQL over the sink") {
+    import org.apache.spark.sql.functions.col
+    import graft.http.RemoteRead
+    import graft.promql.PromPlanner
+    val dir = java.nio.file.Files.createTempDirectory("graft-rw").toString
+    val ws = PromApi.WriteSink(s"$dir/sink", s"$dir/index", s"$dir/reject",
+      graft.operators.Quota.QuotaConfig(Seq("metric", "user"), Seq(1000L, 1000L)))
+    val src = TsTables.eventsAsSamples(spark, "/root/testdata/sf0.001")
+      .filter(col("tags")("user").isin("1", "2"))
+      .select("metric", "tags", "ts", "value")
+    // the wire keeps one sample per (series, ts) — min value, the
+    // batch-form of the stateful ingest drop — so mirror that here
+    val deduped = src.groupBy(col("metric"), col("tags"), col("ts"))
+      .agg(org.apache.spark.sql.functions.min(col("value")).as("value"))
+    val expected = deduped
+      .select(col("metric"), col("tags")("user"), col("ts"), col("value"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val ingestApi = new PromApi(spark, src.limit(0), writeSink = Some(ws)).start()
+    try {
+      val n = RemoteRead.remoteWrite(src, s"http://localhost:${ingestApi.boundPort}")
+      n shouldEqual src.count()
+      val sunk = spark.read.parquet(s"$dir/sink")
+      val got = sunk
+        .select(col("metric"), col("tags")("user"), col("ts").cast("long"), col("value"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      got shouldEqual expected
+      // re-POST of already-written data is a no-op: every sample sits at
+      // or below its series' persisted high-water mark
+      RemoteRead.remoteWrite(src, s"http://localhost:${ingestApi.boundPort}")
+      spark.read.parquet(s"$dir/sink").count() shouldEqual expected.size.toLong
+      // the sink serves PromQL identically to direct evaluation over the
+      // same rows (the remote-written cluster is a first-class queryable)
+      val q = "sum by (user) (sum_over_time(purchase[1d]))"
+      val viaSink = PromPlanner.queryRange(
+          PromPlanner.Ctx(spark, spark.read.parquet(s"$dir/sink"),
+            TsTables.EventsStartMs, TsTables.EventsEndMs, 86400000L), q)
+        .select("__key", "step_ts", "value").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      val direct = PromPlanner.queryRange(
+          PromPlanner.Ctx(spark, deduped.withColumn("series_id",
+              graft.streaming.Ingest.canonicalSeriesId(col("metric"), col("tags"))),
+            TsTables.EventsStartMs, TsTables.EventsEndMs, 86400000L), q)
+        .select("__key", "step_ts", "value").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      direct.nonEmpty shouldEqual true
+      viaSink shouldEqual direct
+      // the index maintained per POST carries both series
+      spark.read.parquet(s"$dir/index")
+        .select("series_id").distinct().count() should be >= 2L
+    } finally ingestApi.stop()
+  }
+
+  test("remote write enforces the ingest quota: over-quota series reject, " +
+       "stale samples drop against the persisted high-water mark") {
+    import org.apache.spark.sql.functions.{col, lit, map}
+    import graft.http.RemoteRead
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-rwq").toString
+    // quota: at most 2 user children under each metric
+    val ws = PromApi.WriteSink(s"$dir/sink", s"$dir/index", s"$dir/reject",
+      graft.operators.Quota.QuotaConfig(Seq("metric", "user"), Seq(10L, 2L)))
+    val api = new PromApi(spark, spark.range(0).toDF(), writeSink = Some(ws)).start()
+    def canon(rows: Seq[(String, String, Long, Double)]) =
+      rows.toDF("metric", "user", "ts", "value")
+        .select(col("metric"), map(lit("user"), col("user")).as("tags"),
+          col("ts"), col("value"))
+    try {
+      val url = s"http://localhost:${api.boundPort}"
+      // 3 users against a 2-child quota: deterministic admission keeps
+      // the two smallest child keys ("1", "2"), rejects "3"
+      RemoteRead.remoteWrite(canon(Seq(
+        ("m", "1", 1000L, 1.0), ("m", "2", 1000L, 2.0), ("m", "3", 1000L, 3.0))), url)
+      val sunk = spark.read.parquet(s"$dir/sink")
+      sunk.select(col("tags")("user")).distinct().collect().map(_.getString(0)).sorted
+        .toSeq shouldEqual Seq("1", "2")
+      spark.read.parquet(s"$dir/reject").count() should be >= 1L
+      // second POST: a stale ts for user 1 drops (hwm = 1000), a fresh
+      // one lands; the previously-rejected user stays rejected
+      RemoteRead.remoteWrite(canon(Seq(
+        ("m", "1", 900L, 9.0), ("m", "1", 2000L, 4.0), ("m", "3", 3000L, 5.0))), url)
+      val after = spark.read.parquet(s"$dir/sink")
+        .select(col("tags")("user"), col("ts"), col("value")).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      after shouldEqual Set(("1", 1000L, 1.0), ("2", 1000L, 2.0), ("1", 2000L, 4.0))
+    } finally api.stop()
+  }
+
+  test("full federation round-trip: remote-write into a peer, read back " +
+       "identically by ship-the-query and ship-the-data") {
+    import org.apache.spark.sql.functions.col
+    import graft.http.RemoteRead
+    import graft.promql.PromPlanner
+    val dir = java.nio.file.Files.createTempDirectory("graft-fed").toString
+    val ws = PromApi.WriteSink(s"$dir/sink", s"$dir/index", s"$dir/reject",
+      graft.operators.Quota.QuotaConfig(Seq("metric", "user"), Seq(1000L, 1000L)))
+    // cluster A's dataset (driver-local frame standing in for its store)
+    val aSamples = TsTables.eventsAsSamples(spark, "/root/testdata/sf0.001")
+      .filter(col("tags")("user").isin("1", "2", "3"))
+      .select("metric", "tags", "ts", "value")
+    val (s0, e0) = (TsTables.EventsStartMs, TsTables.EventsEndMs)
+    val q = "sum by (user) (sum_over_time(purchase[1d]))"
+    val ingestB = new PromApi(spark, aSamples.limit(0), writeSink = Some(ws)).start()
+    try {
+      // A pushes its data to B over the standard remote-write wire
+      RemoteRead.remoteWrite(aSamples, s"http://localhost:${ingestB.boundPort}")
+      val bStore = spark.read.parquet(s"$dir/sink")
+      val readB = new PromApi(spark, bStore).start()
+      try {
+        // path 1: local evaluation on A (over the same one-sample-per-
+        // (series, ts) view the ingest drop leaves on B)
+        val aDeduped = aSamples.groupBy(col("metric"), col("tags"), col("ts"))
+          .agg(org.apache.spark.sql.functions.min(col("value")).as("value"))
+        val local = PromPlanner.queryRange(
+            PromPlanner.Ctx(spark, aDeduped.withColumn("series_id",
+              graft.streaming.Ingest.canonicalSeriesId(col("metric"), col("tags"))),
+              s0, e0, 86400000L), q)
+          .select("__key", "step_ts", "value").collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+        // path 2: ship the QUERY to B
+        val shipped = RemoteRead.queryRange(spark,
+            s"http://localhost:${readB.boundPort}", q, s0, e0, 86400000L)
+          .select("__key", "step_ts", "value").collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+        // path 3: ship the DATA back from B, evaluate locally
+        val fetched = RemoteRead.remoteRead(spark,
+          s"http://localhost:${readB.boundPort}", "purchase", s0, e0)
+        val viaData = PromPlanner.queryRange(
+            PromPlanner.Ctx(spark, fetched, s0, e0, 86400000L), q)
+          .select("__key", "step_ts", "value").collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+        local.nonEmpty shouldEqual true
+        // the JSON wire serializes values at full double text precision
+        // (Double.toString round-trips), so all three paths are EXACT
+        shipped shouldEqual local
+        viaData shouldEqual local
+      } finally readB.stop()
+    } finally ingestB.stop()
+  }
+
+  test("federation fetch bounds: client series limit errors remotely, " +
+       "remote-read chunks windows and trips its sample cap") {
+    import graft.http.RemoteRead
+    val all = TsTables.eventsAsSamples(spark, "/root/testdata/sf0.001")
+    val api = new PromApi(spark, all).start()
+    try {
+      val url = s"http://localhost:${api.boundPort}"
+      val (s0, e0) = (TsTables.EventsStartMs, TsTables.EventsEndMs)
+      // a shipped query constrained to 2 series errors (not truncates)
+      // when the result is wider
+      val ex = intercept[IllegalStateException] {
+        RemoteRead.queryRange(spark, url, "sum_over_time(purchase[1d])",
+          s0, e0, 86400000L, seriesLimit = Some(2))
+      }
+      ex.getMessage should include("per-query limit of 2 series")
+      // within the limit the param changes nothing
+      RemoteRead.queryRange(spark, url, "sum(sum_over_time(purchase[1d]))",
+          s0, e0, 86400000L, seriesLimit = Some(5)).count() should be > 0L
+      // chunked remote-read equals the one-shot fetch (inclusive-bound
+      // windows never overlap or gap)
+      val oneShot = RemoteRead.remoteRead(spark, url, """purchase{user="1"}""", s0, e0)
+        .collect().map(_.toString).sorted
+      val chunked = RemoteRead.remoteRead(spark, url, """purchase{user="1"}""", s0, e0,
+          chunkMs = (e0 - s0) / 7)
+        .collect().map(_.toString).sorted
+      oneShot.length should be > 0
+      chunked shouldEqual oneShot
+      // the hard sample cap fails fast — never a truncated result
+      val capped = intercept[IllegalStateException] {
+        RemoteRead.remoteRead(spark, url, "purchase", s0, e0, maxSamples = 10L)
+      }
+      capped.getMessage should include("10-sample cap")
+    } finally api.stop()
+  }
+
+  test("HA stitch batches fetches: alternating downtime costs one remote " +
+       "call per replica, results unchanged") {
+    import graft.http.RemoteRead
+    import graft.promql.PromPlanner
+    val all = TsTables.eventsAsSamples(spark, "/root/testdata/sf0.001")
+    val api = new PromApi(spark, all).start()
+    // counting proxies: each replica URL fronts the same healthy API but
+    // counts the query_range calls the stitcher actually issues
+    def countingProxy(target: Int): (com.sun.net.httpserver.HttpServer, java.util.concurrent.atomic.AtomicInteger) = {
+      val hits = new java.util.concurrent.atomic.AtomicInteger(0)
+      val srv = com.sun.net.httpserver.HttpServer.create(
+        new java.net.InetSocketAddress(0), 0)
+      srv.createContext("/", { ex =>
+        hits.incrementAndGet()
+        val body = get(target, ex.getRequestURI.toString)
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        ex.getResponseHeaders.add("Content-Type", "application/json")
+        ex.sendResponseHeaders(200, body.length)
+        ex.getResponseBody.write(body)
+        ex.close()
+      })
+      srv.start()
+      (srv, hits)
+    }
+    val (pa, hitsA) = countingProxy(api.boundPort)
+    val (pb, hitsB) = countingProxy(api.boundPort)
+    try {
+      val (s0, e0) = (TsTables.EventsStartMs, TsTables.EventsEndMs)
+      val stepMs = 86400000L
+      // replica A: thin declared outages AROUND EVERY OTHER STEP INSTANT —
+      // with a 6h read reach the outage disqualifies only its own step
+      // (the next is 24h away), so the choice alternates A/B step by
+      // step: the adversarial shape that used to cost one serialized
+      // call per step
+      val aDown = (s0 to e0 by stepMs).zipWithIndex.collect {
+        case (t, i) if i % 2 == 0 => (t - 1000L, t + 1000L)
+      }
+      val q = "sum by (user) (sum_over_time(purchase[6h]))"
+      val stitched = RemoteRead.haStitchedQueryRange(spark,
+          Seq(s"http://localhost:${pa.getAddress.getPort}" -> aDown,
+            s"http://localhost:${pb.getAddress.getPort}" -> Nil),
+          q, s0, e0, stepMs)
+        .select("__key", "step_ts", "value").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      val direct = PromPlanner.queryRange(
+          PromPlanner.Ctx(spark, all, s0, e0, stepMs), q)
+        .select("__key", "step_ts", "value").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      direct.nonEmpty shouldEqual true
+      stitched shouldEqual direct
+      // ONE call per replica — not one per contiguous run (≈ per step here)
+      hitsA.get() shouldEqual 1
+      hitsB.get() shouldEqual 1
+    } finally { pa.stop(0); pb.stop(0); api.stop() }
+  }
+
   test("lookback_delta narrows instant-selector staleness per query") {
     val samples = TsTables.eventsAsSamples(spark, "/root/testdata/sf0.001")
     val api = new PromApi(spark, samples).start()
