@@ -167,6 +167,13 @@ object VectorExprs {
         ImageResize(children.head, children(1), children(2))
       }))
     ext.injectFunction((
+      new FunctionIdentifier("audio_ahash"),
+      new ExpressionInfo(classOf[AudioAHash].getName, "audio_ahash"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, s"audio_ahash expects 1 argument, got ${children.size}")
+        AudioAHash(children.head)
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("bpe_encode_doc"),
       new ExpressionInfo(classOf[BpeEncodeDoc].getName, "bpe_encode_doc"),
       (children: Seq[Expression]) => {

@@ -207,7 +207,7 @@ object CorpusLayout {
   private def perceptualRows(media: DataFrame, prefixBits: Int): DataFrame = {
     val mask = (1L << prefixBits) - 1
     media.select(col("doc_id"), col("kind"),
-        Multimodal.dHash(col("bytes")).as("ph"))
+        Multimodal.mediaHash(col("kind"), col("bytes")).as("ph"))
       .withColumn("pb",
         shiftright(col("ph"), 64 - prefixBits).bitwiseAND(lit(mask)))
   }

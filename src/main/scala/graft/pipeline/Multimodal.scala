@@ -14,13 +14,19 @@ import org.apache.spark.sql.types._
   * `perceptualDuplicates` / `decodeFeatures` / `resize` operate on
   * luminance planes for encoded images — a JPEG re-encode of the same
   * picture IS found as a near-duplicate, the case byte digests cannot
-  * catch (see [[graft.functions.ImageOps]]). AUDIO/VIDEO decode remains a
-  * clearly-marked deterministic STUB (no codecs in the JDK): content
-  * digest + byte-sampling stand in for the sample/frame planes, with the
-  * Spark-side plumbing (schema, modality partitioning, batch iteration)
-  * identical to what a real codec would drop into. Non-image payloads
-  * take a byte-sampling fallback bit-identical to the pre-decode stub, so
-  * synthetic-fixture oracles are unchanged.
+  * catch (see [[graft.functions.ImageOps]]). AUDIO decode is REAL for PCM
+  * containers: WAV/AIFF/AU frames decode through the in-JDK
+  * `javax.sound.sampled` (same java.desktop module), and `aHash` /
+  * `mediaHash` / `decodeFeatures` operate on the mono energy envelope —
+  * a resampled or re-containered copy of the same recording IS found
+  * perceptually (see [[graft.functions.AudioOps]]). COMPRESSED audio
+  * (MP3/AAC) and VIDEO decode remain a clearly-marked deterministic STUB
+  * (no such codecs in the JDK): content digest + byte-sampling stand in
+  * for the sample/frame planes, with the Spark-side plumbing (schema,
+  * modality partitioning, batch iteration) identical to what a real codec
+  * would drop into. Undecodable payloads take a byte-sampling fallback
+  * bit-identical to the pre-decode stub, so synthetic-fixture oracles are
+  * unchanged.
   */
 object Multimodal {
 
@@ -72,9 +78,13 @@ object Multimodal {
           val bytes = r.getAs[Array[Byte]]("bytes")
           md.reset()
           val sig = md.digest(bytes).map("%02x".format(_)).mkString
-          val real = graft.functions.ImageOps.features(bytes, dim)
-          // ---- STUB DECODE (audio/video/non-image) ----: digest-derived
-          // fake features; a real audio/video codec would emit tensors here.
+          // real decode where the JDK has a codec: image pixels
+          // (javax.imageio) or PCM audio frames (javax.sound.sampled)
+          val img = graft.functions.ImageOps.features(bytes, dim)
+          val real = if (img != null) img
+                     else graft.functions.AudioOps.features(bytes, dim)
+          // ---- STUB DECODE (compressed audio/video/other) ----: digest-
+          // derived fake features; a real codec would emit tensors here.
           val feats = if (real != null) real else Array.tabulate(dim)(i =>
             ((java.lang.Long.parseLong(sig.substring(i * 2, i * 2 + 2), 16) / 255.0f) - 0.5f))
           Row(r.getLong(0), r.getString(1), bytes.length, sig, real != null, feats)
@@ -126,6 +136,21 @@ object Multimodal {
     * whole-stage span. */
   def dHash(bytes: Column): Column = call_function("image_dhash", bytes)
 
+  /** Perceptual AUDIO hash (64-bit energy-envelope difference hash over
+    * real decoded PCM — WAV/AIFF/AU via the in-JDK javax.sound.sampled;
+    * see [[graft.functions.AudioOps]]). A resampled, gain-changed or
+    * AIFF-re-encoded copy of the same recording lands at small Hamming
+    * distance while its digest differs completely. Non-audio payloads
+    * take the byte-sampling fallback BIT-IDENTICAL to [[dHash]]'s. */
+  def aHash(bytes: Column): Column = call_function("audio_ahash", bytes)
+
+  /** Kind-dispatched perceptual hash: audio rows hash their decoded PCM
+    * energy envelope, everything else its decoded pixels (both fall back
+    * to the same deterministic byte sampling for undecodable payloads, so
+    * the dispatch changes nothing on synthetic fixtures). */
+  def mediaHash(kind: Column, bytes: Column): Column =
+    when(kind === "audio", aHash(bytes)).otherwise(dHash(bytes))
+
   /** Perceptual near-duplicate pairs per modality: small Hamming distance
     * between dHashes among same-prefix-bucket candidates (the SimHash
     * banding pattern — linear shuffles of (doc_id, kind, 64-bit hash)
@@ -135,7 +160,8 @@ object Multimodal {
   def perceptualDuplicates(media: DataFrame, maxDist: Int = 6, prefixBits: Int = 12,
                            maxBucketSize: Int = 4096): DataFrame = {
     val mask = (1L << prefixBits) - 1
-    val h = media.select(col("doc_id"), col("kind"), dHash(col("bytes")).as("ph"))
+    val h = media.select(col("doc_id"), col("kind"),
+      mediaHash(col("kind"), col("bytes")).as("ph"))
       .withColumn("__bucket", shiftright(col("ph"), 64 - prefixBits).bitwiseAND(lit(mask)))
     val b = graft.pipeline.Dedup.capBuckets(h, Seq("kind", "__bucket"), maxBucketSize)
     val a = b.as("a"); val bb = b.as("b")

@@ -230,4 +230,69 @@ object PipelineFixtures {
     import s.implicits._
     imageRows.toDF("doc_id", "kind", "bytes")
   }
+
+  /** REAL PCM audio for the audio-decode perceptual gate (q169),
+    * synthesized deterministically in-process (no files, no RNG): a 1 s
+    * 440 Hz tone amplitude-modulated by a staircase envelope that takes a
+    * DISTINCT level on each of the 65 hash windows (levels differ by
+    * >= 7%, so every energy-envelope gradient is decisive — the audio
+    * analogue of imageRows' >= 50-luminance blocks). Docs 1/4/7 are the
+    * SAME recording as 8320 Hz WAV, 2x-resampled 16640 Hz WAV (linear
+    * interpolation) and AIFF re-container (three byte-distinct payloads,
+    * three distinct digests); doc 10 is the time-REVERSED envelope — a
+    * different recording. Expected by construction: exactly the {1,4,7}
+    * pairs match perceptually. */
+  def audioRows: Seq[(Long, String, Array[Byte])] = {
+    val nWin = 65
+    val perWin = 128
+    val n = nWin * perWin // 8320 samples @ 8320 Hz = 1 s
+    def level(k: Int): Double = ((k * 37 + 11) % 13) / 13.0 * 0.85 + 0.1
+    def synth(reverse: Boolean): Array[Float] = Array.tabulate(n) { i =>
+      val w = i / perWin
+      val lv = level(if (reverse) nWin - 1 - w else w)
+      (lv * math.sin(2 * math.Pi * 440.0 * i / n)).toFloat
+    }
+    def upsample2x(s: Array[Float]): Array[Float] = {
+      val out = new Array[Float](s.length * 2)
+      var i = 0
+      while (i < s.length) {
+        out(2 * i) = s(i)
+        val next = if (i + 1 < s.length) s(i + 1) else s(i)
+        out(2 * i + 1) = (s(i) + next) / 2
+        i += 1
+      }
+      out
+    }
+    def enc(samples: Array[Float], rate: Float,
+            typ: javax.sound.sampled.AudioFileFormat.Type,
+            bigEndian: Boolean): Array[Byte] = {
+      val pcm = new Array[Byte](samples.length * 2)
+      val buf = java.nio.ByteBuffer.wrap(pcm).order(
+        if (bigEndian) java.nio.ByteOrder.BIG_ENDIAN
+        else java.nio.ByteOrder.LITTLE_ENDIAN)
+      samples.foreach(v => buf.putShort(
+        math.max(-32768, math.min(32767, math.round(v * 32767.0))).toShort))
+      val fmt = new javax.sound.sampled.AudioFormat(
+        javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+        rate, 16, 1, 2, rate, bigEndian)
+      val in = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong)
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(in, typ, baos)
+      baos.toByteArray
+    }
+    val base = synth(reverse = false)
+    val Wave = javax.sound.sampled.AudioFileFormat.Type.WAVE
+    val Aiff = javax.sound.sampled.AudioFileFormat.Type.AIFF
+    Seq(
+      (1L, "audio", enc(base, 8320f, Wave, bigEndian = false)),
+      (4L, "audio", enc(upsample2x(base), 16640f, Wave, bigEndian = false)),
+      (7L, "audio", enc(base, 8320f, Aiff, bigEndian = true)),
+      (10L, "audio", enc(synth(reverse = true), 8320f, Wave, bigEndian = false)))
+  }
+
+  def audioMedia(s: SparkSession): DataFrame = {
+    import s.implicits._
+    audioRows.toDF("doc_id", "kind", "bytes")
+  }
 }

@@ -469,6 +469,17 @@ object PipelineQueries {
         .select(col("kind"), col("id1"), col("id2"))
         .orderBy(col("id1"), col("id2"))),
 
+    // REAL PCM decode under the oracle gate (the audio twin of q166):
+    // one recording as WAV / 2x-resampled WAV / AIFF re-container (three
+    // byte-distinct payloads) must pair via the energy-envelope hash; the
+    // time-reversed envelope must not (dist omitted: resample boundary
+    // arithmetic owns its exact value, the PAIR SET is the contract)
+    "q169_perceptual_real_audio" -> ((s, _) =>
+      Multimodal.perceptualDuplicates(PipelineFixtures.audioMedia(s),
+          maxDist = 6, prefixBits = 12)
+        .select(col("kind"), col("id1"), col("id2"))
+        .orderBy(col("id1"), col("id2"))),
+
     // tokenizer fertility report: tokens-per-word and chars-per-token per
     // source under the Demo BPE table — the standard tokenizer-eval
     // signals, exact integer-mean strings (the q117 convention)
@@ -1563,6 +1574,15 @@ object PipelineQueries {
            ('image', CAST(0 AS BIGINT), CAST(3 AS BIGINT)),
            ('image', CAST(0 AS BIGINT), CAST(6 AS BIGINT)),
            ('image', CAST(3 AS BIGINT), CAST(6 AS BIGINT)))
+         t(kind, id1, id2) ORDER BY id1, id2""",
+
+    // golden by construction (see PipelineFixtures.audioRows): the three
+    // encodings of one recording pair, the reversed envelope stays out
+    "q169_perceptual_real_audio" ->
+      """SELECT * FROM (VALUES
+           ('audio', CAST(1 AS BIGINT), CAST(4 AS BIGINT)),
+           ('audio', CAST(1 AS BIGINT), CAST(7 AS BIGINT)),
+           ('audio', CAST(4 AS BIGINT), CAST(7 AS BIGINT)))
          t(kind, id1, id2) ORDER BY id1, id2""",
 
     "q161_key_skew" ->
