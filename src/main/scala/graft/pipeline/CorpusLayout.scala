@@ -274,4 +274,78 @@ object CorpusLayout {
   def appendToPerceptualIndex(media: DataFrame, table: String, nBuckets: Int = 32,
                               prefixBits: Int = 12): Unit =
     writePerceptualIndex(media, table, nBuckets, prefixBits, SaveMode.Append)
+
+  // ===== Standing-index COMPACTION ======================================
+  //
+  // Every appendTo* above adds a file SET per microbatch (saveAsTable
+  // append writes nBuckets new files); after thousands of batches the
+  // bucketed probes read thousands of small files per bucket — the same
+  // read-amplification the part-key index's LSM deltas accrue, and the
+  // same maintenance answer (tools/CompactIndexJob; reference analogue:
+  // Lucene segment merges / C* compaction). compactIndex folds each index
+  // table to ONE segment per bucket, PRESERVING the catalog bucket spec
+  // exactly, so the zero-exchange probe plans are untouched.
+
+  /** Compact every table of a standing index family that exists —
+    * `<table>` (fingerprint), `<table>_bands`/`_sigs` (near-dup),
+    * `<table>_phash` (perceptual). Folds are pure consolidations: bands
+    * and phash rows dedupe exactly (collapsing the crash-window
+    * double-append the probes already tolerate), sigs keep one row per
+    * doc_id, fingerprints keep the minimum doc_id per fp (the
+    * writeFingerprintIndex fold). NO re-capping: capBuckets applies at
+    * write time only, so a probe sees the identical row set before and
+    * after — compaction changes file counts, never results.
+    *
+    * Crash safety (the CompactIndexJob staged-swap shape, expressed in
+    * catalog operations): the fold writes to `<t>__compact` first — a
+    * crash before the swap leaves the live table untouched (rerun to
+    * retry; the stale staging table is dropped up front). The swap is
+    * DROP live + RENAME staging→live: a crash between the two leaves the
+    * fully-folded staging table holding every row — recovery = rerun
+    * compactIndex (which completes the rename) or rename manually.
+    * Concurrent appenders must be quiesced across the swap, exactly like
+    * the part-key compaction. */
+  def compactIndex(spark: SparkSession, table: String): Unit = {
+    compactBucketedTable(spark, table,
+      _.groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id")))
+    compactBucketedTable(spark, bandTable(table), _.distinct())
+    compactBucketedTable(spark, sigTable(table), _.dropDuplicates("doc_id"))
+    compactBucketedTable(spark, s"${table}_phash", _.distinct())
+  }
+
+  /** Rewrite one bucketed managed table as a single segment (one file per
+    * bucket), preserving its catalog bucket/sort spec. Also completes an
+    * interrupted prior swap (live table missing, staging present). */
+  private def compactBucketedTable(spark: SparkSession, t: String,
+                                   fold: DataFrame => DataFrame): Unit = {
+    val staging = s"${t}__compact"
+    if (!spark.catalog.tableExists(t)) {
+      // crash window recovery: the previous run dropped the live table
+      // but died before the rename — the staging table IS the fold
+      if (spark.catalog.tableExists(staging))
+        spark.sql(s"ALTER TABLE $staging RENAME TO $t")
+      return
+    }
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(t))
+    val spec = meta.bucketSpec.getOrElse(throw new IllegalStateException(
+      s"$t is not bucketed — not a standing-index table"))
+    // a dead staging table (and its orphaned directory — the in-memory
+    // catalog forgets tables a previous session created) must go first
+    spark.sql(s"DROP TABLE IF EXISTS $staging")
+    val wh = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), staging.toLowerCase)
+    wh.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(wh, true)
+    val bCols = spec.bucketColumnNames
+    val writer = fold(spark.table(t))
+      .repartition(spec.numBuckets, bCols.map(col): _*)
+      .write.bucketBy(spec.numBuckets, bCols.head, bCols.tail: _*)
+    val sorted = spec.sortColumnNames match {
+      case s if s.nonEmpty => writer.sortBy(s.head, s.tail: _*)
+      case _ => writer
+    }
+    sorted.format("parquet").saveAsTable(staging)
+    spark.sql(s"DROP TABLE $t")
+    spark.sql(s"ALTER TABLE $staging RENAME TO $t")
+  }
 }

@@ -469,6 +469,45 @@ object PipelineQueries {
         .select(col("kind"), col("id1"), col("id2"))
         .orderBy(col("id1"), col("id2"))),
 
+    // the STANDING-SERVICE WRITE PATH under the oracle gate: a
+    // deterministic multi-batch sequence replays through processDocBatch
+    // (the foreachBatch body of the streaming near-dedup ingest — batch
+    // API, the exact code a stream executes), including a MARKER-PROTECTED
+    // replay of a completed batch; the final sink AND standing index are
+    // both checked. Golden by construction (q66 contract: xxhash MinHash
+    // is not DuckDB-expressible): identical texts near-match at est 1.0,
+    // distinct texts never reach 0.5
+    "q170_doc_ingest_sink" -> ((s, _) => {
+      import s.implicits._
+      val table = "q170_ndx"
+      for (t <- Seq(s"${table}_bands", s"${table}_sigs")) {
+        s.sql(s"DROP TABLE IF EXISTS $t")
+        val wh = new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir"), t)
+        wh.getFileSystem(s.sparkContext.hadoopConfiguration).delete(wh, true)
+      }
+      val sink = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"), "q170_sink").toString
+      new org.apache.hadoop.fs.Path(sink).getFileSystem(
+        s.sparkContext.hadoopConfiguration).delete(
+          new org.apache.hadoop.fs.Path(sink), true)
+      val A = "alpha document about bucketed managed tables and their exchange free probe joins"
+      val C = "charlie text concerning histogram quantile interpolation across le bucket arrays"
+      val D = "delta prose describing watermark driven state eviction for streaming aggregations"
+      val E = "echo report on salting skewed shuffle keys before corpus scale band joins"
+      def run(batch: Seq[(Long, String)], id: Long): Unit =
+        graft.streaming.Ingest.processDocBatch(batch.toDF("doc_id", "text"),
+          id, table, sink, nBuckets = 4, threshold = 0.5)
+      run(Seq((0L, A), (1L, A), (2L, C)), 0L)       // in-batch dup: 1 drops
+      run(Seq((10L, A), (11L, D), (12L, D)), 1L)    // 10 vs index, 12 in-batch
+      run(Seq((10L, A), (11L, D), (12L, D)), 1L)    // marker-protected replay: no-op
+      run(Seq((20L, D), (21L, E)), 2L)              // 20 vs standing index
+      s.read.parquet(sink).select(lit("sink").as("part"), col("doc_id"))
+        .unionByName(s.table(s"${table}_sigs")
+          .select(lit("index").as("part"), col("doc_id")).distinct())
+        .orderBy(col("part"), col("doc_id"))
+    }),
+
     // REAL PCM decode under the oracle gate (the audio twin of q166):
     // one recording as WAV / 2x-resampled WAV / AIFF re-container (three
     // byte-distinct payloads) must pair via the energy-envelope hash; the
@@ -1575,6 +1614,17 @@ object PipelineQueries {
            ('image', CAST(0 AS BIGINT), CAST(6 AS BIGINT)),
            ('image', CAST(3 AS BIGINT), CAST(6 AS BIGINT)))
          t(kind, id1, id2) ORDER BY id1, id2""",
+
+    // golden by construction: survivors {0,2,11,21} land in the sink AND
+    // the standing index; dropped near-dups (1,10,12,20) and the replayed
+    // batch appear in neither
+    "q170_doc_ingest_sink" ->
+      """SELECT * FROM (VALUES
+           ('index', CAST(0 AS BIGINT)), ('index', CAST(2 AS BIGINT)),
+           ('index', CAST(11 AS BIGINT)), ('index', CAST(21 AS BIGINT)),
+           ('sink', CAST(0 AS BIGINT)), ('sink', CAST(2 AS BIGINT)),
+           ('sink', CAST(11 AS BIGINT)), ('sink', CAST(21 AS BIGINT)))
+         t(part, doc_id) ORDER BY part, doc_id""",
 
     // golden by construction (see PipelineFixtures.audioRows): the three
     // encodings of one recording pair, the reversed envelope stays out

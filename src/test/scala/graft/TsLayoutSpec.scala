@@ -242,6 +242,80 @@ class TsLayoutSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("corpus-index compaction: appended batches fold to one segment per " +
+       "bucket, probes identical and still exchange-free") {
+    import spark.implicits._
+    import graft.pipeline.{CorpusLayout, Multimodal}
+    def filesOf(t: String): Int = {
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.sessionState.catalog.getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier(t)).location)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val it = fs.listFiles(loc, true)
+      var n = 0
+      while (it.hasNext) { if (it.next().getPath.getName.endsWith(".parquet")) n += 1 }
+      n
+    }
+    def doc(i: Long) = (i, s"unique filler document number $i carrying entirely " +
+      s"distinct content payload ${i * 37} nothing shared with any sibling $i")
+    for (t <- Seq("cmp_bands", "cmp_sigs", "cmp_phash", "cmp"))
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+    val nBatches = 5
+    // seed + N appended batches for BOTH index families
+    CorpusLayout.writeNearDupIndex(
+      (0L until 4L).map(doc).toDF("doc_id", "text"), "cmp", nBuckets = 4)
+    CorpusLayout.writePerceptualIndex(
+      Multimodal.synthesizeMedia((0L until 4L).map(doc).toDF("doc_id", "text")),
+      "cmp", nBuckets = 4, prefixBits = 8)
+    for (b <- 1 until nBatches) {
+      val docs = (b * 4L until b * 4L + 4L).map(doc).toDF("doc_id", "text")
+      CorpusLayout.appendToNearDupIndex(docs, "cmp", nBuckets = 4)
+      CorpusLayout.appendToPerceptualIndex(
+        Multimodal.synthesizeMedia(docs), "cmp", nBuckets = 4, prefixBits = 8)
+    }
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // probe batch: near-dup of an indexed doc + a fresh one; media probe
+      // re-offers an indexed payload under a kind-aligned fresh id
+      val batch = Seq(
+        (100L, doc(6L)._2 + " tail"), (101L, "totally novel probe content")
+      ).toDF("doc_id", "text")
+      val mediaProbe = Multimodal.synthesizeMedia(
+        Seq((100L, doc(7L)._2)).toDF("doc_id", "text")) // 100 ≡ 7 mod 3: same kind
+      def probeText() = CorpusLayout.nearDupsAgainstIndex(spark, batch, "cmp",
+        threshold = 0.5).collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      def probeMedia() = CorpusLayout.perceptualDupsAgainstIndex(spark, mediaProbe,
+        "cmp", maxDist = 6, prefixBits = 8)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      val beforeText = probeText()
+      val beforeMedia = probeMedia()
+      beforeText.nonEmpty shouldEqual true  // the planted near-dup IS found
+      beforeMedia.nonEmpty shouldEqual true // the re-offered payload IS found
+      // every append added a file set: well beyond one file per bucket
+      filesOf("cmp_bands") should be >= nBatches * 2
+      CorpusLayout.compactIndex(spark, "cmp")
+      // ONE segment: at most one file per bucket now
+      for (t <- Seq("cmp_bands", "cmp_sigs", "cmp_phash")) {
+        withClue(t) { filesOf(t) should be <= 4 }
+      }
+      // probe results identical, plans still bucket-pruned + exchange-free
+      probeText() shouldEqual beforeText
+      probeMedia() shouldEqual beforeMedia
+      val p = CorpusLayout.nearDupsAgainstIndex(spark, batch, "cmp", threshold = 0.5)
+        .queryExecution.executedPlan.toString
+      p should include("SelectedBucketsCount")
+      (p should not).include("disabled by query planner")
+      // compaction is idempotent (and the rerun recovers a half-done swap)
+      CorpusLayout.compactIndex(spark, "cmp")
+      probeText() shouldEqual beforeText
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+      for (t <- Seq("cmp_bands", "cmp_sigs", "cmp_phash"))
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+    }
+  }
+
   test("perceptual index: map-side dHash probe reads buckets pre-shuffled") {
     import spark.implicits._
     import graft.pipeline.{CorpusLayout, Multimodal}
