@@ -174,6 +174,13 @@ object VectorExprs {
         AudioAHash(children.head)
       }))
     ext.injectFunction((
+      new FunctionIdentifier("video_thash"),
+      new ExpressionInfo(classOf[VideoTHash].getName, "video_thash"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, s"video_thash expects 1 argument, got ${children.size}")
+        VideoTHash(children.head)
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("bpe_encode_doc"),
       new ExpressionInfo(classOf[BpeEncodeDoc].getName, "bpe_encode_doc"),
       (children: Seq[Expression]) => {

@@ -19,14 +19,20 @@ import org.apache.spark.sql.types._
   * `javax.sound.sampled` (same java.desktop module), and `aHash` /
   * `mediaHash` / `decodeFeatures` operate on the mono energy envelope —
   * a resampled or re-containered copy of the same recording IS found
-  * perceptually (see [[graft.functions.AudioOps]]). COMPRESSED audio
-  * (MP3/AAC) and VIDEO decode remain a clearly-marked deterministic STUB
-  * (no such codecs in the JDK): content digest + byte-sampling stand in
-  * for the sample/frame planes, with the Spark-side plumbing (schema,
-  * modality partitioning, batch iteration) identical to what a real codec
-  * would drop into. Undecodable payloads take a byte-sampling fallback
-  * bit-identical to the pre-decode stub, so synthetic-fixture oracles are
-  * unchanged.
+  * perceptually (see [[graft.functions.AudioOps]]). VIDEO decode is REAL
+  * for the JDK's one moving-picture container: animated GIFs composite
+  * every frame through the multi-frame `javax.imageio` reader, and
+  * `vHash` / `mediaHash` / `decodeFeatures` / `sampleFrames` operate on
+  * the composited timeline — a frame-rate-doubled, rescaled or
+  * re-palettized copy of the same clip IS found perceptually (see
+  * [[graft.functions.VideoOps]]). COMPRESSED audio (MP3/AAC) and
+  * compressed video (MP4/WebM) decode remain a clearly-marked
+  * deterministic STUB (no such codecs in the JDK): content digest +
+  * byte-sampling stand in for the sample/frame planes, with the
+  * Spark-side plumbing (schema, modality partitioning, batch iteration)
+  * identical to what a real codec would drop into. Undecodable payloads
+  * take a byte-sampling fallback bit-identical to the pre-decode stub, so
+  * synthetic-fixture oracles are unchanged.
   */
 object Multimodal {
 
@@ -78,9 +84,13 @@ object Multimodal {
           val bytes = r.getAs[Array[Byte]]("bytes")
           md.reset()
           val sig = md.digest(bytes).map("%02x".format(_)).mkString
-          // real decode where the JDK has a codec: image pixels
+          // real decode where the JDK has a codec: composited animated-GIF
+          // frames (multi-frame javax.imageio — checked FIRST, the still-
+          // image sniff also matches GIF magic), still-image pixels
           // (javax.imageio) or PCM audio frames (javax.sound.sampled)
-          val img = graft.functions.ImageOps.features(bytes, dim)
+          val vid = graft.functions.VideoOps.features(bytes, dim)
+          val img = if (vid != null) vid
+                    else graft.functions.ImageOps.features(bytes, dim)
           val real = if (img != null) img
                      else graft.functions.AudioOps.features(bytes, dim)
           // ---- STUB DECODE (compressed audio/video/other) ----: digest-
@@ -144,12 +154,25 @@ object Multimodal {
     * take the byte-sampling fallback BIT-IDENTICAL to [[dHash]]'s. */
   def aHash(bytes: Column): Column = call_function("audio_ahash", bytes)
 
+  /** Perceptual VIDEO hash (64-bit mean-luminance temporal difference
+    * hash over real composited frames — animated GIF via the in-JDK
+    * javax.imageio multi-frame reader; see [[graft.functions.VideoOps]]).
+    * A frame-rate-doubled, spatially rescaled or palette-requantized copy
+    * of the same clip lands at small Hamming distance while its digest
+    * differs completely; the frame-reversed clip lands far. Non-video
+    * payloads take the byte-sampling fallback BIT-IDENTICAL to
+    * [[dHash]]'s (single-frame GIFs hash as stills). */
+  def vHash(bytes: Column): Column = call_function("video_thash", bytes)
+
   /** Kind-dispatched perceptual hash: audio rows hash their decoded PCM
-    * energy envelope, everything else its decoded pixels (both fall back
-    * to the same deterministic byte sampling for undecodable payloads, so
-    * the dispatch changes nothing on synthetic fixtures). */
+    * energy envelope, video rows their composited temporal luminance
+    * envelope, everything else its decoded pixels (all fall back to the
+    * same deterministic byte sampling for undecodable payloads, so the
+    * dispatch changes nothing on synthetic fixtures). */
   def mediaHash(kind: Column, bytes: Column): Column =
-    when(kind === "audio", aHash(bytes)).otherwise(dHash(bytes))
+    when(kind === "audio", aHash(bytes))
+      .when(kind === "video", vHash(bytes))
+      .otherwise(dHash(bytes))
 
   /** Perceptual near-duplicate pairs per modality: small Hamming distance
     * between dHashes among same-prefix-bucket candidates (the SimHash
@@ -173,14 +196,37 @@ object Multimodal {
         col("b.doc_id").as("id2"), col("dist"))
   }
 
-  /** Frame sampling for video rows: every nth frame index becomes a row
-    * (frame bytes stubbed as slices of the payload). */
-  def sampleFrames(media: DataFrame, everyN: Int): DataFrame =
+  /** Frame sampling for video rows: every nth frame becomes a row.
+    * Animated-GIF payloads emit REAL composited frames (PNG-re-encoded,
+    * one multi-frame decode per payload regardless of stride — see
+    * [[graft.functions.VideoOps.sampleFrames]]); everything else keeps
+    * the honest deterministic stub (frame_idx from the declared
+    * meta.n_frames, frame bytes = 16-byte payload slices), BIT-IDENTICAL
+    * to the pure-SQL version it replaces, so synthetic-fixture oracles
+    * are unchanged. Partition-batched like [[decodeFeatures]]. */
+  def sampleFrames(media: DataFrame, everyN: Int): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("frame_bytes", BinaryType, nullable = false)))
+    val enc = Encoders.row(schema)
     media.filter(col("kind") === "video")
-      .select(col("doc_id"),
-        explode(sequence(lit(0), col("meta.n_frames") - 1, lit(everyN))).as("frame_idx"),
-        col("bytes"))
-      .withColumn("frame_bytes",
-        expr("substring(bytes, frame_idx % greatest(octet_length(bytes), 1) + 1, 16)"))
-      .drop("bytes")
+      .select(col("doc_id"), col("bytes"), col("meta.n_frames").as("nf"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]]("bytes")
+          val real = graft.functions.VideoOps.sampleFrames(bytes, everyN)
+          if (real != null) real.iterator.map { case (i, png) => Row(id, i, png) }
+          else {
+            val nf = r.getInt(2)
+            val len = math.max(bytes.length, 1)
+            (0 until nf by everyN).iterator.map { i =>
+              val from = i % len
+              Row(id, i, bytes.slice(from, math.min(from + 16, bytes.length)))
+            }
+          }
+        }
+      }(enc)
+  }
 }

@@ -295,4 +295,59 @@ object PipelineFixtures {
     import s.implicits._
     audioRows.toDF("doc_id", "kind", "bytes")
   }
+
+  /** REAL animated GIFs for the video-decode perceptual gate (q171),
+    * synthesized deterministically in-process (no files, no RNG): 65
+    * uniform-gray frames whose level takes a DISTINCT value on each of
+    * the 65 hash samples (adjacent levels differ by >= 18/255 luminance,
+    * so every temporal gradient is decisive — the video analogue of
+    * imageRows' >= 50-luminance blocks / audioRows' >= 7%-energy steps).
+    * Docs 2/5/8 are the SAME clip as 12x10 base, frame-rate-doubled +
+    * 2x-upscaled re-encode, and +3-gray palette-shifted re-encode (three
+    * byte-distinct payloads, three distinct digests); doc 11 is the
+    * frame-REVERSED clip — a different video. Expected by construction:
+    * exactly the {2,5,8} pairs match perceptually. Frames are indexed
+    * 256-gray (deterministic palette); ids ≡ 2 mod 3 land in the `video`
+    * modality. */
+  def videoRows: Seq[(Long, String, Array[Byte])] = {
+    val nFrames = 65
+    def gray(w: Int): Int = (((w * 37 + 11) % 13) * 255 / 13 * 85 / 100) + 25
+    val grays = (0 until 256).map(_.toByte).toArray
+    val icm = new java.awt.image.IndexColorModel(8, 256, grays, grays, grays)
+    def frame(g: Int, w: Int, h: Int): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+      val gr = img.createGraphics()
+      gr.setColor(new java.awt.Color(g, g, g))
+      gr.fillRect(0, 0, w, h)
+      gr.dispose()
+      img
+    }
+    def enc(levels: Seq[Int], w: Int, h: Int): Array[Byte] = {
+      val baos = new java.io.ByteArrayOutputStream()
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      levels.foreach { g =>
+        writer.writeToSequence(
+          new javax.imageio.IIOImage(frame(g, w, h), null, null), null)
+      }
+      writer.endWriteSequence()
+      writer.dispose()
+      ios.close()
+      baos.toByteArray
+    }
+    val base = (0 until nFrames).map(gray)
+    Seq(
+      (2L, "video", enc(base, 12, 10)),
+      (5L, "video", enc(base.flatMap(g => Seq(g, g)), 24, 20)),
+      (8L, "video", enc(base.map(_ + 3), 12, 10)),
+      (11L, "video", enc(base.reverse, 12, 10)))
+  }
+
+  def videoMedia(s: SparkSession): DataFrame = {
+    import s.implicits._
+    videoRows.toDF("doc_id", "kind", "bytes")
+  }
 }

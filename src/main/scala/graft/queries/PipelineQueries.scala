@@ -519,6 +519,17 @@ object PipelineQueries {
         .select(col("kind"), col("id1"), col("id2"))
         .orderBy(col("id1"), col("id2"))),
 
+    // REAL multi-frame decode under the oracle gate (the video twin of
+    // q166/q169): one animated-GIF clip as base / frame-rate-doubled +
+    // 2x-upscaled / palette-shifted re-encodes (three byte-distinct
+    // payloads) must pair via the temporal luminance-envelope hash; the
+    // frame-reversed clip must not
+    "q171_perceptual_real_video" -> ((s, _) =>
+      Multimodal.perceptualDuplicates(PipelineFixtures.videoMedia(s),
+          maxDist = 6, prefixBits = 12)
+        .select(col("kind"), col("id1"), col("id2"))
+        .orderBy(col("id1"), col("id2"))),
+
     // tokenizer fertility report: tokens-per-word and chars-per-token per
     // source under the Demo BPE table — the standard tokenizer-eval
     // signals, exact integer-mean strings (the q117 convention)
@@ -1633,6 +1644,15 @@ object PipelineQueries {
            ('audio', CAST(1 AS BIGINT), CAST(4 AS BIGINT)),
            ('audio', CAST(1 AS BIGINT), CAST(7 AS BIGINT)),
            ('audio', CAST(4 AS BIGINT), CAST(7 AS BIGINT)))
+         t(kind, id1, id2) ORDER BY id1, id2""",
+
+    // golden by construction (see PipelineFixtures.videoRows): the three
+    // encodings of one clip pair, the frame-reversed clip stays out
+    "q171_perceptual_real_video" ->
+      """SELECT * FROM (VALUES
+           ('video', CAST(2 AS BIGINT), CAST(5 AS BIGINT)),
+           ('video', CAST(2 AS BIGINT), CAST(8 AS BIGINT)),
+           ('video', CAST(5 AS BIGINT), CAST(8 AS BIGINT)))
          t(kind, id1, id2) ORDER BY id1, id2""",
 
     "q161_key_skew" ->
