@@ -25,7 +25,8 @@ import graft.operators.MetadataOps
 class PromApi(spark: SparkSession, samples: DataFrame, port: Int = 0,
               maxResultSeries: Int = 100000,
               seriesIndex: Option[DataFrame] = None,
-              writeSink: Option[PromApi.WriteSink] = None) {
+              writeSink: Option[PromApi.WriteSink] = None,
+              warnLimits: QueryStatsCollector.WarnLimits = QueryStatsCollector.WarnLimits()) {
 
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
 
@@ -126,19 +127,45 @@ class PromApi(spark: SparkSession, samples: DataFrame, port: Int = 0,
     * data.stats.timings/samples block (evaluation wall time + result
     * cardinality — the two members a dashboard actually reads). */
   private def statsJson(p: Map[String, String], t0: Long, nSeries: Int, nSamples: Long): String =
-    if (p.get("stats").forall(_.isEmpty)) ""
+    if (!statsRequested(p)) ""
     else {
       val sec = (System.nanoTime() - t0) / 1e9
       f""","stats":{"timings":{"evalTotalTime":$sec%.6f},"samples":{"resultSeries":$nSeries,"resultSamples":$nSamples}}"""
     }
 
+  private def statsRequested(p: Map[String, String]): Boolean =
+    p.get("stats").exists(_.nonEmpty)
+
+  /** A per-request selector-stats hook when stats were asked for — the
+    * planner registers every raw selector's post-pushdown frame on it
+    * ([[graft.promql.PromPlanner.SelectorStats]]). */
+  private def statsHook(p: Map[String, String]): Option[PromPlanner.SelectorStats] =
+    if (statsRequested(p)) Some(new PromPlanner.SelectorStats) else None
+
+  /** Reference-style per-query accounting, rendered as TOP-LEVEL response
+    * members next to `data` (the reference SuccessResponse carries
+    * queryStats + warnings beside the result, `ref:prometheus/.../
+    * PrometheusModel.scala:102-115`): plan-metric harvest (samples/bytes
+    * actually scanned), selector-hook series count, result cardinality,
+    * and the warn-tier limit check. Empty when stats weren't requested. */
+  private def queryStatsJson(p: Map[String, String], executed: DataFrame,
+                             hook: Option[PromPlanner.SelectorStats],
+                             nSeries: Int, nSamples: Long, t0: Long,
+                             resultBytes: Long): String =
+    hook.map { h =>
+      val s = QueryStatsCollector.assemble(executed, h, nSeries, nSamples, t0)
+      s",${s.statsJson(resultBytes)},${s.warningsJson(warnLimits)}"
+    }.getOrElse("")
+
   private def queryRange(p: Map[String, String]): String = {
     val t0 = System.nanoTime()
+    val hook = statsHook(p)
     val ctx = PromPlanner.Ctx(spark, samples, ms(p("start")), ms(p("end")), stepMs(p("step")),
-      lookbackMs = lookback(p))
+      lookbackMs = lookback(p), stats = hook)
     val df = PromPlanner.queryRange(ctx, p("query"))
     if (p.get("explainOnly").contains("true")) return explainResponse(p("query"), df)
-    val rows = collectLimited(df, seriesCap(p)).groupBy(_.getString(0)).toSeq.sortBy(_._1)
+    val (collected, executed) = collectLimited(df, seriesCap(p))
+    val rows = collected.groupBy(_.getString(0)).toSeq.sortBy(_._1)
     val result = rows.map { case (key, rs) =>
       val metric = keyToJsonObject(key)
       val values = rs.sortBy(_.getLong(1)).map { r =>
@@ -146,8 +173,11 @@ class PromApi(spark: SparkSession, samples: DataFrame, port: Int = 0,
       }.mkString(",")
       s"""{"metric":$metric,"values":[$values]}"""
     }.mkString(",")
-    val stats = statsJson(p, t0, rows.size, rows.iterator.map(_._2.size.toLong).sum)
-    s"""{"status":"success","data":{"resultType":"matrix","result":[$result]$stats}}"""
+    val nSamples = rows.iterator.map(_._2.size.toLong).sum
+    val stats = statsJson(p, t0, rows.size, nSamples)
+    val body = s"""{"resultType":"matrix","result":[$result]$stats}"""
+    val qs = queryStatsJson(p, executed, hook, rows.size, nSamples, t0, body.length.toLong)
+    s"""{"status":"success","data":$body$qs}"""
   }
 
   /** Instant query: evaluate at one timestamp. Scalar-typed expressions
@@ -156,8 +186,10 @@ class PromApi(spark: SparkSession, samples: DataFrame, port: Int = 0,
     * of a vector envelope (a Grafana-style consumer dispatches on this). */
   private def instantQuery(p: Map[String, String]): String = {
     val t0 = System.nanoTime()
+    val hook = statsHook(p)
     val t = ms(p.getOrElse("time", (System.currentTimeMillis() / 1000).toString))
-    val ctx = PromPlanner.Ctx(spark, samples, t, t, 1000L, lookbackMs = lookback(p))
+    val ctx = PromPlanner.Ctx(spark, samples, t, t, 1000L, lookbackMs = lookback(p),
+      stats = hook)
     val ast0 = graft.promql.Parser.parse(p("query"))
     // an instant query has no step for `Ni` to multiply — resolving
     // against the internal placeholder would silently mean "N seconds"
@@ -167,18 +199,23 @@ class PromApi(spark: SparkSession, samples: DataFrame, port: Int = 0,
     val ast = PromPlanner.resolveStepDurations(ast0, ctx.stepMs)
     val df = PromPlanner.planVector(ctx, ast)
     if (p.get("explainOnly").contains("true")) return explainResponse(p("query"), df)
-    val rows = collectLimited(df, seriesCap(p))
+    val (rows, executed) = collectLimited(df, seriesCap(p))
     if (PromPlanner.isScalarTyped(ast)) {
       // exactly one grid step (start == end): one value, NaN when empty
       val v = rows.headOption.map(_.getDouble(2)).getOrElse(Double.NaN)
       val stats = statsJson(p, t0, 1, 1L)
-      s"""{"status":"success","data":{"resultType":"scalar","result":[${fmtTs(t)},${js(fmt(v))}]$stats}}"""
+      val body = s"""{"resultType":"scalar","result":[${fmtTs(t)},${js(fmt(v))}]$stats}"""
+      val qs = queryStatsJson(p, executed, hook, 1, 1L, t0, body.length.toLong)
+      s"""{"status":"success","data":$body$qs}"""
     } else {
       val result = rows.sortBy(_.getString(0)).map { r =>
         s"""{"metric":${keyToJsonObject(r.getString(0))},"value":[${fmtTs(r.getLong(1))},${js(fmt(r.getDouble(2)))}]}"""
       }.mkString(",")
       val stats = statsJson(p, t0, rows.size, rows.size.toLong)
-      s"""{"status":"success","data":{"resultType":"vector","result":[$result]$stats}}"""
+      val body = s"""{"resultType":"vector","result":[$result]$stats}"""
+      val qs = queryStatsJson(p, executed, hook, rows.size, rows.size.toLong, t0,
+        body.length.toLong)
+      s"""{"status":"success","data":$body$qs}"""
     }
   }
 
@@ -332,7 +369,7 @@ class PromApi(spark: SparkSession, samples: DataFrame, port: Int = 0,
     * reads it (the round-2 judge flagged the guard re-executing the whole
     * plan from the scan — 2× cluster work per endpoint hit). */
   private def collectLimited(df: DataFrame,
-                             cap: Int): Array[org.apache.spark.sql.Row] = {
+                             cap: Int): (Array[org.apache.spark.sql.Row], DataFrame) = {
     val slim = df.select(col("__key"), col("step_ts"), col("value"))
     slim.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -340,7 +377,7 @@ class PromApi(spark: SparkSession, samples: DataFrame, port: Int = 0,
       if (n > cap)
         throw new IllegalStateException(
           s"query result exceeds the per-query limit of $cap series")
-      slim.collect()
+      (slim.collect(), slim)
     } finally slim.unpersist(false)
   }
 

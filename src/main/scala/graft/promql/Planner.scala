@@ -38,11 +38,29 @@ object PromPlanner {
   case class PreaggTable(samples: DataFrame, retainedLabels: Set[String],
                          suffix: Option[String] = None)
 
+  /** Per-request stats hook (reference QueryStats' timeSeriesScanned,
+    * `ref:core/.../QueryContext.scala:386`): when present, every raw
+    * selector registers its post-pushdown frame here at planning time;
+    * the API layer counts distinct series across them AFTER execution —
+    * one narrow job per selector over the pruned label column, run only
+    * when the caller asked for stats. One hook per request, never
+    * shared across requests. */
+  final class SelectorStats {
+    private val frames = scala.collection.mutable.Buffer[DataFrame]()
+    def add(df: DataFrame): Unit = frames.synchronized { frames += df }
+    def selectorCount: Int = frames.synchronized { frames.size }
+    /** Distinct series touched across all registered selectors. */
+    def timeSeriesScanned(): Long = frames.synchronized { frames.toSeq }.map { df =>
+      df.select(to_json(array_sort(map_entries(col("labels"))))).distinct().count()
+    }.sum
+  }
+
   case class Ctx(spark: SparkSession, samples: DataFrame,
                  startMs: Long, endMs: Long, stepMs: Long,
                  lookbackMs: Long = DefaultLookbackMs,
                  cold: Option[ColdTier] = None,
-                 preagg: Seq[PreaggTable] = Nil)
+                 preagg: Seq[PreaggTable] = Nil,
+                 stats: Option[SelectorStats] = None)
 
   def queryRange(ctx: Ctx, query: String): DataFrame =
     planVector(ctx, resolveStepDurations(Parser.parse(query), ctx.stepMs))
@@ -335,7 +353,9 @@ object PromPlanner {
 
   private def selectorSamples(ctx: Ctx, sel: Selector): DataFrame = {
     val (df, s2) = routedBase(ctx, sel)
-    selectorSamplesFrom(df, s2)
+    val out = selectorSamplesFrom(df, s2)
+    ctx.stats.foreach(_.add(out))
+    out
   }
 
   /** OTel exponential-histogram storage rows (series_type =

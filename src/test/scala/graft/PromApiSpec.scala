@@ -552,6 +552,53 @@ class PromApiSpec extends AnyFunSuite with Matchers {
     } finally api.stop()
   }
 
+  test("stats=all adds reference-style queryStats + warnings: scan metrics " +
+       "harvested, selector series counted exactly, warn tiers trip") {
+    import org.apache.spark.sql.functions.{array_sort, col, map_entries, to_json}
+    val samples = TsTables.eventsAsSamples(spark, "/root/testdata/sf0.001")
+    // ground truth: distinct purchase series (the selector's post-pushdown
+    // label-filtered frame), computed directly on the frame
+    val nSeries = samples.filter(col("metric") === "purchase")
+      .select(col("metric"), to_json(array_sort(map_entries(col("tags")))))
+      .distinct().count()
+    nSeries should be > 1L
+    val api = new PromApi(spark, samples).start()
+    try {
+      val port = api.boundPort
+      val q = java.net.URLEncoder.encode("sum(sum_over_time(purchase[1d]))", "UTF-8")
+      val base = s"/api/v1/query_range?query=$q&start=${TsTables.EventsStartMs / 1000}" +
+        s"&end=${TsTables.EventsEndMs / 1000}&step=86400"
+      // absent by default — the accounting is opt-in like Prometheus'
+      (get(port, base) should not).include(""""queryStats"""")
+      val resp = get(port, base + "&stats=all")
+      resp should include(s""""queryStats":[{"group":[],"timeSeriesScanned":$nSeries,""")
+      // parquet-backed scan: real files-read bytes and post-pushdown rows
+      val qsRe = """"dataBytesScanned":(\d+),"samplesScanned":(\d+),"resultBytes":(\d+),"cpuNanos":(\d+)""".r
+      val m = qsRe.findFirstMatchIn(resp).get
+      m.group(1).toLong should be > 0L   // dataBytesScanned
+      m.group(2).toLong should be > 0L   // samplesScanned
+      m.group(3).toLong should be > 100L // resultBytes = data-body JSON bytes
+      m.group(4).toLong should be > 0L   // cpuNanos (eval wall)
+      // a clean query carries an empty warnings object
+      resp should include(""""warnings":{}""")
+    } finally api.stop()
+    // warn tiers: the same query against tightened limits names each
+    // exceeded member (never failing the query — that's the enforced tier)
+    val strict = new PromApi(spark, samples,
+      warnLimits = graft.http.QueryStatsCollector.WarnLimits(
+        resultSamples = 0, timeSeriesScanned = 1, dataBytesScanned = 1)).start()
+    try {
+      val q = java.net.URLEncoder.encode("sum(sum_over_time(purchase[1d]))", "UTF-8")
+      val resp = get(strict.boundPort,
+        s"/api/v1/query_range?query=$q&start=${TsTables.EventsStartMs / 1000}" +
+          s"&end=${TsTables.EventsEndMs / 1000}&step=86400&stats=all")
+      resp should include(""""status":"success"""")
+      resp should include(""""execPlanSamples":""")
+      resp should include(s""""timeSeriesScanned":$nSeries""")
+      resp should include(""""rawScannedBytes":""")
+    } finally strict.stop()
+  }
+
   test("index-backed metadata answers match the sample-scan path byte for byte") {
     val samples = TsTables.eventsAsSamples(spark, "/root/testdata/sf0.001")
     val idx = graft.operators.MetadataOps.buildSeriesIndex(samples)
