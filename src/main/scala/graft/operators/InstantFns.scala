@@ -4,40 +4,76 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /** Instant (per-sample scalar) functions — SURVEY.md §2.4. All are
-  * codegen'd Catalyst built-ins; `round` reproduces Prometheus half-up
-  * rounding to a multiple (floor(v/to + 0.5) * to), and the calendar
-  * functions interpret the VALUE as epoch seconds in UTC, like the
-  * reference's InstantFunction.scala:272-360.
+  * codegen'd Catalyst built-ins, wrapped where Spark's SQL semantics
+  * diverge from the reference's scala.math ones
+  * (`ref:query/.../rangefn/InstantFunction.scala:130-360`, every impl is
+  * a plain scala.math call):
+  *  - Spark `ceil`/`floor` return LONG (NaN casts to 0, ±Inf clamp to
+  *    Long.Max/Min) — non-finite and already-integral-magnitude values
+  *    pass through like scala.math.ceil/floor;
+  *  - Spark `log/log2/log10` return NULL for input <= 0 — the reference
+  *    (Java) semantics are log(0) = -Inf, log(negative) = NaN;
+  *  - Spark `least`/`greatest` order NaN as the LARGEST value, so
+  *    clamp_max(NaN) would return the limit — the reference's
+  *    math.min/max propagate NaN;
+  *  - the calendar functions would cast NaN/±Inf epoch seconds to 0L
+  *    (= 1970 dates) — the reference returns NaN.
+  * `round` reproduces Prometheus half-up rounding to a multiple
+  * (floor(v/to + 0.5) * to; NaN/±Inf fall through unrounded by the same
+  * arithmetic), and the calendar functions interpret the VALUE as epoch
+  * seconds in UTC, like the reference's InstantFunction.scala:272-360.
   */
 object InstantFns {
 
+  private val NaNd = lit(Double.NaN)
+
+  private def notFinite(v: Column): Column =
+    isnan(v) || v === lit(Double.PositiveInfinity) || v === lit(Double.NegativeInfinity)
+
+  /** Doubles at |v| >= 2^52 are already integral (and overflow Spark's
+    * long-typed ceil/floor) — identity, like scala.math. */
+  private def intLike(v: Column): Column = notFinite(v) || abs(v) >= lit(4503599627370496.0)
+
+  /** Spark's long-log family NULLs out non-positive input; restore the
+    * Java semantics (0 -> -Inf, negative -> NaN; NaN -> NaN comes out of
+    * the builtin itself). */
+  private def javaLog(builtin: Column, v: Column): Column =
+    coalesce(builtin, when(v === 0.0, lit(Double.NegativeInfinity)).otherwise(NaNd))
+
   def apply(name: String, v: Column, args: Seq[Double] = Nil): Column = name match {
     case "abs"   => abs(v)
-    case "ceil"  => ceil(v).cast("double")
-    case "floor" => floor(v).cast("double")
+    case "ceil"  => when(intLike(v), v).otherwise(ceil(v).cast("double"))
+    case "floor" => when(intLike(v), v).otherwise(floor(v).cast("double"))
     case "exp"   => exp(v)
-    case "ln"    => log(v)
-    case "log2"  => log2(v)
-    case "log10" => log10(v)
+    case "ln"    => javaLog(log(v), v)
+    case "log2"  => javaLog(log2(v), v)
+    case "log10" => javaLog(log10(v), v)
     case "sqrt"  => sqrt(v)
     case "sgn"   => signum(v)
     case "round" =>
       val to = if (args.nonEmpty) args.head else 1.0
-      floor(v / lit(to) + lit(0.5)) * lit(to)
-    case "clamp_max" => least(v, lit(args.head))
-    case "clamp_min" => greatest(v, lit(args.head))
-    case "clamp"     => least(greatest(v, lit(args(0))), lit(args(1)))
-    // calendar fns: value is epoch SECONDS (UTC)
-    case "month"         => month(epochTs(v)).cast("double")
-    case "year"          => year(epochTs(v)).cast("double")
-    case "hour"          => hour(epochTs(v)).cast("double")
-    case "minute"        => minute(epochTs(v)).cast("double")
-    case "day_of_week"   => (dayofweek(epochTs(v)) - 1).cast("double") // 0=Sunday, Prom convention
-    case "day_of_month"  => dayofmonth(epochTs(v)).cast("double")
-    case "day_of_year"   => dayofyear(epochTs(v)).cast("double")
-    case "days_in_month" => dayofmonth(last_day(epochTs(v))).cast("double")
+      val shifted = v / lit(to) + lit(0.5)
+      // NaN/±Inf (and already-integral magnitudes, where Spark's
+      // long-typed floor would overflow) round to themselves
+      when(intLike(shifted), v).otherwise(floor(shifted) * lit(to))
+    case "clamp_max" => when(isnan(v), v).otherwise(least(v, lit(args.head)))
+    case "clamp_min" => when(isnan(v), v).otherwise(greatest(v, lit(args.head)))
+    case "clamp"     => when(isnan(v), v)
+      .otherwise(least(greatest(v, lit(args(0))), lit(args(1))))
+    // calendar fns: value is epoch SECONDS (UTC); non-finite -> NaN
+    case "month"         => calendar(v, month(epochTs(v)))
+    case "year"          => calendar(v, year(epochTs(v)))
+    case "hour"          => calendar(v, hour(epochTs(v)))
+    case "minute"        => calendar(v, minute(epochTs(v)))
+    case "day_of_week"   => calendar(v, dayofweek(epochTs(v)) - 1) // 0=Sunday, Prom convention
+    case "day_of_month"  => calendar(v, dayofmonth(epochTs(v)))
+    case "day_of_year"   => calendar(v, dayofyear(epochTs(v)))
+    case "days_in_month" => calendar(v, dayofmonth(last_day(epochTs(v))))
     case other => throw new IllegalArgumentException(s"unknown instant function: $other")
   }
+
+  private def calendar(v: Column, field: Column): Column =
+    when(notFinite(v), NaNd).otherwise(field.cast("double"))
 
   /** Calendar functions that, called with NO argument, evaluate over the
     * step grid as time scalars (the reference's ScalarTimeBasedPlan,
