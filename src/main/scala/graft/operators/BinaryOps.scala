@@ -16,28 +16,63 @@ import org.apache.spark.sql.functions._
   */
 object BinaryOps {
 
+  private val NaNd = lit(Double.NaN)
+
   def scalarOp(op: String, l: Column, r: Column): Column = op match {
     case "+" => l + r
     case "-" => l - r
     case "*" => l * r
     case "/" =>
-      // IEEE-754 semantics (PromQL): x/0 = +-Inf, 0/0 = NaN. Spark's `/`
-      // returns NULL (legacy) or errors (ANSI) on zero divisors instead.
+      // IEEE-754 semantics (PromQL): x/0 = ±Inf signed by BOTH operands
+      // (1/-0.0 = -Inf), 0/0 = NaN, NaN/0 = NaN. Spark's `/` returns NULL
+      // (legacy) or errors (ANSI) on zero divisors, and its comparisons
+      // normalize -0.0 == 0.0 which hides the divisor's sign — recover it
+      // from the string form (Java Double.toString keeps "-0.0"); the
+      // cast is only evaluated in the zero-divisor branch.
+      val divisorNeg = startswith(r.cast("string"), lit("-"))
       when(r =!= 0, l / r)
-        .when(l > 0, lit(Double.PositiveInfinity))
-        .when(l < 0, lit(Double.NegativeInfinity))
-        .otherwise(lit(Double.NaN))
+        .when(isnan(l) || l === 0, NaNd)
+        .when((l > 0) =!= divisorNeg, lit(Double.PositiveInfinity))
+        .otherwise(lit(Double.NegativeInfinity))
     case "%" =>
-      when(r =!= 0, l % r).otherwise(lit(Double.NaN)) // fmod(x, 0) = NaN
+      when(r =!= 0, l % r).otherwise(NaNd) // fmod(x, 0) = NaN
     case "^" => pow(l, r)
-    case "==" => (l === r).cast("double")
-    case "!=" => (l =!= r).cast("double")
-    case ">"  => (l > r).cast("double")
-    case ">=" => (l >= r).cast("double")
-    case "<"  => (l < r).cast("double")
-    case "<=" => (l <= r).cast("double")
+    case cmp if ComparisonOps.contains(cmp) =>
+      // Comparison truth with legacy (Spark-ordered) NaN handling — only
+      // correct when neither operand can be NaN; PromQL paths go through
+      // cmpKeep/cmpBool instead.
+      cmpKeep(cmp, l, r).cast("double")
     case other => throw new IllegalArgumentException(s"unknown binary op: $other")
   }
+
+  val ComparisonOps: Set[String] = Set("==", "!=", ">", ">=", "<", "<=")
+
+  /** Filter-comparison KEEP condition with Java double semantics
+    * (`ref:query/exec/binaryOp/BinaryOperatorFunction.scala:29-34`: the
+    * reference returns lhs when the Java comparison holds, else NaN, and
+    * NaN means "no sample"). Java orders nothing against NaN — every
+    * comparison with a NaN operand is false except `!=`, which is true
+    * whenever the operands aren't Java-equal. Spark SQL instead treats
+    * NaN == NaN as true and sorts NaN largest, so the raw column
+    * operators would keep exactly the wrong samples. A kept sample must
+    * also have a non-NaN lhs (only reachable via `!=`): the reference's
+    * returned lhs would be NaN = missing. */
+  def cmpKeep(op: String, l: Column, r: Column): Column = op match {
+    case "==" => !isnan(l) && !isnan(r) && (l === r)
+    case "!=" => !isnan(l) && (isnan(r) || (l =!= r))
+    case ">"  => !isnan(l) && !isnan(r) && (l > r)
+    case ">=" => !isnan(l) && !isnan(r) && (l >= r)
+    case "<"  => !isnan(l) && !isnan(r) && (l < r)
+    case "<=" => !isnan(l) && !isnan(r) && (l <= r)
+    case other => throw new IllegalArgumentException(s"not a comparison op: $other")
+  }
+
+  /** `bool`-modifier comparison: 1.0/0.0 by the Java comparison, NaN if
+    * either operand is NaN (`ref:BinaryOperatorFunction.scala:35-70`, the
+    * *_BOOL variants all special-case NaN first). */
+  def cmpBool(op: String, l: Column, r: Column): Column =
+    when(isnan(l) || isnan(r), NaNd)
+      .otherwise(cmpKeep(op, l, r).cast("double"))
 
   /** vector OP vector on the given join labels (PromQL `on(...)` — callers
     * computing "all labels minus ignoring" resolve that before the call).
@@ -49,9 +84,8 @@ object BinaryOps {
     val r0 = right.select((keys.map(col) :+ col(valueCol).as("__rv")): _*)
     val r = if (broadcastRight) broadcast(r0) else r0
     val joined = left.join(r, keys, "inner")
-    val isComparison = Set("==", "!=", ">", ">=", "<", "<=").contains(op)
-    if (isComparison)
-      joined.filter(scalarOp(op, col(valueCol), col("__rv")) === 1.0).drop("__rv")
+    if (ComparisonOps.contains(op))
+      joined.filter(cmpKeep(op, col(valueCol), col("__rv"))).drop("__rv")
     else
       joined.withColumn(valueCol, scalarOp(op, col(valueCol), col("__rv"))).drop("__rv")
   }

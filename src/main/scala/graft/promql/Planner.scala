@@ -1118,20 +1118,20 @@ object PromPlanner {
 
     (lhs, rhs) match {
       case (NumberLit(l), NumberLit(r)) =>
-        val v = BinaryOps.scalarOp(op, lit(l), lit(r))
+        // scalar-scalar comparisons are always bool (parser-enforced)
+        val v = if (cmp) BinaryOps.cmpBool(op, lit(l), lit(r))
+                else BinaryOps.scalarOp(op, lit(l), lit(r))
         scalarGrid(ctx).withColumn("value", v)
           .withColumn("labels", map().cast("map<string,string>"))
           .transform(withKey).transform(finish)
 
       case (NumberLit(l), _) =>
         val r = planVector(ctx, rhs)
-        val res = r.withColumn("__res", BinaryOps.scalarOp(op, lit(l), col("value")))
-        finishScalarVec(res, cmp, bool, keepValue = true)
+        finishScalarVec(applyOp(r, op, lit(l), col("value"), cmp, bool), cmp, bool)
 
       case (_, NumberLit(rv)) =>
         val l = planVector(ctx, lhs)
-        val res = l.withColumn("__res", BinaryOps.scalarOp(op, col("value"), lit(rv)))
-        finishScalarVec(res, cmp, bool, keepValue = true)
+        finishScalarVec(applyOp(l, op, col("value"), lit(rv), cmp, bool), cmp, bool)
 
       case _ if isScalarExpr(lhs) || isScalarExpr(rhs) =>
         // ScalarOperationMapper path (reference
@@ -1150,8 +1150,7 @@ object PromPlanner {
         val joined = v.join(sc, Seq("step_ts"), "inner")
         val (lv, rv) =
           if (scalarOnLeft) (col("__sv"), col("value")) else (col("value"), col("__sv"))
-        val res = joined.withColumn("__res", BinaryOps.scalarOp(op, lv, rv)).drop("__sv")
-        finishScalarVec(res, cmp, bool, keepValue = true)
+        finishScalarVec(applyOp(joined, op, lv, rv, cmp, bool).drop("__sv"), cmp, bool)
 
       case _ =>
         val l = planVector(ctx, lhs)
@@ -1206,7 +1205,7 @@ object PromPlanner {
             Seq("__jk", "step_ts"), "inner")
           val (lv, rv) =
             if (flip) (col("__ov"), col("value")) else (col("value"), col("__ov"))
-          val res = joined.withColumn("__res", BinaryOps.scalarOp(op, lv, rv))
+          val res = applyOp(joined, op, lv, rv, cmp, bool)
           val incl = matching.map(_.include).getOrElse(Nil)
           val withIncl =
             if (incl.nonEmpty)
@@ -1215,12 +1214,8 @@ object PromPlanner {
                 map_filter(col("__olabels"), (k, _) => k.isin(incl: _*))))
             else res
           val cleaned = withIncl.drop("__ov", "__olabels", "__jk")
-          if (cmp && !bool) {
-            withKey(cleaned.filter(col("__res") === 1.0).drop("__res")).transform(finish)
-          } else {
-            val out = cleaned.withColumn("value", col("__res")).drop("__res")
-            dropName(out).transform(finish)
-          }
+          if (cmp && !bool) withKey(cleaned).transform(finish)
+          else dropName(cleaned).transform(finish)
         }
     }
   }
@@ -1238,13 +1233,23 @@ object PromPlanner {
     case _ => false
   }
 
-  private def finishScalarVec(res: DataFrame, cmp: Boolean, bool: Boolean,
-                              keepValue: Boolean): DataFrame = {
-    if (cmp && !bool)
-      withKey(res.filter(col("__res") === 1.0).drop("__res")).transform(finish)
-    else
-      dropName(res.withColumn("value", col("__res")).drop("__res")).transform(finish)
-  }
+  /** Apply a binary op to (lv, rv) over df with the reference's
+    * BinaryOperatorFunction semantics
+    * (`ref:query/exec/binaryOp/BinaryOperatorFunction.scala:20-73`):
+    * arithmetic maps the value; a filter comparison keeps the row iff the
+    * JAVA comparison holds and emits the LHS operand's value (the
+    * reference returns lhs else NaN, NaN meaning no sample — so a prefix
+    * `5 > v` emits 5, not the sample, and NaN operands never pass); a
+    * `bool` comparison emits 1/0 with NaN when either operand is NaN. */
+  private def applyOp(df: DataFrame, op: String, lv: Column, rv: Column,
+                      cmp: Boolean, bool: Boolean): DataFrame =
+    if (cmp && !bool) df.filter(BinaryOps.cmpKeep(op, lv, rv)).withColumn("value", lv)
+    else if (cmp) df.withColumn("value", BinaryOps.cmpBool(op, lv, rv))
+    else df.withColumn("value", BinaryOps.scalarOp(op, lv, rv))
+
+  private def finishScalarVec(res: DataFrame, cmp: Boolean, bool: Boolean): DataFrame =
+    if (cmp && !bool) withKey(res).transform(finish)
+    else dropName(res).transform(finish)
 
   /** join-key column from on/ignoring; default = all labels minus __name__ */
   private def matchKeyCol(matching: Option[VectorMatch]): Column = {
