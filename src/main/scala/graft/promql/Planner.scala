@@ -520,7 +520,14 @@ object PromPlanner {
       val (rewrittenCtx, rewrittenExpr) = preaggRewrite(ctx, op, expr, by, without)
       // by: keep exactly the listed labels (__name__ kept only if listed);
       // without: drop listed + __name__; no clause: empty label set.
-      val in = planVector(rewrittenCtx, rewrittenExpr)
+      // NaN inputs are "no sample" to every reference aggregator
+      // (`ref:query/exec/aggregator/SumRowAggregator.scala:24`,
+      // MinRowAggregator minIgnoreNaN, CountRowAggregator isNull,
+      // TopBottomKRowAggregator:88, …) — Spark's sum/avg/min/max would
+      // instead poison the group (sum) or mis-order it (NaN sorts
+      // largest). A step where every input is NaN emits no row, our
+      // engine-wide equivalent of the reference's NaN-valued row.
+      val in = planVector(rewrittenCtx, rewrittenExpr).filter(!isnan(col("value")))
       val grouped = if (by.nonEmpty)
         in.withColumn("labels", map_filter(col("labels"), (k, _) => k.isin(by: _*)))
       else if (without.nonEmpty)
