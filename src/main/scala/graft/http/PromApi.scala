@@ -39,8 +39,12 @@ class PromApi(spark: SparkSession, samples: DataFrame, port: Int = 0,
       val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (!fs.exists(dir)) 0L
       else fs.listStatus(dir).map(_.getPath.getName)
+        // guarded parse: a crashed-write leftover like `batch_id=7.tmp`
+        // must not throw in this lazy init (it would permanently 400 the
+        // write endpoint) — only all-digit suffixes count
         .collect { case n if n.startsWith("batch_id=") =>
-          n.stripPrefix("batch_id=").toLong }
+          n.stripPrefix("batch_id=").toLongOption }
+        .flatten
         .foldLeft(-1L)(math.max) + 1L
     }.getOrElse(0L))
 
@@ -300,26 +304,46 @@ class PromApi(spark: SparkSession, samples: DataFrame, port: Int = 0,
   private def remoteWriteHandler: com.sun.net.httpserver.HttpHandler = (ex: HttpExchange) => {
     try {
       val ws = writeSink.get
-      val body = org.xerial.snappy.Snappy.uncompress(ex.getRequestBody.readAllBytes())
-      val series = ProtoWire.decodeWriteRequest(body)
-      val rows = series.flatMap { s =>
-        val metric = s.labels.collectFirst { case ("__name__", v) => v }.getOrElse("")
-        val tags = s.labels.filter(_._1 != "__name__").toMap
-        s.samples.map(p => (metric, tags, p.ts, p.value))
+      // DECODE phase: a malformed payload is the client's fault — 400,
+      // which remote-write senders treat as non-retryable (drop the batch)
+      val decoded =
+        try Right {
+          val body = org.xerial.snappy.Snappy.uncompress(ex.getRequestBody.readAllBytes())
+          ProtoWire.decodeWriteRequest(body)
+        } catch { case e: Exception => Left(e) }
+      decoded match {
+        case Left(e) =>
+          respondJson(ex, 400,
+            s"""{"status":"error","errorType":"bad_data","error":${js(e.getMessage)}}""")
+        case Right(series) =>
+          // COMMIT phase: a sink/ingest failure is OURS — 500, so a
+          // well-behaved sender RETRIES instead of silently dropping data
+          // (round-9 advisor: mapping commit errors to 4xx was silent loss)
+          try {
+            val rows = series.flatMap { s =>
+              val metric = s.labels.collectFirst { case ("__name__", v) => v }.getOrElse("")
+              val tags = s.labels.filter(_._1 != "__name__").toMap
+              s.samples.map(p => (metric, tags, p.ts, p.value))
+            }
+            import spark.implicits._
+            graft.streaming.Ingest.remoteWriteBatch(
+              rows.toDF("metric", "tags", "ts", "value"),
+              writeBatchId.getAndIncrement(), ws.sinkDir, ws.indexDir, ws.rejectDir, ws.cfg)
+            ex.sendResponseHeaders(204, -1)
+          } catch {
+            case e: Exception =>
+              respondJson(ex, 500,
+                s"""{"status":"error","errorType":"internal","error":${js(e.getMessage)}}""")
+          }
       }
-      import spark.implicits._
-      graft.streaming.Ingest.remoteWriteBatch(
-        rows.toDF("metric", "tags", "ts", "value"),
-        writeBatchId.getAndIncrement(), ws.sinkDir, ws.indexDir, ws.rejectDir, ws.cfg)
-      ex.sendResponseHeaders(204, -1)
-    } catch {
-      case e: Exception =>
-        val msg = s"""{"status":"error","errorType":"bad_data","error":${js(e.getMessage)}}"""
-          .getBytes(StandardCharsets.UTF_8)
-        ex.getResponseHeaders.add("Content-Type", "application/json")
-        ex.sendResponseHeaders(400, msg.length)
-        ex.getResponseBody.write(msg)
     } finally ex.close()
+  }
+
+  private def respondJson(ex: HttpExchange, code: Int, body: String): Unit = {
+    val msg = body.getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.add("Content-Type", "application/json")
+    ex.sendResponseHeaders(code, msg.length)
+    ex.getResponseBody.write(msg)
   }
 
   /** One remote-read query: matcher + time-range filter over the samples

@@ -53,9 +53,13 @@ object InstantFns {
     case "round" =>
       val to = if (args.nonEmpty) args.head else 1.0
       val shifted = v / lit(to) + lit(0.5)
-      // NaN/±Inf (and already-integral magnitudes, where Spark's
-      // long-typed floor would overflow) round to themselves
-      when(intLike(shifted), v).otherwise(floor(shifted) * lit(to))
+      // scala.math computes floor(v/to+0.5)*to with a double-typed floor;
+      // at |shifted| >= 2^52 the double is already integral (or non-finite,
+      // where v/to overflow must surface as Inf*to), so the floor is the
+      // identity and the result is shifted*to — NOT v: Spark's long-typed
+      // floor would overflow there, but passing v through diverged on
+      // pathological huge-v/tiny-to inputs (round-9 advisor finding)
+      when(intLike(shifted), shifted * lit(to)).otherwise(floor(shifted) * lit(to))
     case "clamp_max" => when(isnan(v), v).otherwise(least(v, lit(args.head)))
     case "clamp_min" => when(isnan(v), v).otherwise(greatest(v, lit(args.head)))
     case "clamp"     => when(isnan(v), v)

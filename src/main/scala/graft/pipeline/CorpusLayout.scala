@@ -204,6 +204,15 @@ object CorpusLayout {
   // perceptualDuplicates): a near-dup pair must agree on the top
   // prefixBits — lower prefixBits for recall, raise for pruning.
 
+  // MIGRATION NOTE (round 9 → 10): perceptualRows switched from raw
+  // byte-sampling dHash to kind-dispatched Multimodal.mediaHash (real
+  // decoded-pixel/PCM/frame hashes for image/audio/video). A standing
+  // `_phash` index written BEFORE that change still carries the old
+  // byte-sampling values for audio/video rows — compactIndex preserves
+  // rows, it never rehashes — so probes against such an index silently
+  // miss those modalities. Rebuild the index (writePerceptualIndex over
+  // the corpus) after upgrading; image rows were already mediaHash-shaped
+  // and are unaffected.
   private def perceptualRows(media: DataFrame, prefixBits: Int): DataFrame = {
     val mask = (1L << prefixBits) - 1
     media.select(col("doc_id"), col("kind"),
