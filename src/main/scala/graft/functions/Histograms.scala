@@ -165,19 +165,35 @@ object Histograms {
   /** Same conversion with per-ROW scale/offset columns — the storage-path
     * form, where each sample row carries its own (scale, offset, counts)
     * triple (reference ExpHistogramVector stores them per chunk). pow()
-    * instead of a bit shift also admits OTel's negative scales. */
+    * instead of a bit shift also admits OTel's negative scales.
+    *
+    * `zeroCount`/`zeroThreshold` (optional, for Prometheus NATIVE
+    * histograms arriving over remote-write): the zero bucket counts
+    * observations in [-zt, zt]. When a row's zero count is positive it is
+    * prepended as an explicit (le = zt, count = zc) bucket, and every
+    * cumulative value shifts up by zc — exactly the classic-bucket
+    * rendering Prometheus itself uses for native→classic conversion. A
+    * null/0 zero count leaves the row byte-identical to the plain form. */
   def fromExponentialCols(df: DataFrame, scaleCol: Column, offsetCol: Column,
-                          countsCol: String): DataFrame = {
+                          countsCol: String,
+                          zeroCount: Option[Column] = None,
+                          zeroThreshold: Option[Column] = None): DataFrame = {
     val n = size(col(countsCol))
+    val zc = coalesce(zeroCount.getOrElse(lit(0.0)), lit(0.0))
+    val zt = coalesce(zeroThreshold.getOrElse(lit(0.0)), lit(0.0))
     // empty counts: sequence(0, -1) would generate a DESCENDING [0, -1] and
     // misalign le vs values — an empty histogram is just le=[+Inf], values=[0]
-    val bounds = concat(
+    val expBounds =
       when(n > 0, transform(sequence(lit(0), n - 1),
         i => pow(lit(2.0), (offsetCol + i + 1).cast("double") / pow(lit(2.0), scaleCol))))
-        .otherwise(array().cast("array<double>")),
-      array(lit(Double.PositiveInfinity)))
-    // running sum; the +Inf bucket repeats the total
-    val cumulative = aggregate(col(countsCol), array().cast("array<double>"),
+        .otherwise(array().cast("array<double>"))
+    val zeroLe =
+      when(zc > 0.0, array(zt)).otherwise(array().cast("array<double>"))
+    val bounds = concat(zeroLe, expBounds, array(lit(Double.PositiveInfinity)))
+    // running sum seeded by the zero bucket; the +Inf bucket repeats the total
+    val zeroSeed =
+      when(zc > 0.0, array(zc)).otherwise(array().cast("array<double>"))
+    val cumulative = aggregate(col(countsCol), zeroSeed,
       (acc, x) => concat(acc, array(coalesce(element_at(acc, -1), lit(0.0)) + x)))
     df.withColumn("le", bounds)
       .withColumn("__cum", cumulative)

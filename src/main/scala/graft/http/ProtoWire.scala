@@ -26,11 +26,13 @@ import java.nio.charset.StandardCharsets
   *   Label        { string name = 1; string value = 2; }
   *   Sample       { double value = 1; int64 timestamp = 2; }
   *
-  * Decoding skips unknown fields by wire type (hints, accepted response
-  * types, exemplars, native histograms), per proto3 rules — a request from
-  * a real Prometheus decodes cleanly even though only SAMPLES content is
-  * answered. Proto3 default-value elision is honored on encode (zero
-  * int64/enum and empty strings are omitted), so our bytes match a
+  * WriteRequest TimeSeries additionally decode `exemplars = 3` and NATIVE
+  * histograms `histograms = 4` (prompb.Histogram — span/delta bucket
+  * encoding, zigzag sint64, packed scalar repeats; see [[PHistogram]]).
+  * Remaining unknown fields (hints, accepted response types, metadata)
+  * skip by wire type per proto3 rules — a request from a real Prometheus
+  * decodes cleanly. Proto3 default-value elision is honored on encode
+  * (zero int64/enum and empty strings are omitted), so our bytes match a
   * canonical library encoding byte-for-byte.
   */
 object ProtoWire {
@@ -66,6 +68,27 @@ object ProtoWire {
       key(field, 2); varint(b.length.toLong); out.write(b)
     }
     def message(field: Int, m: Writer): Unit = bytes(field, m.toBytes)
+    /** sint64: zigzag varint (proto3 signed scalar encoding). */
+    def sint64(field: Int, v: Long): Unit =
+      if (v != 0L) { key(field, 0); varint((v << 1) ^ (v >> 63)) }
+    /** repeated sint64, packed (the proto3 default for scalar repeats). */
+    def packedSint64(field: Int, vs: Seq[Long]): Unit =
+      if (vs.nonEmpty) {
+        val w = new Writer
+        vs.foreach(v => w.varint((v << 1) ^ (v >> 63)))
+        bytes(field, w.toBytes)
+      }
+    /** repeated double, packed. */
+    def packedDoubles(field: Int, vs: Seq[Double]): Unit =
+      if (vs.nonEmpty) {
+        val w = new Writer
+        vs.foreach { v =>
+          val bits = java.lang.Double.doubleToLongBits(v)
+          var i = 0
+          while (i < 8) { w.out.write(((bits >>> (8 * i)) & 0xFF).toInt); i += 1 }
+        }
+        bytes(field, w.toBytes)
+      }
     def toBytes: Array[Byte] = out.toByteArray
   }
 
@@ -142,7 +165,30 @@ object ProtoWire {
   case class PQuery(startMs: Long, endMs: Long, matchers: Seq[PMatcher])
   case class PReadRequest(queries: Seq[PQuery])
   case class PSample(value: Double, ts: Long)
-  case class PSeries(labels: Seq[(String, String)], samples: Seq[PSample])
+
+  /** prompb.Exemplar: a traced observation attached to a series (labels
+    * carry e.g. trace_id; value + timestamp are the observation). */
+  case class PExemplar(labels: Seq[(String, String)], value: Double, ts: Long)
+
+  /** A decoded prompb.Histogram (Prometheus NATIVE histogram sample,
+    * prompb/types.proto — public, stable since v2.40), with the wire's
+    * span/delta bucket encoding already expanded to DENSE absolute
+    * per-bucket counts: `posCounts(k)` is the count of bucket at absolute
+    * index `posOffset + k` (index i covers (base^(i-1), base^i], base =
+    * 2^(2^-schema)); gaps between spans are zero-filled. Integer
+    * histograms (count_int/`*_deltas`) and float histograms
+    * (count_float/`*_counts`) both land here as doubles. Counts are
+    * CUMULATIVE-over-time (native histograms are counters) unless
+    * `resetHint == 3` (GAUGE). ResetHint: 0=UNKNOWN 1=YES 2=NO 3=GAUGE. */
+  case class PHistogram(ts: Long, schema: Int, zeroThreshold: Double,
+                        zeroCount: Double, count: Double, sum: Double,
+                        resetHint: Int,
+                        posOffset: Int, posCounts: Seq[Double],
+                        negOffset: Int, negCounts: Seq[Double])
+
+  case class PSeries(labels: Seq[(String, String)], samples: Seq[PSample],
+                     histograms: Seq[PHistogram] = Nil,
+                     exemplars: Seq[PExemplar] = Nil)
 
   def encodeReadRequest(req: PReadRequest): Array[Byte] = {
     val w = new Writer
@@ -189,7 +235,8 @@ object ProtoWire {
     PReadRequest(queries.result())
   }
 
-  /** TimeSeries { repeated Label labels = 1; repeated Sample samples = 2; }
+  /** TimeSeries { repeated Label labels = 1; repeated Sample samples = 2;
+    *   repeated Exemplar exemplars = 3; repeated Histogram histograms = 4; }
     * — the one message shape ReadResponse (inside QueryResult) and
     * WriteRequest both carry. */
   private def writeSeries(parent: Writer, field: Int, s: PSeries): Unit = {
@@ -204,12 +251,158 @@ object ProtoWire {
       sw.double(1, smp.value); sw.int64(2, smp.ts)
       tw.message(2, sw)
     }
+    s.exemplars.foreach { e =>
+      val ew = new Writer
+      e.labels.foreach { case (n, v) =>
+        val lw = new Writer
+        lw.string(1, n); lw.string(2, v)
+        ew.message(1, lw)
+      }
+      ew.double(2, e.value); ew.int64(3, e.ts)
+      tw.message(3, ew)
+    }
+    s.histograms.foreach(h => tw.message(4, writeHistogram(h)))
     parent.message(field, tw)
+  }
+
+  /** Encode one native histogram. Integral counts take the INTEGER
+    * encoding (count_int + zigzag `*_deltas`, the wire a real Prometheus
+    * emits for int histograms — exercises the span/delta expansion on the
+    * decode side); any fractional count switches the whole message to the
+    * FLOAT encoding (count_float + packed `*_counts`). Single dense span
+    * per sign, which every decoder must accept. */
+  private def writeHistogram(h: PHistogram): Writer = {
+    val hw = new Writer
+    val integral = (h.posCounts ++ h.negCounts :+ h.zeroCount :+ h.count)
+      .forall(c => c == math.rint(c) && !c.isInfinite)
+    if (integral) hw.int64(1, h.count.toLong) else hw.double(2, h.count)
+    hw.double(3, h.sum)
+    hw.sint64(4, h.schema.toLong)
+    hw.double(5, h.zeroThreshold)
+    if (integral) hw.int64(6, h.zeroCount.toLong) else hw.double(7, h.zeroCount)
+    def span(field: Int, off: Int, len: Int): Unit = {
+      val sw = new Writer
+      sw.sint64(1, off.toLong) // sint32 shares the zigzag-varint wire shape
+      sw.int64(2, len.toLong)
+      hw.message(field, sw)
+    }
+    if (h.negCounts.nonEmpty) {
+      span(8, h.negOffset, h.negCounts.length)
+      if (integral)
+        hw.packedSint64(9, deltaEncode(h.negCounts))
+      else hw.packedDoubles(10, h.negCounts)
+    }
+    if (h.posCounts.nonEmpty) {
+      span(11, h.posOffset, h.posCounts.length)
+      if (integral)
+        hw.packedSint64(12, deltaEncode(h.posCounts))
+      else hw.packedDoubles(13, h.posCounts)
+    }
+    hw.enum(14, h.resetHint)
+    hw.int64(15, h.ts)
+    hw
+  }
+
+  /** absolute integral counts → the wire's per-bucket delta encoding
+    * (first = absolute, then successive differences). */
+  private def deltaEncode(counts: Seq[Double]): Seq[Long] = {
+    var prev = 0L
+    counts.map { c => val v = c.toLong; val d = v - prev; prev = v; d }
+  }
+
+  private def zigzag(v: Long): Long = (v >>> 1) ^ -(v & 1L)
+
+  /** One span/delta bucket list → (firstAbsoluteIndex, dense counts).
+    * First span's offset is the absolute start index; each later span's
+    * offset is the gap from the previous span's end (prompb BucketSpan
+    * contract). Integer histograms carry `deltas` (cumulative within the
+    * sample); float histograms carry `counts` directly. */
+  private def expandSpans(spans: Seq[(Int, Int)], deltas: Seq[Long],
+                          counts: Seq[Double]): (Int, Seq[Double]) = {
+    val n = spans.map(_._2).sum
+    val got = if (deltas.nonEmpty) deltas.length else counts.length
+    if (n == 0) return (0, Nil)
+    require(got == n,
+      s"malformed native histogram: spans cover $n buckets but $got counts/deltas")
+    val sparse = Seq.newBuilder[(Int, Double)]
+    var absIdx = 0
+    var pos = 0
+    var running = 0L
+    spans.zipWithIndex.foreach { case ((off, len), si) =>
+      absIdx = if (si == 0) off else absIdx + off
+      var j = 0
+      while (j < len) {
+        val c =
+          if (deltas.nonEmpty) { running += deltas(pos); running.toDouble }
+          else counts(pos)
+        sparse += ((absIdx, c)); absIdx += 1; pos += 1; j += 1
+      }
+    }
+    val entries = sparse.result()
+    val first = entries.head._1
+    val dense = Array.fill(entries.last._1 - first + 1)(0.0)
+    entries.foreach { case (i, c) => dense(i - first) = c }
+    (first, dense.toSeq)
+  }
+
+  private def readHistogram(hr: Reader): PHistogram = {
+    var ts = 0L; var schema = 0; var zeroThreshold = 0.0; var zeroCount = 0.0
+    var count = 0.0; var sum = 0.0; var resetHint = 0
+    val posSpans = Seq.newBuilder[(Int, Int)]; val negSpans = Seq.newBuilder[(Int, Int)]
+    val posDeltas = Seq.newBuilder[Long]; val negDeltas = Seq.newBuilder[Long]
+    val posCounts = Seq.newBuilder[Double]; val negCounts = Seq.newBuilder[Double]
+    def readSpan(sr: Reader): (Int, Int) = {
+      var off = 0; var len = 0
+      while (sr.hasNext) sr.readKey() match {
+        case (1, 0) => off = zigzag(sr.readVarint()).toInt
+        case (2, 0) => len = sr.readVarint().toInt
+        case (_, wt) => sr.skip(wt)
+      }
+      (off, len)
+    }
+    // packed scalar repeats arrive length-delimited (wire 2, the proto3
+    // default); decoders must also accept the unpacked per-element form
+    while (hr.hasNext) hr.readKey() match {
+      case (1, 0) => count = hr.readVarint().toDouble
+      case (2, 1) => count = hr.readDouble()
+      case (3, 1) => sum = hr.readDouble()
+      case (4, 0) => schema = zigzag(hr.readVarint()).toInt
+      case (5, 1) => zeroThreshold = hr.readDouble()
+      case (6, 0) => zeroCount = hr.readVarint().toDouble
+      case (7, 1) => zeroCount = hr.readDouble()
+      case (8, 2) => negSpans += readSpan(hr.readMessage())
+      case (9, 2) =>
+        val pr = hr.readMessage()
+        while (pr.hasNext) negDeltas += zigzag(pr.readVarint())
+      case (9, 0) => negDeltas += zigzag(hr.readVarint())
+      case (10, 2) =>
+        val pr = hr.readMessage()
+        while (pr.hasNext) negCounts += pr.readDouble()
+      case (10, 1) => negCounts += hr.readDouble()
+      case (11, 2) => posSpans += readSpan(hr.readMessage())
+      case (12, 2) =>
+        val pr = hr.readMessage()
+        while (pr.hasNext) posDeltas += zigzag(pr.readVarint())
+      case (12, 0) => posDeltas += zigzag(hr.readVarint())
+      case (13, 2) =>
+        val pr = hr.readMessage()
+        while (pr.hasNext) posCounts += pr.readDouble()
+      case (13, 1) => posCounts += hr.readDouble()
+      case (14, 0) => resetHint = hr.readVarint().toInt
+      case (15, 0) => ts = hr.readVarint()
+      case (_, wt) => hr.skip(wt)
+    }
+    val (pOff, pC) = expandSpans(posSpans.result(), posDeltas.result(), posCounts.result())
+    val (nOff, nC) = expandSpans(negSpans.result(), negDeltas.result(), negCounts.result())
+    PHistogram(ts, schema, zeroThreshold, zeroCount, count, sum, resetHint,
+      pOff, pC, nOff, nC)
   }
 
   private def readSeries(tr: Reader): PSeries = {
     val labels = Seq.newBuilder[(String, String)]
     val samples = Seq.newBuilder[PSample]
+    val exemplars = Seq.newBuilder[PExemplar]
+    val histograms = Seq.newBuilder[PHistogram]
     while (tr.hasNext) tr.readKey() match {
       case (1, 2) =>
         val lr = tr.readMessage()
@@ -229,9 +422,29 @@ object ProtoWire {
           case (_, wt) => sr.skip(wt)
         }
         samples += PSample(value, ts)
+      case (3, 2) =>
+        val er = tr.readMessage()
+        val elabels = Seq.newBuilder[(String, String)]
+        var value = 0.0; var ts = 0L
+        while (er.hasNext) er.readKey() match {
+          case (1, 2) =>
+            val lr = er.readMessage()
+            var n = ""; var v = ""
+            while (lr.hasNext) lr.readKey() match {
+              case (1, 2) => n = lr.readString()
+              case (2, 2) => v = lr.readString()
+              case (_, wt) => lr.skip(wt)
+            }
+            elabels += (n -> v)
+          case (2, 1) => value = er.readDouble()
+          case (3, 0) => ts = er.readVarint()
+          case (_, wt) => er.skip(wt)
+        }
+        exemplars += PExemplar(elabels.result(), value, ts)
+      case (4, 2) => histograms += readHistogram(tr.readMessage())
       case (_, wt) => tr.skip(wt)
     }
-    PSeries(labels.result(), samples.result())
+    PSeries(labels.result(), samples.result(), histograms.result(), exemplars.result())
   }
 
   /** One QueryResult per request query, in order. */

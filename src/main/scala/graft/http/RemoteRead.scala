@@ -161,6 +161,15 @@ object RemoteRead {
             .sortBy(_.ts).toSeq)
       }
       .sortBy(_.labels.mkString)
+    remoteWriteSeries(series, baseUrl)
+    rows.length.toLong
+  }
+
+  /** Raw-series remote-write client: POST already-built [[ProtoWire
+    * .PSeries]] (with native histograms and/or exemplars attached) as one
+    * snappy-compressed WriteRequest — what a Prometheus v2.40+ with
+    * native histograms enabled pushes. Throws on any non-2xx. */
+  def remoteWriteSeries(series: Seq[ProtoWire.PSeries], baseUrl: String): Unit = {
     val body = org.xerial.snappy.Snappy.compress(
       ProtoWire.encodeWriteRequest(series))
     val resp = HttpClient.newHttpClient().send(
@@ -173,7 +182,6 @@ object RemoteRead {
       throw new IllegalStateException(
         s"remote $baseUrl: HTTP ${resp.statusCode()} " +
           new String(resp.body(), java.nio.charset.StandardCharsets.UTF_8))
-    rows.length.toLong
   }
 
   /** Federated evaluation (reference MultiPartitionPlanner/DistConcat

@@ -346,7 +346,8 @@ object PromPlanner {
         val picked = ctx.samples
           .where(col(vcol).isNotNull)
           .withColumn("value", col(vcol).cast("double"))
-          .drop("le", "values", "exp_scale", "exp_offset", "exp_counts")
+          .drop("le", "values", "exp_scale", "exp_offset", "exp_counts",
+            "exp_zero_count", "exp_zero_threshold")
         (picked, sel.copy(metric = Some(base)))
       case _ => (ctx.samples, sel)
     }
@@ -380,11 +381,18 @@ object PromPlanner {
           (col("series_type").isNull || col("series_type") =!= "otel_exp_histogram",
            col("series_type") === "otel_exp_histogram")
         else (col("exp_counts").isNull, col("exp_counts").isNotNull)
-      val keep = df.columns.filterNot(Set("exp_scale", "exp_offset", "exp_counts").contains)
+      val keep = df.columns.filterNot(Set("exp_scale", "exp_offset", "exp_counts",
+        "exp_zero_count", "exp_zero_threshold").contains)
       val plain = df.filter(isPlain).select(keep.map(col): _*)
+      // remote-written native histograms carry a zero bucket alongside the
+      // exp buckets; storage without the columns converts exactly as before
+      val (zc, zt) =
+        if (df.columns.contains("exp_zero_count"))
+          (Some(col("exp_zero_count")), Some(col("exp_zero_threshold")))
+        else (None, None)
       val conv = graft.functions.Histograms.fromExponentialCols(
         df.filter(isExp),
-        col("exp_scale"), col("exp_offset"), "exp_counts")
+        col("exp_scale"), col("exp_offset"), "exp_counts", zc, zt)
       val buckets = graft.functions.Histograms.bucketSeriesSamples(conv)
       // restore passthrough columns the bucket-series shape lacks (e.g.
       // __tie, series_type — bridged rows are plain gauges downstream)

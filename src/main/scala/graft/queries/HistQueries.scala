@@ -247,6 +247,69 @@ object HistQueries {
         .orderBy("step_ts")
     }),
 
+    // Prometheus NATIVE histograms over the REMOTE-WRITE WIRE, end to end
+    // (prompb.Histogram spans/deltas → ProtoWire decode → PromApi
+    // /api/v1/write → cumulative→delta conversion → exp-histogram
+    // storage → PromQL): the q148 daily bucket counts are re-expressed as
+    // what a real Prometheus sends — CUMULATIVE-over-time integer native
+    // histograms, span/delta-encoded — POSTed in four chunks (plus a
+    // sender-retry replay of one chunk, which the persisted high-water
+    // marks must no-op), and histogram_quantile(0.9, sum by (le)
+    // (rate(...[2d]))) over the sink must equal the q148 delta-storage
+    // ladder exactly. Oracle = the q148 SQL mirror.
+    "q172_native_hist_remote_write" -> ((s, dir) => {
+      import graft.http.{ProtoWire, PromApi, RemoteRead}
+      val base = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"), "q172_rw").toString
+      new org.apache.hadoop.fs.Path(base).getFileSystem(
+        s.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(base), true)
+      val ev = TsTables.events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .withColumn("day", ((col("ts_ms") - S) / D1).cast("long"))
+      val daily = ev.groupBy(col("day"))
+        .agg(array((0 until 9).map { i =>
+          val lo = math.pow(2.0, i)
+          val hi = math.pow(2.0, i + 1)
+          if (i == 0) sum(when(col("value") <= hi, 1.0).otherwise(0.0))
+          else sum(when(col("value") > lo && col("value") <= hi, 1.0).otherwise(0.0))
+        }: _*).as("daily"))
+        .orderBy(col("day"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+      // cumulative over days — the counter a Prometheus exposes
+      val cum = daily.scanLeft((-1L, Seq.fill(9)(0.0))) { case ((_, acc), (d, row)) =>
+        (d, acc.lazyZip(row).map(_ + _))
+      }.drop(1)
+      // native-histogram wire form: scale 0, positive buckets at prom
+      // index 1..9 (upper bounds 2^1..2^9 — the engine stores them at
+      // exp offsets 0..8), integer span/delta encoding on the wire
+      val hists = cum.map { case (d, counts) =>
+        ProtoWire.PHistogram(ts = S + (d + 1) * D1, schema = 0,
+          zeroThreshold = 0.0, zeroCount = 0.0, count = counts.sum,
+          sum = 0.0, resetHint = 0, posOffset = 1, posCounts = counts,
+          negOffset = 0, negCounts = Nil)
+      }.toSeq
+      val ws = PromApi.WriteSink(s"$base/sink", s"$base/index", s"$base/reject",
+        graft.operators.Quota.QuotaConfig(Seq("metric"), Seq(1000000L)))
+      val api = new PromApi(s, s.range(0).toDF(), writeSink = Some(ws),
+        hwmCompactEvery = 2).start()
+      try {
+        val url = s"http://localhost:${api.boundPort}"
+        def post(hs: Seq[ProtoWire.PHistogram]): Unit =
+          RemoteRead.remoteWriteSeries(Seq(ProtoWire.PSeries(
+            Seq("__name__" -> "purchase"), Nil, histograms = hs)), url)
+        val chunks = hists.grouped(math.max(1, hists.size / 4 + 1)).toSeq
+        chunks.foreach(post)
+        post(chunks(1)) // sender retry: every sample sits at/below its hwm
+      } finally api.stop()
+      val sunk = s.read.option("mergeSchema", "true").parquet(s"$base/sink")
+      val ctx = PromPlanner.Ctx(s, sunk, S + 2 * D1, TsTables.EventsEndMs, D1)
+      PromPlanner.queryRange(ctx,
+        "histogram_quantile(0.9, sum by (le) (rate(purchase[2d])))")
+        .select(col("step_ts"), round(col("value"), 6).as("q90"))
+        .orderBy("step_ts")
+    }),
+
     // FiloDB data-column selection `m::col` (prometheus/ast/Vectors.scala
     // column selector): the prom-histogram schema also carries cumulative
     // `sum`/`count` columns, and rate(purchase::sum[2d]) serves the sum
@@ -538,6 +601,22 @@ object HistQueries {
     // deltas, so rate = (sum of the window's two samples) / window-sec per
     // le bound, then the q97 interpolation CASE over the rate ladder
     "q148_promql_exp_hist_rate" ->
+      s"""WITH ev AS (SELECT (epoch_ns(ts)//1000000 - $S) // $D1 AS day, value
+                      FROM events WHERE event_type = 'purchase'),
+          daily AS (SELECT day, $expCols FROM ev GROUP BY day),
+          stps AS (SELECT unnest(generate_series(${S + 2 * D1}, ${TsTables.EventsEndMs}, $D1)) AS step_ts),
+          b AS (SELECT s.step_ts,
+                  ${(1 to 9).map(j =>
+                    s"(d1.x$j + d2.x$j) / ${2 * D1}.0 * 1000 AS x$j").mkString(", ")}
+                FROM stps s
+                JOIN daily d1 ON d1.day = (s.step_ts - $S) // $D1 - 2
+                JOIN daily d2 ON d2.day = (s.step_ts - $S) // $D1 - 1)
+          SELECT step_ts, round($expCase, 6) AS q90 FROM b ORDER BY step_ts""",
+
+    // the remote-write wire path lands the SAME per-interval exp-bucket
+    // deltas q148 stores directly (cumulative native histograms minus
+    // their predecessors), so the mirror is the identical delta-rate SQL
+    "q172_native_hist_remote_write" ->
       s"""WITH ev AS (SELECT (epoch_ns(ts)//1000000 - $S) // $D1 AS day, value
                       FROM events WHERE event_type = 'purchase'),
           daily AS (SELECT day, $expCols FROM ev GROUP BY day),

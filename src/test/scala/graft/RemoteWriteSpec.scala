@@ -1,0 +1,324 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+import graft.http.{PromApi, ProtoWire, RemoteRead}
+import graft.streaming.Ingest
+import graft.operators.Quota
+
+/** The remote-write service path: prompb native-histogram/exemplar wire
+  * codec, the cumulative→delta conversion (ref otel-exp-delta-histogram
+  * semantics, core/src/main/resources/filodb-defaults.conf:220-467), its
+  * crash protocol, and the hardened service layer (pooled dispatch,
+  * in-flight cap + 429, claim-by-rename batch ids, compacted hwm base). */
+class RemoteWriteSpec extends AnyFunSuite with Matchers {
+
+  lazy val spark: SparkSession = GraftSession.builder("local[4]", "4").getOrCreate()
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private val cfg = Quota.QuotaConfig(Seq("metric"), Seq(1000000L))
+
+  private def hist(ts: Long, counts: Seq[Double], posOffset: Int = 1,
+                   schema: Int = 0, zeroCount: Double = 0.0, zt: Double = 0.0,
+                   resetHint: Int = 0): ProtoWire.PHistogram =
+    ProtoWire.PHistogram(ts, schema, zt, zeroCount, counts.sum + zeroCount,
+      sum = 0.0, resetHint, posOffset, counts, 0, Nil)
+
+  /** canonical rows in the exact shape the PromApi handler builds for a
+    * histogram-bearing POST (exp columns + transient __reset_hint). */
+  private def canonicalHist(rows: Seq[(String, ProtoWire.PHistogram)]): DataFrame = {
+    import spark.implicits._
+    rows.map { case (metric, h) =>
+      (metric, Map.empty[String, String], h.ts, null.asInstanceOf[java.lang.Double],
+        h.schema, h.posOffset - 1, h.posCounts, h.zeroCount + h.negCounts.sum,
+        h.zeroThreshold, h.resetHint)
+    }.toDF("metric", "tags", "ts", "value", "exp_scale", "exp_offset",
+      "exp_counts", "exp_zero_count", "exp_zero_threshold", "__reset_hint")
+      .withColumn("value", col("value").cast("double"))
+  }
+
+  private def sunkHists(sinkDir: String, metric: String) =
+    spark.read.parquet(sinkDir).filter(col("metric") === metric)
+      .select(col("ts").cast("long"), col("exp_scale"), col("exp_offset"),
+        col("exp_counts"), col("exp_zero_count"), col("series_type"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getSeq[Double](3).toList, r.getDouble(4), r.getString(5)))
+      .sortBy(_._1).toList
+
+  // ===== wire codec ========================================================
+
+  test("prompb native histogram: integer encode→decode round-trips, float " +
+       "counts round-trip, exemplars ride the same TimeSeries") {
+    val h = hist(1234L, Seq(5.0, 0.0, 3.0), posOffset = -2, schema = 2,
+      zeroCount = 7.0, zt = 0.001, resetHint = 2)
+    val ex = ProtoWire.PExemplar(Seq("trace_id" -> "abc123"), 42.5, 1200L)
+    val s = ProtoWire.PSeries(Seq("__name__" -> "m", "job" -> "j"),
+      Seq(ProtoWire.PSample(1.5, 1000L)), Seq(h), Seq(ex))
+    val back = ProtoWire.decodeWriteRequest(
+      ProtoWire.encodeWriteRequest(Seq(s)))
+    back should have size 1
+    back.head.labels shouldEqual s.labels
+    back.head.samples shouldEqual s.samples
+    back.head.exemplars shouldEqual s.exemplars
+    back.head.histograms shouldEqual Seq(h.copy(count = h.count)) // dense already
+    // float histogram (fractional counts switch the encoding)
+    val hf = hist(99L, Seq(0.5, 2.25), posOffset = 0, zeroCount = 0.25)
+    val backF = ProtoWire.decodeWriteRequest(ProtoWire.encodeWriteRequest(
+      Seq(ProtoWire.PSeries(Seq("__name__" -> "f"), Nil, Seq(hf))))).head
+    backF.histograms shouldEqual Seq(hf)
+  }
+
+  test("prompb native histogram: multi-span gaps zero-fill into a dense " +
+       "absolute bucket array (hand-encoded wire)") {
+    // Histogram { schema=0 (field 4, zigzag); positive_spans (11):
+    //   {offset=2,len=2}, {offset=3,len=1}; positive_deltas (12, packed
+    //   zigzag): 5, -2, 1  → absolute counts 5,3,4 at indices 2,3,7;
+    //   timestamp (15) = 777 }
+    val hw = new ProtoWire.Writer
+    hw.sint64(4, 0L)
+    def span(off: Long, len: Long): ProtoWire.Writer = {
+      val sw = new ProtoWire.Writer; sw.sint64(1, off); sw.int64(2, len); sw
+    }
+    hw.message(11, span(2, 2))
+    hw.message(11, span(3, 1))
+    hw.packedSint64(12, Seq(5L, -2L, 1L))
+    hw.int64(15, 777L)
+    val tw = new ProtoWire.Writer
+    val lw = new ProtoWire.Writer; lw.string(1, "__name__"); lw.string(2, "m")
+    tw.message(1, lw)
+    tw.message(4, hw)
+    val w = new ProtoWire.Writer
+    w.message(1, tw)
+    val got = ProtoWire.decodeWriteRequest(w.toBytes).head.histograms.head
+    got.ts shouldEqual 777L
+    got.posOffset shouldEqual 2
+    got.posCounts shouldEqual Seq(5.0, 3.0, 0.0, 0.0, 0.0, 4.0)
+  }
+
+  // ===== cumulative→delta conversion ======================================
+
+  test("cumulative→delta: in-batch lag, cross-POST state seed, absolute-" +
+       "index alignment on layout growth, reset on decrease/scale-change, " +
+       "gauge passthrough") {
+    val dir = tmp("graft-c2d")
+    val (sink, index, reject) = (s"$dir/sink", s"$dir/index", s"$dir/reject")
+    // batch 0: first two cumulative samples (in-batch lag)
+    Ingest.remoteWriteBatch(canonicalHist(Seq(
+      "m" -> hist(1000L, Seq(2.0, 1.0), zeroCount = 1.0, zt = 0.5),
+      "m" -> hist(2000L, Seq(3.0, 1.0), zeroCount = 1.0, zt = 0.5))),
+      0L, sink, index, reject, cfg)
+    // batch 1: layout grows one bucket left and one right (posOffset 0 vs
+    // 1) — prev counts align by ABSOLUTE index; seeds from batch 0 state
+    Ingest.remoteWriteBatch(canonicalHist(Seq(
+      "m" -> hist(3000L, Seq(1.0, 4.0, 2.0, 1.0), posOffset = 0,
+        zeroCount = 2.0, zt = 0.5))),
+      1L, sink, index, reject, cfg)
+    // batch 2: a bucket decreases (counter reset → absolute), then a
+    // scale change (→ absolute again)
+    Ingest.remoteWriteBatch(canonicalHist(Seq(
+      "m" -> hist(4000L, Seq(1.0, 0.0, 0.0, 0.0), posOffset = 0),
+      "m" -> hist(5000L, Seq(2.0), posOffset = 4, schema = 1))),
+      2L, sink, index, reject, cfg)
+    // gauge histograms store as-is (already per-sample distributions)
+    Ingest.remoteWriteBatch(canonicalHist(Seq(
+      "g" -> hist(1000L, Seq(5.0, 5.0), resetHint = 3),
+      "g" -> hist(2000L, Seq(7.0, 1.0), resetHint = 3))),
+      3L, sink, index, reject, cfg)
+
+    sunkHists(sink, "m") shouldEqual List(
+      (1000L, 0, 0, List(2.0, 1.0), 1.0, "otel_exp_histogram"), // first: absolute
+      (2000L, 0, 0, List(1.0, 0.0), 0.0, "otel_exp_histogram"), // lag delta
+      // cross-POST + alignment: cur abs idx -1..2 minus prev abs idx 0..1
+      (3000L, 0, -1, List(1.0, 1.0, 1.0, 1.0), 1.0, "otel_exp_histogram"),
+      (4000L, 0, -1, List(1.0, 0.0, 0.0, 0.0), 0.0, "otel_exp_histogram"), // reset
+      (5000L, 1, 3, List(2.0), 0.0, "otel_exp_histogram"))                 // scale change
+    sunkHists(sink, "g") shouldEqual List(
+      (1000L, 0, 0, List(5.0, 5.0), 0.0, "otel_exp_histogram"),
+      (2000L, 0, 0, List(7.0, 1.0), 0.0, "otel_exp_histogram"))
+  }
+
+  test("crash between the state write and the sink commit: a sender retry " +
+       "recomputes identical deltas from the pre-crash state version") {
+    val dir = tmp("graft-crash")
+    val (sink, index, reject) = (s"$dir/sink", s"$dir/index", s"$dir/reject")
+    val stateDir = s"$index/_exp_state"
+    Ingest.remoteWriteBatch(canonicalHist(Seq(
+      "m" -> hist(1000L, Seq(3.0, 1.0)))), 0L, sink, index, reject, cfg)
+    // crashed attempt: the conversion ran (state delta persisted) but the
+    // sink/index commit never happened
+    val crashed = canonicalHist(Seq("m" -> hist(2000L, Seq(5.0, 2.0))))
+      .withColumn("series_id",
+        Ingest.canonicalSeriesId(col("metric"), col("tags")))
+    Ingest.expCumulativeToDelta(crashed, 1L, stateDir).collect()
+    spark.read.parquet(stateDir).count() shouldEqual 2L // both versions live
+    // sender retry (new batch id, same samples): the fold must seed from
+    // batch 0's state — the crashed attempt's own row is not older than
+    // the retried sample — so the delta is 5-3/2-1, not 5-5/2-2
+    Ingest.remoteWriteBatch(canonicalHist(Seq(
+      "m" -> hist(2000L, Seq(5.0, 2.0)))), 2L, sink, index, reject, cfg)
+    sunkHists(sink, "m") shouldEqual List(
+      (1000L, 0, 0, List(3.0, 1.0), 0.0, "otel_exp_histogram"),
+      (2000L, 0, 0, List(2.0, 1.0), 0.0, "otel_exp_histogram"))
+    // state compaction keeps TWO versions per series (the crash protocol's
+    // seed-depth requirement) and drops the rest
+    Ingest.remoteWriteBatch(canonicalHist(Seq(
+      "m" -> hist(3000L, Seq(6.0, 2.0)))), 3L, sink, index, reject, cfg)
+    Ingest.compactExpState(spark, stateDir)
+    val st = spark.read.parquet(stateDir).select("ts").collect().map(_.getLong(0)).sorted
+    st shouldEqual Array(2000L, 3000L)
+  }
+
+  test("zero bucket rides the quantile ladder: histogram_quantile over " +
+       "remote-written native histograms resolves below the threshold") {
+    import graft.promql.PromPlanner
+    val dir = tmp("graft-zb")
+    val ws = PromApi.WriteSink(s"$dir/sink", s"$dir/index", s"$dir/reject", cfg)
+    val api = new PromApi(spark, spark.range(0).toDF(), writeSink = Some(ws)).start()
+    try {
+      // 8 of 10 observations in [-zt, zt]=[−0.25, 0.25], 2 in (1, 2]:
+      // φ=0.5 lands inside the zero bucket → interpolates within (0, zt]
+      RemoteRead.remoteWriteSeries(Seq(ProtoWire.PSeries(
+        Seq("__name__" -> "zb"), Nil,
+        Seq(hist(1000L, Seq(2.0), posOffset = 1, zeroCount = 8.0, zt = 0.25)))),
+        s"http://localhost:${api.boundPort}")
+    } finally api.stop()
+    val sunk = spark.read.parquet(s"$dir/sink")
+    val ctx = PromPlanner.Ctx(spark, sunk, 1000L, 1000L, 1000L)
+    val q50 = PromPlanner.queryRange(ctx, "histogram_quantile(0.5, zb)")
+      .select("value").collect().head.getDouble(0)
+    // cum: 8 at le=0.25, 10 at le=2, 10 at +Inf → rank 5 ⇒ 0.25 * 5/8
+    q50 shouldEqual 0.25 * 5.0 / 8.0 +- 1e-12
+  }
+
+  // ===== service hardening =================================================
+
+  test("concurrent POSTs: all land exactly once under the in-flight cap; " +
+       "429 overflow is retryable and loses nothing") {
+    import java.net.URI
+    import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+    val dir = tmp("graft-conc")
+    val ws = PromApi.WriteSink(s"$dir/sink", s"$dir/index", s"$dir/reject",
+      Quota.QuotaConfig(Seq("metric"), Seq(1000L)))
+    val api = new PromApi(spark, spark.range(0).toDF(), writeSink = Some(ws),
+      httpThreads = 8, maxInFlightWrites = 2).start()
+    val url = s"http://localhost:${api.boundPort}/api/v1/write"
+    val codes = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+    try {
+      val client = HttpClient.newHttpClient()
+      def postOnce(body: Array[Byte]): Int =
+        client.send(HttpRequest.newBuilder(URI.create(url))
+          .POST(HttpRequest.BodyPublishers.ofByteArray(body)).build(),
+          HttpResponse.BodyHandlers.ofByteArray()).statusCode()
+      val threads = (1 to 6).map { i =>
+        new Thread(() => {
+          val body = org.xerial.snappy.Snappy.compress(
+            ProtoWire.encodeWriteRequest(Seq(ProtoWire.PSeries(
+              Seq("__name__" -> s"m$i"),
+              Seq(ProtoWire.PSample(i.toDouble, 1000L))))))
+          var code = postOnce(body)
+          var tries = 0
+          while (code == 429 && tries < 200) { // the sender backoff loop
+            codes.add(code); Thread.sleep(50); code = postOnce(body); tries += 1
+          }
+          codes.add(code)
+        })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
+    } finally api.stop()
+    import scala.jdk.CollectionConverters._
+    codes.asScala.toSet.subsetOf(Set(204, 429)) shouldEqual true
+    codes.asScala.count(_ == 204) shouldEqual 6
+    val sunk = spark.read.parquet(s"$dir/sink")
+      .select("metric", "value").collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toList.sorted
+    sunk shouldEqual (1 to 6).map(i => (s"m$i", i.toDouble)).toList
+  }
+
+  test("two API instances over one sink mint disjoint batch ids " +
+       "(claim-by-rename makes the single-writer contract structural)") {
+    val dir = tmp("graft-claims")
+    val ws = PromApi.WriteSink(s"$dir/sink", s"$dir/index", s"$dir/reject", cfg)
+    val a = new PromApi(spark, spark.range(0).toDF(), writeSink = Some(ws)).start()
+    val b = new PromApi(spark, spark.range(0).toDF(), writeSink = Some(ws)).start()
+    try {
+      // both instances boot with the same starting guess (empty sink);
+      // the claim files arbitrate — no batch dir may be written twice
+      for ((api, i) <- Seq((a, 1), (b, 2), (a, 3), (b, 4)))
+        RemoteRead.remoteWriteSeries(Seq(ProtoWire.PSeries(
+          Seq("__name__" -> s"m$i"), Seq(ProtoWire.PSample(i.toDouble, 1000L)))),
+          s"http://localhost:${api.boundPort}")
+    } finally { a.stop(); b.stop() }
+    spark.read.parquet(s"$dir/sink").count() shouldEqual 4L
+    val fs = new org.apache.hadoop.fs.Path(s"$dir/sink")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val batchDirs = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/sink"))
+      .map(_.getPath.getName).filter(_.startsWith("batch_id=")).sorted
+    batchDirs shouldEqual Array("batch_id=0", "batch_id=1", "batch_id=2", "batch_id=3")
+  }
+
+  test("hwm base + index deltas == the full fold; stale drops hold across " +
+       "compaction; compaction keeps the newest base only") {
+    val dir = tmp("graft-hwm")
+    val ws = PromApi.WriteSink(s"$dir/sink", s"$dir/index", s"$dir/reject", cfg)
+    val api = new PromApi(spark, spark.range(0).toDF(), writeSink = Some(ws),
+      hwmCompactEvery = 2).start()
+    def post(metric: String, ts: Long, v: Double): Unit =
+      RemoteRead.remoteWriteSeries(Seq(ProtoWire.PSeries(
+        Seq("__name__" -> metric), Seq(ProtoWire.PSample(v, ts)))),
+        s"http://localhost:${api.boundPort}")
+    try {
+      post("a", 1000L, 1.0); post("b", 1000L, 2.0) // compaction fires here
+      post("a", 2000L, 3.0)                        // delta past the base
+      val full = spark.read.parquet(s"$dir/index")
+        .groupBy(col("series_id")).agg(max(col("end_ts")).as("__hwm"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val merged = Ingest.seriesHwm(spark, s"$dir/index").get
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      merged shouldEqual full
+      // stale and duplicate samples still drop after compaction
+      post("a", 1500L, 9.0); post("a", 2000L, 9.0)
+      val rows = spark.read.parquet(s"$dir/sink")
+        .filter(col("metric") === "a")
+        .select("ts", "value").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSet
+      rows shouldEqual Set((1000L, 1.0), (2000L, 3.0))
+      val fs = new org.apache.hadoop.fs.Path(s"$dir/index")
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val bases = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/index/_hwm"))
+        .map(_.getPath.getName)
+      bases.length shouldEqual 1 // older bases deleted after each fold
+    } finally api.stop()
+  }
+
+  test("exemplars decode into the sink's side table, queryable as metadata") {
+    val dir = tmp("graft-exm")
+    val ws = PromApi.WriteSink(s"$dir/sink", s"$dir/index", s"$dir/reject", cfg,
+      exemplarDir = Some(s"$dir/exemplars"))
+    val api = new PromApi(spark, spark.range(0).toDF(), writeSink = Some(ws)).start()
+    try {
+      RemoteRead.remoteWriteSeries(Seq(ProtoWire.PSeries(
+        Seq("__name__" -> "lat", "job" -> "api"),
+        Seq(ProtoWire.PSample(0.2, 1000L)),
+        exemplars = Seq(
+          ProtoWire.PExemplar(Seq("trace_id" -> "t1"), 0.93, 950L),
+          ProtoWire.PExemplar(Seq("trace_id" -> "t2"), 0.11, 990L)))),
+        s"http://localhost:${api.boundPort}")
+    } finally api.stop()
+    val ex = spark.read.parquet(s"$dir/exemplars")
+    ex.count() shouldEqual 2L
+    val got = ex.select(col("metric"), col("tags")("job"),
+        col("exemplar_labels")("trace_id"), col("ts"), col("value"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    got shouldEqual Set(("lat", "api", "t1", 950L, 0.93),
+      ("lat", "api", "t2", 990L, 0.11))
+    // the metadata shape: top traced observation per series
+    val top = ex.groupBy("metric").agg(max("value").as("max_exemplar"))
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSet
+    top shouldEqual Set(("lat", 0.93))
+  }
+}
