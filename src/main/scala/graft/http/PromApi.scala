@@ -27,6 +27,7 @@ class PromApi(spark: SparkSession, samples: DataFrame, port: Int = 0,
               seriesIndex: Option[DataFrame] = None,
               writeSink: Option[PromApi.WriteSink] = None,
               warnLimits: QueryStatsCollector.WarnLimits = QueryStatsCollector.WarnLimits(),
+              enforcedLimits: Option[QueryStatsCollector.EnforcedLimits] = None,
               httpThreads: Int = 8,
               maxInFlightWrites: Int = 4,
               hwmCompactEvery: Int = 16) {
@@ -110,11 +111,15 @@ class PromApi(spark: SparkSession, samples: DataFrame, port: Int = 0,
     server.createContext("/api/v1/status/buildinfo", handler(buildInfo))
     server.createContext("/__health", handler(health))
     server.setExecutor(pool)
+    spark.sparkContext.addSparkListener(cpuListener)
     server.start()
     this
   }
 
-  def stop(): Unit = { server.stop(0); pool.shutdown() }
+  def stop(): Unit = {
+    server.stop(0); pool.shutdown()
+    spark.sparkContext.removeSparkListener(cpuListener)
+  }
 
   private def handler(f: Map[String, String] => String): HttpHandler = (ex: HttpExchange) => {
     val resp =
@@ -186,11 +191,35 @@ class PromApi(spark: SparkSession, samples: DataFrame, port: Int = 0,
   private def statsRequested(p: Map[String, String]): Boolean =
     p.get("stats").exists(_.nonEmpty)
 
-  /** A per-request selector-stats hook when stats were asked for — the
-    * planner registers every raw selector's post-pushdown frame on it
+  /** A per-request selector-stats hook when stats were asked for OR the
+    * server enforces scan limits — the planner registers every raw
+    * selector's post-pushdown, time-bounded frame on it
     * ([[graft.promql.PromPlanner.SelectorStats]]). */
   private def statsHook(p: Map[String, String]): Option[PromPlanner.SelectorStats] =
-    if (statsRequested(p)) Some(new PromPlanner.SelectorStats) else None
+    if (statsRequested(p) || enforcedLimits.isDefined)
+      Some(new PromPlanner.SelectorStats)
+    else None
+
+  /** Enforced-tier pre-flight: abort BEFORE evaluation when the planned
+    * selectors would scan past the configured caps. */
+  private def enforce(hook: Option[PromPlanner.SelectorStats]): Unit =
+    for (lim <- enforcedLimits; h <- hook) lim.check(h)
+
+  /** Executor-CPU accounting for stats-requesting queries: one listener
+    * per server ([[QueryStatsCollector.CpuListener]]), jobs tagged with a
+    * per-request group while the request's thread runs them. */
+  private val cpuListener = new QueryStatsCollector.CpuListener
+  private val statsGroupSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Tag every Spark job of `f` with a fresh stats group (job groups are
+    * thread-local, and one pooled thread owns the whole request). */
+  private def withStatsGroup[T](p: Map[String, String])(f: Option[String] => T): T =
+    if (!statsRequested(p)) f(None)
+    else {
+      val gid = s"graft-stats-${statsGroupSeq.incrementAndGet()}"
+      spark.sparkContext.setJobGroup(gid, "promql per-query stats", false)
+      try f(Some(gid)) finally spark.sparkContext.clearJobGroup()
+    }
 
   /** Reference-style per-query accounting, rendered as TOP-LEVEL response
     * members next to `data` (the reference SuccessResponse carries
@@ -201,40 +230,48 @@ class PromApi(spark: SparkSession, samples: DataFrame, port: Int = 0,
   private def queryStatsJson(p: Map[String, String], executed: DataFrame,
                              hook: Option[PromPlanner.SelectorStats],
                              nSeries: Int, nSamples: Long, t0: Long,
-                             resultBytes: Long): String =
-    hook.map { h =>
-      val s = QueryStatsCollector.assemble(executed, h, nSeries, nSamples, t0)
+                             resultBytes: Long, gid: Option[String]): String =
+    // the hook may exist solely for enforcement — render only on stats=
+    hook.filter(_ => statsRequested(p)).map { h =>
+      // CPU read BEFORE assemble: the stats harvest's own counting jobs
+      // are overhead, not query cost
+      val cpu = gid.map(cpuListener.takeCpuNanos(_))
+      val s = QueryStatsCollector.assemble(executed, h, nSeries, nSamples, t0, cpu)
       s",${s.statsJson(resultBytes)},${s.warningsJson(warnLimits)}"
     }.getOrElse("")
 
-  private def queryRange(p: Map[String, String]): String = {
+  private def queryRange(p: Map[String, String]): String = withStatsGroup(p) { gid =>
     val t0 = System.nanoTime()
     val hook = statsHook(p)
     val ctx = PromPlanner.Ctx(spark, samples, ms(p("start")), ms(p("end")), stepMs(p("step")),
       lookbackMs = lookback(p), stats = hook)
     val df = PromPlanner.queryRange(ctx, p("query"))
-    if (p.get("explainOnly").contains("true")) return explainResponse(p("query"), df)
-    val (collected, executed) = collectLimited(df, seriesCap(p))
-    val rows = collected.groupBy(_.getString(0)).toSeq.sortBy(_._1)
-    val result = rows.map { case (key, rs) =>
-      val metric = keyToJsonObject(key)
-      val values = rs.sortBy(_.getLong(1)).map { r =>
-        s"""[${fmtTs(r.getLong(1))},${js(fmt(r.getDouble(2)))}]"""
+    if (p.get("explainOnly").contains("true")) explainResponse(p("query"), df)
+    else {
+      enforce(hook)
+      val (collected, executed) = collectLimited(df, seriesCap(p))
+      val rows = collected.groupBy(_.getString(0)).toSeq.sortBy(_._1)
+      val result = rows.map { case (key, rs) =>
+        val metric = keyToJsonObject(key)
+        val values = rs.sortBy(_.getLong(1)).map { r =>
+          s"""[${fmtTs(r.getLong(1))},${js(fmt(r.getDouble(2)))}]"""
+        }.mkString(",")
+        s"""{"metric":$metric,"values":[$values]}"""
       }.mkString(",")
-      s"""{"metric":$metric,"values":[$values]}"""
-    }.mkString(",")
-    val nSamples = rows.iterator.map(_._2.size.toLong).sum
-    val stats = statsJson(p, t0, rows.size, nSamples)
-    val body = s"""{"resultType":"matrix","result":[$result]$stats}"""
-    val qs = queryStatsJson(p, executed, hook, rows.size, nSamples, t0, body.length.toLong)
-    s"""{"status":"success","data":$body$qs}"""
+      val nSamples = rows.iterator.map(_._2.size.toLong).sum
+      val stats = statsJson(p, t0, rows.size, nSamples)
+      val body = s"""{"resultType":"matrix","result":[$result]$stats}"""
+      val qs = queryStatsJson(p, executed, hook, rows.size, nSamples, t0,
+        body.length.toLong, gid)
+      s"""{"status":"success","data":$body$qs}"""
+    }
   }
 
   /** Instant query: evaluate at one timestamp. Scalar-typed expressions
     * (`scalar(x)`, `time()`, literals, scalar arithmetic) answer with
     * Prometheus' resultType "scalar" — a bare [ts, value] pair — instead
     * of a vector envelope (a Grafana-style consumer dispatches on this). */
-  private def instantQuery(p: Map[String, String]): String = {
+  private def instantQuery(p: Map[String, String]): String = withStatsGroup(p) { gid =>
     val t0 = System.nanoTime()
     val hook = statsHook(p)
     val t = ms(p.getOrElse("time", (System.currentTimeMillis() / 1000).toString))
@@ -248,24 +285,27 @@ class PromApi(spark: SparkSession, samples: DataFrame, port: Int = 0,
         "interval-multiple (Ni) durations require a range query with a step")
     val ast = PromPlanner.resolveStepDurations(ast0, ctx.stepMs)
     val df = PromPlanner.planVector(ctx, ast)
-    if (p.get("explainOnly").contains("true")) return explainResponse(p("query"), df)
-    val (rows, executed) = collectLimited(df, seriesCap(p))
-    if (PromPlanner.isScalarTyped(ast)) {
-      // exactly one grid step (start == end): one value, NaN when empty
-      val v = rows.headOption.map(_.getDouble(2)).getOrElse(Double.NaN)
-      val stats = statsJson(p, t0, 1, 1L)
-      val body = s"""{"resultType":"scalar","result":[${fmtTs(t)},${js(fmt(v))}]$stats}"""
-      val qs = queryStatsJson(p, executed, hook, 1, 1L, t0, body.length.toLong)
-      s"""{"status":"success","data":$body$qs}"""
-    } else {
-      val result = rows.sortBy(_.getString(0)).map { r =>
-        s"""{"metric":${keyToJsonObject(r.getString(0))},"value":[${fmtTs(r.getLong(1))},${js(fmt(r.getDouble(2)))}]}"""
-      }.mkString(",")
-      val stats = statsJson(p, t0, rows.size, rows.size.toLong)
-      val body = s"""{"resultType":"vector","result":[$result]$stats}"""
-      val qs = queryStatsJson(p, executed, hook, rows.size, rows.size.toLong, t0,
-        body.length.toLong)
-      s"""{"status":"success","data":$body$qs}"""
+    if (p.get("explainOnly").contains("true")) explainResponse(p("query"), df)
+    else {
+      enforce(hook)
+      val (rows, executed) = collectLimited(df, seriesCap(p))
+      if (PromPlanner.isScalarTyped(ast)) {
+        // exactly one grid step (start == end): one value, NaN when empty
+        val v = rows.headOption.map(_.getDouble(2)).getOrElse(Double.NaN)
+        val stats = statsJson(p, t0, 1, 1L)
+        val body = s"""{"resultType":"scalar","result":[${fmtTs(t)},${js(fmt(v))}]$stats}"""
+        val qs = queryStatsJson(p, executed, hook, 1, 1L, t0, body.length.toLong, gid)
+        s"""{"status":"success","data":$body$qs}"""
+      } else {
+        val result = rows.sortBy(_.getString(0)).map { r =>
+          s"""{"metric":${keyToJsonObject(r.getString(0))},"value":[${fmtTs(r.getLong(1))},${js(fmt(r.getDouble(2)))}]}"""
+        }.mkString(",")
+        val stats = statsJson(p, t0, rows.size, rows.size.toLong)
+        val body = s"""{"resultType":"vector","result":[$result]$stats}"""
+        val qs = queryStatsJson(p, executed, hook, rows.size, rows.size.toLong, t0,
+          body.length.toLong, gid)
+        s"""{"status":"success","data":$body$qs}"""
+      }
     }
   }
 

@@ -41,6 +41,35 @@ object QueryStatsCollector {
                         dataBytesScanned: Long = 150000000,
                         timeSeriesScanned: Long = 500000)
 
+  /** ENFORCED per-query scan limits (reference PerQueryLimits
+    * enforcedLimits, `ref:QueryContext.scala:42-67`): crossing one ABORTS
+    * the query with the limit named, where the warn tier only annotates.
+    * Checked PRE-FLIGHT on the planner's registered selector frames —
+    * a count of the post-pushdown, time-bounded scan per selector and a
+    * distinct-series count — so a pathological `{__name__=~".+"}[30d]`
+    * range query dies before the evaluation ever runs, not after the
+    * result cap trips at collect time. Opt-in per server instance (the
+    * pre-flight counting jobs are scan-only but not free). */
+  case class EnforcedLimits(samplesScanned: Long = Long.MaxValue,
+                            timeSeriesScanned: Long = Long.MaxValue) {
+    def check(hook: PromPlanner.SelectorStats): Unit = {
+      if (samplesScanned < Long.MaxValue) {
+        val n = hook.samplesScanned()
+        if (n > samplesScanned) throw new IllegalStateException(
+          s"query would scan $n samples, over the enforced " +
+            s"samplesScanned limit of $samplesScanned — narrow the " +
+            "selector or time range")
+      }
+      if (timeSeriesScanned < Long.MaxValue) {
+        val n = hook.timeSeriesScanned()
+        if (n > timeSeriesScanned) throw new IllegalStateException(
+          s"query would touch $n series, over the enforced " +
+            s"timeSeriesScanned limit of $timeSeriesScanned — narrow the " +
+            "selector")
+      }
+    }
+  }
+
   case class Stats(timeSeriesScanned: Long, dataBytesScanned: Long,
                    samplesScanned: Long, resultSeries: Long, resultSamples: Long,
                    cpuNanos: Long) {
@@ -93,11 +122,57 @@ object QueryStatsCollector {
   }
 
   /** Assemble the stats for one answered query: plan-metric harvest +
-    * selector-hook series count + result cardinality + eval wall nanos. */
+    * selector-hook series count + result cardinality. `cpuNanos` is the
+    * measured executor CPU when a [[CpuListener]] tracked the request
+    * (sum of task executorCpuTime — honest on a busy cluster, where wall
+    * includes neighbors' time), falling back to eval wall when no task
+    * report arrived. */
   def assemble(df: DataFrame, hook: PromPlanner.SelectorStats, resultSeries: Long,
-               resultSamples: Long, t0Nanos: Long): Stats = {
+               resultSamples: Long, t0Nanos: Long,
+               measuredCpu: Option[Long] = None): Stats = {
     val (scanned, bytes) = harvestScans(df.queryExecution.executedPlan)
     Stats(hook.timeSeriesScanned(), bytes, scanned, resultSeries,
-      resultSamples, System.nanoTime() - t0Nanos)
+      resultSamples,
+      measuredCpu.filter(_ > 0).getOrElse(System.nanoTime() - t0Nanos))
+  }
+
+  /** Executor-CPU accounting: sums `executorCpuTime` over the tasks of
+    * jobs tagged with a `graft-stats-*` job group (the reference threads
+    * a cpuNanos counter through its ExecPlan tree,
+    * `ref:QueryContext.scala:386-470`; Spark already measures per-task
+    * CPU — this just buckets it per request). Listener events arrive
+    * ASYNC on the bus, so [[takeCpuNanos]] poll-stabilizes (bounded)
+    * before reading, then forgets the group. */
+  final class CpuListener extends org.apache.spark.scheduler.SparkListener {
+    import org.apache.spark.scheduler.{SparkListenerJobStart, SparkListenerTaskEnd}
+    private val stageGroup = new java.util.concurrent.ConcurrentHashMap[Int, String]()
+    private val cpu = new java.util.concurrent.ConcurrentHashMap[
+      String, java.util.concurrent.atomic.AtomicLong]()
+
+    override def onJobStart(js: SparkListenerJobStart): Unit = {
+      val g = Option(js.properties).map(_.getProperty("spark.jobGroup.id")).orNull
+      if (g != null && g.startsWith("graft-stats-")) {
+        cpu.putIfAbsent(g, new java.util.concurrent.atomic.AtomicLong())
+        js.stageIds.foreach(id => stageGroup.put(id, g))
+      }
+    }
+    override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+      val g = stageGroup.get(te.stageId)
+      if (g != null && te.taskMetrics != null)
+        cpu.get(g).addAndGet(te.taskMetrics.executorCpuTime)
+    }
+    /** Poll-stabilized read of a group's accumulated CPU, then cleanup. */
+    def takeCpuNanos(group: String, settleMs: Long = 200): Long = {
+      def cur: Long = Option(cpu.get(group)).map(_.get()).getOrElse(0L)
+      var last = -1L
+      var v = cur
+      val deadline = System.nanoTime() + settleMs * 1000000L
+      while (v != last && System.nanoTime() < deadline) {
+        last = v; Thread.sleep(20); v = cur
+      }
+      cpu.remove(group)
+      stageGroup.entrySet().removeIf(e => e.getValue == group)
+      v
+    }
   }
 }

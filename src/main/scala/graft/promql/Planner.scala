@@ -53,6 +53,14 @@ object PromPlanner {
     def timeSeriesScanned(): Long = frames.synchronized { frames.toSeq }.map { df =>
       df.select(to_json(array_sort(map_entries(col("labels"))))).distinct().count()
     }.sum
+    /** Samples the registered selectors would read — a count on each
+      * post-pushdown, time-bounded frame (scan-only jobs, no shuffle).
+      * The ENFORCED-limit pre-flight ([[graft.http.QueryStatsCollector
+      * .EnforcedLimits]]) runs this BEFORE the query executes, so a
+      * pathological `{__name__=~".+"}[30d]` aborts without ever scanning
+      * into the full evaluation. */
+    def samplesScanned(): Long =
+      frames.synchronized { frames.toSeq }.map(_.count()).sum
   }
 
   case class Ctx(spark: SparkSession, samples: DataFrame,
@@ -355,7 +363,19 @@ object PromPlanner {
   private def selectorSamples(ctx: Ctx, sel: Selector): DataFrame = {
     val (df, s2) = routedBase(ctx, sel)
     val out = selectorSamplesFrom(df, s2)
-    ctx.stats.foreach(_.add(out))
+    // register the frame TIME-BOUNDED to what this selector's evaluation
+    // can actually read ((start - window/lookback - offset, end - offset])
+    // — the stats/enforcement counts then reflect the query's scan, not
+    // the table's full history; the ts predicate pushes to the scan
+    ctx.stats.foreach { h =>
+      val (es, ee) = sel.atMs.map(resolveAt(ctx, _)) match {
+        case Some(at) => (at, at)
+        case None => (ctx.startMs, ctx.endMs)
+      }
+      val look = sel.windowMs.getOrElse(ctx.lookbackMs)
+      h.add(out.filter(col("ts") > es - look - sel.offsetMs &&
+        col("ts") <= ee - sel.offsetMs))
+    }
     out
   }
 

@@ -1,0 +1,279 @@
+package graft.promql
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Runner for the upstream Prometheus `promql/testdata` `.test` format
+  * (public prometheus/prometheus repo, promql/test.go) — `load` blocks
+  * building series from the compact expansion notation, `eval instant at`
+  * blocks asserting vector/scalar results, `clear` resetting storage:
+  *
+  * {{{
+  * load 5m
+  *   http_requests{job="api", instance="0"} 0+10x10
+  *   ignored _ _ 3 stale NaN
+  *
+  * eval instant at 50m sum by (job) (http_requests)
+  *   {job="api"} 100
+  * }}}
+  *
+  * Series expansion (upstream expandSeriesVal semantics):
+  *  - `a+bxc` / `a-bxc`: arithmetic sequence, c+1 points (start at a)
+  *  - `vxc`: v repeated c+1 times
+  *  - bare numbers: one point per step; `NaN`, `Inf`, `-Inf` literal
+  *  - `_`: no sample at that step
+  *  - `stale`: Prometheus staleness marker — the engine's NaN-as-no-sample
+  *    kernel drops the sample rather than tombstoning the series, so tests
+  *    relying on stale-marker CUTOFF semantics are excluded at authoring
+  *    time (see PromUpstreamCorpusSpec's exclusions note); the token still
+  *    parses (as a dropped sample) so upstream files load unmodified.
+  *
+  * Eval directives: `eval instant at <t> <expr>` (unordered vector/scalar
+  * compare, 1e-6 relative tolerance, NaN==NaN), `eval_ordered` (ordered —
+  * sort/topk results), `eval_fail` (the query must error). Range evals
+  * (`eval range from ... to ... step ...`) are parsed and SKIPPED with a
+  * count — the instant form covers the same expressions one step at a
+  * time, which is how this engine evaluates ranges anyway.
+  *
+  * Selectors and expected-line label sets parse through the engine's own
+  * [[Parser]] (they are valid PromQL selectors), so the corpus exercises
+  * the parser too.
+  */
+object TestCorpus {
+
+  case class ExpectedSample(labels: Map[String, String], value: Double)
+  sealed trait Directive
+  case class Load(stepMs: Long, series: Seq[(Map[String, String], Seq[(Long, Double)])]) extends Directive
+  case class Eval(atMs: Long, expr: String, expected: Seq[ExpectedSample],
+                  ordered: Boolean, expectFail: Boolean, line: Int) extends Directive
+  case object Clear extends Directive
+  case class SkippedRange(expr: String, line: Int) extends Directive
+
+  case class Outcome(evalsRun: Int, failures: Seq[String], rangeSkipped: Int)
+
+  /** Parse one .test file's text into directives. */
+  def parse(text: String): Seq[Directive] = {
+    val lines = text.split('\n')
+    val out = Seq.newBuilder[Directive]
+    var i = 0
+    def isBlank(s: String) = s.trim.isEmpty || s.trim.startsWith("#")
+    while (i < lines.length) {
+      val line = lines(i).trim
+      if (isBlank(line)) i += 1
+      else if (line == "clear") { out += Clear; i += 1 }
+      else if (line.startsWith("load ")) {
+        val step = Parser.parseDuration(line.stripPrefix("load ").trim)
+        i += 1
+        val series = Seq.newBuilder[(Map[String, String], Seq[(Long, Double)])]
+        while (i < lines.length && lines(i).startsWith(" ") && !isBlank(lines(i))) {
+          series += parseSeries(lines(i).trim, step)
+          i += 1
+        }
+        out += Load(step, series.result())
+      }
+      else if (line.startsWith("eval")) {
+        val (ordered, fail, rest) =
+          if (line.startsWith("eval_ordered ")) (true, false, line.stripPrefix("eval_ordered "))
+          else if (line.startsWith("eval_fail ")) (false, true, line.stripPrefix("eval_fail "))
+          else (false, false, line.stripPrefix("eval "))
+        val evalLine = i + 1
+        if (rest.trim.startsWith("range ")) {
+          out += SkippedRange(rest.trim, evalLine)
+          i += 1
+          while (i < lines.length && lines(i).startsWith(" ") && !isBlank(lines(i))) i += 1
+        } else {
+          val m = "^instant\\s+at\\s+(\\S+)\\s+(.*)$".r.findFirstMatchIn(rest.trim)
+            .getOrElse(throw new IllegalArgumentException(
+              s"line $evalLine: unsupported eval form: $line"))
+          val at = parseAt(m.group(1))
+          val expr = m.group(2)
+          i += 1
+          val expected = Seq.newBuilder[ExpectedSample]
+          while (i < lines.length && lines(i).startsWith(" ") && !isBlank(lines(i))) {
+            expected += parseExpected(lines(i).trim)
+            i += 1
+          }
+          out += Eval(at, expr, expected.result(), ordered, fail, evalLine)
+        }
+      }
+      else throw new IllegalArgumentException(s"line ${i + 1}: unrecognized: $line")
+    }
+    out.result()
+  }
+
+  /** `at` times: durations (`50m`), bare seconds, negative durations. */
+  private def parseAt(s: String): Long =
+    if (s.startsWith("-")) -Parser.parseDuration(s.drop(1))
+    else if (s.exists(_.isLetter)) Parser.parseDuration(s)
+    else math.round(s.toDouble * 1000)
+
+  /** One load line: `metric{labels} v1 v2 0+10x3 _ ...` */
+  private def parseSeries(line: String, stepMs: Long): (Map[String, String], Seq[(Long, Double)]) = {
+    val splitAt = {
+      // the selector part ends at the first whitespace OUTSIDE braces
+      var depth = 0; var idx = -1; var j = 0
+      while (j < line.length && idx < 0) {
+        line(j) match {
+          case '{' => depth += 1
+          case '}' => depth -= 1
+          case c if c.isWhitespace && depth == 0 => idx = j
+          case _ =>
+        }
+        j += 1
+      }
+      if (idx < 0) line.length else idx
+    }
+    val sel = line.substring(0, splitAt)
+    val labels = selectorLabels(sel)
+    val values = expandValues(line.substring(splitAt).trim)
+    val samples = values.zipWithIndex.collect {
+      case (Some(v), k) => (k.toLong * stepMs, v)
+    }
+    (labels, samples)
+  }
+
+  /** Parse a selector/label-set string into its equality label map via the
+    * engine's own parser. */
+  def selectorLabels(sel: String): Map[String, String] = {
+    val expr = Parser.parse(if (sel.startsWith("{")) sel else sel.trim)
+    expr match {
+      case s: Selector =>
+        val base = s.metric.map(m => Map("__name__" -> m)).getOrElse(Map.empty)
+        base ++ s.matchers.collect {
+          case LabelMatcher(n, MatchOp.Eq, v) => n -> v
+        }
+      case other => throw new IllegalArgumentException(
+        s"not a plain selector: $sel ($other)")
+    }
+  }
+
+  /** Upstream expandSeriesVal: `a+bxc`/`a-bxc` arithmetic (c+1 points),
+    * `vxc` repeat (c+1 points), bare numbers, `_` gaps, `stale`. */
+  private[promql] def expandValues(spec: String): Seq[Option[Double]] =
+    spec.split("\\s+").filter(_.nonEmpty).toSeq.flatMap { tok =>
+      if (tok == "_") Seq(None)
+      else if (tok == "stale") Seq(None) // see scaladoc: dropped, not tombstoned
+      else {
+        val rx = "^([+-]?[0-9.eE+-]*?[0-9.])(?:([+-])([0-9.eE]+))?x([0-9]+)$".r
+        rx.findFirstMatchIn(tok) match {
+          case Some(m) =>
+            val start = m.group(1).toDouble
+            val inc = (Option(m.group(2)), Option(m.group(3))) match {
+              case (Some("-"), Some(d)) => -d.toDouble
+              case (Some("+"), Some(d)) => d.toDouble
+              case _ => 0.0
+            }
+            val times = m.group(4).toInt
+            (0 to times).map(k => Some(start + inc * k))
+          case None => Seq(Some(num(tok)))
+        }
+      }
+    }
+
+  private def num(s: String): Double = s match {
+    case "NaN" => Double.NaN
+    case "Inf" | "+Inf" => Double.PositiveInfinity
+    case "-Inf" => Double.NegativeInfinity
+    case v => v.toDouble
+  }
+
+  /** One expected line: `{labels} value` or `metric{labels} value` or
+    * `metric value` — or a bare scalar for scalar-typed queries. */
+  private def parseExpected(line: String): ExpectedSample = {
+    val lastSpace = line.lastIndexOf(' ')
+    if (lastSpace < 0) ExpectedSample(Map.empty, num(line))
+    else {
+      val (selPart, vPart) = (line.substring(0, lastSpace).trim, line.substring(lastSpace + 1))
+      if (selPart.isEmpty) ExpectedSample(Map.empty, num(vPart))
+      else ExpectedSample(selectorLabels(selPart), num(vPart))
+    }
+  }
+
+  // ===== execution =========================================================
+
+  /** Build the canonical samples frame for the loaded series. */
+  private def samplesFrame(spark: SparkSession,
+                           loads: Seq[Load]): DataFrame = {
+    import spark.implicits._
+    val rows = loads.flatMap(_.series).zipWithIndex.flatMap {
+      case ((labels, samples), sid) =>
+        val metric = labels.getOrElse("__name__", null)
+        val tags = labels - "__name__"
+        samples.map { case (ts, v) => (sid.toLong, metric, tags, ts, v) }
+    }
+    rows.toDF("series_id", "metric", "tags", "ts", "value")
+  }
+
+  private def relEq(a: Double, b: Double): Boolean =
+    (a.isNaN && b.isNaN) || a == b ||
+      math.abs(a - b) <= 1e-6 * math.max(math.abs(a), math.abs(b))
+
+  /** Run a parsed corpus against the engine; returns counts + failures
+    * (one message per failed eval, capped by the caller's patience). */
+  def run(spark: SparkSession, directives: Seq[Directive],
+          lookbackMs: Long = PromPlanner.DefaultLookbackMs): Outcome = {
+    var loads = Seq.empty[Load]
+    var evals = 0
+    var rangeSkips = 0
+    val failures = Seq.newBuilder[String]
+    directives.foreach {
+      case l: Load => loads :+= l
+      case Clear => loads = Seq.empty
+      case _: SkippedRange => rangeSkips += 1
+      case e: Eval =>
+        evals += 1
+        val samples = samplesFrame(spark, loads)
+        val ctx = PromPlanner.Ctx(spark, samples, e.atMs, e.atMs, 1000L,
+          lookbackMs = lookbackMs)
+        val attempt = scala.util.Try {
+          val ast = PromPlanner.resolveStepDurations(Parser.parse(e.expr), 1000L)
+          val df = PromPlanner.planVector(ctx, ast)
+          val rows = df.select(col("__key"), col("value")).collect()
+            .map(r => (PromApiLabels.fromKey(r.getString(0)), r.getDouble(1))).toSeq
+          (PromPlanner.isScalarTyped(ast), rows)
+        }
+        (attempt, e.expectFail) match {
+          case (scala.util.Failure(_), true) => // expected error
+          case (scala.util.Failure(ex), false) =>
+            failures += s"line ${e.line}: ${e.expr} — threw ${ex.getMessage}"
+          case (scala.util.Success(_), true) =>
+            failures += s"line ${e.line}: ${e.expr} — expected failure, succeeded"
+          case (scala.util.Success((scalarTyped, rows)), false) =>
+            val got =
+              if (scalarTyped)
+                Seq(Map.empty[String, String] ->
+                  rows.headOption.map(_._2).getOrElse(Double.NaN))
+              else rows.map { case (l, v) => l -> v }
+            val want = e.expected.map(x => x.labels -> x.value)
+            val ok =
+              if (e.ordered)
+                got.size == want.size && got.zip(want).forall {
+                  case ((gl, gv), (wl, wv)) => gl == wl && relEq(gv, wv)
+                }
+              else
+                got.size == want.size &&
+                  want.forall { case (wl, wv) =>
+                    got.exists { case (gl, gv) => gl == wl && relEq(gv, wv) } } &&
+                  got.map(_._1).distinct.size == got.size
+            if (!ok)
+              failures += s"line ${e.line}: ${e.expr}\n  want: ${render(want)}\n  got:  ${render(got)}"
+        }
+    }
+    Outcome(evals, failures.result(), rangeSkips)
+  }
+
+  private def render(xs: Seq[(Map[String, String], Double)]): String =
+    xs.sortBy(_._1.toSeq.sorted.mkString)
+      .map { case (l, v) =>
+        l.toSeq.sorted.map { case (k, x) => s"""$k="$x"""" }.mkString("{", ",", "}") + s" $v"
+      }.mkString("; ")
+}
+
+/** Key-string → label map (the API's __key is the sorted JSON entry
+  * array; shared here so the corpus runner reads results the same way
+  * the HTTP layer does). */
+object PromApiLabels {
+  def fromKey(key: String): Map[String, String] =
+    "\"key\":\"(.*?)\",\"value\":\"(.*?)\"".r
+      .findAllMatchIn(key).map(m => m.group(1) -> m.group(2)).toMap
+}

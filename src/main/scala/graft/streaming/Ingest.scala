@@ -719,14 +719,15 @@ object Ingest {
   def startDocIngestWithNearDedup(docs: DataFrame, table: String, sinkDir: String,
                                   checkpointDir: String, nBuckets: Int = 32,
                                   threshold: Double = 0.7, numHashes: Int = 32,
-                                  shingleK: Int = 3, rowsPerBand: Int = 4)
+                                  shingleK: Int = 3, rowsPerBand: Int = 4,
+                                  compactEvery: Int = 16)
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processDocBatch(batch, batchId, table, sinkDir, nBuckets,
-          threshold, numHashes, shingleK, rowsPerBand)
+          threshold, numHashes, shingleK, rowsPerBand, compactEvery)
       }
       .start()
 
@@ -737,7 +738,8 @@ object Ingest {
     * backfill with the same idempotence contract. */
   def processDocBatch(batch0: DataFrame, batchId: Long, table: String, sinkDir: String,
                       nBuckets: Int = 32, threshold: Double = 0.7, numHashes: Int = 32,
-                      shingleK: Int = 3, rowsPerBand: Int = 4): Unit = {
+                      shingleK: Int = 3, rowsPerBand: Int = 4,
+                      compactEvery: Int = 0): Unit = {
     import graft.pipeline.{CorpusLayout, Dedup}
     val spark = batch0.sparkSession
     // the SINK's filesystem, not the default one — markers must live
@@ -784,6 +786,15 @@ object Ingest {
       CorpusLayout.writeNearDupIndex(survivors, table, nBuckets,
         numHashes = numHashes, shingleK = shingleK, rowsPerBand = rowsPerBand)
     fs.mkdirs(processed) // commit point: replays of this batch no-op
+    // AUTO-COMPACTION cadence: every Nth batch folds the standing index
+    // back to one segment per bucket (foreachBatch runs serially within a
+    // stream, so the quiesce-across-swap contract holds by construction).
+    // After the commit marker: a replayed batch no-ops above and never
+    // re-compacts; a crash before the fold only defers it to the next
+    // trigger. Probes are row-identical across the swap (compactIndex is
+    // a pure consolidation — TsLayoutSpec pins it).
+    if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+      CorpusLayout.compactIndex(spark, table)
   }
 
   /** Streaming MEDIA ingest with PERCEPTUAL dedup against the standing
@@ -799,13 +810,14 @@ object Ingest {
   def startMediaIngestWithPerceptualDedup(media: DataFrame, table: String,
                                           sinkDir: String, checkpointDir: String,
                                           nBuckets: Int = 32, maxDist: Int = 6,
-                                          prefixBits: Int = 12)
+                                          prefixBits: Int = 12, compactEvery: Int = 16)
       : org.apache.spark.sql.streaming.StreamingQuery =
     media.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        processMediaBatch(batch, batchId, table, sinkDir, nBuckets, maxDist, prefixBits)
+        processMediaBatch(batch, batchId, table, sinkDir, nBuckets, maxDist,
+          prefixBits, compactEvery)
       }
       .start()
 
@@ -813,7 +825,8 @@ object Ingest {
     * [[startMediaIngestWithPerceptualDedup]], factored out like
     * [[processDocBatch]] so crash-window replays are testable. */
   def processMediaBatch(batch0: DataFrame, batchId: Long, table: String, sinkDir: String,
-                        nBuckets: Int = 32, maxDist: Int = 6, prefixBits: Int = 12): Unit = {
+                        nBuckets: Int = 32, maxDist: Int = 6, prefixBits: Int = 12,
+                        compactEvery: Int = 0): Unit = {
     import graft.pipeline.CorpusLayout
     val spark = batch0.sparkSession
     // the SINK's filesystem, not the default one — markers must live
@@ -845,6 +858,9 @@ object Ingest {
     else
       CorpusLayout.writePerceptualIndex(survivors, table, nBuckets, prefixBits)
     fs.mkdirs(processed)
+    // auto-compaction cadence — see processDocBatch (same contract)
+    if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+      CorpusLayout.compactIndex(spark, table)
   }
 
   /** Streaming ingest from a parquet directory source. */

@@ -578,7 +578,15 @@ class PromApiSpec extends AnyFunSuite with Matchers {
       m.group(1).toLong should be > 0L   // dataBytesScanned
       m.group(2).toLong should be > 0L   // samplesScanned
       m.group(3).toLong should be > 100L // resultBytes = data-body JSON bytes
-      m.group(4).toLong should be > 0L   // cpuNanos (eval wall)
+      // cpuNanos is MEASURED executor CPU (SparkListener task metrics),
+      // not wall: positive, and bounded by wall x worker threads (the
+      // busy-cluster honesty bound — wall includes scheduler/JSON time
+      // the executors never burned)
+      val cpu = m.group(4).toLong
+      val wallSec = """"evalTotalTime":([0-9.]+)""".r
+        .findFirstMatchIn(resp).get.group(1).toDouble
+      cpu should be > 0L
+      cpu.toDouble should be <= wallSec * 1e9 * 8 // local[4] + listener slack
       // a clean query carries an empty warnings object
       resp should include(""""warnings":{}""")
     } finally api.stop()
@@ -611,6 +619,44 @@ class PromApiSpec extends AnyFunSuite with Matchers {
           "/api/v1/series?start=1704067200&end=1704100000"))
         get(idxApi.boundPort, path) shouldEqual get(scanApi.boundPort, path)
     } finally { scanApi.stop(); idxApi.stop() }
+  }
+
+  test("enforced scan limits abort a runaway query pre-flight with the " +
+       "limit named; the same query under the cap is byte-identical") {
+    import graft.http.QueryStatsCollector.EnforcedLimits
+    val samples = TsTables.eventsAsSamples(spark, "/root/testdata/sf0.001")
+    val plain = new PromApi(spark, samples).start()
+    val tight = new PromApi(spark, samples,
+      enforcedLimits = Some(EnforcedLimits(samplesScanned = 50))).start()
+    val tightSeries = new PromApi(spark, samples,
+      enforcedLimits = Some(EnforcedLimits(timeSeriesScanned = 1))).start()
+    val loose = new PromApi(spark, samples,
+      enforcedLimits = Some(EnforcedLimits(samplesScanned = 100000000L,
+        timeSeriesScanned = 1000000L))).start()
+    try {
+      // the reference's nightmare query: match-everything selector over a
+      // wide window — must die BEFORE evaluation, naming the limit
+      val runaway = java.net.URLEncoder.encode(
+        """sum(sum_over_time({__name__=~".+"}[30d]))""", "UTF-8")
+      val path = s"/api/v1/query_range?query=$runaway" +
+        s"&start=${TsTables.EventsStartMs / 1000}&end=${TsTables.EventsEndMs / 1000}&step=86400"
+      val err = get(tight.boundPort, path)
+      err should include(""""status":"error"""")
+      err should include("enforced samplesScanned limit of 50")
+      val err2 = get(tightSeries.boundPort, path)
+      err2 should include("enforced timeSeriesScanned limit of 1")
+      // under the cap: the enforcing server answers byte-identically to an
+      // unlimited one (the pre-flight never perturbs results)
+      get(loose.boundPort, path) shouldEqual get(plain.boundPort, path)
+      val narrow = java.net.URLEncoder.encode(
+        """sum(sum_over_time(purchase{user="1"}[1d]))""", "UTF-8")
+      val npath = s"/api/v1/query_range?query=$narrow" +
+        s"&start=${TsTables.EventsStartMs / 1000}&end=${TsTables.EventsEndMs / 1000}&step=86400"
+      get(loose.boundPort, npath) shouldEqual get(plain.boundPort, npath)
+      // instant queries enforce too
+      val ipath = s"/api/v1/query?query=$runaway&time=${TsTables.EventsEndMs / 1000}"
+      get(tight.boundPort, ipath) should include("enforced samplesScanned limit")
+    } finally { plain.stop(); tight.stop(); tightSeries.stop(); loose.stop() }
   }
 
   test("remote write end-to-end: a WriteRequest POST ingests through the " +

@@ -280,6 +280,53 @@ class StreamingSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("auto-compaction cadence: a 16-batch standing ingest folds its index " +
+       "on schedule, probes stay row-identical to an uncompacted twin, and " +
+       "the file count is bounded") {
+    import org.apache.spark.sql.functions.col
+    import graft.pipeline.CorpusLayout
+    val dirA = java.nio.file.Files.createTempDirectory("doc_autoc_a").toString
+    val dirB = java.nio.file.Files.createTempDirectory("doc_autoc_b").toString
+    val (ta, tb) = ("autoc_a_ndx", "autoc_b_ndx")
+    // deterministic distinct docs — no near-dups, so every doc indexes and
+    // the index grows one segment per batch on the uncompacted twin
+    def batch(i: Int) = Seq(
+      (i * 10L, s"document alpha $i discusses windowed aggregation over streaming state stores"),
+      (i * 10L + 1, s"unrelated beta $i text covering parquet bucket pruning and broadcast joins"))
+      .toDF("doc_id", "text")
+    try {
+      for (i <- 0 until 16) {
+        Ingest.processDocBatch(batch(i), i.toLong, ta, s"$dirA/sink",
+          nBuckets = 4, threshold = 0.5, compactEvery = 5)
+        Ingest.processDocBatch(batch(i), i.toLong, tb, s"$dirB/sink",
+          nBuckets = 4, threshold = 0.5)
+      }
+      // probes row-identical across the swaps (batch 5/10/15 compacted A)
+      val probeDoc = Seq((999L,
+        "document alpha 7 discusses windowed aggregation over streaming state stores"))
+        .toDF("doc_id", "text")
+      val pa = CorpusLayout.nearDupsAgainstIndex(spark, probeDoc, ta, threshold = 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val pb = CorpusLayout.nearDupsAgainstIndex(spark, probeDoc, tb, threshold = 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      pa shouldEqual pb
+      pa should contain((999L, 70L))
+      // sinks identical
+      spark.read.parquet(s"$dirA/sink").select("doc_id").collect()
+        .map(_.getLong(0)).sorted shouldEqual
+        spark.read.parquet(s"$dirB/sink").select("doc_id").collect()
+          .map(_.getLong(0)).sorted
+      // the compacted side's band index is bounded at one segment per
+      // bucket (+ the post-compaction appends); the twin keeps one per batch
+      def nFiles(t: String): Int = spark.table(t).inputFiles.length
+      nFiles(s"${ta}_bands") should be < nFiles(s"${tb}_bands")
+      nFiles(s"${ta}_bands") should be <= (4 + 5 * 4) // last fold at batch 15
+    } finally {
+      for (t <- Seq(ta, tb); sfx <- Seq("_bands", "_sigs"))
+        spark.sql(s"DROP TABLE IF EXISTS $t$sfx")
+    }
+  }
+
   test("shared ingest pipeline (file/Kafka seam) dedupes across out-of-order source partitions") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     // events-SHAPED input, exactly what both startFileIngest and
