@@ -39,6 +39,11 @@ object Histograms {
     * - first bucket with cum >= rank; +Inf bucket returns the previous
     *   bound; first bucket interpolates from 0. */
   def quantile(phi: Double, le: Column, values: Column): Column = {
+    // φ outside [0,1] answers ±Inf before any bucket math (reference
+    // Histogram.quantile, core/.../format/vectors/Histogram.scala:69-70;
+    // upstream promql matches — r10 upstream-corpus finding)
+    if (phi < 0) return lit(Double.NegativeInfinity)
+    if (phi > 1) return lit(Double.PositiveInfinity)
     val n = size(values)
     val total = element_at(values, -1)
     val rank = lit(phi) * total
@@ -69,6 +74,10 @@ object Histograms {
   def maxMinQuantile(phi: Double, le: Column, values: Column,
                      minObs: Column, maxObs: Column,
                      even: Boolean = false): Column = {
+    // same ±Inf out-of-range φ contract as quantile (reference
+    // Histogram.scala:69-70)
+    if (phi < 0) return lit(Double.NegativeInfinity)
+    if (phi > 1) return lit(Double.PositiveInfinity)
     val n = size(values)
     val total = element_at(values, -1)
     val rank = lit(phi) * total

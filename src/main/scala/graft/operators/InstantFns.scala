@@ -60,10 +60,21 @@ object InstantFns {
       // floor would overflow there, but passing v through diverged on
       // pathological huge-v/tiny-to inputs (round-9 advisor finding)
       when(intLike(shifted), shifted * lit(to)).otherwise(floor(shifted) * lit(to))
-    case "clamp_max" => when(isnan(v), v).otherwise(least(v, lit(args.head)))
-    case "clamp_min" => when(isnan(v), v).otherwise(greatest(v, lit(args.head)))
-    case "clamp"     => when(isnan(v), v)
-      .otherwise(least(greatest(v, lit(args(0))), lit(args(1))))
+    // NaN BOUNDS poison the result (reference ClampMax/ClampMin use
+    // scala.math.min/max = java.lang.Math, which return NaN when either
+    // operand is NaN; Spark's least/greatest skip NaN instead — r10
+    // upstream-corpus finding). Bounds are plan-time constants, so the
+    // check is too.
+    case "clamp_max" =>
+      if (args.head.isNaN) NaNd
+      else when(isnan(v), v).otherwise(least(v, lit(args.head)))
+    case "clamp_min" =>
+      if (args.head.isNaN) NaNd
+      else when(isnan(v), v).otherwise(greatest(v, lit(args.head)))
+    case "clamp"     =>
+      if (args.exists(_.isNaN)) NaNd
+      else when(isnan(v), v)
+        .otherwise(least(greatest(v, lit(args(0))), lit(args(1))))
     // calendar fns: value is epoch SECONDS (UTC); non-finite -> NaN
     case "month"         => calendar(v, month(epochTs(v)))
     case "year"          => calendar(v, year(epochTs(v)))

@@ -580,7 +580,10 @@ object Parser {
         if (cur == TOp("{")) fail(s"'$name' is a number literal, not a metric name")
         if (name.equalsIgnoreCase("inf")) NumberLit(Double.PositiveInfinity)
         else NumberLit(Double.NaN)
-      case TId(name) if AggOps.contains(name) => parseAgg()
+      // aggregation-op KEYWORDS are case-insensitive in the upstream
+      // grammar (`SUM(x) BY (job)` lexes sum/by as keywords) — unlike
+      // function names, which stay case-sensitive (r10 upstream-corpus)
+      case TId(name) if AggOps.contains(name.toLowerCase) => parseAgg()
       case TId(name) =>
         advance()
         cur match {
@@ -645,7 +648,7 @@ object Parser {
     private val ParamAggs = Set("topk", "bottomk", "quantile", "count_values")
 
     private def parseAgg(): PromExpr = {
-      val op = advance().asInstanceOf[TId].s
+      val op = advance().asInstanceOf[TId].s.toLowerCase
       var by: Seq[String] = Nil
       var without: Seq[String] = Nil
       var clauseSeen = false
@@ -655,7 +658,14 @@ object Parser {
           clauseSeen = true; advance(); by = parseLabelList(); true
         } else if (isKw(cur, "without")) {
           if (clauseSeen) fail(s"only one by/without clause allowed on $op")
-          clauseSeen = true; advance(); without = parseLabelList(); true
+          clauseSeen = true; advance(); without = parseLabelList()
+          // `without ()` keeps every label (minus __name__) — distinct from
+          // NO clause (one global group). The planner always appends
+          // __name__ to the drop list, so encoding the empty clause as
+          // dropping exactly __name__ is both distinguishable and
+          // semantically exact (r10 upstream-corpus finding).
+          if (without.isEmpty) without = Seq("__name__")
+          true
         } else false
       clause() // modifier before args
       expectOp("(")

@@ -745,7 +745,12 @@ object PromPlanner {
         // InstantVectorParam): windowless selector evaluates over the
         // staleness lookback like any instant selector
         case sel: Selector if sel.windowMs.isEmpty && (n == "timestamp" || n == "last") =>
-          periodic(ctx, sel, RangeFns.byName(n), ctx.lookbackMs)
+          // timestamp() computes a NEW sample value, so the metric name is
+          // dropped like any instant function (upstream: timestamp(m) has
+          // no __name__; r10 upstream-corpus finding). `last` is the
+          // FiloDB passthrough and keeps it.
+          dropNameIf(periodic(ctx, sel, RangeFns.byName(n), ctx.lookbackMs),
+            n == "timestamp")
         case sel: Selector if sel.windowMs.isDefined =>
           lazy val routedRI = routedBase(ctx, sel) // shared by guard + branch
           if (n == "absent_over_time") absent(ctx, sel, sel.windowMs.get)
@@ -823,7 +828,7 @@ object PromPlanner {
             val (src, effFn) = routed.getOrElse((selectorSamples(ctx, sel), n))
             dropNameIf(
               periodicFrom(ctx, src, sel, RangeFns.byName(effFn), sel.windowMs.get),
-              n != "last_over_time" && n != "last" && n != "timestamp")
+              n != "last_over_time" && n != "last")
           }
         case _: Subquery if n == "absent_over_time" =>
           // absent_over_time over a subquery matrix: 1.0 wherever
@@ -831,22 +836,19 @@ object PromPlanner {
           // no labels (not selector-rooted).
           val present = planFunc(ctx, "present_over_time", args)
           absentOfSteps(ctx, present, map().cast("map<string,string>"))
-        case Subquery(inner, range, step, off, atMs, _, _, _) =>
-          // @ on a subquery pins the outer evaluation time; the result is
-          // replicated across the step grid like a pinned selector
-          val atR = atMs.map(resolveAt(ctx, _))
-          val base = atR.map(a => ctx.copy(startMs = a, endMs = a)).getOrElse(ctx)
-          val innerCtx = subqueryCtx(base, range, step, off)
-          val innerDF = planVector(innerCtx, inner)
-            .withColumnRenamed("step_ts", "ts").withColumn("__tie", lit(0L))
-          val out = PeriodicSamples(innerDF, Seq("__key", "labels"), "ts", "value",
-            base.startMs, base.endMs, ctx.stepMs, range, RangeFns.byName(n),
-            offsetMs = off, tieCol = Some("__tie"))
-          val gridded = atR match {
-            case Some(_) => out.drop("step_ts").crossJoin(scalarGrid(ctx))
-            case None => out
-          }
-          finish(gridded)
+        case sq: Subquery =>
+          // subquery-fed *_over_time drops __name__ exactly like the
+          // selector-fed form (r10 upstream-corpus finding: the engine was
+          // keeping it only on this path)
+          finish(dropNameIf(subqueryPeriodic(ctx, sq, RangeFns.byName(n)),
+            n != "last_over_time" && n != "last"))
+        case vec if n == "timestamp" =>
+          // timestamp() of a COMPUTED instant vector (vector(1), expr
+          // results): every computed sample's timestamp IS its evaluation
+          // step, so the value is the step itself in seconds (upstream:
+          // timestamp(vector(1)) at t answers t; r10 upstream-corpus
+          // finding — this arm used to reject non-selectors)
+          dropName(planVector(ctx, vec).withColumn("value", col("step_ts") / 1000.0))
         case other => throw new IllegalArgumentException(s"$n needs a range selector, got $other")
       }
 
@@ -1095,7 +1097,32 @@ object PromPlanner {
   private def matrixArg(ctx: Ctx, arg: PromExpr, fn: RangeFn): DataFrame = arg match {
     case sel: Selector if sel.windowMs.isDefined =>
       dropName(periodic(ctx, sel, fn, sel.windowMs.get))
+    case sq: Subquery =>
+      // parameterized range fns (quantile_over_time, predict_linear,
+      // holt_winters, …) accept subquery matrices exactly like the plain
+      // *_over_time family (r10 upstream-corpus finding: this arm used to
+      // reject them)
+      dropName(subqueryPeriodic(ctx, sq, fn))
     case other => throw new IllegalArgumentException(s"expected range selector, got $other")
+  }
+
+  /** Evaluate a range function over a subquery matrix: plan the inner
+    * expression on the subquery's own grid, then treat its steps as raw
+    * samples for the outer window kernel. @ pins the outer evaluation and
+    * replicates across the requested grid. */
+  private def subqueryPeriodic(ctx: Ctx, sq: Subquery, fn: RangeFn): DataFrame = {
+    val atR = sq.atMs.map(resolveAt(ctx, _))
+    val base = atR.map(a => ctx.copy(startMs = a, endMs = a)).getOrElse(ctx)
+    val innerCtx = subqueryCtx(base, sq.rangeMs, sq.stepMs, sq.offsetMs)
+    val innerDF = planVector(innerCtx, sq.expr)
+      .withColumnRenamed("step_ts", "ts").withColumn("__tie", lit(0L))
+    val out = PeriodicSamples(innerDF, Seq("__key", "labels"), "ts", "value",
+      base.startMs, base.endMs, ctx.stepMs, sq.rangeMs, fn,
+      offsetMs = sq.offsetMs, tieCol = Some("__tie"))
+    atR match {
+      case Some(_) => out.drop("step_ts").crossJoin(scalarGrid(ctx))
+      case None => out
+    }
   }
 
   /** A subquery with no step uses the engine's default evaluation
@@ -1119,10 +1146,12 @@ object PromPlanner {
 
   private def absent(ctx: Ctx, sel: Selector, windowMs: Long): DataFrame = {
     val present = periodic(ctx, sel, RangeFns.PresentOverTime, windowMs)
-    // synthesize labels from Equals matchers (reference AbsentFunctionMapper)
+    // synthesize labels from Equals matchers (reference AbsentFunctionMapper;
+    // the METRIC NAME is never part of the synthesized set — upstream
+    // `absent(nonexistent{job="j"})` answers {job="j"}, not
+    // {__name__=...,job="j"}; r10 upstream-corpus finding)
     val eqLabels: Seq[(String, String)] =
-      sel.metric.map("__name__" -> _).toSeq ++
-        sel.matchers.filter(_.op == MatchOp.Eq).map(m => m.label -> m.value)
+      sel.matchers.filter(_.op == MatchOp.Eq).map(m => m.label -> m.value)
     val labelMap =
       if (eqLabels.isEmpty) map().cast("map<string,string>")
       else map(eqLabels.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
@@ -1248,7 +1277,17 @@ object PromPlanner {
                 map_filter(col("labels"), (k, _) => !k.isin(incl: _*)),
                 map_filter(col("__olabels"), (k, _) => k.isin(incl: _*))))
             else res
-          val cleaned = withIncl.drop("__ov", "__olabels", "__jk")
+          // ONE-TO-ONE result labels are the MATCH KEY only (on labels, or
+          // all-minus-ignoring): `a / ignoring(code) b` emits {method=...}
+          // with `code` gone (PromQL vector-matching contract; the r10
+          // upstream-corpus run caught the engine keeping the full LHS
+          // set). Grouped (group_left/right) results keep the many side's
+          // labels, and FILTER comparisons keep the LHS sample untouched
+          // (metric name included) — only new-sample ops relabel.
+          val relabeled =
+            if (grouping || (cmp && !bool)) withIncl
+            else withIncl.withColumn("labels", matchKeyMap(matching))
+          val cleaned = relabeled.drop("__ov", "__olabels", "__jk")
           if (cmp && !bool) withKey(cleaned).transform(finish)
           else dropName(cleaned).transform(finish)
         }
@@ -1286,16 +1325,17 @@ object PromPlanner {
     if (cmp && !bool) withKey(res).transform(finish)
     else dropName(res).transform(finish)
 
-  /** join-key column from on/ignoring; default = all labels minus __name__ */
-  private def matchKeyCol(matching: Option[VectorMatch]): Column = {
-    val filtered = matching match {
-      case Some(VectorMatch(true, labels, _, _, _)) =>
-        map_filter(col("labels"), (k, _) => k.isin(labels: _*))
-      case Some(VectorMatch(false, labels, _, _, _)) =>
-        map_filter(col("labels"), (k, _) => !k.isin(labels :+ "__name__": _*))
-      case None =>
-        map_filter(col("labels"), (k, _) => k =!= "__name__")
-    }
-    to_json(array_sort(map_entries(filtered)))
+  /** match-key LABEL MAP from on/ignoring; default = all minus __name__ */
+  private def matchKeyMap(matching: Option[VectorMatch]): Column = matching match {
+    case Some(VectorMatch(true, labels, _, _, _)) =>
+      map_filter(col("labels"), (k, _) => k.isin(labels: _*))
+    case Some(VectorMatch(false, labels, _, _, _)) =>
+      map_filter(col("labels"), (k, _) => !k.isin(labels :+ "__name__": _*))
+    case None =>
+      map_filter(col("labels"), (k, _) => k =!= "__name__")
   }
+
+  /** join-key column from on/ignoring; default = all labels minus __name__ */
+  private def matchKeyCol(matching: Option[VectorMatch]): Column =
+    to_json(array_sort(map_entries(matchKeyMap(matching))))
 }

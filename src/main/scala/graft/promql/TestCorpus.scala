@@ -135,6 +135,7 @@ object TestCorpus {
   /** Parse a selector/label-set string into its equality label map via the
     * engine's own parser. */
   def selectorLabels(sel: String): Map[String, String] = {
+    if (sel.trim == "{}") return Map.empty // a matcherless set is not a legal SELECTOR
     val expr = Parser.parse(if (sel.startsWith("{")) sel else sel.trim)
     expr match {
       case s: Selector =>
