@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Connected components over near-duplicate candidate pairs.
@@ -94,77 +95,108 @@ object Components {
 
   /** INCREMENTAL connected components: fold a batch of new edges into an
     * existing (id, component) assignment without recomputing the corpus.
-    * Only components TOUCHED by the batch recompute: assignments whose
-    * component contains an endpoint of a new edge re-enter the star-forest
-    * iteration as (id → component) edges alongside the new edges (a
-    * component's label is by construction its minimum member, so those
-    * edges reproduce its connectivity exactly); every untouched
-    * assignment passes through unchanged. A batch endpoint unknown to the
-    * assignment is a brand-new node and simply rides the new edges.
     *
-    * Scale shape: two semi-joins restrict the recompute seed to
-    * touched-component rows (batch-proportional for the typical
-    * few-collisions batch — the standing near-dup service shape), and the
-    * log-round iteration runs over that seed, not the corpus. The merged
-    * result keeps the invariant `component = min member id`, so repeated
-    * folds compose. Labels for nodes in NO edge ever (singletons) are the
-    * caller's to add, as with [[connectedComponents]]. */
+    * The batch graph is CONTRACTED before any iteration: each endpoint
+    * maps to its current component label (new nodes keep their own id),
+    * so the star-forest loop runs over a graph with ONE node per touched
+    * component — never over the components' members. Because a label is
+    * by construction its component's minimum member id, the contracted
+    * fixed point's label for a merged cluster is the true minimum over
+    * every member, so relabeling the standing assignment through the
+    * (old label → final label) map reproduces the full recompute exactly
+    * and repeated folds compose. Batch edges that land inside one
+    * existing component contract to self-loops and vanish — the standing
+    * service's steady state runs zero iteration rounds.
+    *
+    * Scale shape: cost is batch-proportional — the assignment is scanned
+    * (never shuffled on members) by the two endpoint-label lookups and
+    * the final relabel, the iteration input is |touched components| +
+    * |new nodes| rows, and new-node detection reuses the lookup's null
+    * slots instead of an extra corpus anti-join. Touched-component SIZE
+    * no longer matters (pre-r10 the members re-entered the loop).
+    * Labels for nodes in NO edge ever (singletons) are the caller's to
+    * add, as with [[connectedComponents]]. */
   def incrementalComponents(assign: DataFrame, newEdges: DataFrame,
                             id1: String = "id1", id2: String = "id2",
                             idCol: String = "id", compCol: String = "component",
                             maxIter: Int = 25): DataFrame = {
     // fast path: the common COLLISION-FREE batch (the standing near-dup
-    // service's steady state finds no new pairs) — no edges means no
-    // touched components and no new nodes; skip the star-forest loop's
-    // ~10 fixed-overhead jobs entirely and return the assignment as-is.
+    // service's steady state finds no new pairs) — nothing to fold.
     // checkpoint first: `newEdges` is typically an expensive probe
-    // pipeline, and the emptiness test plus the seed union below would
-    // each re-derive it
+    // pipeline, and the emptiness test plus the lookups below would each
+    // re-derive it
     val edges0 = newEdges.select(col(id1), col(id2)).localCheckpoint(false)
     if (edges0.isEmpty) return assign.select(col(idCol), col(compCol))
-    val ends = edges0.select(col(id1).as(idCol))
-      .union(edges0.select(col(id2).as(idCol))).distinct()
-    val touchedComps = assign.join(ends, Seq(idCol), "left_semi")
-      .select(col(compCol)).distinct().localCheckpoint(false)
-    // second fast path: every batch endpoint is NEW (no touched standing
-    // components) — the recompute seed is just the batch's own edges, so
-    // skip the two corpus-side joins and pass the assignment through
-    val anyTouched = !touchedComps.isEmpty
-    val seed =
-      if (anyTouched)
-        assign.join(touchedComps, Seq(compCol), "left_semi")
-          .select(col(idCol).as(id1), col(compCol).as(id2))
-          .unionByName(edges0)
-      else edges0
-    val recomputed = connectedComponents(seed, id1, id2, maxIter)
-      .toDF(idCol, compCol)
-    val untouched =
-      if (anyTouched) assign.join(touchedComps, Seq(compCol), "left_anti")
-      else assign
-    untouched.select(col(idCol), col(compCol)).unionByName(recomputed)
+    // endpoint → current label lookups (null = brand-new node)
+    val a1 = assign.select(col(idCol).as(id1), col(compCol).as("__c1"))
+    val a2 = assign.select(col(idCol).as(id2), col(compCol).as("__c2"))
+    val tagged = edges0.join(a1, Seq(id1), "left").join(a2, Seq(id2), "left")
+      .localCheckpoint(false)
+    val contracted = tagged
+      .select(coalesce(col("__c1"), col(id1)).as(id1),
+              coalesce(col("__c2"), col(id2)).as(id2))
+      .where(col(id1) =!= col(id2))
+    // brand-new nodes: the lookup's null slots — no corpus anti-join
+    val newIds = tagged.where(col("__c1").isNull).select(col(id1).as("__old"))
+      .union(tagged.where(col("__c2").isNull).select(col(id2).as("__old")))
+      .distinct()
+    // second fast path: every batch edge contracted to a self-loop (all
+    // intra-component) — assignment unchanged; any new node here can only
+    // have self-loop edges, so it labels itself (lazy union: empty in the
+    // typical redundant-edges batch)
+    if (contracted.isEmpty)
+      return assign.select(col(idCol), col(compCol))
+        .unionByName(newIds.select(col("__old").as(idCol), col("__old").as(compCol)))
+    // star-forest over the contracted graph: nodes are old labels and
+    // new-node ids; `merged` maps each to the final (minimum) label
+    val merged = connectedComponents(contracted, id1, id2, maxIter)
+      .toDF("__old", "__new").localCheckpoint(false)
+    val relabel = merged.where(col("__old") =!= col("__new"))
+      .withColumnRenamed("__old", compCol)
+    val updated = assign
+      .join(relabel, Seq(compCol), "left")
+      .select(col(idCol), coalesce(col("__new"), col(compCol)).as(compCol))
+    // a new node missing from `merged` had only self-loop edges: label it
+    // as itself, like the full recompute would
+    val newNodes = newIds.join(merged, Seq("__old"), "left")
+      .select(col("__old").as(idCol),
+              coalesce(col("__new"), col("__old")).as(compCol))
+    updated.unionByName(newNodes)
   }
 
   /** Large-star: for every node u, connect every LARGER neighbor to the
     * minimum of u's neighborhood (including u). Keeps (child > parent)
-    * edges only; strictly reduces the depth of tall trees. */
+    * edges only; strictly reduces the depth of tall trees.
+    *
+    * The per-neighborhood minimum is a WINDOW aggregate, not a
+    * groupBy+self-join: one hash-partition shuffle on u instead of two
+    * (aggregate exchange + join exchange) — at corpus scale that halves
+    * the round's shuffled bytes, and at bench-fixture scale it halves the
+    * sequential tiny-job count that dominated q164's warm cost (r10).
+    * No trailing distinct either: small-star's neighborhood min is
+    * multiplicity-blind, and ITS distinct bounds the edge set once per
+    * round — duplicate large-star rows only pad one shuffle's input. */
   private def largeStar(e: DataFrame): DataFrame = {
     val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
-    val mins = sym.groupBy("u").agg(min(col("v")).as("__mn"))
-    sym.join(mins, "u")
+    val w = Window.partitionBy(col("u"))
+    sym.withColumn("__mn", least(min(col("v")).over(w), col("u")))
       .where(col("v") > col("u"))
-      .select(col("v").as("u"), least(col("__mn"), col("u")).as("v"))
+      .select(col("v").as("u"), col("__mn").as("v"))
       .where(col("u") =!= col("v"))
-      .distinct()
   }
 
   /** Small-star: for every node u (edges oriented child->parent, v < u),
-    * connect u and all its smaller neighbors to the smallest of them. */
+    * connect u and all its smaller neighbors to the smallest of them.
+    * Same single-shuffle window formulation as [[largeStar]]; the two
+    * union branches share the windowed exchange (ReusedExchange), and the
+    * per-u parent rows ride the final distinct instead of a separate
+    * aggregate. */
   private def smallStar(e: DataFrame): DataFrame = {
     val oriented = e.select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
-    val mins = oriented.groupBy("u").agg(min(col("v")).as("__mn"))
-    oriented.join(mins, "u")
-      .select(col("v").as("u"), col("__mn").as("v"))
-      .union(mins.select(col("u"), col("__mn").as("v")))
+    val w = Window.partitionBy(col("u"))
+    val m = oriented.withColumn("__mn", min(col("v")).over(w))
+    m.select(col("v").as("u"), col("__mn").as("v"))
+      .union(m.select(col("u"), col("__mn").as("v")))
       .where(col("u") =!= col("v"))
       .distinct()
   }

@@ -30,10 +30,10 @@ import org.apache.spark.sql.functions._
   *
   * Eval directives: `eval instant at <t> <expr>` (unordered vector/scalar
   * compare, 1e-6 relative tolerance, NaN==NaN), `eval_ordered` (ordered —
-  * sort/topk results), `eval_fail` (the query must error). Range evals
-  * (`eval range from ... to ... step ...`) are parsed and SKIPPED with a
-  * count — the instant form covers the same expressions one step at a
-  * time, which is how this engine evaluates ranges anyway.
+  * sort/topk results), `eval_fail` (the query must error), and
+  * `eval range from S to E step T <expr>` (one expected-value slot per
+  * step in load-line expansion notation, `_` = no sample at that step;
+  * runs the engine's native range path, not per-step instants).
   *
   * Selectors and expected-line label sets parse through the engine's own
   * [[Parser]] (they are valid PromQL selectors), so the corpus exercises
@@ -46,10 +46,15 @@ object TestCorpus {
   case class Load(stepMs: Long, series: Seq[(Map[String, String], Seq[(Long, Double)])]) extends Directive
   case class Eval(atMs: Long, expr: String, expected: Seq[ExpectedSample],
                   ordered: Boolean, expectFail: Boolean, line: Int) extends Directive
+  /** `eval range from S to E step T expr` — per-series expected values use
+    * the same expansion notation as load lines, one slot per step (`_` =
+    * no sample at that step). */
+  case class EvalRange(startMs: Long, endMs: Long, stepMs: Long, expr: String,
+                       expected: Seq[(Map[String, String], Seq[Option[Double]])],
+                       line: Int) extends Directive
   case object Clear extends Directive
-  case class SkippedRange(expr: String, line: Int) extends Directive
 
-  case class Outcome(evalsRun: Int, failures: Seq[String], rangeSkipped: Int)
+  case class Outcome(evalsRun: Int, failures: Seq[String], rangeSkipped: Int = 0)
 
   /** Parse one .test file's text into directives. */
   def parse(text: String): Seq[Directive] = {
@@ -78,9 +83,21 @@ object TestCorpus {
           else (false, false, line.stripPrefix("eval "))
         val evalLine = i + 1
         if (rest.trim.startsWith("range ")) {
-          out += SkippedRange(rest.trim, evalLine)
+          val rm = "^range\\s+from\\s+(\\S+)\\s+to\\s+(\\S+)\\s+step\\s+(\\S+)\\s+(.*)$".r
+            .findFirstMatchIn(rest.trim)
+            .getOrElse(throw new IllegalArgumentException(
+              s"line $evalLine: unsupported range eval form: $line"))
+          if (ordered || fail) throw new IllegalArgumentException(
+            s"line $evalLine: eval_ordered/eval_fail not supported for range evals")
+          val (s, e2, st) = (parseAt(rm.group(1)), parseAt(rm.group(2)), parseAt(rm.group(3)))
+          val expr = rm.group(4)
           i += 1
-          while (i < lines.length && lines(i).startsWith(" ") && !isBlank(lines(i))) i += 1
+          val expected = Seq.newBuilder[(Map[String, String], Seq[Option[Double]])]
+          while (i < lines.length && lines(i).startsWith(" ") && !isBlank(lines(i))) {
+            expected += parseSeriesExpected(lines(i).trim)
+            i += 1
+          }
+          out += EvalRange(s, e2, st, expr, expected.result(), evalLine)
         } else {
           val m = "^instant\\s+at\\s+(\\S+)\\s+(.*)$".r.findFirstMatchIn(rest.trim)
             .getOrElse(throw new IllegalArgumentException(
@@ -107,29 +124,38 @@ object TestCorpus {
     else if (s.exists(_.isLetter)) Parser.parseDuration(s)
     else math.round(s.toDouble * 1000)
 
+  /** Split `metric{labels} values...` at the first whitespace OUTSIDE
+    * braces. */
+  private def splitSelector(line: String): (String, String) = {
+    var depth = 0; var idx = -1; var j = 0
+    while (j < line.length && idx < 0) {
+      line(j) match {
+        case '{' => depth += 1
+        case '}' => depth -= 1
+        case c if c.isWhitespace && depth == 0 => idx = j
+        case _ =>
+      }
+      j += 1
+    }
+    if (idx < 0) (line, "")
+    else (line.substring(0, idx), line.substring(idx).trim)
+  }
+
   /** One load line: `metric{labels} v1 v2 0+10x3 _ ...` */
   private def parseSeries(line: String, stepMs: Long): (Map[String, String], Seq[(Long, Double)]) = {
-    val splitAt = {
-      // the selector part ends at the first whitespace OUTSIDE braces
-      var depth = 0; var idx = -1; var j = 0
-      while (j < line.length && idx < 0) {
-        line(j) match {
-          case '{' => depth += 1
-          case '}' => depth -= 1
-          case c if c.isWhitespace && depth == 0 => idx = j
-          case _ =>
-        }
-        j += 1
-      }
-      if (idx < 0) line.length else idx
-    }
-    val sel = line.substring(0, splitAt)
+    val (sel, spec) = splitSelector(line)
     val labels = selectorLabels(sel)
-    val values = expandValues(line.substring(splitAt).trim)
-    val samples = values.zipWithIndex.collect {
+    val samples = expandValues(spec).zipWithIndex.collect {
       case (Some(v), k) => (k.toLong * stepMs, v)
     }
     (labels, samples)
+  }
+
+  /** One range-eval expected line: `series{labels} v0 v1 _ 0+5x2 ...`,
+    * one slot per evaluation step. */
+  private def parseSeriesExpected(line: String): (Map[String, String], Seq[Option[Double]]) = {
+    val (sel, spec) = splitSelector(line)
+    (selectorLabels(sel), expandValues(spec))
   }
 
   /** Parse a selector/label-set string into its equality label map via the
@@ -215,12 +241,44 @@ object TestCorpus {
           lookbackMs: Long = PromPlanner.DefaultLookbackMs): Outcome = {
     var loads = Seq.empty[Load]
     var evals = 0
-    var rangeSkips = 0
     val failures = Seq.newBuilder[String]
     directives.foreach {
       case l: Load => loads :+= l
       case Clear => loads = Seq.empty
-      case _: SkippedRange => rangeSkips += 1
+      case e: EvalRange =>
+        evals += 1
+        val samples = samplesFrame(spark, loads)
+        val ctx = PromPlanner.Ctx(spark, samples, e.startMs, e.endMs, e.stepMs,
+          lookbackMs = lookbackMs)
+        val attempt = scala.util.Try {
+          val ast = PromPlanner.resolveStepDurations(Parser.parse(e.expr), e.stepMs)
+          PromPlanner.planVector(ctx, ast)
+            .select(col("__key"), col("step_ts"), col("value")).collect()
+            .map(r => (PromApiLabels.fromKey(r.getString(0)), r.getLong(1)) -> r.getDouble(2))
+            .toMap
+        }
+        attempt match {
+          case scala.util.Failure(ex) =>
+            failures += s"line ${e.line}: ${e.expr} — threw ${ex.getMessage}"
+          case scala.util.Success(got) =>
+            val steps = (e.startMs to e.endMs by e.stepMs).toIndexedSeq
+            val want: Map[(Map[String, String], Long), Double] = (for {
+              (lbls, slots) <- e.expected
+              (slot, i) <- slots.zipWithIndex
+              if i < steps.size
+              v <- slot
+            } yield (lbls, steps(i)) -> v).toMap
+            val missing = want.collect {
+              case (k, wv) if !got.get(k).exists(relEq(_, wv)) =>
+                s"${renderOne(k._1)} @${k._2 / 1000}s want $wv got ${got.get(k).map(_.toString).getOrElse("none")}"
+            }
+            val extra = got.keys.filterNot(want.contains).map {
+              case (l, ts) => s"${renderOne(l)} @${ts / 1000}s = ${got((l, ts))} (unexpected)"
+            }
+            if (missing.nonEmpty || extra.nonEmpty)
+              failures += s"line ${e.line}: ${e.expr}\n  " +
+                (missing ++ extra).take(8).mkString("\n  ")
+        }
       case e: Eval =>
         evals += 1
         val samples = samplesFrame(spark, loads)
@@ -260,14 +318,15 @@ object TestCorpus {
               failures += s"line ${e.line}: ${e.expr}\n  want: ${render(want)}\n  got:  ${render(got)}"
         }
     }
-    Outcome(evals, failures.result(), rangeSkips)
+    Outcome(evals, failures.result())
   }
+
+  private def renderOne(l: Map[String, String]): String =
+    l.toSeq.sorted.map { case (k, x) => s"""$k="$x"""" }.mkString("{", ",", "}")
 
   private def render(xs: Seq[(Map[String, String], Double)]): String =
     xs.sortBy(_._1.toSeq.sorted.mkString)
-      .map { case (l, v) =>
-        l.toSeq.sorted.map { case (k, x) => s"""$k="$x"""" }.mkString("{", ",", "}") + s" $v"
-      }.mkString("; ")
+      .map { case (l, v) => renderOne(l) + s" $v" }.mkString("; ")
 }
 
 /** Key-string → label map (the API's __key is the sorted JSON entry

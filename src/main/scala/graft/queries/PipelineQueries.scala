@@ -119,7 +119,12 @@ object PipelineQueries {
     // the COMBINED edge set — the fold must equal the full recompute
     "q164_incremental_components" -> ((s, _) =>
       Components.incrementalComponents(
-          Components.connectedComponents(PipelineFixtures.edges(s)),
+          // the fold consumes the assignment three times (two endpoint
+          // lookups + the relabel); a real caller folds into a STORED
+          // assignment, so materialize the q99 recompute once instead of
+          // re-running its labeling stage per consumer
+          Components.connectedComponents(PipelineFixtures.edges(s))
+            .localCheckpoint(false),
           PipelineFixtures.newEdges(s))
         .orderBy(col("id"))),
 
