@@ -75,6 +75,24 @@ object InstantFns {
       if (args.exists(_.isNaN)) NaNd
       else when(isnan(v), v)
         .otherwise(least(greatest(v, lit(args(0))), lit(args(1))))
+    // trigonometric family (upstream promql 3.x; NO reference counterpart
+    // — FiloDB has no trig functions; carried for upstream-user parity).
+    // Spark's builtins are java.lang.Math, matching Go's special values
+    // (sin(Inf)=NaN, asin(2)=NaN, acosh(0.5)=NaN).
+    case "sin"   => sin(v)
+    case "cos"   => cos(v)
+    case "tan"   => tan(v)
+    case "asin"  => asin(v)
+    case "acos"  => acos(v)
+    case "atan"  => atan(v)
+    case "sinh"  => sinh(v)
+    case "cosh"  => cosh(v)
+    case "tanh"  => tanh(v)
+    case "asinh" => asinh(v)
+    case "acosh" => acosh(v)
+    case "atanh" => atanh(v)
+    case "deg"   => degrees(v)
+    case "rad"   => radians(v)
     // calendar fns: value is epoch SECONDS (UTC); non-finite -> NaN
     case "month"         => calendar(v, month(epochTs(v)))
     case "year"          => calendar(v, year(epochTs(v)))

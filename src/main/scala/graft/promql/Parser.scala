@@ -137,6 +137,8 @@ object Parser {
     // instant functions
     "abs", "ceil", "floor", "exp", "ln", "log2", "log10", "sqrt", "sgn", "round",
     "clamp", "clamp_max", "clamp_min",
+    "sin", "cos", "tan", "asin", "acos", "atan", "sinh", "cosh", "tanh",
+    "asinh", "acosh", "atanh", "deg", "rad", "pi",
     "month", "year", "hour", "minute", "day_of_week", "day_of_month",
     "day_of_year", "days_in_month",
     // histogram functions
@@ -144,7 +146,8 @@ object Parser {
     "histogram_max_quantile", "histogram_max_quantile_even",
     "hist_to_prom_vectors",
     // scalar / misc
-    "absent", "vector", "scalar", "time", "sort", "sort_desc", "limit",
+    "absent", "vector", "scalar", "time", "sort", "sort_desc",
+    "sort_by_label", "sort_by_label_desc", "limit",
     "label_replace", "label_join", "or_vector", "no_optimize",
     "optimize_with_agg", "_filodb_chunkmeta_all")
 
@@ -168,6 +171,8 @@ object Parser {
       "absent_over_time", "mad_over_time").map(_ -> ("m", 1))
     val v1 = Seq("abs", "ceil", "floor", "exp", "ln", "log2", "log10", "sqrt",
       "sgn", "sort", "sort_desc", "scalar", "hist_to_prom_vectors",
+      "sin", "cos", "tan", "asin", "acos", "atan", "sinh", "cosh", "tanh",
+      "asinh", "acosh", "atanh", "deg", "rad",
       "no_optimize", "optimize_with_agg").map(_ -> ("v", 1))
     val cal = Seq("month", "year", "hour", "minute", "day_of_week",
       "day_of_month", "day_of_year", "days_in_month").map(_ -> ("v", 0))
@@ -188,6 +193,7 @@ object Parser {
       "absent" -> ("e", 1),
       "vector" -> ("s", 1),
       "time" -> ("", 0),
+      "pi" -> ("", 0),
       "limit" -> ("sv", 2),
       "label_replace" -> ("vSSSS", 5),
       "or_vector" -> ("vs", 2),
@@ -292,6 +298,7 @@ object Parser {
       case NumberLit(_) => true
       case FuncCall("scalar", _) => true
       case FuncCall("time", Seq()) => true
+      case FuncCall("pi", Seq()) => true
       case FuncCall(n, Seq())
         if graft.operators.InstantFns.TimeScalarFns.contains(n) => true
       case BinOp(_, l, r, _, _) => scalarTyped(l) && scalarTyped(r)
@@ -633,6 +640,11 @@ object Parser {
       }
       if (name == "label_join") { // variadic trailing source labels
         if (args.size < 3) fail(s"label_join expects at least 3 arguments, got ${args.size}")
+        check('v', args.head, 0)
+        args.tail.zipWithIndex.foreach { case (a, i) => check('S', a, i + 1) }
+      } else if (name == "sort_by_label" || name == "sort_by_label_desc") {
+        // variadic trailing sort labels, at least one (upstream promql 3)
+        if (args.size < 2) fail(s"$name expects at least 2 arguments, got ${args.size}")
         check('v', args.head, 0)
         args.tail.zipWithIndex.foreach { case (a, i) => check('S', a, i + 1) }
       } else Parser.FunctionSigs.get(name).foreach { case (types, minArgs) =>

@@ -285,6 +285,7 @@ object PromPlanner {
     case NumberLit(_) => true
     case FuncCall("scalar", _) => true
     case FuncCall("time", args) if args.isEmpty => true
+    case FuncCall("pi", args) if args.isEmpty => true
     case FuncCall(n, args) if args.isEmpty && InstantFns.TimeScalarFns.contains(n) => true
     case FuncCall("vector", _) => false
     case BinOp(_, lhs, rhs, _, _) => isScalarTyped(lhs) && isScalarTyped(rhs)
@@ -967,6 +968,12 @@ object PromPlanner {
         .withColumn("labels", map().cast("map<string,string>"))
         .transform(withKey).transform(finish)
 
+    case "pi" =>
+      // 0-arg scalar constant (upstream promql 3 trig family)
+      scalarGrid(ctx).withColumn("value", lit(math.Pi))
+        .withColumn("labels", map().cast("map<string,string>"))
+        .transform(withKey).transform(finish)
+
     case "no_optimize" =>
       // reference planner hint: disable the preagg rewrite and tier
       // routing for the wrapped expression
@@ -1002,6 +1009,17 @@ object PromPlanner {
       v.withColumn("__sortv", sortKey)
         .orderBy(col("__sortv").asc, col("__key").asc, col("step_ts").asc)
         .drop("__sortv")
+
+    case "sort_by_label" | "sort_by_label_desc" =>
+      // Label-value sort (upstream promql 3, experimental; no reference
+      // counterpart): series ordered by the given labels' STRING values,
+      // missing label = empty string, ties broken by the full series key.
+      // Presentation-layer op like sort/sort_desc — the global sort runs
+      // on the final (small) result only.
+      val v = planVector(ctx, args.head)
+      val keys = args.tail.map(a => coalesce(col("labels")(str(a)), lit("")))
+      val ord = if (name == "sort_by_label") keys.map(_.asc) else keys.map(_.desc)
+      v.orderBy(ord ++ Seq(col("__key").asc, col("step_ts").asc): _*)
 
     case "label_replace" =>
       val Seq(vec, dstE, replE, srcE, regexE) = args
@@ -1301,6 +1319,7 @@ object PromPlanner {
     case NumberLit(_) => true
     case FuncCall("scalar", _) => true
     case FuncCall("time", Seq()) => true
+    case FuncCall("pi", Seq()) => true
     case FuncCall(n, Seq()) if InstantFns.TimeScalarFns.contains(n) => true
     case BinOp(o, l, r, _, _) if !Set("and", "or", "unless").contains(o) =>
       isScalarExpr(l) && isScalarExpr(r)

@@ -302,6 +302,19 @@ object PromQueries {
         .withColumn("event_id", lit(0L))
       ordered(r6(periodic(inner, Seq("event_type"), D1, D3, RangeFns.MaxOverTime)),
         "step_ts", "event_type")
+    }),
+
+    "q173_instant_trig_1d" -> ((s, dir) => {
+      // trig instant family (upstream promql 3; no reference counterpart):
+      // deg/atan/sin/cos/rad composed over windowed sums — codegen'd Spark
+      // builtins, mirrored exactly by DuckDB's C-library trig
+      val sums = periodic(ev(s, dir), Seq("event_type"), D1, D1, RangeFns.SumOverTime)
+      ordered(
+        sums.withColumn("value",
+          round(InstantFns("deg", InstantFns("atan", col("value"))) +
+                InstantFns("sin", InstantFns("rad", col("value"))) *
+                InstantFns("cos", InstantFns("rad", col("value"))), 6)),
+        "step_ts", "event_type")
     })
   )
 
@@ -568,6 +581,16 @@ object PromQueries {
                    GROUP BY 1,2)
           SELECT step_ts, event_type,
                  round(least(sqrt(value), 40.0) + ln(value + 1) * 2.0 - 100.0, 6) AS value
+          FROM sums ORDER BY 1,2""",
+
+    "q173_instant_trig_1d" ->
+      s"""WITH ev AS ($EV),
+          stps AS (${steps(D1)}),
+          sums AS (SELECT s.step_ts, e.event_type, sum(e.value) AS value
+                   FROM stps s JOIN ev e ON e.ts_ms > s.step_ts - $D1 AND e.ts_ms <= s.step_ts
+                   GROUP BY 1,2)
+          SELECT step_ts, event_type,
+                 round(degrees(atan(value)) + sin(radians(value)) * cos(radians(value)), 6) AS value
           FROM sums ORDER BY 1,2"""
   )
 }

@@ -234,7 +234,13 @@ object Ingest {
       val merged =
         if (deltaDirs.isEmpty) base
         else base.unionByName(
-          spark.read.parquet(deltaDirs.toIndexedSeq: _*)
+          // basePath: several explicit batch_id= dirs are PARTITION dirs of
+          // one table — without it Spark's partition discovery rejects the
+          // second delta segment (CONFLICTING_DIRECTORY_STRUCTURES; caught
+          // by the r10 remote-write rehearsal at 2+ deltas between
+          // compactions)
+          spark.read.option("basePath", indexDir)
+            .parquet(deltaDirs.toIndexedSeq: _*)
             .select(col("series_id"), col("end_ts").as("__hwm")))
           .groupBy(col("series_id")).agg(max(col("__hwm")).as("__hwm"))
       Some(merged)

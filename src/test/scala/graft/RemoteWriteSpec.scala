@@ -294,6 +294,32 @@ class RemoteWriteSpec extends AnyFunSuite with Matchers {
     } finally api.stop()
   }
 
+  test("seriesHwm merges the base with MULTIPLE delta segments (the r10 " +
+       "rehearsal's CONFLICTING_DIRECTORY_STRUCTURES regression)") {
+    val dir = tmp("graft-hwm-multi")
+    val ws = PromApi.WriteSink(s"$dir/sink", s"$dir/index", s"$dir/reject", cfg)
+    // compaction far away: deltas ACCUMULATE past the base
+    val api = new PromApi(spark, spark.range(0).toDF(), writeSink = Some(ws),
+      hwmCompactEvery = 100).start()
+    def post(ts: Long, v: Double): Unit =
+      RemoteRead.remoteWriteSeries(Seq(ProtoWire.PSeries(
+        Seq("__name__" -> "m"), Seq(ProtoWire.PSample(v, ts)))),
+        s"http://localhost:${api.boundPort}")
+    try {
+      post(1000L, 1.0)
+      Ingest.compactHwm(spark, s"$dir/index") // base at upto=0
+      post(2000L, 2.0); post(3000L, 3.0)      // TWO delta dirs past the base
+      // reading the merged hwm must survive several explicit batch_id= dirs
+      val hwm = Ingest.seriesHwm(spark, s"$dir/index").get
+        .collect().map(r => r.getLong(1)).toList
+      hwm shouldEqual List(3000L)
+      // and the next POST still stale-drops through it
+      post(2500L, 9.0)
+      spark.read.parquet(s"$dir/sink").select("ts").collect()
+        .map(_.getLong(0)).toSet shouldEqual Set(1000L, 2000L, 3000L)
+    } finally api.stop()
+  }
+
   test("exemplars decode into the sink's side table, queryable as metadata") {
     val dir = tmp("graft-exm")
     val ws = PromApi.WriteSink(s"$dir/sink", s"$dir/index", s"$dir/reject", cfg,
