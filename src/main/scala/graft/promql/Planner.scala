@@ -589,8 +589,18 @@ object PromPlanner {
             .agg(count(lit(1)).cast("double").as("value"))
         case "quantile" =>
           val phi = constParam(param)
-          keyed.groupBy(col("labels"), col("__key"), col("step_ts"))
-            .agg(percentile(col("value"), lit(phi)).as("value"))
+          // φ outside [0,1] answers ±Inf per group (upstream promql; Spark's
+          // percentile would error), NaN φ propagates — r10 upstream-corpus
+          // parity, same contract as histogram_quantile
+          if (phi.isNaN || phi < 0 || phi > 1) {
+            val v = if (phi.isNaN) Double.NaN
+                    else if (phi < 0) Double.NegativeInfinity
+                    else Double.PositiveInfinity
+            keyed.groupBy(col("labels"), col("__key"), col("step_ts"))
+              .agg(min(lit(v)).as("value"))
+          } else
+            keyed.groupBy(col("labels"), col("__key"), col("step_ts"))
+              .agg(percentile(col("value"), lit(phi)).as("value"))
         case simple =>
           val aggCol = simple match {
             case "sum" => sum(col("value"))
