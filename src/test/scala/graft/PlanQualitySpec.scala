@@ -513,4 +513,33 @@ class PlanQualitySpec extends AnyFunSuite with Matchers {
     p should include("ExistingRDD")
     "FileScan parquet".r.findAllIn(p).size shouldEqual 0
   }
+
+  test("incremental components fold: the standing assignment joins the tiny " +
+       "relabel map by BROADCAST — members never shuffle") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ccplan").toString
+    // parquet-backed standing assignment, the production shape
+    spark.range(10000)
+      .select(col("id"), (col("id") / lit(100L)).cast("long").multiply(100).as("component"))
+      .write.mode("overwrite").parquet(tmp)
+    val assign = spark.read.parquet(tmp)
+    import spark.implicits._
+    val batch = Seq((0L, 100L), (200L, 300L)).toDF("id1", "id2")
+    val folded = graft.pipeline.Components.incrementalComponents(assign, batch)
+    // the relabel side is a checkpointed RDD with no planner stats, so the
+    // STATIC plan sort-merges; AQE's runtime stats convert it — execute
+    // THIS frame (count() would plan a separate query) and pin the final
+    // adaptive plan
+    folded.collect()
+    // AdaptiveSparkPlan's render appends the pre-AQE "Initial Plan"
+    // section — pin only the FINAL plan above it
+    val p = plan(folded).split("== Initial Plan ==").head
+    p should include("isFinalPlan=true")
+    // the corpus-side joins (endpoint lookups resolved pre-plan via
+    // checkpoints; relabel + new-node joins in this plan) must broadcast
+    // the batch-proportional side, never sort-merge the assignment
+    p should include("BroadcastHashJoin")
+    (p should not).include("SortMergeJoin")
+    (p should not).include("CartesianProduct")
+  }
 }

@@ -317,6 +317,11 @@ class RemoteWriteSpec extends AnyFunSuite with Matchers {
       post(2500L, 9.0)
       spark.read.parquet(s"$dir/sink").select("ts").collect()
         .map(_.getLong(0)).toSet shouldEqual Set(1000L, 2000L, 3000L)
+      // the compact catalog (base + deltas) carries the same known-series
+      // identities as the full index fold (quota admission reads it)
+      val catalog = Ingest.seriesCatalog(spark, s"$dir/index").get
+        .select("metric").distinct().collect().map(_.getString(0)).toList
+      catalog shouldEqual List("m")
     } finally api.stop()
   }
 
