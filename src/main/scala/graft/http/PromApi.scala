@@ -464,7 +464,7 @@ class PromApi(spark: SparkSession, samples: DataFrame, port: Int = 0,
         // folds into the zero bucket (see handler scaladoc).
         (metric, tags, h.ts, h.schema, h.posOffset - 1,
           h.posCounts, h.zeroCount + h.negCounts.sum, h.zeroThreshold,
-          h.resetHint)
+          h.sum, h.resetHint)
       }
     }
     val canonical =
@@ -473,7 +473,7 @@ class PromApi(spark: SparkSession, samples: DataFrame, port: Int = 0,
       else {
         val hist = histRows.toDF("metric", "tags", "ts", "exp_scale",
             "exp_offset", "exp_counts", "exp_zero_count", "exp_zero_threshold",
-            "__reset_hint")
+            "exp_sum", "__reset_hint")
           .withColumn("value", lit(null).cast("double"))
         val plain = plainRows.toDF("metric", "tags", "ts", "value")
           .withColumn("exp_scale", lit(null).cast("int"))
@@ -481,6 +481,7 @@ class PromApi(spark: SparkSession, samples: DataFrame, port: Int = 0,
           .withColumn("exp_counts", lit(null).cast("array<double>"))
           .withColumn("exp_zero_count", lit(null).cast("double"))
           .withColumn("exp_zero_threshold", lit(null).cast("double"))
+          .withColumn("exp_sum", lit(null).cast("double"))
           .withColumn("__reset_hint", lit(null).cast("int"))
         plain.unionByName(hist.select(plain.columns.map(col): _*))
       }

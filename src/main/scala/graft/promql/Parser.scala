@@ -144,6 +144,7 @@ object Parser {
     // histogram functions
     "histogram_quantile", "histogram_fraction", "histogram_bucket",
     "histogram_max_quantile", "histogram_max_quantile_even",
+    "histogram_count", "histogram_sum", "histogram_avg",
     "hist_to_prom_vectors",
     // scalar / misc
     "absent", "vector", "scalar", "time", "sort", "sort_desc",
@@ -186,6 +187,9 @@ object Parser {
       "round" -> ("vs", 1),
       "clamp" -> ("vss", 3), "clamp_max" -> ("vs", 2), "clamp_min" -> ("vs", 2),
       "histogram_quantile" -> ("sv", 2),
+      "histogram_count" -> ("v", 1),
+      "histogram_sum" -> ("v", 1),
+      "histogram_avg" -> ("v", 1),
       "histogram_fraction" -> ("ssv", 3),
       "histogram_bucket" -> ("sv", 2),
       "histogram_max_quantile" -> ("svvv", 3),

@@ -356,7 +356,7 @@ object PromPlanner {
           .where(col(vcol).isNotNull)
           .withColumn("value", col(vcol).cast("double"))
           .drop("le", "values", "exp_scale", "exp_offset", "exp_counts",
-            "exp_zero_count", "exp_zero_threshold")
+            "exp_zero_count", "exp_zero_threshold", "exp_sum")
         (picked, sel.copy(metric = Some(base)))
       case _ => (ctx.samples, sel)
     }
@@ -403,7 +403,7 @@ object PromPlanner {
            col("series_type") === "otel_exp_histogram")
         else (col("exp_counts").isNull, col("exp_counts").isNotNull)
       val keep = df.columns.filterNot(Set("exp_scale", "exp_offset", "exp_counts",
-        "exp_zero_count", "exp_zero_threshold").contains)
+        "exp_zero_count", "exp_zero_threshold", "exp_sum").contains)
       val plain = df.filter(isPlain).select(keep.map(col): _*)
       // remote-written native histograms carry a zero bucket alongside the
       // exp buckets; storage without the columns converts exactly as before
@@ -900,6 +900,43 @@ object PromPlanner {
       val default = constParam(Some(args(1)))
       val v = planVector(ctx, args.head)
       v.withColumn("value", when(isnan(col("value")), lit(default)).otherwise(col("value")))
+
+    case "histogram_count" | "histogram_sum" | "histogram_avg" =>
+      // Native-histogram scalar extractors (upstream promql over native
+      // histograms; the engine's native-histogram storage is the OTel
+      // exp-delta schema, so each instant value is the PER-INTERVAL
+      // count/sum/mean — delta temporality's analogue of upstream's
+      // cumulative reading; compose with sum_over_time/subqueries for
+      // windows). Planned from the UN-bridged storage rows: count =
+      // zero bucket + bucket mass, sum = the wire's sum field (stored
+      // since r10 — it is not derivable from buckets), avg = sum/count.
+      args.head match {
+        case sel: Selector if sel.windowMs.isEmpty =>
+          val (baseDf, sel2) = routedBase(ctx, sel)
+          require(baseDf.columns.contains("exp_counts"),
+            s"$name needs native-histogram storage (no exp_counts column)")
+          val cnt = coalesce(col("exp_zero_count"), lit(0.0)) +
+            aggregate(col("exp_counts"), lit(0.0),
+              (a: Column, x: Column) => a + x)
+          val v = name match {
+            case "histogram_count" => cnt
+            case "histogram_sum" => col("exp_sum")
+            case _ => col("exp_sum") / cnt
+          }
+          if (name != "histogram_count" && !baseDf.columns.contains("exp_sum"))
+            throw new IllegalArgumentException(
+              s"$name needs the stored native-histogram sum (exp_sum column; " +
+                "rows written before it existed must be re-ingested)")
+          val scalarized = baseDf
+            .filter(col("exp_counts").isNotNull)
+            .withColumn("value", v)
+            .drop("le", "values", "exp_scale", "exp_offset", "exp_counts",
+              "exp_zero_count", "exp_zero_threshold", "exp_sum")
+          dropName(periodicFrom(ctx, selectorSamplesFrom(scalarized, sel2),
+            sel2, RangeFns.LastOverTime, ctx.lookbackMs))
+        case other => throw new IllegalArgumentException(
+          s"$name expects an instant vector selector, got $other")
+      }
 
     case "histogram_quantile" =>
       val phi = constParam(Some(args(0)))

@@ -310,6 +310,63 @@ object HistQueries {
         .orderBy("step_ts")
     }),
 
+    // histogram_avg over remote-written NATIVE histograms: the wire's
+    // cumulative `sum` field is stored (exp_sum) and delta-converted
+    // alongside the buckets, so per-interval mean observation is
+    // answerable from a PromQL string — the first thing a latency-SLO
+    // user asks of a native histogram. Count derives from the buckets
+    // (zero + mass), so avg = interval sum / interval count.
+    "q174_native_hist_avg" -> ((s, dir) => {
+      import graft.http.{ProtoWire, PromApi, RemoteRead}
+      val base = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"), "q174_rw").toString
+      new org.apache.hadoop.fs.Path(base).getFileSystem(
+        s.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(base), true)
+      val ev = TsTables.events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .withColumn("day", ((col("ts_ms") - S) / D1).cast("long"))
+      // covered population = values landing in the nine buckets (<= 2^9);
+      // sum/count mirror exactly that population so avg checks out
+      val daily = ev.groupBy(col("day"))
+        .agg(array((0 until 9).map { i =>
+          val lo = math.pow(2.0, i)
+          val hi = math.pow(2.0, i + 1)
+          if (i == 0) sum(when(col("value") <= hi, 1.0).otherwise(0.0))
+          else sum(when(col("value") > lo && col("value") <= hi, 1.0).otherwise(0.0))
+        }: _*).as("daily"),
+          sum(when(col("value") <= 512.0, col("value")).otherwise(0.0)).as("dsm"))
+        .orderBy(col("day"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
+      val cum = daily.scanLeft((-1L, Seq.fill(9)(0.0), 0.0)) {
+        case ((_, acc, accS), (d, row, sm)) =>
+          (d, acc.lazyZip(row).map(_ + _), accS + sm)
+      }.drop(1)
+      val hists = cum.map { case (d, counts, sm) =>
+        ProtoWire.PHistogram(ts = S + (d + 1) * D1, schema = 0,
+          zeroThreshold = 0.0, zeroCount = 0.0, count = counts.sum,
+          sum = sm, resetHint = 0, posOffset = 1, posCounts = counts,
+          negOffset = 0, negCounts = Nil)
+      }.toSeq
+      val ws = PromApi.WriteSink(s"$base/sink", s"$base/index", s"$base/reject",
+        graft.operators.Quota.QuotaConfig(Seq("metric"), Seq(1000000L)))
+      val api = new PromApi(s, s.range(0).toDF(), writeSink = Some(ws),
+        hwmCompactEvery = 2).start()
+      try {
+        val url = s"http://localhost:${api.boundPort}"
+        hists.grouped(math.max(1, hists.size / 3 + 1)).foreach { hs =>
+          RemoteRead.remoteWriteSeries(Seq(ProtoWire.PSeries(
+            Seq("__name__" -> "purchase"), Nil, histograms = hs)), url)
+        }
+      } finally api.stop()
+      val sunk = s.read.option("mergeSchema", "true").parquet(s"$base/sink")
+      val ctx = PromPlanner.Ctx(s, sunk, S + D1, TsTables.EventsEndMs, D1,
+        lookbackMs = D1)
+      PromPlanner.queryRange(ctx, "histogram_avg(purchase)")
+        .select(col("step_ts"), round(col("value"), 6).as("avg_val"))
+        .orderBy("step_ts")
+    }),
+
     // FiloDB data-column selection `m::col` (prometheus/ast/Vectors.scala
     // column selector): the prom-histogram schema also carries cumulative
     // `sum`/`count` columns, and rate(purchase::sum[2d]) serves the sum
@@ -628,6 +685,21 @@ object HistQueries {
                 JOIN daily d1 ON d1.day = (s.step_ts - $S) // $D1 - 2
                 JOIN daily d2 ON d2.day = (s.step_ts - $S) // $D1 - 1)
           SELECT step_ts, round($expCase, 6) AS q90 FROM b ORDER BY step_ts""",
+
+    // the engine's first sample deltas from nothing (absolute = day-0
+    // daily), later samples subtract their predecessor — so every step's
+    // interval sum/count IS that day's daily figure
+    "q174_native_hist_avg" ->
+      s"""WITH ev AS (SELECT (epoch_ns(ts)//1000000 - $S) // $D1 AS day, value
+                      FROM events WHERE event_type = 'purchase'),
+          daily AS (SELECT day,
+                      sum(CASE WHEN value <= 512.0 THEN value ELSE 0 END) AS sm,
+                      sum(CASE WHEN value <= 512.0 THEN 1.0 ELSE 0 END) AS cnt
+                    FROM ev GROUP BY day),
+          stps AS (SELECT unnest(generate_series(${S + D1}, ${TsTables.EventsEndMs}, $D1)) AS step_ts)
+          SELECT s.step_ts, round(d.sm / d.cnt, 6) AS avg_val
+          FROM stps s JOIN daily d ON d.day = (s.step_ts - $S) // $D1 - 1
+          ORDER BY s.step_ts""",
 
     // same 2-samples-per-window extrapolated-rate mirror as q106, applied
     // to the cumulative SUM column instead of per-bucket counts

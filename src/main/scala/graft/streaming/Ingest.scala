@@ -202,7 +202,7 @@ object Ingest {
     * awaiting the delta conversion. `__reset_hint` is transient (consumed
     * by the conversion, never stored). */
   private val ExpCols = Seq("exp_scale", "exp_offset", "exp_counts",
-    "exp_zero_count", "exp_zero_threshold")
+    "exp_zero_count", "exp_zero_threshold", "exp_sum")
 
   /** Compacted-base + delta-segment layout of a series index: the newest
     * `_hwm/upto=<id>` base (if any) and the `batch_id=` dirs newer than
@@ -404,8 +404,17 @@ object Ingest {
       .drop("__reset_hint")
       .withColumn("series_type", lit(null).cast("string"))
     val stateCols = Seq("series_id", "ts") ++ ExpCols
-    val state = scala.util.Try(
-        spark.read.parquet(stateDir).select(stateCols.map(col): _*))
+    val state = scala.util.Try {
+        // mergeSchema + null-pad: state dirs written before a payload
+        // column existed (exp_sum, added r10) must still seed — a failed
+        // read here would silently turn every first-in-batch delta into
+        // an absolute (reset-shaped) value
+        val raw = spark.read.option("mergeSchema", "true").parquet(stateDir)
+        stateCols.foldLeft(raw) { (df, c) =>
+          if (df.columns.contains(c)) df
+          else df.withColumn(c, lit(null).cast(expRows.schema(c).dataType))
+        }.select(stateCols.map(col): _*)
+      }
       .getOrElse(
         expRows.select(stateCols.map(col): _*).limit(0))
     // seed per series: the LATEST state row strictly older than the
@@ -418,7 +427,7 @@ object Ingest {
       .filter(col("__rn") === 1)
       .select(col("series_id"), col("exp_scale").as("__ss"),
         col("exp_offset").as("__so"), col("exp_counts").as("__sc"),
-        col("exp_zero_count").as("__sz"))
+        col("exp_zero_count").as("__sz"), col("exp_sum").as("__su"))
     // in-batch predecessor, falling back to the seed for the first row
     val wAsc = Window.partitionBy(col("series_id")).orderBy(col("ts"))
     val lagged = expRows.join(seed, Seq("series_id"), "left")
@@ -426,6 +435,7 @@ object Ingest {
       .withColumn("__po", coalesce(lag(col("exp_offset"), 1).over(wAsc), col("__so")))
       .withColumn("__pc", coalesce(lag(col("exp_counts"), 1).over(wAsc), col("__sc")))
       .withColumn("__pz", coalesce(lag(col("exp_zero_count"), 1).over(wAsc), col("__sz")))
+      .withColumn("__pu", coalesce(lag(col("exp_sum"), 1).over(wAsc), col("__su")))
     // align prev counts to the current layout by ABSOLUTE index, then
     // subtract; staged columns (__ap, __d) are each referenced more than
     // once so CollapseProject cannot inline the lambdas per element
@@ -457,9 +467,16 @@ object Ingest {
         when(isGauge || reset, col("exp_counts")).otherwise(col("__d")))
       .withColumn("exp_zero_count",
         when(isGauge || reset, col("exp_zero_count")).otherwise(col("__zd")))
+      // sum deltas like the counts; NOT a reset signal on its own — native
+      // histograms may observe negative values, so a decreasing cumulative
+      // sum is legitimate. On a (count-detected) reset the absolute sum is
+      // the interval's credit, same rule as the buckets.
+      .withColumn("exp_sum",
+        when(isGauge || reset, col("exp_sum"))
+          .otherwise(col("exp_sum") - coalesce(col("__pu"), lit(0.0))))
       .withColumn("series_type", lit("otel_exp_histogram"))
-      .drop("__ss", "__so", "__sc", "__sz", "__ps", "__po", "__pc", "__pz",
-        "__ap", "__d", "__zd", "__reset_hint")
+      .drop("__ss", "__so", "__sc", "__sz", "__su", "__ps", "__po", "__pc",
+        "__pz", "__pu", "__ap", "__d", "__zd", "__reset_hint")
     // persist the batch's last CUMULATIVE sample per series BEFORE the
     // sink commit (crash protocol above); batchId-keyed overwrite keeps
     // a same-batch replay idempotent

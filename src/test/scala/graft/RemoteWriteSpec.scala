@@ -24,9 +24,9 @@ class RemoteWriteSpec extends AnyFunSuite with Matchers {
 
   private def hist(ts: Long, counts: Seq[Double], posOffset: Int = 1,
                    schema: Int = 0, zeroCount: Double = 0.0, zt: Double = 0.0,
-                   resetHint: Int = 0): ProtoWire.PHistogram =
+                   resetHint: Int = 0, sumV: Double = 0.0): ProtoWire.PHistogram =
     ProtoWire.PHistogram(ts, schema, zt, zeroCount, counts.sum + zeroCount,
-      sum = 0.0, resetHint, posOffset, counts, 0, Nil)
+      sum = sumV, resetHint, posOffset, counts, 0, Nil)
 
   /** canonical rows in the exact shape the PromApi handler builds for a
     * histogram-bearing POST (exp columns + transient __reset_hint). */
@@ -35,9 +35,10 @@ class RemoteWriteSpec extends AnyFunSuite with Matchers {
     rows.map { case (metric, h) =>
       (metric, Map.empty[String, String], h.ts, null.asInstanceOf[java.lang.Double],
         h.schema, h.posOffset - 1, h.posCounts, h.zeroCount + h.negCounts.sum,
-        h.zeroThreshold, h.resetHint)
+        h.zeroThreshold, h.sum, h.resetHint)
     }.toDF("metric", "tags", "ts", "value", "exp_scale", "exp_offset",
-      "exp_counts", "exp_zero_count", "exp_zero_threshold", "__reset_hint")
+      "exp_counts", "exp_zero_count", "exp_zero_threshold", "exp_sum",
+      "__reset_hint")
       .withColumn("value", col("value").cast("double"))
   }
 
@@ -292,6 +293,31 @@ class RemoteWriteSpec extends AnyFunSuite with Matchers {
         .map(_.getPath.getName)
       bases.length shouldEqual 1 // older bases deleted after each fold
     } finally api.stop()
+  }
+
+  test("the native histogram's SUM field deltas with the buckets; a count " +
+       "reset credits the absolute sum; histogram_count/sum/avg answer " +
+       "per-interval scalars from a PromQL string") {
+    val dir = tmp("graft-sumfield")
+    val (sink, index, reject) = (s"$dir/sink", s"$dir/index", s"$dir/reject")
+    Ingest.remoteWriteBatch(canonicalHist(Seq(
+      "m" -> hist(1000L, Seq(2.0, 0.0), sumV = 10.0),
+      "m" -> hist(2000L, Seq(4.0, 1.0), sumV = 25.0), // delta: 3 obs, sum 15
+      "m" -> hist(3000L, Seq(1.0, 0.0), sumV = 4.0))), // count reset → absolute
+      0L, sink, index, reject, cfg)
+    val sums = spark.read.parquet(sink).filter(col("metric") === "m")
+      .select(col("ts").cast("long"), col("exp_sum")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toList
+    sums shouldEqual List((1000L, 10.0), (2000L, 15.0), (3000L, 4.0))
+    // PromQL surface: per-interval count/sum/avg at an instant
+    val sunk = spark.read.parquet(sink)
+    val ctx = graft.promql.PromPlanner.Ctx(spark, sunk, 2000L, 2000L, 1000L,
+      lookbackMs = 1000L)
+    def one(q: String): Double =
+      graft.promql.PromPlanner.queryRange(ctx, q).select("value").head().getDouble(0)
+    one("histogram_count(m)") shouldEqual 3.0
+    one("histogram_sum(m)") shouldEqual 15.0
+    one("histogram_avg(m)") shouldEqual 5.0
   }
 
   test("seriesHwm merges the base with MULTIPLE delta segments (the r10 " +
