@@ -145,6 +145,7 @@ object Parser {
     "histogram_quantile", "histogram_fraction", "histogram_bucket",
     "histogram_max_quantile", "histogram_max_quantile_even",
     "histogram_count", "histogram_sum", "histogram_avg",
+    "histogram_stddev", "histogram_stdvar",
     "hist_to_prom_vectors",
     // scalar / misc
     "absent", "vector", "scalar", "time", "sort", "sort_desc",
@@ -190,6 +191,8 @@ object Parser {
       "histogram_count" -> ("v", 1),
       "histogram_sum" -> ("v", 1),
       "histogram_avg" -> ("v", 1),
+      "histogram_stddev" -> ("v", 1),
+      "histogram_stdvar" -> ("v", 1),
       "histogram_fraction" -> ("ssv", 3),
       "histogram_bucket" -> ("sv", 2),
       "histogram_max_quantile" -> ("svvv", 3),

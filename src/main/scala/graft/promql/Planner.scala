@@ -901,7 +901,8 @@ object PromPlanner {
       val v = planVector(ctx, args.head)
       v.withColumn("value", when(isnan(col("value")), lit(default)).otherwise(col("value")))
 
-    case "histogram_count" | "histogram_sum" | "histogram_avg" =>
+    case "histogram_count" | "histogram_sum" | "histogram_avg" |
+         "histogram_stddev" | "histogram_stdvar" =>
       // Native-histogram scalar extractors (upstream promql over native
       // histograms; the engine's native-histogram storage is the OTel
       // exp-delta schema, so each instant value is the PER-INTERVAL
@@ -918,10 +919,30 @@ object PromPlanner {
           val cnt = coalesce(col("exp_zero_count"), lit(0.0)) +
             aggregate(col("exp_counts"), lit(0.0),
               (a: Column, x: Column) => a + x)
+          // stddev/stdvar per the upstream native-histogram estimator
+          // (promql funcHistogramStdDev): each bucket contributes at the
+          // GEOMETRIC mean of its bounds — for exp bucket j (base^(o+j),
+          // base^(o+j+1)], that is base^(o+j+0.5) with log2(base) =
+          // 2^-scale — and the zero bucket at 0; variance =
+          // Σ c·(val-mean)² / count with mean = sum/count
+          lazy val variance = {
+            val mean = col("exp_sum") / cnt
+            val l2base = pow(lit(2.0), -col("exp_scale"))
+            val mids = transform(sequence(lit(0), size(col("exp_counts")) - 1),
+              j => pow(lit(2.0),
+                (col("exp_offset").cast("double") + j + lit(0.5)) * l2base))
+            val bucketSq = aggregate(
+              zip_with(col("exp_counts"), mids,
+                (c: Column, m: Column) => c * (m - mean) * (m - mean)),
+              lit(0.0), (a: Column, x: Column) => a + x)
+            (coalesce(col("exp_zero_count"), lit(0.0)) * mean * mean + bucketSq) / cnt
+          }
           val v = name match {
             case "histogram_count" => cnt
             case "histogram_sum" => col("exp_sum")
-            case _ => col("exp_sum") / cnt
+            case "histogram_avg" => col("exp_sum") / cnt
+            case "histogram_stdvar" => variance
+            case _ => sqrt(variance)
           }
           if (name != "histogram_count" && !baseDf.columns.contains("exp_sum"))
             throw new IllegalArgumentException(

@@ -317,53 +317,20 @@ object HistQueries {
     // user asks of a native histogram. Count derives from the buckets
     // (zero + mass), so avg = interval sum / interval count.
     "q174_native_hist_avg" -> ((s, dir) => {
-      import graft.http.{ProtoWire, PromApi, RemoteRead}
-      val base = new org.apache.hadoop.fs.Path(
-        s.conf.get("spark.sql.warehouse.dir"), "q174_rw").toString
-      new org.apache.hadoop.fs.Path(base).getFileSystem(
-        s.sparkContext.hadoopConfiguration)
-        .delete(new org.apache.hadoop.fs.Path(base), true)
-      val ev = TsTables.events(s, dir)
-        .filter(col("event_type") === "purchase")
-        .withColumn("day", ((col("ts_ms") - S) / D1).cast("long"))
-      // covered population = values landing in the nine buckets (<= 2^9);
-      // sum/count mirror exactly that population so avg checks out
-      val daily = ev.groupBy(col("day"))
-        .agg(array((0 until 9).map { i =>
-          val lo = math.pow(2.0, i)
-          val hi = math.pow(2.0, i + 1)
-          if (i == 0) sum(when(col("value") <= hi, 1.0).otherwise(0.0))
-          else sum(when(col("value") > lo && col("value") <= hi, 1.0).otherwise(0.0))
-        }: _*).as("daily"),
-          sum(when(col("value") <= 512.0, col("value")).otherwise(0.0)).as("dsm"))
-        .orderBy(col("day"))
-        .collect().map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
-      val cum = daily.scanLeft((-1L, Seq.fill(9)(0.0), 0.0)) {
-        case ((_, acc, accS), (d, row, sm)) =>
-          (d, acc.lazyZip(row).map(_ + _), accS + sm)
-      }.drop(1)
-      val hists = cum.map { case (d, counts, sm) =>
-        ProtoWire.PHistogram(ts = S + (d + 1) * D1, schema = 0,
-          zeroThreshold = 0.0, zeroCount = 0.0, count = counts.sum,
-          sum = sm, resetHint = 0, posOffset = 1, posCounts = counts,
-          negOffset = 0, negCounts = Nil)
-      }.toSeq
-      val ws = PromApi.WriteSink(s"$base/sink", s"$base/index", s"$base/reject",
-        graft.operators.Quota.QuotaConfig(Seq("metric"), Seq(1000000L)))
-      val api = new PromApi(s, s.range(0).toDF(), writeSink = Some(ws),
-        hwmCompactEvery = 2).start()
-      try {
-        val url = s"http://localhost:${api.boundPort}"
-        hists.grouped(math.max(1, hists.size / 3 + 1)).foreach { hs =>
-          RemoteRead.remoteWriteSeries(Seq(ProtoWire.PSeries(
-            Seq("__name__" -> "purchase"), Nil, histograms = hs)), url)
-        }
-      } finally api.stop()
-      val sunk = s.read.option("mergeSchema", "true").parquet(s"$base/sink")
-      val ctx = PromPlanner.Ctx(s, sunk, S + D1, TsTables.EventsEndMs, D1,
-        lookbackMs = D1)
+      val ctx = sumCarryingNativeHistCtx(s, dir)
       PromPlanner.queryRange(ctx, "histogram_avg(purchase)")
         .select(col("step_ts"), round(col("value"), 6).as("avg_val"))
+        .orderBy("step_ts")
+    }),
+
+    // histogram_stddev over the same remote-written fixture: the upstream
+    // estimator places each bucket's mass at the GEOMETRIC mean of its
+    // bounds (2^(j+0.5) at scale 0), zero bucket at 0 — the DuckDB mirror
+    // recomputes the identical nine-midpoint sum from the raw events
+    "q175_native_hist_stddev" -> ((s, dir) => {
+      val ctx = sumCarryingNativeHistCtx(s, dir)
+      PromPlanner.queryRange(ctx, "histogram_stddev(purchase)")
+        .select(col("step_ts"), round(col("value"), 6).as("sd_val"))
         .orderBy("step_ts")
     }),
 
@@ -701,6 +668,30 @@ object HistQueries {
           FROM stps s JOIN daily d ON d.day = (s.step_ts - $S) // $D1 - 1
           ORDER BY s.step_ts""",
 
+    // nine geometric midpoints (2^(i+0.5)) emitted as exact double
+    // literals so DuckDB and the engine share bit-identical constants
+    "q175_native_hist_stddev" -> {
+      val buckets = (0 until 9).map { i =>
+        val lo = math.pow(2.0, i); val hi = math.pow(2.0, i + 1)
+        if (i == 0) s"sum(CASE WHEN value <= $hi THEN 1.0 ELSE 0 END) AS b$i"
+        else s"sum(CASE WHEN value > $lo AND value <= $hi THEN 1.0 ELSE 0 END) AS b$i"
+      }.mkString(", ")
+      val sq = (0 until 9).map { i =>
+        val mid = math.pow(2.0, i + 0.5)
+        s"d.b$i * ($mid - d.sm / d.cnt) * ($mid - d.sm / d.cnt)"
+      }.mkString(" + ")
+      s"""WITH ev AS (SELECT (epoch_ns(ts)//1000000 - $S) // $D1 AS day, value
+                      FROM events WHERE event_type = 'purchase'),
+          daily AS (SELECT day, $buckets,
+                      sum(CASE WHEN value <= 512.0 THEN value ELSE 0 END) AS sm,
+                      sum(CASE WHEN value <= 512.0 THEN 1.0 ELSE 0 END) AS cnt
+                    FROM ev GROUP BY day),
+          stps AS (SELECT unnest(generate_series(${S + D1}, ${TsTables.EventsEndMs}, $D1)) AS step_ts)
+          SELECT s.step_ts, round(sqrt(($sq) / d.cnt), 6) AS sd_val
+          FROM stps s JOIN daily d ON d.day = (s.step_ts - $S) // $D1 - 1
+          ORDER BY s.step_ts"""
+    },
+
     // same 2-samples-per-window extrapolated-rate mirror as q106, applied
     // to the cumulative SUM column instead of per-bucket counts
     "q111_promql_hist_col_select" ->
@@ -724,6 +715,64 @@ object HistQueries {
   /** Cumulative counts at the exp-histogram bounds 2^1..2^9 (scale 0,
     * offset 0, sub-2 values clamped into the first bucket — cum at 2^j is
     * simply count(v <= 2^j)). */
+  /** Deterministic remote-write fixture shared by q174/q175: daily
+    * cumulative native histograms (scale 0, nine buckets to 2^9) WITH the
+    * cumulative sum field over the covered population (value <= 512),
+    * posted over real HTTP into a fresh sink, then a PromQL Ctx over the
+    * sunk rows at daily steps. Each entry rebuilds from scratch — Verify
+    * iterates an unsorted Map, so entries must not order-depend. */
+  private def sumCarryingNativeHistCtx(s: org.apache.spark.sql.SparkSession,
+                                       dir: String): PromPlanner.Ctx = {
+    import graft.http.{ProtoWire, PromApi, RemoteRead}
+    // fixed name + delete-first: queries run sequentially and each one
+    // executes (is written/collected) before the next builds, so a shared
+    // scratch dir cannot race; rebuilding per entry keeps entries
+    // order-independent without accumulating scratch dirs
+    val base = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"), "qnh_rw").toString
+    new org.apache.hadoop.fs.Path(base).getFileSystem(
+      s.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(base), true)
+    val ev = TsTables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .withColumn("day", ((col("ts_ms") - S) / D1).cast("long"))
+    // covered population = values landing in the nine buckets (<= 2^9);
+    // sum/count mirror exactly that population so avg/stddev check out
+    val daily = ev.groupBy(col("day"))
+      .agg(array((0 until 9).map { i =>
+        val lo = math.pow(2.0, i)
+        val hi = math.pow(2.0, i + 1)
+        if (i == 0) sum(when(col("value") <= hi, 1.0).otherwise(0.0))
+        else sum(when(col("value") > lo && col("value") <= hi, 1.0).otherwise(0.0))
+      }: _*).as("daily"),
+        sum(when(col("value") <= 512.0, col("value")).otherwise(0.0)).as("dsm"))
+      .orderBy(col("day"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
+    val cum = daily.scanLeft((-1L, Seq.fill(9)(0.0), 0.0)) {
+      case ((_, acc, accS), (d, row, sm)) =>
+        (d, acc.lazyZip(row).map(_ + _), accS + sm)
+    }.drop(1)
+    val hists = cum.map { case (d, counts, sm) =>
+      ProtoWire.PHistogram(ts = S + (d + 1) * D1, schema = 0,
+        zeroThreshold = 0.0, zeroCount = 0.0, count = counts.sum,
+        sum = sm, resetHint = 0, posOffset = 1, posCounts = counts,
+        negOffset = 0, negCounts = Nil)
+    }.toSeq
+    val ws = PromApi.WriteSink(s"$base/sink", s"$base/index", s"$base/reject",
+      graft.operators.Quota.QuotaConfig(Seq("metric"), Seq(1000000L)))
+    val api = new PromApi(s, s.range(0).toDF(), writeSink = Some(ws),
+      hwmCompactEvery = 2).start()
+    try {
+      val url = s"http://localhost:${api.boundPort}"
+      hists.grouped(math.max(1, hists.size / 3 + 1)).foreach { hs =>
+        RemoteRead.remoteWriteSeries(Seq(ProtoWire.PSeries(
+          Seq("__name__" -> "purchase"), Nil, histograms = hs)), url)
+      }
+    } finally api.stop()
+    val sunk = s.read.option("mergeSchema", "true").parquet(s"$base/sink")
+    PromPlanner.Ctx(s, sunk, S + D1, TsTables.EventsEndMs, D1, lookbackMs = D1)
+  }
+
   private def expCols: String =
     (1 to 9).map(j => s"sum(CASE WHEN value <= ${1L << j}.0 THEN 1.0 ELSE 0 END) AS x$j")
       .mkString(", ")

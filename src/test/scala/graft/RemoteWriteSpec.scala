@@ -318,6 +318,12 @@ class RemoteWriteSpec extends AnyFunSuite with Matchers {
     one("histogram_count(m)") shouldEqual 3.0
     one("histogram_sum(m)") shouldEqual 15.0
     one("histogram_avg(m)") shouldEqual 5.0
+    // upstream estimator: buckets contribute at the geometric mean of
+    // their bounds — interval deltas (2,1) in buckets (1,2],(2,4] with
+    // mean 5: variance = (2(5-√2)² + (5-2√2)²)/3 = (87-40√2)/3
+    val expectVar = (87.0 - 40.0 * math.sqrt(2.0)) / 3.0
+    one("histogram_stdvar(m)") shouldEqual expectVar +- 1e-9
+    one("histogram_stddev(m)") shouldEqual math.sqrt(expectVar) +- 1e-9
   }
 
   test("seriesHwm merges the base with MULTIPLE delta segments (the r10 " +
