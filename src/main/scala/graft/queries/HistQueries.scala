@@ -719,15 +719,23 @@ object HistQueries {
     * cumulative native histograms (scale 0, nine buckets to 2^9) WITH the
     * cumulative sum field over the covered population (value <= 512),
     * posted over real HTTP into a fresh sink, then a PromQL Ctx over the
-    * sunk rows at daily steps. Each entry rebuilds from scratch — Verify
-    * iterates an unsorted Map, so entries must not order-depend. */
+    * sunk rows at daily steps. Built ONCE per (session, sfDir) — Verify
+    * iterates an unsorted Map, so entries must not order-depend;
+    * whichever of q174/q175 runs first builds, and Bench's repeat passes
+    * time the QUERY, not a server re-seed (was 8.7 s/entry). */
+  private val nhSinkCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   private def sumCarryingNativeHistCtx(s: org.apache.spark.sql.SparkSession,
                                        dir: String): PromPlanner.Ctx = {
+    val sink = nhSinkCache.computeIfAbsent(dir, _ => buildNativeHistSink(s, dir))
+    val sunk = s.read.option("mergeSchema", "true").parquet(sink)
+    PromPlanner.Ctx(s, sunk, S + D1, TsTables.EventsEndMs, D1, lookbackMs = D1)
+  }
+
+  private def buildNativeHistSink(s: org.apache.spark.sql.SparkSession,
+                                  dir: String): String = {
     import graft.http.{ProtoWire, PromApi, RemoteRead}
-    // fixed name + delete-first: queries run sequentially and each one
-    // executes (is written/collected) before the next builds, so a shared
-    // scratch dir cannot race; rebuilding per entry keeps entries
-    // order-independent without accumulating scratch dirs
     val base = new org.apache.hadoop.fs.Path(
       s.conf.get("spark.sql.warehouse.dir"), "qnh_rw").toString
     new org.apache.hadoop.fs.Path(base).getFileSystem(
@@ -769,8 +777,7 @@ object HistQueries {
           Seq("__name__" -> "purchase"), Nil, histograms = hs)), url)
       }
     } finally api.stop()
-    val sunk = s.read.option("mergeSchema", "true").parquet(s"$base/sink")
-    PromPlanner.Ctx(s, sunk, S + D1, TsTables.EventsEndMs, D1, lookbackMs = D1)
+    s"$base/sink"
   }
 
   private def expCols: String =
