@@ -347,7 +347,7 @@ object ProtoWire {
 
   private def readHistogram(hr: Reader): PHistogram = {
     var ts = 0L; var schema = 0; var zeroThreshold = 0.0; var zeroCount = 0.0
-    var count = 0.0; var sum = 0.0; var resetHint = 0
+    var count = 0.0; var sum = 0.0; var resetHint = 0; var customValues = false
     val posSpans = Seq.newBuilder[(Int, Int)]; val negSpans = Seq.newBuilder[(Int, Int)]
     val posDeltas = Seq.newBuilder[Long]; val negDeltas = Seq.newBuilder[Long]
     val posCounts = Seq.newBuilder[Double]; val negCounts = Seq.newBuilder[Double]
@@ -390,8 +390,22 @@ object ProtoWire {
       case (13, 1) => posCounts += hr.readDouble()
       case (14, 0) => resetHint = hr.readVarint().toInt
       case (15, 0) => ts = hr.readVarint()
+      // field 16 = custom_values (Prometheus v2.51+/v3 NHCB, schema -53):
+      // custom-BUCKET histograms are not exponential — their spans index
+      // an explicit bounds list, so decoding them as exponential buckets
+      // would silently store wrong bounds. Flag and reject below.
+      case (16, wt) => customValues = true; hr.skip(wt)
       case (_, wt) => hr.skip(wt)
     }
+    // only the exponential schema family is storable; anything else (NHCB
+    // schema -53, future schemas) must fail the POST with 400 — senders
+    // treat 400 as non-retryable, and corrupting storage is worse than
+    // dropping an unsupported payload (r10 advisor finding)
+    if (customValues || schema < -4 || schema > 8)
+      throw new IllegalArgumentException(
+        s"unsupported native-histogram schema $schema" +
+          (if (customValues) " (custom buckets / NHCB)" else "") +
+          "; only exponential schemas in [-4, 8] are supported")
     val (pOff, pC) = expandSpans(posSpans.result(), posDeltas.result(), posCounts.result())
     val (nOff, nC) = expandSpans(negSpans.result(), negDeltas.result(), negCounts.result())
     PHistogram(ts, schema, zeroThreshold, zeroCount, count, sum, resetHint,

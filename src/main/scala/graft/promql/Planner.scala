@@ -1130,8 +1130,15 @@ object PromPlanner {
         case _ => Nil
       }
       val v = planVector(ctx, args.head)
-      dropName(v.withColumn("value", InstantFns(instant, col("value"), paramArgs)))
-        .transform(finish)
+      // upstream clamp special case: min > max returns an EMPTY vector
+      // (not max-everywhere, which least(greatest(v,min),max) collapses
+      // to). Bounds are plan-time constants, so the check is too — the
+      // twin of the NaN-bound constant check in InstantFns.
+      if (instant == "clamp" && paramArgs.size == 2 && paramArgs(0) > paramArgs(1))
+        dropName(v.filter(lit(false))).transform(finish)
+      else
+        dropName(v.withColumn("value", InstantFns(instant, col("value"), paramArgs)))
+          .transform(finish)
   }
 
   /** `le` label ("10.0", "+Inf", "Infinity") → numeric upper bound. */

@@ -204,20 +204,27 @@ object Ingest {
   private val ExpCols = Seq("exp_scale", "exp_offset", "exp_counts",
     "exp_zero_count", "exp_zero_threshold", "exp_sum")
 
-  /** Compacted-base + delta-segment layout of a series index: the newest
-    * `_hwm/upto=<id>` base (if any) and the `batch_id=` dirs newer than
-    * it (all of them when no base exists). None = no index yet. */
-  private def hwmLayout(spark: SparkSession, indexDir: String)
+  /** Compacted-base + delta-segment layout of an LSM directory: the newest
+    * COMMITTED `<baseSub>/upto=<id>` base (if any) and the `batch_id=`
+    * dirs newer than it (all of them when no base exists). None = no such
+    * directory yet. A base counts as committed only when it carries the
+    * `_SUCCESS` marker — a base published by [[publishBase]] always does
+    * (rename moves the whole committed dir), so a partial dir left by a
+    * crashed writer is never trusted (r10 advisor finding: a trusted
+    * partial base silently loses series' high-water marks). */
+  private def baseDeltaLayout(spark: SparkSession, rootDir: String, baseSub: String)
       : Option[(Option[String], Seq[String])] = {
-    val fs = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = new org.apache.hadoop.fs.Path(rootDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val root = new org.apache.hadoop.fs.Path(indexDir)
+    val root = new org.apache.hadoop.fs.Path(rootDir)
     if (!fs.exists(root)) return None
-    val hwmRoot = new org.apache.hadoop.fs.Path(s"$indexDir/_hwm")
+    val baseRoot = new org.apache.hadoop.fs.Path(s"$rootDir/$baseSub")
     val bases =
-      if (!fs.exists(hwmRoot)) Array.empty[(Long, org.apache.hadoop.fs.Path)]
-      else fs.listStatus(hwmRoot).map(_.getPath)
+      if (!fs.exists(baseRoot)) Array.empty[(Long, org.apache.hadoop.fs.Path)]
+      else fs.listStatus(baseRoot).map(_.getPath)
         .flatMap(p => p.getName.stripPrefix("upto=").toLongOption.map(_ -> p))
+        .filter { case (_, p) =>
+          fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")) }
     val (upto, basePath) =
       if (bases.isEmpty) (-1L, None)
       else { val b = bases.maxBy(_._1); (b._1, Some(b._2.toString)) }
@@ -225,6 +232,38 @@ object Ingest {
       .filter(p => p.getName.stripPrefix("batch_id=").toLongOption.exists(_ > upto))
       .map(_.toString).toSeq
     Some((basePath, deltaDirs))
+  }
+
+  /** The series index's base+delta layout (`_hwm` bases). */
+  private def hwmLayout(spark: SparkSession, indexDir: String)
+      : Option[(Option[String], Seq[String])] =
+    baseDeltaLayout(spark, indexDir, "_hwm")
+
+  /** Atomically publish `folded` as `<root>/<baseSub>/upto=<upto>`:
+    * write to a HIDDEN `_tmp` staging dir (underscore-prefixed, so
+    * partition discovery and [[baseDeltaLayout]] both ignore it), then
+    * RENAME into place — the one atomic publish primitive HDFS and POSIX
+    * both give — and only then drop older bases. A crash at any point
+    * leaves either a hidden tmp (deleted on the next run) or a stale
+    * extra base (the max-upto reader skips it); never a partial dir a
+    * reader would trust, and never a window where the previous base has
+    * been deleted but the new one hasn't committed. */
+  private def publishBase(spark: SparkSession, rootDir: String, baseSub: String,
+                          upto: Long, folded: DataFrame): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(rootDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(s"$rootDir/$baseSub/_tmp")
+    fs.delete(tmp, true)
+    folded.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val dst = new org.apache.hadoop.fs.Path(s"$rootDir/$baseSub/upto=$upto")
+    val committed = fs.exists(dst) &&
+      fs.exists(new org.apache.hadoop.fs.Path(dst, "_SUCCESS"))
+    if (committed) fs.delete(tmp, true) // a racer/predecessor already published
+    else { fs.delete(dst, true); fs.rename(tmp, dst) }
+    val baseRoot = new org.apache.hadoop.fs.Path(s"$rootDir/$baseSub")
+    fs.listStatus(baseRoot).map(_.getPath)
+      .filter(p => p.getName.stripPrefix("upto=").toLongOption.exists(_ < upto))
+      .foreach(p => fs.delete(p, true))
   }
 
   /** Read several explicit batch_id= partition dirs as one table.
@@ -285,11 +324,10 @@ object Ingest {
     }
 
   /** Fold the series index into a compact per-series high-water-mark base
-    * at `_hwm/upto=<maxBatchId>` (one row per series), then drop older
-    * bases. Crash-safe: the reader always picks the max `upto` dir, so a
-    * crash after the write but before the cleanup only leaves a stale
-    * extra dir. Call periodically (PromApi auto-triggers every
-    * `hwmCompactEvery` accepted writes). */
+    * at `_hwm/upto=<maxBatchId>` (one row per series), published atomically
+    * via hidden-tmp + rename ([[publishBase]]) so a crash can never leave
+    * a partial base a reader would trust. Call periodically (PromApi
+    * auto-triggers every `hwmCompactEvery` accepted writes). */
   def compactHwm(spark: SparkSession, indexDir: String): Unit = {
     val fs = new org.apache.hadoop.fs.Path(indexDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -307,12 +345,7 @@ object Ingest {
     val folded = spark.read.parquet(indexDir)
       .groupBy(col("series_id"), col("metric"), col("tags"))
       .agg(max(col("end_ts")).as("__hwm"))
-    folded.coalesce(1).write.mode("overwrite")
-      .parquet(s"$indexDir/_hwm/upto=$upto")
-    val hwmRoot = new org.apache.hadoop.fs.Path(s"$indexDir/_hwm")
-    fs.listStatus(hwmRoot).map(_.getPath)
-      .filter(p => p.getName.stripPrefix("upto=").toLongOption.exists(_ < upto))
-      .foreach(p => fs.delete(p, true))
+    publishBase(spark, indexDir, "_hwm", upto, folded)
   }
 
   /** One HTTP remote-write batch (`/api/v1/write`, reference gateway
@@ -404,19 +437,7 @@ object Ingest {
       .drop("__reset_hint")
       .withColumn("series_type", lit(null).cast("string"))
     val stateCols = Seq("series_id", "ts") ++ ExpCols
-    val state = scala.util.Try {
-        // mergeSchema + null-pad: state dirs written before a payload
-        // column existed (exp_sum, added r10) must still seed — a failed
-        // read here would silently turn every first-in-batch delta into
-        // an absolute (reset-shaped) value
-        val raw = spark.read.option("mergeSchema", "true").parquet(stateDir)
-        stateCols.foldLeft(raw) { (df, c) =>
-          if (df.columns.contains(c)) df
-          else df.withColumn(c, lit(null).cast(expRows.schema(c).dataType))
-        }.select(stateCols.map(col): _*)
-      }
-      .getOrElse(
-        expRows.select(stateCols.map(col): _*).limit(0))
+    val state = expStateRead(spark, stateDir)
     // seed per series: the LATEST state row strictly older than the
     // series' first in-batch sample (see crash protocol above)
     val t0 = expRows.groupBy(col("series_id")).agg(min(col("ts")).as("__t0"))
@@ -488,33 +509,77 @@ object Ingest {
     plain.unionByName(conv.select(plain.columns.map(col): _*))
   }
 
+  /** Read the exp cumulative-state LSM: newest committed `_base` plus the
+    * delta segments newer than it ([[baseDeltaLayout]]). Empty ONLY when
+    * the layout says no state exists — a FAILED read ABORTS the batch (the
+    * exception propagates and the POST answers 500, so the sender
+    * retries) instead of seeding empty: seeding empty silently stores
+    * absolute, reset-shaped values as deltas — the exact failure mode the
+    * crash protocol exists to prevent (r10 advisor finding). State dirs
+    * written before a payload column existed (exp_sum, added r10) still
+    * seed via mergeSchema + null-pad. */
+  private def expStateRead(spark: SparkSession, stateDir: String): DataFrame = {
+    def pad(df: DataFrame): DataFrame =
+      StateSchema.foldLeft(df) { case (d, (c, t)) =>
+        if (d.columns.contains(c)) d else d.withColumn(c, lit(null).cast(t))
+      }.select(StateSchema.map(x => col(x._1)): _*)
+    val parts = baseDeltaLayout(spark, stateDir, "_base") match {
+      case None => Nil
+      case Some((base, deltaDirs)) =>
+        base.toSeq.map(b => pad(spark.read.parquet(b))) ++
+          (if (deltaDirs.isEmpty) Nil
+           else Seq(pad(spark.read.option("mergeSchema", "true")
+             .option("basePath", stateDir).parquet(deltaDirs: _*))))
+    }
+    if (parts.isEmpty)
+      pad(spark.range(0).toDF()).select(StateSchema.map(x => col(x._1)): _*)
+    else parts.reduce(_ unionByName _)
+  }
+
+  /** The exp cumulative-state row schema (fixed: the pad/empty cases must
+    * not depend on what any one segment happens to carry). */
+  private val StateSchema: Seq[(String, String)] = Seq(
+    "series_id" -> "bigint", "ts" -> "bigint", "exp_scale" -> "int",
+    "exp_offset" -> "int", "exp_counts" -> "array<double>",
+    "exp_zero_count" -> "double", "exp_zero_threshold" -> "double",
+    "exp_sum" -> "double")
+
   /** Fold the exp-state LSM down to the last TWO cumulative rows per
     * series (two, not one: the crash protocol in [[expCumulativeToDelta]]
-    * seeds a retried batch from the version BEFORE the crashed attempt's).
-    * Same max-`upto` reader convention as [[compactHwm]]. */
+    * seeds a retried batch from the version BEFORE the crashed attempt's),
+    * published as a `_base/upto=<id>` dir via the same hidden-tmp + rename
+    * protocol as [[compactHwm]] ([[publishBase]]) — no delete-then-rewrite
+    * window where the only durable copy of the state is gone (r10 advisor
+    * finding), and a crashed staging write leaves only a HIDDEN dir that
+    * partition discovery and the layout reader both ignore. */
   def compactExpState(spark: SparkSession, stateDir: String): Unit = {
     import org.apache.spark.sql.expressions.Window
     val fs = new org.apache.hadoop.fs.Path(stateDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val root = new org.apache.hadoop.fs.Path(stateDir)
     if (!fs.exists(root)) return
-    val dirs = fs.listStatus(root).map(_.getPath.getName)
-      .flatMap(_.stripPrefix("batch_id=").toLongOption)
-    if (dirs.isEmpty) return
-    val upto = dirs.max
-    val folded = spark.read.parquet(stateDir)
-      .withColumn("__rn", row_number().over(
-        Window.partitionBy(col("series_id")).orderBy(col("ts").desc)))
-      .filter(col("__rn") <= 2).drop("__rn")
-    folded.coalesce(1).write.mode("overwrite")
-      .parquet(s"$stateDir/compact_tmp")
-    // swap: rewrite the folded rows as batch_id=<upto>, drop older dirs
-    val tmp = spark.read.parquet(s"$stateDir/compact_tmp")
-    tmp.coalesce(1).write.mode("overwrite").parquet(s"$stateDir/batch_id=$upto")
+    // legacy pre-r11 swap leftover: a non-hidden tmp dir broke every plain
+    // directory read — clean it unconditionally
     fs.delete(new org.apache.hadoop.fs.Path(s"$stateDir/compact_tmp"), true)
-    fs.listStatus(root).map(_.getPath)
-      .filter(p => p.getName.stripPrefix("batch_id=").toLongOption.exists(_ < upto))
-      .foreach(p => fs.delete(p, true))
+    baseDeltaLayout(spark, stateDir, "_base") match {
+      case Some((_, deltaDirs)) if deltaDirs.nonEmpty =>
+        val upto = deltaDirs
+          .flatMap(d => d.split('/').last.stripPrefix("batch_id=").toLongOption).max
+        val all = expStateRead(spark, stateDir)
+        // a crashed attempt's retry rewrites the SAME (series, ts) state row
+        // under a new batch id — dedup by identity first, or the keep-2
+        // window would hold two copies of one version and lose the real
+        // previous one
+        val folded = all.dropDuplicates("series_id", "ts")
+          .withColumn("__rn", row_number().over(
+            Window.partitionBy(col("series_id")).orderBy(col("ts").desc)))
+          .filter(col("__rn") <= 2).drop("__rn")
+        publishBase(spark, stateDir, "_base", upto, folded)
+        fs.listStatus(root).map(_.getPath)
+          .filter(p => p.getName.stripPrefix("batch_id=").toLongOption.exists(_ <= upto))
+          .foreach(p => fs.delete(p, true))
+      case _ => () // no state, or nothing newer than the base
+    }
   }
 
   /** 5m/1h-style tumbling downsample (the reference's ds-gauge schema:

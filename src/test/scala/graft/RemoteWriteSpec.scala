@@ -169,7 +169,10 @@ class RemoteWriteSpec extends AnyFunSuite with Matchers {
     Ingest.remoteWriteBatch(canonicalHist(Seq(
       "m" -> hist(3000L, Seq(6.0, 2.0)))), 3L, sink, index, reject, cfg)
     Ingest.compactExpState(spark, stateDir)
-    val st = spark.read.parquet(stateDir).select("ts").collect().map(_.getLong(0)).sorted
+    // post-r11 layout: the fold publishes a versioned _base dir and
+    // consumes the delta segments
+    val st = spark.read.parquet(s"$stateDir/_base")
+      .select("ts").collect().map(_.getLong(0)).sorted
     st shouldEqual Array(2000L, 3000L)
   }
 
@@ -383,5 +386,212 @@ class RemoteWriteSpec extends AnyFunSuite with Matchers {
     val top = ex.groupBy("metric").agg(max("value").as("max_exemplar"))
       .collect().map(r => (r.getString(0), r.getDouble(1))).toSet
     top shouldEqual Set(("lat", 0.93))
+  }
+
+  test("exemplar re-POSTs append nothing: the side table dedups by content " +
+       "identity (a sender retry after a lost 204 must not duplicate)") {
+    val dir = tmp("graft-exdedup")
+    val ws = PromApi.WriteSink(s"$dir/sink", s"$dir/index", s"$dir/reject", cfg,
+      exemplarDir = Some(s"$dir/exemplars"))
+    val api = new PromApi(spark, spark.range(0).toDF(), writeSink = Some(ws)).start()
+    val series = Seq(ProtoWire.PSeries(
+      Seq("__name__" -> "lat"),
+      Seq(ProtoWire.PSample(0.2, 1000L)),
+      exemplars = Seq(ProtoWire.PExemplar(Seq("trace_id" -> "t1"), 0.93, 950L))))
+    try {
+      val url = s"http://localhost:${api.boundPort}"
+      RemoteRead.remoteWriteSeries(series, url)
+      RemoteRead.remoteWriteSeries(series, url) // retry: samples hwm-drop...
+      // ...and a new POST carrying one OLD and one NEW exemplar appends
+      // only the new one
+      RemoteRead.remoteWriteSeries(Seq(series.head.copy(
+        samples = Seq(ProtoWire.PSample(0.3, 2000L)),
+        exemplars = series.head.exemplars :+
+          ProtoWire.PExemplar(Seq("trace_id" -> "t2"), 0.5, 1990L))), url)
+    } finally api.stop()
+    val ex = spark.read.parquet(s"$dir/exemplars")
+      .select(col("exemplar_labels")("trace_id"), col("ts"), col("value"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toList
+    ex.sortBy(_._2) shouldEqual List(("t1", 950L, 0.93), ("t2", 1990L, 0.5))
+  }
+
+  test("NHCB / out-of-range schemas answer 400, never corrupt storage " +
+       "(custom-bucket spans are not exponential buckets)") {
+    val dir = tmp("graft-nhcb")
+    val ws = PromApi.WriteSink(s"$dir/sink", s"$dir/index", s"$dir/reject", cfg)
+    val api = new PromApi(spark, spark.range(0).toDF(), writeSink = Some(ws)).start()
+    try {
+      val url = s"http://localhost:${api.boundPort}"
+      val nhcb = hist(1000L, Seq(2.0, 1.0), schema = -53)
+      val err = intercept[IllegalStateException] {
+        RemoteRead.remoteWriteSeries(Seq(ProtoWire.PSeries(
+          Seq("__name__" -> "m"), Nil, histograms = Seq(nhcb))), url)
+      }
+      err.getMessage should include("HTTP 400")
+      err.getMessage should include("schema")
+      // a valid POST on the same server still lands (the reject was
+      // per-request, not a poisoned sink)
+      RemoteRead.remoteWriteSeries(Seq(ProtoWire.PSeries(
+        Seq("__name__" -> "m"), Nil,
+        histograms = Seq(hist(1000L, Seq(2.0, 1.0), schema = 0)))), url)
+      spark.read.parquet(s"$dir/sink").count() shouldEqual 1L
+    } finally api.stop()
+  }
+
+  test("a PARTIAL hwm base (no _SUCCESS: crashed writer) is never trusted; " +
+       "a hidden staging leftover breaks nothing") {
+    val dir = tmp("graft-partialbase")
+    val ws = PromApi.WriteSink(s"$dir/sink", s"$dir/index", s"$dir/reject", cfg)
+    val api = new PromApi(spark, spark.range(0).toDF(), writeSink = Some(ws),
+      hwmCompactEvery = 0).start()
+    def post(ts: Long, v: Double): Unit =
+      RemoteRead.remoteWriteSeries(Seq(ProtoWire.PSeries(
+        Seq("__name__" -> "m"), Seq(ProtoWire.PSample(v, ts)))),
+        s"http://localhost:${api.boundPort}")
+    try {
+      post(1000L, 1.0)
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // simulate a compaction that died mid-write: a base dir with data
+      // but NO _SUCCESS marker, claiming a far-future upto — if trusted,
+      // series `m` would vanish from the hwm and quota catalog entirely
+      val partial = new org.apache.hadoop.fs.Path(s"$dir/index/_hwm/upto=999")
+      fs.mkdirs(partial)
+      // plus a hidden staging leftover from another crashed attempt
+      fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/index/_hwm/_tmp"))
+      // the hwm still serves from the delta segments: a stale re-POST drops
+      post(500L, 9.0)
+      spark.read.parquet(s"$dir/sink").select("ts").collect()
+        .map(_.getLong(0)).toList shouldEqual List(1000L)
+      // and a real compaction publishes past the junk atomically
+      Ingest.compactHwm(spark, s"$dir/index")
+      post(2000L, 2.0); post(1500L, 9.0)
+      spark.read.parquet(s"$dir/sink").select("ts").collect()
+        .map(_.getLong(0)).toSet shouldEqual Set(1000L, 2000L)
+    } finally api.stop()
+  }
+
+  // ===== group-commit spool =================================================
+
+  test("spool mode: N parallel POSTs ack on durable append and land exactly " +
+       "once in ONE drained batch; re-POSTs and stale samples still drop") {
+    val dir = tmp("graft-spool")
+    val ws = PromApi.WriteSink(s"$dir/sink", s"$dir/index", s"$dir/reject", cfg,
+      exemplarDir = Some(s"$dir/exemplars"))
+    // drain cadence far away: only the explicit drains below commit
+    val api = new PromApi(spark, spark.range(0).toDF(), writeSink = Some(ws),
+      maxInFlightWrites = 32, spoolDrainMs = 3600000L).start()
+    val url = s"http://localhost:${api.boundPort}"
+    try {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+      try {
+        val futs = (0 until 16).map { i =>
+          pool.submit(new java.util.concurrent.Callable[Unit] {
+            def call(): Unit = RemoteRead.remoteWriteSeries(Seq(ProtoWire.PSeries(
+              Seq("__name__" -> "m", "i" -> i.toString),
+              Seq(ProtoWire.PSample(i.toDouble, 1000L)),
+              exemplars = if (i == 0)
+                Seq(ProtoWire.PExemplar(Seq("trace_id" -> "t"), 1.0, 999L)) else Nil)), url)
+          })
+        }
+        futs.foreach(_.get())
+      } finally pool.shutdown()
+      // acked but not yet committed: nothing in the sink before the drain
+      val fs = new org.apache.hadoop.fs.Path(s"$dir/sink")
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.exists(new org.apache.hadoop.fs.Path(s"$dir/sink/batch_id=0")) shouldBe false
+      api.drainSpool() shouldEqual 16
+      val rows = spark.read.parquet(s"$dir/sink")
+        .select(col("tags")("i"), col("value")).collect()
+        .map(r => (r.getString(0), r.getDouble(1))).toSet
+      rows shouldEqual (0 until 16).map(i => (i.toString, i.toDouble)).toSet
+      // the whole window committed as ONE batch (16 POSTs, 1 Spark chain)
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/sink"))
+        .map(_.getPath.getName).count(_.startsWith("batch_id=")) shouldEqual 1
+      // re-POST + stale: cross-drain hwm drop and in-batch dedup both hold
+      RemoteRead.remoteWriteSeries(Seq(ProtoWire.PSeries(
+        Seq("__name__" -> "m", "i" -> "0"),
+        Seq(ProtoWire.PSample(0.0, 1000L), ProtoWire.PSample(99.0, 500L)))), url)
+      api.drainSpool() shouldEqual 1
+      spark.read.parquet(s"$dir/sink").count() shouldEqual 16L
+      spark.read.parquet(s"$dir/exemplars").count() shouldEqual 1L
+      api.drainSpool() shouldEqual 0 // nothing left
+    } finally api.stop()
+  }
+
+  test("spool crash windows: a crashed instance's acked spool drains clean " +
+       "on the next instance; re-draining an identical window re-commits " +
+       "the SAME batch id (idempotent overwrite, no duplicates)") {
+    val dir = tmp("graft-spoolcrash")
+    val ws = PromApi.WriteSink(s"$dir/sink", s"$dir/index", s"$dir/reject", cfg)
+    val a = new PromApi(spark, spark.range(0).toDF(), writeSink = Some(ws),
+      spoolDrainMs = 3600000L).start()
+    val body = ProtoWire.encodeWriteRequest(Seq(ProtoWire.PSeries(
+      Seq("__name__" -> "m"), Seq(ProtoWire.PSample(1.0, 1000L)))))
+    RemoteRead.remoteWriteSeries(Seq(ProtoWire.PSeries(
+      Seq("__name__" -> "m"), Seq(ProtoWire.PSample(1.0, 1000L)))),
+      s"http://localhost:${a.boundPort}")
+    // instance A "crashes" before its drainer ever fires (never stopped
+    // cleanly); a fresh instance over the same sink inherits the spool
+    val b = new PromApi(spark, spark.range(0).toDF(), writeSink = Some(ws),
+      spoolDrainMs = 3600000L).start()
+    try {
+      val fs = new org.apache.hadoop.fs.Path(s"$dir/sink")
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val spooled = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/sink/_spool"))
+        .map(_.getPath.getName).filter(_.endsWith(".wr"))
+      spooled should have size 1
+      val spoolId = spooled.head.stripSuffix(".wr").toLong
+      b.drainSpool() shouldEqual 1
+      spark.read.parquet(s"$dir/sink").count() shouldEqual 1L
+      // the drain's batch id is the window's max spool id (deterministic)
+      fs.exists(new org.apache.hadoop.fs.Path(
+        s"$dir/sink/batch_id=$spoolId")) shouldBe true
+      // crash between commit and cleanup: the file reappears — a re-drain
+      // of the identical window must rewrite the SAME batch dir, not mint
+      // a new one (exactly-once across the cleanup crash window)
+      val re = fs.create(new org.apache.hadoop.fs.Path(
+        s"$dir/sink/_spool/$spoolId.wr"), true)
+      re.write(body); re.close()
+      b.drainSpool() shouldEqual 1
+      spark.read.parquet(s"$dir/sink").count() shouldEqual 1L
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/sink"))
+        .map(_.getPath.getName).count(_.startsWith("batch_id=")) shouldEqual 1
+      // and a FRESH instance's spool sequence seeds PAST drained ids: a
+      // restart cannot re-mint an already-committed batch id
+      val c = new PromApi(spark, spark.range(0).toDF(), writeSink = Some(ws),
+        spoolDrainMs = 3600000L).start()
+      try {
+        RemoteRead.remoteWriteSeries(Seq(ProtoWire.PSeries(
+          Seq("__name__" -> "m"), Seq(ProtoWire.PSample(2.0, 2000L)))),
+          s"http://localhost:${c.boundPort}")
+        c.drainSpool() shouldEqual 1
+        spark.read.parquet(s"$dir/sink").count() shouldEqual 2L
+      } finally c.stop()
+    } finally { b.stop(); a.stop() }
+  }
+
+  test("compactExpState publishes a versioned base (no delete-then-rewrite " +
+       "window), consumes its delta dirs, and the conversion still seeds") {
+    val dir = tmp("graft-expbase")
+    val (sink, index, reject) = (s"$dir/sink", s"$dir/index", s"$dir/reject")
+    val stateDir = s"$index/_exp_state"
+    Ingest.remoteWriteBatch(canonicalHist(Seq(
+      "m" -> hist(1000L, Seq(2.0, 0.0)))), 0L, sink, index, reject, cfg)
+    Ingest.remoteWriteBatch(canonicalHist(Seq(
+      "m" -> hist(2000L, Seq(5.0, 1.0)))), 1L, sink, index, reject, cfg)
+    val fs = new org.apache.hadoop.fs.Path(stateDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a legacy pre-r11 crash leftover that used to poison every state read
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$stateDir/compact_tmp"))
+    Ingest.compactExpState(spark, stateDir)
+    val names = fs.listStatus(new org.apache.hadoop.fs.Path(stateDir))
+      .map(_.getPath.getName).sorted
+    names shouldEqual Array("_base") // deltas consumed, legacy tmp cleaned
+    // the NEXT batch must seed from the base: delta = 7-5=2, 2-1=1
+    Ingest.remoteWriteBatch(canonicalHist(Seq(
+      "m" -> hist(3000L, Seq(7.0, 2.0)))), 2L, sink, index, reject, cfg)
+    sunkHists(sink, "m").map(h => (h._1, h._4)) shouldEqual List(
+      (1000L, List(2.0, 0.0)), (2000L, List(3.0, 1.0)), (3000L, List(2.0, 1.0)))
   }
 }
