@@ -252,18 +252,36 @@ object Ingest {
                           upto: Long, folded: DataFrame): Unit = {
     val fs = new org.apache.hadoop.fs.Path(rootDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmp = new org.apache.hadoop.fs.Path(s"$rootDir/$baseSub/_tmp")
-    fs.delete(tmp, true)
+    // stage into a UNIQUE hidden dir per attempt: a fixed `_tmp` path lets
+    // two concurrent compactions (an external job racing the server's
+    // auto-trigger) interleave delete/write/rename and publish a mixed or
+    // deleted base (r11 advisor finding) — with a per-attempt dir each
+    // attempt's bytes are its own, and the exists-check + rename below
+    // resolves the race to exactly one published winner
+    val tmp = new org.apache.hadoop.fs.Path(
+      s"$rootDir/$baseSub/_tmp-$upto-${java.util.UUID.randomUUID()}")
     folded.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
     val dst = new org.apache.hadoop.fs.Path(s"$rootDir/$baseSub/upto=$upto")
     val committed = fs.exists(dst) &&
       fs.exists(new org.apache.hadoop.fs.Path(dst, "_SUCCESS"))
     if (committed) fs.delete(tmp, true) // a racer/predecessor already published
-    else { fs.delete(dst, true); fs.rename(tmp, dst) }
+    else {
+      // a PARTIAL dst (crashed writer, no _SUCCESS — never trusted by
+      // readers) must be cleared or rename would nest tmp inside it
+      if (fs.exists(dst)) fs.delete(dst, true)
+      if (!fs.rename(tmp, dst)) fs.delete(tmp, true) // lost the rename race
+    }
     val baseRoot = new org.apache.hadoop.fs.Path(s"$rootDir/$baseSub")
-    fs.listStatus(baseRoot).map(_.getPath)
-      .filter(p => p.getName.stripPrefix("upto=").toLongOption.exists(_ < upto))
-      .foreach(p => fs.delete(p, true))
+    fs.listStatus(baseRoot).map(_.getPath).foreach { p =>
+      // older bases are superseded; stale staging dirs (crashed attempts,
+      // incl. the legacy fixed `_tmp`) are dead weight once past an hour
+      if (p.getName.stripPrefix("upto=").toLongOption.exists(_ < upto))
+        fs.delete(p, true)
+      else if (p.getName.startsWith("_tmp") &&
+               System.currentTimeMillis() -
+                 fs.getFileStatus(p).getModificationTime > 3600000L)
+        fs.delete(p, true)
+    }
   }
 
   /** Read several explicit batch_id= partition dirs as one table.
@@ -992,6 +1010,71 @@ object Ingest {
     // auto-compaction cadence — see processDocBatch (same contract)
     if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
       CorpusLayout.compactIndex(spark, table)
+  }
+
+  // ===== metric metadata store ==============================================
+
+  /** Upsert metric-family metadata (TYPE/HELP/UNIT rows from
+    * [[Gateway.promTextMeta]]) into a tiny versioned store: LAST-WRITE-WINS
+    * per metric, FIELD-WISE (a TYPE-only scrape must not erase a
+    * previously seen HELP — incoming nulls keep the stored value).
+    * Published as `v=<n>` dirs with `_SUCCESS`, staged in a unique hidden
+    * dir — the same crash-atomic protocol as the index bases; readers
+    * ([[readMetricMeta]], `/api/v1/metadata`) take the newest committed
+    * version. The table is one row per metric FAMILY (thousands, not
+    * millions), so the fold is a driver-cheap coalesce(1). */
+  def upsertMetricMeta(spark: SparkSession, dir: String, incoming: DataFrame): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // collapse the batch: any non-null field per metric wins in-batch
+    val inc = incoming
+      .filter(col("metric").isNotNull)
+      .groupBy(col("metric"))
+      .agg(max(col("type")).as("i_type"), max(col("help")).as("i_help"),
+        max(col("unit")).as("i_unit"))
+    val (curVersion, cur) = readMetricMetaVersioned(spark, dir)
+    val merged = cur match {
+      case None =>
+        inc.select(col("metric"), col("i_type").as("type"),
+          col("i_help").as("help"), col("i_unit").as("unit"))
+      case Some(c) =>
+        c.join(inc, Seq("metric"), "full_outer")
+          .select(col("metric"),
+            coalesce(col("i_type"), col("type")).as("type"),
+            coalesce(col("i_help"), col("help")).as("help"),
+            coalesce(col("i_unit"), col("unit")).as("unit"))
+    }
+    val tmp = new org.apache.hadoop.fs.Path(
+      s"$dir/_tmp-${java.util.UUID.randomUUID()}")
+    merged.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val next = curVersion + 1
+    val dst = new org.apache.hadoop.fs.Path(s"$dir/v=$next")
+    if (!fs.rename(tmp, dst)) fs.delete(tmp, true) // lost a concurrent race
+    fs.listStatus(new org.apache.hadoop.fs.Path(dir)).map(_.getPath).foreach { p =>
+      if (p.getName.stripPrefix("v=").toLongOption.exists(_ < next)) fs.delete(p, true)
+    }
+  }
+
+  /** The newest committed metadata version: (metric, type, help, unit). */
+  def readMetricMeta(spark: SparkSession, dir: String): Option[DataFrame] =
+    readMetricMetaVersioned(spark, dir)._2
+
+  private def readMetricMetaVersioned(spark: SparkSession, dir: String)
+      : (Long, Option[DataFrame]) = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(dir))) return (0L, None)
+    val versions = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .map(_.getPath)
+      .flatMap(p => p.getName.stripPrefix("v=").toLongOption.map(_ -> p))
+      .filter { case (_, p) =>
+        fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")) }
+    if (versions.isEmpty) (0L, None)
+    else {
+      val (v, p) = versions.maxBy(_._1)
+      (v, Some(spark.read.parquet(p.toString)
+        .select("metric", "type", "help", "unit")))
+    }
   }
 
   /** Streaming ingest from a parquet directory source. */

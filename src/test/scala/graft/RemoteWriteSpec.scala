@@ -571,6 +571,109 @@ class RemoteWriteSpec extends AnyFunSuite with Matchers {
     } finally { b.stop(); a.stop() }
   }
 
+  test("bounded drain: one drainSpool() call empties a burst in multiple " +
+       "capped micro-batches, samples exactly once") {
+    val dir = tmp("graft-spoolcap")
+    val ws = PromApi.WriteSink(s"$dir/sink", s"$dir/index", s"$dir/reject", cfg)
+    // cap 4 files per micro-batch; 10 spooled POSTs must commit in >= 3
+    // batches without any being held in one driver-heap window
+    val api = new PromApi(spark, spark.range(0).toDF(), writeSink = Some(ws),
+      spoolDrainMs = 3600000L, spoolDrainMaxFiles = 4).start()
+    val url = s"http://localhost:${api.boundPort}"
+    try {
+      (0 until 10).foreach { i =>
+        RemoteRead.remoteWriteSeries(Seq(ProtoWire.PSeries(
+          Seq("__name__" -> "m", "i" -> i.toString),
+          Seq(ProtoWire.PSample(i.toDouble, 1000L)))), url)
+      }
+      api.drainSpool() shouldEqual 10
+      val fs = new org.apache.hadoop.fs.Path(s"$dir/sink")
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/sink"))
+        .map(_.getPath.getName).count(_.startsWith("batch_id=")) shouldEqual 3
+      spark.read.parquet(s"$dir/sink").select(col("tags")("i"), col("value"))
+        .collect().map(r => (r.getString(0), r.getDouble(1))).toSet shouldEqual
+        (0 until 10).map(i => (i.toString, i.toDouble)).toSet
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/sink/_spool"))
+        .count(_.getPath.getName.endsWith(".wr")) shouldEqual 0
+    } finally api.stop()
+  }
+
+  test("drain is a CONTIGUOUS COMPLETED PREFIX: a pending .tmp below a " +
+       "renamed .wr holds the drain back until the writer finishes or is " +
+       "declared abandoned — the rename-inversion data-loss window is shut") {
+    val dir = tmp("graft-spoolprefix")
+    val ws = PromApi.WriteSink(s"$dir/sink", s"$dir/index", s"$dir/reject", cfg)
+    val api = new PromApi(spark, spark.range(0).toDF(), writeSink = Some(ws),
+      spoolDrainMs = 3600000L, spoolTmpAbandonMs = 30000L).start()
+    val url = s"http://localhost:${api.boundPort}"
+    try {
+      val fs = new org.apache.hadoop.fs.Path(s"$dir/sink")
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // simulate the inversion: claim id 0 as a still-pending .tmp (a
+      // racing POST mid-append), then let a real POST take id 1 and rename
+      fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/sink/_spool"))
+      val pend = fs.create(
+        new org.apache.hadoop.fs.Path(s"$dir/sink/_spool/0.tmp"), false)
+      pend.write(1); pend.close()
+      RemoteRead.remoteWriteSeries(Seq(ProtoWire.PSeries(
+        Seq("__name__" -> "m"), Seq(ProtoWire.PSample(1.0, 1000L)))), url)
+      fs.exists(new org.apache.hadoop.fs.Path(s"$dir/sink/_spool/1.wr")) shouldBe true
+      // id 1 must NOT drain past the pending id 0
+      api.drainSpool() shouldEqual 0
+      // the writer finishes: both drain, in id order, as one window
+      val body = ProtoWire.encodeWriteRequest(Seq(ProtoWire.PSeries(
+        Seq("__name__" -> "m0"), Seq(ProtoWire.PSample(0.0, 1000L)))))
+      val out = fs.create(new org.apache.hadoop.fs.Path(s"$dir/sink/_spool/0.tmp"), true)
+      out.write(body); out.close()
+      fs.rename(new org.apache.hadoop.fs.Path(s"$dir/sink/_spool/0.tmp"),
+        new org.apache.hadoop.fs.Path(s"$dir/sink/_spool/0.wr"))
+      api.drainSpool() shouldEqual 2
+      spark.read.parquet(s"$dir/sink").select("metric").collect()
+        .map(_.getString(0)).toSet shouldEqual Set("m", "m0")
+      // an ABANDONED .tmp (writer died mid-append, never acked): after the
+      // age threshold it is quarantined and stops blocking the prefix
+      val dead = fs.create(new org.apache.hadoop.fs.Path(s"$dir/sink/_spool/2.tmp"), false)
+      dead.write(1); dead.close()
+      RemoteRead.remoteWriteSeries(Seq(ProtoWire.PSeries(
+        Seq("__name__" -> "m2"), Seq(ProtoWire.PSample(2.0, 2000L)))), url)
+      api.drainSpool() shouldEqual 0 // fresh .tmp still blocks
+      // backdate the claim past the abandonment threshold (no sleeps)
+      fs.setTimes(new org.apache.hadoop.fs.Path(s"$dir/sink/_spool/2.tmp"),
+        System.currentTimeMillis() - 60000L, -1)
+      api.drainSpool() shouldEqual 1
+      fs.exists(new org.apache.hadoop.fs.Path(
+        s"$dir/sink/_spool/2.tmp.abandoned")) shouldBe true
+      spark.read.parquet(s"$dir/sink").filter(col("metric") === "m2")
+        .count() shouldEqual 1L
+    } finally api.stop()
+  }
+
+  test("spool-mode /__health carries the drain-lag gauge: depth and oldest " +
+       "age move with appends and reset on drain") {
+    val dir = tmp("graft-spoolhealth")
+    val ws = PromApi.WriteSink(s"$dir/sink", s"$dir/index", s"$dir/reject", cfg)
+    val api = new PromApi(spark, spark.range(0).toDF(), writeSink = Some(ws),
+      spoolDrainMs = 3600000L).start()
+    val url = s"http://localhost:${api.boundPort}"
+    def health(): String = {
+      val c = new java.net.URL(s"$url/__health").openConnection()
+        .asInstanceOf[java.net.HttpURLConnection]
+      try new String(c.getInputStream.readAllBytes(), "UTF-8") finally c.disconnect()
+    }
+    try {
+      health() should include(""""spool":{"depth":0""")
+      (0 until 3).foreach { i =>
+        RemoteRead.remoteWriteSeries(Seq(ProtoWire.PSeries(
+          Seq("__name__" -> "m", "i" -> i.toString),
+          Seq(ProtoWire.PSample(i.toDouble, 1000L)))), url)
+      }
+      health() should include(""""spool":{"depth":3""")
+      api.drainSpool() shouldEqual 3
+      health() should include(""""spool":{"depth":0,"oldestAgeMs":0}""")
+    } finally api.stop()
+  }
+
   test("compactExpState publishes a versioned base (no delete-then-rewrite " +
        "window), consumes its delta dirs, and the conversion still seeds") {
     val dir = tmp("graft-expbase")
