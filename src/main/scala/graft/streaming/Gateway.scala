@@ -332,6 +332,61 @@ object Gateway {
     out.result()
   }
 
+  /** Metric-family metadata from one scrape payload: the `# TYPE` /
+    * `# HELP` / `# UNIT` comment lines a Prometheus target exposes (and
+    * [[parsePromText]] consumes for histogram-family routing but never
+    * persisted until r12 — Grafana calls `/api/v1/metadata` on every
+    * dashboard-edit panel). One row per metric family mentioned by any
+    * metadata line; absent fields are null so the upsert can merge
+    * field-wise ([[Ingest.upsertMetricMeta]]). HELP values un-escape the
+    * exposition format's `\\` and `\n`. */
+  def parsePromMeta(payload: String): Seq[(String, String, String, String)] = {
+    def unescape(s: String): String = {
+      val b = new StringBuilder
+      var i = 0
+      while (i < s.length) {
+        if (s.charAt(i) == '\\' && i + 1 < s.length) {
+          s.charAt(i + 1) match {
+            case 'n' => b.append('\n')
+            case c => b.append(c)
+          }
+          i += 2
+        } else { b.append(s.charAt(i)); i += 1 }
+      }
+      b.result()
+    }
+    val typ = collection.mutable.LinkedHashMap.empty[String, String]
+    val help = collection.mutable.Map.empty[String, String]
+    val unit = collection.mutable.Map.empty[String, String]
+    val seen = collection.mutable.LinkedHashSet.empty[String]
+    payload.split("\n", -1).foreach { raw =>
+      val line = raw.trim
+      if (line.startsWith("#")) {
+        val parts = line.split("\\s+", 4)
+        if (parts.length >= 3 && NameRe.unapplySeq(parts(2)).isDefined) {
+          val m = parts(2)
+          parts(1) match {
+            case "TYPE" if parts.length >= 4 => typ(m) = parts(3).trim; seen += m
+            case "HELP" => help(m) = unescape(if (parts.length >= 4) parts(3) else ""); seen += m
+            case "UNIT" => unit(m) = if (parts.length >= 4) parts(3).trim else ""; seen += m
+            case _ =>
+          }
+        }
+      }
+    }
+    seen.toSeq.map(m => (m, typ.getOrElse(m, null), help.getOrElse(m, null),
+      unit.getOrElse(m, null)))
+  }
+
+  /** Metadata rows from a frame of scrape payloads (column `body`):
+    * (metric, type, help, unit), nulls for fields a payload didn't carry. */
+  def promTextMeta(payloads: DataFrame): DataFrame = {
+    import payloads.sparkSession.implicits._
+    payloads.select(col("body").cast("string")).as[String]
+      .flatMap(parsePromMeta(_))
+      .toDF("metric", "type", "help", "unit")
+  }
+
   /** Decode a frame of scrape payloads (column `body`). */
   def promTextDecode(payloads: DataFrame, defaultTsMs: Long): Dataset[Decoded] = {
     import payloads.sparkSession.implicits._

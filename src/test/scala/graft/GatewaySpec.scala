@@ -284,4 +284,26 @@ class GatewaySpec extends AnyFunSuite with Matchers {
       got shouldEqual Set(("weather", TMs, 82.0), ("cpu", 5L, 42.0))
     } finally q.stop()
   }
+
+  test("prom text metadata: TYPE/HELP/UNIT lines extract per family with " +
+       "HELP un-escaping; absent fields stay null for field-wise upsert") {
+    val payload =
+      """# HELP http_requests_total Total requests\n(escaped \\ newline).
+        |# TYPE http_requests_total counter
+        |http_requests_total 5
+        |# TYPE temp gauge
+        |# UNIT temp celsius
+        |# HELP helponly Only help here
+        |# not metadata
+        |# TYPE bad-name! counter
+        |plain_sample 1""".stripMargin
+    val rows = Gateway.parsePromMeta(payload)
+    rows.toSet shouldEqual Set(
+      ("http_requests_total", "counter", "Total requests\n(escaped \\ newline).", null),
+      ("temp", "gauge", null, "celsius"),
+      ("helponly", null, "Only help here", null))
+    // frame form: one row per (payload, family)
+    import spark.implicits._
+    Gateway.promTextMeta(Seq(payload).toDF("body")).count() shouldEqual 3L
+  }
 }

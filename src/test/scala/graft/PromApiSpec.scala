@@ -907,4 +907,85 @@ class PromApiSpec extends AnyFunSuite with Matchers {
       wide should include(""""__name__":"purchase"""")
     } finally api.stop()
   }
+
+  test("query_exemplars round-trips: remote-written exemplars (sync and " +
+       "spool modes) query back filtered by selector and time range") {
+    import graft.http.{ProtoWire, RemoteRead}
+    for (spool <- Seq(false, true)) {
+      val dir = java.nio.file.Files.createTempDirectory(
+        s"graft-exq-$spool").toString
+      val ws = PromApi.WriteSink(s"$dir/sink", s"$dir/index", s"$dir/reject",
+        graft.operators.Quota.QuotaConfig(Seq("metric"), Seq(1000L)),
+        exemplarDir = Some(s"$dir/exemplars"))
+      val api = new PromApi(spark, spark.range(0).toDF(), writeSink = Some(ws),
+        spoolDrainMs = if (spool) 3600000L else 0L).start()
+      val url = s"http://localhost:${api.boundPort}"
+      try {
+        def series(metric: String, job: String, ts: Long, trace: String) =
+          ProtoWire.PSeries(Seq("__name__" -> metric, "job" -> job),
+            Seq(ProtoWire.PSample(1.0, ts)),
+            exemplars = Seq(ProtoWire.PExemplar(
+              Seq("trace_id" -> trace), ts.toDouble, ts)))
+        RemoteRead.remoteWriteSeries(Seq(
+          series("http_latency", "api", 10000L, "tA"),
+          series("http_latency", "api", 20000L, "tB"),
+          series("http_latency", "web", 15000L, "tC"),
+          series("other_metric", "api", 12000L, "tD")), url)
+        if (spool) api.drainSpool() should be > 0
+        def exq(query: String, range: String = "start=0&end=100"): String =
+          get(api.boundPort,
+            s"/api/v1/query_exemplars?query=${java.net.URLEncoder.encode(query, "UTF-8")}&$range")
+        // selector filters by metric + labels; response groups by series
+        val apiOnly = exq("""http_latency{job="api"}""")
+        apiOnly should include(""""trace_id":"tA"""")
+        apiOnly should include(""""trace_id":"tB"""")
+        apiOnly should not include "tC"
+        apiOnly should not include "tD"
+        apiOnly should include(""""seriesLabels":{"__name__":"http_latency","job":"api"}""")
+        apiOnly should include(""""value":"10000","timestamp":10""")
+        // selectors are extracted from an arbitrary surrounding expression
+        exq("""sum(rate(http_latency{job="web"}[1m]))""") should include("tC")
+        // the time range bounds the exemplars, not just the series
+        val windowed = exq("http_latency", "start=12&end=17")
+        windowed should include("tC")
+        windowed should not include "tA"
+        windowed should not include "tB"
+        // no selectors → bad_data error envelope
+        exq("1 + 2") should include(""""status":"error"""")
+      } finally api.stop()
+    }
+  }
+
+  test("metric metadata persists from # TYPE/# HELP/# UNIT lines and serves " +
+       "/api/v1/metadata with metric/limit params, last-write-wins field-wise") {
+    import graft.streaming.{Gateway, Ingest}
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-meta").toString
+    val scrape1 =
+      """# HELP http_requests_total Total requests.
+        |# TYPE http_requests_total counter
+        |http_requests_total{job="a"} 10
+        |# TYPE temp_celsius gauge
+        |# UNIT temp_celsius celsius
+        |temp_celsius 21.5""".stripMargin
+    Ingest.upsertMetricMeta(spark, dir,
+      Gateway.promTextMeta(Seq(scrape1).toDF("body")))
+    // a later TYPE-only scrape must not erase the stored HELP
+    Ingest.upsertMetricMeta(spark, dir, Gateway.promTextMeta(
+      Seq("# TYPE http_requests_total counter").toDF("body")))
+    val samples = TsTables.eventsAsSamples(spark, "/root/testdata/sf0.001")
+    val api = new PromApi(spark, samples, metadataDir = Some(dir)).start()
+    try {
+      val all = get(api.boundPort, "/api/v1/metadata")
+      all should include(
+        """"http_requests_total":[{"type":"counter","help":"Total requests.","unit":""}]""")
+      all should include(
+        """"temp_celsius":[{"type":"gauge","help":"","unit":"celsius"}]""")
+      val one = get(api.boundPort, "/api/v1/metadata?metric=temp_celsius")
+      one should not include "http_requests_total"
+      val limited = get(api.boundPort, "/api/v1/metadata?limit=1")
+      limited should include("http_requests_total")
+      limited should not include "temp_celsius"
+    } finally api.stop()
+  }
 }
