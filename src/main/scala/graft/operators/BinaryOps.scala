@@ -37,6 +37,9 @@ object BinaryOps {
     case "%" =>
       when(r =!= 0, l % r).otherwise(NaNd) // fmod(x, 0) = NaN
     case "^" => pow(l, r)
+    // keyword binop, */-precedence (upstream promql 3): Go math.Atan2 and
+    // Java Math.atan2 share IEEE semantics (NaN operand -> NaN)
+    case "atan2" => atan2(l, r)
     case cmp if ComparisonOps.contains(cmp) =>
       // Comparison truth with legacy (Spark-ordered) NaN handling — only
       // correct when neither operand can be NaN; PromQL paths go through

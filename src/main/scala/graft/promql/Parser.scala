@@ -120,7 +120,7 @@ object Parser {
   // ----- parser -----
 
   val AggOps: Set[String] = Set("sum", "min", "max", "avg", "count", "group", "stddev",
-    "stdvar", "topk", "bottomk", "quantile", "count_values")
+    "stdvar", "topk", "bottomk", "quantile", "count_values", "limitk", "limit_ratio")
 
   /** The closed function set (FiloDB has no UDF surface — PlanEnums.scala
     * is a closed enum; same contract here). Kept in sync with
@@ -267,7 +267,10 @@ object Parser {
     private def parseCompare(): PromExpr =
       binLevel(Seq("==", "!=", ">", "<", ">=", "<="), parseAddSub _)
     private def parseAddSub(): PromExpr = binLevel(Seq("+", "-"), parseMulDiv _)
-    private def parseMulDiv(): PromExpr = binLevel(Seq("*", "/", "%"), parsePow _)
+    // `atan2` is a keyword binary operator at */-precedence (upstream
+    // promql 3); binLevel only matches it at OPERATOR position, so a
+    // metric named atan2 still parses as a selector operand
+    private def parseMulDiv(): PromExpr = binLevel(Seq("*", "/", "%", "atan2"), parsePow _)
     private def parsePow(): PromExpr = {
       val lhs = parseUnary()
       cur match {
@@ -664,7 +667,8 @@ object Parser {
       }
     }
 
-    private val ParamAggs = Set("topk", "bottomk", "quantile", "count_values")
+    private val ParamAggs = Set("topk", "bottomk", "quantile", "count_values",
+      "limitk", "limit_ratio")
 
     private def parseAgg(): PromExpr = {
       val op = advance().asInstanceOf[TId].s.toLowerCase

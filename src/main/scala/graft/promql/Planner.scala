@@ -577,6 +577,36 @@ object PromPlanner {
             .withColumn("__rk", row_number().over(w))
             .filter(col("__rk") <= k.toInt)
           finish(ranked)
+        case "limitk" =>
+          // upstream (promql 3, experimental) keeps an ARBITRARY k series
+          // per group per step; this engine pins the choice to the series
+          // label-hash order so results are deterministic and replayable
+          // (upstream's own tests only assert subset-ness and count).
+          // k <= 0 is an empty vector per upstream.
+          val k = constParam(param).toInt
+          if (k <= 0) finish(withKey(in).filter(lit(false)))
+          else {
+            val w = Window.partitionBy(col("__gk"), col("step_ts"))
+              .orderBy(xxhash64(col("__key")).asc, col("__key").asc)
+            val ranked = withKey(in)
+              .withColumn("__gk", groupKeyExpr(by, without))
+              .withColumn("__rk", row_number().over(w))
+              .filter(col("__rk") <= k)
+            finish(ranked)
+          }
+        case "limit_ratio" =>
+          // deterministic hash split (upstream promql 3): sampleRatio(s) =
+          // hash(labels)/2^64 in [0,1); r >= 0 keeps sampleRatio < r,
+          // r < 0 keeps sampleRatio >= 1+r — so limit_ratio(r, v) and
+          // limit_ratio(r-1, v) partition v exactly (the upstream test
+          // contract). r clamps to [-1, 1] like upstream (with a warning
+          // there; silently here). Hash = the engine's series key hash.
+          val r0 = constParam(param)
+          val r = math.max(-1.0, math.min(1.0, r0))
+          val sr = xxhash64(col("__key")).cast("double") /
+            lit(math.pow(2.0, 64)) + lit(0.5)
+          val cond = if (r >= 0) sr < lit(r) else sr >= lit(1.0 + r)
+          finish(withKey(in).filter(cond))
         case "count_values" =>
           val label = param match {
             case Some(StringLit(s)) => s

@@ -42,8 +42,23 @@ import org.apache.spark.sql.functions._
 object TestCorpus {
 
   case class ExpectedSample(labels: Map[String, String], value: Double)
+
+  /** Upstream native-histogram load literal `{{schema:0 sum:5 count:4
+    * buckets:[1 2 1] offset:1 z_bucket:2 z_bucket_w:0.5}}` — maps to one
+    * exp-histogram storage row (the engine's otel_exp_histogram schema;
+    * the literal's `offset` is the prompb positive-span start, stored as
+    * exp_offset = offset - 1 exactly like the remote-write decode).
+    * Supported fields: schema, sum, count, buckets, offset, z_bucket,
+    * z_bucket_w, counter_reset_hint (parsed, ignored — instant extractors
+    * don't consult it). Repeat suffix `x<n>` and `_` gaps compose as for
+    * scalar values; a series is either all-histogram or all-scalar. */
+  case class HistLit(schema: Int, offset: Int, buckets: Seq[Double],
+                     zBucket: Double, zBucketW: Double,
+                     sum: Double, count: Double)
+
   sealed trait Directive
-  case class Load(stepMs: Long, series: Seq[(Map[String, String], Seq[(Long, Double)])]) extends Directive
+  case class Load(stepMs: Long, series: Seq[(Map[String, String], Seq[(Long, Double)])],
+                  histSeries: Seq[(Map[String, String], Seq[(Long, HistLit)])] = Nil) extends Directive
   case class Eval(atMs: Long, expr: String, expected: Seq[ExpectedSample],
                   ordered: Boolean, expectFail: Boolean, line: Int) extends Directive
   /** `eval range from S to E step T expr` — per-series expected values use
@@ -70,11 +85,14 @@ object TestCorpus {
         val step = Parser.parseDuration(line.stripPrefix("load ").trim)
         i += 1
         val series = Seq.newBuilder[(Map[String, String], Seq[(Long, Double)])]
+        val hists = Seq.newBuilder[(Map[String, String], Seq[(Long, HistLit)])]
         while (i < lines.length && lines(i).startsWith(" ") && !isBlank(lines(i))) {
-          series += parseSeries(lines(i).trim, step)
+          val l = lines(i).trim
+          if (l.contains("{{")) hists += parseHistSeries(l, step)
+          else series += parseSeries(l, step)
           i += 1
         }
-        out += Load(step, series.result())
+        out += Load(step, series.result(), hists.result())
       }
       else if (line.startsWith("eval")) {
         val (ordered, fail, rest) =
@@ -151,6 +169,79 @@ object TestCorpus {
     (labels, samples)
   }
 
+  /** One histogram load line: `metric{labels} {{...}}x3 _ {{...}} ...` —
+    * tokens split on whitespace OUTSIDE braces (a `{{...}}` literal
+    * contains spaces). */
+  private def parseHistSeries(line: String, stepMs: Long)
+      : (Map[String, String], Seq[(Long, HistLit)]) = {
+    val (sel, spec) = splitSelector(line)
+    val labels = selectorLabels(sel)
+    val toks = {
+      val out = Seq.newBuilder[String]
+      val cur = new StringBuilder
+      var depth = 0
+      spec.foreach {
+        case '{' => depth += 1; cur.append('{')
+        case '}' => depth -= 1; cur.append('}')
+        case c if c.isWhitespace && depth == 0 =>
+          if (cur.nonEmpty) { out += cur.result(); cur.clear() }
+        case c => cur.append(c)
+      }
+      if (cur.nonEmpty) out += cur.result()
+      out.result()
+    }
+    val slots: Seq[Option[HistLit]] = toks.flatMap { tok =>
+      if (tok == "_") Seq(None)
+      else {
+        val rep = "^(\\{\\{.*\\}\\})(?:x([0-9]+))?$".r
+        rep.findFirstMatchIn(tok) match {
+          case Some(m) =>
+            val h = parseHistLit(m.group(1))
+            val times = Option(m.group(2)).map(_.toInt).getOrElse(0)
+            Seq.fill(times + 1)(Some(h))
+          case None => throw new IllegalArgumentException(
+            s"histogram series mixes scalar tokens: $tok")
+        }
+      }
+    }
+    (labels, slots.zipWithIndex.collect { case (Some(h), k) => (k.toLong * stepMs, h) })
+  }
+
+  /** `{{schema:0 sum:5 count:4 buckets:[1 2 1] offset:1 ...}}` */
+  private def parseHistLit(tok: String): HistLit = {
+    val body = tok.stripPrefix("{{").stripSuffix("}}").trim
+    var fields = Map.empty[String, String]
+    // split `k:v` fields on whitespace outside [...]
+    val cur = new StringBuilder
+    var depth = 0
+    def flush(): Unit = if (cur.nonEmpty) {
+      val kv = cur.result(); cur.clear()
+      val idx = kv.indexOf(':')
+      if (idx < 0) throw new IllegalArgumentException(s"bad histogram field: $kv")
+      fields += kv.substring(0, idx) -> kv.substring(idx + 1)
+    }
+    body.foreach {
+      case '[' => depth += 1; cur.append('[')
+      case ']' => depth -= 1; cur.append(']')
+      case c if c.isWhitespace && depth == 0 => flush()
+      case c => cur.append(c)
+    }
+    flush()
+    def buckets(s: String): Seq[Double] =
+      s.stripPrefix("[").stripSuffix("]").split("\\s+").filter(_.nonEmpty)
+        .map(_.toDouble).toSeq
+    val bk = fields.get("buckets").map(buckets).getOrElse(Nil)
+    HistLit(
+      schema = fields.get("schema").map(_.toInt).getOrElse(0),
+      offset = fields.get("offset").map(_.toInt).getOrElse(0),
+      buckets = bk,
+      zBucket = fields.get("z_bucket").map(_.toDouble).getOrElse(0.0),
+      zBucketW = fields.get("z_bucket_w").map(_.toDouble).getOrElse(0.0),
+      sum = fields.get("sum").map(num).getOrElse(0.0),
+      count = fields.get("count").map(num).getOrElse(
+        bk.sum + fields.get("z_bucket").map(_.toDouble).getOrElse(0.0)))
+  }
+
   /** One range-eval expected line: `series{labels} v0 v1 _ 0+5x2 ...`,
     * one slot per evaluation step. */
   private def parseSeriesExpected(line: String): (Map[String, String], Seq[Option[Double]]) = {
@@ -218,7 +309,10 @@ object TestCorpus {
 
   // ===== execution =========================================================
 
-  /** Build the canonical samples frame for the loaded series. */
+  /** Build the canonical samples frame for the loaded series. Histogram
+    * series add the engine's exp-histogram storage columns (the planner's
+    * bridgeExpHist converts them to bucket series query-time, exactly as
+    * for remote-written native histograms). */
   private def samplesFrame(spark: SparkSession,
                            loads: Seq[Load]): DataFrame = {
     import spark.implicits._
@@ -228,7 +322,38 @@ object TestCorpus {
         val tags = labels - "__name__"
         samples.map { case (ts, v) => (sid.toLong, metric, tags, ts, v) }
     }
-    rows.toDF("series_id", "metric", "tags", "ts", "value")
+    val plain = rows.toDF("series_id", "metric", "tags", "ts", "value")
+    val histLoads = loads.flatMap(_.histSeries)
+    if (histLoads.isEmpty) plain
+    else {
+      val base = rows.size
+      val hrows = histLoads.zipWithIndex.flatMap {
+        case ((labels, samples), i) =>
+          val metric = labels.getOrElse("__name__", null)
+          val tags = labels - "__name__"
+          samples.map { case (ts, h) =>
+            // literal `offset` is the prompb positive-span start; exp
+            // storage bucket j covers (base^j, base^(j+1)] — shift by one
+            // like the remote-write decode (PromApi commitWriteRequest)
+            (base.toLong + i, metric, tags, ts, null.asInstanceOf[java.lang.Double],
+              h.schema, h.offset - 1, h.buckets, h.zBucket, h.zBucketW, h.sum,
+              "otel_exp_histogram")
+          }
+      }
+      val hist = hrows.toDF("series_id", "metric", "tags", "ts", "value",
+          "exp_scale", "exp_offset", "exp_counts", "exp_zero_count",
+          "exp_zero_threshold", "exp_sum", "series_type")
+        .withColumn("value", col("value").cast("double"))
+      val padded = plain
+        .withColumn("exp_scale", lit(null).cast("int"))
+        .withColumn("exp_offset", lit(null).cast("int"))
+        .withColumn("exp_counts", lit(null).cast("array<double>"))
+        .withColumn("exp_zero_count", lit(null).cast("double"))
+        .withColumn("exp_zero_threshold", lit(null).cast("double"))
+        .withColumn("exp_sum", lit(null).cast("double"))
+        .withColumn("series_type", lit(null).cast("string"))
+      padded.unionByName(hist.select(padded.columns.map(col): _*))
+    }
   }
 
   private def relEq(a: Double, b: Double): Boolean =

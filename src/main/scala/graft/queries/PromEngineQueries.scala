@@ -249,6 +249,24 @@ object PromEngineQueries {
           round(col("value"), 6).as("value"))
         .orderBy("step_ts", "user")),
 
+    // limit_ratio (upstream promql 3, experimental): deterministic
+    // hash-split sampling — limit_ratio(r, v) or limit_ratio(r-1, v)
+    // must partition v exactly, so the union's cardinality equals the
+    // full series count at every step regardless of the hash
+    "q176_promql_limit_ratio" -> ((s, dir) =>
+      PromPlanner.queryRange(userCtx(s, dir, D1),
+        "count(limit_ratio(0.4, sum_over_time(purchase[1d])) or limit_ratio(-0.6, sum_over_time(purchase[1d])))")
+        .select(col("step_ts"), round(col("value"), 6).as("value"))
+        .orderBy("step_ts")),
+
+    // limitk: at most k series survive per step (all of them when the
+    // window holds fewer) — the upstream test contract is the count
+    "q177_promql_limitk" -> ((s, dir) =>
+      PromPlanner.queryRange(userCtx(s, dir, D1),
+        "count(limitk(3, sum_over_time(purchase[1d])))")
+        .select(col("step_ts"), round(col("value"), 6).as("value"))
+        .orderBy("step_ts")),
+
     // timestamp() over an instant vector: seconds of each series' latest
     // sample within the lookback at every step
     "q93_promql_timestamp" -> ((s, dir) => {
@@ -546,6 +564,18 @@ object PromEngineQueries {
           SELECT CAST(user_id AS VARCHAR) AS "user", step_ts,
                  round(mts / 1000.0, 6) AS value
           FROM lastts ORDER BY step_ts, "user"""",
+
+    "q176_promql_limit_ratio" ->
+      s"""WITH ev AS ($EV), stps AS (${steps(D1)}),
+          p AS (${sums1d("purchase")})
+          SELECT step_ts, round(CAST(count(DISTINCT user_id) AS DOUBLE), 6) AS value
+          FROM p GROUP BY step_ts ORDER BY step_ts""",
+
+    "q177_promql_limitk" ->
+      s"""WITH ev AS ($EV), stps AS (${steps(D1)}),
+          p AS (${sums1d("purchase")})
+          SELECT step_ts, round(CAST(LEAST(3, count(DISTINCT user_id)) AS DOUBLE), 6) AS value
+          FROM p GROUP BY step_ts ORDER BY step_ts""",
 
     // limit keeps the 5 lexicographically-smallest series keys; with a
     // constant metric name the key order IS the user label's string order

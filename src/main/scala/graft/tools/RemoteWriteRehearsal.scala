@@ -8,9 +8,10 @@ import graft.operators.Quota
 
 /** Remote-write SERVICE-PATH scale rehearsal (closes the round-9 judge's
   * scale-weak finding measurement gap): POST latency vs STANDING SERIES
-  * INDEX size.
+  * INDEX size, in BOTH write modes.
   *
-  * For each index size N: seed a series index with N distinct series in
+  * SYNC mode (`runMain graft.tools.RemoteWriteRehearsal [sizes...]`):
+  * for each index size N: seed a series index with N distinct series in
   * one canonical batch, compact the high-water-mark base (`_hwm`), start
   * the HTTP server, then drive K remote-write POSTs of `seriesPerPost`
   * existing series each (advancing timestamps — the steady scrape shape)
@@ -18,6 +19,14 @@ import graft.operators.Quota
   * measured contract that [[Ingest.seriesHwm]]'s compacted base keeps
   * per-POST cost independent of index size; the pre-r10 per-POST full
   * index fold grew with N.
+  *
+  * SPOOL mode (`runMain graft.tools.RemoteWriteRehearsal spool [sizes...]`):
+  * same standing index, but the server runs group-commit (ack on durable
+  * spool append, micro-batch drain through the commit chain). C concurrent
+  * senders push P POSTs each; the ladder reports SUSTAINED ACKED POSTS/S
+  * (the r10 "done" bar: >= 50/s at the 500k index, vs the ~0.5/s
+  * synchronous ceiling), the drain-to-empty latency after the burst, and
+  * an exactly-once row-count check against the sink.
   */
 object RemoteWriteRehearsal {
 
@@ -25,29 +34,40 @@ object RemoteWriteRehearsal {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.builder(s"local[$cpus]", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val sizes = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(5000, 50000, 500000)
+    val spool = args.headOption.contains("spool")
+    val sizeArgs = (if (spool) args.toSeq.drop(1) else args.toSeq).map(_.toInt)
+    val sizes = if (sizeArgs.nonEmpty) sizeArgs.toSeq else Seq(5000, 50000, 500000)
+    if (spool) spoolLadder(spark, sizes) else syncLadder(spark, sizes)
+    spark.stop()
+  }
+
+  private val cfg = Quota.QuotaConfig(Seq("metric"), Seq(10000000L))
+
+  /** Seed a standing index of n series + compacted hwm base; returns the
+    * (sink, index, reject) triple and the seeding seconds. */
+  private def seed(spark: org.apache.spark.sql.SparkSession, n: Int)
+      : (String, String, String, Double) = {
+    val dir = java.nio.file.Files.createTempDirectory(s"graft-rw-$n").toString
+    val (sink, index, reject) = (s"$dir/sink", s"$dir/index", s"$dir/reject")
+    val t0 = System.nanoTime()
+    val canonical = spark.range(n.toLong)
+      .select(lit("seed_metric").as("metric"),
+        map(lit("i"), col("id").cast("string")).as("tags"),
+        lit(1000L).as("ts"), col("id").cast("double").as("value"))
+      .withColumn("series_id", Ingest.canonicalSeriesId(col("metric"), col("tags")))
+    Ingest.processCanonicalBatch(canonical, 0L, sink, index, reject, cfg)
+    Ingest.compactHwm(spark, index)
+    (sink, index, reject, (System.nanoTime() - t0) / 1e9)
+  }
+
+  private def syncLadder(spark: org.apache.spark.sql.SparkSession,
+                         sizes: Seq[Int]): Unit = {
     val posts = 12
     val seriesPerPost = 100
-    val cfg = Quota.QuotaConfig(Seq("metric"), Seq(10000000L))
-
     println(f"${"index series"}%14s ${"seed(s)"}%8s ${"post min"}%9s ${"median"}%7s " +
       f"${"max"}%7s ${"compactHwm(s)"}%14s ${"post-compact med"}%17s")
-
     for (n <- sizes) {
-      val dir = java.nio.file.Files.createTempDirectory(s"graft-rw-$n").toString
-      val (sink, index, reject) = (s"$dir/sink", s"$dir/index", s"$dir/reject")
-
-      // seed: N distinct series, one sample each, in one canonical batch
-      val t0 = System.nanoTime()
-      val canonical = spark.range(n.toLong)
-        .select(lit("seed_metric").as("metric"),
-          map(lit("i"), col("id").cast("string")).as("tags"),
-          lit(1000L).as("ts"), col("id").cast("double").as("value"))
-        .withColumn("series_id", Ingest.canonicalSeriesId(col("metric"), col("tags")))
-      Ingest.processCanonicalBatch(canonical, 0L, sink, index, reject, cfg)
-      Ingest.compactHwm(spark, index)
-      val seedSec = (System.nanoTime() - t0) / 1e9
-
+      val (sink, index, reject, seedSec) = seed(spark, n)
       val ws = PromApi.WriteSink(sink, index, reject, cfg)
       val api = new PromApi(spark, spark.range(0).toDF(), writeSink = Some(ws),
         httpThreads = 8).start()
@@ -73,6 +93,67 @@ object RemoteWriteRehearsal {
           f"${lat.last}%7.2f $compactSec%14.2f ${lat2(lat2.size / 2)}%17.2f")
       } finally api.stop()
     }
-    spark.stop()
+  }
+
+  /** Group-commit throughput ladder: C senders x P POSTs of
+    * `seriesPerPost` series each, acked-POSTs/s measured over the whole
+    * burst, then the drain-to-empty latency and an exactly-once check. */
+  private def spoolLadder(spark: org.apache.spark.sql.SparkSession,
+                          sizes: Seq[Int]): Unit = {
+    val senders = 8
+    val postsPerSender = 25
+    val seriesPerPost = 100
+    println(f"${"index series"}%14s ${"seed(s)"}%8s ${"acked POSTs/s"}%14s " +
+      f"${"ack p50(ms)"}%12s ${"ack max(ms)"}%12s ${"drain(s)"}%9s ${"exactly-once"}%13s")
+    for (n <- sizes) {
+      val (sink, index, reject, seedSec) = seed(spark, n)
+      val ws = PromApi.WriteSink(sink, index, reject, cfg)
+      // cadence longer than the burst: the drain is timed separately so
+      // the POSTs/s number is the pure ack path (spool append + hsync)
+      val api = new PromApi(spark, spark.range(0).toDF(), writeSink = Some(ws),
+        httpThreads = senders * 2, maxInFlightWrites = senders * 2,
+        spoolDrainMs = 3600000L).start()
+      val url = s"http://localhost:${api.boundPort}"
+      try {
+        val ackNanos = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(senders)
+        val t0 = System.nanoTime()
+        try {
+          val futs = (0 until senders).map { s =>
+            pool.submit(new Runnable {
+              def run(): Unit = (1 to postsPerSender).foreach { p =>
+                val series = (0 until seriesPerPost).map { i =>
+                  ProtoWire.PSeries(
+                    Seq("__name__" -> "seed_metric",
+                      "i" -> (s * seriesPerPost + i).toString),
+                    Seq(ProtoWire.PSample(p.toDouble, 1000L + p * 15000L)))
+                }
+                val ta = System.nanoTime()
+                RemoteRead.remoteWriteSeries(series, url)
+                ackNanos.add(System.nanoTime() - ta)
+              }
+            })
+          }
+          futs.foreach(_.get())
+        } finally pool.shutdown()
+        val burstSec = (System.nanoTime() - t0) / 1e9
+        val nPosts = senders * postsPerSender
+        val rate = nPosts / burstSec
+        val lats = {
+          import scala.jdk.CollectionConverters._
+          ackNanos.asScala.toSeq.map(_.toDouble / 1e6).sorted
+        }
+        val tD = System.nanoTime()
+        api.drainSpool()
+        val drainSec = (System.nanoTime() - tD) / 1e9
+        // exactly-once: every sender's series advanced postsPerSender
+        // steps; distinct (series, ts) rows past the seed = senders *
+        // seriesPerPost * postsPerSender
+        val expected = senders.toLong * seriesPerPost * postsPerSender
+        val got = spark.read.parquet(sink).filter(col("ts") > 1000L).count()
+        println(f"$n%14d $seedSec%8.2f $rate%14.1f ${lats(lats.length / 2)}%12.1f " +
+          f"${lats.last}%12.1f $drainSec%9.2f ${if (got == expected) "OK" else s"$got!=$expected"}%13s")
+      } finally api.stop()
+    }
   }
 }

@@ -19,7 +19,7 @@ class UpstreamCorpusSpec extends AnyFunSuite with Matchers {
 
   lazy val spark: SparkSession = GraftSession.builder("local[4]", "4").getOrCreate()
 
-  test("the upstream-format corpus runs green (200+ eval assertions)") {
+  test("the upstream-format corpus runs green (450+ eval assertions)") {
     val text = scala.io.Source.fromInputStream(
       getClass.getResourceAsStream("/promql/upstream_corpus.test"), "UTF-8").mkString
     val directives = TestCorpus.parse(text)
@@ -27,6 +27,6 @@ class UpstreamCorpusSpec extends AnyFunSuite with Matchers {
     withClue(outcome.failures.take(20).mkString("\n---\n", "\n---\n", "\n")) {
       outcome.failures shouldBe empty
     }
-    outcome.evalsRun should be >= 200
+    outcome.evalsRun should be >= 450
   }
 }
