@@ -174,6 +174,11 @@ object Bench {
     // survives the driver's 2000-char tail, one intact copy is in it
     println(line)
     System.out.flush()
+    // hard exit: HTTP-round-trip fixtures (q178/q179) keep a JDK
+    // HttpServer running for the session; its non-daemon dispatcher
+    // thread would otherwise park the forked JVM after main returns and
+    // the driver would kill the run without its JSON line
+    sys.exit(0)
   }
 
   /** The driver-parsed line: all scenario entries + headline suite subset,

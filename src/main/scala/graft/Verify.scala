@@ -38,5 +38,10 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // hard exit: HTTP-round-trip fixtures (q178/q179) keep a JDK
+    // HttpServer running for the session, and its dispatcher thread is
+    // non-daemon — without an explicit exit the forked JVM parks in
+    // DestroyJavaVM forever and the driver's timeout eats the round
+    sys.exit(0)
   }
 }

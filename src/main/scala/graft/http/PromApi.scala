@@ -185,9 +185,14 @@ class PromApi(spark: SparkSession, samples: DataFrame, port: Int = 0,
       }
     }
     try { out.write(body); out.hsync() } finally out.close()
-    fs.rename(new org.apache.hadoop.fs.Path(s"${ws.sinkDir}/_spool/$id.tmp"),
-      new org.apache.hadoop.fs.Path(s"${ws.sinkDir}/_spool/$id.wr"))
-    ()
+    // the 204 is only valid if the publish rename lands: a writer stalled
+    // past spoolTmpAbandonMs has had its .tmp quarantined by the drainer,
+    // and acking after a failed rename would silently drop the request —
+    // fail instead (500), which remote-write senders retry
+    if (!fs.rename(new org.apache.hadoop.fs.Path(s"${ws.sinkDir}/_spool/$id.tmp"),
+        new org.apache.hadoop.fs.Path(s"${ws.sinkDir}/_spool/$id.wr")))
+      throw new java.io.IOException(
+        s"spool publish of id $id lost its claim (writer stalled past the abandonment threshold?)")
   }
 
   /** Drain the spool through the commit chain in bounded micro-batches

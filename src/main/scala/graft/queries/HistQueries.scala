@@ -271,6 +271,47 @@ object HistQueries {
         .orderBy("step_ts")
     }),
 
+    // Exemplar QUERY surface end-to-end: exemplars ride a remote-write
+    // POST into the content-dedup'd side table (a sender-retry replay
+    // must append nothing), then /api/v1/query_exemplars answers a
+    // selector + time range with the Prometheus response shape — parsed
+    // back to rows and checked against DuckDB recomputing the same
+    // deterministic sample of purchase events.
+    "q178_exemplar_query" -> ((s, dir) => {
+      import s.implicits._
+      val port = exemplarFixture(s, dir)
+      val url = s"http://localhost:$port/api/v1/query_exemplars?" +
+        s"query=purchase&start=${S / 1000}&end=${(S + 10 * D1) / 1000}"
+      val c = new java.net.URI(url).toURL.openConnection()
+        .asInstanceOf[java.net.HttpURLConnection]
+      val body = try new String(c.getInputStream.readAllBytes(), "UTF-8")
+        finally c.disconnect()
+      val rx = ("""\{"labels":\{"trace_id":"([^"]+)"\},""" +
+        """"value":"([^"]+)","timestamp":([0-9.]+)\}""").r
+      val rows = rx.findAllMatchIn(body).map { m =>
+        (m.group(1), math.round(m.group(3).toDouble * 1000),
+          BigDecimal(m.group(2).toDouble).setScale(6,
+            BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }.toSeq
+      rows.toDF("trace_id", "ts_ms", "value").orderBy("trace_id")
+    }),
+
+    // Metric metadata end-to-end: # TYPE/# HELP exposition lines parsed by
+    // the gateway, persisted last-write-wins (versioned crash-atomic
+    // store), served by /api/v1/metadata — parsed back and checked
+    // against DuckDB deriving the same per-event-type rows.
+    "q179_metric_metadata" -> ((s, dir) => {
+      import s.implicits._
+      val port = metadataFixture(s, dir)
+      val c = new java.net.URI(s"http://localhost:$port/api/v1/metadata")
+        .toURL.openConnection().asInstanceOf[java.net.HttpURLConnection]
+      val body = try new String(c.getInputStream.readAllBytes(), "UTF-8")
+        finally c.disconnect()
+      val rx = """"([^"]+)":\[\{"type":"([^"]*)","help":"([^"]*)","unit":"([^"]*)"\}\]""".r
+      rx.findAllMatchIn(body).map(m => (m.group(1), m.group(2), m.group(3)))
+        .toSeq.toDF("metric", "mtype", "help").orderBy("metric")
+    }),
+
     // histogram_avg over remote-written NATIVE histograms: the wire's
     // cumulative `sum` field is stored (exp_sum) and delta-converted
     // alongside the buckets, so per-interval mean observation is
@@ -324,6 +365,20 @@ object HistQueries {
   )
 
   def oracles: Map[String, String] = Map(
+
+    "q178_exemplar_query" ->
+      s"""SELECT CAST(event_id AS VARCHAR) AS trace_id,
+                 epoch_ns(ts)//1000000 AS ts_ms,
+                 round(value, 6) AS value
+          FROM events
+          WHERE event_type = 'purchase' AND event_id % 7 = 0
+            AND epoch_ns(ts)//1000000 BETWEEN $S AND ${S + 10 * D1}
+          ORDER BY trace_id""",
+
+    "q179_metric_metadata" ->
+      s"""SELECT DISTINCT event_type AS metric, 'counter' AS mtype,
+                 'Series for ' || event_type || '.' AS help
+          FROM events ORDER BY metric""",
 
     "q70_hist_quantile" ->
       s"""WITH ev AS ($EV), b AS ($BUCKETS)
@@ -686,6 +741,72 @@ object HistQueries {
     * time the QUERY, not a server re-seed (was 8.7 s/entry). */
   private val nhSinkCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** q178's exemplar fixture: a PromApi with an exemplar-carrying write
+    * sink, exemplars for a deterministic ~1% sample of purchase events
+    * POSTed once (plus a sender-retry replay the content-dedup must
+    * no-op), server kept running for the session; returns the port. */
+  private val exemplarPortCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+
+  private def exemplarFixture(s: org.apache.spark.sql.SparkSession,
+                              dir: String): Int =
+    exemplarPortCache.computeIfAbsent(dir, _ => {
+      import graft.http.{ProtoWire, PromApi, RemoteRead}
+      val base = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"), "q178_ex").toString
+      new org.apache.hadoop.fs.Path(base).getFileSystem(
+        s.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(base), true)
+      val exs = TsTables.events(s, dir)
+        .filter(col("event_type") === "purchase" && col("event_id") % 7 === 0)
+        .select(col("event_id").cast("string"), col("ts_ms"), col("value"))
+        .collect()
+        .map(r => ProtoWire.PExemplar(
+          Seq("trace_id" -> r.getString(0)), r.getDouble(2), r.getLong(1)))
+        .sortBy(_.ts).toSeq
+      val ws = PromApi.WriteSink(s"$base/sink", s"$base/index", s"$base/reject",
+        graft.operators.Quota.QuotaConfig(Seq("metric"), Seq(1000000L)),
+        exemplarDir = Some(s"$base/exemplars"))
+      val api = new PromApi(s, s.range(0).toDF(), writeSink = Some(ws)).start()
+      val url = s"http://localhost:${api.boundPort}"
+      val series = Seq(ProtoWire.PSeries(
+        Seq("__name__" -> "purchase"), Nil, exemplars = exs))
+      RemoteRead.remoteWriteSeries(series, url)
+      RemoteRead.remoteWriteSeries(series, url) // retry replay: must no-op
+      Integer.valueOf(api.boundPort)
+    }).intValue()
+
+  /** q179's metadata fixture: TYPE+HELP exposition lines per event type
+    * upserted through the gateway parser, then a TYPE-only re-upsert
+    * (the field-wise merge must keep the stored HELP); serves
+    * /api/v1/metadata for the session; returns the port. */
+  private val metadataPortCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+
+  private def metadataFixture(s: org.apache.spark.sql.SparkSession,
+                              dir: String): Int =
+    metadataPortCache.computeIfAbsent(dir, _ => {
+      import graft.http.PromApi
+      import s.implicits._
+      val base = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"), "q179_meta").toString
+      new org.apache.hadoop.fs.Path(base).getFileSystem(
+        s.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(base), true)
+      val types = TsTables.events(s, dir)
+        .select(col("event_type")).distinct().collect()
+        .map(_.getString(0)).sorted.toSeq
+      val payload = types.map(t =>
+        s"# TYPE $t counter\n# HELP $t Series for $t.").mkString("\n")
+      graft.streaming.Ingest.upsertMetricMeta(s, base,
+        graft.streaming.Gateway.promTextMeta(Seq(payload).toDF("body")))
+      val typeOnly = types.map(t => s"# TYPE $t counter").mkString("\n")
+      graft.streaming.Ingest.upsertMetricMeta(s, base,
+        graft.streaming.Gateway.promTextMeta(Seq(typeOnly).toDF("body")))
+      val api = new PromApi(s, s.range(0).toDF(), metadataDir = Some(base)).start()
+      Integer.valueOf(api.boundPort)
+    }).intValue()
 
   /** q172's remote-write fixture, built ONCE per (session, sfDir) like the
     * q174/q175 one: cumulative daily native histograms (no sum field)

@@ -22,5 +22,6 @@ object CheckOne {
       case None => println(s"[check-one] no oracle for $name (rows-only query)")
     }
     spark.stop()
+    sys.exit(0) // fixture HTTP servers hold non-daemon threads (see Verify)
   }
 }
