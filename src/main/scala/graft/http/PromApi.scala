@@ -157,16 +157,20 @@ class PromApi(spark: SparkSession, samples: DataFrame, port: Int = 0,
   /** Durably append one decoded-valid WriteRequest body to the spool:
     * exclusive-create the tmp (claims the id), write + hsync, rename.
     * Returns only once the bytes are down — the 204 is a durability ack.
-    * Only a genuine id COLLISION (the exclusive create lost because the id
-    * is already claimed as `.tmp` or `.wr`) retries with a fresh id; any
-    * other IOException (disk full, permissions, a dying filesystem)
-    * propagates so the handler answers 500 and the sender backs off —
-    * retrying those here would spin the POST handler forever while
-    * burning spool ids (r11 advisor finding). */
-  private def spoolAppend(ws: PromApi.WriteSink, body: Array[Byte]): Unit = {
+    * v2 (io.prometheus.write.v2.Request) bodies publish as `.wr2` so the
+    * drain decodes each file with its own wire version (and keeps v2's
+    * inline metadata). Only a genuine id COLLISION (the exclusive create
+    * lost because the id is already claimed as `.tmp`, `.wr` or `.wr2`)
+    * retries with a fresh id; any other IOException (disk full,
+    * permissions, a dying filesystem) propagates so the handler answers
+    * 500 and the sender backs off — retrying those here would spin the
+    * POST handler forever while burning spool ids (r11 advisor finding). */
+  private def spoolAppend(ws: PromApi.WriteSink, body: Array[Byte],
+                          v2: Boolean): Unit = {
     val fs = new org.apache.hadoop.fs.Path(ws.sinkDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(new org.apache.hadoop.fs.Path(s"${ws.sinkDir}/_spool"))
+    val ext = if (v2) "wr2" else "wr"
     var id = spoolSeq.getAndIncrement()
     var out: org.apache.hadoop.fs.FSDataOutputStream = null
     while (out == null) {
@@ -178,8 +182,9 @@ class PromApi(spark: SparkSession, samples: DataFrame, port: Int = 0,
         case e: java.io.IOException =>
           // some FS impls throw plain IOException on exists-collision —
           // verify before deciding it was a collision
-          if (fs.exists(tmp) || fs.exists(
-              new org.apache.hadoop.fs.Path(s"${ws.sinkDir}/_spool/$id.wr")))
+          if (fs.exists(tmp) ||
+              fs.exists(new org.apache.hadoop.fs.Path(s"${ws.sinkDir}/_spool/$id.wr")) ||
+              fs.exists(new org.apache.hadoop.fs.Path(s"${ws.sinkDir}/_spool/$id.wr2")))
             id = spoolSeq.getAndIncrement()
           else throw e
       }
@@ -190,7 +195,7 @@ class PromApi(spark: SparkSession, samples: DataFrame, port: Int = 0,
     // and acking after a failed rename would silently drop the request —
     // fail instead (500), which remote-write senders retry
     if (!fs.rename(new org.apache.hadoop.fs.Path(s"${ws.sinkDir}/_spool/$id.tmp"),
-        new org.apache.hadoop.fs.Path(s"${ws.sinkDir}/_spool/$id.wr")))
+        new org.apache.hadoop.fs.Path(s"${ws.sinkDir}/_spool/$id.$ext")))
       throw new java.io.IOException(
         s"spool publish of id $id lost its claim (writer stalled past the abandonment threshold?)")
   }
@@ -255,9 +260,11 @@ class PromApi(spark: SparkSession, samples: DataFrame, port: Int = 0,
         val drainableBelow =
           if (pendingIds.isEmpty) Long.MaxValue else pendingIds.min
         val completed = listing.collect {
-          case st if st.getPath.getName.endsWith(".wr") => (st.getPath, st.getLen)
+          case st if st.getPath.getName.endsWith(".wr") ||
+                     st.getPath.getName.endsWith(".wr2") => (st.getPath, st.getLen)
         }.flatMap { case (p, len) =>
-          p.getName.stripSuffix(".wr").toLongOption.map(id => (id, p, len))
+          p.getName.split('.').headOption.flatMap(_.toLongOption)
+            .map(id => (id, p, len))
         }.filter(_._1 < drainableBelow).sortBy(_._1)
         // capped prefix: at least one file, then stop at either cap
         val files = {
@@ -274,13 +281,20 @@ class PromApi(spark: SparkSession, samples: DataFrame, port: Int = 0,
         }
         if (files.isEmpty) 0
         else {
+          val metas = Seq.newBuilder[ProtoWire.PMetaV2]
           val series = files.flatMap { case (_, p) =>
             val in = fs.open(p)
             val body = try in.readAllBytes() finally in.close()
             // a corrupt spool file (torn write that still got renamed —
             // cannot happen under the tmp+rename protocol, but disks lie):
             // quarantine it rather than wedging the drain loop forever
-            scala.util.Try(ProtoWire.decodeWriteRequest(body)) match {
+            scala.util.Try {
+              if (p.getName.endsWith(".wr2")) {
+                val (s, m) = ProtoWire.decodeWriteRequestV2(body)
+                metas ++= m
+                s
+              } else ProtoWire.decodeWriteRequest(body)
+            } match {
               case scala.util.Success(s) => s
               case scala.util.Failure(_) =>
                 fs.rename(p, new org.apache.hadoop.fs.Path(s"${p.toString}.bad"))
@@ -308,6 +322,7 @@ class PromApi(spark: SparkSession, samples: DataFrame, port: Int = 0,
             }
             appendExemplars(ws, series, batchId)
           } else commitWriteRequest(ws, series, batchId)
+          upsertMetas(metas.result()) // idempotent; once per micro-batch
           files.foreach { case (_, p) => fs.delete(p, false) }
           files.length
         }
@@ -597,7 +612,8 @@ class PromApi(spark: SparkSession, samples: DataFrame, port: Int = 0,
       val sp = new org.apache.hadoop.fs.Path(s"${ws.sinkDir}/_spool")
       val wr =
         if (!fs.exists(sp)) Array.empty[org.apache.hadoop.fs.FileStatus]
-        else fs.listStatus(sp).filter(_.getPath.getName.endsWith(".wr"))
+        else fs.listStatus(sp).filter(st =>
+          st.getPath.getName.endsWith(".wr") || st.getPath.getName.endsWith(".wr2"))
       val oldest =
         if (wr.isEmpty) 0L
         else math.max(0L, System.currentTimeMillis() - wr.map(_.getModificationTime).min)
@@ -669,18 +685,26 @@ class PromApi(spark: SparkSession, samples: DataFrame, port: Int = 0,
           s"""{"status":"error","errorType":"unavailable","error":"too many in-flight writes"}""")
       } else try {
         val ws = writeSink.get
+        // remote-write 2.0 negotiation (Prometheus v3): the sender labels
+        // the payload via Content-Type `application/x-protobuf;
+        // proto=io.prometheus.write.v2.Request`; absent/other = v1
+        val isV2 = Option(ex.getRequestHeaders.getFirst("Content-Type"))
+          .exists(_.contains("io.prometheus.write.v2.Request"))
         // DECODE phase (parallel across POSTs): a malformed payload is the
         // client's fault — 400, which senders treat as non-retryable
         val decoded =
           try Right {
             val body = org.xerial.snappy.Snappy.uncompress(ex.getRequestBody.readAllBytes())
-            (body, ProtoWire.decodeWriteRequest(body))
+            if (isV2) {
+              val (series, metas) = ProtoWire.decodeWriteRequestV2(body)
+              (body, series, metas)
+            } else (body, ProtoWire.decodeWriteRequest(body), Nil)
           } catch { case e: Exception => Left(e) }
         decoded match {
           case Left(e) =>
             respondJson(ex, 400,
               s"""{"status":"error","errorType":"bad_data","error":${js(e.getMessage)}}""")
-          case Right((body, series)) =>
+          case Right((body, series, metas)) =>
             // a failure past decode is OURS — 500, so a well-behaved
             // sender RETRIES instead of silently dropping data (round-9
             // advisor finding)
@@ -688,15 +712,29 @@ class PromApi(spark: SparkSession, samples: DataFrame, port: Int = 0,
               if (spoolDrainMs > 0) {
                 // GROUP-COMMIT mode: ack on durable spool append; the
                 // drainer folds spooled requests through the commit chain
-                // in micro-batches (see the spool section above)
-                spoolAppend(ws, body)
+                // in micro-batches (see the spool section above) and
+                // applies v2 inline metadata at drain time
+                spoolAppend(ws, body, isV2)
               } else {
                 // SYNCHRONOUS mode: full commit inside the handler,
                 // serialized — admission must observe the previous
                 // batch's index delta
                 commitLock.synchronized {
                   commitWriteRequest(ws, series, claimBatchId(ws))
+                  upsertMetas(metas)
                 }
+              }
+              if (isV2) {
+                // RW2 response stats (the spec's 2xx contract): counts of
+                // the accepted payload — in spool mode the commit is
+                // deferred, so these are accepted-for-write counts
+                val h = ex.getResponseHeaders
+                h.add("X-Prometheus-Remote-Write-Samples-Written",
+                  series.iterator.map(_.samples.size).sum.toString)
+                h.add("X-Prometheus-Remote-Write-Histograms-Written",
+                  series.iterator.map(_.histograms.size).sum.toString)
+                h.add("X-Prometheus-Remote-Write-Exemplars-Written",
+                  series.iterator.map(_.exemplars.size).sum.toString)
               }
               ex.sendResponseHeaders(204, -1)
             } catch {
@@ -708,6 +746,20 @@ class PromApi(spark: SparkSession, samples: DataFrame, port: Int = 0,
       } finally writePermits.release()
     } finally ex.close()
   }
+
+  /** Persist v2 inline metadata (type/help/unit per metric family) into
+    * the metadata store when one is configured; idempotent last-write-wins
+    * merge, so crash-repair and drain retries may re-apply freely. */
+  private def upsertMetas(metas: Seq[ProtoWire.PMetaV2]): Unit =
+    metadataDir.foreach { dir =>
+      if (metas.nonEmpty) {
+        import spark.implicits._
+        graft.streaming.Ingest.upsertMetricMeta(spark, dir,
+          metas.distinct.map(m => (m.metric,
+            if (m.typ == "unknown") null else m.typ, m.help, m.unit))
+            .toDF("metric", "type", "help", "unit"))
+      }
+    }
 
   /** Decoded WriteRequest series → canonical rows (+ native-histogram
     * payload columns when present) → [[graft.streaming.Ingest

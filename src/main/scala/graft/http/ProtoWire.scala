@@ -78,6 +78,13 @@ object ProtoWire {
         vs.foreach(v => w.varint((v << 1) ^ (v >> 63)))
         bytes(field, w.toBytes)
       }
+    /** repeated uint32/uint64, packed (v2 labels_refs). */
+    def packedVarint(field: Int, vs: Seq[Long]): Unit =
+      if (vs.nonEmpty) {
+        val w = new Writer
+        vs.foreach(w.varint)
+        bytes(field, w.toBytes)
+      }
     /** repeated double, packed. */
     def packedDoubles(field: Int, vs: Seq[Double]): Unit =
       if (vs.nonEmpty) {
@@ -491,6 +498,152 @@ object ProtoWire {
       case (_, wt) => r.skip(wt)
     }
     series.result()
+  }
+
+  // ===== remote-write 2.0 (io.prometheus.write.v2.Request) ==================
+  //
+  // The Prometheus v3 remote-write wire (public spec + types.proto):
+  //   Request    { repeated string symbols = 4; repeated TimeSeries timeseries = 5; }
+  //   TimeSeries { repeated uint32 labels_refs = 1 [packed];
+  //                repeated Sample samples = 2; repeated Histogram histograms = 3;
+  //                repeated Exemplar exemplars = 4; Metadata metadata = 5;
+  //                int64 created_timestamp = 6; }
+  //   Sample     { double value = 1; int64 timestamp = 2; }
+  //   Exemplar   { repeated uint32 labels_refs = 1 [packed];
+  //                double value = 2; int64 timestamp = 3; }
+  //   Metadata   { MetricType type = 1; uint32 help_ref = 3; uint32 unit_ref = 4; }
+  // All label strings are interned in the request-level symbol table
+  // (symbols[0] is the empty string by contract); Histogram is the SAME
+  // message layout as v1, so the v1 reader applies verbatim.
+
+  /** v2 per-series metadata (the wire's replacement for the v1
+    * MetricMetadata side channel): metric family + type/help/unit. */
+  case class PMetaV2(metric: String, typ: String, help: String, unit: String)
+
+  private val V2MetricTypes = Array("unknown", "counter", "gauge", "histogram",
+    "gaugehistogram", "summary", "info", "stateset", "unknown")
+
+  def decodeWriteRequestV2(b: Array[Byte]): (Seq[PSeries], Seq[PMetaV2]) = {
+    val r = new Reader(b, 0, b.length)
+    val symbols = Seq.newBuilder[String]
+    val tsReaders = Seq.newBuilder[Reader]
+    // fields may arrive in any order — defer series resolution until the
+    // symbol table is complete (Reader slices are independent)
+    while (r.hasNext) r.readKey() match {
+      case (4, 2) => symbols += r.readString()
+      case (5, 2) => tsReaders += r.readMessage()
+      case (_, wt) => r.skip(wt)
+    }
+    val sym = symbols.result().toIndexedSeq
+    def symAt(i: Long): String = {
+      if (i < 0 || i >= sym.length) throw new IllegalArgumentException(
+        s"labels_refs symbol $i out of range (${sym.length} symbols)")
+      sym(i.toInt)
+    }
+    def refsToLabels(refs: Seq[Long]): Seq[(String, String)] = {
+      if (refs.length % 2 != 0) throw new IllegalArgumentException(
+        s"labels_refs length ${refs.length} is odd (must be name/value pairs)")
+      refs.grouped(2).map(p => symAt(p.head) -> symAt(p(1))).toSeq
+    }
+    val metas = Seq.newBuilder[PMetaV2]
+    val series = tsReaders.result().map { tr =>
+      val refs = Seq.newBuilder[Long]
+      val samples = Seq.newBuilder[PSample]
+      val exemplars = Seq.newBuilder[PExemplar]
+      val histograms = Seq.newBuilder[PHistogram]
+      var mtype = -1; var helpRef = -1L; var unitRef = -1L
+      while (tr.hasNext) tr.readKey() match {
+        case (1, 2) =>
+          val pr = tr.readMessage()
+          while (pr.hasNext) refs += pr.readVarint()
+        case (1, 0) => refs += tr.readVarint()
+        case (2, 2) =>
+          val sr = tr.readMessage()
+          var value = 0.0; var ts = 0L
+          while (sr.hasNext) sr.readKey() match {
+            case (1, 1) => value = sr.readDouble()
+            case (2, 0) => ts = sr.readVarint()
+            case (_, wt) => sr.skip(wt)
+          }
+          samples += PSample(value, ts)
+        case (3, 2) => histograms += readHistogram(tr.readMessage())
+        case (4, 2) =>
+          val er = tr.readMessage()
+          val erefs = Seq.newBuilder[Long]
+          var value = 0.0; var ts = 0L
+          while (er.hasNext) er.readKey() match {
+            case (1, 2) =>
+              val pr = er.readMessage()
+              while (pr.hasNext) erefs += pr.readVarint()
+            case (1, 0) => erefs += er.readVarint()
+            case (2, 1) => value = er.readDouble()
+            case (3, 0) => ts = er.readVarint()
+            case (_, wt) => er.skip(wt)
+          }
+          exemplars += PExemplar(refsToLabels(erefs.result()), value, ts)
+        case (5, 2) =>
+          val mr = tr.readMessage()
+          while (mr.hasNext) mr.readKey() match {
+            case (1, 0) => mtype = mr.readVarint().toInt
+            case (3, 0) => helpRef = mr.readVarint()
+            case (4, 0) => unitRef = mr.readVarint()
+            case (_, wt) => mr.skip(wt)
+          }
+        case (_, wt) => tr.skip(wt)
+      }
+      val labels = refsToLabels(refs.result())
+      if (mtype >= 0 || helpRef > 0 || unitRef > 0) {
+        val metric = labels.collectFirst { case ("__name__", v) => v }.getOrElse("")
+        if (metric.nonEmpty)
+          metas += PMetaV2(metric,
+            V2MetricTypes(math.min(math.max(mtype, 0), V2MetricTypes.length - 1)),
+            if (helpRef > 0) symAt(helpRef) else null,
+            if (unitRef > 0) symAt(unitRef) else null)
+      }
+      PSeries(labels, samples.result(), histograms.result(), exemplars.result())
+    }
+    (series, metas.result().distinct)
+  }
+
+  /** Encode a v2 Request (sender side + spec golden bytes): interns every
+    * label/help/unit string into the symbol table, symbols(0) = "". */
+  def encodeWriteRequestV2(series: Seq[PSeries],
+                           metas: Map[String, (String, String, String)] = Map.empty)
+      : Array[Byte] = {
+    val table = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    table("") = 0L
+    def ref(s: String): Long = table.getOrElseUpdate(s, table.size.toLong)
+    val tsWriters = series.map { s =>
+      val tw = new Writer
+      val refs = s.labels.flatMap { case (n, v) => Seq(ref(n), ref(v)) }
+      tw.packedVarint(1, refs)
+      s.samples.foreach { p =>
+        val sw = new Writer; sw.double(1, p.value); sw.int64(2, p.ts)
+        tw.message(2, sw)
+      }
+      s.histograms.foreach(h => tw.message(3, writeHistogram(h)))
+      s.exemplars.foreach { e =>
+        val ew = new Writer
+        ew.packedVarint(1, e.labels.flatMap { case (n, v) => Seq(ref(n), ref(v)) })
+        ew.double(2, e.value); ew.int64(3, e.ts)
+        tw.message(4, ew)
+      }
+      s.labels.collectFirst { case ("__name__", m) => m }.flatMap(metas.get)
+        .foreach { case (typ, help, unit) =>
+          val mw = new Writer
+          mw.int64(1, math.max(0, V2MetricTypes.indexOf(typ)).toLong)
+          if (help != null) mw.int64(3, ref(help))
+          if (unit != null) mw.int64(4, ref(unit))
+          tw.message(5, mw)
+        }
+      tw
+    }
+    val w = new Writer
+    // bytes(), not string(): string() elides the empty string, but
+    // symbols(0) = "" MUST be on the wire or every ref shifts by one
+    table.keys.foreach(s => w.bytes(4, s.getBytes(StandardCharsets.UTF_8)))
+    tsWriters.foreach(w.message(5, _))
+    w.toBytes
   }
 
   def decodeReadResponse(b: Array[Byte]): Seq[Seq[PSeries]] = {

@@ -62,7 +62,7 @@ class PrinterPropertySpec extends AnyFunSuite with Matchers {
 
   private val cmpOps = Seq("==", "!=", ">", "<", ">=", "<=")
   private val setOps = Seq("and", "or", "unless")
-  private val arithOps = Seq("+", "-", "*", "/", "%", "^")
+  private val arithOps = Seq("+", "-", "*", "/", "%", "^", "atan2")
 
   /** Static types, mirroring the parser's binop guards (Parser.mkBinOp):
     * the generator must only build ASTs whose printed form re-parses. */
@@ -119,9 +119,14 @@ class PrinterPropertySpec extends AnyFunSuite with Matchers {
                    else Gen.const(Nil)
       } yield Agg(op, debox(e), None, by, without)),
       1 -> (for {
+        op <- Gen.oneOf("topk", "bottomk", "limitk")
         k <- Gen.choose(1, 10)
         e <- expr(depth - 1)
-      } yield Agg("topk", debox(e), Some(NumberLit(k.toDouble)), Nil, Nil)),
+      } yield Agg(op, debox(e), Some(NumberLit(k.toDouble)), Nil, Nil)),
+      1 -> (for {
+        r <- Gen.choose(-100, 100)
+        e <- expr(depth - 1)
+      } yield Agg("limit_ratio", debox(e), Some(NumberLit(r / 100.0)), Nil, Nil)),
       1 -> (for {
         l <- ident; e <- expr(depth - 1)
       } yield Agg("count_values", debox(e), Some(StringLit(l)), Nil, Nil)),

@@ -674,6 +674,117 @@ class RemoteWriteSpec extends AnyFunSuite with Matchers {
     } finally api.stop()
   }
 
+  // ===== remote-write 2.0 ===================================================
+
+  private def postV2(url: String, body: Array[Byte]): java.net.http.HttpResponse[String] = {
+    val client = java.net.http.HttpClient.newHttpClient()
+    client.send(java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
+      .header("Content-Type",
+        "application/x-protobuf;proto=io.prometheus.write.v2.Request")
+      .header("Content-Encoding", "snappy")
+      .POST(java.net.http.HttpRequest.BodyPublishers.ofByteArray(
+        org.xerial.snappy.Snappy.compress(body))).build(),
+      java.net.http.HttpResponse.BodyHandlers.ofString())
+  }
+
+  test("remote-write 2.0 codec: symbol-table request round-trips labels, " +
+       "samples, exemplars, histograms and inline metadata") {
+    val h = hist(1234L, Seq(5.0, 0.0, 3.0), posOffset = -2, schema = 2,
+      zeroCount = 7.0, zt = 0.001, resetHint = 2)
+    val s1 = ProtoWire.PSeries(
+      Seq("__name__" -> "http_requests_total", "job" -> "api"),
+      Seq(ProtoWire.PSample(1.5, 1000L), ProtoWire.PSample(0.0, 2000L)),
+      Seq(h),
+      Seq(ProtoWire.PExemplar(Seq("trace_id" -> "abc"), 42.5, 1200L)))
+    val s2 = ProtoWire.PSeries(Seq("__name__" -> "temp", "site" -> "b"),
+      Seq(ProtoWire.PSample(21.5, 1000L)))
+    val metas = Map(
+      "http_requests_total" -> (("counter", "Total requests.", null: String)),
+      "temp" -> (("gauge", null: String, "celsius")))
+    val bytes = ProtoWire.encodeWriteRequestV2(Seq(s1, s2), metas)
+    val (back, backMetas) = ProtoWire.decodeWriteRequestV2(bytes)
+    back should have size 2
+    back.head.labels shouldEqual s1.labels
+    back.head.samples shouldEqual s1.samples
+    back.head.exemplars shouldEqual s1.exemplars
+    back.head.histograms shouldEqual Seq(h)
+    back(1).labels shouldEqual s2.labels
+    backMetas.toSet shouldEqual Set(
+      ProtoWire.PMetaV2("http_requests_total", "counter", "Total requests.", null),
+      ProtoWire.PMetaV2("temp", "gauge", null, "celsius"))
+    // a dangling symbol ref is a 400-class decode error, not corruption
+    an[Exception] should be thrownBy {
+      val w = new ProtoWire.Writer
+      w.bytes(4, Array.empty[Byte]) // symbols = [""]
+      val tw = new ProtoWire.Writer
+      tw.packedVarint(1, Seq(0L, 99L)) // ref 99 out of range
+      w.message(5, tw)
+      ProtoWire.decodeWriteRequestV2(w.toBytes)
+    }
+  }
+
+  test("remote-write 2.0 end-to-end (sync): samples land through the same " +
+       "chain, inline metadata persists, response carries written-stats") {
+    val dir = tmp("graft-rw2")
+    val ws = PromApi.WriteSink(s"$dir/sink", s"$dir/index", s"$dir/reject", cfg)
+    val api = new PromApi(spark, spark.range(0).toDF(), writeSink = Some(ws),
+      metadataDir = Some(s"$dir/meta")).start()
+    try {
+      val series = Seq(ProtoWire.PSeries(
+        Seq("__name__" -> "rw2_metric", "job" -> "j"),
+        Seq(ProtoWire.PSample(1.0, 1000L), ProtoWire.PSample(2.0, 2000L))))
+      val resp = postV2(s"http://localhost:${api.boundPort}/api/v1/write",
+        ProtoWire.encodeWriteRequestV2(series,
+          Map("rw2_metric" -> (("counter", "A v2 metric.", "requests")))))
+      resp.statusCode() shouldEqual 204
+      resp.headers().firstValue("X-Prometheus-Remote-Write-Samples-Written")
+        .orElse("") shouldEqual "2"
+      spark.read.parquet(s"$dir/sink").select(col("value")).collect()
+        .map(_.getDouble(0)).toSet shouldEqual Set(1.0, 2.0)
+      val meta = graft.streaming.Ingest.readMetricMeta(spark, s"$dir/meta").get
+        .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+          r.getString(3)))
+      meta.toSet shouldEqual Set(("rw2_metric", "counter", "A v2 metric.", "requests"))
+      // a v1 POST on the same endpoint still decodes as v1
+      RemoteRead.remoteWriteSeries(Seq(ProtoWire.PSeries(
+        Seq("__name__" -> "rw2_metric", "job" -> "j"),
+        Seq(ProtoWire.PSample(3.0, 3000L)))),
+        s"http://localhost:${api.boundPort}")
+      spark.read.parquet(s"$dir/sink").count() shouldEqual 3L
+    } finally api.stop()
+  }
+
+  test("remote-write 2.0 through the spool: v2 bodies publish as .wr2, the " +
+       "drain decodes per version and applies the inline metadata") {
+    val dir = tmp("graft-rw2spool")
+    val ws = PromApi.WriteSink(s"$dir/sink", s"$dir/index", s"$dir/reject", cfg)
+    val api = new PromApi(spark, spark.range(0).toDF(), writeSink = Some(ws),
+      metadataDir = Some(s"$dir/meta"), spoolDrainMs = 3600000L).start()
+    try {
+      val series = Seq(ProtoWire.PSeries(
+        Seq("__name__" -> "rw2s", "i" -> "0"),
+        Seq(ProtoWire.PSample(7.0, 1000L))))
+      postV2(s"http://localhost:${api.boundPort}/api/v1/write",
+        ProtoWire.encodeWriteRequestV2(series,
+          Map("rw2s" -> (("gauge", "Spooled v2.", null))))).statusCode() shouldEqual 204
+      // and a v1 POST interleaves in the same spool id space
+      RemoteRead.remoteWriteSeries(Seq(ProtoWire.PSeries(
+        Seq("__name__" -> "rw2s", "i" -> "1"),
+        Seq(ProtoWire.PSample(8.0, 1000L)))),
+        s"http://localhost:${api.boundPort}")
+      val fs = new org.apache.hadoop.fs.Path(s"$dir/sink")
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.exists(new org.apache.hadoop.fs.Path(s"$dir/sink/_spool/0.wr2")) shouldBe true
+      fs.exists(new org.apache.hadoop.fs.Path(s"$dir/sink/_spool/1.wr")) shouldBe true
+      api.drainSpool() shouldEqual 2
+      spark.read.parquet(s"$dir/sink").select(col("value")).collect()
+        .map(_.getDouble(0)).toSet shouldEqual Set(7.0, 8.0)
+      graft.streaming.Ingest.readMetricMeta(spark, s"$dir/meta").get
+        .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+        .toSet shouldEqual Set(("rw2s", "gauge", "Spooled v2."))
+    } finally api.stop()
+  }
+
   test("compactExpState publishes a versioned base (no delete-then-rewrite " +
        "window), consumes its delta dirs, and the conversion still seeds") {
     val dir = tmp("graft-expbase")
