@@ -387,6 +387,25 @@ object Gateway {
       .toDF("metric", "type", "help", "unit")
   }
 
+  /** Streaming metadata maintenance for a prom-text scrape stream: each
+    * micro-batch's `# TYPE`/`# HELP`/`# UNIT` rows upsert into `metaDir`
+    * (last-write-wins field-wise via [[Ingest.upsertMetricMeta]] —
+    * idempotent, so foreachBatch's at-least-once replay is safe). Run it
+    * BESIDE the samples ingest on the same payload stream; point a
+    * PromApi's `metadataDir` at `metaDir` to serve `/api/v1/metadata`. */
+  def startPromTextMetaIngest(payloads: DataFrame, metaDir: String,
+                              checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    payloads.writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val metas = promTextMeta(batch)
+        if (!metas.isEmpty)
+          Ingest.upsertMetricMeta(batch.sparkSession, metaDir, metas)
+      }
+      .start()
+
   /** Decode a frame of scrape payloads (column `body`). */
   def promTextDecode(payloads: DataFrame, defaultTsMs: Long): Dataset[Decoded] = {
     import payloads.sparkSession.implicits._

@@ -306,4 +306,26 @@ class GatewaySpec extends AnyFunSuite with Matchers {
     import spark.implicits._
     Gateway.promTextMeta(Seq(payload).toDF("body")).count() shouldEqual 3L
   }
+
+  test("streaming metadata maintenance: scrape payloads upsert the store " +
+       "per micro-batch, later TYPE-only scrapes keep the stored HELP") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-metastream").toString
+    val ms = MemoryStream[String]
+    val q = Gateway.startPromTextMetaIngest(ms.toDF.toDF("body"),
+      s"$dir/meta", s"$dir/ckpt")
+    try {
+      ms.addData("# TYPE reqs counter\n# HELP reqs All requests.\nreqs 1")
+      q.processAllAvailable()
+      def meta() = graft.streaming.Ingest.readMetricMeta(spark, s"$dir/meta").get
+        .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+      meta() shouldEqual Set(("reqs", "counter", "All requests."))
+      // a later TYPE-only scrape (plus a new family) merges field-wise
+      ms.addData("# TYPE reqs counter\n# TYPE temp gauge\ntemp 3")
+      q.processAllAvailable()
+      meta() shouldEqual Set(("reqs", "counter", "All requests."),
+        ("temp", "gauge", null))
+    } finally q.stop()
+  }
 }
