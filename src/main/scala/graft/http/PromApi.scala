@@ -739,6 +739,10 @@ class PromApi(spark: SparkSession, samples: DataFrame, port: Int = 0,
               ex.sendResponseHeaders(204, -1)
             } catch {
               case e: Exception =>
+                // the sender only sees the message; the operator needs the
+                // stack (a 500 here is OUR bug or a dying filesystem)
+                System.err.println(s"[promapi] write commit failed: $e")
+                e.printStackTrace()
                 respondJson(ex, 500,
                   s"""{"status":"error","errorType":"internal","error":${js(e.getMessage)}}""")
             }
@@ -815,6 +819,9 @@ class PromApi(spark: SparkSession, samples: DataFrame, port: Int = 0,
     if (hwmCompactEvery > 0 && n % hwmCompactEvery == 0) {
       graft.streaming.Ingest.compactHwm(spark, ws.indexDir)
       graft.streaming.Ingest.compactExpState(spark, s"${ws.indexDir}/_exp_state")
+      // the exemplar side table is an LSM too: fold its per-commit delta
+      // dirs on the same cadence so the dedup anti-join reads one base
+      ws.exemplarDir.foreach(graft.streaming.Ingest.compactExemplars(spark, _))
     }
   }
 
@@ -851,15 +858,13 @@ class PromApi(spark: SparkSession, samples: DataFrame, port: Int = 0,
         val incoming = keyed(
           exRows.toDF("metric", "tags", "exemplar_labels", "ts", "value"))
         val metrics = exRows.map(_._1).distinct
-        val fs = new org.apache.hadoop.fs.Path(dir)
-          .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val fresh =
-          if (!fs.exists(new org.apache.hadoop.fs.Path(dir))) incoming
-          else incoming.join(
-            keyed(spark.read.parquet(dir)
-                .filter(col("metric").isin(metrics: _*)))
+        val fresh = graft.streaming.Ingest.exemplarTable(spark, dir) match {
+          case None => incoming
+          case Some(existing) => incoming.join(
+            keyed(existing.filter(col("metric").isin(metrics: _*)))
               .select(joinCols.map(col): _*).distinct(),
             joinCols, "left_anti")
+        }
         if (!fresh.isEmpty)
           fresh.drop("__t", "__l")
             .write.mode("overwrite").parquet(s"$dir/batch_id=$batchId")
@@ -1050,16 +1055,14 @@ class PromApi(spark: SparkSession, samples: DataFrame, port: Int = 0,
       throw new IllegalArgumentException("query contains no vector selectors")
     val from = p.get("start").map(ms).getOrElse(Long.MinValue)
     val to = p.get("end").map(ms).getOrElse(Long.MaxValue)
-    val fs = new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new org.apache.hadoop.fs.Path(dir)))
-      return """{"status":"success","data":[]}"""
+    val table = graft.streaming.Ingest.exemplarTable(spark, dir)
+      .getOrElse(return """{"status":"success","data":[]}""")
     val selPred = selectors.map { s =>
       val all = s.metric.map(m => LabelMatcher("__name__", MatchOp.Eq, m)).toSeq ++
         s.matchers
       all.map(Matchers.pred).reduceOption(_ && _).getOrElse(lit(true))
     }.reduce(_ || _)
-    val rows = spark.read.parquet(dir)
+    val rows = table
       .filter(col("ts").between(from, to) && selPred)
       .select("metric", "tags", "exemplar_labels", "ts", "value")
       .limit(maxResultSeries + 1).collect()

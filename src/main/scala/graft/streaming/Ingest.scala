@@ -230,6 +230,13 @@ object Ingest {
       else { val b = bases.maxBy(_._1); (b._1, Some(b._2.toString)) }
     val deltaDirs = fs.listStatus(root).map(_.getPath)
       .filter(p => p.getName.stripPrefix("batch_id=").toLongOption.exists(_ > upto))
+      // an EMPTY delta dir (only _SUCCESS — a partitionBy() write of zero
+      // rows emits no part files; e.g. an all-duplicate sender retry right
+      // after a compaction) must be invisible: schema inference over it
+      // fails, which would wedge every subsequent hwm read and compaction
+      // of this LSM until someone hand-deleted the dir (r12 regression
+      // test caught the latent window)
+      .filter(p => fs.listStatus(p).exists(!_.getPath.getName.startsWith("_")))
       .map(_.toString).toSeq
     Some((basePath, deltaDirs))
   }
@@ -1010,6 +1017,48 @@ object Ingest {
     // auto-compaction cadence — see processDocBatch (same contract)
     if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
       CorpusLayout.compactIndex(spark, table)
+  }
+
+  // ===== exemplar side-table compaction =====================================
+
+  /** All exemplar rows under `dir`: the newest committed `_exbase` base
+    * plus `batch_id=` delta dirs newer than it (every dir when no base
+    * exists). None = nothing stored yet. Readers must come through here —
+    * a plain `spark.read.parquet(dir)` skips the underscore-prefixed base
+    * and would silently lose every compacted exemplar. */
+  def exemplarTable(spark: SparkSession, dir: String): Option[DataFrame] =
+    baseDeltaLayout(spark, dir, "_exbase").flatMap { case (base, deltas) =>
+      val parts = base.toSeq.map(spark.read.parquet(_)) ++
+        (if (deltas.nonEmpty)
+          // partition discovery adds the batch_id column — not data
+          Seq(readDeltas(spark, dir, deltas).drop("batch_id"))
+        else Nil)
+      parts.reduceOption(_ unionByName _)
+    }
+
+  /** Fold the exemplar delta dirs into a compacted `_exbase` base
+    * (crash-atomic versioned publish, same protocol as the index bases)
+    * and delete the consumed `batch_id=` dirs — keeps the per-commit
+    * dedup anti-join reading one compact table + a bounded delta list
+    * instead of every batch dir ever written. Appends are content-unique
+    * by construction (the append anti-joins), so the fold is a plain
+    * union. Idempotent; crash windows leave either the old layout or the
+    * new base plus already-consumed dirs the max-upto reader ignores. */
+  def compactExemplars(spark: SparkSession, dir: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    baseDeltaLayout(spark, dir, "_exbase").foreach { case (_, deltas) =>
+      if (deltas.nonEmpty) {
+        val upto = deltas.flatMap(d => new org.apache.hadoop.fs.Path(d)
+          .getName.stripPrefix("batch_id=").toLongOption).max
+        exemplarTable(spark, dir).foreach(all =>
+          publishBase(spark, dir, "_exbase", upto, all))
+        fs.listStatus(new org.apache.hadoop.fs.Path(dir)).map(_.getPath)
+          .filter(p => p.getName.stripPrefix("batch_id=").toLongOption
+            .exists(_ <= upto))
+          .foreach(p => fs.delete(p, true))
+      }
+    }
   }
 
   // ===== metric metadata store ==============================================

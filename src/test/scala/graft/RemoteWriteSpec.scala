@@ -674,6 +674,72 @@ class RemoteWriteSpec extends AnyFunSuite with Matchers {
     } finally api.stop()
   }
 
+  test("an all-duplicate retry right after a compaction must not wedge the " +
+       "write path: its empty index delta (no part files) stays invisible " +
+       "to hwm reads and later compactions") {
+    val dir = tmp("graft-emptydelta")
+    val ws = PromApi.WriteSink(s"$dir/sink", s"$dir/index", s"$dir/reject", cfg)
+    val api = new PromApi(spark, spark.range(0).toDF(), writeSink = Some(ws),
+      hwmCompactEvery = 0).start()
+    val url = s"http://localhost:${api.boundPort}"
+    def post(ts: Long, v: Double): Unit =
+      RemoteRead.remoteWriteSeries(Seq(ProtoWire.PSeries(
+        Seq("__name__" -> "m"), Seq(ProtoWire.PSample(v, ts)))), url)
+    try {
+      post(1000L, 1.0)
+      Ingest.compactHwm(spark, s"$dir/index")
+      // sender retry: every sample at/below its hwm -> zero admitted rows
+      // -> the partitionBy(metric) index write emits NO part files
+      post(1000L, 1.0)
+      // pre-fix: the next hwm read threw UNABLE_TO_INFER_SCHEMA on the
+      // empty delta and EVERY later POST answered 500 until hand-cleanup
+      post(2000L, 2.0)
+      spark.read.parquet(s"$dir/sink").select("ts").collect()
+        .map(_.getLong(0)).toSet shouldEqual Set(1000L, 2000L)
+      // and the compaction folds past the empty dir too
+      Ingest.compactHwm(spark, s"$dir/index")
+      post(1500L, 9.0) // still stale vs the folded hwm
+      spark.read.parquet(s"$dir/sink").count() shouldEqual 2L
+    } finally api.stop()
+  }
+
+  test("exemplar side table compacts base+delta like the index: dedup and " +
+       "query_exemplars read through the compacted base, batch dirs consumed") {
+    val dir = tmp("graft-excompact")
+    val ws = PromApi.WriteSink(s"$dir/sink", s"$dir/index", s"$dir/reject", cfg,
+      exemplarDir = Some(s"$dir/ex"))
+    val api = new PromApi(spark, spark.range(0).toDF(), writeSink = Some(ws),
+      hwmCompactEvery = 2).start()
+    val url = s"http://localhost:${api.boundPort}"
+    def post(ts: Long, trace: String): Unit =
+      RemoteRead.remoteWriteSeries(Seq(ProtoWire.PSeries(
+        Seq("__name__" -> "m"), Seq(ProtoWire.PSample(1.0, ts)),
+        exemplars = Seq(ProtoWire.PExemplar(
+          Seq("trace_id" -> trace), ts.toDouble, ts)))), url)
+    try {
+      post(1000L, "t1"); post(2000L, "t2") // 2nd commit triggers compaction
+      val fs = new org.apache.hadoop.fs.Path(s"$dir/ex")
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/ex"))
+        .map(_.getPath.getName).count(_.startsWith("batch_id=")) shouldEqual 0
+      fs.exists(new org.apache.hadoop.fs.Path(s"$dir/ex/_exbase")) shouldBe true
+      Ingest.exemplarTable(spark, s"$dir/ex").get.count() shouldEqual 2L
+      // dedup anti-joins THROUGH the base: a retry replay appends nothing
+      post(2000L, "t2")
+      Ingest.exemplarTable(spark, s"$dir/ex").get.count() shouldEqual 2L
+      // fresh exemplars append as new deltas past the base...
+      post(3000L, "t3")
+      Ingest.exemplarTable(spark, s"$dir/ex").get.count() shouldEqual 3L
+      // ...and query_exemplars reads base + delta seamlessly
+      val c = new java.net.URI(s"http://localhost:${api.boundPort}" +
+        "/api/v1/query_exemplars?query=m&start=0&end=100")
+        .toURL.openConnection().asInstanceOf[java.net.HttpURLConnection]
+      val body = try new String(c.getInputStream.readAllBytes(), "UTF-8")
+        finally c.disconnect()
+      Seq("t1", "t2", "t3").foreach(t => body should include(t))
+    } finally api.stop()
+  }
+
   // ===== remote-write 2.0 ===================================================
 
   private def postV2(url: String, body: Array[Byte]): java.net.http.HttpResponse[String] = {
