@@ -1098,7 +1098,18 @@ object Ingest {
     merged.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
     val next = curVersion + 1
     val dst = new org.apache.hadoop.fs.Path(s"$dir/v=$next")
-    if (!fs.rename(tmp, dst)) fs.delete(tmp, true) // lost a concurrent race
+    if (!fs.rename(tmp, dst)) {
+      fs.delete(tmp, true)
+      // lost a concurrent version race: the winner's merge does NOT carry
+      // this batch — retry against the new current version so no metadata
+      // is silently dropped (rename-to-existing is the atomic arbiter;
+      // monotone version numbers bound the retries to the racer count).
+      // A rename failing for any OTHER reason must surface, not recurse.
+      if (!fs.exists(dst)) throw new java.io.IOException(
+        s"metadata publish to $dst failed without a competing version")
+      upsertMetricMeta(spark, dir, incoming)
+      return
+    }
     fs.listStatus(new org.apache.hadoop.fs.Path(dir)).map(_.getPath).foreach { p =>
       if (p.getName.stripPrefix("v=").toLongOption.exists(_ < next)) fs.delete(p, true)
     }
