@@ -252,9 +252,13 @@ class PromApi(spark: SparkSession, samples: DataFrame, port: Int = 0,
           .flatMap { st =>
             val id = st.getPath.getName.stripSuffix(".tmp").toLongOption
             if (id.isDefined && now - st.getModificationTime > spoolTmpAbandonMs) {
-              fs.rename(st.getPath, new org.apache.hadoop.fs.Path(
-                s"${st.getPath.toString}.abandoned"))
-              None
+              // a FAILED quarantine rename means the stalled writer just
+              // published this id as .wr (between our listing and now) —
+              // it must keep gating the prefix this pass, or higher ids
+              // would drain past it (the rename-inversion window)
+              if (fs.rename(st.getPath, new org.apache.hadoop.fs.Path(
+                  s"${st.getPath.toString}.abandoned"))) None
+              else id
             } else id
           }
         val drainableBelow =
