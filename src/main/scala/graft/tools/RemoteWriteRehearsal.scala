@@ -34,11 +34,19 @@ object RemoteWriteRehearsal {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.builder(s"local[$cpus]", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val spool = args.headOption.contains("spool")
-    val sizeArgs = (if (spool) args.toSeq.drop(1) else args.toSeq).map(_.toInt)
+    val mode = args.headOption.getOrElse("sync")
+    val sizeArgs = (if (mode == "sync") args.toSeq else args.toSeq.drop(1)).map(_.toInt)
     val sizes = if (sizeArgs.nonEmpty) sizeArgs.toSeq else Seq(5000, 50000, 500000)
-    if (spool) spoolLadder(spark, sizes) else syncLadder(spark, sizes)
+    mode match {
+      // `spool`: drain paused during the burst — the pure ack path.
+      // `spool-live`: 500 ms drain cadence — acks measured WHILE the
+      // drainer commits micro-batches concurrently (the steady state).
+      case "spool" => spoolLadder(spark, sizes, drainMs = 3600000L)
+      case "spool-live" => spoolLadder(spark, sizes, drainMs = 500L)
+      case _ => syncLadder(spark, sizes)
+    }
     spark.stop()
+    sys.exit(0)
   }
 
   private val cfg = Quota.QuotaConfig(Seq("metric"), Seq(10000000L))
@@ -99,7 +107,7 @@ object RemoteWriteRehearsal {
     * `seriesPerPost` series each, acked-POSTs/s measured over the whole
     * burst, then the drain-to-empty latency and an exactly-once check. */
   private def spoolLadder(spark: org.apache.spark.sql.SparkSession,
-                          sizes: Seq[Int]): Unit = {
+                          sizes: Seq[Int], drainMs: Long): Unit = {
     val senders = 8
     val postsPerSender = 25
     val seriesPerPost = 100
@@ -108,11 +116,9 @@ object RemoteWriteRehearsal {
     for (n <- sizes) {
       val (sink, index, reject, seedSec) = seed(spark, n)
       val ws = PromApi.WriteSink(sink, index, reject, cfg)
-      // cadence longer than the burst: the drain is timed separately so
-      // the POSTs/s number is the pure ack path (spool append + hsync)
       val api = new PromApi(spark, spark.range(0).toDF(), writeSink = Some(ws),
         httpThreads = senders * 2, maxInFlightWrites = senders * 2,
-        spoolDrainMs = 3600000L).start()
+        spoolDrainMs = drainMs).start()
       val url = s"http://localhost:${api.boundPort}"
       try {
         val ackNanos = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
