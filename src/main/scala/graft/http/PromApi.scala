@@ -365,6 +365,7 @@ class PromApi(spark: SparkSession, samples: DataFrame, port: Int = 0,
     server.createContext("/api/v1/read", remoteReadHandler)
     writeSink.foreach(_ => server.createContext("/api/v1/write", remoteWriteHandler))
     server.createContext("/api/v1/status/buildinfo", handler(buildInfo))
+    server.createContext("/api/v1/status/tsdb", handler(tsdbStatus))
     server.createContext("/__health", handler(health))
     server.setExecutor(pool)
     spark.sparkContext.addSparkListener(cpuListener)
@@ -983,6 +984,66 @@ class PromApi(spark: SparkSession, samples: DataFrame, port: Int = 0,
     val vals = MetadataOps.labelValues(metaFrame(p), label, matchExprs(p))
       .collect().map(_.getString(0)).sorted.toSeq
     s"""{"status":"success","data":[${vals.map(js).mkString(",")}]}"""
+  }
+
+  /** `/api/v1/status/tsdb` (upstream Prometheus TSDB-stats API — Grafana's
+    * datasource stats page calls it): head stats plus the four top-10
+    * cardinality rankings, computed over the samples frame (or the series
+    * index when the API was built with one). `limit` overrides the 10.
+    * Rankings sort by value DESC then name ASC (deterministic ties);
+    * `memoryInBytesByLabelName` reports the summed value-string bytes per
+    * label across series — the spirit of upstream's postings memory
+    * number for a storage that has no postings. */
+  private def tsdbStatus(p: Map[String, String]): String = {
+    val k = p.get("limit").map(_.toInt).getOrElse(10)
+    val df = metaFrame(p)
+    // one series = (metric, sorted tag entries); reuse the engine's key
+    val keyed = df.select(col("metric"),
+      map_concat(map(lit("__name__"), col("metric")), col("tags")).as("lbls"))
+      .withColumn("__sk", to_json(array_sort(map_entries(col("lbls")))))
+    keyed.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // MAP columns can't go through set ops — distinct on the key only
+      val series = keyed.groupBy(col("__sk")).agg(first(col("lbls")).as("lbls"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val numSeries = series.count()
+        val pairs = series.select(col("__sk"), explode(col("lbls")).as(Seq("l", "v")))
+        val numLabelPairs = pairs.select(col("l"), col("v")).distinct().count()
+        val (minT, maxT) = {
+          // the series index carries per-series bounds instead of raw ts
+          val (lo, hi) =
+            if (df.columns.contains("ts")) (col("ts"), col("ts"))
+            else (col("start_ts"), col("end_ts"))
+          val r = df.agg(min(lo), max(hi)).collect().head
+          (if (r.isNullAt(0)) 0L else r.getLong(0),
+            if (r.isNullAt(1)) 0L else r.getLong(1))
+        }
+        // distributed top-k (TakeOrderedAndProject): never collect every
+        // group — a 1M-metric head must not land on the driver
+        def ranked(g: DataFrame): Seq[(String, Long)] = g
+          .orderBy(col("c").desc, col("n").asc).limit(k)
+          .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+        val byMetric = ranked(series.groupBy(col("lbls")("__name__").as("n"))
+          .agg(count(lit(1)).as("c")))
+        val valsByLabel = ranked(pairs.groupBy(col("l").as("n"))
+          .agg(countDistinct(col("v")).as("c")))
+        val byPair = ranked(pairs
+          .select(concat(col("l"), lit("="), col("v")).as("n"), col("__sk"))
+          .groupBy(col("n")).agg(countDistinct(col("__sk")).as("c")))
+        val bytesByLabel = ranked(pairs.groupBy(col("l").as("n"))
+          .agg(sum(length(col("v"))).as("c")))
+        def arr(xs: Seq[(String, Long)]): String = xs
+          .map { case (n, v) => s"""{"name":${js(n)},"value":$v}""" }
+          .mkString("[", ",", "]")
+        s"""{"status":"success","data":{"headStats":{"numSeries":$numSeries,""" +
+          s""""numLabelPairs":$numLabelPairs,"chunkCount":0,"minTime":$minT,""" +
+          s""""maxTime":$maxT},"seriesCountByMetricName":${arr(byMetric)},""" +
+          s""""labelValueCountByLabelName":${arr(valsByLabel)},""" +
+          s""""seriesCountByLabelValuePair":${arr(byPair)},""" +
+          s""""memoryInBytesByLabelName":${arr(bytesByLabel)}}}"""
+      } finally series.unpersist(false)
+    } finally keyed.unpersist(false)
   }
 
   /** Hierarchical time-series cardinality over a label path (reference

@@ -312,6 +312,24 @@ object HistQueries {
         .toSeq.toDF("metric", "mtype", "help").orderBy("metric")
     }),
 
+    // /api/v1/status/tsdb (upstream TSDB-stats API): the per-metric
+    // series-count ranking parsed back from the endpoint and checked
+    // against DuckDB recomputing distinct (metric, user) series counts
+    "q180_tsdb_status" -> ((s, dir) => {
+      import s.implicits._
+      val port = tsdbFixture(s, dir)
+      val c = new java.net.URI(
+        s"http://localhost:$port/api/v1/status/tsdb?limit=100")
+        .toURL.openConnection().asInstanceOf[java.net.HttpURLConnection]
+      val body = try new String(c.getInputStream.readAllBytes(), "UTF-8")
+        finally c.disconnect()
+      val ranked = """"seriesCountByMetricName":\[(.*?)\]""".r
+        .findFirstMatchIn(body).get.group(1)
+      """\{"name":"([^"]+)","value":(\d+)\}""".r.findAllMatchIn(ranked)
+        .map(m => (m.group(1), m.group(2).toLong)).toSeq
+        .toDF("name", "n_series").orderBy("name")
+    }),
+
     // histogram_avg over remote-written NATIVE histograms: the wire's
     // cumulative `sum` field is stored (exp_sum) and delta-converted
     // alongside the buckets, so per-interval mean observation is
@@ -379,6 +397,10 @@ object HistQueries {
       s"""SELECT DISTINCT event_type AS metric, 'counter' AS mtype,
                  'Series for ' || event_type || '.' AS help
           FROM events ORDER BY metric""",
+
+    "q180_tsdb_status" ->
+      s"""SELECT event_type AS name, count(DISTINCT user_id) AS n_series
+          FROM events GROUP BY event_type ORDER BY name""",
 
     "q70_hist_quantile" ->
       s"""WITH ev AS ($EV), b AS ($BUCKETS)
@@ -774,6 +796,20 @@ object HistQueries {
         Seq("__name__" -> "purchase"), Nil, exemplars = exs))
       RemoteRead.remoteWriteSeries(series, url)
       RemoteRead.remoteWriteSeries(series, url) // retry replay: must no-op
+      Integer.valueOf(api.boundPort)
+    }).intValue()
+
+  /** q180's fixture: a PromApi over the canonical events samples, kept
+    * running for the session (the endpoint computes over the live frame —
+    * nothing to seed). */
+  private val tsdbPortCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+
+  private def tsdbFixture(s: org.apache.spark.sql.SparkSession,
+                          dir: String): Int =
+    tsdbPortCache.computeIfAbsent(dir, _ => {
+      val api = new graft.http.PromApi(
+        s, TsTables.eventsAsSamples(s, dir)).start()
       Integer.valueOf(api.boundPort)
     }).intValue()
 

@@ -908,6 +908,46 @@ class PromApiSpec extends AnyFunSuite with Matchers {
     } finally api.stop()
   }
 
+  test("status/tsdb reports head stats and deterministic top-k rankings, " +
+       "index-backed and scan-backed alike") {
+    import org.apache.spark.sql.functions.col
+    val samples = TsTables.eventsAsSamples(spark, "/root/testdata/sf0.001")
+    val api = new PromApi(spark, samples).start()
+    try {
+      val body = get(api.boundPort, "/api/v1/status/tsdb?limit=3")
+      body should include(""""status":"success"""")
+      body should include(""""numSeries":""")
+      body should include(""""seriesCountByMetricName":[""")
+      // sorted by value desc: `user` (15 values) outranks __name__ (5)
+      body should include(""""labelValueCountByLabelName":[{"name":"user"""")
+      // the canonical events mapping has one `user` tag; every series
+      // carries __name__ + user, so numLabelPairs >= distinct users
+      val users = samples.select(col("tags")("user")).distinct().count()
+      val numPairs = """"numLabelPairs":(\d+)""".r
+        .findFirstMatchIn(body).get.group(1).toLong
+      numPairs should be >= users
+      // rankings cap at limit
+      """\{"name":"user","value":(\d+)\}""".r.findFirstMatchIn(body)
+        .get.group(1).toLong shouldEqual users
+      val ranked = """"seriesCountByMetricName":\[(.*?)\]""".r
+        .findFirstMatchIn(body).get.group(1)
+      ranked.split("\\},\\{").length should be <= 3
+      // min/max cover the sample range
+      val minT = """"minTime":(\d+)""".r.findFirstMatchIn(body).get.group(1).toLong
+      val maxT = """"maxTime":(\d+)""".r.findFirstMatchIn(body).get.group(1).toLong
+      minT should be <= maxT
+      // the index-backed server answers the same series-level numbers
+      val idx = graft.operators.MetadataOps.buildSeriesIndex(
+        samples.select(col("metric"), col("tags"), col("ts"), col("series_id")))
+      val idxApi = new PromApi(spark, samples, seriesIndex = Some(idx)).start()
+      try {
+        val b2 = get(idxApi.boundPort, "/api/v1/status/tsdb?limit=3")
+        """"numSeries":(\d+)""".r.findFirstMatchIn(b2).get.group(1) shouldEqual
+          """"numSeries":(\d+)""".r.findFirstMatchIn(body).get.group(1)
+      } finally idxApi.stop()
+    } finally api.stop()
+  }
+
   test("query_exemplars round-trips: remote-written exemplars (sync and " +
        "spool modes) query back filtered by selector and time range") {
     import graft.http.{ProtoWire, RemoteRead}
