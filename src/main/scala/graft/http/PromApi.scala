@@ -366,6 +366,8 @@ class PromApi(spark: SparkSession, samples: DataFrame, port: Int = 0,
     writeSink.foreach(_ => server.createContext("/api/v1/write", remoteWriteHandler))
     server.createContext("/api/v1/status/buildinfo", handler(buildInfo))
     server.createContext("/api/v1/status/tsdb", handler(tsdbStatus))
+    server.createContext("/api/v1/status/flags", handler(statusFlags))
+    server.createContext("/api/v1/status/runtimeinfo", handler(runtimeInfo))
     server.createContext("/__health", handler(health))
     server.setExecutor(pool)
     spark.sparkContext.addSparkListener(cpuListener)
@@ -600,6 +602,26 @@ class PromApi(spark: SparkSession, samples: DataFrame, port: Int = 0,
     * setup; shape per the Prometheus API (our engine name/version). */
   private def buildInfo(p: Map[String, String]): String =
     s"""{"status":"success","data":{"application":"graft","version":"${graft.GraftSession.Version}","features":{}}}"""
+
+  /** `/api/v1/status/flags` (upstream API; Grafana probes it): the
+    * engine's effective server-level settings in the flag-map shape. */
+  private def statusFlags(p: Map[String, String]): String =
+    s"""{"status":"success","data":{""" +
+      s""""query.lookback-delta":"${PromPlanner.DefaultLookbackMs / 1000}s",""" +
+      s""""query.max-result-series":"$maxResultSeries",""" +
+      s""""remote-write.spool-drain-interval":"${spoolDrainMs}ms"}}"""
+
+  private val startedAtMs = System.currentTimeMillis()
+
+  /** `/api/v1/status/runtimeinfo` (upstream API): process start time and
+    * the runtime facts this engine has (Spark standing in for the TSDB
+    * runtime counters). */
+  private def runtimeInfo(p: Map[String, String]): String = {
+    val start = java.time.Instant.ofEpochMilli(startedAtMs).toString
+    s"""{"status":"success","data":{"startTime":"$start",""" +
+      s""""reloadConfigSuccess":true,"goroutineCount":${Thread.activeCount()},""" +
+      s""""storageRetention":"","sparkVersion":"${spark.version}"}}"""
+  }
 
   /** `/__health` (reference HealthRoute: 200 + per-shard statuses when
     * every shard is healthy). Our "shards" are the Spark runtime: healthy

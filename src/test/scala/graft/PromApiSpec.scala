@@ -908,6 +908,19 @@ class PromApiSpec extends AnyFunSuite with Matchers {
     } finally api.stop()
   }
 
+  test("status/flags and status/runtimeinfo answer the upstream shapes") {
+    val samples = TsTables.eventsAsSamples(spark, "/root/testdata/sf0.001")
+    val api = new PromApi(spark, samples, maxResultSeries = 77).start()
+    try {
+      val flags = get(api.boundPort, "/api/v1/status/flags")
+      flags should include(""""query.lookback-delta":"300s"""")
+      flags should include(""""query.max-result-series":"77"""")
+      val rt = get(api.boundPort, "/api/v1/status/runtimeinfo")
+      rt should include(""""reloadConfigSuccess":true""")
+      rt should include(""""startTime":"2""") // an ISO instant
+    } finally api.stop()
+  }
+
   test("status/tsdb reports head stats and deterministic top-k rankings, " +
        "index-backed and scan-backed alike") {
     import org.apache.spark.sql.functions.col
