@@ -108,7 +108,7 @@ object RemoteWriteRehearsal {
     * burst, then the drain-to-empty latency and an exactly-once check. */
   private def spoolLadder(spark: org.apache.spark.sql.SparkSession,
                           sizes: Seq[Int], drainMs: Long): Unit = {
-    val senders = 8
+    val senders = sys.env.getOrElse("SPARK_GRAFT_RW_SENDERS", "8").toInt
     val postsPerSender = 25
     val seriesPerPost = 100
     println(f"${"index series"}%14s ${"seed(s)"}%8s ${"acked POSTs/s"}%14s " +
