@@ -599,6 +599,47 @@ class RemoteWriteSpec extends AnyFunSuite with Matchers {
     } finally api.stop()
   }
 
+  test("a crashed CAPPED drain re-derives the identical window and batch " +
+       "id: re-draining after a cleanup crash repairs forward, no dupes") {
+    val dir = tmp("graft-spoolcapcrash")
+    val ws = PromApi.WriteSink(s"$dir/sink", s"$dir/index", s"$dir/reject", cfg)
+    val api = new PromApi(spark, spark.range(0).toDF(), writeSink = Some(ws),
+      spoolDrainMs = 3600000L, spoolDrainMaxFiles = 4).start()
+    val url = s"http://localhost:${api.boundPort}"
+    try {
+      val bodies = (0 until 6).map { i =>
+        ProtoWire.encodeWriteRequest(Seq(ProtoWire.PSeries(
+          Seq("__name__" -> "m", "i" -> i.toString),
+          Seq(ProtoWire.PSample(i.toDouble, 1000L)))))
+      }
+      (0 until 6).foreach { i =>
+        RemoteRead.remoteWriteSeries(Seq(ProtoWire.PSeries(
+          Seq("__name__" -> "m", "i" -> i.toString),
+          Seq(ProtoWire.PSample(i.toDouble, 1000L)))), url)
+      }
+      api.drainSpool() shouldEqual 6 // windows {0..3} -> batch 3, {4,5} -> batch 5
+      val fs = new org.apache.hadoop.fs.Path(s"$dir/sink")
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      Seq(3L, 5L).foreach { b =>
+        fs.exists(new org.apache.hadoop.fs.Path(
+          s"$dir/sink/batch_id=$b")) shouldBe true
+      }
+      // crash-before-cleanup of the FIRST capped window: its files
+      // reappear; the capped prefix re-derives the SAME {0..3} window and
+      // the SAME batch id 3, hits the committed repair branch, and cleans
+      // up without duplicating a single sample
+      (0 until 4).foreach { i =>
+        val out = fs.create(new org.apache.hadoop.fs.Path(
+          s"$dir/sink/_spool/$i.wr"), true)
+        out.write(bodies(i)); out.close()
+      }
+      api.drainSpool() shouldEqual 4
+      spark.read.parquet(s"$dir/sink").count() shouldEqual 6L
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/sink"))
+        .map(_.getPath.getName).count(_.startsWith("batch_id=")) shouldEqual 2
+    } finally api.stop()
+  }
+
   test("drain is a CONTIGUOUS COMPLETED PREFIX: a pending .tmp below a " +
        "renamed .wr holds the drain back until the writer finishes or is " +
        "declared abandoned — the rename-inversion data-loss window is shut") {
