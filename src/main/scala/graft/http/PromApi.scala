@@ -154,6 +154,63 @@ class PromApi(spark: SparkSession, samples: DataFrame, port: Int = 0,
       math.max(spoolMax, batchMax) + 1L
     }.getOrElse(0L))
 
+  // ---- in-process claim ledger --------------------------------------------
+  //
+  // spoolAppend claims id N (getAndIncrement) strictly BEFORE its `.tmp`
+  // becomes visible to a drain listing. In that gap a sibling writer can
+  // claim AND fully publish N+1; a drain listing then sees N+1 as a
+  // drainable `.wr` with nothing gating N — and commits batch ids out of
+  // spool-id order (the r12 advisor's remaining data-loss window: an hwm
+  // compaction between the two commits hides N's index delta forever).
+  // The `.tmp` prefix rule cannot see a claim that has no file yet, so the
+  // ledger tracks it in-process: claim → entry; publish rename → removed.
+  // drainOnce snapshots the ledger floor BEFORE listing: any id claimed
+  // before the snapshot and still unpublished is in the ledger (gated);
+  // any id claimed AFTER the snapshot is ≥ the snapshot's seq value, which
+  // the floor also gates — so no listed `.wr` can outrun a lower pending
+  // claim. A claim older than `spoolTmpAbandonMs` (writer wedged before
+  // even creating its `.tmp`) is POISONED instead of gating forever: the
+  // drain moves past it, and if the wedged writer later completes, its
+  // publish is rejected (file deleted, POST fails 500 → sender retries),
+  // so a poisoned id can never ack out of order. `.tmp` gating stays for
+  // crashed-PROCESS leftovers, which no in-process ledger can see.
+  private val spoolClaimLock = new Object
+  private val spoolClaims = new java.util.TreeMap[Long, Long]() // id -> claimed-at ms
+  private val spoolPoisoned = new java.util.HashSet[Long]()
+
+  private[graft] def claimSpoolId(nowMs: Long = System.currentTimeMillis()): Long =
+    spoolClaimLock.synchronized {
+      val id = spoolSeq.getAndIncrement(); spoolClaims.put(id, nowMs); id
+    }
+
+  /** Drop a claim that never published (collision retry, IO failure). */
+  private[graft] def abandonSpoolClaim(id: Long): Unit =
+    spoolClaimLock.synchronized { spoolClaims.remove(id); spoolPoisoned.remove(id); () }
+
+  /** Settle a claim whose publish rename just landed. False = the claim
+    * was poisoned while the writer was wedged; the caller must delete the
+    * published file and fail the POST (the drain already moved past it). */
+  private[graft] def completeSpoolClaim(id: Long): Boolean =
+    spoolClaimLock.synchronized {
+      spoolClaims.remove(id)
+      !spoolPoisoned.remove(id)
+    }
+
+  /** Smallest id the drain may NOT touch this pass: the oldest live claim,
+    * or (no claims) the next id to be minted. Expires wedged claims into
+    * the poison set as a side effect. */
+  private[graft] def spoolClaimFloor(nowMs: Long = System.currentTimeMillis()): Long =
+    spoolClaimLock.synchronized {
+      val it = spoolClaims.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (nowMs - e.getValue > spoolTmpAbandonMs) {
+          spoolPoisoned.add(e.getKey); it.remove()
+        }
+      }
+      if (spoolClaims.isEmpty) spoolSeq.get() else spoolClaims.firstKey()
+    }
+
   /** Durably append one decoded-valid WriteRequest body to the spool:
     * exclusive-create the tmp (claims the id), write + hsync, rename.
     * Returns only once the bytes are down — the 204 is a durability ack.
@@ -171,33 +228,45 @@ class PromApi(spark: SparkSession, samples: DataFrame, port: Int = 0,
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(new org.apache.hadoop.fs.Path(s"${ws.sinkDir}/_spool"))
     val ext = if (v2) "wr2" else "wr"
-    var id = spoolSeq.getAndIncrement()
+    var id = claimSpoolId()
     var out: org.apache.hadoop.fs.FSDataOutputStream = null
-    while (out == null) {
-      val tmp = new org.apache.hadoop.fs.Path(s"${ws.sinkDir}/_spool/$id.tmp")
-      try out = fs.create(tmp, false)
-      catch {
-        case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
-          id = spoolSeq.getAndIncrement()
-        case e: java.io.IOException =>
-          // some FS impls throw plain IOException on exists-collision —
-          // verify before deciding it was a collision
-          if (fs.exists(tmp) ||
-              fs.exists(new org.apache.hadoop.fs.Path(s"${ws.sinkDir}/_spool/$id.wr")) ||
-              fs.exists(new org.apache.hadoop.fs.Path(s"${ws.sinkDir}/_spool/$id.wr2")))
-            id = spoolSeq.getAndIncrement()
-          else throw e
+    try {
+      while (out == null) {
+        val tmp = new org.apache.hadoop.fs.Path(s"${ws.sinkDir}/_spool/$id.tmp")
+        try out = fs.create(tmp, false)
+        catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+            abandonSpoolClaim(id); id = claimSpoolId()
+          case e: java.io.IOException =>
+            // some FS impls throw plain IOException on exists-collision —
+            // verify before deciding it was a collision
+            if (fs.exists(tmp) ||
+                fs.exists(new org.apache.hadoop.fs.Path(s"${ws.sinkDir}/_spool/$id.wr")) ||
+                fs.exists(new org.apache.hadoop.fs.Path(s"${ws.sinkDir}/_spool/$id.wr2")))
+              { abandonSpoolClaim(id); id = claimSpoolId() }
+            else throw e
+        }
       }
+      try { out.write(body); out.hsync() } finally out.close()
+      // the 204 is only valid if the publish rename lands: a writer stalled
+      // past spoolTmpAbandonMs has had its .tmp quarantined by the drainer,
+      // and acking after a failed rename would silently drop the request —
+      // fail instead (500), which remote-write senders retry
+      val dst = new org.apache.hadoop.fs.Path(s"${ws.sinkDir}/_spool/$id.$ext")
+      if (!fs.rename(new org.apache.hadoop.fs.Path(s"${ws.sinkDir}/_spool/$id.tmp"), dst))
+        throw new java.io.IOException(
+          s"spool publish of id $id lost its claim (writer stalled past the abandonment threshold?)")
+      // settle the claim: a poisoned claim means the drain already moved
+      // past this id while we were wedged — an ack now would commit out of
+      // spool-id order, so withdraw the file and make the sender retry
+      if (!completeSpoolClaim(id)) {
+        fs.delete(dst, false)
+        throw new java.io.IOException(
+          s"spool publish of id $id was poisoned after a ${spoolTmpAbandonMs}ms stall; retry")
+      }
+    } catch {
+      case e: Throwable => abandonSpoolClaim(id); throw e
     }
-    try { out.write(body); out.hsync() } finally out.close()
-    // the 204 is only valid if the publish rename lands: a writer stalled
-    // past spoolTmpAbandonMs has had its .tmp quarantined by the drainer,
-    // and acking after a failed rename would silently drop the request —
-    // fail instead (500), which remote-write senders retry
-    if (!fs.rename(new org.apache.hadoop.fs.Path(s"${ws.sinkDir}/_spool/$id.tmp"),
-        new org.apache.hadoop.fs.Path(s"${ws.sinkDir}/_spool/$id.$ext")))
-      throw new java.io.IOException(
-        s"spool publish of id $id lost its claim (writer stalled past the abandonment threshold?)")
   }
 
   /** Drain the spool through the commit chain in bounded micro-batches
@@ -243,6 +312,11 @@ class PromApi(spark: SparkSession, samples: DataFrame, port: Int = 0,
       val sp = new org.apache.hadoop.fs.Path(s"${ws.sinkDir}/_spool")
       if (!fs.exists(sp)) 0
       else {
+        // ledger floor FIRST, listing second: a claim made after this
+        // snapshot has an id ≥ the snapshot's seq value, which the floor
+        // gates, so a fast post-snapshot publish can never drain ahead of
+        // a slower lower-id sibling (see the claim-ledger comment above)
+        val claimFloor = spoolClaimFloor()
         val listing = fs.listStatus(sp)
         // live .tmp claims gate the drainable prefix; abandoned ones
         // (dead writer — never acked) are quarantined out of the way
@@ -262,7 +336,8 @@ class PromApi(spark: SparkSession, samples: DataFrame, port: Int = 0,
             } else id
           }
         val drainableBelow =
-          if (pendingIds.isEmpty) Long.MaxValue else pendingIds.min
+          math.min(claimFloor,
+            if (pendingIds.isEmpty) Long.MaxValue else pendingIds.min)
         val completed = listing.collect {
           case st if st.getPath.getName.endsWith(".wr") ||
                      st.getPath.getName.endsWith(".wr2") => (st.getPath, st.getLen)
@@ -637,14 +712,22 @@ class PromApi(spark: SparkSession, samples: DataFrame, port: Int = 0,
       val fs = new org.apache.hadoop.fs.Path(ws.sinkDir)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       val sp = new org.apache.hadoop.fs.Path(s"${ws.sinkDir}/_spool")
-      val wr =
+      val listing =
         if (!fs.exists(sp)) Array.empty[org.apache.hadoop.fs.FileStatus]
-        else fs.listStatus(sp).filter(st =>
-          st.getPath.getName.endsWith(".wr") || st.getPath.getName.endsWith(".wr2"))
-      val oldest =
-        if (wr.isEmpty) 0L
-        else math.max(0L, System.currentTimeMillis() - wr.map(_.getModificationTime).min)
-      s""","spool":{"depth":${wr.length},"oldestAgeMs":$oldest}"""
+        else fs.listStatus(sp)
+      val wr = listing.filter(st =>
+        st.getPath.getName.endsWith(".wr") || st.getPath.getName.endsWith(".wr2"))
+      // live .tmp claims block the drainable prefix until they publish or
+      // age past spoolTmpAbandonMs — surfacing them separately lets an
+      // operator tell "drain lagging" (depth grows, no tmps) from "prefix
+      // blocked by a stalled writer" (old tmp, depth frozen behind it)
+      val tmp = listing.filter(_.getPath.getName.endsWith(".tmp"))
+      def oldestAge(sts: Array[org.apache.hadoop.fs.FileStatus]): Long =
+        if (sts.isEmpty) 0L
+        else math.max(0L, System.currentTimeMillis() - sts.map(_.getModificationTime).min)
+      s""","spool":{"depth":${wr.length},"oldestAgeMs":${oldestAge(wr)},""" +
+        s""""pendingTmp":${tmp.length},"oldestTmpAgeMs":${oldestAge(tmp)},""" +
+        s""""abandonAfterMs":$spoolTmpAbandonMs}"""
     }.getOrElse("")
     s"""{"status":"healthy","spark":"${spark.version}","partitions":$nParts$spool}"""
   }

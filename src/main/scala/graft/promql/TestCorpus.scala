@@ -326,7 +326,12 @@ object TestCorpus {
     val histLoads = loads.flatMap(_.histSeries)
     if (histLoads.isEmpty) plain
     else {
-      val base = rows.size
+      // offset by the scalar SERIES count, not the flattened row count: a
+      // scalar series whose slots are all `_` gaps contributes zero rows
+      // while still consuming a zipWithIndex sid, so a row-count base can
+      // collide a histogram sid with a populated scalar sid and silently
+      // merge two distinct series (r12 advisor finding)
+      val base = loads.map(_.series.size).sum
       val hrows = histLoads.zipWithIndex.flatMap {
         case ((labels, samples), i) =>
           val metric = labels.getOrElse("__name__", null)

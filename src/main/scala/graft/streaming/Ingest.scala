@@ -1075,12 +1075,23 @@ object Ingest {
   def upsertMetricMeta(spark: SparkSession, dir: String, incoming: DataFrame): Unit = {
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // collapse the batch: any non-null field per metric wins in-batch
-    val inc = incoming
+    // collapse the batch LAST-WRITE-WINS per field: the latest NON-NULL
+    // row (by input order) wins, not the lexicographic max — a batch
+    // carrying `counter` then `gauge` for one metric must resolve to
+    // `gauge` (r12 advisor finding). Input order rides a synthesized
+    // monotonically_increasing_id ordinal (partition-major, which IS row
+    // order for the single-payload frames the gateway produces); max_by
+    // ignores rows whose ordering key is null, so a TYPE-only row never
+    // erases an earlier HELP.
+    val ordered = incoming
       .filter(col("metric").isNotNull)
+      .withColumn("_ord", monotonically_increasing_id())
+    def lww(field: String) =
+      max_by(col(field), when(col(field).isNotNull, col("_ord")))
+    val inc = ordered
       .groupBy(col("metric"))
-      .agg(max(col("type")).as("i_type"), max(col("help")).as("i_help"),
-        max(col("unit")).as("i_unit"))
+      .agg(lww("type").as("i_type"), lww("help").as("i_help"),
+        lww("unit").as("i_unit"))
     val (curVersion, cur) = readMetricMetaVersioned(spark, dir)
     val merged = cur match {
       case None =>
@@ -1110,8 +1121,14 @@ object Ingest {
       upsertMetricMeta(spark, dir, incoming)
       return
     }
+    // GC with a one-version grace window: a concurrent reader that just
+    // resolved v=next-1 via readMetricMetaVersioned may still be between
+    // its listing and its collect — deleting that version out from under
+    // it turns a metadata GET into a transient 500 (r12 advisor finding).
+    // Keeping exactly one prior version bounds the dir at 2 entries while
+    // giving in-flight readers a full upsert cycle to finish.
     fs.listStatus(new org.apache.hadoop.fs.Path(dir)).map(_.getPath).foreach { p =>
-      if (p.getName.stripPrefix("v=").toLongOption.exists(_ < next)) fs.delete(p, true)
+      if (p.getName.stripPrefix("v=").toLongOption.exists(_ < next - 1)) fs.delete(p, true)
     }
   }
 

@@ -328,4 +328,35 @@ class GatewaySpec extends AnyFunSuite with Matchers {
         ("temp", "gauge", null))
     } finally q.stop()
   }
+
+  test("metadata in-batch collapse is last-write-wins by input order (not " +
+       "lexicographic max), and GC keeps one prior version for in-flight readers") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-metalww").toString
+    // one batch, two conflicting TYPE rows for `m`: gauge first, counter
+    // second. Lexicographic max() resolved to gauge regardless of order
+    // (r12 advisor finding); LWW must take the LATER row
+    graft.streaming.Ingest.upsertMetricMeta(spark, dir, Seq(
+      ("m", "gauge", null, null),
+      ("m", "counter", "Counts things.", null)).toDF("metric", "type", "help", "unit"))
+    def meta() = graft.streaming.Ingest.readMetricMeta(spark, dir).get
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    meta() shouldEqual Set(("m", "counter", "Counts things."))
+    // a trailing TYPE-only row must still not erase the earlier HELP
+    // (max_by ignores null-keyed rows), and the later non-null TYPE wins
+    graft.streaming.Ingest.upsertMetricMeta(spark, dir, Seq(
+      ("m", null, null, "reqs"),
+      ("m", "gauge", null, null)).toDF("metric", "type", "help", "unit"))
+    meta() shouldEqual Set(("m", "gauge", "Counts things."))
+    // version GC grace: the newest AND one prior version stay on disk so a
+    // reader that resolved v=n-1 can finish its collect; older are gone
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def versions() = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .map(_.getPath.getName).filter(_.startsWith("v=")).sorted.toSeq
+    versions() shouldEqual Seq("v=1", "v=2")
+    graft.streaming.Ingest.upsertMetricMeta(spark, dir,
+      Seq(("n", "counter", null, null)).toDF("metric", "type", "help", "unit"))
+    versions() shouldEqual Seq("v=2", "v=3")
+  }
 }

@@ -711,7 +711,24 @@ class RemoteWriteSpec extends AnyFunSuite with Matchers {
       }
       health() should include(""""spool":{"depth":3""")
       api.drainSpool() shouldEqual 3
-      health() should include(""""spool":{"depth":0,"oldestAgeMs":0}""")
+      health() should include(""""spool":{"depth":0,"oldestAgeMs":0""")
+      // stalled-writer visibility: a live .tmp shows up as pendingTmp with
+      // its age, distinguishing "prefix blocked by a dead writer" from
+      // plain drain lag (depth)
+      health() should include(""""pendingTmp":0,"oldestTmpAgeMs":0""")
+      val fs = new org.apache.hadoop.fs.Path(s"$dir/sink")
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val stalled = fs.create(
+        new org.apache.hadoop.fs.Path(s"$dir/sink/_spool/99.tmp"), false)
+      stalled.write(1); stalled.close()
+      fs.setTimes(new org.apache.hadoop.fs.Path(s"$dir/sink/_spool/99.tmp"),
+        System.currentTimeMillis() - 5000L, -1)
+      val h = health()
+      h should include(""""pendingTmp":1""")
+      h should include(""""abandonAfterMs":30000""")
+      // the reported age reflects the planted mtime (>= the 5 s backdate)
+      val age = """"oldestTmpAgeMs":(\d+)""".r.findFirstMatchIn(h).get.group(1).toLong
+      age should be >= 5000L
     } finally api.stop()
   }
 
@@ -914,5 +931,49 @@ class RemoteWriteSpec extends AnyFunSuite with Matchers {
       "m" -> hist(3000L, Seq(7.0, 2.0)))), 2L, sink, index, reject, cfg)
     sunkHists(sink, "m").map(h => (h._1, h._4)) shouldEqual List(
       (1000L, List(2.0, 0.0)), (2000L, List(3.0, 1.0)), (3000L, List(2.0, 1.0)))
+  }
+
+  test("claim ledger shuts the pre-.tmp claim gap: an id claimed but not " +
+       "yet visible on disk gates the drain; a stalled claim is poisoned " +
+       "past the threshold so it can never ack out of order") {
+    val dir = tmp("graft-spoolclaimgap")
+    val ws = PromApi.WriteSink(s"$dir/sink", s"$dir/index", s"$dir/reject", cfg)
+    val api = new PromApi(spark, spark.range(0).toDF(), writeSink = Some(ws),
+      spoolDrainMs = 3600000L, spoolTmpAbandonMs = 30000L).start()
+    val url = s"http://localhost:${api.boundPort}"
+    def post(i: Int): Unit =
+      RemoteRead.remoteWriteSeries(Seq(ProtoWire.PSeries(
+        Seq("__name__" -> "m", "i" -> i.toString),
+        Seq(ProtoWire.PSample(i.toDouble, 1000L + i)))), url)
+    try {
+      // simulate a writer wedged BETWEEN getAndIncrement and fs.create —
+      // the window the .tmp prefix rule cannot see (no file exists yet)
+      val wedged = api.claimSpoolId()
+      // a sibling POST claims and fully publishes the NEXT id
+      post(1)
+      val fs = new org.apache.hadoop.fs.Path(s"$dir/sink")
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/sink/_spool"))
+        .count(_.getPath.getName.endsWith(".wr")) shouldEqual 1
+      // pre-fix the .wr drained here, committing batch ids out of spool-id
+      // order; the ledger floor must hold it back
+      api.drainSpool() shouldEqual 0
+      // the wedged writer gives up cleanly (IO failure path) -> unblocked
+      api.abandonSpoolClaim(wedged)
+      api.drainSpool() shouldEqual 1
+      // a claim stalled past spoolTmpAbandonMs is POISONED rather than
+      // gating forever: the drain moves past it...
+      val stale = api.claimSpoolId(System.currentTimeMillis() - 60000L)
+      post(2)
+      api.drainSpool() shouldEqual 1
+      // ...and when the wedged writer finally finishes, its settle is
+      // REJECTED (the POST answers 500 and the sender retries) — a
+      // poisoned id can never ack behind an already-drained higher id
+      api.completeSpoolClaim(stale) shouldBe false
+      // a fresh claim settles normally
+      val ok = api.claimSpoolId()
+      api.completeSpoolClaim(ok) shouldBe true
+      spark.read.parquet(s"$dir/sink").count() shouldEqual 2L
+    } finally api.stop()
   }
 }
