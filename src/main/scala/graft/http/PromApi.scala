@@ -893,7 +893,7 @@ class PromApi(spark: SparkSession, samples: DataFrame, port: Int = 0,
     }
     val histRows = series.flatMap { s =>
       val (metric, tags) = nameAndTags(s)
-      s.histograms.map { h =>
+      s.histograms.filter(_.customValues.isEmpty).map { h =>
         // Prometheus native bucket i covers (base^(i-1), base^i]; the
         // engine's exp storage bucket j covers (base^j, base^(j+1)]
         // (Histograms.expBucketBound) — shift the offset by one so the
@@ -904,15 +904,37 @@ class PromApi(spark: SparkSession, samples: DataFrame, port: Int = 0,
           h.sum, h.resetHint)
       }
     }
+    // NHCB (schema -53 custom-bucket native histograms): the wire's
+    // per-bucket counts index an explicit bounds list, which is exactly a
+    // classic scraped histogram in native clothing — canonicalize to the
+    // engine's prom_histogram storage (le[] bounds + CUMULATIVE-across-le,
+    // cumulative-over-time values[]), and every downstream path (the
+    // counter-correcting per-bucket rate kernel, sum by (le),
+    // histogram_quantile's linear bucket interpolation — the NHCB quantile
+    // semantics upstream defines) applies with no new query machinery and
+    // no delta-state LSM entry. The +Inf overflow entry is the sample's
+    // authoritative total count. Gauge-hinted NHCB stores the same shape:
+    // instant quantiles read each sample as a distribution either way, and
+    // rate() over a gauge histogram is undefined upstream.
+    val nhcbRows = series.flatMap { s =>
+      val (metric, tags) = nameAndTags(s)
+      s.histograms.filter(_.customValues.nonEmpty).map { h =>
+        val le = h.customValues :+ Double.PositiveInfinity
+        val perBucket = Array.fill(le.length)(0.0)
+        h.posCounts.zipWithIndex.foreach { case (c, k) =>
+          perBucket(h.posOffset + k) = c
+        }
+        val cum = perBucket.scanLeft(0.0)(_ + _).drop(1)
+        cum(cum.length - 1) = math.max(h.count, cum(cum.length - 1))
+        (metric, tags, h.ts, le, cum.toSeq, "prom_histogram")
+      }
+    }
     val canonical =
-      if (histRows.isEmpty)
+      if (histRows.isEmpty && nhcbRows.isEmpty)
         plainRows.toDF("metric", "tags", "ts", "value")
       else {
-        val hist = histRows.toDF("metric", "tags", "ts", "exp_scale",
-            "exp_offset", "exp_counts", "exp_zero_count", "exp_zero_threshold",
-            "exp_sum", "__reset_hint")
-          .withColumn("value", lit(null).cast("double"))
-        val plain = plainRows.toDF("metric", "tags", "ts", "value")
+        var plain = plainRows.toDF("metric", "tags", "ts", "value")
+        if (histRows.nonEmpty) plain = plain
           .withColumn("exp_scale", lit(null).cast("int"))
           .withColumn("exp_offset", lit(null).cast("int"))
           .withColumn("exp_counts", lit(null).cast("array<double>"))
@@ -920,7 +942,39 @@ class PromApi(spark: SparkSession, samples: DataFrame, port: Int = 0,
           .withColumn("exp_zero_threshold", lit(null).cast("double"))
           .withColumn("exp_sum", lit(null).cast("double"))
           .withColumn("__reset_hint", lit(null).cast("int"))
-        plain.unionByName(hist.select(plain.columns.map(col): _*))
+        if (nhcbRows.nonEmpty) plain = plain
+          .withColumn("le", lit(null).cast("array<double>"))
+          .withColumn("values", lit(null).cast("array<double>"))
+          .withColumn("series_type", lit(null).cast("string"))
+        var out = plain
+        if (histRows.nonEmpty) {
+          val hist = histRows.toDF("metric", "tags", "ts", "exp_scale",
+              "exp_offset", "exp_counts", "exp_zero_count", "exp_zero_threshold",
+              "exp_sum", "__reset_hint")
+            .withColumn("value", lit(null).cast("double"))
+          val padded =
+            if (nhcbRows.isEmpty) hist
+            else hist
+              .withColumn("le", lit(null).cast("array<double>"))
+              .withColumn("values", lit(null).cast("array<double>"))
+              .withColumn("series_type", lit(null).cast("string"))
+          out = out.unionByName(padded.select(out.columns.map(col): _*))
+        }
+        if (nhcbRows.nonEmpty) {
+          var nhcb = nhcbRows.toDF("metric", "tags", "ts", "le", "values",
+              "series_type")
+            .withColumn("value", lit(null).cast("double"))
+          if (histRows.nonEmpty) nhcb = nhcb
+            .withColumn("exp_scale", lit(null).cast("int"))
+            .withColumn("exp_offset", lit(null).cast("int"))
+            .withColumn("exp_counts", lit(null).cast("array<double>"))
+            .withColumn("exp_zero_count", lit(null).cast("double"))
+            .withColumn("exp_zero_threshold", lit(null).cast("double"))
+            .withColumn("exp_sum", lit(null).cast("double"))
+            .withColumn("__reset_hint", lit(null).cast("int"))
+          out = out.unionByName(nhcb.select(out.columns.map(col): _*))
+        }
+        out
       }
     graft.streaming.Ingest.remoteWriteBatch(
       canonical, batchId, ws.sinkDir, ws.indexDir, ws.rejectDir, ws.cfg)

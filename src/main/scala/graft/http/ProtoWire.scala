@@ -186,12 +186,20 @@ object ProtoWire {
     * histograms (count_int/`*_deltas`) and float histograms
     * (count_float/`*_counts`) both land here as doubles. Counts are
     * CUMULATIVE-over-time (native histograms are counters) unless
-    * `resetHint == 3` (GAUGE). ResetHint: 0=UNKNOWN 1=YES 2=NO 3=GAUGE. */
+    * `resetHint == 3` (GAUGE). ResetHint: 0=UNKNOWN 1=YES 2=NO 3=GAUGE.
+    *
+    * NHCB (custom-bucket native histograms, Prometheus v2.51+/v3, schema
+    * −53): `customValues` holds the explicit bucket upper bounds; the
+    * positive spans then index THAT list (absolute index k ≤ bounds.length
+    * means bucket (bounds(k−1), bounds(k)], with index bounds.length the
+    * (last bound, +Inf] overflow) — no exponential mapping, no negative
+    * buckets, no zero bucket. Empty for exponential-schema histograms. */
   case class PHistogram(ts: Long, schema: Int, zeroThreshold: Double,
                         zeroCount: Double, count: Double, sum: Double,
                         resetHint: Int,
                         posOffset: Int, posCounts: Seq[Double],
-                        negOffset: Int, negCounts: Seq[Double])
+                        negOffset: Int, negCounts: Seq[Double],
+                        customValues: Seq[Double] = Nil)
 
   case class PSeries(labels: Seq[(String, String)], samples: Seq[PSample],
                      histograms: Seq[PHistogram] = Nil,
@@ -307,6 +315,7 @@ object ProtoWire {
     }
     hw.enum(14, h.resetHint)
     hw.int64(15, h.ts)
+    if (h.customValues.nonEmpty) hw.packedDoubles(16, h.customValues)
     hw
   }
 
@@ -354,7 +363,8 @@ object ProtoWire {
 
   private def readHistogram(hr: Reader): PHistogram = {
     var ts = 0L; var schema = 0; var zeroThreshold = 0.0; var zeroCount = 0.0
-    var count = 0.0; var sum = 0.0; var resetHint = 0; var customValues = false
+    var count = 0.0; var sum = 0.0; var resetHint = 0
+    val customValues = Seq.newBuilder[Double]
     val posSpans = Seq.newBuilder[(Int, Int)]; val negSpans = Seq.newBuilder[(Int, Int)]
     val posDeltas = Seq.newBuilder[Long]; val negDeltas = Seq.newBuilder[Long]
     val posCounts = Seq.newBuilder[Double]; val negCounts = Seq.newBuilder[Double]
@@ -398,25 +408,42 @@ object ProtoWire {
       case (14, 0) => resetHint = hr.readVarint().toInt
       case (15, 0) => ts = hr.readVarint()
       // field 16 = custom_values (Prometheus v2.51+/v3 NHCB, schema -53):
-      // custom-BUCKET histograms are not exponential — their spans index
-      // an explicit bounds list, so decoding them as exponential buckets
-      // would silently store wrong bounds. Flag and reject below.
-      case (16, wt) => customValues = true; hr.skip(wt)
+      // the explicit bucket-bound list the positive spans index instead of
+      // the exponential mapping
+      case (16, 2) =>
+        val pr = hr.readMessage()
+        while (pr.hasNext) customValues += pr.readDouble()
+      case (16, 1) => customValues += hr.readDouble()
       case (_, wt) => hr.skip(wt)
     }
-    // only the exponential schema family is storable; anything else (NHCB
-    // schema -53, future schemas) must fail the POST with 400 — senders
-    // treat 400 as non-retryable, and corrupting storage is worse than
-    // dropping an unsupported payload (r10 advisor finding)
-    if (customValues || schema < -4 || schema > 8)
-      throw new IllegalArgumentException(
-        s"unsupported native-histogram schema $schema" +
-          (if (customValues) " (custom buckets / NHCB)" else "") +
-          "; only exponential schemas in [-4, 8] are supported")
+    val cv = customValues.result()
     val (pOff, pC) = expandSpans(posSpans.result(), posDeltas.result(), posCounts.result())
     val (nOff, nC) = expandSpans(negSpans.result(), negDeltas.result(), negCounts.result())
+    // storable families: the exponential schemas in [-4, 8], and NHCB
+    // (schema -53 + a bounds list). Anything else — a -53 with no bounds,
+    // bounds on an exponential schema, negative/misindexed NHCB buckets,
+    // future schemas — must fail the POST with 400: senders treat 400 as
+    // non-retryable, and corrupting storage is worse than dropping an
+    // unsupported payload (r10 advisor finding).
+    if (schema == -53) {
+      if (cv.isEmpty) throw new IllegalArgumentException(
+        "malformed NHCB histogram: schema -53 without custom_values bounds")
+      if (cv.sorted != cv || cv.distinct != cv) throw new IllegalArgumentException(
+        "malformed NHCB histogram: custom_values bounds must be strictly increasing")
+      if (nC.nonEmpty || zeroCount != 0.0) throw new IllegalArgumentException(
+        "malformed NHCB histogram: custom-bucket histograms have no negative or zero buckets")
+      if (pOff < 0 || pOff + pC.length > cv.length + 1) throw new IllegalArgumentException(
+        s"malformed NHCB histogram: bucket indexes [$pOff, ${pOff + pC.length})" +
+          s" exceed the ${cv.length}-bound list (+1 overflow bucket)")
+    } else if (cv.nonEmpty)
+      throw new IllegalArgumentException(
+        s"malformed native histogram: custom_values with exponential schema $schema")
+    else if (schema < -4 || schema > 8)
+      throw new IllegalArgumentException(
+        s"unsupported native-histogram schema $schema" +
+          "; only exponential schemas in [-4, 8] and NHCB (-53) are supported")
     PHistogram(ts, schema, zeroThreshold, zeroCount, count, sum, resetHint,
-      pOff, pC, nOff, nC)
+      pOff, pC, nOff, nC, cv)
   }
 
   private def readSeries(tr: Reader): PSeries = {

@@ -271,6 +271,25 @@ object HistQueries {
         .orderBy("step_ts")
     }),
 
+    // NHCB (schema -53 custom-bucket native histograms, Prometheus
+    // v2.51+/v3) end-to-end: daily CUMULATIVE custom-bucket histograms
+    // over the purchase values (bounds 10/50/100/200) ride remote-write —
+    // alternating v1 and v2 wire chunks, plus a sender-retry replay the
+    // high-water marks must no-op — land as classic prom_histogram
+    // bucket storage, and histogram_quantile(0.9, sum by (le)
+    // (rate(...[2d]))) evaluates the custom-bound interpolation ladder.
+    // Oracle = the q106 extrapolated-counter-rate mirror (same bounds,
+    // same classic semantics upstream defines for NHCB).
+    "q181_nhcb_remote_write" -> ((s, dir) => {
+      val sink = q181SinkCache.computeIfAbsent(dir, _ => buildQ181Sink(s, dir))
+      val sunk = s.read.option("mergeSchema", "true").parquet(sink)
+      val ctx = PromPlanner.Ctx(s, sunk, S + 2 * D1, TsTables.EventsEndMs, D1)
+      PromPlanner.queryRange(ctx,
+        "histogram_quantile(0.9, sum by (le) (rate(purchase[2d])))")
+        .select(col("step_ts"), round(col("value"), 6).as("q90"))
+        .orderBy("step_ts")
+    }),
+
     // Exemplar QUERY surface end-to-end: exemplars ride a remote-write
     // POST into the content-dedup'd side table (a sender-retry replay
     // must append nothing), then /api/v1/query_exemplars answers a
@@ -619,45 +638,13 @@ object HistQueries {
     // 86400 s, end gap = 0, n = 2 -> the only conditional left is the
     // counter zero-point clamp; then the q70 quantile CASE over
     // monotonicity-repaired per-bucket rates
-    "q106_promql_hist_storage_rate" ->
-      s"""WITH ev AS (SELECT (epoch_ns(ts)//1000000 - $S) // $D1 AS day, value
-                      FROM events WHERE event_type = 'purchase'),
-          bnds(pos, le) AS (VALUES (0, 10.0), (1, 50.0), (2, 100.0), (3, 200.0),
-                                   (4, 'infinity'::DOUBLE)),
-          daily AS (SELECT b.pos, e.day,
-                      sum(CASE WHEN e.value <= b.le THEN 1.0 ELSE 0 END) AS cnt
-                    FROM ev e CROSS JOIN bnds b GROUP BY 1, 2),
-          cum AS (SELECT pos, day, sum(cnt) OVER (PARTITION BY pos ORDER BY day) AS c
-                  FROM daily),
-          stps AS (SELECT unnest(generate_series(${S + 2 * D1}, ${TsTables.EventsEndMs}, $D1)) AS step_ts),
-          pair AS (SELECT s.step_ts, c2.pos, c1.c AS v1, c2.c AS v2
-                   FROM stps s
-                   JOIN cum c1 ON c1.day = (s.step_ts - $S) // $D1 - 2
-                   JOIN cum c2 ON c2.day = (s.step_ts - $S) // $D1 - 1 AND c2.pos = c1.pos),
-          rates AS (SELECT step_ts, pos,
-                      (v2 - v1) * ((86400.0 +
-                        CASE WHEN (v2 - v1) > 0 AND 86400.0 * (v1 / (v2 - v1)) < 86400.0
-                             THEN 86400.0 * (v1 / (v2 - v1)) ELSE 86400.0 END) / 86400.0)
-                        / ${2 * D1} * 1000 AS r
-                    FROM pair),
-          rep AS (SELECT step_ts, pos,
-                    max(r) OVER (PARTITION BY step_ts ORDER BY pos
-                                 ROWS UNBOUNDED PRECEDING) AS r
-                  FROM rates),
-          b AS (SELECT step_ts,
-                  max(CASE WHEN pos = 0 THEN r END) AS c10,
-                  max(CASE WHEN pos = 1 THEN r END) AS c50,
-                  max(CASE WHEN pos = 2 THEN r END) AS c100,
-                  max(CASE WHEN pos = 3 THEN r END) AS c200,
-                  max(CASE WHEN pos = 4 THEN r END) AS ctot
-                FROM rep GROUP BY 1)
-          SELECT step_ts, round(CASE
-              WHEN c10 >= 0.9*ctot THEN 0.0 + (10.0 - 0.0) * (0.9*ctot - 0.0) / (c10 - 0.0)
-              WHEN c50 >= 0.9*ctot THEN 10.0 + (50.0 - 10.0) * (0.9*ctot - c10) / (c50 - c10)
-              WHEN c100 >= 0.9*ctot THEN 50.0 + (100.0 - 50.0) * (0.9*ctot - c50) / (c100 - c50)
-              WHEN c200 >= 0.9*ctot THEN 100.0 + (200.0 - 100.0) * (0.9*ctot - c100) / (c200 - c100)
-              ELSE 200.0 END, 6) AS q90
-          FROM b ORDER BY step_ts""",
+    "q106_promql_hist_storage_rate" -> classicHistRateQuantileSql,
+
+    // the NHCB wire path (schema -53, custom_values 10/50/100/200) lands
+    // the SAME classic cumulative bucket storage q106 synthesizes
+    // directly, so the mirror is the identical extrapolated-counter-rate
+    // interpolation ladder
+    "q181_nhcb_remote_write" -> classicHistRateQuantileSql,
 
     // delta-rate mirror: per-day exp-bucket counts are PER-INTERVAL
     // deltas, so rate = (sum of the window's two samples) / window-sec per
@@ -901,6 +888,78 @@ object HistQueries {
     s"$base/sink"
   }
 
+  /** q181's NHCB fixture, built ONCE per (session, sfDir) like q172's:
+    * cumulative daily custom-bucket (schema −53) native histograms over
+    * the purchase values, POSTed in chunks alternating the v1 and v2
+    * remote-write wires (both must land identically), plus a sender-retry
+    * replay of one chunk that the persisted high-water marks must no-op. */
+  private val q181SinkCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def buildQ181Sink(s: org.apache.spark.sql.SparkSession,
+                            dir: String): String = {
+    import graft.http.{ProtoWire, PromApi, RemoteRead}
+    val base = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"), "q181_nhcb").toString
+    new org.apache.hadoop.fs.Path(base).getFileSystem(
+      s.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(base), true)
+    val bounds = Seq(10.0, 50.0, 100.0, 200.0)
+    val ev = TsTables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .withColumn("day", ((col("ts_ms") - S) / D1).cast("long"))
+    // per-day PER-BUCKET counts indexing the bounds list, bucket k =
+    // (bounds(k-1), bounds(k)], plus the (200, +Inf] overflow at index 4
+    val daily = ev.groupBy(col("day"))
+      .agg(array((0 to bounds.length).map { k =>
+        val hiOk =
+          if (k == bounds.length) lit(true) else col("value") <= bounds(k)
+        val loOk = if (k == 0) lit(true) else col("value") > bounds(k - 1)
+        sum(when(hiOk && loOk, 1.0).otherwise(0.0))
+      }: _*).as("daily"))
+      .orderBy(col("day"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    val cum = daily.scanLeft((-1L, Seq.fill(bounds.length + 1)(0.0))) {
+      case ((_, acc), (d, row)) => (d, acc.lazyZip(row).map(_ + _))
+    }.drop(1)
+    val hists = cum.map { case (d, counts) =>
+      ProtoWire.PHistogram(ts = S + (d + 1) * D1, schema = -53,
+        zeroThreshold = 0.0, zeroCount = 0.0, count = counts.sum,
+        sum = 0.0, resetHint = 0, posOffset = 0, posCounts = counts,
+        negOffset = 0, negCounts = Nil, customValues = bounds)
+    }.toSeq
+    val ws = PromApi.WriteSink(s"$base/sink", s"$base/index", s"$base/reject",
+      graft.operators.Quota.QuotaConfig(Seq("metric"), Seq(1000000L)))
+    val api = new PromApi(s, s.range(0).toDF(), writeSink = Some(ws),
+      hwmCompactEvery = 2).start()
+    try {
+      val url = s"http://localhost:${api.boundPort}"
+      def series(hs: Seq[ProtoWire.PHistogram]) = Seq(ProtoWire.PSeries(
+        Seq("__name__" -> "purchase"), Nil, histograms = hs))
+      def postV2(hs: Seq[ProtoWire.PHistogram]): Unit = {
+        val resp = java.net.http.HttpClient.newHttpClient().send(
+          java.net.http.HttpRequest.newBuilder(
+              java.net.URI.create(s"$url/api/v1/write"))
+            .header("Content-Type",
+              "application/x-protobuf;proto=io.prometheus.write.v2.Request")
+            .header("Content-Encoding", "snappy")
+            .POST(java.net.http.HttpRequest.BodyPublishers.ofByteArray(
+              org.xerial.snappy.Snappy.compress(
+                ProtoWire.encodeWriteRequestV2(series(hs))))).build(),
+          java.net.http.HttpResponse.BodyHandlers.ofString())
+        require(resp.statusCode() / 100 == 2,
+          s"NHCB v2 POST failed: HTTP ${resp.statusCode()} ${resp.body()}")
+      }
+      val chunks = hists.grouped(math.max(1, hists.size / 4 + 1)).toSeq
+      chunks.zipWithIndex.foreach { case (hs, i) =>
+        if (i % 2 == 0) RemoteRead.remoteWriteSeries(series(hs), url)
+        else postV2(hs)
+      }
+      RemoteRead.remoteWriteSeries(series(chunks(1)), url) // sender retry
+    } finally api.stop()
+    s"$base/sink"
+  }
+
   private def sumCarryingNativeHistCtx(s: org.apache.spark.sql.SparkSession,
                                        dir: String): PromPlanner.Ctx = {
     val sink = nhSinkCache.computeIfAbsent(dir, _ => buildNativeHistSink(s, dir))
@@ -954,6 +1013,53 @@ object HistQueries {
     } finally api.stop()
     s"$base/sink"
   }
+
+  /** Shared q106/q181 mirror: extrapolated counter rate per le bound over
+    * classic cumulative bucket storage (bounds 10/50/100/200/+Inf), then
+    * the monotonicity-repaired 0.9-quantile interpolation ladder. Mirrors
+    * RangeFns.extrapolated exactly for the 2-samples-per-window layout
+    * (samples 1d apart, window 2d): sampledInterval = start gap = 86400 s,
+    * end gap = 0, n = 2 — the only conditional left is the counter
+    * zero-point clamp. */
+  private def classicHistRateQuantileSql: String =
+    s"""WITH ev AS (SELECT (epoch_ns(ts)//1000000 - $S) // $D1 AS day, value
+                    FROM events WHERE event_type = 'purchase'),
+        bnds(pos, le) AS (VALUES (0, 10.0), (1, 50.0), (2, 100.0), (3, 200.0),
+                                 (4, 'infinity'::DOUBLE)),
+        daily AS (SELECT b.pos, e.day,
+                    sum(CASE WHEN e.value <= b.le THEN 1.0 ELSE 0 END) AS cnt
+                  FROM ev e CROSS JOIN bnds b GROUP BY 1, 2),
+        cum AS (SELECT pos, day, sum(cnt) OVER (PARTITION BY pos ORDER BY day) AS c
+                FROM daily),
+        stps AS (SELECT unnest(generate_series(${S + 2 * D1}, ${TsTables.EventsEndMs}, $D1)) AS step_ts),
+        pair AS (SELECT s.step_ts, c2.pos, c1.c AS v1, c2.c AS v2
+                 FROM stps s
+                 JOIN cum c1 ON c1.day = (s.step_ts - $S) // $D1 - 2
+                 JOIN cum c2 ON c2.day = (s.step_ts - $S) // $D1 - 1 AND c2.pos = c1.pos),
+        rates AS (SELECT step_ts, pos,
+                    (v2 - v1) * ((86400.0 +
+                      CASE WHEN (v2 - v1) > 0 AND 86400.0 * (v1 / (v2 - v1)) < 86400.0
+                           THEN 86400.0 * (v1 / (v2 - v1)) ELSE 86400.0 END) / 86400.0)
+                      / ${2 * D1} * 1000 AS r
+                  FROM pair),
+        rep AS (SELECT step_ts, pos,
+                  max(r) OVER (PARTITION BY step_ts ORDER BY pos
+                               ROWS UNBOUNDED PRECEDING) AS r
+                FROM rates),
+        b AS (SELECT step_ts,
+                max(CASE WHEN pos = 0 THEN r END) AS c10,
+                max(CASE WHEN pos = 1 THEN r END) AS c50,
+                max(CASE WHEN pos = 2 THEN r END) AS c100,
+                max(CASE WHEN pos = 3 THEN r END) AS c200,
+                max(CASE WHEN pos = 4 THEN r END) AS ctot
+              FROM rep GROUP BY 1)
+        SELECT step_ts, round(CASE
+            WHEN c10 >= 0.9*ctot THEN 0.0 + (10.0 - 0.0) * (0.9*ctot - 0.0) / (c10 - 0.0)
+            WHEN c50 >= 0.9*ctot THEN 10.0 + (50.0 - 10.0) * (0.9*ctot - c10) / (c50 - c10)
+            WHEN c100 >= 0.9*ctot THEN 50.0 + (100.0 - 50.0) * (0.9*ctot - c50) / (c100 - c50)
+            WHEN c200 >= 0.9*ctot THEN 100.0 + (200.0 - 100.0) * (0.9*ctot - c100) / (c200 - c100)
+            ELSE 200.0 END, 6) AS q90
+        FROM b ORDER BY step_ts"""
 
   private def expCols: String =
     (1 to 9).map(j => s"sum(CASE WHEN value <= ${1L << j}.0 THEN 1.0 ELSE 0 END) AS x$j")

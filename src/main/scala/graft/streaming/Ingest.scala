@@ -402,7 +402,11 @@ object Ingest {
     // picks deterministically for histogram rows (value is null there,
     // and struct comparison falls through to the payload fields)
     val payload = Seq("value") ++
-      (if (hasExp) ExpCols ++ Seq("__reset_hint") else Nil)
+      (if (hasExp) ExpCols ++ Seq("__reset_hint") else Nil) ++
+      // NHCB rows (custom-bucket native histograms canonicalized to
+      // prom_histogram storage) carry their payload in le/values
+      (if (canonical.columns.contains("le")) Seq("le", "values", "series_type")
+       else Nil)
     val inBatch = withId
       .groupBy(col("series_id"), col("metric"), col("tags"), col("ts"))
       .agg(min(struct(payload.map(col): _*)).as("__p"))
@@ -458,9 +462,13 @@ object Ingest {
     import org.apache.spark.sql.expressions.Window
     val spark = fresh.sparkSession
     val expRows = fresh.filter(col("exp_counts").isNotNull)
-    val plain = fresh.filter(col("exp_counts").isNull)
-      .drop("__reset_hint")
-      .withColumn("series_type", lit(null).cast("string"))
+    // non-exp rows keep an existing series_type (NHCB rows arrive already
+    // typed prom_histogram and need no temporality conversion — classic
+    // bucket counters are stored cumulative); plain samples stay null
+    val plain0 = fresh.filter(col("exp_counts").isNull).drop("__reset_hint")
+    val plain =
+      if (plain0.columns.contains("series_type")) plain0
+      else plain0.withColumn("series_type", lit(null).cast("string"))
     val stateCols = Seq("series_id", "ts") ++ ExpCols
     val state = expStateRead(spark, stateDir)
     // seed per series: the LATEST state row strictly older than the

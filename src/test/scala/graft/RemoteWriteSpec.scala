@@ -933,6 +933,134 @@ class RemoteWriteSpec extends AnyFunSuite with Matchers {
       (1000L, List(2.0, 0.0)), (2000L, List(3.0, 1.0)), (3000L, List(2.0, 1.0)))
   }
 
+  test("GAUGE native histograms (reset_hint=3): legitimate shrinks are " +
+       "stored as per-sample distributions — never delta-converted, never " +
+       "treated as counter resets, across POSTs and batches") {
+    val dir = tmp("graft-gaugehist")
+    val ws = PromApi.WriteSink(s"$dir/sink", s"$dir/index", s"$dir/reject", cfg)
+    val api = new PromApi(spark, spark.range(0).toDF(), writeSink = Some(ws)).start()
+    val url = s"http://localhost:${api.boundPort}"
+    def post(hs: Seq[ProtoWire.PHistogram]): Unit =
+      RemoteRead.remoteWriteSeries(Seq(ProtoWire.PSeries(
+        Seq("__name__" -> "g"), Nil, histograms = hs)), url)
+    try {
+      // grows then SHRINKS within one POST, then shrinks again across a
+      // POST boundary (exercising the cross-batch state seed): a counter
+      // series would reset-credit the absolute counts at the shrink; a
+      // gauge must store every sample verbatim
+      post(Seq(hist(1000L, Seq(5.0, 2.0), resetHint = 3, sumV = 9.0),
+        hist(2000L, Seq(3.0, 1.0), resetHint = 3, sumV = 5.0)))
+      post(Seq(hist(3000L, Seq(1.0, 1.0), resetHint = 3, sumV = 3.0)))
+      sunkHists(s"$dir/sink", "g") shouldEqual List(
+        (1000L, 0, 0, List(5.0, 2.0), 0.0, "otel_exp_histogram"),
+        (2000L, 0, 0, List(3.0, 1.0), 0.0, "otel_exp_histogram"),
+        (3000L, 0, 0, List(1.0, 1.0), 0.0, "otel_exp_histogram"))
+      // the sum field stays per-sample too (a delta conversion would have
+      // stored 5-9=-4 at t=2000)
+      val sums = spark.read.parquet(s"$dir/sink").filter(col("metric") === "g")
+        .select(col("ts").cast("long"), col("exp_sum")).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toList
+      sums shouldEqual List((1000L, 9.0), (2000L, 5.0), (3000L, 3.0))
+      // instant quantile reads the shrunk sample as its own distribution
+      val ctx = graft.promql.PromPlanner.Ctx(spark,
+        spark.read.parquet(s"$dir/sink"), 3000L, 3000L, 1000L)
+      graft.promql.PromPlanner.queryRange(ctx, "histogram_count(g)")
+        .select("value").head().getDouble(0) shouldEqual 2.0
+    } finally api.stop()
+  }
+
+  // ===== NHCB (schema -53 custom-bucket native histograms) =================
+
+  private def nhcb(ts: Long, counts: Seq[Double], bounds: Seq[Double],
+                   posOffset: Int = 0, resetHint: Int = 0,
+                   count: Double = -1.0): ProtoWire.PHistogram =
+    ProtoWire.PHistogram(ts, -53, 0.0, 0.0,
+      if (count < 0) counts.sum else count, sum = 0.0, resetHint,
+      posOffset, counts, 0, Nil, customValues = bounds)
+
+  test("NHCB wire: custom_values round-trips on v1 and v2; sparse spans " +
+       "index the bounds list; malformed NHCB payloads answer 400") {
+    val h = nhcb(1000L, Seq(2.0, 3.0, 1.0), Seq(1.0, 5.0, 10.0))
+    val s = ProtoWire.PSeries(Seq("__name__" -> "m"), Nil, histograms = Seq(h))
+    ProtoWire.decodeWriteRequest(ProtoWire.encodeWriteRequest(Seq(s)))
+      .head.histograms.head shouldEqual h
+    ProtoWire.decodeWriteRequestV2(ProtoWire.encodeWriteRequestV2(Seq(s)))
+      ._1.head.histograms.head shouldEqual h
+    // a float-count NHCB takes the packed-double path
+    val hf = nhcb(1000L, Seq(2.5, 3.0), Seq(1.0, 5.0))
+    ProtoWire.decodeWriteRequest(ProtoWire.encodeWriteRequest(Seq(
+      s.copy(histograms = Seq(hf))))).head.histograms.head shouldEqual hf
+    // sparse span starting above 0 (bucket 0 empty) survives
+    val hs2 = nhcb(1000L, Seq(4.0), Seq(1.0, 5.0), posOffset = 1)
+    ProtoWire.decodeWriteRequest(ProtoWire.encodeWriteRequest(Seq(
+      s.copy(histograms = Seq(hs2))))).head.histograms.head shouldEqual hs2
+    def rejects(bad: ProtoWire.PHistogram, frag: String): Unit = {
+      val e = intercept[IllegalArgumentException] {
+        ProtoWire.decodeWriteRequest(ProtoWire.encodeWriteRequest(Seq(
+          s.copy(histograms = Seq(bad)))))
+      }
+      e.getMessage should include(frag)
+    }
+    // -53 without bounds (the r10 reject, retained)
+    rejects(hist(1000L, Seq(2.0, 1.0), schema = -53), "without custom_values")
+    // bounds on an exponential schema
+    rejects(nhcb(1000L, Seq(2.0), Seq(1.0)).copy(schema = 0), "exponential schema")
+    // non-increasing bounds
+    rejects(nhcb(1000L, Seq(2.0), Seq(5.0, 1.0)), "strictly increasing")
+    // bucket indexes past the bounds list (+1 overflow)
+    rejects(nhcb(1000L, Seq(1.0, 1.0, 1.0), Seq(1.0), posOffset = 0), "exceed")
+  }
+
+  test("NHCB ingest end-to-end: custom buckets land as classic cumulative " +
+       "bucket storage; instant histogram_quantile interpolates the custom " +
+       "bounds; a mixed plain+exp+NHCB POST commits all three shapes") {
+    val dir = tmp("graft-nhcbe2e")
+    val ws = PromApi.WriteSink(s"$dir/sink", s"$dir/index", s"$dir/reject", cfg)
+    val api = new PromApi(spark, spark.range(0).toDF(), writeSink = Some(ws)).start()
+    val url = s"http://localhost:${api.boundPort}"
+    try {
+      val bounds = Seq(1.0, 5.0, 10.0)
+      // one POST carrying all three sample shapes for distinct metrics
+      RemoteRead.remoteWriteSeries(Seq(
+        ProtoWire.PSeries(Seq("__name__" -> "nh"), Nil, histograms = Seq(
+          nhcb(1000L, Seq(2.0, 3.0, 1.0), bounds),         // cum le: 2,5,6,6
+          nhcb(2000L, Seq(4.0, 6.0, 2.0), bounds))),       // cum le: 4,10,12,12
+        ProtoWire.PSeries(Seq("__name__" -> "plain"),
+          Seq(ProtoWire.PSample(7.0, 2000L))),
+        ProtoWire.PSeries(Seq("__name__" -> "eh"), Nil,
+          histograms = Seq(hist(2000L, Seq(3.0, 1.0))))), url)
+      val sunk = spark.read.parquet(s"$dir/sink")
+      // NHCB rows: le = bounds :+ Inf, values cumulative-across-le with
+      // the +Inf entry = the sample's total count
+      val nh = sunk.filter(col("metric") === "nh")
+        .select(col("ts").cast("long"), col("le"), col("values"), col("series_type"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toList,
+          r.getSeq[Double](2).toList, r.getString(3))).sortBy(_._1).toList
+      nh shouldEqual List(
+        (1000L, List(1.0, 5.0, 10.0, Double.PositiveInfinity),
+          List(2.0, 5.0, 6.0, 6.0), "prom_histogram"),
+        (2000L, List(1.0, 5.0, 10.0, Double.PositiveInfinity),
+          List(4.0, 10.0, 12.0, 12.0), "prom_histogram"))
+      sunk.filter(col("metric") === "plain").select("value")
+        .head().getDouble(0) shouldEqual 7.0
+      sunk.filter(col("metric") === "eh").select("series_type")
+        .head().getString(0) shouldEqual "otel_exp_histogram"
+      // instant quantile at t=2000: rank 0.5*12=6 falls in (1,5] with
+      // prev cum 4, bucket cum 10 -> 1 + 4*(6-4)/(10-4)
+      val ctx = graft.promql.PromPlanner.Ctx(spark, sunk, 2000L, 2000L, 1000L)
+      graft.promql.PromPlanner.queryRange(ctx, "histogram_quantile(0.5, nh)")
+        .select("value").head().getDouble(0) shouldEqual
+        (1.0 + 4.0 * 2.0 / 6.0) +- 1e-9
+      // the retry replay no-ops via the hwm (classic counter storage
+      // needs no delta state)
+      RemoteRead.remoteWriteSeries(Seq(ProtoWire.PSeries(
+        Seq("__name__" -> "nh"), Nil,
+        histograms = Seq(nhcb(2000L, Seq(4.0, 6.0, 2.0), bounds)))), url)
+      spark.read.parquet(s"$dir/sink").filter(col("metric") === "nh")
+        .count() shouldEqual 2L
+    } finally api.stop()
+  }
+
   test("claim ledger shuts the pre-.tmp claim gap: an id claimed but not " +
        "yet visible on disk gates the drain; a stalled claim is poisoned " +
        "past the threshold so it can never ack out of order") {
