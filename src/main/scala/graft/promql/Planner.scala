@@ -465,7 +465,11 @@ object PromPlanner {
         .otherwise(map().cast("map<string,string>")),
       col("tags"))
     val tie = if (df.columns.contains("__tie")) col("__tie") else lit(0L)
-    df.select(labels.as("labels"), col("ts"), col("value"), tie.as("__tie"))
+    val cols = Seq(labels.as("labels"), col("ts"), col("value"), tie.as("__tie")) ++
+      // staleness-marker tombstones ride along for the instant-lookback
+      // cutoff (periodicWithStaleCutoff); absent everywhere else
+      (if (df.columns.contains("__stale")) Seq(col("__stale")) else Nil)
+    df.select(cols: _*)
   }
 
   /** Periodic evaluation of a range function over a matrix selector.
@@ -476,6 +480,44 @@ object PromPlanner {
     * the wire. */
   private def periodic(ctx: Ctx, sel: Selector, fn: RangeFn, windowMs: Long): DataFrame =
     periodicFrom(ctx, selectorSamples(ctx, sel), sel, fn, windowMs)
+
+  /** INSTANT-vector evaluation honoring upstream staleness MARKERS
+    * (prometheus tsdb tombstone rows, `__stale` = true in storage): a
+    * marker is excluded from every range vector (its value is NaN, which
+    * the kernel drops — range-function semantics need nothing extra) but
+    * CUTS the instant lookback — a marker newer than the newest live
+    * sample makes the series absent at that step. Computed as three
+    * kernel passes joined on (series, step): the base function over live
+    * rows, plus last-live-ts and last-marker-ts; steps where the marker
+    * wins are dropped. Frames WITHOUT the column — every production
+    * ingest path today, and corpus loads carrying no `stale` token — take
+    * the single-pass kernel untouched (driver-side column check). */
+  private def periodicWithStaleCutoff(ctx: Ctx, sel: Selector, fn: RangeFn,
+                                      windowMs: Long): DataFrame = {
+    val src = selectorSamples(ctx, sel)
+    if (!src.columns.contains("__stale"))
+      periodicFrom(ctx, src, sel, fn, windowMs)
+    else {
+      val isMarker = coalesce(col("__stale"), lit(false))
+      val live = src.filter(!isMarker)
+      val base = periodicFrom(ctx, live, sel, fn, windowMs)
+      // markers store value = NaN (no-data to every range vector); the
+      // tombstone's payload is its TIMESTAMP, so lift it through the
+      // timestamp kernel over constant-valued rows
+      val markers = src.filter(isMarker).withColumn("value", lit(0.0))
+      val cutTs = periodicFrom(ctx, markers, sel,
+          RangeFns.byName("timestamp"), windowMs)
+        .select(col("__key"), col("step_ts"), col("value").as("__cut"))
+      val liveTs = periodicFrom(ctx, live, sel,
+          RangeFns.byName("timestamp"), windowMs)
+        .select(col("__key"), col("step_ts"), col("value").as("__lts"))
+      base.join(cutTs, Seq("__key", "step_ts"), "left")
+        .join(liveTs, Seq("__key", "step_ts"), "left")
+        .filter(col("__cut").isNull ||
+          (col("__lts").isNotNull && col("__lts") > col("__cut")))
+        .drop("__cut", "__lts")
+    }
+  }
 
   private def periodicFrom(ctx: Ctx, src0: DataFrame, sel: Selector,
                            fn: RangeFn, windowMs: Long): DataFrame = {
@@ -532,7 +574,8 @@ object PromPlanner {
 
     case sel: Selector =>
       // instant selector: implicit last_over_time over the staleness window
-      periodic(ctx, sel, RangeFns.LastOverTime, sel.windowMs.getOrElse(ctx.lookbackMs))
+      periodicWithStaleCutoff(ctx, sel, RangeFns.LastOverTime,
+        sel.windowMs.getOrElse(ctx.lookbackMs))
 
     case FuncCall(name, args) => planFunc(ctx, name, args)
 
@@ -790,7 +833,8 @@ object PromPlanner {
           // dropped like any instant function (upstream: timestamp(m) has
           // no __name__; r10 upstream-corpus finding). `last` is the
           // FiloDB passthrough and keeps it.
-          dropNameIf(periodic(ctx, sel, RangeFns.byName(n), ctx.lookbackMs),
+          dropNameIf(
+            periodicWithStaleCutoff(ctx, sel, RangeFns.byName(n), ctx.lookbackMs),
             n == "timestamp")
         case sel: Selector if sel.windowMs.isDefined =>
           lazy val routedRI = routedBase(ctx, sel) // shared by guard + branch
@@ -1032,7 +1076,12 @@ object PromPlanner {
 
     case "absent" =>
       args.head match {
-        case sel: Selector if sel.windowMs.isEmpty => absent(ctx, sel, ctx.lookbackMs)
+        case sel: Selector if sel.windowMs.isEmpty =>
+          // instant form: a staleness marker tombstones the series, so
+          // absent() answers 1 past it (the cutoff-aware presence);
+          // absent_over_time keeps range-vector semantics (markers merely
+          // excluded) and stays on the plain path above
+          absent(ctx, sel, ctx.lookbackMs, cutoff = true)
         case sel: Selector =>
           // Prometheus type error — don't let the generic branch silently
           // evaluate the matrix selector as last_over_time
@@ -1267,8 +1316,11 @@ object PromPlanner {
     ctx.copy(startMs = innerStart, endMs = innerEnd, stepMs = st)
   }
 
-  private def absent(ctx: Ctx, sel: Selector, windowMs: Long): DataFrame = {
-    val present = periodic(ctx, sel, RangeFns.PresentOverTime, windowMs)
+  private def absent(ctx: Ctx, sel: Selector, windowMs: Long,
+                     cutoff: Boolean = false): DataFrame = {
+    val present =
+      if (cutoff) periodicWithStaleCutoff(ctx, sel, RangeFns.PresentOverTime, windowMs)
+      else periodic(ctx, sel, RangeFns.PresentOverTime, windowMs)
     // synthesize labels from Equals matchers (reference AbsentFunctionMapper;
     // the METRIC NAME is never part of the synthesized set — upstream
     // `absent(nonexistent{job="j"})` answers {job="j"}, not

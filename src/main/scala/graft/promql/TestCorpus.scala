@@ -22,11 +22,12 @@ import org.apache.spark.sql.functions._
   *  - `vxc`: v repeated c+1 times
   *  - bare numbers: one point per step; `NaN`, `Inf`, `-Inf` literal
   *  - `_`: no sample at that step
-  *  - `stale`: Prometheus staleness marker — the engine's NaN-as-no-sample
-  *    kernel drops the sample rather than tombstoning the series, so tests
-  *    relying on stale-marker CUTOFF semantics are excluded at authoring
-  *    time (see PromUpstreamCorpusSpec's exclusions note); the token still
-  *    parses (as a dropped sample) so upstream files load unmodified.
+  *  - `stale`: Prometheus staleness marker — a TOMBSTONE row (`__stale` =
+  *    true, value NaN): excluded from every range vector by the kernel's
+  *    NaN-as-no-sample rule, and CUTTING the instant lookback (a marker
+  *    newer than the last live sample makes the series absent at that
+  *    step — PromPlanner.periodicWithStaleCutoff), upstream tsdb
+  *    staleness semantics.
   *
   * Eval directives: `eval instant at <t> <expr>` (unordered vector/scalar
   * compare, 1e-6 relative tolerance, NaN==NaN), `eval_ordered` (ordered —
@@ -57,7 +58,7 @@ object TestCorpus {
                      sum: Double, count: Double)
 
   sealed trait Directive
-  case class Load(stepMs: Long, series: Seq[(Map[String, String], Seq[(Long, Double)])],
+  case class Load(stepMs: Long, series: Seq[(Map[String, String], Seq[(Long, Double, Boolean)])],
                   histSeries: Seq[(Map[String, String], Seq[(Long, HistLit)])] = Nil) extends Directive
   case class Eval(atMs: Long, expr: String, expected: Seq[ExpectedSample],
                   ordered: Boolean, expectFail: Boolean, line: Int) extends Directive
@@ -84,7 +85,7 @@ object TestCorpus {
       else if (line.startsWith("load ")) {
         val step = Parser.parseDuration(line.stripPrefix("load ").trim)
         i += 1
-        val series = Seq.newBuilder[(Map[String, String], Seq[(Long, Double)])]
+        val series = Seq.newBuilder[(Map[String, String], Seq[(Long, Double, Boolean)])]
         val hists = Seq.newBuilder[(Map[String, String], Seq[(Long, HistLit)])]
         while (i < lines.length && lines(i).startsWith(" ") && !isBlank(lines(i))) {
           val l = lines(i).trim
@@ -159,15 +160,26 @@ object TestCorpus {
     else (line.substring(0, idx), line.substring(idx).trim)
   }
 
-  /** One load line: `metric{labels} v1 v2 0+10x3 _ ...` */
-  private def parseSeries(line: String, stepMs: Long): (Map[String, String], Seq[(Long, Double)]) = {
+  /** One load line: `metric{labels} v1 v2 0+10x3 _ stale ...` — a `stale`
+    * token becomes a TOMBSTONE row ((ts, NaN, true)): NaN keeps it out of
+    * every range vector (kernel no-data rule), the flag drives the
+    * instant-lookback cutoff (PromPlanner.periodicWithStaleCutoff). */
+  private def parseSeries(line: String, stepMs: Long)
+      : (Map[String, String], Seq[(Long, Double, Boolean)]) = {
     val (sel, spec) = splitSelector(line)
     val labels = selectorLabels(sel)
-    val samples = expandValues(spec).zipWithIndex.collect {
-      case (Some(v), k) => (k.toLong * stepMs, v)
+    val samples = expandLoadTokens(spec).zipWithIndex.collect {
+      case (Some((v, st)), k) => (k.toLong * stepMs, v, st)
     }
     (labels, samples)
   }
+
+  /** Load-line slots with the staleness-marker flag. */
+  private def expandLoadTokens(spec: String): Seq[Option[(Double, Boolean)]] =
+    spec.split("\\s+").filter(_.nonEmpty).toSeq.flatMap { tok =>
+      if (tok == "stale") Seq(Some((Double.NaN, true)))
+      else expandValues(tok).map(_.map(v => (v, false)))
+    }
 
   /** One histogram load line: `metric{labels} {{...}}x3 _ {{...}} ...` —
     * tokens split on whitespace OUTSIDE braces (a `{{...}}` literal
@@ -270,7 +282,6 @@ object TestCorpus {
   private[promql] def expandValues(spec: String): Seq[Option[Double]] =
     spec.split("\\s+").filter(_.nonEmpty).toSeq.flatMap { tok =>
       if (tok == "_") Seq(None)
-      else if (tok == "stale") Seq(None) // see scaladoc: dropped, not tombstoned
       else {
         val rx = "^([+-]?[0-9.eE+-]*?[0-9.])(?:([+-])([0-9.eE]+))?x([0-9]+)$".r
         rx.findFirstMatchIn(tok) match {
@@ -320,9 +331,13 @@ object TestCorpus {
       case ((labels, samples), sid) =>
         val metric = labels.getOrElse("__name__", null)
         val tags = labels - "__name__"
-        samples.map { case (ts, v) => (sid.toLong, metric, tags, ts, v) }
+        samples.map { case (ts, v, st) => (sid.toLong, metric, tags, ts, v, st) }
     }
-    val plain = rows.toDF("series_id", "metric", "tags", "ts", "value")
+    // the __stale tombstone column exists only when the loaded set carries
+    // markers — every other corpus run keeps the single-pass instant path
+    val anyStale = rows.exists(_._6)
+    val plain0 = rows.toDF("series_id", "metric", "tags", "ts", "value", "__stale")
+    val plain = if (anyStale) plain0 else plain0.drop("__stale")
     val histLoads = loads.flatMap(_.histSeries)
     if (histLoads.isEmpty) plain
     else {
@@ -345,10 +360,12 @@ object TestCorpus {
               "otel_exp_histogram")
           }
       }
-      val hist = hrows.toDF("series_id", "metric", "tags", "ts", "value",
+      val hist0 = hrows.toDF("series_id", "metric", "tags", "ts", "value",
           "exp_scale", "exp_offset", "exp_counts", "exp_zero_count",
           "exp_zero_threshold", "exp_sum", "series_type")
         .withColumn("value", col("value").cast("double"))
+      val hist =
+        if (anyStale) hist0.withColumn("__stale", lit(false)) else hist0
       val padded = plain
         .withColumn("exp_scale", lit(null).cast("int"))
         .withColumn("exp_offset", lit(null).cast("int"))

@@ -786,17 +786,31 @@ object HistQueries {
       Integer.valueOf(api.boundPort)
     }).intValue()
 
-  /** q180's fixture: a PromApi over the canonical events samples, kept
-    * running for the session (the endpoint computes over the live frame —
-    * nothing to seed). */
+  /** q180's fixture: a PromApi over the canonical events samples WITH a
+    * series index — the intended deployment shape for the status
+    * endpoints (tsdbStatus ranks from the one-row-per-series index, not a
+    * full samples scan; the r12 artifact benched the index-less fallback
+    * at 2.58 s). The index is built once per (session, sfDir) and
+    * persisted to the warehouse so repeat bench passes time the
+    * index-routed endpoint, not the index build. */
   private val tsdbPortCache =
     new java.util.concurrent.ConcurrentHashMap[String, Integer]()
 
   private def tsdbFixture(s: org.apache.spark.sql.SparkSession,
                           dir: String): Int =
     tsdbPortCache.computeIfAbsent(dir, _ => {
-      val api = new graft.http.PromApi(
-        s, TsTables.eventsAsSamples(s, dir)).start()
+      val samples = TsTables.eventsAsSamples(s, dir)
+      val idxDir = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"), "q180_idx").toString
+      new org.apache.hadoop.fs.Path(idxDir).getFileSystem(
+        s.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(idxDir), true)
+      graft.operators.MetadataOps.buildSeriesIndex(
+          samples.withColumn("series_id", graft.streaming.Ingest
+            .canonicalSeriesId(col("metric"), col("tags"))))
+        .write.mode("overwrite").parquet(idxDir)
+      val api = new graft.http.PromApi(s, samples,
+        seriesIndex = Some(s.read.parquet(idxDir))).start()
       Integer.valueOf(api.boundPort)
     }).intValue()
 

@@ -683,4 +683,35 @@ class PromQLSpec extends AnyFunSuite with Matchers {
     viaAlias shouldEqual viaOld
     viaAlias.length should be > 0
   }
+
+  test("staleness tombstone vs literal NaN: a __stale marker CUTS the " +
+       "instant lookback while a plain NaN sample merely skips to the " +
+       "previous live value; frames without the column are untouched") {
+    // series m: live 1.0@1000, tombstone@2000, live 3.0@4000
+    // series n: live 5.0@1000, literal NaN@2000 (no marker flag)
+    val df = Seq(
+      (1L, "m", Map.empty[String, String], 1000L, 1.0, false),
+      (1L, "m", Map.empty[String, String], 2000L, Double.NaN, true),
+      (1L, "m", Map.empty[String, String], 4000L, 3.0, false),
+      (2L, "n", Map.empty[String, String], 1000L, 5.0, false),
+      (2L, "n", Map.empty[String, String], 2000L, Double.NaN, false))
+      .toDF("series_id", "metric", "tags", "ts", "value", "__stale")
+    def at(t: Long, q: String, src: org.apache.spark.sql.DataFrame = df) =
+      PromPlanner.queryRange(PromPlanner.Ctx(spark, src, t, t, 1000L), q)
+        .select("value").collect().map(_.getDouble(0)).toList
+    at(1000L, "m") shouldEqual List(1.0)
+    at(2000L, "m") shouldEqual Nil            // tombstoned at the marker
+    at(3000L, "m") shouldEqual Nil            // ...and past it
+    at(4000L, "m") shouldEqual List(3.0)      // revived by a newer live sample
+    at(3000L, "n") shouldEqual List(5.0)      // literal NaN: skip, don't cut
+    // a range vector never sees the marker (NaN no-data rule)
+    at(3000L, "count_over_time(m[3s])") shouldEqual List(1.0)
+    // absent() honors the cutoff; timestamp() too
+    at(2500L, "absent(m)") shouldEqual List(1.0)
+    at(2500L, "timestamp(m)") shouldEqual Nil
+    at(4000L, "timestamp(m)") shouldEqual List(4.0)
+    // identical frame WITHOUT the column: the marker row is a plain NaN
+    val plainDf = df.drop("__stale")
+    at(2000L, "m", plainDf) shouldEqual List(1.0)
+  }
 }

@@ -359,4 +359,79 @@ class TsLayoutSpec extends AnyFunSuite with Matchers {
       spark.sql("DROP TABLE IF EXISTS pdx_phash")
     }
   }
+
+  test("MaintenanceJob: per-sink lock makes the single-compactor contract " +
+       "structural (second instance no-ops loudly, stale lock is broken), " +
+       "and one run folds hwm/exp-state/exemplars, GCs metadata versions " +
+       "and sweeps aged quarantine files") {
+    import graft.streaming.Ingest
+    import graft.tools.MaintenanceJob
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_maint").toFile.getAbsolutePath
+    val (sink, index, meta, ex) =
+      (s"$dir/sink", s"$dir/index", s"$dir/meta", s"$dir/ex")
+    val cfg = graft.operators.Quota.QuotaConfig(Seq("metric"), Seq(1000000L))
+    // two committed batches -> index deltas + an exp-state delta to fold
+    def canonical(ts: Long, v: Double, c: Seq[Double]) = Seq(
+      ("m", Map.empty[String, String], ts, Some(v), None: Option[Int],
+        None: Option[Int], None: Option[Seq[Double]], None: Option[Double],
+        None: Option[Double], None: Option[Double], None: Option[Int]),
+      ("h", Map.empty[String, String], ts, None: Option[Double], Some(0),
+        Some(0), Some(c), Some(0.0), Some(0.0), Some(c.sum), Some(0)))
+      .toDF("metric", "tags", "ts", "value", "exp_scale", "exp_offset",
+        "exp_counts", "exp_zero_count", "exp_zero_threshold", "exp_sum",
+        "__reset_hint")
+    Ingest.remoteWriteBatch(canonical(1000L, 1.0, Seq(2.0, 1.0)), 0L,
+      sink, index, s"$dir/reject", cfg)
+    Ingest.remoteWriteBatch(canonical(2000L, 2.0, Seq(4.0, 2.0)), 1L,
+      sink, index, s"$dir/reject", cfg)
+    // three metadata versions (the upsert keeps 2; a crashed leftover v=1
+    // lingers only if the grace GC never ran — simulate via direct dirs)
+    (1 to 3).foreach { v =>
+      Ingest.upsertMetricMeta(spark, meta,
+        Seq(("m", s"type$v", null, null)).toDF("metric", "type", "help", "unit"))
+    }
+    // exemplar delta dirs to fold
+    Seq(("m", Map.empty[String, String], Map("trace_id" -> "t1"), 1000L, 1.0))
+      .toDF("metric", "tags", "exemplar_labels", "ts", "value")
+      .write.parquet(s"$ex/batch_id=0")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // quarantine files: one aged (sweep), one fresh (keep)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$sink/_spool"))
+    Seq("7.wr.bad", "9.tmp.abandoned").foreach { n =>
+      val o = fs.create(new org.apache.hadoop.fs.Path(s"$sink/_spool/$n"), false)
+      o.write(1); o.close()
+    }
+    fs.setTimes(new org.apache.hadoop.fs.Path(s"$sink/_spool/7.wr.bad"),
+      System.currentTimeMillis() - 48L * 3600 * 1000, -1)
+    // 1) a FRESH foreign lock: the job must refuse to run anything
+    fs.createNewFile(new org.apache.hadoop.fs.Path(s"$sink/_maintenance.lock")) shouldBe true
+    val blocked = MaintenanceJob.run(spark, sink, index,
+      exemplarDir = Some(ex), metadataDir = Some(meta))
+    blocked.locked shouldBe false
+    blocked.steps shouldBe empty
+    // 2) age the lock past lockStaleMs: a crashed predecessor — broken,
+    // and the full run proceeds
+    fs.setTimes(new org.apache.hadoop.fs.Path(s"$sink/_maintenance.lock"),
+      System.currentTimeMillis() - 2L * 3600 * 1000, -1)
+    val report = MaintenanceJob.run(spark, sink, index,
+      exemplarDir = Some(ex), metadataDir = Some(meta))
+    report.locked shouldBe true
+    report.steps.toMap.values.toSet shouldEqual Set("ok")
+    // the lock released on completion
+    fs.exists(new org.apache.hadoop.fs.Path(s"$sink/_maintenance.lock")) shouldBe false
+    // folds landed: hwm base exists, exp-state deltas consumed into _base
+    fs.exists(new org.apache.hadoop.fs.Path(s"$index/_hwm")) shouldBe true
+    fs.listStatus(new org.apache.hadoop.fs.Path(s"$index/_exp_state"))
+      .map(_.getPath.getName).count(_.startsWith("batch_id=")) shouldEqual 0
+    // metadata: newest 2 committed versions kept
+    fs.listStatus(new org.apache.hadoop.fs.Path(meta)).map(_.getPath.getName)
+      .filter(_.startsWith("v=")).sorted.toSeq shouldEqual Seq("v=2", "v=3")
+    // quarantine: aged file swept, fresh one kept
+    fs.exists(new org.apache.hadoop.fs.Path(s"$sink/_spool/7.wr.bad")) shouldBe false
+    fs.exists(new org.apache.hadoop.fs.Path(s"$sink/_spool/9.tmp.abandoned")) shouldBe true
+    // the exemplar table still reads through the folded base
+    Ingest.exemplarTable(spark, ex).get.count() shouldEqual 1L
+  }
 }
