@@ -926,7 +926,9 @@ class PromApi(spark: SparkSession, samples: DataFrame, port: Int = 0,
         }
         val cum = perBucket.scanLeft(0.0)(_ + _).drop(1)
         cum(cum.length - 1) = math.max(h.count, cum(cum.length - 1))
-        (metric, tags, h.ts, le, cum.toSeq, "prom_histogram")
+        // the wire's sum field rides along (hist_sum): histogram_sum/avg
+        // cannot be derived from bucket counts
+        (metric, tags, h.ts, le, cum.toSeq, h.sum, "prom_histogram")
       }
     }
     val canonical =
@@ -945,6 +947,7 @@ class PromApi(spark: SparkSession, samples: DataFrame, port: Int = 0,
         if (nhcbRows.nonEmpty) plain = plain
           .withColumn("le", lit(null).cast("array<double>"))
           .withColumn("values", lit(null).cast("array<double>"))
+          .withColumn("hist_sum", lit(null).cast("double"))
           .withColumn("series_type", lit(null).cast("string"))
         var out = plain
         if (histRows.nonEmpty) {
@@ -957,12 +960,13 @@ class PromApi(spark: SparkSession, samples: DataFrame, port: Int = 0,
             else hist
               .withColumn("le", lit(null).cast("array<double>"))
               .withColumn("values", lit(null).cast("array<double>"))
+              .withColumn("hist_sum", lit(null).cast("double"))
               .withColumn("series_type", lit(null).cast("string"))
           out = out.unionByName(padded.select(out.columns.map(col): _*))
         }
         if (nhcbRows.nonEmpty) {
           var nhcb = nhcbRows.toDF("metric", "tags", "ts", "le", "values",
-              "series_type")
+              "hist_sum", "series_type")
             .withColumn("value", lit(null).cast("double"))
           if (histRows.nonEmpty) nhcb = nhcb
             .withColumn("exp_scale", lit(null).cast("int"))

@@ -988,8 +988,17 @@ object PromPlanner {
       args.head match {
         case sel: Selector if sel.windowMs.isEmpty =>
           val (baseDf, sel2) = routedBase(ctx, sel)
-          require(baseDf.columns.contains("exp_counts"),
-            s"$name needs native-histogram storage (no exp_counts column)")
+          val hasExp = baseDf.columns.contains("exp_counts")
+          // NHCB (custom-bucket native histograms) land as sum-carrying
+          // classic bucket storage: count = the +Inf cumulative entry,
+          // sum = the wire's hist_sum column; stddev/stdvar stay
+          // exp-only (midpoint estimation over custom bounds is not
+          // implemented — erroring beats silently dropping NHCB series)
+          val hasBucket = baseDf.columns.contains("le") &&
+            baseDf.columns.contains("values")
+          require(hasExp || hasBucket,
+            s"$name needs native-histogram storage " +
+              "(no exp_counts or le/values columns)")
           val cnt = coalesce(col("exp_zero_count"), lit(0.0)) +
             aggregate(col("exp_counts"), lit(0.0),
               (a: Column, x: Column) => a + x)
@@ -1018,17 +1027,44 @@ object PromPlanner {
             case "histogram_stdvar" => variance
             case _ => sqrt(variance)
           }
-          if (name != "histogram_count" && !baseDf.columns.contains("exp_sum"))
-            throw new IllegalArgumentException(
-              s"$name needs the stored native-histogram sum (exp_sum column; " +
-                "rows written before it existed must be re-ingested)")
-          val scalarized = baseDf
-            .filter(col("exp_counts").isNotNull)
-            .withColumn("value", v)
-            .drop("le", "values", "exp_scale", "exp_offset", "exp_counts",
-              "exp_zero_count", "exp_zero_threshold", "exp_sum")
-          dropName(periodicFrom(ctx, selectorSamplesFrom(scalarized, sel2),
-            sel2, RangeFns.LastOverTime, ctx.lookbackMs))
+          val parts = Seq.newBuilder[DataFrame]
+          if (hasExp) {
+            if (name != "histogram_count" && !baseDf.columns.contains("exp_sum"))
+              throw new IllegalArgumentException(
+                s"$name needs the stored native-histogram sum (exp_sum column; " +
+                  "rows written before it existed must be re-ingested)")
+            parts += baseDf
+              .filter(col("exp_counts").isNotNull)
+              .withColumn("value", v)
+              .drop("le", "values", "hist_sum", "exp_scale", "exp_offset",
+                "exp_counts", "exp_zero_count", "exp_zero_threshold", "exp_sum")
+          }
+          if (hasBucket) {
+            val cntN = element_at(col("values"), -1)
+            val vN = name match {
+              case "histogram_count" => cntN
+              case "histogram_sum" | "histogram_avg" =>
+                if (!baseDf.columns.contains("hist_sum"))
+                  throw new IllegalArgumentException(
+                    s"$name over bucket storage needs the stored sum " +
+                      "(hist_sum column — NHCB remote-write stores it; " +
+                      "synthesized bucket tables may not)")
+                if (name == "histogram_sum") col("hist_sum")
+                else col("hist_sum") / cntN
+              case _ => throw new IllegalArgumentException(
+                s"$name over custom-bucket (NHCB) storage is not supported; " +
+                  "exponential-schema storage answers it")
+            }
+            parts += baseDf
+              .filter(col("le").isNotNull && col("values").isNotNull)
+              .withColumn("value", vN)
+              .drop("le", "values", "hist_sum", "exp_scale", "exp_offset",
+                "exp_counts", "exp_zero_count", "exp_zero_threshold", "exp_sum")
+          }
+          val src = parts.result().map(selectorSamplesFrom(_, sel2))
+            .reduce(_ unionByName _)
+          dropName(periodicFrom(ctx, src, sel2,
+            RangeFns.LastOverTime, ctx.lookbackMs))
         case other => throw new IllegalArgumentException(
           s"$name expects an instant vector selector, got $other")
       }

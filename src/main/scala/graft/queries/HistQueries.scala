@@ -290,6 +290,22 @@ object HistQueries {
         .orderBy("step_ts")
     }),
 
+    // histogram_avg over the NHCB sink: count = the +Inf cumulative bucket
+    // entry, sum = the wire's stored sum field (hist_sum) — the same
+    // latency-SLO question q174 answers over exp storage, here over
+    // custom-bucket storage (cumulative temporality, so each instant is
+    // the since-start mean; rate-windowed means compose via the bucket
+    // bridge as in q181). Mirror: cumulative per-day sum/count in DuckDB.
+    "q182_nhcb_sum_avg" -> ((s, dir) => {
+      val sink = q181SinkCache.computeIfAbsent(dir, _ => buildQ181Sink(s, dir))
+      val sunk = s.read.option("mergeSchema", "true").parquet(sink)
+      val ctx = PromPlanner.Ctx(s, sunk, S + D1, TsTables.EventsEndMs, D1,
+        lookbackMs = D1)
+      PromPlanner.queryRange(ctx, "histogram_avg(purchase)")
+        .select(col("step_ts"), round(col("value"), 6).as("avg_val"))
+        .orderBy("step_ts")
+    }),
+
     // Exemplar QUERY surface end-to-end: exemplars ride a remote-write
     // POST into the content-dedup'd side table (a sender-retry replay
     // must append nothing), then /api/v1/query_exemplars answers a
@@ -646,6 +662,19 @@ object HistQueries {
     // interpolation ladder
     "q181_nhcb_remote_write" -> classicHistRateQuantileSql,
 
+    // NHCB cumulative storage: each day's instant histogram_avg is the
+    // since-start mean = running sum(value) / running count
+    "q182_nhcb_sum_avg" ->
+      s"""WITH ev AS (SELECT (epoch_ns(ts)//1000000 - $S) // $D1 AS day, value
+                      FROM events WHERE event_type = 'purchase'),
+          daily AS (SELECT day, count(*)::DOUBLE AS c, sum(value) AS sm
+                    FROM ev GROUP BY day),
+          cum AS (SELECT day, sum(c) OVER (ORDER BY day) AS cc,
+                         sum(sm) OVER (ORDER BY day) AS cs
+                  FROM daily)
+          SELECT $S + (day + 1) * $D1 AS step_ts, round(cs / cc, 6) AS avg_val
+          FROM cum ORDER BY 1""",
+
     // delta-rate mirror: per-day exp-bucket counts are PER-INTERVAL
     // deltas, so rate = (sum of the window's two samples) / window-sec per
     // le bound, then the q97 interpolation CASE over the rate ladder
@@ -930,16 +959,18 @@ object HistQueries {
           if (k == bounds.length) lit(true) else col("value") <= bounds(k)
         val loOk = if (k == 0) lit(true) else col("value") > bounds(k - 1)
         sum(when(hiOk && loOk, 1.0).otherwise(0.0))
-      }: _*).as("daily"))
+      }: _*).as("daily"),
+        sum(col("value")).as("dsm")) // every value is bucketed (+Inf overflow)
       .orderBy(col("day"))
-      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
-    val cum = daily.scanLeft((-1L, Seq.fill(bounds.length + 1)(0.0))) {
-      case ((_, acc), (d, row)) => (d, acc.lazyZip(row).map(_ + _))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
+    val cum = daily.scanLeft((-1L, Seq.fill(bounds.length + 1)(0.0), 0.0)) {
+      case ((_, acc, accS), (d, row, sm)) =>
+        (d, acc.lazyZip(row).map(_ + _), accS + sm)
     }.drop(1)
-    val hists = cum.map { case (d, counts) =>
+    val hists = cum.map { case (d, counts, sm) =>
       ProtoWire.PHistogram(ts = S + (d + 1) * D1, schema = -53,
         zeroThreshold = 0.0, zeroCount = 0.0, count = counts.sum,
-        sum = 0.0, resetHint = 0, posOffset = 0, posCounts = counts,
+        sum = sm, resetHint = 0, posOffset = 0, posCounts = counts,
         negOffset = 0, negCounts = Nil, customValues = bounds)
     }.toSeq
     val ws = PromApi.WriteSink(s"$base/sink", s"$base/index", s"$base/reject",

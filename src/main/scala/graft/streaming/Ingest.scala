@@ -405,8 +405,8 @@ object Ingest {
       (if (hasExp) ExpCols ++ Seq("__reset_hint") else Nil) ++
       // NHCB rows (custom-bucket native histograms canonicalized to
       // prom_histogram storage) carry their payload in le/values
-      (if (canonical.columns.contains("le")) Seq("le", "values", "series_type")
-       else Nil)
+      Seq("le", "values", "hist_sum", "series_type")
+        .filter(canonical.columns.contains)
     val inBatch = withId
       .groupBy(col("series_id"), col("metric"), col("tags"), col("ts"))
       .agg(min(struct(payload.map(col): _*)).as("__p"))

@@ -973,9 +973,9 @@ class RemoteWriteSpec extends AnyFunSuite with Matchers {
 
   private def nhcb(ts: Long, counts: Seq[Double], bounds: Seq[Double],
                    posOffset: Int = 0, resetHint: Int = 0,
-                   count: Double = -1.0): ProtoWire.PHistogram =
+                   count: Double = -1.0, sumV: Double = 0.0): ProtoWire.PHistogram =
     ProtoWire.PHistogram(ts, -53, 0.0, 0.0,
-      if (count < 0) counts.sum else count, sum = 0.0, resetHint,
+      if (count < 0) counts.sum else count, sum = sumV, resetHint,
       posOffset, counts, 0, Nil, customValues = bounds)
 
   test("NHCB wire: custom_values round-trips on v1 and v2; sparse spans " +
@@ -1023,8 +1023,8 @@ class RemoteWriteSpec extends AnyFunSuite with Matchers {
       // one POST carrying all three sample shapes for distinct metrics
       RemoteRead.remoteWriteSeries(Seq(
         ProtoWire.PSeries(Seq("__name__" -> "nh"), Nil, histograms = Seq(
-          nhcb(1000L, Seq(2.0, 3.0, 1.0), bounds),         // cum le: 2,5,6,6
-          nhcb(2000L, Seq(4.0, 6.0, 2.0), bounds))),       // cum le: 4,10,12,12
+          nhcb(1000L, Seq(2.0, 3.0, 1.0), bounds, sumV = 18.0), // cum le: 2,5,6,6
+          nhcb(2000L, Seq(4.0, 6.0, 2.0), bounds, sumV = 48.0))), // cum: 4,10,12,12
         ProtoWire.PSeries(Seq("__name__" -> "plain"),
           Seq(ProtoWire.PSample(7.0, 2000L))),
         ProtoWire.PSeries(Seq("__name__" -> "eh"), Nil,
@@ -1048,9 +1048,19 @@ class RemoteWriteSpec extends AnyFunSuite with Matchers {
       // instant quantile at t=2000: rank 0.5*12=6 falls in (1,5] with
       // prev cum 4, bucket cum 10 -> 1 + 4*(6-4)/(10-4)
       val ctx = graft.promql.PromPlanner.Ctx(spark, sunk, 2000L, 2000L, 1000L)
-      graft.promql.PromPlanner.queryRange(ctx, "histogram_quantile(0.5, nh)")
-        .select("value").head().getDouble(0) shouldEqual
+      def one(q: String): Double =
+        graft.promql.PromPlanner.queryRange(ctx, q).select("value")
+          .head().getDouble(0)
+      one("histogram_quantile(0.5, nh)") shouldEqual
         (1.0 + 4.0 * 2.0 / 6.0) +- 1e-9
+      // scalar extractors over NHCB storage: count = +Inf cumulative
+      // entry, sum = the stored wire sum, avg = sum/count
+      one("histogram_count(nh)") shouldEqual 12.0
+      one("histogram_sum(nh)") shouldEqual 48.0
+      one("histogram_avg(nh)") shouldEqual 4.0
+      // stddev needs midpoint estimation over custom bounds: explicit error
+      intercept[Exception] { one("histogram_stddev(nh)") }
+        .getMessage should include("NHCB")
       // the retry replay no-ops via the hwm (classic counter storage
       // needs no delta state)
       RemoteRead.remoteWriteSeries(Seq(ProtoWire.PSeries(
