@@ -9,12 +9,19 @@ object Verify {
     // --oracles-only: dump oracle_sql.json without starting Spark, so
     // tools can DESCRIBE-sweep all oracles (e.g. the HUGEINT guard) fast
     val oraclesOnly = args.length > 2 && args(2) == "--oracles-only"
+    // --only=q1,q2: restrict the dump to named queries (local iteration)
+    val only: Option[Set[String]] = args.collectFirst {
+      case a if a.startsWith("--only=") =>
+        a.stripPrefix("--only=").split(",").toSet
+    }
     new java.io.File(outDir).mkdirs()
     if (!oraclesOnly) {
       val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
       val spark = GraftSession.builder(s"local[$cpus]", cpus).getOrCreate()
       spark.sparkContext.setLogLevel("WARN")
-      SparkEntry.queries.foreach { case (name, fn) =>
+      SparkEntry.queries
+        .filter { case (name, _) => only.forall(_.contains(name)) }
+        .foreach { case (name, fn) =>
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         catch { case e: Throwable =>

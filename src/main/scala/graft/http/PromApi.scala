@@ -36,9 +36,34 @@ class PromApi(spark: SparkSession, samples: DataFrame, port: Int = 0,
               spoolDrainMaxBytes: Long = 64L << 20,
               spoolTmpAbandonMs: Long = 30000L,
               metadataDir: Option[String] = None,
-              exemplarSource: Option[String] = None) {
+              exemplarSource: Option[String] = None,
+              adminDir: Option[String] = None) {
 
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
+
+  /** Deletion-tombstone registry snapshot: (file names) -> compiled drop
+    * predicate. Re-listed per request ONLY when adminDir is configured
+    * (a driver-side local listing of a near-empty dir); recompiled only
+    * when the file set actually changed. */
+  @volatile private var tombSnapshot:
+    (Set[String], Seq[graft.operators.Tombstones.DeleteRecord]) = (Set.empty, Nil)
+
+  /** The samples frame every READ surface uses: tombstoned rows hidden
+    * behind negated pushable predicates (upstream delete_series hides
+    * data immediately; clean_tombstones makes it physical later). */
+  private def liveSamples: DataFrame = adminDir match {
+    case None => samples
+    case Some(dir) =>
+      val names = graft.operators.Tombstones.listNames(spark, dir)
+      val cached = tombSnapshot
+      val cur =
+        if (cached._1 == names) cached._2
+        else {
+          val recs = graft.operators.Tombstones.list(spark, dir)
+          tombSnapshot = (names, recs); recs
+        }
+      graft.operators.Tombstones.applyTo(samples, cur)
+  }
 
   /** Dispatch pool: queries and writes no longer queue behind a single
     * thread (the round-9 judge's serial-bottleneck finding). Spark itself
@@ -443,6 +468,14 @@ class PromApi(spark: SparkSession, samples: DataFrame, port: Int = 0,
     server.createContext("/api/v1/status/tsdb", handler(tsdbStatus))
     server.createContext("/api/v1/status/flags", handler(statusFlags))
     server.createContext("/api/v1/status/runtimeinfo", handler(runtimeInfo))
+    // admin API pair — registered ONLY when adminDir is configured (the
+    // --web.enable-admin-api analogue; upstream 404s them when disabled)
+    adminDir.foreach { _ =>
+      server.createContext("/api/v1/admin/tsdb/delete_series",
+        adminHandler(deleteSeries))
+      server.createContext("/api/v1/admin/tsdb/clean_tombstones",
+        adminHandler(cleanTombstones))
+    }
     server.createContext("/__health", handler(health))
     server.setExecutor(pool)
     spark.sparkContext.addSparkListener(cpuListener)
@@ -473,6 +506,49 @@ class PromApi(spark: SparkSession, samples: DataFrame, port: Int = 0,
     ex.sendResponseHeaders(200, bytes.length)
     ex.getResponseBody.write(bytes)
     ex.close()
+  }
+
+  /** Admin endpoints: POST/PUT only (upstream), 204 No Content on
+    * success, 400 with the Prometheus error envelope on bad input. */
+  private def adminHandler(f: Map[String, String] => Unit): HttpHandler =
+    (ex: HttpExchange) => {
+      def err(code: Int, msg: String): Unit = {
+        val b = (s"""{"status":"error","errorType":"bad_data",""" +
+          s""""error":${js(msg)}}""").getBytes(StandardCharsets.UTF_8)
+        ex.getResponseHeaders.add("Content-Type", "application/json")
+        ex.sendResponseHeaders(code, b.length)
+        ex.getResponseBody.write(b)
+      }
+      try {
+        if (ex.getRequestMethod != "POST" && ex.getRequestMethod != "PUT")
+          err(405, "this admin endpoint requires POST or PUT")
+        else
+          try { f(params(ex)); ex.sendResponseHeaders(204, -1) }
+          catch { case e: Exception => err(400, String.valueOf(e.getMessage)) }
+      } finally ex.close()
+    }
+
+  /** `/api/v1/admin/tsdb/delete_series` (upstream admin API): record the
+    * match[] selectors + time range as a tombstone; every read surface
+    * hides matching rows from the next request on. The store is not
+    * touched — `clean_tombstones` (or MaintenanceJob) makes it physical. */
+  private def deleteSeries(p: Map[String, String]): Unit = {
+    val sels = matchExprs(p)
+    val from = p.get("start").map(ms).getOrElse(Long.MinValue)
+    val to = p.get("end").map(ms).getOrElse(Long.MaxValue)
+    graft.operators.Tombstones.write(spark, adminDir.get, sels, from, to)
+  }
+
+  /** `/api/v1/admin/tsdb/clean_tombstones`: physically purge tombstoned
+    * rows from the write sink (only the batch partitions that hold
+    * matching rows are rewritten) and consume the tombstone files. */
+  private def cleanTombstones(p: Map[String, String]): Unit = {
+    val ws = writeSink.getOrElse(throw new IllegalStateException(
+      "clean_tombstones needs a writeSink-backed server " +
+        "(the physical purge rewrites the sink; on a read-only API run " +
+        "MaintenanceJob against the store instead)"))
+    graft.operators.Tombstones.purge(spark, ws.sinkDir, adminDir.get)
+    tombSnapshot = (Set.empty, Nil)
   }
 
   /** Query-string AND form-urlencoded POST body params (the Prometheus
@@ -583,7 +659,7 @@ class PromApi(spark: SparkSession, samples: DataFrame, port: Int = 0,
   private def queryRange(p: Map[String, String]): String = withStatsGroup(p) { gid =>
     val t0 = System.nanoTime()
     val hook = statsHook(p)
-    val ctx = PromPlanner.Ctx(spark, samples, ms(p("start")), ms(p("end")), stepMs(p("step")),
+    val ctx = PromPlanner.Ctx(spark, liveSamples, ms(p("start")), ms(p("end")), stepMs(p("step")),
       lookbackMs = lookback(p), stats = hook)
     val df = PromPlanner.queryRange(ctx, p("query"))
     if (p.get("explainOnly").contains("true")) explainResponse(p("query"), df)
@@ -615,7 +691,7 @@ class PromApi(spark: SparkSession, samples: DataFrame, port: Int = 0,
     val t0 = System.nanoTime()
     val hook = statsHook(p)
     val t = ms(p.getOrElse("time", (System.currentTimeMillis() / 1000).toString))
-    val ctx = PromPlanner.Ctx(spark, samples, t, t, 1000L, lookbackMs = lookback(p),
+    val ctx = PromPlanner.Ctx(spark, liveSamples, t, t, 1000L, lookbackMs = lookback(p),
       stats = hook)
     val ast0 = graft.promql.Parser.parse(p("query"))
     // an instant query has no step for `Ni` to multiply — resolving
@@ -1053,7 +1129,7 @@ class PromApi(spark: SparkSession, samples: DataFrame, port: Int = 0,
   private def answerRemoteRead(q: ProtoWire.PQuery): Seq[ProtoWire.PSeries] = {
     import graft.promql.{LabelMatcher, MatchOp}
     val ops = Map(0 -> MatchOp.Eq, 1 -> MatchOp.Ne, 2 -> MatchOp.Re, 3 -> MatchOp.NotRe)
-    var df = samples.filter(col("ts").between(q.startMs, q.endMs))
+    var df = liveSamples.filter(col("ts").between(q.startMs, q.endMs))
     q.matchers.foreach { m =>
       val op = ops.getOrElse(m.typ,
         throw new IllegalArgumentException(s"unknown matcher type ${m.typ}"))
@@ -1120,8 +1196,8 @@ class PromApi(spark: SparkSession, samples: DataFrame, port: Int = 0,
   private def ranged(p: Map[String, String]) = {
     val from = p.get("start").map(ms).getOrElse(Long.MinValue)
     val to = p.get("end").map(ms).getOrElse(Long.MaxValue)
-    if (from == Long.MinValue && to == Long.MaxValue) samples
-    else samples.filter(col("ts").between(from, to))
+    if (from == Long.MinValue && to == Long.MaxValue) liveSamples
+    else liveSamples.filter(col("ts").between(from, to))
   }
 
   /** Metadata source: the part-key index when the API was built with one
@@ -1219,12 +1295,12 @@ class PromApi(spark: SparkSession, samples: DataFrame, port: Int = 0,
     val activeAfter = p.get("activeAfterMs").map(_.toLong).getOrElse(0L)
     val exact = p.get("exact").contains("true")
     val df = p.get("topk") match {
-      case Some(k) => MetadataOps.topkCardinality(samples, groups,
+      case Some(k) => MetadataOps.topkCardinality(liveSamples, groups,
         p.getOrElse("prefix", "").split(",").filter(_.nonEmpty).toSeq,
         depth = p.get("depth").map(_.toInt).getOrElse(groups.length),
         k.toInt, activeAfter, exact)
       case None =>
-        val d = MetadataOps.tsCardinalityBreakdown(samples, groups, activeAfter, exact)
+        val d = MetadataOps.tsCardinalityBreakdown(liveSamples, groups, activeAfter, exact)
         d.orderBy(d.columns.dropRight(2).map(org.apache.spark.sql.functions.col): _*)
     }
     val gcols = df.columns.dropRight(2) // group path, then total, active
@@ -1240,7 +1316,7 @@ class PromApi(spark: SparkSession, samples: DataFrame, port: Int = 0,
   /** Per-label approximate distinct-value counts (HLL). */
   private def labelCardinality(p: Map[String, String]): String = {
     val labels = p.getOrElse("labels", "").split(",").filter(_.nonEmpty).toSeq
-    val row = MetadataOps.labelCardinality(samples, labels).collect().head
+    val row = MetadataOps.labelCardinality(liveSamples, labels).collect().head
     val entries = labels.zipWithIndex
       .map { case (l, i) => s"${js(l)}:${row.getLong(i)}" }.mkString(",")
     s"""{"status":"success","data":{$entries}}"""
@@ -1343,7 +1419,7 @@ class PromApi(spark: SparkSession, samples: DataFrame, port: Int = 0,
     val to = p.get("end").map(ms).getOrElse(Long.MaxValue)
     val found = seriesIndex match {
       case Some(idx) => MetadataOps.seriesFromIndex(idx, from, to, matchExprs(p))
-      case None => MetadataOps.series(samples, from, to, matchExprs(p))
+      case None => MetadataOps.series(liveSamples, from, to, matchExprs(p))
     }
     val rows = found.collect().map { r =>
       val metric = r.getString(0)

@@ -13,6 +13,7 @@ import graft.streaming.Ingest
   *   - exp-histogram cumulative-state base fold (Ingest.compactExpState)
   *   - exemplar side-table base fold            (Ingest.compactExemplars)
   *   - metric-metadata version GC               (keep newest 2 committed)
+  *   - delete_series tombstone purge            (Tombstones.purge)
   *   - spool quarantine sweep                   (.abandoned/.bad past age)
   *   - stale staging-dir sweep                  (_tmp-* past age)
   *
@@ -44,6 +45,7 @@ object MaintenanceJob {
   def run(spark: SparkSession, sinkDir: String, indexDir: String,
           exemplarDir: Option[String] = None,
           metadataDir: Option[String] = None,
+          adminDir: Option[String] = None,
           quarantineMaxAgeMs: Long = 24L * 3600 * 1000,
           lockStaleMs: Long = 3600L * 1000,
           nowMs: Long = System.currentTimeMillis()): Report = {
@@ -73,6 +75,15 @@ object MaintenanceJob {
       metadataDir match {
         case Some(d) => step("metadata_version_gc") { metadataVersionGc(fs, d) }
         case None => steps += "metadata_version_gc" -> "skipped: no dir configured"
+      }
+      adminDir match {
+        case Some(d) => step("tombstone_purge") {
+          // delete_series tombstones made physical (clean_tombstones
+          // analogue): crash-repair first, then rewrite only the batch
+          // partitions holding matching rows, then consume the records
+          graft.operators.Tombstones.purge(spark, sinkDir, d)
+        }
+        case None => steps += "tombstone_purge" -> "skipped: no dir configured"
       }
       step("spool_quarantine_sweep") {
         sweepSuffixes(fs, s"$sinkDir/_spool",
@@ -129,7 +140,7 @@ object MaintenanceJob {
   def main(args: Array[String]): Unit = {
     require(args.length >= 2,
       "usage: MaintenanceJob <sinkDir> <indexDir> [--exemplars=d] " +
-        "[--metadata=d] [--quarantine-age-ms=N] [--lock-stale-ms=N]")
+        "[--metadata=d] [--admin=d] [--quarantine-age-ms=N] [--lock-stale-ms=N]")
     def opt(name: String): Option[String] =
       args.collectFirst { case a if a.startsWith(s"--$name=") =>
         a.stripPrefix(s"--$name=") }
@@ -137,6 +148,7 @@ object MaintenanceJob {
     spark.sparkContext.setLogLevel("WARN")
     val report = run(spark, args(0), args(1),
       exemplarDir = opt("exemplars"), metadataDir = opt("metadata"),
+      adminDir = opt("admin"),
       quarantineMaxAgeMs = opt("quarantine-age-ms").map(_.toLong)
         .getOrElse(24L * 3600 * 1000),
       lockStaleMs = opt("lock-stale-ms").map(_.toLong).getOrElse(3600L * 1000))

@@ -1,0 +1,198 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+import graft.http.{PromApi, ProtoWire, RemoteRead}
+import graft.operators.{Quota, Tombstones}
+
+/** The TSDB admin API pair (`/api/v1/admin/tsdb/delete_series` +
+  * `clean_tombstones`, upstream prometheus/prometheus web/api/v1 admin
+  * surface): tombstone-file registry, read-side hiding via negated
+  * pushable predicates, and the crash-repairable physical purge. */
+class TombstonesSpec extends AnyFunSuite with Matchers {
+
+  lazy val spark: SparkSession = GraftSession.builder("local[4]", "4").getOrCreate()
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private val cfg = Quota.QuotaConfig(Seq("metric"), Seq(1000000L))
+
+  private val client = HttpClient.newHttpClient()
+
+  private def get(port: Int, path: String): String =
+    client.send(
+      HttpRequest.newBuilder(URI.create(s"http://localhost:$port$path")).GET().build(),
+      HttpResponse.BodyHandlers.ofString()).body()
+
+  private def post(port: Int, path: String): (Int, String) = {
+    val r = client.send(
+      HttpRequest.newBuilder(URI.create(s"http://localhost:$port$path"))
+        .POST(HttpRequest.BodyPublishers.noBody()).build(),
+      HttpResponse.BodyHandlers.ofString())
+    (r.statusCode(), r.body())
+  }
+
+  private def enc(s: String): String = java.net.URLEncoder.encode(s, "UTF-8")
+
+  /** samples frame: two metrics, one with a `job` tag, 5 points each. */
+  private def fixtureSamples: DataFrame = {
+    import spark.implicits._
+    val rows =
+      (1 to 5).map(i => ("reqs", Map("job" -> "api"), i * 1000L, i.toDouble)) ++
+      (1 to 5).map(i => ("reqs", Map("job" -> "web"), i * 1000L, i * 10.0)) ++
+      (1 to 5).map(i => ("lat", Map.empty[String, String], i * 1000L, i * 100.0))
+    rows.toDF("metric", "tags", "ts", "value")
+  }
+
+  test("delete_series hides matching rows from query/series immediately; " +
+       "time bounds restrict the cut; missing tags never match (null-safe)") {
+    val admin = tmp("graft-tomb-admin")
+    val api = new PromApi(spark, fixtureSamples, adminDir = Some(admin)).start()
+    try {
+      val port = api.boundPort
+      def instant(q: String, atSec: Long): String =
+        get(port, s"/api/v1/query?query=${enc(q)}&time=$atSec")
+      // before: both job series present
+      instant("reqs", 5) should include(""""job":"api"""")
+      instant("reqs", 5) should include(""""job":"web"""")
+      // delete one series, full time range
+      val (code, _) = post(port,
+        s"/api/v1/admin/tsdb/delete_series?match[]=${enc("""reqs{job="api"}""")}")
+      code shouldEqual 204
+      val after = instant("reqs", 5)
+      (after should not).include(""""job":"api"""")
+      after should include(""""job":"web"""")
+      // series endpoint hides it too
+      val ser = get(port, s"/api/v1/series?match[]=${enc("reqs")}")
+      (ser should not).include(""""job":"api"""")
+      ser should include(""""job":"web"""")
+      // lat has NO job tag: the {job="api"} matcher must not have dropped
+      // it via a null predicate
+      instant("lat", 5) should include(""""__name__":"lat"""")
+      // bounded delete on the web series: ts 1..2s only
+      post(port, s"/api/v1/admin/tsdb/delete_series?" +
+        s"match[]=${enc("""reqs{job="web"}""")}&start=1&end=2")._1 shouldEqual 204
+      // at t=2 the web sample is gone (lookback hits the cut window)...
+      (instant("""reqs{job="web"}""", 2) should not).include(""""value":[""")
+      // ...but the t=3 sample survives
+      instant("""reqs{job="web"}""", 3) should include(""""value":[""")
+      // GET is rejected; bad selectors 400 without writing a tombstone
+      get(port, "/api/v1/admin/tsdb/delete_series?match[]=reqs") should
+        include("POST or PUT")
+      val (bad, body) = post(port,
+        s"/api/v1/admin/tsdb/delete_series?match[]=${enc("sum(reqs)")}")
+      bad shouldEqual 400
+      body should include("series selector")
+      Tombstones.list(spark, admin).size shouldEqual 2
+    } finally api.stop()
+  }
+
+  test("admin endpoints are NOT registered without adminDir (the " +
+       "--web.enable-admin-api analogue)") {
+    val api = new PromApi(spark, fixtureSamples).start()
+    try {
+      val (code, _) = post(api.boundPort,
+        s"/api/v1/admin/tsdb/delete_series?match[]=${enc("reqs")}")
+      code shouldEqual 404
+    } finally api.stop()
+  }
+
+  test("clean_tombstones physically purges ONLY the batch partitions " +
+       "holding matching rows and consumes the tombstone files") {
+    val dir = tmp("graft-tomb-clean")
+    val admin = s"$dir/admin"
+    val ws = PromApi.WriteSink(s"$dir/sink", s"$dir/index", s"$dir/reject", cfg)
+    val api = new PromApi(spark, spark.range(0).toDF(),
+      writeSink = Some(ws), adminDir = Some(admin)).start()
+    val url = s"http://localhost:${api.boundPort}"
+    try {
+      // batch 0: doomed metric; batch 1: survivor metric
+      RemoteRead.remoteWriteSeries(Seq(ProtoWire.PSeries(
+        Seq("__name__" -> "doomed", "job" -> "x"),
+        (1 to 3).map(i => ProtoWire.PSample(i.toDouble, i * 1000L)))), url)
+      RemoteRead.remoteWriteSeries(Seq(ProtoWire.PSeries(
+        Seq("__name__" -> "keeper"),
+        (1 to 3).map(i => ProtoWire.PSample(i * 2.0, i * 1000L)))), url)
+      val fs = new org.apache.hadoop.fs.Path(ws.sinkDir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def partFiles(b: Int): Set[String] = {
+        val p = new org.apache.hadoop.fs.Path(s"${ws.sinkDir}/batch_id=$b")
+        fs.listStatus(p).map(_.getPath.getName).toSet
+      }
+      val keeperFilesBefore = partFiles(1)
+      post(api.boundPort, s"/api/v1/admin/tsdb/delete_series?" +
+        s"match[]=${enc("doomed")}")._1 shouldEqual 204
+      post(api.boundPort,
+        "/api/v1/admin/tsdb/clean_tombstones")._1 shouldEqual 204
+      // physically gone from the store, not just hidden
+      val sunk = spark.read.parquet(ws.sinkDir)
+      sunk.filter(col("metric") === "doomed").count() shouldEqual 0L
+      sunk.filter(col("metric") === "keeper").count() shouldEqual 3L
+      // the untouched partition was NOT rewritten
+      partFiles(1) shouldEqual keeperFilesBefore
+      // tombstones consumed; no staging/old leftovers
+      Tombstones.list(spark, admin) shouldBe empty
+      fs.listStatus(new org.apache.hadoop.fs.Path(ws.sinkDir))
+        .map(_.getPath.getName)
+        .count(n => n.startsWith("_tmp-clean") || n.startsWith("_old-clean")) shouldEqual 0
+    } finally api.stop()
+  }
+
+  test("purge crash repair: swap-out leftovers roll forward when the " +
+       "staged copy is complete, back when it is not") {
+    import spark.implicits._
+    val dir = tmp("graft-tomb-repair")
+    val sink = s"$dir/sink"
+    Seq(("m", Map.empty[String, String], 1000L, 1.0))
+      .toDF("metric", "tags", "ts", "value")
+      .write.parquet(s"$sink/batch_id=0")
+    Seq(("m", Map.empty[String, String], 2000L, 2.0))
+      .toDF("metric", "tags", "ts", "value")
+      .write.parquet(s"$sink/batch_id=1")
+    val fs = new org.apache.hadoop.fs.Path(sink)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    // crash AFTER swap-out, staged copy complete (_SUCCESS present):
+    // batch 0 vanished mid-purge with its cleaned copy staged
+    spark.read.parquet(s"$sink/batch_id=0").filter(col("ts") =!= 1000L)
+      .write.parquet(s"$sink/_tmp-clean-0")
+    fs.rename(p(s"$sink/batch_id=0"), p(s"$sink/_old-clean-0")) shouldBe true
+    // crash AFTER swap-out with an INCOMPLETE staged copy: no _SUCCESS
+    fs.rename(p(s"$sink/batch_id=1"), p(s"$sink/_old-clean-1")) shouldBe true
+    fs.mkdirs(p(s"$sink/_tmp-clean-1"))
+    Tombstones.repair(spark, sink)
+    // batch 0 rolled FORWARD: cleaned (empty) partition in place
+    fs.exists(p(s"$sink/batch_id=0")) shouldBe true
+    fs.exists(p(s"$sink/_old-clean-0")) shouldBe false
+    spark.read.parquet(sink).filter(col("ts") === 1000L).count() shouldEqual 0L
+    // batch 1 rolled BACK: original rows intact
+    fs.exists(p(s"$sink/batch_id=1")) shouldBe true
+    fs.exists(p(s"$sink/_tmp-clean-1")) shouldBe false
+    spark.read.parquet(sink).filter(col("ts") === 2000L).count() shouldEqual 1L
+  }
+
+  test("MaintenanceJob --admin folds the tombstone purge under the " +
+       "per-sink lock") {
+    import spark.implicits._
+    val dir = tmp("graft-tomb-maint")
+    val sink = s"$dir/sink"
+    val admin = s"$dir/admin"
+    Seq(("gone", Map.empty[String, String], 1000L, 1.0),
+        ("stays", Map.empty[String, String], 1000L, 2.0))
+      .toDF("metric", "tags", "ts", "value")
+      .write.parquet(s"$sink/batch_id=0")
+    Tombstones.write(spark, admin, Seq("gone"), Long.MinValue, Long.MaxValue)
+    val report = graft.tools.MaintenanceJob.run(spark, sink, s"$dir/index",
+      adminDir = Some(admin))
+    report.locked shouldBe true
+    report.steps.toMap.apply("tombstone_purge") shouldEqual "ok"
+    spark.read.parquet(sink).select("metric").as[String]
+      .collect().toList shouldEqual List("stays")
+    Tombstones.list(spark, admin) shouldBe empty
+  }
+}

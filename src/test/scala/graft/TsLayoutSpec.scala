@@ -418,7 +418,10 @@ class TsLayoutSpec extends AnyFunSuite with Matchers {
     val report = MaintenanceJob.run(spark, sink, index,
       exemplarDir = Some(ex), metadataDir = Some(meta))
     report.locked shouldBe true
-    report.steps.toMap.values.toSet shouldEqual Set("ok")
+    // no adminDir in this fixture -> the tombstone step reports skipped
+    report.steps.toMap.apply("tombstone_purge") shouldEqual
+      "skipped: no dir configured"
+    (report.steps.toMap - "tombstone_purge").values.toSet shouldEqual Set("ok")
     // the lock released on completion
     fs.exists(new org.apache.hadoop.fs.Path(s"$sink/_maintenance.lock")) shouldBe false
     // folds landed: hwm base exists, exp-state deltas consumed into _base
