@@ -121,6 +121,29 @@ object RangeFns {
   val LastOverTime: RangeFn = simple { (_, vs, lo, hi) => vs(hi - 1) }
   /** Seconds-precision timestamp of the newest sample. */
   val TimestampFn: RangeFn = simple { (ts, _, lo, hi) => ts(hi - 1).toDouble / 1000 }
+
+  /** Upstream promql 3.5 experimental `ts_of_*_over_time` family: the
+    * seconds-precision timestamp OF the extreme/last sample in the window
+    * (prometheus/prometheus promql/functions.go funcTsOfMaxOverTime et al).
+    * Ties keep the EARLIEST occurrence — upstream only replaces the
+    * champion on a strictly-greater (resp. strictly-smaller) value. */
+  val TsOfLastOverTime: RangeFn = TimestampFn
+  val TsOfMaxOverTime: RangeFn = simple { (ts, vs, lo, hi) =>
+    var best = Double.NaN; var bt = Long.MinValue; var i = lo
+    while (i < hi) {
+      if (!vs(i).isNaN && (best.isNaN || vs(i) > best)) { best = vs(i); bt = ts(i) }
+      i += 1
+    }
+    if (best.isNaN) Double.NaN else bt.toDouble / 1000
+  }
+  val TsOfMinOverTime: RangeFn = simple { (ts, vs, lo, hi) =>
+    var best = Double.NaN; var bt = Long.MinValue; var i = lo
+    while (i < hi) {
+      if (!vs(i).isNaN && (best.isNaN || vs(i) < best)) { best = vs(i); bt = ts(i) }
+      i += 1
+    }
+    if (best.isNaN) Double.NaN else bt.toDouble / 1000
+  }
   val PresentOverTime: RangeFn = simple { (_, _, _, _) => 1.0 }
 
   /** Exact quantile with linear interpolation between order statistics
@@ -297,6 +320,9 @@ object RangeFns {
       case "last_over_time"     => LastOverTime
       case "last"               => LastOverTime // reference alias (PlanEnums "last")
       case "timestamp"          => TimestampFn
+      case "ts_of_last_over_time" => TsOfLastOverTime
+      case "ts_of_max_over_time"  => TsOfMaxOverTime
+      case "ts_of_min_over_time"  => TsOfMinOverTime
       case "present_over_time"  => PresentOverTime
       case "z_score"            => ZScore
       case other => throw new IllegalArgumentException(s"unknown range function: $other")

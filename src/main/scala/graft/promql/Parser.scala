@@ -134,6 +134,7 @@ object Parser {
     "stdvar_over_time", "quantile_over_time", "mad_over_time", "last_over_time",
     "last", "timestamp", "present_over_time", "absent_over_time", "z_score",
     "last_over_time_is_mad_outlier",
+    "ts_of_last_over_time", "ts_of_max_over_time", "ts_of_min_over_time",
     // instant functions
     "abs", "ceil", "floor", "exp", "ln", "log2", "log10", "sqrt", "sgn", "round",
     "clamp", "clamp_max", "clamp_min",
@@ -170,7 +171,9 @@ object Parser {
       "changes", "deriv", "z_score", "sum_over_time", "avg_over_time",
       "count_over_time", "min_over_time", "max_over_time", "stddev_over_time",
       "stdvar_over_time", "last_over_time", "present_over_time",
-      "absent_over_time", "mad_over_time").map(_ -> ("m", 1))
+      "absent_over_time", "mad_over_time",
+      "ts_of_last_over_time", "ts_of_max_over_time",
+      "ts_of_min_over_time").map(_ -> ("m", 1))
     val v1 = Seq("abs", "ceil", "floor", "exp", "ln", "log2", "log10", "sqrt",
       "sgn", "sort", "sort_desc", "scalar", "hist_to_prom_vectors",
       "sin", "cos", "tan", "asin", "acos", "atan", "sinh", "cosh", "tanh",

@@ -802,7 +802,8 @@ object PromPlanner {
   private val rangeFnNames = Set("rate", "increase", "delta", "idelta", "irate", "resets",
     "changes", "deriv", "sum_over_time", "avg_over_time", "count_over_time", "min_over_time",
     "max_over_time", "stddev_over_time", "stdvar_over_time", "last_over_time", "last",
-    "timestamp", "present_over_time", "absent_over_time", "mad_over_time", "z_score")
+    "timestamp", "present_over_time", "absent_over_time", "mad_over_time", "z_score",
+    "ts_of_last_over_time", "ts_of_max_over_time", "ts_of_min_over_time")
 
   private def planFunc(ctx: Ctx, name: String, args: Seq[PromExpr]): DataFrame = name match {
 
@@ -991,9 +992,10 @@ object PromPlanner {
           val hasExp = baseDf.columns.contains("exp_counts")
           // NHCB (custom-bucket native histograms) land as sum-carrying
           // classic bucket storage: count = the +Inf cumulative entry,
-          // sum = the wire's hist_sum column; stddev/stdvar stay
-          // exp-only (midpoint estimation over custom bounds is not
-          // implemented — erroring beats silently dropping NHCB series)
+          // sum = the wire's hist_sum column; stddev/stdvar estimate per
+          // upstream's custom-bucket rule (funcHistogramStdDev: each
+          // bucket contributes at the ARITHMETIC mean of its bounds;
+          // the infinite edge buckets contribute at their finite bound)
           val hasBucket = baseDf.columns.contains("le") &&
             baseDf.columns.contains("values")
           require(hasExp || hasBucket,
@@ -1041,19 +1043,43 @@ object PromPlanner {
           }
           if (hasBucket) {
             val cntN = element_at(col("values"), -1)
+            def needSum(): Unit =
+              if (!baseDf.columns.contains("hist_sum"))
+                throw new IllegalArgumentException(
+                  s"$name over bucket storage needs the stored sum " +
+                    "(hist_sum column — NHCB remote-write stores it; " +
+                    "synthesized bucket tables may not)")
+            // midpoint-estimated variance over the cumulative buckets:
+            // per-bucket count c_i = values[i]-values[i-1]; bucket i of n
+            // contributes at le[0] (i=0, lower bound -Inf), le[n-2]
+            // (i=n-1, the +Inf bucket's finite lower bound), else the
+            // arithmetic midpoint (le[i-1]+le[i])/2 — the custom-bucket
+            // analogue of the exp geometric-mean estimator above
+            lazy val varianceN = {
+              val nB = size(col("le"))
+              val meanN = col("hist_sum") / cntN
+              val cnts = transform(sequence(lit(0), nB - 1), i =>
+                when(i === 0, element_at(col("values"), 1))
+                  .otherwise(element_at(col("values"), i + 1) -
+                             element_at(col("values"), i)))
+              val mids = transform(sequence(lit(0), nB - 1), i =>
+                when(i === 0, element_at(col("le"), 1))
+                  .when(i === nB - 1, element_at(col("le"), nB - 1))
+                  .otherwise((element_at(col("le"), i) +
+                              element_at(col("le"), i + 1)) / 2))
+              aggregate(
+                zip_with(cnts, mids,
+                  (c: Column, m: Column) => c * (m - meanN) * (m - meanN)),
+                lit(0.0), (a: Column, x: Column) => a + x) / cntN
+            }
             val vN = name match {
               case "histogram_count" => cntN
               case "histogram_sum" | "histogram_avg" =>
-                if (!baseDf.columns.contains("hist_sum"))
-                  throw new IllegalArgumentException(
-                    s"$name over bucket storage needs the stored sum " +
-                      "(hist_sum column — NHCB remote-write stores it; " +
-                      "synthesized bucket tables may not)")
+                needSum()
                 if (name == "histogram_sum") col("hist_sum")
                 else col("hist_sum") / cntN
-              case _ => throw new IllegalArgumentException(
-                s"$name over custom-bucket (NHCB) storage is not supported; " +
-                  "exponential-schema storage answers it")
+              case "histogram_stdvar" => needSum(); varianceN
+              case _ => needSum(); sqrt(varianceN)
             }
             parts += baseDf
               .filter(col("le").isNotNull && col("values").isNotNull)

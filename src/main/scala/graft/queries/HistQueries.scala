@@ -306,6 +306,51 @@ object HistQueries {
         .orderBy("step_ts")
     }),
 
+    // histogram_stddev over the NHCB sink: the custom-bucket midpoint
+    // estimator (upstream funcHistogramStdDev's arithmetic-mean rule for
+    // custom buckets; infinite edge buckets contribute at their finite
+    // bound) — per-bucket counts from the cumulative le ladder, mean from
+    // the stored wire sum. Mirror: the same five-midpoint variance in
+    // DuckDB over running per-day bucket counts.
+    "q185_nhcb_stddev" -> ((s, dir) => {
+      val sink = q181SinkCache.computeIfAbsent(dir, _ => buildQ181Sink(s, dir))
+      val sunk = s.read.option("mergeSchema", "true").parquet(sink)
+      val ctx = PromPlanner.Ctx(s, sunk, S + D1, TsTables.EventsEndMs, D1,
+        lookbackMs = D1)
+      PromPlanner.queryRange(ctx, "histogram_stddev(purchase)")
+        .select(col("step_ts"), round(col("value"), 6).as("sd_val"))
+        .orderBy("step_ts")
+    }),
+
+    // TSDB admin API end-to-end (upstream /api/v1/admin/tsdb/delete_series):
+    // purchase{user="1"} is tombstoned over the first five days via HTTP
+    // (twice — redundant tombstones must be harmless), then daily
+    // sum_over_time per user is read back over query_range; the deleted
+    // span must be invisible while users 2/3 and user 1's later days
+    // survive. Oracle = DuckDB over events with the same rows excluded.
+    "q186_delete_series" -> ((s, dir) => {
+      import s.implicits._
+      val port = deleteFixture(s, dir)
+      val pair = """\[([0-9.]+),"([^"]+)"\]""".r
+      val rows = Seq("1", "2", "3").flatMap { u =>
+        val q = java.net.URLEncoder.encode(
+          s"""sum(sum_over_time(purchase{user="$u"}[1d]))""", "UTF-8")
+        val url = s"http://localhost:$port/api/v1/query_range?query=$q" +
+          s"&start=${(S + D1) / 1000}&end=${TsTables.EventsEndMs / 1000}" +
+          "&step=86400"
+        val c = new java.net.URI(url).toURL.openConnection()
+          .asInstanceOf[java.net.HttpURLConnection]
+        val body = try new String(c.getInputStream.readAllBytes(), "UTF-8")
+          finally c.disconnect()
+        pair.findAllMatchIn(body).map { m =>
+          (math.round(m.group(1).toDouble * 1000), u,
+            BigDecimal(m.group(2).toDouble).setScale(6,
+              BigDecimal.RoundingMode.HALF_UP).toDouble)
+        }
+      }
+      rows.toDF("step_ts", "user", "value").orderBy("step_ts", "user")
+    }),
+
     // Exemplar QUERY surface end-to-end: exemplars ride a remote-write
     // POST into the content-dedup'd side table (a sender-retry replay
     // must append nothing), then /api/v1/query_exemplars answers a
@@ -675,6 +720,50 @@ object HistQueries {
           SELECT $S + (day + 1) * $D1 AS step_ts, round(cs / cc, 6) AS avg_val
           FROM cum ORDER BY 1""",
 
+    // NHCB midpoint-estimated stddev: running bucket counts over the
+    // 10/50/100/200 ladder; bucket masses (c10, c50-c10, c100-c50,
+    // c200-c100, cc-c200) contribute at midpoints (10, 30, 75, 150) with
+    // the +Inf bucket at its finite lower bound 200; mean = cs/cc
+    "q185_nhcb_stddev" ->
+      s"""WITH ev AS (SELECT (epoch_ns(ts)//1000000 - $S) // $D1 AS day, value
+                      FROM events WHERE event_type = 'purchase'),
+          daily AS (SELECT day, count(*)::DOUBLE AS c, sum(value) AS sm,
+                      sum(CASE WHEN value <= 10 THEN 1.0 ELSE 0 END) AS d10,
+                      sum(CASE WHEN value <= 50 THEN 1.0 ELSE 0 END) AS d50,
+                      sum(CASE WHEN value <= 100 THEN 1.0 ELSE 0 END) AS d100,
+                      sum(CASE WHEN value <= 200 THEN 1.0 ELSE 0 END) AS d200
+                    FROM ev GROUP BY day),
+          cum AS (SELECT day, sum(c) OVER w AS cc, sum(sm) OVER w AS cs,
+                         sum(d10) OVER w AS c10, sum(d50) OVER w AS c50,
+                         sum(d100) OVER w AS c100, sum(d200) OVER w AS c200
+                  FROM daily WINDOW w AS (ORDER BY day)),
+          v AS (SELECT day, cc, cs / cc AS mean,
+                  c10, c50 - c10 AS b1, c100 - c50 AS b2,
+                  c200 - c100 AS b3, cc - c200 AS b4
+                FROM cum)
+          SELECT $S + (day + 1) * $D1 AS step_ts,
+            round(sqrt((c10 * (10 - mean) * (10 - mean)
+                      + b1 * (30 - mean) * (30 - mean)
+                      + b2 * (75 - mean) * (75 - mean)
+                      + b3 * (150 - mean) * (150 - mean)
+                      + b4 * (200 - mean) * (200 - mean)) / cc), 6) AS sd_val
+          FROM v ORDER BY 1""",
+
+    // delete_series mirror: the SAME daily windowed sums with user 1's
+    // purchase rows excluded over the tombstoned span [S, S+5d]
+    "q186_delete_series" ->
+      s"""WITH ev AS (SELECT event_type, CAST(user_id AS VARCHAR) AS u,
+                        epoch_ns(ts)//1000000 AS ts_ms, value FROM events),
+          kept AS (SELECT * FROM ev
+                   WHERE event_type = 'purchase' AND u IN ('1','2','3')
+                     AND NOT (u = '1' AND ts_ms >= $S AND ts_ms <= ${S + 5 * D1})),
+          stps AS (SELECT unnest(generate_series(${S + D1},
+                     ${TsTables.EventsEndMs}, $D1)) AS step_ts)
+          SELECT s.step_ts, k.u AS "user", round(sum(k.value), 6) AS value
+          FROM stps s JOIN kept k
+            ON k.ts_ms > s.step_ts - $D1 AND k.ts_ms <= s.step_ts
+          GROUP BY 1,2 ORDER BY 1,2""",
+
     // delta-rate mirror: per-day exp-bucket counts are PER-INTERVAL
     // deltas, so rate = (sum of the window's two samples) / window-sec per
     // le bound, then the q97 interpolation CASE over the rate ladder
@@ -812,6 +901,38 @@ object HistQueries {
         Seq("__name__" -> "purchase"), Nil, exemplars = exs))
       RemoteRead.remoteWriteSeries(series, url)
       RemoteRead.remoteWriteSeries(series, url) // retry replay: must no-op
+      Integer.valueOf(api.boundPort)
+    }).intValue()
+
+  /** q186's fixture: a PromApi over the canonical events samples with the
+    * TSDB admin API enabled; one delete_series POST tombstones
+    * purchase{user="1"} over the first five days (POSTed twice — the
+    * second tombstone is redundant but must stay harmless), server kept
+    * for the session; returns the port. */
+  private val deletePortCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+
+  private def deleteFixture(s: org.apache.spark.sql.SparkSession,
+                            dir: String): Int =
+    deletePortCache.computeIfAbsent(dir, _ => {
+      val adminDir = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"), "q186_admin").toString
+      new org.apache.hadoop.fs.Path(adminDir).getFileSystem(
+        s.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(adminDir), true)
+      val api = new graft.http.PromApi(s, TsTables.eventsAsSamples(s, dir),
+        adminDir = Some(adminDir)).start()
+      val m = java.net.URLEncoder.encode("""purchase{user="1"}""", "UTF-8")
+      val path = s"/api/v1/admin/tsdb/delete_series?match[]=$m" +
+        s"&start=${S / 1000}&end=${(S + 5 * D1) / 1000}"
+      def post(): Int = {
+        val c = new java.net.URI(s"http://localhost:${api.boundPort}$path")
+          .toURL.openConnection().asInstanceOf[java.net.HttpURLConnection]
+        c.setRequestMethod("POST")
+        try c.getResponseCode finally c.disconnect()
+      }
+      require(post() == 204 && post() == 204,
+        "q186 fixture: delete_series did not answer 204")
       Integer.valueOf(api.boundPort)
     }).intValue()
 

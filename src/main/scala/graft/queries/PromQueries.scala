@@ -315,7 +315,26 @@ object PromQueries {
                 InstantFns("sin", InstantFns("rad", col("value"))) *
                 InstantFns("cos", InstantFns("rad", col("value"))), 6)),
         "step_ts", "event_type")
-    })
+    }),
+
+    "q183_ts_of_extrema_1d" -> ((s, dir) => {
+      // upstream promql 3.5 experimental ts_of_max/min_over_time: the
+      // seconds-timestamp OF the window extreme (ties → earliest sample,
+      // matching upstream's strictly-greater champion replacement)
+      val tmx = periodic(ev(s, dir), Seq("event_type"), D1, D1, RangeFns.TsOfMaxOverTime)
+        .withColumnRenamed("value", "ts_max")
+      val tmn = periodic(ev(s, dir), Seq("event_type"), D1, D1, RangeFns.TsOfMinOverTime)
+        .withColumnRenamed("value", "ts_min")
+      ordered(tmx.join(tmn, Seq("event_type", "step_ts"))
+        .select(col("step_ts"), col("event_type"),
+          round(col("ts_max"), 6).as("ts_max"), round(col("ts_min"), 6).as("ts_min")),
+        "step_ts", "event_type")
+    }),
+
+    "q184_ts_of_last_6h" -> ((s, dir) =>
+      ordered(r6(periodic(ev(s, dir), Seq("event_type", "user_id"), H6, H6,
+        RangeFns.TsOfLastOverTime)),
+        "step_ts", "event_type", "user_id"))
   )
 
   // ---------- oracles ----------
@@ -591,6 +610,19 @@ object PromQueries {
                    GROUP BY 1,2)
           SELECT step_ts, event_type,
                  round(degrees(atan(value)) + sin(radians(value)) * cos(radians(value)), 6) AS value
-          FROM sums ORDER BY 1,2"""
+          FROM sums ORDER BY 1,2""",
+
+    "q183_ts_of_extrema_1d" ->
+      s"""${winSql(Seq("event_type"), D1, D1)},
+          ext AS (SELECT step_ts, event_type, max(value) AS mxv, min(value) AS mnv
+                  FROM win GROUP BY 1,2)
+          SELECT w.step_ts, w.event_type,
+                 round(min(CASE WHEN w.value = e.mxv THEN w.ts_ms END)/1000.0, 6) AS ts_max,
+                 round(min(CASE WHEN w.value = e.mnv THEN w.ts_ms END)/1000.0, 6) AS ts_min
+          FROM win w JOIN ext e USING (step_ts, event_type)
+          GROUP BY 1,2 ORDER BY 1,2""",
+
+    "q184_ts_of_last_6h" ->
+      overTimeSql(Seq("event_type", "user_id"), H6, H6, "round(max(ts_ms)/1000.0,6)")
   )
 }

@@ -76,6 +76,26 @@ class RangeFnsSpec extends AnyFunSuite with Matchers {
     RangeFns.Changes.eval(ts, vs, 0, 6, 0, 0) shouldEqual 4.0
   }
 
+  test("ts_of_max/min/last_over_time: seconds-timestamp of the window " +
+       "extreme, ties keep the EARLIEST occurrence, NaN samples skipped") {
+    val (ts, vs) = arrays(gauge)
+    // gauge max 8201 at 8162999, min 3095 at 8142822
+    RangeFns.TsOfMaxOverTime.eval(ts, vs, 0, ts.length, 0L, 0L) shouldEqual 8162.999 +- eps
+    RangeFns.TsOfMinOverTime.eval(ts, vs, 0, ts.length, 0L, 0L) shouldEqual 8142.822 +- eps
+    RangeFns.TsOfLastOverTime.eval(ts, vs, 0, ts.length, 0L, 0L) shouldEqual 8162.999 +- eps
+    // tie: two samples share the max -> the earlier timestamp wins
+    val tts = Array(1000L, 2000L, 3000L)
+    val tvs = Array(7.0, 7.0, 2.0)
+    RangeFns.TsOfMaxOverTime.eval(tts, tvs, 0, 3, 0L, 0L) shouldEqual 1.0 +- eps
+    RangeFns.TsOfMinOverTime.eval(tts, tvs, 0, 3, 0L, 0L) shouldEqual 3.0 +- eps
+    // NaN samples are no-data: skipped, never the champion
+    val nvs = Array(Double.NaN, 5.0, Double.NaN)
+    RangeFns.TsOfMaxOverTime.eval(tts, nvs, 0, 3, 0L, 0L) shouldEqual 2.0 +- eps
+    // all-NaN window -> NaN (kernel emits no row)
+    RangeFns.TsOfMaxOverTime.eval(tts,
+      Array(Double.NaN, Double.NaN, Double.NaN), 0, 3, 0L, 0L).isNaN shouldBe true
+  }
+
   test("quantile_over_time interpolates between order statistics") {
     val vs = Array(1.0, 2.0, 3.0, 4.0)
     val ts = Array(1L, 2L, 3L, 4L)

@@ -1058,9 +1058,12 @@ class RemoteWriteSpec extends AnyFunSuite with Matchers {
       one("histogram_count(nh)") shouldEqual 12.0
       one("histogram_sum(nh)") shouldEqual 48.0
       one("histogram_avg(nh)") shouldEqual 4.0
-      // stddev needs midpoint estimation over custom bounds: explicit error
-      intercept[Exception] { one("histogram_stddev(nh)") }
-        .getMessage should include("NHCB")
+      // stddev/stdvar per the custom-bucket midpoint estimator: counts
+      // (4,6,2,0) contribute at (le[0]=1, (1+5)/2=3, (5+10)/2=7.5,
+      // lower-bound 10), mean 4 -> variance = (4*9 + 6*1 + 2*12.25)/12
+      val expectVarN = (4.0 * 9 + 6.0 * 1 + 2.0 * 12.25) / 12.0
+      one("histogram_stdvar(nh)") shouldEqual expectVarN +- 1e-9
+      one("histogram_stddev(nh)") shouldEqual math.sqrt(expectVarN) +- 1e-9
       // the retry replay no-ops via the hwm (classic counter storage
       // needs no delta state)
       RemoteRead.remoteWriteSeries(Seq(ProtoWire.PSeries(
