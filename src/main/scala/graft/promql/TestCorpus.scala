@@ -50,12 +50,20 @@ object TestCorpus {
     * the literal's `offset` is the prompb positive-span start, stored as
     * exp_offset = offset - 1 exactly like the remote-write decode).
     * Supported fields: schema, sum, count, buckets, offset, z_bucket,
-    * z_bucket_w, counter_reset_hint (parsed, ignored — instant extractors
-    * don't consult it). Repeat suffix `x<n>` and `_` gaps compose as for
+    * z_bucket_w, custom_values (schema:-53 NHCB — canonicalized to
+    * classic cumulative bucket storage like the remote-write ingest),
+    * counter_reset_hint (parsed, ignored — instant extractors don't
+    * consult it). Repeat suffix `x<n>` and `_` gaps compose as for
     * scalar values; a series is either all-histogram or all-scalar. */
   case class HistLit(schema: Int, offset: Int, buckets: Seq[Double],
                      zBucket: Double, zBucketW: Double,
-                     sum: Double, count: Double)
+                     sum: Double, count: Double,
+                     customValues: Seq[Double] = Nil) {
+    /** NHCB literal (`schema:-53 custom_values:[...]`): canonicalized to
+      * classic cumulative bucket storage exactly like the remote-write
+      * ingest (le = bounds + Inf, values cumulative, +Inf = count). */
+    def isCustom: Boolean = customValues.nonEmpty
+  }
 
   sealed trait Directive
   case class Load(stepMs: Long, series: Seq[(Map[String, String], Seq[(Long, Double, Boolean)])],
@@ -243,6 +251,15 @@ object TestCorpus {
       s.stripPrefix("[").stripSuffix("]").split("\\s+").filter(_.nonEmpty)
         .map(_.toDouble).toSeq
     val bk = fields.get("buckets").map(buckets).getOrElse(Nil)
+    val cv = fields.get("custom_values").map(buckets).getOrElse(Nil)
+    if (cv.nonEmpty) {
+      require(fields.get("schema").map(_.toInt).contains(-53),
+        s"custom_values requires schema:-53: $tok")
+      require(cv == cv.sorted && cv.distinct == cv,
+        s"custom_values must be strictly increasing: $tok")
+      require(bk.size <= cv.size + 1,
+        s"more buckets than custom bounds (+1 overflow): $tok")
+    }
     HistLit(
       schema = fields.get("schema").map(_.toInt).getOrElse(0),
       offset = fields.get("offset").map(_.toInt).getOrElse(0),
@@ -251,7 +268,8 @@ object TestCorpus {
       zBucketW = fields.get("z_bucket_w").map(_.toDouble).getOrElse(0.0),
       sum = fields.get("sum").map(num).getOrElse(0.0),
       count = fields.get("count").map(num).getOrElse(
-        bk.sum + fields.get("z_bucket").map(_.toDouble).getOrElse(0.0)))
+        bk.sum + fields.get("z_bucket").map(_.toDouble).getOrElse(0.0)),
+      customValues = cv)
   }
 
   /** One range-eval expected line: `series{labels} v0 v1 _ 0+5x2 ...`,
@@ -347,7 +365,11 @@ object TestCorpus {
       // collide a histogram sid with a populated scalar sid and silently
       // merge two distinct series (r12 advisor finding)
       val base = loads.map(_.series.size).sum
-      val hrows = histLoads.zipWithIndex.flatMap {
+      // a series is routed whole: NHCB (custom_values) literals land as
+      // classic cumulative bucket storage, exp literals as exp columns
+      val (nhcbLoads, expLoads) =
+        histLoads.partition(_._2.exists(_._2.isCustom))
+      val hrows = expLoads.zipWithIndex.flatMap {
         case ((labels, samples), i) =>
           val metric = labels.getOrElse("__name__", null)
           val tags = labels - "__name__"
@@ -360,13 +382,53 @@ object TestCorpus {
               "otel_exp_histogram")
           }
       }
+      // NHCB canonicalization = the remote-write ingest's: le = bounds +
+      // Inf, values cumulative across buckets, the +Inf entry = count
+      val nrows = nhcbLoads.zipWithIndex.flatMap {
+        case ((labels, samples), i) =>
+          val metric = labels.getOrElse("__name__", null)
+          val tags = labels - "__name__"
+          samples.map { case (ts, h) =>
+            require(h.isCustom,
+              s"series $metric mixes NHCB and exp histogram literals")
+            // cum over the bounds; a (bounds.size+1)-th bucket is the
+            // overflow and lands in the +Inf entry via count
+            val cumBounds = h.buckets.scanLeft(0.0)(_ + _).tail
+              .take(h.customValues.size)
+              .padTo(h.customValues.size, h.buckets.sum)
+            require(h.count + 1e-9 >= h.buckets.sum,
+              s"NHCB literal count < bucket mass: $metric")
+            (base.toLong + expLoads.size + i, metric, tags, ts,
+              null.asInstanceOf[java.lang.Double],
+              h.customValues :+ Double.PositiveInfinity,
+              cumBounds :+ h.count, h.sum, "prom_histogram")
+          }
+      }
       val hist0 = hrows.toDF("series_id", "metric", "tags", "ts", "value",
           "exp_scale", "exp_offset", "exp_counts", "exp_zero_count",
           "exp_zero_threshold", "exp_sum", "series_type")
         .withColumn("value", col("value").cast("double"))
-      val hist =
-        if (anyStale) hist0.withColumn("__stale", lit(false)) else hist0
-      val padded = plain
+        .withColumn("le", lit(null).cast("array<double>"))
+        .withColumn("values", lit(null).cast("array<double>"))
+        .withColumn("hist_sum", lit(null).cast("double"))
+      val nhcb0 = nrows.toDF("series_id", "metric", "tags", "ts", "value",
+          "le", "values", "hist_sum", "series_type")
+        .withColumn("value", col("value").cast("double"))
+        .withColumn("exp_scale", lit(null).cast("int"))
+        .withColumn("exp_offset", lit(null).cast("int"))
+        .withColumn("exp_counts", lit(null).cast("array<double>"))
+        .withColumn("exp_zero_count", lit(null).cast("double"))
+        .withColumn("exp_zero_threshold", lit(null).cast("double"))
+        .withColumn("exp_sum", lit(null).cast("double"))
+      val histAll0 = hist0.unionByName(nhcb0.select(hist0.columns.map(col): _*))
+      // keep frames WITHOUT NHCB literals free of bucket columns (other
+      // corpus runs must keep their exact pre-NHCB plan shapes)
+      val histAll1 =
+        if (nhcbLoads.isEmpty) histAll0.drop("le", "values", "hist_sum")
+        else histAll0
+      val histAll =
+        if (anyStale) histAll1.withColumn("__stale", lit(false)) else histAll1
+      var padded = plain
         .withColumn("exp_scale", lit(null).cast("int"))
         .withColumn("exp_offset", lit(null).cast("int"))
         .withColumn("exp_counts", lit(null).cast("array<double>"))
@@ -374,7 +436,11 @@ object TestCorpus {
         .withColumn("exp_zero_threshold", lit(null).cast("double"))
         .withColumn("exp_sum", lit(null).cast("double"))
         .withColumn("series_type", lit(null).cast("string"))
-      padded.unionByName(hist.select(padded.columns.map(col): _*))
+      if (nhcbLoads.nonEmpty) padded = padded
+        .withColumn("le", lit(null).cast("array<double>"))
+        .withColumn("values", lit(null).cast("array<double>"))
+        .withColumn("hist_sum", lit(null).cast("double"))
+      padded.unionByName(histAll.select(padded.columns.map(col): _*))
     }
   }
 
