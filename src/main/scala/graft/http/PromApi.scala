@@ -91,6 +91,9 @@ class PromApi(spark: SparkSession, samples: DataFrame, port: Int = 0,
     * bounds grows per drain, not per POST. */
   private val writesAccepted = new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** PromQL instant + range queries served (the /metrics counter). */
+  private val queriesServed = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** Local batch-id counter — a STARTING GUESS only; the claim protocol
     * below is what makes ids collision-free across racing instances. */
   private lazy val writeBatchId = new java.util.concurrent.atomic.AtomicLong(
@@ -476,6 +479,8 @@ class PromApi(spark: SparkSession, samples: DataFrame, port: Int = 0,
       server.createContext("/api/v1/admin/tsdb/clean_tombstones",
         adminHandler(cleanTombstones))
     }
+    server.createContext("/federate", textHandler(federate))
+    server.createContext("/metrics", textHandler(selfMetrics))
     server.createContext("/__health", handler(health))
     server.setExecutor(pool)
     spark.sparkContext.addSparkListener(cpuListener)
@@ -493,6 +498,84 @@ class PromApi(spark: SparkSession, samples: DataFrame, port: Int = 0,
     pool.shutdown()
     spark.sparkContext.removeSparkListener(cpuListener)
   }
+
+  /** Text-exposition endpoints (federate): 200 text/plain on success,
+    * 400 text on bad input — never a JSON envelope. */
+  private def textHandler(f: Map[String, String] => String): HttpHandler =
+    (ex: HttpExchange) => {
+      val (code, body) =
+        try (200, f(params(ex)))
+        catch { case e: Exception => (400, String.valueOf(e.getMessage) + "\n") }
+      val bytes = body.getBytes(StandardCharsets.UTF_8)
+      ex.getResponseHeaders.add("Content-Type",
+        "text/plain; version=0.0.4; charset=utf-8")
+      ex.sendResponseHeaders(code, bytes.length)
+      ex.getResponseBody.write(bytes)
+      ex.close()
+    }
+
+  /** Prometheus `/federate` (upstream web/federate.go): the newest sample
+    * within the staleness lookback of every series matching ANY match[]
+    * selector, one exposition line per series with the sample's OWN
+    * millisecond timestamp (not the evaluation instant). `time` (unix
+    * seconds, optional) pins the instant; default = the store's newest
+    * sample, so a scheduled scrape federates "now". A staleness-marker
+    * tombstone newer than the last live sample hides the series, exactly
+    * as in instant queries. */
+  private def federate(p: Map[String, String]): String = {
+    val sels = matchExprs(p)
+    if (sels.isEmpty)
+      throw new IllegalArgumentException("federate needs at least one match[] selector")
+    val base = liveSamples
+    val t = p.get("time").map(ms).getOrElse {
+      val r = base.agg(max(col("ts"))).head()
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
+    // scalar samples only: histogram-storage rows (null value) federate
+    // through their bridged bucket selectors, not the raw rows
+    val wind = base
+      .filter(col("ts") > t - lookback(p) && col("ts") <= t)
+      .filter(col("value").isNotNull)
+      .filter(graft.operators.MetadataOps.matchPred(sels))
+    val stale =
+      if (wind.columns.contains("__stale")) coalesce(col("__stale"), lit(false))
+      else lit(false)
+    val newest = wind
+      .withColumn("__k", to_json(array_sort(map_entries(col("tags")))))
+      .groupBy(col("metric"), col("__k"))
+      .agg(
+        max_by(struct(col("ts"), col("value"), stale.as("st")), col("ts")).as("s"),
+        first(col("tags")).as("tags"))
+      .filter(!col("s.st")) // newest row is a marker -> series absent
+      .select(col("metric"), col("__k"), col("tags"),
+        col("s.ts").as("ts"), col("s.value").as("value"))
+      .orderBy(col("metric"), col("__k"))
+    val rows = newest.limit(maxResultSeries + 1).collect()
+    if (rows.length > maxResultSeries)
+      throw new IllegalArgumentException(
+        s"federate result exceeds $maxResultSeries series")
+    val sb = new StringBuilder
+    rows.foreach { r =>
+      val tags = r.getMap[String, String](2)
+      val lbl =
+        if (tags.isEmpty) ""
+        else tags.toSeq.sortBy(_._1).map { case (k, v) =>
+          s"""$k="${expoEscape(v)}"""" }.mkString("{", ",", "}")
+      sb.append(r.getString(0)).append(lbl).append(' ')
+        .append(fmt(r.getDouble(4))).append(' ')
+        .append(r.getLong(3)).append('\n')
+    }
+    sb.result()
+  }
+
+  /** Prometheus text-exposition label-value escaping. */
+  private def expoEscape(v: String): String =
+    Option(v).getOrElse("").flatMap {
+      case '\\' => "\\\\"
+      case '"' => "\\\""
+      case '\n' => "\\n"
+      case c => c.toString
+    }
 
   private def handler(f: Map[String, String] => String): HttpHandler = (ex: HttpExchange) => {
     val resp =
@@ -657,6 +740,7 @@ class PromApi(spark: SparkSession, samples: DataFrame, port: Int = 0,
     }.getOrElse("")
 
   private def queryRange(p: Map[String, String]): String = withStatsGroup(p) { gid =>
+    queriesServed.incrementAndGet()
     val t0 = System.nanoTime()
     val hook = statsHook(p)
     val ctx = PromPlanner.Ctx(spark, liveSamples, ms(p("start")), ms(p("end")), stepMs(p("step")),
@@ -688,6 +772,7 @@ class PromApi(spark: SparkSession, samples: DataFrame, port: Int = 0,
     * Prometheus' resultType "scalar" — a bare [ts, value] pair — instead
     * of a vector envelope (a Grafana-style consumer dispatches on this). */
   private def instantQuery(p: Map[String, String]): String = withStatsGroup(p) { gid =>
+    queriesServed.incrementAndGet()
     val t0 = System.nanoTime()
     val hook = statsHook(p)
     val t = ms(p.getOrElse("time", (System.currentTimeMillis() / 1000).toString))
@@ -778,13 +863,16 @@ class PromApi(spark: SparkSession, samples: DataFrame, port: Int = 0,
     * every shard is healthy). Our "shards" are the Spark runtime: healthy
     * = the session is live and the samples table resolves; partitions
     * stand in for shard count. */
-  private def health(p: Map[String, String]): String = {
-    val nParts = samples.rdd.getNumPartitions
-    // spool depth gauge (group-commit mode): the ack hides commit failures
-    // from senders by design, so drain lag — spooled-file count + oldest
-    // un-drained file age — is the one operator-visible signal that the
-    // drain loop is healthy
-    val spool = writeSink.filter(_ => spoolDrainMs > 0).map { ws =>
+  /** Spool drain-lag gauges (group-commit mode): depth + oldest un-drained
+    * age, and the live `.tmp` claims that block the drainable prefix —
+    * surfacing the tmps separately lets an operator tell "drain lagging"
+    * (depth grows, no tmps) from "prefix blocked by a stalled writer"
+    * (old tmp, depth frozen behind it). Shared by /__health and /metrics. */
+  private case class SpoolGauges(depth: Int, oldestAgeMs: Long,
+                                 pendingTmp: Int, oldestTmpAgeMs: Long)
+
+  private def spoolGauges: Option[SpoolGauges] =
+    writeSink.filter(_ => spoolDrainMs > 0).map { ws =>
       val fs = new org.apache.hadoop.fs.Path(ws.sinkDir)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       val sp = new org.apache.hadoop.fs.Path(s"${ws.sinkDir}/_spool")
@@ -793,19 +881,53 @@ class PromApi(spark: SparkSession, samples: DataFrame, port: Int = 0,
         else fs.listStatus(sp)
       val wr = listing.filter(st =>
         st.getPath.getName.endsWith(".wr") || st.getPath.getName.endsWith(".wr2"))
-      // live .tmp claims block the drainable prefix until they publish or
-      // age past spoolTmpAbandonMs — surfacing them separately lets an
-      // operator tell "drain lagging" (depth grows, no tmps) from "prefix
-      // blocked by a stalled writer" (old tmp, depth frozen behind it)
       val tmp = listing.filter(_.getPath.getName.endsWith(".tmp"))
       def oldestAge(sts: Array[org.apache.hadoop.fs.FileStatus]): Long =
         if (sts.isEmpty) 0L
         else math.max(0L, System.currentTimeMillis() - sts.map(_.getModificationTime).min)
-      s""","spool":{"depth":${wr.length},"oldestAgeMs":${oldestAge(wr)},""" +
-        s""""pendingTmp":${tmp.length},"oldestTmpAgeMs":${oldestAge(tmp)},""" +
+      SpoolGauges(wr.length, oldestAge(wr), tmp.length, oldestAge(tmp))
+    }
+
+  private def health(p: Map[String, String]): String = {
+    val nParts = samples.rdd.getNumPartitions
+    // the ack hides commit failures from senders by design, so drain lag
+    // is the one operator-visible signal that the drain loop is healthy
+    val spool = spoolGauges.map { g =>
+      s""","spool":{"depth":${g.depth},"oldestAgeMs":${g.oldestAgeMs},""" +
+        s""""pendingTmp":${g.pendingTmp},"oldestTmpAgeMs":${g.oldestTmpAgeMs},""" +
         s""""abandonAfterMs":$spoolTmpAbandonMs}"""
     }.getOrElse("")
     s"""{"status":"healthy","spark":"${spark.version}","partitions":$nParts$spool}"""
+  }
+
+  /** `/metrics` — the engine's OWN telemetry in Prometheus text
+    * exposition, so a fleet of graft servers is scrapeable by any
+    * Prometheus (and by another graft via the gateway's exposition
+    * parser): queries served, write commits, in-flight writes, and the
+    * spool drain-lag gauges. */
+  private def selfMetrics(p: Map[String, String]): String = {
+    val sb = new StringBuilder
+    def emit(name: String, typ: String, help: String, v: Double): Unit =
+      sb.append(s"# HELP $name $help\n# TYPE $name $typ\n$name ${fmt(v)}\n")
+    emit("graft_queries_total", "counter",
+      "PromQL instant and range queries served.", queriesServed.get().toDouble)
+    emit("graft_writes_accepted_total", "counter",
+      "Remote-write commits accepted (one drain micro-batch in spool mode).",
+      writesAccepted.get().toDouble)
+    emit("graft_writes_inflight", "gauge",
+      "Remote-write POSTs decoding or committing right now.",
+      (math.max(1, maxInFlightWrites) - writePermits.availablePermits()).toDouble)
+    spoolGauges.foreach { g =>
+      emit("graft_spool_depth", "gauge",
+        "Acked spool files awaiting drain.", g.depth.toDouble)
+      emit("graft_spool_oldest_age_seconds", "gauge",
+        "Age of the oldest un-drained spool file.", g.oldestAgeMs / 1000.0)
+      emit("graft_spool_pending_tmp", "gauge",
+        "Live .tmp claims gating the drainable prefix.", g.pendingTmp.toDouble)
+      emit("graft_spool_oldest_tmp_age_seconds", "gauge",
+        "Age of the oldest live .tmp claim.", g.oldestTmpAgeMs / 1000.0)
+    }
+    sb.result()
   }
 
   /** Prometheus REMOTE READ (`/api/v1/read`, reference

@@ -351,6 +351,32 @@ object HistQueries {
       rows.toDF("step_ts", "user", "value").orderBy("step_ts", "user")
     }),
 
+    // /federate end-to-end (upstream web/federate.go): the newest
+    // purchase sample per user within the lookback at a pinned instant,
+    // served as text exposition with each sample's OWN timestamp, parsed
+    // back and checked against DuckDB's per-user argmax. Reuses the q180
+    // fixture server (same canonical samples).
+    "q187_federate" -> ((s, dir) => {
+      import s.implicits._
+      val port = tsdbFixture(s, dir)
+      val T = TsTables.EventsEndMs
+      val url = s"http://localhost:$port/federate?" +
+        s"match[]=${java.net.URLEncoder.encode("purchase", "UTF-8")}" +
+        s"&time=${T / 1000}&lookback_delta=1d"
+      val c = new java.net.URI(url).toURL.openConnection()
+        .asInstanceOf[java.net.HttpURLConnection]
+      val body = try new String(c.getInputStream.readAllBytes(), "UTF-8")
+        finally c.disconnect()
+      val line = """purchase\{user="([^"]+)"\} (\S+) (\d+)""".r
+      val rows = line.findAllMatchIn(body).map { m =>
+        (m.group(1),
+          BigDecimal(m.group(2).toDouble).setScale(6,
+            BigDecimal.RoundingMode.HALF_UP).toDouble,
+          m.group(3).toLong)
+      }.toSeq
+      rows.toDF("user", "value", "ts_ms").orderBy("user")
+    }),
+
     // Exemplar QUERY surface end-to-end: exemplars ride a remote-write
     // POST into the content-dedup'd side table (a sender-retry replay
     // must append nothing), then /api/v1/query_exemplars answers a
@@ -763,6 +789,20 @@ object HistQueries {
           FROM stps s JOIN kept k
             ON k.ts_ms > s.step_ts - $D1 AND k.ts_ms <= s.step_ts
           GROUP BY 1,2 ORDER BY 1,2""",
+
+    // federate mirror: newest purchase per user in (E-1d, E]
+    "q187_federate" ->
+      s"""WITH ev AS (SELECT CAST(user_id AS VARCHAR) AS u,
+                        epoch_ns(ts)//1000000 AS ts_ms, value FROM events
+                      WHERE event_type = 'purchase'),
+          w AS (SELECT * FROM ev
+                WHERE ts_ms > ${TsTables.EventsEndMs - TsTables.Day}
+                  AND ts_ms <= ${TsTables.EventsEndMs}),
+          r AS (SELECT u, ts_ms, value,
+                  row_number() OVER (PARTITION BY u ORDER BY ts_ms DESC) AS rn
+                FROM w)
+          SELECT u AS "user", round(value, 6) AS value, ts_ms
+          FROM r WHERE rn = 1 ORDER BY 1""",
 
     // delta-rate mirror: per-day exp-bucket counts are PER-INTERVAL
     // deltas, so rate = (sum of the window's two samples) / window-sec per

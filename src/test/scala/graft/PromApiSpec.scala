@@ -1041,4 +1041,77 @@ class PromApiSpec extends AnyFunSuite with Matchers {
       limited should not include "temp_celsius"
     } finally api.stop()
   }
+
+  test("/federate renders the newest in-lookback sample per matching " +
+       "series as text exposition with the sample's own timestamp; " +
+       "staleness markers hide a series; no match[] answers 400 text") {
+    import spark.implicits._
+    val samples = Seq(
+      ("reqs", Map("job" -> "api"), 1000L, 1.0, false),
+      ("reqs", Map("job" -> "api"), 5000L, 7.5, false),
+      ("reqs", Map("job" -> "web"), 4000L, 3.0, false),
+      ("reqs", Map("job" -> "web"), 6000L, Double.NaN, true), // tombstone
+      ("lat", Map.empty[String, String], 2000L, 9.0, false),
+      ("old", Map.empty[String, String], 1000L, 2.0, false))
+      .toDF("metric", "tags", "ts", "value", "__stale")
+    val api = new PromApi(spark, samples).start()
+    try {
+      val port = api.boundPort
+      val m1 = java.net.URLEncoder.encode("reqs", "UTF-8")
+      val m2 = java.net.URLEncoder.encode("lat", "UTF-8")
+      // time defaults to the store's newest sample (6000ms)
+      val body = get(port, s"/federate?match[]=$m1&match[]=$m2")
+      body should include("reqs{job=\"api\"} 7.5 5000\n")
+      // the web series' newest row is a MARKER: hidden
+      (body should not).include("job=\"web\"")
+      body should include("lat 9 2000\n")
+      (body should not).include("old")
+      // a pinned past instant federates the then-current values
+      val at1 = get(port, s"/federate?match[]=$m1&time=4")
+      at1 should include("reqs{job=\"api\"} 1 1000\n")
+      at1 should include("reqs{job=\"web\"} 3 4000\n")
+      // no match[] -> 400 with a text (not JSON-envelope) error
+      get(port, "/federate") should include("match[]")
+    } finally api.stop()
+  }
+
+  test("/metrics exposes the engine's own telemetry as scrapeable " +
+       "exposition: query counter moves with queries served") {
+    val samples = TsTables.eventsAsSamples(spark, "/root/testdata/sf0.001")
+    val api = new PromApi(spark, samples).start()
+    try {
+      val port = api.boundPort
+      val before = get(port, "/metrics")
+      before should include("# TYPE graft_queries_total counter")
+      before should include("# TYPE graft_writes_accepted_total counter")
+      val n0 = "graft_queries_total ([0-9]+)".r
+        .findFirstMatchIn(before).get.group(1).toLong
+      get(port, "/api/v1/query?query=" +
+        java.net.URLEncoder.encode("vector(1)", "UTF-8") + "&time=0")
+      get(port, "/api/v1/query_range?query=" +
+        java.net.URLEncoder.encode("vector(1)", "UTF-8") +
+        "&start=0&end=10&step=10")
+      val after = get(port, "/metrics")
+      "graft_queries_total ([0-9]+)".r
+        .findFirstMatchIn(after).get.group(1).toLong shouldEqual (n0 + 2)
+      // no spool configured -> no spool gauges
+      (after should not).include("graft_spool_depth")
+    } finally api.stop()
+  }
+
+  test("self-scrape: the gateway's exposition parser ingests a graft " +
+       "server's own /metrics (a graft fleet is Prometheus-scrapeable)") {
+    val samples = TsTables.eventsAsSamples(spark, "/root/testdata/sf0.001")
+    val api = new PromApi(spark, samples).start()
+    try {
+      get(api.boundPort, "/api/v1/query?query=" +
+        java.net.URLEncoder.encode("vector(1)", "UTF-8") + "&time=0")
+      val expo = get(api.boundPort, "/metrics")
+      val decoded = graft.streaming.Gateway.parsePromText(expo, 123000L)
+      val byName = decoded.map(d => d.metric -> d.value).toMap
+      byName("graft_queries_total") should be >= 1.0
+      byName should contain key "graft_writes_accepted_total"
+      decoded.foreach(_.ts shouldEqual 123000L)
+    } finally api.stop()
+  }
 }
