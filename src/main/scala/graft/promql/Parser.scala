@@ -231,6 +231,7 @@ object Parser {
       java.util.Collections.newSetFromMap(new java.util.IdentityHashMap[PromExpr, java.lang.Boolean]())
     private def markMod(e: PromExpr): PromExpr = { modWritten.add(e); e }
     private def cur: Tok = toks(pos)
+    private def peek: Tok = if (pos + 1 < toks.length) toks(pos + 1) else TEnd
     private def advance(): Tok = { val t = cur; pos += 1; t }
     private def expectOp(s: String): Unit = cur match {
       case TOp(`s`) => pos += 1
@@ -419,6 +420,65 @@ object Parser {
       case _ => parsePostfix(parsePrimary())
     }
 
+    // ----- duration expressions (upstream promql-duration-expr,
+    // experimental in Prometheus 3.4+): arithmetic over durations and
+    // bare numbers (both carried in SECONDS, so `5m * 2` = 600s and
+    // `[300]` = 5m), with + - * / % ^, parentheses and unary minus.
+    // Allowed in full inside [range] / [range:step]; after `offset` only
+    // a simple duration or a PARENTHESIZED expression is accepted —
+    // `foo offset 5m + bar` must stay the binary + of two vectors. -----
+
+    /** Full duration expression, in seconds. */
+    private def parseDurExpr(): Double = {
+      var v = parseDurTerm()
+      var done = false
+      while (!done) cur match {
+        case TOp("+") => advance(); v += parseDurTerm()
+        case TOp("-") => advance(); v -= parseDurTerm()
+        case _ => done = true
+      }
+      v
+    }
+
+    private def parseDurTerm(): Double = {
+      var v = parseDurPow()
+      var done = false
+      while (!done) cur match {
+        case TOp("*") => advance(); v *= parseDurPow()
+        case TOp("/") => advance(); v /= parseDurPow()
+        case TOp("%") => advance(); v %= parseDurPow()
+        case _ => done = true
+      }
+      v
+    }
+
+    private def parseDurPow(): Double = {
+      val base = parseDurUnary()
+      cur match {
+        case TOp("^") => advance(); math.pow(base, parseDurPow()) // right-assoc
+        case _ => base
+      }
+    }
+
+    private def parseDurUnary(): Double = cur match {
+      case TOp("-") => advance(); -parseDurUnary()
+      case TOp("+") => advance(); parseDurUnary()
+      case TOp("(") =>
+        advance()
+        val v = parseDurExpr()
+        expectOp(")")
+        v
+      case TDur(ms) => advance(); ms / 1000.0
+      case TNum(v) => advance(); v
+      case other => fail(s"expected duration expression, got $other")
+    }
+
+    private def durToMs(secs: Double, what: String): Long = {
+      if (secs.isNaN || secs.isInfinite)
+        fail(s"$what duration expression is not finite")
+      math.round(secs * 1000)
+    }
+
     /** selector/paren followed by [range], [range:step], offset. */
     private def parsePostfix(e0: PromExpr): PromExpr = {
       var e = e0
@@ -434,9 +494,13 @@ object Parser {
           // (ms duration, step-multiple) — exactly one is set; `Ni` is
           // FiloDB's interval-multiple notation, resolved at plan time
           val (rangeMs, rangeSteps) = cur match {
-            case TDur(ms) => advance(); (ms, None)
             case TDurSteps(k) => advance(); (0L, Some(k))
-            case other => fail(s"expected duration in range, got $other")
+            // a LONE bare number is not a duration (classic `foo[1]`
+            // rejection stands); numbers are legal inside compound
+            // duration expressions only
+            case TNum(_) if peek == TOp("]") || peek == TOp(":") =>
+              fail(s"expected duration in range, got $cur")
+            case _ => (durToMs(parseDurExpr(), "range"), None)
           }
           if (rangeSteps.isEmpty && rangeMs <= 0L)
             fail(s"range duration must be positive, got ${rangeMs}ms")
@@ -446,9 +510,11 @@ object Parser {
             case TOp(":") => // subquery
               advance()
               val (step, stepSteps) = cur match {
-                case TDur(ms) => advance(); (Some(ms), None)
                 case TDurSteps(k) => advance(); (None, Some(k))
-                case _ => (None, None)
+                case TOp("]") => (None, None)
+                case TNum(_) if peek == TOp("]") =>
+                  fail(s"expected duration as subquery step, got $cur")
+                case _ => (Some(durToMs(parseDurExpr(), "subquery step")), None)
               }
               if (step.exists(_ <= 0L) || stepSteps.exists(_ <= 0L))
                 fail("subquery step must be positive")
@@ -514,6 +580,10 @@ object Parser {
           val (d0, st0) = cur match {
             case TDur(ms) => advance(); (ms, 0L)
             case TDurSteps(k) => advance(); (0L, k) // `offset 2i` = 2 steps
+            // parenthesized duration EXPRESSION (promql-duration-expr):
+            // only the parenthesized form here, so `offset 5m + bar`
+            // stays a binary + between vectors
+            case TOp("(") => (durToMs(parseDurExpr(), "offset"), 0L)
             case other => fail(s"expected duration after offset, got $other")
           }
           val d = if (neg) -d0 else d0

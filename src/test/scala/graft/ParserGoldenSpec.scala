@@ -516,6 +516,44 @@ class ParserGoldenSpec extends AnyFunSuite with Matchers {
     an[IllegalArgumentException] should be thrownBy Parser.parse("{}")
   }
 
+  test("duration expressions (promql-duration-expr): arithmetic in range, " +
+       "subquery step and parenthesized offset; numbers are seconds but a " +
+       "LONE number is still rejected") {
+    Parser.parse("foo[1h+30m]") shouldEqual
+      Selector(Some("foo"), Nil, Some(5400000L))
+    Parser.parse("foo[2*1h]") shouldEqual
+      Selector(Some("foo"), Nil, Some(7200000L))
+    Parser.parse("foo[1h/2]") shouldEqual
+      Selector(Some("foo"), Nil, Some(1800000L))
+    Parser.parse("foo[(90s)]") shouldEqual
+      Selector(Some("foo"), Nil, Some(90000L))
+    // numbers are seconds inside compound expressions
+    Parser.parse("foo[5m+30]") shouldEqual
+      Selector(Some("foo"), Nil, Some(330000L))
+    // precedence: * over +, ^ right-assoc, unary minus
+    Parser.parse("foo[1h+30m*2]") shouldEqual
+      Selector(Some("foo"), Nil, Some(7200000L))
+    Parser.parse("foo[2^2^3 * 1s]") shouldEqual
+      Selector(Some("foo"), Nil, Some(256000L))
+    Parser.parse("foo[1h-(-30m)]") shouldEqual
+      Selector(Some("foo"), Nil, Some(5400000L))
+    // subquery: expressions on both range and step
+    Parser.parse("foo[1h/2:5m*2]") shouldEqual
+      Subquery(Selector(Some("foo"), Nil), 1800000L, Some(600000L))
+    // offset takes the PARENTHESIZED form only: `offset 5m + bar` must
+    // stay a binary + between two vectors
+    Parser.parse("foo offset (1h-10m)") shouldEqual
+      Selector(Some("foo"), Nil, None, 3000000L)
+    Parser.parse("foo offset -(30m)") shouldEqual
+      Selector(Some("foo"), Nil, None, -1800000L)
+    Parser.parse("foo offset 5m + bar") shouldEqual
+      BinOp("+", Selector(Some("foo"), Nil, None, 300000L), sel("bar"))
+    // non-positive / malformed expressions still reject
+    an[IllegalArgumentException] should be thrownBy Parser.parse("foo[5m-5m]")
+    an[IllegalArgumentException] should be thrownBy Parser.parse("foo[5m+bar]")
+    an[IllegalArgumentException] should be thrownBy Parser.parse("foo[1h/0]")
+  }
+
   test("range on a parenthesized expression needs a subquery step") {
     an[IllegalArgumentException] should be thrownBy Parser.parse("(foo + bar)[5m]")
     Parser.parse("(foo + bar)[5m:1m]") shouldEqual
