@@ -28,7 +28,9 @@ object Cli {
           |       graft.Cli --labels [sfDir]
           |       graft.Cli --labelvalues <label> [sfDir]
           |       graft.Cli --series <matchExpr> [sfDir]
-          |       graft.Cli --cardinality [sfDir]""".stripMargin)
+          |       graft.Cli --cardinality [sfDir]
+          |       graft.Cli --delete-series <adminDir> <selector> [startSec endSec]
+          |       graft.Cli --clean-tombstones <sinkDir> <adminDir>""".stripMargin)
       sys.exit(2)
     }
     if (args(0).startsWith("--")) { metadataMain(args); return }
@@ -86,6 +88,20 @@ object Cli {
           .orderBy(col("total").desc, col("metric"))
           .collect()
           .foreach(r => println(f"${r.getString(0)}%-30s total=${r.getLong(1)}%8d active=${r.getLong(2)}%8d"))
+      case "--delete-series" =>
+        // admin-API analogue without a running server: record a deletion
+        // tombstone straight into the registry the API and MaintenanceJob
+        // consume (filo-cli-style offline admin)
+        require(args.length > 2, "--delete-series needs <adminDir> <selector>")
+        val from = if (args.length > 3) args(3).toLong * 1000 else Long.MinValue
+        val to = if (args.length > 4) args(4).toLong * 1000 else Long.MaxValue
+        val name = graft.operators.Tombstones.write(
+          spark, args(1), Seq(args(2)), from, to)
+        println(s"tombstone $name recorded in ${args(1)}")
+      case "--clean-tombstones" =>
+        require(args.length > 2, "--clean-tombstones needs <sinkDir> <adminDir>")
+        val n = graft.operators.Tombstones.purge(spark, args(1), args(2))
+        println(s"purged: rewrote $n batch partition(s) of ${args(1)}")
       case other =>
         System.err.println(s"unknown subcommand: $other"); sys.exit(2)
     } finally spark.stop()

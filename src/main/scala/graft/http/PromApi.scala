@@ -3,7 +3,7 @@ package graft.http
 import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
 import java.net.InetSocketAddress
 import java.nio.charset.StandardCharsets
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.promql.PromPlanner
 import graft.operators.MetadataOps
@@ -1257,7 +1257,22 @@ class PromApi(spark: SparkSession, samples: DataFrame, port: Int = 0,
         throw new IllegalArgumentException(s"unknown matcher type ${m.typ}"))
       df = df.filter(graft.promql.Matchers.pred(LabelMatcher(m.name, op, m.value)))
     }
-    val slim = df.select(col("metric"), col("tags"), col("ts").cast("long"), col("value"))
+    // native-histogram storage rides the response as prompb histograms:
+    // NHCB rows (classic cumulative buckets + stored sum) re-encode as
+    // schema −53 custom-bucket histograms — true counters, reset hint
+    // UNKNOWN; exp-schema rows are PER-INTERVAL deltas in this engine, so
+    // they ship GAUGE-hinted (each sample stands alone — a receiver must
+    // not reset-credit deltas). Scalar rows stay plain samples.
+    def optCol(name: String, typ: String): Column =
+      if (df.columns.contains(name)) col(name) else lit(null).cast(typ)
+    val slim = df.select(col("metric"), col("tags"), col("ts").cast("long"),
+      col("value"),
+      optCol("le", "array<double>"), optCol("values", "array<double>"),
+      optCol("hist_sum", "double"),
+      optCol("exp_scale", "int"), optCol("exp_offset", "int"),
+      optCol("exp_counts", "array<double>"),
+      optCol("exp_zero_count", "double"), optCol("exp_zero_threshold", "double"),
+      optCol("exp_sum", "double"))
     slim.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       // MAP columns don't support set ops — count distinct on the sorted
@@ -1272,10 +1287,42 @@ class PromApi(spark: SparkSession, samples: DataFrame, port: Int = 0,
         .groupBy(r => (r.getString(0), r.getMap[String, String](1).toSeq.sortBy(_._1)))
         .toSeq
         .map { case ((metric, tags), rows) =>
+          val samples = rows.filter(!_.isNullAt(3))
+            .map(r => ProtoWire.PSample(r.getDouble(3), r.getLong(2)))
+            .sortBy(_.ts).toSeq
+          val hists = rows.flatMap { r =>
+            if (!r.isNullAt(4) && !r.isNullAt(5)) {
+              // NHCB: le = bounds + Inf, values cumulative, last = count
+              val le = r.getSeq[Double](4)
+              val cum = r.getSeq[Double](5)
+              val bounds = le.dropRight(1)
+              val perBucket = cum.take(bounds.size).zipWithIndex.map {
+                case (c, 0) => c
+                case (c, i) => c - cum(i - 1)
+              }
+              val count = cum.last
+              val overflow = count - (if (bounds.isEmpty) 0.0 else cum(bounds.size - 1))
+              val counts =
+                if (overflow > 0) perBucket :+ overflow else perBucket
+              Some(ProtoWire.PHistogram(r.getLong(2), -53, 0.0, 0.0, count,
+                if (r.isNullAt(6)) 0.0 else r.getDouble(6), 0,
+                posOffset = 0, posCounts = counts, negOffset = 0,
+                negCounts = Nil, customValues = bounds))
+            } else if (!r.isNullAt(9)) {
+              // exp storage: delta temporality -> GAUGE hint (3)
+              val counts = r.getSeq[Double](9)
+              val zero = if (r.isNullAt(10)) 0.0 else r.getDouble(10)
+              Some(ProtoWire.PHistogram(r.getLong(2), r.getInt(7), // schema
+                if (r.isNullAt(11)) 0.0 else r.getDouble(11), zero,
+                zero + counts.sum,
+                if (r.isNullAt(12)) 0.0 else r.getDouble(12), 3,
+                posOffset = r.getInt(8) + 1, posCounts = counts,
+                negOffset = 0, negCounts = Nil))
+            } else None
+          }.sortBy(_.ts).toSeq
           ProtoWire.PSeries(
             (("__name__" -> metric) +: tags).sortBy(_._1),
-            rows.map(r => ProtoWire.PSample(r.getDouble(3), r.getLong(2)))
-              .sortBy(_.ts).toSeq)
+            samples, histograms = hists)
         }
         .sortBy(_.labels.mkString)
     } finally slim.unpersist(false)

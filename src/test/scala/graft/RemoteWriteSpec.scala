@@ -1117,4 +1117,65 @@ class RemoteWriteSpec extends AnyFunSuite with Matchers {
       spark.read.parquet(s"$dir/sink").count() shouldEqual 2L
     } finally api.stop()
   }
+
+  test("remote-read ships native-histogram storage: NHCB rows re-encode " +
+       "as schema -53 counters, exp rows ship GAUGE-hinted per-interval " +
+       "deltas, and the client decodes both back to canonical storage") {
+    val dir = tmp("graft-rr-hist")
+    val ws = PromApi.WriteSink(s"$dir/sink", s"$dir/index", s"$dir/reject", cfg)
+    val ingest = new PromApi(spark, spark.range(0).toDF(),
+      writeSink = Some(ws)).start()
+    try {
+      val bounds = Seq(1.0, 5.0, 10.0)
+      RemoteRead.remoteWriteSeries(Seq(
+        ProtoWire.PSeries(Seq("__name__" -> "nh"), Nil, histograms = Seq(
+          nhcb(1000L, Seq(2.0, 3.0, 1.0), bounds, sumV = 18.0),
+          nhcb(2000L, Seq(4.0, 6.0, 2.0), bounds, sumV = 48.0))),
+        ProtoWire.PSeries(Seq("__name__" -> "eh"), Nil, histograms = Seq(
+          hist(1000L, Seq(3.0, 1.0), sumV = 9.0),
+          hist(2000L, Seq(5.0, 2.0), sumV = 20.0))),
+        ProtoWire.PSeries(Seq("__name__" -> "plain"),
+          Seq(ProtoWire.PSample(7.0, 1500L)))),
+        s"http://localhost:${ingest.boundPort}")
+      val store = spark.read.option("mergeSchema", "true").parquet(s"$dir/sink")
+      val readApi = new PromApi(spark, store).start()
+      try {
+        val back = RemoteRead.remoteRead(spark,
+          s"http://localhost:${readApi.boundPort}",
+          """{__name__=~"nh|eh|plain"}""", 0L, 10000L)
+        // plain sample survives; histogram rows never fake 0-value samples
+        back.filter(col("metric") === "plain" && col("value").isNotNull)
+          .select("value").collect().map(_.getDouble(0)).toList shouldEqual List(7.0)
+        // NHCB canonical rows identical to the sink's storage shape
+        val nhBack = back.filter(col("metric") === "nh")
+          .select(col("ts").cast("long"), col("le"), col("values"),
+            col("hist_sum"), col("series_type"))
+          .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toList,
+            r.getSeq[Double](2).toList, r.getDouble(3), r.getString(4)))
+          .sortBy(_._1).toList
+        nhBack shouldEqual List(
+          (1000L, List(1.0, 5.0, 10.0, Double.PositiveInfinity),
+            List(2.0, 5.0, 6.0, 6.0), 18.0, "prom_histogram"),
+          (2000L, List(1.0, 5.0, 10.0, Double.PositiveInfinity),
+            List(4.0, 10.0, 12.0, 12.0), 48.0, "prom_histogram"))
+        // exp rows: the store holds PER-INTERVAL deltas (cumulative wire
+        // minus predecessor) and the round-trip preserves exactly that
+        val ehBack = back.filter(col("metric") === "eh")
+          .select(col("ts").cast("long"), col("exp_scale"), col("exp_offset"),
+            col("exp_counts"), col("exp_sum"), col("series_type"))
+          .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+            r.getSeq[Double](3).toList, r.getDouble(4), r.getString(5)))
+          .sortBy(_._1).toList
+        ehBack shouldEqual List(
+          (1000L, 0, 0, List(3.0, 1.0), 9.0, "otel_exp_histogram"),
+          (2000L, 0, 0, List(2.0, 1.0), 11.0, "otel_exp_histogram"))
+        // PromQL over the fetched frame = PromQL over the origin store
+        def q50(df: org.apache.spark.sql.DataFrame): Double =
+          graft.promql.PromPlanner.queryRange(
+            graft.promql.PromPlanner.Ctx(spark, df, 2000L, 2000L, 1000L),
+            "histogram_quantile(0.5, nh)").select("value").head().getDouble(0)
+        q50(back) shouldEqual q50(store) +- 1e-9
+      } finally readApi.stop()
+    } finally ingest.stop()
+  }
 }
