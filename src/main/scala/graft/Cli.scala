@@ -30,7 +30,8 @@ object Cli {
           |       graft.Cli --series <matchExpr> [sfDir]
           |       graft.Cli --cardinality [sfDir]
           |       graft.Cli --delete-series <adminDir> <selector> [startSec endSec]
-          |       graft.Cli --clean-tombstones <sinkDir> <adminDir>""".stripMargin)
+          |       graft.Cli --clean-tombstones <sinkDir> <adminDir>
+          |       graft.Cli --test <file.test>""".stripMargin)
       sys.exit(2)
     }
     if (args(0).startsWith("--")) { metadataMain(args); return }
@@ -88,6 +89,17 @@ object Cli {
           .orderBy(col("total").desc, col("metric"))
           .collect()
           .foreach(r => println(f"${r.getString(0)}%-30s total=${r.getLong(1)}%8d active=${r.getLong(2)}%8d"))
+      case "--test" =>
+        // promtool-test-rules analogue for queries: run an upstream-format
+        // promqltest `.test` file (load/eval/clear) against THIS engine
+        require(args.length > 1, "--test needs a .test file path")
+        val text = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(args(1))), "UTF-8")
+        val out = graft.promql.TestCorpus.run(
+          spark, graft.promql.TestCorpus.parse(text))
+        out.failures.take(50).foreach(f => println(s"FAIL $f"))
+        println(s"${out.evalsRun} evals, ${out.failures.size} failures")
+        if (out.failures.nonEmpty) { spark.stop(); sys.exit(1) }
       case "--delete-series" =>
         // admin-API analogue without a running server: record a deletion
         // tombstone straight into the registry the API and MaintenanceJob

@@ -1195,15 +1195,10 @@ class PromApi(spark: SparkSession, samples: DataFrame, port: Int = 0,
     * WriteRequest may repeat an exemplar across its series entries
     * (distinct), and a sender retry after a lost 204 re-carries old ones —
     * the samples path no-ops those via hwm, but the side table has no hwm,
-    * so the append anti-joins against the table (r10 advisor finding).
-    * The anti-join is on the REAL columns (metric, sorted tag/label
-    * entries, ts, value — a 64-bit hash key alone would silently drop a
-    * genuinely new exemplar on collision), and the existing-side scan is
-    * BOUNDED to the batch's metrics (a pushed-down `metric IN (...)`
-    * predicate — parquet row-group stats skip the rest of the table, so
-    * the per-commit cost tracks the metric's exemplar count, not the
-    * whole table; both r11 advisor findings). Idempotent, so crash-repair
-    * paths may call it again freely. */
+    * so the append anti-joins against the table (r10 advisor finding) —
+    * the dedup itself lives in [[graft.streaming.Ingest.appendExemplarsDedup]]
+    * (shared with the OpenMetrics scrape stream). Idempotent, so
+    * crash-repair paths may call it again freely. */
   private def appendExemplars(ws: PromApi.WriteSink,
                               series: Seq[ProtoWire.PSeries], batchId: Long): Unit =
     ws.exemplarDir.foreach { dir =>
@@ -1215,25 +1210,9 @@ class PromApi(spark: SparkSession, samples: DataFrame, port: Int = 0,
       }.distinct
       if (exRows.nonEmpty) {
         import spark.implicits._
-        // MAP columns can't be join keys — project the content identity to
-        // the sorted-entries JSON (exact, not a hash)
-        def keyed(df: DataFrame): DataFrame = df
-          .withColumn("__t", to_json(array_sort(map_entries(col("tags")))))
-          .withColumn("__l", to_json(array_sort(map_entries(col("exemplar_labels")))))
-        val joinCols = Seq("metric", "__t", "__l", "ts", "value")
-        val incoming = keyed(
-          exRows.toDF("metric", "tags", "exemplar_labels", "ts", "value"))
-        val metrics = exRows.map(_._1).distinct
-        val fresh = graft.streaming.Ingest.exemplarTable(spark, dir) match {
-          case None => incoming
-          case Some(existing) => incoming.join(
-            keyed(existing.filter(col("metric").isin(metrics: _*)))
-              .select(joinCols.map(col): _*).distinct(),
-            joinCols, "left_anti")
-        }
-        if (!fresh.isEmpty)
-          fresh.drop("__t", "__l")
-            .write.mode("overwrite").parquet(s"$dir/batch_id=$batchId")
+        graft.streaming.Ingest.appendExemplarsDedup(spark, dir,
+          exRows.toDF("metric", "tags", "exemplar_labels", "ts", "value"),
+          exRows.map(_._1).distinct, batchId.toString)
       }
     }
 

@@ -332,6 +332,98 @@ object Gateway {
     out.result()
   }
 
+  /** OpenMetrics exemplars riding sample lines (`name{l} v [ts] # {el}
+    * ev [ets]` — public OpenMetrics 1.0 spec): one row per well-formed
+    * exemplar, in the exemplar side table's canonical shape (metric,
+    * tags, exemplar_labels, ts, value). The sample line itself still
+    * decodes via [[parsePromText]], which strips the suffix; a MALFORMED
+    * exemplar suffix is ignored, never a sample reject — exemplars are
+    * best-effort tracing metadata. Exemplar timestamps are OpenMetrics
+    * SECONDS (float), stored as ms; when absent, the sample's own
+    * timestamp (else `defaultTsMs`) stands in. */
+  def parsePromExemplars(payload: String, defaultTsMs: Long)
+      : Seq[(String, Map[String, String], Map[String, String], Long, Double)] = {
+    val ExRe = """^\{(.*)\}\s+(\S+)(?:\s+(-?\d+(?:\.\d+)?))?\s*$""".r
+    val out = Seq.newBuilder[(String, Map[String, String], Map[String, String], Long, Double)]
+    payload.split("\n", -1).foreach { raw =>
+      val line = raw.trim
+      if (line.nonEmpty && !line.startsWith("#")) {
+        // the same unquoted-'#' scan the sample decode uses
+        var i = 0; var inQ = false; var cut = -1
+        while (i < line.length && cut < 0) {
+          line.charAt(i) match {
+            case '\\' if inQ && i + 1 < line.length => i += 1
+            case '"' => inQ = !inQ
+            case '#' if !inQ && i > 0 && line.charAt(i - 1) == ' ' => cut = i - 1
+            case _ =>
+          }
+          i += 1
+        }
+        if (cut >= 0) {
+          val prefix = line.substring(0, cut)
+          val suffix = line.substring(cut).trim.stripPrefix("#").trim
+          (prefix match {
+            case SampleRe(name, labelBody, _, tsStr) =>
+              Option(labelBody).map(parseLabels).getOrElse(Some(Map.empty[String, String]))
+                .map { tags =>
+                  val sampleTs = Option(tsStr)
+                    .flatMap(t => scala.util.Try(t.toLong).toOption)
+                    .getOrElse(defaultTsMs)
+                  (name, tags, sampleTs)
+                }
+            case _ => None
+          }).foreach { case (name, tags, sampleTs) =>
+            suffix match {
+              case ExRe(elBody, evStr, etsStr) =>
+                (parseLabels(elBody), parsePromValue(evStr)) match {
+                  case (Some(el), Some(ev)) =>
+                    val ets = Option(etsStr)
+                      .flatMap(t => scala.util.Try(t.toDouble).toOption)
+                      .map(sec => math.round(sec * 1000))
+                      .getOrElse(sampleTs)
+                    out += ((name, tags, el, ets, ev))
+                  case _ => // malformed exemplar: ignore, sample stands
+                }
+              case _ => // not an exemplar-shaped suffix: plain comment
+            }
+          }
+        }
+      }
+    }
+    out.result()
+  }
+
+  /** Streaming exemplar maintenance for a prom-text/OpenMetrics scrape
+    * stream: each micro-batch's exemplars append content-dedup'd into
+    * `exemplarDir` ([[Ingest.appendExemplarsDedup]] — idempotent, so
+    * foreachBatch's at-least-once replay is safe), in the SAME side-table
+    * layout the remote-write path maintains. Run it BESIDE the samples
+    * ingest on the same payload stream; point a PromApi's
+    * `exemplarSource` at `exemplarDir` to serve `/api/v1/query_exemplars`.
+    * Give the stream its OWN directory — batch ids are the streaming
+    * micro-batch ids and must not collide with another writer's. */
+  def startPromTextExemplarIngest(payloads: DataFrame, exemplarDir: String,
+                                  checkpointDir: String,
+                                  defaultTsMs: Long = 0L)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    payloads.writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        import batch.sparkSession.implicits._
+        // distributed decode (payload bodies never collect to the driver);
+        // only the batch's metric-family names do — they bound the dedup
+        // anti-join's existing-side scan
+        val exs = batch.select(col("body").cast("string")).as[String]
+          .flatMap(parsePromExemplars(_, defaultTsMs))
+          .toDF("metric", "tags", "exemplar_labels", "ts", "value")
+        val metrics = exs.select("metric").distinct().as[String].collect().toSeq
+        if (metrics.nonEmpty)
+          Ingest.appendExemplarsDedup(batch.sparkSession, exemplarDir,
+            exs, metrics, bid.toString)
+      }
+      .start()
+
   /** Metric-family metadata from one scrape payload: the `# TYPE` /
     * `# HELP` / `# UNIT` comment lines a Prometheus target exposes (and
     * [[parsePromText]] consumes for histogram-family routing but never

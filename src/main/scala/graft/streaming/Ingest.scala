@@ -1044,6 +1044,40 @@ object Ingest {
       parts.reduceOption(_ unionByName _)
     }
 
+  /** Content-dedup'd exemplar append (shared by the remote-write handler
+    * and the OpenMetrics scrape stream): anti-join the incoming rows
+    * against the standing table on the REAL columns — metric, sorted
+    * tag/label entries, ts, value; a 64-bit hash key alone would silently
+    * drop a genuinely new exemplar on collision — with the existing-side
+    * scan BOUNDED to the batch's metric families (a pushed-down
+    * `metric IN (...)` predicate parquet row-group stats honor, so the
+    * per-commit cost tracks the metric's exemplar count, not the table).
+    * Idempotent: replays re-derive an empty `fresh` and write nothing,
+    * and a same-segment rewrite is mode("overwrite"). `incoming` columns:
+    * (metric, tags, exemplar_labels, ts, value). */
+  def appendExemplarsDedup(spark: SparkSession, dir: String,
+                           incoming0: DataFrame, metrics: Seq[String],
+                           segment: String): Unit = {
+    import org.apache.spark.sql.functions._
+    def keyed(df: DataFrame): DataFrame = df
+      .withColumn("__t", to_json(array_sort(map_entries(col("tags")))))
+      .withColumn("__l", to_json(array_sort(map_entries(col("exemplar_labels")))))
+    val joinCols = Seq("metric", "__t", "__l", "ts", "value")
+    // in-batch dedup on the keyed projection (MAP columns cannot feed a
+    // set operation, so no .distinct() on the raw frame)
+    val incoming = keyed(incoming0).dropDuplicates(joinCols)
+    val fresh = exemplarTable(spark, dir) match {
+      case None => incoming
+      case Some(existing) => incoming.join(
+        keyed(existing.filter(col("metric").isin(metrics: _*)))
+          .select(joinCols.map(col): _*).distinct(),
+        joinCols, "left_anti")
+    }
+    if (!fresh.isEmpty)
+      fresh.drop("__t", "__l")
+        .write.mode("overwrite").parquet(s"$dir/batch_id=$segment")
+  }
+
   /** Fold the exemplar delta dirs into a compacted `_exbase` base
     * (crash-atomic versioned publish, same protocol as the index bases)
     * and delete the consumed `batch_id=` dirs — keeps the per-commit

@@ -359,4 +359,68 @@ class GatewaySpec extends AnyFunSuite with Matchers {
       Seq(("n", "counter", null, null)).toDF("metric", "type", "help", "unit"))
     versions() shouldEqual Seq("v=2", "v=3")
   }
+
+  test("OpenMetrics exemplars PARSE into side-table rows: labels, value, " +
+       "seconds timestamp -> ms, sample-ts fallback, malformed ignored") {
+    val payload =
+      "lat_bucket{le=\"0.1\"} 7 # {trace_id=\"abc\"} 0.09 1520879607.789\n" +
+      "reqs_total 5 12345 # {span=\"s1\"} 4.5\n" +            // no ex-ts -> sample ts
+      "plain 1\n" +                                           // no exemplar
+      "weird{note=\"a # b\"} 3 1000\n" +                     // '#' in data
+      "bad 2 # {unclosed=\"x 9.9"                              // malformed: ignored
+    val exs = Gateway.parsePromExemplars(payload, 999L)
+    exs should have size 2
+    val byMetric = exs.map(e => e._1 -> e).toMap
+    val lat = byMetric("lat_bucket")
+    lat._2 shouldEqual Map("le" -> "0.1")
+    lat._3 shouldEqual Map("trace_id" -> "abc")
+    lat._4 shouldEqual 1520879607789L
+    lat._5 shouldEqual 0.09
+    val rq = byMetric("reqs_total")
+    rq._3 shouldEqual Map("span" -> "s1")
+    rq._4 shouldEqual 12345L // the sample line's own ms timestamp
+    rq._5 shouldEqual 4.5
+    // the sample decode is unaffected: all five samples still land
+    Gateway.parsePromText(payload, 999L).filter(_.err == null) should have size 5
+  }
+
+  test("streaming exemplar maintenance: scrape exemplars land content-" +
+       "dedup'd in the side table and serve /api/v1/query_exemplars; a " +
+       "replayed payload appends nothing") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-exstream").toString
+    val ms = MemoryStream[String]
+    val q = Gateway.startPromTextExemplarIngest(ms.toDF.toDF("body"),
+      s"$dir/ex", s"$dir/ckpt", defaultTsMs = 500L)
+    try {
+      val payload = "lat 7 1000 # {trace_id=\"t1\"} 0.5 2\n" +
+        "lat 9 2000 # {trace_id=\"t2\"} 0.7 3"
+      ms.addData(payload)
+      q.processAllAvailable()
+      def table() = graft.streaming.Ingest.exemplarTable(spark, s"$dir/ex").get
+        .select("metric", "ts", "value").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      table() shouldEqual Set(("lat", 2000L, 0.5), ("lat", 3000L, 0.7))
+      // a scraper re-delivering the same payload must append nothing
+      ms.addData(payload)
+      q.processAllAvailable()
+      table() shouldEqual Set(("lat", 2000L, 0.5), ("lat", 3000L, 0.7))
+      // the exemplar query endpoint serves the scrape-fed table
+      val api = new graft.http.PromApi(spark, spark.range(0)
+          .selectExpr("'x' as metric", "map() as tags", "id as ts",
+            "cast(id as double) as value"),
+        exemplarSource = Some(s"$dir/ex")).start()
+      try {
+        val url = s"http://localhost:${api.boundPort}/api/v1/query_exemplars?" +
+          "query=lat&start=0&end=10"
+        val c = new java.net.URI(url).toURL.openConnection()
+          .asInstanceOf[java.net.HttpURLConnection]
+        val body = try new String(c.getInputStream.readAllBytes(), "UTF-8")
+          finally c.disconnect()
+        body should include("\"trace_id\":\"t1\"")
+        body should include("\"trace_id\":\"t2\"")
+      } finally api.stop()
+    } finally q.stop()
+  }
 }
