@@ -917,6 +917,11 @@ class PromApi(spark: SparkSession, samples: DataFrame, port: Int = 0,
     emit("graft_writes_inflight", "gauge",
       "Remote-write POSTs decoding or committing right now.",
       (math.max(1, maxInFlightWrites) - writePermits.availablePermits()).toDouble)
+    adminDir.foreach { d =>
+      emit("graft_tombstones_pending", "gauge",
+        "delete_series tombstones awaiting physical purge.",
+        graft.operators.Tombstones.listNames(spark, d).size.toDouble)
+    }
     spoolGauges.foreach { g =>
       emit("graft_spool_depth", "gauge",
         "Acked spool files awaiting drain.", g.depth.toDouble)

@@ -1027,6 +1027,38 @@ object Ingest {
       CorpusLayout.compactIndex(spark, table)
   }
 
+  /** Batch-granularity RETENTION for a `batch_id=`-partitioned sink: drop
+    * whole batch partitions whose NEWEST sample is older than `cutoffMs`.
+    * One footer-prunable pass computes per-partition max(ts); a partition
+    * is deleted only when ENTIRELY below the cutoff — a partial overlap
+    * stays whole, because retention never rewrites data (that is the
+    * tombstone purge's job). At 100 TB this is the only shape that works:
+    * aging out data costs one directory delete per expired batch, never a
+    * scan-and-rewrite. The series-index high-water marks are untouched,
+    * so a sender replaying an ancient acked batch still dedups.
+    * Idempotent; returns the dropped partition names. */
+  def dropSinkOlderThan(spark: SparkSession, sinkDir: String,
+                        cutoffMs: Long): Seq[String] = {
+    import org.apache.spark.sql.functions._
+    val fs = new org.apache.hadoop.fs.Path(sinkDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val root = new org.apache.hadoop.fs.Path(sinkDir)
+    if (!fs.exists(root)) return Nil
+    val hasBatches = fs.listStatus(root).map(_.getPath.getName)
+      .exists(_.startsWith("batch_id="))
+    if (!hasBatches) return Nil
+    val maxes = spark.read.option("mergeSchema", "true").parquet(sinkDir)
+      .groupBy(col("batch_id"))
+      .agg(max(col("ts").cast("long")).as("mx"))
+      .collect()
+    val doomed = maxes
+      .filter(r => !r.isNullAt(1) && r.getLong(1) < cutoffMs)
+      .map(r => s"batch_id=${r.get(0)}").sorted.toSeq
+    doomed.foreach(d =>
+      fs.delete(new org.apache.hadoop.fs.Path(sinkDir, d), true))
+    doomed
+  }
+
   // ===== exemplar side-table compaction =====================================
 
   /** All exemplar rows under `dir`: the newest committed `_exbase` base

@@ -14,6 +14,7 @@ import graft.streaming.Ingest
   *   - exemplar side-table base fold            (Ingest.compactExemplars)
   *   - metric-metadata version GC               (keep newest 2 committed)
   *   - delete_series tombstone purge            (Tombstones.purge)
+  *   - batch-granularity retention drop         (Ingest.dropSinkOlderThan)
   *   - spool quarantine sweep                   (.abandoned/.bad past age)
   *   - stale staging-dir sweep                  (_tmp-* past age)
   *
@@ -46,6 +47,7 @@ object MaintenanceJob {
           exemplarDir: Option[String] = None,
           metadataDir: Option[String] = None,
           adminDir: Option[String] = None,
+          retentionMs: Option[Long] = None,
           quarantineMaxAgeMs: Long = 24L * 3600 * 1000,
           lockStaleMs: Long = 3600L * 1000,
           nowMs: Long = System.currentTimeMillis()): Report = {
@@ -75,6 +77,16 @@ object MaintenanceJob {
       metadataDir match {
         case Some(d) => step("metadata_version_gc") { metadataVersionGc(fs, d) }
         case None => steps += "metadata_version_gc" -> "skipped: no dir configured"
+      }
+      retentionMs match {
+        case Some(r) => step("retention_drop") {
+          // age out whole expired batch partitions (directory deletes,
+          // never rewrites); index hwm stays, so ancient replays still dedup
+          val dropped = Ingest.dropSinkOlderThan(spark, sinkDir, nowMs - r)
+          if (dropped.nonEmpty)
+            println(s"[maintenance] retention dropped: ${dropped.mkString(", ")}")
+        }
+        case None => steps += "retention_drop" -> "skipped: no retention configured"
       }
       adminDir match {
         case Some(d) => step("tombstone_purge") {
@@ -140,7 +152,8 @@ object MaintenanceJob {
   def main(args: Array[String]): Unit = {
     require(args.length >= 2,
       "usage: MaintenanceJob <sinkDir> <indexDir> [--exemplars=d] " +
-        "[--metadata=d] [--admin=d] [--quarantine-age-ms=N] [--lock-stale-ms=N]")
+        "[--metadata=d] [--admin=d] [--retention-ms=N] " +
+        "[--quarantine-age-ms=N] [--lock-stale-ms=N]")
     def opt(name: String): Option[String] =
       args.collectFirst { case a if a.startsWith(s"--$name=") =>
         a.stripPrefix(s"--$name=") }
@@ -149,6 +162,7 @@ object MaintenanceJob {
     val report = run(spark, args(0), args(1),
       exemplarDir = opt("exemplars"), metadataDir = opt("metadata"),
       adminDir = opt("admin"),
+      retentionMs = opt("retention-ms").map(_.toLong),
       quarantineMaxAgeMs = opt("quarantine-age-ms").map(_.toLong)
         .getOrElse(24L * 3600 * 1000),
       lockStaleMs = opt("lock-stale-ms").map(_.toLong).getOrElse(3600L * 1000))

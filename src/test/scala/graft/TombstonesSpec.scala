@@ -89,6 +89,8 @@ class TombstonesSpec extends AnyFunSuite with Matchers {
       bad shouldEqual 400
       body should include("series selector")
       Tombstones.list(spark, admin).size shouldEqual 2
+      // the /metrics gauge tracks the pending registry
+      get(port, "/metrics") should include("graft_tombstones_pending 2")
     } finally api.stop()
   }
 

@@ -418,10 +418,13 @@ class TsLayoutSpec extends AnyFunSuite with Matchers {
     val report = MaintenanceJob.run(spark, sink, index,
       exemplarDir = Some(ex), metadataDir = Some(meta))
     report.locked shouldBe true
-    // no adminDir in this fixture -> the tombstone step reports skipped
+    // unconfigured optional steps report skipped, never fail the run
     report.steps.toMap.apply("tombstone_purge") shouldEqual
       "skipped: no dir configured"
-    (report.steps.toMap - "tombstone_purge").values.toSet shouldEqual Set("ok")
+    report.steps.toMap.apply("retention_drop") shouldEqual
+      "skipped: no retention configured"
+    (report.steps.toMap - "tombstone_purge" - "retention_drop")
+      .values.toSet shouldEqual Set("ok")
     // the lock released on completion
     fs.exists(new org.apache.hadoop.fs.Path(s"$sink/_maintenance.lock")) shouldBe false
     // folds landed: hwm base exists, exp-state deltas consumed into _base
@@ -436,5 +439,34 @@ class TsLayoutSpec extends AnyFunSuite with Matchers {
     fs.exists(new org.apache.hadoop.fs.Path(s"$sink/_spool/9.tmp.abandoned")) shouldBe true
     // the exemplar table still reads through the folded base
     Ingest.exemplarTable(spark, ex).get.count() shouldEqual 1L
+  }
+
+  test("sink retention drops WHOLE expired batch partitions only: a " +
+       "partial overlap stays unrewritten, re-runs no-op, and the " +
+       "MaintenanceJob step wires the cutoff") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-retent").toString
+    val sink = s"$dir/sink"
+    def seed(b: Int, ts: Seq[Long]): Unit =
+      ts.map(t => ("m", Map.empty[String, String], t, 1.0))
+        .toDF("metric", "tags", "ts", "value")
+        .write.parquet(s"$sink/batch_id=$b")
+    seed(0, Seq(1000L, 2000L))        // entirely below the cutoff
+    seed(1, Seq(1500L, 5000L))        // straddles: must stay WHOLE
+    seed(2, Seq(6000L))               // above
+    graft.streaming.Ingest.dropSinkOlderThan(spark, sink, 3000L) shouldEqual Seq("batch_id=0")
+    val fs = new org.apache.hadoop.fs.Path(sink)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(new org.apache.hadoop.fs.Path(s"$sink/batch_id=0")) shouldBe false
+    // the straddling batch kept ALL its rows (retention never rewrites)
+    spark.read.parquet(s"$sink/batch_id=1").count() shouldEqual 2L
+    // idempotent
+    graft.streaming.Ingest.dropSinkOlderThan(spark, sink, 3000L) shouldBe empty
+    // through the orchestrator: retention-ms against a pinned now
+    val report = graft.tools.MaintenanceJob.run(spark, sink, s"$dir/index",
+      retentionMs = Some(4000L), nowMs = 10000L) // cutoff 6000: batch 1 goes
+    report.steps.toMap.apply("retention_drop") shouldEqual "ok"
+    fs.exists(new org.apache.hadoop.fs.Path(s"$sink/batch_id=1")) shouldBe false
+    fs.exists(new org.apache.hadoop.fs.Path(s"$sink/batch_id=2")) shouldBe true
   }
 }
