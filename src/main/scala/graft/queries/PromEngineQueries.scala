@@ -360,8 +360,37 @@ object PromEngineQueries {
         "sum_over_time(purchase[1d] @ end())")
         .select(col("labels")("user").as("user"), col("step_ts"),
           round(col("value"), 6).as("value"))
-        .orderBy("step_ts", "user"))
+        .orderBy("step_ts", "user")),
+
+    // Batch-granularity retention end-to-end (Ingest.dropSinkOlderThan):
+    // the events samples land as one batch partition per day; dropping at
+    // cutoff S+10d removes exactly the whole-day partitions entirely
+    // below it (directory deletes, no rewrites) — what survives must
+    // equal DuckDB over events with ts >= cutoff. Fixture once per
+    // (session, sfDir); the drop is idempotent so bench repeat passes
+    // time the aggregate, not a re-drop.
+    "q188_retention_drop" -> ((s, dir) => {
+      val sink = retentionSinkCache.computeIfAbsent(dir, _ => {
+        val base = new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir"), "q188_sink").toString
+        val fs = new org.apache.hadoop.fs.Path(base).getFileSystem(
+          s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(base), true)
+        TsTables.eventsAsSamples(s, dir)
+          .withColumn("batch_id", ((col("ts") - S) / D1).cast("long"))
+          .write.partitionBy("batch_id").parquet(base)
+        graft.streaming.Ingest.dropSinkOlderThan(s, base, S + 10 * D1)
+        base
+      })
+      s.read.parquet(sink)
+        .groupBy(col("metric"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 6).as("vsum"))
+        .orderBy("metric")
+    })
   )
+
+  private val retentionSinkCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   def oracles: Map[String, String] = Map(
 
@@ -663,6 +692,15 @@ object PromEngineQueries {
                      AND ts_ms > $E - $D1 AND ts_ms <= $E
                    GROUP BY 1)
           SELECT CAST(user_id AS VARCHAR) AS "user", s.step_ts, round(value,6) AS value
-          FROM sums CROSS JOIN stps s ORDER BY step_ts, "user""""
+          FROM sums CROSS JOIN stps s ORDER BY step_ts, "user"""",
+
+    // retention mirror: whole days below the cutoff are gone, the rest
+    // is byte-identical
+    "q188_retention_drop" ->
+      s"""SELECT event_type AS metric, count(*) AS n,
+                 round(sum(value), 6) AS vsum
+          FROM (SELECT event_type, value FROM events
+                WHERE epoch_ns(ts)//1000000 >= ${S + 10 * D1})
+          GROUP BY 1 ORDER BY 1"""
   )
 }
