@@ -64,12 +64,50 @@ object Tombstones {
     if (records.isEmpty) None
     else Some(records.map(r => coalesce(recPred(r), lit(false))).reduce(_ || _))
 
-  /** Hide tombstoned rows from a samples frame. The filter is a plain
-    * conjunction of negated pushable predicates — parquet min/max stats on
-    * ts and dictionary filters on metric keep the scan cost flat for the
-    * untouched bulk. */
+  /** Hide tombstoned rows from a samples frame. The negated predicate is
+    * NOT a pushable parquet filter (NOT over a null-guarded disjunction
+    * evaluates post-scan), but it is a flat per-row expression over three
+    * already-read columns — the scan itself is shaped by the QUERY's own
+    * pushed filters; the tombstone check adds no I/O and no shuffle. */
   def applyTo(df: DataFrame, records: Seq[DeleteRecord]): DataFrame =
     dropPredicate(records).map(p => df.filter(!p)).getOrElse(df)
+
+  /** Drop predicate for per-SERIES rows (a series index / metadata frame
+    * with `start_ts`/`end_ts` bounds): a series disappears only when some
+    * record's selectors match AND the record's time range covers the
+    * series' ENTIRE indexed span — a partially-deleted series still has
+    * live samples and must stay visible to /series and label metadata. */
+  def seriesDropPredicate(records: Seq[DeleteRecord]): Option[Column] =
+    if (records.isEmpty) None
+    else Some(records.map { r =>
+      coalesce(
+        r.selectors.map(s => selPred(parseSelector(s))).reduce(_ || _) &&
+          col("start_ts") >= r.startMs && col("end_ts") <= r.endMs,
+        lit(false))
+    }.reduce(_ || _))
+
+  /** Hide fully-tombstoned series from an index/metadata frame. */
+  def applyToIndex(idx: DataFrame, records: Seq[DeleteRecord]): DataFrame =
+    seriesDropPredicate(records).map(p => idx.filter(!p)).getOrElse(idx)
+
+  /** Hide tombstoned rows from EVERY frame a planner context reads — the
+    * raw samples and any registered downsample tier (library contexts;
+    * [[graft.http.PromApi]] filters its own serving frame). A tier frame
+    * that does not carry the canonical (metric, tags, ts) triple cannot
+    * be matched by selector tombstones and passes through unchanged —
+    * callers with renamed tier columns must filter those themselves. */
+  def applyToCtx(ctx: graft.promql.PromPlanner.Ctx,
+                 records: Seq[DeleteRecord]): graft.promql.PromPlanner.Ctx =
+    dropPredicate(records) match {
+      case None => ctx
+      case Some(p) =>
+        def f(df: DataFrame): DataFrame =
+          if (Seq("metric", "tags", "ts").forall(df.columns.contains))
+            df.filter(!p)
+          else df
+        ctx.copy(samples = f(ctx.samples),
+          cold = ctx.cold.map(c => c.copy(ds = f(c.ds))))
+    }
 
   // ----- registry I/O (driver-side; records are rare and tiny) -----
 
@@ -143,6 +181,15 @@ object Tombstones {
     * uses. Tombstone files are deleted only after EVERY affected
     * partition swapped, so a crash mid-purge re-applies (idempotent:
     * re-filtering already-clean rows drops nothing).
+    *
+    * CONTAINMENT CONTRACT: consuming a tombstone asserts the purge saw
+    * every row it hides — so `sinkDir` must be THE store the serving
+    * samples frame reads (when the admin API is enabled, [[graft.http
+    * .PromApi]]'s `samples` must read `writeSink.sinkDir`; its
+    * clean_tombstones handler refuses the purge when the frame provably
+    * reads other files). Purging one store while serving reads another
+    * would resurrect matching rows in the other store the moment the
+    * tombstone files are consumed (r13 advisor finding).
     */
   def purge(spark: SparkSession, sinkDir: String, adminDir: String): Int = {
     repair(spark, sinkDir)

@@ -461,8 +461,11 @@ object Parser {
     }
 
     private def parseDurUnary(): Double = cur match {
-      case TOp("-") => advance(); -parseDurUnary()
-      case TOp("+") => advance(); parseDurUnary()
+      // like the scalar grammar's parseUnary: `^` binds TIGHTER than unary
+      // minus, so the negated operand is parsed at the pow level —
+      // `-2^2 * 1s` is -(2^2) = -4s, not (-2)^2 (r13 advisor finding)
+      case TOp("-") => advance(); -parseDurPow()
+      case TOp("+") => advance(); parseDurPow()
       case TOp("(") =>
         advance()
         val v = parseDurExpr()

@@ -537,6 +537,15 @@ class ParserGoldenSpec extends AnyFunSuite with Matchers {
       Selector(Some("foo"), Nil, Some(256000L))
     Parser.parse("foo[1h-(-30m)]") shouldEqual
       Selector(Some("foo"), Nil, Some(5400000L))
+    // ^ binds TIGHTER than unary minus, exactly like the scalar grammar:
+    // -2^2 is -(2^2) (r13 advisor finding — the old grammar read (-2)^2)
+    Parser.parse("foo[1h - -2^2 * 1s]") shouldEqual
+      Selector(Some("foo"), Nil, Some(3604000L))
+    Parser.parse("foo offset (1h + -2^2 * 1s)") shouldEqual
+      Selector(Some("foo"), Nil, None, 3596000L)
+    // ...while the exponent itself still accepts a sign: 2^-1 h = 30m
+    Parser.parse("foo[2^-1 * 1h]") shouldEqual
+      Selector(Some("foo"), Nil, Some(1800000L))
     // subquery: expressions on both range and step
     Parser.parse("foo[1h/2:5m*2]") shouldEqual
       Subquery(Selector(Some("foo"), Nil), 1800000L, Some(600000L))

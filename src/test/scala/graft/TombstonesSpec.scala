@@ -197,4 +197,92 @@ class TombstonesSpec extends AnyFunSuite with Matchers {
       .collect().toList shouldEqual List("stays")
     Tombstones.list(spark, admin) shouldBe empty
   }
+
+  test("index-backed metadata honors deletes: a FULLY-covered series leaves " +
+       "/series and label values; a partially-covered one stays; exemplars " +
+       "of deleted spans leave /api/v1/query_exemplars") {
+    import spark.implicits._
+    val admin = tmp("graft-tomb-idx")
+    val exDir = tmp("graft-tomb-ex")
+    // index rows: api spans 1..5s, web spans 1..20s
+    val idx = Seq(
+      ("reqs", Map("job" -> "api"), 1000L, 5000L, 1L),
+      ("reqs", Map("job" -> "web"), 1000L, 20000L, 2L))
+      .toDF("metric", "tags", "start_ts", "end_ts", "series_id")
+    graft.streaming.Ingest.appendExemplarsDedup(spark, exDir,
+      Seq(("reqs", Map("job" -> "api"), Map("trace_id" -> "t1"), 2000L, 1.0),
+          ("reqs", Map("job" -> "web"), Map("trace_id" -> "t2"), 2000L, 2.0))
+        .toDF("metric", "tags", "exemplar_labels", "ts", "value"),
+      Seq("reqs"), "seg0")
+    val api = new PromApi(spark, fixtureSamples, adminDir = Some(admin),
+      seriesIndex = Some(idx), exemplarSource = Some(exDir)).start()
+    try {
+      val port = api.boundPort
+      // delete covers api's whole [1s,5s] span but only a slice of web's
+      post(port, s"/api/v1/admin/tsdb/delete_series?" +
+        s"match[]=${enc("reqs")}&start=1&end=9")._1 shouldEqual 204
+      val ser = get(port, "/api/v1/series?match[]=" + enc("reqs"))
+      (ser should not).include(""""job":"api"""")
+      ser should include(""""job":"web"""")
+      val vals = get(port, "/api/v1/label/job/values")
+      (vals should not).include("\"api\"")
+      vals should include("\"web\"")
+      // exemplar hiding follows the SAMPLE predicate (ts in range): api's
+      // t=2s exemplar is inside the deleted span, web's too — both hide;
+      // nothing else remains for api
+      val ex = get(port, s"/api/v1/query_exemplars?query=${enc("reqs")}" +
+        "&start=0&end=30")
+      (ex should not).include("t1")
+      (ex should not).include("t2")
+    } finally api.stop()
+  }
+
+  test("applyToCtx filters registered downsample tiers; frames without the " +
+       "canonical triple pass through") {
+    import spark.implicits._
+    import graft.promql.PromPlanner
+    val ds = Seq(("gone", Map.empty[String, String], 1000L, 1.0),
+        ("stays", Map.empty[String, String], 1000L, 2.0))
+      .toDF("metric", "tags", "ts", "value")
+    val ctx = PromPlanner.Ctx(spark, fixtureSamples, 0L, 10000L, 1000L,
+      cold = Some(PromPlanner.ColdTier(ds, 500L)))
+    val recs = Seq(Tombstones.DeleteRecord("f", Long.MinValue, Long.MaxValue,
+      Seq("gone")))
+    val cut = Tombstones.applyToCtx(ctx, recs)
+    cut.cold.get.ds.select("metric").as[String].collect().toList shouldEqual
+      List("stays")
+    // a renamed-column tier cannot be matched — unchanged, not an error
+    val opaque = Seq((1, 2)).toDF("a", "b")
+    Tombstones.applyToCtx(ctx.copy(cold = Some(PromPlanner.ColdTier(opaque, 0L))),
+      recs).cold.get.ds.count() shouldEqual 1L
+  }
+
+  test("clean_tombstones refuses when the serving frame provably reads " +
+       "outside the write sink (deleted rows would resurrect there)") {
+    import spark.implicits._
+    val dir = tmp("graft-tomb-guard")
+    val admin = s"$dir/admin"
+    val ws = PromApi.WriteSink(s"$dir/sink", s"$dir/index", s"$dir/reject", cfg)
+    Seq(("gone", Map.empty[String, String], 1000L, 1.0))
+      .toDF("metric", "tags", "ts", "value")
+      .write.parquet(s"$dir/sink/batch_id=0")
+    Seq(("gone", Map.empty[String, String], 2000L, 2.0))
+      .toDF("metric", "tags", "ts", "value")
+      .write.parquet(s"$dir/elsewhere")
+    val api = new PromApi(spark,
+      spark.read.parquet(s"$dir/sink").unionByName(
+        spark.read.parquet(s"$dir/elsewhere"), allowMissingColumns = true),
+      writeSink = Some(ws), adminDir = Some(admin)).start()
+    try {
+      val port = api.boundPort
+      post(port, s"/api/v1/admin/tsdb/delete_series?" +
+        s"match[]=${enc("gone")}")._1 shouldEqual 204
+      val (code, body) = post(port, "/api/v1/admin/tsdb/clean_tombstones")
+      code shouldEqual 400
+      body should include("resurrect")
+      // the tombstone registry is untouched — hiding still applies
+      Tombstones.list(spark, admin).size shouldEqual 1
+    } finally api.stop()
+  }
+
 }
