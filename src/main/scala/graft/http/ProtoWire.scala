@@ -37,6 +37,15 @@ import java.nio.charset.StandardCharsets
   */
 object ProtoWire {
 
+  /** Upstream Prometheus' staleness-marker bit pattern (pkg/value
+    * StaleNaN): a specific signaling-NaN payload a sender appends when a
+    * scrape target disappears. Ordinary float comparison cannot see it
+    * (NaN != NaN), so the DECODER must test the raw wire bits — passing
+    * the converted double around risks the JVM quieting the signaling
+    * bit. Markers are detected here at the bits and carried as a boolean
+    * flag (`PSample.stale` / `PHistogram.stale`). */
+  val StaleNaNBits: Long = 0x7ff0000000000002L
+
   // ---- generic wire primitives ----------------------------------------
 
   final class Writer {
@@ -53,12 +62,15 @@ object ProtoWire {
       if (v != 0L) { key(field, 0); varint(v) }
     def enum(field: Int, v: Int): Unit =
       if (v != 0) { key(field, 0); varint(v.toLong) }
-    def double(field: Int, v: Double): Unit = {
+    def double(field: Int, v: Double): Unit =
       // doubles are always written (Sample.value 0.0 would otherwise be
       // ambiguous with absent; Prometheus' own encoder writes it — the
       // one deliberate divergence from default-elision, matching it)
+      doubleBits(field, java.lang.Double.doubleToLongBits(v))
+    /** Raw 64-bit write — the staleness-marker encode path, where the
+      * exact NaN payload ([[StaleNaNBits]]) must reach the wire. */
+    def doubleBits(field: Int, bits: Long): Unit = {
       key(field, 1)
-      val bits = java.lang.Double.doubleToLongBits(v)
       var i = 0
       while (i < 8) { out.write(((bits >>> (8 * i)) & 0xFF).toInt); i += 1 }
     }
@@ -120,12 +132,16 @@ object ProtoWire {
       val k = readVarint()
       ((k >>> 3).toInt, (k & 7).toInt)
     }
-    def readDouble(): Double = {
+    def readDouble(): Double =
+      java.lang.Double.longBitsToDouble(readDoubleBits())
+    /** Raw 64-bit read — staleness-marker detection must compare the wire
+      * bits, never the converted double (see [[StaleNaNBits]]). */
+    def readDoubleBits(): Long = {
       bounded(8)
       var bits = 0L; var i = 0
       while (i < 8) { bits |= (buf(pos + i) & 0xFFL) << (8 * i); i += 1 }
       pos += 8
-      java.lang.Double.longBitsToDouble(bits)
+      bits
     }
     /** a corrupt length prefix must fail loudly, not silently consume
       * sibling bytes as message content */
@@ -171,7 +187,10 @@ object ProtoWire {
   case class PMatcher(typ: Int, name: String, value: String)
   case class PQuery(startMs: Long, endMs: Long, matchers: Seq[PMatcher])
   case class PReadRequest(queries: Seq[PQuery])
-  case class PSample(value: Double, ts: Long)
+  /** `stale` = the value's wire bits were upstream's staleness marker
+    * ([[StaleNaNBits]], what Prometheus remote-writes when a scrape
+    * target disappears); `value` is then NaN. */
+  case class PSample(value: Double, ts: Long, stale: Boolean = false)
 
   /** prompb.Exemplar: a traced observation attached to a series (labels
     * carry e.g. trace_id; value + timestamp are the observation). */
@@ -199,7 +218,8 @@ object ProtoWire {
                         resetHint: Int,
                         posOffset: Int, posCounts: Seq[Double],
                         negOffset: Int, negCounts: Seq[Double],
-                        customValues: Seq[Double] = Nil)
+                        customValues: Seq[Double] = Nil,
+                        stale: Boolean = false)
 
   case class PSeries(labels: Seq[(String, String)], samples: Seq[PSample],
                      histograms: Seq[PHistogram] = Nil,
@@ -263,7 +283,9 @@ object ProtoWire {
     }
     s.samples.foreach { smp =>
       val sw = new Writer
-      sw.double(1, smp.value); sw.int64(2, smp.ts)
+      if (smp.stale) sw.doubleBits(1, StaleNaNBits)
+      else sw.double(1, smp.value)
+      sw.int64(2, smp.ts)
       tw.message(2, sw)
     }
     s.exemplars.foreach { e =>
@@ -291,7 +313,9 @@ object ProtoWire {
     val integral = (h.posCounts ++ h.negCounts :+ h.zeroCount :+ h.count)
       .forall(c => c == math.rint(c) && !c.isInfinite)
     if (integral) hw.int64(1, h.count.toLong) else hw.double(2, h.count)
-    hw.double(3, h.sum)
+    // histogram staleness rides in the SUM field upstream (Go appends
+    // &Histogram{Sum: StaleNaN} when a native-histogram target disappears)
+    if (h.stale) hw.doubleBits(3, StaleNaNBits) else hw.double(3, h.sum)
     hw.sint64(4, h.schema.toLong)
     hw.double(5, h.zeroThreshold)
     if (integral) hw.int64(6, h.zeroCount.toLong) else hw.double(7, h.zeroCount)
@@ -363,7 +387,7 @@ object ProtoWire {
 
   private def readHistogram(hr: Reader): PHistogram = {
     var ts = 0L; var schema = 0; var zeroThreshold = 0.0; var zeroCount = 0.0
-    var count = 0.0; var sum = 0.0; var resetHint = 0
+    var count = 0.0; var sum = 0.0; var resetHint = 0; var stale = false
     val customValues = Seq.newBuilder[Double]
     val posSpans = Seq.newBuilder[(Int, Int)]; val negSpans = Seq.newBuilder[(Int, Int)]
     val posDeltas = Seq.newBuilder[Long]; val negDeltas = Seq.newBuilder[Long]
@@ -382,7 +406,10 @@ object ProtoWire {
     while (hr.hasNext) hr.readKey() match {
       case (1, 0) => count = hr.readVarint().toDouble
       case (2, 1) => count = hr.readDouble()
-      case (3, 1) => sum = hr.readDouble()
+      case (3, 1) =>
+        val bits = hr.readDoubleBits()
+        sum = java.lang.Double.longBitsToDouble(bits)
+        stale = bits == StaleNaNBits
       case (4, 0) => schema = zigzag(hr.readVarint()).toInt
       case (5, 1) => zeroThreshold = hr.readDouble()
       case (6, 0) => zeroCount = hr.readVarint().toDouble
@@ -443,7 +470,7 @@ object ProtoWire {
         s"unsupported native-histogram schema $schema" +
           "; only exponential schemas in [-4, 8] and NHCB (-53) are supported")
     PHistogram(ts, schema, zeroThreshold, zeroCount, count, sum, resetHint,
-      pOff, pC, nOff, nC, cv)
+      pOff, pC, nOff, nC, cv, stale)
   }
 
   private def readSeries(tr: Reader): PSeries = {
@@ -463,13 +490,16 @@ object ProtoWire {
         labels += (n -> v)
       case (2, 2) =>
         val sr = tr.readMessage()
-        var value = 0.0; var ts = 0L
+        var value = 0.0; var ts = 0L; var stale = false
         while (sr.hasNext) sr.readKey() match {
-          case (1, 1) => value = sr.readDouble()
+          case (1, 1) =>
+            val bits = sr.readDoubleBits()
+            value = java.lang.Double.longBitsToDouble(bits)
+            stale = bits == StaleNaNBits
           case (2, 0) => ts = sr.readVarint()
           case (_, wt) => sr.skip(wt)
         }
-        samples += PSample(value, ts)
+        samples += PSample(value, ts, stale)
       case (3, 2) =>
         val er = tr.readMessage()
         val elabels = Seq.newBuilder[(String, String)]
@@ -586,13 +616,16 @@ object ProtoWire {
         case (1, 0) => refs += tr.readVarint()
         case (2, 2) =>
           val sr = tr.readMessage()
-          var value = 0.0; var ts = 0L
+          var value = 0.0; var ts = 0L; var stale = false
           while (sr.hasNext) sr.readKey() match {
-            case (1, 1) => value = sr.readDouble()
+            case (1, 1) =>
+              val bits = sr.readDoubleBits()
+              value = java.lang.Double.longBitsToDouble(bits)
+              stale = bits == StaleNaNBits
             case (2, 0) => ts = sr.readVarint()
             case (_, wt) => sr.skip(wt)
           }
-          samples += PSample(value, ts)
+          samples += PSample(value, ts, stale)
         case (3, 2) => histograms += readHistogram(tr.readMessage())
         case (4, 2) =>
           val er = tr.readMessage()
@@ -645,7 +678,9 @@ object ProtoWire {
       val refs = s.labels.flatMap { case (n, v) => Seq(ref(n), ref(v)) }
       tw.packedVarint(1, refs)
       s.samples.foreach { p =>
-        val sw = new Writer; sw.double(1, p.value); sw.int64(2, p.ts)
+        val sw = new Writer
+        if (p.stale) sw.doubleBits(1, StaleNaNBits) else sw.double(1, p.value)
+        sw.int64(2, p.ts)
         tw.message(2, sw)
       }
       s.histograms.foreach(h => tw.message(3, writeHistogram(h)))

@@ -97,7 +97,7 @@ object RemoteRead {
       sel.metric.map(m => ProtoWire.PMatcher(0, "__name__", m)).toSeq ++
         sel.matchers.map(m => ProtoWire.PMatcher(typOf(m.op), m.label, m.value))
     val client = HttpClient.newHttpClient()
-    val rows = Seq.newBuilder[(String, Map[String, String], Long, Double)]
+    val rows = Seq.newBuilder[(String, Map[String, String], Long, Double, Boolean)]
     // native histograms ride back as prompb histograms and decode to the
     // engine's canonical storage shapes: NHCB (custom_values) -> classic
     // cumulative bucket rows (le/values/hist_sum, prom_histogram); exp
@@ -137,7 +137,9 @@ object RemoteRead {
           throw new IllegalStateException(
             s"remote read exceeds the $maxSamples-sample cap at window " +
               s"[$s, $e] — narrow the selector or range, or raise maxSamples")
-        ser.samples.foreach(p => rows += ((metric, tags, p.ts, p.value)))
+        // staleness markers survive the round trip: the wire's StaleNaN
+        // bits decode to PSample.stale and land as __stale tombstone rows
+        ser.samples.foreach(p => rows += ((metric, tags, p.ts, p.value, p.stale)))
         ser.histograms.foreach { h =>
           if (h.customValues.nonEmpty) {
             // NHCB: spans index the bounds list; absolute index
@@ -163,7 +165,11 @@ object RemoteRead {
       s = e + 1
     }
     import spark.implicits._
-    val scalar = rows.result().toDF("metric", "tags", "ts", "value")
+    val allRows = rows.result()
+    // the tombstone column exists only when a marker actually arrived —
+    // marker-free reads keep their exact single-pass plan shapes
+    val scalar0 = allRows.toDF("metric", "tags", "ts", "value", "__stale")
+    val scalar = if (allRows.exists(_._5)) scalar0 else scalar0.drop("__stale")
     val (nhcb, exp) = (nhcbRows.result(), expRows.result())
     if (nhcb.isEmpty && exp.isEmpty) scalar
     else {

@@ -485,6 +485,74 @@ object HistQueries {
       PromPlanner.queryRange(ctx, "rate(purchase::sum[2d])")
         .select(col("step_ts"), round(col("value"), 6).as("rate_sum"))
         .orderBy("step_ts")
+    }),
+
+    // STALENESS MARKERS end-to-end (upstream pkg/value StaleNaN): user 1's
+    // purchase target "dies" after day 5 — its sender remote-writes the
+    // StaleNaN bit pattern, decoded at the wire bits into a __stale
+    // tombstone row through the same hwm/quota/sink chain (a sender-retry
+    // replay of the marker chunk must no-op). Three live-HTTP probes over
+    // the sunk parquet, 1h..2h past the marker with a 1d lookback:
+    //  - instant `purchase`: users 2/3 answer with their day-5 sample;
+    //    user 1 is HIDDEN although its day-5 sample is inside the window
+    //    (the marker cuts the lookback — without it the series lingers);
+    //  - /federate: same cut, text exposition, the sample's OWN ts;
+    //  - query_range sum_over_time(user 1): every pre-marker day still
+    //    answers (markers are invisible to range vectors) and the
+    //    marker's own day-6 window yields NO row.
+    // Oracle = DuckDB daily sums with exactly those rows.
+    "q189_stale_marker_ingest" -> ((s, dir) => {
+      import s.implicits._
+      val port = staleFixture(s, dir)
+      val probe = StaleMarkerTs + 3600000L
+      def get(path: String): String = {
+        val c = new java.net.URI(s"http://localhost:$port$path")
+          .toURL.openConnection().asInstanceOf[java.net.HttpURLConnection]
+        try new String(c.getInputStream.readAllBytes(), "UTF-8")
+        finally c.disconnect()
+      }
+      def r6(v: Double): Double =
+        BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      // 6d lookback: every user's newest pre-marker sample is INSIDE the
+      // window, so user 1 answering would be the no-marker behavior —
+      // its absence is the marker cut, not staleness ageing
+      val inst = get(s"/api/v1/query?query=purchase&time=${probe / 1000}" +
+        "&lookback_delta=6d")
+      val instRx = """"user":"([^"]+)"\},"value":\[[0-9.]+,"([^"]+)"\]""".r
+      val instRows = instRx.findAllMatchIn(inst).map(m =>
+        ("instant", m.group(1), 0L, r6(m.group(2).toDouble))).toSeq
+      val fed = get(s"/federate?match[]=purchase&time=${probe / 1000}" +
+        "&lookback_delta=6d")
+      val fedRx = """purchase\{user="([^"]+)"\} (\S+) (\d+)""".r
+      val fedRows = fedRx.findAllMatchIn(fed).map(m =>
+        ("federate", m.group(1), m.group(3).toLong, r6(m.group(2).toDouble))).toSeq
+      val rng = get("/api/v1/query_range?query=" +
+        java.net.URLEncoder.encode(
+          """sum(sum_over_time(purchase{user="1"}[1d]))""", "UTF-8") +
+        s"&start=${(S + D1) / 1000}&end=${(S + 7 * D1) / 1000}&step=86400")
+      val rngRx = """\[([0-9.]+),"([^"]+)"\]""".r
+      val rngRows = rngRx.findAllMatchIn(rng).map(m =>
+        ("range", "1", math.round(m.group(1).toDouble * 1000),
+          r6(m.group(2).toDouble))).toSeq
+      (instRows ++ fedRows ++ rngRows)
+        .toDF("surface", "user", "ts_ms", "value")
+        .orderBy("surface", "user", "ts_ms")
+    }),
+
+    // histogram_fraction over NHCB storage from a PromQL string: the same
+    // q181 custom-bucket remote-write sink, asking what share of the
+    // rate-windowed distribution lies in (25, 150] — the custom-bound
+    // linear interpolation upstream defines, over the monotonicity-
+    // repaired per-bucket rate ladder. Mirror: the q181 rate CTEs with
+    // the q72 fraction CASE.
+    "q190_nhcb_fraction" -> ((s, dir) => {
+      val sink = q181SinkCache.computeIfAbsent(dir, _ => buildQ181Sink(s, dir))
+      val sunk = s.read.option("mergeSchema", "true").parquet(sink)
+      val ctx = PromPlanner.Ctx(s, sunk, S + 2 * D1, TsTables.EventsEndMs, D1)
+      PromPlanner.queryRange(ctx,
+        "histogram_fraction(25, 150, sum by (le) (rate(purchase[2d])))")
+        .select(col("step_ts"), round(col("value"), 6).as("frac"))
+        .orderBy("step_ts")
     })
   )
 
@@ -790,6 +858,32 @@ object HistQueries {
             ON k.ts_ms > s.step_ts - $D1 AND k.ts_ms <= s.step_ts
           GROUP BY 1,2 ORDER BY 1,2""",
 
+    // staleness-marker mirror: users 2/3's day-5 sample answers the
+    // instant + federate probes (user 1's is cut by the marker although
+    // inside the 1d window); user 1's range rows stop at its last live day
+    "q189_stale_marker_ingest" ->
+      s"""WITH ev AS (SELECT CAST(user_id AS VARCHAR) AS u,
+                        (epoch_ns(ts)//1000000 - $S) // $D1 AS day, value
+                      FROM events WHERE event_type = 'purchase'),
+          daily AS (SELECT u, day, round(sum(value), 6) AS v FROM ev
+                    WHERE u IN ('1','2','3') GROUP BY 1, 2),
+          last23 AS (SELECT u, day, v,
+                       row_number() OVER (PARTITION BY u ORDER BY day DESC) AS rn
+                     FROM daily WHERE u <> '1' AND day <= 4)
+          SELECT 'instant' AS surface, u AS "user",
+                 CAST(0 AS BIGINT) AS ts_ms, v AS value
+            FROM last23 WHERE rn = 1
+          UNION ALL
+          SELECT 'federate', u, $S + (day + 1) * $D1, v
+            FROM last23 WHERE rn = 1
+          UNION ALL
+          SELECT 'range', u, $S + (day + 1) * $D1, v
+            FROM daily WHERE u = '1' AND day <= 4
+          ORDER BY 1, 2, 3""",
+
+    // NHCB fraction mirror: the q181 rate CTEs + the q72 fraction CASE
+    "q190_nhcb_fraction" -> classicHistRateFractionSql,
+
     // federate mirror: newest purchase per user in (E-1d, E]
     "q187_federate" ->
       s"""WITH ev AS (SELECT CAST(user_id AS VARCHAR) AS u,
@@ -973,6 +1067,60 @@ object HistQueries {
       }
       require(post() == 204 && post() == 204,
         "q186 fixture: delete_series did not answer 204")
+      Integer.valueOf(api.boundPort)
+    }).intValue()
+
+  /** The q189 marker timestamp: 1h after user 1's last live sample. */
+  private val StaleMarkerTs = TsTables.EventsStartMs + 5 * TsTables.Day + 3600000L
+
+  private val stalePortCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+
+  /** q189's fixture: daily per-user purchase sums remote-written as plain
+    * counter-style samples; user 1 stops after day 5 and its sender
+    * appends the StaleNaN marker (the wire bits, via PSample.stale). Two
+    * chunks + a replay of the marker chunk (hwm must no-op markers like
+    * samples). Serves a READ PromApi over the sunk parquet; returns the
+    * port. */
+  private def staleFixture(s: org.apache.spark.sql.SparkSession,
+                           dir: String): Int =
+    stalePortCache.computeIfAbsent(dir, _ => {
+      import graft.http.{ProtoWire, PromApi, RemoteRead}
+      val base = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"), "q189_stale").toString
+      new org.apache.hadoop.fs.Path(base).getFileSystem(
+        s.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(base), true)
+      val daily = TsTables.events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .withColumn("u", col("user_id").cast("string"))
+        .filter(col("u").isin("1", "2", "3"))
+        .withColumn("day", ((col("ts_ms") - S) / D1).cast("long"))
+        .groupBy(col("u"), col("day")).agg(sum(col("value")).as("v"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      def series(u: String, f: Long => Boolean,
+                 extra: Seq[ProtoWire.PSample] = Nil): ProtoWire.PSeries =
+        ProtoWire.PSeries(Seq("__name__" -> "purchase", "user" -> u),
+          (daily.filter(t => t._1 == u && f(t._2)).sortBy(_._2).toSeq
+            .map(t => ProtoWire.PSample(t._3, S + (t._2 + 1) * D1)) ++ extra)
+            .sortBy(_.ts))
+      // chunk 1: every user's samples through day 5 (day index <= 4), plus
+      // user 1's target-down marker; chunk 2: users 2/3 from day 6 on
+      val marker = ProtoWire.PSample(0.0, StaleMarkerTs, stale = true)
+      val chunk1 = Seq(series("1", _ <= 4, Seq(marker)),
+        series("2", _ <= 4), series("3", _ <= 4))
+      val chunk2 = Seq(series("2", _ >= 5), series("3", _ >= 5))
+      val ws = PromApi.WriteSink(s"$base/sink", s"$base/index", s"$base/reject",
+        graft.operators.Quota.QuotaConfig(Seq("metric"), Seq(1000000L)))
+      val wapi = new PromApi(s, s.range(0).toDF(), writeSink = Some(ws)).start()
+      try {
+        val url = s"http://localhost:${wapi.boundPort}"
+        RemoteRead.remoteWriteSeries(chunk1, url)
+        RemoteRead.remoteWriteSeries(chunk2, url)
+        RemoteRead.remoteWriteSeries(chunk1, url) // sender retry: hwm no-ops
+      } finally wapi.stop()
+      val api = new PromApi(s,
+        s.read.option("mergeSchema", "true").parquet(s"$base/sink")).start()
       Integer.valueOf(api.boundPort)
     }).intValue()
 
@@ -1228,6 +1376,29 @@ object HistQueries {
     * end gap = 0, n = 2 — the only conditional left is the counter
     * zero-point clamp. */
   private def classicHistRateQuantileSql: String =
+    s"""$classicHistRateLadderSql
+        SELECT step_ts, round(CASE
+            WHEN c10 >= 0.9*ctot THEN 0.0 + (10.0 - 0.0) * (0.9*ctot - 0.0) / (c10 - 0.0)
+            WHEN c50 >= 0.9*ctot THEN 10.0 + (50.0 - 10.0) * (0.9*ctot - c10) / (c50 - c10)
+            WHEN c100 >= 0.9*ctot THEN 50.0 + (100.0 - 50.0) * (0.9*ctot - c50) / (c100 - c50)
+            WHEN c200 >= 0.9*ctot THEN 100.0 + (200.0 - 100.0) * (0.9*ctot - c100) / (c200 - c100)
+            ELSE 200.0 END, 6) AS q90
+        FROM b ORDER BY step_ts"""
+
+  /** histogram_fraction(25, 150, …) over the same repaired rate ladder:
+    * interpolated CDF at 150 minus CDF at 25, over the +Inf total — the
+    * q72 fraction CASE applied to rate values. */
+  private def classicHistRateFractionSql: String =
+    s"""$classicHistRateLadderSql
+        SELECT step_ts,
+          round(((c100 + (c200 - c100) * (150.0 - 100.0) / (200.0 - 100.0))
+               - (c10 + (c50 - c10) * (25.0 - 10.0) / (50.0 - 10.0))) / ctot, 6) AS frac
+        FROM b ORDER BY step_ts"""
+
+  /** The shared CTE chain of the classic-bucket RATE mirrors: per-day
+    * cumulative bucket counts -> extrapolated per-bucket rates ->
+    * monotonicity repair -> one (c10..c200, ctot) row per step. */
+  private def classicHistRateLadderSql: String =
     s"""WITH ev AS (SELECT (epoch_ns(ts)//1000000 - $S) // $D1 AS day, value
                     FROM events WHERE event_type = 'purchase'),
         bnds(pos, le) AS (VALUES (0, 10.0), (1, 50.0), (2, 100.0), (3, 200.0),
@@ -1258,14 +1429,7 @@ object HistQueries {
                 max(CASE WHEN pos = 2 THEN r END) AS c100,
                 max(CASE WHEN pos = 3 THEN r END) AS c200,
                 max(CASE WHEN pos = 4 THEN r END) AS ctot
-              FROM rep GROUP BY 1)
-        SELECT step_ts, round(CASE
-            WHEN c10 >= 0.9*ctot THEN 0.0 + (10.0 - 0.0) * (0.9*ctot - 0.0) / (c10 - 0.0)
-            WHEN c50 >= 0.9*ctot THEN 10.0 + (50.0 - 10.0) * (0.9*ctot - c10) / (c50 - c10)
-            WHEN c100 >= 0.9*ctot THEN 50.0 + (100.0 - 50.0) * (0.9*ctot - c50) / (c100 - c50)
-            WHEN c200 >= 0.9*ctot THEN 100.0 + (200.0 - 100.0) * (0.9*ctot - c100) / (c200 - c100)
-            ELSE 200.0 END, 6) AS q90
-        FROM b ORDER BY step_ts"""
+              FROM rep GROUP BY 1)"""
 
   private def expCols: String =
     (1 to 9).map(j => s"sum(CASE WHEN value <= ${1L << j}.0 THEN 1.0 ELSE 0 END) AS x$j")

@@ -512,4 +512,26 @@ object Gateway {
         xxhash64(col("metric"), to_json(array_sort(map_entries(col("tags"))))))
       .select(col("series_id"), col("metric"), col("tags"), col("ts"),
         col("value"), col("kind"))
+
+  /** Staleness markers for a DISAPPEARED scrape target — the text
+    * exposition cannot carry upstream's StaleNaN bit pattern, so on the
+    * scrape side the marker is SYNTHESIZED, exactly as the upstream
+    * scrape loop does: when a target stops answering, append one marker
+    * per series the last successful scrape exposed, stamped at the failed
+    * scrape's time. The rows are canonical tombstones (`value` NaN,
+    * `__stale` = true) that ride the same quota/dedup/sink chain as
+    * samples ([[graft.streaming.Ingest.processCanonicalBatch]] /
+    * `remoteWriteBatch`) and cut the instant lookback immediately —
+    * without them a dead target's series linger in instant queries and
+    * /federate for the full staleness window.
+    *
+    * `lastScrape`: the target's last good decode (any frame carrying
+    * series_id/metric/tags, e.g. [[promTextSamples]]' output). */
+  def staleMarkers(lastScrape: DataFrame, atMs: Long): DataFrame =
+    lastScrape
+      .select(col("series_id"), col("metric"), col("tags"))
+      .dropDuplicates("series_id")
+      .withColumn("ts", lit(atMs))
+      .withColumn("value", lit(Double.NaN))
+      .withColumn("__stale", lit(true))
 }

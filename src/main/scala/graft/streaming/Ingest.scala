@@ -404,8 +404,10 @@ object Ingest {
     val payload = Seq("value") ++
       (if (hasExp) ExpCols ++ Seq("__reset_hint") else Nil) ++
       // NHCB rows (custom-bucket native histograms canonicalized to
-      // prom_histogram storage) carry their payload in le/values
-      Seq("le", "values", "hist_sum", "series_type")
+      // prom_histogram storage) carry their payload in le/values;
+      // __stale marks staleness-marker tombstone rows (present only when
+      // the commit carries one — see PromApi.commitWriteRequest)
+      Seq("le", "values", "hist_sum", "series_type", "__stale")
         .filter(canonical.columns.contains)
     val inBatch = withId
       .groupBy(col("series_id"), col("metric"), col("tags"), col("ts"))
@@ -623,7 +625,17 @@ object Ingest {
                  lateness: Option[String] = None,
                  bucketOffset: String = "0 milliseconds",
                  seriesCols: Seq[String] = Seq("series_id", "metric", "user")): DataFrame = {
-    val timed = samples.withColumn("tsc", timestamp_millis(col("ts")))
+    // staleness-marker tombstones (value NaN, `__stale` = true) carry no
+    // observation — they must not poison a window's min/max/sum/avg
+    // (Spark sorts NaN HIGHEST, so one marker would corrupt max and sum).
+    // NaN values generally are no-data to the ds-gauge schema, matching
+    // the query kernels, which drop NaN from every range vector.
+    val live0 = samples.filter(col("value").isNull || !isnan(col("value")))
+    val live =
+      if (samples.columns.contains("__stale"))
+        live0.filter(!coalesce(col("__stale"), lit(false))).drop("__stale")
+      else live0
+    val timed = live.withColumn("tsc", timestamp_millis(col("ts")))
     // streaming callers pass `lateness` to watermark the event-time column
     // so append mode can finalize windows; batch callers omit it.
     // bucketOffset="1 millisecond" shifts buckets to (k*res, (k+1)*res] —

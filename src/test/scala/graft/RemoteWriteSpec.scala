@@ -1178,4 +1178,92 @@ class RemoteWriteSpec extends AnyFunSuite with Matchers {
       } finally readApi.stop()
     } finally ingest.stop()
   }
+
+  // ===== staleness markers (upstream pkg/value StaleNaN) ==================
+
+  test("StaleNaN wire bits: v1/v2 samples and histogram sums decode to the " +
+       "stale flag, re-encode bit-exactly, and ordinary NaN stays ordinary") {
+    val marker = ProtoWire.PSample(Double.NaN, 30L, stale = true)
+    val plainNaN = ProtoWire.PSample(Double.NaN, 40L)
+    val s1 = ProtoWire.PSeries(Seq("__name__" -> "m"),
+      Seq(ProtoWire.PSample(1.0, 10L), marker, plainNaN))
+    // v1 round trip
+    val v1 = ProtoWire.decodeWriteRequest(ProtoWire.encodeWriteRequest(Seq(s1)))
+    v1.head.samples.map(_.stale) shouldEqual Seq(false, true, false)
+    v1.head.samples(1).value.isNaN shouldEqual true
+    v1.head.samples(2).value.isNaN shouldEqual true
+    // v2 round trip
+    val (v2, _) = ProtoWire.decodeWriteRequestV2(
+      ProtoWire.encodeWriteRequestV2(Seq(s1)))
+    v2.head.samples.map(_.stale) shouldEqual Seq(false, true, false)
+    // a native-histogram target-down marker rides the SUM field
+    val hm = ProtoWire.PHistogram(50L, 0, 0.0, 0.0, 0.0, Double.NaN, 0,
+      0, Nil, 0, Nil, stale = true)
+    val hBack = ProtoWire.decodeWriteRequest(ProtoWire.encodeWriteRequest(
+      Seq(ProtoWire.PSeries(Seq("__name__" -> "h"), Nil, histograms = Seq(hm)))))
+    hBack.head.histograms.head.stale shouldEqual true
+  }
+
+  test("target-down end to end: a remote-written marker lands as a __stale " +
+       "tombstone through hwm/quota/sink, hides the series from instant " +
+       "queries and /federate while range vectors still answer, and the " +
+       "downsample path drops it") {
+    import graft.promql.PromPlanner
+    val dir = tmp("graft-stale")
+    val ws = PromApi.WriteSink(s"$dir/sink", s"$dir/index", s"$dir/reject", cfg)
+    val api = new PromApi(spark, spark.range(0).toDF(), writeSink = Some(ws)).start()
+    try {
+      val url = s"http://localhost:${api.boundPort}"
+      def s(job: String, samples: Seq[ProtoWire.PSample]) =
+        ProtoWire.PSeries(Seq("__name__" -> "m", "job" -> job), samples)
+      // job=a dies after t=20s: its sender appends the marker at 30s.
+      // Post the marker chunk twice — the hwm must no-op the replay.
+      val chunk1 = Seq(
+        s("a", Seq(ProtoWire.PSample(1.0, 10000L), ProtoWire.PSample(2.0, 20000L),
+          ProtoWire.PSample(0.0, 30000L, stale = true))),
+        s("b", Seq(ProtoWire.PSample(5.0, 10000L), ProtoWire.PSample(6.0, 20000L))))
+      RemoteRead.remoteWriteSeries(chunk1, url)
+      RemoteRead.remoteWriteSeries(Seq(
+        s("b", Seq(ProtoWire.PSample(7.0, 30000L), ProtoWire.PSample(8.0, 40000L)))), url)
+      RemoteRead.remoteWriteSeries(chunk1, url) // sender retry
+      val sunk = spark.read.option("mergeSchema", "true").parquet(s"$dir/sink")
+      // exactly one marker row landed (the replay no-op'd), value NaN
+      val markers = sunk.filter(coalesce(col("__stale"), lit(false))).collect()
+      markers.length shouldEqual 1
+      markers.head.getAs[Double]("value").isNaN shouldEqual true
+      def instant(at: Long): Map[String, Double] =
+        PromPlanner.queryRange(
+          PromPlanner.Ctx(spark, sunk, at, at, 1000L, lookbackMs = 25000L), "m")
+          .select(col("labels")("job"), col("value")).collect()
+          .map(r => r.getString(0) -> r.getDouble(1)).toMap
+      // before the marker both series answer; after it job=a is cut even
+      // though its 20s sample is still inside the 25s lookback
+      instant(25000L) shouldEqual Map("a" -> 2.0, "b" -> 6.0)
+      instant(35000L) shouldEqual Map("b" -> 7.0)
+      // range vectors never see the marker: count_over_time keeps 2
+      PromPlanner.queryRange(
+        PromPlanner.Ctx(spark, sunk, 35000L, 35000L, 1000L),
+        """count_over_time(m{job="a"}[30s])""")
+        .select("value").head().getDouble(0) shouldEqual 2.0
+      // /federate at 35s with a 25s lookback: job=b only
+      val readApi = new PromApi(spark, sunk).start()
+      try {
+        val fed = new String(new java.net.URI(
+          s"http://localhost:${readApi.boundPort}/federate?match[]=m" +
+            "&time=35&lookback_delta=25s").toURL.openStream().readAllBytes(), "UTF-8")
+        fed.contains("job=\"b\"") shouldEqual true
+        fed.contains("job=\"a\"") shouldEqual false
+      } finally readApi.stop()
+      // downsample: the marker contributes nothing to ds-gauge windows
+      // (one NaN would otherwise poison max/sum of the whole window)
+      val ds = Ingest.downsample(
+        sunk.withColumn("user", col("tags")("job")), "1 minute",
+        seriesCols = Seq("metric", "user"))
+        .filter(col("user") === "a")
+        .select("count", "max", "sum").collect()
+      ds.length shouldEqual 1
+      (ds.head.getDouble(0), ds.head.getDouble(1), ds.head.getDouble(2)) shouldEqual
+        ((2.0, 2.0, 3.0))
+    } finally api.stop()
+  }
 }
