@@ -479,7 +479,10 @@ class PromApi(spark: SparkSession, samples: DataFrame, port: Int = 0,
     if (metadataDir.isDefined)
       server.createContext("/api/v1/metadata", handler(metricMetadata))
     server.createContext("/api/v1/read", remoteReadHandler)
-    writeSink.foreach(_ => server.createContext("/api/v1/write", remoteWriteHandler))
+    writeSink.foreach { _ =>
+      server.createContext("/api/v1/write", remoteWriteHandler)
+      server.createContext("/api/v1/otlp/v1/metrics", otlpHandler)
+    }
     server.createContext("/api/v1/status/buildinfo", handler(buildInfo))
     server.createContext("/api/v1/status/tsdb", handler(tsdbStatus))
     server.createContext("/api/v1/status/flags", handler(statusFlags))
@@ -491,6 +494,7 @@ class PromApi(spark: SparkSession, samples: DataFrame, port: Int = 0,
         adminHandler(deleteSeries))
       server.createContext("/api/v1/admin/tsdb/clean_tombstones",
         adminHandler(cleanTombstones))
+      server.createContext("/api/v1/admin/tsdb/snapshot", snapshotHandler)
     }
     server.createContext("/federate", textHandler(federate))
     server.createContext("/metrics", textHandler(selfMetrics))
@@ -631,6 +635,40 @@ class PromApi(spark: SparkSession, samples: DataFrame, port: Int = 0,
           catch { case e: Exception => err(400, String.valueOf(e.getMessage)) }
       } finally ex.close()
     }
+
+  /** `/api/v1/admin/tsdb/snapshot` (the third upstream admin endpoint):
+    * publish a point-in-time copy of every configured store — sink,
+    * index, exemplar and metadata bases — under `<sink-parent>/snapshots/
+    * <id>` via [[graft.operators.Snapshots]] (hardlinks on a local FS, so
+    * O(files) like upstream's block hardlinking). Answers the upstream
+    * response shape `{"status":"success","data":{"name":"<id>"}}`.
+    * Admin-gated like the delete pair; needs a writeSink (the stores to
+    * snapshot live there). */
+  private def snapshotHandler: HttpHandler = (ex: HttpExchange) => {
+    try {
+      if (ex.getRequestMethod != "POST" && ex.getRequestMethod != "PUT")
+        respondJson(ex, 405,
+          """{"status":"error","errorType":"bad_data","error":"this admin endpoint requires POST or PUT"}""")
+      else try {
+        val ws = writeSink.getOrElse(throw new IllegalStateException(
+          "snapshot needs a writeSink-backed server (the stores to " +
+            "snapshot live there; on a read-only API snapshot the store " +
+            "out of band via graft.operators.Snapshots)"))
+        val id = graft.operators.Snapshots.create(spark,
+          PromApi.snapshotRoot(ws.sinkDir),
+          Seq("sink" -> ws.sinkDir, "index" -> ws.indexDir) ++
+            ws.exemplarDir.map("exemplars" -> _) ++
+            metadataDir.map("metadata" -> _) ++
+            adminDir.map("admin" -> _))
+        respondJson(ex, 200,
+          s"""{"status":"success","data":{"name":${js(id)}}}""")
+      } catch {
+        case e: Exception =>
+          respondJson(ex, 500,
+            s"""{"status":"error","errorType":"internal","error":${js(e.getMessage)}}""")
+      }
+    } finally ex.close()
+  }
 
   /** `/api/v1/admin/tsdb/delete_series` (upstream admin API): record the
     * match[] selectors + time range as a tombstone; every read surface
@@ -1111,6 +1149,73 @@ class PromApi(spark: SparkSession, samples: DataFrame, port: Int = 0,
                 respondJson(ex, 500,
                   s"""{"status":"error","errorType":"internal","error":${js(e.getMessage)}}""")
             }
+        }
+      } finally writePermits.release()
+    } finally ex.close()
+  }
+
+  /** `/api/v1/otlp/v1/metrics` (the OTLP/HTTP metrics export wire modern
+    * collectors speak; upstream Prometheus serves the same route): decode
+    * the protobuf ExportMetricsServiceRequest ([[OtlpWire]]), translate to
+    * the prompb model per the published otlptranslator rules, and commit
+    * through the exact remote-write chain — hwm dedup, quota, NHCB bucket
+    * storage for explicit-bound histograms, the exp path for exponential
+    * histograms (delta temporality stores as-is, cumulative converts),
+    * exemplar side table, metadata upserts. gzip Content-Encoding is
+    * accepted (the OTLP/HTTP default). Commits are SYNCHRONOUS under the
+    * commit lock (the group-commit spool is a remote-write-payload
+    * optimization; collectors batch on their own cadence). Responses per
+    * the OTLP/HTTP spec: 200 + empty ExportMetricsServiceResponse, 400 on
+    * payloads upstream rejects (malformed wire, delta sums/histograms),
+    * 415 on a non-protobuf content type. */
+  private def otlpHandler: com.sun.net.httpserver.HttpHandler = (ex: HttpExchange) => {
+    try {
+      if (!writePermits.tryAcquire()) {
+        ex.getResponseHeaders.add("Retry-After", "1")
+        respondJson(ex, 429,
+          s"""{"status":"error","errorType":"unavailable","error":"too many in-flight writes"}""")
+      } else try {
+        val ctype = Option(ex.getRequestHeaders.getFirst("Content-Type")).getOrElse("")
+        if (ex.getRequestMethod != "POST")
+          respondJson(ex, 405,
+            """{"status":"error","errorType":"bad_data","error":"OTLP export requires POST"}""")
+        else if (!ctype.startsWith("application/x-protobuf"))
+          respondJson(ex, 415,
+            """{"status":"error","errorType":"bad_data","error":"unsupported Content-Type (application/x-protobuf only; OTLP/JSON is not served)"}""")
+        else {
+          val decoded =
+            try Right {
+              val raw = ex.getRequestBody.readAllBytes()
+              val body =
+                if (Option(ex.getRequestHeaders.getFirst("Content-Encoding"))
+                    .exists(_.contains("gzip")))
+                  new java.util.zip.GZIPInputStream(
+                    new java.io.ByteArrayInputStream(raw)).readAllBytes()
+                else raw
+              OtlpWire.decodeExportRequest(body)
+            } catch { case e: Exception => Left(e) }
+          decoded match {
+            case Left(e) =>
+              respondJson(ex, 400,
+                s"""{"status":"error","errorType":"bad_data","error":${js(e.getMessage)}}""")
+            case Right((series, metas)) =>
+              try {
+                val ws = writeSink.get
+                commitLock.synchronized {
+                  commitWriteRequest(ws, series, claimBatchId(ws))
+                  upsertMetas(metas)
+                }
+                // empty ExportMetricsServiceResponse (zero bytes) = full success
+                ex.getResponseHeaders.add("Content-Type", "application/x-protobuf")
+                ex.sendResponseHeaders(200, -1)
+              } catch {
+                case e: Exception =>
+                  System.err.println(s"[promapi] otlp commit failed: $e")
+                  e.printStackTrace()
+                  respondJson(ex, 500,
+                    s"""{"status":"error","errorType":"internal","error":${js(e.getMessage)}}""")
+              }
+          }
         }
       } finally writePermits.release()
     } finally ex.close()
@@ -1697,6 +1802,18 @@ class PromApi(spark: SparkSession, samples: DataFrame, port: Int = 0,
 }
 
 object PromApi {
+  /** Snapshots publish BESIDE the sink (`<parent>/snapshots`), mirroring
+    * upstream's `data/snapshots`; a parentless sink root falls back to an
+    * underscore-hidden child dir ([[graft.operators.Snapshots]] excludes
+    * it from store walks either way). */
+  def snapshotRoot(sinkDir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(sinkDir)
+    Option(p.getParent) match {
+      case Some(parent) => new org.apache.hadoop.fs.Path(parent, "snapshots").toString
+      case None => s"$sinkDir/_snapshots"
+    }
+  }
+
   /** Where `/api/v1/write` commits: the sink/index/reject directory triple
     * plus the quota config of the canonical ingest chain (the same triple
     * `Ingest.startCanonicalIngestWithQuota` maintains — point a read API's

@@ -553,6 +553,23 @@ object HistQueries {
         "histogram_fraction(25, 150, sum by (le) (rate(purchase[2d])))")
         .select(col("step_ts"), round(col("value"), 6).as("frac"))
         .orderBy("step_ts")
+    }),
+
+    // OTLP ingest end to end (/api/v1/otlp/v1/metrics — the wire modern
+    // collectors speak): the q181 daily cumulative custom-bucket
+    // histograms re-expressed as OTLP explicit-bound HistogramDataPoints
+    // (gzip'd protobuf exports in two chunks plus a collector-retry
+    // replay the high-water marks must no-op), landing as the same NHCB
+    // bucket storage through the shared remote-write commit chain — and
+    // the identical quantile ladder answers. Oracle = the q181 mirror.
+    "q191_otlp_ingest" -> ((s, dir) => {
+      val sink = q191SinkCache.computeIfAbsent(dir, _ => buildQ191Sink(s, dir))
+      val sunk = s.read.option("mergeSchema", "true").parquet(sink)
+      val ctx = PromPlanner.Ctx(s, sunk, S + 2 * D1, TsTables.EventsEndMs, D1)
+      PromPlanner.queryRange(ctx,
+        "histogram_quantile(0.9, sum by (le) (rate(purchase[2d])))")
+        .select(col("step_ts"), round(col("value"), 6).as("q90"))
+        .orderBy("step_ts")
     })
   )
 
@@ -883,6 +900,10 @@ object HistQueries {
 
     // NHCB fraction mirror: the q181 rate CTEs + the q72 fraction CASE
     "q190_nhcb_fraction" -> classicHistRateFractionSql,
+
+    // OTLP explicit-bound histograms canonicalize to the SAME NHCB bucket
+    // storage the q181 wire lands, so the mirror is identical
+    "q191_otlp_ingest" -> classicHistRateQuantileSql,
 
     // federate mirror: newest purchase per user in (E-1d, E]
     "q187_federate" ->
@@ -1310,6 +1331,75 @@ object HistQueries {
         else postV2(hs)
       }
       RemoteRead.remoteWriteSeries(series(chunks(1)), url) // sender retry
+    } finally api.stop()
+    s"$base/sink"
+  }
+
+  /** q191's fixture: the q181 daily cumulative custom-bucket counts
+    * POSTed as OTLP explicit-bound histogram exports (gzip'd protobuf) to
+    * `/api/v1/otlp/v1/metrics` — two chunks plus a collector-retry replay
+    * of the first (the persisted high-water marks must no-op it). */
+  private val q191SinkCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def buildQ191Sink(s: org.apache.spark.sql.SparkSession,
+                            dir: String): String = {
+    import graft.http.{OtlpWire, PromApi}
+    val base = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"), "q191_otlp").toString
+    new org.apache.hadoop.fs.Path(base).getFileSystem(
+      s.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(base), true)
+    val bounds = Seq(10.0, 50.0, 100.0, 200.0)
+    val ev = TsTables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .withColumn("day", ((col("ts_ms") - S) / D1).cast("long"))
+    val daily = ev.groupBy(col("day"))
+      .agg(array((0 to bounds.length).map { k =>
+        val hiOk =
+          if (k == bounds.length) lit(true) else col("value") <= bounds(k)
+        val loOk = if (k == 0) lit(true) else col("value") > bounds(k - 1)
+        sum(when(hiOk && loOk, 1.0).otherwise(0.0))
+      }: _*).as("daily"),
+        sum(col("value")).as("dsm"))
+      .orderBy(col("day"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
+    val cum = daily.scanLeft((-1L, Seq.fill(bounds.length + 1)(0.0), 0.0)) {
+      case ((_, acc, accS), (d, row, sm)) =>
+        (d, acc.lazyZip(row).map(_ + _), accS + sm)
+    }.drop(1)
+    // OTLP HistogramDataPoints: per-bucket counts indexing bounds (+ the
+    // (200, +Inf] overflow slot), CUMULATIVE temporality over days
+    val points = cum.map { case (d, counts, sm) =>
+      (Seq.empty[(String, String)], S + (d + 1) * D1, counts.sum, sm,
+        bounds, counts)
+    }.toSeq
+    val ws = PromApi.WriteSink(s"$base/sink", s"$base/index", s"$base/reject",
+      graft.operators.Quota.QuotaConfig(Seq("metric"), Seq(1000000L)))
+    val api = new PromApi(s, s.range(0).toDF(), writeSink = Some(ws),
+      hwmCompactEvery = 2).start()
+    try {
+      val url = s"http://localhost:${api.boundPort}/api/v1/otlp/v1/metrics"
+      def post(pts: Seq[(Seq[(String, String)], Long, Double, Double, Seq[Double], Seq[Double])]): Unit = {
+        val body = OtlpWire.encodeExportRequest(Nil, Seq(
+          OtlpWire.EncMetric("purchase", kind = "histogram", temporality = 2,
+            histPoints = pts)))
+        val bos = new java.io.ByteArrayOutputStream()
+        val gz = new java.util.zip.GZIPOutputStream(bos)
+        gz.write(body); gz.close()
+        val resp = java.net.http.HttpClient.newHttpClient().send(
+          java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
+            .header("Content-Type", "application/x-protobuf")
+            .header("Content-Encoding", "gzip")
+            .POST(java.net.http.HttpRequest.BodyPublishers.ofByteArray(
+              bos.toByteArray)).build(),
+          java.net.http.HttpResponse.BodyHandlers.ofString())
+        require(resp.statusCode() == 200,
+          s"OTLP POST failed: HTTP ${resp.statusCode()} ${resp.body()}")
+      }
+      val chunks = points.grouped(math.max(1, points.size / 2 + 1)).toSeq
+      chunks.foreach(post)
+      post(chunks.head) // collector retry: hwm must no-op every sample
     } finally api.stop()
     s"$base/sink"
   }

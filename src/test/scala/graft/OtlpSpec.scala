@@ -1,0 +1,175 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+import graft.http.{OtlpWire, PromApi, ProtoWire}
+import graft.operators.Quota
+import graft.promql.PromPlanner
+
+/** `/api/v1/otlp/v1/metrics` — the OTLP metrics export wire: hand-rolled
+  * codec against the public opentelemetry-proto schema, the documented
+  * Prometheus translation (name/unit/type suffixes, resource promotion,
+  * target_info), temporality rules, NO_RECORDED_VALUE staleness, and the
+  * HTTP endpoint sharing the remote-write commit chain. */
+class OtlpSpec extends AnyFunSuite with Matchers {
+
+  lazy val spark: SparkSession = GraftSession.builder("local[4]", "4").getOrCreate()
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private val cfg = Quota.QuotaConfig(Seq("metric"), Seq(1000000L))
+
+  private val res = Seq("service.name" -> "shop", "service.instance.id" -> "i-1",
+    "deployment.environment" -> "prod")
+
+  test("decode + translate: gauges and cumulative sums map to job/instance-" +
+       "labeled series with unit and _total suffixes; sanitized attrs; " +
+       "target_info carries the remaining resource attributes") {
+    val body = OtlpWire.encodeExportRequest(res, Seq(
+      OtlpWire.EncMetric("http.server.duration", unit = "s",
+        description = "request time",
+        points = Seq((Seq("http.method" -> "GET"), 10000L, 0.25, 0))),
+      OtlpWire.EncMetric("requests", kind = "sum", monotonic = true,
+        temporality = 2,
+        points = Seq((Nil, 10000L, 42.0, 0)))))
+    val (series, metas) = OtlpWire.decodeExportRequest(body)
+    val byName = series.map(s =>
+      s.labels.collectFirst { case ("__name__", v) => v }.get -> s).toMap
+    byName.keySet shouldEqual
+      Set("http_server_duration_seconds", "requests_total", "target_info")
+    val g = byName("http_server_duration_seconds")
+    g.labels.toMap should contain allOf (
+      "job" -> "shop", "instance" -> "i-1", "http_method" -> "GET")
+    g.samples shouldEqual Seq(ProtoWire.PSample(0.25, 10000L))
+    byName("requests_total").samples.head.value shouldEqual 42.0
+    val ti = byName("target_info")
+    ti.labels.toMap should contain ("deployment_environment" -> "prod")
+    ti.labels.toMap.keySet should not contain "service_name"
+    ti.samples shouldEqual Seq(ProtoWire.PSample(1.0, 10000L))
+    metas.map(m => m.metric -> m.typ).toMap shouldEqual Map(
+      "http_server_duration_seconds" -> "gauge", "requests_total" -> "counter")
+  }
+
+  test("delta sums and delta explicit-bound histograms answer 400-shaped " +
+       "rejections (upstream without delta conversion); delta EXPONENTIAL " +
+       "histograms are the storage temporality and store as-is") {
+    an[IllegalArgumentException] should be thrownBy OtlpWire.decodeExportRequest(
+      OtlpWire.encodeExportRequest(res, Seq(OtlpWire.EncMetric("d",
+        kind = "sum", monotonic = true, temporality = 1,
+        points = Seq((Nil, 1000L, 1.0, 0))))))
+    an[IllegalArgumentException] should be thrownBy OtlpWire.decodeExportRequest(
+      OtlpWire.encodeExportRequest(res, Seq(OtlpWire.EncMetric("h",
+        kind = "histogram", temporality = 1,
+        histPoints = Seq((Nil, 1000L, 3.0, 6.0, Seq(1.0, 2.0), Seq(1.0, 1.0, 1.0)))))))
+    // delta exp histogram: GAUGE reset hint routes around the conversion
+    val (series, _) = OtlpWire.decodeExportRequest(
+      OtlpWire.encodeExportRequest(res, Seq(OtlpWire.EncMetric("eh",
+        kind = "exponential_histogram", temporality = 1,
+        expPoints = Seq((Nil, 1000L, 0, 1.0, 9.0, 0, Seq(2.0, 3.0)))))))
+    val h = series.head.histograms.head
+    h.resetHint shouldEqual 3
+    h.schema shouldEqual 0
+    // OTel bucket i covers (2^i, 2^(i+1)]; prompb posOffset carries +1 so
+    // the shared commit path's -1 lands exp_offset back on the OTel index
+    h.posOffset shouldEqual 1
+    h.posCounts shouldEqual Seq(2.0, 3.0)
+    h.zeroCount shouldEqual 1.0
+  }
+
+  test("explicit-bound histograms become NHCB-style bucket storage; " +
+       "summaries expand to _sum/_count/quantile series; NO_RECORDED_VALUE " +
+       "datapoints are staleness markers") {
+    val (series, _) = OtlpWire.decodeExportRequest(
+      OtlpWire.encodeExportRequest(res, Seq(
+        OtlpWire.EncMetric("lat", unit = "s", kind = "histogram", temporality = 2,
+          histPoints = Seq((Nil, 2000L, 6.0, 9.0, Seq(0.1, 0.5), Seq(1.0, 2.0, 3.0)))),
+        OtlpWire.EncMetric("rt", kind = "summary",
+          summaryPoints = Seq((Nil, 2000L, 10.0, 99.0, Seq(0.5 -> 1.5, 0.99 -> 7.0)))),
+        OtlpWire.EncMetric("dead", kind = "gauge",
+          points = Seq((Nil, 3000L, 0.0, 1)))))) // flags bit 0 = no recorded value
+    val byName = series.groupBy(_.labels.collectFirst {
+      case ("__name__", v) => v }.get)
+    val hist = byName("lat_seconds").head.histograms.head
+    hist.schema shouldEqual -53
+    hist.customValues shouldEqual Seq(0.1, 0.5)
+    hist.posCounts shouldEqual Seq(1.0, 2.0, 3.0)
+    hist.count shouldEqual 6.0
+    hist.sum shouldEqual 9.0
+    byName("rt_sum").head.samples.head.value shouldEqual 99.0
+    byName("rt_count").head.samples.head.value shouldEqual 10.0
+    val qs = byName("rt").map(s => s.labels.toMap.apply("quantile") ->
+      s.samples.head.value).toMap
+    qs shouldEqual Map("0.5" -> 1.5, "0.99" -> 7.0)
+    val dead = byName("dead").head.samples.head
+    dead.stale shouldEqual true
+    dead.value.isNaN shouldEqual true
+  }
+
+  test("HTTP endpoint end to end (gzip): gauge + NHCB histogram + marker " +
+       "commit through the remote-write chain and answer PromQL; delta sums " +
+       "answer 400; wrong content type answers 415") {
+    val dir = tmp("graft-otlp")
+    val ws = PromApi.WriteSink(s"$dir/sink", s"$dir/index", s"$dir/reject", cfg,
+      exemplarDir = Some(s"$dir/ex"))
+    val api = new PromApi(spark, spark.range(0).toDF(), writeSink = Some(ws),
+      metadataDir = Some(s"$dir/meta")).start()
+    try {
+      val url = s"http://localhost:${api.boundPort}/api/v1/otlp/v1/metrics"
+      val client = HttpClient.newHttpClient()
+      def post(body: Array[Byte], gzip: Boolean = false,
+               ctype: String = "application/x-protobuf"): Int = {
+        val payload = if (!gzip) body else {
+          val bos = new java.io.ByteArrayOutputStream()
+          val gz = new java.util.zip.GZIPOutputStream(bos)
+          gz.write(body); gz.close(); bos.toByteArray
+        }
+        val b = HttpRequest.newBuilder(URI.create(url))
+          .header("Content-Type", ctype)
+          .POST(HttpRequest.BodyPublishers.ofByteArray(payload))
+        if (gzip) b.header("Content-Encoding", "gzip")
+        client.send(b.build(), HttpResponse.BodyHandlers.ofByteArray()).statusCode()
+      }
+      val ok = OtlpWire.encodeExportRequest(res, Seq(
+        OtlpWire.EncMetric("cpu", kind = "gauge",
+          points = Seq(
+            (Seq("core" -> "0"), 10000L, 1.5, 0),
+            (Seq("core" -> "0"), 20000L, 2.5, 0),
+            (Seq("core" -> "1"), 20000L, 7.0, 0))),
+        OtlpWire.EncMetric("lat", unit = "s", kind = "histogram", temporality = 2,
+          histPoints = Seq((Nil, 20000L, 6.0, 9.0, Seq(0.1, 0.5), Seq(1.0, 2.0, 3.0))))))
+      post(ok, gzip = true) shouldEqual 200
+      // the dead-core marker arrives in a second export
+      post(OtlpWire.encodeExportRequest(res, Seq(
+        OtlpWire.EncMetric("cpu", kind = "gauge",
+          points = Seq((Seq("core" -> "1"), 30000L, 0.0, 1)))))) shouldEqual 200
+      post(OtlpWire.encodeExportRequest(res, Seq(OtlpWire.EncMetric("d",
+        kind = "sum", monotonic = true, temporality = 1,
+        points = Seq((Nil, 1000L, 1.0, 0)))))) shouldEqual 400
+      post(ok, ctype = "application/json") shouldEqual 415
+      val sunk = spark.read.option("mergeSchema", "true").parquet(s"$dir/sink")
+      def instant(q: String, at: Long): Map[String, Double] =
+        PromPlanner.queryRange(
+          PromPlanner.Ctx(spark, sunk, at, at, 1000L, lookbackMs = 25000L), q)
+          .select(col("labels")("core"), col("value")).collect()
+          .map(r => r.getString(0) -> r.getDouble(1)).toMap
+      // the marker cut: core=1 is absent at 35s though its 20s sample is
+      // inside the lookback; core=0 answers
+      instant("cpu", 35000L) shouldEqual Map("0" -> 2.5)
+      instant("cpu", 25000L) shouldEqual Map("0" -> 2.5, "1" -> 7.0)
+      // the NHCB histogram answers histogram_quantile from a PromQL string
+      val q50 = PromPlanner.queryRange(
+        PromPlanner.Ctx(spark, sunk, 20000L, 20000L, 1000L),
+        "histogram_quantile(0.5, lat_seconds)").select("value").head().getDouble(0)
+      q50 shouldEqual 0.5 +- 1e-9 // rank 3 of 6 -> upper edge of bucket 2
+      // metadata upserted from the OTLP descriptor
+      val meta = graft.streaming.Ingest.readMetricMeta(spark, s"$dir/meta").get
+      meta.filter(col("metric") === "lat_seconds").select("type")
+        .head().getString(0) shouldEqual "histogram"
+    } finally api.stop()
+  }
+}
