@@ -31,6 +31,7 @@ object Cli {
           |       graft.Cli --cardinality [sfDir]
           |       graft.Cli --delete-series <adminDir> <selector> [startSec endSec]
           |       graft.Cli --clean-tombstones <sinkDir> <adminDir>
+          |       graft.Cli --snapshot <snapRoot> <name=dir> [name=dir ...]
           |       graft.Cli --test <file.test>""".stripMargin)
       sys.exit(2)
     }
@@ -112,8 +113,21 @@ object Cli {
         println(s"tombstone $name recorded in ${args(1)}")
       case "--clean-tombstones" =>
         require(args.length > 2, "--clean-tombstones needs <sinkDir> <adminDir>")
-        val n = graft.operators.Tombstones.purge(spark, args(1), args(2))
-        println(s"purged: rewrote $n batch partition(s) of ${args(1)}")
+        // layout-dispatching: batch_id= remote-write sinks AND metric=/
+        // date= TsLayout stores both purge offline
+        val n = graft.operators.Tombstones.purgeAny(spark, args(1), args(2))
+        println(s"purged: rewrote $n partition(s) of ${args(1)}")
+      case "--snapshot" =>
+        // offline twin of /api/v1/admin/tsdb/snapshot: publish a
+        // point-in-time, hardlink-cheap copy of the named stores
+        require(args.length > 2,
+          "--snapshot needs <snapRoot> <name=dir> [name=dir ...]")
+        val stores = args.drop(2).toSeq.map { a =>
+          val Array(n, d) = a.split("=", 2)
+          n -> d
+        }
+        val id = graft.operators.Snapshots.create(spark, args(1), stores)
+        println(s"snapshot $id published under ${args(1)}")
       case other =>
         System.err.println(s"unknown subcommand: $other"); sys.exit(2)
     } finally spark.stop()

@@ -223,6 +223,83 @@ object Tombstones {
     affected.length
   }
 
+  /** Selector purge for the `metric=<m>/date=<d>` [[graft.model.TsLayout]]
+    * layout (date-partitioned stores previously had retention —
+    * whole-directory deletes — but no selector-delete): the same
+    * hide-now/purge-later contract as [[purge]], with one (metric, date)
+    * LEAF partition as the rewrite unit and the same crash-repairable
+    * three-rename swap (staged as `_old-clean-<d>`/`_tmp-clean-<d>`
+    * INSIDE the metric directory; [[repairTsLayout]] completes or rolls
+    * back). Affected leaves are found by one distinct over the drop
+    * predicate — partition pruning on `metric` keeps that scan narrow,
+    * and only leaves actually holding matching rows are rewritten, so the
+    * cost tracks the data deleted, not the store size. Leaf files do not
+    * carry the partition columns, so the predicate evaluates with them
+    * re-attached as literals. */
+  def purgeTsLayout(spark: SparkSession, path: String, adminDir: String): Int = {
+    repairTsLayout(spark, path)
+    val records = list(spark, adminDir)
+    val drop = dropPredicate(records).getOrElse(return 0)
+    val fs = fsFor(spark, path)
+    val df = spark.read.option("mergeSchema", "true").parquet(path)
+    require(df.columns.contains("date") && df.columns.contains("metric"),
+      s"$path is not a metric=/date= partitioned TsLayout store")
+    val affected = df.filter(drop)
+      .select(col("metric").cast("string"), col("date").cast("string"))
+      .distinct().collect().map(r => (r.getString(0), r.getString(1))).sorted
+    affected.foreach { case (m, d) =>
+      val metricDir = new Path(path, s"metric=$m")
+      val part = new Path(metricDir, s"date=$d")
+      val tmp = new Path(metricDir, s"_tmp-clean-$d")
+      val old = new Path(metricDir, s"_old-clean-$d")
+      spark.read.parquet(part.toString)
+        .withColumn("metric", lit(m))
+        .withColumn("date", lit(d))
+        .filter(!drop)
+        .drop("metric", "date")
+        .write.mode("overwrite").parquet(tmp.toString)
+      if (!fs.rename(part, old))
+        throw new IllegalStateException(s"purge swap-out failed: $part")
+      if (!fs.rename(tmp, part))
+        throw new IllegalStateException(s"purge swap-in failed: $part")
+      fs.delete(old, true)
+    }
+    records.foreach(r => fs.delete(new Path(adminDir, r.file), false))
+    affected.length
+  }
+
+  /** Layout dispatch for offline admin: `batch_id=` sinks take [[purge]],
+    * `metric=/date=` TsLayout stores take [[purgeTsLayout]]. */
+  def purgeAny(spark: SparkSession, path: String, adminDir: String): Int = {
+    val cols = spark.read.option("mergeSchema", "true").parquet(path).columns
+    if (cols.contains("batch_id")) purge(spark, path, adminDir)
+    else purgeTsLayout(spark, path, adminDir)
+  }
+
+  /** [[repair]]'s twin for the TsLayout leaf swaps: complete or roll back
+    * any crashed `_old-clean-<d>` under every `metric=` directory. */
+  def repairTsLayout(spark: SparkSession, path: String): Unit = {
+    val fs = fsFor(spark, path)
+    val root = new Path(path)
+    if (!fs.exists(root)) return
+    fs.listStatus(root).map(_.getPath)
+      .filter(_.getName.startsWith("metric=")).foreach { metricDir =>
+        fs.listStatus(metricDir).map(_.getPath)
+          .filter(_.getName.startsWith("_old-clean-")).foreach { old =>
+            val d = old.getName.stripPrefix("_old-clean-")
+            val part = new Path(metricDir, s"date=$d")
+            val tmp = new Path(metricDir, s"_tmp-clean-$d")
+            if (fs.exists(part)) fs.delete(old, true)
+            else if (fs.exists(new Path(tmp, "_SUCCESS"))) {
+              if (fs.rename(tmp, part)) fs.delete(old, true)
+            } else {
+              fs.delete(tmp, true)
+              fs.rename(old, part)
+            }
+          }
+      }
+  }
+
   /** The `k=v` partition-directory chain under one batch partition (walk
     * one branch — Hive layouts are uniform within a table). */
   private def innerPartitionCols(fs: FileSystem, part: Path): Seq[String] = {

@@ -257,6 +257,99 @@ class TombstonesSpec extends AnyFunSuite with Matchers {
       recs).cold.get.ds.count() shouldEqual 1L
   }
 
+  test("purgeTsLayout: selector-delete on a metric=/date= store rewrites " +
+       "only the leaf partitions holding matching rows; crash leftovers " +
+       "repair; purgeAny dispatches on the layout") {
+    import spark.implicits._
+    val dir = tmp("graft-tomb-layout")
+    val store = s"$dir/store"
+    val admin = s"$dir/admin"
+    val day1 = 1704067200000L // 2024-01-01
+    val day2 = day1 + 86400000L
+    val rows =
+      Seq(("reqs", Map("job" -> "api"), day1 + 1000L, 1.0),
+          ("reqs", Map("job" -> "api"), day2 + 1000L, 2.0),
+          ("reqs", Map("job" -> "web"), day1 + 1000L, 3.0),
+          ("lat", Map.empty[String, String], day1 + 1000L, 4.0))
+        .toDF("metric", "tags", "ts", "value")
+    graft.model.TsLayout.write(rows, store, seriesBuckets = 2)
+    // delete job=api on day 1 only
+    Tombstones.write(spark, admin, Seq("""reqs{job="api"}"""),
+      day1, day1 + 86399999L)
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def files(p: String): Set[String] = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      if (!fs.exists(hp)) Set.empty
+      else fs.listStatus(hp).map(_.getPath.getName).toSet
+    }
+    val latBefore = files(s"$store/metric=lat/date=2024-01-01")
+    val d2Before = files(s"$store/metric=reqs/date=2024-01-02")
+    Tombstones.purgeAny(spark, store, admin) shouldEqual 1
+    val back = spark.read.parquet(store)
+    back.count() shouldEqual 3L
+    back.filter(col("tags")("job") === "api" && col("ts") < day2)
+      .count() shouldEqual 0L
+    // untouched leaves were NOT rewritten; tombstones consumed
+    files(s"$store/metric=lat/date=2024-01-01") shouldEqual latBefore
+    files(s"$store/metric=reqs/date=2024-01-02") shouldEqual d2Before
+    Tombstones.list(spark, admin) shouldBe empty
+    // crash repair: a swap-out leftover with a COMPLETE staged copy rolls
+    // forward; one without rolls back
+    val m = s"$store/metric=reqs"
+    fs.rename(new org.apache.hadoop.fs.Path(s"$m/date=2024-01-02"),
+      new org.apache.hadoop.fs.Path(s"$m/_old-clean-2024-01-02"))
+    Seq(("x", 1.0)).toDF("a", "b")
+      .write.parquet(s"$m/_tmp-clean-2024-01-02") // has _SUCCESS
+    Tombstones.repairTsLayout(spark, store)
+    files(s"$m/date=2024-01-02").nonEmpty shouldBe true
+    files(m).count(_.startsWith("_")) shouldEqual 0
+  }
+
+  test("/api/v1/admin/tsdb/snapshot publishes a hardlink-cheap point-in-time " +
+       "copy that survives a later purge of the live store; transient state " +
+       "is excluded; crashed staging dirs are swept") {
+    val dir = tmp("graft-snap")
+    val admin = s"$dir/admin"
+    val ws = PromApi.WriteSink(s"$dir/sink", s"$dir/index", s"$dir/reject", cfg)
+    val api = new PromApi(spark, spark.range(0).toDF(),
+      writeSink = Some(ws), adminDir = Some(admin)).start()
+    try {
+      RemoteRead.remoteWriteSeries(Seq(
+        ProtoWire.PSeries(Seq("__name__" -> "gone"),
+          (1 to 3).map(i => ProtoWire.PSample(i.toDouble, i * 1000L))),
+        ProtoWire.PSeries(Seq("__name__" -> "keeper"),
+          Seq(ProtoWire.PSample(9.0, 1000L)))),
+        s"http://localhost:${api.boundPort}")
+      // a crashed earlier attempt + transient claim state
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/snapshots/_tmp-dead"))
+      val (code, body) = post(api.boundPort, "/api/v1/admin/tsdb/snapshot")
+      code shouldEqual 200
+      val name = """"name":"([^"]+)"""".r.findFirstMatchIn(body).get.group(1)
+      fs.exists(new org.apache.hadoop.fs.Path(
+        s"$dir/snapshots/_tmp-dead")) shouldBe false
+      fs.exists(new org.apache.hadoop.fs.Path(
+        s"$dir/snapshots/$name/_SUCCESS")) shouldBe true
+      // _claims (batch-id coordination) must not ride the snapshot
+      fs.exists(new org.apache.hadoop.fs.Path(
+        s"$dir/snapshots/$name/sink/_claims")) shouldBe false
+      graft.operators.Snapshots.list(spark, s"$dir/snapshots") shouldEqual
+        Seq(name)
+      // delete + physically purge the live series: the snapshot keeps it
+      post(api.boundPort, s"/api/v1/admin/tsdb/delete_series?" +
+        s"match[]=${enc("gone")}")._1 shouldEqual 204
+      post(api.boundPort, "/api/v1/admin/tsdb/clean_tombstones")._1 shouldEqual 204
+      spark.read.parquet(ws.sinkDir)
+        .filter(col("metric") === "gone").count() shouldEqual 0L
+      spark.read.parquet(s"$dir/snapshots/$name/sink")
+        .filter(col("metric") === "gone").count() shouldEqual 3L
+      // restore-readiness: the snapshot's index base answers too
+      spark.read.parquet(s"$dir/snapshots/$name/index").count() should be >= 1L
+    } finally api.stop()
+  }
+
   test("clean_tombstones refuses when the serving frame provably reads " +
        "outside the write sink (deleted rows would resurrect there)") {
     import spark.implicits._
