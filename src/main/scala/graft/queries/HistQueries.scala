@@ -570,6 +570,24 @@ object HistQueries {
         "histogram_quantile(0.9, sum by (le) (rate(purchase[2d])))")
         .select(col("step_ts"), round(col("value"), 6).as("q90"))
         .orderBy("step_ts")
+    }),
+
+    // SNAPSHOT end to end (upstream /api/v1/admin/tsdb/snapshot): daily
+    // per-user sums remote-written, snapshotted over live HTTP, then user
+    // 1 is delete_series'd AND physically purged from the LIVE store —
+    // the frozen snapshot must still answer the full pre-delete history
+    // for every user, which only holds if the hardlinked copy is a real
+    // point-in-time store and the purge's partition rewrites never touch
+    // it. Oracle = DuckDB daily sums with NO exclusions.
+    "q192_snapshot_read" -> ((s, dir) => {
+      val snap = q192SnapCache.computeIfAbsent(dir, _ => buildQ192Snapshot(s, dir))
+      val sunk = s.read.option("mergeSchema", "true").parquet(snap)
+      val ctx = PromPlanner.Ctx(s, sunk, S + D1, TsTables.EventsEndMs, D1)
+      PromPlanner.queryRange(ctx,
+        """sum by (user) (sum_over_time(purchase{user=~"1|2|3"}[1d]))""")
+        .select(col("labels")("user").as("user"), col("step_ts"),
+          round(col("value"), 6).as("value"))
+        .orderBy("step_ts", "user")
     })
   )
 
@@ -905,6 +923,20 @@ object HistQueries {
     // storage the q181 wire lands, so the mirror is identical
     "q191_otlp_ingest" -> classicHistRateQuantileSql,
 
+    // snapshot mirror: the FULL pre-delete daily sums, user 1 included —
+    // the live store lost user 1 to the purge (asserted in the fixture),
+    // so a match proves the snapshot froze the point-in-time copy
+    "q192_snapshot_read" ->
+      s"""WITH ev AS (SELECT CAST(user_id AS VARCHAR) AS u,
+                        (epoch_ns(ts)//1000000 - $S) // $D1 AS day, value
+                      FROM events WHERE event_type = 'purchase'),
+          daily AS (SELECT u, day, round(sum(value), 6) AS v FROM ev
+                    WHERE u IN ('1','2','3') GROUP BY 1, 2)
+          SELECT u AS "user", $S + (day + 1) * $D1 AS step_ts, v AS value
+          FROM daily
+          WHERE $S + (day + 1) * $D1 BETWEEN ${S + D1} AND ${TsTables.EventsEndMs}
+          ORDER BY 2, 1""",
+
     // federate mirror: newest purchase per user in (E-1d, E]
     "q187_federate" ->
       s"""WITH ev AS (SELECT CAST(user_id AS VARCHAR) AS u,
@@ -1144,6 +1176,66 @@ object HistQueries {
         s.read.option("mergeSchema", "true").parquet(s"$base/sink")).start()
       Integer.valueOf(api.boundPort)
     }).intValue()
+
+  private val q192SnapCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** q192's fixture: remote-write the daily per-user purchase sums, POST
+    * `/api/v1/admin/tsdb/snapshot`, then delete_series + clean_tombstones
+    * user 1 from the LIVE store; returns the snapshot's sink directory.
+    * The live store provably lost the rows (asserted here) — the oracle
+    * then proves the snapshot kept them. */
+  private def buildQ192Snapshot(s: org.apache.spark.sql.SparkSession,
+                                dir: String): String = {
+    import graft.http.{ProtoWire, PromApi, RemoteRead}
+    val base = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"), "q192_snap").toString
+    new org.apache.hadoop.fs.Path(base).getFileSystem(
+      s.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(base), true)
+    val daily = TsTables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .withColumn("u", col("user_id").cast("string"))
+      .filter(col("u").isin("1", "2", "3"))
+      .withColumn("day", ((col("ts_ms") - S) / D1).cast("long"))
+      .groupBy(col("u"), col("day")).agg(sum(col("value")).as("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val series = daily.groupBy(_._1).toSeq.map { case (u, rows) =>
+      ProtoWire.PSeries(Seq("__name__" -> "purchase", "user" -> u),
+        rows.sortBy(_._2).map(t =>
+          ProtoWire.PSample(t._3, S + (t._2 + 1) * D1)).toSeq)
+    }
+    val ws = PromApi.WriteSink(s"$base/sink", s"$base/index", s"$base/reject",
+      graft.operators.Quota.QuotaConfig(Seq("metric"), Seq(1000000L)))
+    val api = new PromApi(s, s.range(0).toDF(),
+      writeSink = Some(ws), adminDir = Some(s"$base/admin")).start()
+    try {
+      val url = s"http://localhost:${api.boundPort}"
+      RemoteRead.remoteWriteSeries(series, url)
+      def post(path: String): (Int, String) = {
+        val c = new java.net.URI(s"$url$path").toURL.openConnection()
+          .asInstanceOf[java.net.HttpURLConnection]
+        c.setRequestMethod("POST")
+        try {
+          val code = c.getResponseCode
+          val in = if (code < 400) c.getInputStream else c.getErrorStream
+          (code, if (in == null) "" else new String(in.readAllBytes(), "UTF-8"))
+        } finally c.disconnect()
+      }
+      val (sc, sb) = post("/api/v1/admin/tsdb/snapshot")
+      require(sc == 200, s"q192 snapshot failed: HTTP $sc $sb")
+      val name = """"name":"([^"]+)"""".r.findFirstMatchIn(sb).get.group(1)
+      val m = java.net.URLEncoder.encode("""purchase{user="1"}""", "UTF-8")
+      require(post(s"/api/v1/admin/tsdb/delete_series?match[]=$m")._1 == 204,
+        "q192 delete_series failed")
+      require(post("/api/v1/admin/tsdb/clean_tombstones")._1 == 204,
+        "q192 clean_tombstones failed")
+      require(s.read.option("mergeSchema", "true").parquet(s"$base/sink")
+        .filter(col("tags")("user") === "1").isEmpty,
+        "q192 fixture: the live store still holds user 1 after the purge")
+      s"$base/snapshots/$name/sink"
+    } finally api.stop()
+  }
 
   /** q180's fixture: a PromApi over the canonical events samples WITH a
     * series index — the intended deployment shape for the status

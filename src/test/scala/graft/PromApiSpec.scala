@@ -1072,6 +1072,41 @@ class PromApiSpec extends AnyFunSuite with Matchers {
       at1 should include("reqs{job=\"web\"} 3 4000\n")
       // no match[] -> 400 with a text (not JSON-envelope) error
       get(port, "/federate") should include("match[]")
+      // non-finite values render with the Prometheus exposition spelling
+      // (a real scraper rejects Java's "Infinity")
+      val withInf = new PromApi(spark, Seq(
+        ("inf_m", Map.empty[String, String], 1000L, Double.PositiveInfinity))
+        .toDF("metric", "tags", "ts", "value")).start()
+      try get(withInf.boundPort,
+        s"/federate?match[]=${java.net.URLEncoder.encode("inf_m", "UTF-8")}" +
+          "&time=1") should include("inf_m +Inf 1000\n")
+      finally withInf.stop()
+    } finally api.stop()
+  }
+
+  test("/federate default time resolves from the series index when one is " +
+       "configured — an index-scale max(end_ts) probe, never a full " +
+       "samples scan") {
+    import spark.implicits._
+    val samples = Seq(
+      ("m", Map("i" -> "1"), 10000L, 1.0),
+      ("m", Map("i" -> "1"), 50000L, 5.0),
+      // this row exists ONLY in the samples frame — the index below stops
+      // at end_ts 50s. Resolving the default instant from a samples
+      // max(ts) would federate this 100s value; the index probe must pin
+      // t=50s and answer 5.0. (The index lagging the store is exactly the
+      // deployment state that distinguishes the two probes.)
+      ("m", Map("i" -> "1"), 100000L, 9.0))
+      .toDF("metric", "tags", "ts", "value")
+    val idx = Seq(("m", Map("i" -> "1"), 10000L, 50000L, 1L))
+      .toDF("metric", "tags", "start_ts", "end_ts", "series_id")
+    val api = new PromApi(spark, samples, seriesIndex = Some(idx)).start()
+    try {
+      val body = get(api.boundPort,
+        s"/federate?match[]=${java.net.URLEncoder.encode("m", "UTF-8")}" +
+          "&lookback_delta=60s")
+      body should include("""m{i="1"} 5 50000""")
+      (body should not).include("9")
     } finally api.stop()
   }
 
