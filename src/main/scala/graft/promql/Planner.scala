@@ -508,7 +508,16 @@ object PromPlanner {
       val cutTs = periodicFrom(ctx, markers, sel,
           RangeFns.byName("timestamp"), windowMs)
         .select(col("__key"), col("step_ts"), col("value").as("__cut"))
-      val liveTs = periodicFrom(ctx, live, sel,
+      // the last-live-timestamp pass is needed ONLY for series that have
+      // a marker at all (the cut filter short-circuits on __cut null):
+      // bound it by a broadcast semi-join on the marker series keys, so
+      // its kernel input is O(marked series' samples) — one dead target's
+      // markers must not cost a second full scan of a 100 TB store on
+      // every instant query (the base pass is already the full one).
+      val markerKeys = withKey(markers).select(col("__key")).distinct()
+      val liveMarked = withKey(live)
+        .join(broadcast(markerKeys), Seq("__key"), "left_semi")
+      val liveTs = periodicFrom(ctx, liveMarked, sel,
           RangeFns.byName("timestamp"), windowMs)
         .select(col("__key"), col("step_ts"), col("value").as("__lts"))
       base.join(cutTs, Seq("__key", "step_ts"), "left")

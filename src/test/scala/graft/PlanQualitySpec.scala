@@ -45,6 +45,29 @@ class PlanQualitySpec extends AnyFunSuite with Matchers {
     "Exchange hashpartitioning".r.findAllIn(p).length shouldEqual 1
   }
 
+  test("staleness-cutoff plan: the last-live-ts pass is bounded by a " +
+       "BROADCAST semi-join on the marker series keys (a dead target must " +
+       "not cost a second full scan); marker-free frames keep the " +
+       "single-pass plan") {
+    import spark.implicits._
+    val stale = Seq(
+      ("m", Map("i" -> "a"), 1000L, 1.0, false),
+      ("m", Map("i" -> "a"), 2000L, Double.NaN, true),
+      ("m", Map("i" -> "b"), 1000L, 5.0, false))
+      .toDF("metric", "tags", "ts", "value", "__stale")
+    val ctx = PromPlanner.Ctx(spark, stale, 2000L, 2000L, 1000L)
+    val df = PromPlanner.queryRange(ctx, "m")
+    df.count()
+    val p = plan(df)
+    p should include("LeftSemi")
+    p should include("BroadcastHashJoin")
+    // frames WITHOUT the column: no semi-join machinery at all
+    val plain = PromPlanner.queryRange(
+      PromPlanner.Ctx(spark, stale.drop("__stale"), 2000L, 2000L, 1000L), "m")
+    plain.count()
+    (plan(plain) should not).include("LeftSemi")
+  }
+
   test("aggregations are partially aggregated before the shuffle") {
     val p = plan(RelationalQueries.defs("q01_pricing_summary")(spark, dir))
     // partial_ functions upstream of the exchange = map-side combine
