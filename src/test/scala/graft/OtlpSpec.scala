@@ -172,4 +172,54 @@ class OtlpSpec extends AnyFunSuite with Matchers {
         .head().getString(0) shouldEqual "histogram"
     } finally api.stop()
   }
+
+  test("OTLP exemplars land in the side table with trace_id/span_id hex " +
+       "labels and answer /api/v1/query_exemplars") {
+    val dir = tmp("graft-otlp-ex")
+    val ws = PromApi.WriteSink(s"$dir/sink", s"$dir/index", s"$dir/reject", cfg,
+      exemplarDir = Some(s"$dir/ex"))
+    val api = new PromApi(spark, spark.range(0).toDF(), writeSink = Some(ws)).start()
+    try {
+      // encode an exemplar by hand on a gauge datapoint (the EncMetric
+      // helper doesn't carry exemplars — wire bytes spliced directly)
+      import graft.http.ProtoWire.Writer
+      def kv(w: Writer, field: Int, k: String, v: String): Unit = {
+        val kw = new Writer; kw.string(1, k)
+        val av = new Writer; av.string(1, v); kw.message(2, av)
+        w.message(field, kw)
+      }
+      val pw = new Writer
+      pw.doubleBits(3, 10000L * 1000000L) // time_unix_nano
+      pw.double(4, 2.5)
+      val ew = new Writer
+      kv(ew, 7, "path", "/checkout")
+      ew.doubleBits(2, 9000L * 1000000L)
+      ew.double(3, 1.25)
+      ew.bytes(5, Array[Byte](0x0a, 0x0b)) // trace_id -> "0a0b"
+      ew.bytes(4, Array[Byte](0x01)) // span_id -> "01"
+      pw.message(5, ew)
+      val gw = new Writer; gw.message(1, pw)
+      val mw = new Writer
+      mw.string(1, "checkout_latency"); mw.message(5, gw)
+      val sm = new Writer; sm.message(2, mw)
+      val rm = new Writer; rm.message(2, sm)
+      val root = new Writer; root.message(1, rm)
+      val resp = HttpClient.newHttpClient().send(
+        HttpRequest.newBuilder(URI.create(
+          s"http://localhost:${api.boundPort}/api/v1/otlp/v1/metrics"))
+          .header("Content-Type", "application/x-protobuf")
+          .POST(HttpRequest.BodyPublishers.ofByteArray(root.toBytes)).build(),
+        HttpResponse.BodyHandlers.ofByteArray())
+      resp.statusCode() shouldEqual 200
+      val ex = HttpClient.newHttpClient().send(
+        HttpRequest.newBuilder(URI.create(
+          s"http://localhost:${api.boundPort}/api/v1/query_exemplars" +
+            "?query=checkout_latency&start=0&end=100")).GET().build(),
+        HttpResponse.BodyHandlers.ofString()).body()
+      ex should include(""""trace_id":"0a0b"""")
+      ex should include(""""span_id":"01"""")
+      ex should include(""""path":"/checkout"""")
+      ex should include(""""value":"1.25"""")
+    } finally api.stop()
+  }
 }
