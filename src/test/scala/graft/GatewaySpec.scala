@@ -423,4 +423,38 @@ class GatewaySpec extends AnyFunSuite with Matchers {
       } finally api.stop()
     } finally q.stop()
   }
+
+  test("staleMarkers synthesizes one __stale tombstone per series of a " +
+       "dead target's last scrape; committed through the canonical chain " +
+       "they cut the instant lookback") {
+    import spark.implicits._
+    import graft.promql.PromPlanner
+    val payload =
+      "up{target=\"a\"} 1 10000\nreqs{target=\"a\"} 7 10000\n" +
+        "reqs{target=\"a\"} 7 10000\n" // duplicate line: one marker, not two
+    val last = Gateway.promTextSamples(Seq(payload).toDF("body"), 10000L)
+    val markers = Gateway.staleMarkers(last, 20000L)
+    val rows = markers.collect()
+    rows.length shouldEqual 2 // one per SERIES, dup lines collapsed
+    rows.foreach { r =>
+      r.getAs[Boolean]("__stale") shouldEqual true
+      r.getAs[Double]("value").isNaN shouldEqual true
+      r.getAs[Long]("ts") shouldEqual 20000L
+    }
+    // through the canonical commit chain + the planner's cutoff
+    val dir = java.nio.file.Files.createTempDirectory("graft-stale-gw").toString
+    val cfg = graft.operators.Quota.QuotaConfig(Seq("metric"), Seq(1000L))
+    graft.streaming.Ingest.processCanonicalBatch(
+      last.drop("kind"), 0L, s"$dir/sink", s"$dir/index", s"$dir/reject", cfg)
+    graft.streaming.Ingest.processCanonicalBatch(
+      markers, 1L, s"$dir/sink", s"$dir/index", s"$dir/reject", cfg)
+    val sunk = spark.read.option("mergeSchema", "true").parquet(s"$dir/sink")
+    def names(at: Long): Set[String] =
+      PromPlanner.queryRange(
+        PromPlanner.Ctx(spark, sunk, at, at, 1000L, lookbackMs = 60000L),
+        """{target="a"}""")
+        .select(col("labels")("__name__")).collect().map(_.getString(0)).toSet
+    names(15000L) shouldEqual Set("up", "reqs")
+    names(25000L) shouldEqual Set.empty[String]
+  }
 }
