@@ -102,10 +102,19 @@ object Histograms {
       .otherwise(start1 + (end1 - start1) * frac)
   }
 
-  /** Fraction of observations in (lo, hi], interpolating within buckets. */
+  /** Fraction of observations in (lo, hi], interpolating within buckets.
+    * Edge contract per upstream histogramFraction: NaN bounds answer NaN;
+    * an empty/inverted interval answers 0; the interpolated CDF clamps
+    * into [0, total], so -Inf (or any bound below the first bucket's
+    * assumed 0 lower edge) reads 0 mass and +Inf reads all of it —
+    * without the clamp, interpolating toward -Inf diverges. */
   def fraction(lo: Double, hi: Double, le: Column, values: Column): Column = {
+    if (lo.isNaN || hi.isNaN) return lit(Double.NaN)
+    if (hi <= lo) return lit(0.0)
     val total = element_at(values, -1)
-    (cumAt(hi, le, values) - cumAt(lo, le, values)) / total
+    def cdf(x: Double): Column =
+      greatest(lit(0.0), least(cumAt(x, le, values), total))
+    (cdf(hi) - cdf(lo)) / total
   }
 
   /** Interpolated cumulative count at threshold x. */
