@@ -210,8 +210,15 @@ object RemoteRead {
     * `maxSamples` fails loudly — never truncates — if a caller points a
     * corpus-scale frame at it. Returns the number of samples shipped. */
   def remoteWrite(df: DataFrame, baseUrl: String, maxSamples: Long = 1000000L): Long = {
+    // staleness-marker tombstones forward as the StaleNaN wire bits, not
+    // as plain NaN samples — a downstream graft (or Prometheus) must see
+    // the marker semantics, and a plain NaN would merely be no-data to
+    // range vectors without cutting the instant lookback
+    val stale =
+      if (df.columns.contains("__stale")) coalesce(col("__stale"), lit(false))
+      else lit(false)
     val slim = df.select(col("metric"), col("tags"),
-      col("ts").cast("long"), col("value").cast("double"))
+      col("ts").cast("long"), col("value").cast("double"), stale.as("__st"))
     val rows = slim.limit((maxSamples + 1).min(Int.MaxValue).toInt).collect()
     if (rows.length > maxSamples)
       throw new IllegalStateException(
@@ -223,7 +230,8 @@ object RemoteRead {
       .map { case ((metric, tags), rs) =>
         ProtoWire.PSeries(
           (("__name__" -> metric) +: tags).sortBy(_._1),
-          rs.map(r => ProtoWire.PSample(r.getDouble(3), r.getLong(2)))
+          rs.map(r => ProtoWire.PSample(r.getDouble(3), r.getLong(2),
+              stale = r.getBoolean(4)))
             .sortBy(_.ts).toSeq)
       }
       .sortBy(_.labels.mkString)

@@ -1264,6 +1264,17 @@ class RemoteWriteSpec extends AnyFunSuite with Matchers {
       ds.length shouldEqual 1
       (ds.head.getDouble(0), ds.head.getDouble(1), ds.head.getDouble(2)) shouldEqual
         ((2.0, 2.0, 3.0))
+      // FORWARDING (federation data-ship): pushing the frame onward
+      // re-encodes the tombstone as the StaleNaN wire bits — a downstream
+      // store must get marker semantics, not a plain NaN sample
+      val dir2 = tmp("graft-stale-fwd")
+      val ws2 = PromApi.WriteSink(s"$dir2/sink", s"$dir2/index", s"$dir2/reject", cfg)
+      val api2 = new PromApi(spark, spark.range(0).toDF(), writeSink = Some(ws2)).start()
+      try {
+        RemoteRead.remoteWrite(sunk, s"http://localhost:${api2.boundPort}")
+        val fwd = spark.read.option("mergeSchema", "true").parquet(s"$dir2/sink")
+        fwd.filter(coalesce(col("__stale"), lit(false))).count() shouldEqual 1L
+      } finally api2.stop()
     } finally api.stop()
   }
 }
