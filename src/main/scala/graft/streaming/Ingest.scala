@@ -1263,9 +1263,21 @@ object Ingest {
       .option("subscribe", topic)
       .option("startingOffsets", startingOffsets)
       .load()
+    startIngest(decodeKafkaValueFrame(raw), sinkDir, checkpointDir)
+  }
+
+  /** The record decode of [[startKafkaIngest]], factored on the FRAME
+    * SHAPE Spark's kafka source emits (binary key/value plus topic/
+    * partition/offset/timestamp columns) so the whole decode chain is
+    * verifiable without a broker — the `.format(\"kafka\")` line above is
+    * the only piece a spec cannot drive in this container. One
+    * JSON-encoded events row per record value; a malformed value decodes
+    * to an all-null struct and is DROPPED here (null ts/event_type carry
+    * no series identity — sinking them would poison the dedup state). */
+  def decodeKafkaValueFrame(raw: DataFrame): DataFrame =
+    raw
       .select(from_json(col("value").cast("string"),
         org.apache.spark.sql.types.StructType.fromDDL(EventsSchema)).as("e"))
       .select("e.*")
-    startIngest(raw, sinkDir, checkpointDir)
-  }
+      .filter(col("ts").isNotNull && col("event_type").isNotNull)
 }

@@ -665,4 +665,34 @@ class StreamingSpec extends AnyFunSuite with Matchers {
       kept shouldEqual Set(1L)
     } finally q.stop()
   }
+
+  test("kafka-SHAPED frames run the full ingest chain (the decode seam of " +
+       "startKafkaIngest, drivable without a broker): JSON record values " +
+       "land as deduped events; malformed and identity-less records drop") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // the exact column set Spark's kafka source emits
+    val ms = MemoryStream[(Array[Byte], Array[Byte], String, Int, Long, Long)]
+    val raw = ms.toDF
+      .toDF("key", "value", "topic", "partition", "offset", "timestamp")
+    val dir = java.nio.file.Files.createTempDirectory("kafka_shape").toString
+    val q = Ingest.startIngest(Ingest.decodeKafkaValueFrame(raw),
+      s"$dir/sink", s"$dir/ckpt")
+    def rec(json: String) =
+      (Array.empty[Byte], json.getBytes("UTF-8"), "events", 0, 0L, 0L)
+    try {
+      ms.addData(
+        rec("""{"event_id":1,"ts":"2024-01-01T00:00:00","user_id":7,""" +
+          """"event_type":"view","value":1.5,"props":""}"""),
+        rec("""{"event_id":2,"ts":"2024-01-01T00:00:10","user_id":7,""" +
+          """"event_type":"view","value":2.5,"props":""}"""),
+        rec("this is not json"), // malformed -> dropped at decode
+        rec("""{"event_id":3}""")) // no ts/type: no series identity -> dropped
+      q.processAllAvailable()
+      val sunk = spark.read.parquet(s"$dir/sink")
+      sunk.count() shouldEqual 2L
+      sunk.select("metric", "value").collect()
+        .map(r => (r.getString(0), r.getDouble(1))).toSet shouldEqual
+        Set(("view", 1.5), ("view", 2.5))
+    } finally q.stop()
+  }
 }
