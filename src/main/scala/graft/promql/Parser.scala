@@ -150,7 +150,7 @@ object Parser {
     "hist_to_prom_vectors",
     // scalar / misc
     "absent", "vector", "scalar", "time", "sort", "sort_desc",
-    "sort_by_label", "sort_by_label_desc", "limit",
+    "sort_by_label", "sort_by_label_desc", "limit", "info",
     "label_replace", "label_join", "or_vector", "no_optimize",
     "optimize_with_agg", "_filodb_chunkmeta_all")
 
@@ -188,6 +188,7 @@ object Parser {
       "quantile_over_time" -> ("sm", 2),
       "last_over_time_is_mad_outlier" -> ("ssm", 3),
       "last" -> ("e", 1), "timestamp" -> ("e", 1),
+      "info" -> ("vv", 1),
       "round" -> ("vs", 1),
       "clamp" -> ("vss", 3), "clamp_max" -> ("vs", 2), "clamp_min" -> ("vs", 2),
       "histogram_quantile" -> ("sv", 2),

@@ -1228,6 +1228,52 @@ object PromPlanner {
         .orderBy(col("__sortv").asc, col("__key").asc, col("step_ts").asc)
         .drop("__sortv")
 
+    case "info" =>
+      // upstream promql-experimental info() (Prometheus 3.x): enrich
+      // every series of v with the DATA labels of the info series
+      // (default `target_info` — what the OTLP ingest path emits per
+      // resource) that shares its IDENTIFYING labels (job, instance) at
+      // that step; the info value (always 1) is discarded, v's value and
+      // metric name survive. The optional second argument is an instant
+      // series selector narrowing the info series (metric defaults to
+      // target_info). Series with no matching info row pass unchanged;
+      // existing labels take precedence over conflicting data labels.
+      // Determinism: should several info series share (job, instance) at
+      // a step, the lexicographically smallest data-label set wins
+      // (upstream's experimental build errors; a deterministic pick
+      // keeps the operator total — documented divergence).
+      val v = planVector(ctx, args.head)
+      val infoSel = args.drop(1).headOption match {
+        case None => Selector(Some("target_info"), Nil)
+        case Some(s: Selector) if s.windowMs.isEmpty && s.windowSteps.isEmpty =>
+          if (s.metric.isEmpty) s.copy(metric = Some("target_info")) else s
+        case Some(other) => throw new IllegalArgumentException(
+          "info: the second argument must be an instant series selector")
+      }
+      val dataLabels = map_filter(col("labels"), (k, _) =>
+        k =!= "__name__" && k =!= "job" && k =!= "instance")
+      val infoSlim = planVector(ctx, infoSel)
+        .select(col("step_ts").as("__ist"),
+          col("labels")("job").as("__ij"),
+          col("labels")("instance").as("__ii"),
+          to_json(array_sort(map_entries(dataLabels))).as("__dk"),
+          dataLabels.as("__data"))
+        .groupBy(col("__ist"), col("__ij"), col("__ii"))
+        .agg(min_by(col("__data"), col("__dk")).as("__data"))
+      val enriched = v
+        .join(infoSlim,
+          col("step_ts") === col("__ist") &&
+            col("labels")("job") <=> col("__ij") &&
+            col("labels")("instance") <=> col("__ii"),
+          "left")
+        .withColumn("labels",
+          when(col("__data").isNull, col("labels"))
+            .otherwise(map_concat(col("labels"),
+              map_filter(col("__data"),
+                (k, _) => !map_contains_key(col("labels"), k)))))
+        .drop("__ist", "__ij", "__ii", "__data")
+      finish(withKey(enriched))
+
     case "sort_by_label" | "sort_by_label_desc" =>
       // Label-value sort (upstream promql 3, experimental; no reference
       // counterpart): series ordered by the given labels' STRING values,

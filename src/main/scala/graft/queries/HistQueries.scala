@@ -572,6 +572,26 @@ object HistQueries {
         .orderBy("step_ts")
     }),
 
+    // info() over OTLP-produced target_info (upstream promql-experimental
+    // x OTLP resource attributes, end to end): daily purchase totals ride
+    // OTLP exports whose resource carries service.name/instance.id (->
+    // job/instance labels) plus deployment.environment (-> one
+    // target_info series per export); info(sum_over_time(...)) joins the
+    // data label back onto every step. One export per day so each step's
+    // lookback holds a target_info sample; a collector-retry replay must
+    // no-op. Oracle = DuckDB daily sums with the constant env column.
+    "q193_otlp_info_join" -> ((s, dir) => {
+      val sink = q193SinkCache.computeIfAbsent(dir, _ => buildQ193Sink(s, dir))
+      val sunk = s.read.option("mergeSchema", "true").parquet(sink)
+      val ctx = PromPlanner.Ctx(s, sunk, S + D1, TsTables.EventsEndMs, D1,
+        lookbackMs = D1)
+      PromPlanner.queryRange(ctx,
+        """info(sum_over_time(purchase{job="shop"}[1d]))""")
+        .select(col("labels")("deployment_environment").as("env"),
+          col("step_ts"), round(col("value"), 6).as("value"))
+        .orderBy("step_ts")
+    }),
+
     // SNAPSHOT end to end (upstream /api/v1/admin/tsdb/snapshot): daily
     // per-user sums remote-written, snapshotted over live HTTP, then user
     // 1 is delete_series'd AND physically purged from the LIVE store —
@@ -923,6 +943,16 @@ object HistQueries {
     // storage the q181 wire lands, so the mirror is identical
     "q191_otlp_ingest" -> classicHistRateQuantileSql,
 
+    // info() mirror: daily sums wearing the constant resource data label
+    "q193_otlp_info_join" ->
+      s"""WITH ev AS (SELECT (epoch_ns(ts)//1000000 - $S) // $D1 AS day, value
+                      FROM events WHERE event_type = 'purchase'),
+          daily AS (SELECT day, round(sum(value), 6) AS v FROM ev GROUP BY 1)
+          SELECT 'prod' AS env, $S + (day + 1) * $D1 AS step_ts, v AS value
+          FROM daily
+          WHERE $S + (day + 1) * $D1 BETWEEN ${S + D1} AND ${TsTables.EventsEndMs}
+          ORDER BY 2""",
+
     // snapshot mirror: the FULL pre-delete daily sums, user 1 included —
     // the live store lost user 1 to the purge (asserted in the fixture),
     // so a match proves the snapshot froze the point-in-time copy
@@ -1176,6 +1206,53 @@ object HistQueries {
         s.read.option("mergeSchema", "true").parquet(s"$base/sink")).start()
       Integer.valueOf(api.boundPort)
     }).intValue()
+
+  private val q193SinkCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** q193's fixture: one OTLP export per day (daily purchase total as a
+    * gauge point; the resource emits job/instance + the target_info data
+    * label), plus a collector-retry replay of the first export. */
+  private def buildQ193Sink(s: org.apache.spark.sql.SparkSession,
+                            dir: String): String = {
+    import graft.http.{OtlpWire, PromApi}
+    val base = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"), "q193_info").toString
+    new org.apache.hadoop.fs.Path(base).getFileSystem(
+      s.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(base), true)
+    val daily = TsTables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .withColumn("day", ((col("ts_ms") - S) / D1).cast("long"))
+      .groupBy(col("day")).agg(sum(col("value")).as("v"))
+      .orderBy(col("day"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val res = Seq("service.name" -> "shop", "service.instance.id" -> "i-1",
+      "deployment.environment" -> "prod")
+    val ws = PromApi.WriteSink(s"$base/sink", s"$base/index", s"$base/reject",
+      graft.operators.Quota.QuotaConfig(Seq("metric"), Seq(1000000L)))
+    val api = new PromApi(s, s.range(0).toDF(), writeSink = Some(ws),
+      hwmCompactEvery = 8).start()
+    try {
+      val url = s"http://localhost:${api.boundPort}/api/v1/otlp/v1/metrics"
+      def post(day: Long, v: Double): Unit = {
+        val body = OtlpWire.encodeExportRequest(res, Seq(
+          OtlpWire.EncMetric("purchase", kind = "gauge",
+            points = Seq((Nil, S + (day + 1) * D1, v, 0)))))
+        val resp = java.net.http.HttpClient.newHttpClient().send(
+          java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
+            .header("Content-Type", "application/x-protobuf")
+            .POST(java.net.http.HttpRequest.BodyPublishers.ofByteArray(body))
+            .build(),
+          java.net.http.HttpResponse.BodyHandlers.ofString())
+        require(resp.statusCode() == 200,
+          s"q193 OTLP POST failed: HTTP ${resp.statusCode()} ${resp.body()}")
+      }
+      daily.foreach { case (d, v) => post(d, v) }
+      post(daily.head._1, daily.head._2) // collector retry: hwm no-ops
+    } finally api.stop()
+    s"$base/sink"
+  }
 
   private val q192SnapCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()

@@ -579,6 +579,17 @@ class ParserGoldenSpec extends AnyFunSuite with Matchers {
       Parser.parse("label_replace(a, `b`, `cff`, `d`, `.*`)")
   }
 
+  test("info() parses with an optional selector argument; range vectors " +
+       "and strings reject (promql-experimental carry)") {
+    Parser.parse("info(m)") shouldEqual FuncCall("info", Seq(sel("m")))
+    Parser.parse("""info(m, {env="prod"})""") shouldEqual
+      FuncCall("info", Seq(sel("m"),
+        Selector(None, Seq(LabelMatcher("env", MatchOp.Eq, "prod")))))
+    an[IllegalArgumentException] should be thrownBy Parser.parse("info(m[5m])")
+    an[IllegalArgumentException] should be thrownBy Parser.parse("""info(m, "x")""")
+    an[IllegalArgumentException] should be thrownBy Parser.parse("info()")
+  }
+
   test("non-existent function name is a parse error (closed function set)") {
     an[IllegalArgumentException] should be thrownBy
       Parser.parse("non_existent_function_far_bar(m)")
