@@ -574,17 +574,19 @@ object HistQueries {
 
     // info() over OTLP-produced target_info (upstream promql-experimental
     // x OTLP resource attributes, end to end): daily purchase totals ride
-    // OTLP exports whose resource carries service.name/instance.id (->
-    // job/instance labels) plus deployment.environment (-> one
-    // target_info series per export); info(sum_over_time(...)) joins the
-    // data label back onto every step. One export per day so each step's
-    // lookback holds a target_info sample; a collector-retry replay must
-    // no-op. Oracle = DuckDB daily sums with the constant env column.
+    // two OTLP exports whose resource carries service.name/instance.id
+    // (-> job/instance labels) plus deployment.environment (-> a
+    // target_info series stamped per export; the first export holds only
+    // the FIRST day, so its target_info timestamp precedes every step and
+    // a whole-range lookback serves the join at each one);
+    // info(sum_over_time(...)) joins the data label back onto every step.
+    // A collector-retry replay must no-op. Oracle = DuckDB daily sums
+    // with the constant env column.
     "q193_otlp_info_join" -> ((s, dir) => {
       val sink = q193SinkCache.computeIfAbsent(dir, _ => buildQ193Sink(s, dir))
       val sunk = s.read.option("mergeSchema", "true").parquet(sink)
       val ctx = PromPlanner.Ctx(s, sunk, S + D1, TsTables.EventsEndMs, D1,
-        lookbackMs = D1)
+        lookbackMs = TsTables.EventsEndMs - S + D1)
       PromPlanner.queryRange(ctx,
         """info(sum_over_time(purchase{job="shop"}[1d]))""")
         .select(col("labels")("deployment_environment").as("env"),
@@ -1210,9 +1212,13 @@ object HistQueries {
   private val q193SinkCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  /** q193's fixture: one OTLP export per day (daily purchase total as a
-    * gauge point; the resource emits job/instance + the target_info data
-    * label), plus a collector-retry replay of the first export. */
+  /** q193's fixture: TWO OTLP exports — the first carries only the first
+    * day's gauge point (so its per-resource target_info lands at the
+    * earliest step), the second the remaining days — plus a
+    * collector-retry replay of the first (hwm must no-op both the sample
+    * and the target_info row). Two commits, not one per day: a Bench pass
+    * that builds the fixture must stay warm-repeatable (the q172
+    * lesson — a 30-commit seed recorded 47 s for a 0.3 s query). */
   private def buildQ193Sink(s: org.apache.spark.sql.SparkSession,
                             dir: String): String = {
     import graft.http.{OtlpWire, PromApi}
@@ -1235,10 +1241,11 @@ object HistQueries {
       hwmCompactEvery = 8).start()
     try {
       val url = s"http://localhost:${api.boundPort}/api/v1/otlp/v1/metrics"
-      def post(day: Long, v: Double): Unit = {
+      def post(days: Seq[(Long, Double)]): Unit = {
         val body = OtlpWire.encodeExportRequest(res, Seq(
           OtlpWire.EncMetric("purchase", kind = "gauge",
-            points = Seq((Nil, S + (day + 1) * D1, v, 0)))))
+            points = days.map { case (d, v) =>
+              (Seq.empty[(String, String)], S + (d + 1) * D1, v, 0) })))
         val resp = java.net.http.HttpClient.newHttpClient().send(
           java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
             .header("Content-Type", "application/x-protobuf")
@@ -1248,8 +1255,9 @@ object HistQueries {
         require(resp.statusCode() == 200,
           s"q193 OTLP POST failed: HTTP ${resp.statusCode()} ${resp.body()}")
       }
-      daily.foreach { case (d, v) => post(d, v) }
-      post(daily.head._1, daily.head._2) // collector retry: hwm no-ops
+      post(daily.take(1).toSeq)
+      post(daily.drop(1).toSeq)
+      post(daily.take(1).toSeq) // collector retry: hwm no-ops
     } finally api.stop()
     s"$base/sink"
   }
