@@ -32,6 +32,9 @@ object Cli {
           |       graft.Cli --delete-series <adminDir> <selector> [startSec endSec]
           |       graft.Cli --clean-tombstones <sinkDir> <adminDir>
           |       graft.Cli --snapshot <snapRoot> <name=dir> [name=dir ...]
+          |       graft.Cli --snapshots <snapRoot>
+          |       graft.Cli --restore <snapRoot> <id> <name=dir> [name=dir ...]
+          |       graft.Cli --snapshot-retain <snapRoot> <keep>
           |       graft.Cli --test <file.test>""".stripMargin)
       sys.exit(2)
     }
@@ -123,11 +126,37 @@ object Cli {
         require(args.length > 2,
           "--snapshot needs <snapRoot> <name=dir> [name=dir ...]")
         val stores = args.drop(2).toSeq.map { a =>
+          require(a.contains("="),
+            s"--snapshot stores must be name=dir (got '$a')")
           val Array(n, d) = a.split("=", 2)
           n -> d
         }
         val id = graft.operators.Snapshots.create(spark, args(1), stores)
         println(s"snapshot $id published under ${args(1)}")
+      case "--snapshots" =>
+        require(args.length > 1, "--snapshots needs <snapRoot>")
+        graft.operators.Snapshots.list(spark, args(1)).foreach(println)
+      case "--restore" =>
+        // snapshot lifecycle's read-back half: verify the _SUCCESS
+        // manifest, then hardlink-or-copy the named stores back out
+        // (refuses to overwrite an existing destination)
+        require(args.length > 3,
+          "--restore needs <snapRoot> <id> <name=dir> [name=dir ...]")
+        val stores = args.drop(3).toSeq.map { a =>
+          require(a.contains("="),
+            s"--restore stores must be name=dir (got '$a')")
+          val Array(n, d) = a.split("=", 2)
+          n -> d
+        }
+        val (linked, copied) = graft.operators.Snapshots.restore(
+          spark, args(1), args(2), stores)
+        println(s"restored ${args(2)}: linked=$linked copied=$copied")
+      case "--snapshot-retain" =>
+        require(args.length > 2, "--snapshot-retain needs <snapRoot> <keep>")
+        val dropped = graft.operators.Snapshots.retain(
+          spark, args(1), args(2).toInt)
+        println(s"retained newest ${args(2)}; deleted: " +
+          (if (dropped.isEmpty) "(none)" else dropped.mkString(", ")))
       case other =>
         System.err.println(s"unknown subcommand: $other"); sys.exit(2)
     } finally spark.stop()

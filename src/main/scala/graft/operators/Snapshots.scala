@@ -38,7 +38,10 @@ object Snapshots {
   private def excluded(name: String): Boolean =
     Excluded.contains(name) || name.startsWith("_tmp-") ||
       name.startsWith("_old-") || name.startsWith("_snapshots") ||
-      name == "snapshots"
+      name == "snapshots" ||
+      // Hadoop committer staging of an in-flight Spark write: invisible
+      // to readers, pure link/copy waste (and restore garbage) if kept
+      name == "_temporary"
 
   /** Create a snapshot of `stores` (name -> directory; missing dirs are
     * skipped) under `snapRoot`; returns the published snapshot id. */
@@ -47,14 +50,32 @@ object Snapshots {
     val fs = fsFor(spark, snapRoot)
     val root = new Path(snapRoot)
     fs.mkdirs(root)
-    // sweep staging leftovers of crashed attempts (never published ids)
-    fs.listStatus(root).map(_.getPath)
-      .filter(_.getName.startsWith("_tmp-"))
-      .foreach(fs.delete(_, true))
+    // sweep staging leftovers of crashed attempts (never published ids) —
+    // but only STALE ones: a concurrent creator (another server process or
+    // the CLI on the same snapRoot) may be mid-stage, and deleting its
+    // `_tmp-` dir would fail its publish rename. 15 min of no modification
+    // marks a true crash leftover.
+    val staleCutoff = System.currentTimeMillis() - 15 * 60000L
+    fs.listStatus(root)
+      .filter(st => st.getPath.getName.startsWith("_tmp-") &&
+        st.getModificationTime < staleCutoff)
+      .foreach(st => fs.delete(st.getPath, true))
     val stamp = new java.text.SimpleDateFormat("yyyyMMdd'T'HHmmss'Z'")
     stamp.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
-    val id = stamp.format(new java.util.Date()) + "-" +
+    def mkId() = stamp.format(new java.util.Date()) + "-" +
       java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    // ids must order lexicographically BY CREATION (list() and the
+    // retention sweep key on name order): two snapshots inside the same
+    // second would otherwise order by their random suffix. Bounded wait —
+    // a foreign dir with a FUTURE-dated name must not spin this forever,
+    // so past the bound the id is derived from the newest existing name.
+    val newest = list(spark, snapRoot).lastOption
+    var id = mkId()
+    var tries = 0
+    while (newest.exists(_ >= id) && tries < 30) {
+      Thread.sleep(50); id = mkId(); tries += 1
+    }
+    if (newest.exists(_ >= id)) id = newest.get + "-1"
     val tmp = new Path(root, s"_tmp-$id")
     var linked = 0L; var copied = 0L
     stores.foreach { case (name, dir) =>
@@ -115,6 +136,46 @@ object Snapshots {
         catch { case _: Exception => false }
       case _ => false
     }
+  }
+
+  /** Restore a published snapshot: verify its `_SUCCESS` manifest (a dir
+    * without one is a crashed attempt or foreign data — refuse), then
+    * link-or-copy each requested store back out. Destinations must NOT
+    * already exist: restore never overwrites a live store (for read-only
+    * use, point the engine at `<snapRoot>/<id>/<store>` directly — the
+    * frozen copy is a valid store as-is). Returns (linked, copied). */
+  def restore(spark: SparkSession, snapRoot: String, id: String,
+              stores: Seq[(String, String)]): (Long, Long) = {
+    val fs = fsFor(spark, snapRoot)
+    val snap = new Path(new Path(snapRoot), id)
+    require(fs.exists(new Path(snap, "_SUCCESS")),
+      s"snapshot '$id' has no _SUCCESS manifest under $snapRoot " +
+        "(crashed attempt or not a snapshot)")
+    var linked = 0L; var copied = 0L
+    stores.foreach { case (name, dest) =>
+      val src = new Path(snap, name)
+      require(fs.exists(src), s"snapshot '$id' carries no store '$name'")
+      val dstFs = fsFor(spark, dest)
+      val dst = new Path(dest)
+      require(!dstFs.exists(dst),
+        s"restore destination already exists, refusing to overwrite: $dest")
+      val (l, c) = snapshotTree(fs, src, dstFs, dst)
+      linked += l; copied += c
+    }
+    (linked, copied)
+  }
+
+  /** Retention sweep: delete all but the newest `keep` PUBLISHED
+    * snapshots. Hardlinked artifacts make this a metadata-cheap unlink —
+    * shared bytes are freed only once the live store stops referencing
+    * them too. Returns the deleted ids. */
+  def retain(spark: SparkSession, snapRoot: String, keep: Int): Seq[String] = {
+    require(keep >= 0, s"keep must be >= 0 (got $keep)")
+    val ids = list(spark, snapRoot) // newest LAST
+    val drop = ids.dropRight(keep)
+    val fs = fsFor(spark, snapRoot)
+    drop.foreach(id => fs.delete(new Path(new Path(snapRoot), id), true))
+    drop
   }
 
   /** Published snapshot ids, newest last (lexicographic = chronological

@@ -219,7 +219,10 @@ object Tombstones {
         throw new IllegalStateException(s"purge swap-in failed: $part")
       fs.delete(old, true)
     }
-    records.foreach(r => fs.delete(new Path(adminDir, r.file), false))
+    // tombstone files live in adminDir, which may be a different
+    // filesystem than the store — delete via its own FS handle
+    val adminFs = fsFor(spark, adminDir)
+    records.foreach(r => adminFs.delete(new Path(adminDir, r.file), false))
     affected.length
   }
 
@@ -264,7 +267,8 @@ object Tombstones {
         throw new IllegalStateException(s"purge swap-in failed: $part")
       fs.delete(old, true)
     }
-    records.foreach(r => fs.delete(new Path(adminDir, r.file), false))
+    val adminFs = fsFor(spark, adminDir)
+    records.foreach(r => adminFs.delete(new Path(adminDir, r.file), false))
     affected.length
   }
 
@@ -296,6 +300,15 @@ object Tombstones {
               fs.delete(tmp, true)
               fs.rename(old, part)
             }
+          }
+        // a crash BEFORE purgeTsLayout's first rename leaves a
+        // `_tmp-clean-<d>` with no `_old-clean-<d>` twin — the live
+        // partition is intact, the staging is pure garbage: sweep it
+        fs.listStatus(metricDir).map(_.getPath)
+          .filter(_.getName.startsWith("_tmp-clean-")).foreach { tmp =>
+            val d = tmp.getName.stripPrefix("_tmp-clean-")
+            if (!fs.exists(new Path(metricDir, s"_old-clean-$d")))
+              fs.delete(tmp, true)
           }
       }
   }

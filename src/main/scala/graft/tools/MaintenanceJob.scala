@@ -48,6 +48,7 @@ object MaintenanceJob {
           metadataDir: Option[String] = None,
           adminDir: Option[String] = None,
           retentionMs: Option[Long] = None,
+          snapshotKeep: Option[Int] = None,
           quarantineMaxAgeMs: Long = 24L * 3600 * 1000,
           lockStaleMs: Long = 3600L * 1000,
           nowMs: Long = System.currentTimeMillis()): Report = {
@@ -96,6 +97,19 @@ object MaintenanceJob {
           graft.operators.Tombstones.purge(spark, sinkDir, d)
         }
         case None => steps += "tombstone_purge" -> "skipped: no dir configured"
+      }
+      snapshotKeep match {
+        case Some(k) => step("snapshot_retention") {
+          // hardlinked snapshots unlink cheaply; runs under the same
+          // per-sink maintenance lock as every other fold, so it never
+          // races another instance's sweep (the API's own snapshot POST
+          // creates only, never deletes published ids)
+          val dropped = graft.operators.Snapshots.retain(
+            spark, graft.http.PromApi.snapshotRoot(sinkDir), k)
+          if (dropped.nonEmpty)
+            println(s"[maintenance] snapshot retention dropped: ${dropped.mkString(", ")}")
+        }
+        case None => steps += "snapshot_retention" -> "skipped: no keep count configured"
       }
       step("spool_quarantine_sweep") {
         sweepSuffixes(fs, s"$sinkDir/_spool",
@@ -152,7 +166,7 @@ object MaintenanceJob {
   def main(args: Array[String]): Unit = {
     require(args.length >= 2,
       "usage: MaintenanceJob <sinkDir> <indexDir> [--exemplars=d] " +
-        "[--metadata=d] [--admin=d] [--retention-ms=N] " +
+        "[--metadata=d] [--admin=d] [--retention-ms=N] [--snapshot-keep=N] " +
         "[--quarantine-age-ms=N] [--lock-stale-ms=N]")
     def opt(name: String): Option[String] =
       args.collectFirst { case a if a.startsWith(s"--$name=") =>
@@ -163,6 +177,7 @@ object MaintenanceJob {
       exemplarDir = opt("exemplars"), metadataDir = opt("metadata"),
       adminDir = opt("admin"),
       retentionMs = opt("retention-ms").map(_.toLong),
+      snapshotKeep = opt("snapshot-keep").map(_.toInt),
       quarantineMaxAgeMs = opt("quarantine-age-ms").map(_.toLong)
         .getOrElse(24L * 3600 * 1000),
       lockStaleMs = opt("lock-stale-ms").map(_.toLong).getOrElse(3600L * 1000))

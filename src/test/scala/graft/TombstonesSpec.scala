@@ -301,6 +301,10 @@ class TombstonesSpec extends AnyFunSuite with Matchers {
       new org.apache.hadoop.fs.Path(s"$m/_old-clean-2024-01-02"))
     Seq(("x", 1.0)).toDF("a", "b")
       .write.parquet(s"$m/_tmp-clean-2024-01-02") // has _SUCCESS
+    // a crash BEFORE the first rename: staged dir with NO _old- twin and a
+    // live partition still in place — pure garbage the repair must sweep
+    Seq(("y", 2.0)).toDF("a", "b")
+      .write.parquet(s"$m/_tmp-clean-2024-01-03")
     Tombstones.repairTsLayout(spark, store)
     files(s"$m/date=2024-01-02").nonEmpty shouldBe true
     files(m).count(_.startsWith("_")) shouldEqual 0
@@ -321,15 +325,26 @@ class TombstonesSpec extends AnyFunSuite with Matchers {
         ProtoWire.PSeries(Seq("__name__" -> "keeper"),
           Seq(ProtoWire.PSample(9.0, 1000L)))),
         s"http://localhost:${api.boundPort}")
-      // a crashed earlier attempt + transient claim state
+      // a crashed earlier attempt (AGED past the sweep grace) plus a FRESH
+      // staging dir (a concurrent creator mid-stage — must survive), plus
+      // transient claim state and a Spark committer staging dir
       val fs = new org.apache.hadoop.fs.Path(dir)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/snapshots/_tmp-dead"))
+      fs.setTimes(new org.apache.hadoop.fs.Path(s"$dir/snapshots/_tmp-dead"),
+        System.currentTimeMillis() - 3600000L, -1)
+      fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/snapshots/_tmp-live"))
+      fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/sink/_temporary"))
       val (code, body) = post(api.boundPort, "/api/v1/admin/tsdb/snapshot")
       code shouldEqual 200
       val name = """"name":"([^"]+)"""".r.findFirstMatchIn(body).get.group(1)
       fs.exists(new org.apache.hadoop.fs.Path(
         s"$dir/snapshots/_tmp-dead")) shouldBe false
+      fs.exists(new org.apache.hadoop.fs.Path(
+        s"$dir/snapshots/_tmp-live")) shouldBe true
+      // the Hadoop committer staging dir never rides a snapshot
+      fs.exists(new org.apache.hadoop.fs.Path(
+        s"$dir/snapshots/$name/sink/_temporary")) shouldBe false
       fs.exists(new org.apache.hadoop.fs.Path(
         s"$dir/snapshots/$name/_SUCCESS")) shouldBe true
       // _claims (batch-id coordination) must not ride the snapshot
@@ -347,6 +362,43 @@ class TombstonesSpec extends AnyFunSuite with Matchers {
         .filter(col("metric") === "gone").count() shouldEqual 3L
       // restore-readiness: the snapshot's index base answers too
       spark.read.parquet(s"$dir/snapshots/$name/index").count() should be >= 1L
+
+      // RESTORE: _SUCCESS-verified link-back into a fresh destination; the
+      // restored sink answers the full pre-delete history
+      val (l, c) = graft.operators.Snapshots.restore(spark,
+        s"$dir/snapshots", name, Seq("sink" -> s"$dir/restored-sink"))
+      (l + c) should be >= 1L
+      spark.read.parquet(s"$dir/restored-sink")
+        .filter(col("metric") === "gone").count() shouldEqual 3L
+      // refuses to overwrite an existing destination
+      an[IllegalArgumentException] should be thrownBy
+        graft.operators.Snapshots.restore(spark,
+          s"$dir/snapshots", name, Seq("sink" -> s"$dir/restored-sink"))
+      // refuses an id without a _SUCCESS manifest (PAST-dated name: a
+      // future-dated foreign dir would also stall create()'s monotonic-id
+      // wait at its bound)
+      fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/snapshots/19990101T000000Z-dead1234"))
+      an[IllegalArgumentException] should be thrownBy
+        graft.operators.Snapshots.restore(spark, s"$dir/snapshots",
+          "19990101T000000Z-dead1234", Seq("sink" -> s"$dir/other"))
+
+      // RETENTION: a second snapshot, then keep=1 drops only the older id
+      val (code2, body2) = post(api.boundPort, "/api/v1/admin/tsdb/snapshot")
+      code2 shouldEqual 200
+      val name2 = """"name":"([^"]+)"""".r.findFirstMatchIn(body2).get.group(1)
+      // the manifest-less foreign dir above is not "published" (no
+      // _SUCCESS)… but list() keys on naming only, so drop it first to
+      // keep the retention assertion exact
+      fs.delete(new org.apache.hadoop.fs.Path(
+        s"$dir/snapshots/19990101T000000Z-dead1234"), true)
+      graft.operators.Snapshots.retain(spark, s"$dir/snapshots", 1) shouldEqual
+        Seq(name)
+      graft.operators.Snapshots.list(spark, s"$dir/snapshots") shouldEqual
+        Seq(name2)
+      // the restored copy is hardlinked, not shared-fate: dropping the
+      // source snapshot must not lose its bytes
+      spark.read.parquet(s"$dir/restored-sink")
+        .filter(col("metric") === "gone").count() shouldEqual 3L
     } finally api.stop()
   }
 

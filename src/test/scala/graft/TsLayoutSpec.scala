@@ -423,7 +423,10 @@ class TsLayoutSpec extends AnyFunSuite with Matchers {
       "skipped: no dir configured"
     report.steps.toMap.apply("retention_drop") shouldEqual
       "skipped: no retention configured"
-    (report.steps.toMap - "tombstone_purge" - "retention_drop")
+    report.steps.toMap.apply("snapshot_retention") shouldEqual
+      "skipped: no keep count configured"
+    (report.steps.toMap - "tombstone_purge" - "retention_drop" -
+        "snapshot_retention")
       .values.toSet shouldEqual Set("ok")
     // the lock released on completion
     fs.exists(new org.apache.hadoop.fs.Path(s"$sink/_maintenance.lock")) shouldBe false
