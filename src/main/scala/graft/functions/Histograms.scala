@@ -224,12 +224,14 @@ object Histograms {
     * bucket-series PromQL path (histogram_quantile over
     * `sum by (le) (...)`) work over native-histogram storage, mirroring
     * the reference's query-time hist→prom-vector conversion. */
-  def bucketSeriesSamples(df: DataFrame): DataFrame =
-    df.select(col("metric"), col("tags"), col("ts"),
-        posexplode(arrays_zip(col("le"), col("values"))))
-      .select(col("metric"),
+  def bucketSeriesSamples(df: DataFrame,
+                          passthrough: Seq[String] = Nil): DataFrame =
+    df.select(Seq(col("metric"), col("tags"), col("ts")) ++
+        passthrough.map(col) :+
+        posexplode(arrays_zip(col("le"), col("values"))): _*)
+      .select(Seq(col("metric"),
         map_concat(col("tags"), map(lit("le"), col("col.le").cast("string"))).as("tags"),
-        col("ts"), col("col.values").as("value"))
+        col("ts"), col("col.values").as("value")) ++ passthrough.map(col): _*)
 
   /** Explode one histogram row into per-`le` bucket series rows
     * (hist_to_prom_vectors). */

@@ -344,19 +344,37 @@ object OtlpWire {
     n
   }
 
+  /** Upstream otlptranslator precedence: the promoted resource identity
+    * (`__name__`, `job`, `instance`) always wins over a datapoint
+    * attribute of the same (sanitized) name — a point attribute must not
+    * be able to respoof the series identity. Among the attributes
+    * themselves, last wins (sanitize collisions like `a.b` vs `a_b`
+    * dedup the same way upstream's label-map build does). */
   private def labelsOf(metric: String, jobInstance: Seq[(String, String)],
-                       attrs: Seq[(String, String)]): Seq[(String, String)] =
-    (("__name__" -> metric) +: (jobInstance ++
-      attrs.map { case (k, v) => sanitizeLabel(k) -> v }))
+                       attrs: Seq[(String, String)]): Seq[(String, String)] = {
+    val reserved = ("__name__" -> metric) +: jobInstance
+    val reservedKeys = reserved.map(_._1).toSet
+    reserved ++ attrs.map { case (k, v) => sanitizeLabel(k) -> v }
       .foldLeft(Vector.empty[(String, String)]) { (acc, kv) => // last wins
         acc.filterNot(_._1 == kv._1) :+ kv
-      }
+      }.filterNot(kv => reservedKeys.contains(kv._1))
+  }
 
   /** Decode + translate one OTLP export request body into the prompb
     * model the remote-write commit chain already speaks: (series,
     * per-family metadata). Throws IllegalArgumentException on payloads
-    * upstream rejects (delta sums/histograms, malformed wire). */
-  def decodeExportRequest(b: Array[Byte]): (Seq[PSeries], Seq[PMetaV2]) = {
+    * upstream rejects (delta sums/histograms, malformed wire).
+    *
+    * `acceptDelta` mirrors upstream's opt-in `otlp-deltatocumulative`
+    * feature: delta-temporality sums are accepted as the engine's NATIVE
+    * `series_type = "delta"` per-interval counters (no stateful
+    * delta→cumulative accumulation needed — the rate/increase planner
+    * dispatch already runs the delta kernel over them), and delta
+    * explicit-bound histograms as `prom_histogram_delta` bucket storage
+    * (each bucket series a delta counter). Default off = 400, exactly
+    * upstream without the flag. */
+  def decodeExportRequest(b: Array[Byte], acceptDelta: Boolean = false)
+      : (Seq[PSeries], Seq[PMetaV2]) = {
     val root = new Reader(b, 0, b.length)
     val series = Seq.newBuilder[PSeries]
     val metas = Seq.newBuilder[PMetaV2]
@@ -375,11 +393,17 @@ object OtlpWire {
           case (2, 2) => scopeReaders += rr.readMessage()
           case (_, wt) => rr.skip(wt)
         }
+        // upstream otlptranslator: job = "<service.namespace>/<service.name>"
+        // when the namespace is present, else just the name; the namespace
+        // is consumed into job, so it is excluded from target_info
+        val ns = resAttrs.collectFirst { case ("service.namespace", v) => v }
         val job = resAttrs.collectFirst { case ("service.name", v) => v }
+          .map(n => ns.fold(n)(_ + "/" + n))
         val instance = resAttrs.collectFirst { case ("service.instance.id", v) => v }
         val ji = job.map("job" -> _).toSeq ++ instance.map("instance" -> _).toSeq
         val rest = resAttrs.toSeq.filterNot(kv =>
-          kv._1 == "service.name" || kv._1 == "service.instance.id")
+          kv._1 == "service.name" || kv._1 == "service.instance.id" ||
+            (kv._1 == "service.namespace" && job.isDefined))
         val metrics = Seq.newBuilder[OMetric]
         scopeReaders.result().foreach { sr =>
           while (sr.hasNext) sr.readKey() match {
@@ -388,7 +412,7 @@ object OtlpWire {
           }
         }
         val ms = metrics.result()
-        series ++= translate(ms, ji, metas)
+        series ++= translate(ms, ji, metas, acceptDelta)
         // target_info: the remaining resource attributes, one gauge series
         // per resource, stamped at the resource's newest datapoint ts
         if (rest.nonEmpty) {
@@ -408,7 +432,8 @@ object OtlpWire {
   private val Delta = 1
 
   private def translate(ms: Seq[OMetric], ji: Seq[(String, String)],
-                        metas: scala.collection.mutable.Builder[PMetaV2, Seq[PMetaV2]])
+                        metas: scala.collection.mutable.Builder[PMetaV2, Seq[PMetaV2]],
+                        acceptDelta: Boolean)
       : Seq[PSeries] = {
     val out = Seq.newBuilder[PSeries]
     ms.foreach { m =>
@@ -419,24 +444,34 @@ object OtlpWire {
             if (m.description.isEmpty) null else m.description,
             if (m.unit.isEmpty) null else m.unit)
       def sampleSeries(metric: String, attrs: Seq[(String, String)],
-                       samples: Seq[PSample], exs: Seq[PExemplar] = Nil): Unit =
-        out += PSeries(labelsOf(metric, ji, attrs), samples, exemplars = exs)
+                       samples: Seq[PSample], exs: Seq[PExemplar] = Nil,
+                       seriesType: String = null): Unit =
+        out += PSeries(labelsOf(metric, ji, attrs), samples, exemplars = exs,
+          seriesType = seriesType)
       m.kind match {
         case "gauge" | "sum" =>
-          if (m.kind == "sum" && m.temporality == Delta)
+          val isDeltaSum = m.kind == "sum" && m.temporality == Delta
+          if (isDeltaSum && !acceptDelta)
             throw new IllegalArgumentException(
               s"OTLP delta-temporality sum '${m.name}' is not accepted " +
                 "(convert to cumulative in the collector, as for upstream " +
                 "Prometheus without otlp delta conversion)")
-          meta(if (m.kind == "gauge" || !m.monotonic) "gauge" else "counter")
+          // an accepted delta sum stores as the engine's native delta
+          // counter regardless of monotonicity — each value is the
+          // interval's increment, not a level, so "gauge" semantics would
+          // mis-answer every instant read
+          meta(if (isDeltaSum || (m.kind == "sum" && m.monotonic)) "counter"
+               else "gauge")
           m.points.groupBy(_.attrs).foreach { case (attrs, pts) =>
             sampleSeries(name, attrs,
               pts.map(p => PSample(if (p.stale) Double.NaN else p.value,
                 p.tsMs, stale = p.stale)),
-              pts.flatMap(_.exemplars))
+              pts.flatMap(_.exemplars),
+              seriesType = if (isDeltaSum) "delta" else null)
           }
         case "histogram" =>
-          if (m.temporality == Delta)
+          val isDeltaHist = m.temporality == Delta
+          if (isDeltaHist && !acceptDelta)
             throw new IllegalArgumentException(
               s"OTLP delta-temporality histogram '${m.name}' is not accepted")
           meta("histogram")
@@ -455,15 +490,17 @@ object OtlpWire {
             }
             if (hs.nonEmpty)
               out += PSeries(labelsOf(name, ji, attrs), Nil, histograms = hs,
-                exemplars = bucketed.flatMap(_.exemplars))
+                exemplars = bucketed.flatMap(_.exemplars),
+                seriesType = if (isDeltaHist) "prom_histogram_delta" else null)
             // a bucketless histogram still carries count/sum observations
             if (bare.nonEmpty) {
+              val st = if (isDeltaHist) "delta" else null
               sampleSeries(name + "_count", attrs,
-                bare.map(h => PSample(h.count, h.tsMs)))
+                bare.map(h => PSample(h.count, h.tsMs)), seriesType = st)
               val withSum = bare.filter(_.hasSum)
               if (withSum.nonEmpty)
                 sampleSeries(name + "_sum", attrs,
-                  withSum.map(h => PSample(h.sum, h.tsMs)))
+                  withSum.map(h => PSample(h.sum, h.tsMs)), seriesType = st)
             }
             if (stales.nonEmpty)
               sampleSeries(name, attrs,

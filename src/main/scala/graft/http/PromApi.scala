@@ -37,7 +37,16 @@ class PromApi(spark: SparkSession, samples: DataFrame, port: Int = 0,
               spoolTmpAbandonMs: Long = 30000L,
               metadataDir: Option[String] = None,
               exemplarSource: Option[String] = None,
-              adminDir: Option[String] = None) {
+              adminDir: Option[String] = None,
+              /** Opt-in OTLP delta-temporality ingest (upstream's
+                * `otlp-deltatocumulative` feature toggle): accepted delta
+                * sums land as `series_type = "delta"` per-interval counters
+                * (the engine's native delta schema — rate()/increase()
+                * already dispatch them to the delta kernel, so no stateful
+                * conversion is needed), delta explicit-bound histograms as
+                * `prom_histogram_delta` bucket storage. Off = 400, exactly
+                * upstream without the flag. */
+              otlpAcceptDelta: Boolean = false) {
 
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
 
@@ -474,6 +483,7 @@ class PromApi(spark: SparkSession, samples: DataFrame, port: Int = 0,
     server.createContext("/api/v1/label_cardinality", handler(labelCardinality))
     server.createContext("/api/v1/tscardinality", handler(tsCardinality))
     server.createContext("/api/v1/format_query", handler(formatQuery))
+    server.createContext("/api/v1/parse_query", handler(parseQuery))
     if (exemplarStore.isDefined)
       server.createContext("/api/v1/query_exemplars", handler(queryExemplars))
     if (metadataDir.isDefined)
@@ -654,12 +664,19 @@ class PromApi(spark: SparkSession, samples: DataFrame, port: Int = 0,
           "snapshot needs a writeSink-backed server (the stores to " +
             "snapshot live there; on a read-only API snapshot the store " +
             "out of band via graft.operators.Snapshots)"))
-        val id = graft.operators.Snapshots.create(spark,
+        // under commitLock: a snapshot concurrent with an in-flight write
+        // commit could otherwise capture the sink batch without its
+        // index/_hwm/_exp_state counterparts (commitWriteRequest publishes
+        // them sequentially) — a restored copy would then re-admit
+        // duplicates (hwm below sink contents) or mis-convert exp deltas.
+        // Also serializes two snapshot POSTs on this server so one
+        // attempt's staging sweep cannot delete the other's.
+        val id = commitLock.synchronized { graft.operators.Snapshots.create(spark,
           PromApi.snapshotRoot(ws.sinkDir),
           Seq("sink" -> ws.sinkDir, "index" -> ws.indexDir) ++
             ws.exemplarDir.map("exemplars" -> _) ++
             metadataDir.map("metadata" -> _) ++
-            adminDir.map("admin" -> _))
+            adminDir.map("admin" -> _)) }
         respondJson(ex, 200,
           s"""{"status":"success","data":{"name":${js(id)}}}""")
       } catch {
@@ -924,6 +941,18 @@ class PromApi(spark: SparkSession, samples: DataFrame, port: Int = 0,
     s"""{"status":"success","data":${js(printed)}}"""
   }
 
+  /** Prometheus 3.x `/api/v1/parse_query`: the parsed AST as JSON
+    * (upstream web/api/v1 translateAST shape — what Grafana and promtool
+    * probe; node-shape notes and documented divergences in
+    * [[graft.promql.AstJson]]). Parse failures answer the standard 400
+    * envelope with the parser's token-positioned message (upstream
+    * reports character positions; ours are token-indexed — pinned in
+    * PromApiSpec). */
+  private def parseQuery(p: Map[String, String]): String = {
+    val ast = graft.promql.Parser.parse(p("query"))
+    s"""{"status":"success","data":${graft.promql.AstJson.render(ast)}}"""
+  }
+
   /** `/api/v1/status/buildinfo` — Grafana health-checks this on datasource
     * setup; shape per the Prometheus API (our engine name/version). */
   private def buildInfo(p: Map[String, String]): String =
@@ -1094,20 +1123,33 @@ class PromApi(spark: SparkSession, samples: DataFrame, port: Int = 0,
         val isV2 = Option(ex.getRequestHeaders.getFirst("Content-Type"))
           .exists(_.contains("io.prometheus.write.v2.Request"))
         // DECODE phase (parallel across POSTs): a malformed payload is the
-        // client's fault — 400, which senders treat as non-retryable
+        // client's fault — 400, which senders treat as non-retryable.
+        // SPOOL mode never materializes series on the ack path: the
+        // structural walk ([[ProtoWire.countWriteRequest]]) validates the
+        // wire framing and yields the RW2 header counts at a fraction of
+        // full-decode cost (the ingest ladder's largest per-POST CPU term
+        // was this decode); the real decode runs ONCE, at drain, which
+        // quarantines the rare framing-ok-but-semantically-bad payload.
         val decoded =
           try Right {
             val body = org.xerial.snappy.Snappy.uncompress(ex.getRequestBody.readAllBytes())
-            if (isV2) {
+            if (spoolDrainMs > 0)
+              (body, null: Seq[ProtoWire.PSeries], Nil: Seq[ProtoWire.PMetaV2],
+                ProtoWire.countWriteRequest(body, isV2))
+            else if (isV2) {
               val (series, metas) = ProtoWire.decodeWriteRequestV2(body)
-              (body, series, metas)
-            } else (body, ProtoWire.decodeWriteRequest(body), Nil)
+              (body, series, metas,
+                (series.iterator.map(_.samples.size.toLong).sum,
+                 series.iterator.map(_.histograms.size.toLong).sum,
+                 series.iterator.map(_.exemplars.size.toLong).sum))
+            } else (body, ProtoWire.decodeWriteRequest(body),
+              Nil: Seq[ProtoWire.PMetaV2], (0L, 0L, 0L))
           } catch { case e: Exception => Left(e) }
         decoded match {
           case Left(e) =>
             respondJson(ex, 400,
               s"""{"status":"error","errorType":"bad_data","error":${js(e.getMessage)}}""")
-          case Right((body, series, metas)) =>
+          case Right((body, series, metas, counts)) =>
             // a failure past decode is OURS — 500, so a well-behaved
             // sender RETRIES instead of silently dropping data (round-9
             // advisor finding)
@@ -1132,12 +1174,9 @@ class PromApi(spark: SparkSession, samples: DataFrame, port: Int = 0,
                 // the accepted payload — in spool mode the commit is
                 // deferred, so these are accepted-for-write counts
                 val h = ex.getResponseHeaders
-                h.add("X-Prometheus-Remote-Write-Samples-Written",
-                  series.iterator.map(_.samples.size).sum.toString)
-                h.add("X-Prometheus-Remote-Write-Histograms-Written",
-                  series.iterator.map(_.histograms.size).sum.toString)
-                h.add("X-Prometheus-Remote-Write-Exemplars-Written",
-                  series.iterator.map(_.exemplars.size).sum.toString)
+                h.add("X-Prometheus-Remote-Write-Samples-Written", counts._1.toString)
+                h.add("X-Prometheus-Remote-Write-Histograms-Written", counts._2.toString)
+                h.add("X-Prometheus-Remote-Write-Exemplars-Written", counts._3.toString)
               }
               ex.sendResponseHeaders(204, -1)
             } catch {
@@ -1192,7 +1231,7 @@ class PromApi(spark: SparkSession, samples: DataFrame, port: Int = 0,
                   new java.util.zip.GZIPInputStream(
                     new java.io.ByteArrayInputStream(raw)).readAllBytes()
                 else raw
-              OtlpWire.decodeExportRequest(body)
+              OtlpWire.decodeExportRequest(body, acceptDelta = otlpAcceptDelta)
             } catch { case e: Exception => Left(e) }
           decoded match {
             case Left(e) =>
@@ -1259,12 +1298,18 @@ class PromApi(spark: SparkSession, samples: DataFrame, port: Int = 0,
     // single-pass plan shapes.
     val anyStale = series.exists(s =>
       s.samples.exists(_.stale) || s.histograms.exists(_.stale))
+    // series_type override (OTLP delta opt-in): added ONLY when a series
+    // in this commit actually carries one — untyped sinks keep their
+    // exact schema and plan shapes
+    val anyTyped = series.exists(s =>
+      s.seriesType != null && s.seriesType != "prom_histogram_delta")
     val plainRows = series.flatMap { s =>
+      val st = if (s.seriesType == "prom_histogram_delta") null else s.seriesType
       val (metric, tags) = nameAndTags(s)
       s.samples.map(p =>
-        (metric, tags, p.ts, if (p.stale) Double.NaN else p.value, p.stale)) ++
+        (metric, tags, p.ts, if (p.stale) Double.NaN else p.value, p.stale, st)) ++
         s.histograms.filter(_.stale).map(h =>
-          (metric, tags, h.ts, Double.NaN, true))
+          (metric, tags, h.ts, Double.NaN, true, st))
     }
     val histRows = series.flatMap { s =>
       val (metric, tags) = nameAndTags(s)
@@ -1293,6 +1338,12 @@ class PromApi(spark: SparkSession, samples: DataFrame, port: Int = 0,
     // rate() over a gauge histogram is undefined upstream.
     val nhcbRows = series.flatMap { s =>
       val (metric, tags) = nameAndTags(s)
+      // per-interval (OTLP delta opt-in) NHCB payloads store the same
+      // cumulate-ACROSS-le shape — temporality is over time, not across
+      // buckets — typed prom_histogram_delta so the planner's bridge
+      // routes each bucket series to the delta rate kernel
+      val st = if (s.seriesType == "prom_histogram_delta") s.seriesType
+               else "prom_histogram"
       s.histograms.filter(h => !h.stale && h.customValues.nonEmpty).map { h =>
         val le = h.customValues :+ Double.PositiveInfinity
         val perBucket = Array.fill(le.length)(0.0)
@@ -1303,30 +1354,44 @@ class PromApi(spark: SparkSession, samples: DataFrame, port: Int = 0,
         cum(cum.length - 1) = math.max(h.count, cum(cum.length - 1))
         // the wire's sum field rides along (hist_sum): histogram_sum/avg
         // cannot be derived from bucket counts
-        (metric, tags, h.ts, le, cum.toSeq, h.sum, "prom_histogram")
+        (metric, tags, h.ts, le, cum.toSeq, h.sum, st)
       }
     }
     def plainDF = {
-      val df = plainRows.toDF("metric", "tags", "ts", "value", "__stale")
-      if (anyStale) df else df.drop("__stale")
+      var df = plainRows.toDF("metric", "tags", "ts", "value", "__stale",
+        "series_type")
+      if (!anyStale) df = df.drop("__stale")
+      if (!anyTyped) df = df.drop("series_type")
+      df
+    }
+    // null-pad a column only when absent — `withColumn` would overwrite a
+    // series_type the delta opt-in just set on the plain frame
+    def ensure(df: DataFrame, name: String, typ: String): DataFrame =
+      if (df.columns.contains(name)) df
+      else df.withColumn(name, lit(null).cast(typ))
+    def ensureExp(df: DataFrame): DataFrame = {
+      var d = df
+      d = ensure(d, "exp_scale", "int")
+      d = ensure(d, "exp_offset", "int")
+      d = ensure(d, "exp_counts", "array<double>")
+      d = ensure(d, "exp_zero_count", "double")
+      d = ensure(d, "exp_zero_threshold", "double")
+      d = ensure(d, "exp_sum", "double")
+      ensure(d, "__reset_hint", "int")
+    }
+    def ensureNhcb(df: DataFrame): DataFrame = {
+      var d = df
+      d = ensure(d, "le", "array<double>")
+      d = ensure(d, "values", "array<double>")
+      d = ensure(d, "hist_sum", "double")
+      ensure(d, "series_type", "string")
     }
     val canonical =
       if (histRows.isEmpty && nhcbRows.isEmpty) plainDF
       else {
         var plain = plainDF
-        if (histRows.nonEmpty) plain = plain
-          .withColumn("exp_scale", lit(null).cast("int"))
-          .withColumn("exp_offset", lit(null).cast("int"))
-          .withColumn("exp_counts", lit(null).cast("array<double>"))
-          .withColumn("exp_zero_count", lit(null).cast("double"))
-          .withColumn("exp_zero_threshold", lit(null).cast("double"))
-          .withColumn("exp_sum", lit(null).cast("double"))
-          .withColumn("__reset_hint", lit(null).cast("int"))
-        if (nhcbRows.nonEmpty) plain = plain
-          .withColumn("le", lit(null).cast("array<double>"))
-          .withColumn("values", lit(null).cast("array<double>"))
-          .withColumn("hist_sum", lit(null).cast("double"))
-          .withColumn("series_type", lit(null).cast("string"))
+        if (histRows.nonEmpty) plain = ensureExp(plain)
+        if (nhcbRows.nonEmpty || anyTyped) plain = ensureNhcb(plain)
         var out = plain
         if (histRows.nonEmpty) {
           var hist = histRows.toDF("metric", "tags", "ts", "exp_scale",
@@ -1335,26 +1400,14 @@ class PromApi(spark: SparkSession, samples: DataFrame, port: Int = 0,
             .withColumn("value", lit(null).cast("double"))
           if (anyStale) hist = hist.withColumn("__stale", lit(false))
           val padded =
-            if (nhcbRows.isEmpty) hist
-            else hist
-              .withColumn("le", lit(null).cast("array<double>"))
-              .withColumn("values", lit(null).cast("array<double>"))
-              .withColumn("hist_sum", lit(null).cast("double"))
-              .withColumn("series_type", lit(null).cast("string"))
+            if (nhcbRows.isEmpty && !anyTyped) hist else ensureNhcb(hist)
           out = out.unionByName(padded.select(out.columns.map(col): _*))
         }
         if (nhcbRows.nonEmpty) {
           var nhcb = nhcbRows.toDF("metric", "tags", "ts", "le", "values",
               "hist_sum", "series_type")
             .withColumn("value", lit(null).cast("double"))
-          if (histRows.nonEmpty) nhcb = nhcb
-            .withColumn("exp_scale", lit(null).cast("int"))
-            .withColumn("exp_offset", lit(null).cast("int"))
-            .withColumn("exp_counts", lit(null).cast("array<double>"))
-            .withColumn("exp_zero_count", lit(null).cast("double"))
-            .withColumn("exp_zero_threshold", lit(null).cast("double"))
-            .withColumn("exp_sum", lit(null).cast("double"))
-            .withColumn("__reset_hint", lit(null).cast("int"))
+          if (histRows.nonEmpty) nhcb = ensureExp(nhcb)
           if (anyStale) nhcb = nhcb.withColumn("__stale", lit(false))
           out = out.unionByName(nhcb.select(out.columns.map(col): _*))
         }

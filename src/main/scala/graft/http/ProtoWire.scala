@@ -221,9 +221,15 @@ object ProtoWire {
                         customValues: Seq[Double] = Nil,
                         stale: Boolean = false)
 
+  /** `seriesType` is a STORAGE schema override, not a wire field: null =
+    * default (plain samples store as cumulative counters, NHCB histograms
+    * as `prom_histogram`); "delta" marks per-interval counter samples and
+    * "prom_histogram_delta" per-interval NHCB bucket payloads — both set
+    * only by the OTLP delta-temporality opt-in ([[OtlpWire]]). */
   case class PSeries(labels: Seq[(String, String)], samples: Seq[PSample],
                      histograms: Seq[PHistogram] = Nil,
-                     exemplars: Seq[PExemplar] = Nil)
+                     exemplars: Seq[PExemplar] = Nil,
+                     seriesType: String = null)
 
   def encodeReadRequest(req: PReadRequest): Array[Byte] = {
     val w = new Writer
@@ -555,6 +561,41 @@ object ProtoWire {
       case (_, wt) => r.skip(wt)
     }
     series.result()
+  }
+
+  /** Structural WALK of a WriteRequest (v1 or v2) without materializing
+    * anything: descends every submessage and validates all wire framing
+    * (keys, lengths, varints — the same errors the full decoder throws),
+    * returning just the (samples, histograms, exemplars) counts the RW2
+    * response headers need. This is the spool-mode ack path's
+    * malformed-payload check at a fraction of full-decode cost — no label
+    * tuples, no sample objects, zero allocation per row; the REAL decode
+    * runs once, at drain time (which quarantines the rare payload whose
+    * framing is fine but whose semantics are not, e.g. an out-of-range
+    * v2 symbol ref, to `.bad` instead of wedging the drain). */
+  def countWriteRequest(b: Array[Byte], isV2: Boolean): (Long, Long, Long) = {
+    val tsField = if (isV2) 5 else 1
+    val histField = if (isV2) 3 else 4
+    val exField = if (isV2) 4 else 3
+    // one-level field skim: every key parses and every field body skips
+    // by its wire type — validates THIS message's framing without
+    // descending into string bytes (strings are not protobuf)
+    def skim(m: Reader): Unit =
+      while (m.hasNext) { val (_, wt) = m.readKey(); m.skip(wt) }
+    var samples = 0L; var hists = 0L; var exemplars = 0L
+    val r = new Reader(b, 0, b.length)
+    while (r.hasNext) r.readKey() match {
+      case (f, 2) if f == tsField =>
+        val tr = r.readMessage()
+        while (tr.hasNext) tr.readKey() match {
+          case (2, 2) => samples += 1; skim(tr.readMessage())
+          case (f2, 2) if f2 == histField => hists += 1; skim(tr.readMessage())
+          case (f2, 2) if f2 == exField => exemplars += 1; skim(tr.readMessage())
+          case (_, wt) => tr.skip(wt) // labels / metadata: length-skip
+        }
+      case (_, wt) => r.skip(wt) // v2 symbols etc.
+    }
+    (samples, hists, exemplars)
   }
 
   // ===== remote-write 2.0 (io.prometheus.write.v2.Request) ==================

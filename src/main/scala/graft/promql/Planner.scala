@@ -437,17 +437,32 @@ object PromPlanner {
   private def bridgeHistCols(df: DataFrame): DataFrame = {
     if (!df.columns.contains("le") || !df.columns.contains("values")) df
     else {
-      // pushable branch predicates, as in bridgeExpHist
+      // pushable branch predicates, as in bridgeExpHist.
+      // prom_histogram_delta (the OTLP delta opt-in) is the same bucket
+      // storage with per-interval-over-time values: bridged identically,
+      // but its bucket series keep series_type = "delta" so the
+      // rate/increase dispatch routes them to the delta kernel.
+      val hasType = df.columns.contains("series_type")
       val (isPlain, isHist) =
-        if (df.columns.contains("series_type"))
-          (col("series_type").isNull || col("series_type") =!= "prom_histogram",
-           col("series_type") === "prom_histogram")
+        if (hasType)
+          (col("series_type").isNull ||
+             (col("series_type") =!= "prom_histogram" &&
+              col("series_type") =!= "prom_histogram_delta"),
+           col("series_type") === "prom_histogram" ||
+             col("series_type") === "prom_histogram_delta")
         else (col("le").isNull || col("values").isNull,
               col("le").isNotNull && col("values").isNotNull)
       val keep = df.columns.filterNot(Set("le", "values").contains)
       val plain = df.filter(isPlain).select(keep.map(col): _*)
-      val buckets = graft.functions.Histograms.bucketSeriesSamples(
-        df.filter(isHist))
+      val histSrc = df.filter(isHist)
+      val buckets =
+        if (hasType)
+          graft.functions.Histograms.bucketSeriesSamples(
+            histSrc.withColumn("series_type",
+              when(col("series_type") === "prom_histogram_delta", lit("delta"))
+                .otherwise(lit(null).cast("string"))),
+            passthrough = Seq("series_type"))
+        else graft.functions.Histograms.bucketSeriesSamples(histSrc)
       val padded = keep.foldLeft(buckets) { (b, c) =>
         if (b.columns.contains(c)) b
         else b.withColumn(c, lit(null).cast(df.schema(c).dataType))
@@ -869,7 +884,9 @@ object PromPlanner {
             // their bridged per-le bucket series are per-interval counts,
             // so they route to the delta kernel, not the extrapolating one.
             val isDelta =
-              col("series_type") === "delta" || col("series_type") === "otel_exp_histogram"
+              col("series_type") === "delta" ||
+                col("series_type") === "otel_exp_histogram" ||
+                col("series_type") === "prom_histogram_delta"
             val cum = periodicFrom(ctx,
               selectorSamplesFrom(baseDf.filter(
                 col("series_type").isNull || !isDelta), sel2),

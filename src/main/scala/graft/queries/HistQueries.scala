@@ -610,6 +610,28 @@ object HistQueries {
         .select(col("labels")("user").as("user"), col("step_ts"),
           round(col("value"), 6).as("value"))
         .orderBy("step_ts", "user")
+    }),
+
+    // OTLP DELTA temporality behind the opt-in flag (upstream's
+    // otlp-deltatocumulative analogue): daily per-user purchase sums
+    // arrive as DELTA monotonic-sum points — each sample is that day's
+    // increment, the wire shape real collector pipelines emit — through a
+    // flag-enabled server (the default server answers 400). They land as
+    // the engine's native series_type="delta" counters, a collector-retry
+    // replay must no-op at the hwm (a re-added delta would DOUBLE-COUNT,
+    // the failure mode cumulative ingest never has), and
+    // increase(purchase_total[1d]) at daily steps recovers exactly the
+    // per-day sums — hash-matching the DuckDB cumulative mirror computed
+    // straight from events.
+    "q194_otlp_delta_ingest" -> ((s, dir) => {
+      val sink = q194SinkCache.computeIfAbsent(dir, _ => buildQ194Sink(s, dir))
+      val sunk = s.read.option("mergeSchema", "true").parquet(sink)
+      val ctx = PromPlanner.Ctx(s, sunk, S + D1, TsTables.EventsEndMs, D1)
+      PromPlanner.queryRange(ctx,
+        """increase(purchase_total{user=~"1|2|3"}[1d])""")
+        .select(col("labels")("user").as("user"), col("step_ts"),
+          round(col("value"), 6).as("value"))
+        .orderBy("step_ts", "user")
     })
   )
 
@@ -955,6 +977,22 @@ object HistQueries {
           WHERE $S + (day + 1) * $D1 BETWEEN ${S + D1} AND ${TsTables.EventsEndMs}
           ORDER BY 2""",
 
+    // delta-ingest mirror: increase() over per-interval delta samples at
+    // daily steps recovers exactly the per-day sums, so the mirror is the
+    // cumulative daily aggregation computed straight from events — a
+    // hash match proves the delta wire, the typed storage, the hwm
+    // replay no-op AND the delta rate kernel end to end
+    "q194_otlp_delta_ingest" ->
+      s"""WITH ev AS (SELECT CAST(user_id AS VARCHAR) AS u,
+                        (epoch_ns(ts)//1000000 - $S) // $D1 AS day, value
+                      FROM events WHERE event_type = 'purchase'),
+          daily AS (SELECT u, day, round(sum(value), 6) AS v FROM ev
+                    WHERE u IN ('1','2','3') GROUP BY 1, 2)
+          SELECT u AS "user", $S + (day + 1) * $D1 AS step_ts, v AS value
+          FROM daily
+          WHERE $S + (day + 1) * $D1 BETWEEN ${S + D1} AND ${TsTables.EventsEndMs}
+          ORDER BY 2, 1""",
+
     // snapshot mirror: the FULL pre-delete daily sums, user 1 included —
     // the live store lost user 1 to the purge (asserted in the fixture),
     // so a match proves the snapshot froze the point-in-time copy
@@ -1085,6 +1123,29 @@ object HistQueries {
     * iterates an unsorted Map, so entries must not order-depend;
     * whichever of q174/q175 runs first builds, and Bench's repeat passes
     * time the QUERY, not a server re-seed (was 8.7 s/entry). */
+  /** Pre-builds every session-cached HTTP/sink fixture in this file so a
+    * benchmark's timed passes measure the QUERY against a warm fixture,
+    * never the fixture's own construction (r14: q181's cold five-chunk
+    * remote-write build — live HTTP server, spool, claim ledger, hwm
+    * compaction — was recorded as a 94.8 s single-pass query time under
+    * contention). Idempotent: the caches are per-(session, sfDir), so a
+    * later Verify/Bench call reuses the same sinks/ports either way. */
+  def seedBenchFixtures(s: org.apache.spark.sql.SparkSession,
+                        dir: String): Unit = {
+    q172SinkCache.computeIfAbsent(dir, _ => buildQ172Sink(s, dir))
+    q181SinkCache.computeIfAbsent(dir, _ => buildQ181Sink(s, dir))
+    q191SinkCache.computeIfAbsent(dir, _ => buildQ191Sink(s, dir))
+    q193SinkCache.computeIfAbsent(dir, _ => buildQ193Sink(s, dir))
+    q194SinkCache.computeIfAbsent(dir, _ => buildQ194Sink(s, dir))
+    q192SnapCache.computeIfAbsent(dir, _ => buildQ192Snapshot(s, dir))
+    nhSinkCache.computeIfAbsent(dir, _ => buildNativeHistSink(s, dir))
+    exemplarFixture(s, dir)
+    deleteFixture(s, dir)
+    staleFixture(s, dir)
+    tsdbFixture(s, dir)
+    metadataFixture(s, dir)
+  }
+
   private val nhSinkCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -1258,6 +1319,60 @@ object HistQueries {
       post(daily.take(1).toSeq)
       post(daily.drop(1).toSeq)
       post(daily.take(1).toSeq) // collector retry: hwm no-ops
+    } finally api.stop()
+    s"$base/sink"
+  }
+
+  private val q194SinkCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** q194's fixture: daily per-user purchase sums POSTed as OTLP DELTA
+    * monotonic-sum exports (temporality=1) to a server started with
+    * `otlpAcceptDelta = true` — two exports (first day, rest) plus a
+    * collector-retry replay of the first that the high-water marks must
+    * no-op (a re-admitted delta double-counts; cumulative ingest never
+    * has that failure mode, so this replay IS the delta contract). */
+  private def buildQ194Sink(s: org.apache.spark.sql.SparkSession,
+                            dir: String): String = {
+    import graft.http.{OtlpWire, PromApi}
+    val base = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"), "q194_delta").toString
+    new org.apache.hadoop.fs.Path(base).getFileSystem(
+      s.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(base), true)
+    val daily = TsTables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .withColumn("u", col("user_id").cast("string"))
+      .filter(col("u").isin("1", "2", "3"))
+      .withColumn("day", ((col("ts_ms") - S) / D1).cast("long"))
+      .groupBy(col("u"), col("day")).agg(sum(col("value")).as("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(t => (t._2, t._1))
+    val ws = PromApi.WriteSink(s"$base/sink", s"$base/index", s"$base/reject",
+      graft.operators.Quota.QuotaConfig(Seq("metric"), Seq(1000000L)))
+    val api = new PromApi(s, s.range(0).toDF(), writeSink = Some(ws),
+      hwmCompactEvery = 8, otlpAcceptDelta = true).start()
+    try {
+      val url = s"http://localhost:${api.boundPort}/api/v1/otlp/v1/metrics"
+      def post(rows: Seq[(String, Long, Double)]): Unit = {
+        val body = OtlpWire.encodeExportRequest(Nil, Seq(
+          OtlpWire.EncMetric("purchase", kind = "sum", monotonic = true,
+            temporality = 1,
+            points = rows.map { case (u, d, v) =>
+              (Seq("user" -> u), S + (d + 1) * D1, v, 0) })))
+        val resp = java.net.http.HttpClient.newHttpClient().send(
+          java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
+            .header("Content-Type", "application/x-protobuf")
+            .POST(java.net.http.HttpRequest.BodyPublishers.ofByteArray(body))
+            .build(),
+          java.net.http.HttpResponse.BodyHandlers.ofString())
+        require(resp.statusCode() == 200,
+          s"q194 OTLP delta POST failed: HTTP ${resp.statusCode()} ${resp.body()}")
+      }
+      val (first, rest) = daily.partition(_._2 == daily.head._2)
+      post(first.toSeq)
+      post(rest.toSeq)
+      post(first.toSeq) // collector retry: hwm must no-op (else double-count)
     } finally api.stop()
     s"$base/sink"
   }

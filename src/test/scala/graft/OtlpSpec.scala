@@ -173,6 +173,95 @@ class OtlpSpec extends AnyFunSuite with Matchers {
     } finally api.stop()
   }
 
+  test("job promotion: service.namespace folds into job as namespace/name " +
+       "and is consumed from target_info; datapoint attributes cannot " +
+       "respoof job/instance/__name__") {
+    val nsRes = Seq("service.namespace" -> "team1", "service.name" -> "shop",
+      "service.instance.id" -> "i-1", "zone" -> "z1")
+    val (series, _) = OtlpWire.decodeExportRequest(
+      OtlpWire.encodeExportRequest(nsRes, Seq(
+        OtlpWire.EncMetric("cpu", kind = "gauge",
+          points = Seq((Seq("job" -> "evil", "instance" -> "evil",
+            "__name__" -> "evil", "core" -> "0"), 10000L, 1.5, 0))))))
+    val byName = series.map(s =>
+      s.labels.collectFirst { case ("__name__", v) => v }.get -> s).toMap
+    byName.keySet shouldEqual Set("cpu", "target_info")
+    val g = byName("cpu").labels.toMap
+    g("job") shouldEqual "team1/shop"
+    g("instance") shouldEqual "i-1"
+    g("core") shouldEqual "0"
+    val ti = byName("target_info").labels.toMap
+    ti("job") shouldEqual "team1/shop"
+    ti should contain ("zone" -> "z1")
+    ti.keySet should not contain "service_namespace"
+  }
+
+  test("delta opt-in (otlp-deltatocumulative analogue): delta sums land as " +
+       "series_type=delta per-interval counters — increase() sums them, an " +
+       "instant read answers the latest interval — and delta explicit-bound " +
+       "histograms as prom_histogram_delta whose bucket series rate with " +
+       "the delta kernel; default stays 400") {
+    // decode-level: the flag flips rejection into typed series
+    val deltaSum = OtlpWire.encodeExportRequest(res, Seq(OtlpWire.EncMetric(
+      "req", kind = "sum", monotonic = true, temporality = 1,
+      points = Seq((Nil, 10000L, 5.0, 0), (Nil, 20000L, 3.0, 0),
+        (Nil, 30000L, 4.0, 0)))))
+    an[IllegalArgumentException] should be thrownBy
+      OtlpWire.decodeExportRequest(deltaSum)
+    val (ds, dmetas) = OtlpWire.decodeExportRequest(deltaSum, acceptDelta = true)
+    val reqS = ds.find(_.labels.toMap.apply("__name__") == "req_total").get
+    reqS.seriesType shouldEqual "delta"
+    dmetas.find(_.metric == "req_total").get.typ shouldEqual "counter"
+    val deltaHist = OtlpWire.encodeExportRequest(res, Seq(OtlpWire.EncMetric(
+      "lat", unit = "s", kind = "histogram", temporality = 1,
+      histPoints = Seq(
+        (Nil, 10000L, 3.0, 1.2, Seq(0.1, 0.5), Seq(1.0, 1.0, 1.0)),
+        (Nil, 20000L, 6.0, 2.4, Seq(0.1, 0.5), Seq(1.0, 2.0, 3.0))))))
+    val (hs, _) = OtlpWire.decodeExportRequest(deltaHist, acceptDelta = true)
+    hs.find(_.histograms.nonEmpty).get.seriesType shouldEqual
+      "prom_histogram_delta"
+
+    // end to end: a flag-enabled server commits both and PromQL answers
+    val dir = tmp("graft-otlp-delta")
+    val ws = PromApi.WriteSink(s"$dir/sink", s"$dir/index", s"$dir/reject", cfg)
+    val api = new PromApi(spark, spark.range(0).toDF(), writeSink = Some(ws),
+      otlpAcceptDelta = true).start()
+    try {
+      val url = s"http://localhost:${api.boundPort}/api/v1/otlp/v1/metrics"
+      def post(body: Array[Byte]): Int =
+        HttpClient.newHttpClient().send(
+          HttpRequest.newBuilder(URI.create(url))
+            .header("Content-Type", "application/x-protobuf")
+            .POST(HttpRequest.BodyPublishers.ofByteArray(body)).build(),
+          HttpResponse.BodyHandlers.ofByteArray()).statusCode()
+      post(deltaSum) shouldEqual 200
+      post(deltaHist) shouldEqual 200
+      val sunk = spark.read.option("mergeSchema", "true").parquet(s"$dir/sink")
+      sunk.filter(col("metric") === "req_total")
+        .select("series_type").distinct().collect()
+        .map(_.getString(0)).toSeq shouldEqual Seq("delta")
+      sunk.filter(col("metric") === "lat_seconds" && col("le").isNotNull)
+        .select("series_type").distinct().collect()
+        .map(_.getString(0)).toSeq shouldEqual Seq("prom_histogram_delta")
+      def one(q: String, at: Long): Double =
+        PromPlanner.queryRange(
+          PromPlanner.Ctx(spark, sunk, at, at, 1000L, lookbackMs = 25000L), q)
+          .select("value").head().getDouble(0)
+      // increase over delta = plain sum of the interval samples in window
+      one("increase(req_total[25s])", 30000L) shouldEqual 12.0 +- 1e-9
+      // instant read of a delta counter answers the latest interval value
+      one("req_total", 30000L) shouldEqual 4.0 +- 1e-9
+      // delta NHCB buckets rate with the delta kernel: over (10s, 30s] the
+      // le=0.5 bucket series sums 2+5=7 of 20 s -> 0.35/s; q50 of the rate
+      // distribution interpolates inside (0.1, 0.5]
+      val q50 = one("histogram_quantile(0.5, rate(lat_seconds[20s]))", 30000L)
+      // per-interval counts: bucket1 (<=0.1) 1+1=2, bucket2 (<=0.5) 2+5=7,
+      // +Inf 3+9... cumulative-across-le sums: rank 0.5*total
+      q50 should be > 0.1
+      q50 should be <= 0.5
+    } finally api.stop()
+  }
+
   test("OTLP exemplars land in the side table with trace_id/span_id hex " +
        "labels and answer /api/v1/query_exemplars") {
     val dir = tmp("graft-otlp-ex")

@@ -194,6 +194,52 @@ class PromApiSpec extends AnyFunSuite with Matchers {
     } finally api.stop()
   }
 
+  test("parse_query returns the upstream-3.x JSON AST shape (translate_ast " +
+       "node types, seconds-valued durations, matchers list); parse " +
+       "failures answer the error envelope with the token position") {
+    val samples = TsTables.eventsAsSamples(spark, "/root/testdata/sf0.001")
+    val api = new PromApi(spark, samples).start()
+    try {
+      val port = api.boundPort
+      def pq(q: String) = get(port,
+        s"/api/v1/parse_query?query=${java.net.URLEncoder.encode(q, "UTF-8")}")
+      // golden: the full vectorSelector object
+      pq("up") shouldEqual
+        """{"status":"success","data":{"type":"vectorSelector","name":"up",""" +
+        """"offset":0,"timestamp":null,"startOrEnd":null,""" +
+        """"matchers":[{"name":"__name__","type":"=","value":"up"}]}}"""
+      // aggregation > call > matrixSelector with range/offset in seconds
+      val agg = pq("""sum by (user) (rate(purchase{job="shop"}[5m] offset 1m))""")
+      agg should include(""""type":"aggregation","op":"sum"""")
+      agg should include(""""grouping":["user"],"without":false""")
+      agg should include(""""type":"call","func":{"name":"rate"}""")
+      agg should include(""""type":"matrixSelector","name":"purchase","range":300,"offset":60""")
+      agg should include("""{"name":"job","type":"=","value":"shop"}""")
+      // binary with vector matching: card + on + include
+      val bin = pq("a / on (user) group_left (env) b")
+      bin should include(""""type":"binaryExpr","op":"/"""")
+      bin should include(""""card":"many-to-one","labels":["user"],"on":true,"include":["env"]""")
+      // subquery with @ end(): startOrEnd resolves the sentinel
+      val sub = pq("avg_over_time(m[1h:5m] @ end())")
+      sub should include(""""type":"subquery"""")
+      sub should include(""""range":3600,"step":300""")
+      sub should include(""""startOrEnd":"end"""")
+      // literals; bool modifier
+      pq("1 > bool 2") should include(
+        """"lhs":{"type":"numberLiteral","val":"1"}""")
+      pq("1 > bool 2") should include(""""bool":true""")
+      pq("""label_replace(up, "a", "$1", "b", "(.*)")""") should include(
+        """{"type":"stringLiteral","val":"$1"}""")
+      // regex matcher type
+      pq("""purchase{user=~"1|2"}""") should include(
+        """{"name":"user","type":"=~","value":"1|2"}""")
+      // errors: the standard envelope with the parser's token position
+      val err = pq("sum(")
+      err should include(""""status":"error"""")
+      err should include("parse error at token")
+    } finally api.stop()
+  }
+
   test("HTTP federation read stitches a remote cluster into local evaluation") {
     import org.apache.spark.sql.functions.col
     import graft.http.RemoteRead
