@@ -534,4 +534,101 @@ object Gateway {
       .withColumn("ts", lit(atMs))
       .withColumn("value", lit(Double.NaN))
       .withColumn("__stale", lit(true))
+
+  /** One scrape-decoded sample row tagged with its TARGET (the scrape
+    * loop's unit of tracking — instance URL, or any stable target key). */
+  case class ScrapeRow(target: String, series_id: Long, metric: String,
+                       tags: Map[String, String], ts: Long, value: Double)
+
+  /** A synthesized staleness tombstone in the canonical marker shape
+    * ([[graft.streaming.Ingest.processCanonicalBatch]] stores it like a
+    * remote-written StaleNaN row). */
+  case class StaleMarkerRow(series_id: Long, metric: String,
+                            tags: Map[String, String], ts: Long,
+                            value: Double, __stale: Boolean)
+
+  /** Per-target state: the series the last successful scrape exposed and
+    * that scrape's timestamp. (package-visible: object-private case
+    * classes break the generated deserializer — Janino cannot access a
+    * JVM-private member from the codegen'd projection class) */
+  private[streaming] case class TargetState(
+    series: Map[Long, (String, Map[String, String])], lastTs: Long)
+
+  /** [[ScrapeRow]] plus its event-time column — the watermark column must
+    * SURVIVE into the grouped Dataset for EventTimeTimeout (dropping it
+    * after withWatermark fails analysis; same pattern as
+    * [[Ingest]]'s timed canonical rows). */
+  private[streaming] case class TimedScrape(target: String, series_id: Long,
+                                            metric: String,
+                                            tags: Map[String, String],
+                                            ts: Long, value: Double,
+                                            et: java.sql.Timestamp)
+
+  /** STREAMING staleness synthesis for a scrape stream — both upstream
+    * scrape-loop cases, as one stateful operator
+    * (`flatMapGroupsWithState`, event-time timeout):
+    *
+    *  - SERIES DISAPPEARED from a live target: a series the target's
+    *    previous scrape exposed but the current one doesn't gets a marker
+    *    stamped at the current scrape's timestamp (upstream stamps the
+    *    scrape that first missed it);
+    *  - TARGET VANISHED (dropped from discovery / stopped answering): when
+    *    no scrape arrives for `staleAfterMs` past the last one — measured
+    *    on EVENT time via the stream's watermark, so replays are
+    *    deterministic — every remembered series gets a marker stamped
+    *    `lastTs + staleAfterMs`, and the target's state is dropped.
+    *
+    * Returns ONLY the synthesized marker rows; union them with the sample
+    * stream into the sink (markers are data rows, so the quota/dedup/sink
+    * chain applies unchanged). State is one small map per live target —
+    * at 1000 targets x 10k series this is tens of MB across the cluster,
+    * partitioned by target, and each micro-batch touches only targets
+    * with new scrapes plus expired timers. */
+  def scrapeStaleMarkers(decoded: Dataset[ScrapeRow], staleAfterMs: Long,
+                         watermarkDelay: String = "0 seconds")
+      : Dataset[StaleMarkerRow] = {
+    import decoded.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val withWm = decoded
+      .withColumn("et", timestamp_millis(col("ts")))
+      .withWatermark("et", watermarkDelay)
+      .as[TimedScrape]
+    withWm.groupByKey(_.target)
+      .flatMapGroupsWithState[TargetState, StaleMarkerRow](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_, rows: Iterator[TimedScrape], state: GroupState[TargetState]) =>
+          if (state.hasTimedOut) {
+            // target vanished: one marker per remembered series
+            val st = state.get
+            val at = st.lastTs + staleAfterMs
+            state.remove()
+            st.series.iterator.map { case (sid, (m, tags)) =>
+              StaleMarkerRow(sid, m, tags, at, Double.NaN, __stale = true)
+            }
+          } else {
+            // scrapes arrive possibly several per micro-batch: compare
+            // consecutive scrape snapshots in timestamp order
+            val scrapes = rows.toSeq.groupBy(_.ts).toSeq.sortBy(_._1)
+            val out = Seq.newBuilder[StaleMarkerRow]
+            var prev = state.getOption.map(_.series)
+            scrapes.foreach { case (ts, rs) =>
+              val cur = rs.map(r => r.series_id -> ((r.metric, r.tags))).toMap
+              prev.foreach { p =>
+                (p.keySet -- cur.keySet).foreach { sid =>
+                  val (m, tags) = p(sid)
+                  out += StaleMarkerRow(sid, m, tags, ts, Double.NaN,
+                    __stale = true)
+                }
+              }
+              prev = Some(cur)
+            }
+            val lastTs = scrapes.last._1
+            state.update(TargetState(prev.get, lastTs))
+            // the event-time timer must sit past the current watermark
+            state.setTimeoutTimestamp(math.max(lastTs + staleAfterMs,
+              state.getCurrentWatermarkMs() + 1))
+            out.result().iterator
+          }
+      }
+  }
 }

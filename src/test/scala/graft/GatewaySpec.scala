@@ -163,6 +163,43 @@ class GatewaySpec extends AnyFunSuite with Matchers {
     } finally q.stop()
   }
 
+  test("scrape-stream staleness synthesis: a series missing from the next " +
+       "scrape markers at that scrape's ts; a VANISHED target's series " +
+       "marker at lastTs + staleAfter when the event-time watermark passes " +
+       "its timer") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[Gateway.ScrapeRow]
+    val q = Gateway.scrapeStaleMarkers(ms.toDS(), staleAfterMs = 15000L)
+      .writeStream.format("memory").queryName("scrape_stale")
+      .outputMode("append").start()
+    try {
+      def row(t: String, sid: Long, user: String, ts: Long) =
+        Gateway.ScrapeRow(t, sid, "m", Map("user" -> user), ts, 1.0)
+      ms.addData(row("t1", 1, "a", 10000L), row("t1", 2, "b", 10000L),
+        row("t2", 3, "c", 10000L))
+      q.processAllAvailable()
+      spark.table("scrape_stale").count() shouldEqual 0 // first scrapes: no prior
+      // t1's next scrape misses series b -> marker stamped at THAT scrape
+      ms.addData(row("t1", 1, "a", 20000L), row("t2", 3, "c", 20000L))
+      q.processAllAvailable()
+      // t2 keeps scraping; t1 never answers again. The 40000 batch lifts
+      // the watermark past t1's 35000 timer; the NEXT batch fires it.
+      ms.addData(row("t2", 3, "c", 40000L))
+      q.processAllAvailable()
+      ms.addData(row("t2", 3, "c", 50000L))
+      q.processAllAvailable()
+      val got = spark.table("scrape_stale")
+        .select("series_id", "ts", "__stale").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+      got shouldEqual Set((2L, 20000L, true), (1L, 35000L, true))
+      spark.table("scrape_stale").select("value").collect()
+        .foreach(_.getDouble(0).isNaN shouldEqual true)
+      // tags survive into the canonical marker shape
+      spark.table("scrape_stale").filter(col("series_id") === 2L)
+        .select(col("tags")("user")).head().getString(0) shouldEqual "b"
+    } finally q.stop()
+  }
+
   test("wire lines → quota ingest → PromQL: the full gateway-to-query chain") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import graft.streaming.Ingest
