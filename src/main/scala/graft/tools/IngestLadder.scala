@@ -31,6 +31,12 @@ object IngestLadder {
 
   def main(args: Array[String]): Unit = {
     val windowSec = if (args.nonEmpty) args(0).toInt else 6
+    // rungs + drain caps as args so the drain-throughput experiment can
+    // vary the group-commit window without a rebuild:
+    //   runMain graft.tools.IngestLadder 6 1,8 2048
+    val rungs = if (args.length > 1) args(1).split(",").map(_.toInt).toSeq
+                else Seq(1, 2, 4, 8, 16)
+    val drainMaxFiles = if (args.length > 2) args(2).toInt else 256
     val spark = GraftSession.builder("local[8]", "8").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -70,12 +76,14 @@ object IngestLadder {
     }
 
     // ---- sender ladder ------------------------------------------------
-    val results = Seq(1, 2, 4, 8, 16).map { senders =>
+    val results = rungs.map { senders =>
       val dir = java.nio.file.Files.createTempDirectory(s"graft-ladder-$senders").toString
       val ws = PromApi.WriteSink(s"$dir/sink", s"$dir/index", s"$dir/reject",
         Quota.QuotaConfig(Seq("metric"), Seq(10000000L)))
       val api = new PromApi(spark, spark.range(0).toDF(), writeSink = Some(ws),
         spoolDrainMs = 100L, hwmCompactEvery = 8,
+        spoolDrainMaxFiles = drainMaxFiles,
+        spoolDrainMaxBytes = drainMaxFiles.toLong * 1L << 20,
         httpThreads = senders + 4, maxInFlightWrites = senders).start()
       try {
         val url = java.net.URI.create(s"http://localhost:${api.boundPort}/api/v1/write")
@@ -109,10 +117,26 @@ object IngestLadder {
         val sec = (System.nanoTime() - w0) / 1e9
         stop.set(true)
         threads.foreach(_.join(3000))
+        // DRAIN throughput: the sustained end-to-end (committed-to-sink)
+        // floor — acks are durability acks, the group-commit drain is
+        // what must keep up long-run. Measured over the backlog actually
+        // left at window end (the 100 ms drainer consumed some already).
+        val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        val backlog = (try fs.listStatus(
+            new org.apache.hadoop.fs.Path(s"$dir/sink/_spool"))
+          .count(st => st.getPath.getName.endsWith(".wr") ||
+            st.getPath.getName.endsWith(".wr2"))
+          catch { case _: Exception => 0 }).toLong * samplesPerPost
+        val d0 = System.nanoTime()
         api.drainSpool()
+        val drainSec = (System.nanoTime() - d0) / 1e9
         val rate = got / sec
+        val drainRate = backlog / math.max(drainSec, 1e-9)
         println(f"[ladder] senders=$senders%2d acked=${rate}%,.0f samples/s " +
-          f"(${rate / samplesPerPost}%.0f POSTs/s)")
+          f"(${rate / samplesPerPost}%.0f POSTs/s); drain backlog " +
+          f"${backlog}%,d samples in ${drainSec}%.1f s = " +
+          f"${drainRate}%,.0f samples/s committed (maxFiles=$drainMaxFiles)")
         senders -> rate
       } finally api.stop()
     }
