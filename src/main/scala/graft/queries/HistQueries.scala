@@ -612,6 +612,24 @@ object HistQueries {
         .orderBy("step_ts", "user")
     }),
 
+    // SNAPSHOT RESTORE end to end: the q192 snapshot (taken BEFORE user 1
+    // was purged from the live store) restored into a fresh directory via
+    // Snapshots.restore — _SUCCESS-manifest-verified hardlink-back — must
+    // answer the full pre-delete history for every user, byte-identical
+    // to querying the snapshot in place. Oracle = the q192 mirror (full
+    // daily sums, user 1 included).
+    "q195_snapshot_restore" -> ((s, dir) => {
+      val restored = q195RestoreCache.computeIfAbsent(dir, _ =>
+        buildQ195Restore(s, dir))
+      val sunk = s.read.option("mergeSchema", "true").parquet(restored)
+      val ctx = PromPlanner.Ctx(s, sunk, S + D1, TsTables.EventsEndMs, D1)
+      PromPlanner.queryRange(ctx,
+        """sum by (user) (sum_over_time(purchase{user=~"1|2|3"}[1d]))""")
+        .select(col("labels")("user").as("user"), col("step_ts"),
+          round(col("value"), 6).as("value"))
+        .orderBy("step_ts", "user")
+    }),
+
     // OTLP DELTA temporality behind the opt-in flag (upstream's
     // otlp-deltatocumulative analogue): daily per-user purchase sums
     // arrive as DELTA monotonic-sum points — each sample is that day's
@@ -993,6 +1011,19 @@ object HistQueries {
           WHERE $S + (day + 1) * $D1 BETWEEN ${S + D1} AND ${TsTables.EventsEndMs}
           ORDER BY 2, 1""",
 
+    // restore mirror: identical to the q192 snapshot mirror — the
+    // restored copy must answer exactly what the in-place snapshot does
+    "q195_snapshot_restore" ->
+      s"""WITH ev AS (SELECT CAST(user_id AS VARCHAR) AS u,
+                        (epoch_ns(ts)//1000000 - $S) // $D1 AS day, value
+                      FROM events WHERE event_type = 'purchase'),
+          daily AS (SELECT u, day, round(sum(value), 6) AS v FROM ev
+                    WHERE u IN ('1','2','3') GROUP BY 1, 2)
+          SELECT u AS "user", $S + (day + 1) * $D1 AS step_ts, v AS value
+          FROM daily
+          WHERE $S + (day + 1) * $D1 BETWEEN ${S + D1} AND ${TsTables.EventsEndMs}
+          ORDER BY 2, 1""",
+
     // snapshot mirror: the FULL pre-delete daily sums, user 1 included —
     // the live store lost user 1 to the purge (asserted in the fixture),
     // so a match proves the snapshot froze the point-in-time copy
@@ -1138,6 +1169,7 @@ object HistQueries {
     q193SinkCache.computeIfAbsent(dir, _ => buildQ193Sink(s, dir))
     q194SinkCache.computeIfAbsent(dir, _ => buildQ194Sink(s, dir))
     q192SnapCache.computeIfAbsent(dir, _ => buildQ192Snapshot(s, dir))
+    q195RestoreCache.computeIfAbsent(dir, _ => buildQ195Restore(s, dir))
     nhSinkCache.computeIfAbsent(dir, _ => buildNativeHistSink(s, dir))
     exemplarFixture(s, dir)
     deleteFixture(s, dir)
@@ -1375,6 +1407,26 @@ object HistQueries {
       post(first.toSeq) // collector retry: hwm must no-op (else double-count)
     } finally api.stop()
     s"$base/sink"
+  }
+
+  private val q195RestoreCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** q195's fixture: restore the q192 snapshot's sink into a fresh
+    * directory (the CLI `--restore` path: manifest check + hardlink-back). */
+  private def buildQ195Restore(s: org.apache.spark.sql.SparkSession,
+                               dir: String): String = {
+    val snapSink = q192SnapCache.computeIfAbsent(dir, _ => buildQ192Snapshot(s, dir))
+    val sinkPath = new org.apache.hadoop.fs.Path(snapSink) // .../snapshots/<id>/sink
+    val id = sinkPath.getParent.getName
+    val snapRoot = sinkPath.getParent.getParent.toString
+    val dest = new org.apache.hadoop.fs.Path(
+      sinkPath.getParent.getParent.getParent, "q195_restored_sink").toString
+    new org.apache.hadoop.fs.Path(dest).getFileSystem(
+      s.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(dest), true)
+    graft.operators.Snapshots.restore(s, snapRoot, id, Seq("sink" -> dest))
+    dest
   }
 
   private val q192SnapCache =
