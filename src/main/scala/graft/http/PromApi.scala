@@ -410,6 +410,11 @@ class PromApi(spark: SparkSession, samples: DataFrame, port: Int = 0,
         }
         if (files.isEmpty) 0
         else {
+          // opt-in phase timing (SPARK_GRAFT_DRAIN_TIMING=1): where a
+          // drain micro-batch spends its time — read+decode vs the Spark
+          // commit chain — feeding the ingest ladder's floor analysis
+          val timing = sys.env.get("SPARK_GRAFT_DRAIN_TIMING").contains("1")
+          val t0 = System.nanoTime()
           val metas = Seq.newBuilder[ProtoWire.PMetaV2]
           val series = files.flatMap { case (_, p) =>
             val in = fs.open(p)
@@ -430,6 +435,7 @@ class PromApi(spark: SparkSession, samples: DataFrame, port: Int = 0,
                 Nil
             }
           }
+          val tDecode = System.nanoTime()
           val batchId = files.last._1
           def committed(dir: String) = fs.exists(
             new org.apache.hadoop.fs.Path(s"$dir/batch_id=$batchId/_SUCCESS"))
@@ -452,7 +458,12 @@ class PromApi(spark: SparkSession, samples: DataFrame, port: Int = 0,
             appendExemplars(ws, series, batchId)
           } else commitWriteRequest(ws, series, batchId)
           upsertMetas(metas.result()) // idempotent; once per micro-batch
+          val tCommit = System.nanoTime()
           files.foreach { case (_, p) => fs.delete(p, false) }
+          if (timing) System.err.println(
+            f"[drain] files=${files.length} samples=${series.iterator.map(_.samples.size).sum} " +
+              f"decode=${(tDecode - t0) / 1e9}%.2fs commit=${(tCommit - tDecode) / 1e9}%.2fs " +
+              f"cleanup=${(System.nanoTime() - tCommit) / 1e9}%.2fs")
           files.length
         }
       }

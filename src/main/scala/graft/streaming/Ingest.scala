@@ -158,11 +158,17 @@ object Ingest {
     val spark = df0.sparkSession
     val missingKey = cfg.shardKey
       .map(l => graft.operators.Quota.keyExpr(df0, l).isNull).reduce(_ || _)
-    val df = df0.filter(!missingKey).persist()
+    // persist the INPUT, not the filtered side: the missing-key rejects
+    // branch below otherwise recomputes the whole upstream chain (batch
+    // LocalRelation serialization, in-batch dedup groupBy, hwm anti-join,
+    // exp conversion) a second time per commit — measured ~2x drain cost
+    // on the r15 ingest ladder
+    val all = df0.persist()
+    val df = all.filter(!missingKey)
     val kCols = cfg.shardKey.indices.map(i => s"__k$i")
     // reject_depth = 0: shard key incomplete (no depth ever admitted it)
     val missingRejects = graft.operators.Quota
-      .withShardKey(df0.filter(missingKey), cfg)
+      .withShardKey(all.filter(missingKey), cfg)
       .select(kCols.map(col): _*).distinct()
       .withColumn("reject_depth", lit(0))
       .withColumn("quota", lit(null).cast("long"))
@@ -185,7 +191,7 @@ object Ingest {
         admitted.select(col("metric"), col("tags"), col("ts"), col("series_id")))
       .write.mode("overwrite").partitionBy("metric")
       .parquet(s"$indexDir/batch_id=$batchId")
-    verdicts.unpersist(); df.unpersist()
+    verdicts.unpersist(); all.unpersist()
     ()
   }
 
