@@ -116,6 +116,22 @@ class PromApi(spark: SparkSession, samples: DataFrame, port: Int = 0,
   /** PromQL instant + range queries served (the /metrics counter). */
   private val queriesServed = new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** Spool files quarantined to `.bad` at drain (acked payloads whose
+    * full decode failed) since start — acked-then-dropped data MUST be
+    * operator-visible (r15 advisor finding): the `.bad` files themselves
+    * are also gauged from the listing, and MaintenanceJob can age them
+    * out (`spool_quarantine_retention`). */
+  private val spoolQuarantined = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Last drain micro-batch's committed sample count / commit-phase nanos
+    * — the sustained committed-ingest rate the bench line reports. */
+  private val lastDrainSamples = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val lastDrainNanos = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** (samples, commitNanos) of the most recent drain micro-batch. */
+  def lastDrainStats: (Long, Long) =
+    (lastDrainSamples.get(), lastDrainNanos.get())
+
   /** Local batch-id counter — a STARTING GUESS only; the claim protocol
     * below is what makes ids collision-free across racing instances. */
   private lazy val writeBatchId = new java.util.concurrent.atomic.AtomicLong(
@@ -415,31 +431,40 @@ class PromApi(spark: SparkSession, samples: DataFrame, port: Int = 0,
           // commit chain — feeding the ingest ladder's floor analysis
           val timing = sys.env.get("SPARK_GRAFT_DRAIN_TIMING").contains("1")
           val t0 = System.nanoTime()
-          val metas = Seq.newBuilder[ProtoWire.PMetaV2]
-          val series = files.flatMap { case (_, p) =>
-            val in = fs.open(p)
-            val body = try in.readAllBytes() finally in.close()
-            // a corrupt spool file (torn write that still got renamed —
-            // cannot happen under the tmp+rename protocol, but disks lie):
-            // quarantine it rather than wedging the drain loop forever
-            scala.util.Try {
-              if (p.getName.endsWith(".wr2")) {
-                val (s, m) = ProtoWire.decodeWriteRequestV2(body)
-                metas ++= m
-                s
-              } else ProtoWire.decodeWriteRequest(body)
-            } match {
-              case scala.util.Success(s) => s
-              case scala.util.Failure(_) =>
+          // EXECUTOR-SIDE decode: the window reads as a `binaryFile`
+          // frame and the wire codec (pure over Array[Byte]) runs in a
+          // flatMap where the tasks run — the driver sees only per-file
+          // outcome headers, window flags, and the tiny v2 metadata rows,
+          // never the batch itself (the r15 LocalRelation hop was the
+          // last named driver-side scale bottleneck). Cached: the window
+          // feeds the samples commit, the exemplar append, and the
+          // metadata upsert from one decode pass.
+          import graft.streaming.SpoolDrain
+          val decoded = SpoolDrain
+            .decodedFrame(spark, files.map(_._2.toString)).persist()
+          val flags = SpoolDrain.windowFlags(decoded)
+          // a corrupt spool file (torn write that still got renamed —
+          // cannot happen under the tmp+rename protocol, but disks lie):
+          // quarantine it rather than wedging the drain loop forever, and
+          // COUNT it — this is acked-then-dropped data, and a silent
+          // rename means a sender with a symbol-table bug loses data
+          // forever with no operator signal (r15 advisor finding)
+          if (flags.badPaths.nonEmpty) {
+            val byName = files.map { case (_, p) => p.getName -> p }.toMap
+            flags.badPaths.foreach { uri =>
+              byName.get(new org.apache.hadoop.fs.Path(uri).getName).foreach { p =>
                 fs.rename(p, new org.apache.hadoop.fs.Path(s"${p.toString}.bad"))
-                Nil
+                spoolQuarantined.incrementAndGet()
+                System.err.println(
+                  s"[promapi] spool file failed decode at drain, quarantined: $p -> .bad")
+              }
             }
           }
           val tDecode = System.nanoTime()
           val batchId = files.last._1
           def committed(dir: String) = fs.exists(
             new org.apache.hadoop.fs.Path(s"$dir/batch_id=$batchId/_SUCCESS"))
-          if (series.isEmpty) ()
+          if (flags.seriesTotal == 0L) ()
           else if (committed(ws.sinkDir)) {
             // a predecessor crashed between this very window's commit and
             // its spool cleanup. Re-running the chain would hwm-drop every
@@ -455,13 +480,26 @@ class PromApi(spark: SparkSession, samples: DataFrame, port: Int = 0,
                 .write.mode("overwrite").partitionBy("metric")
                 .parquet(s"${ws.indexDir}/batch_id=$batchId")
             }
-            appendExemplars(ws, series, batchId)
-          } else commitWriteRequest(ws, series, batchId)
-          upsertMetas(metas.result()) // idempotent; once per micro-batch
+            appendExemplarFrame(ws, decoded, flags, batchId)
+          } else {
+            val canonical = SpoolDrain.assembleCanonical(decoded,
+              flags.anyStale, flags.anyTyped, flags.hasExp, flags.hasNhcb)
+            commitCanonical(ws, canonical, batchId) {
+              appendExemplarFrame(ws, decoded, flags, batchId)
+            }
+          }
+          if (flags.hasMetas) // idempotent; once per micro-batch
+            upsertMetas(decoded.filter(col("kind") === 4)
+              .select(col("metric"), col("mTyp"), col("mHelp"), col("mUnit"))
+              .collect().toSeq.map(r => ProtoWire.PMetaV2(
+                r.getString(0), r.getString(1), r.getString(2), r.getString(3))))
+          decoded.unpersist()
           val tCommit = System.nanoTime()
           files.foreach { case (_, p) => fs.delete(p, false) }
+          lastDrainSamples.set(flags.samplesTotal)
+          lastDrainNanos.set(tCommit - tDecode)
           if (timing) System.err.println(
-            f"[drain] files=${files.length} samples=${series.iterator.map(_.samples.size).sum} " +
+            f"[drain] files=${files.length} samples=${flags.samplesTotal} " +
               f"decode=${(tDecode - t0) / 1e9}%.2fs commit=${(tCommit - tDecode) / 1e9}%.2fs " +
               f"cleanup=${(System.nanoTime() - tCommit) / 1e9}%.2fs")
           files.length
@@ -623,16 +661,22 @@ class PromApi(spark: SparkSession, samples: DataFrame, port: Int = 0,
       case c => c.toString
     }
 
+  /** JSON endpoints: 200 + the success envelope, or 400 + the standard
+    * error envelope — upstream answers parse/parameter failures with
+    * HTTP 400, and Grafana/promtool key on the status code, not just the
+    * envelope (r15 advisor finding: a 200-with-error-body divergence
+    * broke their error handling). */
   private def handler(f: Map[String, String] => String): HttpHandler = (ex: HttpExchange) => {
-    val resp =
-      try f(params(ex))
+    val (code, resp) =
+      try (200, f(params(ex)))
       catch {
         case e: Exception =>
-          s"""{"status":"error","errorType":"bad_data","error":${js(e.getMessage)}}"""
+          (400,
+            s"""{"status":"error","errorType":"bad_data","error":${js(e.getMessage)}}""")
       }
     val bytes = resp.getBytes(StandardCharsets.UTF_8)
     ex.getResponseHeaders.add("Content-Type", "application/json")
-    ex.sendResponseHeaders(200, bytes.length)
+    ex.sendResponseHeaders(code, bytes.length)
     ex.getResponseBody.write(bytes)
     ex.close()
   }
@@ -955,10 +999,10 @@ class PromApi(spark: SparkSession, samples: DataFrame, port: Int = 0,
   /** Prometheus 3.x `/api/v1/parse_query`: the parsed AST as JSON
     * (upstream web/api/v1 translateAST shape — what Grafana and promtool
     * probe; node-shape notes and documented divergences in
-    * [[graft.promql.AstJson]]). Parse failures answer the standard 400
-    * envelope with the parser's token-positioned message (upstream
-    * reports character positions; ours are token-indexed — pinned in
-    * PromApiSpec). */
+    * [[graft.promql.AstJson]]). Parse failures answer HTTP 400 with the
+    * standard envelope and upstream's CHARACTER-positioned message
+    * (`line:col: parse error: ...`, 1-based — the ranges Grafana's error
+    * underlining keys on; pinned in PromApiSpec). */
   private def parseQuery(p: Map[String, String]): String = {
     val ast = graft.promql.Parser.parse(p("query"))
     s"""{"status":"success","data":${graft.promql.AstJson.render(ast)}}"""
@@ -999,7 +1043,8 @@ class PromApi(spark: SparkSession, samples: DataFrame, port: Int = 0,
     * (depth grows, no tmps) from "prefix blocked by a stalled writer"
     * (old tmp, depth frozen behind it). Shared by /__health and /metrics. */
   private case class SpoolGauges(depth: Int, oldestAgeMs: Long,
-                                 pendingTmp: Int, oldestTmpAgeMs: Long)
+                                 pendingTmp: Int, oldestTmpAgeMs: Long,
+                                 badFiles: Int)
 
   private def spoolGauges: Option[SpoolGauges] =
     writeSink.filter(_ => spoolDrainMs > 0).map { ws =>
@@ -1012,10 +1057,11 @@ class PromApi(spark: SparkSession, samples: DataFrame, port: Int = 0,
       val wr = listing.filter(st =>
         st.getPath.getName.endsWith(".wr") || st.getPath.getName.endsWith(".wr2"))
       val tmp = listing.filter(_.getPath.getName.endsWith(".tmp"))
+      val bad = listing.count(_.getPath.getName.endsWith(".bad"))
       def oldestAge(sts: Array[org.apache.hadoop.fs.FileStatus]): Long =
         if (sts.isEmpty) 0L
         else math.max(0L, System.currentTimeMillis() - sts.map(_.getModificationTime).min)
-      SpoolGauges(wr.length, oldestAge(wr), tmp.length, oldestAge(tmp))
+      SpoolGauges(wr.length, oldestAge(wr), tmp.length, oldestAge(tmp), bad)
     }
 
   private def health(p: Map[String, String]): String = {
@@ -1025,7 +1071,7 @@ class PromApi(spark: SparkSession, samples: DataFrame, port: Int = 0,
     val spool = spoolGauges.map { g =>
       s""","spool":{"depth":${g.depth},"oldestAgeMs":${g.oldestAgeMs},""" +
         s""""pendingTmp":${g.pendingTmp},"oldestTmpAgeMs":${g.oldestTmpAgeMs},""" +
-        s""""abandonAfterMs":$spoolTmpAbandonMs}"""
+        s""""badFiles":${g.badFiles},"abandonAfterMs":$spoolTmpAbandonMs}"""
     }.getOrElse("")
     s"""{"status":"healthy","spark":"${spark.version}","partitions":$nParts$spool}"""
   }
@@ -1061,6 +1107,13 @@ class PromApi(spark: SparkSession, samples: DataFrame, port: Int = 0,
         "Live .tmp claims gating the drainable prefix.", g.pendingTmp.toDouble)
       emit("graft_spool_oldest_tmp_age_seconds", "gauge",
         "Age of the oldest live .tmp claim.", g.oldestTmpAgeMs / 1000.0)
+      emit("graft_spool_quarantined_total", "counter",
+        "Acked spool files quarantined to .bad at drain (decode failed) " +
+          "since start - acked-then-dropped payloads.",
+        spoolQuarantined.get().toDouble)
+      emit("graft_spool_bad_files", "gauge",
+        "Quarantined .bad files currently in the spool directory.",
+        g.badFiles.toDouble)
     }
     sb.result()
   }
@@ -1288,154 +1341,78 @@ class PromApi(spark: SparkSession, samples: DataFrame, port: Int = 0,
   /** Decoded WriteRequest series → canonical rows (+ native-histogram
     * payload columns when present) → [[graft.streaming.Ingest
     * .remoteWriteBatch]], exemplar side-table append, and the periodic
-    * `_hwm` compaction. Runs under [[commitLock]]. One POST in
-    * synchronous mode; a whole drain window in spool mode. */
+    * `_hwm` compaction. Runs under [[commitLock]]. SYNCHRONOUS mode only
+    * (one POST) — the spool drain builds the same canonical frame from
+    * the distributed decode instead; both modes share
+    * [[graft.streaming.SpoolDrain]]'s row builder + assembly so the wire
+    * canonicalization rules (staleness markers, exp-offset shift, NHCB
+    * cumulate, series_type routing — see the scaladoc there) cannot
+    * drift between them.
+    *
+    * Column-presence contract: `__stale` and `series_type` are added ONLY
+    * when this commit actually carries a marker / an explicitly-typed
+    * sample — marker-free, untyped sinks keep their exact single-pass
+    * plan shapes. */
   private def commitWriteRequest(ws: PromApi.WriteSink,
                                  series: Seq[ProtoWire.PSeries],
                                  batchId: Long): Unit = {
     import spark.implicits._
-    def nameAndTags(s: ProtoWire.PSeries): (String, Map[String, String]) =
-      (s.labels.collectFirst { case ("__name__", v) => v }.getOrElse(""),
-        s.labels.filter(_._1 != "__name__").toMap)
-    // STALENESS MARKERS (upstream pkg/value StaleNaN, remote-written when
-    // a scrape target disappears): detected at the wire bits by ProtoWire
-    // and stored as `__stale = true` tombstone rows (value NaN) — the
-    // planner's instant-lookback cutoff and /federate hide the dead
-    // series immediately while rate() over the same window still answers.
-    // A stale native-HISTOGRAM sample (sum = StaleNaN) is a marker for
-    // the whole series and carries no bucket payload, so it lands as a
-    // plain marker row too. The column is added ONLY when this commit
-    // actually carries a marker — marker-free sinks keep their exact
-    // single-pass plan shapes.
-    val anyStale = series.exists(s =>
-      s.samples.exists(_.stale) || s.histograms.exists(_.stale))
-    // series_type override (OTLP delta opt-in): added ONLY when a series
-    // in this commit actually carries one — untyped sinks keep their
-    // exact schema and plan shapes
-    val anyTyped = series.exists(s =>
-      s.seriesType != null && s.seriesType != "prom_histogram_delta")
-    val plainRows = series.flatMap { s =>
-      val st = if (s.seriesType == "prom_histogram_delta") null else s.seriesType
-      val (metric, tags) = nameAndTags(s)
-      s.samples.map(p =>
-        (metric, tags, p.ts, if (p.stale) Double.NaN else p.value, p.stale, st)) ++
-        s.histograms.filter(_.stale).map(h =>
-          (metric, tags, h.ts, Double.NaN, true, st))
+    import graft.streaming.SpoolDrain
+    val rows = series.flatMap(SpoolDrain.seriesRows)
+    val anyStale = rows.exists(r => r.kind == 0 && r.stale)
+    val anyTyped = rows.exists(r => r.kind == 0 && r.seriesType != null)
+    val hasExp = rows.exists(_.kind == 1)
+    val hasNhcb = rows.exists(_.kind == 2)
+    val canonical = SpoolDrain.assembleCanonical(
+      spark.createDataset(rows.filter(_.kind <= 2)),
+      anyStale, anyTyped, hasExp, hasNhcb)
+    commitCanonical(ws, canonical, batchId) {
+      appendExemplars(ws, series, batchId)
     }
-    val histRows = series.flatMap { s =>
-      val (metric, tags) = nameAndTags(s)
-      s.histograms.filter(h => !h.stale && h.customValues.isEmpty).map { h =>
-        // Prometheus native bucket i covers (base^(i-1), base^i]; the
-        // engine's exp storage bucket j covers (base^j, base^(j+1)]
-        // (Histograms.expBucketBound) — shift the offset by one so the
-        // bounds line up. schema IS the OTel scale. Negative-bucket mass
-        // folds into the zero bucket (see handler scaladoc).
-        (metric, tags, h.ts, h.schema, h.posOffset - 1,
-          h.posCounts, h.zeroCount + h.negCounts.sum, h.zeroThreshold,
-          h.sum, h.resetHint)
-      }
-    }
-    // NHCB (schema -53 custom-bucket native histograms): the wire's
-    // per-bucket counts index an explicit bounds list, which is exactly a
-    // classic scraped histogram in native clothing — canonicalize to the
-    // engine's prom_histogram storage (le[] bounds + CUMULATIVE-across-le,
-    // cumulative-over-time values[]), and every downstream path (the
-    // counter-correcting per-bucket rate kernel, sum by (le),
-    // histogram_quantile's linear bucket interpolation — the NHCB quantile
-    // semantics upstream defines) applies with no new query machinery and
-    // no delta-state LSM entry. The +Inf overflow entry is the sample's
-    // authoritative total count. Gauge-hinted NHCB stores the same shape:
-    // instant quantiles read each sample as a distribution either way, and
-    // rate() over a gauge histogram is undefined upstream.
-    val nhcbRows = series.flatMap { s =>
-      val (metric, tags) = nameAndTags(s)
-      // per-interval (OTLP delta opt-in) NHCB payloads store the same
-      // cumulate-ACROSS-le shape — temporality is over time, not across
-      // buckets — typed prom_histogram_delta so the planner's bridge
-      // routes each bucket series to the delta rate kernel
-      val st = if (s.seriesType == "prom_histogram_delta") s.seriesType
-               else "prom_histogram"
-      s.histograms.filter(h => !h.stale && h.customValues.nonEmpty).map { h =>
-        val le = h.customValues :+ Double.PositiveInfinity
-        val perBucket = Array.fill(le.length)(0.0)
-        h.posCounts.zipWithIndex.foreach { case (c, k) =>
-          perBucket(h.posOffset + k) = c
-        }
-        val cum = perBucket.scanLeft(0.0)(_ + _).drop(1)
-        cum(cum.length - 1) = math.max(h.count, cum(cum.length - 1))
-        // the wire's sum field rides along (hist_sum): histogram_sum/avg
-        // cannot be derived from bucket counts
-        (metric, tags, h.ts, le, cum.toSeq, h.sum, st)
-      }
-    }
-    def plainDF = {
-      var df = plainRows.toDF("metric", "tags", "ts", "value", "__stale",
-        "series_type")
-      if (!anyStale) df = df.drop("__stale")
-      if (!anyTyped) df = df.drop("series_type")
-      df
-    }
-    // null-pad a column only when absent — `withColumn` would overwrite a
-    // series_type the delta opt-in just set on the plain frame
-    def ensure(df: DataFrame, name: String, typ: String): DataFrame =
-      if (df.columns.contains(name)) df
-      else df.withColumn(name, lit(null).cast(typ))
-    def ensureExp(df: DataFrame): DataFrame = {
-      var d = df
-      d = ensure(d, "exp_scale", "int")
-      d = ensure(d, "exp_offset", "int")
-      d = ensure(d, "exp_counts", "array<double>")
-      d = ensure(d, "exp_zero_count", "double")
-      d = ensure(d, "exp_zero_threshold", "double")
-      d = ensure(d, "exp_sum", "double")
-      ensure(d, "__reset_hint", "int")
-    }
-    def ensureNhcb(df: DataFrame): DataFrame = {
-      var d = df
-      d = ensure(d, "le", "array<double>")
-      d = ensure(d, "values", "array<double>")
-      d = ensure(d, "hist_sum", "double")
-      ensure(d, "series_type", "string")
-    }
-    val canonical =
-      if (histRows.isEmpty && nhcbRows.isEmpty) plainDF
-      else {
-        var plain = plainDF
-        if (histRows.nonEmpty) plain = ensureExp(plain)
-        if (nhcbRows.nonEmpty || anyTyped) plain = ensureNhcb(plain)
-        var out = plain
-        if (histRows.nonEmpty) {
-          var hist = histRows.toDF("metric", "tags", "ts", "exp_scale",
-              "exp_offset", "exp_counts", "exp_zero_count", "exp_zero_threshold",
-              "exp_sum", "__reset_hint")
-            .withColumn("value", lit(null).cast("double"))
-          if (anyStale) hist = hist.withColumn("__stale", lit(false))
-          val padded =
-            if (nhcbRows.isEmpty && !anyTyped) hist else ensureNhcb(hist)
-          out = out.unionByName(padded.select(out.columns.map(col): _*))
-        }
-        if (nhcbRows.nonEmpty) {
-          var nhcb = nhcbRows.toDF("metric", "tags", "ts", "le", "values",
-              "hist_sum", "series_type")
-            .withColumn("value", lit(null).cast("double"))
-          if (histRows.nonEmpty) nhcb = ensureExp(nhcb)
-          if (anyStale) nhcb = nhcb.withColumn("__stale", lit(false))
-          out = out.unionByName(nhcb.select(out.columns.map(col): _*))
-        }
-        out
-      }
+  }
+
+  /** The shared commit tail both ingest modes run under [[commitLock]]:
+    * the quota/hwm/sink/index chain, the exemplar append, and the
+    * periodic `_hwm`/exp-state/exemplar compaction cadence. */
+  private def commitCanonical(ws: PromApi.WriteSink, canonical: DataFrame,
+                              batchId: Long)(appendEx: => Unit): Unit = {
     graft.streaming.Ingest.remoteWriteBatch(
       canonical, batchId, ws.sinkDir, ws.indexDir, ws.rejectDir, ws.cfg)
-    appendExemplars(ws, series, batchId)
+    appendEx
     val n = writesAccepted.incrementAndGet()
     if (hwmCompactEvery > 0 && n % hwmCompactEvery == 0) {
+      val c0 = System.nanoTime()
       graft.streaming.Ingest.compactHwm(spark, ws.indexDir)
       graft.streaming.Ingest.compactExpState(spark, s"${ws.indexDir}/_exp_state")
       // the exemplar side table is an LSM too: fold its per-commit delta
       // dirs on the same cadence so the dedup anti-join reads one base
       ws.exemplarDir.foreach(graft.streaming.Ingest.compactExemplars(spark, _))
+      if (sys.env.get("SPARK_GRAFT_DRAIN_TIMING").contains("1"))
+        System.err.println(
+          f"[drain-phase] compaction     ${(System.nanoTime() - c0) / 1e9}%.2fs")
     }
   }
+
+  /** [[appendExemplars]] for a DISTRIBUTED drain window: the exemplar
+    * frame projects off the cached decode (no driver hop);
+    * [[graft.streaming.Ingest.appendExemplarsDedup]] content-dedups
+    * in-batch and against the table, so no pre-distinct is needed. The
+    * touched-metric list (it bounds the table-side anti-join scan) is the
+    * one small collect. */
+  private def appendExemplarFrame(ws: PromApi.WriteSink,
+                                  decoded: org.apache.spark.sql.Dataset[
+                                    graft.streaming.SpoolDrain.SpoolRow],
+                                  flags: graft.streaming.SpoolDrain.WindowFlags,
+                                  batchId: Long): Unit =
+    ws.exemplarDir.foreach { dir =>
+      if (flags.hasExemplars) {
+        val frame = graft.streaming.SpoolDrain.exemplarFrame(decoded)
+        val metrics = frame.select(col("metric")).distinct()
+          .collect().map(_.getString(0)).toSeq
+        graft.streaming.Ingest.appendExemplarsDedup(spark, dir, frame,
+          metrics, batchId.toString)
+      }
+    }
 
   /** Exemplar side-table append, dedup'd by CONTENT identity: a
     * WriteRequest may repeat an exemplar across its series entries

@@ -28,8 +28,16 @@ object Parser {
   private val unitMs = Map("ms" -> 1L, "s" -> 1000L, "m" -> 60000L, "h" -> 3600000L,
     "d" -> 86400000L, "w" -> 604800000L, "y" -> 31536000000L)
 
-  def lex(q: String): Vector[Tok] = {
+  def lex(q: String): Vector[Tok] = lexWithPos(q)._1
+
+  /** [[lex]] plus each token's CHARACTER start offset in `q` (TEnd gets
+    * `q.length`) — what upstream-compatible error positions (`line:col:
+    * parse error ...`, the ranges Grafana underlines from) derive from;
+    * token ordinals alone cannot reproduce them. */
+  def lexWithPos(q: String): (Vector[Tok], Vector[Int]) = {
     val out = ArrayBuffer[Tok]()
+    val starts = ArrayBuffer[Int]()
+    def emit(start: Int, t: Tok): Unit = { out += t; starts += start }
     var i = 0
     val n = q.length
     def peek(k: Int) = if (i + k < n) q(i + k) else '\u0000'
@@ -59,7 +67,7 @@ object Parser {
                 val ns = j
                 while (j < n && q(j).isDigit) j += 1
                 if (j > ns) numPart = q.substring(ns, j)
-                else { ok = false; i = j; out += TDur(total) }
+                else { ok = false; i = j; emit(start, TDur(total)) }
               case None if unit == "i" =>
                 // FiloDB interval-multiple: whole-token only, never mixed
                 // with absolute units (ref AntlrParser.scala:451) — flag,
@@ -67,17 +75,17 @@ object Parser {
                 if (sawAbsUnit || (j < n && q(j).isDigit))
                   throw new IllegalArgumentException(
                     s"interval-multiple 'i' cannot mix with other duration units in: $q")
-                out += TDurSteps(numPart.toLong)
+                emit(start, TDurSteps(numPart.toLong))
                 i = j
                 ok = false
               case None if unit.isEmpty =>
-                out += TNum(numStr.toDouble)
+                emit(start, TNum(numStr.toDouble))
                 ok = false
               case None =>
                 throw new IllegalArgumentException(s"bad duration unit '$unit' at $us in: $q")
             }
           }
-        } else out += TNum(numStr.toDouble)
+        } else emit(start, TNum(numStr.toDouble))
       }
       else if (c.isLetter || c == '_' ||
                (c == ':' && (peek(1).isLetter || peek(1) == '_' || peek(1) == ':'))) {
@@ -91,9 +99,10 @@ object Parser {
           if (q(i) == ':') seenColon = true
           i += 1
         }
-        out += TId(q.substring(start, i))
+        emit(start, TId(q.substring(start, i)))
       }
       else if (c == '"' || c == '\'') {
+        val start = i
         val quote = c; i += 1
         val sb = new StringBuilder
         while (i < n && q(i) != quote) {
@@ -101,16 +110,16 @@ object Parser {
           else { sb.append(q(i)); i += 1 }
         }
         i += 1
-        out += TStr(sb.toString)
+        emit(start, TStr(sb.toString))
       }
       else {
         val two = if (i + 1 < n) q.substring(i, i + 2) else ""
-        if (Set("==", "!=", "=~", "!~", ">=", "<=").contains(two)) { out += TOp(two); i += 2 }
-        else { out += TOp(c.toString); i += 1 }
+        if (Set("==", "!=", "=~", "!~", ">=", "<=").contains(two)) { emit(i, TOp(two)); i += 2 }
+        else { emit(i, TOp(c.toString)); i += 1 }
       }
     }
-    out += TEnd
-    out.toVector
+    emit(n, TEnd)
+    (out.toVector, starts.toVector)
   }
 
   private def unescape(c: Char): Char = c match {
@@ -211,7 +220,10 @@ object Parser {
       "_filodb_chunkmeta_all" -> ("e", 1))).toMap
   }
 
-  def parse(query: String): PromExpr = new P(lex(query)).parseAll()
+  def parse(query: String): PromExpr = {
+    val (toks, starts) = lexWithPos(query)
+    new P(toks, starts, query).parseAll()
+  }
 
   /** Parse a standalone Prometheus duration string ("5m", "90s", "1h30m"),
     * as accepted by the HTTP API's `step` parameter. */
@@ -220,7 +232,8 @@ object Parser {
     case _ => throw new IllegalArgumentException(s"not a duration: '$s'")
   }
 
-  private class P(toks: Vector[Tok]) {
+  private class P(toks: Vector[Tok], starts: Vector[Int] = Vector.empty,
+                  query: String = "") {
     private var pos = 0
     // AST nodes that had an offset/@ clause WRITTEN on them, even if
     // zero-valued. Prometheus rejects modifier-then-range regardless of the
@@ -238,8 +251,20 @@ object Parser {
       case TOp(`s`) => pos += 1
       case other => fail(s"expected '$s' got $other")
     }
-    private def fail(msg: String) =
-      throw new IllegalArgumentException(s"PromQL parse error at token $pos: $msg")
+    /** Upstream-style CHARACTER-positioned message (`line:col: parse
+      * error: ...`, 1-based — the ranges Grafana's error underlining and
+      * promtool key on); token-ordinal fallback only for the
+      * position-less [[P]] constructions (none in production paths). */
+    private def fail(msg: String) = {
+      if (starts.isEmpty || pos >= starts.length)
+        throw new IllegalArgumentException(
+          s"PromQL parse error at token $pos: $msg")
+      val off = math.min(starts(pos), query.length)
+      val before = query.substring(0, off)
+      val line = before.count(_ == '\n') + 1
+      val col = off - before.lastIndexOf('\n')
+      throw new IllegalArgumentException(s"$line:$col: parse error: $msg")
+    }
 
     def parseAll(): PromExpr = {
       val e = parseOr()

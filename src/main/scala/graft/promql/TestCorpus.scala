@@ -66,8 +66,15 @@ object TestCorpus {
   }
 
   sealed trait Directive
+  /** `seriesType` — null for plain `load`; "delta" for the `load_delta`
+    * extension (a graft addition to the upstream notation: per-interval
+    * delta-counter series, the storage shape OTLP delta-temporality
+    * ingest writes — rate()/increase() dispatch them to the sum-based
+    * delta kernel, so the corpus can pin q194-style semantics without an
+    * HTTP fixture). */
   case class Load(stepMs: Long, series: Seq[(Map[String, String], Seq[(Long, Double, Boolean)])],
-                  histSeries: Seq[(Map[String, String], Seq[(Long, HistLit)])] = Nil) extends Directive
+                  histSeries: Seq[(Map[String, String], Seq[(Long, HistLit)])] = Nil,
+                  seriesType: String = null) extends Directive
   case class Eval(atMs: Long, expr: String, expected: Seq[ExpectedSample],
                   ordered: Boolean, expectFail: Boolean, line: Int) extends Directive
   /** `eval range from S to E step T expr` — per-series expected values use
@@ -90,8 +97,10 @@ object TestCorpus {
       val line = lines(i).trim
       if (isBlank(line)) i += 1
       else if (line == "clear") { out += Clear; i += 1 }
-      else if (line.startsWith("load ")) {
-        val step = Parser.parseDuration(line.stripPrefix("load ").trim)
+      else if (line.startsWith("load ") || line.startsWith("load_delta ")) {
+        val delta = line.startsWith("load_delta ")
+        val step = Parser.parseDuration(
+          line.stripPrefix(if (delta) "load_delta " else "load ").trim)
         i += 1
         val series = Seq.newBuilder[(Map[String, String], Seq[(Long, Double, Boolean)])]
         val hists = Seq.newBuilder[(Map[String, String], Seq[(Long, HistLit)])]
@@ -101,7 +110,8 @@ object TestCorpus {
           else series += parseSeries(l, step)
           i += 1
         }
-        out += Load(step, series.result(), hists.result())
+        out += Load(step, series.result(), hists.result(),
+          if (delta) "delta" else null)
       }
       else if (line.startsWith("eval")) {
         val (ordered, fail, rest) =
@@ -345,17 +355,21 @@ object TestCorpus {
   private def samplesFrame(spark: SparkSession,
                            loads: Seq[Load]): DataFrame = {
     import spark.implicits._
-    val rows = loads.flatMap(_.series).zipWithIndex.flatMap {
-      case ((labels, samples), sid) =>
+    val rows = loads.flatMap(l => l.series.map((_, l.seriesType))).zipWithIndex.flatMap {
+      case (((labels, samples), styp), sid) =>
         val metric = labels.getOrElse("__name__", null)
         val tags = labels - "__name__"
-        samples.map { case (ts, v, st) => (sid.toLong, metric, tags, ts, v, st) }
+        samples.map { case (ts, v, st) => (sid.toLong, metric, tags, ts, v, st, styp) }
     }
     // the __stale tombstone column exists only when the loaded set carries
-    // markers — every other corpus run keeps the single-pass instant path
+    // markers, series_type only when a load_delta block typed a series —
+    // every other corpus run keeps the single-pass instant path
     val anyStale = rows.exists(_._6)
-    val plain0 = rows.toDF("series_id", "metric", "tags", "ts", "value", "__stale")
-    val plain = if (anyStale) plain0 else plain0.drop("__stale")
+    val anyTyped = rows.exists(_._7 != null)
+    var plain = rows.toDF("series_id", "metric", "tags", "ts", "value",
+      "__stale", "series_type")
+    if (!anyStale) plain = plain.drop("__stale")
+    if (!anyTyped) plain = plain.drop("series_type")
     val histLoads = loads.flatMap(_.histSeries)
     if (histLoads.isEmpty) plain
     else {
@@ -435,7 +449,9 @@ object TestCorpus {
         .withColumn("exp_zero_count", lit(null).cast("double"))
         .withColumn("exp_zero_threshold", lit(null).cast("double"))
         .withColumn("exp_sum", lit(null).cast("double"))
-        .withColumn("series_type", lit(null).cast("string"))
+      // null-pad only when absent — a load_delta block already typed it
+      if (!padded.columns.contains("series_type"))
+        padded = padded.withColumn("series_type", lit(null).cast("string"))
       if (nhcbLoads.nonEmpty) padded = padded
         .withColumn("le", lit(null).cast("array<double>"))
         .withColumn("values", lit(null).cast("array<double>"))

@@ -573,10 +573,26 @@ object Gateway {
     *    stamped at the current scrape's timestamp (upstream stamps the
     *    scrape that first missed it);
     *  - TARGET VANISHED (dropped from discovery / stopped answering): when
-    *    no scrape arrives for `staleAfterMs` past the last one — measured
+    *    no scrape arrives for `staleAfterMs` past the last one — every
+    *    remembered series gets a marker stamped `lastTs + staleAfterMs`,
+    *    and the target's state is dropped. By default the gap is measured
     *    on EVENT time via the stream's watermark, so replays are
-    *    deterministic — every remembered series gets a marker stamped
-    *    `lastTs + staleAfterMs`, and the target's state is dropped.
+    *    deterministic — but an event-time timer only fires when the
+    *    watermark ADVANCES, which requires SOME target still scraping: if
+    *    the whole scrape stream quiesces (gateway restart, agent outage —
+    *    exactly when vanish markers matter most) no marker would ever
+    *    materialize. `processingTimeFallback = true` switches the timer to
+    *    WALL-CLOCK time: markers materialize `staleAfterMs` of real time
+    *    after the last scrape even on a fully idle stream (Spark keeps
+    *    running timeout-only batches for processing-time timers), at the
+    *    cost of replay determinism — a replayed stream re-times the gaps.
+    *    Marker timestamps are `lastTs + staleAfterMs` in both modes.
+    *
+    * A scrape batch arriving OUT OF ORDER (event time at or below the
+    * state's high-water mark — possible with `watermarkDelay > 0`) is
+    * dropped before diffing: diffing a LATE scrape against a NEWER
+    * remembered snapshot would emit spurious markers, regress the
+    * snapshot, and pull the vanish timer backwards (r15 advisor finding).
     *
     * Returns ONLY the synthesized marker rows; union them with the sample
     * stream into the sink (markers are data rows, so the quota/dedup/sink
@@ -585,7 +601,8 @@ object Gateway {
     * partitioned by target, and each micro-batch touches only targets
     * with new scrapes plus expired timers. */
   def scrapeStaleMarkers(decoded: Dataset[ScrapeRow], staleAfterMs: Long,
-                         watermarkDelay: String = "0 seconds")
+                         watermarkDelay: String = "0 seconds",
+                         processingTimeFallback: Boolean = false)
       : Dataset[StaleMarkerRow] = {
     import decoded.sparkSession.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -593,9 +610,17 @@ object Gateway {
       .withColumn("et", timestamp_millis(col("ts")))
       .withWatermark("et", watermarkDelay)
       .as[TimedScrape]
+    val timeoutConf =
+      if (processingTimeFallback) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.EventTimeTimeout
+    def armTimer(state: GroupState[TargetState], lastTs: Long): Unit =
+      if (processingTimeFallback) state.setTimeoutDuration(staleAfterMs)
+      else // the event-time timer must sit past the current watermark
+        state.setTimeoutTimestamp(math.max(lastTs + staleAfterMs,
+          state.getCurrentWatermarkMs() + 1))
     withWm.groupByKey(_.target)
       .flatMapGroupsWithState[TargetState, StaleMarkerRow](
-        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        OutputMode.Append, timeoutConf) {
         (_, rows: Iterator[TimedScrape], state: GroupState[TargetState]) =>
           if (state.hasTimedOut) {
             // target vanished: one marker per remembered series
@@ -607,27 +632,32 @@ object Gateway {
             }
           } else {
             // scrapes arrive possibly several per micro-batch: compare
-            // consecutive scrape snapshots in timestamp order
-            val scrapes = rows.toSeq.groupBy(_.ts).toSeq.sortBy(_._1)
-            val out = Seq.newBuilder[StaleMarkerRow]
-            var prev = state.getOption.map(_.series)
-            scrapes.foreach { case (ts, rs) =>
-              val cur = rs.map(r => r.series_id -> ((r.metric, r.tags))).toMap
-              prev.foreach { p =>
-                (p.keySet -- cur.keySet).foreach { sid =>
-                  val (m, tags) = p(sid)
-                  out += StaleMarkerRow(sid, m, tags, ts, Double.NaN,
-                    __stale = true)
+            // consecutive scrape snapshots in timestamp order, after
+            // dropping anything at or below the remembered high-water
+            // mark (late re-delivery must not regress the state)
+            val floor = state.getOption.map(_.lastTs).getOrElse(Long.MinValue)
+            val scrapes = rows.toSeq.filter(_.ts > floor)
+              .groupBy(_.ts).toSeq.sortBy(_._1)
+            if (scrapes.isEmpty) Iterator.empty // all late; state untouched
+            else {
+              val out = Seq.newBuilder[StaleMarkerRow]
+              var prev = state.getOption.map(_.series)
+              scrapes.foreach { case (ts, rs) =>
+                val cur = rs.map(r => r.series_id -> ((r.metric, r.tags))).toMap
+                prev.foreach { p =>
+                  (p.keySet -- cur.keySet).foreach { sid =>
+                    val (m, tags) = p(sid)
+                    out += StaleMarkerRow(sid, m, tags, ts, Double.NaN,
+                      __stale = true)
+                  }
                 }
+                prev = Some(cur)
               }
-              prev = Some(cur)
+              val lastTs = scrapes.last._1
+              state.update(TargetState(prev.get, lastTs))
+              armTimer(state, lastTs)
+              out.result().iterator
             }
-            val lastTs = scrapes.last._1
-            state.update(TargetState(prev.get, lastTs))
-            // the event-time timer must sit past the current watermark
-            state.setTimeoutTimestamp(math.max(lastTs + staleAfterMs,
-              state.getCurrentWatermarkMs() + 1))
-            out.result().iterator
           }
       }
   }

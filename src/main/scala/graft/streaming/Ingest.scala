@@ -152,6 +152,20 @@ object Ingest {
     * out so the HTTP remote-write path ([[remoteWriteBatch]]) commits
     * through the exact same protocol. BatchId-keyed overwrites keep a
     * replay idempotent (the startIngestWithIndex contract). */
+  /** Opt-in phase timing (SPARK_GRAFT_DRAIN_TIMING=1, same switch as the
+    * drain's decode/commit split): prints per-phase wall time of the
+    * commit chain's Spark actions, feeding the ingest ladder's floor
+    * analysis. Zero-cost when off. */
+  private val drainTiming = sys.env.get("SPARK_GRAFT_DRAIN_TIMING").contains("1")
+  private def phase[A](label: String)(f: => A): A =
+    if (!drainTiming) f
+    else {
+      val t0 = System.nanoTime()
+      val r = f
+      System.err.println(f"[drain-phase] $label%-14s ${(System.nanoTime() - t0) / 1e9}%.2fs")
+      r
+    }
+
   def processCanonicalBatch(df0: DataFrame, batchId: Long, sinkDir: String,
                             indexDir: String, rejectDir: String,
                             cfg: graft.operators.Quota.QuotaConfig): Unit = {
@@ -177,21 +191,31 @@ object Ingest {
     val existing = seriesCatalog(spark, indexDir).getOrElse(df.limit(0))
     val verdicts = graft.operators.Quota.admit(existing, df, cfg).persist()
     val rejected = verdicts.filter(!col("admitted"))
-    rejected
-      .select(kCols.map(col) :+ col("reject_depth") :+ col("quota"): _*)
-      .unionByName(missingRejects)
-      .write.mode("overwrite")
-      .parquet(s"$rejectDir/batch_id=$batchId")
+    phase("rejects-write") {
+      rejected
+        .select(kCols.map(col) :+ col("reject_depth") :+ col("quota"): _*)
+        .unionByName(missingRejects)
+        .write.mode("overwrite")
+        .parquet(s"$rejectDir/batch_id=$batchId")
+    }
+    // persisted: the sink write and the index build below each read the
+    // admitted frame — without the persist the shard-key projection +
+    // reject anti-join run twice per commit
     val admitted = graft.operators.Quota.withShardKey(df, cfg)
       .join(rejected.select(kCols.map(col): _*), kCols.toSeq, "left_anti")
       .drop(kCols: _*)
-    admitted.write.mode("overwrite").partitionBy("metric")
-      .parquet(s"$sinkDir/batch_id=$batchId")
-    graft.operators.MetadataOps.buildSeriesIndex(
-        admitted.select(col("metric"), col("tags"), col("ts"), col("series_id")))
-      .write.mode("overwrite").partitionBy("metric")
-      .parquet(s"$indexDir/batch_id=$batchId")
-    verdicts.unpersist(); all.unpersist()
+      .persist()
+    phase("sink-write") {
+      admitted.write.mode("overwrite").partitionBy("metric")
+        .parquet(s"$sinkDir/batch_id=$batchId")
+    }
+    phase("index-write") {
+      graft.operators.MetadataOps.buildSeriesIndex(
+          admitted.select(col("metric"), col("tags"), col("ts"), col("series_id")))
+        .write.mode("overwrite").partitionBy("metric")
+        .parquet(s"$indexDir/batch_id=$batchId")
+    }
+    admitted.unpersist(); verdicts.unpersist(); all.unpersist()
     ()
   }
 

@@ -137,20 +137,23 @@ object IngestLadder {
           f"(${rate / samplesPerPost}%.0f POSTs/s); drain backlog " +
           f"${backlog}%,d samples in ${drainSec}%.1f s = " +
           f"${drainRate}%,.0f samples/s committed (maxFiles=$drainMaxFiles)")
-        senders -> rate
+        (senders, rate, drainRate)
       } finally api.stop()
     }
 
     // ---- floor analysis ----------------------------------------------
     val r1 = results.head._2
     val best = results.maxBy(_._2)
+    val bestDrain = results.map(_._3).max
     println(f"[ladder] single-sender ${r1}%,.0f samples/s; best " +
-      f"${best._2}%,.0f at ${best._1} senders (${best._2 / r1}%.1fx)")
+      f"${best._2}%,.0f at ${best._1} senders (${best._2 / r1}%.1fx); " +
+      f"best committed (drain) ${bestDrain}%,.0f samples/s")
     println(f"[ladder] ack-path CPU: walk ${walkMs}%.3f ms vs full decode " +
       f"${decodeMs}%.3f ms per 1000-sample POST (${decodeMs / walkMs}%.1fx)")
     println("""{"metric":"ingest_ladder","unit":"samples_per_sec","rungs":{""" +
-      results.map { case (s, r) => s""""$s":${r.toLong}""" }.mkString(",") +
-      s"""},"walk_ms":$walkMs,"decode_ms":$decodeMs}""")
+      results.map { case (s, r, _) => s""""$s":${r.toLong}""" }.mkString(",") +
+      s"""},"drain_committed_samples_per_sec":${bestDrain.toLong},""" +
+      s""""walk_ms":$walkMs,"decode_ms":$decodeMs}""")
     spark.stop()
     sys.exit(0)
   }

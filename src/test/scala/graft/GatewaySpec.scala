@@ -494,4 +494,72 @@ class GatewaySpec extends AnyFunSuite with Matchers {
     names(15000L) shouldEqual Set("up", "reqs")
     names(25000L) shouldEqual Set.empty[String]
   }
+
+  test("a LATE out-of-order scrape batch neither regresses target state " +
+       "nor emits spurious markers (r15 advisor: watermarkDelay > 0 lets " +
+       "older batches through)") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[Gateway.ScrapeRow]
+    val q = Gateway.scrapeStaleMarkers(ms.toDS(), staleAfterMs = 600000L,
+        watermarkDelay = "10 minutes")
+      .writeStream.format("memory").queryName("scrape_stale_ooo")
+      .outputMode("append").start()
+    try {
+      def row(sid: Long, user: String, ts: Long) =
+        Gateway.ScrapeRow("t1", sid, "m", Map("user" -> user), ts, 1.0)
+      ms.addData(row(1, "a", 20000L), row(2, "b", 20000L))
+      q.processAllAvailable()
+      ms.addData(row(1, "a", 30000L), row(2, "b", 30000L))
+      q.processAllAvailable()
+      // LATE re-delivery of the 20000 scrape carrying only series a:
+      // diffing it against the newer snapshot would mark b stale at 20000
+      // and pull lastTs backwards — it must be dropped instead
+      ms.addData(row(1, "a", 20000L))
+      q.processAllAvailable()
+      spark.table("scrape_stale_ooo").count() shouldEqual 0
+      // state did not regress: the next LIVE scrape (40000) missing b
+      // marks b at 40000, proving the remembered snapshot was still the
+      // 30000 one
+      ms.addData(row(1, "a", 40000L))
+      q.processAllAvailable()
+      val got = spark.table("scrape_stale_ooo")
+        .select("series_id", "ts").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      got shouldEqual Set((2L, 40000L))
+    } finally q.stop()
+  }
+
+  test("processing-time fallback: vanish markers materialize on a FULLY " +
+       "quiesced scrape stream (event-time timers would starve — the " +
+       "watermark never advances without new scrapes)") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[Gateway.ScrapeRow]
+    val q = Gateway.scrapeStaleMarkers(ms.toDS(), staleAfterMs = 2000L,
+        processingTimeFallback = true)
+      .writeStream.format("memory").queryName("scrape_stale_pt")
+      .outputMode("append").start()
+    try {
+      def row(sid: Long, user: String, ts: Long) =
+        Gateway.ScrapeRow("t1", sid, "m", Map("user" -> user), ts, 1.0)
+      ms.addData(row(1, "a", 10000L), row(2, "b", 10000L))
+      // NO further data ever arrives — wall clock alone must fire the
+      // timers. The engine keeps running timeout-only batches for
+      // processing-time timers on its own, so the test POLLS the sink
+      // (processAllAvailable can block indefinitely on such a stream —
+      // there is always "another batch" to run).
+      val deadline = System.currentTimeMillis() + 60000L
+      var n = 0L
+      while (n < 2 && System.currentTimeMillis() < deadline) {
+        Thread.sleep(500L)
+        n = spark.table("scrape_stale_pt").count()
+      }
+      n shouldEqual 2L
+      // marker timestamps stay EVENT-time (lastTs + staleAfterMs) in both
+      // modes — only the firing clock differs
+      val got = spark.table("scrape_stale_pt")
+        .select("series_id", "ts", "__stale").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+      got shouldEqual Set((1L, 12000L, true), (2L, 12000L, true))
+    } finally q.stop()
+  }
 }

@@ -196,7 +196,8 @@ class PromApiSpec extends AnyFunSuite with Matchers {
 
   test("parse_query returns the upstream-3.x JSON AST shape (translate_ast " +
        "node types, seconds-valued durations, matchers list); parse " +
-       "failures answer the error envelope with the token position") {
+       "failures answer HTTP 400 with upstream's character-positioned " +
+       "error message") {
     val samples = TsTables.eventsAsSamples(spark, "/root/testdata/sf0.001")
     val api = new PromApi(spark, samples).start()
     try {
@@ -233,10 +234,21 @@ class PromApiSpec extends AnyFunSuite with Matchers {
       // regex matcher type
       pq("""purchase{user=~"1|2"}""") should include(
         """{"name":"user","type":"=~","value":"1|2"}""")
-      // errors: the standard envelope with the parser's token position
+      // errors: the standard envelope, CHARACTER-positioned like upstream
+      // (1-based line:col — "sum(" fails at the end of input, column 5;
+      // Grafana's error underlining keys on these ranges) and carried on
+      // an HTTP 400 status, which upstream also answers (Grafana/promtool
+      // key on the status code, not just the envelope)
       val err = pq("sum(")
       err should include(""""status":"error"""")
-      err should include("parse error at token")
+      err should include("1:5: parse error")
+      val errConn = new java.net.URI(
+        s"http://localhost:$port/api/v1/parse_query?query=sum%28")
+        .toURL.openConnection().asInstanceOf[java.net.HttpURLConnection]
+      try errConn.getResponseCode shouldBe 400 finally errConn.disconnect()
+      // position arithmetic: a mid-query failure points at the offending
+      // token's own column, not the end of input
+      pq("sum(up) by (") should include("1:13: parse error")
     } finally api.stop()
   }
 
@@ -1193,6 +1205,72 @@ class PromApiSpec extends AnyFunSuite with Matchers {
       byName("graft_queries_total") should be >= 1.0
       byName should contain key "graft_writes_accepted_total"
       decoded.foreach(_.ts shouldEqual 123000L)
+    } finally api.stop()
+  }
+
+  test("spool-mode quarantine is observable: a framing-valid but " +
+       "semantically-bad v2 payload acks 204, drains to .bad, and surfaces " +
+       "in /metrics; MaintenanceJob ages the .bad file out") {
+    import graft.http.ProtoWire
+    val dir = java.nio.file.Files.createTempDirectory("graft-quarantine").toString
+    val ws = PromApi.WriteSink(s"$dir/sink", s"$dir/index", s"$dir/reject",
+      graft.operators.Quota.QuotaConfig(Seq("metric"), Seq(1000000L)))
+    // drainer parked (long cadence): the test forces the drain itself
+    val api = new PromApi(spark, spark.range(0).toDF(), writeSink = Some(ws),
+      spoolDrainMs = 600000L).start()
+    try {
+      val url = URI.create(s"http://localhost:${api.boundPort}/api/v1/write")
+      // hand-rolled v2 Request whose FRAMING is valid (the ack path's
+      // structural walk passes) but whose labels_refs point past the
+      // symbol table — the full decode at drain must throw
+      val w = new ProtoWire.Writer
+      w.bytes(4, "".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val tw = new ProtoWire.Writer
+      tw.packedVarint(1, Seq(7L, 8L)) // out of range: table has 1 symbol
+      val sw = new ProtoWire.Writer
+      sw.double(1, 1.0); sw.int64(2, 1000L)
+      tw.message(2, sw)
+      w.message(5, tw)
+      val badBody = org.xerial.snappy.Snappy.compress(w.toBytes)
+      val client = HttpClient.newHttpClient()
+      val code = client.send(
+        HttpRequest.newBuilder(url)
+          .header("Content-Type",
+            "application/x-protobuf;proto=io.prometheus.write.v2.Request")
+          .header("Content-Encoding", "snappy")
+          .POST(HttpRequest.BodyPublishers.ofByteArray(badBody)).build(),
+        HttpResponse.BodyHandlers.discarding()).statusCode()
+      code shouldEqual 204 // the durability ack — the walk saw valid framing
+      // a GOOD sibling payload in the same window: the commit must proceed
+      // around the quarantined file
+      graft.http.RemoteRead.remoteWriteSeries(Seq(
+        ProtoWire.PSeries(Seq("__name__" -> "ok_m"),
+          Seq(ProtoWire.PSample(5.0, 2000L)))),
+        s"http://localhost:${api.boundPort}")
+      api.drainSpool()
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val spoolNames = fs.listStatus(
+          new org.apache.hadoop.fs.Path(s"$dir/sink/_spool"))
+        .map(_.getPath.getName).toSeq
+      spoolNames.count(_.endsWith(".bad")) shouldEqual 1
+      spoolNames.count(_.endsWith(".wr2")) shouldEqual 0 // consumed, not stuck
+      // the good payload committed despite the bad sibling
+      spark.read.parquet(s"$dir/sink")
+        .filter(org.apache.spark.sql.functions.col("metric") === "ok_m")
+        .count() shouldEqual 1L
+      // acked-then-dropped data is COUNTED, not silent (r15 advisor)
+      val m = get(api.boundPort, "/metrics")
+      m should include("graft_spool_quarantined_total 1")
+      m should include("graft_spool_bad_files 1")
+      get(api.boundPort, "/__health") should include(""""badFiles":1""")
+      // retention: the maintenance sweep ages the .bad file out
+      graft.tools.MaintenanceJob.run(spark, s"$dir/sink", s"$dir/index",
+        quarantineMaxAgeMs = 0L,
+        nowMs = System.currentTimeMillis() + 60000L)
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/sink/_spool"))
+        .count(_.getPath.getName.endsWith(".bad")) shouldEqual 0
+      get(api.boundPort, "/metrics") should include("graft_spool_bad_files 0")
     } finally api.stop()
   }
 }

@@ -430,4 +430,43 @@ class TombstonesSpec extends AnyFunSuite with Matchers {
     } finally api.stop()
   }
 
+
+  test("snapshot ids stay creation-ordered within one second WITHOUT " +
+       "sleeping (r15: the retry loop held commitLock up to 1.5 s), and " +
+       "foreign/unpublished dirs neither poison the id derivation nor " +
+       "ride the retention window") {
+    import spark.implicits._
+    import graft.operators.Snapshots
+    val dir = tmp("graft-snap-ids")
+    val root = s"$dir/snapshots"
+    Seq(("m", 1L, 1.0)).toDF("metric", "ts", "value")
+      .write.parquet(s"$dir/sink/batch_id=0")
+    val stores = Seq("sink" -> s"$dir/sink")
+    val t0 = System.nanoTime()
+    val a = Snapshots.create(spark, root, stores)
+    val b = Snapshots.create(spark, root, stores)
+    val c = Snapshots.create(spark, root, stores)
+    val elapsedSec = (System.nanoTime() - t0) / 1e9
+    // same-second collisions previously slept 50 ms per retry (up to
+    // 1.5 s each) — the successor-second derivation must not sleep at all
+    elapsedSec should be < 2.0
+    Seq(a, b, c).distinct.size shouldEqual 3
+    Seq(a, b, c).sorted shouldEqual Seq(a, b, c) // creation order
+    Snapshots.list(spark, root) shouldEqual Seq(a, b, c)
+    // a FUTURE-dated foreign dir without a _SUCCESS manifest: invisible to
+    // list(), so it cannot seed the next id (the r15 fallback chained
+    // "-1" off the bogus date, poisoning every subsequent id)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$root/29990101T000000Z-ffffffff"))
+    val d = Snapshots.create(spark, root, stores)
+    d should be < "29990101" // derived from real time, not the fake date
+    Snapshots.list(spark, root) shouldEqual Seq(a, b, c, d)
+    // retention counts only PUBLISHED snapshots and never deletes the
+    // foreign dir (it is not ours to delete)
+    Snapshots.retain(spark, root, 1) shouldEqual Seq(a, b, c)
+    Snapshots.list(spark, root) shouldEqual Seq(d)
+    fs.exists(new org.apache.hadoop.fs.Path(
+      s"$root/29990101T000000Z-ffffffff")) shouldBe true
+  }
 }
