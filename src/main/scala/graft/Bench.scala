@@ -576,7 +576,11 @@ object Bench {
     try {
       val url = s"http://localhost:${api.boundPort}"
       val t0 = 1704067200000L
-      val nPosts = 64
+      // one FULL drain window (the spoolDrainMaxFiles default), matching
+      // the ingest ladder's config so the figure compares across rounds
+      // and against the ladder — a smaller backlog under-amortizes the
+      // per-window fixed cost and understates the sustained rate
+      val nPosts = 256
       val nSeries = 100
       val perSeries = 10
       (0 until nPosts).foreach { k =>
