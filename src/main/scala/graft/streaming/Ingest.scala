@@ -191,12 +191,19 @@ object Ingest {
     val existing = seriesCatalog(spark, indexDir).getOrElse(df.limit(0))
     val verdicts = graft.operators.Quota.admit(existing, df, cfg).persist()
     val rejected = verdicts.filter(!col("admitted"))
+    // nothing-rejected commits (the sustained-ingest fast path: an
+    // established writer under quota) SKIP the rejects write — an empty
+    // partitioned parquet write still costs a distinct shuffle plus the
+    // committer's mkdir/rename/_SUCCESS I/O per commit, and every reader
+    // treats a missing batch dir exactly as an empty one. The emptiness
+    // probes are limit-1 scans over the already-persisted frames.
     phase("rejects-write") {
-      rejected
-        .select(kCols.map(col) :+ col("reject_depth") :+ col("quota"): _*)
-        .unionByName(missingRejects)
-        .write.mode("overwrite")
-        .parquet(s"$rejectDir/batch_id=$batchId")
+      if (!rejected.isEmpty || !all.filter(missingKey).isEmpty)
+        rejected
+          .select(kCols.map(col) :+ col("reject_depth") :+ col("quota"): _*)
+          .unionByName(missingRejects)
+          .write.mode("overwrite")
+          .parquet(s"$rejectDir/batch_id=$batchId")
     }
     // persisted: the sink write and the index build below each read the
     // admitted frame — without the persist the shard-key projection +
