@@ -31,13 +31,15 @@ object IngestLadder {
 
   def main(args: Array[String]): Unit = {
     val windowSec = if (args.nonEmpty) args(0).toInt else 6
-    // rungs + drain caps as args so the drain-throughput experiment can
-    // vary the group-commit window without a rebuild:
-    //   runMain graft.tools.IngestLadder 6 1,8 2048
+    // rungs + drain caps + core count as args so the drain-throughput
+    // experiment can vary the group-commit window AND prove the
+    // committed rate scales with cores without a rebuild:
+    //   runMain graft.tools.IngestLadder 6 1,8 2048 32
     val rungs = if (args.length > 1) args(1).split(",").map(_.toInt).toSeq
                 else Seq(1, 2, 4, 8, 16)
     val drainMaxFiles = if (args.length > 2) args(2).toInt else 256
-    val spark = GraftSession.builder("local[8]", "8").getOrCreate()
+    val cores = if (args.length > 3) args(3).toInt else 8
+    val spark = GraftSession.builder(s"local[$cores]", cores.toString).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     val nSeries = 100
