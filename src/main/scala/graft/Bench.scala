@@ -382,7 +382,11 @@ object Bench {
     try {
       val txt = new String(Files.readAllBytes(Paths.get("bench_anchor.json")),
         StandardCharsets.UTF_8)
-      """"([a-z_]+)":(-?[0-9.]+)""".r.findAllMatchIn(txt)
+      // \s* after the colon: the anchor file is pretty-printed JSON
+      // ("key": 0.82) — a colon-tight regex silently loads NO anchors
+      // and the drift check no-ops (caught live: a steady-load hic block
+      // at 2.1x anchor sailed through with block_drift=false)
+      """"([a-z_]+)":\s*(-?[0-9.]+)""".r.findAllMatchIn(txt)
         .map(m => m.group(1) -> m.group(2).toDouble).toMap
     } catch { case _: Throwable => Map.empty }
 
