@@ -19,7 +19,7 @@ class UpstreamCorpusSpec extends AnyFunSuite with Matchers {
 
   lazy val spark: SparkSession = GraftSession.builder("local[4]", "4").getOrCreate()
 
-  test("the upstream-format corpus runs green (450+ eval assertions)") {
+  test("the upstream-format corpus runs green (700+ eval assertions)") {
     val text = scala.io.Source.fromInputStream(
       getClass.getResourceAsStream("/promql/upstream_corpus.test"), "UTF-8").mkString
     val directives = TestCorpus.parse(text)
