@@ -211,10 +211,18 @@ object Snapshots {
   /** Newest modification time anywhere in `p`'s tree — the liveness
     * signal for the staging sweep (top-dir mtime alone misses deep
     * writes). Bounded: only ever called on `_tmp-` staging dirs. */
-  private def newestMtime(fs: FileSystem, p: Path): Long = {
-    val st = fs.getFileStatus(p)
-    if (!st.isDirectory) st.getModificationTime
-    else (st.getModificationTime +:
-      fs.listStatus(p).map(c => newestMtime(fs, c.getPath)).toSeq).max
-  }
+  private def newestMtime(fs: FileSystem, p: Path): Long =
+    try {
+      val st = fs.getFileStatus(p)
+      if (!st.isDirectory) st.getModificationTime
+      else (st.getModificationTime +:
+        fs.listStatus(p).map(c => newestMtime(fs, c.getPath)).toSeq).max
+    } catch {
+      // a CONCURRENT creator may publish (rename away) or delete entries
+      // between our listing and the recursive status calls — an entry
+      // that vanished mid-walk is by definition LIVE activity, so report
+      // "just modified": the sweep skips it instead of failing this
+      // process's create (r16 advisor finding)
+      case _: java.io.FileNotFoundException => Long.MaxValue
+    }
 }

@@ -650,6 +650,28 @@ object HistQueries {
         .select(col("labels")("user").as("user"), col("step_ts"),
           round(col("value"), 6).as("value"))
         .orderBy("step_ts", "user")
+    }),
+
+    // SAMPLES-SINK BATCH-DIR COMPACTION end to end (the reference's
+    // chunk-flush + compaction lifecycle, ref:core/src/main/scala/
+    // filodb.core/memstore/TimeSeriesShard.scala): per-user daily sums
+    // drain through a spool-mode server capped at ONE file per commit —
+    // the worst-case many-tiny-dirs layout sustained ingest produces —
+    // then Ingest.compactSink folds the old batch dirs into one
+    // consolidated, (series_id, ts)-clustered dir. The fixture asserts
+    // the physical collapse and that a post-compaction duplicate re-POST
+    // still hwm-drops (the fold never touches the index); this query then
+    // proves the ROW SET survived byte-identical by hash-matching the
+    // same DuckDB mirror an uncompacted sink matches.
+    "q196_sink_compaction" -> ((s, dir) => {
+      val sink = q196SinkCache.computeIfAbsent(dir, _ => buildQ196Sink(s, dir))
+      val sunk = s.read.option("mergeSchema", "true").parquet(sink)
+      val ctx = PromPlanner.Ctx(s, sunk, S + D1, TsTables.EventsEndMs, D1)
+      PromPlanner.queryRange(ctx,
+        """sum by (user) (sum_over_time(purchase{user=~"1|2|3"}[1d]))""")
+        .select(col("labels")("user").as("user"), col("step_ts"),
+          round(col("value"), 6).as("value"))
+        .orderBy("step_ts", "user")
     })
   )
 
@@ -1024,6 +1046,20 @@ object HistQueries {
           WHERE $S + (day + 1) * $D1 BETWEEN ${S + D1} AND ${TsTables.EventsEndMs}
           ORDER BY 2, 1""",
 
+    // sink-compaction mirror: the full daily per-user sums — identical to
+    // what an UNCOMPACTED sink answers, which is the contract (compaction
+    // changes file layout, never results)
+    "q196_sink_compaction" ->
+      s"""WITH ev AS (SELECT CAST(user_id AS VARCHAR) AS u,
+                        (epoch_ns(ts)//1000000 - $S) // $D1 AS day, value
+                      FROM events WHERE event_type = 'purchase'),
+          daily AS (SELECT u, day, round(sum(value), 6) AS v FROM ev
+                    WHERE u IN ('1','2','3') GROUP BY 1, 2)
+          SELECT u AS "user", $S + (day + 1) * $D1 AS step_ts, v AS value
+          FROM daily
+          WHERE $S + (day + 1) * $D1 BETWEEN ${S + D1} AND ${TsTables.EventsEndMs}
+          ORDER BY 2, 1""",
+
     // snapshot mirror: the FULL pre-delete daily sums, user 1 included —
     // the live store lost user 1 to the purge (asserted in the fixture),
     // so a match proves the snapshot froze the point-in-time copy
@@ -1170,6 +1206,7 @@ object HistQueries {
     q194SinkCache.computeIfAbsent(dir, _ => buildQ194Sink(s, dir))
     q192SnapCache.computeIfAbsent(dir, _ => buildQ192Snapshot(s, dir))
     q195RestoreCache.computeIfAbsent(dir, _ => buildQ195Restore(s, dir))
+    q196SinkCache.computeIfAbsent(dir, _ => buildQ196Sink(s, dir))
     nhSinkCache.computeIfAbsent(dir, _ => buildNativeHistSink(s, dir))
     exemplarFixture(s, dir)
     deleteFixture(s, dir)
@@ -1405,6 +1442,74 @@ object HistQueries {
       post(first.toSeq)
       post(rest.toSeq)
       post(first.toSeq) // collector retry: hwm must no-op (else double-count)
+    } finally api.stop()
+    s"$base/sink"
+  }
+
+  private val q196SinkCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** q196's fixture: daily per-user purchase sums drained through a
+    * spool-mode server at ONE file per micro-batch (each POST becomes its
+    * own `batch_id=` dir — the small-file layout a real drain cadence
+    * accumulates), then folded by [[graft.streaming.Ingest.compactSink]].
+    * Asserts the dir-count collapse, the `_COMPACTED` marker, and that a
+    * post-compaction duplicate re-POST still drops at the hwm. */
+  private def buildQ196Sink(s: org.apache.spark.sql.SparkSession,
+                            dir: String): String = {
+    import graft.http.{ProtoWire, PromApi, RemoteRead}
+    val base = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"), "q196_compact").toString
+    val fs = new org.apache.hadoop.fs.Path(base).getFileSystem(
+      s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    val daily = TsTables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .withColumn("u", col("user_id").cast("string"))
+      .filter(col("u").isin("1", "2", "3"))
+      .withColumn("day", ((col("ts_ms") - S) / D1).cast("long"))
+      .groupBy(col("u"), col("day")).agg(sum(col("value")).as("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(t => (t._2, t._1))
+    // six day-range chunks -> six POSTs -> six single-file drain commits
+    val dayMax = daily.map(_._2).max
+    val chunks = daily.groupBy(t => math.min(5L, t._2 * 6 / (dayMax + 1)))
+      .toSeq.sortBy(_._1).map(_._2)
+    def toSeries(rows: Array[(String, Long, Double)]): Seq[ProtoWire.PSeries] =
+      rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (u, rs) =>
+        ProtoWire.PSeries(Seq("__name__" -> "purchase", "user" -> u),
+          rs.sortBy(_._2).map(t => ProtoWire.PSample(t._3, S + (t._2 + 1) * D1)).toSeq)
+      }
+    val ws = PromApi.WriteSink(s"$base/sink", s"$base/index", s"$base/reject",
+      graft.operators.Quota.QuotaConfig(Seq("metric"), Seq(1000000L)))
+    val api = new PromApi(s, s.range(0).toDF(), writeSink = Some(ws),
+      spoolDrainMs = 3600000L, spoolDrainMaxFiles = 1, hwmCompactEvery = 0).start()
+    try {
+      val url = s"http://localhost:${api.boundPort}"
+      chunks.foreach(c => RemoteRead.remoteWriteSeries(toSeries(c), url))
+      api.drainSpool()
+      val sinkRoot = new org.apache.hadoop.fs.Path(s"$base/sink")
+      def dirs = fs.listStatus(sinkRoot).map(_.getPath.getName)
+        .filter(_.startsWith("batch_id=")).sorted.toSeq
+      val before = dirs
+      require(before.length == chunks.length,
+        s"q196 fixture: expected ${chunks.length} batch dirs, got $before")
+      val rowsBefore = s.read.parquet(s"$base/sink").count()
+      val folded = graft.streaming.Ingest.compactSink(s, s"$base/sink",
+        keepBatches = 1, minBatches = 4)
+      require(folded.exists(_._1 == before.length - 1),
+        s"q196 fixture: compactSink folded $folded, expected ${before.length - 1} dirs")
+      require(dirs.length == 2,
+        s"q196 fixture: expected 2 batch dirs after compaction, got $dirs")
+      require(fs.exists(new org.apache.hadoop.fs.Path(
+          s"$base/sink/batch_id=${before(before.length - 2).stripPrefix("batch_id=")}/_COMPACTED")),
+        "q196 fixture: consolidated dir missing its _COMPACTED marker")
+      // the fold never touches the index: a duplicate re-POST of the first
+      // chunk must still drop at the persisted high-water marks
+      RemoteRead.remoteWriteSeries(toSeries(chunks.head), url)
+      api.drainSpool()
+      require(s.read.parquet(s"$base/sink").count() == rowsBefore,
+        "q196 fixture: a post-compaction duplicate re-POST changed the row count")
     } finally api.stop()
     s"$base/sink"
   }

@@ -638,7 +638,17 @@ object Gateway {
             val floor = state.getOption.map(_.lastTs).getOrElse(Long.MinValue)
             val scrapes = rows.toSeq.filter(_.ts > floor)
               .groupBy(_.ts).toSeq.sortBy(_._1)
-            if (scrapes.isEmpty) Iterator.empty // all late; state untouched
+            if (scrapes.isEmpty) {
+              // all late; state untouched — but the vanish timer must be
+              // RE-ARMED: Spark's GroupState cancels any previously-set
+              // timeout whenever the function runs for a group without
+              // setting one again, so returning bare here would let one
+              // late-only micro-batch permanently disarm the timer (the
+              // target could then vanish without markers and its state
+              // would leak — r16 advisor finding)
+              state.getOption.foreach(s => armTimer(state, s.lastTs))
+              Iterator.empty
+            }
             else {
               val out = Seq.newBuilder[StaleMarkerRow]
               var prev = state.getOption.map(_.series)

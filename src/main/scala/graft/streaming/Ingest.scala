@@ -197,8 +197,16 @@ object Ingest {
     // committer's mkdir/rename/_SUCCESS I/O per commit, and every reader
     // treats a missing batch dir exactly as an empty one. The emptiness
     // probes are limit-1 scans over the already-persisted frames.
+    // EXCEPT the store's very first commit, which always writes: a
+    // deployment that never rejects must still give root readers
+    // (`spark.read.parquet(rejectDir)`) an empty frame with the real
+    // schema instead of PATH_NOT_FOUND (r16 advisor finding) — one empty
+    // seed write does that without guessing the schema driver-side.
     phase("rejects-write") {
-      if (!rejected.isEmpty || !all.filter(missingKey).isEmpty)
+      val fs = new org.apache.hadoop.fs.Path(rejectDir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val seeding = !fs.exists(new org.apache.hadoop.fs.Path(rejectDir))
+      if (seeding || !rejected.isEmpty || !all.filter(missingKey).isEmpty)
         rejected
           .select(kCols.map(col) :+ col("reject_depth") :+ col("quota"): _*)
           .unionByName(missingRejects)
@@ -1106,6 +1114,169 @@ object Ingest {
     doomed.foreach(d =>
       fs.delete(new org.apache.hadoop.fs.Path(sinkDir, d), true))
     doomed
+  }
+
+  // ===== samples-sink batch-dir compaction ==================================
+  //
+  // Spool-mode ingest commits one `batch_id=N` parquet directory per drain
+  // window — a window every few seconds means tens of thousands of tiny
+  // directories per day, and file listing + footer reads come to dominate
+  // every query's planning time (the small-file failure mode the
+  // reference's chunk-flush + compaction lifecycle exists to avoid,
+  // ref:core/src/main/scala/filodb.core/memstore/TimeSeriesShard.scala
+  // flush pipeline). compactSink folds old batch dirs into ONE
+  // consolidated dir per run:
+  //
+  //   - the fold output is itself a normal `batch_id=<hi>` dir (hi = the
+  //     largest folded id), so every existing reader — plain partition
+  //     discovery, retention, tombstone purge, snapshots — works
+  //     unchanged; a `_COMPACTED` marker inside it keeps later runs from
+  //     re-folding it, so consolidated dirs stay TIME-CONTIGUOUS (spool
+  //     ids are minted in arrival order) and age out under the
+  //     batch-granularity retention exactly like the dirs they replace;
+  //   - rows are re-clustered per metric by series-hash bucket and sorted
+  //     (series_id, ts) — the TsLayout clustering, so the fold also
+  //     restores delta-friendly encoding that per-window commits can't;
+  //   - the swap is journaled: stage the fold (hidden `_tmp-compact-*`),
+  //     write `_compact_journal`, HIDE each folded dir (`_folded-<id>`
+  //     rename), publish the staging as `batch_id=<hi>`, then delete the
+  //     hidden dirs + journal. Readers never see duplicates (the fold
+  //     becomes visible only after every input is hidden); the
+  //     rename-window is metadata-only, and a crash anywhere is repaired
+  //     by [[repairSinkCompaction]] — journal present + fold published =
+  //     finish cleanup; journal + committed staging = roll forward;
+  //     anything else = roll the hidden dirs back. Index batch dirs, hwm
+  //     bases and exemplar/metadata stores are NEVER touched — the
+  //     index's `end_ts` high-water marks (and therefore dedup/quota
+  //     admission) are independent of how the sink's bytes are grouped.
+  //
+  // Single-compactor contract like every other fold here: run under the
+  // API's commitLock (the `sinkCompactEvery` cadence) or MaintenanceJob's
+  // per-sink lock, never both concurrently with each other.
+
+  private def journalPath(sinkDir: String) =
+    new org.apache.hadoop.fs.Path(s"$sinkDir/_compact_journal")
+
+  /** Complete or roll back a crashed [[compactSink]] swap. Idempotent and
+    * cheap when no journal exists (one exists-probe); call at server boot
+    * and at every compaction entry. */
+  def repairSinkCompaction(spark: SparkSession, sinkDir: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(sinkDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val jp = journalPath(sinkDir)
+    if (!fs.exists(jp)) return
+    val in = fs.open(jp)
+    val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
+      .getLines().toVector finally in.close()
+    val staging = new org.apache.hadoop.fs.Path(s"$sinkDir/${lines(0)}")
+    val hi = lines(1).toLong
+    val ids = lines(2).split(',').filter(_.nonEmpty).map(_.toLong).toSeq
+    def bdir(id: Long) = new org.apache.hadoop.fs.Path(s"$sinkDir/batch_id=$id")
+    def fdir(id: Long) = new org.apache.hadoop.fs.Path(s"$sinkDir/_folded-$id")
+    val publishedOut = !fs.exists(staging) &&
+      fs.exists(new org.apache.hadoop.fs.Path(s"$sinkDir/batch_id=$hi/_SUCCESS"))
+    if (publishedOut) {
+      // fold is live: any fold input still visible duplicates it — finish
+      // the hide/cleanup (inputs other than hi can only be visible if a
+      // prior repair's own roll-forward crashed mid-loop)
+      ids.filter(_ != hi).foreach(id => fs.delete(bdir(id), true))
+      ids.foreach(id => fs.delete(fdir(id), true))
+      fs.delete(jp, false)
+    } else if (fs.exists(new org.apache.hadoop.fs.Path(staging, "_SUCCESS"))) {
+      // roll FORWARD: the journal is only ever written after the staging
+      // committed, so the fold holds every input row — hide the remaining
+      // inputs, publish, clean up
+      ids.foreach { id =>
+        if (fs.exists(bdir(id)) && !fs.exists(fdir(id)))
+          fs.rename(bdir(id), fdir(id))
+      }
+      if (!fs.rename(staging, bdir(hi)))
+        throw new java.io.IOException(s"sink-compaction publish failed: $staging -> batch_id=$hi")
+      ids.foreach(id => fs.delete(fdir(id), true))
+      fs.delete(jp, false)
+    } else {
+      // no committed fold output anywhere — roll BACK to the pre-swap
+      // layout (every hidden dir is an intact original)
+      ids.foreach { id =>
+        if (fs.exists(fdir(id)) && !fs.exists(bdir(id)))
+          fs.rename(fdir(id), bdir(id))
+      }
+      fs.delete(staging, true)
+      fs.delete(jp, false)
+    }
+  }
+
+  /** Fold old committed `batch_id=` sink dirs into one consolidated,
+    * `_COMPACTED`-marked batch dir (see the section comment for the
+    * protocol and why). Keeps the newest `keepBatches` dirs untouched
+    * (the live drain's crash-repair window) and no-ops below `minBatches`
+    * foldable dirs. Returns (dirs folded, data files after) or None when
+    * nothing was done. */
+  def compactSink(spark: SparkSession, sinkDir: String, keepBatches: Int = 2,
+                  minBatches: Int = 8, seriesBuckets: Int = 8)
+      : Option[(Int, Int)] = {
+    require(keepBatches >= 1, "keepBatches must be >= 1")
+    val fs = new org.apache.hadoop.fs.Path(sinkDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val root = new org.apache.hadoop.fs.Path(sinkDir)
+    if (!fs.exists(root)) return None
+    repairSinkCompaction(spark, sinkDir)
+    def entries(p: org.apache.hadoop.fs.Path) =
+      fs.listStatus(p).filterNot(_.getPath.getName.startsWith("_"))
+    val committed = fs.listStatus(root).map(_.getPath)
+      .flatMap(p => p.getName.stripPrefix("batch_id=").toLongOption.map(_ -> p))
+      .filter { case (_, p) =>
+        fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")) &&
+          // prior fold outputs stay out: each run produces ONE new
+          // time-contiguous consolidated dir, so retention granularity is
+          // the compaction cadence, not "everything ever folded"
+          !fs.exists(new org.apache.hadoop.fs.Path(p, "_COMPACTED"))
+      }
+      .sortBy(_._1)
+    val foldSet = committed.dropRight(keepBatches)
+    if (foldSet.length < math.max(minBatches, 2)) return None
+    val hi = foldSet.last._1
+    val ids = foldSet.map(_._1).toSeq
+    val nonEmpty = foldSet.collect { case (_, p) if entries(p).nonEmpty => p }
+    def bdir(id: Long) = new org.apache.hadoop.fs.Path(s"$sinkDir/batch_id=$id")
+    def fdir(id: Long) = new org.apache.hadoop.fs.Path(s"$sinkDir/_folded-$id")
+    if (nonEmpty.isEmpty) {
+      // nothing but empty commits (all-duplicate retries): plain deletes
+      foldSet.foreach { case (_, p) => fs.delete(p, true) }
+      return Some((foldSet.length, 0))
+    }
+    // stage the fold: merged superset schema (optional columns — __stale,
+    // series_type, exp_*, le/values — null-pad exactly as every
+    // mergeSchema reader already sees them), re-clustered per metric by
+    // series-hash bucket, (series_id, ts)-sorted files
+    val stagingName =
+      s"_tmp-compact-$hi-${java.util.UUID.randomUUID().toString.take(8)}"
+    val staging = new org.apache.hadoop.fs.Path(s"$sinkDir/$stagingName")
+    spark.read.option("mergeSchema", "true").option("basePath", sinkDir)
+      .parquet(nonEmpty.map(_.toString): _*)
+      .drop("batch_id")
+      .repartition(col("metric"), pmod(col("series_id"), lit(seriesBuckets)))
+      .sortWithinPartitions(col("series_id"), col("ts"))
+      .write.partitionBy("metric").parquet(staging.toString)
+    fs.create(new org.apache.hadoop.fs.Path(staging, "_COMPACTED"), true).close()
+    // journal (atomic via tmp + rename), then hide-publish-clean
+    val jTmp = new org.apache.hadoop.fs.Path(
+      s"$sinkDir/_compact_journal.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+    val out = fs.create(jTmp, true)
+    try {
+      out.write(s"$stagingName\n$hi\n${ids.mkString(",")}\n".getBytes("UTF-8"))
+      out.hsync()
+    } finally out.close()
+    if (!fs.rename(jTmp, journalPath(sinkDir)))
+      throw new java.io.IOException(s"sink-compaction journal publish failed: $jTmp")
+    ids.foreach(id => fs.rename(bdir(id), fdir(id)))
+    if (!fs.rename(staging, bdir(hi)))
+      throw new java.io.IOException(s"sink-compaction publish failed: $staging -> batch_id=$hi")
+    ids.foreach(id => fs.delete(fdir(id), true))
+    fs.delete(journalPath(sinkDir), false)
+    Some((foldSet.length, entries(bdir(hi)).map(p =>
+      fs.listStatus(p.getPath).count(st => st.isFile &&
+        !st.getPath.getName.startsWith("_"))).sum))
   }
 
   // ===== exemplar side-table compaction =====================================

@@ -32,6 +32,13 @@ import graft.http.ProtoWire
   *   kind 6 = file decoded OK (carries its series/sample counts so the
   *            driver can reproduce the `series.isEmpty` no-op check and
   *            ingest-rate accounting without touching the data)
+  *   kind 7 = ONE SERIES failed canonicalization inside an otherwise-good
+  *            file (e.g. an NHCB payload whose bucket offsets overrun its
+  *            bounds list): the bad series alone is dropped-and-counted,
+  *            its payload-mates land — upstream 400s the whole write at
+  *            POST time, but an acked spool payload must not lose 999
+  *            good series to one malformed one (whole-file `.bad`
+  *            quarantine stays for framing errors, kind 5)
   */
 object SpoolDrain {
 
@@ -128,13 +135,22 @@ object SpoolDrain {
       val (series, metas) =
         if (path.endsWith(".wr2")) ProtoWire.decodeWriteRequestV2(body)
         else (ProtoWire.decodeWriteRequest(body), Nil)
-      val rows = series.flatMap(seriesRows)
+      // per-series canonicalization failures quarantine ONLY that series
+      // (kind 7, see the kinds table) — the file-level Try around this
+      // block keeps catching framing errors (kind 5)
+      val decoded = series.map(s => s -> scala.util.Try(seriesRows(s)))
+      val ok = decoded.collect { case (s, scala.util.Success(r)) => (s, r) }
+      val badRows = decoded.collect { case (s, scala.util.Failure(_)) =>
+        SpoolRow(7,
+          s.labels.collectFirst { case ("__name__", v) => v }.getOrElse(""),
+          path = path, seriesN = 1L)
+      }
       val metaRows = metas.map(m =>
         SpoolRow(4, m.metric, mTyp = m.typ, mHelp = m.help, mUnit = m.unit))
-      SpoolRow(6, path = path, seriesN = series.size.toLong,
-        samplesN = series.iterator
-          .map(s => (s.samples.size + s.histograms.size).toLong).sum) +:
-        (rows ++ metaRows)
+      SpoolRow(6, path = path, seriesN = ok.size.toLong,
+        samplesN = ok.iterator
+          .map { case (s, _) => (s.samples.size + s.histograms.size).toLong }.sum) +:
+        (ok.flatMap(_._2) ++ badRows ++ metaRows)
     }.getOrElse(Seq(SpoolRow(5, path = path)))
 
   /** The drain window as a DISTRIBUTED decoded dataset: spool files in as
@@ -156,7 +172,8 @@ object SpoolDrain {
                                         seriesTotal: Long, samplesTotal: Long,
                                         anyStale: Boolean, anyTyped: Boolean,
                                         hasExp: Boolean, hasNhcb: Boolean,
-                                        hasExemplars: Boolean, hasMetas: Boolean)
+                                        hasExemplars: Boolean, hasMetas: Boolean,
+                                        badSeries: Long = 0L)
 
   private[graft] def windowFlags(decoded: Dataset[SpoolRow]): WindowFlags = {
     val agg = decoded.groupBy(col("kind")).agg(
@@ -176,7 +193,8 @@ object SpoolDrain {
       anyStale = row(0).exists(_.getInt(4) == 1),
       anyTyped = row(0).exists(_.getInt(5) == 1),
       hasExp = has(1), hasNhcb = has(2),
-      hasExemplars = has(3), hasMetas = has(4))
+      hasExemplars = has(3), hasMetas = has(4),
+      badSeries = row(7).map(_.getLong(1)).getOrElse(0L))
   }
 
   /** Wire-fact rows → the canonical samples frame

@@ -15,6 +15,7 @@ import graft.streaming.Ingest
   *   - metric-metadata version GC               (keep newest 2 committed)
   *   - delete_series tombstone purge            (Tombstones.purge)
   *   - batch-granularity retention drop         (Ingest.dropSinkOlderThan)
+  *   - samples-sink batch-dir compaction        (Ingest.compactSink)
   *   - spool quarantine sweep                   (.abandoned/.bad past age)
   *   - stale staging-dir sweep                  (_tmp-* past age)
   *
@@ -51,6 +52,7 @@ object MaintenanceJob {
           snapshotKeep: Option[Int] = None,
           quarantineMaxAgeMs: Long = 24L * 3600 * 1000,
           lockStaleMs: Long = 3600L * 1000,
+          sinkCompactMin: Int = 8,
           nowMs: Long = System.currentTimeMillis()): Report = {
     val fs = new org.apache.hadoop.fs.Path(sinkDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -97,6 +99,15 @@ object MaintenanceJob {
           graft.operators.Tombstones.purge(spark, sinkDir, d)
         }
         case None => steps += "tombstone_purge" -> "skipped: no dir configured"
+      }
+      step("sink_batch_compaction") {
+        // fold old per-window batch dirs into one consolidated dir (the
+        // small-file killer at drain cadence); runs AFTER retention and
+        // the tombstone purge so it folds only surviving, already-clean
+        // dirs. compactSink itself repairs any crashed prior swap first.
+        Ingest.compactSink(spark, sinkDir, minBatches = sinkCompactMin)
+          .foreach { case (n, files) =>
+            println(s"[maintenance] sink compaction folded $n batch dirs -> $files files") }
       }
       snapshotKeep match {
         case Some(k) => step("snapshot_retention") {
@@ -167,7 +178,7 @@ object MaintenanceJob {
     require(args.length >= 2,
       "usage: MaintenanceJob <sinkDir> <indexDir> [--exemplars=d] " +
         "[--metadata=d] [--admin=d] [--retention-ms=N] [--snapshot-keep=N] " +
-        "[--quarantine-age-ms=N] [--lock-stale-ms=N]")
+        "[--quarantine-age-ms=N] [--lock-stale-ms=N] [--sink-compact-min=N]")
     def opt(name: String): Option[String] =
       args.collectFirst { case a if a.startsWith(s"--$name=") =>
         a.stripPrefix(s"--$name=") }
@@ -180,7 +191,8 @@ object MaintenanceJob {
       snapshotKeep = opt("snapshot-keep").map(_.toInt),
       quarantineMaxAgeMs = opt("quarantine-age-ms").map(_.toLong)
         .getOrElse(24L * 3600 * 1000),
-      lockStaleMs = opt("lock-stale-ms").map(_.toLong).getOrElse(3600L * 1000))
+      lockStaleMs = opt("lock-stale-ms").map(_.toLong).getOrElse(3600L * 1000),
+      sinkCompactMin = opt("sink-compact-min").map(_.toInt).getOrElse(8))
     if (!report.locked)
       println(s"[maintenance] another instance holds ${args(0)}/_maintenance.lock; no-op")
     else report.steps.foreach { case (s, r) => println(s"[maintenance] $s: $r") }
