@@ -1490,8 +1490,10 @@ class PromApi(spark: SparkSession, samples: DataFrame, port: Int = 0,
         System.err.println(
           f"[drain-phase] compaction     ${(System.nanoTime() - c0) / 1e9}%.2fs")
     }
+    // minBatches=2: the operator opted into a cadence, so every trigger
+    // folds whatever has accumulated beyond the kept tail
     if (sinkCompactEvery > 0 && n % sinkCompactEvery == 0)
-      graft.streaming.Ingest.compactSink(spark, ws.sinkDir)
+      graft.streaming.Ingest.compactSink(spark, ws.sinkDir, minBatches = 2)
   }
 
   /** [[appendExemplars]] for a DISTRIBUTED drain window: the exemplar
