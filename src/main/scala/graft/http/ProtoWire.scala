@@ -563,6 +563,51 @@ object ProtoWire {
     series.result()
   }
 
+  /** [[decodeWriteRequest]] with PER-SERIES error isolation — the spool
+    * DRAIN's decoder: a TimeSeries frame whose decode fails (e.g. a
+    * malformed NHCB bucket layout the ack's framing walk cannot see) is
+    * skipped and reported by its best-effort metric name instead of
+    * failing the whole payload. The payload was already acked, so its
+    * well-formed series must land; the synchronous path keeps the strict
+    * decoder and 400s the whole POST like upstream. Top-level framing
+    * errors still throw (the caller quarantines the file). */
+  def decodeWriteRequestLenient(b: Array[Byte]): (Seq[PSeries], Seq[String]) = {
+    val r = new Reader(b, 0, b.length)
+    val series = Seq.newBuilder[PSeries]
+    val badMetrics = Seq.newBuilder[String]
+    while (r.hasNext) r.readKey() match {
+      case (1, 2) =>
+        val m = r.readMessage()
+        val start = m.pos
+        try series += readSeries(m)
+        catch { case _: Exception =>
+          badMetrics += seriesMetricOnly(new Reader(m.buf, start, m.end))
+        }
+      case (_, wt) => r.skip(wt)
+    }
+    (series.result(), badMetrics.result())
+  }
+
+  /** Best-effort `__name__` of a v1 TimeSeries frame that failed full
+    * decode (labels-only walk; any error → ""). Error-report use only. */
+  private def seriesMetricOnly(sr: Reader): String =
+    try {
+      var metric = ""
+      while (sr.hasNext && metric.isEmpty) sr.readKey() match {
+        case (1, 2) =>
+          val lr = sr.readMessage()
+          var n: String = null; var v: String = null
+          while (lr.hasNext) lr.readKey() match {
+            case (1, 2) => n = lr.readString()
+            case (2, 2) => v = lr.readString()
+            case (_, wt) => lr.skip(wt)
+          }
+          if (n == "__name__" && v != null) metric = v
+        case (_, wt) => sr.skip(wt)
+      }
+      metric
+    } catch { case _: Exception => "" }
+
   /** Structural WALK of a WriteRequest (v1 or v2) without materializing
     * anything: descends every submessage and validates all wire framing
     * (keys, lengths, varints — the same errors the full decoder throws),
@@ -622,6 +667,22 @@ object ProtoWire {
     "gaugehistogram", "summary", "info", "stateset", "unknown")
 
   def decodeWriteRequestV2(b: Array[Byte]): (Seq[PSeries], Seq[PMetaV2]) = {
+    val (series, metas, _) = decodeWriteRequestV2Impl(b, lenient = false)
+    (series, metas)
+  }
+
+  /** [[decodeWriteRequestV2]] with per-series error isolation (see
+    * [[decodeWriteRequestLenient]]): a series whose decode fails — a
+    * malformed histogram, an out-of-range labels ref — is skipped and
+    * reported by best-effort metric name; the rest of the payload lands.
+    * A corrupt SYMBOL TABLE still fails the whole payload (nothing can
+    * resolve without it). */
+  def decodeWriteRequestV2Lenient(b: Array[Byte])
+      : (Seq[PSeries], Seq[PMetaV2], Seq[String]) =
+    decodeWriteRequestV2Impl(b, lenient = true)
+
+  private def decodeWriteRequestV2Impl(b: Array[Byte], lenient: Boolean)
+      : (Seq[PSeries], Seq[PMetaV2], Seq[String]) = {
     val r = new Reader(b, 0, b.length)
     val symbols = Seq.newBuilder[String]
     val tsReaders = Seq.newBuilder[Reader]
@@ -644,7 +705,42 @@ object ProtoWire {
       refs.grouped(2).map(p => symAt(p.head) -> symAt(p(1))).toSeq
     }
     val metas = Seq.newBuilder[PMetaV2]
-    val series = tsReaders.result().map { tr =>
+    val badMetrics = Seq.newBuilder[String]
+    /** best-effort metric of a failed series frame: labels_refs walk +
+      * symbol resolution, every step guarded (error-report use only) */
+    def metricOnly(tr: Reader): String =
+      try {
+        val refs = Seq.newBuilder[Long]
+        while (tr.hasNext) tr.readKey() match {
+          case (1, 2) =>
+            val pr = tr.readMessage()
+            while (pr.hasNext) refs += pr.readVarint()
+          case (1, 0) => refs += tr.readVarint()
+          case (_, wt) => tr.skip(wt)
+        }
+        refs.result().grouped(2).collectFirst {
+          case Seq(n, v) if n >= 0 && n < sym.length && sym(n.toInt) == "__name__" &&
+              v >= 0 && v < sym.length => sym(v.toInt)
+        }.getOrElse("")
+      } catch { case _: Exception => "" }
+    val series = tsReaders.result().flatMap { tr =>
+      val start = tr.pos
+      try Some(readSeriesV2(tr, symAt, refsToLabels, metas))
+      catch {
+        case e: Exception =>
+          if (!lenient) throw e
+          badMetrics += metricOnly(new Reader(tr.buf, start, tr.end))
+          None
+      }
+    }
+    (series, metas.result().distinct, badMetrics.result())
+  }
+
+  /** One v2 TimeSeries frame → PSeries (+ inline metadata side effect). */
+  private def readSeriesV2(tr: Reader, symAt: Long => String,
+                           refsToLabels: Seq[Long] => Seq[(String, String)],
+                           metas: scala.collection.mutable.Builder[PMetaV2, Seq[PMetaV2]])
+      : PSeries = {
       val refs = Seq.newBuilder[Long]
       val samples = Seq.newBuilder[PSample]
       val exemplars = Seq.newBuilder[PExemplar]
@@ -702,8 +798,6 @@ object ProtoWire {
             if (unitRef > 0) symAt(unitRef) else null)
       }
       PSeries(labels, samples.result(), histograms.result(), exemplars.result())
-    }
-    (series, metas.result().distinct)
   }
 
   /** Encode a v2 Request (sender side + spec golden bytes): interns every

@@ -132,19 +132,22 @@ object SpoolDrain {
   private[graft] def decodeFile(path: String,
                                 body: Array[Byte]): Seq[SpoolRow] =
     scala.util.Try {
-      val (series, metas) =
-        if (path.endsWith(".wr2")) ProtoWire.decodeWriteRequestV2(body)
-        else (ProtoWire.decodeWriteRequest(body), Nil)
-      // per-series canonicalization failures quarantine ONLY that series
-      // (kind 7, see the kinds table) — the file-level Try around this
-      // block keeps catching framing errors (kind 5)
+      // PER-SERIES leniency (kind 7, see the kinds table): a series whose
+      // wire decode or canonicalization fails drops alone, by best-effort
+      // metric name — the file-level Try around this block keeps catching
+      // top-level framing errors (kind 5, whole-file `.bad` quarantine)
+      val (series, metas, wireBad) =
+        if (path.endsWith(".wr2")) ProtoWire.decodeWriteRequestV2Lenient(body)
+        else {
+          val (s, bad) = ProtoWire.decodeWriteRequestLenient(body)
+          (s, Nil, bad)
+        }
       val decoded = series.map(s => s -> scala.util.Try(seriesRows(s)))
       val ok = decoded.collect { case (s, scala.util.Success(r)) => (s, r) }
-      val badRows = decoded.collect { case (s, scala.util.Failure(_)) =>
-        SpoolRow(7,
-          s.labels.collectFirst { case ("__name__", v) => v }.getOrElse(""),
-          path = path, seriesN = 1L)
-      }
+      val badRows = (wireBad ++ decoded.collect {
+        case (s, scala.util.Failure(_)) =>
+          s.labels.collectFirst { case ("__name__", v) => v }.getOrElse("")
+      }).map(m => SpoolRow(7, m, path = path, seriesN = 1L))
       val metaRows = metas.map(m =>
         SpoolRow(4, m.metric, mTyp = m.typ, mHelp = m.help, mUnit = m.unit))
       SpoolRow(6, path = path, seriesN = ok.size.toLong,

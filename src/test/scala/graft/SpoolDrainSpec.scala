@@ -82,6 +82,45 @@ class SpoolDrainSpec extends AnyFunSuite with Matchers {
     bad.head.path shouldEqual "/spool/9.wr2"
   }
 
+  test("per-series quarantine (kind 7): one malformed NHCB series drops " +
+       "ALONE — its payload-mates land, the header counts only the good " +
+       "series, and windowFlags surfaces the bad-series count") {
+    // custom-bound histogram whose bucket offset overruns its bounds list:
+    // decodes fine at the wire layer, fails canonicalization
+    val badHist = ProtoWire.PHistogram(1000L, schema = -53, zeroThreshold = 0,
+      zeroCount = 0, count = 1.0, sum = 1.0, resetHint = 0,
+      posOffset = 7, posCounts = Seq(1.0), negOffset = 0, negCounts = Nil,
+      customValues = Seq(1.0))
+    val bad = ProtoWire.PSeries(Seq("__name__" -> "bad_h"), Nil,
+      histograms = Seq(badHist))
+    val body = ProtoWire.encodeWriteRequest(Seq(series("a"), bad, series("b")))
+    val rows = SpoolDrain.decodeFile("/spool/3.wr", body)
+    rows.head.kind shouldEqual 6 // file-level outcome is still OK
+    rows.head.seriesN shouldEqual 2L // good series only
+    rows.head.samplesN shouldEqual 4L
+    rows.count(_.kind == 0) shouldEqual 4 // both mates' samples present
+    val k7 = rows.filter(_.kind == 7)
+    k7.map(_.metric) shouldEqual Seq("bad_h")
+    k7.head.path shouldEqual "/spool/3.wr"
+    // through the distributed window aggregate
+    import org.apache.hadoop.fs.Path
+    val dir = java.nio.file.Files.createTempDirectory("spoolbadseries").toString
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val p = new Path(s"$dir/0.wr")
+    val out = fs.create(p, true)
+    try out.write(body) finally out.close()
+    val decoded = SpoolDrain.decodedFrame(spark, Seq(p.toString)).persist()
+    try {
+      val flags = SpoolDrain.windowFlags(decoded)
+      flags.badSeries shouldEqual 1L
+      flags.badPaths shouldBe empty // NOT a whole-file quarantine
+      flags.seriesTotal shouldEqual 2L
+      // the canonical frame carries only the mates (kind 7 is outcome-only)
+      SpoolDrain.assembleCanonical(decoded, anyStale = false, anyTyped = false,
+        hasExp = false, hasNhcb = false).count() shouldEqual 4L
+    } finally { decoded.unpersist(); () }
+  }
+
   test("distributed decode: windowFlags aggregates outcomes in one pass " +
        "and the decode plan has NO shuffle (scan -> flatMap only)") {
     import org.apache.hadoop.fs.Path
