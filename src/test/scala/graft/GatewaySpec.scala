@@ -200,6 +200,38 @@ class GatewaySpec extends AnyFunSuite with Matchers {
     } finally q.stop()
   }
 
+  test("a LATE-ONLY micro-batch re-arms the vanish timer: Spark cancels an " +
+       "unset timeout on every invocation, so without the re-arm one late " +
+       "batch would permanently disarm the target's staleness synthesis") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[Gateway.ScrapeRow]
+    val q = Gateway.scrapeStaleMarkers(ms.toDS(), staleAfterMs = 15000L)
+      .writeStream.format("memory").queryName("scrape_latearm")
+      .outputMode("append").start()
+    try {
+      def row(t: String, sid: Long, ts: Long) =
+        Gateway.ScrapeRow(t, sid, "m", Map.empty, ts, 1.0)
+      ms.addData(row("t1", 1, 10000L), row("t2", 9, 10000L))
+      q.processAllAvailable()
+      // a LATE-ONLY batch for t1 (at its remembered high-water mark):
+      // state must stay untouched AND the 25000 timer must survive the
+      // invocation (r16 advisor finding — the bare Iterator.empty return
+      // left GroupState with no timeout set, disarming it)
+      ms.addData(row("t1", 1, 10000L))
+      q.processAllAvailable()
+      spark.table("scrape_latearm").count() shouldEqual 0
+      // t1 never scrapes again; t2 lifts the event-time watermark past
+      // t1's 25000 timer, and the batch after that fires it
+      ms.addData(row("t2", 9, 40000L))
+      q.processAllAvailable()
+      ms.addData(row("t2", 9, 50000L))
+      q.processAllAvailable()
+      spark.table("scrape_latearm").select("series_id", "ts").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet shouldEqual
+        Set((1L, 25000L))
+    } finally q.stop()
+  }
+
   test("wire lines → quota ingest → PromQL: the full gateway-to-query chain") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import graft.streaming.Ingest
@@ -561,5 +593,47 @@ class GatewaySpec extends AnyFunSuite with Matchers {
         .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
       got shouldEqual Set((1L, 12000L, true), (2L, 12000L, true))
     } finally q.stop()
+  }
+
+  test("TCP socket listener e2e: a real client socket writes Influx lines " +
+       "(\\n and \\r\\n framed) to the bound port and they land in the sink " +
+       "through the quota ingest chain, parse errors counted as data") {
+    import graft.streaming.{Ingest, InfluxSocketServer}
+    val srv = new InfluxSocketServer(spark)
+    val dir = java.nio.file.Files.createTempDirectory("gw_sock").toString
+    val cfg = graft.operators.Quota.QuotaConfig(Seq("metric"), Seq(10L))
+    val q = Ingest.startCanonicalIngestWithQuota(srv.samples(defaultTsMs = 0L),
+      s"$dir/sink", s"$dir/index", s"$dir/rejects", s"$dir/ckpt", cfg)
+    try {
+      // two clients (Telegraf reconnects; framing must be per-connection)
+      def send(body: String): Unit = {
+        val s = new java.net.Socket("localhost", srv.boundPort)
+        try {
+          s.getOutputStream.write(body.getBytes("UTF-8"))
+          s.getOutputStream.flush()
+        } finally s.close()
+      }
+      send("requests,user=1 counter=5 1000000000\r\n" + // \r\n framing
+           "requests,user=1 counter=9 2000000000\n")
+      send("\n" + // blank line ignored
+           "lat,ws=prod value=3 3000000000\n" +
+           "not an influx line at all\n") // parse error -> err row, as data
+      val deadline = System.currentTimeMillis() + 30000L
+      while (srv.bridgedLines.get() < 4L &&
+             System.currentTimeMillis() < deadline) Thread.sleep(20L)
+      srv.receivedLines.get() shouldEqual 4L
+      srv.droppedLines.get() shouldEqual 0L
+      q.processAllAvailable()
+      val sunk = spark.read.parquet(s"$dir/sink")
+      sunk.count() shouldEqual 3L // the malformed line never reaches the sink
+      sunk.select("metric", "ts", "value").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet shouldEqual
+        Set(("requests", 1000L, 5.0), ("requests", 2000L, 9.0),
+            ("lat", 3000L, 3.0))
+      // the decode itself reports the reject with its reason, the
+      // reference's numInfluxParseErrors-as-data design
+      Gateway.influxRejectStats(Seq("not an influx line at all").toDF("line"), 0L)
+        .count() shouldEqual 1L
+    } finally { q.stop(); srv.stop() }
   }
 }
