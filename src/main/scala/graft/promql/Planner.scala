@@ -1012,8 +1012,15 @@ object PromPlanner {
       // windows). Planned from the UN-bridged storage rows: count =
       // zero bucket + bucket mass, sum = the wire's sum field (stored
       // since r10 — it is not derivable from buckets), avg = sum/count.
-      args.head match {
-        case sel: Selector if sel.windowMs.isEmpty =>
+      //
+      // Also accepts rate/increase/delta over a range selector (upstream
+      // native_histograms.test: histogram_count(rate(h[w]))): count and
+      // sum are LINEAR in the histogram, so extract-then-rate equals
+      // upstream's rate-then-extract; the counter-reset correction runs
+      // on the extracted component (upstream detects resets on the whole
+      // histogram — divergent only when components reset
+      // non-proportionally). avg = rated sum / rated count.
+      def derivedScalar(sel: Selector, stat: String): (DataFrame, Selector) = {
           val (baseDf, sel2) = routedBase(ctx, sel)
           val hasExp = baseDf.columns.contains("exp_counts")
           // NHCB (custom-bucket native histograms) land as sum-carrying
@@ -1025,7 +1032,7 @@ object PromPlanner {
           val hasBucket = baseDf.columns.contains("le") &&
             baseDf.columns.contains("values")
           require(hasExp || hasBucket,
-            s"$name needs native-histogram storage " +
+            s"$stat needs native-histogram storage " +
               "(no exp_counts or le/values columns)")
           val cnt = coalesce(col("exp_zero_count"), lit(0.0)) +
             aggregate(col("exp_counts"), lit(0.0),
@@ -1048,7 +1055,7 @@ object PromPlanner {
               lit(0.0), (a: Column, x: Column) => a + x)
             (coalesce(col("exp_zero_count"), lit(0.0)) * mean * mean + bucketSq) / cnt
           }
-          val v = name match {
+          val v = stat match {
             case "histogram_count" => cnt
             case "histogram_sum" => col("exp_sum")
             case "histogram_avg" => col("exp_sum") / cnt
@@ -1057,9 +1064,9 @@ object PromPlanner {
           }
           val parts = Seq.newBuilder[DataFrame]
           if (hasExp) {
-            if (name != "histogram_count" && !baseDf.columns.contains("exp_sum"))
+            if (stat != "histogram_count" && !baseDf.columns.contains("exp_sum"))
               throw new IllegalArgumentException(
-                s"$name needs the stored native-histogram sum (exp_sum column; " +
+                s"$stat needs the stored native-histogram sum (exp_sum column; " +
                   "rows written before it existed must be re-ingested)")
             parts += baseDf
               .filter(col("exp_counts").isNotNull)
@@ -1072,7 +1079,7 @@ object PromPlanner {
             def needSum(): Unit =
               if (!baseDf.columns.contains("hist_sum"))
                 throw new IllegalArgumentException(
-                  s"$name over bucket storage needs the stored sum " +
+                  s"$stat over bucket storage needs the stored sum " +
                     "(hist_sum column — NHCB remote-write stores it; " +
                     "synthesized bucket tables may not)")
             // midpoint-estimated variance over the cumulative buckets:
@@ -1098,11 +1105,11 @@ object PromPlanner {
                   (c: Column, m: Column) => c * (m - meanN) * (m - meanN)),
                 lit(0.0), (a: Column, x: Column) => a + x) / cntN
             }
-            val vN = name match {
+            val vN = stat match {
               case "histogram_count" => cntN
               case "histogram_sum" | "histogram_avg" =>
                 needSum()
-                if (name == "histogram_sum") col("hist_sum")
+                if (stat == "histogram_sum") col("hist_sum")
                 else col("hist_sum") / cntN
               case "histogram_stdvar" => needSum(); varianceN
               case _ => needSum(); sqrt(varianceN)
@@ -1113,12 +1120,42 @@ object PromPlanner {
               .drop("le", "values", "hist_sum", "exp_scale", "exp_offset",
                 "exp_counts", "exp_zero_count", "exp_zero_threshold", "exp_sum")
           }
-          val src = parts.result().map(selectorSamplesFrom(_, sel2))
-            .reduce(_ unionByName _)
+          (parts.result().map(selectorSamplesFrom(_, sel2))
+            .reduce(_ unionByName _), sel2)
+      }
+      val rateKernels = Map("rate" -> RangeFns.Rate,
+        "increase" -> RangeFns.Increase, "delta" -> RangeFns.Delta)
+      args.head match {
+        case sel: Selector if sel.windowMs.isEmpty =>
+          val (src, sel2) = derivedScalar(sel, name)
           dropName(periodicFrom(ctx, src, sel2,
             RangeFns.LastOverTime, ctx.lookbackMs))
+        case FuncCall(fn, Seq(sel: Selector))
+            if rateKernels.contains(fn) && sel.windowMs.isDefined =>
+          def planned(stat: String): DataFrame = {
+            val (src, sel2) = derivedScalar(sel, stat)
+            dropName(periodicFrom(ctx, src, sel2,
+              rateKernels(fn), sel.windowMs.get))
+          }
+          name match {
+            case "histogram_count" | "histogram_sum" => planned(name)
+            case "histogram_avg" =>
+              // rated avg = rated sum / rated count — NOT the rate of the
+              // per-sample ratio; both sides share the step grid and keys
+              planned("histogram_sum").withColumnRenamed("value", "__s")
+                .join(planned("histogram_count").select(col("__key"),
+                  col("step_ts"), col("value").as("__c")),
+                  Seq("__key", "step_ts"))
+                .withColumn("value", col("__s") / col("__c"))
+                .transform(finish)
+            case other => throw new IllegalArgumentException(
+              s"$other over a range-function result is not supported " +
+                "(count/sum/avg are; the stddev estimators need " +
+                "per-bucket rates)")
+          }
         case other => throw new IllegalArgumentException(
-          s"$name expects an instant vector selector, got $other")
+          s"$name expects an instant vector selector or " +
+            "rate/increase/delta over one, got $other")
       }
 
     case "histogram_quantile" =>
