@@ -1288,6 +1288,46 @@ class PromApiSpec extends AnyFunSuite with Matchers {
     } finally api.stop()
   }
 
+  test("quarantine metrics across RESTART: the in-memory counter resets to " +
+       "0 (the documented restart contract in its help text) while the " +
+       ".bad listing gauge is the durable signal a fresh process reports") {
+    import graft.http.ProtoWire
+    val dir = java.nio.file.Files.createTempDirectory("graft-qrestart").toString
+    val ws = PromApi.WriteSink(s"$dir/sink", s"$dir/index", s"$dir/reject",
+      graft.operators.Quota.QuotaConfig(Seq("metric"), Seq(1000000L)))
+    val api = new PromApi(spark, spark.range(0).toDF(), writeSink = Some(ws),
+      spoolDrainMs = 600000L).start()
+    try {
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val sp = new org.apache.hadoop.fs.Path(s"$dir/sink/_spool")
+      graft.http.RemoteRead.remoteWriteSeries(Seq(
+        ProtoWire.PSeries(Seq("__name__" -> "torn_m"),
+          Seq(ProtoWire.PSample(1.0, 1000L)))),
+        s"http://localhost:${api.boundPort}")
+      val torn = fs.listStatus(sp).map(_.getPath)
+        .filter(_.getName.endsWith(".wr")).head
+      val out = fs.create(torn, true)
+      try out.write(Array[Byte](0x7f, 0x7f, 0x7f, 0x00, 0x01))
+      finally out.close()
+      api.drainSpool()
+      val m1 = get(api.boundPort, "/metrics")
+      m1 should include("graft_spool_quarantined_total 1")
+      m1 should include("graft_spool_bad_files 1")
+    } finally api.stop()
+    // a FRESH process over the same store: the counter restarts at zero
+    // (it never goes backwards WITHIN a process; the restart reset is the
+    // documented contract), the listing-derived gauge still sees the file
+    val api2 = new PromApi(spark, spark.range(0).toDF(), writeSink = Some(ws),
+      spoolDrainMs = 600000L).start()
+    try {
+      val m2 = get(api2.boundPort, "/metrics")
+      m2 should include("graft_spool_quarantined_total 0")
+      m2 should include("graft_spool_bad_files 1")
+      get(api2.boundPort, "/__health") should include(""""badFiles":1""")
+    } finally api2.stop()
+  }
+
   test("drain decode runs OUTSIDE commitLock: a held commit lock (the " +
        "snapshot/sync-commit stand-in) never blocks the decode phase, " +
        "only the commit chain") {
