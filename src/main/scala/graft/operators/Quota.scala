@@ -85,12 +85,19 @@ object Quota {
     * admitted; tuples already present in `existing` are admitted by
     * definition). Feed `existing` the merged series index; feed
     * `incoming` the batch's buildSeriesIndex frame (or raw samples —
-    * only (metric, tags) are read). */
+    * only (metric, tags) are read).
+    *
+    * Deliberately LAZY, with no internal caching: the cascade references
+    * the key-tuple frames at every depth, but within the caller's single
+    * materializing job Catalyst's ReuseExchange dedups the repeated
+    * distinct-key subtrees — an explicit persist + materialize here was
+    * measured SLOWER on the drain path (an extra job plus cache writes
+    * per window, duplicating work exchange reuse already avoids). */
   def admit(existing: DataFrame, incoming: DataFrame, cfg: QuotaConfig): DataFrame = {
     val L = cfg.shardKey.length
     val kCols = (0 until L).map(i => s"__k$i")
-    val exKeys = keyTuples(existing, cfg).cache()
-    val inKeys = keyTuples(incoming, cfg).cache()
+    val exKeys = keyTuples(existing, cfg)
+    val inKeys = keyTuples(incoming, cfg)
     // genuinely-new series: quotas only gate CREATION of children
     var surviving = inKeys.join(exKeys, kCols, "left_anti")
     var rejects: Option[DataFrame] = None
@@ -141,7 +148,6 @@ object Quota {
       .join(rejects.get, kCols, "left")
       .withColumn("admitted", col("reject_depth").isNull)
       .select(kCols.map(col) :+ col("admitted") :+ col("reject_depth") :+ col("quota"): _*)
-    exKeys.unpersist(); inKeys.unpersist()
     verdicts
   }
 
