@@ -104,9 +104,18 @@ object Quota {
     for (d <- 1 to L) {
       val pc = kCols.take(d - 1)             // parent prefix columns
       val cc = kCols(d - 1)                  // child column at this depth
-      val exCh = exKeys.select((pc :+ cc).map(col): _*).distinct()
-      val newCh = surviving.select((pc :+ cc).map(col): _*).distinct()
-        .join(exCh, pc :+ cc, "left_anti")
+      // depth L reuses the already-distinct key frames: the leaf child
+      // tuple IS the full shard key, so exCh == exKeys and the batch's
+      // genuinely-new leaves are exactly `surviving` (distinct, already
+      // anti-joined against exKeys, only ever narrowed by the shallower
+      // depths' rejections) — skipping the re-distinct + anti-join saves
+      // two SERIES-SCALE shuffles at the one depth that carries full
+      // cardinality; the shallower depths operate on prefix-scale frames
+      val exCh = if (d == L) exKeys
+                 else exKeys.select((pc :+ cc).map(col): _*).distinct()
+      val newCh = if (d == L) surviving
+                  else surviving.select((pc :+ cc).map(col): _*).distinct()
+                    .join(exCh, pc :+ cc, "left_anti")
       val exCnt = exCh.groupBy(pc.map(col): _*).agg(count(lit(1)).as("__n_ex"))
       val win = Window.partitionBy(pc.map(col): _*).orderBy(col(cc).asc)
       // an override prefix of length d-1 names the PARENT node whose
