@@ -587,20 +587,35 @@ object Bench {
       val nPosts = 256
       val nSeries = 100
       val perSeries = 10
-      (0 until nPosts).foreach { k =>
-        RemoteRead.remoteWriteSeries((0L until nSeries).map { i =>
-          ProtoWire.PSeries(
-            Seq("__name__" -> "drain_bench", "instance" -> i.toString),
-            (0 until perSeries).map { j =>
-              ProtoWire.PSample(1.0, t0 + (k.toLong * perSeries + j) * 1000L)
-            })
-        }, url)
-      }
-      val samples = nPosts.toLong * nSeries * perSeries
-      val d0 = System.nanoTime()
+      def backlog(posts: Int, kOff: Int): Unit =
+        (0 until posts).foreach { k =>
+          RemoteRead.remoteWriteSeries((0L until nSeries).map { i =>
+            ProtoWire.PSeries(
+              Seq("__name__" -> "drain_bench", "instance" -> i.toString),
+              (0 until perSeries).map { j =>
+                ProtoWire.PSample(1.0,
+                  t0 + ((kOff + k).toLong * perSeries + j) * 1000L)
+              })
+          }, url)
+        }
+      // WARM-UP window (untimed: this sink's plan shapes compile codegen
+      // on their first drain — the ladder measured a first window at
+      // 3-10x a steady one), then BEST of two timed windows: a capacity
+      // figure from a single timed window inherits any transient host
+      // load in its ~5 s (a one-shot reported 30k on a run whose
+      // sustained ladder figure, same commit, was 58k — with
+      // ratio_post 9.5 flagging end-of-run load). Same min-merge
+      // rationale as the scenario blocks' re-run pass.
+      backlog(64, 0)
       api.drainSpool()
-      val sec = (System.nanoTime() - d0) / 1e9
-      Seq("drain_committed_samples_per_sec" -> samples / sec)
+      val samples = nPosts.toLong * nSeries * perSeries
+      val rate = (0 until 2).map { r =>
+        backlog(nPosts, 64 + r * nPosts)
+        val d0 = System.nanoTime()
+        api.drainSpool()
+        samples / ((System.nanoTime() - d0) / 1e9)
+      }.max
+      Seq("drain_committed_samples_per_sec" -> rate)
     } finally api.stop()
   }
 
