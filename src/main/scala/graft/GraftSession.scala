@@ -30,6 +30,11 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // spark.sql.join.preferSortMergeJoin=false was TRIED this round
+      // (guide §3.1) and measured neutral-to-negative on the suite
+      // (q64 2.43->3.38 s, q99 1.38->2.24 s in back-to-back sessions):
+      // the joins that matter here either broadcast already or carry
+      // sorted children into downstream ops — left at the default.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.filterPushdown", "true")
       // PromQL arithmetic is IEEE-754: x/0 = +-Inf, 0/0 = NaN. Spark 4's

@@ -137,8 +137,10 @@ object CorpusLayout {
                            textCol: String = "text", idCol: String = "doc_id",
                            numHashes: Int = 32, shingleK: Int = 3, rowsPerBand: Int = 4,
                            threshold: Double = 0.7,
-                           maxCandidatesPerDoc: Int = 64): DataFrame = {
-    val sigs = sigsOf(newDocs, textCol, idCol, numHashes, shingleK).localCheckpoint(false)
+                           maxCandidatesPerDoc: Int = 64,
+                           precomputedSigs: Option[DataFrame] = None): DataFrame = {
+    val sigs = precomputedSigs.getOrElse(
+      sigsOf(newDocs, textCol, idCol, numHashes, shingleK).localCheckpoint(false))
     val probe = bandsOf(sigs, idCol, rowsPerBand)
       .withColumnRenamed("doc_id", "__new_id")
     val cands = probe.join(spark.table(bandTable(table)), Seq("band", "bh"))
@@ -172,11 +174,18 @@ object CorpusLayout {
                                textCol: String = "text", idCol: String = "doc_id",
                                numHashes: Int = 32, shingleK: Int = 3, rowsPerBand: Int = 4,
                                threshold: Double = 0.7): DataFrame = {
+    // ONE signature pass per batch: the index probe and the in-batch
+    // dedup previously each derived the batch's MinHash signatures from
+    // scratch (two shingle+hash scans per micro-batch — r17; the commit
+    // latency of the standing ingest is this function)
+    val sigs = sigsOf(newDocs, textCol, idCol, numHashes, shingleK)
+      .localCheckpoint(false)
     val vsCorpus = nearDupsAgainstIndex(spark, newDocs, table, textCol, idCol,
-      numHashes, shingleK, rowsPerBand, threshold)
+      numHashes, shingleK, rowsPerBand, threshold,
+      precomputedSigs = Some(sigs))
       .select(col(idCol)).distinct()
     val inBatch = Dedup.minHashDuplicates(newDocs, textCol, idCol, numHashes,
-      shingleK, rowsPerBand, threshold)
+      shingleK, rowsPerBand, threshold, precomputedSigs = Some(sigs))
       .select(col("id2").as(idCol)).distinct() // keep the lower id
     newDocs.join(vsCorpus, Seq(idCol), "left_anti")
       .join(inBatch, Seq(idCol), "left_anti")

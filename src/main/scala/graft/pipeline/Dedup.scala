@@ -131,13 +131,25 @@ object Dedup {
     * pairs; then exact-verify with true shingle Jaccard >= threshold. */
   def minHashDuplicates(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
                         numHashes: Int = 32, shingleK: Int = 3, rowsPerBand: Int = 4,
-                        threshold: Double = 0.7, maxBucketSize: Int = 256): DataFrame = {
+                        threshold: Double = 0.7, maxBucketSize: Int = 256,
+                        precomputedSigs: Option[DataFrame] = None): DataFrame = {
     // signatures are (id + numHashes longs): checkpointed so the band
     // join's bucket-cap count and semi-join don't each re-derive the
-    // shingle+hash computation from the corpus (6 scans measured without)
-    val sigs = minHashSignatures(docs, textCol, idCol, numHashes, shingleK)
-      .localCheckpoint(false)
+    // shingle+hash computation from the corpus (6 scans measured without).
+    // Callers that already hold this batch's signatures (the standing-
+    // index ingest probes the index with the SAME sigs before in-batch
+    // dedup) pass them in instead of paying the shingle+hash pass twice.
+    val sigs = precomputedSigs.getOrElse(
+      minHashSignatures(docs, textCol, idCol, numHashes, shingleK)
+        .localCheckpoint(false))
     val cands = lshCandidatePairs(sigs, idCol, rowsPerBand, maxBucketSize)
+    // the shingle arrays feed both sides of the verify join; a
+    // localCheckpoint here was TRIED (r17) and measured neutral at best:
+    // the materialized shingle strings are ~k x the corpus bytes, and
+    // writing+reading them costs about what the second map-side
+    // scan+shingle pass does (the gopherSignals lesson — materialize
+    // only when the re-derivation includes a shuffle or an expensive
+    // upstream, not for pure map-side re-compute)
     val withText = withShingles(docs, textCol, idCol, shingleK, "sh")
     cands
       .join(withText.select(col(idCol).as("id1"), col("sh").as("sh1")), "id1")
@@ -193,10 +205,15 @@ object Dedup {
           .agg(array_sort(collect_list(struct(col("__df"), col("__t"))))
             .getField("__t").as("__stoks"))
       }
+    // resorted is consumed THREE times (the prefix explode and both
+    // sides of the verify join): checkpoint so the per-doc canonical
+    // re-sort — an array_sort of (hash, token) structs over every token
+    // of every doc — runs once, not three times (r17; guide §1.2 step 1)
     val resorted = resorted0
       .withColumn("__sz", size(col("__stoks")))
       .withColumn("__plen",
         (col("__sz") - ceil(lit(threshold) * col("__sz")) + 1).cast("int"))
+      .localCheckpoint(false)
     val prefixes = resorted.select(
       col(idCol) +: blockCols.map(col) :+ col("__sz") :+
         explode(slice(col("__stoks"), lit(1), col("__plen"))).as("__t"): _*)
@@ -284,8 +301,13 @@ object Dedup {
   def removeDuplicateSpans(docs: DataFrame, w: Int = 8, textCol: String = "text",
                            idCol: String = "doc_id",
                            minOccurrences: Int = 2): DataFrame = {
+    // base feeds spanCoverage's window pass AND the text-rebuild join, and
+    // its upstream may be a whole curation composition (q118 pipes the
+    // Gopher gate join in as `docs`): checkpoint so the scan + tokenize +
+    // upstream execute once, not once per consumer
     val base = docs
       .select(col(idCol), TextAnalysis.tokens(lower(col(textCol))).as("__toks"))
+      .localCheckpoint(false)
     val cov = spanCoverage(base, w, idCol, minOccurrences)
     base.join(cov, Seq(idCol), "left")
       .select(col(idCol),
@@ -357,6 +379,9 @@ object Dedup {
   def duplicateSpanReport(docs: DataFrame, w: Int = 8, textCol: String = "text",
                           idCol: String = "doc_id",
                           minOccurrences: Int = 2): DataFrame = {
+    // no checkpoint here: unlike removeDuplicateSpans there is no rebuild
+    // join — spanCoverage's wins checkpoint is the only consumer of base,
+    // so the tokenize already runs exactly once
     val base = docs
       .select(col(idCol), TextAnalysis.tokens(lower(col(textCol))).as("__toks"))
     val s = array_sort(col("__cov"))

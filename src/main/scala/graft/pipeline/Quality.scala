@@ -259,6 +259,15 @@ object Quality {
   def gopherSignals(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
                     minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
     val ns = Seq(2, 3)
+    // base is consumed twice (the gram-count subtree and the final
+    // signals join). A localCheckpoint here measured NET NEGATIVE
+    // (r17: q100 1.82 s -> 2.34 s, q139 3.18 s -> 3.82 s like-for-like):
+    // materializing (id, text, nsc, tokens) — ~2x the corpus bytes —
+    // costs more than re-running the scan + tokenize, because the
+    // second derivation is pure map-side CPU with no shuffle to save.
+    // Compositions that DO have an expensive upstream (q118's Gopher
+    // gate join) get their single-derivation barrier downstream in
+    // removeDuplicateSpans instead, where one is already needed.
     val base = docs.select(
       col(idCol), col(textCol).as("__text"),
       length(regexp_replace(trim(col(textCol)), "\\s+", "")).as("__nsc"),

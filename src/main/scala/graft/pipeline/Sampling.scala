@@ -255,6 +255,16 @@ object Sampling {
                  nBuckets: Int = 1024, textCol: String = "text",
                  idCol: String = "doc_id"): DataFrame = {
     require(keep >= 1 && nBuckets >= 2, s"bad keep=$keep / nBuckets=$nBuckets")
+    // Per-doc feature-BUCKET arrays, derived once and checkpointed: the
+    // raw corpus otherwise pays the tokenize + per-gram md5 twice — once
+    // for its bucket histogram and once inside the scoring fold (the md5
+    // hash point is the dominant per-row cost at corpus scale). Buckets
+    // are ints, so the checkpoint holds (id, ARRAY<INT>) — smaller than
+    // the gram strings it replaces in the old scored derivation.
+    val rawBuckets = raw.select(col(idCol),
+        transform(hashedGrams(col(textCol)),
+          g => featureBucket(g, nBuckets)).as("__bs"))
+      .localCheckpoint(false)
     def bucketCounts(df: DataFrame): Array[Long] = {
       val rows = df
         .select(explode(hashedGrams(col(textCol))).as("__g"))
@@ -265,21 +275,30 @@ object Sampling {
       rows.foreach(r => arr(r.getInt(0)) = r.getLong(1))
       arr
     }
+    def bucketCountsFromArrays(buckets: DataFrame): Array[Long] = {
+      val rows = buckets.select(explode(col("__bs")).as("__b"))
+        .groupBy(col("__b")).agg(count(lit(1)).as("__n"))
+        .collect()
+      val arr = Array.fill(nBuckets)(0L)
+      rows.foreach(r => arr(r.getInt(0)) = r.getLong(1))
+      arr
+    }
     val tc = bucketCounts(target)
-    val rc = bucketCounts(raw)
+    val rc = bucketCountsFromArrays(rawBuckets)
     val tn = tc.sum.toDouble + nBuckets
     val rn = rc.sum.toDouble + nBuckets
     // integer micro-nat log-ratio per bucket, rounded exactly once
     val ratio = Array.tabulate(nBuckets) { b =>
       math.round((math.log((tc(b) + 1) / tn) - math.log((rc(b) + 1) / rn)) * 1e6)
     }
-    val scored = raw.select(col(idCol), hashedGrams(col(textCol)).as("__gs"))
-      .select(col(idCol), size(col("__gs")).as("n_feats"),
-        aggregate(col("__gs"), lit(0L),
-          (acc, g) => acc + element_at(lit(ratio), featureBucket(g, nBuckets) + 1))
+    // scoring is a pure array-literal lookup over the staged buckets —
+    // no md5 re-run; still checkpointed (three narrow columns) so the
+    // threshold pass and the final projection share one fold
+    val scored = rawBuckets
+      .select(col(idCol), size(col("__bs")).as("n_feats"),
+        aggregate(col("__bs"), lit(0L),
+          (acc, b) => acc + element_at(lit(ratio), b + 1))
           .as("logw_micro"))
-      // three narrow columns per doc: materialize so the threshold pass
-      // and the final projection don't each re-run the md5 gram scoring
       .localCheckpoint(false)
     // global top-k WITHOUT a global sort: (negated-weight, id) struct
     // ordering makes limit(keep) a distributed TakeOrdered; the k-th key
