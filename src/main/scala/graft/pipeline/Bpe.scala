@@ -47,41 +47,96 @@ object Bpe {
   /** Learn `nMerges` merges. Returns them in rank order as
     * (rank, left, right, pairCount); ties break on (left, right) asc so
     * the learned tokenizer is deterministic across engines and runs. */
+  /** Spark's string `asc` compares UTF8String bytes; the driver-side
+    * tiebreak below must match it exactly (UTF-16 `compareTo` diverges
+    * for supplementary characters), so compare UTF-8 bytes unsigned. */
+  private val utf8Asc: Ordering[String] = new Ordering[String] {
+    def compare(x: String, y: String): Int = {
+      val a = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val b = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val n = math.min(a.length, b.length)
+      var i = 0
+      while (i < n) {
+        val c = (a(i) & 0xff) - (b(i) & 0xff)
+        if (c != 0) return c
+        i += 1
+      }
+      a.length - b.length
+    }
+  }
+
+  /** Greedy left-to-right merge — the executor-side twin of [[mergePair]]
+    * (same overlap rule: "aaa" + (a,a) -> ["aa","a"]). */
+  private def applyMerge(syms: Array[String], a: String, b: String): Array[String] = {
+    val out = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+    var i = 0
+    while (i < syms.length) {
+      val x = syms(i)
+      if (out.nonEmpty && out.last == a && x == b) out(out.length - 1) = a + b
+      else out += x
+      i += 1
+    }
+    out.toArray
+  }
+
   def train(docs: DataFrame, nMerges: Int, textCol: String = "text"): Seq[(Int, String, String, Long)] = {
     require(nMerges >= 1, s"nMerges must be positive: $nMerges")
-    var words = wordCounts(docs, textCol)
+    // ONE corpus-scale SQL pass builds the (initial-symbols, n) vocabulary
+    // table; the merge loop then runs on its RDD. Per-round SQL jobs were
+    // pure overhead on the vocabulary-bounded working set (r17 BpeProbe:
+    // 165 ms/round — a fresh whole-stage-codegen class per round from the
+    // literal-bearing fold, an AQE replan, a Catalyst plan — over a
+    // 31-row vocab). The RDD round keeps the identical distributed shape:
+    // adjacent-pair counts map-side-combined through one reduceByKey
+    // shuffle (partitioning inherited from the vocab pass, so it scales
+    // with corpus size), ONE row to the driver per round.
+    val seed = wordCounts(docs, textCol)
       .select(initialSymbols(col("word")).as("syms"), col("n"))
-      .localCheckpoint(false) // barrier: never re-run the corpus pass
+      .rdd.map(r => (r.getSeq[String](0).toArray, r.getLong(1)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // cnt desc, then (a, b) asc in Spark's binary string order
+    val bestOrd: Ordering[((String, String), Long)] =
+      new Ordering[((String, String), Long)] {
+        def compare(p: ((String, String), Long), q: ((String, String), Long)): Int = {
+          val c = java.lang.Long.compare(q._2, p._2)
+          if (c != 0) return c
+          val ca = utf8Asc.compare(p._1._1, q._1._1)
+          if (ca != 0) ca else utf8Asc.compare(p._1._2, q._1._2)
+        }
+      }
     val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+    var words = seed
+    var prev: Option[org.apache.spark.rdd.RDD[(Array[String], Long)]] = None
     var rank = 0
     var done = false
     while (rank < nMerges && !done) {
-      // adjacent pairs of every word, weighted by word count; zip of the
-      // two shifted slices is safely EMPTY for fully-merged single-symbol
-      // words (sequence(1, size-1) would yield the descending [1,0] there
-      // and fault on element_at index 0)
-      val best = words
-        .select(col("n"),
-          slice(col("syms"), lit(1), size(col("syms")) - 1).as("l"),
-          slice(col("syms"), lit(2), size(col("syms")) - 1).as("r"))
-        .select(col("n"), explode(arrays_zip(col("l"), col("r"))).as("p"))
-        .groupBy(col("p.l").as("a"), col("p.r").as("b"))
-        .agg(sum(col("n")).as("cnt"))
-        .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
-        .limit(1).collect()
+      val best = words.flatMap { case (syms, n) =>
+          if (syms.length < 2) Iterator.empty
+          else (0 until syms.length - 1).iterator.map(i => ((syms(i), syms(i + 1)), n))
+        }
+        .reduceByKey(_ + _)
+        .takeOrdered(1)(bestOrd)
+      // the action above materialized `words`; the round before it is safe
+      // to drop now
+      prev.foreach(_.unpersist(blocking = false))
+      prev = None
       if (best.isEmpty) done = true
       else {
-        val (a, b, cnt) = (best.head.getString(0), best.head.getString(1), best.head.getLong(2))
+        val ((a, b), cnt) = best.head
         if (cnt < 2) done = true // nothing left worth merging
         else {
           merges += ((rank, a, b, cnt))
-          words = words.select(mergePair(col("syms"), a, b).as("syms"), col("n"))
-          // truncate lineage so round N doesn't replay all prior rewrites
-          if ((rank + 1) % 5 == 0) words = words.localCheckpoint(false)
+          val next = words
+            .map { case (syms, n) => (applyMerge(syms, a, b), n) }
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          prev = Some(words)
+          words = next
           rank += 1
         }
       }
     }
+    prev.foreach(_.unpersist(blocking = false))
+    words.unpersist(blocking = false)
     merges.toSeq
   }
 

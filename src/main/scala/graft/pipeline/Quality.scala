@@ -257,7 +257,18 @@ object Quality {
     * bit-identical to per-n [[topNgramCharFraction]] calls: same counts,
     * same count-then-larger-gram tiebreak, per n independently. */
   def gopherSignals(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
-                    minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
+                    minWords: Int = 50, maxWords: Int = 100000,
+                    passThrough: Seq[String] = Nil): DataFrame = {
+    // passThrough: caller columns carried onto the OUTPUT rows (evaluated
+    // on the rebuild pass, pruned from the gram-count subtree). Callers
+    // that joined this frame back to `docs` on idCol paid a corpus-scale
+    // shuffle join plus an extra corpus scan for columns the rebuild pass
+    // already holds (r17: q117/q118/q139 all had that shape); the inner
+    // semantics are unchanged — output rows are still exactly the docs
+    // with at least one word gram.
+    require(passThrough.forall(docs.columns.contains),
+      s"passThrough columns must exist on docs: $passThrough vs ${docs.columns.toSeq}")
+    val pt = passThrough.filterNot(_ == idCol).map(col)
     val ns = Seq(2, 3)
     // base is consumed twice (the gram-count subtree and the final
     // signals join). A localCheckpoint here measured NET NEGATIVE
@@ -268,10 +279,10 @@ object Quality {
     // Compositions that DO have an expensive upstream (q118's Gopher
     // gate join) get their single-derivation barrier downstream in
     // removeDuplicateSpans instead, where one is already needed.
-    val base = docs.select(
+    val base = docs.select(Seq(
       col(idCol), col(textCol).as("__text"),
       length(regexp_replace(trim(col(textCol)), "\\s+", "")).as("__nsc"),
-      TextAnalysis.tokens(lower(col(textCol))).as("__ltoks"))
+      TextAnalysis.tokens(lower(col(textCol))).as("__ltoks")) ++ pt: _*)
     val counted = base
       .select(col(idCol), col("__nsc"),
         explode(flatten(array(ns.map(n =>
@@ -298,8 +309,8 @@ object Quality {
         col("__nsc").cast("double"), 6)
     }
     base.join(winners, Seq(idCol))
-      .select(
-        col(idCol),
+      .select(Seq(
+        col(idCol)) ++ pt ++ Seq(
         wordCount(t).as("word_count"),
         round(meanWordLength(t), 6).as("mean_word_len"),
         round(duplicateWordFraction(t), 6).as("dup_word_frac"),
@@ -307,7 +318,7 @@ object Quality {
         round(symbolToWordRatio(t), 6).as("symbol_ratio"),
         round(alphaWordFraction(t), 6).as("alpha_word_frac"),
         fracFor(2).as("top2_frac"),
-        fracFor(3).as("top3_frac"))
+        fracFor(3).as("top3_frac")): _*)
       .withColumn("gopher_pass",
         col("word_count").between(minWords, maxWords) &&
         col("mean_word_len").between(1.0, 10.0) &&

@@ -279,8 +279,11 @@ object PipelineQueries {
     // is what a real corpus run executes as one job.
     "q118_curation_pipeline" -> ((s, dir) => {
       val docs = TsTables.documents(s, dir)
-      val gate = Quality.gopherSignals(docs).select(col("doc_id"), col("gopher_pass"))
-      val kept = docs.join(gate, "doc_id")
+      // text rides THROUGH the gopher gate (r17): the join of gate back
+      // to docs on doc_id was a corpus-scale shuffle join plus a third
+      // corpus scan for a column the gate's rebuild pass already held;
+      // row set identical (inner join inside gopherSignals)
+      val kept = Quality.gopherSignals(docs, passThrough = Seq("text"))
         .where(col("gopher_pass") && TextAnalysis.langId(col("text")) === "en")
         .select(col("doc_id"), col("text"))
       Dedup.removeDuplicateSpans(kept, w = 8)
@@ -294,14 +297,18 @@ object PipelineQueries {
     // ONE pass shape (each signal is a zero-shuffle expression; the only
     // aggregation is the final per-source rollup)
     "q117_corpus_report" -> ((s, dir) => {
+      // the dashboard expressions ride THROUGH the gopher pass (r17):
+      // evaluated once on its rebuild scan (pruned from the gram-count
+      // subtree), replacing a corpus-scale doc_id shuffle join plus a
+      // third corpus scan; row set identical (inner join inside
+      // gopherSignals)
       val docs = TsTables.documents(s, dir)
-      val signals = Quality.gopherSignals(docs)
-        .select(col("doc_id"), col("gopher_pass"))
-      docs.select(col("doc_id"), col("source"),
+        .select(col("doc_id"), col("text"), col("source"),
           TextAnalysis.tokenCount(col("text")).as("n_tokens"),
           TextAnalysis.langId(col("text")).as("lang"),
           TextAnalysis.fingerprint(col("text")).as("fp"))
-        .join(signals, "doc_id")
+      Quality.gopherSignals(docs,
+          passThrough = Seq("source", "n_tokens", "lang", "fp"))
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_tokens")).as("total_tokens"),
@@ -606,10 +613,13 @@ object PipelineQueries {
     // training sequences in one job
     "q139_curation_v2" -> ((s, dir) => {
       val docs = TsTables.documents(s, dir)
-      val gate = Quality.gopherSignals(docs).select(col("doc_id"), col("gopher_pass"))
+      // text rides THROUGH the gopher gate (r17, as q118): one corpus
+      // scan and one doc_id shuffle join eliminated; the nll join stays
+      // (crossLogLoss aggregates per doc — not a per-row expression)
+      val gate = Quality.gopherSignals(docs, passThrough = Seq("text"))
       val nll = Quality.crossLogLoss(docs, docs.where(col("source") === "src0"))
         .select(col("doc_id"), col("mean_nll"))
-      val kept = docs.join(gate, "doc_id").join(nll, "doc_id")
+      val kept = gate.join(nll, "doc_id")
         .where(col("gopher_pass") && TextAnalysis.langId(col("text")) === "en" &&
                col("mean_nll") < 3.43)
         .select(col("doc_id"), col("text"))

@@ -8,12 +8,23 @@ import graft.promql.PromPlanner
 /** Dev probe (r17): decompose the scenario-block query cost — scan+label
   * expression vs key serialization vs shuffle+kernel — on the 8000-series
   * hic fixture, to direct the §1.1 empirical loop before touching the
-  * planner's key scheme. */
+  * planner's key scheme.
+  *
+  * Run order matters: the first version of this probe built and cached its
+  * own fixture BEFORE the bench block and read hic_* at 1.86-1.98 s —
+  * i.e. the 1.8x polluted-JIT state Bench.scala documents — so the bench
+  * block now runs first on a fresh JIT, and the cumulative stage ladder is
+  * interpreted by RATIOS within this (polluted) session, never as absolute
+  * seconds. */
 object ScenProbe {
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.builder("local[32]", "32").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    import spark.implicits._
+
+    // 0. ground truth FIRST on a clean JIT: the Bench scenario block itself
+    graft.Bench.benchScenarios(spark, nSeries = 8000, prefix = "probe_")
+      .foreach { case (k, v) => println(f"PROBE bench $k $v%.3f") }
+
     val t0 = 1704067200000L
     val nSeries = 8000
     val nSamples = 720
@@ -41,51 +52,78 @@ object ScenProbe {
     def noop(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
-    // 0. ground truth: the Bench scenario block itself
-    graft.Bench.benchScenarios(spark, nSeries = 8000, prefix = "probe_")
-      .foreach { case (k, v) => println(f"PROBE bench $k $v%.3f") }
-
-    // 1. the full query (what hic_sum_rate times)
+    // 1. the full queries (what hic_* times), noop-sunk so nothing prunes
     time("full sum_rate      ") {
-      PromPlanner.queryRange(ctx,
-        """sum(rate(heap_usage0{_ws_="demo",_ns_="App-2"}[5m]))""").count()
-    }
-    time("rate only          ") {
-      PromPlanner.queryRange(ctx,
-        """rate(heap_usage0{_ws_="demo",_ns_="App-2"}[5m])""").count()
+      noop(PromPlanner.queryRange(ctx,
+        """sum(rate(heap_usage0{_ws_="demo",_ns_="App-2"}[5m]))"""))
     }
     time("full raw_selector  ") {
-      PromPlanner.queryRange(ctx,
-        """heap_usage0{_ws_="demo",_ns_="App-2"}""").count()
+      noop(PromPlanner.queryRange(ctx,
+        """heap_usage0{_ws_="demo",_ns_="App-2"}"""))
     }
 
-    // 2. selector expression cost alone: filter + labels map + JSON key,
-    //    no shuffle (noop sink per guide §1.4)
+    // 2. CUMULATIVE stage ladder over the same cached fixture (noop sink,
+    //    guide §1.4): each stage adds one expression/operator so the deltas
+    //    attribute cost.
+    val filt = samples.filter(col("metric") === "heap_usage0" &&
+      col("tags")("_ws_") === "demo" && col("tags")("_ns_") === "App-2")
+    time("L0 filter only     ") { noop(filt.select(col("ts"), col("value"), col("__tie"))) }
+
     val labels = map_concat(map(lit("__name__"), col("metric")), col("tags"))
-    val keyed = samples
-      .filter(col("metric") === "heap_usage0" &&
-        col("tags")("_ws_") === "demo" && col("tags")("_ns_") === "App-2")
-      .select(to_json(array_sort(map_entries(labels))).as("__key"),
-        col("ts"), col("value"), col("__tie"))
-    time("selector+jsonkey   ") { noop(keyed) }
-
-    val hkeyed = samples
-      .filter(col("metric") === "heap_usage0" &&
-        col("tags")("_ws_") === "demo" && col("tags")("_ns_") === "App-2")
-      .select(xxhash64(to_json(array_sort(map_entries(labels)))).as("__key"),
-        col("ts"), col("value"), col("__tie"))
-    time("selector+hashkey   ") { noop(hkeyed) }
-
-    // 3. kernel over the string key vs a hashed long key
-    time("kernel stringkey   ") {
-      PeriodicSamples.viaAggregate(keyed, Seq("__key"), "ts", "value",
-        start, end, 150000L, 300000L, RangeFns.byName("rate"),
-        tieCol = Some("__tie")).count()
+    time("L1 +entries sort   ") {
+      noop(filt.select(array_sort(map_entries(labels)).as("__ke"),
+        col("ts"), col("value"), col("__tie")))
     }
-    time("kernel longkey     ") {
-      PeriodicSamples.viaAggregate(hkeyed, Seq("__key"), "ts", "value",
+    time("L2 +to_json        ") {
+      noop(filt.select(to_json(array_sort(map_entries(labels))).as("__key"),
+        col("ts"), col("value"), col("__tie")))
+    }
+
+    val keyed = filt.select(to_json(array_sort(map_entries(labels))).as("__key"),
+      col("ts"), col("value"), col("__tie"))
+    val akeyed = filt.select(array_sort(map_entries(labels)).as("__key"),
+      col("ts"), col("value"), col("__tie"))
+
+    // 3. shuffle+collect_list only (the kernel's agg input), then kernel
+    time("L3 agg stringkey   ") {
+      noop(keyed.groupBy(col("__key"))
+        .agg(collect_list(col("ts")).as("t"), collect_list(col("value")).as("v")))
+    }
+    time("L3 agg arraykey    ") {
+      noop(akeyed.groupBy(col("__key"))
+        .agg(collect_list(col("ts")).as("t"), collect_list(col("value")).as("v")))
+    }
+    time("L4 kernel stringkey") {
+      noop(PeriodicSamples.viaAggregate(keyed, Seq("__key"), "ts", "value",
         start, end, 150000L, 300000L, RangeFns.byName("rate"),
-        tieCol = Some("__tie")).count()
+        tieCol = Some("__tie")))
+    }
+    time("L4 kernel arraykey ") {
+      noop(PeriodicSamples.viaAggregate(akeyed, Seq("__key"), "ts", "value",
+        start, end, 150000L, 300000L, RangeFns.byName("rate"),
+        tieCol = Some("__tie"))
+        .withColumn("__key", to_json(col("__key"))))
+    }
+
+    // 4. candidate per-row key forms: entries of the concat'd map (option
+    //    A: drops per-row to_json only) vs DIRECT entry-array concat with
+    //    no intermediate map_concat map (option B)
+    val entA = array_sort(map_entries(labels))
+    val entB = array_sort(concat(
+      array(struct(lit("__name__").as("key"), col("metric").as("value"))),
+      map_entries(col("tags"))))
+    time("L1a entries-of-map ") {
+      noop(filt.select(entA.as("__ke"), col("ts"), col("value"), col("__tie")))
+    }
+    time("L1b entries-direct ") {
+      noop(filt.select(entB.as("__ke"), col("ts"), col("value"), col("__tie")))
+    }
+    val bkeyed = filt.select(entB.as("__key"), col("ts"), col("value"), col("__tie"))
+    time("L4 kernel directkey") {
+      noop(PeriodicSamples.viaAggregate(bkeyed, Seq("__key"), "ts", "value",
+        start, end, 150000L, 300000L, RangeFns.byName("rate"),
+        tieCol = Some("__tie"))
+        .withColumn("__key", to_json(col("__key"))))
     }
     spark.stop()
     sys.exit(0)

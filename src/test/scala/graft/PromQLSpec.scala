@@ -714,4 +714,36 @@ class PromQLSpec extends AnyFunSuite with Matchers {
     val plainDf = df.drop("__stale")
     at(2000L, "m", plainDf) shouldEqual List(1.0)
   }
+
+  test("kernel entries-array key serializes byte-identically to the JSON label key") {
+    // r17 pin: periodicFrom groups on the sorted-entries ARRAY and
+    // serializes __key per series AFTER the kernel; the produced string
+    // must equal seriesKey(labels) for adversarial label values —
+    // quotes, backslashes, unicode, empty strings, colliding sort
+    // prefixes — or limitk/limit_ratio (xxhash64 of __key) and every
+    // key-joined operator would silently change results.
+    val rows = Seq(
+      ("m1", Map("a" -> "plain", "b" -> "x")),
+      ("m1", Map("a" -> "quo\"te", "b" -> "back\\slash")),
+      ("m1", Map("a" -> "unié中", "b" -> "")),
+      ("m1", Map("ék" -> "v", "a" -> "newline\nand\ttab")),
+      ("m2", Map("zz" -> "1", "__aa" -> "2", "_ws_" -> "demo")))
+    val df = rows.zipWithIndex.map { case ((m, tags), i) =>
+      (m, tags, 1000L + i, 1.0 + i)
+    }.toDF("metric", "tags", "ts", "value")
+    val c = PromPlanner.Ctx(spark, df, 2000L, 2000L, 1000L, lookbackMs = 60000L)
+    val actual = PromPlanner.queryRange(c, """{__name__=~"m1|m2"}""")
+      .select(col("__key"),
+        // the output labels map must round-trip to the same key too
+        PromPlanner.seriesKey(col("labels")).as("__rt"))
+      .collect()
+    actual.length shouldEqual rows.length
+    actual.foreach { r => r.getString(0) shouldEqual r.getString(1) }
+    // ...and the keys must be the ones the ORIGINAL map-based path built
+    // from (metric, tags) — the byte contract limitk/limit_ratio hash
+    val expected = df.select(PromPlanner.seriesKey(
+        map_concat(map(lit("__name__"), col("metric")), col("tags"))).as("k"))
+      .collect().map(_.getString(0)).sorted
+    actual.map(_.getString(0)).sorted shouldEqual expected
+  }
 }
