@@ -37,6 +37,10 @@ object GraftSession {
       // sorted children into downstream ops — left at the default.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.filterPushdown", "true")
+      // RDD-level loops (components fixed point, BPE merge rounds)
+      // shuffle primitive pairs; Kryo serializes them several times
+      // faster than Java serialization (SQL/tungsten paths unaffected)
+      .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
       // PromQL arithmetic is IEEE-754: x/0 = +-Inf, 0/0 = NaN. Spark 4's
       // default ANSI mode raises DIVIDE_BY_ZERO instead — turn it off.
       .config("spark.sql.ansi.enabled", "false")

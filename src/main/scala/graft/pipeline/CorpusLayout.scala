@@ -99,10 +99,15 @@ object CorpusLayout {
                         textCol: String = "text", idCol: String = "doc_id",
                         numHashes: Int = 32, shingleK: Int = 3, rowsPerBand: Int = 4,
                         maxBucketSize: Int = 256,
-                        mode: SaveMode = SaveMode.Overwrite): Unit = {
+                        mode: SaveMode = SaveMode.Overwrite,
+                        precomputedSigs: Option[DataFrame] = None): Unit = {
     // the sig stage is id + numHashes longs: checkpoint so the band
-    // explode and the sig table don't each re-derive shingle hashing
-    val sigs = sigsOf(docs, textCol, idCol, numHashes, shingleK).localCheckpoint(false)
+    // explode and the sig table don't each re-derive shingle hashing.
+    // A caller holding this batch's signatures already (the ingest chain
+    // probed the index with them) passes them in — MinHash is a pure
+    // function of the text, so the values are identical to a recompute.
+    val sigs = precomputedSigs.getOrElse(
+      sigsOf(docs, textCol, idCol, numHashes, shingleK).localCheckpoint(false))
     // bucket spec == the probe's exact join keys (band, bh): a bucketed
     // scan only replaces the exchange when the keys match the spec — a
     // key SUPERSET makes the planner disable it and shuffle the corpus
@@ -173,11 +178,35 @@ object CorpusLayout {
   def dropNearDupsAgainstIndex(spark: SparkSession, newDocs: DataFrame, table: String,
                                textCol: String = "text", idCol: String = "doc_id",
                                numHashes: Int = 32, shingleK: Int = 3, rowsPerBand: Int = 4,
-                               threshold: Double = 0.7): DataFrame = {
+                               threshold: Double = 0.7): DataFrame =
     // ONE signature pass per batch: the index probe and the in-batch
     // dedup previously each derived the batch's MinHash signatures from
     // scratch (two shingle+hash scans per micro-batch — r17; the commit
     // latency of the standing ingest is this function)
+    dropNearDupsAgainstIndexWithSigs(spark, newDocs, table, textCol, idCol,
+      numHashes, shingleK, rowsPerBand, threshold)._1
+
+  /** Fold a batch's survivors into the standing index (co-bucketed
+    * append; Spark verifies the bucket spec matches). */
+  def appendToNearDupIndex(survivors: DataFrame, table: String, nBuckets: Int = 32,
+                           textCol: String = "text", idCol: String = "doc_id",
+                           numHashes: Int = 32, shingleK: Int = 3, rowsPerBand: Int = 4,
+                           maxBucketSize: Int = 256,
+                           precomputedSigs: Option[DataFrame] = None): Unit =
+    writeNearDupIndex(survivors, table, nBuckets, shingleK = shingleK,
+      numHashes = numHashes, rowsPerBand = rowsPerBand,
+      maxBucketSize = maxBucketSize, textCol = textCol, idCol = idCol,
+      mode = SaveMode.Append, precomputedSigs = precomputedSigs)
+
+  /** As [[dropNearDupsAgainstIndex]], additionally returning the batch's
+    * checkpointed signature frame so the ingest chain can index the
+    * survivors without a THIRD shingle+hash pass (r17; semi-join the
+    * returned sigs by the survivor ids). */
+  def dropNearDupsAgainstIndexWithSigs(spark: SparkSession, newDocs: DataFrame, table: String,
+                                       textCol: String = "text", idCol: String = "doc_id",
+                                       numHashes: Int = 32, shingleK: Int = 3,
+                                       rowsPerBand: Int = 4,
+                                       threshold: Double = 0.7): (DataFrame, DataFrame) = {
     val sigs = sigsOf(newDocs, textCol, idCol, numHashes, shingleK)
       .localCheckpoint(false)
     val vsCorpus = nearDupsAgainstIndex(spark, newDocs, table, textCol, idCol,
@@ -187,20 +216,9 @@ object CorpusLayout {
     val inBatch = Dedup.minHashDuplicates(newDocs, textCol, idCol, numHashes,
       shingleK, rowsPerBand, threshold, precomputedSigs = Some(sigs))
       .select(col("id2").as(idCol)).distinct() // keep the lower id
-    newDocs.join(vsCorpus, Seq(idCol), "left_anti")
-      .join(inBatch, Seq(idCol), "left_anti")
+    (newDocs.join(vsCorpus, Seq(idCol), "left_anti")
+      .join(inBatch, Seq(idCol), "left_anti"), sigs)
   }
-
-  /** Fold a batch's survivors into the standing index (co-bucketed
-    * append; Spark verifies the bucket spec matches). */
-  def appendToNearDupIndex(survivors: DataFrame, table: String, nBuckets: Int = 32,
-                           textCol: String = "text", idCol: String = "doc_id",
-                           numHashes: Int = 32, shingleK: Int = 3, rowsPerBand: Int = 4,
-                           maxBucketSize: Int = 256): Unit =
-    writeNearDupIndex(survivors, table, nBuckets, shingleK = shingleK,
-      numHashes = numHashes, rowsPerBand = rowsPerBand,
-      maxBucketSize = maxBucketSize, textCol = textCol, idCol = idCol,
-      mode = SaveMode.Append)
 
   // ===== Incremental PERCEPTUAL (dHash) media index =====================
   //

@@ -268,8 +268,13 @@ object Dedup {
   def simHashDuplicates(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
                         prefixBits: Int = 16, maxDist: Int = 8,
                         maxBucketSize: Int = 1024): DataFrame = {
+    // (id, simhash, bucket) is ~24 bytes/row and its re-derivation
+    // includes the corpus tokenize + per-token hashing + the 64-bit-sum
+    // shuffle — the r17 materialization rule's clearest YES: capBuckets'
+    // count, its semi-join and both self-join sides all read it
     val s0 = simHash(docs, textCol, idCol)
       .withColumn("bucket", shiftright(col("simhash"), 64 - prefixBits))
+      .localCheckpoint(false)
     val s = capBuckets(s0, Seq("bucket"), maxBucketSize)
     val a = s.as("a"); val b = s.as("b")
     a.join(b, col("a.bucket") === col("b.bucket") && col(s"a.$idCol") < col(s"b.$idCol"))

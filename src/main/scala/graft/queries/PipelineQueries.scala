@@ -810,6 +810,10 @@ object PipelineQueries {
       .repartition(col("doc_id"))
       .select(col("doc_id"), col("lang"),
         explode(TextAnalysis.fingerprintsFromGrams(col("grams"), 6)).as("fp"))
+      // (doc_id, lang, fp) is narrow and its re-derivation includes the
+      // tokenize + gram + winnow fingerprint pass — three consumers read
+      // it (the rarity count and both self-join sides); r17 rule: YES
+      .localCheckpoint(false)
     val rare = fps.groupBy(col("fp")).agg(count(lit(1)).as("n"))
       .filter(col("n").between(2, 8)).select("fp")
     val candidates = fps.join(rare, "fp")

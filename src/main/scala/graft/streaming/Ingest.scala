@@ -976,6 +976,13 @@ object Ingest {
     // never pair (the join wants id1 < id2), so dedupe up front
     val batch = batch0.dropDuplicates("doc_id")
     val indexed = spark.catalog.tableExists(s"${table}_bands")
+    // the batch's checkpointed signature frame, when this call computed
+    // it (probe path): the index write below semi-joins it by the
+    // committed survivor ids instead of paying a THIRD shingle+hash pass
+    // (MinHash is a pure function of the text, so the values are the
+    // ones a recompute over the committed rows would produce). Replays
+    // skip the probe entirely and recompute from the authoritative sink.
+    var batchSigs: Option[org.apache.spark.sql.DataFrame] = None
     val survivors = if (fs.exists(staged))
       // replay after the sink write committed: the sink is authoritative
       // (recomputing against an index that may already hold this batch's
@@ -983,29 +990,39 @@ object Ingest {
       spark.read.parquet(s"$sinkDir/batch_id=$batchId")
     else {
       val computed =
-        if (indexed)
-          CorpusLayout.dropNearDupsAgainstIndex(spark, batch, table,
-            numHashes = numHashes, shingleK = shingleK,
+        if (indexed) {
+          val (surv, sigs) = CorpusLayout.dropNearDupsAgainstIndexWithSigs(
+            spark, batch, table, numHashes = numHashes, shingleK = shingleK,
             rowsPerBand = rowsPerBand, threshold = threshold)
-        else // first batch: no corpus yet, in-batch near-dedup only
+          batchSigs = Some(sigs)
+          surv
+        } else { // first batch: no corpus yet, in-batch near-dedup only
+          val sigs = Dedup.minHashSignatures(batch, numHashes = numHashes,
+            shingleK = shingleK).localCheckpoint(false)
+          batchSigs = Some(sigs)
           batch.join(
             Dedup.minHashDuplicates(batch, numHashes = numHashes,
                 shingleK = shingleK, rowsPerBand = rowsPerBand,
-                threshold = threshold)
+                threshold = threshold, precomputedSigs = Some(sigs))
               .select(col("id2").as("doc_id")).distinct(),
             Seq("doc_id"), "left_anti")
+        }
       computed.write.mode("overwrite").parquet(s"$sinkDir/batch_id=$batchId")
       fs.mkdirs(staged) // sink committed: replays past here never recompute
       // fold from the committed files, not the live plan: identical rows,
       // and the fold cannot observe a recomputation drift by construction
       spark.read.parquet(s"$sinkDir/batch_id=$batchId")
     }
+    val survivorSigs = batchSigs.map(
+      _.join(survivors.select(col("doc_id")), Seq("doc_id"), "left_semi"))
     if (indexed)
       CorpusLayout.appendToNearDupIndex(survivors, table, nBuckets,
-        numHashes = numHashes, shingleK = shingleK, rowsPerBand = rowsPerBand)
+        numHashes = numHashes, shingleK = shingleK, rowsPerBand = rowsPerBand,
+        precomputedSigs = survivorSigs)
     else
       CorpusLayout.writeNearDupIndex(survivors, table, nBuckets,
-        numHashes = numHashes, shingleK = shingleK, rowsPerBand = rowsPerBand)
+        numHashes = numHashes, shingleK = shingleK, rowsPerBand = rowsPerBand,
+        precomputedSigs = survivorSigs)
     fs.mkdirs(processed) // commit point: replays of this batch no-op
     // AUTO-COMPACTION cadence: every Nth batch folds the standing index
     // back to one segment per bucket (foreachBatch runs serially within a
