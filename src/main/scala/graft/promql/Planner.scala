@@ -725,9 +725,14 @@ object PromPlanner {
           }
           val withLbl = keyed.withColumn("labels",
             map_concat(col("labels"), map(lit(label), canonicalValueStr(col("value")))))
-          withKey(withLbl)
-            .groupBy(col("labels"), col("__key"), col("step_ts"))
+          // group on the key alone and rebuild the map on the (small)
+          // aggregated output: the label map is a pure function of __key,
+          // so shuffling both just doubled the exchange bytes (r17,
+          // guide §2.3) — same for the quantile and simple-agg paths
+          finish(withKey(withLbl)
+            .groupBy(col("__key"), col("step_ts"))
             .agg(count(lit(1)).cast("double").as("value"))
+            .withColumn("labels", labelsFromKey(col("__key"))))
         case "quantile" =>
           val phi = constParam(param)
           // φ outside [0,1] answers ±Inf per group (upstream promql; Spark's
@@ -737,11 +742,13 @@ object PromPlanner {
             val v = if (phi.isNaN) Double.NaN
                     else if (phi < 0) Double.NegativeInfinity
                     else Double.PositiveInfinity
-            keyed.groupBy(col("labels"), col("__key"), col("step_ts"))
+            finish(keyed.groupBy(col("__key"), col("step_ts"))
               .agg(min(lit(v)).as("value"))
+              .withColumn("labels", labelsFromKey(col("__key"))))
           } else
-            keyed.groupBy(col("labels"), col("__key"), col("step_ts"))
+            finish(keyed.groupBy(col("__key"), col("step_ts"))
               .agg(percentile(col("value"), lit(phi)).as("value"))
+              .withColumn("labels", labelsFromKey(col("__key"))))
         case simple =>
           val aggCol = simple match {
             case "sum" => sum(col("value"))
@@ -754,8 +761,9 @@ object PromPlanner {
             case "stdvar" => coalesce(var_pop(col("value")), lit(0.0))
             case other => throw new IllegalArgumentException(s"unknown aggregation $other")
           }
-          keyed.groupBy(col("labels"), col("__key"), col("step_ts"))
+          finish(keyed.groupBy(col("__key"), col("step_ts"))
             .agg(aggCol.as("value"))
+            .withColumn("labels", labelsFromKey(col("__key"))))
       }
 
     case BinOp(op, lhs, rhs, bool, matching) => planBinOp(ctx, op, lhs, rhs, bool, matching)
